@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (north-star extension):
+  * brute-force cosine top-k as the exact baseline, and a sign-LSH bucketed
+  * variant as the scale path.
+  *
+  * Scale design: the query vector set is always the SMALL side — it is
+  * broadcast, so the 100 TB embedding corpus is scanned exactly once with
+  * no shuffle; top-k is a partial `limit` pushed through the sort (Spark
+  * plans TakeOrderedAndProject, which keeps only k rows per partition
+  * before the single-reduce merge). The LSH variant prunes the scan to
+  * matching buckets; with a bucketed/partitioned layout on `bucket` the
+  * scan itself becomes partition-pruned.
+  */
+object AnnSearch {
+
+  /** Exact brute-force cosine top-k against one stored query vector
+    * (vec_id = queryId), broadcast to every partition. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     queryId: Long = 0L, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val query = emb.filter($"vec_id" === queryId)
+      .select($"embedding".as("q"))
+    emb.filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(
+        $"vec_id", $"label",
+        round(cosine($"embedding", $"q"), 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+  }
+
+  /** Sign-LSH bucketed ANN: candidates restricted to the query's bucket
+    * (deterministic hyperplanes — see VectorFunctions.signLshBucket), then
+    * exact cosine within the bucket. Trades recall for a (2^bits)-fold scan
+    * reduction once the table is clustered by bucket. */
+  def lshTopK(spark: SparkSession, dir: String,
+              queryId: Long = 0L, k: Int = 10, bits: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signLshBucket($"embedding", bits))
+    val query = emb.filter($"vec_id" === queryId)
+      .select($"embedding".as("q"), $"bucket".as("qbucket"))
+    emb.filter($"vec_id" =!= queryId)
+      .join(broadcast(query), $"bucket" === $"qbucket")
+      .select(
+        $"vec_id", $"label", $"bucket",
+        round(cosine($"embedding", $"q"), 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-blocked: pairs sharing a
+    * sign-LSH bucket with cosine ≥ threshold. The bucket join replaces the
+    * O(n²) cross join with per-bucket locality — the standard semantic-dedup
+    * shape for training corpora. */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String,
+                            threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+    import spark.implicits._
+    // embeddings are random vectors with no natural near-dups at any SF, so
+    // pair the table with an id-shifted copy of itself (mirrors
+    // DedupOps.dupCorpus); every vector then has one exact duplicate.
+    val base = Tables.embeddings(spark, dir)
+    val emb = base
+      .unionByName(base.withColumn("vec_id", $"vec_id" + 100000L))
+      .select($"vec_id", $"embedding",
+        signLshBucket($"embedding", bits).as("bucket"))
+    emb.as("x").join(emb.as("y"),
+        $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
+      .select(
+        $"x.vec_id".as("a"), $"y.vec_id".as("b"),
+        round(cosine($"x.embedding", $"y.embedding"), 4).as("cos_sim"))
+      .filter($"cos_sim" >= threshold)
+      .orderBy($"a", $"b")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Reference-parity ingestion pipelines (SURVEY.md §2.1–2.2, §3 E1).
+  *
+  * The reference's flagship pipeline (`reddit_subm_extraction.py:61–95`) is:
+  * streaming NDJSON scan → JSON parse → allowlist semi-join (subreddit set,
+  * `:52–55`) → multi-keyword predicate (`:57–59`) → fixed-field projection
+  * with missing→"" defaults (`:88`) → CSV sink, with total/matched counters.
+  *
+  * Re-expressed Spark-first over the `events` table: the JSON `props` column
+  * plays the dynamic-schema record, `event_type` plays the subreddit, a
+  * value predicate plays the keyword match. The allowlist is a broadcast
+  * left-semi join — at 100 TB the fact side streams through a
+  * BroadcastHashJoin with no shuffle; the filter and projection are pushed
+  * into the parquet scan by Catalyst.
+  */
+object IngestPipelines {
+
+  /** Schema for the `props` JSON payload (schema-on-read, missing → NULL,
+    * mirroring the reference's `.get(field, "")` permissiveness,
+    * `reddit_subm_extraction.py:53–58`). */
+  val propsSchema: StructType = StructType(Seq(StructField("k", LongType)))
+
+  /** E1 flagship: parse-JSON → broadcast semi-join allowlist → predicate →
+    * projection. Deterministic: ordered by event_id. */
+  def redditFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val allow = Seq("click", "view", "purchase").toDF("allowed_type")
+    Tables.events(spark, dir)
+      .withColumn("k", from_json($"props", propsSchema).getField("k"))
+      .join(
+        broadcast(allow),
+        lower($"event_type") === lower($"allowed_type"),
+        "left_semi")
+      .filter($"value" > 50.0 && $"k".isNotNull && $"k" >= 10L)
+      .select(
+        $"event_id",
+        $"user_id",
+        $"event_type",
+        $"k",
+        round($"value", 2).as("value"))
+      .orderBy($"event_id")
+  }
+
+  /** P4 multi-keyword substring predicate (`reddit_subm_extraction.py:57–59`):
+    * any-of-contains over a keyword list. The reference loops Python `in`;
+    * here it is a single codegen'd boolean expression. For thousands of
+    * keywords the scale path is a broadcast keyword array + higher-order
+    * `exists(kw, k -> contains(text, k))` — same semantics, still codegen. */
+  def keywordFilter(spark: SparkSession, dir: String, keywords: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val pred = keywords
+      .map(k => contains(lower($"text"), lit(k.toLowerCase)))
+      .reduce(_ || _)
+    Tables.documents(spark, dir)
+      .filter(pred)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** P5 regex word-boundary keyword filter (`parser_media_articles.py:73–76,85`):
+    * case-insensitive `\b(k1|k2|…)\b` with the reference's hyphen→space
+    * variant expansion (`:75`), counted per language. */
+  def regexKeywordCounts(spark: SparkSession, dir: String, keywords: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val expanded = keywords.flatMap(k =>
+      if (k.contains("-")) Seq(k, k.replace("-", " ")) else Seq(k))
+    val pattern = "(?i)\\b(" + expanded.mkString("|") + ")\\b"
+    Tables.documents(spark, dir)
+      .filter($"text".rlike(pattern))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang")
+  }
+
+  /** F6/P9/F15 terms extraction (`parser_media_articles.py:87,102–103`):
+    * regexp_extract_all matched terms → array column, keep rows with ≥1
+    * match, expose the array (joined for oracle comparability) + its size. */
+  def termsExtract(spark: SparkSession, dir: String, keywords: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val pattern = "\\b(" + keywords.mkString("|") + ")\\b"
+    Tables.documents(spark, dir)
+      .withColumn("terms", regexp_extract_all(lower($"text"), lit(pattern), lit(1)))
+      .filter(size($"terms") > 0)
+      .select(
+        $"doc_id",
+        array_join($"terms", ",").as("terms_csv"),
+        size($"terms").cast("long").as("n_terms"))
+      .orderBy($"doc_id")
+  }
+
+  /** P6 date-range filter (`reddit_image_scraper.py:15–16,57`) + A4 count. */
+  def dateRangeCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderdate".between(lit("1996-01-01"), lit("1998-12-31")))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** P8 URL-shape predicate (`reddit_image_scraper.py:26–27`) re-expressed as
+    * a pure column expression (suffix-regex OR contains) — no UDF. Applied to
+    * `part` (the only string-rich dimension): type-suffix OR name-contains. */
+  def stringShapePredicates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter(lower($"p_type").rlike("(economy|promo)$") || contains($"p_name", lit("widget")))
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type")
+      .orderBy($"p_partkey")
+  }
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2.3–2.5): joins, aggregations,
+  * dedup, union, windows. All money aggregates sum DECIMAL-cast inputs so
+  * results are associative (order-independent) and hash-identical to the
+  * DuckDB oracle regardless of partitioning — a requirement that also holds
+  * on a 1000-executor cluster where partial-aggregate ordering is arbitrary.
+  */
+object Relational {
+
+  /** A1-style conditional counters (`reddit_subm_extraction.py:71,79–93`):
+    * total / matched / bad per group as one pass of conditional sums —
+    * map-side partial aggregation, single shuffle on the group key. */
+  def conditionalCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when($"value" > 100.0, 1L).otherwise(0L)).as("matched"),
+        sum(when($"value" <= 0.0 || $"value".isNull, 1L).otherwise(0L)).as("bad"))
+      .orderBy($"event_type")
+  }
+
+  /** A2 distinct-collect (`reddit_subm_extraction.py:23–24`): the allowlist
+    * normalization — lowercase + distinct. */
+  def distinctTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(lower($"event_type").as("event_type"))
+      .distinct()
+      .orderBy($"event_type")
+  }
+
+  /** A3 last-wins dedup (`tweet_download.py:34,50–52`: user id→username map,
+    * later pages overwrite). Latest event per user, deterministic tie-break
+    * on event_id. Window + row_number = one shuffle on user_id. */
+  def lastWinsPerUser(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", round($"value", 2).as("value"))
+      .orderBy($"user_id")
+  }
+
+  /** J2 key-association join (`tweet_download.py:41–57`, tweets↔users):
+    * orders←customer as broadcast left join — the dimension side is small,
+    * so at 100 TB the fact table never shuffles. */
+  def ordersWithCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+    Tables.orders(spark, dir)
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey", "left")
+      .select($"o_orderkey", $"c_name", $"c_mktsegment",
+        round($"o_totalprice", 2).as("o_totalprice"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Anti-join coverage (NOT EXISTS): customers with no HIGH-VALUE order
+    * (>350k), per segment. The filter is pushed below the anti-join so only
+    * matching order keys ever reach the join; AQE picks the broadcast side
+    * at runtime. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrderKeys = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 350000.0)
+      .select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(bigOrderKeys, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** TPC-H Q1-shaped pricing summary over lineitem. DECIMAL sums for
+    * cross-engine determinism; avg exposed as round(sum/count, 4). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+        sum(($"l_extendedprice".cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - $"l_discount".cast("decimal(18,4)")))
+          .cast("decimal(28,8)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q5-shaped multi-join revenue rollup: lineitem⋈orders (big-big,
+    * sort-merge / shuffled-hash under AQE) then broadcast dims
+    * customer⋈nation⋈region. Dimension joins never reshuffle the fact. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey",
+        ($"l_extendedprice".cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - $"l_discount".cast("decimal(18,4)")))
+          .cast("decimal(28,8)").as("rev"))
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
+    val reg = Tables.region(spark, dir).select($"r_regionkey", $"r_name")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum($"rev").cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Top-k per group via ranking window (the analytic extension SURVEY.md
+    * §2.4 notes the reference lacks): top-3 orders per customer by price,
+    * deterministic tie-break on o_orderkey. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"o_custkey", $"rk", $"o_orderkey",
+        round($"o_totalprice", 2).as("o_totalprice"))
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** D1/D2/U1/P7 combined (`parser_media_articles.py:81–120`): two filtered
+    * subsets unioned (`pd.concat`), null/empty dropped (`dropna`), exact
+    * dedup on a derived key (`drop_duplicates("text1")` — here md5 of
+    * normalized text), deterministic representative = min doc_id. */
+  def unionDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val de = docs.filter($"lang" === "de")
+    val es = docs.filter($"lang" === "es")
+    de.unionByName(es)
+      .filter($"text".isNotNull && length(trim($"text")) > 0)
+      .withColumn("text_key", md5(lower(trim($"text"))))
+      .groupBy($"text_key")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select($"doc_id", $"text_key", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
+  /** §2.8 tumbling-window aggregation over the event stream, batch form:
+    * identical groupBy(window(…)) works under Structured Streaming with a
+    * watermark (see graft.streaming.StreamOps). */
+  def hourlyEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  /** F5/F7/F8/F10/F11 scalar date kit (`parser_media_articles.py:14–15,25–38`):
+    * dd.mm.yyyy formatting, regex group-reorder back to ISO, German month
+    * name via map literal + zero-padded day — all built-in functions. */
+  def dateFormatKit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val germanMonths = map(
+      lit(1), lit("Januar"), lit(2), lit("Februar"), lit(3), lit("März"),
+      lit(4), lit("April"), lit(5), lit("Mai"), lit(6), lit("Juni"),
+      lit(7), lit("Juli"), lit(8), lit("August"), lit(9), lit("September"),
+      lit(10), lit("Oktober"), lit(11), lit("November"), lit(12), lit("Dezember"))
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" < 100)
+      .withColumn("dotted", date_format($"o_orderdate", "dd.MM.yyyy"))
+      .select(
+        $"o_orderkey",
+        $"dotted",
+        // reference's re.sub(r'(\d{2}).(\d{2}).(\d{4})', r'\3-\2-\1')
+        regexp_replace($"dotted", "(\\d{2})\\.(\\d{2})\\.(\\d{4})", "$3-$2-$1").as("iso"),
+        concat(
+          lpad(dayofmonth($"o_orderdate").cast("string"), 2, "0"),
+          lit(". "),
+          element_at(germanMonths, month($"o_orderdate")),
+          lit(" "),
+          year($"o_orderdate").cast("string")).as("german"))
+      .orderBy($"o_orderkey")
+  }
+}

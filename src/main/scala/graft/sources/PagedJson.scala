@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Cursor-paginated API source shape (SURVEY.md §2.1 S3, §3 E2): the
+  * reference's Twitter v2 loop fetches nested JSON pages (`data` array +
+  * `meta.next_token` cursor, `tweet_download.py:32–53,96–99`) and flattens
+  * them into entity tables.
+  *
+  * The network fetch itself is driver code (not oracle-testable); what the
+  * engine owns is the FLATTEN: nested page document → exploded rows →
+  * nested-field projection (incl. `referenced_tweets[0]`-style first-element
+  * access) → last-wins entity dedup. Here pages are synthesized
+  * deterministically from `events` (100 rows/page, mirroring the
+  * `max_results` paging) so the flatten is testable end-to-end; a live
+  * source would feed identical page documents through the same flatten.
+  */
+object PagedJson {
+
+  /** Build nested page documents from events: page = event_id / 100,
+    * data = sorted array of event structs, meta.next_token = next page id
+    * (null on the last page). */
+  def renderPages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxPage = Tables.events(spark, dir)
+      .agg(max(($"event_id" / 100).cast("long"))).first().getLong(0)
+    Tables.events(spark, dir)
+      .groupBy(($"event_id" / 100).cast("long").as("page_id"))
+      .agg(sort_array(collect_list(struct(
+        $"event_id", $"user_id", $"event_type", $"value", $"ts"))).as("data"))
+      .withColumn("meta", struct(
+        when($"page_id" < maxPage, ($"page_id" + 1).cast("string"))
+          .as("next_token")))
+  }
+
+  /** Flatten pages back to rows: explode(data) + nested-field access —
+    * the engine-side equivalent of `process_response`
+    * (`tweet_download.py:32–53`). `first_in_page` demonstrates
+    * `referenced_tweets[0]`-style array-element + field access. */
+  def flattenPages(pages: DataFrame): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages
+      .select($"page_id", $"meta.next_token".as("next_token"),
+        $"data".getItem(0).getField("event_id").as("first_in_page"),
+        explode($"data").as("r"))
+      .select(
+        $"r.event_id".as("event_id"),
+        $"r.user_id".as("user_id"),
+        $"r.event_type".as("event_type"),
+        round($"r.value", 2).as("value"),
+        $"page_id", $"next_token", $"first_in_page")
+  }
+
+  /** End-to-end render→flatten round trip as the declared query. */
+  def pagedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    flattenPages(renderPages(spark, dir)).orderBy($"event_id")
+  }
+}
