@@ -16,12 +16,16 @@ object TextFunctions {
     filter(split(lower(text), "\\s+"), t => t =!= lit(""))
 
   /** Word n-gram shingles: array of space-joined n-token windows.
-    * transform over index range keeps it expression-only (no explode). */
+    * transform over index range keeps it expression-only (no explode).
+    * Guarded for <n tokens: sequence(0, -1) would produce a DESCENDING
+    * range and slice(…, 0) then throws — short docs must give []. */
   def wordShingles(toks: Column, n: Int): Column = {
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    transform(
-      sequence(lit(0), count - 1),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val count = size(toks) - (n - 1)
+    when(count > 0,
+      transform(
+        sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Deterministic 32-bit token hash shared with the DuckDB oracle:

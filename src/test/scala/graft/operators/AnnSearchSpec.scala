@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class AnnSearchSpec extends SparkSpec {
+
+  test("bruteForceTopK: k rows, similarity non-increasing, query excluded") {
+    val out = AnnSearch.bruteForceTopK(spark, sf, queryId = 0L, k = 10).collect()
+    assert(out.length === 10)
+    assert(out.forall(_.getAs[Long]("vec_id") !== 0L))
+    val sims = out.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims === sims.sortBy(-_))
+    sims.foreach(s => assert(s >= -1.0001 && s <= 1.0001))
+  }
+
+  test("bruteForceTopK plans a broadcast of the query side (no shuffle of the corpus)") {
+    val df = AnnSearch.bruteForceTopK(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"expected broadcast in:\n$plan")
+  }
+
+  test("lshTopK: results are a subset of the query bucket, ranked like brute force") {
+    val out = AnnSearch.lshTopK(spark, sf, queryId = 0L, k = 10, bits = 4).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("bucket")).distinct.length === 1) // all query's bucket
+    // every LSH hit must appear in the exhaustive ranking with the same score
+    val brute = AnnSearch.bruteForceTopK(spark, sf, k = 1000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    out.foreach(r =>
+      assert(brute(r.getAs[Long]("vec_id")) === r.getAs[Double]("cos_sim")))
+  }
+
+  test("embeddingNearDupPairs: every vector pairs with its shifted exact copy at 1.0") {
+    val out = AnnSearch.embeddingNearDupPairs(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    val exact = out.filter(r => r.getAs[Long]("b") === r.getAs[Long]("a") + 100000L)
+    // identical vectors always share every LSH bucket → all n pairs found
+    assert(exact.length.toLong === n)
+    exact.foreach(r => assert(r.getAs[Double]("cos_sim") === 1.0))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exactDedup: the doubled corpus gives every text exactly 2 copies") {
+    val out = DedupOps.exactDedup(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length === nDocs) // each original text forms one dup group
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_copies") === 2L)
+      assert(r.getAs[Long]("keep_doc_id") < DedupOps.dupOffset) // min id = original
+    }
+  }
+
+  test("minHashLshPairs: finds every (doc, shifted-copy) exact-dup pair with est 1.0") {
+    import spark.implicits._
+    val out = DedupOps.minHashLshPairs(spark, sf).collect()
+    val exactPairs = out.filter(r =>
+      r.getAs[Long]("b") === r.getAs[Long]("a") + DedupOps.dupOffset)
+    // docs with ≥3 tokens have shingles; all their dup pairs must be found
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(graft.functions.TextFunctions.tokens($"text")) >= 3).count()
+    assert(exactPairs.length.toLong === eligible)
+    exactPairs.foreach(r => assert(r.getAs[Double]("est_jaccard") === 1.0))
+  }
+
+  test("ngramJaccardPairs: exact-dup pairs score jaccard 1.0") {
+    val out = DedupOps.ngramJaccardPairs(spark, sf).collect()
+    assert(out.nonEmpty)
+    val dupPairs = out.filter(r =>
+      r.getAs[Long]("b") === r.getAs[Long]("a") + DedupOps.dupOffset)
+    assert(dupPairs.nonEmpty)
+    dupPairs.foreach(r => assert(r.getAs[Double]("jaccard") === 1.0))
+    out.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.6))
+  }
+
+  test("simHash: equal texts hash equal; 32-bit range") {
+    import spark.implicits._
+    val out = DedupOps.simHash(spark, sf)
+    val joined = out.as("a")
+      .join(Tables.documents(spark, sf).select($"doc_id", $"text").as("d"),
+        $"a.doc_id" === $"d.doc_id")
+    val byText = joined.groupBy($"text")
+      .agg(countDistinct($"simhash").as("n")).collect()
+    byText.foreach(r => assert(r.getAs[Long]("n") === 1L))
+    out.collect().foreach { r =>
+      val h = r.getAs[Long]("simhash")
+      assert(h >= 0L && h < (1L << 32))
+    }
+  }
+
+  test("near-dup detection: a one-token edit is still caught by minhash blocking") {
+    import spark.implicits._
+    // 20-token doc and a copy differing in one token → jaccard ≈ 16/20 of shingles
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val edited = base.replace("tok10", "EDIT")
+    val docs = Seq((1L, base, "en", "s", 1L), (2L, edited, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nd").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = DedupOps.minHashLshPairs(spark, tmp, threshold = 0.3).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class IngestPipelinesSpec extends SparkSpec {
+
+  test("redditFilter: allowlist + predicates hold on every output row") {
+    import spark.implicits._
+    val out = IngestPipelines.redditFilter(spark, sf).collect()
+    assert(out.nonEmpty)
+    val allowed = Set("click", "view", "purchase")
+    out.foreach { r =>
+      assert(allowed.contains(r.getAs[String]("event_type").toLowerCase))
+      assert(r.getAs[Double]("value") > 50.0)
+      assert(r.getAs[Long]("k") >= 10L)
+    }
+    // subset of input, ordered by event_id
+    val ids = out.map(_.getAs[Long]("event_id")).toSeq
+    assert(ids === ids.sorted)
+    assert(out.length <= Tables.events(spark, sf).count())
+  }
+
+  test("keywordFilter: every kept doc contains a keyword; none dropped wrongly") {
+    import spark.implicits._
+    val kws = Seq("spark", "window")
+    val kept = IngestPipelines.keywordFilter(spark, sf, kws)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = Tables.documents(spark, sf)
+      .filter(kws.map(k => contains(lower($"text"), lit(k))).reduce(_ || _))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === expected)
+    assert(kept.nonEmpty)
+  }
+
+  test("regexKeywordCounts: hyphenated keyword matches its space variant too") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "uses a merge-join here", "en", "s", 10L),
+      (2L, "uses a merge join here", "en", "s", 10L),
+      (3L, "no match at all", "en", "s", 10L),
+      (4L, "mergejoin is not a word boundary match", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kw").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = IngestPipelines.regexKeywordCounts(spark, tmp, Seq("merge-join"))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_docs") === 2L) // doc 1 and 2, not 3/4
+  }
+
+  test("termsExtract: terms are only the requested keywords, count = csv arity") {
+    val out = IngestPipelines.termsExtract(spark, sf, Seq("spark", "vector")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val terms = r.getAs[String]("terms_csv").split(",")
+      assert(terms.nonEmpty)
+      assert(terms.forall(Set("spark", "vector").contains))
+      assert(r.getAs[Long]("n_terms") === terms.length.toLong)
+    }
+  }
+
+  test("dateRangeCounts: group totals cover exactly the in-range rows") {
+    import spark.implicits._
+    val total = IngestPipelines.dateRangeCounts(spark, sf)
+      .agg(sum("n_orders")).head().getLong(0)
+    val expected = Tables.orders(spark, sf)
+      .filter($"o_orderdate".between(lit("1996-01-01"), lit("1998-12-31"))).count()
+    assert(total === expected)
+  }
+
+  test("stringShapePredicates: each row satisfies suffix-regex OR contains") {
+    val out = IngestPipelines.stringShapePredicates(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val t = r.getAs[String]("p_type").toLowerCase
+      val n = r.getAs[String]("p_name")
+      assert(t.endsWith("economy") || t.endsWith("promo") || n.contains("widget"))
+    }
+  }
+}

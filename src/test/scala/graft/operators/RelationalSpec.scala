@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("conditionalCounts: totals add up to the table size; matched+bad ≤ total") {
+    val out = Relational.conditionalCounts(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("total")).sum
+    assert(total === Tables.events(spark, sf).count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("matched") <= r.getAs[Long]("total"))
+      assert(r.getAs[Long]("bad") <= r.getAs[Long]("total"))
+    }
+  }
+
+  test("distinctTypes: lowercase, unique, sorted") {
+    import spark.implicits._
+    val types = Relational.distinctTypes(spark, sf).as[String].collect().toSeq
+    assert(types === types.sorted)
+    assert(types.distinct === types)
+    assert(types.forall(t => t === t.toLowerCase))
+  }
+
+  test("lastWinsPerUser: exactly one row per user, the latest by (ts, event_id)") {
+    import spark.implicits._
+    val out = Relational.lastWinsPerUser(spark, sf)
+    val users = out.select("user_id").as[Long].collect().toSeq
+    assert(users.distinct.length === users.length)
+    assert(users.length.toLong ===
+      Tables.events(spark, sf).select("user_id").distinct().count())
+  }
+
+  test("ordersWithCustomer: left join keeps all orders, broadcast planned") {
+    val out = Relational.ordersWithCustomer(spark, sf)
+    assert(out.count() === Tables.orders(spark, sf).count())
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("customersWithoutOrders: segments partition all non-big-spender customers") {
+    import spark.implicits._
+    val n = Relational.customersWithoutOrders(spark, sf)
+      .agg(sum("n_customers")).head().getLong(0)
+    val bigSpenders = Tables.orders(spark, sf)
+      .filter($"o_totalprice" > 350000.0).select($"o_custkey").distinct()
+    val expected = Tables.customer(spark, sf)
+      .join(bigSpenders, $"c_custkey" === $"o_custkey", "left_anti").count()
+    assert(n === expected)
+  }
+
+  test("pricingSummary: per-group counts sum to lineitem size; sums positive") {
+    val out = Relational.pricingSummary(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("count_order")).sum === Tables.lineitem(spark, sf).count())
+    out.foreach(r => assert(r.getAs[Double]("sum_disc_price") > 0.0))
+  }
+
+  test("revenueByNation: 25 nations at every SF, revenue positive, dims broadcast") {
+    val df = Relational.revenueByNation(spark, sf)
+    val out = df.collect()
+    assert(out.length === 25)
+    out.foreach(r => assert(r.getAs[Double]("revenue") > 0.0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("topOrdersPerCustomer: ≤k per customer, rank starts at 1, price descending") {
+    val out = Relational.topOrdersPerCustomer(spark, sf, k = 3).collect()
+    out.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rk")).toSeq.sorted
+      assert(ranks === (1 to rs.length))
+      assert(rs.length <= 3)
+      val prices = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices === prices.sortBy(-_))
+    }
+  }
+
+  test("unionDedup: no duplicate text keys; copy counts ≥ 1") {
+    val out = Relational.unionDedup(spark, sf).collect()
+    val keys = out.map(_.getAs[String]("text_key")).toSeq
+    assert(keys.distinct.length === keys.length)
+    assert(out.forall(_.getAs[Long]("n_copies") >= 1L))
+  }
+
+  test("hourlyEventCounts: window totals add up to table size") {
+    val out = Relational.hourlyEventCounts(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_events")).sum === Tables.events(spark, sf).count())
+  }
+
+  test("dateFormatKit: dotted/iso/german renderings agree with the source date") {
+    val out = Relational.dateFormatKit(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val dotted = r.getAs[String]("dotted") // dd.MM.yyyy
+      val iso = r.getAs[String]("iso") // yyyy-MM-dd
+      val Array(dd, mm, yyyy) = dotted.split("\\.")
+      assert(iso === s"$yyyy-$mm-$dd")
+      assert(r.getAs[String]("german").startsWith(s"$dd. "))
+      assert(r.getAs[String]("german").endsWith(s" $yyyy"))
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("langId: one prediction per doc from the closed label set") {
+    val out = TextAnalysis.langId(spark, sf).collect()
+    assert(out.length.toLong === Tables.documents(spark, sf).count())
+    val labels = Set("unknown", "en_like", "tech_like", "data_like")
+    out.foreach(r => assert(labels.contains(r.getAs[String]("predicted"))))
+  }
+
+  test("qualityScore: score bounded [0,1]; zero tokens → zero score") {
+    val out = TextAnalysis.qualityScore(spark, sf).collect()
+    out.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0)
+      if (r.getAs[Long]("n_tokens") === 0L) assert(q === 0.0)
+      assert(r.getAs[Long]("n_stop") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("tokenCounts: bpe-ish tokenization is at least as fine as whitespace") {
+    val out = TextAnalysis.tokenCounts(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("bpe_ish_tokens") >= r.getAs[Long]("ws_tokens"))
+    }
+  }
+
+  test("termFrequency: top-k sorted by freq desc then token; freq sums ≤ token total") {
+    import spark.implicits._
+    val out = TextAnalysis.termFrequency(spark, sf, k = 20).collect()
+    assert(out.length === 20)
+    val freqs = out.map(_.getAs[Long]("freq")).toSeq
+    assert(freqs === freqs.sortBy(-_))
+    val totalToks = Tables.documents(spark, sf)
+      .select(sum(size(graft.functions.TextFunctions.tokens($"text"))))
+      .head().getLong(0)
+    assert(freqs.sum <= totalToks)
+  }
+
+  test("fingerprints: fp stable across runs and distinct for distinct texts") {
+    import spark.implicits._
+    val a = TextAnalysis.fingerprints(spark, sf).select("doc_id", "fp")
+      .as[(Long, String)].collect().toMap
+    val b = TextAnalysis.fingerprints(spark, sf).select("doc_id", "fp")
+      .as[(Long, String)].collect().toMap
+    assert(a === b)
+    val nTexts = Tables.documents(spark, sf)
+      .select(lower(trim($"text"))).distinct().count()
+    assert(a.values.toSet.size.toLong === nTexts)
+  }
+}

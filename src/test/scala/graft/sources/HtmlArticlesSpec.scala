@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+
+class HtmlArticlesSpec extends SparkSpec {
+
+  private val twoDocPage =
+    """<html><body>
+      |<div class="single-document"><pre class="docSource">FAZ 03.05.2023 p7</pre>
+      |<pre class="docTitle">First title</pre>
+      |<pre class="text">Body one.</pre></div>
+      |<div class="single-document"><pre class="docSource">FAZ 28.12.2023</pre>
+      |<pre class="docTitle">Second title</pre>
+      |<pre class="text">Body two, longer.</pre></div>
+      |</body></html>""".stripMargin
+
+  test("parseFaz: one file fans out to N articles (the UDTF shape)") {
+    val arts = HtmlArticles.parseFaz(twoDocPage)
+    assert(arts.length === 2)
+    assert(arts(0) === HtmlArticles.Article("03.05.2023", "First title", "Body one."))
+    assert(arts(1).source_date === "28.12.2023")
+  }
+
+  test("parseFaz: null-safe — missing fields become empty strings, not nulls") {
+    val html = """<div class="single-document"><pre class="docTitle">T</pre></div>"""
+    val arts = HtmlArticles.parseFaz(html)
+    assert(arts === Seq(HtmlArticles.Article("", "T", "")))
+    assert(HtmlArticles.parseFaz(null) === Seq.empty)
+    assert(HtmlArticles.parseFaz("<p>no blocks</p>") === Seq.empty)
+  }
+
+  test("parseFaz: date is taken from docSource even with surrounding text") {
+    val arts = HtmlArticles.parseFaz(twoDocPage)
+    assert(arts(0).source_date === "03.05.2023") // not confused by 'p7'
+  }
+
+  test("fazRoundTrip: parse ∘ render = identity on document count and titles") {
+    import spark.implicits._
+    val out = HtmlArticles.fazRoundTrip(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.count() === nDocs)
+    // every title round-trips as doc_<id>
+    val titles = out.select("title").as[String].collect().toSet
+    val expected = Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().map(id => s"doc_$id").toSet
+    assert(titles === expected)
+  }
+
+  test("fazRoundTrip: iso_date is the regex-reordered source_date") {
+    val out = HtmlArticles.fazRoundTrip(spark, sf).collect()
+    out.foreach { r =>
+      val Array(dd, mm, yyyy) = r.getAs[String]("source_date").split("\\.")
+      assert(r.getAs[String]("iso_date") === s"$yyyy-$mm-$dd")
+    }
+  }
+}
