@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashSignature, WordShinglesExpr}
+
+/** Engine extension point: registers graft's native Catalyst expressions so
+  * SQL users get them too. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — Verify,
+  * Bench, and the test harness all do. DataFrame callers don't depend on
+  * this (they wrap the expression directly via [[graft.functions.native]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr) => MinHashSignature(arr, 32)
+        case Seq(arr, Literal(p: Int, _)) => MinHashSignature(arr, p)
+        case _ => throw new IllegalArgumentException(
+          "usage: minhash_sig(array<string>[, perms: int literal])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, Literal(n: Int, _)) => WordShinglesExpr(toks, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: word_shingles(array<string>, n: int literal)")
+      }))
+  }
+}

@@ -96,11 +96,11 @@ object SparkEntry {
     s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 4)"
 
   /** Integer-exact sign-LSH bucket — matches VectorFunctions.signLshBucket:
-    * plane j (0-based), coordinate i (1-based) = ((i*(j+1)) mod 7) - 3. */
+    * plane j (0-based), coordinate i (1-based) = ((i*(2j+3)) mod 101) - 50. */
   private def bucketSql(emb: String, bits: Int): String =
     (0 until bits).map { j =>
       s"(CASE WHEN list_sum(list_transform(range(1, len($emb)+1), " +
-        s"i -> CAST($emb[i] AS DOUBLE) * (CAST((i*${j + 1}) % 7 AS DOUBLE) - 3))) > 0 " +
+        s"i -> CAST($emb[i] AS DOUBLE) * (CAST((i*${2 * j + 3}) % 101 AS DOUBLE) - 50))) > 0 " +
         s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
@@ -326,7 +326,7 @@ object SparkEntry {
       s"""WITH c AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
-         |b AS (SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket FROM c)
+         |b AS (SELECT vec_id, embedding, ${bucketSql("embedding", 16)} AS bucket FROM c)
          |SELECT a, b, cos_sim FROM (
          |  SELECT x.vec_id AS a, y.vec_id AS b,
          |    ${cosSql("x.embedding", "y.embedding")} AS cos_sim

@@ -15,18 +15,13 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= lit(""))
 
-  /** Word n-gram shingles: array of space-joined n-token windows.
-    * transform over index range keeps it expression-only (no explode).
-    * Guarded for <n tokens: sequence(0, -1) would produce a DESCENDING
-    * range and slice(…, 0) then throws — short docs must give []. */
-  def wordShingles(toks: Column, n: Int): Column = {
-    val count = size(toks) - (n - 1)
-    when(count > 0,
-      transform(
-        sequence(lit(0), count - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles: array of space-joined n-token windows; <n
+    * tokens gives []. Delegates to the native [[WordShinglesExpr]] — the
+    * combinator form (`transform(sequence(0, m-n), i -> concat_ws(" ",
+    * slice(toks, i+1, n)))`) is byte-equivalent but pays (m-n+1)
+    * interpreted lambda evals per row. */
+  def wordShingles(toks: Column, n: Int): Column =
+    native.wordShingles(toks, n)
 
   /** Deterministic 32-bit token hash shared with the DuckDB oracle:
     * first 8 hex chars of md5, parsed base-16. (xxhash64 would be faster

@@ -23,17 +23,23 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Multiplier for plane j: distinct odd values, never ≡ 0 mod 101, so every
+    * plane is a distinct non-degenerate pseudo-hyperplane for j < 50.
+    * (An earlier mod-7 basis aliased planes j and j+7 — only 7 distinct
+    * hyperplanes existed no matter how many bits were requested.) */
+  private[graft] def planeMultiplier(j: Int): Int = 2 * j + 3
+
   /** Deterministic sign-LSH bucket over `bits` pseudo-random hyperplanes.
-    * Plane j's i-th (1-based) coordinate is ((i*(j+1)) mod 7) - 3 — a fixed,
-    * seedless, INTEGER-exact pseudo-basis, so the same formula in the SQL
-    * oracle produces bit-identical projections (no libm cos() ulp drift).
-    * Bucket = integer of sign bits. */
+    * Plane j's i-th (1-based) coordinate is ((i*(2j+3)) mod 101) - 50 — a
+    * fixed, seedless, INTEGER-exact pseudo-basis, so the same formula in the
+    * SQL oracle produces bit-identical projections (no libm cos() ulp
+    * drift). Bucket = integer of sign bits. */
   def signLshBucket(a: Column, bits: Int): Column = {
     val bitCols = (0 until bits).map { j =>
       val proj = aggregate(
         zip_with(a, sequence(lit(1), size(a)),
           (x, i) => x.cast("double") *
-            (pmod(i * lit(j + 1), lit(7)).cast("double") - lit(3.0))),
+            (pmod(i * lit(planeMultiplier(j)), lit(101)).cast("double") - lit(50.0))),
         lit(0.0),
         (acc, x) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))

@@ -1,0 +1,16 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+
+/** Column wrappers for graft's native Catalyst expressions (DataFrame-side
+  * twin of the SQL registration in [[graft.GraftExtensions]]). */
+object native {
+  /** Full MinHash signature (array<bigint> of length `perms`) of a shingle
+    * array, in one codegen'd pass. See [[MinHashSignature]]. */
+  def minHashSig(arr: Column, perms: Int): Column =
+    B.column(MinHashSignature(B.expression(arr), perms))
+
+  /** Word n-gram shingles of a token array. See [[WordShinglesExpr]]. */
+  def wordShingles(toks: Column, n: Int): Column =
+    B.column(WordShinglesExpr(B.expression(toks), n))
+}

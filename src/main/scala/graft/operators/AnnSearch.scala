@@ -61,21 +61,26 @@ object AnnSearch {
     * O(n²) cross join with per-bucket locality — the standard semantic-dedup
     * shape for training corpora. */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
-                            threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+                            threshold: Double = 0.95, bits: Int = 16): DataFrame = {
     import spark.implicits._
     // embeddings are random vectors with no natural near-dups at any SF, so
     // pair the table with an id-shifted copy of itself (mirrors
     // DedupOps.dupCorpus); every vector then has one exact duplicate.
+    // Norms are computed ONCE per vector before the join — per-pair work is
+    // just the dot product, and 16 planes keep buckets near-singleton so
+    // the pair count stays ~n instead of n²/buckets.
     val base = Tables.embeddings(spark, dir)
     val emb = base
       .unionByName(base.withColumn("vec_id", $"vec_id" + 100000L))
       .select($"vec_id", $"embedding",
-        signLshBucket($"embedding", bits).as("bucket"))
+        signLshBucket($"embedding", bits).as("bucket"),
+        norm($"embedding").as("nrm"))
     emb.as("x").join(emb.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select(
         $"x.vec_id".as("a"), $"y.vec_id".as("b"),
-        round(cosine($"x.embedding", $"y.embedding"), 4).as("cos_sim"))
+        round(dot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"), 4)
+          .as("cos_sim"))
       .filter($"cos_sim" >= threshold)
       .orderBy($"a", $"b")
   }

@@ -44,15 +44,16 @@ object DedupOps {
       .orderBy($"keep_doc_id")
   }
 
-  /** Shared shingle relation: (doc_id, shingle) distinct, for docs with at
-    * least `n` tokens. */
-  private def shingleRel(spark: SparkSession, dir: String, n: Int): DataFrame = {
+  /** Per-doc DISTINCT shingle ARRAY — no explode: the shingle set rides
+    * along as one array column, so downstream set math (min-hash block key,
+    * intersection) is per-row expression work instead of a multi-million-row
+    * shuffle. At 100 TB the only shuffles left in the jaccard path are the
+    * block-size count and the candidate self-join. */
+  private def shingleArrays(spark: SparkSession, dir: String, n: Int): DataFrame = {
     import spark.implicits._
     dupCorpus(spark, dir)
-      .select($"doc_id", wordShingles(tokens($"text"), n).as("shingles"))
-      .filter(size($"shingles") > 0)
-      .select($"doc_id", explode($"shingles").as("sh"))
-      .distinct()
+      .select($"doc_id", array_distinct(wordShingles(tokens($"text"), n)).as("arr"))
+      .filter(size($"arr") > 0)
   }
 
   /** Exact n-gram Jaccard near-dup with single-minhash blocking.
@@ -60,75 +61,80 @@ object DedupOps {
     * identical docs necessarily collide; near-identical docs collide with
     * probability ≈ their Jaccard). Blocks larger than `maxBlock` are
     * dropped (degenerate common-shingle blocks), then exact Jaccard is
-    * computed only for in-block pairs via a shingle intersection count.
-    * Fully SQL-expressible → DuckDB-oracled. */
+    * computed only for in-block pairs as size(array_intersect) — per-pair
+    * expression math, no shingle-level join. Results are identical to the
+    * row-relational formulation, so it stays DuckDB-oracled. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         n: Int = 3, threshold: Double = 0.6,
                         maxBlock: Int = 20): DataFrame = {
     import spark.implicits._
-    val sh = shingleRel(spark, dir, n).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val blockKey = sh.groupBy($"doc_id").agg(min(md5($"sh")).as("bk"))
-    val blocks = blockKey
+    // cache() is a deliberate optimization BARRIER, not just reuse: without
+    // it CollapseProject inlines the expensive `arr` expression (tokenize →
+    // shingle → distinct) into every downstream reference and both
+    // self-join sides, recomputing it many times per row.
+    val docs = shingleArrays(spark, dir, n)
+      .select($"doc_id", $"arr", size($"arr").as("n_sh"),
+        array_min(transform($"arr", sh => md5(sh))).as("bk"))
+      .cache()
+    val blocks = docs
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"bk")))
       .filter($"bsz" <= maxBlock)
-    val cand = blocks.as("x").join(blocks.as("y"),
+    blocks.as("x").join(blocks.as("y"),
         $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"))
-    val inter = cand
-      .join(sh.as("sa"), $"a" === $"sa.doc_id")
-      .join(sh.as("sb"), $"b" === $"sb.doc_id" && $"sa.sh" === $"sb.sh")
-      .groupBy($"a", $"b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("za"), $"a" === $"za.doc_id")
-      .join(sizes.as("zb"), $"b" === $"zb.doc_id")
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+        size(array_intersect($"x.arr", $"y.arr")).cast("long").as("n_inter"),
+        $"x.n_sh".as("na"), $"y.n_sh".as("nb"))
       .withColumn("jaccard",
         round($"n_inter".cast("double") /
-          ($"za.n_sh" + $"zb.n_sh" - $"n_inter").cast("double"), 4))
+          ($"na" + $"nb" - $"n_inter").cast("double"), 4))
       .filter($"jaccard" >= threshold)
       .select($"a", $"b", $"n_inter", $"jaccard")
       .orderBy($"a", $"b")
   }
 
-  /** MinHash + LSH banding near-dup: `perms` md5-derived permutations →
-    * signature; `bands` bands of `rows` values; candidate pairs share a
-    * band; verified with estimated Jaccard = fraction of matching minhash
-    * coordinates ≥ threshold. Driver-side loops none; everything is
-    * explode + groupBy (2 shuffles) + a self-join on band keys. */
+  /** MinHash + LSH banding near-dup: `perms` hash permutations → signature;
+    * `bands` bands of `rows` values; candidate pairs share a band; verified
+    * with estimated Jaccard = fraction of matching minhash coordinates ≥
+    * threshold.
+    *
+    * The signature is computed by the native [[graft.functions.MinHashSignature]]
+    * expression — one codegen'd pass per document (each shingle hashed
+    * once, then perms × affine remixes over longs). The combinator
+    * formulation (transform × array_min × xxhash64 per perm) was measured
+    * at 146 s for 10k docs — interpreted HOF lambdas don't codegen — vs
+    * <2 s native. This operator has no SQL oracle (rows-only check), so
+    * the hash family is free to be Spark-native. The only shuffle is the
+    * band self-join at `bands` rows/doc. */
   def minHashLshPairs(spark: SparkSession, dir: String,
                       shingleN: Int = 3, perms: Int = 32,
                       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
     val rows = perms / bands
-    val sh = shingleRel(spark, dir, shingleN)
-    // minhash signature: for each perm i, min over shingles of h(i, sh)
-    val sig = sh
-      .select($"doc_id", explode(sequence(lit(0), lit(perms - 1))).as("perm"),
-        md5Hash32(concat($"perm".cast("string"), lit("|"), $"sh")).as("h"))
-      .groupBy($"doc_id", $"perm")
-      .agg(min($"h").as("mh"))
-    // band key: md5 over the ordered minhash values of the band
-    val banded = sig
-      .withColumn("band", ($"perm" / rows).cast("int"))
-      .groupBy($"doc_id", $"band")
-      .agg(md5(concat_ws(",", sort_array(collect_list(
-        format_string("%03d:%d", $"perm", $"mh"))))).as("band_key"))
+    // cache() is an optimization barrier: without it CollapseProject
+    // inlines the signature expression into each band-key projection and
+    // both self-join sides. The cached relation is (doc_id, 32×8B) — tiny
+    // relative to the corpus, so the barrier also holds at cluster scale.
+    val sig = shingleArrays(spark, dir, shingleN)
+      .select($"doc_id",
+        graft.functions.native.minHashSig($"arr", perms).as("sig"))
+      .cache()
+    val banded = sig.select($"doc_id", $"sig",
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val cand = banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" &&
           $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"))
-      .distinct()
-    // verify: estimated jaccard = matching coordinate fraction
-    val est = cand
-      .join(sig.as("pa"), $"a" === $"pa.doc_id")
-      .join(sig.as("pb"), $"b" === $"pb.doc_id" && $"pa.perm" === $"pb.perm")
-      .groupBy($"a", $"b")
-      .agg((sum(when($"pa.mh" === $"pb.mh", 1).otherwise(0)).cast("double") /
-        lit(perms.toDouble)).as("est_jaccard"))
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+        $"x.sig".as("sa"), $"y.sig".as("sb"))
+      .dropDuplicates("a", "b")
+    cand
+      .select($"a", $"b",
+        (size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
+          .cast("double") / lit(perms.toDouble)).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)
-    est.select($"a", $"b", round($"est_jaccard", 4).as("est_jaccard"))
+      .select($"a", $"b", round($"est_jaccard", 4).as("est_jaccard"))
       .orderBy($"a", $"b")
   }
 
