@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
-import graft.sources.{HtmlArticles, PagedJson}
+import graft.sources.{BinarySink, HtmlArticles, PagedJson, ZstNdjson}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,6 +68,8 @@ object SparkEntry {
     "q30_multimodal_decode" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
     "q31_html_articles" -> ((s, d) => HtmlArticles.fazRoundTrip(s, d)),
     "q32_paged_api" -> ((s, d) => PagedJson.pagedRoundTrip(s, d)),
+    "q33_zst_ndjson" -> ((s, d) => ZstNdjson.zstRoundTrip(s, d)),
+    "q34_binary_sink" -> ((s, d) => BinarySink.binarySinkReport(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -406,5 +408,16 @@ object SparkEntry {
         |    THEN CAST(event_id // 100 + 1 AS VARCHAR) END AS next_token,
         |  min(event_id) OVER (PARTITION BY event_id // 100) AS first_in_page
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // round trip through zstd NDJSON must reproduce the parquet rows
+    "q33_zst_ndjson" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q34_binary_sink" ->
+      """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS name,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  true AS ok, CAST(1 AS BIGINT) AS attempts
+        |FROM documents ORDER BY name""".stripMargin,
   )
 }

@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** S1: zstd NDJSON scan (`read_lines_zst`, `reddit_subm_extraction.py:26–50`).
+  *
+  * The reference hand-rolls chunked zstd decompression (128 MiB chunks, a
+  * retry loop for split multibyte chars) and a line generator, then
+  * `json.loads` each line with `.get(field, "")` defaults and a `bad`
+  * counter for malformed lines (`:84–93`). On Spark the whole machinery is
+  * the JSON file source: Hadoop's codec chain decodes `.zst`, the explicit
+  * schema projects the fixed field list (missing → NULL), and PERMISSIVE
+  * mode with `columnNameOfCorruptRecord` reproduces the malformed-line
+  * counter as a queryable column instead of a mutable int.
+  *
+  * Scale note: a single `.zst` file is NOT splittable — it becomes one
+  * task no matter its size. The reference has the same property (one
+  * process per dump file) and parallelizes across files; so do we (one
+  * task per file), and `repartitionAfterScan` is the explicit knob for
+  * fanning a few huge dumps out to the cluster after decode.
+  */
+object ZstNdjson {
+
+  val corruptCol = "_corrupt_record"
+
+  /** Permissive scan with explicit schema; malformed lines appear with all
+    * schema fields NULL and the raw line in [[corruptCol]].
+    *
+    * Formulated as text scan + `from_json` — the literal Spark twin of the
+    * reference's line generator + per-line `json.loads` — rather than
+    * `spark.read.json`, because the json source forbids plans whose pruned
+    * column set is only the corrupt-record column
+    * ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]), which is
+    * exactly what the bad-line counter aggregation prunes down to. */
+  def read(spark: SparkSession, glob: String, schema: StructType): DataFrame = {
+    val full = schema.add(corruptCol, StringType)
+    spark.read.text(glob)
+      .select(from_json(col("value"), full,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> corruptCol)).as("r"))
+      .select("r.*")
+  }
+
+  /** The reference's total/matched/bad accounting (`:79–95`) as one
+    * aggregation over the permissive scan. */
+  def parseStats(parsed: DataFrame): DataFrame =
+    parsed.agg(
+      count(lit(1)).as("total"),
+      count(col(corruptCol)).as("bad"),
+      (count(lit(1)) - count(col(corruptCol))).as("good"))
+
+  /** Unsplittable-input escape hatch: fan one-file-one-task out to `n`
+    * partitions after decode (documented §7.4 risk). */
+  def repartitionAfterScan(df: DataFrame, n: Int): DataFrame = df.repartition(n)
+
+  /** Fixed schema for the events-as-NDJSON round trip below. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Declared query: render `events` to zstd NDJSON (one `.zst` file per
+    * input partition, written with zstd-jni), scan it back permissively,
+    * and project — proving decode + schema-on-read + defaulting
+    * end-to-end. The oracle reads the same rows straight from parquet. */
+  def zstRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-zst-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    // always rebuild: a stale dir from an earlier run/partitioning would
+    // otherwise silently change the scan's input
+    if (out.exists()) out.listFiles().foreach(_.delete())
+    val lines = Tables.events(spark, dir)
+      .select(to_json(struct($"event_id", $"user_id", $"event_type", $"value")))
+      .as[String]
+    writeZstLines(lines, out)
+    read(spark, out.toString + "/*.zst", eventSchema)
+      .filter(col(corruptCol).isNull)
+      .select($"event_id", $"user_id", $"event_type",
+        round($"value", 2).as("value"))
+      .orderBy($"event_id")
+  }
+
+  /** Write a Dataset of lines as one `.zst` NDJSON file per partition
+    * (zstd-jni stream — the same codec Spark uses internally). */
+  def writeZstLines(lines: org.apache.spark.sql.Dataset[String], outDir: java.io.File): Unit = {
+    outDir.mkdirs()
+    val path = outDir.getAbsolutePath
+    lines.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(path, f"part-$pid%05d.json.zst")
+        val os = new com.github.luben.zstd.ZstdOutputStream(
+          new java.io.BufferedOutputStream(new java.io.FileOutputStream(f)))
+        try it.foreach { l => os.write(l.getBytes("UTF-8")); os.write('\n') }
+        finally os.close()
+      }
+    }
+  }
+}

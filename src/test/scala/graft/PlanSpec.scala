@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import graft.operators._
+
+/** Plan-shape assertions: correctness tests prove WHAT each operator
+  * computes; these prove the physical plan is the one that survives a
+  * 100 TB scale-up — filters pushed into the parquet scan, small sides
+  * broadcast (no shuffle of the fact table), aggregates map-side partial,
+  * top-k as TakeOrdered instead of a global sort. A regression here is a
+  * performance bug even while every value stays correct. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01 flagship: semi-join is broadcast; value predicate reaches the scan") {
+    val p = plan(IngestPipelines.redditFilter(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("PushedFilters") &&
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(value,50.0\\).*"), p)
+  }
+
+  test("q01 flagship: column pruning — ts never leaves the scan") {
+    val p = plan(IngestPipelines.redditFilter(spark, sf))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("ts"), readSchema)
+  }
+
+  test("q12 orders⋈customer: dimension side is broadcast, fact side unshuffled") {
+    val p = plan(Relational.ordersWithCustomer(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q15 star join: all three dimension joins broadcast; agg is partial-first") {
+    val p = plan(Relational.revenueByNation(spark, sf))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_"), p) // map-side combine before the shuffle
+  }
+
+  test("q14 pricing summary: one shuffle, map-side partial aggregation") {
+    val p = plan(Relational.pricingSummary(spark, sf))
+    assert(p.contains("partial_"), p)
+    // formatted mode prints each node twice (tree + detail); count the
+    // "(n) Exchange" detail headers: group-by + final orderBy only
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q22 brute-force top-k: TakeOrdered, not a global sort") {
+    val p = plan(AnnSearch.bruteForceTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q19 minhash: native expressions inside the projection (no Python/UDF)") {
+    val p = plan(DedupOps.minHashLshPairs(spark, sf))
+    assert(p.contains("minhash_sig") || p.contains("word_shingles"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Fault-injecting io actions must live at file scope (serialized into
+  * tasks); failure state is per-JVM static, which is fine in local mode. */
+object FlakyIo {
+  val calls = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  /** Fails the first `failTimes` attempts per name. */
+  def failing(failTimes: Int): (String, Array[Byte]) => Unit = {
+    (name, _) =>
+      val n = calls.merge(name, 1, (a, b) => a + b)
+      if (n <= failTimes) throw new java.io.IOException(s"injected #$n")
+  }
+}
+
+class BinarySinkSpec extends SparkSpec {
+  import BinarySink._
+
+  private val noSleep = RetryPolicy(maxAttempts = 3, sleeper = _ => ())
+
+  test("retry policy: exponential backoff 2^n (reference's 2**attempt)") {
+    val p = RetryPolicy(baseBackoffMs = 1000)
+    assert(p.backoffMs(0) === 1000L)
+    assert(p.backoffMs(1) === 2000L)
+    assert(p.backoffMs(2) === 4000L)
+  }
+
+  test("transient failures are retried to success; attempts recorded") {
+    import spark.implicits._
+    FlakyIo.calls.clear()
+    val items = spark.createDataset(Seq(("a.bin", "aa".getBytes("UTF-8"))))
+    val res = writeWithRetry(items, FlakyIo.failing(2), noSleep).collect()
+    assert(res.length === 1)
+    assert(res(0).ok && res(0).attempts === 3)
+  }
+
+  test("permanent failure lands in the error side output with the cause") {
+    import spark.implicits._
+    FlakyIo.calls.clear()
+    val items = spark.createDataset(Seq(
+      ("good.bin", "g".getBytes("UTF-8")),
+      ("bad.bin", "b".getBytes("UTF-8"))))
+    val res = writeWithRetry(
+      items.filter(_._1 == "bad.bin"), FlakyIo.failing(99), noSleep).collect()
+    assert(res.length === 1)
+    assert(!res(0).ok && res(0).attempts === 3)
+    assert(res(0).error.contains("injected"))
+  }
+
+  test("localFileIo writes real files; report matches payload sizes") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-binsink").toString
+    val items = spark.createDataset(Seq(
+      ("x/1.bin", Array[Byte](1, 2, 3)), ("y/2.bin", Array[Byte](9))))
+    val res = writeWithRetry(items, localFileIo(out), noSleep).collect()
+    assert(res.forall(r => r.ok && r.attempts === 1))
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "x/1.bin")).toSeq === Seq[Byte](1, 2, 3))
+    assert(new java.io.File(out, "y/2.bin").length() === 1L)
+  }
+}
