@@ -57,6 +57,7 @@ object SparkEntry {
     // — similarity search (north-star) —
     "q22_ann_cosine_topk" -> ((s, d) => AnnSearch.bruteForceTopK(s, d)),
     "q23_ann_lsh_topk" -> ((s, d) => AnnSearch.lshTopK(s, d)),
+    "q35_ann_ivf_topk" -> ((s, d) => AnnSearch.ivfTopK(s, d)),
     "q24_embedding_neardup" -> ((s, d) => AnnSearch.embeddingNearDupPairs(s, d)),
     // — text analysis (north-star) —
     "q25_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -70,6 +71,9 @@ object SparkEntry {
     "q32_paged_api" -> ((s, d) => PagedJson.pagedRoundTrip(s, d)),
     "q33_zst_ndjson" -> ((s, d) => ZstNdjson.zstRoundTrip(s, d)),
     "q34_binary_sink" -> ((s, d) => BinarySink.binarySinkReport(s, d)),
+    // — streaming-unified transforms, run in batch mode here (§2.8) —
+    "q36_sessionization" -> ((s, d) => graft.streaming.StreamOps.sessionReport(s, d)),
+    "q37_anomaly_state" -> ((s, d) => graft.streaming.StatefulOps.anomalyReport(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -324,6 +328,31 @@ object SparkEntry {
          |WHERE e.vec_id <> 0 AND e.bucket = q.qb
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q35_ann_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |    ORDER BY vec_id) AS cs
+         |  FROM embeddings WHERE vec_id < 16),
+         |a AS (
+         |  SELECT vec_id, label, embedding,
+         |    list_transform(cs, c -> list_sum(list_transform(
+         |      range(1, len(embedding)+1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * c[i]))) AS dots
+         |  FROM embeddings, cents),
+         |asg AS (
+         |  SELECT vec_id, label, embedding, dots,
+         |    CAST(list_indexof(dots, list_max(dots)) AS BIGINT) AS list_id
+         |  FROM a),
+         |q AS (
+         |  SELECT embedding AS qe,
+         |    list_filter(range(1, len(dots)+1),
+         |      i -> dots[i] >= (list_sort(dots))[len(dots) - 4 + 1]) AS probe_lists
+         |  FROM asg WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, e.list_id, ${cosSql("e.embedding", "q.qe")} AS cos_sim
+         |FROM asg e, q
+         |WHERE e.vec_id <> 0 AND list_contains(q.probe_lists, e.list_id)
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
     "q24_embedding_neardup" ->
       s"""WITH c AS (
          |  SELECT vec_id, embedding FROM embeddings
@@ -419,5 +448,46 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  true AS ok, CAST(1 AS BIGINT) AS attempts
         |FROM documents ORDER BY name""".stripMargin,
+
+    // gaps-and-islands mirror of session_window: new session when the gap
+    // to the previous event is >= 30 min (Spark sessions are half-open);
+    // session end = last event + gap
+    "q36_sessionization" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // running-mean anomaly flag in 1e-4 fixed point (integer compare —
+    // v4*n > 3*sum4 — so Spark state fold and SQL window agree exactly)
+    "q37_anomaly_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(round(value * 10000) AS BIGINT) AS v4,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, value, v4,
+        |    count(*) OVER win AS pc, sum(v4) OVER win AS ps
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, round(value, 2) AS value
+        |FROM w WHERE pc >= 3 AND v4 * pc > 3 * ps
+        |ORDER BY event_id""".stripMargin,
   )
 }

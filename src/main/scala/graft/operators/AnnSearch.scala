@@ -56,6 +56,55 @@ object AnnSearch {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
+    * partitions the corpus into lists; a query probes only the `nprobe`
+    * nearest lists and runs exact cosine there — the standard
+    * billion-vector index shape (FAISS-style), relational here:
+    *
+    *   - centroids: the first `nlist` stored vectors (deterministic,
+    *     seedless stand-in for a k-means codebook — codebook TRAINING is
+    *     offline in real systems too, so the engine's job starts at
+    *     assignment);
+    *   - assignment: per-row argmax of centroid dot products — pure
+    *     map-side expression work, NO shuffle of the corpus (at 100 TB the
+    *     corpus would be written bucketed by `list_id`, making the probe a
+    *     partition-pruned scan);
+    *   - probe: the query's `nprobe` best lists, broadcast;
+    *   - rerank: exact cosine over probed candidates, TakeOrdered top-k.
+    */
+  def ivfTopK(spark: SparkSession, dir: String,
+              queryId: Long = 0L, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    // tiny codebook (nlist × dim doubles) — collected once, broadcast as a
+    // literal into the assignment expression
+    val cents: Seq[Seq[Double]] = emb.filter($"vec_id" < nlist)
+      .orderBy($"vec_id").select($"embedding").as[Seq[Float]]
+      .collect().toSeq.map(_.map(_.toDouble))
+    val centsCol = typedlit(cents)
+    val dots = transform(centsCol, c =>
+      aggregate(zip_with($"embedding", c, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x))
+    val assigned = emb
+      .withColumn("dots", dots)
+      .withColumn("list_id", array_position($"dots", array_max($"dots")))
+    // the query's nprobe best lists: lists whose dot ≥ the nprobe-th
+    // largest (sort desc, threshold at index nprobe)
+    val probed = assigned.filter($"vec_id" === queryId)
+      .select($"embedding".as("q"),
+        filter(sequence(lit(1), size($"dots")),
+          i => element_at($"dots", i) >=
+            element_at(array_sort($"dots"), size($"dots") - nprobe + 1))
+          .as("probe_lists"))
+    assigned.filter($"vec_id" =!= queryId)
+      .join(broadcast(probed), array_contains($"probe_lists", $"list_id"))
+      .select($"vec_id", $"label", $"list_id".cast("long").as("list_id"),
+        round(cosine($"embedding", $"q"), 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: pairs sharing a
     * sign-LSH bucket with cosine ≥ threshold. The bucket join replaces the
     * O(n²) cross join with per-bucket locality — the standard semantic-dedup

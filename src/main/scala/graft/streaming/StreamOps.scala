@@ -27,4 +27,44 @@ object StreamOps {
       .select($"window.start".as("window_start"), $"event_type",
         $"n_events", $"sum_value")
   }
+
+  /** Per-user session windows (gap-based). `session_window` expresses this
+    * built-in for BOTH batch and streaming — no custom state needed; the
+    * DuckDB oracle mirrors it with gaps-and-islands SQL. Session end is
+    * last-event + gap (Spark's session_window convention). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermarkDelay: String = "10 minutes",
+                     streaming: Boolean = false): DataFrame = {
+    import events.sparkSession.implicits._
+    val in = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    in.groupBy(session_window($"ts", gap).as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        date_format($"sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format($"sw.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        $"n_events")
+  }
+
+  /** Declared query: batch sessionization of `events` (oracle: gaps-and-
+    * islands). The same transform with `streaming=true` runs on a stream
+    * (see spec). */
+  def sessionReport(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sessionWindows(graft.Tables.events(spark, dir))
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** K2/K3: incremental append sink with checkpointing — the reference's
+    * per-page `to_csv(mode="a")` + cursor files (`tweet_download.py:55–60,
+    * 96–100`) become a foreachBatch append writer whose resume point is
+    * the stream checkpoint, not a hand-rolled token file. */
+  def csvAppendSink(df: DataFrame, outPath: String,
+                    checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").option("header", "false").csv(outPath)
+      }
+      .start()
 }

@@ -31,6 +31,20 @@ class AnnSearchSpec extends SparkSpec {
       assert(brute(r.getAs[Long]("vec_id")) === r.getAs[Double]("cos_sim")))
   }
 
+  test("ivfTopK: probed-list hits are scored identically to brute force; query's own list is probed") {
+    val out = AnnSearch.ivfTopK(spark, sf, queryId = 0L, k = 10).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    assert(out.forall(_.getAs[Long]("vec_id") !== 0L))
+    val sims = out.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims === sims.sortBy(-_))
+    val brute = AnnSearch.bruteForceTopK(spark, sf, k = 10000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    out.foreach(r =>
+      assert(brute(r.getAs[Long]("vec_id")) === r.getAs[Double]("cos_sim")))
+    // nprobe=4 of nlist=16 → candidates span at most 4 distinct lists
+    assert(out.map(_.getAs[Long]("list_id")).distinct.length <= 4)
+  }
+
   test("embeddingNearDupPairs: every vector pairs with its shifted exact copy at 1.0") {
     val out = AnnSearch.embeddingNearDupPairs(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class SessEv(user_id: Long, ts: Timestamp)
 
 class StreamOpsSpec extends SparkSpec {
 
@@ -45,6 +46,61 @@ class StreamOpsSpec extends SparkSpec {
 
     assert(out.contains((t("2024-01-01 10:00:00"), "click", 2L, 3.0))) // late 99.0 dropped
     assert(out.contains((t("2024-01-01 12:00:00"), "view", 1L, 3.0)))
+  }
+
+  test("sessionWindows batch: gap splits sessions; end = last event + gap") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(
+      SessEv(1L, t("2024-01-01 10:00:00")),
+      SessEv(1L, t("2024-01-01 10:10:00")), // same session (10 min gap)
+      SessEv(1L, t("2024-01-01 11:00:00")), // 50 min gap → new session
+      SessEv(2L, t("2024-01-01 09:00:00"))).toDF()
+    val out = StreamOps.sessionWindows(df, "30 minutes")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(out === Set(
+      (1L, "2024-01-01 10:00:00.000000", "2024-01-01 10:40:00.000000", 2L),
+      (1L, "2024-01-01 11:00:00.000000", "2024-01-01 11:30:00.000000", 1L),
+      (2L, "2024-01-01 09:00:00.000000", "2024-01-01 09:30:00.000000", 1L)))
+  }
+
+  test("sessionWindows streaming: watermark closes sessions on a MemoryStream") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val mem = MemoryStream[SessEv]
+    val q = StreamOps.sessionWindows(mem.toDF(), "30 minutes", "10 minutes",
+        streaming = true)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    mem.addData(SessEv(1L, t("2024-01-01 10:00:00")),
+      SessEv(1L, t("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    mem.addData(SessEv(1L, t("2024-01-01 12:00:00"))) // advances watermark, closes session
+    q.processAllAvailable()
+    mem.addData(SessEv(1L, t("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    val out = spark.table("sess").as[(Long, String, String, Long)].collect().toSet
+    q.stop()
+    assert(out.contains((1L, "2024-01-01 10:00:00.000000", "2024-01-01 10:40:00.000000", 2L)))
+  }
+
+  test("csvAppendSink: foreachBatch appends each micro-batch; checkpoint dir written") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.csvAppendSink(
+      mem.toDF().select($"event_type", $"value"), out, ckpt)
+    mem.addData(Ev(t("2024-01-01 10:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(t("2024-01-01 10:01:00"), "b", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.csv(out).count()
+    assert(rows === 2L)
+    assert(new java.io.File(ckpt, "offsets").listFiles().nonEmpty) // K3 cursor state
   }
 
   test("the same transform runs identically in batch mode (stream-batch unification)") {
