@@ -74,6 +74,7 @@ object SparkEntry {
     // — streaming-unified transforms, run in batch mode here (§2.8) —
     "q36_sessionization" -> ((s, d) => graft.streaming.StreamOps.sessionReport(s, d)),
     "q37_anomaly_state" -> ((s, d) => graft.streaming.StatefulOps.anomalyReport(s, d)),
+    "q38_salted_join" -> ((s, d) => SkewJoin.skewedRevenueBySegment(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -489,5 +490,12 @@ object SparkEntry {
         |SELECT user_id, event_id, round(value, 2) AS value
         |FROM w WHERE pc >= 3 AND v4 * pc > 3 * ps
         |ORDER BY event_id""".stripMargin,
+
+    // salting changes only shuffle routing, never results → plain join SQL
+    "q38_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }
