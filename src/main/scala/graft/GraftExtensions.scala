@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSignature, WordShinglesExpr}
+import graft.functions.{MinHashSignature, SignLshBucketExpr, VecDotExpr, WordShinglesExpr}
 
 /** Engine extension point: registers graft's native Catalyst expressions so
   * SQL users get them too. Activate with
@@ -30,6 +30,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(toks, Literal(n: Int, _)) => WordShinglesExpr(toks, n)
         case _ => throw new IllegalArgumentException(
           "usage: word_shingles(array<string>, n: int literal)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VecDotExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: vec_dot(array<numeric>, array<numeric>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_lsh_bucket"),
+      new ExpressionInfo(classOf[SignLshBucketExpr].getName, "sign_lsh_bucket"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, Literal(bits: Int, _)) => SignLshBucketExpr(a, bits)
+        case _ => throw new IllegalArgumentException(
+          "usage: sign_lsh_bucket(array<numeric>, bits: int literal)")
       }))
   }
 }

@@ -4,21 +4,18 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Column-level vector math over ARRAY<FLOAT>/ARRAY<DOUBLE> embeddings.
-  * Built on higher-order functions (`zip_with`, `aggregate`) — pure Catalyst
-  * expressions, no UDF, so similarity scoring runs inside codegen and
-  * parallelizes trivially. Elements are cast to double before any
-  * arithmetic so results are reproducible across engines.
+  * Delegates to the native expressions in [[VectorExprs]] — the HOF
+  * combinator forms (`aggregate(zip_with(...))`) are arithmetic-identical
+  * (same left-fold order, double math) but pay one interpreted lambda call
+  * per element; the native loops run inside whole-stage codegen. Elements
+  * are widened to double before any arithmetic so results are reproducible
+  * across engines (shared formulas with the DuckDB oracle).
   */
 object VectorFunctions {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = native.vecDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def norm(a: Column): Column = sqrt(native.vecDot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -34,16 +31,6 @@ object VectorFunctions {
     * fixed, seedless, INTEGER-exact pseudo-basis, so the same formula in the
     * SQL oracle produces bit-identical projections (no libm cos() ulp
     * drift). Bucket = integer of sign bits. */
-  def signLshBucket(a: Column, bits: Int): Column = {
-    val bitCols = (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(a, sequence(lit(1), size(a)),
-          (x, i) => x.cast("double") *
-            (pmod(i * lit(planeMultiplier(j)), lit(101)).cast("double") - lit(50.0))),
-        lit(0.0),
-        (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def signLshBucket(a: Column, bits: Int): Column =
+    native.signLshBucket(a, bits)
 }

@@ -13,4 +13,13 @@ object native {
   /** Word n-gram shingles of a token array. See [[WordShinglesExpr]]. */
   def wordShingles(toks: Column, n: Int): Column =
     B.column(WordShinglesExpr(B.expression(toks), n))
+
+  /** Index-ordered dot product of equal-length vectors. See [[VecDotExpr]]. */
+  def vecDot(a: Column, b: Column): Column =
+    B.column(VecDotExpr(B.expression(a), B.expression(b)))
+
+  /** Sign-LSH bucket over the deterministic mod-101 hyperplane family.
+    * See [[SignLshBucketExpr]]. */
+  def signLshBucket(a: Column, bits: Int): Column =
+    B.column(SignLshBucketExpr(B.expression(a), bits))
 }
