@@ -67,6 +67,7 @@ object SparkEntry {
     "q29_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     // — multimodal / semi-structured / paged sources —
     "q30_multimodal_decode" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
+    "q39_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q31_html_articles" -> ((s, d) => HtmlArticles.fazRoundTrip(s, d)),
     "q32_paged_api" -> ((s, d) => PagedJson.pagedRoundTrip(s, d)),
     "q33_zst_ndjson" -> ((s, d) => ZstNdjson.zstRoundTrip(s, d)),
@@ -490,6 +491,24 @@ object SparkEntry {
         |SELECT user_id, event_id, round(value, 2) AS value
         |FROM w WHERE pc >= 3 AND v4 * pc > 3 * ps
         |ORDER BY event_id""".stripMargin,
+
+    // media → fixed-size frame fan-out; only lengths surface, so the
+    // engines' hex-case difference is immaterial
+    "q39_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |    hex(encode(text)) AS h
+        |  FROM documents WHERE octet_length(encode(text)) > 0)
+        |, u AS (
+        |  SELECT media_id, kind,
+        |    unnest(list_transform(range(0, CAST(ceil(length(h)/128.0) AS BIGINT)),
+        |      i -> {'frame_no': CAST(i AS INTEGER),
+        |            'frame_hex_len': CAST(length(substr(h, CAST(i*128+1 AS BIGINT), 128)) AS BIGINT)})) AS f
+        |  FROM m)
+        |SELECT media_id, kind, f.frame_no AS frame_no,
+        |  f.frame_hex_len AS frame_hex_len
+        |FROM u ORDER BY media_id, frame_no""".stripMargin,
 
     // salting changes only shuffle routing, never results → plain join SQL
     "q38_salted_join" ->

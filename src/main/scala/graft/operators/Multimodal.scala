@@ -82,7 +82,7 @@ object Multimodal {
       .withColumnRenamed("col", "frame_hex")
       .filter(length($"frame_hex") > 0)
       .select($"media_id", $"kind", $"frame_no",
-        length($"frame_hex").as("frame_hex_len"))
+        length($"frame_hex").cast("long").as("frame_hex_len"))
       .orderBy($"media_id", $"frame_no")
   }
 
