@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSignature, SignLshBucketExpr, VecDotExpr, WordShinglesExpr}
+import graft.functions.{MinHashSignature, SignLshBucketExpr, SimHashExpr, VecDotExpr, WordShinglesExpr}
 
 /** Engine extension point: registers graft's native Catalyst expressions so
   * SQL users get them too. Activate with
@@ -38,6 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => VecDotExpr(a, b)
         case _ => throw new IllegalArgumentException(
           "usage: vec_dot(array<numeric>, array<numeric>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash32"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks) => SimHashExpr(toks)
+        case _ => throw new IllegalArgumentException(
+          "usage: simhash32(array<string>)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("sign_lsh_bucket"),

@@ -22,4 +22,9 @@ object native {
     * See [[SignLshBucketExpr]]. */
   def signLshBucket(a: Column, bits: Int): Column =
     B.column(SignLshBucketExpr(B.expression(a), bits))
+
+  /** 32-bit SimHash of a token array (md5-based, oracle-shared hash).
+    * See [[SimHashExpr]]. */
+  def simHash(toks: Column): Column =
+    B.column(SimHashExpr(B.expression(toks)))
 }

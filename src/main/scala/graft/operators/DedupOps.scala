@@ -140,24 +140,18 @@ object DedupOps {
 
   /** SimHash 32-bit fingerprint per document: for each bit, sign of the
     * sum over tokens of ±1 by the token hash's bit. Near-dup docs land at
-    * small Hamming distance. Expression/explode only — oracle-able since
-    * the token hash is the shared md5-based 32-bit hash. */
+    * small Hamming distance. Computed by the native
+    * [[graft.functions.SimHashExpr]] — per-row, zero shuffles (the
+    * relational explode-tokens × explode-bits formulation shuffled
+    * |corpus|×|tokens|×32 rows twice); the md5-derived token hash is
+    * bit-identical to the SQL oracle's. Docs with no tokens are excluded
+    * (they vanish from the explode/unnest formulations on both sides). */
   def simHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select($"doc_id", explode(tokens($"text")).as("tok"))
-      .withColumn("h", md5Hash32($"tok"))
-    docs
-      .select($"doc_id", $"h",
-        explode(sequence(lit(0), lit(31))).as("bit"))
-      // functions.shiftright only takes a literal shift; the SQL form
-      // accepts a column, so the per-bit shift goes through expr().
-      .groupBy($"doc_id", $"bit")
-      .agg(sum(when(expr("shiftright(h, bit)").bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as("s"))
-      .groupBy($"doc_id")
-      .agg(sum(when($"s" > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
-        .as("simhash"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", graft.functions.native.simHash($"toks").as("simhash"))
       .orderBy($"doc_id")
   }
 }
