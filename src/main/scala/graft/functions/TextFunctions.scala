@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokenization with empty-token removal (both Spark `split`
-    * and the oracle's `string_split_regex` emit boundary empties). */
+    * and the oracle's `string_split_regex` emit boundary empties).
+    * `array_remove` rather than `filter(…, t => t =!= "")`: identical
+    * result, but it is a codegen'd collection op while the lambda form is
+    * interpreted per token. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= lit(""))
+    array_remove(split(lower(text), "\\s+"), "")
 
   /** Word n-gram shingles: array of space-joined n-token windows; <n
     * tokens gives []. Delegates to the native [[WordShinglesExpr]] — the
