@@ -67,9 +67,9 @@ object TextAnalysis {
       .select(
         $"doc_id",
         size(tokens($"text")).cast("long").as("ws_tokens"),
-        size(filter(
+        size(array_remove(
           regexp_extract_all($"text", lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)),
-          t => t =!= lit(""))).cast("long").as("bpe_ish_tokens"))
+          "")).cast("long").as("bpe_ish_tokens"))
       .orderBy($"doc_id")
   }
 

@@ -54,6 +54,19 @@ object StreamOps {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Streaming exact dedup: drop repeats of a key with bounded state —
+    * `dropDuplicatesWithinWatermark` evicts seen-keys older than the
+    * watermark, so state is O(keys per watermark window), not O(stream
+    * history). The streaming twin of the batch dedup suite (DedupOps):
+    * in a live training-data pipeline this is the first pass that runs
+    * on ingest, with the batch MinHash/Jaccard passes running on the
+    * accumulated corpus. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** K2/K3: incremental append sink with checkpointing — the reference's
     * per-page `to_csv(mode="a")` + cursor files (`tweet_download.py:55–60,
     * 96–100`) become a foreachBatch append writer whose resume point is

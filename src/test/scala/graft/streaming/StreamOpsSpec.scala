@@ -103,6 +103,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(new java.io.File(ckpt, "offsets").listFiles().nonEmpty) // K3 cursor state
   }
 
+  test("dedupStream: repeats within the watermark window are dropped; state is evicted after it") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.dedupStream(mem.toDF(), Seq("event_type"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    mem.addData(
+      Ev(t("2024-01-01 10:00:00"), "click", 1.0),
+      Ev(t("2024-01-01 10:01:00"), "click", 2.0)) // dup key within window
+    q.processAllAvailable()
+    assert(spark.table("dedup").count() === 1L)
+    // advance the watermark far past the first key's expiry...
+    mem.addData(Ev(t("2024-01-01 12:00:00"), "view", 3.0))
+    q.processAllAvailable()
+    // ...then the same key reappears and is accepted again (state evicted)
+    mem.addData(Ev(t("2024-01-01 12:01:00"), "click", 4.0))
+    q.processAllAvailable()
+    val types = spark.table("dedup").as[Ev].collect().map(e => (e.event_type, e.value)).toSet
+    q.stop()
+    assert(types === Set(("click", 1.0), ("view", 3.0), ("click", 4.0)))
+  }
+
   test("the same transform runs identically in batch mode (stream-batch unification)") {
     val sparkS = spark
     import sparkS.implicits._
