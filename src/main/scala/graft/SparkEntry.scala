@@ -28,6 +28,17 @@ object SparkEntry {
   private val kwContains = Seq("spark", "window", "stream")
   private val kwRegex = Seq("merge-join", "vector", "batch")
   private val kwTerms = Seq("spark", "vector", "window")
+  /** Wide keyword set for the Aho–Corasick scan (q40) — the many-terms
+    * allowlist regime the automaton exists for. Two-word phrases so the
+    * filter is selective on the synthetic corpus (single common words
+    * match ~100% of documents); a few never-matching terms exercise the
+    * automaton's miss path. */
+  private val kwWide = Seq(
+    "spark vector", "merge join", "window stream", "vector spark",
+    "batch window", "query merge", "stream batch", "join vector",
+    "spark spark", "window window", "vector merge", "batch batch",
+    "query stream", "merge window", "stream join", "join batch",
+    "compaction", "quorum", "lineage", "snapshot isolation")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — reference-parity pipelines (SURVEY.md §2.1–2.2, §3) —
@@ -76,6 +87,7 @@ object SparkEntry {
     "q36_sessionization" -> ((s, d) => graft.streaming.StreamOps.sessionReport(s, d)),
     "q37_anomaly_state" -> ((s, d) => graft.streaming.StatefulOps.anomalyReport(s, d)),
     "q38_salted_join" -> ((s, d) => SkewJoin.skewedRevenueBySegment(s, d)),
+    "q40_multi_keyword" -> ((s, d) => IngestPipelines.multiKeywordFilter(s, d, kwWide)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -509,6 +521,12 @@ object SparkEntry {
         |SELECT media_id, kind, f.frame_no AS frame_no,
         |  f.frame_hex_len AS frame_hex_len
         |FROM u ORDER BY media_id, frame_no""".stripMargin,
+
+    // the automaton's semantics are exactly an any-contains disjunction
+    "q40_multi_keyword" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE ${kwWide.map(k => s"lower(text) LIKE '%$k%'").mkString("\n   OR ")}
+         |ORDER BY doc_id""".stripMargin,
 
     // salting changes only shuffle routing, never results → plain join SQL
     "q38_salted_join" ->

@@ -27,4 +27,8 @@ object native {
     * See [[SimHashExpr]]. */
   def simHash(toks: Column): Column =
     B.column(SimHashExpr(B.expression(toks)))
+
+  /** Aho–Corasick any-keyword containment. See [[MultiContainsExpr]]. */
+  def multiContains(text: Column, keywords: Seq[String]): Column =
+    B.column(MultiContainsExpr(B.expression(text), keywords))
 }

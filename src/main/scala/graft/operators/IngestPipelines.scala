@@ -63,6 +63,21 @@ object IngestPipelines {
       .orderBy($"doc_id")
   }
 
+  /** P4 at scale: the same any-keyword-contains predicate as
+    * [[keywordFilter]], but matched by one Aho–Corasick automaton pass
+    * ([[graft.functions.MultiContainsExpr]]) — O(text) per row regardless
+    * of keyword count, where the contains-disjunction and regex
+    * alternation are O(keywords) per row. The production path for the
+    * reference's thousands-of-terms allowlists at 100 TB. */
+  def multiKeywordFilter(spark: SparkSession, dir: String, keywords: Seq[String]): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(graft.functions.native.multiContains(
+        lower($"text"), keywords.map(_.toLowerCase)))
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** P5 regex word-boundary keyword filter (`parser_media_articles.py:73–76,85`):
     * case-insensitive `\b(k1|k2|…)\b` with the reference's hyphen→space
     * variant expansion (`:75`), counted per language. */

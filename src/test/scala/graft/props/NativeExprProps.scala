@@ -70,6 +70,24 @@ object NativeExprProps extends Properties("native-exprs") {
       a == b && a >= 0L && a < (1L << 32)
     }
 
+  // ——— MultiContainsExpr (Aho–Corasick) ———
+
+  property("aho-corasick containsAny = exists(contains) on arbitrary text") =
+    Prop.forAll(Gen.nonEmptyListOf(token), Gen.asciiPrintableStr,
+        Gen.listOf(token)) { (kws, noise, embed) =>
+      // text mixes arbitrary noise with some real keywords embedded
+      val text = (embed.take(3) :+ noise).mkString("")
+      val automaton = new graft.functions.MultiContainsExpr.Automaton(kws)
+      automaton.containsAny(text) == kws.exists(text.contains)
+    }
+
+  property("aho-corasick: overlapping/prefix keywords still match (suffix links)") =
+    Prop.forAll(token) { t =>
+      val kws = Seq(t + "x", t) // t is a prefix of t+"x"
+      val automaton = new graft.functions.MultiContainsExpr.Automaton(kws)
+      automaton.containsAny(s"zz${t}zz") && automaton.containsAny(t + "x")
+    }
+
   // ——— VectorExprs ———
 
   property("dot: commutative, and dot(a,a) = Σa²") =
