@@ -79,6 +79,7 @@ object SparkEntry {
     // — multimodal / semi-structured / paged sources —
     "q30_multimodal_decode" -> ((s, d) => Multimodal.decodeFeatures(s, d)),
     "q39_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "q41_media_resize" -> ((s, d) => Multimodal.resize(s, d)),
     "q31_html_articles" -> ((s, d) => HtmlArticles.fazRoundTrip(s, d)),
     "q32_paged_api" -> ((s, d) => PagedJson.pagedRoundTrip(s, d)),
     "q33_zst_ndjson" -> ((s, d) => ZstNdjson.zstRoundTrip(s, d)),
@@ -521,6 +522,15 @@ object SparkEntry {
         |SELECT media_id, kind, f.frame_no AS frame_no,
         |  f.frame_hex_len AS frame_hex_len
         |FROM u ORDER BY media_id, frame_no""".stripMargin,
+
+    // resize invariants are derivable from the source bytes alone
+    "q41_media_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+        |  CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS resized_bytes,
+        |  true AS head_preserved
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // the automaton's semantics are exactly an any-contains disjunction
     "q40_multi_keyword" ->

