@@ -89,6 +89,7 @@ object SparkEntry {
     "q37_anomaly_state" -> ((s, d) => graft.streaming.StatefulOps.anomalyReport(s, d)),
     "q38_salted_join" -> ((s, d) => SkewJoin.skewedRevenueBySegment(s, d)),
     "q40_multi_keyword" -> ((s, d) => IngestPipelines.multiKeywordFilter(s, d, kwWide)),
+    "q42_ann_batch_topk" -> ((s, d) => AnnSearch.batchTopK(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -522,6 +523,20 @@ object SparkEntry {
         |SELECT media_id, kind, f.frame_no AS frame_no,
         |  f.frame_hex_len AS frame_hex_len
         |FROM u ORDER BY media_id, frame_no""".stripMargin,
+
+    "q42_ann_batch_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |s AS (
+         |  SELECT q.q_id, e.vec_id, ${cosSql("e.embedding", "q.qe")} AS cos_sim
+         |  FROM embeddings e, q WHERE e.vec_id >= 5),
+         |r AS (
+         |  SELECT q_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rk
+         |  FROM s)
+         |SELECT q_id, rk, vec_id, cos_sim FROM r WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin,
 
     // resize invariants are derivable from the source bytes alone
     "q41_media_resize" ->

@@ -56,6 +56,30 @@ object AnnSearch {
       .limit(k)
   }
 
+  /** Batched ANN serving: top-k for a whole QUERY SET in one corpus scan.
+    * The query block (nQueries × dim) broadcasts; every corpus partition
+    * scores its rows against all queries locally; per-query ranking is one
+    * shuffle on q_id. This is the offline-serving shape — scoring 100 TB
+    * against a million-query batch reads the corpus exactly once,
+    * regardless of query count. */
+  def batchTopK(spark: SparkSession, dir: String,
+                nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
+    emb.filter($"vec_id" >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select($"q_id", $"vec_id",
+        round(cosine($"embedding", $"q"), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"q_id", $"rk", $"vec_id", $"cos_sim")
+      .orderBy($"q_id", $"rk")
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
     * partitions the corpus into lists; a query probes only the `nprobe`
     * nearest lists and runs exact cosine there — the standard

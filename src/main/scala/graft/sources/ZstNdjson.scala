@@ -52,6 +52,22 @@ object ZstNdjson {
       count(col(corruptCol)).as("bad"),
       (count(lit(1)) - count(col(corruptCol))).as("good"))
 
+  /** Same counters as side-channel metrics via `df.observe` — the exact
+    * Spark mapping of the reference's in-loop counters (`total/bad`
+    * printed every 100k lines, `:79–81`): the pipeline's RESULT flows on
+    * unchanged while the stats ride the query's metrics, and under
+    * Structured Streaming the same observation surfaces per micro-batch
+    * through `StreamingQueryListener`. Returns (instrumented df,
+    * observation); read `observation.get` after an action. */
+  def observedScan(spark: SparkSession, glob: String, schema: StructType):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("zst_parse_stats")
+    val df = read(spark, glob, schema).observe(obs,
+      count(lit(1)).as("total"),
+      count(col(corruptCol)).as("bad"))
+    (df, obs)
+  }
+
   /** Unsplittable-input escape hatch: fan one-file-one-task out to `n`
     * partitions after decode (documented §7.4 risk). */
   def repartitionAfterScan(df: DataFrame, n: Int): DataFrame = df.repartition(n)

@@ -45,6 +45,18 @@ class AnnSearchSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("list_id")).distinct.length <= 4)
   }
 
+  test("batchTopK: k ranked hits per query, scores non-increasing within each") {
+    val out = AnnSearch.batchTopK(spark, sf, nQueries = 5, k = 5).collect()
+    assert(out.length === 25)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet === (0L until 5L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to 5))
+      val sims = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims === sims.sortBy(-_))
+    }
+  }
+
   test("embeddingNearDupPairs: every vector pairs with its shifted exact copy at 1.0") {
     val out = AnnSearch.embeddingNearDupPairs(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()

@@ -39,6 +39,19 @@ class ZstNdjsonSpec extends SparkSpec {
     assert(stats.getAs[Long]("good") === 2)
   }
 
+  test("observedScan: counters ride the query as metrics, result rows unchanged") {
+    val glob = writeZst(Seq(
+      """{"event_id":1,"user_id":10,"event_type":"click","value":1.5}""",
+      """definitely not json""",
+      """{"event_id":3,"user_id":30,"event_type":"view","value":2.0}"""))
+    val (df, obs) = observedScan(spark, glob, eventSchema)
+    val goodRows = df.filter(col(corruptCol).isNull).count()
+    assert(goodRows === 2L)
+    val m = obs.get
+    assert(m("total") === 3L) // bad line counted in metrics...
+    assert(m("bad") === 1L)   // ...without surviving into the result
+  }
+
   test("events zst round trip reproduces the parquet rows") {
     val n = graft.Tables.events(spark, sf).count()
     val rt = zstRoundTrip(spark, sf)
