@@ -90,6 +90,7 @@ object SparkEntry {
     "q38_salted_join" -> ((s, d) => SkewJoin.skewedRevenueBySegment(s, d)),
     "q40_multi_keyword" -> ((s, d) => IngestPipelines.multiKeywordFilter(s, d, kwWide)),
     "q42_ann_batch_topk" -> ((s, d) => AnnSearch.batchTopK(s, d)),
+    "q43_media_corpus" -> ((s, d) => HtmlArticles.mediaCorpus(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -523,6 +524,25 @@ object SparkEntry {
         |SELECT media_id, kind, f.frame_no AS frame_no,
         |  f.frame_hex_len AS frame_hex_len
         |FROM u ORDER BY media_id, frame_no""".stripMargin,
+
+    // every parsed field is reconstructible from documents alone
+    "q43_media_corpus" ->
+      """SELECT
+        |  CASE WHEN doc_id % 2 = 0 THEN 'en_outlet' ELSE 'de_outlet' END AS media,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'en_' ELSE 'de_' END
+        |    || CAST(doc_id AS VARCHAR) AS id,
+        |  'doc_' || CAST(doc_id AS VARCHAR) AS title,
+        |  '2023-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS iso_date,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'author_' || CAST(doc_id AS VARCHAR) ELSE '' END AS author,
+        |  CASE WHEN doc_id % 3 = 0 THEN ''
+        |       WHEN doc_id % 3 = 1 THEN 'term_' || CAST(doc_id % 5 AS VARCHAR)
+        |       ELSE 'term_' || CAST(doc_id % 5 AS VARCHAR) || ',term_'
+        |         || CAST((doc_id + 1) % 5 AS VARCHAR) END AS terms_csv,
+        |  CAST(doc_id % 3 AS BIGINT) AS n_terms,
+        |  CAST(length(trim(coalesce(text, ''))) AS BIGINT) AS body_len
+        |FROM documents ORDER BY id""".stripMargin,
 
     "q42_ann_batch_topk" ->
       s"""WITH q AS (

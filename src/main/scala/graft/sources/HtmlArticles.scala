@@ -68,6 +68,106 @@ object HtmlArticles {
       .orderBy($"page_id", $"title")
   }
 
+  // ——— EN/DE outlet formats (`getendf`/`getdedf`,
+  // parser_media_articles.py:21–67) ———
+
+  /** The reference's EN/DE article shape: class-tagged block, title in
+    * `div id="hd"`, id = last `<p>`, date as "d Month yyyy" with GERMAN
+    * month name (`:35–38,59–62`), optional `div class="author"`
+    * (`:41,65`), `<b>`-tagged matched terms, paragraph body. */
+  case class OutletArticle(id: String, title: String, iso_date: String,
+                           author: String, body: String, terms: Seq[String])
+
+  val germanMonths: Map[String, String] = Map(
+    "Januar" -> "01", "Februar" -> "02", "März" -> "03", "April" -> "04",
+    "Mai" -> "05", "Juni" -> "06", "Juli" -> "07", "August" -> "08",
+    "September" -> "09", "Oktober" -> "10", "November" -> "11", "Dezember" -> "12")
+
+  /** Parse `variant` ∈ {en, de} article blocks. Fixed class-tagged format
+    * (as in the reference); blocks are terminated by an explicit
+    * `<!--/article-->` marker because the block div contains child divs. */
+  def parseOutlet(html: String, variant: String): Seq[OutletArticle] = {
+    if (html == null) return Seq.empty
+    val block =
+      ("(?s)<div class=\"article " + variant + "Article\">(.*?)<!--/article-->").r
+    def first(b: String, pat: String): String =
+      pat.r.findFirstMatchIn(b).map(_.group(1).trim).getOrElse("")
+    block.findAllMatchIn(html).map { m =>
+      val b = m.group(1)
+      val title = first(b, "(?s)<div id=\"hd\">(.*?)</div>")
+      val author = first(b, "(?s)<div class=\"author\">(.*?)</div>")
+      val id = "(?s)<p>(.*?)</p>".r.findAllMatchIn(b).toSeq.lastOption
+        .map(_.group(1).trim).getOrElse("")
+      val body = ("(?s)<p class=\"articleParagraph " + variant +
+        "articleParagraph\">(.*?)</p>").r
+        .findAllMatchIn(b).map(_.group(1).trim).mkString("\n")
+      val terms = "(?s)<b>(.*?)</b>".r.findAllMatchIn(b).map(_.group(1).trim).toSeq
+      // reference: first "d Month yyyy" in the joined div texts → ISO
+      val iso = "(\\d{1,2})\\s(\\p{L}+)\\s(\\d{4})".r.findFirstMatchIn(b)
+        .flatMap(d => germanMonths.get(d.group(2))
+          .map(mm => f"${d.group(3)}-$mm-${d.group(1).toInt}%02d"))
+        .getOrElse("")
+      OutletArticle(id, title, iso, author, body, terms)
+    }.toSeq
+  }
+
+  private def outletUdf(variant: String) = udf((html: String) =>
+    parseOutlet(html, variant)
+      .map(a => (a.id, a.title, a.iso_date, a.author, a.body, a.terms)))
+
+  /** Deterministically render EN (even doc_id) / DE (odd doc_id) outlet
+    * pages from `documents`: German-month date, optional author every 3rd
+    * doc, 0–2 `<b>` terms by doc_id — every field reconstructible in the
+    * oracle from `documents` alone. */
+  def renderOutlet(spark: SparkSession, dir: String, variant: String): DataFrame = {
+    import spark.implicits._
+    val parity = if (variant == "en") 0 else 1
+    val monthName = map(germanMonths.toSeq.flatMap { case (n, mm) =>
+      Seq(lit(mm.toInt), lit(n)) }: _*)
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 2 === parity)
+      .withColumn("block", concat(
+        lit(s"""<div class="article ${variant}Article"><div id="hd">doc_"""),
+        $"doc_id", lit("</div><div class=\"meta\">Published "),
+        ($"doc_id" % 28 + 1).cast("string"), lit(" "),
+        element_at(monthName, ($"doc_id" % 12 + 1).cast("int")),
+        lit(" 2023</div>"),
+        when($"doc_id" % 3 === 0,
+          concat(lit("<div class=\"author\">author_"), $"doc_id", lit("</div>")))
+          .otherwise(lit("")),
+        when($"doc_id" % 3 >= 1,
+          concat(lit("<b>term_"), ($"doc_id" % 5).cast("string"), lit("</b>")))
+          .otherwise(lit("")),
+        when($"doc_id" % 3 === 2,
+          concat(lit("<b>term_"), (($"doc_id" + 1) % 5).cast("string"), lit("</b>")))
+          .otherwise(lit("")),
+        lit(s"""<p class="articleParagraph ${variant}articleParagraph">"""),
+        coalesce($"text", lit("")), lit("</p><p>"), lit(s"${variant}_"),
+        $"doc_id", lit("</p></div><!--/article-->")))
+      .groupBy(($"doc_id" / 4).cast("long").as("page_id"))
+      .agg(concat_ws("\n", sort_array(collect_list(
+        struct($"doc_id", $"block"))).getField("block")).as("html"))
+  }
+
+  /** E3 end-to-end (`parser_media_articles.py:91–120`): EN + DE outlet
+    * scans → per-format UDTF explode → union → id dedup → projection. */
+  def mediaCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def side(variant: String): DataFrame =
+      renderOutlet(spark, dir, variant)
+        .select(explode(outletUdf(variant)($"html")).as("a"))
+        .select(
+          lit(s"${variant}_outlet").as("media"),
+          $"a._1".as("id"), $"a._2".as("title"), $"a._3".as("iso_date"),
+          $"a._4".as("author"),
+          array_join($"a._6", ",").as("terms_csv"),
+          size($"a._6").cast("long").as("n_terms"),
+          length($"a._5").cast("long").as("body_len"))
+    side("en").unionByName(side("de"))
+      .dropDuplicates("id")
+      .orderBy($"id")
+  }
+
   /** Deterministically render FAZ-format HTML pages from `documents`:
     * page = doc_id / 3, each doc becomes one single-document block with a
     * synthetic dd.mm.yyyy date derived from doc_id. */

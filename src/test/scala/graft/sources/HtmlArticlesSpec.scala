@@ -14,6 +14,32 @@ class HtmlArticlesSpec extends SparkSpec {
       |<pre class="text">Body two, longer.</pre></div>
       |</body></html>""".stripMargin
 
+  private val enPage =
+    """<div class="article enArticle"><div id="hd">Some headline</div>
+      |<div class="meta">Published 5 März 2023 in print</div>
+      |<div class="author">Jane Doe</div>
+      |<b>alpha</b><b>beta</b>
+      |<p class="articleParagraph enarticleParagraph">Para one.</p>
+      |<p class="articleParagraph enarticleParagraph">Para two.</p>
+      |<p>en_42</p></div><!--/article-->""".stripMargin
+
+  test("parseOutlet: EN block — title, German-month date, author, terms, multi-para body, last-p id") {
+    val Seq(a) = HtmlArticles.parseOutlet(enPage, "en")
+    assert(a.title === "Some headline")
+    assert(a.iso_date === "2023-03-05") // "5 März 2023" → zero-padded ISO
+    assert(a.author === "Jane Doe")
+    assert(a.terms === Seq("alpha", "beta"))
+    assert(a.body === "Para one.\nPara two.")
+    assert(a.id === "en_42")
+  }
+
+  test("parseOutlet: missing author is empty, not null; wrong variant matches nothing") {
+    val noAuthor = enPage.replace("<div class=\"author\">Jane Doe</div>", "")
+    val Seq(a) = HtmlArticles.parseOutlet(noAuthor, "en")
+    assert(a.author === "")
+    assert(HtmlArticles.parseOutlet(enPage, "de") === Seq.empty)
+  }
+
   test("parseFaz: one file fans out to N articles (the UDTF shape)") {
     val arts = HtmlArticles.parseFaz(twoDocPage)
     assert(arts.length === 2)
