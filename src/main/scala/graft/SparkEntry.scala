@@ -91,6 +91,7 @@ object SparkEntry {
     "q40_multi_keyword" -> ((s, d) => IngestPipelines.multiKeywordFilter(s, d, kwWide)),
     "q42_ann_batch_topk" -> ((s, d) => AnnSearch.batchTopK(s, d)),
     "q43_media_corpus" -> ((s, d) => HtmlArticles.mediaCorpus(s, d)),
+    "q44_suppliers_by_nation" -> ((s, d) => Relational.suppliersByNation(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -524,6 +525,12 @@ object SparkEntry {
         |SELECT media_id, kind, f.frame_no AS frame_no,
         |  f.frame_hex_len AS frame_hex_len
         |FROM u ORDER BY media_id, frame_no""".stripMargin,
+
+    "q44_suppliers_by_nation" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // every parsed field is reconstructible from documents alone
     "q43_media_corpus" ->

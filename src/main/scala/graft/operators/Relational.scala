@@ -151,6 +151,21 @@ object Relational {
       .orderBy($"doc_id")
   }
 
+  /** Dimension rollup completing table coverage: suppliers per nation with
+    * decimal-exact balance totals — broadcast dim join + partial agg, the
+    * same shape as q15 at any scale. */
+  def suppliersByNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    Tables.supplier(spark, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum($"s_acctbal".cast("decimal(18,4)")).cast("double").as("total_acctbal"))
+      .orderBy($"n_name")
+  }
+
   /** §2.8 tumbling-window aggregation over the event stream, batch form:
     * identical groupBy(window(…)) works under Structured Streaming with a
     * watermark (see graft.streaming.StreamOps). */
