@@ -375,11 +375,17 @@ object SparkEntry {
       s"""WITH c AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
-         |b AS (SELECT vec_id, embedding, ${bucketSql("embedding", 16)} AS bucket FROM c)
+         |b AS (SELECT vec_id, embedding, ${bucketSql("embedding", 16)} AS bucket FROM c),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding, bucket,
+         |      count(*) OVER (PARTITION BY bucket) AS bsz FROM b) z
+         |  WHERE bsz <= 20)
          |SELECT a, b, cos_sim FROM (
          |  SELECT x.vec_id AS a, y.vec_id AS b,
          |    ${cosSql("x.embedding", "y.embedding")} AS cos_sim
-         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) p
+         |  FROM capped x JOIN capped y
+         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id) p
          |WHERE cos_sim >= 0.95 ORDER BY a, b""".stripMargin,
 
     "q25_lang_id" ->

@@ -132,9 +132,16 @@ object AnnSearch {
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: pairs sharing a
     * sign-LSH bucket with cosine ≥ threshold. The bucket join replaces the
     * O(n²) cross join with per-bucket locality — the standard semantic-dedup
-    * shape for training corpora. */
+    * shape for training corpora.
+    *
+    * Buckets larger than `maxBlock` are dropped before the self-join (the
+    * same degenerate-key guard as [[DedupOps.ngramJaccardPairs]]): real
+    * embedding corpora cluster heavily, and one hot bucket would otherwise
+    * make the join quadratic on a single cluster partition. At scale the
+    * dropped buckets are exactly the ones to re-block with more planes. */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
-                            threshold: Double = 0.95, bits: Int = 16): DataFrame = {
+                            threshold: Double = 0.95, bits: Int = 16,
+                            maxBlock: Int = 20): DataFrame = {
     import spark.implicits._
     // embeddings are random vectors with no natural near-dups at any SF, so
     // pair the table with an id-shifted copy of itself (mirrors
@@ -143,11 +150,15 @@ object AnnSearch {
     // just the dot product, and 16 planes keep buckets near-singleton so
     // the pair count stays ~n instead of n²/buckets.
     val base = Tables.embeddings(spark, dir)
-    val emb = base
+    val bucketed = base
       .unionByName(base.withColumn("vec_id", $"vec_id" + 100000L))
       .select($"vec_id", $"embedding",
         signLshBucket($"embedding", bits).as("bucket"),
         norm($"embedding").as("nrm"))
+    val emb = bucketed
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"bucket")))
+      .filter($"bsz" <= maxBlock)
     emb.as("x").join(emb.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select(

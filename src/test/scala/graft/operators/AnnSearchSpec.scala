@@ -65,4 +65,24 @@ class AnnSearchSpec extends SparkSpec {
     assert(exact.length.toLong === n)
     exact.foreach(r => assert(r.getAs[Double]("cos_sim") === 1.0))
   }
+
+  test("embeddingNearDupPairs: a degenerate hot bucket is capped, never quadratic") {
+    import spark.implicits._
+    // 1000 identical vectors → one LSH bucket of 2000 after the dup union.
+    // Uncapped this is a ~2M-pair self-join on one partition; with the
+    // maxBlock guard the hot bucket is dropped and the job stays O(n).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hotbucket").toString
+    (0L until 1000L).map(i => (i, "hot", Seq.fill(8)(1.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = AnnSearch.embeddingNearDupPairs(spark, tmp)
+    assert(out.count() === 0L) // block of 2000 > maxBlock=20 → excluded
+    // a small block under the cap still pairs: 3 vectors → 3 dup pairs ≥ cos 1.0
+    (0L until 3L).map(i => (i, "ok", Seq.fill(8)(1.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val pairs = AnnSearch.embeddingNearDupPairs(spark, tmp).collect()
+    assert(pairs.length === 15) // C(6,2) identical vectors in one block of 6
+    pairs.foreach(r => assert(r.getAs[Double]("cos_sim") === 1.0))
+  }
 }
