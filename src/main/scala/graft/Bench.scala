@@ -1,6 +1,49 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark harness: runs every declared query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with the total, per-query
+  * seconds, and per-query HEALTH `{sec, ok, err}` — a failed query must be
+  * visible as `ok:false`, never as a silently-recorded timing (a phantom
+  * regression in round 2 cost a manual re-run to refute). */
 object Bench {
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Run `queries` against `sfDir`, return the one-line result JSON.
+    * Separated from `main` so the failure-transparency contract is
+    * unit-testable: a throwing query must surface as `ok:false` with its
+    * error, and must still not abort the remaining queries. */
+  def run(spark: SparkSession, sfDir: String,
+          queries: Map[String, (SparkSession, String) => DataFrame] =
+            SparkEntry.queries): String = {
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    val qs = results.map { case (k, sec, _) => s"${jstr(k)}:$sec" }
+      .mkString("{", ",", "}")
+    val health = results.map { case (k, sec, err) =>
+      s"${jstr(k)}:{" + s""""sec":$sec,"ok":${err.isEmpty},"err":""" +
+        err.map(jstr).getOrElse("null") + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val nFailed = results.count(_._3.nonEmpty)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"health":$health,"n_failed":$nFailed,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // contract is local[32]-class parallelism; default to the machine's
@@ -16,18 +59,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/shuffle machinery once so the first measured
-    // query reflects the operator, not session spin-up (standard bench
-    // practice; the per-query numbers below are what the harness records).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // query reflects the operator, not session spin-up. A warm-up failure
+    // is loudly reported — it would taint every number that follows.
+    try SparkEntry.entry(spark).count() catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARM-UP FAILED: ${e.getClass.getName}: ${e.getMessage}")
+    }
+    println(run(spark, sfDir))
     spark.stop()
   }
 }

@@ -25,6 +25,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     IngestPipelines.redditFilter(spark, "/root/testdata/sf0.001")
 
+  /** Hot-block cap shared by q20/q24 and their oracles — interpolated into
+    * the SQL so a changed cap cannot silently diverge from the oracle. */
+  private val blockCap = 20
+
   private val kwContains = Seq("spark", "window", "stream")
   private val kwRegex = Seq("merge-join", "vector", "batch")
   private val kwTerms = Seq("spark", "vector", "window")
@@ -63,13 +67,13 @@ object SparkEntry {
     // — dedup suite (north-star) —
     "q18_exact_dedup" -> ((s, d) => DedupOps.exactDedup(s, d)),
     "q19_minhash_lsh" -> ((s, d) => DedupOps.minHashLshPairs(s, d)),
-    "q20_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
+    "q20_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(s, d, maxBlock = blockCap)),
     "q21_simhash" -> ((s, d) => DedupOps.simHash(s, d)),
     // — similarity search (north-star) —
     "q22_ann_cosine_topk" -> ((s, d) => AnnSearch.bruteForceTopK(s, d)),
     "q23_ann_lsh_topk" -> ((s, d) => AnnSearch.lshTopK(s, d)),
     "q35_ann_ivf_topk" -> ((s, d) => AnnSearch.ivfTopK(s, d)),
-    "q24_embedding_neardup" -> ((s, d) => AnnSearch.embeddingNearDupPairs(s, d)),
+    "q24_embedding_neardup" -> ((s, d) => AnnSearch.embeddingNearDupPairs(s, d, maxBlock = blockCap)),
     // — text analysis (north-star) —
     "q25_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "q26_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -295,7 +299,7 @@ object SparkEntry {
          |blocks AS (
          |  SELECT * FROM (
          |    SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz FROM bk) b
-         |  WHERE bsz <= 20),
+         |  WHERE bsz <= $blockCap),
          |cand AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b FROM blocks x
          |  JOIN blocks y ON x.bk = y.bk AND x.doc_id < y.doc_id),
@@ -380,7 +384,7 @@ object SparkEntry {
          |  SELECT * FROM (
          |    SELECT vec_id, embedding, bucket,
          |      count(*) OVER (PARTITION BY bucket) AS bsz FROM b) z
-         |  WHERE bsz <= 20)
+         |  WHERE bsz <= $blockCap)
          |SELECT a, b, cos_sim FROM (
          |  SELECT x.vec_id AS a, y.vec_id AS b,
          |    ${cosSql("x.embedding", "y.embedding")} AS cos_sim

@@ -58,25 +58,28 @@ object AnnSearch {
 
   /** Batched ANN serving: top-k for a whole QUERY SET in one corpus scan.
     * The query block (nQueries × dim) broadcasts; every corpus partition
-    * scores its rows against all queries locally; per-query ranking is one
-    * shuffle on q_id. This is the offline-serving shape — scoring 100 TB
-    * against a million-query batch reads the corpus exactly once,
-    * regardless of query count. */
+    * scores its rows against all queries locally and PRE-REDUCES them to a
+    * bounded per-query top-k buffer ([[graft.functions.TopKAgg]], partial
+    * ObjectHashAggregate) before the q_id exchange. This is the
+    * offline-serving shape — scoring 100 TB against a million-query batch
+    * reads the corpus exactly once, and the only shuffle carries
+    * O(partitions × queries × k) candidate buffers, NOT the
+    * |corpus| × |queries| scored rows a `row_number` window would move. */
   def batchTopK(spark: SparkSession, dir: String,
                 nQueries: Int = 5, k: Int = 5): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"embedding".as("q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"q_id").orderBy($"cos_sim".desc, $"vec_id")
     emb.filter($"vec_id" >= nQueries)
       .crossJoin(broadcast(queries))
       .select($"q_id", $"vec_id",
         round(cosine($"embedding", $"q"), 4).as("cos_sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= k)
-      .select($"q_id", $"rk", $"vec_id", $"cos_sim")
+      .groupBy($"q_id")
+      .agg(graft.functions.TopK.topK(k)($"cos_sim", $"vec_id").as("hits"))
+      .select($"q_id", posexplode($"hits"))
+      .select($"q_id", ($"pos" + 1).cast("int").as("rk"),
+        $"col.vec_id".as("vec_id"), $"col.cos_sim".as("cos_sim"))
       .orderBy($"q_id", $"rk")
   }
 
@@ -155,10 +158,17 @@ object AnnSearch {
       .select($"vec_id", $"embedding",
         signLshBucket($"embedding", bits).as("bucket"),
         norm($"embedding").as("nrm"))
-    val emb = bucketed
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"bucket")))
+    // Bucket-size guard via groupBy + join, NOT a count-over-window: the
+    // window formulation shuffles the entire degenerate bucket into ONE
+    // window task before dropping it — the guard itself becomes the skew
+    // point. groupBy gets map-side partial aggregation (the exchange
+    // carries one count per bucket per partition), and the join on
+    // `bucket` shares its key with the self-join below.
+    val smallBuckets = bucketed.groupBy($"bucket")
+      .agg(count(lit(1)).as("bsz"))
       .filter($"bsz" <= maxBlock)
+      .select($"bucket")
+    val emb = bucketed.join(smallBuckets, "bucket")
     emb.as("x").join(emb.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select(

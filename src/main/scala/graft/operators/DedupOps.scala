@@ -76,10 +76,16 @@ object DedupOps {
       .select($"doc_id", $"arr", size($"arr").as("n_sh"),
         array_min(transform($"arr", sh => md5(sh))).as("bk"))
       .cache()
-    val blocks = docs
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"bk")))
+    // Block-size guard via groupBy + join, NOT a count-over-window: the
+    // window would funnel a degenerate block through one window task
+    // (O(block) rows on one executor) before dropping it; groupBy is
+    // map-side partial, and the join key `bk` is the self-join key below,
+    // so no extra big-side shuffle is introduced.
+    val smallBlocks = docs.groupBy($"bk")
+      .agg(count(lit(1)).as("bsz"))
       .filter($"bsz" <= maxBlock)
+      .select($"bk")
+    val blocks = docs.join(smallBlocks, "bk")
     blocks.as("x").join(blocks.as("y"),
         $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),

@@ -78,7 +78,7 @@ object BinarySink {
     import spark.implicits._
     val out = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft-binsink-${dir.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+      s"graft-binsink-${TmpNonce.value}-${dir.replaceAll("[^a-zA-Z0-9]", "_")}").toString
     val items = Tables.documents(spark, dir)
       .select($"doc_id", $"text")
       .as[(Long, String)]

@@ -24,15 +24,21 @@ object PagedJson {
     * (null on the last page). */
   def renderPages(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val maxPage = Tables.events(spark, dir)
-      .agg(max(($"event_id" / 100).cast("long"))).first().getLong(0)
-    Tables.events(spark, dir)
+    val events = Tables.events(spark, dir)
+    // the cursor's end is a scalar folded INTO the plan (1-row aggregate,
+    // broadcast cross join) — no driver-side .first() materialization; the
+    // max branch is a column-pruned scan of event_id only with partial
+    // (map-side) max, so the "second scan" reads one column
+    val mx = events.agg(max(($"event_id" / 100).cast("long")).as("max_page"))
+    events
       .groupBy(($"event_id" / 100).cast("long").as("page_id"))
       .agg(sort_array(collect_list(struct(
         $"event_id", $"user_id", $"event_type", $"value", $"ts"))).as("data"))
+      .crossJoin(broadcast(mx))
       .withColumn("meta", struct(
-        when($"page_id" < maxPage, ($"page_id" + 1).cast("string"))
+        when($"page_id" < $"max_page", ($"page_id" + 1).cast("string"))
           .as("next_token")))
+      .drop("max_page")
   }
 
   /** Flatten pages back to rows: explode(data) + nested-field access —

@@ -37,11 +37,27 @@ object ZstNdjson {
     * exactly what the bad-line counter aggregation prunes down to. */
   def read(spark: SparkSession, glob: String, schema: StructType): DataFrame = {
     val full = schema.add(corruptCol, StringType)
-    spark.read.text(glob)
+    // resolve the glob to concrete files BEFORE handing it to the reader:
+    // DataSource's streaming-sink probe (FileStreamSink.hasMetadata) cannot
+    // glob and logs a full WARN stack per query otherwise — noise that has
+    // buried the bench harness's one-line JSON output
+    val files = resolveGlob(spark, glob)
+    val input = if (files.nonEmpty) spark.read.textFile(files: _*).toDF("value")
+                else spark.read.text(glob)
+    input
       .select(from_json(col("value"), full,
         Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> corruptCol)).as("r"))
       .select("r.*")
+  }
+
+  /** Expand a glob to concrete file paths with the Hadoop filesystem (the
+    * same resolution the scan would do, minus the sink-metadata probe). */
+  def resolveGlob(spark: SparkSession, glob: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(glob)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(path)).getOrElse(Array.empty)
+      .map(_.getPath.toString).toSeq.sorted
   }
 
   /** The reference's total/matched/bad accounting (`:79–95`) as one
@@ -85,15 +101,23 @@ object ZstNdjson {
     * end-to-end. The oracle reads the same rows straight from parquet. */
   def zstRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // per-JVM nonce: two concurrent harness runs on the same SF must not
+    // share (and delete-while-read) one fixed tmp dir
     val out = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft-zst-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"graft-zst-${TmpNonce.value}-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     // always rebuild: a stale dir from an earlier run/partitioning would
     // otherwise silently change the scan's input
     if (out.exists()) out.listFiles().foreach(_.delete())
+    // repartition before the write: one .zst file per partition, and a
+    // single zstd stream is NOT splittable — writing several part files is
+    // what lets the decode side fan out to parallel tasks (the same
+    // parallelize-across-files strategy as the reference's one process per
+    // dump file)
     val lines = Tables.events(spark, dir)
       .select(to_json(struct($"event_id", $"user_id", $"event_type", $"value")))
       .as[String]
+      .repartition(8)
     writeZstLines(lines, out)
     read(spark, out.toString + "/*.zst", eventSchema)
       .filter(col(corruptCol).isNull)

@@ -57,6 +57,16 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("batchTopK pre-reduces before the shuffle: partial top-k aggregate, no window") {
+    val df = AnnSearch.batchTopK(spark, sf, nQueries = 5, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // the typed TopKAgg plans as ObjectHashAggregate with a partial mode
+    // below the q_id exchange — the shuffle carries bounded buffers, not
+    // every scored corpus row ranked by a row_number window
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$plan")
+    assert(!plan.contains("Window"), s"expected no Window operator in:\n$plan")
+  }
+
   test("embeddingNearDupPairs: every vector pairs with its shifted exact copy at 1.0") {
     val out = AnnSearch.embeddingNearDupPairs(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()
@@ -77,12 +87,14 @@ class AnnSearchSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     val out = AnnSearch.embeddingNearDupPairs(spark, tmp)
     assert(out.count() === 0L) // block of 2000 > maxBlock=20 → excluded
-    // a small block under the cap still pairs: 3 vectors → 3 dup pairs ≥ cos 1.0
+    // a small block under the cap still pairs: 3 vectors + 3 shifted copies
+    // form one identical block of 6 → C(6,2) = 15 pairs at cos 1.0
     (0L until 3L).map(i => (i, "ok", Seq.fill(8)(1.0f)))
       .toDF("vec_id", "label", "embedding")
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     val pairs = AnnSearch.embeddingNearDupPairs(spark, tmp).collect()
-    assert(pairs.length === 15) // C(6,2) identical vectors in one block of 6
+    assert(pairs.length === 15)
     pairs.foreach(r => assert(r.getAs[Double]("cos_sim") === 1.0))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 }
