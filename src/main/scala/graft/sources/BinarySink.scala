@@ -22,15 +22,36 @@ import graft.Tables
   */
 object BinarySink {
 
-  /** Retry policy (`MAX_RETRIES=3`, exp backoff 2^n s, `reddit_image_scraper
-    * .py:17,33–52`). `sleeper` is injectable so tests don't sleep. */
+  /** Retry + politeness policy (`MAX_RETRIES=3`, exp backoff 2^n s,
+    * `reddit_image_scraper.py:17,33–52`; jittered inter-request sleep
+    * `SLEEP_RANGE=(1,6)` per image `reddit_image_scraper.py:18,41` and
+    * 3 s/page `tweet_download.py:100`). `sleeper` is injectable so tests
+    * assert the sleep schedule without sleeping. Politeness is OFF by
+    * default — local/object-store sinks don't need it; a scraping io
+    * enables it to stay under the origin's rate limit. */
   final case class RetryPolicy(
       maxAttempts: Int = 3,
       baseBackoffMs: Long = 1000L,
+      politenessMinMs: Long = 0L,
+      politenessMaxMs: Long = 0L,
       sleeper: Long => Unit = Thread.sleep) extends Serializable {
     /** Backoff before attempt k (0-based retry index): base * 2^k. */
     def backoffMs(k: Int): Long = baseBackoffMs * (1L << k)
+
+    def politenessEnabled: Boolean = politenessMaxMs > 0L
+
+    /** Jittered inter-request delay in [min, max] — the reference's
+      * `random.randint(*SLEEP_RANGE)`. Deterministic given the rng, which
+      * writeWithRetry seeds per partition. */
+    def politenessMs(rng: java.util.Random): Long =
+      if (!politenessEnabled) 0L
+      else if (politenessMaxMs <= politenessMinMs) politenessMinMs
+      else politenessMinMs +
+        rng.longs(1, 0, politenessMaxMs - politenessMinMs + 1).findFirst().getAsLong
   }
+
+  /** The reference's scraping cadence: sleep 1–6 s between requests. */
+  val referencePoliteness: (Long, Long) = (1000L, 6000L)
 
   final case class WriteResult(
       name: String, n_bytes: Long, ok: Boolean, attempts: Int, error: String)
@@ -43,7 +64,13 @@ object BinarySink {
       policy: RetryPolicy): Dataset[WriteResult] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
+      // per-partition rng: each task jitters independently (a fleet of
+      // tasks must not sleep in lockstep against one origin), but the
+      // schedule is deterministic per partition for testability
+      val rng = new java.util.Random(
+        org.apache.spark.TaskContext.getPartitionId().toLong)
       it.map { case (name, payload) =>
+        if (policy.politenessEnabled) policy.sleeper(policy.politenessMs(rng))
         var attempt = 0
         var done = false
         var err: String = null

@@ -39,15 +39,61 @@ object PageFeed {
     StructField("value", DoubleType),
     StructField("page_id", LongType)))
 
-  private val pageName = raw"page-(\d{5})\.json".r
+  /** Option keys: fetcher implementation class + per-fetch retry budget. */
+  val fetcherOpt = "fetcher"
+  val attemptsOpt = "fetchAttempts"
+  val defaultAttempts = 3
 
-  /** Contiguous page count from 0 (the feed's cursor chain: page n+1 only
-    * counts once page n exists). */
-  def pagesAvailable(dir: String): Long = {
-    val files = Option(new java.io.File(dir).list()).getOrElse(Array.empty)
-    val ids = files.collect { case pageName(n) => n.toLong }.toSet
-    Iterator.from(0).takeWhile(i => ids.contains(i.toLong)).size.toLong
+  def instantiateFetcher(className: String): PageFetcher =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[PageFetcher]
+
+  /** `fetch` with an immediate bounded retry — transient fetch faults are
+    * absorbed here (both on the driver's cursor walk and inside partition
+    * readers) instead of failing the task/query. */
+  def fetchWithRetry(fetcher: PageFetcher, path: String, page: Long,
+                     maxAttempts: Int): Option[Array[Byte]] = {
+    var attempt = 0
+    var out: Option[Array[Byte]] = None
+    var done = false
+    while (!done) {
+      try { out = fetcher.fetch(path, page); done = true }
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    out
   }
+
+  /** Walk the cursor chain through the fetcher, returning the number of
+    * consumable pages — the reference's fetch-loop stop conditions
+    * (`tweet_download.py:82–103`) verbatim: stop when a page is absent
+    * (fetch → None), when its `data` is empty, or when `meta.next_token`
+    * is missing/null. The page that ends the chain IS consumed. */
+  def cursorWalk(path: String, fetcher: PageFetcher,
+                 maxAttempts: Int = defaultAttempts): Long = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var page = 0L
+    var go = true
+    while (go) {
+      fetchWithRetry(fetcher, path, page, maxAttempts) match {
+        case None => go = false
+        case Some(bytes) =>
+          val doc = mapper.readTree(bytes)
+          val data = doc.get("data")
+          val next = Option(doc.get("meta")).map(_.get("next_token")).orNull
+          page += 1
+          if (data == null || data.size() == 0 || next == null || next.isNull)
+            go = false
+      }
+    }
+    page
+  }
+
+  /** Available-page count with the default file-backed fetcher. */
+  def pagesAvailable(dir: String): Long = cursorWalk(dir, new FileFetcher)
 
   def pageFile(dir: String, page: Long): java.io.File =
     new java.io.File(dir, f"page-$page%05d.json")
@@ -65,14 +111,40 @@ object PageFeed {
   }
 }
 
+/** Injectable `page → bytes` seam — the analog of `BinarySink`'s
+  * injectable IO. The production feed implements `fetch` as an HTTP GET
+  * (the reference's `requests.get` loop, `tweet_download.py:25–30`);
+  * tests inject fault behavior. Implementations need a no-arg constructor:
+  * the class NAME is what travels in the DSv2 options and serialized
+  * partitions, and each driver/executor instantiates its own. */
+trait PageFetcher extends Serializable {
+  /** Bytes of page `page`, or None when the page does not (yet) exist —
+    * the terminal stop condition. Transient faults may throw; callers
+    * retry up to `fetchAttempts` times ([[PageFeed.fetchWithRetry]]). */
+  def fetch(path: String, page: Long): Option[Array[Byte]]
+}
+
+/** Default fetcher: pages are numbered files in a local directory. */
+class FileFetcher extends PageFetcher {
+  override def fetch(path: String, page: Long): Option[Array[Byte]] = {
+    val f = PageFeed.pageFile(path, page)
+    if (f.exists()) Some(java.nio.file.Files.readAllBytes(f.toPath)) else None
+  }
+}
+
 class PageFeedProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = PageFeed.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new PageFeedTable(properties.get("path"))
+    new PageFeedTable(properties.get("path"),
+      Option(properties.get(PageFeed.fetcherOpt))
+        .getOrElse(classOf[FileFetcher].getName),
+      Option(properties.get(PageFeed.attemptsOpt))
+        .map(_.toInt).getOrElse(PageFeed.defaultAttempts))
 }
 
-class PageFeedTable(path: String) extends Table with SupportsRead {
+class PageFeedTable(path: String, fetcherClass: String, attempts: Int)
+    extends Table with SupportsRead {
   require(path != null, "option 'path' is required")
   override def name(): String = s"pagefeed($path)"
   override def schema(): StructType = PageFeed.schema
@@ -80,19 +152,23 @@ class PageFeedTable(path: String) extends Table with SupportsRead {
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new PageFeedScan(path)
+      override def build(): Scan = new PageFeedScan(path, fetcherClass, attempts)
     }
 }
 
-class PageFeedScan(path: String) extends Scan {
+class PageFeedScan(path: String, fetcherClass: String, attempts: Int) extends Scan {
   override def readSchema(): StructType = PageFeed.schema
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      (0L until PageFeed.pagesAvailable(path)).map(PagePartition(path, _): InputPartition).toArray
+    override def planInputPartitions(): Array[InputPartition] = {
+      val pages = PageFeed.cursorWalk(path,
+        PageFeed.instantiateFetcher(fetcherClass), attempts)
+      (0L until pages)
+        .map(PagePartition(path, _, fetcherClass, attempts): InputPartition).toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PageFeedMicroBatchStream(path)
+    new PageFeedMicroBatchStream(path, fetcherClass, attempts)
 }
 
 /** Offset = number of pages fully consumed (the cursor). */
@@ -100,28 +176,36 @@ case class PageOffset(pages: Long) extends Offset {
   override def json(): String = pages.toString
 }
 
-class PageFeedMicroBatchStream(path: String) extends MicroBatchStream {
+class PageFeedMicroBatchStream(path: String, fetcherClass: String, attempts: Int)
+    extends MicroBatchStream {
   override def initialOffset(): Offset = PageOffset(0L)
-  override def latestOffset(): Offset = PageOffset(PageFeed.pagesAvailable(path))
+  override def latestOffset(): Offset = PageOffset(
+    PageFeed.cursorWalk(path, PageFeed.instantiateFetcher(fetcherClass), attempts))
   override def deserializeOffset(json: String): Offset = PageOffset(json.trim.toLong)
-  override def commit(end: Offset): Unit = () // files are the durable feed
+  override def commit(end: Offset): Unit = () // the feed itself is durable
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageOffset].pages
     val e = end.asInstanceOf[PageOffset].pages
-    (s until e).map(PagePartition(path, _): InputPartition).toArray
+    (s until e).map(PagePartition(path, _, fetcherClass, attempts): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory
 }
 
-case class PagePartition(path: String, page: Long) extends InputPartition
+case class PagePartition(path: String, page: Long,
+                         fetcherClass: String, attempts: Int) extends InputPartition
 
 object PageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PagePartition]
     new PartitionReader[InternalRow] {
       private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      private val data = mapper.readTree(PageFeed.pageFile(p.path, p.page)).get("data")
+      // the fetch goes through the injected fetcher with bounded retry —
+      // a page that vanished between planning and read yields 0 rows
+      // rather than a task failure
+      private val data = PageFeed.fetchWithRetry(
+          PageFeed.instantiateFetcher(p.fetcherClass), p.path, p.page, p.attempts)
+        .map(bytes => mapper.readTree(bytes).get("data")).orNull
       private var i = -1
       override def next(): Boolean = { i += 1; data != null && i < data.size() }
       override def get(): InternalRow = {

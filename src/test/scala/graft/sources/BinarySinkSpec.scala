@@ -14,6 +14,13 @@ object FlakyIo {
   }
 }
 
+/** Records every sleep request instead of sleeping (per-JVM static, fine in
+  * local mode). */
+object SleepRecorder {
+  val sleeps = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  val record: Long => Unit = ms => { sleeps.add(ms); () }
+}
+
 class BinarySinkSpec extends SparkSpec {
   import BinarySink._
 
@@ -46,6 +53,36 @@ class BinarySinkSpec extends SparkSpec {
     assert(res.length === 1)
     assert(!res(0).ok && res(0).attempts === 3)
     assert(res(0).error.contains("injected"))
+  }
+
+  test("politeness throttle: one jittered inter-request sleep per item in [min,max], asserted without sleeping") {
+    import spark.implicits._
+    FlakyIo.calls.clear()
+    SleepRecorder.sleeps.clear()
+    val polite = RetryPolicy(maxAttempts = 1,
+      politenessMinMs = 1000L, politenessMaxMs = 6000L,
+      sleeper = SleepRecorder.record)
+    val items = spark.createDataset(
+      (0 until 20).map(i => (s"p$i.bin", Array[Byte](1)))).repartition(2)
+    val res = writeWithRetry(items, FlakyIo.failing(0), polite).collect()
+    assert(res.forall(_.ok))
+    val slept = {
+      import scala.jdk.CollectionConverters._
+      SleepRecorder.sleeps.asScala.map(_.longValue).toSeq
+    }
+    assert(slept.length === 20)               // exactly one throttle per request
+    assert(slept.forall(ms => ms >= 1000L && ms <= 6000L)) // reference SLEEP_RANGE=(1,6)
+    assert(slept.distinct.length > 1)         // jittered, not a fixed cadence
+  }
+
+  test("politeness off by default: successful writes schedule no sleeps") {
+    import spark.implicits._
+    FlakyIo.calls.clear()
+    SleepRecorder.sleeps.clear()
+    val policy = RetryPolicy(sleeper = SleepRecorder.record)
+    val items = spark.createDataset(Seq(("q.bin", Array[Byte](1))))
+    val res = writeWithRetry(items, FlakyIo.failing(0), policy).collect()
+    assert(res.forall(_.ok) && SleepRecorder.sleeps.isEmpty)
   }
 
   test("localFileIo writes real files; report matches payload sizes") {

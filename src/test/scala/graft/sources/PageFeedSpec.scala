@@ -1,8 +1,33 @@
 package graft.sources
 
 import graft.SparkSpec
-import graft.sources.pagefeed.{PageFeed, PageFeedProvider}
+import graft.sources.pagefeed.{FileFetcher, PageFeed, PageFeedProvider, PageFetcher}
 import org.apache.spark.sql.functions._
+
+/** Fault-injecting fetcher: pages listed in `failuresLeft` throw that many
+  * times before succeeding (local-mode tests share one JVM, so companion
+  * state is visible to reader instances). No-arg constructible — the class
+  * name travels through the DSv2 option. */
+object FlakyFetcher {
+  val failuresLeft = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Integer]()
+  val attempts = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Integer]()
+  def reset(failures: Map[Long, Int]): Unit = {
+    failuresLeft.clear(); attempts.clear()
+    failures.foreach { case (p, n) => failuresLeft.put(p, n) }
+  }
+}
+class FlakyFetcher extends PageFetcher {
+  private val inner = new FileFetcher
+  override def fetch(path: String, page: Long): Option[Array[Byte]] = {
+    FlakyFetcher.attempts.merge(page, 1, (a, b) => a + b)
+    val left = FlakyFetcher.failuresLeft.getOrDefault(page, 0)
+    if (left > 0) {
+      FlakyFetcher.failuresLeft.put(page, left - 1)
+      throw new java.io.IOException(s"transient fetch failure, page $page")
+    }
+    inner.fetch(path, page)
+  }
+}
 
 class PageFeedSpec extends SparkSpec {
 
@@ -29,6 +54,64 @@ class PageFeedSpec extends SparkSpec {
     assert(PageFeed.pagesAvailable(dir) === 1L)
   }
 
+  test("pluggable fetcher: transient fetch failures are retried, result complete") {
+    val dir = feedDir()
+    PageFeed.writePage(dir, 0L, Seq((1L, 10L, "click", 1.0)), hasNext = true)
+    PageFeed.writePage(dir, 1L, Seq((2L, 11L, "view", 2.0)), hasNext = false)
+    FlakyFetcher.reset(Map(1L -> 1)) // page 1 fails once, then recovers
+    val df = spark.read.format(fmt).option("path", dir)
+      .option(PageFeed.fetcherOpt, classOf[FlakyFetcher].getName)
+      .option(PageFeed.attemptsOpt, "3").load()
+    assert(df.select("event_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // page 1 was fetched more than once (cursor walk + reader, with ≥1 retry)
+    assert(FlakyFetcher.attempts.get(1L) >= 2)
+  }
+
+  test("pluggable fetcher: a fault outliving the retry budget is an error, not silence") {
+    val dir = feedDir()
+    PageFeed.writePage(dir, 0L, Seq((1L, 10L, "click", 1.0)), hasNext = false)
+    FlakyFetcher.reset(Map(0L -> 100)) // page 0 fails far beyond the budget
+    val df = spark.read.format(fmt).option("path", dir)
+      .option(PageFeed.fetcherOpt, classOf[FlakyFetcher].getName)
+      .option(PageFeed.attemptsOpt, "2").load()
+    val e = intercept[Exception](df.count())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).map(String.valueOf(_).toLowerCase).exists(_.contains("transient fetch failure")))
+  }
+
+  test("stream with flaky fetcher: failed micro-batch resumes from the checkpointed cursor once the endpoint recovers") {
+    val dir = feedDir()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pf-flaky-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-pf-flaky-out").toString
+    PageFeed.writePage(dir, 0L, Seq((1L, 10L, "click", 1.0)), hasNext = true)
+    PageFeed.writePage(dir, 1L, Seq((2L, 11L, "view", 2.0)), hasNext = false)
+
+    def startQuery() = spark.readStream.format(fmt).option("path", dir)
+      .option(PageFeed.fetcherOpt, classOf[FlakyFetcher].getName)
+      .option(PageFeed.attemptsOpt, "2").load()
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    def written() = spark.read.parquet(out).select("event_id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+
+    // endpoint is down hard for page 1: the stream fails mid-feed
+    FlakyFetcher.reset(Map(1L -> 100))
+    val q1 = startQuery()
+    intercept[Exception](q1.processAllAvailable())
+    q1.stop()
+
+    // endpoint recovers: restart resumes from the checkpoint and the feed
+    // completes exactly-once (page 0 not re-emitted twice)
+    FlakyFetcher.reset(Map.empty)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(written() === Seq(1L, 2L))
+  }
+
   test("micro-batch stream: cursor offset advances per page; checkpoint resumes, no reprocessing") {
     val dir = feedDir()
     val ckpt = java.nio.file.Files.createTempDirectory("graft-pf-ckpt").toString
@@ -48,7 +131,10 @@ class PageFeedSpec extends SparkSpec {
     q1.processAllAvailable()
     assert(written() === Seq(1L))
 
-    PageFeed.writePage(dir, 1L, Seq((2L, 11L, "view", 2.0)), hasNext = false)
+    // hasNext=true keeps the cursor chain open — a page whose next_token
+    // is null ENDS the feed (reference stop condition), and later pages
+    // would be unreachable
+    PageFeed.writePage(dir, 1L, Seq((2L, 11L, "view", 2.0)), hasNext = true)
     q1.processAllAvailable()
     assert(written() === Seq(1L, 2L))
     q1.stop()
