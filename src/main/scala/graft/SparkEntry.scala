@@ -30,6 +30,7 @@ object SparkEntry {
   private val blockCap = 20
 
   private val kwContains = Seq("spark", "window", "stream")
+  private val kwComments = Seq("query", "merge", "batch")
   private val kwRegex = Seq("merge-join", "vector", "batch")
   private val kwTerms = Seq("spark", "vector", "window")
   /** Wide keyword set for the Aho–Corasick scan (q40) — the many-terms
@@ -96,6 +97,10 @@ object SparkEntry {
     "q42_ann_batch_topk" -> ((s, d) => AnnSearch.batchTopK(s, d)),
     "q43_media_corpus" -> ((s, d) => HtmlArticles.mediaCorpus(s, d)),
     "q44_suppliers_by_nation" -> ((s, d) => Relational.suppliersByNation(s, d)),
+    // — round-3 reference-parity closers —
+    "q45_url_strip_dedup" -> ((s, d) => DedupOps.urlStripDedup(s, d)),
+    "q46_csv_header" -> ((s, d) => graft.sources.CsvRoundTrip.csvHeaderRoundTrip(s, d)),
+    "q47_comments_filter" -> ((s, d) => IngestPipelines.commentsFilter(s, d, kwComments)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -588,6 +593,42 @@ object SparkEntry {
     "q40_multi_keyword" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE ${kwWide.map(k => s"lower(text) LIKE '%$k%'").mkString("\n   OR ")}
+         |ORDER BY doc_id""".stripMargin,
+
+    // the two copies collide ONLY after the URL strip (different tracking
+    // URL per copy) — the regexp_replace composition is what's under test
+    "q45_url_strip_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, source AS title,
+        |    coalesce(text, '') || ' see https://a.example/'
+        |      || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source,
+        |    coalesce(text, '') || ' see https://b.example/'
+        |      || CAST(doc_id AS VARCHAR)
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id,
+        |    md5(title || chr(10)
+        |      || regexp_replace(text, 'https?://\S+', '', 'g')) AS dedup_key
+        |  FROM c)
+        |SELECT min(doc_id) AS keep_doc_id, dedup_key, count(*) AS n_copies
+        |FROM k GROUP BY dedup_key ORDER BY keep_doc_id""".stripMargin,
+
+    // round trip through a header CSV must reproduce the parquet rows
+    "q46_csv_header" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q47_comments_filter" ->
+      s"""SELECT doc_id, coalesce(lang, '') AS lang,
+         |  coalesce(source, '') AS source, n_chars,
+         |  CAST(length(coalesce(text, '')) AS BIGINT) AS body_len,
+         |  substr(coalesce(text, ''), 1, 40) AS snippet,
+         |  md5(coalesce(text, '')) AS body_md5
+         |FROM documents
+         |WHERE ${kwComments.map(k => s"lower(text) LIKE '%$k%'").mkString(" OR ")}
          |ORDER BY doc_id""".stripMargin,
 
     // salting changes only shuffle routing, never results → plain join SQL

@@ -99,6 +99,30 @@ object DedupOps {
       .orderBy($"a", $"b")
   }
 
+  /** Reference-exact D1 dedup key: `title + "\n" + text-with-URLs-stripped`
+    * (`parser_media_articles.py:83–84`). The corpus pairs every document
+    * with a copy whose text carries a DIFFERENT tracking URL, so the two
+    * copies collide ONLY after the `regexp_replace` URL strip — the strip
+    * is load-bearing, not decorative. Same one-shuffle group-by-key shape
+    * as [[exactDedup]]; title analog = `source` (shared by both copies). */
+  def urlStripDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    def copy(urlHost: String, shift: Long) = docs.select(
+      ($"doc_id" + shift).as("doc_id"),
+      $"source".as("title"),
+      concat(coalesce($"text", lit("")),
+        lit(s" see https://$urlHost/"), $"doc_id").as("text"))
+    copy("a.example", 0L).unionByName(copy("b.example", dupOffset))
+      .select($"doc_id",
+        md5(concat($"title", lit("\n"),
+          regexp_replace($"text", "https?://\\S+", ""))).as("dedup_key"))
+      .groupBy($"dedup_key")
+      .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_doc_id", $"dedup_key", $"n_copies")
+      .orderBy($"keep_doc_id")
+  }
+
   /** MinHash + LSH banding near-dup: `perms` hash permutations → signature;
     * `bands` bands of `rows` values; candidate pairs share a band; verified
     * with estimated Jaccard = fraction of matching minhash coordinates ≥

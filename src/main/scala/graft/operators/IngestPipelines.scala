@@ -78,6 +78,30 @@ object IngestPipelines {
       .orderBy($"doc_id")
   }
 
+  /** Comments-pipeline variant (`reddit_comm_extraction.py:52–57`): the
+    * keyword match runs on the BODY alone (comments have no title to fall
+    * back to, unlike the submissions pipeline's title+selftext match) and
+    * the projection is the comment record's 7 fixed fields with
+    * missing→"" defaults. Body analog = `documents.text`. */
+  def commentsFilter(spark: SparkSession, dir: String, keywords: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val body = coalesce($"text", lit(""))
+    val pred = keywords
+      .map(k => contains(lower($"text"), lit(k.toLowerCase)))
+      .reduce(_ || _)
+    Tables.documents(spark, dir)
+      .filter(pred)
+      .select(
+        $"doc_id",
+        coalesce($"lang", lit("")).as("lang"),
+        coalesce($"source", lit("")).as("source"),
+        $"n_chars",
+        length(body).cast("long").as("body_len"),
+        substring(body, 1, 40).as("snippet"),
+        md5(body).as("body_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** P5 regex word-boundary keyword filter (`parser_media_articles.py:73–76,85`):
     * case-insensitive `\b(k1|k2|…)\b` with the reference's hyphen→space
     * variant expansion (`:75`), counted per language. */

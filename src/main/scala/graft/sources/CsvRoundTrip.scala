@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** K1/S2: CSV sink WITH HEADER + scan-back (`reddit_subm_extraction.py:
+  * 74–76` appends to `submissions.csv` writing the header on first
+  * create; `tweet_download.py:56–59` reads reference CSVs). Spark-first
+  * both ways: the built-in csv source handles quoting/escapes/nulls; the
+  * header line is the schema-on-read contract.
+  */
+object CsvRoundTrip {
+
+  /** Declared query: project `events`, write CSV with `header=true`, read
+    * it back with `header=true` and NO explicit schema — the column NAMES
+    * in the result come from the header line itself (absent the header
+    * they would be `_c0…` and the projection below would fail), which is
+    * what makes this a real K1 round trip rather than a skipped line. */
+  def csvHeaderRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-csv-${TmpNonce.value}-${dir.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        round($"value", 2).as("value"))
+      .write.mode("overwrite").option("header", true).csv(out)
+    spark.read.option("header", true).csv(out)
+      .select(
+        $"event_id".cast("long").as("event_id"),
+        $"user_id".cast("long").as("user_id"),
+        $"event_type",
+        $"value".cast("double").as("value"))
+      .orderBy($"event_id")
+  }
+}

@@ -52,6 +52,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("urlStripDedup: copies collide only via the URL strip; every doc has exactly 2") {
+    import spark.implicits._
+    val nDocs = Tables.documents(spark, sf).count()
+    val out = DedupOps.urlStripDedup(spark, sf)
+    val rows = out.collect()
+    // the two copies carry DIFFERENT urls, so n_copies==2 proves the strip ran
+    assert(rows.length.toLong === nDocs)
+    rows.foreach(r => assert(r.getAs[Long]("n_copies") === 2L))
+    // sanity: withOUT the strip the raw keys differ — no group reaches 2
+    val docs = Tables.documents(spark, sf)
+    def copy(host: String, shift: Long) = docs.select(
+      ($"doc_id" + shift).as("doc_id"), $"source".as("title"),
+      concat(coalesce($"text", lit("")), lit(s" see https://$host/"), $"doc_id").as("text"))
+    val unstripped = copy("a.example", 0L).unionByName(copy("b.example", 100000L))
+      .groupBy(md5(concat($"title", lit("\n"), $"text")))
+      .agg(count(lit(1)).as("n")).filter($"n" > 1).count()
+    assert(unstripped === 0L)
+  }
+
   test("near-dup detection: a one-token edit is still caught by minhash blocking") {
     import spark.implicits._
     // 20-token doc and a copy differing in one token → jaccard ≈ 16/20 of shingles

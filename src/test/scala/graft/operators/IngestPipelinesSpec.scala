@@ -69,6 +69,23 @@ class IngestPipelinesSpec extends SparkSpec {
     assert(total === expected)
   }
 
+  test("commentsFilter: body-only match, 7-field projection with defaults") {
+    import spark.implicits._
+    val kws = Seq("query", "merge", "batch")
+    val out = IngestPipelines.commentsFilter(spark, sf, kws)
+    assert(out.columns.toSeq === Seq(
+      "doc_id", "lang", "source", "n_chars", "body_len", "snippet", "body_md5"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val matched = Tables.documents(spark, sf)
+      .filter(kws.map(k => contains(lower($"text"), lit(k))).reduce(_ || _)).count()
+    assert(rows.length.toLong === matched)
+    rows.foreach { r =>
+      assert(r.getAs[String]("snippet").length <= 40)
+      assert(r.getAs[Long]("body_len") >= r.getAs[String]("snippet").length.toLong)
+    }
+  }
+
   test("stringShapePredicates: each row satisfies suffix-regex OR contains") {
     val out = IngestPipelines.stringShapePredicates(spark, sf).collect()
     assert(out.nonEmpty)
