@@ -71,6 +71,43 @@ class DedupSpec extends SparkSpec {
     assert(unstripped === 0L)
   }
 
+  test("recall property: LSH banding finds ≥90% of true near-dup pairs across Jaccard levels and seeds") {
+    import spark.implicits._
+    // Generated corpora sweeping the Jaccard spectrum: 40 base docs of 30
+    // tokens each; the paired copy replaces e ∈ {0,1,2,4} spread-out tokens
+    // (each edit kills ≤3 of ~28 3-shingles → pair Jaccard ≈ 1.0 / 0.8 /
+    // 0.65 / 0.45). Ground truth = exact ngramJaccardPairs (cap disabled);
+    // the property bounds the LSH candidate-generation false-negative rate
+    // on the comfortably-above-threshold pairs. Deterministic per seed
+    // (seedless hash family), so this is a regression pin, not a flake.
+    for (seed <- Seq(7L, 23L)) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0 until 40).flatMap { i =>
+        val base = Vector.fill(30)(s"w${rng.nextInt(5000)}")
+        val e = Seq(0, 1, 2, 4)(i % 4)
+        val editPos = Seq(2, 9, 16, 23).take(e)
+        val edited = editPos.foldLeft(base)((b, p) => b.updated(p, s"X${p}_$i"))
+        Seq((i.toLong, base.mkString(" "), "en", "gen", 1L),
+            (i + 1000L, edited.mkString(" "), "en", "gen", 1L))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-recall-$seed").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+      val truth = DedupOps.ngramJaccardPairs(spark, tmp,
+          threshold = 0.7, maxBlock = Int.MaxValue).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+      val lsh = DedupOps.minHashLshPairs(spark, tmp, threshold = 0.5).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+
+      assert(truth.nonEmpty)
+      val found = truth.intersect(lsh).size.toDouble / truth.size
+      assert(found >= 0.9,
+        s"seed=$seed: LSH recall $found over ${truth.size} true pairs (≥0.7 Jaccard)")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("near-dup detection: a one-token edit is still caught by minhash blocking") {
     import spark.implicits._
     // 20-token doc and a copy differing in one token → jaccard ≈ 16/20 of shingles
