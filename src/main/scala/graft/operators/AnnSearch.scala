@@ -153,11 +153,16 @@ object AnnSearch {
     // just the dot product, and 16 planes keep buckets near-singleton so
     // the pair count stays ~n instead of n²/buckets.
     val base = Tables.embeddings(spark, dir)
+    // cache() is an optimization BARRIER (same rationale as
+    // DedupOps.ngramJaccardPairs): without it the 2^bits-plane bucket
+    // expression and the norm are recomputed in all four consumers (both
+    // self-join sides + the guard aggregation under each)
     val bucketed = base
       .unionByName(base.withColumn("vec_id", $"vec_id" + 100000L))
       .select($"vec_id", $"embedding",
         signLshBucket($"embedding", bits).as("bucket"),
         norm($"embedding").as("nrm"))
+      .cache()
     // Bucket-size guard via groupBy + join, NOT a count-over-window: the
     // window formulation shuffles the entire degenerate bucket into ONE
     // window task before dropping it — the guard itself becomes the skew

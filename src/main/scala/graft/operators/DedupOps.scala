@@ -44,16 +44,30 @@ object DedupOps {
       .orderBy($"keep_doc_id")
   }
 
-  /** Per-doc DISTINCT shingle ARRAY — no explode: the shingle set rides
-    * along as one array column, so downstream set math (min-hash block key,
-    * intersection) is per-row expression work instead of a multi-million-row
-    * shuffle. At 100 TB the only shuffles left in the jaccard path are the
-    * block-size count and the candidate self-join. */
+  /** Per-doc DISTINCT shingle ARRAY over the BASE corpus — no explode: the
+    * shingle set rides along as one array column, so downstream set math
+    * (min-hash block key, intersection) is per-row expression work instead
+    * of a multi-million-row shuffle. At 100 TB the only shuffles left in
+    * the jaccard path are the block-size count and the candidate self-join.
+    *
+    * Returns the base docs only: callers derive their per-doc columns,
+    * cache, and THEN apply [[withDupCopies]], so the expensive
+    * tokenize→shingle→hash pass runs once per unique text rather than once
+    * per corpus copy. */
   private def shingleArrays(spark: SparkSession, dir: String, n: Int): DataFrame = {
     import spark.implicits._
-    dupCorpus(spark, dir)
+    Tables.documents(spark, dir)
       .select($"doc_id", array_distinct(wordShingles(tokens($"text"), n)).as("arr"))
       .filter(size($"arr") > 0)
+  }
+
+  /** The dupCorpus id-shift applied AFTER per-doc derivations: copies are
+    * cheap projections over the (cached) derived relation, since every
+    * text-derived column is identical for both copies by construction. */
+  private def withDupCopies(derived: DataFrame): DataFrame = {
+    val shifted = derived.withColumn("doc_id",
+      org.apache.spark.sql.functions.col("doc_id") + dupOffset)
+    derived.unionByName(shifted)
   }
 
   /** Exact n-gram Jaccard near-dup with single-minhash blocking.
@@ -71,11 +85,12 @@ object DedupOps {
     // cache() is a deliberate optimization BARRIER, not just reuse: without
     // it CollapseProject inlines the expensive `arr` expression (tokenize →
     // shingle → distinct) into every downstream reference and both
-    // self-join sides, recomputing it many times per row.
-    val docs = shingleArrays(spark, dir, n)
+    // self-join sides, recomputing it many times per row. The dup copies
+    // are projected over the cache, so shingling runs once per unique text.
+    val docs = withDupCopies(shingleArrays(spark, dir, n)
       .select($"doc_id", $"arr", size($"arr").as("n_sh"),
         array_min(transform($"arr", sh => md5(sh))).as("bk"))
-      .cache()
+      .cache())
     // Block-size guard via groupBy + join, NOT a count-over-window: the
     // window would funnel a degenerate block through one window task
     // (O(block) rows on one executor) before dropping it; groupBy is
@@ -144,11 +159,12 @@ object DedupOps {
     // cache() is an optimization barrier: without it CollapseProject
     // inlines the signature expression into each band-key projection and
     // both self-join sides. The cached relation is (doc_id, 32×8B) — tiny
-    // relative to the corpus, so the barrier also holds at cluster scale.
-    val sig = shingleArrays(spark, dir, shingleN)
+    // relative to the corpus, so the barrier also holds at cluster scale;
+    // the dup copies are projected over it, so each text is hashed once.
+    val sig = withDupCopies(shingleArrays(spark, dir, shingleN)
       .select($"doc_id",
         graft.functions.native.minHashSig($"arr", perms).as("sig"))
-      .cache()
+      .cache())
     val banded = sig.select($"doc_id", $"sig",
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
