@@ -31,6 +31,12 @@ object SparkEntry {
 
   private val kwContains = Seq("spark", "window", "stream")
   private val kwComments = Seq("query", "merge", "batch")
+
+  /** q49 mixing weights rendered as SQL, from the same constants the Spark
+    * side uses — rate-table edits cannot silently diverge from the oracle. */
+  private val sampleRateCase = "CASE " +
+    CorpusOps.defaultRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r " }.mkString +
+    s"ELSE ${CorpusOps.defaultRate} END"
   private val kwRegex = Seq("merge-join", "vector", "batch")
   private val kwTerms = Seq("spark", "vector", "window")
   /** Wide keyword set for the Aho–Corasick scan (q40) — the many-terms
@@ -101,6 +107,10 @@ object SparkEntry {
     "q45_url_strip_dedup" -> ((s, d) => DedupOps.urlStripDedup(s, d)),
     "q46_csv_header" -> ((s, d) => graft.sources.CsvRoundTrip.csvHeaderRoundTrip(s, d)),
     "q47_comments_filter" -> ((s, d) => IngestPipelines.commentsFilter(s, d, kwComments)),
+    // — corpus-construction suite (cluster collapse, mixing, weighting) —
+    "q48_dedup_clusters" -> ((s, d) => Components.dedupClusters(s, d)),
+    "q49_stratified_sample" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
+    "q50_tfidf_topterms" -> ((s, d) => CorpusOps.tfIdfTopTerms(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -630,6 +640,53 @@ object SparkEntry {
          |FROM documents
          |WHERE ${kwComments.map(k => s"lower(text) LIKE '%$k%'").mkString(" OR ")}
          |ORDER BY doc_id""".stripMargin,
+
+    // transitive closure via recursive CTE — min reachable id per node,
+    // seeded with every doc so singletons are their own component
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id AS a, a.doc_id + 1 AS b
+        |  FROM ids a JOIN ids b2 ON b2.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 5 <> 4),
+        |sym AS (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM ids
+        |  UNION
+        |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+        |SELECT i.doc_id, c.component, cnt.cluster_size
+        |FROM ids i
+        |JOIN comp c ON c.node = i.doc_id
+        |JOIN (SELECT component, count(*) AS cluster_size
+        |      FROM comp GROUP BY component) cnt USING (component)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q49_stratified_sample" ->
+      s"""SELECT doc_id, lang,
+         |  ${h32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |  CAST($sampleRateCase AS BIGINT) AS rate
+         |FROM documents
+         |WHERE ${h32("CAST(doc_id AS VARCHAR)")} % 100 < $sampleRateCase
+         |ORDER BY doc_id""".stripMargin,
+
+    "q50_tfidf_topterms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         |s AS (
+         |  SELECT doc_id, term, tf, df,
+         |    round(tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+         |  FROM tf JOIN df USING (term), n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS BIGINT) AS rk FROM s)
+         |SELECT doc_id, rk, term, tf, df, tfidf FROM r
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     // salting changes only shuffle routing, never results → plain join SQL
     "q38_salted_join" ->

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Connected components over a near-dup pair graph — the step that turns
+  * PAIRS (q19/q20/q24 output) into dedup CLUSTERS with one keeper each.
+  * Pairwise output alone under-deletes: A~B and B~C often come from
+  * different blocks with no direct A~C pair, yet all three are one
+  * duplicate cluster. Training-corpus dedup keeps min(id) per component.
+  *
+  * Implementation is iterative min-label propagation on the symmetrized
+  * edge list: `label(n) ← min(label(n), min over neighbors label(m))`,
+  * repeated until a fixpoint (checked with one tiny aggregate per round,
+  * not a collect). Each round is one shuffle keyed by node id — the
+  * standard open-source MapReduce CC shape. Rounds needed = graph
+  * diameter; for the log-round variant at extreme diameters use
+  * large-star/small-star contraction, and at cluster scale truncate
+  * lineage (checkpoint) every few rounds — here the per-round cache()
+  * serves that role.
+  */
+object Components {
+
+  /** Min-label propagation. `edges` has columns (a, b); result is
+    * (node, component) where component = min node id reachable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // symmetrize once; propagation then only needs one join direction
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
+      .cache()
+    var labels = sym.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("component"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = sym
+        .join(labels, $"src" === $"node")
+        .select($"dst".as("node"), $"component")
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy($"node")
+        .agg(min($"component").as("component"))
+        .cache()
+      // fixpoint test: one count aggregate over the (node-sized) label
+      // relations — no data ever reaches the driver
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .filter($"component" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
+  /** Declared query: collapse a synthetic near-dup CHAIN graph over
+    * `documents` into clusters. Edges link doc i → i+1 within groups of 5
+    * (i % 5 ≠ 4), so components require genuine transitive closure —
+    * 0~1~2~3~4 has no direct 0~4 edge, exactly the shape real near-dup
+    * pair output takes across blocks. Output: every doc, its component
+    * representative (the keeper), and the cluster size. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id")
+    val edges = docs
+      .filter($"doc_id" % 5 =!= 4)
+      .select($"doc_id".as("a"), ($"doc_id" + 1).as("b"))
+      .join(docs.select($"doc_id".as("b")), "b") // only ids actually present
+      .select($"a", $"b")
+    val comps = connectedComponents(edges)
+    // singletons (docs with no edge) are their own component
+    val all = docs.join(comps, docs("doc_id") === comps("node"), "left")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("component"))
+    all.join(
+        all.groupBy($"component").agg(count(lit(1)).as("cluster_size")),
+        "component")
+      .select($"doc_id", $"component", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+}

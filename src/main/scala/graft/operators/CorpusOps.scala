@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-construction operators a training-data pipeline runs after
+  * filtering/dedup: deterministic stratified sampling (data mixing) and
+  * TF-IDF term weighting. Both are pure one-or-two-shuffle shapes with
+  * every per-row computation shared bit-for-bit with the DuckDB oracle
+  * (md5-derived hashing, pinned rounding).
+  */
+object CorpusOps {
+
+  /** Per-language mixing weights: keep-rate percent by lang, with a
+    * default for unlisted languages. The weights live in a broadcast
+    * lookup relation — the idiomatic shape for a mixing config that an
+    * experimenter edits, rather than a baked-in CASE expression. */
+  val defaultRates: Seq[(String, Int)] = Seq("en" -> 50, "de" -> 30)
+  val defaultRate: Int = 10
+
+  /** Deterministic stratified sample: doc is kept iff
+    * `md5_32(doc_id) % 100 < rate(lang)`. Hash-based (not `rand()`) so the
+    * sample is REPRODUCIBLE row-for-row across runs, engines, and
+    * re-partitioning — resampling with a changed rate table keeps maximal
+    * row overlap (nested samples), which is what makes ablation corpora
+    * comparable. One broadcast join, no shuffle of the corpus. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       rates: Seq[(String, Int)] = defaultRates,
+                       default: Int = defaultRate): DataFrame = {
+    import spark.implicits._
+    val rateTable = rates.toDF("lang", "rate")
+    Tables.documents(spark, dir)
+      .join(broadcast(rateTable), Seq("lang"), "left")
+      .withColumn("rate", coalesce($"rate", lit(default)))
+      .withColumn("bucket", pmod(md5Hash32($"doc_id".cast("string")), lit(100)))
+      .filter($"bucket" < $"rate")
+      .select($"doc_id", $"lang", $"bucket", $"rate".cast("long").as("rate"))
+      .orderBy($"doc_id")
+  }
+
+  /** TF-IDF top-terms per document: tf from one explode+groupBy, document
+    * frequency from a distinct groupBy over the same tokens, idf =
+    * ln(N/df). The per-doc top-3 window is bounded by per-doc vocabulary
+    * (never corpus-wide); the df relation is O(vocabulary) and broadcasts.
+    * Rounding to 4 decimals is shared with the oracle so libm ulp
+    * differences cannot flip the hash. */
+  def tfIdfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.select(countDistinct($"doc_id").as("n"))
+    val toks = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = toks.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round($"tf" * log($"n".cast("double") / $"df".cast("double")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"doc_id", $"rk".cast("long").as("rk"), $"term", $"tf", $"df", $"tfidf")
+      .orderBy($"doc_id", $"rk")
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: transitive closure across chains, no direct edge needed") {
+    // 0-1-2-3 chain plus isolated pair 10-11: component = min reachable id
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Components.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: converges on a cycle and respects maxIter budget") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val got = Components.connectedComponents(cycle, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("dedupClusters: every doc labeled; chain groups of 5 collapse to min-id keeper") {
+    val out = Components.dedupClusters(spark, sf).collect()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(out.length.toLong === n)
+    out.foreach { r =>
+      val (id, comp, size) =
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("component"), r.getAs[Long]("cluster_size"))
+      assert(comp === (id / 5) * 5) // keeper = smallest id in the 5-group
+      assert(size >= 1L && size <= 5L)
+    }
+  }
+}
