@@ -20,28 +20,43 @@ object Bench {
   /** Run `queries` against `sfDir`, return the one-line result JSON.
     * Separated from `main` so the failure-transparency contract is
     * unit-testable: a throwing query must surface as `ok:false` with its
-    * error, and must still not abort the remaining queries. */
+    * error, and must still not abort the remaining queries.
+    *
+    * Each query runs `reps` times (SPARK_GRAFT_BENCH_REPS, default 2) and
+    * reports the MIN — two rounds of phantom "regressions" traced to
+    * single-shot timing noise motivated this; the per-rep times are kept
+    * in `health.<q>.secs` so the spread itself is visible. */
   def run(spark: SparkSession, sfDir: String,
           queries: Map[String, (SparkSession, String) => DataFrame] =
-            SparkEntry.queries): String = {
+            SparkEntry.queries,
+          reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt): String = {
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      val runs = (1 to math.max(1, reps)).map { _ =>
+        // drop data caches between reps: CacheManager matches rebuilt
+        // identical plans, so without this a repeat of a cache-using query
+        // (q19/q20/q24) measures warm-cache reads — not comparable to the
+        // single-shot baseline. Reps isolate JIT/scheduler noise only.
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, runs.map(_._1), runs.flatMap(_._2).headOption)
     }
-    val qs = results.map { case (k, sec, _) => s"${jstr(k)}:$sec" }
+    val qs = results.map { case (k, secs, _) => s"${jstr(k)}:${secs.min}" }
       .mkString("{", ",", "}")
-    val health = results.map { case (k, sec, err) =>
-      s"${jstr(k)}:{" + s""""sec":$sec,"ok":${err.isEmpty},"err":""" +
-        err.map(jstr).getOrElse("null") + "}"
+    val health = results.map { case (k, secs, err) =>
+      s"${jstr(k)}:{" + s""""sec":${secs.min},"ok":${err.isEmpty},"err":""" +
+        err.map(jstr).getOrElse("null") +
+        s""","secs":${secs.mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.min).sum
     val nFailed = results.count(_._3.nonEmpty)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"health":$health,"n_failed":$nFailed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"health":$health,"n_failed":$nFailed,"reps":${math.max(1, reps)},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

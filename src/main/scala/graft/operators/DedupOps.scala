@@ -87,9 +87,19 @@ object DedupOps {
     // shingle → distinct) into every downstream reference and both
     // self-join sides, recomputing it many times per row. The dup copies
     // are projected over the cache, so shingling runs once per unique text.
+    //
+    // The shingle STRINGS never leave this projection: the self-join below
+    // shuffles 64-bit shingle hashes (`harr`), an order-of-magnitude
+    // lighter exchange payload than md5-string arrays. Intersection counts
+    // over distinct-element hash sets equal the string counts unless two
+    // distinct shingles of one doc pair collide in 64 bits (~1e-16 at
+    // document scale; a collision would surface as an oracle hash
+    // mismatch, not silence).
     val docs = withDupCopies(shingleArrays(spark, dir, n)
-      .select($"doc_id", $"arr", size($"arr").as("n_sh"),
-        array_min(transform($"arr", sh => md5(sh))).as("bk"))
+      .select($"doc_id",
+        size($"arr").as("n_sh"),
+        array_min(transform($"arr", sh => md5(sh))).as("bk"),
+        transform($"arr", sh => xxhash64(sh)).as("harr"))
       .cache())
     // Block-size guard via groupBy + join, NOT a count-over-window: the
     // window would funnel a degenerate block through one window task
@@ -104,7 +114,7 @@ object DedupOps {
     blocks.as("x").join(blocks.as("y"),
         $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
-        size(array_intersect($"x.arr", $"y.arr")).cast("long").as("n_inter"),
+        size(array_intersect($"x.harr", $"y.harr")).cast("long").as("n_inter"),
         $"x.n_sh".as("na"), $"y.n_sh".as("nb"))
       .withColumn("jaccard",
         round($"n_inter".cast("double") /

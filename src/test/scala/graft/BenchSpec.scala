@@ -33,6 +33,7 @@ class BenchSpec extends SparkSpec {
     assert(json.startsWith("""{"metric":"total","value":"""))
     assert(json.contains(""""queries":{"a_ok":"""))
     assert(json.contains(""""health":{"a_ok":{"sec":"""))
+    assert(json.contains(""""secs":[""")) // per-rep spread is visible
     assert(json.endsWith(s""""sf":"$sf"}"""))
   }
 }
