@@ -111,6 +111,8 @@ object SparkEntry {
     "q48_dedup_clusters" -> ((s, d) => Components.dedupClusters(s, d)),
     "q49_stratified_sample" -> ((s, d) => CorpusOps.stratifiedSample(s, d)),
     "q50_tfidf_topterms" -> ((s, d) => CorpusOps.tfIdfTopTerms(s, d)),
+    "q51_label_centroids" -> ((s, d) => AnnSearch.centroidsByLabel(s, d)),
+    "q52_corpus_stats" -> ((s, d) => CorpusOps.corpusStats(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -687,6 +689,23 @@ object SparkEntry {
          |    ORDER BY tfidf DESC, term) AS BIGINT) AS rk FROM s)
          |SELECT doc_id, rk, term, tf, df, tfidf FROM r
          |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q51_label_centroids" ->
+      """WITH u AS (
+        |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'dim': CAST(i AS BIGINT),
+        |          'v': CAST(embedding[i] AS DOUBLE)})) AS e
+        |  FROM embeddings)
+        |SELECT label, e.dim AS dim, round(avg(e.v), 4) + 0.0 AS mean_val
+        |FROM u GROUP BY label, e.dim ORDER BY label, dim""".stripMargin,
+
+    "q52_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS median_chars,
+        |  CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // salting changes only shuffle routing, never results → plain join SQL
     "q38_salted_join" ->

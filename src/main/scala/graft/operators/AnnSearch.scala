@@ -132,6 +132,27 @@ object AnnSearch {
       .limit(k)
   }
 
+  /** Per-label embedding centroids in LONG form (label, dim, mean) — the
+    * pooling/M-step primitive: class centroids for classification, the
+    * k-means update for IVF codebook training, mean-pooled group
+    * embeddings for retrieval. posexplode fans each vector into (dim,
+    * value) rows and ONE partial-aggregated groupBy(label, dim) reduces
+    * them — shuffle volume is O(labels × dim), never O(corpus), because
+    * the map-side combine collapses each partition to its group means
+    * before the exchange. Long form (not re-assembled arrays) keeps the
+    * result joinable/oracle-hashable; `array_agg` re-assembly is one
+    * more groupBy when a consumer wants vectors back. */
+  def centroidsByLabel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding"))
+      .groupBy($"label", ($"pos" + 1).cast("long").as("dim"))
+      // + 0.0 canonicalizes IEEE negative zero (a tiny negative mean
+      // rounds to -0.0 in one engine and 0.0 in the other)
+      .agg((round(avg($"col".cast("double")), 4) + lit(0.0)).as("mean_val"))
+      .orderBy($"label", $"dim")
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: pairs sharing a
     * sign-LSH bucket with cosine ≥ threshold. The bucket join replaces the
     * O(n²) cross join with per-bucket locality — the standard semantic-dedup

@@ -40,6 +40,26 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** Per-source corpus profile — the data-quality dashboard a pipeline
+    * gates ingestion on: volume, mean/median length, emptiness rate.
+    * Median is EXACT `percentile` (interpolated), matching DuckDB's
+    * `quantile_cont` definition, so it stays oracle-checkable; at 100 TB
+    * swap to `percentile_approx` and drop the oracle to rows-only — the
+    * exact form shuffles O(rows per group) for the sort. Everything else
+    * is partial-aggregated counts. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"n_chars".cast("double")), 4).as("avg_chars"),
+        round(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 4).as("median_chars"),
+        sum(when(length(trim(coalesce($"text", lit("")))) === 0, 1L)
+          .otherwise(0L)).as("n_empty"))
+      .orderBy($"source")
+  }
+
   /** TF-IDF top-terms per document: tf from one explode+groupBy, document
     * frequency from a distinct groupBy over the same tokens, idf =
     * ln(N/df). The per-doc top-3 window is bounded by per-doc vocabulary

@@ -23,6 +23,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(big.size > small.size)
   }
 
+  test("corpusStats: groups cover every source; counts add up; median within range") {
+    val out = CorpusOps.corpusStats(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(out.map(_.getAs[String]("source")).toSet ===
+      docs.select("source").distinct().collect().map(_.getString(0)).toSet)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    out.foreach { r =>
+      assert(r.getAs[Double]("median_chars") >= 0.0)
+      assert(r.getAs[Long]("n_empty") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("labelCentroids: one row per (label, dim); mean of a constant column is that constant") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-centroid").toString
+    Seq((0L, "a", Seq(1.0f, 3.0f)), (1L, "a", Seq(3.0f, 3.0f)), (2L, "b", Seq(5.0f, 7.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = AnnSearch.centroidsByLabel(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(("a", 1L) -> 2.0, ("a", 2L) -> 3.0, ("b", 1L) -> 5.0, ("b", 2L) -> 7.0))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("tfIdfTopTerms: k rows max per doc, non-increasing weights, df consistent") {
     val out = CorpusOps.tfIdfTopTerms(spark, sf, k = 3)
     val rows = out.collect()
