@@ -59,4 +59,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("minhash_sig") || p.contains("word_shingles"), p)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
+
+  test("q49 stratified sample: rate table broadcast, corpus never shuffled") {
+    val p = plan(CorpusOps.stratifiedSample(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // only the final deterministic orderBy may exchange
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q51 centroids: map-side partial aggregation before the (label,dim) exchange") {
+    val p = plan(AnnSearch.centroidsByLabel(spark, sf))
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q42 batched top-k: partial ObjectHashAggregate, no Window in the plan") {
+    val p = plan(AnnSearch.batchTopK(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
