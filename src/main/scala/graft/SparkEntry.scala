@@ -113,6 +113,7 @@ object SparkEntry {
     "q50_tfidf_topterms" -> ((s, d) => CorpusOps.tfIdfTopTerms(s, d)),
     "q51_label_centroids" -> ((s, d) => AnnSearch.centroidsByLabel(s, d)),
     "q52_corpus_stats" -> ((s, d) => CorpusOps.corpusStats(s, d)),
+    "q53_knn_join" -> ((s, d) => AnnSearch.knnJoin(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -706,6 +707,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // kNN join: bucket-local neighbors ranked per vector; the guard and
+    // ranking mirror the Spark side (groupBy cap ≡ window cap on results)
+    "q53_knn_join" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
+         |  FROM embeddings),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding, bucket,
+         |      count(*) OVER (PARTITION BY bucket) AS bsz FROM b) z
+         |  WHERE bsz <= 500),
+         |pairs AS (
+         |  SELECT x.vec_id AS vec_id, y.vec_id AS nbr,
+         |    ${cosSql("x.embedding", "y.embedding")} AS cos_sim
+         |  FROM capped x JOIN capped y
+         |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |r AS (
+         |  SELECT vec_id, nbr, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_sim DESC, nbr) AS BIGINT) AS rk
+         |  FROM pairs)
+         |SELECT vec_id, rk, nbr, cos_sim FROM r WHERE rk <= 3
+         |ORDER BY vec_id, rk""".stripMargin,
 
     // salting changes only shuffle routing, never results → plain join SQL
     "q38_salted_join" ->

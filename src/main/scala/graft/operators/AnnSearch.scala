@@ -132,6 +132,44 @@ object AnnSearch {
       .limit(k)
   }
 
+  /** All-pairs kNN join: every vector's k nearest neighbors by cosine —
+    * the semantic-clustering / retrieval-eval workhorse. Composes the two
+    * scale primitives this module already proves out: candidate
+    * generation by sign-LSH bucket (hot buckets capped via the
+    * groupBy+join guard) and per-key ranking by the bounded
+    * [[graft.functions.TopKAgg]] — so the plan is one bucket-keyed
+    * self-join plus one partial-aggregated top-k shuffle carrying
+    * O(vectors × k) buffers. Never O(n²) global, never a window. Recall
+    * is bucket-local by design (neighbors in other buckets are unseen);
+    * more planes → smaller buckets → cheaper join, lower recall — the
+    * standard LSH knob. */
+  def knnJoin(spark: SparkSession, dir: String,
+              k: Int = 3, bits: Int = 4, maxBlock: Int = 500): DataFrame = {
+    import spark.implicits._
+    val bucketed = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        signLshBucket($"embedding", bits).as("bucket"),
+        norm($"embedding").as("nrm"))
+      .cache()
+    val smallBuckets = bucketed.groupBy($"bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter($"bsz" <= maxBlock)
+      .select($"bucket")
+    val emb = bucketed.join(smallBuckets, "bucket")
+    emb.as("x").join(emb.as("y"),
+        $"x.bucket" === $"y.bucket" && $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("vec_id"),
+        round(dot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"), 4)
+          .as("cos_sim"),
+        $"y.vec_id".as("nbr"))
+      .groupBy($"vec_id")
+      .agg(graft.functions.TopK.topK(k)($"cos_sim", $"nbr").as("hits"))
+      .select($"vec_id", posexplode($"hits"))
+      .select($"vec_id", ($"pos" + 1).cast("long").as("rk"),
+        $"col.vec_id".as("nbr"), $"col.cos_sim".as("cos_sim"))
+      .orderBy($"vec_id", $"rk")
+  }
+
   /** Per-label embedding centroids in LONG form (label, dim, mean) — the
     * pooling/M-step primitive: class centroids for classification, the
     * k-means update for IVF codebook training, mean-pooled group

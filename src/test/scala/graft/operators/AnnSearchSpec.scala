@@ -67,6 +67,32 @@ class AnnSearchSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"expected no Window operator in:\n$plan")
   }
 
+  test("knnJoin: ≤k neighbors per vector, bucket-local, scores match brute force") {
+    import spark.implicits._
+    val out = AnnSearch.knnJoin(spark, sf, k = 3).collect()
+    assert(out.nonEmpty)
+    val byVec = out.groupBy(_.getAs[Long]("vec_id"))
+    byVec.values.foreach { rows =>
+      assert(rows.length <= 3)
+      val sims = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims === sims.sortBy(-_))
+    }
+    // spot-check: a reported neighbor score equals the exact pairwise cosine
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      math.rint(d / (na * nb) * 1e4) / 1e4
+    }
+    out.take(20).foreach { r =>
+      assert(r.getAs[Double]("cos_sim") ===
+        cos(emb(r.getAs[Long]("vec_id")), emb(r.getAs[Long]("nbr"))))
+    }
+  }
+
   test("embeddingNearDupPairs: every vector pairs with its shifted exact copy at 1.0") {
     val out = AnnSearch.embeddingNearDupPairs(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()

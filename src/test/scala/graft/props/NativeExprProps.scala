@@ -88,6 +88,37 @@ object NativeExprProps extends Properties("native-exprs") {
       automaton.containsAny(s"zz${t}zz") && automaton.containsAny(t + "x")
     }
 
+  // ——— TopKAgg (the q42/q53 partial-aggregation kernel) ———
+
+  private val scored: Gen[List[(Double, Long)]] =
+    Gen.listOf(Gen.chooseNum(-1.0, 1.0)).map(_.zipWithIndex.map {
+      case (s, i) => (math.rint(s * 1e4) / 1e4, i.toLong) // rounded, unique ids
+    })
+
+  property("topk: any partition split, any merge order = global sorted top-k") =
+    Prop.forAll(scored, Gen.choose(1, 6), Gen.choose(1, 5)) { (xs, k, nChunks) =>
+      import graft.functions.{ScoredId, TopKAgg}
+      val agg = new TopKAgg(k)
+      def better(x: ScoredId, y: ScoredId): Boolean =
+        x.cos_sim > y.cos_sim || (x.cos_sim == y.cos_sim && x.vec_id < y.vec_id)
+      val items = xs.map { case (s, i) => ScoredId(s, i) }
+      // split into nChunks "partitions", reduce each, merge in reverse order
+      val chunks = items.grouped(math.max(1, (items.size + nChunks - 1) / nChunks)).toList
+      val buffers = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = buffers.reverse.foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == items.sortWith(better).take(k)
+    }
+
+  property("topk: buffer never exceeds k and stays best-first sorted") =
+    Prop.forAll(scored, Gen.choose(1, 4)) { (xs, k) =>
+      import graft.functions.{ScoredId, TopKAgg}
+      val agg = new TopKAgg(k)
+      val buf = xs.map { case (s, i) => ScoredId(s, i) }.foldLeft(agg.zero)(agg.reduce)
+      buf.size <= k && buf.zip(buf.drop(1)).forall { case (a, b) =>
+        a.cos_sim > b.cos_sim || (a.cos_sim == b.cos_sim && a.vec_id < b.vec_id)
+      }
+    }
+
   // ——— VectorExprs ———
 
   property("dot: commutative, and dot(a,a) = Σa²") =
