@@ -114,6 +114,7 @@ object SparkEntry {
     "q51_label_centroids" -> ((s, d) => AnnSearch.centroidsByLabel(s, d)),
     "q52_corpus_stats" -> ((s, d) => CorpusOps.corpusStats(s, d)),
     "q53_knn_join" -> ((s, d) => AnnSearch.knnJoin(s, d)),
+    "q54_asof_join" -> ((s, d) => AsOfJoin.clicksWithLastPurchase(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -731,6 +732,22 @@ object SparkEntry {
          |  FROM pairs)
          |SELECT vec_id, rk, nbr, cos_sim FROM r WHERE rk <= 3
          |ORDER BY vec_id, rk""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is an independent second formulation of
+    // the same operator (Spark side: union + running last-non-null)
+    "q54_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, lower(event_type) AS et,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events),
+        |l AS (SELECT event_id, user_id, ts FROM e WHERE et = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM e WHERE et = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, r.purchase_id AS matched_purchase_id
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     // salting changes only shuffle routing, never results → plain join SQL
     "q38_salted_join" ->
