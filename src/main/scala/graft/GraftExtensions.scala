@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSignature, SignLshBucketExpr, SimHashExpr, VecDotExpr, WordShinglesExpr}
+import graft.functions.{Md5MinHashSignature, MinHashSignature, SignLshBucketExpr, SimHashExpr, VecDotExpr, WordShinglesExpr}
 
 /** Engine extension point: registers graft's native Catalyst expressions so
   * SQL users get them too. Activate with
@@ -22,6 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(arr, Literal(p: Int, _)) => MinHashSignature(arr, p)
         case _ => throw new IllegalArgumentException(
           "usage: minhash_sig(array<string>[, perms: int literal])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_minhash_sig"),
+      new ExpressionInfo(classOf[Md5MinHashSignature].getName, "md5_minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr) => Md5MinHashSignature(arr, 16)
+        case Seq(arr, Literal(p: Int, _)) => Md5MinHashSignature(arr, p)
+        case _ => throw new IllegalArgumentException(
+          "usage: md5_minhash_sig(array<string>[, perms: int literal])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),

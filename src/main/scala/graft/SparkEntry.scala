@@ -115,6 +115,7 @@ object SparkEntry {
     "q52_corpus_stats" -> ((s, d) => CorpusOps.corpusStats(s, d)),
     "q53_knn_join" -> ((s, d) => AnnSearch.knnJoin(s, d)),
     "q54_asof_join" -> ((s, d) => AsOfJoin.clicksWithLastPurchase(s, d)),
+    "q55_minhash_oracled" -> ((s, d) => DedupOps.minHashLshPairsOracled(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -299,9 +300,46 @@ object SparkEntry {
          |GROUP BY $fpSql HAVING count(*) > 1
          |ORDER BY keep_doc_id""".stripMargin,
 
-    // q19_minhash_lsh: intentionally omitted — minhash banding is not
-    // reasonably SQL-expressible; driver records rows-only check. Verified
-    // against exact Jaccard in DedupSpec instead.
+    // q19_minhash_lsh: intentionally omitted — its xxhash64 + 2^64-affine
+    // family is not SQL-expressible; driver records rows-only check.
+    // Verified against exact Jaccard in DedupSpec, AND the operator itself
+    // is fully DuckDB-checked via its md5-family twin q55 below.
+
+    // the md5 + mod-prime MinHash family, coordinate-for-coordinate:
+    // banding, candidate join on raw signature slices, match-fraction
+    // verification — the oracle twin of the banding OPERATOR
+    "q55_minhash_oracled" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |toks AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |shq AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+         |    FROM toks WHERE len(tk) >= 3) z),
+         |h AS (SELECT doc_id, ${h32("sh")} AS h FROM shq),
+         |sg AS (
+         |  SELECT doc_id, p.p AS p,
+         |    min(((2*p.p + 3) * h + (7*p.p + 1)) % 2147483647) AS v
+         |  FROM h CROSS JOIN range(0, 16) p(p) GROUP BY doc_id, p.p),
+         |sigl AS (SELECT doc_id, list(v ORDER BY p) AS s FROM sg GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, b.b AS band, list_slice(s, b.b*4 + 1, b.b*4 + 4) AS bk
+         |  FROM sigl CROSS JOIN range(0, 4) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |est AS (
+         |  SELECT c.a, c.b,
+         |    round(len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) / 16.0, 4)
+         |      AS est_jaccard
+         |  FROM cand c
+         |  JOIN sigl sa ON sa.doc_id = c.a
+         |  JOIN sigl sb ON sb.doc_id = c.b)
+         |SELECT a, b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY a, b""".stripMargin,
 
     "q20_ngram_jaccard" ->
       s"""WITH corpus AS (

@@ -10,6 +10,11 @@ object native {
   def minHashSig(arr: Column, perms: Int): Column =
     B.column(MinHashSignature(B.expression(arr), perms))
 
+  /** MinHash signature over the oracle-shared md5 + mod-prime family.
+    * See [[Md5MinHashSignature]]. */
+  def md5MinHashSig(arr: Column, perms: Int): Column =
+    B.column(Md5MinHashSignature(B.expression(arr), perms))
+
   /** Word n-gram shingles of a token array. See [[WordShinglesExpr]]. */
   def wordShingles(toks: Column, n: Int): Column =
     B.column(WordShinglesExpr(B.expression(toks), n))

@@ -194,6 +194,42 @@ object DedupOps {
       .orderBy($"a", $"b")
   }
 
+  /** MinHash+LSH banding over the ORACLE-SHARED md5 + mod-prime family —
+    * the DuckDB-checkable twin of [[minHashLshPairs]]. Differences, both
+    * forced by oracle reproducibility and nothing else:
+    *   - signature = [[graft.functions.Md5MinHashSignature]] (md5-h32 base
+    *     hash, `(2p+3)·h + 7p+1 mod 2^31−1` remixes — plain BIGINT SQL);
+    *   - the band key is the raw signature SLICE joined by array
+    *     equality, not an engine-private hash of the slice.
+    * Same plan shape: one codegen'd signature pass per doc, band-key
+    * candidate self-join, per-pair coordinate-match verification. */
+  def minHashLshPairsOracled(spark: SparkSession, dir: String,
+                             shingleN: Int = 3, perms: Int = 16,
+                             bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val rows = perms / bands
+    val sig = withDupCopies(shingleArrays(spark, dir, shingleN)
+      .select($"doc_id",
+        graft.functions.native.md5MinHashSig($"arr", perms).as("sig"))
+      .cache())
+    val banded = sig.select($"doc_id", $"sig",
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice($"sig", b * lit(rows) + 1, lit(rows)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val cand = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+        $"x.sig".as("sa"), $"y.sig".as("sb"))
+      .dropDuplicates("a", "b")
+    cand
+      .select($"a", $"b",
+        round(size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
+          .cast("double") / lit(perms.toDouble), 4).as("est_jaccard"))
+      .filter($"est_jaccard" >= threshold)
+      .orderBy($"a", $"b")
+  }
+
   /** SimHash 32-bit fingerprint per document: for each bit, sign of the
     * sum over tokens of ±1 by the token hash's bit. Near-dup docs land at
     * small Hamming distance. Computed by the native

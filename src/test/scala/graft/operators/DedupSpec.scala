@@ -52,6 +52,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minHashLshPairsOracled: md5-family twin finds every exact-dup pair at est 1.0") {
+    import spark.implicits._
+    val out = DedupOps.minHashLshPairsOracled(spark, sf).collect()
+    val shifted = out.filter(r => r.getAs[Long]("b") === r.getAs[Long]("a") + 100000L)
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(graft.functions.TextFunctions.tokens($"text")) >= 3).count()
+    assert(shifted.length.toLong === eligible)
+    shifted.foreach(r => assert(r.getAs[Double]("est_jaccard") === 1.0))
+  }
+
+  test("md5 minhash family: native expression matches an independent Scala computation") {
+    import spark.implicits._
+    val shingles = Seq("a b c", "b c d", "c d e")
+    val got = Seq(Tuple1(shingles)).toDF("arr")
+      .select(graft.functions.native.md5MinHashSig($"arr", 16).as("sig"))
+      .head().getAs[scala.collection.Seq[Long]]("sig").toSeq
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val want = (0 until 16).map { p =>
+      shingles.map(s => ((2L * p + 3L) * h32(s) + (7L * p + 1L)) % 2147483647L).min
+    }
+    assert(got === want)
+  }
+
   test("urlStripDedup: copies collide only via the URL strip; every doc has exactly 2") {
     import spark.implicits._
     val nDocs = Tables.documents(spark, sf).count()
