@@ -20,6 +20,35 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet === Set(1L))
   }
 
+  test("connectedComponents agrees with union-find on random graphs (multi-seed)") {
+    for (seed <- Seq(3, 17)) {
+      val rng = new scala.util.Random(seed)
+      val n = 60
+      val edgeList = (1 to 70).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // reference: plain union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+      }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edgeList.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(v => v -> {
+          // component representative = min node id in the component
+          val root = find(v.toInt)
+          (0 until n).filter(u => find(u) == root).min.toLong
+        }).toMap
+      // random sparse graphs can have long paths: give the propagation a
+      // generous round budget; convergence detection exits early anyway
+      val got = Components.connectedComponents(edgeList.toDF("a", "b"), maxIter = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("dedupClusters: every doc labeled; chain groups of 5 collapse to min-id keeper") {
     val out = Components.dedupClusters(spark, sf).collect()
     val n = graft.Tables.documents(spark, sf).count()
