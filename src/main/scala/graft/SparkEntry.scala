@@ -116,6 +116,7 @@ object SparkEntry {
     "q53_knn_join" -> ((s, d) => AnnSearch.knnJoin(s, d)),
     "q54_asof_join" -> ((s, d) => AsOfJoin.clicksWithLastPurchase(s, d)),
     "q55_minhash_oracled" -> ((s, d) => DedupOps.minHashLshPairsOracled(s, d)),
+    "q56_attribution_join" -> ((s, d) => graft.streaming.StreamOps.attributionReport(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -786,6 +787,18 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q56_attribution_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, lower(event_type) AS et,
+        |    date_trunc('microseconds', ts) AS ts
+        |  FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM e c JOIN e p
+        |  ON c.et = 'click' AND p.et = 'purchase'
+        | AND c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     // salting changes only shuffle routing, never results → plain join SQL
     "q38_salted_join" ->

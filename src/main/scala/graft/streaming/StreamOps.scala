@@ -67,6 +67,39 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join (attribution): each click joined to the
+    * purchases of the same user landing within `horizon` AFTER it — the
+    * impression→conversion shape. In streaming, BOTH sides carry
+    * watermarks and the time-bound join condition lets Spark evict
+    * buffered state once `click.ts + horizon` passes the purchase-side
+    * watermark — state is O(events per horizon window), not O(stream).
+    * The same function runs in batch (where the condition is just an
+    * inequality join), which is how the DuckDB oracle checks it. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      horizon: String = "30 minutes",
+                      watermarkDelay: String = "10 minutes",
+                      streaming: Boolean = false): DataFrame = {
+    val c = (if (streaming) clicks.withWatermark("ts", watermarkDelay) else clicks)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = (if (streaming) purchases.withWatermark("ts", watermarkDelay) else purchases)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p, expr(
+      s"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL $horizon"))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+  }
+
+  /** Declared query: batch attribution of `events` clicks→purchases. */
+  def attributionReport(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", lower($"event_type").as("et"), $"ts")
+    attributionJoin(
+        ev.filter($"et" === "click"), ev.filter($"et" === "purchase"))
+      .orderBy($"click_id", $"purchase_id")
+  }
+
   /** K2/K3: incremental append sink with checkpointing — the reference's
     * per-page `to_csv(mode="a")` + cursor files (`tweet_download.py:55–60,
     * 96–100`) become a foreachBatch append writer whose resume point is

@@ -7,6 +7,7 @@ import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class SessEv(user_id: Long, ts: Timestamp)
+case class UEv(user_id: Long, ts: Timestamp, event_id: Long)
 
 class StreamOpsSpec extends SparkSpec {
 
@@ -124,6 +125,31 @@ class StreamOpsSpec extends SparkSpec {
     val types = spark.table("dedup").as[Ev].collect().map(e => (e.event_type, e.value)).toSet
     q.stop()
     assert(types === Set(("click", 1.0), ("view", 3.0), ("click", 4.0)))
+  }
+
+  test("attributionJoin stream-stream: purchases within the horizon match; state evicted by watermark") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val clicks = MemoryStream[UEv]
+    val purchases = MemoryStream[UEv]
+    val q = StreamOps.attributionJoin(
+        clicks.toDF(), purchases.toDF(), "30 minutes", "10 minutes", streaming = true)
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    clicks.addData(UEv(1L, t("2024-01-01 10:00:00"), 100L))
+    purchases.addData(
+      UEv(1L, t("2024-01-01 10:10:00"), 200L), // within 30 min → match
+      UEv(1L, t("2024-01-01 11:10:00"), 201L), // outside horizon → no match
+      UEv(2L, t("2024-01-01 10:10:00"), 202L)) // other user → no match
+    q.processAllAvailable()
+    // advance both watermarks so the joinable region closes and rows emit
+    clicks.addData(UEv(9L, t("2024-01-01 13:00:00"), 101L))
+    purchases.addData(UEv(9L, t("2024-01-01 13:00:00"), 300L))
+    q.processAllAvailable()
+    val got = spark.table("attr").as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(got.contains((100L, 200L, 1L)))
+    assert(!got.exists(r => r._2 == 201L || r._2 == 202L))
   }
 
   test("the same transform runs identically in batch mode (stream-batch unification)") {
