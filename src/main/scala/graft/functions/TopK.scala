@@ -26,8 +26,19 @@ case class ScoredId(cos_sim: Double, vec_id: Long)
   * `worse-than-last` early exit and never sort at all).
   */
 class TopKAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
-  private def better(x: ScoredId, y: ScoredId): Boolean =
-    x.cos_sim > y.cos_sim || (x.cos_sim == y.cos_sim && x.vec_id < y.vec_id)
+  /** Strict weak order, best first. NaN (e.g. cosine of a zero-norm
+    * vector) ranks WORSE than every real score — an unscorable candidate
+    * must never beat a scored one. Without the explicit NaN arm, `>` is
+    * false in both directions and a NaN that lands in an under-full
+    * buffer would permanently block later real candidates via the
+    * early-exit below, with partition-order-dependent results. */
+  private def better(x: ScoredId, y: ScoredId): Boolean = {
+    val xn = java.lang.Double.isNaN(x.cos_sim)
+    val yn = java.lang.Double.isNaN(y.cos_sim)
+    if (xn && yn) x.vec_id < y.vec_id
+    else if (xn || yn) yn
+    else x.cos_sim > y.cos_sim || (x.cos_sim == y.cos_sim && x.vec_id < y.vec_id)
+  }
 
   override def zero: Seq[ScoredId] = Seq.empty
 

@@ -151,11 +151,7 @@ object AnnSearch {
         signLshBucket($"embedding", bits).as("bucket"),
         norm($"embedding").as("nrm"))
       .cache()
-    val smallBuckets = bucketed.groupBy($"bucket")
-      .agg(count(lit(1)).as("bsz"))
-      .filter($"bsz" <= maxBlock)
-      .select($"bucket")
-    val emb = bucketed.join(smallBuckets, "bucket")
+    val emb = Guards.capHotKeys(bucketed, "bucket", maxBlock)
     emb.as("x").join(emb.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.vec_id" =!= $"y.vec_id")
       .select($"x.vec_id".as("vec_id"),
@@ -222,17 +218,7 @@ object AnnSearch {
         signLshBucket($"embedding", bits).as("bucket"),
         norm($"embedding").as("nrm"))
       .cache()
-    // Bucket-size guard via groupBy + join, NOT a count-over-window: the
-    // window formulation shuffles the entire degenerate bucket into ONE
-    // window task before dropping it — the guard itself becomes the skew
-    // point. groupBy gets map-side partial aggregation (the exchange
-    // carries one count per bucket per partition), and the join on
-    // `bucket` shares its key with the self-join below.
-    val smallBuckets = bucketed.groupBy($"bucket")
-      .agg(count(lit(1)).as("bsz"))
-      .filter($"bsz" <= maxBlock)
-      .select($"bucket")
-    val emb = bucketed.join(smallBuckets, "bucket")
+    val emb = Guards.capHotKeys(bucketed, "bucket", maxBlock)
     emb.as("x").join(emb.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select(

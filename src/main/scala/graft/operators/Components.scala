@@ -34,7 +34,7 @@ object Components {
     *     (`observe` metric: # of nodes whose label strictly dropped), so
     *     a round is exactly one shuffle + one action, with no second
     *     compare-join pass. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // symmetrize once; propagation then only needs one join direction
@@ -65,6 +65,13 @@ object Components {
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       iter += 1
     }
+    // exhausting the budget without a fixpoint means labels are WRONG for
+    // nodes farther than maxIter hops from their component's min — fail
+    // loudly rather than return silently split clusters
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — component " +
+        "diameter exceeds the budget; raise maxIter or switch to " +
+        "large-star/small-star contraction for log-round convergence")
     labels
   }
 

@@ -101,16 +101,7 @@ object DedupOps {
         array_min(transform($"arr", sh => md5(sh))).as("bk"),
         transform($"arr", sh => xxhash64(sh)).as("harr"))
       .cache())
-    // Block-size guard via groupBy + join, NOT a count-over-window: the
-    // window would funnel a degenerate block through one window task
-    // (O(block) rows on one executor) before dropping it; groupBy is
-    // map-side partial, and the join key `bk` is the self-join key below,
-    // so no extra big-side shuffle is introduced.
-    val smallBlocks = docs.groupBy($"bk")
-      .agg(count(lit(1)).as("bsz"))
-      .filter($"bsz" <= maxBlock)
-      .select($"bk")
-    val blocks = docs.join(smallBlocks, "bk")
+    val blocks = Guards.capHotKeys(docs, "bk", maxBlock)
     blocks.as("x").join(blocks.as("y"),
         $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),

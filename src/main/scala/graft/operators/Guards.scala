@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared skew guards for candidate-generation operators. */
+object Guards {
+
+  /** Keep only rows whose `key` value appears at most `maxBlock` times —
+    * the hot-block cap every blocked self-join needs (a degenerate key
+    * would otherwise make the join quadratic on one cluster partition).
+    *
+    * Implemented as map-side-partial `groupBy(key).count` + join back on
+    * the key, NOT `count(*) OVER (PARTITION BY key)`: the window would
+    * funnel the entire degenerate block through ONE window task (O(hot
+    * block) rows on one executor) before dropping it — the guard itself
+    * becoming the skew point. The small-keys relation broadcasts under
+    * AQE, and the join key equals the downstream self-join key, so no
+    * extra big-side shuffle is introduced. */
+  def capHotKeys(df: DataFrame, key: String, maxBlock: Int): DataFrame = {
+    val small = df.groupBy(col(key))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBlock)
+      .select(col(key))
+    df.join(small, key)
+  }
+}

@@ -103,9 +103,7 @@ object BinarySink {
     * oracle can reproduce them from `documents` alone). */
   def binarySinkReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft-binsink-${TmpNonce.value}-${dir.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+    val out = TmpNonce.scratchDir("graft-binsink", dir).toString
     val items = Tables.documents(spark, dir)
       .select($"doc_id", $"text")
       .as[(Long, String)]

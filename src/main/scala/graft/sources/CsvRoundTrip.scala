@@ -19,9 +19,7 @@ object CsvRoundTrip {
     * what makes this a real K1 round trip rather than a skipped line. */
   def csvHeaderRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft-csv-${TmpNonce.value}-${dir.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+    val out = TmpNonce.scratchDir("graft-csv", dir).toString
     Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"event_type",
         round($"value", 2).as("value"))

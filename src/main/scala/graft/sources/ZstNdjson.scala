@@ -101,11 +101,9 @@ object ZstNdjson {
     * end-to-end. The oracle reads the same rows straight from parquet. */
   def zstRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // per-JVM nonce: two concurrent harness runs on the same SF must not
-    // share (and delete-while-read) one fixed tmp dir
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft-zst-${TmpNonce.value}-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    // per-JVM nonce'd scratch (exit-cleaned): two concurrent harness runs
+    // on the same SF must not share (and delete-while-read) one fixed dir
+    val out = TmpNonce.scratchDir("graft-zst", dir)
     // always rebuild: a stale dir from an earlier run/partitioning would
     // otherwise silently change the scan's input
     if (out.exists()) out.listFiles().foreach(_.delete())

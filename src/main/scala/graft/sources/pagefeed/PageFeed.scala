@@ -39,20 +39,27 @@ object PageFeed {
     StructField("value", DoubleType),
     StructField("page_id", LongType)))
 
-  /** Option keys: fetcher implementation class + per-fetch retry budget. */
+  /** Option keys: fetcher implementation class, per-fetch retry budget,
+    * and base retry backoff (ms, exponential 2^n; 0 = immediate retry —
+    * set it for live origins so a rate-limited endpoint is not hammered
+    * through the whole budget in milliseconds). */
   val fetcherOpt = "fetcher"
   val attemptsOpt = "fetchAttempts"
+  val backoffOpt = "fetchBackoffMs"
   val defaultAttempts = 3
+  val defaultBackoffMs = 0L
 
   def instantiateFetcher(className: String): PageFetcher =
     Class.forName(className).getDeclaredConstructor()
       .newInstance().asInstanceOf[PageFetcher]
 
-  /** `fetch` with an immediate bounded retry — transient fetch faults are
-    * absorbed here (both on the driver's cursor walk and inside partition
-    * readers) instead of failing the task/query. */
+  /** `fetch` with bounded retry and exponential backoff (base × 2^n, like
+    * `BinarySink.RetryPolicy`) — transient fetch faults are absorbed here
+    * (both on the driver's cursor walk and inside partition readers)
+    * instead of failing the task/query. */
   def fetchWithRetry(fetcher: PageFetcher, path: String, page: Long,
-                     maxAttempts: Int): Option[Array[Byte]] = {
+                     maxAttempts: Int,
+                     backoffMs: Long = defaultBackoffMs): Option[Array[Byte]] = {
     var attempt = 0
     var out: Option[Array[Byte]] = None
     var done = false
@@ -62,23 +69,31 @@ object PageFeed {
         case e: Exception =>
           attempt += 1
           if (attempt >= maxAttempts) throw e
+          if (backoffMs > 0L) Thread.sleep(backoffMs * (1L << (attempt - 1)))
       }
     }
     out
   }
 
-  /** Walk the cursor chain through the fetcher, returning the number of
-    * consumable pages — the reference's fetch-loop stop conditions
-    * (`tweet_download.py:82–103`) verbatim: stop when a page is absent
-    * (fetch → None), when its `data` is empty, or when `meta.next_token`
-    * is missing/null. The page that ends the chain IS consumed. */
+  /** Walk the cursor chain through the fetcher from `startPage`, returning
+    * the total number of consumable pages — the reference's fetch-loop
+    * stop conditions (`tweet_download.py:82–103`) verbatim: stop when a
+    * page is absent (fetch → None), when its `data` is empty, or when
+    * `meta.next_token` is missing/null. The page that ends the chain IS
+    * consumed. `startPage` is the stored-cursor resume (the reference's
+    * next_token file): pages before it are already consumed and are NOT
+    * re-fetched — a streaming source calls this once per trigger, and
+    * re-walking an n-page feed from 0 every trigger would be O(n) GETs per
+    * trigger against a live origin. */
   def cursorWalk(path: String, fetcher: PageFetcher,
-                 maxAttempts: Int = defaultAttempts): Long = {
+                 maxAttempts: Int = defaultAttempts,
+                 startPage: Long = 0L,
+                 backoffMs: Long = defaultBackoffMs): Long = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    var page = 0L
+    var page = startPage
     var go = true
     while (go) {
-      fetchWithRetry(fetcher, path, page, maxAttempts) match {
+      fetchWithRetry(fetcher, path, page, maxAttempts, backoffMs) match {
         case None => go = false
         case Some(bytes) =>
           val doc = mapper.readTree(bytes)
@@ -140,10 +155,12 @@ class PageFeedProvider extends TableProvider {
       Option(properties.get(PageFeed.fetcherOpt))
         .getOrElse(classOf[FileFetcher].getName),
       Option(properties.get(PageFeed.attemptsOpt))
-        .map(_.toInt).getOrElse(PageFeed.defaultAttempts))
+        .map(_.toInt).getOrElse(PageFeed.defaultAttempts),
+      Option(properties.get(PageFeed.backoffOpt))
+        .map(_.toLong).getOrElse(PageFeed.defaultBackoffMs))
 }
 
-class PageFeedTable(path: String, fetcherClass: String, attempts: Int)
+class PageFeedTable(path: String, fetcherClass: String, attempts: Int, backoffMs: Long)
     extends Table with SupportsRead {
   require(path != null, "option 'path' is required")
   override def name(): String = s"pagefeed($path)"
@@ -152,23 +169,25 @@ class PageFeedTable(path: String, fetcherClass: String, attempts: Int)
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new PageFeedScan(path, fetcherClass, attempts)
+      override def build(): Scan = new PageFeedScan(path, fetcherClass, attempts, backoffMs)
     }
 }
 
-class PageFeedScan(path: String, fetcherClass: String, attempts: Int) extends Scan {
+class PageFeedScan(path: String, fetcherClass: String, attempts: Int, backoffMs: Long)
+    extends Scan {
   override def readSchema(): StructType = PageFeed.schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val pages = PageFeed.cursorWalk(path,
-        PageFeed.instantiateFetcher(fetcherClass), attempts)
+        PageFeed.instantiateFetcher(fetcherClass), attempts, 0L, backoffMs)
       (0L until pages)
-        .map(PagePartition(path, _, fetcherClass, attempts): InputPartition).toArray
+        .map(PagePartition(path, _, fetcherClass, attempts, backoffMs): InputPartition)
+        .toArray
     }
     override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PageFeedMicroBatchStream(path, fetcherClass, attempts)
+    new PageFeedMicroBatchStream(path, fetcherClass, attempts, backoffMs)
 }
 
 /** Offset = number of pages fully consumed (the cursor). */
@@ -176,24 +195,39 @@ case class PageOffset(pages: Long) extends Offset {
   override def json(): String = pages.toString
 }
 
-class PageFeedMicroBatchStream(path: String, fetcherClass: String, attempts: Int)
-    extends MicroBatchStream {
+class PageFeedMicroBatchStream(path: String, fetcherClass: String, attempts: Int,
+                               backoffMs: Long) extends MicroBatchStream {
+  // resume point for the incremental cursor walk: pages at or beyond this
+  // offset are the only ones probed per trigger — a re-walk from 0 every
+  // trigger would be O(feed length) fetches per trigger on a live origin.
+  // Restart recovery initializes it through deserializeOffset (the
+  // checkpointed cursor), mirroring the reference's stored next_token.
+  @volatile private var walkFrom = 0L
   override def initialOffset(): Offset = PageOffset(0L)
-  override def latestOffset(): Offset = PageOffset(
-    PageFeed.cursorWalk(path, PageFeed.instantiateFetcher(fetcherClass), attempts))
-  override def deserializeOffset(json: String): Offset = PageOffset(json.trim.toLong)
+  override def latestOffset(): Offset = {
+    walkFrom = math.max(walkFrom, PageFeed.cursorWalk(path,
+      PageFeed.instantiateFetcher(fetcherClass), attempts, walkFrom, backoffMs))
+    PageOffset(walkFrom)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val pages = json.trim.toLong
+    walkFrom = math.max(walkFrom, pages)
+    PageOffset(pages)
+  }
   override def commit(end: Offset): Unit = () // the feed itself is durable
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageOffset].pages
     val e = end.asInstanceOf[PageOffset].pages
-    (s until e).map(PagePartition(path, _, fetcherClass, attempts): InputPartition).toArray
+    (s until e).map(PagePartition(path, _, fetcherClass, attempts, backoffMs): InputPartition)
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory
 }
 
 case class PagePartition(path: String, page: Long,
-                         fetcherClass: String, attempts: Int) extends InputPartition
+                         fetcherClass: String, attempts: Int,
+                         backoffMs: Long) extends InputPartition
 
 object PageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -204,7 +238,8 @@ object PageReaderFactory extends PartitionReaderFactory {
       // a page that vanished between planning and read yields 0 rows
       // rather than a task failure
       private val data = PageFeed.fetchWithRetry(
-          PageFeed.instantiateFetcher(p.fetcherClass), p.path, p.page, p.attempts)
+          PageFeed.instantiateFetcher(p.fetcherClass), p.path, p.page,
+          p.attempts, p.backoffMs)
         .map(bytes => mapper.readTree(bytes).get("data")).orNull
       private var i = -1
       override def next(): Boolean = { i += 1; data != null && i < data.size() }

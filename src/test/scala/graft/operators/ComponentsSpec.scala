@@ -20,6 +20,13 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet === Set(1L))
   }
 
+  test("connectedComponents: budget exhaustion fails loudly instead of returning split clusters") {
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException](
+      Components.connectedComponents(chain, maxIter = 3).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connectedComponents agrees with union-find on random graphs (multi-seed)") {
     for (seed <- Seq(3, 17)) {
       val rng = new scala.util.Random(seed)

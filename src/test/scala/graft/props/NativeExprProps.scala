@@ -109,6 +109,24 @@ object NativeExprProps extends Properties("native-exprs") {
       agg.finish(merged) == items.sortWith(better).take(k)
     }
 
+  property("topk: NaN scores rank last and never block real candidates") =
+    Prop.forAll(scored, Gen.choose(1, 4)) { (xs, k) =>
+      import graft.functions.{ScoredId, TopKAgg}
+      val agg = new TopKAgg(k)
+      def better(x: ScoredId, y: ScoredId): Boolean =
+        x.cos_sim > y.cos_sim || (x.cos_sim == y.cos_sim && x.vec_id < y.vec_id)
+      val reals = xs.map { case (s, i) => ScoredId(s, i) }
+      // NaN arrives FIRST (the order that used to poison the buffer)
+      val buf = (ScoredId(Double.NaN, 999999L) +: reals).foldLeft(agg.zero)(agg.reduce)
+      val want =
+        if (reals.size >= k) reals.sortWith(better).take(k)
+        else reals.sortWith(better) :+ ScoredId(Double.NaN, 999999L)
+      // NaN != NaN under case-class equality — compare NaN-aware keys
+      def key(s: ScoredId) = (java.lang.Double.isNaN(s.cos_sim),
+        if (java.lang.Double.isNaN(s.cos_sim)) 0.0 else s.cos_sim, s.vec_id)
+      agg.finish(buf).map(key) == want.map(key)
+    }
+
   property("topk: buffer never exceeds k and stays best-first sorted") =
     Prop.forAll(scored, Gen.choose(1, 4)) { (xs, k) =>
       import graft.functions.{ScoredId, TopKAgg}
