@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{Md5MinHashSignature, MinHashSignature, SignLshBucketExpr, SimHashExpr, VecDotExpr, WordShinglesExpr}
+import graft.functions.{Md5MinHashSignature, MinHashSignature, NfcNormalizeExpr, SignLshBucketExpr, SimHashExpr, StripAccentsExpr, VecDotExpr, WordShinglesExpr}
 
 /** Engine extension point: registers graft's native Catalyst expressions so
   * SQL users get them too. Activate with
@@ -55,6 +55,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(toks) => SimHashExpr(toks)
         case _ => throw new IllegalArgumentException(
           "usage: simhash32(array<string>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => NfcNormalizeExpr(s)
+        case _ => throw new IllegalArgumentException("usage: nfc_normalize(string)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccentsExpr].getName, "strip_accents"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => StripAccentsExpr(s)
+        case _ => throw new IllegalArgumentException("usage: strip_accents(string)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("sign_lsh_bucket"),

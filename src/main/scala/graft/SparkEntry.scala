@@ -117,6 +117,7 @@ object SparkEntry {
     "q54_asof_join" -> ((s, d) => AsOfJoin.clicksWithLastPurchase(s, d)),
     "q55_minhash_oracled" -> ((s, d) => DedupOps.minHashLshPairsOracled(s, d)),
     "q56_attribution_join" -> ((s, d) => graft.streaming.StreamOps.attributionReport(s, d)),
+    "q57_unicode_clean" -> ((s, d) => TextAnalysis.unicodeClean(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -799,6 +800,22 @@ object SparkEntry {
         | AND c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // the SAME Scala unicode string is interpolated here, so both engines
+    // normalize identical bytes; DuckDB strip_accents ≡ NFD + drop Mn
+    // (verified char-for-char for the tail's characters)
+    "q57_unicode_clean" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    coalesce(text, '') || '${TextAnalysis.unicodeTail}' AS raw
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, nfc_normalize(raw) AS nfc, strip_accents(raw) AS folded
+         |  FROM c)
+         |SELECT doc_id,
+         |  CAST(length(nfc) AS BIGINT) AS nfc_len, md5(nfc) AS nfc_md5,
+         |  CAST(length(folded) AS BIGINT) AS folded_len, md5(folded) AS folded_md5
+         |FROM n ORDER BY doc_id""".stripMargin,
 
     // salting changes only shuffle routing, never results → plain join SQL
     "q38_salted_join" ->

@@ -33,6 +33,14 @@ object native {
   def simHash(toks: Column): Column =
     B.column(SimHashExpr(B.expression(toks)))
 
+  /** NFC unicode normalization. See [[UnicodeExprs]]. */
+  def nfcNormalize(s: Column): Column =
+    B.column(NfcNormalizeExpr(B.expression(s)))
+
+  /** Accent folding (NFD + drop combining marks). See [[UnicodeExprs]]. */
+  def stripAccents(s: Column): Column =
+    B.column(StripAccentsExpr(B.expression(s)))
+
   /** Aho–Corasick any-keyword containment. See [[MultiContainsExpr]]. */
   def multiContains(text: Column, keywords: Seq[String]): Column =
     B.column(MultiContainsExpr(B.expression(text), keywords))

@@ -100,4 +100,30 @@ object TextAnalysis {
         md5Hash32(fingerprint($"text")).as("fp32"))
       .orderBy($"doc_id")
   }
+
+  /** A fixed multilingual tail appended to every doc so the unicode pass
+    * has real accents/ligatures to work on (the synthetic corpus is
+    * ASCII); the SAME Scala string is interpolated into the oracle SQL,
+    * so both engines normalize identical bytes. Unicode escapes, not
+    * literals — immune to source/transport encoding. */
+  val unicodeTail: String =
+    " Caf\u00e9 \ufb01nale \u00c5ngstr\u00f6m se\u00f1or \u00fcber"
+
+  /** Unicode cleanup (web-corpus ingestion pass): NFC canonicalization —
+    * without it, byte-level dedup misses visually-identical strings with
+    * different combining-sequence encodings — and accent folding for
+    * search/matching keys. Native codegen'd expressions; outputs are
+    * md5+length digests so the oracle compare is byte-exact. */
+  def unicodeClean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        concat(coalesce($"text", lit("")), lit(unicodeTail)).as("raw"))
+      .select($"doc_id",
+        length(graft.functions.native.nfcNormalize($"raw")).cast("long").as("nfc_len"),
+        md5(graft.functions.native.nfcNormalize($"raw")).as("nfc_md5"),
+        length(graft.functions.native.stripAccents($"raw")).cast("long").as("folded_len"),
+        md5(graft.functions.native.stripAccents($"raw")).as("folded_md5"))
+      .orderBy($"doc_id")
+  }
 }

@@ -67,6 +67,26 @@ class AnnSearchSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"expected no Window operator in:\n$plan")
   }
 
+  test("IVF layout: corpus written partitioned by list_id gives a partition-PRUNED probe scan") {
+    import spark.implicits._
+    // the documented 100 TB layout (SCALE.md): write the corpus partitioned
+    // by its coarse-quantizer list id; an nprobe probe then reads only the
+    // probed lists' files — partition pruning, not a full scan + filter
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-layout").toString
+    graft.Tables.embeddings(spark, sf)
+      .withColumn("list_id", pmod($"vec_id", lit(8)))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$tmp/ivf")
+    val probed = spark.read.parquet(s"$tmp/ivf").filter($"list_id".isin(2, 5))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val files = probed.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("list_id=2") || f.contains("list_id=5")),
+      files.mkString("\n"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("knnJoin: ≤k neighbors per vector, bucket-local, scores match brute force") {
     import spark.implicits._
     val out = AnnSearch.knnJoin(spark, sf, k = 3).collect()

@@ -52,4 +52,31 @@ class TextAnalysisSpec extends SparkSpec {
       .select(lower(trim($"text"))).distinct().count()
     assert(a.values.toSet.size.toLong === nTexts)
   }
+
+  test("unicode kernels: NFC composes decomposed sequences; accent folding drops marks only") {
+    import spark.implicits._
+    // "é" as e + COMBINING ACUTE (2 code points) must NFC-compose to 1
+    val decomposed = "Caf\u0065\u0301"
+    val row = Seq(Tuple1(decomposed)).toDF("s")
+      .select(
+        length(graft.functions.native.nfcNormalize($"s")).as("nfc_len"),
+        graft.functions.native.stripAccents($"s").as("folded"))
+      .head()
+    assert(row.getAs[Int]("nfc_len") === 4) // C-a-f-é
+    assert(row.getAs[String]("folded") === "Cafe")
+    // ligatures/sharp-s are NOT accents and stay (DuckDB strip_accents parity)
+    val keep = Seq(Tuple1("\ufb01\u00df")).toDF("s")
+      .select(graft.functions.native.stripAccents($"s")).head().getString(0)
+    assert(keep === "\ufb01\u00df")
+  }
+
+  test("unicodeClean: folded text is never longer than NFC text; deterministic") {
+    val out = TextAnalysis.unicodeClean(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("folded_len") <= r.getAs[Long]("nfc_len"))
+    }
+    val again = TextAnalysis.unicodeClean(spark, sf).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
