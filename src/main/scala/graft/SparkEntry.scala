@@ -807,7 +807,7 @@ object SparkEntry {
     "q57_unicode_clean" ->
       s"""WITH c AS (
          |  SELECT doc_id,
-         |    coalesce(text, '') || '${TextAnalysis.unicodeTail}' AS raw
+         |    coalesce(text, '') || '${TextAnalysis.unicodeTail.replace("'", "''")}' AS raw
          |  FROM documents),
          |n AS (
          |  SELECT doc_id, nfc_normalize(raw) AS nfc, strip_accents(raw) AS folded

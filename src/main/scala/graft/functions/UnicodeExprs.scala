@@ -45,13 +45,23 @@ case class StripAccentsExpr(child: Expression)
 object UnicodeExprs {
   import java.text.Normalizer
 
+  // precompiled: this runs per ROW of a corpus-scale kernel —
+  // String.replaceAll would recompile the pattern on every call
+  private val Marks = java.util.regex.Pattern.compile("\\p{M}+")
+
   def nfc(s: UTF8String): UTF8String =
     UTF8String.fromString(Normalizer.normalize(s.toString, Normalizer.Form.NFC))
 
-  /** NFD decompose, drop combining marks (\p{Mn}) — é→e, Å→A, ñ→n; ß and
-    * ligatures untouched (not accents). Matches DuckDB `strip_accents`. */
+  /** NFD decompose, drop ALL marks (\p{M}: nonspacing AND
+    * spacing/enclosing), NFC recompose. Aligned to DuckDB
+    * `strip_accents` (utf8proc STRIPMARK) by MEASUREMENT: é→e, Å→A
+    * (Latin Mn); Devanagari की→क (Mc vowel sign removed); Hangul 한→한
+    * (no marks — the final recompose restores the syllable the NFD step
+    * decomposed); ß and ligatures untouched (not marks). */
   def stripAccents(s: UTF8String): UTF8String =
     UTF8String.fromString(
-      Normalizer.normalize(s.toString, Normalizer.Form.NFD)
-        .replaceAll("\\p{Mn}+", ""))
+      Normalizer.normalize(
+        Marks.matcher(Normalizer.normalize(s.toString, Normalizer.Form.NFD))
+          .replaceAll(""),
+        Normalizer.Form.NFC))
 }

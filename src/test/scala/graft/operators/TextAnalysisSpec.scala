@@ -68,6 +68,12 @@ class TextAnalysisSpec extends SparkSpec {
     val keep = Seq(Tuple1("\ufb01\u00df")).toDF("s")
       .select(graft.functions.native.stripAccents($"s")).head().getString(0)
     assert(keep === "\ufb01\u00df")
+    // measured DuckDB parity beyond Latin: Devanagari KA + II (an Mc
+    // spacing mark) loses the vowel sign; Hangul syllables survive via
+    // the post-strip NFC recompose (NFD alone would leave bare Jamo)
+    val wide = Seq(Tuple1("\u0915\u0940 \ud55c")).toDF("s")
+      .select(graft.functions.native.stripAccents($"s")).head().getString(0)
+    assert(wide === "\u0915 \ud55c")
   }
 
   test("unicodeClean: folded text is never longer than NFC text; deterministic") {
