@@ -118,6 +118,7 @@ object SparkEntry {
     "q55_minhash_oracled" -> ((s, d) => DedupOps.minHashLshPairsOracled(s, d)),
     "q56_attribution_join" -> ((s, d) => graft.streaming.StreamOps.attributionReport(s, d)),
     "q57_unicode_clean" -> ((s, d) => TextAnalysis.unicodeClean(s, d)),
+    "q58_training_pipeline" -> ((s, d) => CorpusOps.trainingPipeline(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -816,6 +817,26 @@ object SparkEntry {
          |  CAST(length(nfc) AS BIGINT) AS nfc_len, md5(nfc) AS nfc_md5,
          |  CAST(length(folded) AS BIGINT) AS folded_len, md5(folded) AS folded_md5
          |FROM n ORDER BY doc_id""".stripMargin,
+
+    // capstone: quality gate → exact dedup → stratified sample in one query
+    "q58_training_pipeline" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, lang, text FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM corpus),
+         |f AS (SELECT *, $fpSql AS fp FROM q WHERE n_tokens >= 5),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
+         |d AS (
+         |  SELECT f.doc_id, f.lang, f.n_tokens, f.fp FROM f
+         |  JOIN keep ON f.fp = keep.fp AND f.doc_id = keep.doc_id)
+         |SELECT doc_id, lang, n_tokens, fp,
+         |  ${h32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |FROM d
+         |WHERE ${h32("CAST(doc_id AS VARCHAR)")} % 100 < $sampleRateCase
+         |ORDER BY doc_id""".stripMargin,
 
     // salting changes only shuffle routing, never results → plain join SQL
     "q38_salted_join" ->

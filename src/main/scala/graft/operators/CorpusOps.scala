@@ -40,6 +40,34 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** The end-to-end training-data pipeline as ONE declared query — the
+    * capstone composition a corpus builder actually runs: quality gate
+    * (min token count) → exact dedup (keep min id per content
+    * fingerprint) → deterministic stratified sample. Every stage is an
+    * operator proven separately (q26/q18/q49); composed, the corpus pays
+    * two content shuffles (dedup groupBy + keeper join-back — both on the
+    * fingerprint key, so the exchange is reused) and the sample adds only
+    * a broadcast join + filter. Runs over the doubled corpus so the dedup
+    * stage demonstrably halves it. */
+  def trainingPipeline(spark: SparkSession, dir: String,
+                       minTokens: Int = 5): DataFrame = {
+    import spark.implicits._
+    val docs = DedupOps.dupCorpus(spark, dir)
+      .withColumn("n_tokens", size(tokens($"text")).cast("long"))
+      .filter($"n_tokens" >= minTokens)
+      .withColumn("fp", fingerprint($"text"))
+    val keep = docs.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    val deduped = docs.join(keep, Seq("fp", "doc_id"))
+    val rateTable = defaultRates.toDF("lang", "rate")
+    deduped
+      .join(broadcast(rateTable), Seq("lang"), "left")
+      .withColumn("rate", coalesce($"rate", lit(defaultRate)))
+      .withColumn("bucket", pmod(md5Hash32($"doc_id".cast("string")), lit(100)))
+      .filter($"bucket" < $"rate")
+      .select($"doc_id", $"lang", $"n_tokens", $"fp", $"bucket")
+      .orderBy($"doc_id")
+  }
+
   /** Per-source corpus profile — the data-quality dashboard a pipeline
     * gates ingestion on: volume, mean/median length, emptiness rate.
     * Median is EXACT `percentile` (interpolated), matching DuckDB's

@@ -23,6 +23,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(big.size > small.size)
   }
 
+  test("trainingPipeline: dedup keeps one copy per content, sample respects rates, stages compose") {
+    val out = CorpusOps.trainingPipeline(spark, sf).collect()
+    assert(out.nonEmpty)
+    // exact dedup stage: one surviving row per fingerprint, and the keeper
+    // is always the base copy (min id), never the +100000 shifted one
+    val fps = out.map(_.getAs[String]("fp"))
+    assert(fps.distinct.length === fps.length)
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") < 100000L)
+      assert(r.getAs[Long]("n_tokens") >= 5L)   // quality gate
+      assert(r.getAs[Long]("bucket") < 100L)    // sample stage ran
+    }
+  }
+
   test("corpusStats: groups cover every source; counts add up; median within range") {
     val out = CorpusOps.corpusStats(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
