@@ -33,6 +33,14 @@ object native {
   def simHash(toks: Column): Column =
     B.column(SimHashExpr(B.expression(toks)))
 
+  /** Lexicographic min of per-element md5 hex. See [[ArrayDigestExprs]]. */
+  def md5Min(arr: Column): Column =
+    B.column(Md5MinExpr(B.expression(arr)))
+
+  /** Per-element xxhash64 (seed 42). See [[ArrayDigestExprs]]. */
+  def xxhash64Array(arr: Column): Column =
+    B.column(XxHash64ArrayExpr(B.expression(arr)))
+
   /** NFC unicode normalization. See [[UnicodeExprs]]. */
   def nfcNormalize(s: Column): Column =
     B.column(NfcNormalizeExpr(B.expression(s)))

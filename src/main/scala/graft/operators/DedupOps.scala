@@ -98,8 +98,8 @@ object DedupOps {
     val docs = withDupCopies(shingleArrays(spark, dir, n)
       .select($"doc_id",
         size($"arr").as("n_sh"),
-        array_min(transform($"arr", sh => md5(sh))).as("bk"),
-        transform($"arr", sh => xxhash64(sh)).as("harr"))
+        graft.functions.native.md5Min($"arr").as("bk"),
+        graft.functions.native.xxhash64Array($"arr").as("harr"))
       .cache())
     val blocks = Guards.capHotKeys(docs, "bk", maxBlock)
     blocks.as("x").join(blocks.as("y"),

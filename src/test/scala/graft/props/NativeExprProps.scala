@@ -88,6 +88,24 @@ object NativeExprProps extends Properties("native-exprs") {
       automaton.containsAny(s"zz${t}zz") && automaton.containsAny(t + "x")
     }
 
+  // ——— ArrayDigestExprs (q20 cache-projection kernels) ———
+
+  property("md5Min = lexicographic min of per-element md5 hex") =
+    Prop.forAll(Gen.nonEmptyListOf(token)) { ts =>
+      import graft.functions.ArrayDigestExprs
+      def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ArrayDigestExprs.md5Min(strArr(ts)).toString == ts.map(md5hex).min
+    }
+
+  property("xxhash64Array matches Spark's xxhash64 per element (seed 42)") =
+    Prop.forAll(Gen.nonEmptyListOf(token)) { ts =>
+      import graft.functions.ArrayDigestExprs
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      longs(ArrayDigestExprs.xxhash64Array(strArr(ts))) ==
+        ts.map(t => XXH64.hashUTF8String(UTF8String.fromString(t), 42L))
+    }
+
   // ——— TopKAgg (the q42/q53 partial-aggregation kernel) ———
 
   private val scored: Gen[List[(Double, Long)]] =
