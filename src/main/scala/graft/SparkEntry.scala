@@ -827,7 +827,8 @@ object SparkEntry {
          |  SELECT doc_id, lang, text,
          |    CAST(len($toksSql) AS BIGINT) AS n_tokens
          |  FROM corpus),
-         |f AS (SELECT *, $fpSql AS fp FROM q WHERE n_tokens >= 5),
+         |f AS (SELECT *, $fpSql AS fp FROM q
+         |      WHERE n_tokens >= ${CorpusOps.pipelineMinTokens}),
          |keep AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
          |d AS (
          |  SELECT f.doc_id, f.lang, f.n_tokens, f.fp FROM f

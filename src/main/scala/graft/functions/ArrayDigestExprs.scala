@@ -22,8 +22,15 @@ case class Md5MinExpr(child: Expression)
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     ArrayDigestExprs.md5Min(input.asInstanceOf[ArrayData])
+  // NOT defineCodeGen: the kernel returns Java null for empty/all-null
+  // arrays (array_min semantics) and the result's isNull must track that,
+  // not just the child's nullness — otherwise codegen'd plans carry a
+  // non-null-flagged null and diverge from interpreted eval
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayDigestExprs.md5Min($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArrayDigestExprs.md5Min($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(newChild: Expression): Md5MinExpr =
     copy(child = newChild)
 }

@@ -20,6 +20,18 @@ object CorpusOps {
   val defaultRates: Seq[(String, Int)] = Seq("en" -> 50, "de" -> 30)
   val defaultRate: Int = 10
 
+  /** The sample stage as a reusable transform over any relation with
+    * (doc_id, lang): broadcast rate join, hash bucket, keep-filter. */
+  def sampleStage(df: DataFrame,
+                  rates: Seq[(String, Int)], default: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val rateTable = rates.toDF("lang", "rate")
+    df.join(broadcast(rateTable), Seq("lang"), "left")
+      .withColumn("rate", coalesce($"rate", lit(default)))
+      .withColumn("bucket", pmod(md5Hash32($"doc_id".cast("string")), lit(100)))
+      .filter($"bucket" < $"rate")
+  }
+
   /** Deterministic stratified sample: doc is kept iff
     * `md5_32(doc_id) % 100 < rate(lang)`. Hash-based (not `rand()`) so the
     * sample is REPRODUCIBLE row-for-row across runs, engines, and
@@ -30,40 +42,38 @@ object CorpusOps {
                        rates: Seq[(String, Int)] = defaultRates,
                        default: Int = defaultRate): DataFrame = {
     import spark.implicits._
-    val rateTable = rates.toDF("lang", "rate")
-    Tables.documents(spark, dir)
-      .join(broadcast(rateTable), Seq("lang"), "left")
-      .withColumn("rate", coalesce($"rate", lit(default)))
-      .withColumn("bucket", pmod(md5Hash32($"doc_id".cast("string")), lit(100)))
-      .filter($"bucket" < $"rate")
+    sampleStage(Tables.documents(spark, dir), rates, default)
       .select($"doc_id", $"lang", $"bucket", $"rate".cast("long").as("rate"))
       .orderBy($"doc_id")
   }
 
+  /** Quality-gate token threshold shared with the q58 oracle SQL. */
+  val pipelineMinTokens: Int = 5
+
   /** The end-to-end training-data pipeline as ONE declared query — the
     * capstone composition a corpus builder actually runs: quality gate
     * (min token count) → exact dedup (keep min id per content
-    * fingerprint) → deterministic stratified sample. Every stage is an
-    * operator proven separately (q26/q18/q49); composed, the corpus pays
-    * two content shuffles (dedup groupBy + keeper join-back — both on the
-    * fingerprint key, so the exchange is reused) and the sample adds only
-    * a broadcast join + filter. Runs over the doubled corpus so the dedup
-    * stage demonstrably halves it. */
+    * fingerprint) → deterministic stratified sample ([[sampleStage]], the
+    * same transform q49 uses). The tokenize+fingerprint projection is
+    * derived ONCE per unique text behind a cache barrier (the
+    * CollapseProject trap DedupOps documents: without it both branches of
+    * the keeper self-join re-tokenize every row, ×2 for the dup union);
+    * the dedup stage costs a fingerprint-keyed groupBy plus the keeper
+    * join-back, and the sample is a broadcast join + filter. Runs over
+    * the doubled corpus so dedup demonstrably halves it. */
   def trainingPipeline(spark: SparkSession, dir: String,
-                       minTokens: Int = 5): DataFrame = {
+                       minTokens: Int = pipelineMinTokens): DataFrame = {
     import spark.implicits._
-    val docs = DedupOps.dupCorpus(spark, dir)
+    val base = Tables.documents(spark, dir)
       .withColumn("n_tokens", size(tokens($"text")).cast("long"))
       .filter($"n_tokens" >= minTokens)
-      .withColumn("fp", fingerprint($"text"))
+      .select($"doc_id", $"lang", $"n_tokens", fingerprint($"text").as("fp"))
+      .cache()
+    val docs = base.unionByName(
+      base.withColumn("doc_id", $"doc_id" + DedupOps.dupOffset))
     val keep = docs.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
     val deduped = docs.join(keep, Seq("fp", "doc_id"))
-    val rateTable = defaultRates.toDF("lang", "rate")
-    deduped
-      .join(broadcast(rateTable), Seq("lang"), "left")
-      .withColumn("rate", coalesce($"rate", lit(defaultRate)))
-      .withColumn("bucket", pmod(md5Hash32($"doc_id".cast("string")), lit(100)))
-      .filter($"bucket" < $"rate")
+    sampleStage(deduped, defaultRates, defaultRate)
       .select($"doc_id", $"lang", $"n_tokens", $"fp", $"bucket")
       .orderBy($"doc_id")
   }

@@ -62,6 +62,16 @@ class DedupSpec extends SparkSpec {
     shifted.foreach(r => assert(r.getAs[Double]("est_jaccard") === 1.0))
   }
 
+  test("md5Min through codegen: empty array is SQL NULL, not a non-null-flagged null") {
+    import spark.implicits._
+    val out = Seq(Tuple1(Seq.empty[String]), Tuple1(Seq("a")))
+      .toDF("arr")
+      .select(graft.functions.native.md5Min($"arr").as("m"))
+      .collect()
+    assert(out.count(_.isNullAt(0)) === 1)
+    assert(out.count(!_.isNullAt(0)) === 1)
+  }
+
   test("md5 minhash family: native expression matches an independent Scala computation") {
     import spark.implicits._
     val shingles = Seq("a b c", "b c d", "c d e")

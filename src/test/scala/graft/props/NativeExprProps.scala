@@ -90,12 +90,16 @@ object NativeExprProps extends Properties("native-exprs") {
 
   // ——— ArrayDigestExprs (q20 cache-projection kernels) ———
 
-  property("md5Min = lexicographic min of per-element md5 hex") =
-    Prop.forAll(Gen.nonEmptyListOf(token)) { ts =>
+  property("md5Min = lexicographic min of per-element md5 hex; null for empty/all-null") =
+    Prop.forAll(Gen.listOf(token)) { ts =>
       import graft.functions.ArrayDigestExprs
       def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
         .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      ArrayDigestExprs.md5Min(strArr(ts)).toString == ts.map(md5hex).min
+      val got = ArrayDigestExprs.md5Min(strArr(ts))
+      val emptyOk = ArrayDigestExprs.md5Min(
+        new GenericArrayData(Array[Any](null, null))) == null
+      emptyOk && (if (ts.isEmpty) got == null
+                  else got.toString == ts.map(md5hex).min)
     }
 
   property("xxhash64Array matches Spark's xxhash64 per element (seed 42)") =
