@@ -621,6 +621,9 @@ object SparkEntry {
         |  CAST(length(trim(coalesce(text, ''))) AS BIGINT) AS body_len
         |FROM documents ORDER BY id""".stripMargin,
 
+    // NaN policy mirrored from batchTopK: zero-norm vectors score NaN =
+    // unscorable, excluded before ranking (NaN otherwise sorts FIRST under
+    // ORDER BY DESC in both engines, diverging from TopKAgg's NaN-last)
     "q42_ann_batch_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
@@ -631,7 +634,7 @@ object SparkEntry {
          |  SELECT q_id, vec_id, cos_sim,
          |    CAST(row_number() OVER (PARTITION BY q_id
          |      ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rk
-         |  FROM s)
+         |  FROM s WHERE NOT isnan(cos_sim))
          |SELECT q_id, rk, vec_id, cos_sim FROM r WHERE rk <= 5
          |ORDER BY q_id, rk""".stripMargin,
 
@@ -770,7 +773,7 @@ object SparkEntry {
          |  SELECT vec_id, nbr, cos_sim,
          |    CAST(row_number() OVER (PARTITION BY vec_id
          |      ORDER BY cos_sim DESC, nbr) AS BIGINT) AS rk
-         |  FROM pairs)
+         |  FROM pairs WHERE NOT isnan(cos_sim))
          |SELECT vec_id, rk, nbr, cos_sim FROM r WHERE rk <= 3
          |ORDER BY vec_id, rk""".stripMargin,
 

@@ -31,7 +31,14 @@ class TopKAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]]
     * must never beat a scored one. Without the explicit NaN arm, `>` is
     * false in both directions and a NaN that lands in an under-full
     * buffer would permanently block later real candidates via the
-    * early-exit below, with partition-order-dependent results. */
+    * early-exit below, with partition-order-dependent results.
+    *
+    * Callers (batchTopK / knnJoin) additionally FILTER NaN scores out
+    * before aggregating — "unscorable candidates are excluded" is the
+    * documented serving policy, mirrored in the DuckDB oracles with
+    * `WHERE NOT isnan(cos_sim)` (a bare `ORDER BY cos_sim DESC` window
+    * would rank NaN FIRST, since NaN sorts greatest in both engines).
+    * The NaN arm here stays as defense in depth for other callers. */
   private def better(x: ScoredId, y: ScoredId): Boolean = {
     val xn = java.lang.Double.isNaN(x.cos_sim)
     val yn = java.lang.Double.isNaN(y.cos_sim)

@@ -75,6 +75,13 @@ object AnnSearch {
       .crossJoin(broadcast(queries))
       .select($"q_id", $"vec_id",
         round(cosine($"embedding", $"q"), 4).as("cos_sim"))
+      // NaN policy (documented, oracle-mirrored): cosine of a zero-norm
+      // vector is NaN = "unscorable", and unscorable candidates are
+      // EXCLUDED from serving results. Without this filter the engines
+      // disagree: TopKAgg ranks NaN last while the oracle's
+      // row_number(ORDER BY cos_sim DESC) ranks NaN first (NaN sorts
+      // greatest in both DuckDB and Spark's sort).
+      .filter(!isnan($"cos_sim"))
       .groupBy($"q_id")
       .agg(graft.functions.TopK.topK(k)($"cos_sim", $"vec_id").as("hits"))
       .select($"q_id", posexplode($"hits"))
@@ -158,6 +165,8 @@ object AnnSearch {
         round(dot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"), 4)
           .as("cos_sim"),
         $"y.vec_id".as("nbr"))
+      // same NaN-exclusion policy as batchTopK (zero-norm → unscorable)
+      .filter(!isnan($"cos_sim"))
       .groupBy($"vec_id")
       .agg(graft.functions.TopK.topK(k)($"cos_sim", $"nbr").as("hits"))
       .select($"vec_id", posexplode($"hits"))

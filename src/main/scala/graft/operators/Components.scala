@@ -22,6 +22,18 @@ import graft.Tables
   */
 object Components {
 
+  /** Free the storage blocks behind a `localCheckpoint()`ed Dataset. The
+    * checkpointed plan is a `LogicalRDD` leaf over an RDD persisted
+    * OUTSIDE the CacheManager, so `Dataset.unpersist()` never releases
+    * it — without an explicit release a high-diameter graph accumulates
+    * O(rounds × |nodes|) storage blocks across the iteration. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Min-label propagation. `edges` has columns (a, b); result is
     * (node, component) where component = min node id reachable.
     *
@@ -33,7 +45,13 @@ object Components {
     *   - the convergence signal rides the SAME job as the label update
     *     (`observe` metric: # of nodes whose label strictly dropped), so
     *     a round is exactly one shuffle + one action, with no second
-    *     compare-join pass. */
+    *     compare-join pass.
+    * Each round releases the PREVIOUS round's checkpoint blocks once the
+    * new round has materialized (only the returned labels and the
+    * symmetrized edges stay pinned for the caller's consumption).
+    * localCheckpoint is the right lineage cut in local mode; on a real
+    * cluster, where executor loss would drop the blocks and fail the job,
+    * swap it for reliable `checkpoint()` against the cluster FS. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -61,10 +79,12 @@ object Components {
         .observe(obs, sum(when($"component" < $"own", 1L).otherwise(0L)).as("changed"))
         .select($"node", $"component")
         .localCheckpoint() // eager: this IS the round's one action
+      unpersistCheckpoint(labels) // prev round's blocks, now unreferenced
       labels = next
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       iter += 1
     }
+    unpersistCheckpoint(sym)
     // exhausting the budget without a fixpoint means labels are WRONG for
     // nodes farther than maxIter hops from their component's min — fail
     // loudly rather than return silently split clusters

@@ -12,6 +12,29 @@ import graft.Tables
   */
 object CsvRoundTrip {
 
+  /** Null vs empty-string round-trip contract, set SYMMETRICALLY on write
+    * and read: NULL serializes as the `\N` sentinel (never a bare empty
+    * field), and a quoted `""` deserializes back to the empty string.
+    * Spark's defaults are asymmetric here — the writer emits empty string
+    * as `""` but the reader's default `nullValue` of "" folds it back to
+    * NULL — so without these options an empty `event_type` would silently
+    * come back as NULL while the oracle reads the original `''` from
+    * parquet. */
+  private val NullSentinel = "\\N"
+
+  /** Header-CSV writer with the symmetric null/empty contract. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", true)
+      .option("nullValue", NullSentinel).option("emptyValue", "\"\"")
+      .csv(path)
+
+  /** Header-CSV reader, inverse of [[writeCsv]]: `\N` → NULL, `""` → empty
+    * string. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", true)
+      .option("nullValue", NullSentinel).option("emptyValue", "")
+      .csv(path)
+
   /** Declared query: project `events`, write CSV with `header=true`, read
     * it back with `header=true` and NO explicit schema — the column NAMES
     * in the result come from the header line itself (absent the header
@@ -20,11 +43,12 @@ object CsvRoundTrip {
   def csvHeaderRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = TmpNonce.scratchDir("graft-csv", dir).toString
-    Tables.events(spark, dir)
-      .select($"event_id", $"user_id", $"event_type",
-        round($"value", 2).as("value"))
-      .write.mode("overwrite").option("header", true).csv(out)
-    spark.read.option("header", true).csv(out)
+    writeCsv(
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type",
+          round($"value", 2).as("value")),
+      out)
+    readCsv(spark, out)
       .select(
         $"event_id".cast("long").as("event_id"),
         $"user_id".cast("long").as("user_id"),

@@ -36,4 +36,36 @@ class BenchSpec extends SparkSpec {
     assert(json.contains(""""secs":[""")) // per-rep spread is visible
     assert(json.endsWith(s""""sf":"$sf"}"""))
   }
+
+  test("reported sec is min over SUCCESSFUL reps when a rep failed") {
+    // fails fast on rep 1, succeeds (slower, by construction) on rep 2: the
+    // fast failed rep must not become the headline timing
+    var calls = 0
+    val flaky: (SparkSession, String) => DataFrame = (s, d) => {
+      calls += 1
+      if (calls == 1) throw new RuntimeException("transient")
+      Thread.sleep(50)
+      good(s, d)
+    }
+    val r = Bench.measure(spark, sf, Map("flaky" -> flaky), reps = 2).head
+    assert(r.okSecs.size === 1 && r.secs.size === 2)
+    assert(r.sec === r.okSecs.head)
+    assert(r.sec >= 0.05) // the successful (slow) rep, not the failed fast one
+    assert(!r.ok && r.err.get.contains("transient"))
+  }
+
+  test("the stdout line is slim: 3-decimal secs, failures inlined, bounded size") {
+    val rs = Bench.measure(spark, sf, Map(
+      "a_ok" -> (good _), "b_broken" -> (bad _)), reps = 1)
+    val slim = Bench.renderSlim(rs, 1, sf)
+    assert(slim.startsWith("""{"metric":"total","value":"""))
+    assert(slim.contains(""""n_failed":1"""))
+    assert(slim.contains(""""failed":{"b_broken":"""))
+    assert(slim.contains(""""health_file":"bench_health.json""""))
+    // ~25 bytes/query: 60+ queries must still fit the consumer's 2000-char
+    // output tail; per-rep spreads live in the health file, not here
+    assert(!slim.contains(""""secs":["""))
+    val perQuery = slim.length / rs.size
+    assert(perQuery < 200, s"slim line too fat: $perQuery chars/query")
+  }
 }

@@ -56,6 +56,19 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("per-round checkpoint blocks are released: persisted RDD count stays O(1), not O(rounds)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // a 12-node chain needs multiple propagation rounds
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    Components.connectedComponents(chain, maxIter = 30).count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // only the RETURNED labels checkpoint may stay pinned (the caller is
+    // still consuming it); every intermediate round + the symmetrized
+    // edge list must have been unpersisted
+    assert(leaked.size <= 1, s"leaked ${leaked.size} persisted RDDs across rounds")
+  }
+
   test("dedupClusters: every doc labeled; chain groups of 5 collapse to min-id keeper") {
     val out = Components.dedupClusters(spark, sf).collect()
     val n = graft.Tables.documents(spark, sf).count()

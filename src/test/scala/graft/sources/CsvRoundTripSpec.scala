@@ -17,6 +17,20 @@ class CsvRoundTripSpec extends SparkSpec {
     assert(expected.exceptAll(out).count() === 0L)
   }
 
+  test("empty string and NULL survive the round trip as distinct values") {
+    import spark.implicits._
+    val out = TmpNonce.scratchDir("graft-csv-nullsafe", sf).toString
+    val src = Seq((1L, "x"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    CsvRoundTrip.writeCsv(src, out)
+    val back = CsvRoundTrip.readCsv(spark, out)
+      .select($"id".cast("long").as("id"), $"v")
+      .orderBy($"id")
+      .collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x"), (2L, ""), (3L, null)))
+  }
+
   test("the written part files actually carry the header line") {
     CsvRoundTrip.csvHeaderRoundTrip(spark, sf).count() // materialize the write
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
