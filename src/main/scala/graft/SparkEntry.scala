@@ -119,6 +119,14 @@ object SparkEntry {
     "q56_attribution_join" -> ((s, d) => graft.streaming.StreamOps.attributionReport(s, d)),
     "q57_unicode_clean" -> ((s, d) => TextAnalysis.unicodeClean(s, d)),
     "q58_training_pipeline" -> ((s, d) => CorpusOps.trainingPipeline(s, d)),
+    // — round-4 additions: compliance, quality rules, eval integrity,
+    //   multi-grain reporting, time-series analytics, vector compression —
+    "q59_pii_redaction" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "q60_gopher_quality" -> ((s, d) => TextAnalysis.gopherQuality(s, d)),
+    "q61_contamination" -> ((s, d) => CorpusOps.contaminationCheck(s, d)),
+    "q62_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
+    "q63_activity_windows" -> ((s, d) => Relational.userActivityWindows(s, d)),
+    "q64_embed_quantize" -> ((s, d) => AnnSearch.quantizeEmbeddings(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -848,5 +856,132 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // PII patterns + replacement ORDER shared verbatim with piiRedact
+    // (email → URL → IP → phone); the PII tail is doc_id-derived, so both
+    // engines redact identical bytes
+    "q59_pii_redaction" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, coalesce(text, '')
+         |    || ' Contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or +49 170 ' || CAST(1000000 + doc_id AS VARCHAR)
+         |    || ' at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || ' via https://tracker.example/visit?id=' || CAST(doc_id AS VARCHAR)
+         |    AS raw
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, raw,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+         |      '${TextAnalysis.piiEmail}', '<EMAIL>', 'g'),
+         |      '${TextAnalysis.piiUrl}', '<URL>', 'g'),
+         |      '${TextAnalysis.piiIp}', '<IP>', 'g'),
+         |      '${TextAnalysis.piiPhone}', '<PHONE>', 'g') AS clean
+         |  FROM r)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '${TextAnalysis.piiEmail}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '${TextAnalysis.piiUrl}')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(raw, '${TextAnalysis.piiIp}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(raw, '${TextAnalysis.piiPhone}')) AS BIGINT) AS n_phones,
+         |  CAST(length(clean) AS BIGINT) AS clean_len,
+         |  md5(clean) AS clean_md5
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // thresholds interpolated from the same constants gopherQuality uses
+    "q60_gopher_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks,
+         |    CAST(length(text) - length(regexp_replace(text, '[\\p{P}\\p{S}]', '', 'g')) AS BIGINT) AS n_punct
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    round(CAST(length(array_to_string(toks, '')) AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS mean_word_len,
+         |    round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS dup_ratio,
+         |    round(CAST(n_punct AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS punct_ratio
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_word_len, dup_ratio, punct_ratio,
+         |  (n_words >= ${TextAnalysis.gopherMinWords}
+         |   AND dup_ratio < ${TextAnalysis.gopherMaxDupRatio}
+         |   AND mean_word_len BETWEEN ${TextAnalysis.gopherMeanLen._1}
+         |     AND ${TextAnalysis.gopherMeanLen._2}) AS passes
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // 8-gram shingles, per-doc distinct BEFORE the unnest, canary planted
+    // in the same docs as contaminationCheck
+    "q61_contamination" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, coalesce(text, '')
+         |    || CASE WHEN doc_id % ${CorpusOps.benchMod} = 0
+         |              OR doc_id % ${CorpusOps.contamMod} = 0
+         |       THEN ' ${CorpusOps.contaminationCanary}' ELSE '' END AS text
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+         |      i -> array_to_string(toks[i:i+7], ' ')))) AS shingle
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM d))
+         |SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+         |  count(*) AS n_shared
+         |FROM sh t JOIN sh b ON t.shingle = b.shingle
+         |WHERE b.doc_id % ${CorpusOps.benchMod} = 0
+         |  AND t.doc_id % ${CorpusOps.benchMod} <> 0
+         |GROUP BY train_doc, bench_doc
+         |ORDER BY train_doc, bench_doc""".stripMargin,
+
+    "q62_rollup_revenue" ->
+      """WITH j AS (
+        |  SELECT n_name, o_orderpriority, o_totalprice FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping(n_name) AS BIGINT) AS g_nation,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM j GROUP BY ROLLUP(n_name, o_orderpriority)
+        |ORDER BY nation, priority""".stripMargin,
+
+    // value pre-rounded so the sliding avg aggregates identical doubles
+    "q63_activity_windows" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+        |    round(value, 2) AS v2
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq,
+        |  date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us,
+        |  round(avg(v2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // floor(x + 0.5) on BOTH sides: Java and C round() diverge on negative
+    // halves; floor-plus-half is bit-identical across the engines
+    "q64_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |t AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN amax > 0 THEN 127.0 / amax END AS scale
+        |  FROM s),
+        |u AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS q
+        |  FROM t)
+        |SELECT vec_id, round(scale, 4) AS scale,
+        |  list_max(list_transform(q, l -> abs(l))) AS max_level,
+        |  round(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> (CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) / scale)
+        |         * (CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) / scale)))
+        |    / len(embedding), 8) AS mse
+        |FROM u ORDER BY vec_id""".stripMargin,
   )
 }

@@ -196,6 +196,41 @@ object AnnSearch {
       .orderBy($"label", $"dim")
   }
 
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * 4×-compression pass a vector store runs before indexing (FAISS
+    * SQ8-style): per-vector scale = 127 / max|x|, levels = round(x·scale),
+    * plus the reconstruction-error audit (MSE, max level) a pipeline
+    * alerts on. Pure per-row array expressions (transform/aggregate/
+    * zip_with) — no shuffle, fully parallel, and the quantized array
+    * would be written back as the compact index column at scale.
+    * Rounding is `floor(x + 0.5)` explicitly: Java and C round() diverge
+    * on negative halves, floor-plus-half is bit-identical in both
+    * engines. Zero-norm vectors (scale undefined) pass through flagged
+    * with null scale rather than poisoning the batch with NaN. */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val amax = array_max(transform($"embedding", x => abs(x.cast("double"))))
+    val withScale = emb
+      .withColumn("amax", amax)
+      .withColumn("scale", when($"amax" > 0.0, lit(127.0) / $"amax"))
+    val q = transform($"embedding",
+      x => floor(x.cast("double") * $"scale" + 0.5).cast("long"))
+    val sqErr = zip_with($"embedding", $"q", (x, qi) => {
+      val d = x.cast("double") - qi.cast("double") / $"scale"
+      d * d
+    })
+    withScale
+      .withColumn("q", q)
+      .select($"vec_id",
+        round($"scale", 4).as("scale"),
+        array_max(transform($"q", l => abs(l))).as("max_level"),
+        round(
+          aggregate(sqErr, lit(0.0), (acc, x) => acc + x) /
+            size($"embedding").cast("double"), 8).as("mse"))
+      .orderBy($"vec_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: pairs sharing a
     * sign-LSH bucket with cosine ≥ threshold. The bucket join replaces the
     * O(n²) cross join with per-bucket locality — the standard semantic-dedup

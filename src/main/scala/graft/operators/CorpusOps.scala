@@ -78,6 +78,48 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** Benchmark-contamination canary: a 9-word sentence (two 8-grams)
+    * appended to every "benchmark" doc and every seeded-contaminated
+    * train doc, shared verbatim with the q61 oracle. */
+  val contaminationCanary = "the quick brown fox jumps over the lazy dog"
+  val benchMod = 97
+  val contamMod = 13
+
+  /** Benchmark contamination check — the eval-integrity pass a training
+    * pipeline runs before a corpus ships: which training documents share
+    * long word n-grams (8-grams here, the published decontamination
+    * heuristic) with a held-out benchmark set. Shape, built for 100 TB:
+    *
+    *   - per-doc shingling is a native expression and the per-side
+    *     DISTINCT is `array_distinct` BEFORE the explode — per-row work,
+    *     no pre-join shuffle of the corpus;
+    *   - the benchmark side is tiny by construction (evals are small) and
+    *     broadcasts, so the corpus is scanned once with no shuffle;
+    *   - only MATCHED (train, bench, shingle) rows reach the final
+    *     groupBy — shuffle volume is O(contaminated overlap), not corpus.
+    *
+    * The synthetic corpus has no guaranteed overlaps, so a canary
+    * sentence is planted in both sets deterministically (doc_id mod
+    * [[benchMod]] / [[contamMod]]); organic word-salad collisions are
+    * counted identically by both engines. */
+  def contaminationCheck(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        concat(coalesce($"text", lit("")),
+          when($"doc_id" % benchMod === 0 || $"doc_id" % contamMod === 0,
+            lit(" " + contaminationCanary)).otherwise(lit(""))).as("text"))
+    def shingled(df: DataFrame, idCol: String) = df
+      .select(col("doc_id").as(idCol),
+        explode(array_distinct(wordShingles(tokens($"text"), n))).as("shingle"))
+    val bench = shingled(docs.filter($"doc_id" % benchMod === 0), "bench_doc")
+    val train = shingled(docs.filter($"doc_id" % benchMod =!= 0), "train_doc")
+    train.join(broadcast(bench), "shingle")
+      .groupBy($"train_doc", $"bench_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"train_doc", $"bench_doc")
+  }
+
   /** Per-source corpus profile — the data-quality dashboard a pipeline
     * gates ingestion on: volume, mean/median length, emptiness rate.
     * Median is EXACT `percentile` (interpolated), matching DuckDB's

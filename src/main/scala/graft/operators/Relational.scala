@@ -182,6 +182,56 @@ object Relational {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** ROLLUP/grouping-sets reporting (the multi-grain aggregate surface a
+    * reporting layer expects beyond plain groupBy): revenue by
+    * (nation, order priority) with per-nation subtotals and a grand
+    * total in ONE pass — Spark plans `Expand` + a single hash aggregate,
+    * so the fact shuffles once for all three grains instead of once per
+    * grain. `grouping()` flags distinguish a subtotal row from a real
+    * 'ALL' value; sums are decimal-cast (associative, order-free) as
+    * everywhere else. Dim joins broadcast; the fact never reshuffles. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    Tables.orders(spark, dir)
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .rollup($"n_name", $"o_orderpriority")
+      .agg(
+        // grouping() is only resolvable INSIDE the rollup's agg list
+        grouping($"n_name").cast("long").as("g_nation"),
+        grouping($"o_orderpriority").cast("long").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,4)")).cast("double").as("revenue"))
+      .select(
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"g_nation", $"g_priority", $"n_orders", $"revenue")
+      .orderBy($"nation", $"priority")
+  }
+
+  /** Per-entity time-series window kit over the event stream: sequence
+    * number, microsecond gap to the previous event, and a 3-row moving
+    * average — lag/lead/sliding-frame analytics (session heuristics,
+    * inter-arrival profiling, rate smoothing). All three functions share
+    * ONE window spec, so the plan is a single shuffle on user_id + one
+    * sort within partitions — adding window functions to the same spec
+    * is free; a second spec would be a second sort. The input `value` is
+    * pre-rounded so the sliding average aggregates identical doubles in
+    * both engines. */
+  def userActivityWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("v2", round($"value", 2))
+      .select($"event_id", $"user_id",
+        row_number().over(w).cast("long").as("seq"),
+        (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"),
+        round(avg($"v2").over(w.rowsBetween(-2, 0)), 4).as("mavg3"))
+      .orderBy($"event_id")
+  }
+
   /** F5/F7/F8/F10/F11 scalar date kit (`parser_media_articles.py:14–15,25–38`):
     * dd.mm.yyyy formatting, regex group-reorder back to ISO, German month
     * name via map literal + zero-padded day — all built-in functions. */

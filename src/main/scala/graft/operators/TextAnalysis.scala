@@ -101,6 +101,89 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** PII regexes, shared verbatim with the q59 oracle (the subset of
+    * regex syntax Java and RE2 interpret identically: classes, bounded
+    * repetition, `\b`, `\S`). Replacement ORDER is part of the contract —
+    * email first, then URL, then IP, then phone — so a URL containing an
+    * IP-shaped path segment redacts as one `<URL>`, not a URL wrapping an
+    * `<IP>` token. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiUrl = "https?://\\S+"
+  val piiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhone = "\\+\\d{1,3} \\d{2,4} \\d{5,9}"
+
+  /** PII redaction — the compliance pass every web-scale training corpus
+    * runs before the text reaches a model: emails, URLs, bare IPv4s and
+    * phone numbers are replaced with typed placeholder tokens, and the
+    * per-kind match counts are kept as the audit signal. Pure codegen'd
+    * regexp_replace chain — embarrassingly parallel, no shuffle, and at
+    * 100 TB it pipelines inside the same WholeStageCodegen stage as the
+    * quality/language filters it runs beside.
+    *
+    * The synthetic corpus is PII-free, so each doc gets a deterministic
+    * doc_id-derived PII tail appended first (same technique as
+    * [[unicodeTail]]); the SAME expression is interpolated into the
+    * oracle, so both engines redact identical bytes. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = concat(coalesce($"text", lit("")),
+      lit(" Contact user"), $"doc_id", lit("@example.com or +49 170 "),
+      lit(1000000) + $"doc_id", lit(" at 10.0.0."), pmod($"doc_id", lit(256)),
+      lit(" via https://tracker.example/visit?id="), $"doc_id")
+    def n(pat: String) =
+      size(regexp_extract_all(col("raw"), lit(pat), lit(0))).cast("long")
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), piiEmail, "<EMAIL>"),
+            piiUrl, "<URL>"),
+          piiIp, "<IP>"),
+        piiPhone, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id",
+        n(piiEmail).as("n_emails"), n(piiUrl).as("n_urls"),
+        n(piiIp).as("n_ips"), n(piiPhone).as("n_phones"),
+        length(redacted).cast("long").as("clean_len"),
+        md5(redacted).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Gopher-rule thresholds (MassiveText-style heuristic gate), shared
+    * with the q60 oracle. Tuned so the synthetic corpus (10–99 tokens,
+    * ~0.5 repeated-token ratio, 3.7–5.3 mean word length) splits into a
+    * genuine pass/fail mix rather than a constant column. */
+  val gopherMinWords = 30
+  val gopherMaxDupRatio = 0.55
+  val gopherMeanLen: (Double, Double) = (3.0, 4.5)
+
+  /** Gopher-style document quality rules — the published heuristic
+    * filters large web corpora apply before training (word count bounds,
+    * mean word length window, repetition and symbol ratios). All pure
+    * per-row array/string expressions: token-character totals come from
+    * `length(array_join(toks))` (codegen'd) rather than a per-token
+    * lambda, and the repetition signal is `1 − distinct/total` over the
+    * token array. No shuffle; the `passes` bit is the gate a pipeline
+    * filters on. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id", toks.as("toks"), punctCount($"text").as("n_punct"))
+      .select($"doc_id", size($"toks").cast("long").as("n_words"),
+        round(length(array_join($"toks", "")).cast("double") /
+          greatest(size($"toks"), lit(1)).cast("double"), 4).as("mean_word_len"),
+        round(lit(1.0) - size(array_distinct($"toks")).cast("double") /
+          greatest(size($"toks"), lit(1)).cast("double"), 4).as("dup_ratio"),
+        round($"n_punct".cast("double") /
+          greatest(size($"toks"), lit(1)).cast("double"), 4).as("punct_ratio"))
+      .withColumn("passes",
+        $"n_words" >= gopherMinWords && $"dup_ratio" < gopherMaxDupRatio &&
+          $"mean_word_len".between(gopherMeanLen._1, gopherMeanLen._2))
+      .orderBy($"doc_id")
+  }
+
   /** A fixed multilingual tail appended to every doc so the unicode pass
     * has real accents/ligatures to work on (the synthetic corpus is
     * ASCII); the SAME Scala string is interpolated into the oracle SQL,

@@ -143,4 +143,18 @@ class AnnSearchSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getAs[Double]("cos_sim") === 1.0))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
+
+  test("quantizeEmbeddings: max level saturates at 127; reconstruction error is small") {
+    val out = AnnSearch.quantizeEmbeddings(spark, sf).collect()
+    assert(out.length.toLong === Tables.embeddings(spark, sf).count())
+    out.foreach { r =>
+      // symmetric scaling maps max|x| exactly to ±127; no level overflows
+      assert(r.getAs[Long]("max_level") === 127L)
+      assert(r.getAs[Double]("scale") > 0.0)
+      // SQ8 step is amax/127, per-dim error ≤ half a step; for unit-ish
+      // random vectors mse stays far below 1e-3
+      val mse = r.getAs[Double]("mse")
+      assert(mse >= 0.0 && mse < 1e-3, s"vec ${r.getAs[Long]("vec_id")} mse=$mse")
+    }
+  }
 }

@@ -75,4 +75,20 @@ class CorpusOpsSpec extends SparkSpec {
     val nDocs = Tables.documents(spark, sf).count()
     rows.foreach(r => assert(r.getAs[Long]("df") <= nDocs))
   }
+
+  test("contaminationCheck: every seeded (train, bench) pair surfaces with ≥2 shared 8-grams") {
+    val ids = Tables.documents(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val benchIds = ids.filter(_ % CorpusOps.benchMod == 0)
+    val seededTrain = ids.filter(i => i % CorpusOps.contamMod == 0 && i % CorpusOps.benchMod != 0)
+    assert(benchIds.nonEmpty && seededTrain.nonEmpty)
+    val out = CorpusOps.contaminationCheck(spark, sf).collect()
+      .map(r => (r.getAs[Long]("train_doc"), r.getAs[Long]("bench_doc")) ->
+        r.getAs[Long]("n_shared")).toMap
+    // the 9-word canary carries exactly two distinct 8-grams; every seeded
+    // train doc must collide with every bench doc on at least those two
+    for (t <- seededTrain; b <- benchIds)
+      assert(out.getOrElse((t, b), 0L) >= 2L, s"missed seeded pair ($t, $b)")
+    // no train doc reports more shingles than it has
+    out.foreach { case ((t, _), n) => assert(n >= 1L && t % CorpusOps.benchMod != 0) }
+  }
 }

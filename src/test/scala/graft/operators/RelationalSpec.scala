@@ -100,4 +100,43 @@ class RelationalSpec extends SparkSpec {
       assert(r.getAs[String]("german").endsWith(s" $yyyy"))
     }
   }
+
+  test("rollupRevenue: subtotals and grand total are consistent across grains") {
+    import spark.implicits._
+    val out = Relational.rollupRevenue(spark, sf).collect()
+    val detail = out.filter(r => r.getAs[Long]("g_nation") == 0L &&
+      r.getAs[Long]("g_priority") == 0L)
+    val natSub = out.filter(r => r.getAs[Long]("g_nation") == 0L &&
+      r.getAs[Long]("g_priority") == 1L)
+    val grand = out.filter(_.getAs[Long]("g_nation") == 1L)
+    assert(grand.length === 1 && grand.head.getAs[String]("nation") === "ALL")
+    // grand total row aggregates every order exactly once
+    assert(grand.head.getAs[Long]("n_orders") ===
+      Tables.orders(spark, sf).count())
+    assert(detail.map(_.getAs[Long]("n_orders")).sum ===
+      grand.head.getAs[Long]("n_orders"))
+    // each nation subtotal equals the sum of its detail rows (counts are
+    // integer-exact; revenue was decimal-summed so compare at 2dp)
+    natSub.foreach { s =>
+      val nat = s.getAs[String]("nation")
+      val mine = detail.filter(_.getAs[String]("nation") == nat)
+      assert(mine.map(_.getAs[Long]("n_orders")).sum === s.getAs[Long]("n_orders"))
+      assert(math.abs(mine.map(_.getAs[Double]("revenue")).sum -
+        s.getAs[Double]("revenue")) < 0.01)
+    }
+  }
+
+  test("userActivityWindows: seq is dense per user, gaps non-negative, first gap null") {
+    import spark.implicits._
+    val out = Relational.userActivityWindows(spark, sf)
+      .orderBy($"user_id", $"seq").collect()
+    val byUser = out.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("seq")).toSeq === (1L to rows.length))
+      rows.foreach { r =>
+        if (r.getAs[Long]("seq") == 1L) assert(r.isNullAt(r.fieldIndex("gap_us")))
+        else assert(r.getAs[Long]("gap_us") >= 0L) // ordered by ts: gaps never negative
+      }
+    }
+  }
 }

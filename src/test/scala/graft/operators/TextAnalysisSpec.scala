@@ -53,6 +53,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.values.toSet.size.toLong === nTexts)
   }
 
+  test("piiRedact: every planted PII kind is counted and redacted from the clean text") {
+    import spark.implicits._
+    val out = TextAnalysis.piiRedact(spark, sf).collect()
+    assert(out.length.toLong === Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      // the deterministic tail plants exactly one of each kind; the word-salad
+      // corpus itself contains none
+      assert(r.getAs[Long]("n_emails") === 1L)
+      assert(r.getAs[Long]("n_urls") === 1L)
+      assert(r.getAs[Long]("n_ips") === 1L)
+      assert(r.getAs[Long]("n_phones") === 1L)
+    }
+    // redaction really removed the raw PII: rebuild one clean text and check
+    val doc0 = Tables.documents(spark, sf).filter($"doc_id" === 0)
+      .select(coalesce($"text", lit(""))).head().getString(0)
+    val clean0 = Seq(Tuple1(doc0 +
+      " Contact user0@example.com or +49 170 1000000 at 10.0.0.0 via https://tracker.example/visit?id=0"))
+      .toDF("raw")
+      .select(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace($"raw", TextAnalysis.piiEmail, "<EMAIL>"),
+              TextAnalysis.piiUrl, "<URL>"),
+            TextAnalysis.piiIp, "<IP>"),
+          TextAnalysis.piiPhone, "<PHONE>"))
+      .head().getString(0)
+    assert(clean0.contains("<EMAIL>") && clean0.contains("<URL>") &&
+      clean0.contains("<IP>") && clean0.contains("<PHONE>"))
+    assert(!clean0.contains("@example.com") && !clean0.contains("https://"))
+    val got0 = out.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(got0.getAs[Long]("clean_len") === clean0.length.toLong)
+  }
+
+  test("gopherQuality: ratios bounded; thresholds produce a genuine pass/fail mix") {
+    val out = TextAnalysis.gopherQuality(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("dup_ratio") >= 0.0 && r.getAs[Double]("dup_ratio") < 1.0)
+      assert(r.getAs[Double]("mean_word_len") > 0.0)
+      assert(r.getAs[Long]("n_words") > 0L)
+    }
+    val passes = out.count(_.getAs[Boolean]("passes"))
+    assert(passes > 0 && passes < out.length,
+      s"gate is a constant column ($passes/${out.length}) — thresholds need retuning")
+  }
+
   test("unicode kernels: NFC composes decomposed sequences; accent folding drops marks only") {
     import spark.implicits._
     // "é" as e + COMBINING ACUTE (2 code points) must NFC-compose to 1
