@@ -87,12 +87,15 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"health":$health,"n_failed":${results.count(!_.ok)},"reps":$reps,"sf":"$sfDir"}"""
   }
 
-  /** The one stdout line: 3-decimal per-query seconds, failures inlined
-    * (truncated) only when present. ~25 bytes/query keeps the whole line
-    * inside the consumer's output-tail window with headroom. */
+  /** The one stdout line: 2-decimal per-query seconds (±5 ms, noise-level
+    * at these run times; full precision lives in the health file),
+    * failures inlined (truncated) only when present. ~26 bytes/query
+    * keeps the whole line inside the consumer's ~2000-char output-tail
+    * window with room for the query surface to keep growing. */
   def renderSlim(results: Seq[Measured], reps: Int, sfDir: String): String = {
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     def d3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map(r => s"${jstr(r.name)}:${d3(r.sec)}").mkString("{", ",", "}")
+    val qs = results.map(r => s"${jstr(r.name)}:${d2(r.sec)}").mkString("{", ",", "}")
     val failed =
       if (results.forall(_.ok)) ""
       else results.filter(!_.ok)
