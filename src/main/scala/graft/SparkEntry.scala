@@ -127,6 +127,8 @@ object SparkEntry {
     "q62_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
     "q63_activity_windows" -> ((s, d) => Relational.userActivityWindows(s, d)),
     "q64_embed_quantize" -> ((s, d) => AnnSearch.quantizeEmbeddings(s, d)),
+    "q65_hll_distinct" -> ((s, d) => Sketches.hllDistinct(s, d)),
+    "q66_reservoir_sample" -> ((s, d) => CorpusOps.reservoirSample(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -983,5 +985,43 @@ object SparkEntry {
         |         * (CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) / scale)))
         |    / len(embedding), 8) AS mse
         |FROM u ORDER BY vec_id""".stripMargin,
+
+    // the HLL sketch replayed step-for-step in SQL: same md5-32 hash
+    // family, bucket = top 8 bits, rho = 25 - bit_length(low 24 bits);
+    // the register inverse-power sum is exact in double (≤256 powers of
+    // two ≥ 2^-25), so engine summation order cannot diverge
+    "q65_hll_distinct" ->
+      s"""WITH h AS (
+         |  SELECT ${h32("CAST(user_id AS VARCHAR)")} AS hv FROM events),
+         |r AS (
+         |  SELECT hv // 16777216 AS bucket,
+         |    CASE WHEN hv % 16777216 = 0 THEN 25
+         |         ELSE 25 - (CAST(floor(log2(hv % 16777216)) AS BIGINT) + 1)
+         |    END AS rho
+         |  FROM h),
+         |regs AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
+         |a AS (
+         |  SELECT count(*) AS present, sum(power(2.0, -reg)) AS sinv FROM regs),
+         |e AS (
+         |  SELECT (0.7213 / (1.0 + 1.079 / ${Sketches.hllM}))
+         |      * ${Sketches.hllM}.0 * ${Sketches.hllM}.0
+         |      / (sinv + (${Sketches.hllM} - present)) AS e_raw,
+         |    ${Sketches.hllM} - present AS v
+         |  FROM a),
+         |est AS (
+         |  SELECT round(CASE WHEN e_raw <= ${2.5 * Sketches.hllM} AND v > 0
+         |    THEN ${Sketches.hllM}.0 * ln(${Sketches.hllM}.0 / v)
+         |    ELSE e_raw END, 4) AS hll_estimate
+         |  FROM e)
+         |SELECT hll_estimate,
+         |  (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct,
+         |  round(abs(hll_estimate - (SELECT count(DISTINCT user_id) FROM events))
+         |    / CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE), 4)
+         |    AS rel_err
+         |FROM est""".stripMargin,
+
+    "q66_reservoir_sample" ->
+      """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS priority
+        |FROM documents ORDER BY priority LIMIT 100""".stripMargin,
   )
 }

@@ -120,6 +120,25 @@ object CorpusOps {
       .orderBy($"train_doc", $"bench_doc")
   }
 
+  /** Bottom-k-by-hash uniform reservoir sample: the k documents with the
+    * smallest md5(doc_id) priorities — the distributed, deterministic
+    * equivalent of reservoir sampling (priority sampling). Unlike
+    * `rand()`-based sampling it is reproducible across runs, engines and
+    * partitionings, and unlike [[stratifiedSample]]'s fixed-rate filter it
+    * yields an EXACT sample size. Spark plans `TakeOrderedAndProject`:
+    * each partition keeps only its local bottom-k before the single-reduce
+    * merge, so the shuffle carries O(partitions × k) rows — the same
+    * partial-reduce shape as q42, here for free from the optimizer. Two
+    * samples with k < k' nest (bottom-k ⊂ bottom-k'), which is what makes
+    * grow-the-eval-set workflows reproducible. */
+  def reservoirSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", md5($"doc_id".cast("string")).as("priority"))
+      .orderBy($"priority")
+      .limit(k)
+  }
+
   /** Per-source corpus profile — the data-quality dashboard a pipeline
     * gates ingestion on: volume, mean/median length, emptiness rate.
     * Median is EXACT `percentile` (interpolated), matching DuckDB's

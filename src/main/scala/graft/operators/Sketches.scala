@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.md5Hash32
+
+/** Approximate-counting sketches, built deterministic-by-construction so
+  * the DuckDB oracle can replay them bit-for-bit. `approx_count_distinct`
+  * exists in both engines but with engine-private hash functions and
+  * register layouts — useless for differential testing. This HLL uses the
+  * shared md5-derived 32-bit hash (the same family as q49/q55), so the
+  * SKETCH ITSELF is oracle-verified, not just its final estimate.
+  */
+object Sketches {
+
+  /** HyperLogLog precision: 2^8 = 256 registers (~6.5% standard error —
+    * the audit-dashboard regime; production would use p=12–14). Shared
+    * with the q65 oracle via interpolation. */
+  val hllP = 8
+  val hllM = 1 << hllP // 256
+
+  /** HyperLogLog distinct-user estimate over the event stream, next to
+    * the exact count and relative error — the cardinality monitor a
+    * pipeline runs per partition/day when exact `count(distinct)` is too
+    * expensive. Scale shape: the register table is the ONLY shuffle —
+    * partial `max` per (bucket) collapses each map partition to ≤256
+    * rows before the exchange, so 100 TB of events reduce to 256
+    * registers regardless of input size (exactly the HLL promise; the
+    * exact count pays a full distinct shuffle next to it, which is the
+    * point of the comparison).
+    *
+    * Determinism: bucket = top 8 bits of the md5-32 hash, rho = leading
+    * zeros in the remaining 24 bits + 1 (`25 - bit_length`), registers
+    * are max(rho). `floor(log2(w))` is safe for bit-length — for w < 2^24
+    * the distance of log2(w) from an integer is ≥ 8.6e-8 for non-powers,
+    * orders of magnitude above any libm ulp disagreement. The register
+    * inverse-power sum adds ≤256 exact powers of two ≥ 2^-25 — every
+    * partial sum is exactly representable, so summation order (which
+    * differs between engines) cannot change the result. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = hllM
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
+    val h = md5Hash32($"user_id".cast("string"))
+    val w = h.bitwiseAND(lit(16777215L))
+    val regs = Tables.events(spark, dir)
+      .select(
+        shiftright(h, 24).as("bucket"),
+        when(w === 0, lit(25))
+          .otherwise(lit(25) - (floor(log2(w)) + lit(1))).cast("long").as("rho"))
+      .groupBy($"bucket")
+      .agg(max($"rho").as("reg"))
+    val est = regs.agg(
+        count(lit(1)).as("present"),
+        sum(pow(lit(2.0), -$"reg")).as("sinv"))
+      .select(
+        (alpha * m * m / ($"sinv" + (lit(m) - $"present"))).as("e_raw"),
+        (lit(m) - $"present").as("v"))
+      // standard small-range correction: linear counting when the raw
+      // estimate is ≤ 2.5m and zero registers remain
+      .select(
+        round(
+          when($"e_raw" <= lit(2.5 * m) && $"v" > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / $"v"))
+            .otherwise($"e_raw"), 4).as("hll_estimate"))
+    val exact = Tables.events(spark, dir)
+      .agg(countDistinct($"user_id").as("exact_distinct"))
+    est.crossJoin(exact)
+      .select($"hll_estimate", $"exact_distinct",
+        round(abs($"hll_estimate" - $"exact_distinct") /
+          $"exact_distinct".cast("double"), 4).as("rel_err"))
+  }
+}

@@ -78,4 +78,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q61 contamination: benchmark side broadcast; corpus never sort-merge shuffled") {
+    val p = plan(CorpusOps.contaminationCheck(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // pair-count groupBy + final orderBy are the only exchanges; the corpus
+    // shingle stream itself must not exchange before the join
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q62 rollup: ONE Expand + partial aggregation — never a union of per-grain scans") {
+    val p = plan(Relational.rollupRevenue(spark, sf))
+    assert("\\(\\d+\\) Expand".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortMergeJoin"), p) // dims broadcast
+  }
+
+  test("q63 window kit: all three functions share ONE Window node and one sort") {
+    val p = plan(Relational.userActivityWindows(spark, sf))
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size === 1, p)
+    // one exchange for the user_id partitioning + one for the final orderBy
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q59/q64 per-row passes: no shuffle except the deterministic orderBy") {
+    for (df <- Seq(TextAnalysis.piiRedact(spark, sf),
+                   AnnSearch.quantizeEmbeddings(spark, sf))) {
+      val p = plan(df)
+      assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p)
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    }
+  }
 }

@@ -76,6 +76,19 @@ class CorpusOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("df") <= nDocs))
   }
 
+  test("reservoirSample: exact size, deterministic, and bottom-k samples nest") {
+    val k100 = CorpusOps.reservoirSample(spark, sf, k = 100).collect()
+    assert(k100.length === 100)
+    val pri = k100.map(_.getAs[String]("priority")).toSeq
+    assert(pri === pri.sorted) // bottom-k by priority, ordered
+    val again = CorpusOps.reservoirSample(spark, sf, k = 100).collect()
+    assert(k100.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // nesting: the k=40 sample is exactly the first 40 of the k=100 sample
+    val k40 = CorpusOps.reservoirSample(spark, sf, k = 40).collect()
+    assert(k40.map(_.getAs[Long]("doc_id")).toSeq ===
+      k100.take(40).map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
   test("contaminationCheck: every seeded (train, bench) pair surfaces with ≥2 shared 8-grams") {
     val ids = Tables.documents(spark, sf).select($"doc_id").as[Long].collect().toSet
     val benchIds = ids.filter(_ % CorpusOps.benchMod == 0)

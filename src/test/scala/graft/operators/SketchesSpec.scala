@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  test("hllDistinct: estimate lands within the p=8 error regime of the exact count") {
+    val r = Sketches.hllDistinct(spark, sf).head()
+    val est = r.getAs[Double]("hll_estimate")
+    val exact = r.getAs[Long]("exact_distinct")
+    val relErr = r.getAs[Double]("rel_err")
+    assert(exact > 0L)
+    assert(est > 0.0)
+    // 256 registers → ~6.5% standard error; 4σ bound with headroom
+    assert(relErr < 0.25, s"estimate $est vs exact $exact (rel_err $relErr)")
+    assert(math.abs(relErr - math.abs(est - exact) / exact) < 1e-4)
+  }
+
+  test("hllDistinct: deterministic — two runs produce identical rows") {
+    val a = Sketches.hllDistinct(spark, sf).head()
+    val b = Sketches.hllDistinct(spark, sf).head()
+    assert(a === b)
+  }
+
+  test("hll register shape: buckets in [0, 256), rho in [1, 25]") {
+    import spark.implicits._
+    // rebuild the register relation exactly as the operator does
+    val h = graft.functions.TextFunctions.md5Hash32($"user_id".cast("string"))
+    val w = h.bitwiseAND(lit(16777215L))
+    val regs = Tables.events(spark, sf)
+      .select(
+        shiftright(h, 24).as("bucket"),
+        when(w === 0, lit(25))
+          .otherwise(lit(25) - (floor(log2(w)) + lit(1))).cast("long").as("rho"))
+    val rows = regs.collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val rho = r.getAs[Long]("rho")
+      assert(b >= 0L && b < Sketches.hllM.toLong)
+      assert(rho >= 1L && rho <= 25L)
+    }
+  }
+}
