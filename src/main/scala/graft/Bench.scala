@@ -89,13 +89,16 @@ object Bench {
 
   /** The one stdout line: 2-decimal per-query seconds (±5 ms, noise-level
     * at these run times; full precision lives in the health file),
-    * failures inlined (truncated) only when present. ~26 bytes/query
-    * keeps the whole line inside the consumer's ~2000-char output-tail
-    * window with room for the query surface to keep growing. */
+    * failures inlined (truncated) only when present. Queries are keyed by
+    * their `qNN` id alone (the 68-query line with full names hit 1884 of
+    * the consumer's ~2000-char tail window in round 6 — the id is the
+    * stable join key against BASELINE.md and the health file carries the
+    * full names); ~11 bytes/query leaves room for the surface to double. */
   def renderSlim(results: Seq[Measured], reps: Int, sfDir: String): String = {
     def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     def d3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map(r => s"${jstr(r.name)}:${d2(r.sec)}").mkString("{", ",", "}")
+    def qid(n: String) = n.takeWhile(_ != '_')
+    val qs = results.map(r => s"${jstr(qid(r.name))}:${d2(r.sec)}").mkString("{", ",", "}")
     val failed =
       if (results.forall(_.ok)) ""
       else results.filter(!_.ok)

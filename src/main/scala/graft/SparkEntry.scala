@@ -129,6 +129,10 @@ object SparkEntry {
     "q64_embed_quantize" -> ((s, d) => AnnSearch.quantizeEmbeddings(s, d)),
     "q65_hll_distinct" -> ((s, d) => Sketches.hllDistinct(s, d)),
     "q66_reservoir_sample" -> ((s, d) => CorpusOps.reservoirSample(s, d)),
+    // — round-6 additions: the composed near-dup pipeline product, and the
+    //   sketch-based corpus profile —
+    "q67_neardup_keepers" -> ((s, d) => DedupOps.nearDupKeepers(s, d)),
+    "q68_corpus_stats_approx" -> ((s, d) => CorpusOps.corpusStatsApprox(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -164,6 +168,41 @@ object SparkEntry {
         s"i -> CAST($emb[i] AS DOUBLE) * (CAST((i*${2 * j + 3}) % 101 AS DOUBLE) - 50))) > 0 " +
         s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
+
+  /** The md5 + mod-prime MinHash+LSH pair chain (corpus → shingles → h32 →
+    * 16-perm signature → 4-band slices → candidate join → match-fraction
+    * estimate), shared verbatim by the q55 pair oracle and the q67
+    * composed-pipeline oracle — one source of truth for the hash family. */
+  private lazy val minHashCtesSql: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+       |toks AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+       |shq AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+       |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+       |    FROM toks WHERE len(tk) >= 3) z),
+       |h AS (SELECT doc_id, ${h32("sh")} AS h FROM shq),
+       |sg AS (
+       |  SELECT doc_id, p.p AS p,
+       |    min(((2*p.p + 3) * h + (7*p.p + 1)) % 2147483647) AS v
+       |  FROM h CROSS JOIN range(0, 16) p(p) GROUP BY doc_id, p.p),
+       |sigl AS (SELECT doc_id, list(v ORDER BY p) AS s FROM sg GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, b.b AS band, list_slice(s, b.b*4 + 1, b.b*4 + 4) AS bk
+       |  FROM sigl CROSS JOIN range(0, 4) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT c.a, c.b,
+       |    round(len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) / 16.0, 4)
+       |      AS est_jaccard
+       |  FROM cand c
+       |  JOIN sigl sa ON sa.doc_id = c.a
+       |  JOIN sigl sb ON sb.doc_id = c.b)""".stripMargin
 
   private val germanMonthCase =
     "CASE month(o_orderdate) WHEN 1 THEN 'Januar' WHEN 2 THEN 'Februar' " +
@@ -322,35 +361,7 @@ object SparkEntry {
     // banding, candidate join on raw signature slices, match-fraction
     // verification — the oracle twin of the banding OPERATOR
     "q55_minhash_oracled" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
-         |toks AS (SELECT doc_id, $toksSql AS tk FROM corpus),
-         |shq AS (
-         |  SELECT DISTINCT doc_id, sh FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
-         |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
-         |    FROM toks WHERE len(tk) >= 3) z),
-         |h AS (SELECT doc_id, ${h32("sh")} AS h FROM shq),
-         |sg AS (
-         |  SELECT doc_id, p.p AS p,
-         |    min(((2*p.p + 3) * h + (7*p.p + 1)) % 2147483647) AS v
-         |  FROM h CROSS JOIN range(0, 16) p(p) GROUP BY doc_id, p.p),
-         |sigl AS (SELECT doc_id, list(v ORDER BY p) AS s FROM sg GROUP BY doc_id),
-         |banded AS (
-         |  SELECT doc_id, b.b AS band, list_slice(s, b.b*4 + 1, b.b*4 + 4) AS bk
-         |  FROM sigl CROSS JOIN range(0, 4) b(b)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
-         |est AS (
-         |  SELECT c.a, c.b,
-         |    round(len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) / 16.0, 4)
-         |      AS est_jaccard
-         |  FROM cand c
-         |  JOIN sigl sa ON sa.doc_id = c.a
-         |  JOIN sigl sb ON sb.doc_id = c.b)
+      s"""WITH $minHashCtesSql
          |SELECT a, b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY a, b""".stripMargin,
 
@@ -1023,5 +1034,39 @@ object SparkEntry {
     "q66_reservoir_sample" ->
       """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS priority
         |FROM documents ORDER BY priority LIMIT 100""".stripMargin,
+
+    // the composed end-to-end near-dup product: the q55 pair chain feeding
+    // a q48-style recursive transitive closure, min-id keeper election,
+    // singleton docs kept via the left join
+    "q67_neardup_keepers" ->
+      s"""WITH RECURSIVE $minHashCtesSql,
+         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |ids AS (SELECT doc_id FROM corpus),
+         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |labeled AS (
+         |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
+         |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+         |cs AS (SELECT keeper, count(*) AS cluster_size
+         |       FROM labeled GROUP BY keeper)
+         |SELECT l.doc_id, l.keeper, l.doc_id = l.keeper AS is_keeper,
+         |  cs.cluster_size
+         |FROM labeled l JOIN cs USING (keeper)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the sketch-vs-exact contract: the oracle pins the exact median and
+    // asserts the sketch stayed inside the 5% bound (constant TRUE — a
+    // hash mismatch means the KLL sketch drifted out of tolerance)
+    "q68_corpus_stats_approx" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4)
+        |    AS median_exact,
+        |  TRUE AS approx_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -159,10 +159,46 @@ object CorpusOps {
       .orderBy($"source")
   }
 
+  /** Relative tolerance for [[corpusStatsApprox]]'s approx-vs-exact median
+    * check, shared with the q68 oracle and the spec. */
+  val approxMedianTol = 0.05
+
+  /** The 100 TB form of [[corpusStats]], exercised rather than merely
+    * documented: median via `percentile_approx` (KLL-style mergeable
+    * sketch — partial-aggregated, O(accuracy) state per group, no
+    * per-group sort) next to the exact interpolated percentile. The approx
+    * value itself is engine-internal (DuckDB's t-digest would not
+    * bit-match Spark's KLL), so the ORACLE-CHECKED contract is the error
+    * bound: `approx_ok = |approx − exact| ≤ 5% · exact`, which the oracle
+    * asserts as a constant TRUE per group — a hash mismatch means the
+    * sketch drifted out of tolerance. The spec additionally pins the
+    * actual epsilon at sf0.01. At 100 TB the exact column is dropped and
+    * only the sketch runs; here both run so the bound is checkable. */
+  def corpusStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 4)
+          .as("median_exact"),
+        expr("percentile_approx(CAST(n_chars AS DOUBLE), 0.5, 10000)")
+          .as("median_approx"))
+      .select($"source", $"n_docs", $"median_exact",
+        (abs($"median_approx" - $"median_exact") <=
+          lit(approxMedianTol) * abs($"median_exact")).as("approx_ok"))
+      .orderBy($"source")
+  }
+
   /** TF-IDF top-terms per document: tf from one explode+groupBy, document
-    * frequency from a distinct groupBy over the same tokens, idf =
-    * ln(N/df). The per-doc top-3 window is bounded by per-doc vocabulary
-    * (never corpus-wide); the df relation is O(vocabulary) and broadcasts.
+    * frequency DERIVED from tf (tf already holds exactly one row per
+    * distinct (doc_id, term), so `tf.groupBy(term).count()` IS the
+    * document frequency) — the corpus is tokenized and exploded ONCE; the
+    * tf aggregate's exchange is shared between the tf branch and the df
+    * roll-up via Spark's exchange reuse (one Generate, one ReusedExchange
+    * in the physical plan — asserted in PlanSpec). idf = ln(N/df). The
+    * per-doc top-k window is bounded by per-doc vocabulary (never
+    * corpus-wide); the df relation is O(vocabulary) and broadcasts.
     * Rounding to 4 decimals is shared with the oracle so libm ulp
     * differences cannot flip the hash. */
   def tfIdfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
@@ -172,8 +208,12 @@ object CorpusOps {
     val toks = docs
       .select($"doc_id", explode(tokens($"text")).as("term"))
     val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = toks.select($"doc_id", $"term").distinct()
-      .groupBy($"term").agg(count(lit(1)).as("df"))
+    // the tautological `tf >= 1` guard keeps the count column ALIVE in the
+    // df branch so the optimizer cannot prune it out of the partial
+    // aggregate — both branches then canonicalize to the SAME exchange and
+    // ReuseExchange collapses them (without it, pruning makes the partial
+    // aggregates differ and the corpus is tokenized twice)
+    val df = tf.filter($"tf" >= 1).groupBy($"term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
     tf.join(df, "term")

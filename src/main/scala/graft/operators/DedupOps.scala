@@ -198,11 +198,25 @@ object DedupOps {
                              shingleN: Int = 3, perms: Int = 16,
                              bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
+    md5MinHashPairs(spark, dir, shingleN, perms, bands, threshold)._1
+      .orderBy($"a", $"b")
+  }
+
+  /** The md5-family pair generation shared by [[minHashLshPairsOracled]]
+    * and [[nearDupKeepers]], UNordered (the pair consumer decides whether
+    * a global sort is part of its contract — the CC consumer feeds a
+    * shuffle anyway and must not pay a pre-sort). Returns the pairs and
+    * the signature cache barrier so eager consumers can release it. */
+  private def md5MinHashPairs(spark: SparkSession, dir: String,
+                              shingleN: Int, perms: Int, bands: Int,
+                              threshold: Double): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val rows = perms / bands
-    val sig = withDupCopies(shingleArrays(spark, dir, shingleN)
+    val sigCached = shingleArrays(spark, dir, shingleN)
       .select($"doc_id",
         graft.functions.native.md5MinHashSig($"arr", perms).as("sig"))
-      .cache())
+      .cache()
+    val sig = withDupCopies(sigCached)
     val banded = sig.select($"doc_id", $"sig",
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice($"sig", b * lit(rows) + 1, lit(rows)))))
@@ -213,12 +227,52 @@ object DedupOps {
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
         $"x.sig".as("sa"), $"y.sig".as("sb"))
       .dropDuplicates("a", "b")
-    cand
+    val pairs = cand
       .select($"a", $"b",
         round(size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
           .cast("double") / lit(perms.toDouble), 4).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)
-      .orderBy($"a", $"b")
+    (pairs, sigCached)
+  }
+
+  /** The COMPOSED near-dup dedup pipeline, end to end in one declared
+    * query — the product a corpus builder actually ships: MinHash+LSH
+    * candidate pairs ([[md5MinHashPairs]], the oracle-shared md5 family)
+    * → [[Components.connectedComponents]] transitive closure over the
+    * REAL pair graph → per-document keeper verdict. Pairwise output alone
+    * under-deletes (A~B, B~C from different bands with no direct A~C
+    * pair); the CC pass collapses chains into clusters and `keeper =
+    * min(doc_id)` per cluster is the survivor, mirroring the keep-first
+    * semantics of `parser_media_articles.py:83–84,98` taken to corpus
+    * scale.
+    *
+    * Plan shape at 100 TB: the pair stage is the q55-audited band
+    * self-join (one signature pass, one band-key shuffle); CC is one
+    * shuffle per graph round over the PAIR graph only (O(duplicates), not
+    * O(corpus) — the corpus itself never enters the iteration); the final
+    * keeper join is one broadcast-or-shuffle hash join of corpus ids
+    * against CC labels. The signature cache is released as soon as CC's
+    * eager edge materialization has consumed it. */
+  def nearDupKeepers(spark: SparkSession, dir: String,
+                     shingleN: Int = 3, perms: Int = 16,
+                     bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val (pairs, sigCached) =
+      md5MinHashPairs(spark, dir, shingleN, perms, bands, threshold)
+    // connectedComponents symmetrizes + localCheckpoints its edges EAGERLY
+    // on entry, so by the time it returns the pair pipeline has fully run
+    // and the signature barrier can be dropped
+    val comps = Components.connectedComponents(pairs.select($"a", $"b"))
+    sigCached.unpersist(false)
+    val ids = dupCorpus(spark, dir).select($"doc_id")
+    val labeled = ids.join(comps, ids("doc_id") === comps("node"), "left")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("keeper"))
+    labeled.join(
+        labeled.groupBy($"keeper").agg(count(lit(1)).as("cluster_size")),
+        "keeper")
+      .select($"doc_id", $"keeper", ($"doc_id" === $"keeper").as("is_keeper"),
+        $"cluster_size")
+      .orderBy($"doc_id")
   }
 
   /** SimHash 32-bit fingerprint per document: for each bit, sign of the

@@ -73,6 +73,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("q50 tf-idf: corpus tokenized ONCE — df branch reuses tf's exchange at runtime") {
+    // exchange reuse is an AQE runtime decision (isFinalPlan), so execute
+    // first, then audit the FINAL plan section only (the formatted output
+    // appends the pre-execution "Initial Plan" where the reuse is not yet
+    // visible)
+    val df = CorpusOps.tfIdfTopTerms(spark, sf)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"), p)
+    // materialized query stages may collapse their subtree in the printout,
+    // so the tokenizing Generate appears at most once — never twice
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).size <= 1, p)
+  }
+
   test("q42 batched top-k: partial ObjectHashAggregate, no Window in the plan") {
     val p = plan(AnnSearch.batchTopK(spark, sf))
     assert(p.contains("ObjectHashAggregate"), p)

@@ -49,6 +49,19 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("corpusStatsApprox: sketch median within the pinned tolerance of exact") {
+    val approx = CorpusOps.corpusStatsApprox(spark, sf).collect()
+    val exact = CorpusOps.corpusStats(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("median_chars")).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      assert(r.getAs[Boolean]("approx_ok"), s"sketch out of tolerance: $r")
+      // the exact column agrees with corpusStats' independent computation
+      assert(math.abs(r.getAs[Double]("median_exact") -
+        exact(r.getAs[String]("source"))) < 1e-9)
+    }
+  }
+
   test("labelCentroids: one row per (label, dim); mean of a constant column is that constant") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-centroid").toString

@@ -37,6 +37,35 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.6))
   }
 
+  test("nearDupKeepers: every corpus doc labeled; dup copies collapse to the base keeper") {
+    import spark.implicits._
+    val out = DedupOps.nearDupKeepers(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length.toLong === 2 * nDocs) // doubled corpus, every id labeled
+    val keeperOf = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper")).toMap
+    out.foreach { r =>
+      val (id, k) = (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper"))
+      assert(k <= id)                              // min-id election
+      assert(keeperOf(k) === k)                    // keeper labels itself
+      assert(r.getAs[Boolean]("is_keeper") === (id === k))
+      assert(r.getAs[Long]("cluster_size") >= 1L)
+    }
+    // every (doc, doc+offset) exact-dup pair whose text has ≥3 tokens is a
+    // MinHash-identical pair, so the shifted copy MUST collapse onto the base
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(graft.functions.TextFunctions.tokens($"text")) >= 3)
+      .select($"doc_id").as[Long].collect()
+    eligible.foreach { id =>
+      assert(keeperOf(id + DedupOps.dupOffset) === keeperOf(id),
+        s"shifted copy of $id not in base cluster")
+      assert(keeperOf(id) <= id)
+    }
+    // cluster sizes add back up to the corpus
+    val sizes = out.filter(_.getAs[Boolean]("is_keeper"))
+      .map(_.getAs[Long]("cluster_size")).sum
+    assert(sizes === 2 * nDocs)
+  }
+
   test("simHash: equal texts hash equal; 32-bit range") {
     import spark.implicits._
     val out = DedupOps.simHash(spark, sf)
