@@ -53,6 +53,7 @@ object Bench {
         // (q19/q20/q24) measures warm-cache reads — not comparable to the
         // single-shot baseline. Reps isolate JIT/scheduler noise only.
         spark.catalog.clearCache()
+        CacheGuard.release() // registered barriers from the previous rep
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>

@@ -133,6 +133,7 @@ object SparkEntry {
     //   sketch-based corpus profile —
     "q67_neardup_keepers" -> ((s, d) => DedupOps.nearDupKeepers(s, d)),
     "q68_corpus_stats_approx" -> ((s, d) => CorpusOps.corpusStatsApprox(s, d)),
+    "q69_ivf_train" -> ((s, d) => AnnSearch.trainIvfCodebook(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -520,14 +521,27 @@ object SparkEntry {
          |  ${h32(fpSql)} AS fp32
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the oracle recomputes the DECODED image features from the generation
+    // laws (w = 1+id%8, h = 1+id%5, g = first md5 byte, pixel = (3x+5y+g)
+    // mod 256) — the Spark side must encode a real PNG and ImageIO-decode
+    // it back to hit these numbers; audio rows keep the stub byte features
     "q30_multimodal_decode" ->
-      """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(CASE WHEN octet_length(encode(text)) > 0
-        |    THEN ascii(substr(text, 1, 1)) ELSE -1 END AS BIGINT) AS head_byte,
-        |  md5(text) AS checksum_hex
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """WITH m AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |law AS (
+        |  SELECT doc_id, 1 + doc_id % 8 AS w, 1 + doc_id % 5 AS h,
+        |    CAST('0x' || substr(md5(t), 1, 2) AS BIGINT) AS g
+        |  FROM m WHERE doc_id % 2 = 0)
+        |SELECT m.doc_id AS media_id,
+        |  CASE WHEN m.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  coalesce(l.w, -1) AS width, coalesce(l.h, -1) AS height,
+        |  CAST(coalesce(list_sum(list_transform(range(0, l.h), y ->
+        |    list_sum(list_transform(range(0, l.w), x ->
+        |      (3*x + 5*y + l.g) % 256)))), -1) AS BIGINT) AS pixel_sum,
+        |  CAST(CASE WHEN m.doc_id % 2 = 1
+        |    THEN octet_length(encode(m.t)) ELSE -1 END AS BIGINT) AS n_bytes,
+        |  CASE WHEN m.doc_id % 2 = 1 THEN md5(m.t) ELSE '' END AS checksum_hex
+        |FROM m LEFT JOIN law l ON l.doc_id = m.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     "q31_html_articles" ->
       """SELECT CAST(doc_id // 3 AS BIGINT) AS page_id,
@@ -603,10 +617,10 @@ object SparkEntry {
     // engines' hex-case difference is immaterial
     "q39_frame_sample" ->
       """WITH m AS (
-        |  SELECT doc_id AS media_id,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |    hex(encode(text)) AS h
-        |  FROM documents WHERE octet_length(encode(text)) > 0)
+        |  SELECT doc_id AS media_id, 'audio' AS kind,
+        |    hex(encode(coalesce(text, ''))) AS h
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1 AND octet_length(encode(coalesce(text, ''))) > 0)
         |, u AS (
         |  SELECT media_id, kind,
         |    unnest(list_transform(range(0, CAST(ceil(length(h)/128.0) AS BIGINT)),
@@ -660,13 +674,21 @@ object SparkEntry {
          |ORDER BY q_id, rk""".stripMargin,
 
     // resize invariants are derivable from the source bytes alone
+    // real nearest-neighbor downsample by 2: resized pixel (x,y) samples
+    // source (2x,2y), so resized_sum has the closed form below; png_ok
+    // TRUE asserts the re-encode→decode roundtrip actually ran
     "q41_media_resize" ->
-      """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
-        |  CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS resized_bytes,
-        |  true AS head_preserved
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """WITH law AS (
+        |  SELECT doc_id, 1 + doc_id % 8 AS w, 1 + doc_id % 5 AS h,
+        |    CAST('0x' || substr(md5(coalesce(text, '')), 1, 2) AS BIGINT) AS g
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  (w + 1) // 2 AS resized_w, (h + 1) // 2 AS resized_h,
+        |  CAST(list_sum(list_transform(range(0, (h + 1) // 2), y ->
+        |    list_sum(list_transform(range(0, (w + 1) // 2), x ->
+        |      (6*x + 10*y + g) % 256)))) AS BIGINT) AS resized_sum,
+        |  true AS png_ok
+        |FROM law ORDER BY media_id""".stripMargin,
 
     // the automaton's semantics are exactly an any-contains disjunction
     "q40_multi_keyword" ->
@@ -1068,5 +1090,60 @@ object SparkEntry {
         |    AS median_exact,
         |  TRUE AS approx_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Lloyd's k-means, 2 integer-exact iterations: e3-grid vectors,
+    // rational (sum, n) centroids, score = one exact-int double division
+    // (IEEE-identical across engines), argmax tie -> lowest list id
+    "q69_ivf_train" ->
+      """WITH eq AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |cb0 AS (SELECT vec_id + 1 AS c, e AS s, CAST(1 AS BIGINT) AS n
+        |        FROM eq WHERE vec_id < 16),
+        |s1 AS (
+        |  SELECT q.vec_id, cb.c,
+        |    CAST(list_sum(list_transform(range(1, len(q.e)+1),
+        |      i -> q.e[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE) AS score
+        |  FROM eq q CROSS JOIN cb0 cb),
+        |a1 AS (
+        |  SELECT vec_id, c AS list_id FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn
+        |    FROM s1) z WHERE rn = 1),
+        |ex1 AS (
+        |  SELECT a.list_id, unnest(q.e) AS v, unnest(range(1, len(q.e)+1)) AS dim
+        |  FROM a1 a JOIN eq q USING (vec_id)),
+        |m1 AS (
+        |  SELECT list_id, dim, CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ex1 GROUP BY 1, 2),
+        |cb1 AS (
+        |  SELECT list_id AS c, list(s ORDER BY dim) AS s, min(n) AS n
+        |  FROM m1 GROUP BY list_id
+        |  UNION ALL
+        |  SELECT c, s, n FROM cb0
+        |  WHERE c NOT IN (SELECT DISTINCT list_id FROM m1)),
+        |s2 AS (
+        |  SELECT q.vec_id, cb.c,
+        |    CAST(list_sum(list_transform(range(1, len(q.e)+1),
+        |      i -> q.e[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE) AS score
+        |  FROM eq q CROSS JOIN cb1 cb),
+        |a2 AS (
+        |  SELECT vec_id, c AS list_id FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn
+        |    FROM s2) z WHERE rn = 1),
+        |ex2 AS (
+        |  SELECT a.list_id, unnest(q.e) AS v, unnest(range(1, len(q.e)+1)) AS dim
+        |  FROM a2 a JOIN eq q USING (vec_id)),
+        |m2 AS (
+        |  SELECT list_id, dim, CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ex2 GROUP BY 1, 2)
+        |SELECT list_id, n AS n_members, dim,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
+        |    AS centroid
+        |FROM m2 ORDER BY list_id, dim""".stripMargin,
   )
 }

@@ -108,14 +108,18 @@ object AnnSearch {
     */
   def ivfTopK(spark: SparkSession, dir: String,
               queryId: Long = 0L, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4,
+              centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     // tiny codebook (nlist × dim doubles) — collected once, broadcast as a
-    // literal into the assignment expression
-    val cents: Seq[Seq[Double]] = emb.filter($"vec_id" < nlist)
-      .orderBy($"vec_id").select($"embedding").as[Seq[Float]]
-      .collect().toSeq.map(_.map(_.toDouble))
+    // literal into the assignment expression; pass [[trainedCentroids]]
+    // for the Lloyd's-trained codebook (default keeps the deterministic
+    // first-nlist seed so q35's oracle stays closed-form)
+    val cents: Seq[Seq[Double]] = centroids.getOrElse(
+      emb.filter($"vec_id" < nlist)
+        .orderBy($"vec_id").select($"embedding").as[Seq[Float]]
+        .collect().toSeq.map(_.map(_.toDouble)))
     val centsCol = typedlit(cents)
     val dots = transform(centsCol, c =>
       aggregate(zip_with($"embedding", c, (x, y) => x.cast("double") * y),
@@ -157,8 +161,8 @@ object AnnSearch {
       .select($"vec_id", $"embedding",
         signLshBucket($"embedding", bits).as("bucket"),
         norm($"embedding").as("nrm"))
-      .cache()
-    val emb = Guards.capHotKeys(bucketed, "bucket", maxBlock)
+    val cached = graft.CacheGuard.barrier(bucketed)
+    val emb = Guards.capHotKeys(cached, "bucket", maxBlock)
     emb.as("x").join(emb.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.vec_id" =!= $"y.vec_id")
       .select($"x.vec_id".as("vec_id"),
@@ -231,6 +235,93 @@ object AnnSearch {
       .orderBy($"vec_id")
   }
 
+  /** Lloyd's-TRAINED IVF codebook (closing the round-4 "first-nlist
+    * stand-in" gap): k-means over the embedding corpus, `iters` full
+    * assign→mean rounds, in INTEGER-EXACT arithmetic so both engines make
+    * bit-identical assignment decisions:
+    *
+    *   - vectors quantize to a fixed e3 grid (`floor(x·1000 + 0.5)` —
+    *     the q64 rounding pinned across engines), so dot products are
+    *     exact BIGINTs;
+    *   - a centroid is the RATIONAL (per-dim sum, member count) — never a
+    *     rounded mean — so the assignment score `dot(e, sum_c) / n_c` is
+    *     ONE correctly-rounded double division of exact integers:
+    *     IEEE-identical in Spark and DuckDB, no accumulated float drift;
+    *   - argmax tie-break = lowest list id (first-max `array_position`
+    *     here, `ORDER BY score DESC, c` in the oracle).
+    *
+    * Scale shape: each E-step is map-side expression work against a
+    * BROADCAST codebook literal (the corpus never shuffles); each M-step
+    * is one posexplode + partial-aggregated groupBy(list, dim) — shuffle
+    * O(nlist × dim), the [[centroidsByLabel]] shape. Between iterations
+    * the nlist×dim codebook (≈1k values here) is collected — codebook-
+    * sized by definition, the same driver-side loop FAISS training runs;
+    * NOT a hot-path collect. Lists that lose every member carry their
+    * previous centroid forward (standard k-means empty-cluster handling);
+    * the final M-step aggregate ships as the query result, long-form. */
+  def trainIvfCodebook(spark: SparkSession, dir: String,
+                       nlist: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val eq = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("e"))
+    // init: codebook[c] = (sum vector, n) seeded from the first nlist
+    // stored vectors; kept DENSE (all nlist entries, position = list id)
+    var codebook: IndexedSeq[(Seq[Long], Long)] = eq.filter($"vec_id" < nlist)
+      .orderBy($"vec_id").as[(Long, Seq[Long])].collect()
+      .map { case (_, e) => (e, 1L) }.toIndexedSeq
+
+    def assign(cb: IndexedSeq[(Seq[Long], Long)]): DataFrame = {
+      val sumsCol = typedlit(cb.map(_._1))
+      val nsCol = typedlit(cb.map(_._2))
+      val scores = transform(sequence(lit(1), lit(cb.size)), c =>
+        aggregate(zip_with($"e", element_at(sumsCol, c), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x)
+          .cast("double") / element_at(nsCol, c).cast("double"))
+      eq.withColumn("scores", scores)
+        .withColumn("list_id",
+          array_position($"scores", array_max($"scores")))
+    }
+    def mstep(a: DataFrame): DataFrame = a
+      .select($"list_id", posexplode($"e"))
+      .groupBy($"list_id", ($"pos" + 1).cast("long").as("dim"))
+      .agg(sum($"col").as("s"), count(lit(1)).as("n"))
+
+    for (_ <- 1 until iters) {
+      val m = mstep(assign(codebook))
+        .collect()
+        .map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("dim"),
+          r.getAs[Long]("s"), r.getAs[Long]("n")))
+        .groupBy(_._1)
+      codebook = (1 to nlist).map { c =>
+        m.get(c.toLong) match {
+          case Some(rows) =>
+            (rows.sortBy(_._2).map(_._3).toSeq, rows.head._4)
+          case None => codebook(c - 1) // empty list: carry centroid forward
+        }
+      }
+    }
+    mstep(assign(codebook))
+      .select($"list_id", $"n".as("n_members"), $"dim",
+        (round($"s".cast("double") / $"n".cast("double") / 1000.0, 6) + lit(0.0))
+          .as("centroid"))
+      .orderBy($"list_id", $"dim")
+  }
+
+  /** The trained codebook as per-list mean vectors in the ORIGINAL float
+    * scale — the plug-in replacement for [[ivfTopK]]'s first-nlist
+    * stand-in centroids (recall improvement spec-demonstrated). */
+  def trainedCentroids(spark: SparkSession, dir: String,
+                       nlist: Int = 16, iters: Int = 2): Seq[Seq[Double]] = {
+    val rows = trainIvfCodebook(spark, dir, nlist, iters).collect()
+      .map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("dim"),
+        r.getAs[Double]("centroid")))
+      .groupBy(_._1)
+    (1 to nlist).flatMap(c =>
+      rows.get(c.toLong).map(_.sortBy(_._2).map(_._3).toSeq))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: pairs sharing a
     * sign-LSH bucket with cosine ≥ threshold. The bucket join replaces the
     * O(n²) cross join with per-bucket locality — the standard semantic-dedup
@@ -261,8 +352,8 @@ object AnnSearch {
       .select($"vec_id", $"embedding",
         signLshBucket($"embedding", bits).as("bucket"),
         norm($"embedding").as("nrm"))
-      .cache()
-    val emb = Guards.capHotKeys(bucketed, "bucket", maxBlock)
+    val cached = graft.CacheGuard.barrier(bucketed)
+    val emb = Guards.capHotKeys(cached, "bucket", maxBlock)
     emb.as("x").join(emb.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select(

@@ -92,7 +92,13 @@ object Components {
       s"connectedComponents did not converge in $maxIter rounds — component " +
         "diameter exceeds the budget; raise maxIter or switch to " +
         "large-star/small-star contraction for log-round convergence")
-    labels
+    // the returned labels ride the final round's checkpoint blocks — they
+    // must stay pinned until the caller's action, then CacheGuard.release
+    // frees them (unpersisting earlier would destroy the data: a
+    // localCheckpoint cannot recompute)
+    val out = labels
+    graft.CacheGuard.onRelease(() => unpersistCheckpoint(out))
+    out
   }
 
   /** Declared query: collapse a synthetic near-dup CHAIN graph over

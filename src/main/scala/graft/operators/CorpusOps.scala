@@ -68,9 +68,9 @@ object CorpusOps {
       .withColumn("n_tokens", size(tokens($"text")).cast("long"))
       .filter($"n_tokens" >= minTokens)
       .select($"doc_id", $"lang", $"n_tokens", fingerprint($"text").as("fp"))
-      .cache()
-    val docs = base.unionByName(
-      base.withColumn("doc_id", $"doc_id" + DedupOps.dupOffset))
+    val cached = graft.CacheGuard.barrier(base)
+    val docs = cached.unionByName(
+      cached.withColumn("doc_id", $"doc_id" + DedupOps.dupOffset))
     val keep = docs.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
     val deduped = docs.join(keep, Seq("fp", "doc_id"))
     sampleStage(deduped, defaultRates, defaultRate)

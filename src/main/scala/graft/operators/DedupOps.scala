@@ -95,12 +95,12 @@ object DedupOps {
     // distinct shingles of one doc pair collide in 64 bits (~1e-16 at
     // document scale; a collision would surface as an oracle hash
     // mismatch, not silence).
-    val docs = withDupCopies(shingleArrays(spark, dir, n)
-      .select($"doc_id",
-        size($"arr").as("n_sh"),
-        graft.functions.native.md5Min($"arr").as("bk"),
-        graft.functions.native.xxhash64Array($"arr").as("harr"))
-      .cache())
+    val docs = withDupCopies(graft.CacheGuard.barrier(
+      shingleArrays(spark, dir, n)
+        .select($"doc_id",
+          size($"arr").as("n_sh"),
+          graft.functions.native.md5Min($"arr").as("bk"),
+          graft.functions.native.xxhash64Array($"arr").as("harr"))))
     val blocks = Guards.capHotKeys(docs, "bk", maxBlock)
     blocks.as("x").join(blocks.as("y"),
         $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
@@ -162,10 +162,10 @@ object DedupOps {
     // both self-join sides. The cached relation is (doc_id, 32×8B) — tiny
     // relative to the corpus, so the barrier also holds at cluster scale;
     // the dup copies are projected over it, so each text is hashed once.
-    val sig = withDupCopies(shingleArrays(spark, dir, shingleN)
-      .select($"doc_id",
-        graft.functions.native.minHashSig($"arr", perms).as("sig"))
-      .cache())
+    val sig = withDupCopies(graft.CacheGuard.barrier(
+      shingleArrays(spark, dir, shingleN)
+        .select($"doc_id",
+          graft.functions.native.minHashSig($"arr", perms).as("sig"))))
     val banded = sig.select($"doc_id", $"sig",
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
@@ -212,10 +212,10 @@ object DedupOps {
                               threshold: Double): (DataFrame, DataFrame) = {
     import spark.implicits._
     val rows = perms / bands
-    val sigCached = shingleArrays(spark, dir, shingleN)
-      .select($"doc_id",
-        graft.functions.native.md5MinHashSig($"arr", perms).as("sig"))
-      .cache()
+    val sigCached = graft.CacheGuard.barrier(
+      shingleArrays(spark, dir, shingleN)
+        .select($"doc_id",
+          graft.functions.native.md5MinHashSig($"arr", perms).as("sig")))
     val sig = withDupCopies(sigCached)
     val banded = sig.select($"doc_id", $"sig",
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -263,7 +263,7 @@ object DedupOps {
     // on entry, so by the time it returns the pair pipeline has fully run
     // and the signature barrier can be dropped
     val comps = Components.connectedComponents(pairs.select($"a", $"b"))
-    sigCached.unpersist(false)
+    graft.CacheGuard.drop(sigCached)
     val ids = dupCorpus(spark, dir).select($"doc_id")
     val labeled = ids.join(comps, ids("doc_id") === comps("node"), "left")
       .select($"doc_id", coalesce($"component", $"doc_id").as("keeper"))

@@ -40,14 +40,35 @@ object PageFeed {
     StructField("page_id", LongType)))
 
   /** Option keys: fetcher implementation class, per-fetch retry budget,
-    * and base retry backoff (ms, exponential 2^n; 0 = immediate retry —
+    * base retry backoff (ms, exponential 2^n; 0 = immediate retry —
     * set it for live origins so a rate-limited endpoint is not hammered
-    * through the whole budget in milliseconds). */
+    * through the whole budget in milliseconds), inter-page politeness
+    * delay (the reference's `time.sleep(3)` between Twitter pages,
+    * `tweet_download.py:100` — ms here, applied between successive
+    * cursor-walk fetches), and a per-trigger page cap (bounds one
+    * micro-batch so a long backlog drains in rate-limited increments
+    * instead of one giant batch). */
   val fetcherOpt = "fetcher"
   val attemptsOpt = "fetchAttempts"
   val backoffOpt = "fetchBackoffMs"
+  val pageDelayOpt = "pageDelayMs"
+  val maxPagesPerTriggerOpt = "maxPagesPerTrigger"
   val defaultAttempts = 3
   val defaultBackoffMs = 0L
+  val defaultPageDelayMs = 0L
+  val defaultMaxPagesPerTrigger = Long.MaxValue
+
+  /** Injectable time seam so pacing is spec-assertable without real
+    * sleeps: production uses [[SystemClock]]; tests inject a virtual
+    * clock and assert fetch timestamps are spaced ≥ the delay. */
+  trait Clock extends Serializable {
+    def nowMs(): Long
+    def sleepMs(ms: Long): Unit
+  }
+  object SystemClock extends Clock {
+    override def nowMs(): Long = System.currentTimeMillis()
+    override def sleepMs(ms: Long): Unit = Thread.sleep(ms)
+  }
 
   def instantiateFetcher(className: String): PageFetcher =
     Class.forName(className).getDeclaredConstructor()
@@ -88,11 +109,24 @@ object PageFeed {
   def cursorWalk(path: String, fetcher: PageFetcher,
                  maxAttempts: Int = defaultAttempts,
                  startPage: Long = 0L,
-                 backoffMs: Long = defaultBackoffMs): Long = {
+                 backoffMs: Long = defaultBackoffMs,
+                 pageDelayMs: Long = defaultPageDelayMs,
+                 maxPages: Long = Long.MaxValue,
+                 clock: Clock = SystemClock): Long = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     var page = startPage
     var go = true
-    while (go) {
+    // politeness pacing: each fetch after the first waits until at least
+    // pageDelayMs has passed since the PREVIOUS fetch started — the
+    // reference's inter-page sleep, but accounting for time already spent
+    // parsing so a slow page is not double-charged
+    var lastFetchAt = Long.MinValue
+    while (go && page - startPage < maxPages) {
+      if (pageDelayMs > 0L && lastFetchAt != Long.MinValue) {
+        val wait = lastFetchAt + pageDelayMs - clock.nowMs()
+        if (wait > 0L) clock.sleepMs(wait)
+      }
+      lastFetchAt = clock.nowMs()
       fetchWithRetry(fetcher, path, page, maxAttempts, backoffMs) match {
         case None => go = false
         case Some(bytes) =>
@@ -157,10 +191,15 @@ class PageFeedProvider extends TableProvider {
       Option(properties.get(PageFeed.attemptsOpt))
         .map(_.toInt).getOrElse(PageFeed.defaultAttempts),
       Option(properties.get(PageFeed.backoffOpt))
-        .map(_.toLong).getOrElse(PageFeed.defaultBackoffMs))
+        .map(_.toLong).getOrElse(PageFeed.defaultBackoffMs),
+      Option(properties.get(PageFeed.pageDelayOpt))
+        .map(_.toLong).getOrElse(PageFeed.defaultPageDelayMs),
+      Option(properties.get(PageFeed.maxPagesPerTriggerOpt))
+        .map(_.toLong).getOrElse(PageFeed.defaultMaxPagesPerTrigger))
 }
 
-class PageFeedTable(path: String, fetcherClass: String, attempts: Int, backoffMs: Long)
+class PageFeedTable(path: String, fetcherClass: String, attempts: Int,
+                    backoffMs: Long, pageDelayMs: Long, maxPagesPerTrigger: Long)
     extends Table with SupportsRead {
   require(path != null, "option 'path' is required")
   override def name(): String = s"pagefeed($path)"
@@ -169,17 +208,21 @@ class PageFeedTable(path: String, fetcherClass: String, attempts: Int, backoffMs
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new PageFeedScan(path, fetcherClass, attempts, backoffMs)
+      override def build(): Scan =
+        new PageFeedScan(path, fetcherClass, attempts, backoffMs,
+          pageDelayMs, maxPagesPerTrigger)
     }
 }
 
-class PageFeedScan(path: String, fetcherClass: String, attempts: Int, backoffMs: Long)
+class PageFeedScan(path: String, fetcherClass: String, attempts: Int,
+                   backoffMs: Long, pageDelayMs: Long, maxPagesPerTrigger: Long)
     extends Scan {
   override def readSchema(): StructType = PageFeed.schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val pages = PageFeed.cursorWalk(path,
-        PageFeed.instantiateFetcher(fetcherClass), attempts, 0L, backoffMs)
+        PageFeed.instantiateFetcher(fetcherClass), attempts, 0L, backoffMs,
+        pageDelayMs)
       (0L until pages)
         .map(PagePartition(path, _, fetcherClass, attempts, backoffMs): InputPartition)
         .toArray
@@ -187,7 +230,8 @@ class PageFeedScan(path: String, fetcherClass: String, attempts: Int, backoffMs:
     override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PageFeedMicroBatchStream(path, fetcherClass, attempts, backoffMs)
+    new PageFeedMicroBatchStream(path, fetcherClass, attempts, backoffMs,
+      pageDelayMs, maxPagesPerTrigger)
 }
 
 /** Offset = number of pages fully consumed (the cursor). */
@@ -196,7 +240,10 @@ case class PageOffset(pages: Long) extends Offset {
 }
 
 class PageFeedMicroBatchStream(path: String, fetcherClass: String, attempts: Int,
-                               backoffMs: Long) extends MicroBatchStream {
+                               backoffMs: Long,
+                               pageDelayMs: Long = PageFeed.defaultPageDelayMs,
+                               maxPagesPerTrigger: Long = PageFeed.defaultMaxPagesPerTrigger)
+    extends MicroBatchStream {
   // resume point for the incremental cursor walk: pages at or beyond this
   // offset are the only ones probed per trigger — a re-walk from 0 every
   // trigger would be O(feed length) fetches per trigger on a live origin.
@@ -205,8 +252,11 @@ class PageFeedMicroBatchStream(path: String, fetcherClass: String, attempts: Int
   @volatile private var walkFrom = 0L
   override def initialOffset(): Offset = PageOffset(0L)
   override def latestOffset(): Offset = {
+    // maxPagesPerTrigger bounds this walk, so one trigger consumes a
+    // rate-limited increment of a long backlog rather than all of it
     walkFrom = math.max(walkFrom, PageFeed.cursorWalk(path,
-      PageFeed.instantiateFetcher(fetcherClass), attempts, walkFrom, backoffMs))
+      PageFeed.instantiateFetcher(fetcherClass), attempts, walkFrom, backoffMs,
+      pageDelayMs, maxPagesPerTrigger))
     PageOffset(walkFrom)
   }
   override def deserializeOffset(json: String): Offset = {

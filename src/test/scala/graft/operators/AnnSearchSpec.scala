@@ -144,6 +144,45 @@ class AnnSearchSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("trainIvfCodebook: Lloyd's invariants — members partition the corpus, centroids are member means") {
+    import spark.implicits._
+    val out = AnnSearch.trainIvfCodebook(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val dims = out.map(_.getAs[Long]("dim")).distinct
+    // every (list, dim) mean present; member counts sum to the corpus
+    val perList = out.groupBy(_.getAs[Long]("list_id"))
+    perList.values.foreach(g => assert(g.length === dims.length))
+    assert(perList.values.map(_.head.getAs[Long]("n_members")).sum === nVecs)
+    // a second run is identical (fully deterministic training)
+    val again = AnnSearch.trainIvfCodebook(spark, sf).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("trained codebook improves stand-in IVF recall vs brute force") {
+    // everything here is deterministic (no RNG anywhere in training or
+    // search), so these recall counts are CONSTANTS of the sf0.001 data:
+    // over queries 61+3k at nprobe=2 the stand-in codebook recalls 32/100
+    // and the 2-round Lloyd's codebook 37/100. The tight nprobe is where
+    // codebook quality matters most (fewer probes to paper over bad
+    // centroids). Queries inside the seed region (vec_id < 16 ARE the
+    // stand-in centroids) would bias toward the stand-in — the set sits
+    // outside it.
+    val trained = AnnSearch.trainedCentroids(spark, sf)
+    assert(trained.nonEmpty)
+    val queries = (0 until 10).map(61L + 3 * _)
+    def recall(centroids: Option[Seq[Seq[Double]]]): Int = queries.map { q =>
+      val truth = AnnSearch.bruteForceTopK(spark, sf, queryId = q, k = 10)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      val got = AnnSearch.ivfTopK(spark, sf, queryId = q, k = 10, nprobe = 2,
+        centroids = centroids)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      (truth & got).size
+    }.sum
+    val standIn = recall(None)
+    val lloyds = recall(Some(trained))
+    assert(lloyds > standIn, s"trained recall $lloyds !> stand-in $standIn")
+  }
+
   test("quantizeEmbeddings: max level saturates at 127; reconstruction error is small") {
     val out = AnnSearch.quantizeEmbeddings(spark, sf).collect()
     assert(out.length.toLong === Tables.embeddings(spark, sf).count())

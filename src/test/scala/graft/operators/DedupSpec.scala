@@ -37,6 +37,26 @@ class DedupSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.6))
   }
 
+  test("cache barriers release: no pinned storage after a query's action + CacheGuard.release") {
+    spark.catalog.clearCache()
+    graft.CacheGuard.release()
+    // a barrier-using lazy query: the barrier must be LIVE after the
+    // action (it is what stops Catalyst re-deriving signatures) ...
+    DedupOps.minHashLshPairsOracled(spark, sf).count()
+    assert(graft.CacheGuard.pending > 0)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    // ... and fully released once the consumer signals it is done
+    graft.CacheGuard.release()
+    assert(graft.CacheGuard.pending === 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"still pinned: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+    // an EAGER composed query (nearDupKeepers) releases its own barrier
+    // inline; localCheckpointed CC state is also dropped by completion
+    DedupOps.nearDupKeepers(spark, sf).count()
+    graft.CacheGuard.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("nearDupKeepers: every corpus doc labeled; dup copies collapse to the base keeper") {
     import spark.implicits._
     val out = DedupOps.nearDupKeepers(spark, sf).collect()

@@ -4,46 +4,80 @@ import graft.{SparkSpec, Tables}
 
 class MultimodalSpec extends SparkSpec {
 
-  test("FakeDecoder: deterministic features from payload bytes") {
-    val rec = Multimodal.MediaRecord(7L, "image", "abc".getBytes("UTF-8"))
-    val f = Multimodal.FakeDecoder.decode(rec)
-    assert(f.n_bytes === 3)
-    assert(f.head_byte === 'a'.toInt)
-    assert(f.checksum_hex === "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
-    val empty = Multimodal.FakeDecoder.decode(Multimodal.MediaRecord(8L, "audio", Array.empty))
-    assert(empty.head_byte === -1)
-    assert(empty.n_bytes === 0)
+  test("PNG roundtrip: a hand-built 2x2 fixture decodes back pixel-exact") {
+    // encode a known image with the production renderer's codec path,
+    // then decode with the production decoder — real javax.imageio both ways
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 10)
+    img.getRaster.setSample(1, 0, 0, 20)
+    img.getRaster.setSample(0, 1, 0, 30)
+    img.getRaster.setSample(1, 1, 0, 250)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val (w, h, sum) = Multimodal.decodePng(bos.toByteArray)
+    assert((w, h, sum) === (2, 2, 310L))
+    // PNG magic bytes prove a real container format, not a raw dump
+    val bytes = bos.toByteArray
+    assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P'.toByte)
   }
 
-  test("decodeFeatures: one feature row per media row, kinds preserved") {
+  test("renderPng: payload is a genuine PNG obeying the generation laws") {
+    val png = Multimodal.renderPng(12L, "hello world")
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    val (w, h, sum) = Multimodal.decodePng(png)
+    assert(w === Multimodal.ImageLaw.width(12L))  // 1 + 12%8 = 5
+    assert(h === Multimodal.ImageLaw.height(12L)) // 1 + 12%5 = 3
+    val g = Multimodal.ImageLaw.gray("hello world")
+    val expect = (for (y <- 0 until h; x <- 0 until w)
+      yield Multimodal.ImageLaw.pixel(x, y, g).toLong).sum
+    assert(sum === expect)
+  }
+
+  test("decodeFeatures: image rows carry REAL decoded stats; audio rows the byte stub") {
     val out = Multimodal.decodeFeatures(spark, sf).collect()
     assert(out.length.toLong === Tables.documents(spark, sf).count())
     out.foreach { r =>
       val id = r.getAs[Long]("media_id")
-      val kind = r.getAs[String]("kind")
-      assert(kind === (if (id % 2 == 0) "image" else "audio"))
-      assert(r.getAs[Long]("n_bytes") >= 0L)
-      assert(r.getAs[String]("checksum_hex").length === 32)
+      if (id % 2 == 0) {
+        assert(r.getAs[String]("kind") === "image")
+        assert(r.getAs[Long]("width") === Multimodal.ImageLaw.width(id))
+        assert(r.getAs[Long]("height") === Multimodal.ImageLaw.height(id))
+        assert(r.getAs[Long]("pixel_sum") >= 0L)
+        assert(r.getAs[Long]("n_bytes") === -1L)
+        assert(r.getAs[String]("checksum_hex") === "")
+      } else {
+        assert(r.getAs[String]("kind") === "audio")
+        assert(r.getAs[Long]("width") === -1L)
+        assert(r.getAs[Long]("n_bytes") >= 0L)
+        assert(r.getAs[String]("checksum_hex").length === 32)
+      }
     }
   }
 
-  test("resize: every-4th-byte downsample preserves head byte and size law") {
+  test("resize: nearest-neighbor law holds and the re-encoded PNG decodes back") {
     val out = Multimodal.resize(spark, sf).collect()
-    assert(out.length.toLong === Tables.documents(spark, sf).count())
+    val nImages = Tables.documents(spark, sf)
+      .filter("doc_id % 2 = 0").count()
+    assert(out.length.toLong === nImages)
     out.foreach { r =>
-      val orig = r.getAs[Long]("orig_bytes")
-      assert(r.getAs[Long]("resized_bytes") === (orig + 3) / 4)
-      assert(r.getAs[Boolean]("head_preserved"))
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      assert(r.getAs[Long]("resized_w") === (w + 1) / 2)
+      assert(r.getAs[Long]("resized_h") === (h + 1) / 2)
+      assert(r.getAs[Long]("resized_sum") >= 0L)
+      assert(r.getAs[Boolean]("png_ok"))
     }
   }
 
-  test("frameSample: fan-out count = ceil(payload_bytes / frameBytes) per row") {
+  test("frameSample: audio only; fan-out count = ceil(payload_bytes / frameBytes)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val frames = Multimodal.frameSample(spark, sf, frameBytes = 64)
+    assert(frames.select($"kind").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("audio"))
     val perDoc = frames.groupBy($"media_id").agg(count(lit(1)).as("n_frames"))
     val expect = Multimodal.mediaTable(spark, sf).toDF()
-      .filter(length($"payload") > 0)
+      .filter($"kind" === "audio" && length($"payload") > 0)
       .select($"media_id", ceil(length($"payload") / 64.0).cast("long").as("want"))
     val bad = perDoc.join(expect, "media_id")
       .filter($"n_frames" =!= $"want").count()

@@ -148,4 +148,70 @@ class PageFeedSpec extends SparkSpec {
     q2.stop()
     assert(written() === Seq(1L, 2L, 3L)) // exactly once each
   }
+
+  test("politeness pacing: cursor-walk fetches spaced >= pageDelayMs, asserted without sleeping") {
+    val dir = feedDir()
+    (0L until 4L).foreach(p =>
+      PageFeed.writePage(dir, p, Seq((p, p, "e", 1.0)), hasNext = p < 3))
+    // virtual clock: nowMs advances 7 ms per fetch-side read (simulating
+    // fetch+parse time), sleepMs jumps time forward and records the call
+    val fetchTimes = scala.collection.mutable.ArrayBuffer[Long]()
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val clock = new PageFeed.Clock {
+      var t = 1000L
+      override def nowMs(): Long = { t += 7; t }
+      override def sleepMs(ms: Long): Unit = { sleeps += ms; t += ms }
+    }
+    val recording = new PageFetcher {
+      private val inner = new FileFetcher
+      override def fetch(path: String, page: Long): Option[Array[Byte]] = {
+        fetchTimes += clock.t // the instant the origin is hit
+        inner.fetch(path, page)
+      }
+    }
+    val pages = PageFeed.cursorWalk(dir, recording, pageDelayMs = 3000L, clock = clock)
+    assert(pages === 4L)
+    // every consecutive origin hit is >= the politeness delay apart
+    // (reference contract: time.sleep(3) between pages)
+    fetchTimes.zip(fetchTimes.drop(1)).foreach { case (a, b) =>
+      assert(b - a >= 3000L, s"pages fetched ${b - a} ms apart")
+    }
+    assert(sleeps.size === 3) // one pause per page transition, none before page 0
+    sleeps.foreach(s => assert(s <= 3000L)) // parse time is credited, not double-charged
+  }
+
+  test("pacing off by default: no sleeps scheduled on the plain walk") {
+    val dir = feedDir()
+    PageFeed.writePage(dir, 0L, Seq((1L, 1L, "a", 1.0)), hasNext = false)
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val clock = new PageFeed.Clock {
+      override def nowMs(): Long = 0L
+      override def sleepMs(ms: Long): Unit = sleeps += ms
+    }
+    assert(PageFeed.cursorWalk(dir, new FileFetcher, clock = clock) === 1L)
+    assert(sleeps.isEmpty)
+  }
+
+  test("maxPagesPerTrigger: one trigger drains a bounded increment; the next resumes the backlog") {
+    val dir = feedDir()
+    (0L until 5L).foreach(p =>
+      PageFeed.writePage(dir, p, Seq((p, p, "e", 1.0)), hasNext = p < 4))
+    // direct walk cap
+    assert(PageFeed.cursorWalk(dir, new FileFetcher, maxPages = 2L) === 2L)
+    // through the stream: each micro-batch consumes <= 2 pages
+    val out = java.nio.file.Files.createTempDirectory("graft-pf-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-pf-ck").toString
+    val q = spark.readStream.format(fmt)
+      .option("path", dir)
+      .option(PageFeed.maxPagesPerTriggerOpt, "2")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out).count() === 5L)
+    // the run needed >= 3 micro-batches (2+2+1), not one giant batch
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+  }
 }
