@@ -134,6 +134,9 @@ object SparkEntry {
     "q67_neardup_keepers" -> ((s, d) => DedupOps.nearDupKeepers(s, d)),
     "q68_corpus_stats_approx" -> ((s, d) => CorpusOps.corpusStatsApprox(s, d)),
     "q69_ivf_train" -> ((s, d) => AnnSearch.trainIvfCodebook(s, d)),
+    "q70_mixture_weights" -> ((s, d) => CorpusOps.mixtureWeights(s, d)),
+    "q71_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
+    "q72_span_dedup" -> ((s, d) => DedupOps.spanDedupReport(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1145,5 +1148,65 @@ object SparkEntry {
         |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
         |    AS centroid
         |FROM m2 ORDER BY list_id, dim""".stripMargin,
+
+    // temperature mixing weights: alpha = 0.5 so p^alpha is sqrt — a
+    // correctly-rounded IEEE primitive, identical across engines
+    "q70_mixture_weights" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |        sum(sqrt(CAST(n_docs AS DOUBLE))) AS sum_sq FROM c)
+        |SELECT lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS p,
+        |  round(sqrt(CAST(n_docs AS DOUBLE)) / sum_sq, 6) AS w,
+        |  round(sqrt(CAST(n_docs AS DOUBLE)) / sum_sq /
+        |    (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)), 4) AS sample_rate
+        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
+
+    // per-token ln(tf/T) quantized to integer micro-units BEFORE the
+    // per-doc sum, so the aggregation is exact-integer and immune to
+    // float addition order
+    "q71_unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY term),
+         |t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+         |u AS (
+         |  SELECT doc_id,
+         |    CAST(floor(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6
+         |      + 0.5) AS BIGINT) AS u
+         |  FROM toks JOIN tf USING (term) CROSS JOIN t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(u) AS DOUBLE) / count(*) / 1e6, 4) + 0.0
+         |    AS mean_logprob
+         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C4-style repeated-span report over the partially-reduplicated
+    // corpus (every doc_id % 7 = 0 doc has a shifted full copy); the
+    // flag compares exact integers (n_dup > 0.5 * n_spans), never the
+    // rounded ratio
+    "q72_span_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 200000, text FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |spans AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(toks) // 5),
+         |    i -> md5(array_to_string(list_slice(toks, i*5 + 1, i*5 + 5),
+         |      ' ')))) AS span
+         |  FROM tk WHERE len(toks) >= 5),
+         |counts AS (SELECT span, CAST(count(*) AS BIGINT) AS cnt
+         |           FROM spans GROUP BY span)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_spans,
+         |  round(CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS dup_ratio,
+         |  CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    > 0.5 * count(*) AS flagged
+         |FROM spans s JOIN counts c USING (span)
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -159,6 +159,35 @@ object CorpusOps {
       .orderBy($"source")
   }
 
+  /** Temperature-sampling mixture weights (data-mixing design pass): the
+    * per-language sampling weights `w_l ∝ p_l^α` that up-weight
+    * low-resource slices when assembling a training mix (the multilingual
+    * LM recipe; α = 0.5 here, so `p^α` is `sqrt` — a correctly-rounded
+    * IEEE primitive, bit-identical across engines, unlike a libm `pow`).
+    * Emits, per language: observed share p, normalized temperature weight
+    * w, and the effective per-doc sampling rate w/p (what a sampler like
+    * [[stratifiedSample]] would be configured with — >1 means that slice
+    * is over-sampled relative to its natural share).
+    *
+    * Scale shape: one partial-aggregated groupBy(lang) — O(languages)
+    * rows — then broadcast scalar totals; the corpus shuffles nothing. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.select(
+      sum($"n_docs").as("total"),
+      sum(sqrt($"n_docs".cast("double"))).as("sum_sq"))
+    counts.crossJoin(broadcast(tot))
+      .select($"lang", $"n_docs",
+        round($"n_docs".cast("double") / $"total".cast("double"), 6).as("p"),
+        round(sqrt($"n_docs".cast("double")) / $"sum_sq", 6).as("w"),
+        round(sqrt($"n_docs".cast("double")) / $"sum_sq" /
+          ($"n_docs".cast("double") / $"total".cast("double")), 4)
+          .as("sample_rate"))
+      .orderBy($"lang")
+  }
+
   /** Relative tolerance for [[corpusStatsApprox]]'s approx-vs-exact median
     * check, shared with the q68 oracle and the spec. */
   val approxMedianTol = 0.05

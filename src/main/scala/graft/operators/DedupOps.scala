@@ -291,4 +291,54 @@ object DedupOps {
       .select($"doc_id", graft.functions.native.simHash($"toks").as("simhash"))
       .orderBy($"doc_id")
   }
+
+  /** Span length (tokens), duplication-rate threshold, and the partial-dup
+    * seeding offset for [[spanDedupReport]], shared with the q72 oracle. */
+  val spanLen = 5
+  val spanDupThreshold = 0.5
+  val spanDupOffset = 200000L
+  val spanDupMod = 7L
+
+  /** Repeated-SPAN analysis — the C4-style sub-document dedup pass: chop
+    * each document into non-overlapping `spanLen`-token spans, count each
+    * distinct span's occurrences corpus-wide, and report per document how
+    * much of it duplicates other text (flagging docs past `threshold` for
+    * removal, the C4 "three-sentence span" rule at n-gram granularity).
+    * Catches boilerplate and partial copies that DOCUMENT-level dedup
+    * (q18/q55) cannot see. Every `doc_id % 7 = 0` document is seeded as a
+    * full shifted copy so exact re-use exists alongside the corpus's
+    * organic span collisions; both engines reproduce the seeding.
+    *
+    * Scale shape: one tokenize+chunk pass (per-row expressions), one
+    * partial-aggregated groupBy over span HASHES (md5, never the strings
+    * — the exchange carries 32-byte keys), one hash-join back (shuffle
+    * O(spans)), one per-doc reduce. No self-join, no window; degenerate
+    * spans ("the the the…") just become hot count rows, not hot joins. */
+  def spanDedupReport(spark: SparkSession, dir: String,
+                      n: Int = spanLen,
+                      threshold: Double = spanDupThreshold): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.unionByName(
+      docs.filter($"doc_id" % spanDupMod === 0)
+        .withColumn("doc_id", $"doc_id" + spanDupOffset))
+    val spans = corpus
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= n)
+      .select($"doc_id", explode(
+        transform(sequence(lit(0), (size($"toks") / n).cast("int") - 1),
+          i => md5(array_join(slice($"toks", i * n + 1, lit(n)), " "))))
+        .as("span"))
+    val counts = spans.groupBy($"span").agg(count(lit(1)).as("cnt"))
+    spans.join(counts, "span")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select($"doc_id", $"n_spans", $"n_dup_spans",
+        round($"n_dup_spans".cast("double") / $"n_spans".cast("double"), 4)
+          .as("dup_ratio"),
+        ($"n_dup_spans".cast("double") >
+          lit(threshold) * $"n_spans".cast("double")).as("flagged"))
+      .orderBy($"doc_id")
+  }
 }

@@ -209,4 +209,40 @@ object TextAnalysis {
         md5(graft.functions.native.stripAccents($"raw")).as("folded_md5"))
       .orderBy($"doc_id")
   }
+
+  /** Unigram language-model scoring — the CCNet-style quality filter: a
+    * document's mean per-token log-probability under the corpus's own
+    * unigram distribution. Low scores flag word salad and boilerplate;
+    * a real pipeline thresholds on them (or on a held-out LM's
+    * perplexity — the plan shape is identical with the model table
+    * swapped in).
+    *
+    * Scale shape: ONE tokenize pass builds the term-count table (shuffle
+    * O(vocabulary), partial-aggregated); the per-doc pass joins tokens to
+    * the O(vocab) count table and reduces per doc — the same broadcast-df
+    * shape as q50's idf. Cross-engine float discipline: each token's
+    * `ln(tf/T)` is QUANTIZED to integer micro-units (`floor(x·1e6 + .5)`)
+    * before summation, so the per-doc sum is an exact BIGINT — immune to
+    * float addition-order differences between engines; only the final
+    * mean is rounded for display. */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val tf = toks.groupBy($"term").agg(count(lit(1)).as("tf"))
+    val total = tf.select(sum($"tf").as("total"))
+    val unitCol = floor(
+      log($"tf".cast("double") / $"total".cast("double")) * 1e6 + lit(0.5))
+      .cast("long")
+    toks.join(tf, "term")
+      .crossJoin(broadcast(total))
+      .select($"doc_id", unitCol.as("u"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"u").as("units"))
+      .select($"doc_id", $"n_tokens",
+        (round($"units".cast("double") / $"n_tokens".cast("double") / 1e6, 4)
+          + lit(0.0)).as("mean_logprob"))
+      .orderBy($"doc_id")
+  }
+
 }

@@ -49,6 +49,23 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixtureWeights: weights normalize; temperature up-samples low-resource langs") {
+    val out = CorpusOps.mixtureWeights(spark, sf).collect()
+    assert(out.length > 1)
+    val pSum = out.map(_.getAs[Double]("p")).sum
+    val wSum = out.map(_.getAs[Double]("w")).sum
+    assert(math.abs(pSum - 1.0) < 1e-3 && math.abs(wSum - 1.0) < 1e-3)
+    // alpha < 1 compresses the distribution: the rarest language's
+    // sampling rate exceeds the commonest language's
+    val byN = out.sortBy(_.getAs[Long]("n_docs"))
+    assert(byN.head.getAs[Double]("sample_rate") >
+      byN.last.getAs[Double]("sample_rate"))
+    // rates stay coupled: sum over langs of p * sample_rate = 1 (mass
+    // conservation of the mix)
+    val mass = out.map(r => r.getAs[Double]("p") * r.getAs[Double]("sample_rate")).sum
+    assert(math.abs(mass - 1.0) < 1e-2)
+  }
+
   test("corpusStatsApprox: sketch median within the pinned tolerance of exact") {
     val approx = CorpusOps.corpusStatsApprox(spark, sf).collect()
     val exact = CorpusOps.corpusStats(spark, sf).collect()

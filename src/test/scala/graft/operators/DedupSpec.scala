@@ -86,6 +86,31 @@ class DedupSpec extends SparkSpec {
     assert(sizes === 2 * nDocs)
   }
 
+  test("spanDedupReport: seeded full copies are 100% duplicated and flagged; counts conserve") {
+    import spark.implicits._
+    val out = DedupOps.spanDedupReport(spark, sf).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val seeded = graft.Tables.documents(spark, sf)
+      .filter($"doc_id" % DedupOps.spanDupMod === 0)
+      .filter(org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens($"text")) >= DedupOps.spanLen)
+      .select($"doc_id").as[Long].collect()
+    assert(seeded.nonEmpty)
+    seeded.foreach { id =>
+      for (d <- Seq(id, id + DedupOps.spanDupOffset)) {
+        val r = byId(d)
+        assert(r.getAs[Double]("dup_ratio") === 1.0, s"doc $d not fully dup")
+        assert(r.getAs[Boolean]("flagged"))
+      }
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup_spans") <= r.getAs[Long]("n_spans"))
+      val expectFlag = r.getAs[Long]("n_dup_spans") >
+        DedupOps.spanDupThreshold * r.getAs[Long]("n_spans")
+      assert(r.getAs[Boolean]("flagged") === expectFlag)
+    }
+  }
+
   test("simHash: equal texts hash equal; 32-bit range") {
     import spark.implicits._
     val out = DedupOps.simHash(spark, sf)

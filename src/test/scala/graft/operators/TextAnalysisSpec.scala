@@ -131,4 +131,24 @@ class TextAnalysisSpec extends SparkSpec {
     val again = TextAnalysis.unicodeClean(spark, sf).collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("unigramLogProb: negative scores; rare tokens lower the mean; token counts exact") {
+    import spark.implicits._
+    val out = TextAnalysis.unigramLogProb(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean_logprob") < 0.0) // probabilities < 1
+      assert(r.getAs[Long]("n_tokens") > 0L)
+    }
+    // fixture: the doc carrying the corpus's single rare token must score
+    // strictly below an all-common-token doc of the same length
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ulp").toString
+    Seq((0L, "common common common"), (1L, "common common rareword"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val f = TextAnalysis.unigramLogProb(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_logprob")).toMap
+    assert(f(1L) < f(0L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }
