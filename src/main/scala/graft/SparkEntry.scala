@@ -137,6 +137,7 @@ object SparkEntry {
     "q70_mixture_weights" -> ((s, d) => CorpusOps.mixtureWeights(s, d)),
     "q71_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
     "q72_span_dedup" -> ((s, d) => DedupOps.spanDedupReport(s, d)),
+    "q73_sequence_pack" -> ((s, d) => CorpusOps.sequencePack(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1208,5 +1209,24 @@ object SparkEntry {
          |    > 0.5 * count(*) AS flagged
          |FROM spans s JOIN counts c USING (span)
          |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+
+    // concat-then-chunk sequence packing: global token prefix sum in doc
+    // order, then exact integer chunk arithmetic (the engine computes the
+    // same prefix sum two-phase — bucketed partials + tiny offset table)
+    "q73_sequence_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE len($toksSql) > 0),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+         |  FROM d)
+         |SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
+         |  CAST(start // 128 AS BIGINT) AS seq_id,
+         |  CAST(start % 128 AS BIGINT) AS seq_offset,
+         |  CAST((start + n_tokens - 1) // 128 - start // 128 AS BIGINT)
+         |    AS n_boundary_crossings
+         |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

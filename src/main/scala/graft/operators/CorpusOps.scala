@@ -188,6 +188,56 @@ object CorpusOps {
       .orderBy($"lang")
   }
 
+  /** Training-sequence length and prefix-sum bucket width for
+    * [[sequencePack]], shared with the q73 oracle and spec. */
+  val packSeqLen = 128
+  val packBucketWidth = 256L
+
+  /** Sequence PACKING — the concat-then-chunk step that turns a document
+    * corpus into fixed-length training rows: conceptually concatenate all
+    * docs in doc_id order and cut every `seqLen` tokens; emit, per doc,
+    * its global token offset, owning sequence id, offset within that
+    * sequence, and how many sequence boundaries it straddles (what an
+    * attention-mask builder and a boundary-loss audit consume).
+    *
+    * The core is a GLOBAL prefix sum over doc order — the naive Spark
+    * form (`Window.orderBy(doc_id)` with no partition key) collapses onto
+    * ONE task and is the classic scale-killer. This is the two-phase
+    * scan instead:
+    *   1. within-BUCKET running sums (`bucket = doc_id div bucketWidth`,
+    *      fixed-width so the partitioning is deterministic, no sampled
+    *      range boundaries) — parallel windows, one bucket-keyed shuffle;
+    *   2. bucket offsets from the O(corpus/bucketWidth) bucket-totals
+    *      table — its own global window is over the TINY aggregate, and
+    *      the offsets broadcast-join back.
+    * All offset arithmetic is exact integer (`div`/`%`), never a double. */
+  def sequencePack(spark: SparkSession, dir: String,
+                   seqLen: Int = packSeqLen,
+                   bucketWidth: Long = packBucketWidth): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .filter($"n_tokens" > 0)
+      .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+    val inBucket = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val overBuckets = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy($"bucket").agg(sum($"n_tokens").as("btot"))
+      .select($"bucket", coalesce(sum($"btot").over(overBuckets), lit(0L)).as("boff"))
+    docs
+      .withColumn("cum", sum($"n_tokens").over(inBucket))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("start", $"boff" + $"cum" - $"n_tokens")
+      .select($"doc_id", $"n_tokens", $"start",
+        expr(s"start div $seqLen").as("seq_id"),
+        ($"start" % seqLen).as("seq_offset"),
+        (expr(s"(start + n_tokens - 1) div $seqLen") -
+          expr(s"start div $seqLen")).as("n_boundary_crossings"))
+      .orderBy($"doc_id")
+  }
+
   /** Relative tolerance for [[corpusStatsApprox]]'s approx-vs-exact median
     * check, shared with the q68 oracle and the spec. */
   val approxMedianTol = 0.05

@@ -66,6 +66,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(mass - 1.0) < 1e-2)
   }
 
+  test("sequencePack: contiguous exact packing — starts chain, offsets bounded, crossings consistent") {
+    val out = CorpusOps.sequencePack(spark, sf).collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(out.nonEmpty)
+    // concatenation is gapless: each doc starts where the previous ended
+    out.foldLeft(0L) { (expectStart, r) =>
+      assert(r.getAs[Long]("start") === expectStart,
+        s"doc ${r.getAs[Long]("doc_id")} starts at ${r.getAs[Long]("start")}, want $expectStart")
+      expectStart + r.getAs[Long]("n_tokens")
+    }
+    val L = CorpusOps.packSeqLen
+    out.foreach { r =>
+      val (start, n) = (r.getAs[Long]("start"), r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("seq_id") === start / L)
+      assert(r.getAs[Long]("seq_offset") === start % L)
+      assert(r.getAs[Long]("n_boundary_crossings") === (start + n - 1) / L - start / L)
+    }
+  }
+
+  test("sequencePack plan: the corpus prefix sum is BUCKETED, never a single global window") {
+    val p = CorpusOps.sequencePack(spark, sf).queryExecution.executedPlan.toString
+    // phase-1 window partitions by bucket (parallel); only the tiny
+    // bucket-totals aggregate may pass through a single partition
+    assert(p.contains("windowspecdefinition(bucket"), p)
+  }
+
   test("corpusStatsApprox: sketch median within the pinned tolerance of exact") {
     val approx = CorpusOps.corpusStatsApprox(spark, sf).collect()
     val exact = CorpusOps.corpusStats(spark, sf).collect()
