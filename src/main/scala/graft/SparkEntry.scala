@@ -138,6 +138,8 @@ object SparkEntry {
     "q71_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
     "q72_span_dedup" -> ((s, d) => DedupOps.spanDedupReport(s, d)),
     "q73_sequence_pack" -> ((s, d) => CorpusOps.sequencePack(s, d)),
+    "q74_bloom_dedup" -> ((s, d) => DedupOps.bloomDedupGate(s, d)),
+    "q75_interval_join" -> ((s, d) => IntervalJoin.eventsInWindows(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1228,5 +1230,58 @@ object SparkEntry {
          |  CAST((start + n_tokens - 1) // 128 - start // 128 AS BIGINT)
          |    AS n_boundary_crossings
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Bloom gate: m=1024 bits as 32 bit_or'd 32-bit words, k=3 md5-derived
+    // positions; history = even ids, batch = odd ids plus every 10th even
+    // doc re-arriving id-shifted (true duplicates), so hits split into
+    // true positives and auditable false positives
+    "q74_bloom_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, $fpSql AS fp FROM documents),
+         |hist AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+         |fresh AS (
+         |  SELECT * FROM docs WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 500000, fp FROM docs
+         |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+         |hpos AS (
+         |  SELECT ${h32("fp || '#' || r.j")} % 1024 AS pos
+         |  FROM hist CROSS JOIN range(0, 3) r(j)),
+         |bloom AS (
+         |  SELECT pos // 32 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+         |  FROM hpos GROUP BY 1),
+         |npos AS (
+         |  SELECT doc_id, fp, ${h32("fp || '#' || r.j")} % 1024 AS pos
+         |  FROM fresh CROSS JOIN range(0, 3) r(j)),
+         |checked AS (
+         |  SELECT n.doc_id, n.fp,
+         |    sum(CASE WHEN (coalesce(b.bits, 0) &
+         |      (CAST(1 AS BIGINT) << CAST(n.pos % 32 AS INT))) <> 0
+         |      THEN 1 ELSE 0 END) AS n_set
+         |  FROM npos n LEFT JOIN bloom b ON b.word = n.pos // 32
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_id, c.n_set = 3 AS bloom_hit,
+         |  h.fp IS NOT NULL AS exact_dup,
+         |  (c.n_set = 3 AND h.fp IS NULL) AS false_positive
+         |FROM checked c
+         |LEFT JOIN (SELECT DISTINCT fp FROM hist) h ON h.fp = c.fp
+         |ORDER BY c.doc_id""".stripMargin,
+
+    // the naive range formulation IS the oracle — the engine must get the
+    // same answer from the bucketized equi-join rewrite
+    "q75_interval_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        |win AS (
+        |  SELECT event_id AS window_id, t AS w_start,
+        |    t + 7200000000 AS w_end
+        |  FROM ev WHERE event_id % 199 = 0),
+        |hits AS (
+        |  SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM win w JOIN ev e ON e.t >= w.w_start AND e.t < w.w_end
+        |  GROUP BY 1)
+        |SELECT w.window_id, w.w_start,
+        |  CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events
+        |FROM win w LEFT JOIN hits h USING (window_id)
+        |ORDER BY window_id""".stripMargin,
   )
 }

@@ -292,6 +292,71 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** Bloom parameters for [[bloomDedupGate]], shared with the q74 oracle:
+    * m bits, k hash functions, 32-bit words (a 32-bit shift can never
+    * overflow a BIGINT in either engine; 1L << 63 would). */
+  val bloomBits = 1024L
+  val bloomK = 3
+  val bloomNewOffset = 500000L
+
+  /** Bloom-filter incremental dedup GATE — the membership sketch a
+    * pipeline holds against the EXISTING corpus so a new batch can be
+    * screened without joining 100 TB of history: build an m-bit Bloom
+    * over historical content fingerprints, test each incoming doc, and
+    * report hits alongside exact membership so false positives are
+    * auditable (a Bloom "maybe" sends the doc to the exact check; a "no"
+    * skips it — the point is that "no" is certain).
+    *
+    * Scale shape: the filter is a MERGEABLE `bit_or` aggregate over
+    * `m/32` words — partitions collapse to ≤32 rows each before the
+    * exchange (the q65 HLL shape), and the finished sketch is a tiny
+    * relation that BROADCASTS to the probe side; history is scanned once
+    * to build, never joined to the batch. The exact-membership column
+    * here (for the FP audit) joins fingerprints directly — at scale that
+    * is precisely the expensive path the Bloom pre-filter short-circuits.
+    * Everything is integer bit arithmetic, identical in both engines.
+    *
+    * Corpus split: even ids = history; odd ids = genuinely-new batch;
+    * every 10th even doc also re-arrives (id-shifted) as a true duplicate,
+    * so hits decompose into true positives AND measurable false
+    * positives. */
+  def bloomDedupGate(spark: SparkSession, dir: String,
+                     m: Long = bloomBits, k: Int = bloomK): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+    val hist = docs.filter($"doc_id" % 2 === 0)
+    val fresh = docs.filter($"doc_id" % 2 === 1)
+      .unionByName(docs.filter($"doc_id" % 2 === 0 && $"doc_id" % 10 === 0)
+        .withColumn("doc_id", $"doc_id" + bloomNewOffset))
+    def positions(df: DataFrame) = df.select($"doc_id", $"fp",
+        explode(transform(sequence(lit(0), lit(k - 1)),
+          j => md5Hash32(concat($"fp", lit("#"), j.cast("string"))) % m))
+          .as("pos"))
+      .select($"doc_id", $"fp", $"pos",
+        expr("pos div 32").as("word"), ($"pos" % 32).cast("int").as("bit"))
+    val bloom = positions(hist)
+      .groupBy($"word")
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("bits"))
+    val checked = positions(fresh)
+      .join(broadcast(bloom), Seq("word"), "left")
+      .select($"doc_id", $"fp",
+        when((coalesce($"bits", lit(0L))
+          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), bit)"))) =!= 0L, 1L)
+          .otherwise(0L).as("set"))
+      .groupBy($"doc_id", $"fp")
+      .agg(sum($"set").as("n_set"))
+    val histFps = hist.select($"fp").distinct()
+      .withColumn("exact_dup", lit(true))
+    checked.join(broadcast(histFps), Seq("fp"), "left")
+      .select($"doc_id",
+        ($"n_set" === k).as("bloom_hit"),
+        coalesce($"exact_dup", lit(false)).as("exact_dup"),
+        ($"n_set" === k && coalesce($"exact_dup", lit(false)) === false)
+          .as("false_positive"))
+      .orderBy($"doc_id")
+  }
+
   /** Span length (tokens), duplication-rate threshold, and the partial-dup
     * seeding offset for [[spanDedupReport]], shared with the q72 oracle. */
   val spanLen = 5

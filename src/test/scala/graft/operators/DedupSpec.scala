@@ -111,6 +111,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bloomDedupGate: zero false negatives; seeded duplicates all hit; FP rate in band") {
+    val out = DedupOps.bloomDedupGate(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the Bloom contract: a "no" is certain — an exact duplicate can never
+    // be missed by the filter
+    out.foreach { r =>
+      if (r.getAs[Boolean]("exact_dup")) assert(r.getAs[Boolean]("bloom_hit"))
+      assert(r.getAs[Boolean]("false_positive") ===
+        (r.getAs[Boolean]("bloom_hit") && !r.getAs[Boolean]("exact_dup")))
+    }
+    // every seeded re-arrival (shifted every-10th-even doc) is an exact dup
+    val seeded = out.filter(_.getAs[Long]("doc_id") >= DedupOps.bloomNewOffset)
+    assert(seeded.nonEmpty)
+    seeded.foreach(r => assert(r.getAs[Boolean]("exact_dup")))
+    // m=1024/k=3 at this fill gives a real but bounded FP rate
+    val novel = out.filter(!_.getAs[Boolean]("exact_dup"))
+    val fpRate = novel.count(_.getAs[Boolean]("false_positive")).toDouble / novel.length
+    assert(fpRate < 0.35, s"FP rate $fpRate — filter saturated?")
+  }
+
   test("simHash: equal texts hash equal; 32-bit range") {
     import spark.implicits._
     val out = DedupOps.simHash(spark, sf)
