@@ -140,6 +140,7 @@ object SparkEntry {
     "q73_sequence_pack" -> ((s, d) => CorpusOps.sequencePack(s, d)),
     "q74_bloom_dedup" -> ((s, d) => DedupOps.bloomDedupGate(s, d)),
     "q75_interval_join" -> ((s, d) => IntervalJoin.eventsInWindows(s, d)),
+    "q76_corpus_build" -> ((s, d) => CorpusOps.corpusBuild(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1283,5 +1284,66 @@ object SparkEntry {
         |  CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events
         |FROM win w LEFT JOIN hits h USING (window_id)
         |ORDER BY window_id""".stripMargin,
+
+    // the capstone corpus build: token gate -> span-dup gate (integer-
+    // exact) -> unigram-LM floor (exact micro-units) -> sqrt-temperature
+    // sampling -> prefix-sum sequence packing, one statement
+    "q76_corpus_build" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |  WHERE len($toksSql) >= 5),
+         |b2 AS (SELECT doc_id, lang, toks,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens FROM base),
+         |spans AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(toks) // 5),
+         |    i -> md5(array_to_string(list_slice(toks, i*5 + 1, i*5 + 5),
+         |      ' ')))) AS span
+         |  FROM b2),
+         |sc AS (SELECT span, count(*) AS cnt FROM spans GROUP BY 1),
+         |dupok AS (
+         |  SELECT doc_id,
+         |    round(CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE), 4)
+         |      AS dup_ratio
+         |  FROM (
+         |    SELECT s.doc_id, count(*) AS n_spans,
+         |      sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS n_dup
+         |    FROM spans s JOIN sc c USING (span) GROUP BY 1) z
+         |  WHERE n_dup * 2 <= n_spans),
+         |toks2 AS (SELECT doc_id, unnest(toks) AS term FROM b2),
+         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks2 GROUP BY 1),
+         |t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+         |lmok AS (
+         |  SELECT doc_id,
+         |    round(CAST(units AS DOUBLE) / n / 1e6, 4) + 0.0 AS mean_logprob
+         |  FROM (
+         |    SELECT doc_id,
+         |      sum(CAST(floor(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE))
+         |        * 1e6 + 0.5) AS BIGINT)) AS units,
+         |      count(*) AS n
+         |    FROM toks2 JOIN tf USING (term) CROSS JOIN t GROUP BY 1) z
+         |  WHERE units > -8600000 * n),
+         |cnts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |         FROM b2 GROUP BY 1),
+         |ct AS (SELECT CAST(sum(n_docs) AS BIGINT) AS ctotal,
+         |         sum(sqrt(CAST(n_docs AS DOUBLE))) AS sum_sq FROM cnts),
+         |rates AS (
+         |  SELECT lang, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / sum_sq /
+         |    (CAST(n_docs AS DOUBLE) / CAST(ctotal AS DOUBLE)) * 30.0 + 0.5)
+         |    AS BIGINT) AS rate
+         |  FROM cnts CROSS JOIN ct),
+         |samp AS (
+         |  SELECT b.doc_id, b.lang, b.n_tokens, d.dup_ratio, l.mean_logprob
+         |  FROM b2 b JOIN dupok d USING (doc_id) JOIN lmok l USING (doc_id)
+         |  JOIN rates r USING (lang)
+         |  WHERE ${h32("CAST(b.doc_id AS VARCHAR)")} % 100 < r.rate),
+         |packed AS (
+         |  SELECT *, sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+         |  FROM samp)
+         |SELECT doc_id, lang, n_tokens, dup_ratio, mean_logprob,
+         |  CAST(start AS BIGINT) AS start,
+         |  CAST(start // 128 AS BIGINT) AS seq_id
+         |FROM packed ORDER BY doc_id""".stripMargin,
   )
 }

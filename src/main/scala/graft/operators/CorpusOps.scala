@@ -238,6 +238,101 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** Thresholds for [[corpusBuild]], shared with the q76 oracle: minimum
+    * tokens, span-duplication gate, unigram-LM floor in integer micro-log
+    * units (compared exactly as `units > floor * n_tokens` — never a
+    * rounded float at the boundary), and the base sampling percentage the
+    * temperature rates scale. */
+  val buildMinTokens = 5
+  val buildLogProbFloorUnits = -8600000L // -8.6 mean log-prob
+  val buildBaseRate = 30.0
+
+  /** The round-6 CAPSTONE: a full corpus build as ONE declared plan,
+    * composing five operator families end to end the way a real
+    * training-data run does —
+    *   1. quality gate (min token count, q58's stage);
+    *   2. repeated-SPAN dedup gate (q72's integer-exact flag over organic
+    *      span collisions — boilerplate-heavy docs drop);
+    *   3. unigram-LM quality floor (q71's micro-unit scores; the
+    *      threshold compares exact integers, `units > floor·n`);
+    *   4. temperature-weighted sampling (q70's √p rates feed q49's
+    *      deterministic hash-bucket filter — low-resource languages keep
+    *      a larger share);
+    *   5. sequence packing (q73's two-phase prefix sum over the
+    *      survivors — the packed offsets ARE the training-row layout).
+    *
+    * Plan shape: ONE tokenize of the corpus behind a cache barrier feeds
+    * spans, LM scoring, and packing; the span-count and vocabulary
+    * relations are O(spans)/O(vocab) aggregates; the rate table is
+    * O(languages) and broadcasts; packing shuffles only the surviving
+    * docs. Stage interactions — the part no single-operator query
+    * exercises — are exactly what the oracle hash checks. */
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{DedupOps => D}
+    val base = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"lang", tokens($"text").as("toks"))
+        .filter(size($"toks") >= buildMinTokens)
+        .withColumn("n_tokens", size($"toks").cast("long")))
+    // stage 2: span-duplication gate (organic collisions, no seeding)
+    val spans = base.select($"doc_id", explode(
+      transform(sequence(lit(0), (size($"toks") / D.spanLen).cast("int") - 1),
+        i => md5(array_join(slice($"toks", i * D.spanLen + 1, lit(D.spanLen)), " "))))
+      .as("span"))
+    val spanCounts = spans.groupBy($"span").agg(count(lit(1)).as("cnt"))
+    val dupStats = spans.join(spanCounts, "span")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup"))
+      .filter($"n_dup" * 2 <= $"n_spans") // integer-exact q72 gate
+      .select($"doc_id",
+        round($"n_dup".cast("double") / $"n_spans".cast("double"), 4).as("dup_ratio"))
+    // stage 3: unigram-LM floor over the gated corpus's own model
+    val toks = base.select($"doc_id", explode($"toks").as("term"))
+    val tf = toks.groupBy($"term").agg(count(lit(1)).as("tf"))
+    val total = tf.select(sum($"tf").as("total"))
+    val lm = toks.join(tf, "term").crossJoin(broadcast(total))
+      .select($"doc_id",
+        floor(log($"tf".cast("double") / $"total".cast("double")) * 1e6 + lit(0.5))
+          .cast("long").as("u"))
+      .groupBy($"doc_id").agg(sum($"u").as("units"), count(lit(1)).as("n"))
+      .filter($"units" > lit(buildLogProbFloorUnits) * $"n") // exact ints
+      .select($"doc_id",
+        (round($"units".cast("double") / $"n".cast("double") / 1e6, 4) + lit(0.0))
+          .as("mean_logprob"))
+    // stage 4: temperature-weighted deterministic sample
+    val counts = base.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.select(sum($"n_docs").as("ctotal"),
+      sum(sqrt($"n_docs".cast("double"))).as("sum_sq"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select($"lang",
+        floor(sqrt($"n_docs".cast("double")) / $"sum_sq" /
+          ($"n_docs".cast("double") / $"ctotal".cast("double")) *
+          buildBaseRate + lit(0.5)).cast("long").as("rate"))
+    val sampled = base.select($"doc_id", $"lang", $"n_tokens")
+      .join(dupStats, "doc_id")
+      .join(lm, "doc_id")
+      .join(broadcast(rates), "lang")
+      .withColumn("bucket", pmod(md5Hash32($"doc_id".cast("string")), lit(100)))
+      .filter($"bucket" < $"rate")
+    // stage 5: pack the survivors (two-phase prefix sum, q73 shape)
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = sampled.withColumn("pbucket", expr("doc_id div 256"))
+    val inB = Window.partitionBy($"pbucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val overB = Window.orderBy($"pbucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy($"pbucket").agg(sum($"n_tokens").as("btot"))
+      .select($"pbucket", coalesce(sum($"btot").over(overB), lit(0L)).as("boff"))
+    bucketed.withColumn("cum", sum($"n_tokens").over(inB))
+      .join(broadcast(offs), "pbucket")
+      .withColumn("start", $"boff" + $"cum" - $"n_tokens")
+      .select($"doc_id", $"lang", $"n_tokens", $"dup_ratio", $"mean_logprob",
+        $"start", expr(s"start div $packSeqLen").as("seq_id"))
+      .orderBy($"doc_id")
+  }
+
   /** Relative tolerance for [[corpusStatsApprox]]'s approx-vs-exact median
     * check, shared with the q68 oracle and the spec. */
   val approxMedianTol = 0.05

@@ -91,6 +91,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(bucket"), p)
   }
 
+  test("corpusBuild capstone: every stage's contract holds on the composed output") {
+    val out = CorpusOps.corpusBuild(spark, sf).collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") >= CorpusOps.buildMinTokens) // gate
+      assert(r.getAs[Double]("dup_ratio") <= 0.5)                   // span gate
+      assert(r.getAs[Double]("mean_logprob") * 1e6 >
+        CorpusOps.buildLogProbFloorUnits - 1)                       // LM floor
+    }
+    // packing is gapless over the SURVIVORS in doc order
+    out.foldLeft(0L) { (expect, r) =>
+      assert(r.getAs[Long]("start") === expect)
+      assert(r.getAs[Long]("seq_id") === r.getAs[Long]("start") / CorpusOps.packSeqLen)
+      expect + r.getAs[Long]("n_tokens")
+    }
+    // temperature sampling kept every language in the mix
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(out.map(_.getAs[String]("lang")).distinct.length.toLong === langs)
+  }
+
   test("corpusStatsApprox: sketch median within the pinned tolerance of exact") {
     val approx = CorpusOps.corpusStatsApprox(spark, sf).collect()
     val exact = CorpusOps.corpusStats(spark, sf).collect()
