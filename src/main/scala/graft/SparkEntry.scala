@@ -141,6 +141,7 @@ object SparkEntry {
     "q74_bloom_dedup" -> ((s, d) => DedupOps.bloomDedupGate(s, d)),
     "q75_interval_join" -> ((s, d) => IntervalJoin.eventsInWindows(s, d)),
     "q76_corpus_build" -> ((s, d) => CorpusOps.corpusBuild(s, d)),
+    "q77_pivot_matrix" -> ((s, d) => Relational.langMatrix(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1345,5 +1346,15 @@ object SparkEntry {
          |  CAST(start AS BIGINT) AS start,
          |  CAST(start // 128 AS BIGINT) AS seq_id
          |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // pivot = one pass of per-value conditional counts, dense zeros
+    "q77_pivot_matrix" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -258,4 +258,27 @@ object Relational {
           year($"o_orderdate").cast("string")).as("german"))
       .orderBy($"o_orderkey")
   }
+
+  /** Pivoted language values for [[langMatrix]], shared with the q77
+    * oracle (explicit value list = fixed output schema — the form that
+    * scales, since an unlisted `pivot` first runs a distinct scan AND
+    * makes the schema data-dependent). */
+  val pivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** PIVOT reporting: the long→wide reshape every reporting layer wants —
+    * documents counted per (source × language) as a matrix with one
+    * column per language. Spark plans pivot as ONE partial-aggregated
+    * groupBy(source) with a `count(CASE WHEN lang=v)` per pivot value —
+    * a single fact shuffle of O(sources × langs) cells, the same
+    * one-pass shape as q62's ROLLUP (never a union of per-language
+    * scans). Missing cells are 0, not null, so the matrix is dense. */
+  def langMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .pivot("lang", pivotLangs)
+      .agg(count(lit(1)))
+      .na.fill(0L, pivotLangs)
+      .orderBy($"source")
+  }
 }

@@ -139,4 +139,18 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("langMatrix: dense pivot — row sums equal per-source doc counts, no nulls") {
+    import spark.implicits._
+    val out = Relational.langMatrix(spark, sf).collect()
+    val perSource = graft.Tables.documents(spark, sf)
+      .groupBy($"source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(out.map(_.getAs[String]("source")).toSet === perSource.keySet)
+    out.foreach { r =>
+      val cells = Relational.pivotLangs.map(l => r.getAs[Long](l))
+      cells.foreach(c => assert(c >= 0L)) // dense zeros, never null
+      assert(cells.sum === perSource(r.getAs[String]("source")))
+    }
+  }
 }
