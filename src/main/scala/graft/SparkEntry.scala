@@ -142,6 +142,7 @@ object SparkEntry {
     "q75_interval_join" -> ((s, d) => IntervalJoin.eventsInWindows(s, d)),
     "q76_corpus_build" -> ((s, d) => CorpusOps.corpusBuild(s, d)),
     "q77_pivot_matrix" -> ((s, d) => Relational.langMatrix(s, d)),
+    "q78_gap_fill" -> ((s, d) => Relational.hourlyGapFill(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1356,5 +1357,32 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
         |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // dense hourly spine via range(), decimal-exact sums (q17 trick),
+    // IGNORE NULLS forward fill
+    "q78_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(v) AS DOUBLE) AS sv
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+        |spine AS (
+        |  SELECT t.event_type, u.h
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) u),
+        |j AS (
+        |  SELECT s.event_type, s.h, coalesce(a.n_events, 0) AS n_events,
+        |    a.sv
+        |  FROM spine s LEFT JOIN agg a USING (event_type, h))
+        |SELECT event_type, CAST(h AS BIGINT) AS h,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  round(coalesce(last_value(sv IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY h
+        |    ROWS UNBOUNDED PRECEDING), 0), 2) AS filled_sum
+        |FROM j ORDER BY event_type, h""".stripMargin,
   )
 }

@@ -281,4 +281,40 @@ object Relational {
       .na.fill(0L, pivotLangs)
       .orderBy($"source")
   }
+
+  /** Hourly gap-fill + forward fill — the time-series regularization every
+    * monitoring/feature pipeline runs before charting or model input:
+    * counts per (event_type, hour) on a DENSE hour spine (missing hours
+    * materialize as 0-count rows via `sequence`+`explode` against the
+    * broadcast min/max bounds), and the hour's running total carries the
+    * last known value forward (`last(..., ignoreNulls)` window).
+    *
+    * Engine-exact float discipline: hourly sums go through
+    * DECIMAL(18,4) (the q17 trick) so addition order cannot move an ulp;
+    * the fill then copies already-exact values. Scale shape: one
+    * partial-agg shuffle on (type, hour); the spine is
+    * O(types × hours) — tiny next to events — and the fill window
+    * partitions per type over bounded hour counts (for per-entity fills
+    * at scale, bucket the window like q73's prefix sum). */
+  def hourlyGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", expr("unix_micros(ts) div 3600000000").as("h"),
+        $"value".cast("decimal(18,4)").as("v"))
+    val agg = ev.groupBy($"event_type", $"h")
+      .agg(count(lit(1)).as("n_events"), sum($"v").cast("double").as("sv"))
+    val bounds = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
+    val spine = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(sequence($"h0", $"h1")).as("h"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq("event_type", "h"), "left")
+      .select($"event_type", $"h",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        round(coalesce(last($"sv", ignoreNulls = true).over(w), lit(0.0)), 2)
+          .as("filled_sum"))
+      .orderBy($"event_type", $"h")
+  }
 }

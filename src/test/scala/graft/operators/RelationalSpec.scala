@@ -153,4 +153,27 @@ class RelationalSpec extends SparkSpec {
       assert(cells.sum === perSource(r.getAs[String]("source")))
     }
   }
+
+  test("hourlyGapFill: dense spine, counts conserve, forward fill monotone persistence") {
+    import spark.implicits._
+    val out = Relational.hourlyGapFill(spark, sf).collect()
+    val types = out.map(_.getAs[String]("event_type")).distinct
+    val hours = out.map(_.getAs[Long]("h")).distinct.sorted
+    // dense: every (type, hour) cell exists exactly once
+    assert(out.length === types.length * hours.length)
+    assert(hours === (hours.head to hours.last))
+    // counts conserve vs the raw table
+    val total = graft.Tables.events(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_events")).sum === total)
+    // gap rows carry the PREVIOUS hour's filled value forward
+    types.foreach { t =>
+      val series = out.filter(_.getAs[String]("event_type") == t)
+        .sortBy(_.getAs[Long]("h"))
+      series.zip(series.drop(1)).foreach { case (a, b) =>
+        if (b.getAs[Long]("n_events") == 0L)
+          assert(b.getAs[Double]("filled_sum") === a.getAs[Double]("filled_sum"))
+      }
+    }
+    assert(out.exists(_.getAs[Long]("n_events") == 0L)) // gaps genuinely exist
+  }
 }
