@@ -87,6 +87,26 @@ class PlanSpec extends SparkSpec {
     assert("\\(\\d+\\) Generate".r.findAllIn(p).size <= 1, p)
   }
 
+  test("q74 bloom gate: sketch and history fingerprints broadcast — the batch never sort-merges") {
+    val p = plan(DedupOps.bloomDedupGate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the m/32-word sketch is partial-aggregated before its exchange
+    assert(p.contains("partial_bit_or"), p)
+  }
+
+  test("q77 pivot: one aggregation pass — a single scan of documents, no per-value union") {
+    val p = plan(Relational.langMatrix(spark, sf))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q70 mixture weights: corpus aggregates to O(languages) before anything global") {
+    val p = plan(CorpusOps.mixtureWeights(spark, sf))
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortMergeJoin"), p) // totals broadcast back
+  }
+
   test("q42 batched top-k: partial ObjectHashAggregate, no Window in the plan") {
     val p = plan(AnnSearch.batchTopK(spark, sf))
     assert(p.contains("ObjectHashAggregate"), p)
