@@ -143,6 +143,8 @@ object SparkEntry {
     "q76_corpus_build" -> ((s, d) => CorpusOps.corpusBuild(s, d)),
     "q77_pivot_matrix" -> ((s, d) => Relational.langMatrix(s, d)),
     "q78_gap_fill" -> ((s, d) => Relational.hourlyGapFill(s, d)),
+    "q79_unpivot_roundtrip" -> ((s, d) => Relational.langMatrixLong(s, d)),
+    "q80_corpus_diff" -> ((s, d) => CorpusOps.corpusDiff(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1384,5 +1386,35 @@ object SparkEntry {
         |    PARTITION BY event_type ORDER BY h
         |    ROWS UNBOUNDED PRECEDING), 0), 2) AS filled_sum
         |FROM j ORDER BY event_type, h""".stripMargin,
+
+    // the roundtrip law IS the oracle: unpivot(pivot(T)) = groupBy(T)
+    "q79_unpivot_roundtrip" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
+    // v2 replayed: every 5th dropped, every 7th amended, every 11th
+    // re-added under a new id; classification is content-fingerprint-based
+    "q80_corpus_diff" ->
+      s"""WITH v1 AS (SELECT doc_id, $fpSql AS fp1 FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(
+         |      CASE WHEN doc_id % 7 = 0
+         |        THEN coalesce(text, '') || ' v2-edit' ELSE text END)),
+         |      '\\s+', ' ', 'g')) AS fp2
+         |  FROM documents WHERE doc_id % 5 <> 4
+         |  UNION ALL
+         |  SELECT doc_id + 300000, $fpSql FROM documents
+         |  WHERE doc_id % 11 = 0),
+         |j AS (
+         |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, fp1, fp2
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN fp1 IS NULL THEN 'added'
+         |       WHEN fp2 IS NULL THEN 'removed'
+         |       WHEN fp1 = fp2 THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM j ORDER BY doc_id""".stripMargin,
   )
 }

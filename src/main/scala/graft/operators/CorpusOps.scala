@@ -333,6 +333,38 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** Corpus SNAPSHOT DIFF — dataset versioning's core primitive: compare
+    * corpus v2 against v1 and classify every doc as kept-unchanged,
+    * changed (content fingerprint moved), removed, or added — the audit a
+    * pipeline publishes with every corpus release (and the input to
+    * incremental re-processing: only `changed`+`added` re-enter the
+    * pipeline). One full-outer hash join on doc_id; fingerprints are
+    * md5 so the change test is content-based, not metadata-based.
+    *
+    * v2 is derived deterministically (both engines replay it): every 5th
+    * doc dropped, every 7th doc's text amended, every 11th doc re-added
+    * as a new id. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v1 = Tables.documents(spark, dir)
+      .select($"doc_id", fingerprint($"text").as("fp1"))
+    val docs = Tables.documents(spark, dir)
+    val v2 = docs.filter($"doc_id" % 5 =!= 4)
+      .select($"doc_id",
+        fingerprint(when($"doc_id" % 7 === 0,
+          concat(coalesce($"text", lit("")), lit(" v2-edit")))
+          .otherwise($"text")).as("fp2"))
+      .unionByName(docs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"), fingerprint($"text").as("fp2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"fp1".isNull, "added")
+          .when($"fp2".isNull, "removed")
+          .when($"fp1" === $"fp2", "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy($"doc_id")
+  }
+
   /** Relative tolerance for [[corpusStatsApprox]]'s approx-vs-exact median
     * check, shared with the q68 oracle and the spec. */
   val approxMedianTol = 0.05

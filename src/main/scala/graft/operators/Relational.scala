@@ -317,4 +317,20 @@ object Relational {
           .as("filled_sum"))
       .orderBy($"event_type", $"h")
   }
+
+  /** UNPIVOT — the wide→long inverse of [[langMatrix]], via `stack`
+    * (one pass, rows fan out n-langs-per-input-row, zero shuffle beyond
+    * the upstream pivot). Dropping the dense zeros makes the roundtrip
+    * LAW hold: unpivot(pivot(T)) = groupBy(T) — which is exactly what
+    * the oracle states, so the hash check proves both reshapes compose
+    * losslessly. */
+  def langMatrixLong(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stackArgs = pivotLangs.map(l => s"'$l', $l").mkString(", ")
+    langMatrix(spark, dir)
+      .select($"source",
+        expr(s"stack(${pivotLangs.size}, $stackArgs) AS (lang, n_docs)"))
+      .filter($"n_docs" > 0)
+      .orderBy($"source", $"lang")
+  }
 }

@@ -111,6 +111,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("lang")).distinct.length.toLong === langs)
   }
 
+  test("corpusDiff: every class present and counts match the deterministic v2 seeding") {
+    import spark.implicits._
+    val out = CorpusOps.corpusDiff(spark, sf).collect()
+    val byStatus = out.groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+    val ids = Tables.documents(spark, sf).select($"doc_id").as[Long].collect()
+    assert(byStatus("removed") === ids.count(_ % 5 == 4))
+    assert(byStatus("added") === ids.count(_ % 11 == 0))
+    // changed = amended docs that survived the drop (text genuinely differs)
+    assert(byStatus("changed") === ids.count(i => i % 5 != 4 && i % 7 == 0))
+    assert(byStatus.values.sum === out.length)
+    // added docs carry the shifted id range
+    out.filter(_.getAs[String]("status") == "added")
+      .foreach(r => assert(r.getAs[Long]("doc_id") >= 300000L))
+  }
+
   test("corpusStatsApprox: sketch median within the pinned tolerance of exact") {
     val approx = CorpusOps.corpusStatsApprox(spark, sf).collect()
     val exact = CorpusOps.corpusStats(spark, sf).collect()

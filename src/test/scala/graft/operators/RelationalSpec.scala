@@ -176,4 +176,16 @@ class RelationalSpec extends SparkSpec {
     }
     assert(out.exists(_.getAs[Long]("n_events") == 0L)) // gaps genuinely exist
   }
+
+  test("langMatrixLong: unpivot(pivot(T)) = groupBy(T) — the roundtrip law, in-engine") {
+    import spark.implicits._
+    val got = Relational.langMatrixLong(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        r.getAs[Long]("n_docs")).toMap
+    val want = graft.Tables.documents(spark, sf)
+      .groupBy($"source", $"lang").count().collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        r.getAs[Long]("count")).toMap
+    assert(got === want)
+  }
 }
