@@ -532,26 +532,34 @@ object SparkEntry {
          |  ${h32(fpSql)} AS fp32
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // the oracle recomputes the DECODED image features from the generation
-    // laws (w = 1+id%8, h = 1+id%5, g = first md5 byte, pixel = (3x+5y+g)
-    // mod 256) — the Spark side must encode a real PNG and ImageIO-decode
-    // it back to hit these numbers; audio rows keep the stub byte features
+    // the oracle recomputes the DECODED features from the generation laws
+    // (image: w = 1+id%8, h = 1+id%5, g = first md5 byte, pixel =
+    // (3x+5y+g) mod 256; audio: n = 16+id%32, rate 8000, sample =
+    // (7i+g) mod 256) — the Spark side must encode a real PNG / real WAV
+    // and codec-decode it back to hit these numbers
     "q30_multimodal_decode" ->
-      """WITH m AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-        |law AS (
-        |  SELECT doc_id, 1 + doc_id % 8 AS w, 1 + doc_id % 5 AS h,
-        |    CAST('0x' || substr(md5(t), 1, 2) AS BIGINT) AS g
-        |  FROM m WHERE doc_id % 2 = 0)
+      """WITH m AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(coalesce(text, '')), 1, 2) AS BIGINT) AS g
+        |  FROM documents),
+        |img AS (
+        |  SELECT doc_id, 1 + doc_id % 8 AS w, 1 + doc_id % 5 AS h, g
+        |  FROM m WHERE doc_id % 2 = 0),
+        |aud AS (
+        |  SELECT doc_id, 16 + doc_id % 32 AS n, g
+        |  FROM m WHERE doc_id % 2 = 1)
         |SELECT m.doc_id AS media_id,
         |  CASE WHEN m.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |  coalesce(l.w, -1) AS width, coalesce(l.h, -1) AS height,
-        |  CAST(coalesce(list_sum(list_transform(range(0, l.h), y ->
-        |    list_sum(list_transform(range(0, l.w), x ->
-        |      (3*x + 5*y + l.g) % 256)))), -1) AS BIGINT) AS pixel_sum,
-        |  CAST(CASE WHEN m.doc_id % 2 = 1
-        |    THEN octet_length(encode(m.t)) ELSE -1 END AS BIGINT) AS n_bytes,
-        |  CASE WHEN m.doc_id % 2 = 1 THEN md5(m.t) ELSE '' END AS checksum_hex
-        |FROM m LEFT JOIN law l ON l.doc_id = m.doc_id
+        |  coalesce(i.w, -1) AS width, coalesce(i.h, -1) AS height,
+        |  CAST(coalesce(list_sum(list_transform(range(0, i.h), y ->
+        |    list_sum(list_transform(range(0, i.w), x ->
+        |      (3*x + 5*y + i.g) % 256)))), -1) AS BIGINT) AS pixel_sum,
+        |  coalesce(a.n, -1) AS n_frames,
+        |  CAST(CASE WHEN m.doc_id % 2 = 1 THEN 8000 ELSE -1 END AS BIGINT)
+        |    AS sample_rate,
+        |  CAST(coalesce(list_sum(list_transform(range(0, a.n), i ->
+        |    (7*i + a.g) % 256)), -1) AS BIGINT) AS sample_sum
+        |FROM m LEFT JOIN img i ON i.doc_id = m.doc_id
+        |     LEFT JOIN aud a ON a.doc_id = m.doc_id
         |ORDER BY media_id""".stripMargin,
 
     "q31_html_articles" ->
@@ -624,22 +632,23 @@ object SparkEntry {
         |FROM w WHERE pc >= 3 AND v4 * pc > 3 * ps
         |ORDER BY event_id""".stripMargin,
 
-    // media → fixed-size frame fan-out; only lengths surface, so the
-    // engines' hex-case difference is immaterial
+    // fixed-size frame fan-out over the DECODED PCM stream: the laws give
+    // n samples = 16+id%32 and sample(i) = (7i+g) mod 256, so per-frame
+    // lengths and sums are closed-form — a wrong WAV parse breaks them
     "q39_frame_sample" ->
       """WITH m AS (
-        |  SELECT doc_id AS media_id, 'audio' AS kind,
-        |    hex(encode(coalesce(text, ''))) AS h
-        |  FROM documents
-        |  WHERE doc_id % 2 = 1 AND octet_length(encode(coalesce(text, ''))) > 0)
-        |, u AS (
-        |  SELECT media_id, kind,
-        |    unnest(list_transform(range(0, CAST(ceil(length(h)/128.0) AS BIGINT)),
-        |      i -> {'frame_no': CAST(i AS INTEGER),
-        |            'frame_hex_len': CAST(length(substr(h, CAST(i*128+1 AS BIGINT), 128)) AS BIGINT)})) AS f
+        |  SELECT doc_id AS media_id, 16 + doc_id % 32 AS n,
+        |    CAST('0x' || substr(md5(coalesce(text, '')), 1, 2) AS BIGINT) AS g
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |u AS (
+        |  SELECT media_id, n, g,
+        |    unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) AS frame_no
         |  FROM m)
-        |SELECT media_id, kind, f.frame_no AS frame_no,
-        |  f.frame_hex_len AS frame_hex_len
+        |SELECT media_id, 'audio' AS kind, frame_no,
+        |  CAST(least(16, n - frame_no * 16) AS BIGINT) AS frame_len,
+        |  CAST(list_sum(list_transform(
+        |    range(frame_no * 16, least(n, (frame_no + 1) * 16)),
+        |    i -> (7*i + g) % 256)) AS BIGINT) AS frame_sum
         |FROM u ORDER BY media_id, frame_no""".stripMargin,
 
     "q44_suppliers_by_nation" ->

@@ -3,6 +3,7 @@ package graft.operators
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -13,23 +14,28 @@ import graft.Tables
   * batch decoder — the shape of `reddit_image_scraper.py:38-39`, which
   * downloads and stores real image bytes, taken to a distributed engine.
   *
-  * The IMAGE path is REAL: `mediaTable` renders each even-id document
-  * into a genuine PNG (encoded with the JDK's `javax.imageio` codec) whose
-  * dimensions and pixel values follow closed-form laws of `(doc_id,
-  * md5(text))`, and `decodeFeatures`/`resize` decode those bytes back
-  * through `ImageIO` and do real raster work (pixel statistics,
-  * nearest-neighbor downsampling, re-encode). Because the generation laws
-  * are SQL-expressible, DuckDB recomputes the expected decoded features
-  * without ever touching a PNG — the oracle checks a real
-  * encode→decode→measure roundtrip. The AUDIO kind stays a byte-payload
-  * stub (no audio codec ships in the JDK); its rows carry the raw text
-  * bytes and stub features, clearly marked below.
+  * BOTH media kinds are REAL as of round 6 — no stub decode remains:
+  *   - images: even-id documents render into genuine PNGs (encoded with
+  *     the JDK's `javax.imageio` codec) whose dimensions and pixel values
+  *     follow closed-form laws of `(doc_id, md5(text))`;
+  *     `decodeFeatures`/`resize` decode those bytes back through
+  *     `ImageIO` and do real raster work (pixel statistics,
+  *     nearest-neighbor downsampling, re-encode);
+  *   - audio: odd-id documents render into genuine 8-bit PCM WAV files
+  *     (RIFF container written by `javax.sound.sampled.AudioSystem`)
+  *     whose frame count and sample values follow closed-form laws;
+  *     `decodeFeatures` parses them back through `AudioSystem` (format,
+  *     frame count, sample statistics) and `frameSample` fans the DECODED
+  *     sample stream into fixed-size frames.
+  * Because every generation law is SQL-expressible, DuckDB recomputes the
+  * expected decoded features without touching a codec — the oracles check
+  * real encode→decode roundtrips for both kinds.
   *
   * At scale this is `mapPartitions` so codec initialization happens once
   * per partition (the lifecycle a Python `mapInPandas` batch UDF gets)
   * and binary payloads never pass through codegen'd expressions that
-  * would copy them. `ImageIO.setUseCache(false)` keeps the codec off
-  * executor-local disk for small images.
+  * would copy them. `ImageIO.setUseCache(false)` keeps the codecs off
+  * executor-local disk for small payloads.
   */
 object Multimodal {
 
@@ -50,6 +56,15 @@ object Multimodal {
     def pixel(x: Int, y: Int, g: Int): Int = (3 * x + 5 * y + g) % 256
   }
 
+  /** Audio-generation laws, same discipline: nFrames = 16 + id%32,
+    * 8 kHz mono 8-bit UNSIGNED PCM (the standard 8-bit WAV encoding),
+    * sample(i) = (7i + g) mod 256 with the same md5-derived g. */
+  object AudioLaw {
+    val sampleRate = 8000
+    def frames(id: Long): Int = (16 + id % 32).toInt
+    def sample(i: Int, g: Int): Int = (7 * i + g) % 256
+  }
+
   /** Render the deterministic grayscale image for one doc and encode it
     * as a real PNG via the JDK codec. */
   def renderPng(id: Long, text: String): Array[Byte] = {
@@ -65,6 +80,20 @@ object Multimodal {
     val bos = new ByteArrayOutputStream()
     if (!ImageIO.write(img, "png", bos))
       throw new IllegalStateException("JDK PNG writer unavailable")
+    bos.toByteArray
+  }
+
+  /** Render the deterministic PCM clip for one doc and wrap it in a real
+    * WAV (RIFF) container via the JDK sound API. */
+  def renderWav(id: Long, text: String): Array[Byte] = {
+    val g = ImageLaw.gray(text)
+    val n = AudioLaw.frames(id)
+    val samples = Array.tabulate[Byte](n)(i => AudioLaw.sample(i, g).toByte)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      AudioLaw.sampleRate.toFloat, 8, 1, 1, AudioLaw.sampleRate.toFloat, false)
+    val stream = new AudioInputStream(new ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -84,32 +113,31 @@ object Multimodal {
     (img.getWidth, img.getHeight, sum)
   }
 
-  /** Decoded features: images carry REAL decoded raster stats (payload
-    * byte length is PNG-encoder-dependent, so images expose pixel-space
-    * columns only); audio rows carry the stub byte-level features. The
-    * not-applicable columns use sentinels (-1 / "") rather than NULL so
-    * both engines hash identical non-nullable columns. */
-  case class MediaFeatures(media_id: Long, kind: String,
-                           width: Long, height: Long, pixel_sum: Long,
-                           n_bytes: Long, checksum_hex: String)
-
-  /** STUB: audio has no JDK codec; features are deterministic functions of
-    * the raw payload bytes. A real implementation would hand `payload` to
-    * an audio codec here; everything around it stays. */
-  object FakeAudioDecoder {
-    def decode(r: MediaRecord): MediaFeatures = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-      MediaFeatures(r.media_id, r.kind, -1L, -1L, -1L,
-        r.payload.length.toLong, hex)
-    }
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the RIFF
+    * container and exposes format + frames; returns
+    * (n_frames, sample_rate, sample bytes as unsigned ints). */
+  def decodeWav(payload: Array[Byte]): (Long, Int, Array[Int]) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val n = in.getFrameLength
+    val rate = in.getFormat.getSampleRate.toInt
+    val buf = in.readAllBytes()
+    in.close()
+    (n, rate, buf.map(_ & 0xff))
   }
 
+  /** Decoded features: each kind carries its REAL decoded stats (payload
+    * byte length is container-encoder-dependent, so only decoded-space
+    * columns are exposed). Not-applicable columns use -1 sentinels rather
+    * than NULL so both engines hash identical non-nullable columns. */
+  case class MediaFeatures(media_id: Long, kind: String,
+                           width: Long, height: Long, pixel_sum: Long,
+                           n_frames: Long, sample_rate: Long, sample_sum: Long)
+
   /** Build the media table from `documents`: even ids become REAL PNG
-    * payloads (rendered per-partition), odd ids keep raw text bytes as
-    * the audio stand-in (the container ships no real media, TESTDATA.md).
-    * At 100 TB this column is the stored blob — generation here stands in
-    * for a binary-file scan. */
+    * payloads, odd ids REAL WAV payloads (rendered per-partition; the
+    * container ships no real media, TESTDATA.md). At 100 TB this column
+    * is the stored blob — generation here stands in for a binary-file
+    * scan. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -119,15 +147,15 @@ object Multimodal {
         ImageIO.setUseCache(false) // per-partition codec setup, no temp files
         it.map { case (id, text) =>
           if (id % 2 == 0) MediaRecord(id, "image", renderPng(id, text))
-          else MediaRecord(id, "audio", text.getBytes("UTF-8"))
+          else MediaRecord(id, "audio", renderWav(id, text))
         }
       }
   }
 
   /** Decode features via per-partition batch iteration: REAL `ImageIO`
-    * decode for images, stub byte features for audio. The oracle
-    * recomputes the image columns from the generation laws — a wrong
-    * decode (or a lossy roundtrip) breaks the hash. */
+    * decode for images, REAL `AudioSystem` parse for audio. The oracle
+    * recomputes every column from the generation laws — a wrong decode
+    * (or a lossy roundtrip) breaks the hash. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
@@ -136,9 +164,13 @@ object Multimodal {
         it.map { r =>
           if (r.kind == "image") {
             val (w, h, sum) = decodePng(r.payload)
-            MediaFeatures(r.media_id, r.kind,
-              w.toLong, h.toLong, sum, -1L, "")
-          } else FakeAudioDecoder.decode(r)
+            MediaFeatures(r.media_id, r.kind, w.toLong, h.toLong, sum,
+              -1L, -1L, -1L)
+          } else {
+            val (n, rate, samples) = decodeWav(r.payload)
+            MediaFeatures(r.media_id, r.kind, -1L, -1L, -1L,
+              n, rate.toLong, samples.map(_.toLong).sum)
+          }
         }
       }
       .toDF()
@@ -149,9 +181,8 @@ object Multimodal {
     * stride-`factor` pixels, preserving (0,0)) → re-encode PNG → decode
     * AGAIN and verify the roundtrip. `png_ok` asserts the re-encoded
     * image decodes back to the resized dimensions — a real
-    * encode/decode/encode cycle per row, the part the round-4 judge
-    * flagged as never executed. Audio rows are out of scope (resize is an
-    * image op). */
+    * encode/decode/encode cycle per row. Audio rows are out of scope
+    * (resize is an image op). */
   case class ResizedImage(media_id: Long, width: Long, height: Long,
                           resized_w: Long, resized_h: Long,
                           resized_sum: Long, png_ok: Boolean)
@@ -190,25 +221,29 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
-  /** Frame-sampling shape: one media row fans out to N per-frame rows
-    * (posexplode over fixed-size byte windows) — the plumbing an
-    * audio/video frame sampler needs, as pure column expressions. Audio
-    * kind only: image payloads are container formats (frames don't live
-    * at fixed byte offsets), and audio's raw-byte payload is exactly the
-    * PCM-like shape fixed-window framing applies to. */
-  def frameSample(spark: SparkSession, dir: String, frameBytes: Int = 64): DataFrame = {
+  /** Frame sampling over the DECODED audio stream: parse the WAV, then
+    * fan the PCM samples into fixed-size frames with per-frame sample
+    * sums — the windowing an audio featurizer (MFCC, VAD) consumes.
+    * Audio kind only: image payloads are 2-D rasters, not sample
+    * streams. The per-frame sums are law-derived in the oracle, so the
+    * fan-out is checked against a real container parse. */
+  case class AudioFrame(media_id: Long, kind: String, frame_no: Long,
+                        frame_len: Long, frame_sum: Long)
+
+  def frameSample(spark: SparkSession, dir: String, frameLen: Int = 16): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir).toDF()
-      .filter($"kind" === "audio" && length($"payload") > 0)
-      .select($"media_id", $"kind",
-        posexplode(split(conv_payload($"payload"), s"(?<=\\G.{${frameBytes * 2}})")))
-      .withColumnRenamed("pos", "frame_no")
-      .withColumnRenamed("col", "frame_hex")
-      .filter(length($"frame_hex") > 0)
-      .select($"media_id", $"kind", $"frame_no",
-        length($"frame_hex").cast("long").as("frame_hex_len"))
+    mediaTable(spark, dir)
+      .filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val (_, _, samples) = decodeWav(r.payload)
+          samples.grouped(frameLen).zipWithIndex.map { case (fr, i) =>
+            AudioFrame(r.media_id, r.kind, i.toLong, fr.length.toLong,
+              fr.map(_.toLong).sum)
+          }
+        }
+      }
+      .toDF()
       .orderBy($"media_id", $"frame_no")
   }
-
-  private def conv_payload(c: org.apache.spark.sql.Column) = hex(c)
 }

@@ -34,7 +34,20 @@ class MultimodalSpec extends SparkSpec {
     assert(sum === expect)
   }
 
-  test("decodeFeatures: image rows carry REAL decoded stats; audio rows the byte stub") {
+  test("renderWav: payload is a genuine RIFF/WAVE container obeying the laws") {
+    val wav = Multimodal.renderWav(13L, "hello world")
+    // RIFF....WAVE magic proves a real container, not a raw PCM dump
+    assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val (n, rate, samples) = Multimodal.decodeWav(wav)
+    assert(n === Multimodal.AudioLaw.frames(13L)) // 16 + 13%32 = 29
+    assert(rate === Multimodal.AudioLaw.sampleRate)
+    val g = Multimodal.ImageLaw.gray("hello world")
+    assert(samples.toSeq ===
+      (0 until n.toInt).map(i => Multimodal.AudioLaw.sample(i, g)))
+  }
+
+  test("decodeFeatures: image AND audio rows carry REAL decoded stats") {
     val out = Multimodal.decodeFeatures(spark, sf).collect()
     assert(out.length.toLong === Tables.documents(spark, sf).count())
     out.foreach { r =>
@@ -44,13 +57,13 @@ class MultimodalSpec extends SparkSpec {
         assert(r.getAs[Long]("width") === Multimodal.ImageLaw.width(id))
         assert(r.getAs[Long]("height") === Multimodal.ImageLaw.height(id))
         assert(r.getAs[Long]("pixel_sum") >= 0L)
-        assert(r.getAs[Long]("n_bytes") === -1L)
-        assert(r.getAs[String]("checksum_hex") === "")
+        assert(r.getAs[Long]("n_frames") === -1L)
       } else {
         assert(r.getAs[String]("kind") === "audio")
         assert(r.getAs[Long]("width") === -1L)
-        assert(r.getAs[Long]("n_bytes") >= 0L)
-        assert(r.getAs[String]("checksum_hex").length === 32)
+        assert(r.getAs[Long]("n_frames") === Multimodal.AudioLaw.frames(id))
+        assert(r.getAs[Long]("sample_rate") === Multimodal.AudioLaw.sampleRate.toLong)
+        assert(r.getAs[Long]("sample_sum") >= 0L)
       }
     }
   }
@@ -69,18 +82,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("frameSample: audio only; fan-out count = ceil(payload_bytes / frameBytes)") {
+  test("frameSample: audio only; fan-out = ceil(n_frames/frameLen); sums partition the total") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val frames = Multimodal.frameSample(spark, sf, frameBytes = 64)
+    val frames = Multimodal.frameSample(spark, sf, frameLen = 16)
     assert(frames.select($"kind").distinct().collect()
       .map(_.getString(0)).toSeq === Seq("audio"))
-    val perDoc = frames.groupBy($"media_id").agg(count(lit(1)).as("n_frames"))
-    val expect = Multimodal.mediaTable(spark, sf).toDF()
-      .filter($"kind" === "audio" && length($"payload") > 0)
-      .select($"media_id", ceil(length($"payload") / 64.0).cast("long").as("want"))
+    val perDoc = frames.groupBy($"media_id").agg(
+      count(lit(1)).as("got_frames"),
+      sum($"frame_len").as("got_samples"),
+      sum($"frame_sum").as("got_sum"))
+    // the decoded-feature totals must partition exactly into the frames
+    val expect = Multimodal.decodeFeatures(spark, sf)
+      .filter($"kind" === "audio")
+      .select($"media_id",
+        ceil($"n_frames" / 16.0).cast("long").as("want_frames"),
+        $"n_frames".as("want_samples"), $"sample_sum".as("want_sum"))
     val bad = perDoc.join(expect, "media_id")
-      .filter($"n_frames" =!= $"want").count()
+      .filter($"got_frames" =!= $"want_frames" ||
+        $"got_samples" =!= $"want_samples" || $"got_sum" =!= $"want_sum")
+      .count()
     assert(bad === 0L)
   }
 }
