@@ -145,6 +145,7 @@ object SparkEntry {
     "q78_gap_fill" -> ((s, d) => Relational.hourlyGapFill(s, d)),
     "q79_unpivot_roundtrip" -> ((s, d) => Relational.langMatrixLong(s, d)),
     "q80_corpus_diff" -> ((s, d) => CorpusOps.corpusDiff(s, d)),
+    "q81_leakage_safe_split" -> ((s, d) => DedupOps.leakageSafeSplit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1425,5 +1426,43 @@ object SparkEntry {
          |       WHEN fp1 = fp2 THEN 'unchanged'
          |       ELSE 'changed' END AS status
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    // split assignment hashes the near-dup CLUSTER label (q67's keeper),
+    // so near-dups never straddle train/test; leak_prevented marks docs
+    // whose cluster a naive per-doc hash split WOULD have torn apart
+    "q81_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minHashCtesSql,
+         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |ids AS (SELECT doc_id FROM corpus),
+         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |labeled AS (
+         |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
+         |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+         |sp AS (
+         |  SELECT doc_id, keeper,
+         |    CAST('0x' || substr(md5('split:' || CAST(keeper AS VARCHAR)), 1, 4)
+         |      AS BIGINT) % 10 AS kb,
+         |    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+         |      AS BIGINT) % 10 AS db
+         |  FROM labeled),
+         |nm AS (
+         |  SELECT doc_id, keeper,
+         |    CASE WHEN kb < 8 THEN 'train' WHEN kb = 8 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    CASE WHEN db < 8 THEN 'train' WHEN db = 8 THEN 'val'
+         |         ELSE 'test' END AS naive_split
+         |  FROM sp),
+         |aud AS (SELECT keeper, count(DISTINCT naive_split) AS nn
+         |        FROM nm GROUP BY keeper)
+         |SELECT nm.doc_id, nm.keeper, nm.split, nm.naive_split,
+         |  aud.nn > 1 AS leak_prevented
+         |FROM nm JOIN aud USING (keeper)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -275,6 +275,48 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** Leakage-safe train/val/test split: assign the split by hashing the
+    * near-dup CLUSTER label ([[nearDupKeepers]]' keeper), not the
+    * document id, so near-duplicates can never straddle train and test —
+    * the split-contamination failure mode of hash-per-doc splitting
+    * (`est_jaccard ≥ t` pairs landing on both sides of the boundary
+    * leak evaluation data into training). The naive per-doc bucket rides
+    * along and `leak_prevented` marks every document whose cluster the
+    * naive split WOULD have torn across splits — the audit a corpus
+    * release report quotes.
+    *
+    * Buckets are `md5("split:" || id) mod 10` → 8/1/1 train/val/test:
+    * deterministic and engine-portable (the DuckDB oracle recomputes the
+    * identical assignment), and stable under corpus growth — adding
+    * documents never moves an existing cluster's split unless a new edge
+    * genuinely merges two clusters.
+    *
+    * Plan shape at 100 TB: everything downstream of the CC labels is one
+    * keeper-keyed aggregate + join (the same key, and in practice the
+    * same shuffle layout, as the cluster-size join inside
+    * [[nearDupKeepers]]); the split itself is pure per-row hash work. */
+  def leakageSafeSplit(spark: SparkSession, dir: String,
+                       shingleN: Int = 3, perms: Int = 16,
+                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    def bucket(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("split:"), c.cast("string"))), 1, 4),
+        16, 10).cast("long") % 10
+    def name(b: org.apache.spark.sql.Column) =
+      when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    val labeled = nearDupKeepers(spark, dir, shingleN, perms, bands, threshold)
+      .select($"doc_id", $"keeper",
+        name(bucket($"keeper")).as("split"),
+        name(bucket($"doc_id")).as("naive_split"))
+    labeled.join(
+        labeled.groupBy($"keeper")
+          .agg(countDistinct($"naive_split").as("n_naive")),
+        "keeper")
+      .select($"doc_id", $"keeper", $"split", $"naive_split",
+        ($"n_naive" > 1).as("leak_prevented"))
+      .orderBy($"doc_id")
+  }
+
   /** SimHash 32-bit fingerprint per document: for each bit, sign of the
     * sum over tokens of ±1 by the token hash's bit. Near-dup docs land at
     * small Hamming distance. Computed by the native

@@ -86,6 +86,30 @@ class DedupSpec extends SparkSpec {
     assert(sizes === 2 * nDocs)
   }
 
+  test("leakageSafeSplit: split constant within clusters; naive straddles are flagged; 8/1/1 shape") {
+    import spark.implicits._
+    val out = DedupOps.leakageSafeSplit(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length.toLong === 2 * nDocs)
+    // the whole point: one split per cluster, so near-dups never straddle
+    val splitsPerKeeper = out.groupBy(_.getAs[Long]("keeper"))
+      .map { case (_, rs) => rs.map(_.getAs[String]("split")).distinct.size }
+    assert(splitsPerKeeper.forall(_ === 1))
+    // leak_prevented ⇔ the cluster's naive per-doc splits disagree
+    out.groupBy(_.getAs[Long]("keeper")).foreach { case (_, rs) =>
+      val naive = rs.map(_.getAs[String]("naive_split")).distinct.size
+      rs.foreach(r => assert(r.getAs[Boolean]("leak_prevented") === (naive > 1)))
+    }
+    // shifted exact-dup copies make straddling clusters common enough to
+    // demonstrate the audit actually fires at this SF
+    assert(out.count(_.getAs[Boolean]("leak_prevented")) > 0)
+    // roughly 8/1/1 by construction of the mod-10 bucket
+    val frac = out.count(_.getAs[String]("split") == "train").toDouble / out.length
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    assert(out.map(_.getAs[String]("split")).distinct.toSet ===
+      Set("train", "val", "test"))
+  }
+
   test("spanDedupReport: seeded full copies are 100% duplicated and flagged; counts conserve") {
     import spark.implicits._
     val out = DedupOps.spanDedupReport(spark, sf).collect()
