@@ -146,6 +146,7 @@ object SparkEntry {
     "q79_unpivot_roundtrip" -> ((s, d) => Relational.langMatrixLong(s, d)),
     "q80_corpus_diff" -> ((s, d) => CorpusOps.corpusDiff(s, d)),
     "q81_leakage_safe_split" -> ((s, d) => DedupOps.leakageSafeSplit(s, d)),
+    "q82_semantic_dedup" -> ((s, d) => AnnSearch.semanticDedup(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -216,6 +217,59 @@ object SparkEntry {
        |  FROM cand c
        |  JOIN sigl sa ON sa.doc_id = c.a
        |  JOIN sigl sb ON sb.doc_id = c.b)""".stripMargin
+
+  /** The 2-iteration integer-exact Lloyd's training chain (embeddings on
+    * the e3 grid → assign → mean → assign → mean), shared by the q69
+    * codebook oracle and the q82 semantic-dedup oracle — one source of
+    * truth for the trained clustering. Ends at CTE `m2` (per-list per-dim
+    * integer sums + member counts after the second M-step). */
+  private lazy val ivfTrainCtesSql: String =
+    """eq AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |cb0 AS (SELECT vec_id + 1 AS c, e AS s, CAST(1 AS BIGINT) AS n
+      |        FROM eq WHERE vec_id < 16),
+      |s1 AS (
+      |  SELECT q.vec_id, cb.c,
+      |    CAST(list_sum(list_transform(range(1, len(q.e)+1),
+      |      i -> q.e[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE) AS score
+      |  FROM eq q CROSS JOIN cb0 cb),
+      |a1 AS (
+      |  SELECT vec_id, c AS list_id FROM (
+      |    SELECT vec_id, c,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn
+      |    FROM s1) z WHERE rn = 1),
+      |ex1 AS (
+      |  SELECT a.list_id, unnest(q.e) AS v, unnest(range(1, len(q.e)+1)) AS dim
+      |  FROM a1 a JOIN eq q USING (vec_id)),
+      |m1 AS (
+      |  SELECT list_id, dim, CAST(sum(v) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM ex1 GROUP BY 1, 2),
+      |cb1 AS (
+      |  SELECT list_id AS c, list(s ORDER BY dim) AS s, min(n) AS n
+      |  FROM m1 GROUP BY list_id
+      |  UNION ALL
+      |  SELECT c, s, n FROM cb0
+      |  WHERE c NOT IN (SELECT DISTINCT list_id FROM m1)),
+      |s2 AS (
+      |  SELECT q.vec_id, cb.c,
+      |    CAST(list_sum(list_transform(range(1, len(q.e)+1),
+      |      i -> q.e[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE) AS score
+      |  FROM eq q CROSS JOIN cb1 cb),
+      |a2 AS (
+      |  SELECT vec_id, c AS list_id FROM (
+      |    SELECT vec_id, c,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn
+      |    FROM s2) z WHERE rn = 1),
+      |ex2 AS (
+      |  SELECT a.list_id, unnest(q.e) AS v, unnest(range(1, len(q.e)+1)) AS dim
+      |  FROM a2 a JOIN eq q USING (vec_id)),
+      |m2 AS (
+      |  SELECT list_id, dim, CAST(sum(v) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM ex2 GROUP BY 1, 2)""".stripMargin
 
   private val germanMonthCase =
     "CASE month(o_orderdate) WHEN 1 THEN 'Januar' WHEN 2 THEN 'Februar' " +
@@ -1116,56 +1170,11 @@ object SparkEntry {
     // rational (sum, n) centroids, score = one exact-int double division
     // (IEEE-identical across engines), argmax tie -> lowest list id
     "q69_ivf_train" ->
-      """WITH eq AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS e
-        |  FROM embeddings),
-        |cb0 AS (SELECT vec_id + 1 AS c, e AS s, CAST(1 AS BIGINT) AS n
-        |        FROM eq WHERE vec_id < 16),
-        |s1 AS (
-        |  SELECT q.vec_id, cb.c,
-        |    CAST(list_sum(list_transform(range(1, len(q.e)+1),
-        |      i -> q.e[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE) AS score
-        |  FROM eq q CROSS JOIN cb0 cb),
-        |a1 AS (
-        |  SELECT vec_id, c AS list_id FROM (
-        |    SELECT vec_id, c,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn
-        |    FROM s1) z WHERE rn = 1),
-        |ex1 AS (
-        |  SELECT a.list_id, unnest(q.e) AS v, unnest(range(1, len(q.e)+1)) AS dim
-        |  FROM a1 a JOIN eq q USING (vec_id)),
-        |m1 AS (
-        |  SELECT list_id, dim, CAST(sum(v) AS BIGINT) AS s,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM ex1 GROUP BY 1, 2),
-        |cb1 AS (
-        |  SELECT list_id AS c, list(s ORDER BY dim) AS s, min(n) AS n
-        |  FROM m1 GROUP BY list_id
-        |  UNION ALL
-        |  SELECT c, s, n FROM cb0
-        |  WHERE c NOT IN (SELECT DISTINCT list_id FROM m1)),
-        |s2 AS (
-        |  SELECT q.vec_id, cb.c,
-        |    CAST(list_sum(list_transform(range(1, len(q.e)+1),
-        |      i -> q.e[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE) AS score
-        |  FROM eq q CROSS JOIN cb1 cb),
-        |a2 AS (
-        |  SELECT vec_id, c AS list_id FROM (
-        |    SELECT vec_id, c,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c) AS rn
-        |    FROM s2) z WHERE rn = 1),
-        |ex2 AS (
-        |  SELECT a.list_id, unnest(q.e) AS v, unnest(range(1, len(q.e)+1)) AS dim
-        |  FROM a2 a JOIN eq q USING (vec_id)),
-        |m2 AS (
-        |  SELECT list_id, dim, CAST(sum(v) AS BIGINT) AS s,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM ex2 GROUP BY 1, 2)
-        |SELECT list_id, n AS n_members, dim,
-        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
-        |    AS centroid
-        |FROM m2 ORDER BY list_id, dim""".stripMargin,
+      s"""WITH $ivfTrainCtesSql
+         |SELECT list_id, n AS n_members, dim,
+         |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
+         |    AS centroid
+         |FROM m2 ORDER BY list_id, dim""".stripMargin,
 
     // temperature mixing weights: alpha = 0.5 so p^alpha is sqrt — a
     // correctly-rounded IEEE primitive, identical across engines
@@ -1464,5 +1473,41 @@ object SparkEntry {
          |  aud.nn > 1 AS leak_prevented
          |FROM nm JOIN aud USING (keeper)
          |ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup: assign to the TRAINED q69 codebook (rounded-double
+    // centroids, argmax tie -> lowest list), then prune any vector with a
+    // lower-id same-cluster neighbor at cosine >= 0.92; -2.0 = "no lower
+    // neighbor" sentinel (outside cosine range)
+    "q82_semantic_dedup" ->
+      s"""WITH $ivfTrainCtesSql,
+         |cv AS (
+         |  SELECT list_id,
+         |    list(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
+         |      ORDER BY dim) AS c
+         |  FROM m2 GROUP BY list_id),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |sc AS (
+         |  SELECT c.vec_id, cv.list_id,
+         |    list_sum(list_transform(range(1, len(c.embedding)+1),
+         |      i -> CAST(c.embedding[i] AS DOUBLE) * cv.c[i])) AS score
+         |  FROM corpus c CROSS JOIN cv),
+         |asg AS (
+         |  SELECT s.vec_id, s.list_id, c.embedding FROM (
+         |    SELECT vec_id, list_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, list_id) AS rn
+         |    FROM sc) s JOIN corpus c USING (vec_id) WHERE s.rn = 1),
+         |prs AS (
+         |  SELECT y.vec_id AS vec_id,
+         |    ${cosSql("x.embedding", "y.embedding")} AS cs
+         |  FROM asg x JOIN asg y
+         |    ON x.list_id = y.list_id AND x.vec_id < y.vec_id),
+         |mx AS (SELECT vec_id, max(cs) AS m FROM prs GROUP BY vec_id)
+         |SELECT a.vec_id, a.list_id,
+         |  coalesce(mx.m, -2.0) AS max_cos_lower,
+         |  coalesce(mx.m, -2.0) < 0.92 AS is_kept
+         |FROM asg a LEFT JOIN mx USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin,
   )
 }

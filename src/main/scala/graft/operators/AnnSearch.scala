@@ -363,4 +363,57 @@ object AnnSearch {
       .filter($"cos_sim" >= threshold)
       .orderBy($"a", $"b")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with the TRAINED IVF codebook
+    * ([[trainedCentroids]], q69's 2-iteration Lloyd's), then prune
+    * near-duplicates WITHIN each cluster — a vector is dropped when a
+    * lower-id member of its own cluster sits above the cosine threshold.
+    * Clustering bounds the candidate set exactly like LSH blocking does in
+    * [[embeddingNearDupPairs]], but with learned (data-shaped) regions:
+    * semantically close vectors land in one list, so cross-cluster pairs
+    * never need checking.
+    *
+    * Plan shape at 100 TB: centroid assignment is map-side work against a
+    * broadcast nlist×dim codebook (no shuffle); the only shuffles are the
+    * list-keyed self-join and the per-vector max aggregate. Cluster sizes
+    * are what bound the join — at corpus scale nlist grows ∝ N (SemDeDup
+    * uses ~√N to n/1000 clusters) so per-list pair counts stay ~constant;
+    * the 16-list default here matches the q69 codebook the oracle can
+    * replay. Norms are computed once per vector before the join. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    nlist: Int = 16, iters: Int = 2,
+                    threshold: Double = 0.92): DataFrame = {
+    import spark.implicits._
+    val cents = trainedCentroids(spark, dir, nlist, iters)
+    require(cents.size == nlist,
+      s"trained codebook has ${cents.size} lists, expected $nlist — " +
+        "an empty list would silently shift assignment indices")
+    val centsCol = typedlit(cents)
+    val base = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val corpus = base.unionByName(
+      base.withColumn("vec_id", $"vec_id" + 100000L))
+    // same rational-mean score as ivfTopK/trainIvfCodebook: argmax of
+    // dot(v, centroid); array_position takes the FIRST max = lowest list
+    val assigned = corpus
+      .withColumn("scores", transform(sequence(lit(1), lit(nlist)),
+        c => dot($"embedding", element_at(centsCol, c))))
+      .select($"vec_id", $"embedding",
+        array_position($"scores", array_max($"scores")).as("list_id"),
+        norm($"embedding").as("nrm"))
+    val cached = graft.CacheGuard.barrier(assigned)
+    val lower = cached.as("x").join(cached.as("y"),
+        $"x.list_id" === $"y.list_id" && $"x.vec_id" < $"y.vec_id")
+      .select($"y.vec_id".as("vec_id"),
+        round(dot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"), 4)
+          .as("cs"))
+      .groupBy($"vec_id").agg(max($"cs").as("mx"))
+    // barrier stays live until the consumer's CacheGuard.release() — the
+    // same lazy-query contract as embeddingNearDupPairs
+    cached.join(lower, Seq("vec_id"), "left")
+      .select($"vec_id", $"list_id",
+        coalesce($"mx", lit(-2.0)).as("max_cos_lower"),
+        (coalesce($"mx", lit(-2.0)) < threshold).as("is_kept"))
+      .orderBy($"vec_id")
+  }
 }

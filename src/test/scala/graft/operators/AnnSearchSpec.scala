@@ -196,4 +196,36 @@ class AnnSearchSpec extends SparkSpec {
       assert(mse >= 0.0 && mse < 1e-3, s"vec ${r.getAs[Long]("vec_id")} mse=$mse")
     }
   }
+
+  test("semanticDedup: shifted exact copies are pruned, their bases kept; clusters partition the corpus") {
+    val out = AnnSearch.semanticDedup(spark, sf).collect()
+    graft.CacheGuard.release()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length.toLong === 2 * n)
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    byId.foreach { case (id, r) =>
+      assert(r.getAs[Long]("list_id") >= 1L && r.getAs[Long]("list_id") <= 16L)
+      if (id >= 100000L) {
+        // identical vector, identical scores → same cluster as its base;
+        // cos 1.0 to the lower-id base → always pruned
+        val base = byId(id - 100000L)
+        assert(r.getAs[Long]("list_id") === base.getAs[Long]("list_id"))
+        assert(r.getAs[Double]("max_cos_lower") === 1.0)
+        assert(!r.getAs[Boolean]("is_kept"))
+      }
+    }
+    // random 64-dim vectors are near-orthogonal: bases overwhelmingly survive
+    val keptBases = out.count(r =>
+      r.getAs[Long]("vec_id") < 100000L && r.getAs[Boolean]("is_kept"))
+    assert(keptBases.toLong >= n * 9 / 10, s"only $keptBases/$n bases kept")
+    // exactly-one-survivor-per-duplicate-pair: kept count = distinct vectors
+    assert(out.count(_.getAs[Boolean]("is_kept")).toLong === keptBases.toLong)
+  }
+
+  test("semanticDedup plans cluster-local joins — no cartesian product") {
+    val plan = AnnSearch.semanticDedup(spark, sf).queryExecution.executedPlan.toString
+    graft.CacheGuard.release()
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
