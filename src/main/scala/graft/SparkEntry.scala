@@ -147,6 +147,8 @@ object SparkEntry {
     "q80_corpus_diff" -> ((s, d) => CorpusOps.corpusDiff(s, d)),
     "q81_leakage_safe_split" -> ((s, d) => DedupOps.leakageSafeSplit(s, d)),
     "q82_semantic_dedup" -> ((s, d) => AnnSearch.semanticDedup(s, d)),
+    "q83_table_profile" -> ((s, d) => Profiler.documentsProfile(s, d)),
+    "q84_curriculum_shards" -> ((s, d) => CorpusOps.curriculumShards(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1509,5 +1511,33 @@ object SparkEntry {
          |  coalesce(mx.m, -2.0) < 0.92 AS is_kept
          |FROM asg a LEFT JOIN mx USING (vec_id)
          |ORDER BY a.vec_id""".stripMargin,
+
+    // per-column profile in string space; min/max are byte-lexicographic
+    // VARCHAR order in both engines
+    "q83_table_profile" ->
+      """WITH m AS (
+        |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(v) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |  min(v) AS min_val, max(v) AS max_val
+        |FROM m GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    // the oracle states the NAIVE global-window form; the Spark plan
+    // computes the same rank via value-frequency offsets + partitioned
+    // windows (no global sort) — the hash proves the decomposition exact
+    "q84_curriculum_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(floor((rnk - 1) * 10.0 / n) AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

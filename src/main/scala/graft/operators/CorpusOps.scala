@@ -431,4 +431,46 @@ object CorpusOps {
       .select($"doc_id", $"rk".cast("long").as("rk"), $"term", $"tf", $"df", $"tfidf")
       .orderBy($"doc_id", $"rk")
   }
+
+  /** Curriculum sharding: a deterministic global rank over the quality
+    * metric (here `n_chars`, integer-exact; ties broken by doc_id) binned
+    * into `nShards` near-equal shards — the "sort the corpus by quality
+    * and feed shards in order" curriculum layout.
+    *
+    * The global rank is computed WITHOUT a global sort (the naive
+    * `row_number() OVER (ORDER BY ...)` moves the whole corpus through
+    * one partition — the q73 two-phase prefix-sum problem in window
+    * form). Instead: (1) one keyed aggregation builds the value-frequency
+    * table, O(distinct metric values) rows; (2) a cumulative window runs
+    * over THAT small table only; (3) a per-value partitioned window ranks
+    * ties by doc_id; (4) rank = broadcast-joined base offset + the
+    * within-value position. At 100 TB the corpus is never globally
+    * sorted and the only windows are value-partitioned or value-table
+    * sized; this is the same layout `repartitionByRange` would feed a
+    * sharded writer. */
+  def curriculumShards(spark: SparkSession, dir: String,
+                       nShards: Int = 10): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+    // cache barrier: freq feeds both the offsets window and the total —
+    // without it the corpus aggregate runs twice
+    val freq = graft.CacheGuard.barrier(
+      docs.groupBy($"n_chars").agg(count(lit(1)).as("cnt")))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_chars").rowsBetween(Long.MinValue, -1)
+    val offsets = freq
+      .withColumn("base", coalesce(sum($"cnt").over(wCum), lit(0L)))
+      .select($"n_chars", $"base")
+    val total = freq.agg(sum($"cnt").as("n_total"))
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"n_chars").orderBy($"doc_id")
+    docs
+      .withColumn("within", row_number().over(wVal).cast("long"))
+      .join(broadcast(offsets), "n_chars")
+      .crossJoin(broadcast(total))
+      .select($"doc_id", $"n_chars", ($"base" + $"within").as("rnk"),
+        floor((($"base" + $"within" - 1) * nShards).cast("double") /
+          $"n_total".cast("double")).cast("long").as("shard"))
+      .orderBy($"doc_id")
+  }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Generic per-column data-quality profiler — the "describe my table"
+  * pass every ingestion pipeline runs before training on a new source
+  * (row counts, null counts, cardinality, value range per column).
+  *
+  * Shape: MELT the fixed column list into (col_name, value-as-string)
+  * rows, then two stacked keyed aggregations. The melt is the explicit
+  * form of what a wide `agg(countDistinct(a), countDistinct(b), ...)`
+  * makes Catalyst do anyway (an Expand multiplying rows by the number of
+  * distinct aggregates) — but keyed melt keeps every aggregate fully
+  * partial (map-side combine on (col, value) first, so the second
+  * shuffle carries one row per DISTINCT value, not per row). At 100 TB:
+  * two shuffles, both combiner-reduced; no per-column job fan-out; adding
+  * a column costs one more array element, not one more scan.
+  *
+  * Values compare in STRING space — the type-generic contract (numeric
+  * range profiling would cast before the melt); both engines use
+  * byte-lexicographic VARCHAR ordering so min/max agree.
+  */
+object Profiler {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val melted = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("kv"))
+      .select(col("kv.c").as("col_name"), col("kv.v").as("v"))
+    melted
+      .groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+        count(col("v")).as("n_distinct"), // count() skips null rows
+        min(col("v")).as("min_val"),
+        max(col("v")).as("max_val"))
+      .orderBy(col("col_name"))
+  }
+
+  /** The `documents` table profiled over all five columns. */
+  def documentsProfile(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.documents(spark, dir),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+}

@@ -194,4 +194,22 @@ class CorpusOpsSpec extends SparkSpec {
     // no train doc reports more shingles than it has
     out.foreach { case ((t, _), n) => assert(n >= 1L && t % CorpusOps.benchMod != 0) }
   }
+
+  test("curriculumShards: rank is the exact (n_chars, doc_id) permutation; shards near-equal and ordered") {
+    val out = CorpusOps.curriculumShards(spark, sf).collect()
+    graft.CacheGuard.release()
+    val n = out.length
+    // rank is a permutation of 1..n
+    assert(out.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to n.toLong))
+    // rank agrees with the naive total order
+    val byOrder = out.sortBy(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+    byOrder.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rnk") === i + 1L, s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // shards are contiguous in rank order and sized within 1 of each other
+    assert(byOrder.map(_.getAs[Long]("shard")).toSeq === byOrder.map(_.getAs[Long]("shard")).sorted.toSeq)
+    val sizes = out.groupBy(_.getAs[Long]("shard")).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, s"shard sizes $sizes")
+    assert(out.map(_.getAs[Long]("shard")).distinct.sorted.toSeq === (0L to 9L))
+  }
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+
+class ProfilerSpec extends SparkSpec {
+
+  test("profile: exact null/distinct/range stats on a known fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("b"), Option(10L)),
+      (2L, Option("a"), None),
+      (3L, Option("b"), Option(30L)),
+      (4L, None, Option(10L))
+    ).toDF("id", "s", "x")
+    val out = Profiler.profile(df, Seq("id", "s", "x")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out.keySet === Set("id", "s", "x"))
+    out.values.foreach(r => assert(r.getAs[Long]("n_rows") === 4L))
+    assert(out("id").getAs[Long]("n_null") === 0L)
+    assert(out("id").getAs[Long]("n_distinct") === 4L)
+    assert(out("id").getAs[String]("min_val") === "1")
+    assert(out("id").getAs[String]("max_val") === "4")
+    assert(out("s").getAs[Long]("n_null") === 1L)
+    assert(out("s").getAs[Long]("n_distinct") === 2L)
+    assert(out("s").getAs[String]("min_val") === "a")
+    assert(out("s").getAs[String]("max_val") === "b")
+    assert(out("x").getAs[Long]("n_null") === 1L)
+    assert(out("x").getAs[Long]("n_distinct") === 2L)
+    // string space: "10" < "30" lexicographically too, but the contract
+    // is VARCHAR ordering — "10" is the min here either way
+    assert(out("x").getAs[String]("min_val") === "10")
+    assert(out("x").getAs[String]("max_val") === "30")
+  }
+
+  test("documentsProfile: one row per column; counts match the table") {
+    val out = Profiler.documentsProfile(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[String]("col_name")).sorted.toSeq ===
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("n_null") + 0L <= n)
+      assert(r.getAs[Long]("n_distinct") <= n)
+    }
+    val docId = out.find(_.getAs[String]("col_name") == "doc_id").get
+    assert(docId.getAs[Long]("n_distinct") === n) // ids are unique
+  }
+
+  test("profile plans two keyed aggregations, no Expand fan-out") {
+    val plan = Profiler.documentsProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(1500))
+  }
+}
