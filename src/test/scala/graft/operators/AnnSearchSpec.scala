@@ -222,6 +222,33 @@ class AnnSearchSpec extends SparkSpec {
     assert(out.count(_.getAs[Boolean]("is_kept")).toLong === keptBases.toLong)
   }
 
+  test("pqEncode: m codes per vector in [1,k]; every subspace uses multiple codes; errors bounded") {
+    val out = AnnSearch.pqEncode(spark, sf).collect()
+    graft.CacheGuard.release()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length.toLong === n * 8)
+    out.foreach { r =>
+      assert(r.getAs[Long]("code") >= 1L && r.getAs[Long]("code") <= 16L)
+      assert(r.getAs[Double]("err2") >= 0.0)
+      // unit-ish 8-dim subvectors: squared distance to a same-space
+      // centroid stays O(1) — a wrong n or scale blows this up
+      assert(r.getAs[Double]("err2") < 4.0,
+        s"vec ${r.getAs[Long]("vec_id")} sub ${r.getAs[Long]("sub")}")
+    }
+    (0L to 7L).foreach { s =>
+      val codes = out.filter(_.getAs[Long]("sub") === s)
+        .map(_.getAs[Long]("code")).distinct
+      assert(codes.length >= 2, s"subspace $s collapsed to ${codes.toSeq}")
+    }
+  }
+
+  test("pqEncode argmin is a partial aggregate — no window, no cartesian in the plan") {
+    val plan = AnnSearch.pqEncode(spark, sf).queryExecution.executedPlan.toString
+    graft.CacheGuard.release()
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("semanticDedup plans cluster-local joins — no cartesian product") {
     val plan = AnnSearch.semanticDedup(spark, sf).queryExecution.executedPlan.toString
     graft.CacheGuard.release()
