@@ -150,6 +150,7 @@ object SparkEntry {
     "q83_table_profile" -> ((s, d) => Profiler.documentsProfile(s, d)),
     "q84_curriculum_shards" -> ((s, d) => CorpusOps.curriculumShards(s, d)),
     "q85_pq_encode" -> ((s, d) => AnnSearch.pqEncode(s, d)),
+    "q86_pq_adc_topk" -> ((s, d) => AnnSearch.pqAdcTopK(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -273,6 +274,58 @@ object SparkEntry {
       |  SELECT list_id, dim, CAST(sum(v) AS BIGINT) AS s,
       |    CAST(count(*) AS BIGINT) AS n
       |  FROM ex2 GROUP BY 1, 2)""".stripMargin
+
+  /** Product-quantization training chain (e3-grid subvectors → first-16
+    * seed → one Lloyd update per subspace), shared by the q85 encode and
+    * q86 ADC oracles. Ends at `sv` (subvectors), `cb1` (trained
+    * codebook), `sc2` (per-(vec, sub, candidate) scores + err2). */
+  private lazy val pqCtesSql: String =
+    """eq AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS e
+      |  FROM embeddings),
+      |sv AS (
+      |  SELECT vec_id, s.s AS sub, list_slice(e, s.s*8 + 1, s.s*8 + 8) AS se
+      |  FROM eq CROSS JOIN range(0, 8) s(s)),
+      |cb0 AS (SELECT sub, vec_id + 1 AS c, se AS s, CAST(1 AS BIGINT) AS n
+      |        FROM sv WHERE vec_id < 16),
+      |sc1 AS (
+      |  SELECT v.vec_id, v.sub, cb.c,
+      |    CAST(list_sum(list_transform(cb.s, x -> x*x)) AS DOUBLE)
+      |      / CAST(cb.n*cb.n AS DOUBLE)
+      |    - CAST(2*list_sum(list_transform(range(1, 9),
+      |        i -> v.se[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE)
+      |      AS score
+      |  FROM sv v JOIN cb0 cb ON cb.sub = v.sub),
+      |a1 AS (
+      |  SELECT vec_id, sub, c AS code FROM (
+      |    SELECT vec_id, sub, c,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY score, c) AS rn
+      |    FROM sc1) z WHERE rn = 1),
+      |ex1 AS (
+      |  SELECT a.sub, a.code AS c, unnest(v.se) AS val,
+      |    unnest(range(1, 9)) AS dim
+      |  FROM a1 a JOIN sv v ON v.vec_id = a.vec_id AND v.sub = a.sub),
+      |m1 AS (
+      |  SELECT sub, c, dim, CAST(sum(val) AS BIGINT) AS sd_sum,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM ex1 GROUP BY 1, 2, 3),
+      |cb1 AS (
+      |  SELECT sub, c, list(sd_sum ORDER BY dim) AS s, min(cnt) AS n
+      |  FROM m1 GROUP BY sub, c),
+      |sc2 AS (
+      |  SELECT v.vec_id, v.sub, cb.c,
+      |    CAST(list_sum(list_transform(cb.s, x -> x*x)) AS DOUBLE)
+      |      / CAST(cb.n*cb.n AS DOUBLE)
+      |    - CAST(2*list_sum(list_transform(range(1, 9),
+      |        i -> v.se[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE)
+      |      AS score,
+      |    list_sum(list_transform(
+      |      list_transform(range(1, 9),
+      |        i -> CAST(v.se[i] AS DOUBLE)
+      |          - CAST(cb.s[i] AS DOUBLE) / CAST(cb.n AS DOUBLE)),
+      |      x -> x*x)) AS err2
+      |  FROM sv v JOIN cb1 cb ON cb.sub = v.sub)""".stripMargin
 
   private val germanMonthCase =
     "CASE month(o_orderdate) WHEN 1 THEN 'Januar' WHEN 2 THEN 'Februar' " +
@@ -1545,58 +1598,45 @@ object SparkEntry {
     // update), L2 argmin via s·s/n² − 2·v·s/n with exact-int double
     // divisions; err2 = grid-space squared error in original scale
     "q85_pq_encode" ->
-      """WITH eq AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS e
-        |  FROM embeddings),
-        |sv AS (
-        |  SELECT vec_id, s.s AS sub, list_slice(e, s.s*8 + 1, s.s*8 + 8) AS se
-        |  FROM eq CROSS JOIN range(0, 8) s(s)),
-        |cb0 AS (SELECT sub, vec_id + 1 AS c, se AS s, CAST(1 AS BIGINT) AS n
-        |        FROM sv WHERE vec_id < 16),
-        |sc1 AS (
-        |  SELECT v.vec_id, v.sub, cb.c,
-        |    CAST(list_sum(list_transform(cb.s, x -> x*x)) AS DOUBLE)
-        |      / CAST(cb.n*cb.n AS DOUBLE)
-        |    - CAST(2*list_sum(list_transform(range(1, 9),
-        |        i -> v.se[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE)
-        |      AS score
-        |  FROM sv v JOIN cb0 cb ON cb.sub = v.sub),
-        |a1 AS (
-        |  SELECT vec_id, sub, c AS code FROM (
-        |    SELECT vec_id, sub, c,
-        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY score, c) AS rn
-        |    FROM sc1) z WHERE rn = 1),
-        |ex1 AS (
-        |  SELECT a.sub, a.code AS c, unnest(v.se) AS val,
-        |    unnest(range(1, 9)) AS dim
-        |  FROM a1 a JOIN sv v ON v.vec_id = a.vec_id AND v.sub = a.sub),
-        |m1 AS (
-        |  SELECT sub, c, dim, CAST(sum(val) AS BIGINT) AS sd_sum,
-        |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM ex1 GROUP BY 1, 2, 3),
-        |cb1 AS (
-        |  SELECT sub, c, list(sd_sum ORDER BY dim) AS s, min(cnt) AS n
-        |  FROM m1 GROUP BY sub, c),
-        |sc2 AS (
-        |  SELECT v.vec_id, v.sub, cb.c,
-        |    CAST(list_sum(list_transform(cb.s, x -> x*x)) AS DOUBLE)
-        |      / CAST(cb.n*cb.n AS DOUBLE)
-        |    - CAST(2*list_sum(list_transform(range(1, 9),
-        |        i -> v.se[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE)
-        |      AS score,
-        |    list_sum(list_transform(
-        |      list_transform(range(1, 9),
-        |        i -> CAST(v.se[i] AS DOUBLE)
-        |          - CAST(cb.s[i] AS DOUBLE) / CAST(cb.n AS DOUBLE)),
-        |      x -> x*x)) AS err2
-        |  FROM sv v JOIN cb1 cb ON cb.sub = v.sub)
-        |SELECT vec_id, sub, c AS code,
-        |  round(err2 / 1000000.0, 6) + 0.0 AS err2
-        |FROM (
-        |  SELECT vec_id, sub, c, err2,
-        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY score, c) AS rn
-        |  FROM sc2) z
-        |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+      s"""WITH $pqCtesSql
+         |SELECT vec_id, sub, c AS code,
+         |  round(err2 / 1000000.0, 6) + 0.0 AS err2
+         |FROM (
+         |  SELECT vec_id, sub, c, err2,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY score, c) AS rn
+         |  FROM sc2) z
+         |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+
+    // ADC search over the PQ codes: query builds an m×k distance lookup
+    // table, each vector is scored by m lookups summed in subspace order
+    // (deterministic fold); parenthesization of qq + (A - B) is shared
+    // with the Spark side
+    "q86_pq_adc_topk" ->
+      s"""WITH $pqCtesSql,
+         |codes AS (
+         |  SELECT vec_id, sub, c AS code FROM (
+         |    SELECT vec_id, sub, c,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY score, c) AS rn
+         |    FROM sc2) z WHERE rn = 1),
+         |q AS (
+         |  SELECT sub, se AS qe,
+         |    list_sum(list_transform(se, x -> x*x)) AS qq
+         |  FROM sv WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT cb.sub, cb.c,
+         |    CAST(q.qq AS DOUBLE) +
+         |      (CAST(list_sum(list_transform(cb.s, x -> x*x)) AS DOUBLE)
+         |         / CAST(cb.n*cb.n AS DOUBLE)
+         |       - CAST(2*list_sum(list_transform(range(1, 9),
+         |           i -> q.qe[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE))
+         |      AS d
+         |  FROM cb1 cb JOIN q ON q.sub = cb.sub)
+         |SELECT vec_id,
+         |  round(list_sum(list(l.d ORDER BY l.sub)) / 1000000.0, 4) + 0.0
+         |    AS adc_dist2
+         |FROM codes JOIN lut l ON l.sub = codes.sub AND l.c = codes.code
+         |WHERE vec_id <> 0
+         |GROUP BY vec_id
+         |ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin,
   )
 }

@@ -439,43 +439,11 @@ object AnnSearch {
   def pqEncode(spark: SparkSession, dir: String,
                m: Int = 8, k: Int = 16): DataFrame = {
     import spark.implicits._
-    val sd = 64 / m
-    val eq = Tables.embeddings(spark, dir).select($"vec_id",
-      transform($"embedding",
-        x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("e"))
-    val sv = eq.select($"vec_id", posexplode(
-        transform(sequence(lit(0), lit(m - 1)),
-          s => slice($"e", s * lit(sd) + 1, lit(sd)))))
-      .select($"vec_id", $"pos".cast("long").as("sub"), $"col".as("se"))
-    val cached = graft.CacheGuard.barrier(sv)
-    // init: subspace codebook entry (sub, c) = subvector of vector c-1
-    val cb0 = cached.filter($"vec_id" < k)
-      .select($"sub", ($"vec_id" + 1).as("c"), $"se".as("s"), lit(1L).as("n"))
-    // argmin_c ||v - s/n||² ⟺ argmin_c s·s/n² − 2·v·s/n (v·v is constant
-    // per row); all dot products exact 64-bit ints before one division
-    def scored(cb: DataFrame): DataFrame =
-      cached.join(broadcast(cb), "sub")
-        .withColumn("dot", aggregate(zip_with($"se", $"s", (x, y) => x * y),
-          lit(0L), (a, x) => a + x))
-        .withColumn("ss", aggregate(transform($"s", x => x * x),
-          lit(0L), (a, x) => a + x))
-        .withColumn("score",
-          $"ss".cast("double") / ($"n" * $"n").cast("double")
-            - (lit(2L) * $"dot").cast("double") / $"n".cast("double"))
-    val a1 = scored(cb0).groupBy($"vec_id", $"sub")
-      .agg(min_by($"c", struct($"score", $"c")).as("code"))
-    // M-step: per-(sub, code, dim) integer sums → dim-ordered sum vectors
-    val cb1 = a1.join(cached, Seq("vec_id", "sub"))
-      .select($"sub", $"code".as("c"), posexplode($"se"))
-      .groupBy($"sub", $"c", ($"pos" + 1).cast("long").as("dim"))
-      .agg(sum($"col").as("sd_sum"), count(lit(1)).as("cnt"))
-      .groupBy($"sub", $"c")
-      .agg(transform(array_sort(collect_list(struct($"dim", $"sd_sum"))),
-          x => x("sd_sum")).as("s"),
-        min($"cnt").as("n"))
+    val cached = pqSubvectors(spark, dir, m)
+    val cb1 = pqCodebook(cached, k)
     // encode against the trained codebook; err2 audits the quantization
     // (grid-space squared error, reported in original float scale)
-    val enc = scored(cb1)
+    val enc = pqScored(cached, cb1)
       .withColumn("ds", zip_with($"se", $"s",
         (x, y) => x.cast("double") - y.cast("double") / $"n".cast("double")))
       .withColumn("err2", aggregate(transform($"ds", x => x * x),
@@ -485,5 +453,100 @@ object AnnSearch {
     enc.select($"vec_id", $"sub", $"w.code".as("code"),
         (round($"w.err2" / lit(1000000.0), 6) + lit(0.0)).as("err2"))
       .orderBy($"vec_id", $"sub")
+  }
+
+  /** Subvector table on the e3 grid: (vec_id, sub, se) — cache-barriered
+    * because training and encoding both consume it. */
+  private def pqSubvectors(spark: SparkSession, dir: String, m: Int): DataFrame = {
+    import spark.implicits._
+    val sd = 64 / m
+    val eq = Tables.embeddings(spark, dir).select($"vec_id",
+      transform($"embedding",
+        x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("e"))
+    graft.CacheGuard.barrier(
+      eq.select($"vec_id", posexplode(
+          transform(sequence(lit(0), lit(m - 1)),
+            s => slice($"e", s * lit(sd) + 1, lit(sd)))))
+        .select($"vec_id", $"pos".cast("long").as("sub"), $"col".as("se")))
+  }
+
+  /** Per-(row, candidate) L2 score against a broadcast codebook:
+    * argmin_c ||v - s/n||² ⟺ argmin_c s·s/n² − 2·v·s/n (v·v is constant
+    * per row); all dot products exact 64-bit ints before one division. */
+  private def pqScored(sv: DataFrame, cb: DataFrame): DataFrame = {
+    import sv.sparkSession.implicits._
+    sv.join(broadcast(cb), "sub")
+      .withColumn("dot", aggregate(zip_with($"se", $"s", (x, y) => x * y),
+        lit(0L), (a, x) => a + x))
+      .withColumn("ss", aggregate(transform($"s", x => x * x),
+        lit(0L), (a, x) => a + x))
+      .withColumn("score",
+        $"ss".cast("double") / ($"n" * $"n").cast("double")
+          - (lit(2L) * $"dot").cast("double") / $"n".cast("double"))
+  }
+
+  /** One Lloyd's update from the first-k seed, per subspace: the trained
+    * (sub, c) → (sum-vector, n) codebook as a small DataFrame. */
+  private def pqCodebook(sv: DataFrame, k: Int): DataFrame = {
+    import sv.sparkSession.implicits._
+    val cb0 = sv.filter($"vec_id" < k)
+      .select($"sub", ($"vec_id" + 1).as("c"), $"se".as("s"), lit(1L).as("n"))
+    val a1 = pqScored(sv, cb0).groupBy($"vec_id", $"sub")
+      .agg(min_by($"c", struct($"score", $"c")).as("code"))
+    // M-step: per-(sub, code, dim) integer sums → dim-ordered sum vectors
+    a1.join(sv, Seq("vec_id", "sub"))
+      .select($"sub", $"code".as("c"), posexplode($"se"))
+      .groupBy($"sub", $"c", ($"pos" + 1).cast("long").as("dim"))
+      .agg(sum($"col").as("sd_sum"), count(lit(1)).as("cnt"))
+      .groupBy($"sub", $"c")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"sd_sum"))),
+          x => x("sd_sum")).as("s"),
+        min($"cnt").as("n"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over the PQ codes — the
+    * search-time payoff of [[pqEncode]]: the query builds an m×k distance
+    * LOOKUP TABLE against the codebook once, and each encoded vector is
+    * scored by m table lookups instead of a 64-dim float scan. At 100 TB
+    * the corpus side touches only its codes (m bytes/vector): the LUT is
+    * broadcast, the per-vector sum folds the m entries in subspace order
+    * (deterministic — a plain double `sum()` would be partition-order
+    * dependent), and top-k is TakeOrdered, never a global sort.
+    *
+    * Distances are estimates (quantization error ≥ 0 vs exact L2); the
+    * q85 err2 column is exactly the per-subspace gap. */
+  def pqAdcTopK(spark: SparkSession, dir: String,
+                queryId: Long = 0L, topK: Int = 10,
+                m: Int = 8, k: Int = 16): DataFrame = {
+    import spark.implicits._
+    val cached = pqSubvectors(spark, dir, m)
+    val cb1 = pqCodebook(cached, k)
+    val codes = pqScored(cached, cb1).groupBy($"vec_id", $"sub")
+      .agg(min_by($"c", struct($"score", $"c")).as("code"))
+    val qsv = cached.filter($"vec_id" === queryId)
+      .select($"sub", $"se".as("qe"),
+        aggregate(transform($"se", x => x * x), lit(0L), (a, x) => a + x)
+          .as("qq"))
+    // LUT row (sub, c): ||q_sub − cent||² = qq + (s·s/n² − 2·q·s/n) —
+    // the parenthesization is part of the cross-engine contract
+    val lut = cb1.join(qsv, "sub")
+      .withColumn("qdot", aggregate(zip_with($"qe", $"s", (x, y) => x * y),
+        lit(0L), (a, x) => a + x))
+      .withColumn("ss", aggregate(transform($"s", x => x * x),
+        lit(0L), (a, x) => a + x))
+      .select($"sub".as("lsub"), $"c",
+        ($"qq".cast("double") +
+          ($"ss".cast("double") / ($"n" * $"n").cast("double")
+            - (lit(2L) * $"qdot").cast("double") / $"n".cast("double")))
+          .as("d"))
+    codes.join(broadcast(lut),
+        codes("sub") === lut("lsub") && codes("code") === lut("c"))
+      .groupBy($"vec_id")
+      .agg(aggregate(transform(array_sort(collect_list(struct($"lsub", $"d"))),
+          x => x("d")), lit(0.0), (a, x) => a + x).as("g"))
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id", (round($"g" / lit(1000000.0), 4) + lit(0.0)).as("adc_dist2"))
+      .orderBy($"adc_dist2", $"vec_id")
+      .limit(topK)
   }
 }

@@ -242,6 +242,17 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("pqAdcTopK: k ranked rows, query excluded, distances non-negative and non-decreasing") {
+    val out = AnnSearch.pqAdcTopK(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.length === 10)
+    assert(!out.exists(_.getAs[Long]("vec_id") === 0L))
+    val ds = out.map(_.getAs[Double]("adc_dist2")).toSeq
+    // each LUT entry is a true squared subspace distance up to rounding
+    ds.foreach(d => assert(d >= -0.001, s"negative ADC distance $d"))
+    assert(ds === ds.sorted)
+  }
+
   test("pqEncode argmin is a partial aggregate — no window, no cartesian in the plan") {
     val plan = AnnSearch.pqEncode(spark, sf).queryExecution.executedPlan.toString
     graft.CacheGuard.release()
