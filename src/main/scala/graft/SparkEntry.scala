@@ -151,6 +151,9 @@ object SparkEntry {
     "q84_curriculum_shards" -> ((s, d) => CorpusOps.curriculumShards(s, d)),
     "q85_pq_encode" -> ((s, d) => AnnSearch.pqEncode(s, d)),
     "q86_pq_adc_topk" -> ((s, d) => AnnSearch.pqAdcTopK(s, d)),
+    "q87_chunk_windows" -> ((s, d) => CorpusOps.chunkDocuments(s, d)),
+    "q88_incremental_dedup" -> ((s, d) => DedupOps.incrementalDedupGate(s, d)),
+    "q89_bpe_pair_stats" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1638,5 +1641,79 @@ object SparkEntry {
          |WHERE vec_id <> 0
          |GROUP BY vec_id
          |ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin,
+
+    // 32-token windows, stride 24, tail window shortened; empty docs
+    // produce no chunks
+    "q87_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |f AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+         |u AS (
+         |  SELECT doc_id, tk, n,
+         |    unnest(range(0,
+         |      1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS i
+         |  FROM f)
+         |SELECT doc_id, i AS chunk_id, i*24 + 1 AS start_tok,
+         |  CAST(least(32, n - i*24) AS BIGINT) AS n_tok,
+         |  array_to_string(
+         |    list_slice(tk, i*24 + 1, i*24 + least(32, n - i*24)), ' ')
+         |    AS chunk_text
+         |FROM u ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q80's diff composed with q74's Bloom: only the v2 delta (added +
+    // changed) is screened against v1 history; re-added docs are the
+    // true positives
+    "q88_incremental_dedup" ->
+      s"""WITH v1 AS (SELECT doc_id, $fpSql AS fp1 FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(
+         |      CASE WHEN doc_id % 7 = 0
+         |        THEN coalesce(text, '') || ' v2-edit' ELSE text END)),
+         |      '\\s+', ' ', 'g')) AS fp2
+         |  FROM documents WHERE doc_id % 5 <> 4
+         |  UNION ALL
+         |  SELECT doc_id + 300000, $fpSql FROM documents
+         |  WHERE doc_id % 11 = 0),
+         |delta AS (
+         |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         |    CASE WHEN fp1 IS NULL THEN 'added' ELSE 'changed' END AS status,
+         |    fp2 AS fp
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+         |  WHERE fp2 IS NOT NULL AND (fp1 IS NULL OR fp1 <> fp2)),
+         |hpos AS (
+         |  SELECT ${h32("fp1 || '#' || r.j")} % 1024 AS pos
+         |  FROM v1 CROSS JOIN range(0, 3) r(j)),
+         |bloom AS (
+         |  SELECT pos // 32 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+         |  FROM hpos GROUP BY 1),
+         |npos AS (
+         |  SELECT doc_id, fp, ${h32("fp || '#' || r.j")} % 1024 AS pos
+         |  FROM delta CROSS JOIN range(0, 3) r(j)),
+         |checked AS (
+         |  SELECT n.doc_id, n.fp,
+         |    sum(CASE WHEN (coalesce(b.bits, 0) &
+         |      (CAST(1 AS BIGINT) << CAST(n.pos % 32 AS INT))) <> 0
+         |      THEN 1 ELSE 0 END) AS n_set
+         |  FROM npos n LEFT JOIN bloom b ON b.word = n.pos // 32
+         |  GROUP BY 1, 2)
+         |SELECT d.doc_id, d.status, c.n_set = 3 AS bloom_hit,
+         |  h.fp1 IS NOT NULL AS exact_dup,
+         |  (c.n_set = 3 AND h.fp1 IS NULL) AS false_positive
+         |FROM delta d
+         |JOIN checked c ON c.doc_id = d.doc_id AND c.fp = d.fp
+         |LEFT JOIN (SELECT DISTINCT fp1 FROM v1) h ON h.fp1 = d.fp
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // first BPE merge-candidate stats: overlapping 2-char pairs of every
+    // >=2-char token occurrence, top-20 by count then pair
+    "q89_bpe_pair_stats" ->
+      s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
+         |p AS (
+         |  SELECT unnest(list_transform(range(1, length(w)),
+         |    i -> substr(w, CAST(i AS INT), 2))) AS pair
+         |  FROM w WHERE length(w) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
   )
 }

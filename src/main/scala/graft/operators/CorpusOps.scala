@@ -432,6 +432,38 @@ object CorpusOps {
       .orderBy($"doc_id", $"rk")
   }
 
+  /** Chunk window/stride for [[chunkDocuments]], shared with the q87
+    * oracle: 32-token windows advancing 24 tokens (8-token overlap). */
+  val chunkSize = 32
+  val chunkStride = 24
+
+  /** Overlapping token-window chunking — the context-window prep a
+    * RAG/embedding pipeline runs before encoding (and the complement of
+    * q73's packing, which joins short docs; this splits long ones): each
+    * document fans out to ceil-covering windows of `w` tokens advancing
+    * by `s`, the final window shortened to the tail. Pure per-row
+    * expression work (tokenize once, `sequence`+`posexplode`+`slice`) —
+    * no shuffle at any scale beyond the source scan; the fan-out factor
+    * is len/s, bounded by the corpus token count. Empty documents
+    * produce no chunks (mirrored in the oracle). */
+  def chunkDocuments(spark: SparkSession, dir: String,
+                     w: Int = chunkSize, s: Int = chunkStride): DataFrame = {
+    import spark.implicits._
+    val n = size($"tk")
+    Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .filter(n > 0)
+      .select($"doc_id", $"tk", n.as("n"),
+        posexplode(sequence(lit(0L),
+          ceil(greatest(n - w, lit(0)).cast("double") / s).cast("long"))))
+      .select($"doc_id", $"col".as("chunk_id"),
+        ($"col" * s + 1).as("start_tok"),
+        least(lit(w), $"n" - $"col" * s).cast("long").as("n_tok"),
+        array_join(slice($"tk", ($"col" * s + 1).cast("int"),
+          least(lit(w), $"n" - $"col" * s).cast("int")), " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** Curriculum sharding: a deterministic global rank over the quality
     * metric (here `n_chars`, integer-exact; ties broken by doc_id) binned
     * into `nShards` near-equal shards — the "sort the corpus by quality

@@ -362,6 +362,41 @@ object DedupOps {
     * every 10th even doc also re-arrives (id-shifted) as a true duplicate,
     * so hits decompose into true positives AND measurable false
     * positives. */
+  /** Per-(doc, fp) Bloom bit positions for a (doc_id, fp) relation — the
+    * shared hash family of [[bloomDedupGate]] and
+    * [[incrementalDedupGate]] (q74/q88 oracles). */
+  private def bloomPositions(df: DataFrame, m: Long, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id", $"fp",
+        explode(transform(sequence(lit(0), lit(k - 1)),
+          j => md5Hash32(concat($"fp", lit("#"), j.cast("string"))) % m))
+          .as("pos"))
+      .select($"doc_id", $"fp", $"pos",
+        expr("pos div 32").as("word"), ($"pos" % 32).cast("int").as("bit"))
+  }
+
+  /** The mergeable m-bit Bloom as a (word, bits) relation. */
+  private def bloomBuild(hist: DataFrame, m: Long, k: Int): DataFrame = {
+    import hist.sparkSession.implicits._
+    bloomPositions(hist, m, k)
+      .groupBy($"word")
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("bits"))
+  }
+
+  /** Per-(doc, fp) count of set Bloom bits against a broadcast sketch. */
+  private def bloomProbe(batch: DataFrame, bloom: DataFrame,
+                         m: Long, k: Int): DataFrame = {
+    import batch.sparkSession.implicits._
+    bloomPositions(batch, m, k)
+      .join(broadcast(bloom), Seq("word"), "left")
+      .select($"doc_id", $"fp",
+        when((coalesce($"bits", lit(0L))
+          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), bit)"))) =!= 0L, 1L)
+          .otherwise(0L).as("set"))
+      .groupBy($"doc_id", $"fp")
+      .agg(sum($"set").as("n_set"))
+  }
+
   def bloomDedupGate(spark: SparkSession, dir: String,
                      m: Long = bloomBits, k: Int = bloomK): DataFrame = {
     import spark.implicits._
@@ -371,27 +406,60 @@ object DedupOps {
     val fresh = docs.filter($"doc_id" % 2 === 1)
       .unionByName(docs.filter($"doc_id" % 2 === 0 && $"doc_id" % 10 === 0)
         .withColumn("doc_id", $"doc_id" + bloomNewOffset))
-    def positions(df: DataFrame) = df.select($"doc_id", $"fp",
-        explode(transform(sequence(lit(0), lit(k - 1)),
-          j => md5Hash32(concat($"fp", lit("#"), j.cast("string"))) % m))
-          .as("pos"))
-      .select($"doc_id", $"fp", $"pos",
-        expr("pos div 32").as("word"), ($"pos" % 32).cast("int").as("bit"))
-    val bloom = positions(hist)
-      .groupBy($"word")
-      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("bits"))
-    val checked = positions(fresh)
-      .join(broadcast(bloom), Seq("word"), "left")
-      .select($"doc_id", $"fp",
-        when((coalesce($"bits", lit(0L))
-          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), bit)"))) =!= 0L, 1L)
-          .otherwise(0L).as("set"))
-      .groupBy($"doc_id", $"fp")
-      .agg(sum($"set").as("n_set"))
+    val checked = bloomProbe(fresh, bloomBuild(hist, m, k), m, k)
     val histFps = hist.select($"fp").distinct()
       .withColumn("exact_dup", lit(true))
     checked.join(broadcast(histFps), Seq("fp"), "left")
       .select($"doc_id",
+        ($"n_set" === k).as("bloom_hit"),
+        coalesce($"exact_dup", lit(false)).as("exact_dup"),
+        ($"n_set" === k && coalesce($"exact_dup", lit(false)) === false)
+          .as("false_positive"))
+      .orderBy($"doc_id")
+  }
+
+  /** Incremental reprocessing, composed end to end: the q80 snapshot diff
+    * picks out ONLY the delta (added + changed docs of the v2 replay),
+    * and the q74 Bloom gate screens that delta against v1 history — the
+    * "process just what's new, and of that, skip what history already
+    * holds" loop of a periodically-refreshed corpus. Re-added documents
+    * (same text, new id) are the true positives; the false_positive
+    * column audits the Bloom's maybe-rate on genuinely new content.
+    *
+    * Scale shape: the diff is one full-outer join on doc_id; everything
+    * downstream runs on the DELTA only (O(changes), not O(corpus)); the
+    * Bloom is built in one history scan, collapses to m/32 words before
+    * its exchange, and broadcasts to the probe. The exact-membership join
+    * stays — it is the audit that prices the Bloom's error, exactly as in
+    * q74. */
+  def incrementalDedupGate(spark: SparkSession, dir: String,
+                           m: Long = bloomBits, k: Int = bloomK): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.select($"doc_id", fingerprint($"text").as("fp1"))
+    // the q80 v2 replay: every 5th dropped, every 7th amended, every 11th
+    // re-added under a new id
+    val v2 = docs.filter($"doc_id" % 5 =!= 4)
+      .select($"doc_id",
+        fingerprint(when($"doc_id" % 7 === 0,
+          concat(coalesce($"text", lit("")), lit(" v2-edit")))
+          .otherwise($"text")).as("fp2"))
+      .unionByName(docs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"),
+          fingerprint($"text").as("fp2")))
+    val delta = v1.join(v2, Seq("doc_id"), "full_outer")
+      .filter($"fp2".isNotNull && ($"fp1".isNull || $"fp1" =!= $"fp2"))
+      .select($"doc_id",
+        when($"fp1".isNull, "added").otherwise("changed").as("status"),
+        $"fp2".as("fp"))
+    val hist = v1.select($"doc_id", $"fp1".as("fp"))
+    val checked = bloomProbe(delta.select($"doc_id", $"fp"),
+      bloomBuild(hist, m, k), m, k)
+    val histFps = hist.select($"fp").distinct()
+      .withColumn("exact_dup", lit(true))
+    delta.join(checked, Seq("doc_id", "fp"))
+      .join(broadcast(histFps), Seq("fp"), "left")
+      .select($"doc_id", $"status",
         ($"n_set" === k).as("bloom_hit"),
         coalesce($"exact_dup", lit(false)).as("exact_dup"),
         ($"n_set" === k && coalesce($"exact_dup", lit(false)) === false)

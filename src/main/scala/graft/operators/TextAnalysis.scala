@@ -245,4 +245,25 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** First-round BPE merge statistics — the corpus-wide adjacent
+    * character-pair counts a byte-pair-encoding vocabulary trainer uses
+    * to pick its first merge (Sennrich et al. 2016): every occurrence of
+    * every ≥2-char token contributes its length−1 overlapping 2-char
+    * pairs, counted globally, top-N reported. Pure fan-out (token →
+    * pairs via per-row expressions) into one partially-aggregated
+    * groupBy over a tiny key domain (char pairs), then TakeOrdered for
+    * the top-N — at 100 TB the exchange carries one row per DISTINCT
+    * pair per partition, not per occurrence. */
+  def bpePairStats(spark: SparkSession, dir: String,
+                   topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(transform(sequence(lit(1), length($"w") - 1),
+        i => $"w".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(topN)
+  }
 }

@@ -195,6 +195,33 @@ class CorpusOpsSpec extends SparkSpec {
     out.foreach { case ((t, _), n) => assert(n >= 1L && t % CorpusOps.benchMod != 0) }
   }
 
+  test("chunkDocuments: windows cover every token; overlaps equal w−s; tails shortened") {
+    import spark.implicits._
+    val out = CorpusOps.chunkDocuments(spark, sf).collect()
+    val lens = Tables.documents(spark, sf)
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens($"text")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    val (w, s) = (CorpusOps.chunkSize, CorpusOps.chunkStride)
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val n = lens(id)
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.length === 1 + math.ceil(math.max(n - w, 0) / s.toDouble).toInt)
+      sorted.foreach { r =>
+        val st = r.getAs[Long]("start_tok"); val nt = r.getAs[Long]("n_tok")
+        assert(st === r.getAs[Long]("chunk_id") * s + 1)
+        assert(nt === math.min(w.toLong, n - (st - 1)))
+        assert(r.getAs[String]("chunk_text").split(" ").length.toLong === nt)
+      }
+      // last chunk reaches the final token: full coverage
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_tok") - 1 === n.toLong)
+    }
+    // every non-empty doc chunked
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length ===
+      lens.count(_._2 > 0))
+  }
+
   test("curriculumShards: rank is the exact (n_chars, doc_id) permutation; shards near-equal and ordered") {
     val out = CorpusOps.curriculumShards(spark, sf).collect()
     graft.CacheGuard.release()

@@ -110,6 +110,36 @@ class DedupSpec extends SparkSpec {
       Set("train", "val", "test"))
   }
 
+  test("incrementalDedupGate: delta = added+changed only; re-added docs are certain hits; no false negatives") {
+    import spark.implicits._
+    val out = DedupOps.incrementalDedupGate(spark, sf).collect()
+    val ids = Tables.documents(spark, sf).select($"doc_id").as[Long].collect().toSet
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id >= 300000L) {
+        // re-added under a new id with identical text: exact dup of v1,
+        // and a Bloom can never miss a true member
+        assert(r.getAs[String]("status") === "added")
+        assert(r.getAs[Boolean]("exact_dup"), s"re-added $id not exact dup")
+        assert(r.getAs[Boolean]("bloom_hit"), s"Bloom false NEGATIVE on $id")
+        assert(!r.getAs[Boolean]("false_positive"))
+      } else {
+        // v2-amended docs: new fingerprint, status changed
+        assert(r.getAs[String]("status") === "changed")
+        assert(id % 7 === 0 && ids.contains(id))
+      }
+      // false_positive consistency
+      assert(r.getAs[Boolean]("false_positive") ===
+        (r.getAs[Boolean]("bloom_hit") && !r.getAs[Boolean]("exact_dup")))
+    }
+    // the delta is the replay's closed form: %7 edits surviving the %5
+    // drop, plus %11 re-adds
+    val wantChanged = ids.count(i => i % 7 == 0 && i % 5 != 4)
+    val wantAdded = ids.count(_ % 11 == 0)
+    assert(out.count(_.getAs[String]("status") == "changed") === wantChanged)
+    assert(out.count(_.getAs[String]("status") == "added") === wantAdded)
+  }
+
   test("spanDedupReport: seeded full copies are 100% duplicated and flagged; counts conserve") {
     import spark.implicits._
     val out = DedupOps.spanDedupReport(spark, sf).collect()

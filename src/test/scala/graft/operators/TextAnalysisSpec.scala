@@ -151,4 +151,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f(1L) < f(0L))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
+
+  test("bpePairStats: counts match a hand computation on a tiny corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // "abab ab cd" → pairs: ab,ba,ab (from abab), ab, cd
+    Seq((0L, "abab ab cd", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.bpePairStats(spark, tmp).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toMap
+    assert(out === Map("ab" -> 3L, "ba" -> 1L, "cd" -> 1L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("bpePairStats: top-20 on the corpus, descending with pair tie-break") {
+    val out = TextAnalysis.bpePairStats(spark, sf).collect()
+    assert(out.length === 20)
+    val pairs = out.map(r => (r.getAs[Long]("n"), r.getAs[String]("pair")))
+    pairs.sliding(2).foreach { case Array((n1, p1), (n2, p2)) =>
+      assert(n1 > n2 || (n1 === n2 && p1 < p2))
+    }
+    out.foreach(r => assert(r.getAs[String]("pair").length === 2))
+  }
 }
