@@ -154,6 +154,8 @@ object SparkEntry {
     "q87_chunk_windows" -> ((s, d) => CorpusOps.chunkDocuments(s, d)),
     "q88_incremental_dedup" -> ((s, d) => DedupOps.incrementalDedupGate(s, d)),
     "q89_bpe_pair_stats" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
+    "q90_quality_keepers" -> ((s, d) => DedupOps.qualityKeepers(s, d)),
+    "q91_value_histogram" -> ((s, d) => Profiler.valueHistogram(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1715,5 +1717,55 @@ object SparkEntry {
          |  FROM w WHERE length(w) >= 2)
          |SELECT pair, CAST(count(*) AS BIGINT) AS n
          |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // q67's clusters with the production keeper policy: survivor = max
+    // n_chars, ties to the lowest doc_id
+    "q90_quality_keepers" ->
+      s"""WITH RECURSIVE $minHashCtesSql,
+         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |ids AS (SELECT doc_id FROM corpus),
+         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |labeled AS (
+         |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS cluster_id
+         |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+         |cn AS (SELECT doc_id, n_chars FROM documents
+         |       UNION ALL SELECT doc_id + 100000, n_chars FROM documents),
+         |lb AS (SELECT l.doc_id, l.cluster_id, c.n_chars
+         |       FROM labeled l JOIN cn c ON c.doc_id = l.doc_id),
+         |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lb GROUP BY 1),
+         |best AS (
+         |  SELECT cluster_id, doc_id AS best_doc_id FROM (
+         |    SELECT cluster_id, doc_id,
+         |      row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM lb) z WHERE rn = 1)
+         |SELECT lb.doc_id, lb.cluster_id, lb.n_chars, b.best_doc_id,
+         |  lb.doc_id = b.best_doc_id AS is_kept, cs.cluster_size
+         |FROM lb JOIN best b USING (cluster_id) JOIN cs USING (cluster_id)
+         |ORDER BY lb.doc_id""".stripMargin,
+
+    // equi-width 20-bucket histogram; max clamps into the last bucket;
+    // empty buckets absent in both engines
+    "q91_value_histogram" ->
+      """WITH ev AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+        |k AS (
+        |  SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20))
+        |      AS BIGINT), 19) AS bucket,
+        |    lo, hi
+        |  FROM ev CROSS JOIN b),
+        |g AS (
+        |  SELECT bucket,
+        |    round(lo + bucket * ((hi - lo) / 20), 4) + 0.0 AS bucket_lo
+        |  FROM k)
+        |SELECT bucket, bucket_lo, CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY bucket, bucket_lo ORDER BY bucket""".stripMargin,
   )
 }

@@ -317,6 +317,33 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** Quality-aware cluster collapse: same clusters as [[nearDupKeepers]],
+    * but the survivor is the BEST copy — max `n_chars`, ties to the
+    * lowest doc_id — instead of the lowest id. This is the keeper policy
+    * production dedup actually wants (keep the longest/cleanest variant,
+    * drop truncated mirrors); min-id keeping is only right when copies
+    * are bit-identical.
+    *
+    * Plan shape: one extra keeper-keyed `max_by` aggregate over a
+    * (n_chars, −doc_id) struct order — partial-aggregable, no window —
+    * plus the join back; both ride the same keeper key as the
+    * cluster-size join already in the pipeline. */
+  def qualityKeepers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labeled = nearDupKeepers(spark, dir)
+      .select($"doc_id", $"keeper".as("cluster_id"), $"cluster_size")
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+    val cn = docs.unionByName(docs.withColumn("doc_id", $"doc_id" + dupOffset))
+    val lb = labeled.join(cn, "doc_id")
+    val best = lb.groupBy($"cluster_id")
+      .agg(max_by($"doc_id", struct($"n_chars", (-$"doc_id").as("nid")))
+        .as("best_doc_id"))
+    lb.join(best, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"n_chars", $"best_doc_id",
+        ($"doc_id" === $"best_doc_id").as("is_kept"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
   /** SimHash 32-bit fingerprint per document: for each bit, sign of the
     * sum over tokens of ±1 by the token hash's bit. Near-dup docs land at
     * small Hamming distance. Computed by the native

