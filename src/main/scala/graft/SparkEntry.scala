@@ -156,6 +156,7 @@ object SparkEntry {
     "q89_bpe_pair_stats" -> ((s, d) => TextAnalysis.bpePairStats(s, d)),
     "q90_quality_keepers" -> ((s, d) => DedupOps.qualityKeepers(s, d)),
     "q91_value_histogram" -> ((s, d) => Profiler.valueHistogram(s, d)),
+    "q92_incremental_neardup" -> ((s, d) => DedupOps.incrementalNearDupGate(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1767,5 +1768,67 @@ object SparkEntry {
         |  FROM k)
         |SELECT bucket, bucket_lo, CAST(count(*) AS BIGINT) AS n
         |FROM g GROUP BY bucket, bucket_lo ORDER BY bucket""".stripMargin,
+
+    // the LSH extension of q88: the v2 delta is banded against v1
+    // HISTORY's bands (no history self-join); re-added docs hit at est
+    // 1.0, amended docs hit their previous version
+    "q92_incremental_neardup" ->
+      s"""WITH v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN coalesce(text, '') || ' v2-edit' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 <> 4
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 11 = 0),
+         |v1fp AS (SELECT doc_id, $fpSql AS fp1 FROM documents),
+         |delta AS (
+         |  SELECT v2.doc_id,
+         |    CASE WHEN v1fp.doc_id IS NULL THEN 'added'
+         |         ELSE 'changed' END AS status,
+         |    v2.text
+         |  FROM v2 LEFT JOIN v1fp ON v1fp.doc_id = v2.doc_id
+         |  WHERE v1fp.doc_id IS NULL OR v1fp.fp1 <>
+         |    md5(regexp_replace(lower(trim(v2.text)), '\\s+', ' ', 'g'))),
+         |alld AS (
+         |  SELECT 0 AS side, doc_id, text FROM documents
+         |  UNION ALL SELECT 1, doc_id, text FROM delta),
+         |toks AS (SELECT side, doc_id, $toksSql AS tk FROM alld),
+         |shq AS (
+         |  SELECT DISTINCT side, doc_id, sh FROM (
+         |    SELECT side, doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+         |    FROM toks WHERE len(tk) >= 3) z),
+         |h AS (SELECT side, doc_id, ${h32("sh")} AS h FROM shq),
+         |sg AS (
+         |  SELECT side, doc_id, p.p AS p,
+         |    min(((2*p.p + 3) * h + (7*p.p + 1)) % 2147483647) AS v
+         |  FROM h CROSS JOIN range(0, 16) p(p) GROUP BY side, doc_id, p.p),
+         |sigl AS (SELECT side, doc_id, list(v ORDER BY p) AS s
+         |         FROM sg GROUP BY side, doc_id),
+         |bd AS (
+         |  SELECT side, doc_id, b.b AS band,
+         |    list_slice(s, b.b*4 + 1, b.b*4 + 4) AS bk
+         |  FROM sigl CROSS JOIN range(0, 4) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS doc_id, v.doc_id AS hist_id
+         |  FROM bd d JOIN bd v
+         |    ON d.band = v.band AND d.bk = v.bk AND d.side = 1 AND v.side = 0),
+         |est AS (
+         |  SELECT c.doc_id, c.hist_id,
+         |    round(len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) / 16.0, 4)
+         |      AS ej
+         |  FROM cand c
+         |  JOIN sigl sa ON sa.side = 1 AND sa.doc_id = c.doc_id
+         |  JOIN sigl sb ON sb.side = 0 AND sb.doc_id = c.hist_id),
+         |hits AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
+         |    min(hist_id) AS first_match
+         |  FROM est WHERE ej >= 0.5 GROUP BY doc_id)
+         |SELECT d.doc_id, d.status,
+         |  CAST(coalesce(h.n_near, 0) AS BIGINT) AS n_near,
+         |  CAST(coalesce(h.first_match, -1) AS BIGINT) AS first_match,
+         |  h.n_near IS NOT NULL AS near_hit
+         |FROM delta d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

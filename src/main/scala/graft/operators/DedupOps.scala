@@ -317,6 +317,68 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** Incremental NEAR-dup gate — the LSH extension of
+    * [[incrementalDedupGate]]: the v2 delta's documents are MinHash-banded
+    * and joined against the v1 HISTORY's bands, so a changed document is
+    * flagged even when its fingerprint differs (its old self, and any
+    * other historical near-copy, still shares LSH bands). Re-added docs
+    * hit at est 1.0; amended docs hit their previous version when the
+    * edit is small relative to the text.
+    *
+    * Scale shape: history is scanned ONCE to band (no history self-join —
+    * the cross-side band join is delta-driven, O(|delta| × band width));
+    * signature work is the shared md5 family (native expression, one
+    * pass); delta docs with no signature (<3 tokens) surface with zero
+    * matches via the final left join rather than disappearing. */
+  def incrementalNearDupGate(spark: SparkSession, dir: String,
+                             shingleN: Int = 3, perms: Int = 16,
+                             bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val rows = perms / bands
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val v2 = docs.filter($"doc_id" % 5 =!= 4)
+      .select($"doc_id",
+        when($"doc_id" % 7 === 0,
+          concat(coalesce($"text", lit("")), lit(" v2-edit")))
+          .otherwise($"text").as("text"))
+      .unionByName(docs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"), $"text"))
+    val v1fp = docs.select($"doc_id", fingerprint($"text").as("fp1"))
+    val delta = v2.withColumn("fp2", fingerprint($"text"))
+      .join(v1fp, Seq("doc_id"), "left")
+      .filter($"fp1".isNull || $"fp1" =!= $"fp2")
+      .select($"doc_id",
+        when($"fp1".isNull, "added").otherwise("changed").as("status"),
+        $"text")
+    def banded(df: DataFrame) = df
+      .select($"doc_id",
+        graft.functions.native.md5MinHashSig(
+          array_distinct(wordShingles(tokens($"text"), shingleN)), perms)
+          .as("sig"))
+      .filter($"sig".isNotNull)
+      .select($"doc_id", $"sig",
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice($"sig", b * lit(rows) + 1, lit(rows)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val hits = banded(delta.select($"doc_id", $"text")).as("d")
+      .join(banded(docs).as("h"),
+        $"d.band" === $"h.band" && $"d.band_key" === $"h.band_key")
+      .select($"d.doc_id".as("doc_id"), $"h.doc_id".as("hist_id"),
+        $"d.sig".as("sa"), $"h.sig".as("sb"))
+      .dropDuplicates("doc_id", "hist_id")
+      .filter(
+        round(size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
+          .cast("double") / lit(perms.toDouble), 4) >= threshold)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_near"), min($"hist_id").as("first_match"))
+    delta.join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"status",
+        coalesce($"n_near", lit(0L)).as("n_near"),
+        coalesce($"first_match", lit(-1L)).as("first_match"),
+        ($"n_near".isNotNull).as("near_hit"))
+      .orderBy($"doc_id")
+  }
+
   /** Quality-aware cluster collapse: same clusters as [[nearDupKeepers]],
     * but the survivor is the BEST copy — max `n_chars`, ties to the
     * lowest doc_id — instead of the lowest id. This is the keeper policy

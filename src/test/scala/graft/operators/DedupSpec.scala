@@ -166,6 +166,30 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_.getAs[String]("status") == "added") === wantAdded)
   }
 
+  test("incrementalNearDupGate: re-added docs near-hit their original; sig-less docs surface with zero") {
+    import spark.implicits._
+    val out = DedupOps.incrementalNearDupGate(spark, sf).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val sigless = Tables.documents(spark, sf)
+      .filter(size(graft.functions.TextFunctions.tokens($"text")) < 3)
+      .select($"doc_id").as[Long].collect().toSet
+    byId.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("near_hit") === (r.getAs[Long]("n_near") > 0L))
+      if (id >= 300000L) {
+        assert(r.getAs[String]("status") === "added")
+        val orig = id - 300000L
+        if (!sigless.contains(orig)) {
+          // identical text → identical signature → all bands collide
+          assert(r.getAs[Boolean]("near_hit"), s"re-added $id missed history")
+          assert(r.getAs[Long]("first_match") <= orig)
+        } else {
+          assert(r.getAs[Long]("n_near") === 0L) // nothing to sign
+        }
+      } else assert(r.getAs[String]("status") === "changed")
+    }
+    assert(byId.keys.count(_ >= 300000L) > 0)
+  }
+
   test("spanDedupReport: seeded full copies are 100% duplicated and flagged; counts conserve") {
     import spark.implicits._
     val out = DedupOps.spanDedupReport(spark, sf).collect()
