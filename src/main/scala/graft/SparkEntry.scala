@@ -157,6 +157,7 @@ object SparkEntry {
     "q90_quality_keepers" -> ((s, d) => DedupOps.qualityKeepers(s, d)),
     "q91_value_histogram" -> ((s, d) => Profiler.valueHistogram(s, d)),
     "q92_incremental_neardup" -> ((s, d) => DedupOps.incrementalNearDupGate(s, d)),
+    "q93_ann_recall_audit" -> ((s, d) => AnnSearch.annRecallAudit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1830,5 +1831,48 @@ object SparkEntry {
          |  h.n_near IS NOT NULL AS near_hit
          |FROM delta d LEFT JOIN hits h ON h.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // recall@10 of the 4-bit sign-LSH index vs exact top-10, per query;
+    // tie policy (cos DESC, vec_id) matches q42's TopKAgg convention
+    "q93_ann_recall_audit" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qe,
+         |    ${bucketSql("embedding", 4)} AS qb
+         |  FROM embeddings WHERE vec_id < 10),
+         |ex AS (
+         |  SELECT q.q_id, e.vec_id, ${cosSql("e.embedding", "q.qe")} AS cos_sim
+         |  FROM embeddings e, q WHERE e.vec_id >= 10),
+         |exr AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos_sim DESC, vec_id) AS rk
+         |    FROM ex WHERE NOT isnan(cos_sim)) z WHERE rk <= 10),
+         |ls AS (
+         |  SELECT q.q_id, e.vec_id, ${cosSql("e.embedding", "q.qe")} AS cos_sim
+         |  FROM embeddings e JOIN q ON ${bucketSql("e.embedding", 4)} = q.qb
+         |  WHERE e.vec_id >= 10),
+         |lsr AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos_sim DESC, vec_id) AS rk
+         |    FROM ls WHERE NOT isnan(cos_sim)) z WHERE rk <= 10),
+         |ne AS (SELECT q_id, count(*) AS n_exact FROM exr GROUP BY 1),
+         |nl AS (SELECT q_id, count(*) AS n_lsh FROM lsr GROUP BY 1),
+         |ov AS (
+         |  SELECT e.q_id, count(*) AS n_overlap
+         |  FROM exr e JOIN lsr l ON l.q_id = e.q_id AND l.vec_id = e.vec_id
+         |  GROUP BY 1)
+         |SELECT q.q_id,
+         |  CAST(coalesce(ne.n_exact, 0) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(nl.n_lsh, 0) AS BIGINT) AS n_lsh,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) /
+         |    CAST(coalesce(ne.n_exact, 1) AS DOUBLE), 4) + 0.0 AS recall
+         |FROM q LEFT JOIN ne ON ne.q_id = q.q_id
+         |LEFT JOIN nl ON nl.q_id = q.q_id
+         |LEFT JOIN ov ON ov.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin,
   )
 }

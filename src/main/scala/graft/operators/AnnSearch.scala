@@ -417,6 +417,54 @@ object AnnSearch {
       .orderBy($"vec_id")
   }
 
+  /** ANN recall audit — the index-quality eval a serving team runs as a
+    * standing data job: exact top-k per query (the [[batchTopK]] shape)
+    * joined against the sign-LSH index's top-k, reporting per-query
+    * candidate counts and recall@k. Recall of an approximate index is a
+    * MEASURED quantity, not an assumption — this query is the
+    * measurement, and a regression here is what pages the index owner.
+    *
+    * Scale shape: both sides are one corpus scan with a broadcast query
+    * block and bounded TopKAgg pre-reduction (no windows over the
+    * corpus); the final recall join runs on O(queries × k) rows. */
+  def annRecallAudit(spark: SparkSession, dir: String,
+                     nQueries: Int = 10, k: Int = 10,
+                     bits: Int = 4): DataFrame = {
+    import spark.implicits._
+    val exact = batchTopK(spark, dir, nQueries, k)
+      .select($"q_id", $"vec_id")
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"),
+        signLshBucket($"embedding", bits).as("qb"))
+    val lsh = emb.filter($"vec_id" >= nQueries)
+      .withColumn("bucket", signLshBucket($"embedding", bits))
+      .join(broadcast(queries), $"bucket" === $"qb")
+      .select($"q_id", $"vec_id",
+        round(cosine($"embedding", $"qe"), 4).as("cos_sim"))
+      .filter(!isnan($"cos_sim"))
+      .groupBy($"q_id")
+      .agg(graft.functions.TopK.topK(k)($"cos_sim", $"vec_id").as("hits"))
+      .select($"q_id", explode($"hits").as("h"))
+      .select($"q_id", $"h.vec_id".as("vec_id"))
+    val nOv = exact.join(lsh, Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("n_overlap"))
+    val nEx = exact.groupBy($"q_id").agg(count(lit(1)).as("n_exact"))
+    val nLs = lsh.groupBy($"q_id").agg(count(lit(1)).as("n_lsh"))
+    queries.select($"q_id")
+      .join(nEx, Seq("q_id"), "left")
+      .join(nLs, Seq("q_id"), "left")
+      .join(nOv, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_exact", lit(0L)).as("n_exact"),
+        coalesce($"n_lsh", lit(0L)).as("n_lsh"),
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+        (round(coalesce($"n_overlap", lit(0L)).cast("double") /
+          coalesce($"n_exact", lit(1L)).cast("double"), 4) + lit(0.0))
+          .as("recall"))
+      .orderBy($"q_id")
+  }
+
   /** Product quantization (Jégou et al. 2011, "Product Quantization for
     * Nearest Neighbor Search"): split each vector into `m` subvectors,
     * k-means each subspace independently (one Lloyd's update from a

@@ -242,6 +242,21 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("annRecallAudit: one row per query; overlap bounded by both sides; recall consistent") {
+    val out = AnnSearch.annRecallAudit(spark, sf).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      val (ne, nl, ov) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_lsh"),
+        r.getAs[Long]("n_overlap"))
+      assert(ne === 10L) // corpus >> k: exact side always fills
+      assert(ov <= math.min(ne, nl))
+      assert(math.abs(r.getAs[Double]("recall") - ov.toDouble / ne) < 1e-9)
+    }
+    // the LSH index finds SOMETHING across the query set (4-bit buckets
+    // at this SF are dense)
+    assert(out.map(_.getAs[Long]("n_overlap")).sum > 0L)
+  }
+
   test("pqAdcTopK: k ranked rows, query excluded, distances non-negative and non-decreasing") {
     val out = AnnSearch.pqAdcTopK(spark, sf).collect()
     graft.CacheGuard.release()
