@@ -158,6 +158,7 @@ object SparkEntry {
     "q91_value_histogram" -> ((s, d) => Profiler.valueHistogram(s, d)),
     "q92_incremental_neardup" -> ((s, d) => DedupOps.incrementalNearDupGate(s, d)),
     "q93_ann_recall_audit" -> ((s, d) => AnnSearch.annRecallAudit(s, d)),
+    "q94_stream_bloom_gate" -> ((s, d) => graft.streaming.BloomGate.bloomReplayBatch(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1874,5 +1875,33 @@ object SparkEntry {
          |LEFT JOIN nl ON nl.q_id = q.q_id
          |LEFT JOIN ov ON ov.q_id = q.q_id
          |ORDER BY q.q_id""".stripMargin,
+
+    // exact relational replay of the sequential per-source Bloom gate:
+    // a position is covered for doc d iff its first setter precedes d;
+    // suppressed ⟺ all k positions covered
+    "q94_stream_bloom_gate" ->
+      s"""WITH docs AS (
+         |  SELECT source, doc_id, $fpSql AS fp FROM documents
+         |  UNION ALL
+         |  SELECT source, doc_id + 100000, $fpSql FROM documents),
+         |pos AS (
+         |  SELECT source, doc_id, fp,
+         |    ${h32("fp || '#' || r.j")} % 1024 AS pos
+         |  FROM docs CROSS JOIN range(0, 3) r(j)),
+         |fs AS (SELECT source, pos, min(doc_id) AS first_doc
+         |       FROM pos GROUP BY 1, 2),
+         |cov AS (
+         |  SELECT p.source, p.doc_id, p.fp,
+         |    sum(CASE WHEN f.first_doc < p.doc_id THEN 1 ELSE 0 END) AS n_cov
+         |  FROM pos p JOIN fs f ON f.source = p.source AND f.pos = p.pos
+         |  GROUP BY 1, 2, 3),
+         |ff AS (SELECT source, fp, min(doc_id) AS first_fp_doc
+         |       FROM docs GROUP BY 1, 2)
+         |SELECT c.doc_id, c.source,
+         |  c.n_cov < 3 AS emitted,
+         |  c.doc_id = ff.first_fp_doc AS exact_first,
+         |  (c.n_cov = 3 AND c.doc_id = ff.first_fp_doc) AS false_drop
+         |FROM cov c JOIN ff ON ff.source = c.source AND ff.fp = c.fp
+         |ORDER BY c.doc_id""".stripMargin,
   )
 }
