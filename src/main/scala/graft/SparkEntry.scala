@@ -159,6 +159,8 @@ object SparkEntry {
     "q92_incremental_neardup" -> ((s, d) => DedupOps.incrementalNearDupGate(s, d)),
     "q93_ann_recall_audit" -> ((s, d) => AnnSearch.annRecallAudit(s, d)),
     "q94_stream_bloom_gate" -> ((s, d) => graft.streaming.BloomGate.bloomReplayBatch(s, d)),
+    "q95_snapshot_merge" -> ((s, d) => CorpusOps.snapshotMerge(s, d)),
+    "q96_robust_outliers" -> ((s, d) => CorpusOps.robustOutliers(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1903,5 +1905,41 @@ object SparkEntry {
          |  (c.n_cov = 3 AND c.doc_id = ff.first_fp_doc) AS false_drop
          |FROM cov c JOIN ff ON ff.source = c.source AND ff.fp = c.fp
          |ORDER BY c.doc_id""".stripMargin,
+
+    // the oracle recomputes the v2 snapshot DIRECTLY; the Spark side
+    // derives it by applying the changelog to v1 — the hash match is the
+    // merge(v1, delta) ≡ snapshot(v2) theorem
+    "q95_snapshot_merge" ->
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN coalesce(text, '') || ' v2-edit' ELSE text END)),
+         |    '\\s+', ' ', 'g')) AS fp
+         |FROM documents WHERE doc_id % 5 <> 4
+         |UNION ALL
+         |SELECT doc_id + 300000, $fpSql FROM documents WHERE doc_id % 11 = 0
+         |ORDER BY doc_id""".stripMargin,
+
+    // MAD outliers: two exact medians, robust threshold 3·1.4826·MAD
+    // with the shared literal 4.4478
+    "q96_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT source,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+        |  FROM documents GROUP BY source),
+        |dev AS (
+        |  SELECT d.source, abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev,
+        |    m.med
+        |  FROM documents d JOIN med m ON m.source = d.source),
+        |mad AS (
+        |  SELECT source, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY source)
+        |SELECT dev.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(any_value(dev.med), 4) + 0.0 AS median_chars,
+        |  round(any_value(mad.mad), 4) + 0.0 AS mad_chars,
+        |  CAST(sum(CASE WHEN dev.adev > 4.4478 * mad.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON mad.source = dev.source
+        |GROUP BY dev.source ORDER BY dev.source""".stripMargin,
   )
 }

@@ -365,6 +365,63 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** CDC snapshot MERGE: apply the v2 changelog (upserts + deletes,
+    * derived here by diffing — in production it ARRIVES as a changelog)
+    * to the v1 base and emit the merged state. The oracle recomputes the
+    * v2 snapshot DIRECTLY, so the hash match is the actual theorem:
+    * merge(v1, delta) ≡ snapshot(v2) — the invariant every Delta/Iceberg
+    *-style MERGE INTO must uphold, re-expressed as joins.
+    *
+    * Plan shape: two left-anti joins (drop deleted + superseded rows)
+    * and a union with the upserts — all doc_id-keyed hash joins, no
+    * window, O(corpus + changes). */
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.select($"doc_id", fingerprint($"text").as("fp"))
+    val v2 = docs.filter($"doc_id" % 5 =!= 4)
+      .select($"doc_id",
+        fingerprint(when($"doc_id" % 7 === 0,
+          concat(coalesce($"text", lit("")), lit(" v2-edit")))
+          .otherwise($"text")).as("fp"))
+      .unionByName(docs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"), fingerprint($"text").as("fp")))
+    val upserts = v2.join(v1.withColumnRenamed("fp", "fp1"), Seq("doc_id"), "left")
+      .filter($"fp1".isNull || $"fp1" =!= $"fp")
+      .select($"doc_id", $"fp")
+    val deletes = v1.join(v2.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id")
+    val untouched = v1.join(
+      upserts.select($"doc_id").unionByName(deletes), Seq("doc_id"), "left_anti")
+    untouched.unionByName(upserts).orderBy($"doc_id")
+  }
+
+  /** Robust per-source outlier report: median absolute deviation (MAD)
+    * of `n_chars`, flagging docs past 3 robust standard deviations
+    * (3 × 1.4826 × MAD — the literal 4.4478 is shared with the oracle so
+    * both engines parse the identical double). Two exact-percentile
+    * passes with broadcast joins back; the 100 TB swap is
+    * `percentile_approx` for both quantiles, exactly as q68 exercises
+    * for the plain median. */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"source", $"doc_id", $"n_chars")
+    val med = docs.groupBy($"source")
+      .agg(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)").as("med"))
+    val dev = docs.join(broadcast(med), "source")
+      .withColumn("adev", abs($"n_chars".cast("double") - $"med"))
+    val mad = dev.groupBy($"source").agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "source")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        (round(first($"med"), 4) + lit(0.0)).as("median_chars"),
+        (round(first($"mad"), 4) + lit(0.0)).as("mad_chars"),
+        sum(when($"adev" > lit(4.4478) * $"mad", 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy($"source")
+  }
+
   /** Relative tolerance for [[corpusStatsApprox]]'s approx-vs-exact median
     * check, shared with the q68 oracle and the spec. */
   val approxMedianTol = 0.05

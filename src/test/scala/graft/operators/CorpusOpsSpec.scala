@@ -195,6 +195,44 @@ class CorpusOpsSpec extends SparkSpec {
     out.foreach { case ((t, _), n) => assert(n >= 1L && t % CorpusOps.benchMod != 0) }
   }
 
+  test("snapshotMerge: merged state has no deleted ids, all re-adds, amended fingerprints") {
+    import spark.implicits._
+    val out = CorpusOps.snapshotMerge(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    val base = Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    base.keys.foreach { id =>
+      if (id % 5 === 4L) assert(!out.contains(id), s"deleted $id survived")
+      else {
+        assert(out.contains(id))
+        if (id % 7 === 0L) assert(out(id) !== base(id), s"amended $id kept old fp")
+        else assert(out(id) === base(id))
+      }
+      if (id % 11 === 0L) assert(out(id + 300000L) === base(id), s"re-add $id missing")
+    }
+    assert(out.size === base.count(_._1 % 5 != 4) + base.count(_._1 % 11 == 0))
+  }
+
+  test("robustOutliers: MAD and outlier counts behave on a constructed distribution") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    // source A: 9 docs at 100 chars + one far outlier; MAD = 0 for the
+    // tight cluster is avoided by a ±1 spread
+    val rows = (0L until 9L).map(i => (i, "t", "en", "A", 100L + (i % 3) - 1L)) :+
+      ((9L, "t", "en", "A", 10000L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.robustOutliers(spark, tmp).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 10L)
+    assert(r.getAs[Double]("median_chars") === 100.0)
+    assert(r.getAs[Double]("mad_chars") === 1.0)
+    assert(r.getAs[Long]("n_outliers") === 1L) // only the 10000-char doc
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("chunkDocuments: windows cover every token; overlaps equal w−s; tails shortened") {
     import spark.implicits._
     val out = CorpusOps.chunkDocuments(spark, sf).collect()
