@@ -161,6 +161,7 @@ object SparkEntry {
     "q94_stream_bloom_gate" -> ((s, d) => graft.streaming.BloomGate.bloomReplayBatch(s, d)),
     "q95_snapshot_merge" -> ((s, d) => CorpusOps.snapshotMerge(s, d)),
     "q96_robust_outliers" -> ((s, d) => CorpusOps.robustOutliers(s, d)),
+    "q97_triangle_census" -> ((s, d) => Components.triangleStats(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1941,5 +1942,26 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev JOIN mad ON mad.source = dev.source
         |GROUP BY dev.source ORDER BY dev.source""".stripMargin,
+
+    // triangle census on the md5-LSH similarity graph at threshold 0.2:
+    // wedges joined on the common lower endpoint, closed by a left join
+    "q97_triangle_census" ->
+      s"""WITH $minHashCtesSql,
+         |ed AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |wg AS (
+         |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |  FROM ed e1 JOIN ed e2 ON e1.a = e2.a AND e1.b < e2.b),
+         |cnt AS (
+         |  SELECT count(*) AS n_wedges, count(e3.a) AS n_triangles
+         |  FROM wg LEFT JOIN ed e3 ON e3.a = wg.v AND e3.b = wg.w),
+         |ne AS (SELECT count(*) AS n_edges FROM ed)
+         |SELECT CAST(ne.n_edges AS BIGINT) AS n_edges,
+         |  CAST(cnt.n_wedges AS BIGINT) AS n_wedges,
+         |  CAST(cnt.n_triangles AS BIGINT) AS n_triangles,
+         |  CASE WHEN cnt.n_wedges = 0 THEN 0.0
+         |       ELSE round(CAST(cnt.n_triangles AS DOUBLE) / cnt.n_wedges, 4)
+         |         + 0.0
+         |  END AS wedge_closure
+         |FROM ne, cnt""".stripMargin,
   )
 }

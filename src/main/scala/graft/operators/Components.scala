@@ -125,4 +125,50 @@ object Components {
       .select($"doc_id", $"component", $"cluster_size")
       .orderBy($"doc_id")
   }
+
+  /** Triangle census of the similarity graph — the graph-analytics
+    * pattern beyond [[connectedComponents]]: how CLIQUISH is the near-dup
+    * structure (a triangle means three mutually-similar documents — a
+    * transcluster a pairwise threshold alone never shows). Edges are the
+    * q55 md5-family LSH pairs at a LOWER threshold (0.2) so organic
+    * similarity chains appear alongside the exact-dup twins.
+    *
+    * Algorithm: canonical u<v edges; wedges = edges joined on their
+    * common LOWER endpoint (u→v, u→w, v<w); triangles = wedges whose
+    * closing (v,w) edge exists — two self-equi-joins, no explosion
+    * beyond Σ deg(u)². At 100 TB scale the refinement is DEGREE
+    * orientation (point each edge at its higher-degree endpoint before
+    * the wedge join, bounding Σ deg² by edges^1.5) plus a
+    * `Guards.capHotKeys` on pathological hubs; id-orientation here keeps
+    * the oracle a two-line SQL mirror. Output is the one-row census:
+    * edges, ORIENTED wedges (neighbor pairs above the center in id
+    * order — each triangle contributes exactly one), triangles, and the
+    * oriented-wedge closure rate T/W. */
+  def triangleStats(spark: SparkSession, dir: String,
+                    threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    triangleCensus(
+      DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
+        .select($"a", $"b")) // already canonical a < b
+  }
+
+  /** The census core over any canonical (a < b) edge relation. */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val cached = graft.CacheGuard.barrier(edges)
+    val wedges = cached.as("e1").join(cached.as("e2"),
+        $"e1.a" === $"e2.a" && $"e1.b" < $"e2.b")
+      .select($"e1.a".as("u"), $"e1.b".as("v"), $"e2.b".as("w"))
+    // one pass over the wedges: LEFT join the closing edge, count both
+    val counts = wedges.join(cached.as("e3"),
+        $"v" === $"e3.a" && $"w" === $"e3.b", "left")
+      .agg(count(lit(1)).as("n_wedges"), count($"e3.a").as("n_triangles"))
+    cached.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(counts)
+      .select($"n_edges", $"n_wedges", $"n_triangles",
+        when($"n_wedges" === 0, lit(0.0))
+          .otherwise(round($"n_triangles".cast("double") / $"n_wedges", 4)
+            + lit(0.0))
+          .as("wedge_closure"))
+  }
 }

@@ -80,4 +80,27 @@ class ComponentsSpec extends SparkSpec {
       assert(size >= 1L && size <= 5L)
     }
   }
+
+  test("triangleCensus: hand graph — K4 minus an edge has 2 triangles; closure exact") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and (1,2,4)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val r = Components.triangleCensus(edges).collect().head
+    graft.CacheGuard.release()
+    assert(r.getAs[Long]("n_edges") === 5L)
+    // oriented wedges: center 1: (2,3),(2,4),(3,4); center 2: (3,4) → 4
+    assert(r.getAs[Long]("n_wedges") === 4L)
+    assert(r.getAs[Long]("n_triangles") === 2L)
+    assert(r.getAs[Double]("wedge_closure") === 0.5)
+  }
+
+  test("triangleStats: dup-graph census is internally consistent") {
+    val r = Components.triangleStats(spark, sf).collect().head
+    graft.CacheGuard.release()
+    assert(r.getAs[Long]("n_edges") > 0L)
+    assert(r.getAs[Long]("n_triangles") <= r.getAs[Long]("n_wedges"))
+    val (t, w) = (r.getAs[Long]("n_triangles"), r.getAs[Long]("n_wedges"))
+    if (w > 0) assert(math.abs(r.getAs[Double]("wedge_closure") - t.toDouble / w) < 1e-3)
+  }
 }
