@@ -162,6 +162,7 @@ object SparkEntry {
     "q95_snapshot_merge" -> ((s, d) => CorpusOps.snapshotMerge(s, d)),
     "q96_robust_outliers" -> ((s, d) => CorpusOps.robustOutliers(s, d)),
     "q97_triangle_census" -> ((s, d) => Components.triangleStats(s, d)),
+    "q98_pagerank" -> ((s, d) => Components.pageRankDocs(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1963,5 +1964,31 @@ object SparkEntry {
          |         + 0.0
          |  END AS wedge_closure
          |FROM ne, cnt""".stripMargin,
+
+    // integer-exact PageRank, 5 unrolled rounds: contrib = r // deg,
+    // r' = 150000 + (85 * Σ contrib) // 100 — BIGINT floor division is
+    // summation-order-free, so the hash match replays the whole iteration
+    "q98_pagerank" -> {
+      val rounds = (0 until 5).map { i =>
+        s"""c$i AS (SELECT r.node, r.r // d.deg AS c
+           |        FROM r$i r JOIN deg d USING (node)),
+           |r${i + 1} AS (
+           |  SELECT s.dst AS node,
+           |    CAST(150000 + (85 * sum(c.c)) // 100 AS BIGINT) AS r
+           |  FROM sym s JOIN c$i c ON c.node = s.src GROUP BY s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minHashCtesSql,
+         |ed AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |$rounds
+         |SELECT r5.node AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+         |  r5.r AS rank_ppm,
+         |  round(CAST(r5.r AS DOUBLE) / 1000000.0, 4) AS rank
+         |FROM r5 JOIN deg d USING (node)
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

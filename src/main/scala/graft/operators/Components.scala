@@ -171,4 +171,74 @@ object Components {
             + lit(0.0))
           .as("wedge_closure"))
   }
+
+  /** PageRank over the similarity graph — the "which document is the
+    * CENTER of its near-dup neighborhood" signal a keeper policy can rank
+    * by (degree alone over-rewards hub spam; rank weights a neighbor by
+    * its own importance). Mirrors the reference's dedup intent
+    * (parser_media_articles.py:83-84) taken from pairwise to global
+    * structure.
+    *
+    * INTEGER-EXACT power iteration so the DuckDB oracle replays it
+    * bit-for-bit: ranks live in millionths (r0 = 10^6 per node) and every
+    * update is BIGINT floor division —
+    *   contrib(n) = r(n) div deg(n)
+    *   r'(m)      = 150000 + (85 * Σ_{n→m} contrib(n)) div 100
+    * Float PageRank would hash-diverge on summation order between
+    * engines; integer division is order-free. The symmetrized graph has
+    * deg ≥ 1 everywhere (no dangling-mass term) and every node receives
+    * ≥ 1 contribution, so the inner join is total.
+    *
+    * Scale shape: same as [[connectedComponents]] — one shuffle per
+    * round keyed on node id, degrees computed once and re-joined, eager
+    * `localCheckpoint` per round cutting the plan tower, previous round's
+    * blocks released as the next materializes. Fixed `iters` (no
+    * convergence test) keeps it exactly replayable; rank mass drift per
+    * round is bounded by the floor losses (< deg total). */
+  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = deg.select($"node", lit(1000000L).as("r")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = ranks.join(deg, "node")
+        .select($"node", expr("r div deg").as("c"))
+      val next = sym.join(contribs, sym("src") === contribs("node"))
+        .groupBy($"dst")
+        .agg(sum($"c").as("s"))
+        .select($"dst".as("node"),
+          (lit(150000L) + expr("(85 * s) div 100")).as("r"))
+        .localCheckpoint() // eager: the round's one action
+      unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    unpersistCheckpoint(sym)
+    val out = ranks.join(deg, "node")
+      .select($"node", $"deg", $"r")
+    graft.CacheGuard.onRelease { () =>
+      unpersistCheckpoint(deg); unpersistCheckpoint(ranks)
+    }
+    out
+  }
+
+  /** Declared query: 5-round PageRank on the md5-LSH similarity graph at
+    * threshold 0.2 (same edges as [[triangleStats]]). Output: every node
+    * with its degree, integer rank in millionths, and the rank rescaled
+    * to a 4-decimal double (one division — engine-stable). */
+  def pageRankDocs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.2, iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    pageRank(
+        DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
+          .select($"a", $"b"), iters)
+      .select($"node".as("doc_id"), $"deg".as("degree"),
+        $"r".as("rank_ppm"),
+        round($"r".cast("double") / 1000000.0, 4).as("rank"))
+      .orderBy($"doc_id")
+  }
 }

@@ -95,6 +95,34 @@ class ComponentsSpec extends SparkSpec {
     assert(r.getAs[Double]("wedge_closure") === 0.5)
   }
 
+  test("pageRank: path graph 1-2-3, two rounds — integer-exact by hand") {
+    import spark.implicits._
+    // r0 = 1e6; deg = (1,2,1). Round 1: contribs (1e6, 5e5, 1e6) →
+    // r1 = (575000, 1850000, 575000). Round 2: contribs
+    // (575000, 925000, 575000) → r2 = (936250, 1127500, 936250).
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Components.pageRank(edges, iters = 2)
+      .orderBy("node").collect()
+    graft.CacheGuard.release()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ===
+      Seq((1L, 1L, 936250L), (2L, 2L, 1127500L), (3L, 1L, 936250L)))
+  }
+
+  test("pageRankDocs: rank mass stays near N and the output is exact-consistent") {
+    val rows = Components.pageRankDocs(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val mass = rows.map(_.getAs[Long]("rank_ppm")).sum
+    // floor losses only shrink mass, never grow it; drift stays small
+    assert(mass <= n * 1000000L && mass > (n * 1000000L * 9) / 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rank_ppm") > 0L)
+      assert(r.getAs[Double]("rank") ===
+        math.round(r.getAs[Long]("rank_ppm") / 100.0) / 10000.0)
+    }
+  }
+
   test("triangleStats: dup-graph census is internally consistent") {
     val r = Components.triangleStats(spark, sf).collect().head
     graft.CacheGuard.release()
