@@ -163,6 +163,7 @@ object SparkEntry {
     "q96_robust_outliers" -> ((s, d) => CorpusOps.robustOutliers(s, d)),
     "q97_triangle_census" -> ((s, d) => Components.triangleStats(s, d)),
     "q98_pagerank" -> ((s, d) => Components.pageRankDocs(s, d)),
+    "q99_cms_heavy_hitters" -> ((s, d) => Sketches.countMinHeavyHitters(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -1990,5 +1991,28 @@ object SparkEntry {
          |FROM r5 JOIN deg d USING (node)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Count-Min replay: bucket_r(t) = md5-32(t‖'#'‖r) mod 256; estimate =
+    // min over 4 rows of the colliding-bucket sums — exact BIGINT both sides
+    "q99_cms_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS t FROM documents),
+         |tc AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+         |sk AS (
+         |  SELECT r.r AS r,
+         |    ${h32("t || '#' || CAST(r.r AS VARCHAR)")} % 256 AS bucket,
+         |    CAST(sum(cnt) AS BIGINT) AS bsum
+         |  FROM tc CROSS JOIN range(0, 4) r(r) GROUP BY 1, 2),
+         |top AS (SELECT t, cnt FROM tc ORDER BY cnt DESC, t LIMIT 20),
+         |est AS (
+         |  SELECT top.t AS t, min(sk.bsum) AS cms
+         |  FROM top CROSS JOIN range(0, 4) r(r)
+         |  JOIN sk ON sk.r = r.r
+         |    AND sk.bucket = ${h32("top.t || '#' || CAST(r.r AS VARCHAR)")} % 256
+         |  GROUP BY 1)
+         |SELECT top.t AS token, CAST(top.cnt AS BIGINT) AS exact_cnt,
+         |  CAST(est.cms AS BIGINT) AS cms_est,
+         |  CAST(est.cms - top.cnt AS BIGINT) AS overest
+         |FROM top JOIN est USING (t)
+         |ORDER BY exact_cnt DESC, token""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.md5Hash32
@@ -70,5 +70,60 @@ object Sketches {
       .select($"hll_estimate", $"exact_distinct",
         round(abs($"hll_estimate" - $"exact_distinct") /
           $"exact_distinct".cast("double"), 4).as("rel_err"))
+  }
+
+  /** Count-Min sketch depth × width: 4 md5-salted hash rows over 256
+    * buckets (~1 KB of counters). Production would widen w to bound the
+    * ε=e/w overestimate; the audit regime keeps collisions VISIBLE so the
+    * overestimate column is non-trivially exercised. */
+  val cmsD = 4
+  val cmsW = 256
+
+  /** Count-Min heavy hitters over the document token stream, with the
+    * exact counts alongside — the "what are the top terms, cheaply"
+    * monitor plus its own error audit. CMS estimate of token t =
+    * min over rows r of Σ counts colliding in bucket_r(t); the estimate
+    * NEVER undercounts, so `overest ≥ 0` is a structural invariant (and
+    * the oracle hash-match replays every collision).
+    *
+    * Determinism: bucket_r(t) = md5-32(t ‖ '#' ‖ r) mod 256 — the shared
+    * q49/q55/q65 hash family, exact in both engines; all counters are
+    * BIGINT sums.
+    *
+    * Scale shape: the corpus is tokenized ONCE into the (token, cnt)
+    * relation — one shuffle with map-side combine — and both halves
+    * derive from it: the 4×256 sketch via a ×4 flatMap over DISTINCT
+    * tokens (tiny), and the exact top-k via TakeOrdered. Sketching from
+    * counts is algebraically identical to sketching the raw stream; a
+    * pipeline that only wants the sketch skips the token shuffle
+    * entirely and partial-aggregates (r, bucket) map-side to ≤1024 rows
+    * per partition — the q65 HLL pattern. The exact counts here are the
+    * audit half, not the product. */
+  def countMinHeavyHitters(spark: SparkSession, dir: String,
+                           k: Int = 20): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val tc = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select(explode(tokens($"text")).as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("cnt")))
+    val rows = spark.range(cmsD).select($"id".as("r"))
+    def bucket(tok: Column, r: Column): Column =
+      md5Hash32(concat(tok, lit("#"), r.cast("string"))) % cmsW
+    val sketch = tc.crossJoin(rows)
+      .groupBy($"r", bucket($"t", $"r").as("bucket"))
+      .agg(sum($"cnt").as("bsum"))
+    val top = tc.orderBy($"cnt".desc, $"t".asc).limit(k)
+    // re-alias the probe side's row index: the sketch is built from the
+    // same `rows` dataset, and unaliased reuse trips ambiguous-self-join
+    val probes = top.crossJoin(rows.select($"r".as("pr")))
+      .select($"t", $"cnt", $"pr", bucket($"t", $"pr").as("pbucket"))
+    probes.join(sketch,
+        probes("pr") === sketch("r") && probes("pbucket") === sketch("bucket"))
+      .groupBy($"t")
+      .agg(max($"cnt").as("exact_cnt"), min($"bsum").as("cms_est"))
+      .select($"t".as("token"), $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overest"))
+      .orderBy($"exact_cnt".desc, $"token".asc)
   }
 }

@@ -23,6 +23,26 @@ class SketchesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("countMinHeavyHitters: never undercounts, top token matches a direct count") {
+    import spark.implicits._
+    val rows = Sketches.countMinHeavyHitters(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(rows.length === 20)
+    // CMS structural invariant: estimate ≥ exact, overest is their gap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"))
+      assert(r.getAs[Long]("overest") ===
+        r.getAs[Long]("cms_est") - r.getAs[Long]("exact_cnt"))
+    }
+    val counts = rows.map(_.getAs[Long]("exact_cnt"))
+    assert(counts.sameElements(counts.sortBy(-_)))
+    val top = rows.head
+    val direct = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .filter($"t" === top.getAs[String]("token")).count()
+    assert(direct === top.getAs[Long]("exact_cnt"))
+  }
+
   test("hll register shape: buckets in [0, 256), rho in [1, 25]") {
     import spark.implicits._
     // rebuild the register relation exactly as the operator does
