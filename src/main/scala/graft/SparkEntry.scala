@@ -164,6 +164,7 @@ object SparkEntry {
     "q97_triangle_census" -> ((s, d) => Components.triangleStats(s, d)),
     "q98_pagerank" -> ((s, d) => Components.pageRankDocs(s, d)),
     "q99_cms_heavy_hitters" -> ((s, d) => Sketches.countMinHeavyHitters(s, d)),
+    "q100_scd2_history" -> ((s, d) => Relational.scd2History(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2014,5 +2015,32 @@ object SparkEntry {
          |  CAST(est.cms - top.cnt AS BIGINT) AS overest
          |FROM top JOIN est USING (t)
          |ORDER BY exact_cnt DESC, token""".stripMargin,
+
+    // SCD2: lead() closes each interval, row_number() versions it — both
+    // over the one (doc_id, seq) window
+    "q100_scd2_history" -> {
+      def fp(c: String) =
+        s"md5(regexp_replace(lower(trim($c)), '\\s+', ' ', 'g'))"
+      s"""WITH chg AS (
+         |  SELECT doc_id, 0 AS seq, ${fp("text")} AS fp FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 1, ${fp("text || ' rev1'")} FROM documents
+         |  WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 2, ${fp("text || ' rev2'")} FROM documents
+         |  WHERE doc_id % 21 = 0),
+         |ts AS (
+         |  SELECT doc_id, seq, fp,
+         |    DATE '2024-01-01' + CAST(seq*30 + doc_id % 7 AS INTEGER)
+         |      AS valid_from
+         |  FROM chg)
+         |SELECT doc_id, fp, valid_from,
+         |  lead(valid_from) OVER w AS valid_to,
+         |  (lead(valid_from) OVER w IS NULL) AS is_current,
+         |  CAST(row_number() OVER w AS BIGINT) AS version
+         |FROM ts
+         |WINDOW w AS (PARTITION BY doc_id ORDER BY seq)
+         |ORDER BY doc_id, version""".stripMargin
+    },
   )
 }

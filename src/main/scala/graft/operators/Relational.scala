@@ -333,4 +333,44 @@ object Relational {
       .filter($"n_docs" > 0)
       .orderBy($"source", $"lang")
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) history build: a keyed
+    * changelog becomes interval rows — `valid_from`/`valid_to` half-open
+    * ranges, `is_current` on the open row, a per-key `version` counter.
+    * The warehouse pattern behind every dimension table a reporting join
+    * (q12/q15-style) targets; complements q95's MERGE (which keeps only
+    * the LATEST state — SCD2 keeps the lineage).
+    *
+    * One window pass does everything: `lead(valid_from)` closes each
+    * interval, `row_number` versions it, and both ride the SAME
+    * (key, seq) window spec — one shuffle on doc_id, one sort, a single
+    * Window operator. At 100 TB the changelog is partitioned by key
+    * anyway (CDC topics are), so the exchange is the minimum possible.
+    *
+    * The changelog is derived deterministically from `documents`
+    * (every doc has a v0 row; doc_id % 7 = 0 revises at seq 1;
+    * doc_id % 21 = 0 again at seq 2 — in production it ARRIVES as CDC,
+    * same contract as [[CorpusOps.snapshotMerge]]). */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.fingerprint
+    val docs = Tables.documents(spark, dir)
+    def rev(seq: Int, suffix: Option[String], pred: org.apache.spark.sql.Column) =
+      docs.filter(pred).select(
+        $"doc_id", lit(seq).as("seq"),
+        fingerprint(suffix.fold[org.apache.spark.sql.Column]($"text")(s =>
+          concat($"text", lit(s)))).as("fp"))
+    val chg = rev(0, None, lit(true))
+      .unionByName(rev(1, Some(" rev1"), $"doc_id" % 7 === 0))
+      .unionByName(rev(2, Some(" rev2"), $"doc_id" % 21 === 0))
+      .select($"doc_id", $"seq", $"fp",
+        date_add(lit("2024-01-01").cast("date"),
+          ($"seq" * 30 + $"doc_id" % 7).cast("int")).as("valid_from"))
+    val w = Window.partitionBy($"doc_id").orderBy($"seq")
+    chg.select($"doc_id", $"fp", $"valid_from",
+        lead($"valid_from", 1).over(w).as("valid_to"),
+        lead($"valid_from", 1).over(w).isNull.as("is_current"),
+        row_number().over(w).cast("long").as("version"))
+      .orderBy($"doc_id", $"version")
+  }
 }

@@ -188,4 +188,28 @@ class RelationalSpec extends SparkSpec {
         r.getAs[Long]("count")).toMap
     assert(got === want)
   }
+
+  test("scd2History: versions dense, one current row per key, intervals chain half-open") {
+    val rows = Relational.scd2History(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(_.getAs[Long]("doc_id"))
+    byKey.foreach { case (_, hist) =>
+      val sorted = hist.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ===
+        (1L to hist.length.toLong))
+      assert(sorted.count(_.getAs[Boolean]("is_current")) === 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      sorted.sliding(2).foreach {
+        case Array(prev, next) =>
+          // half-open chaining: each closed interval ends where the next opens
+          assert(prev.getAs[java.sql.Date]("valid_to") ===
+            next.getAs[java.sql.Date]("valid_from"))
+          assert(!prev.getAs[Boolean]("is_current"))
+        case _ => ()
+      }
+    }
+    // revision rules actually fire: % 21 keys have 3 versions, % 7 two
+    val triple = byKey.filter(_._1 % 21 == 0)
+    if (triple.nonEmpty) assert(triple.values.forall(_.length === 3))
+  }
 }
