@@ -165,6 +165,7 @@ object SparkEntry {
     "q98_pagerank" -> ((s, d) => Components.pageRankDocs(s, d)),
     "q99_cms_heavy_hitters" -> ((s, d) => Sketches.countMinHeavyHitters(s, d)),
     "q100_scd2_history" -> ((s, d) => Relational.scd2History(s, d)),
+    "q101_funnel" -> ((s, d) => Relational.funnelReport(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2042,5 +2043,42 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY doc_id ORDER BY seq)
          |ORDER BY doc_id, version""".stripMargin
     },
+
+    // ordered funnel: three stacked cumulative mins over the one
+    // (user_id, ts, event_id) window, then per-user flags
+    "q101_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id, event_type AS et,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS v1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (
+        |  SELECT *, min(CASE WHEN et = 'click' AND ts > v1 THEN ts END)
+        |    OVER w AS c1
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT *, min(CASE WHEN et = 'purchase' AND ts > c1 THEN ts END)
+        |    OVER w AS p1
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN et = 'view' THEN 1 ELSE 0 END) AS f_view,
+        |    max(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END) AS f_click,
+        |    max(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END) AS f_purchase
+        |  FROM p GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(f_view) AS BIGINT) AS n_view,
+        |  CAST(sum(f_click) AS BIGINT) AS n_view_click,
+        |  CAST(sum(f_purchase) AS BIGINT) AS n_full_funnel,
+        |  CASE WHEN sum(f_view) = 0 THEN 0.0
+        |       ELSE round(CAST(sum(f_purchase) AS DOUBLE)
+        |                  / CAST(sum(f_view) AS DOUBLE), 4)
+        |  END AS view_to_purchase
+        |FROM u""".stripMargin,
   )
 }

@@ -373,4 +373,49 @@ object Relational {
         row_number().over(w).cast("long").as("version"))
       .orderBy($"doc_id", $"version")
   }
+
+  /** Ordered funnel (view → click → purchase, strictly later each step)
+    * over the event stream — the product-analytics query every event
+    * pipeline serves. A step counts only if it happens AFTER the previous
+    * step completed for that user: a click before the first view is not
+    * a funnel click.
+    *
+    * The whole funnel is THREE STACKED CUMULATIVE MINS over ONE window
+    * spec — (user_id, ts, event_id) rows-unbounded-preceding:
+    *   v1 = min ts of views so far; c1 = min ts of clicks with ts > v1;
+    *   p1 = min ts of purchases with ts > c1
+    * so the plan is one exchange on user_id + one sort + a Window chain,
+    * then a per-user flag aggregate. No self-joins (the naive
+    * events×events×events funnel join explodes at 100 TB); state per row
+    * is three timestamps. `event_id` tiebreaks equal timestamps so the
+    * cumulative prefix is a total order — identical in both engines. */
+  def funnelReport(spark: SparkSession, dir: String): DataFrame =
+    funnelOver(Tables.events(spark, dir))
+
+  /** The funnel core over any (user_id, ts, event_id, event_type) relation. */
+  def funnelOver(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flags = events
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("et"))
+      .withColumn("v1", min(when($"et" === "view", $"ts")).over(w))
+      .withColumn("c1", min(when($"et" === "click" && $"ts" > $"v1", $"ts")).over(w))
+      .withColumn("p1", min(when($"et" === "purchase" && $"ts" > $"c1", $"ts")).over(w))
+      .groupBy($"user_id")
+      .agg(
+        max(when($"et" === "view", 1).otherwise(0)).as("f_view"),
+        max($"c1".isNotNull.cast("int")).as("f_click"),
+        max($"p1".isNotNull.cast("int")).as("f_purchase"))
+    flags.agg(
+        count(lit(1)).as("n_users"),
+        sum($"f_view").as("n_view"),
+        sum($"f_click").as("n_view_click"),
+        sum($"f_purchase").as("n_full_funnel"))
+      .select($"n_users", $"n_view", $"n_view_click", $"n_full_funnel",
+        when($"n_view" === 0, lit(0.0))
+          .otherwise(round($"n_full_funnel".cast("double") /
+            $"n_view".cast("double"), 4))
+          .as("view_to_purchase"))
+  }
 }

@@ -212,4 +212,31 @@ class RelationalSpec extends SparkSpec {
     val triple = byKey.filter(_._1 % 21 == 0)
     if (triple.nonEmpty) assert(triple.values.forall(_.length === 3))
   }
+
+  test("funnelOver: order matters, strict timestamps, partial funnels counted per step") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // u1 completes; u2 clicks BEFORE its first view (not a funnel click);
+    // u3 skips the click step; u4's click ties the view ts (strict > drops it)
+    val events = Seq(
+      (1L, t(1), 101L, "view"), (1L, t(2), 102L, "click"), (1L, t(3), 103L, "purchase"),
+      (2L, t(1), 201L, "click"), (2L, t(2), 202L, "view"), (2L, t(3), 203L, "purchase"),
+      (3L, t(1), 301L, "view"), (3L, t(2), 302L, "purchase"),
+      (4L, t(1), 401L, "view"), (4L, t(1), 402L, "click"), (4L, t(2), 403L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Relational.funnelOver(events).head()
+    assert(r.getAs[Long]("n_users") === 4L)
+    assert(r.getAs[Long]("n_view") === 4L)
+    assert(r.getAs[Long]("n_view_click") === 1L)
+    assert(r.getAs[Long]("n_full_funnel") === 1L)
+    assert(r.getAs[Double]("view_to_purchase") === 0.25)
+  }
+
+  test("funnelReport: step counts are monotone non-increasing on real events") {
+    val r = Relational.funnelReport(spark, sf).head()
+    assert(r.getAs[Long]("n_users") >= r.getAs[Long]("n_view"))
+    assert(r.getAs[Long]("n_view") >= r.getAs[Long]("n_view_click"))
+    assert(r.getAs[Long]("n_view_click") >= r.getAs[Long]("n_full_funnel"))
+    assert(r.getAs[Long]("n_view") > 0L)
+  }
 }
