@@ -166,6 +166,7 @@ object SparkEntry {
     "q99_cms_heavy_hitters" -> ((s, d) => Sketches.countMinHeavyHitters(s, d)),
     "q100_scd2_history" -> ((s, d) => Relational.scd2History(s, d)),
     "q101_funnel" -> ((s, d) => Relational.funnelReport(s, d)),
+    "q102_zorder_layout" -> ((s, d) => Layout.zorderAudit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2080,5 +2081,19 @@ object SparkEntry {
         |                  / CAST(sum(f_view) AS DOUBLE), 4)
         |  END AS view_to_purchase
         |FROM u""".stripMargin,
+
+    // Morton interleave replayed bit-by-bit; blocks are the zkey >> 6 prefix
+    "q102_zorder_layout" ->
+      s"""WITH keyed AS (
+         |  SELECT user_id % 256 AS x,
+         |    CAST(dayofyear(ts) % 256 AS BIGINT) AS y
+         |  FROM events),
+         |z AS (SELECT x, y, ${Layout.zValueSql("x", "y")} AS zkey FROM keyed)
+         |SELECT zkey >> 6 AS zblock, count(*) AS n_rows,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max,
+         |  (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS span
+         |FROM z
+         |GROUP BY 1 ORDER BY zblock""".stripMargin,
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-LAYOUT operators: the write-side clustering keys that make the
+  * read side's file-skipping work. A 100 TB table is only as fast as the
+  * fraction of it a scan can SKIP; sorting by one column serves one
+  * predicate dimension, while a Z-order (Morton) key interleaves the bits
+  * of two dimensions so a range of z-values covers a bounded RECTANGLE in
+  * (x, y) — files clustered by zkey prune well under predicates on EITHER
+  * dimension (the Delta/Iceberg `ZORDER BY` idea, re-expressed as a plain
+  * codegen'd column).
+  */
+object Layout {
+
+  /** Morton-interleave the low `bits` bits of x (even positions) and y
+    * (odd positions). Pure shift/mask arithmetic — whole-stage-codegen'd,
+    * zero shuffle, and byte-identical in any engine with integer bit ops
+    * (the oracle replays it term by term). */
+  def zValue(x: Column, y: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The matching DuckDB expression, one source of truth per bit. */
+  def zValueSql(x: String, y: String, bits: Int = 8): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Declared query: Z-order locality audit over events on the two
+    * query dimensions (user bucket, day-of-year bucket). Each z-BLOCK
+    * (zkey >> 6 — the "file" a range-partitioned write would cut) reports
+    * its row count and its bounding rectangle in (x, y); `span` is the
+    * rectangle area, the file-skipping currency: a predicate on either
+    * dimension touches only blocks whose interval covers it, and small
+    * spans mean most blocks don't.
+    *
+    * Scale shape: zkey is per-row arithmetic inside the scan's codegen
+    * stage; the audit is ONE hash aggregate on zblock. The write path at
+    * scale is `repartitionByRange(zkey)` + sortWithinPartitions before
+    * the parquet write — range boundaries come from sampling, which is
+    * nondeterministic, so the AUDIT buckets by fixed zkey prefix instead
+    * (same geometry, exactly replayable). */
+  def zorderAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.events(spark, dir)
+      .select(($"user_id" % 256).as("x"),
+        (dayofyear($"ts") % 256).cast("long").as("y"))
+      .withColumn("zkey", zValue($"x", $"y"))
+    keyed
+      .groupBy(shiftright($"zkey", 6).as("zblock"))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"x").as("x_min"), max($"x").as("x_max"),
+        min($"y").as("y_min"), max($"y").as("y_max"))
+      .select($"zblock", $"n_rows", $"x_min", $"x_max", $"y_min", $"y_max",
+        (($"x_max" - $"x_min" + 1) * ($"y_max" - $"y_min" + 1)).as("span"))
+      .orderBy($"zblock")
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  /** Reference Morton interleave for the property check. */
+  private def morton(x: Long, y: Long, bits: Int = 8): Long =
+    (0 until bits).map { i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }.sum
+
+  test("zValue: hand value and property vs reference implementation") {
+    import spark.implicits._
+    assert(morton(5L, 3L) === 27L)
+    val rng = new scala.util.Random(42)
+    val pts = Seq.fill(200)((rng.nextInt(256).toLong, rng.nextInt(256).toLong))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.zValue($"x", $"y").as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("z") === morton(r.getAs[Long]("x"), r.getAs[Long]("y")))
+    }
+  }
+
+  test("zorderAudit: every z-block is an 8x8 tile and row mass is conserved") {
+    val rows = Layout.zorderAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // zkey >> 6 fixes all but 3 x-bits and 3 y-bits: an 8x8 rectangle
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") <= 7L)
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") <= 7L)
+      assert(r.getAs[Long]("span") <= 64L)
+    }
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total === Tables.events(spark, sf).count())
+  }
+}
