@@ -167,6 +167,7 @@ object SparkEntry {
     "q100_scd2_history" -> ((s, d) => Relational.scd2History(s, d)),
     "q101_funnel" -> ((s, d) => Relational.funnelReport(s, d)),
     "q102_zorder_layout" -> ((s, d) => Layout.zorderAudit(s, d)),
+    "q103_top_quality" -> ((s, d) => TextAnalysis.topQualityPerSource(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2095,5 +2096,30 @@ object SparkEntry {
          |  (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS span
          |FROM z
          |GROUP BY 1 ORDER BY zblock""".stripMargin,
+
+    // grouped top-k: the oracle states the WINDOW form; the engine's
+    // bounded-aggregate form must agree row-for-row (ties by doc_id)
+    "q103_top_quality" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS tk FROM documents),
+         |c AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    round(CASE WHEN n_tokens = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.6 +
+         |           (CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.4
+         |      END, 4) AS quality
+         |  FROM c),
+         |r AS (
+         |  SELECT source, doc_id, quality,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY quality DESC, doc_id) AS rank
+         |  FROM q)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, quality
+         |FROM r WHERE rank <= 3
+         |ORDER BY source, rank""".stripMargin,
   )
 }

@@ -35,6 +35,17 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** The q26 composite quality score as a column over (n_tokens, n_stop)
+    * — one source of truth for every quality-ranked operator. */
+  def qualityExpr(nTokens: org.apache.spark.sql.Column,
+                  nStop: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(
+      when(nTokens === 0, 0.0)
+        .otherwise(
+          least(lit(1.0), nTokens.cast("double") / 100.0) * 0.6 +
+          (nStop.cast("double") / greatest(nTokens, lit(1)).cast("double")) * 0.4),
+      4)
+
   /** Quality scoring: length, token, punctuation and stopword statistics
     * plus a composite score — the standard cheap pre-filter before
     * expensive dedup/model stages in a data pipeline. */
@@ -50,13 +61,37 @@ object TextAnalysis {
         $"n_tokens",
         $"n_punct",
         $"n_stop",
-        round(
-          when($"n_tokens" === 0, 0.0)
-            .otherwise(
-              least(lit(1.0), $"n_tokens".cast("double") / 100.0) * 0.6 +
-              ($"n_stop".cast("double") / greatest($"n_tokens", lit(1)).cast("double")) * 0.4),
-          4).as("quality"))
+        qualityExpr($"n_tokens", $"n_stop").as("quality"))
       .orderBy($"doc_id")
+  }
+
+  /** Grouped top-k WITHOUT a window: the best-k documents per source by
+    * the q26 quality score, ranked by the same bounded
+    * [[graft.functions.TopKAgg]] that serves ANN (score = quality,
+    * id = doc_id — the aggregator is score-agnostic).
+    *
+    * Why not `row_number() OVER (PARTITION BY source)`: the window
+    * shuffles EVERY scored document through the source exchange before
+    * the rank filter; the aggregator plans as ObjectHashAggregate with a
+    * partial mode, so each map partition forwards at most k candidates
+    * per source — the exchange carries O(partitions × sources × k) rows.
+    * For "top 3 of billions per source" that is the whole job. Tie order
+    * (quality DESC, doc_id ASC) matches the oracle's window exactly. */
+  def topQualityPerSource(spark: SparkSession, dir: String,
+                          k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop", stopwordCount(toks, stopwords).cast("long"))
+      .select($"source", $"doc_id",
+        qualityExpr($"n_tokens", $"n_stop").as("quality"))
+      .groupBy($"source")
+      .agg(graft.functions.TopK.topK(k)($"quality", $"doc_id").as("hits"))
+      .select($"source", posexplode($"hits"))
+      .select($"source", ($"pos" + 1).cast("long").as("rank"),
+        $"col.vec_id".as("doc_id"), $"col.cos_sim".as("quality"))
+      .orderBy($"source", $"rank")
   }
 
   /** Token counting per doc: whitespace tokens and a BPE-ish regex token

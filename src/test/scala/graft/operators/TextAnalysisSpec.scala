@@ -174,4 +174,30 @@ class TextAnalysisSpec extends SparkSpec {
     }
     out.foreach(r => assert(r.getAs[String]("pair").length === 2))
   }
+
+  test("topQualityPerSource: bounded-aggregate form agrees with the window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val got = TextAnalysis.topQualityPerSource(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("quality")))
+    val w = Window.partitionBy($"source").orderBy($"quality".desc, $"doc_id")
+    val scored = TextAnalysis.qualityScore(spark, sf)
+      .join(graft.Tables.documents(spark, sf).select($"doc_id", $"source"), "doc_id")
+    val want = scored
+      .select($"source", row_number().over(w).cast("long").as("rank"),
+        $"doc_id", $"quality")
+      .filter($"rank" <= 3)
+      .orderBy($"source", $"rank").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("quality")))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("topQualityPerSource: partial aggregation runs before the exchange") {
+    val plan = TextAnalysis.topQualityPerSource(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(!plan.toLowerCase.contains("window"))
+  }
 }
