@@ -168,6 +168,7 @@ object SparkEntry {
     "q101_funnel" -> ((s, d) => Relational.funnelReport(s, d)),
     "q102_zorder_layout" -> ((s, d) => Layout.zorderAudit(s, d)),
     "q103_top_quality" -> ((s, d) => TextAnalysis.topQualityPerSource(s, d)),
+    "q104_cms_join_card" -> ((s, d) => Sketches.cmsJoinCardinality(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2121,5 +2122,34 @@ object SparkEntry {
          |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, quality
          |FROM r WHERE rank <= 3
          |ORDER BY source, rank""".stripMargin,
+
+    // CMS inner-product join-size estimate vs the exact Σ cntL·cntR
+    "q104_cms_join_card" ->
+      s"""WITH l AS (SELECT user_id AS k, count(*) AS cnt FROM events
+         |           WHERE event_type = 'view' GROUP BY 1),
+         |r AS (SELECT user_id AS k, count(*) AS cnt FROM events
+         |      WHERE event_type = 'purchase' GROUP BY 1),
+         |ex AS (SELECT CAST(sum(l.cnt * r.cnt) AS BIGINT) AS exact_size
+         |       FROM l JOIN r USING (k)),
+         |skl AS (
+         |  SELECT rr.r AS r,
+         |    ${h32("CAST(k AS VARCHAR) || '#' || CAST(rr.r AS VARCHAR)")} % 256 AS bucket,
+         |    CAST(sum(cnt) AS BIGINT) AS s
+         |  FROM l CROSS JOIN range(0, 4) rr(r) GROUP BY 1, 2),
+         |skr AS (
+         |  SELECT rr.r AS r,
+         |    ${h32("CAST(k AS VARCHAR) || '#' || CAST(rr.r AS VARCHAR)")} % 256 AS bucket,
+         |    CAST(sum(cnt) AS BIGINT) AS s
+         |  FROM r CROSS JOIN range(0, 4) rr(r) GROUP BY 1, 2),
+         |ip AS (
+         |  SELECT a.r, CAST(sum(a.s * b.s) AS BIGINT) AS ip
+         |  FROM skl a JOIN skr b ON a.r = b.r AND a.bucket = b.bucket
+         |  GROUP BY 1),
+         |est AS (SELECT min(ip) AS cms_estimate FROM ip)
+         |SELECT ex.exact_size, est.cms_estimate,
+         |  est.cms_estimate - ex.exact_size AS overest,
+         |  round(CAST(est.cms_estimate - ex.exact_size AS DOUBLE)
+         |        / CAST(ex.exact_size AS DOUBLE), 4) AS rel_err
+         |FROM ex, est""".stripMargin,
   )
 }

@@ -126,4 +126,45 @@ object Sketches {
         ($"cms_est" - $"exact_cnt").as("overest"))
       .orderBy($"exact_cnt".desc, $"token".asc)
   }
+
+  /** Join-cardinality estimation by Count-Min inner product — the
+    * cost-model primitive: |L ⋈ R on k| = Σ_k cntL(k)·cntR(k), estimated
+    * as min over the 4 hash rows of Σ_b skL[r][b]·skR[r][b] WITHOUT
+    * touching the join. Collisions only ever ADD mass, so the estimate
+    * upper-bounds the exact size (`overest ≥ 0` structural, AMS/CMS
+    * classic). Sides here: view events vs purchase events on user_id —
+    * both genuinely multi-valued, so the product term is non-trivial.
+    *
+    * Scale shape: each side's sketch is 4×256 BIGINTs buildable map-side
+    * in one pass (partial agg on (r, bucket) — the q65 HLL collapse);
+    * estimating a join across 100 TB then costs two ~8 KB sketch merges
+    * and never shuffles either input. The exact Σ cnt·cnt per-key join
+    * alongside is the audit half. */
+  def cmsJoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def sideCounts(t: String) =
+      Tables.events(spark, dir).filter($"event_type" === t)
+        .groupBy($"user_id".as("k")).agg(count(lit(1)).as("cnt"))
+    val lhs = graft.CacheGuard.barrier(sideCounts("view"))
+    val rhs = graft.CacheGuard.barrier(sideCounts("purchase"))
+    val exact = lhs.join(rhs.withColumnRenamed("cnt", "cnt2"), "k")
+      .agg(sum($"cnt" * $"cnt2").as("exact_size"))
+    def sketchOf(side: DataFrame): DataFrame = {
+      val rows = side.sparkSession.range(cmsD).select($"id".as("r"))
+      side.crossJoin(rows)
+        .groupBy($"r",
+          (md5Hash32(concat($"k".cast("string"), lit("#"),
+            $"r".cast("string"))) % cmsW).as("bucket"))
+        .agg(sum($"cnt").as("s"))
+    }
+    val est = sketchOf(lhs).as("a").join(sketchOf(rhs).as("b"),
+        $"a.r" === $"b.r" && $"a.bucket" === $"b.bucket")
+      .groupBy($"a.r").agg(sum($"a.s" * $"b.s").as("ip"))
+      .agg(min($"ip").as("cms_estimate"))
+    exact.crossJoin(est)
+      .select($"exact_size", $"cms_estimate",
+        ($"cms_estimate" - $"exact_size").as("overest"),
+        round(($"cms_estimate" - $"exact_size").cast("double") /
+          $"exact_size".cast("double"), 4).as("rel_err"))
+  }
 }

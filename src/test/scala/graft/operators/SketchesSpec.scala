@@ -43,6 +43,23 @@ class SketchesSpec extends SparkSpec {
     assert(direct === top.getAs[Long]("exact_cnt"))
   }
 
+  test("cmsJoinCardinality: estimate upper-bounds the exact join size") {
+    import spark.implicits._
+    val r = Sketches.cmsJoinCardinality(spark, sf).head()
+    graft.CacheGuard.release()
+    val exact = r.getAs[Long]("exact_size")
+    val est = r.getAs[Long]("cms_estimate")
+    assert(exact > 0L)
+    assert(est >= exact)
+    assert(r.getAs[Long]("overest") === est - exact)
+    // sanity of the audit half: exact = actual row count of the join
+    val ev = Tables.events(spark, sf)
+    val joined = ev.filter($"event_type" === "view").select($"user_id")
+      .join(ev.filter($"event_type" === "purchase").select($"user_id"), "user_id")
+      .count()
+    assert(exact === joined)
+  }
+
   test("hll register shape: buckets in [0, 256), rho in [1, 25]") {
     import spark.implicits._
     // rebuild the register relation exactly as the operator does
