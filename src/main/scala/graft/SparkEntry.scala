@@ -169,6 +169,7 @@ object SparkEntry {
     "q102_zorder_layout" -> ((s, d) => Layout.zorderAudit(s, d)),
     "q103_top_quality" -> ((s, d) => TextAnalysis.topQualityPerSource(s, d)),
     "q104_cms_join_card" -> ((s, d) => Sketches.cmsJoinCardinality(s, d)),
+    "q105_incr_agg" -> ((s, d) => CorpusOps.incrementalAggMaintenance(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2151,5 +2152,20 @@ object SparkEntry {
          |  round(CAST(est.cms_estimate - ex.exact_size AS DOUBLE)
          |        / CAST(ex.exact_size AS DOUBLE), 4) AS rel_err
          |FROM ex, est""".stripMargin,
+
+    // the IVM theorem stated directly: the oracle recomputes the summary
+    // from the v2 snapshot; the engine maintains it as agg(v1) ⊕ Δ
+    "q105_incr_agg" ->
+      """WITH v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2-edit' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 5 <> 4
+        |  UNION ALL
+        |  SELECT doc_id + 300000, source, text FROM documents
+        |  WHERE doc_id % 11 = 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_len
+        |FROM v2 GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -396,6 +396,49 @@ object CorpusOps {
     untouched.unionByName(upserts).orderBy($"doc_id")
   }
 
+  /** Incremental AGGREGATE maintenance: keep a per-source summary
+    * (doc count, total text length) current under the q95 changelog
+    * WITHOUT rescanning the base corpus — removals retract their
+    * contribution, edits contribute the length diff, inserts add theirs;
+    * the maintained rows are base ⊕ delta. The oracle recomputes the
+    * summary from the v2 snapshot DIRECTLY, so the hash match is the
+    * incremental-view-maintenance theorem: merge(agg(v1), Δ) ≡ agg(v2) —
+    * count and sum are the self-maintainable algebra (max/min are not;
+    * they'd need the q95 merge + re-agg path on deletes).
+    *
+    * Plan shape at 100 TB: agg(v1) is the ALREADY-MATERIALIZED summary
+    * table (derived here once for the demonstration); the incremental
+    * cost is one shuffle of the Δ rows — O(changes), not O(corpus).
+    * Change rules mirror [[snapshotMerge]]: %5=4 removed, %7=0 edited
+    * (+' v2-edit'), %11=0 inserted as doc_id+300000. */
+  def incrementalAggMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source", $"text")
+    val base = docs.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"), sum(length($"text")).as("sum_len"))
+    val removed = docs.filter($"doc_id" % 5 === 4)
+      .select($"source", lit(-1L).as("d_docs"),
+        (-length($"text")).cast("long").as("d_len"))
+    val edited = docs.filter($"doc_id" % 5 =!= 4 && $"doc_id" % 7 === 0)
+      .select($"source", lit(0L).as("d_docs"),
+        (length(concat($"text", lit(" v2-edit"))) - length($"text"))
+          .cast("long").as("d_len"))
+    val inserted = docs.filter($"doc_id" % 11 === 0)
+      .select($"source", lit(1L).as("d_docs"),
+        length($"text").cast("long").as("d_len"))
+    val delta = removed.unionByName(edited).unionByName(inserted)
+      .groupBy($"source")
+      .agg(sum($"d_docs").as("d_docs"), sum($"d_len").as("d_len"))
+    base.join(delta, Seq("source"), "full_outer")
+      .select($"source",
+        (coalesce($"n_docs", lit(0L)) + coalesce($"d_docs", lit(0L)))
+          .as("n_docs"),
+        (coalesce($"sum_len", lit(0L)) + coalesce($"d_len", lit(0L)))
+          .as("sum_len"))
+      .filter($"n_docs" > 0) // a fully-retracted group vanishes, as in a recompute
+      .orderBy($"source")
+  }
+
   /** Robust per-source outlier report: median absolute deviation (MAD)
     * of `n_chars`, flagging docs past 3 robust standard deviations
     * (3 × 1.4826 × MAD — the literal 4.4478 is shared with the oracle so

@@ -277,4 +277,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1, s"shard sizes $sizes")
     assert(out.map(_.getAs[Long]("shard")).distinct.sorted.toSeq === (0L to 9L))
   }
+
+  test("incrementalAggMaintenance ≡ recomputing the summary from the v2 snapshot") {
+    import spark.implicits._
+    val got = CorpusOps.incrementalAggMaintenance(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_len")))
+    // recompute in-engine from the same change rules
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"source", $"text")
+    val v2 = docs.filter($"doc_id" % 5 =!= 4)
+      .select($"doc_id", $"source",
+        when($"doc_id" % 7 === 0, concat($"text", lit(" v2-edit")))
+          .otherwise($"text").as("text"))
+      .unionByName(docs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"), $"source", $"text"))
+    val want = v2.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length($"text")), lit(0L)).as("sum_len"))
+      .orderBy($"source").collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_len")))
+    assert(got.toSeq === want.toSeq)
+  }
 }
