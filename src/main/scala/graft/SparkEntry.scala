@@ -170,6 +170,7 @@ object SparkEntry {
     "q103_top_quality" -> ((s, d) => TextAnalysis.topQualityPerSource(s, d)),
     "q104_cms_join_card" -> ((s, d) => Sketches.cmsJoinCardinality(s, d)),
     "q105_incr_agg" -> ((s, d) => CorpusOps.incrementalAggMaintenance(s, d)),
+    "q106_fuzzy_link" -> ((s, d) => RecordLinkage.fuzzyLinkParts(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2167,5 +2168,31 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_len
         |FROM v2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // blocked fuzzy link: block on first word + length band, verify
+    // levenshtein ≤ 2 — both engines' textbook edit distance agree
+    "q106_fuzzy_link" ->
+      """WITH names AS (
+        |  SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS name_id
+        |  FROM part GROUP BY p_name),
+        |dict AS (
+        |  SELECT name_id, p_name, string_split(p_name, ' ')[1] AS block,
+        |    length(p_name) AS len
+        |  FROM names),
+        |dirty AS (
+        |  SELECT name_id + 500000 AS variant_id,
+        |    substr(p_name, 1, length(p_name)-2)
+        |      || substr(p_name, length(p_name), 1) AS vname
+        |  FROM names),
+        |db AS (
+        |  SELECT variant_id, vname, string_split(vname, ' ')[1] AS vblock,
+        |    length(vname) AS vlen
+        |  FROM dirty)
+        |SELECT name_id, p_name, variant_id, vname,
+        |  CAST(levenshtein(p_name, vname) AS BIGINT) AS dist
+        |FROM dict JOIN db
+        |  ON block = vblock AND abs(len - vlen) <= 2
+        |WHERE levenshtein(p_name, vname) <= 2
+        |ORDER BY name_id, variant_id""".stripMargin,
   )
 }
