@@ -131,7 +131,12 @@ object Bench {
         System.err.println(s"[bench] WARM-UP FAILED: ${e.getClass.getName}: ${e.getMessage}")
     }
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
-    val results = measure(spark, sfDir, SparkEntry.queries, reps)
+    // local-iteration filter (same contract as Verify): SPARK_GRAFT_ONLY=q20,q55
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val results = measure(spark, sfDir, selected, reps)
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("bench_health.json"),
       renderFull(results, reps, sfDir) + "\n")

@@ -171,6 +171,9 @@ object SparkEntry {
     "q104_cms_join_card" -> ((s, d) => Sketches.cmsJoinCardinality(s, d)),
     "q105_incr_agg" -> ((s, d) => CorpusOps.incrementalAggMaintenance(s, d)),
     "q106_fuzzy_link" -> ((s, d) => RecordLinkage.fuzzyLinkParts(s, d)),
+    "q107_cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
+    "q108_grouped_hll" -> ((s, d) => Sketches.groupedHllDistinct(s, d)),
+    "q109_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2194,5 +2197,88 @@ object SparkEntry {
         |  ON block = vblock AND abs(len - vlen) <= 2
         |WHERE levenshtein(p_name, vname) <= 2
         |ORDER BY name_id, variant_id""".stripMargin,
+
+    // weeks are date_trunc Mondays in both engines; offsets are exact
+    // day-diffs // 7 (both operands week-truncated → exact multiples)
+    "q107_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+        |cells AS (
+        |  SELECT cohort_wk, wk_offset, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM (
+        |    SELECT DISTINCT f.cohort_wk,
+        |      datediff('day', f.cohort_wk, ev.wk) // 7 AS wk_offset,
+        |      ev.user_id
+        |    FROM ev JOIN f USING (user_id))
+        |  GROUP BY cohort_wk, wk_offset),
+        |sizes AS (
+        |  SELECT cohort_wk, n_active AS cohort_size FROM cells
+        |  WHERE wk_offset = 0)
+        |SELECT c.cohort_wk, c.wk_offset, c.n_active, s.cohort_size,
+        |  round(c.n_active / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+        |FROM cells c JOIN sizes s USING (cohort_wk)
+        |ORDER BY cohort_wk, wk_offset""".stripMargin,
+
+    // q65's register math verbatim with event_type in every grouping key
+    "q108_grouped_hll" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ${h32("CAST(user_id AS VARCHAR)")} AS hv FROM events),
+         |r AS (
+         |  SELECT event_type, hv // 16777216 AS bucket,
+         |    CASE WHEN hv % 16777216 = 0 THEN 25
+         |         ELSE 25 - (CAST(floor(log2(hv % 16777216)) AS BIGINT) + 1)
+         |    END AS rho
+         |  FROM h),
+         |regs AS (
+         |  SELECT event_type, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+         |a AS (
+         |  SELECT event_type, count(*) AS present,
+         |    sum(power(2.0, -reg)) AS sinv
+         |  FROM regs GROUP BY event_type),
+         |e AS (
+         |  SELECT event_type,
+         |    (0.7213 / (1.0 + 1.079 / ${Sketches.hllM}))
+         |      * ${Sketches.hllM}.0 * ${Sketches.hllM}.0
+         |      / (sinv + (${Sketches.hllM} - present)) AS e_raw,
+         |    ${Sketches.hllM} - present AS v
+         |  FROM a),
+         |est AS (
+         |  SELECT event_type,
+         |    round(CASE WHEN e_raw <= ${2.5 * Sketches.hllM} AND v > 0
+         |      THEN ${Sketches.hllM}.0 * ln(${Sketches.hllM}.0 / v)
+         |      ELSE e_raw END, 4) AS hll_estimate
+         |  FROM e),
+         |ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+         |  FROM events GROUP BY event_type)
+         |SELECT event_type, hll_estimate, exact_distinct,
+         |  round(abs(hll_estimate - exact_distinct)
+         |    / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+         |FROM est JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+
+    // Spark `percentile` and DuckDB `quantile_cont` share the R-7 linear
+    // interpolation; divisions are rounded before ceil so a one-ulp
+    // disagreement cannot flip the integer salt factor
+    "q109_skew_profile" ->
+      """WITH kc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |    quantile_cont(cnt, 0.5) AS p50d,
+        |    quantile_cont(cnt, 0.99) AS p99d
+        |  FROM kc)
+        |SELECT n_keys, n_rows, max_cnt,
+        |  round(p50d, 4) AS p50, round(p99d, 4) AS p99,
+        |  round(CAST(max_cnt AS DOUBLE) / p50d, 4) AS skew_ratio,
+        |  greatest(1, CAST(ceil(round(CAST(max_cnt AS DOUBLE) / p99d, 6))
+        |    AS BIGINT)) AS salt_factor
+        |FROM s""".stripMargin,
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product-analytics operators over the event stream — the reporting
+  * queries the reference's ingest feeds downstream (SURVEY.md §2.6's
+  * reporting family taken to its standard warehouse forms). Both are
+  * pure keyed-aggregation shapes: no windows over the raw stream, no
+  * driver-side loops, deterministic output order.
+  */
+object Analytics {
+
+  /** Weekly cohort retention — the canonical activation/retention matrix:
+    * users are assigned to the week of their FIRST event (the cohort),
+    * and each (cohort, week-offset) cell counts the cohort's users still
+    * active that many weeks later, with the retention rate against the
+    * cohort's size.
+    *
+    * Scale shape (100 TB of events):
+    *   - the per-user first-week table is ONE user-keyed aggregation with
+    *     map-side partial `min` — the only pass that sees every event row
+    *     twice is avoided by joining events back on the SAME user_id key,
+    *     so the exchange from the first aggregate is reusable and no
+    *     broadcast of an O(users) table is ever attempted;
+    *   - the (cohort, offset, user) DISTINCT collapses multiple events per
+    *     user-week map-side before its exchange (partial aggregation on
+    *     the distinct key);
+    *   - cohort sizes come from the retained table itself (offset 0 holds
+    *     every cohort member by construction), an O(cohorts) relation that
+    *     broadcasts back — the event stream is never re-scanned.
+    *
+    * Weeks are `date_trunc('week', ts)` Mondays in both engines; offsets
+    * are exact day-diffs divided by 7 (both operands week-truncated, so
+    * the division is exact integer arithmetic). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+    val first = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    val cells = ev.join(first, "user_id")
+      .select($"cohort_wk",
+        (datediff($"wk", $"cohort_wk") / 7).cast("long").as("wk_offset"),
+        $"user_id")
+      .distinct()
+      .groupBy($"cohort_wk", $"wk_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter($"wk_offset" === 0)
+      .select($"cohort_wk", $"n_active".as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_wk")
+      .select($"cohort_wk", $"wk_offset", $"n_active", $"cohort_size",
+        round($"n_active".cast("double") / $"cohort_size".cast("double"), 4)
+          .as("retention"))
+      .orderBy($"cohort_wk", $"wk_offset")
+  }
+
+  /** Key-skew diagnostic — the pre-join health check a pipeline runs
+    * before shuffling 100 TB on a key: per-key frequency distribution of
+    * `orders.o_custkey` (count, max, p50/p99 quantiles), the max/median
+    * skew ratio, and the salt factor a [[SkewJoin]]-style mitigation
+    * would need (`ceil(max / p99)` — how many ways the hottest key must
+    * split to look like a merely-99th-percentile key).
+    *
+    * Scale shape: the per-key count is one keyed aggregation with
+    * map-side combine; every downstream stat runs on the O(distinct
+    * keys) count table, never the fact table. The quantiles here are
+    * EXACT `percentile` over that reduced table — at 100 TB with a
+    * billion-key domain the one-line swap is `percentile_approx`
+    * (the q52→q68 exact→sketch pattern); the shape is otherwise
+    * unchanged. Division results are rounded to 6 decimals before `ceil`
+    * so a one-ulp cross-engine difference cannot flip the integer. */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kc = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+    kc.agg(
+        count(lit(1)).as("n_keys"),
+        sum($"cnt").as("n_rows"),
+        max($"cnt").as("max_cnt"),
+        expr("percentile(cnt, 0.5D)").as("p50d"),
+        expr("percentile(cnt, 0.99D)").as("p99d"))
+      .select(
+        $"n_keys", $"n_rows", $"max_cnt",
+        round($"p50d", 4).as("p50"),
+        round($"p99d", 4).as("p99"),
+        round($"max_cnt".cast("double") / $"p50d", 4).as("skew_ratio"),
+        greatest(lit(1L),
+          ceil(round($"max_cnt".cast("double") / $"p99d", 6)).cast("long"))
+          .as("salt_factor"))
+  }
+}

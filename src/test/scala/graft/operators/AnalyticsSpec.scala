@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("cohortRetention: offset-0 cells cover every user once; retention ≤ 1 and starts at 1") {
+    val rows = Analytics.cohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val zero = rows.filter(_.getAs[Long]("wk_offset") == 0L)
+    // every cohort has its own offset-0 row, with retention exactly 1
+    val cohorts = rows.map(_.getAs[java.sql.Date]("cohort_wk")).distinct
+    assert(zero.map(_.getAs[java.sql.Date]("cohort_wk")).distinct.length ===
+      cohorts.length)
+    zero.foreach(r => assert(r.getAs[Double]("retention") === 1.0))
+    // offset-0 cells partition the user base: sizes sum to distinct users
+    val users = Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(zero.map(_.getAs[Long]("cohort_size")).sum === users)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Double]("retention") <= 1.0)
+      assert(r.getAs[Long]("wk_offset") >= 0L)
+    }
+  }
+
+  test("cohortRetention: a cohort's later-week actives never exceed an earlier week is NOT required, but cells are distinct-user counts") {
+    // retention can rebound (a user skips a week and returns); what IS
+    // invariant: each cell counts each user at most once, so n_active is
+    // bounded by the cohort size — checked above — and the matrix is
+    // deterministic across runs
+    val a = Analytics.cohortRetention(spark, sf).collect().toSeq
+    val b = Analytics.cohortRetention(spark, sf).collect().toSeq
+    assert(a === b)
+  }
+
+  test("skewProfile: stats agree with a direct computation of the key-count table") {
+    val r = Analytics.skewProfile(spark, sf).head()
+    val kc = Tables.orders(spark, sf).groupBy(col("o_custkey")).count()
+      .collect().map(_.getAs[Long]("count")).sorted
+    assert(r.getAs[Long]("n_keys") === kc.length.toLong)
+    assert(r.getAs[Long]("n_rows") === kc.sum)
+    assert(r.getAs[Long]("max_cnt") === kc.max)
+    assert(r.getAs[Long]("salt_factor") >= 1L)
+    assert(r.getAs[Double]("skew_ratio") >= 1.0)
+    // p50/p99 sit inside the observed count range
+    assert(r.getAs[Double]("p50") >= kc.min.toDouble)
+    assert(r.getAs[Double]("p99") <= kc.max.toDouble)
+  }
+
+  test("groupedHllDistinct: per-group estimates land in the p=8 error regime") {
+    val rows = Sketches.groupedHllDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("hll_estimate")
+      val exact = r.getAs[Long]("exact_distinct")
+      assert(exact > 0L && est > 0.0)
+      assert(r.getAs[Double]("rel_err") < 0.25,
+        s"${r.getAs[String]("event_type")}: $est vs $exact")
+    }
+    // grouped estimates are independent per group: the register math for
+    // one group never sees another group's users, so each group's rel_err
+    // matches the global hllDistinct run on just that slice — spot-check
+    // by summing exact counts against the ungrouped distinct-total bound
+    val total = Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("exact_distinct")).max <= total)
+  }
+}
