@@ -174,6 +174,8 @@ object SparkEntry {
     "q107_cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
     "q108_grouped_hll" -> ((s, d) => Sketches.groupedHllDistinct(s, d)),
     "q109_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
+    "q110_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
+    "q111_pmi_pairs" -> ((s, d) => TextAnalysis.pmiTopPairs(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2280,5 +2282,66 @@ object SparkEntry {
         |  greatest(1, CAST(ceil(round(CAST(max_cnt AS DOUBLE) / p99d, 6))
         |    AS BIGINT)) AS salt_factor
         |FROM s""".stripMargin,
+
+    // q71's micro-nat quantization over λ-interpolated bigram
+    // probabilities; the λ constants are interpolated from the Scala side
+    // so the two engines cannot drift
+    "q110_bigram_logprob" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |toks AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+         |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c1
+         |        FROM toks GROUP BY term),
+         |t AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM uni),
+         |bgs AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(tk) - 1, 0) + 1),
+         |    i -> array_to_string(tk[i:i+1], ' '))) AS bg
+         |  FROM tk),
+         |big AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+         |        FROM bgs GROUP BY bg),
+         |u AS (
+         |  SELECT doc_id,
+         |    CAST(floor(ln(
+         |      ${TextAnalysis.bigramLambda} * (CAST(c2 AS DOUBLE) / u1.c1)
+         |      + ${1.0 - TextAnalysis.bigramLambda}
+         |        * (CAST(u2.c1 AS DOUBLE) / total)) * 1e6 + 0.5)
+         |      AS BIGINT) AS u
+         |  FROM bgs JOIN big USING (bg)
+         |  JOIN uni u1 ON u1.term = string_split(bg, ' ')[1]
+         |  JOIN uni u2 ON u2.term = string_split(bg, ' ')[2]
+         |  CROSS JOIN t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(u) AS DOUBLE) / count(*) / 1e6, 4) + 0.0
+         |    AS mean_logprob
+         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // document-level PMI over sorted-distinct capped token sets; the
+    // oracle generates pairs by self-join where the engine fans out
+    // per-row — identical candidate sets because both slice the same
+    // canonical (sorted, capped) list
+    "q111_pmi_pairs" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id,
+         |    list_slice(list_sort(list_distinct($toksSql)), 1,
+         |      ${TextAnalysis.pmiTokenCap}) AS ts
+         |  FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |tokd AS (SELECT doc_id, unnest(ts) AS t FROM dt),
+         |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+         |       FROM tokd GROUP BY t),
+         |pc AS (
+         |  SELECT x.t AS a, y.t AS b, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM tokd x JOIN tokd y
+         |    ON x.doc_id = y.doc_id AND x.t < y.t
+         |  GROUP BY a, b
+         |  HAVING count(*) >= ${TextAnalysis.pmiMinSupport})
+         |SELECT pc.a, pc.b, n_ab, da.df AS df_a, db.df AS df_b,
+         |  round(ln(CAST(n_ab AS DOUBLE) * n_docs
+         |    / (CAST(da.df AS DOUBLE) * db.df)), 4) AS pmi
+         |FROM pc
+         |JOIN df da ON da.t = pc.a
+         |JOIN df db ON db.t = pc.b
+         |CROSS JOIN n
+         |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
   )
 }

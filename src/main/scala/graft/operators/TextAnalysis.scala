@@ -301,4 +301,108 @@ object TextAnalysis {
       .orderBy($"n".desc, $"pair")
       .limit(topN)
   }
+
+  /** Interpolated-bigram LM interpolation weight, shared with the q110
+    * oracle SQL. */
+  val bigramLambda = 0.7
+
+  /** Interpolated bigram language-model scoring — [[unigramLogProb]]'s
+    * λ-interpolated second-order form (Jelinek–Mercer smoothing): each
+    * document's mean log of `λ·P(w₂|w₁) + (1−λ)·P(w₂)` under the
+    * corpus's own counts. The backoff term keeps unseen-in-context words
+    * finite; a real pipeline thresholds on the score exactly like the
+    * unigram gate, with ~1 nat better separation on fluent text.
+    *
+    * Scale shape: ONE tokenize pass behind a cache barrier feeds all
+    * three count relations (unigram, bigram, per-doc probe); counts are
+    * keyed aggregations with map-side combine (shuffle O(vocab) and
+    * O(bigram vocab)); the per-doc pass joins the probe to the two count
+    * relations on their natural keys — the q71/q50 dimension-join shape.
+    * At 100 TB you drop the barrier and re-tokenize (CPU is cheaper than
+    * caching a corpus); the plan is otherwise identical. Cross-engine
+    * float discipline is q71's: each bigram's log-probability is
+    * quantized to integer micro-nats before the per-doc sum, so the
+    * aggregation is exact BIGINT; only the mean is rounded. Documents
+    * with <2 tokens have no bigrams and drop out (documented; the oracle
+    * does the same). */
+  def bigramLogProb(spark: SparkSession, dir: String,
+                    lambda: Double = bigramLambda): DataFrame = {
+    import spark.implicits._
+    val tk = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir).select($"doc_id", tokens($"text").as("tk")))
+    val toks = tk.select(explode($"tk").as("term"))
+    val uni = toks.groupBy($"term").agg(count(lit(1)).as("c1"))
+    val total = uni.select(sum($"c1").as("total"))
+    val docBg = tk.select($"doc_id", explode(wordShingles($"tk", 2)).as("bg"))
+    val big = docBg.groupBy($"bg").agg(count(lit(1)).as("c2"))
+    val u1 = uni.select($"term".as("w1"), $"c1".as("c1a"))
+    val u2 = uni.select($"term".as("w2"), $"c1".as("c1b"))
+    val p = lit(lambda) * ($"c2".cast("double") / $"c1a") +
+      lit(1.0 - lambda) * ($"c1b".cast("double") / $"total")
+    docBg.join(big, "bg")
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .withColumn("w2", substring_index($"bg", " ", -1))
+      .join(u1, "w1")
+      .join(u2, "w2")
+      .crossJoin(broadcast(total))
+      .select($"doc_id",
+        floor(log(p) * 1e6 + lit(0.5)).cast("long").as("u"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"u").as("units"))
+      .select($"doc_id", $"n_bigrams",
+        (round($"units".cast("double") / $"n_bigrams".cast("double") / 1e6, 4)
+          + lit(0.0)).as("mean_logprob"))
+      .orderBy($"doc_id")
+  }
+
+  /** PMI support threshold and per-doc distinct-token cap, shared with
+    * the q111 oracle SQL. */
+  val pmiMinSupport = 5
+  val pmiTokenCap = 15
+
+  /** Top collocations by pointwise mutual information — the
+    * phrase-mining / tokenizer-vocabulary signal: which token pairs
+    * co-occur in documents far more often than their independent rates
+    * predict (`PMI = ln(N·c(a,b) / (df(a)·df(b)))`, document-level
+    * probabilities).
+    *
+    * Scale shape: per-document candidate sets are DISTINCT tokens,
+    * sorted and CAPPED per row ([[pmiTokenCap]]) — so the pair fan-out
+    * is a per-row expression bounded by cap²/2 pairs per document, never
+    * a per-doc self-join shuffle and never quadratic in document length.
+    * Document frequencies and pair counts are keyed aggregations with
+    * map-side combine; the support filter ([[pmiMinSupport]]) cuts the
+    * pair table BEFORE its dimension joins; top-N is TakeOrdered. The
+    * sorted-distinct cap is the determinism contract: both engines slice
+    * the same canonical token list, so capping never disagrees. */
+  def pmiTopPairs(spark: SparkSession, dir: String,
+                  cap: Int = pmiTokenCap, minSupport: Int = pmiMinSupport,
+                  topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    val dt = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select($"doc_id",
+          slice(array_sort(array_distinct(tokens($"text"))), 1, cap).as("ts")))
+    val nDocs = Tables.documents(spark, dir)
+      .select(count(lit(1)).as("n_docs"))
+    val df_ = dt.select(explode($"ts").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("df"))
+    // all i<j pairs of the sorted-distinct capped set, per row: element i
+    // (0-based) pairs with the slice starting at 1-based position i+2
+    val pairs = dt.select(explode(flatten(transform($"ts", (x, i) =>
+        transform(slice($"ts", i + lit(2), size($"ts")),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= minSupport)
+    pairs
+      .join(df_.select($"t".as("a"), $"df".as("df_a")), "a")
+      .join(df_.select($"t".as("b"), $"df".as("df_b")), "b")
+      .crossJoin(broadcast(nDocs))
+      .select($"a", $"b", $"n_ab", $"df_a", $"df_b",
+        round(log($"n_ab".cast("double") * $"n_docs" /
+          ($"df_a".cast("double") * $"df_b")), 4).as("pmi"))
+      .orderBy($"pmi".desc, $"a", $"b")
+      .limit(topN)
+  }
 }

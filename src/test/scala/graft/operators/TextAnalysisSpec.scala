@@ -200,4 +200,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"))
     assert(!plan.toLowerCase.contains("window"))
   }
+
+  test("bigramLogProb: every scored doc has n_tokens-1 bigrams and a negative mean") {
+    import spark.implicits._
+    val got = TextAnalysis.bigramLogProb(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(got.nonEmpty)
+    val nTok = graft.Tables.documents(spark, sf)
+      .select($"doc_id", size(graft.functions.TextFunctions.tokens($"text"))
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") === nTok(id) - 1)
+      // probabilities are < 1, so every mean log-probability is negative
+      assert(r.getAs[Double]("mean_logprob") < 0.0)
+    }
+    // docs with <2 tokens cannot be scored and must be absent, not zeroed
+    val short = nTok.filter(_._2 < 2).keySet
+    assert(got.forall(r => !short(r.getAs[Long]("doc_id"))))
+  }
+
+  test("bigramLogProb: interpolation keeps scores at or above the pure-unigram floor scaled by 1-λ") {
+    // λ·P(w2|w1) + (1-λ)·P(w2) ≥ (1-λ)·P(w2): each bigram's interpolated
+    // probability is bounded below by the scaled unigram term, so the
+    // bigram mean can undercut the unigram mean by at most ln(1-λ)
+    val bi = TextAnalysis.bigramLogProb(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_logprob")).toMap
+    graft.CacheGuard.release()
+    val uniRows = TextAnalysis.unigramLogProb(spark, sf).collect()
+    val floorGap = math.log(1.0 - TextAnalysis.bigramLambda) - 0.01
+    uniRows.filter(r => bi.contains(r.getAs[Long]("doc_id"))).foreach { r =>
+      val u = r.getAs[Double]("mean_logprob")
+      val b = bi(r.getAs[Long]("doc_id"))
+      // not a tight bound (bigram drops the doc's FIRST token from its
+      // unigram average) — allow slack for that one-token shift
+      assert(b > u + floorGap - 1.0,
+        s"doc ${r.getAs[Long]("doc_id")}: bigram $b vs unigram $u")
+    }
+  }
+
+  test("pmiTopPairs: PMI recomputes from the reported counts; no pair below support") {
+    val got = TextAnalysis.pmiTopPairs(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(got.nonEmpty && got.length <= 20)
+    val n = graft.Tables.documents(spark, sf).count().toDouble
+    got.foreach { r =>
+      val pmi = math.log(
+        r.getAs[Long]("n_ab").toDouble * n /
+          (r.getAs[Long]("df_a").toDouble * r.getAs[Long]("df_b")))
+      assert(math.abs(pmi - r.getAs[Double]("pmi")) < 1e-3)
+      assert(r.getAs[Long]("n_ab") >= TextAnalysis.pmiMinSupport)
+      // pairs come from a sorted set, so (a, b) is canonical
+      assert(r.getAs[String]("a") < r.getAs[String]("b"))
+    }
+    // descending by pmi (ties broken by pair, both deterministic)
+    val ps = got.map(_.getAs[Double]("pmi"))
+    assert(ps.sameElements(ps.sortBy(-_)))
+  }
+
+  test("pmiTopPairs: per-row fan-out — no per-doc self-join in the plan") {
+    val plan = TextAnalysis.pmiTopPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    graft.CacheGuard.release()
+    // pair generation is Generate (explode of the per-row combination
+    // array); the only joins are the two O(vocab) dimension joins and the
+    // broadcast count — never a doc_id-keyed self-join of the token table
+    assert(plan.contains("Generate"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }
