@@ -176,6 +176,8 @@ object SparkEntry {
     "q109_skew_profile" -> ((s, d) => Analytics.skewProfile(s, d)),
     "q110_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     "q111_pmi_pairs" -> ((s, d) => TextAnalysis.pmiTopPairs(s, d)),
+    "q112_hard_negatives" -> ((s, d) => AnnSearch.hardNegatives(s, d)),
+    "q113_embed_outliers" -> ((s, d) => AnnSearch.embeddingOutliers(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2343,5 +2345,59 @@ object SparkEntry {
          |JOIN df db ON db.t = pc.b
          |CROSS JOIN n
          |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
+
+    // q42's window form restricted to different-label candidates; the
+    // engine's TopKAgg orders by (rounded cos_sim DESC, vec_id) — the
+    // same total order as the oracle's row_number
+    "q112_hard_negatives" ->
+      s"""WITH a AS (
+         |  SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT a.q_id, a.q_label, e.vec_id,
+         |    ${cosSql("e.embedding", "a.qe")} AS cos_sim
+         |  FROM embeddings e, a WHERE e.label <> a.q_label),
+         |r AS (
+         |  SELECT q_id, q_label, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rk
+         |  FROM s WHERE NOT isnan(cos_sim))
+         |SELECT q_id, q_label, rk, vec_id, cos_sim FROM r WHERE rk <= 5
+         |ORDER BY q_id, rk""".stripMargin,
+
+    // distance to the q51 centroid (rounded means ARE the model), then
+    // per-label z from exact integer micro-unit sums — HUGEINT here,
+    // decimal on the engine side, identical integers either way
+    "q113_embed_outliers" ->
+      """WITH cent AS (
+        |  SELECT label, e.dim AS dim, round(avg(e.v), 4) + 0.0 AS mean_val
+        |  FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'dim': CAST(i AS BIGINT),
+        |            'v': CAST(embedding[i] AS DOUBLE)})) AS e
+        |    FROM embeddings)
+        |  GROUP BY label, e.dim),
+        |ca AS (
+        |  SELECT label, list(mean_val ORDER BY dim) AS c
+        |  FROM cent GROUP BY label),
+        |d AS (
+        |  SELECT vec_id, e.label,
+        |    CAST(floor(sqrt(list_sum(list_transform(
+        |      range(1, len(embedding) + 1),
+        |      i -> (CAST(embedding[i] AS DOUBLE) - c[i])
+        |         * (CAST(embedding[i] AS DOUBLE) - c[i])))) * 1e6 + 0.5)
+        |      AS BIGINT) AS u
+        |  FROM embeddings e JOIN ca USING (label)),
+        |st AS (
+        |  SELECT label, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(u AS HUGEINT)) AS su,
+        |    sum(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS su2
+        |  FROM d GROUP BY label)
+        |SELECT vec_id, label,
+        |  round(CAST(u AS DOUBLE) / 1e6, 4) + 0.0 AS dist,
+        |  round(CAST(n * u - su AS DOUBLE)
+        |    / sqrt(CAST(n * su2 - su * su AS DOUBLE)), 4) + 0.0 AS z
+        |FROM d JOIN st USING (label)
+        |ORDER BY z DESC, vec_id LIMIT 20""".stripMargin,
   )
 }

@@ -597,4 +597,89 @@ object AnnSearch {
       .orderBy($"adc_dist2", $"vec_id")
       .limit(topK)
   }
+
+  /** Hard-negative mining — the contrastive-training data job: for each
+    * anchor (every `step`-th stored vector), the top-k most-similar
+    * vectors with a DIFFERENT label. High-cosine different-label pairs
+    * are exactly the "hard" negatives a retrieval/embedding trainer
+    * wants in its batches (easy random negatives teach nothing).
+    *
+    * Scale shape: [[batchTopK]]'s exactly — anchors broadcast, corpus
+    * scanned once, per-anchor candidates pre-reduced by the bounded
+    * [[graft.functions.TopKAgg]] buffer map-side (ObjectHashAggregate
+    * partials), so the only exchange carries O(partitions × anchors × k)
+    * buffers. The label filter runs before scoring, so same-label rows
+    * never even pay the cosine. NaN policy is q42's: zero-norm vectors
+    * are unscorable and excluded. */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    step: Int = 50, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter($"vec_id" % step === 0)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("qe"))
+    emb.crossJoin(broadcast(anchors))
+      .filter($"label" =!= $"q_label")
+      .select($"q_id", $"q_label", $"vec_id",
+        round(cosine($"embedding", $"qe"), 4).as("cos_sim"))
+      .filter(!isnan($"cos_sim"))
+      .groupBy($"q_id", $"q_label")
+      .agg(graft.functions.TopK.topK(k)($"cos_sim", $"vec_id").as("hits"))
+      .select($"q_id", $"q_label", posexplode($"hits"))
+      .select($"q_id", $"q_label", ($"pos" + 1).cast("int").as("rk"),
+        $"col.vec_id".as("vec_id"), $"col.cos_sim".as("cos_sim"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** Embedding-space outlier detection — the corpus-hygiene pass that
+    * flags vectors far from their own label's centroid (mislabeled rows,
+    * embedding-model failures, adversarial junk): per-label z-scores of
+    * the Euclidean distance to the [[centroidsByLabel]] centroid, top-N
+    * by z.
+    *
+    * Scale shape: the centroid model is an O(labels × dim) relation —
+    * built by one partial-aggregated shuffle (q51's), collapsed to a
+    * dim-ordered array per label, and BROADCAST back, so the corpus is
+    * scanned once with pure per-row distance work (index-ordered
+    * [[graft.functions.VectorFunctions.dot]] fold — the q22 cosine
+    * machinery — no explode of the corpus). Per-label distance stats are
+    * one more keyed aggregation; the top-N is TakeOrdered.
+    *
+    * Cross-engine float discipline: distances are quantized to integer
+    * micro-units per row (q71's trick), so the per-label sums are EXACT
+    * integers (decimal-typed — Spark long sums would overflow at corpus
+    * scale, and the oracle's HUGEINT must see identical values); the
+    * z-score is derived from those exact sums in one pinned expression
+    * (`(n·u − Σu) / √(n·Σu² − (Σu)²)` — integer numerator/radicand, one
+    * division, rounded), immune to row-order float drift in both
+    * engines. */
+  def embeddingOutliers(spark: SparkSession, dir: String,
+                        topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    val cent = centroidsByLabel(spark, dir)
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"mean_val"))),
+        x => x("mean_val")).as("c"))
+    val dists = Tables.embeddings(spark, dir)
+      .join(broadcast(cent), "label")
+      .select($"vec_id", $"label",
+        sqrt(dot(zip_with($"embedding", $"c", (x, m) => x.cast("double") - m),
+          zip_with($"embedding", $"c", (x, m) => x.cast("double") - m)))
+          .as("dist"))
+      .select($"vec_id", $"label",
+        floor($"dist" * 1e6 + lit(0.5)).cast("long").as("u"))
+    val cached = graft.CacheGuard.barrier(dists)
+    val stats = cached.groupBy($"label").agg(
+      count(lit(1)).as("n"),
+      sum($"u".cast("decimal(28,0)")).as("su"),
+      sum(($"u" * $"u").cast("decimal(38,0)")).as("su2"))
+    cached.join(broadcast(stats), "label")
+      .select($"vec_id", $"label",
+        (round($"u".cast("double") / 1e6, 4) + lit(0.0)).as("dist"),
+        (round(($"n".cast("decimal(38,0)") * $"u" - $"su").cast("double") /
+          sqrt(($"n".cast("decimal(38,0)") * $"su2" - $"su" * $"su")
+            .cast("double")), 4) + lit(0.0)).as("z"))
+      .orderBy($"z".desc, $"vec_id")
+      .limit(topN)
+  }
 }

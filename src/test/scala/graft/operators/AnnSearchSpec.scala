@@ -281,4 +281,70 @@ class AnnSearchSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("hardNegatives: no anchor ever receives a same-label or NaN candidate") {
+    import spark.implicits._
+    val rows = AnnSearch.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("vec_id")) !== r.getAs[Int]("q_label"))
+      assert(!r.getAs[Double]("cos_sim").isNaN)
+      assert(r.getAs[Int]("rk") >= 1 && r.getAs[Int]("rk") <= 5)
+    }
+    // within an anchor, similarity is non-increasing by rank — the whole
+    // point of "hard" negatives is the head of this order
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos_sim"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("hardNegatives: partial TopKAgg, no window over the corpus") {
+    val plan = AnnSearch.hardNegatives(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("embeddingOutliers: z-scores recompute from the label's distance population") {
+    import spark.implicits._
+    val got = AnnSearch.embeddingOutliers(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(got.length > 0 && got.length <= 20)
+    // z descending, and every reported dist non-negative
+    val zs = got.map(_.getAs[Double]("z"))
+    assert(zs.sameElements(zs.sortBy(-_)))
+    got.foreach(r => assert(r.getAs[Double]("dist") >= 0.0))
+    // top outlier's z agrees with a direct two-pass computation over its label
+    val top = got.head
+    val cent = AnnSearch.centroidsByLabel(spark, sf)
+      .filter($"label" === top.getAs[Int]("label"))
+      .orderBy($"dim").collect().map(_.getAs[Double]("mean_val"))
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .filter($"label" === top.getAs[Int]("label"))
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.zip(cent).map { case (x, m) =>
+          val d = x.toDouble - m; d * d }.sum)
+    val us = vecs.map { case (id, d2) =>
+      id -> math.floor(math.sqrt(d2) * 1e6 + 0.5).toLong }
+    val n = us.length.toDouble
+    val su = us.map(_._2.toDouble).sum
+    val su2 = us.map(u => u._2.toDouble * u._2).sum
+    val u = us.toMap.apply(top.getAs[Long]("vec_id")).toDouble
+    val z = (n * u - su) / math.sqrt(n * su2 - su * su)
+    assert(math.abs(z - top.getAs[Double]("z")) < 1e-2,
+      s"direct $z vs reported ${top.getAs[Double]("z")}")
+  }
+
+  test("embeddingOutliers: centroid model broadcasts — corpus is never exploded or cartesian-joined") {
+    val plan = AnnSearch.embeddingOutliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    graft.CacheGuard.release()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
