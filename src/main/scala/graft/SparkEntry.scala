@@ -178,6 +178,8 @@ object SparkEntry {
     "q111_pmi_pairs" -> ((s, d) => TextAnalysis.pmiTopPairs(s, d)),
     "q112_hard_negatives" -> ((s, d) => AnnSearch.hardNegatives(s, d)),
     "q113_embed_outliers" -> ((s, d) => AnnSearch.embeddingOutliers(s, d)),
+    "q114_setsim_join" -> ((s, d) => DedupOps.setSimJoin(s, d)),
+    "q115_weighted_sample" -> ((s, d) => CorpusOps.weightedSample(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2399,5 +2401,44 @@ object SparkEntry {
         |    / sqrt(CAST(n * su2 - su * su AS DOUBLE)), 4) + 0.0 AS z
         |FROM d JOIN st USING (label)
         |ORDER BY z DESC, vec_id LIMIT 20""".stripMargin,
+
+    // the oracle states the NAIVE form (any shared token → exact Jaccard
+    // ≥ τ); the engine's rarest-first prefix filter is lossless, so the
+    // hash match proves no pair was dropped. τ is the exact rational
+    // num/den — integer threshold test in both engines.
+    "q114_setsim_join" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |dt AS (
+         |  SELECT doc_id, list_sort(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 2, 0) + 1),
+         |    i -> array_to_string(tk[i:i+2], ' ')))) AS ts
+         |  FROM base WHERE len(tk) >= 3),
+         |tok AS (SELECT doc_id, unnest(ts) AS t FROM dt),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT da, db,
+         |    CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS inter,
+         |    CAST(len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))
+         |      AS BIGINT) AS union_sz
+         |  FROM cand
+         |  JOIN dt x ON x.doc_id = da
+         |  JOIN dt y ON y.doc_id = db)
+         |SELECT da AS doc_a, db AS doc_b, inter, union_sz,
+         |  round(inter / CAST(union_sz AS DOUBLE), 4) AS jaccard
+         |FROM j
+         |WHERE inter * ${DedupOps.setSimTauDen}
+         |  >= union_sz * ${DedupOps.setSimTauNum}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Efraimidis–Spirakis keys from the shared md5-32 uniform; the key is
+    // rounded to 8 decimals with a doc_id tiebreak before the top-k cut
+    "q115_weighted_sample" ->
+      s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |  round(ln((${h32("CAST(doc_id AS VARCHAR)")} + 0.5) / 4294967296.0)
+         |    / n_chars, 8) AS ks
+         |FROM documents WHERE n_chars > 0
+         |ORDER BY ks DESC, doc_id LIMIT 100""".stripMargin,
   )
 }

@@ -139,6 +139,34 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Weighted reservoir sample (Efraimidis–Spirakis A-ES, 2006): keep the
+    * k rows with the largest `u^(1/w)` — equivalently the largest
+    * `ln(u)/w` — where `w` is the row's weight (document length here:
+    * longer documents carry proportionally more training tokens, so a
+    * token-budget sample should prefer them ∝ w) and `u ∈ (0,1)` is the
+    * row's deterministic hash uniform. Inclusion probability is exactly
+    * weight-proportional without ever materializing Σw; like q49/q66 the
+    * hash-derived `u` (never `rand()`) makes the sample reproducible
+    * row-for-row across runs, engines, and repartitioning.
+    *
+    * Scale shape: per-row expression work + TakeOrderedAndProject — the
+    * q66 bottom-k pattern: each partition keeps its local top-k sort
+    * keys, the single reduce merges O(partitions × k) rows, the corpus
+    * is never globally sorted. The sort key is rounded to 8 decimals
+    * with a doc_id tiebreak so a one-ulp `ln` disagreement between
+    * engines cannot reorder the cut. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"n_chars" > 0)
+      .select($"doc_id", $"n_chars".as("w"),
+        round(
+          log((md5Hash32($"doc_id".cast("string")).cast("double") + 0.5) /
+            4294967296.0) / $"n_chars", 8).as("ks"))
+      .orderBy($"ks".desc, $"doc_id")
+      .limit(k)
+  }
+
   /** Per-source corpus profile — the data-quality dashboard a pipeline
     * gates ingestion on: volume, mean/median length, emptiness rate.
     * Median is EXACT `percentile` (interpolated), matching DuckDB's

@@ -605,4 +605,71 @@ object DedupOps {
           lit(threshold) * $"n_spans".cast("double")).as("flagged"))
       .orderBy($"doc_id")
   }
+
+  /** Set-similarity Jaccard threshold as an exact rational (3/5 = 0.6),
+    * shared with the q114 oracle — integer comparisons only, no float
+    * threshold anywhere. */
+  val setSimTauNum = 3
+  val setSimTauDen = 5
+
+  /** Exact set-similarity self-join with PREFIX FILTERING (SSJoin /
+    * PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008): all
+    * document pairs whose distinct 3-token-SHINGLE Jaccard ≥ τ, found
+    * WITHOUT an all-pairs comparison. Shingle sets (not word sets — a
+    * small vocabulary saturates word sets and makes every pair "similar")
+    * are globally ordered rarest-first (document frequency ascending); a
+    * pair with J ≥ τ must share an element within each side's first
+    * `n − ⌈τ·n⌉ + 1` elements of that order, so only prefix-element
+    * blocks generate candidates — and the prefix holds each document's
+    * RAREST shingles, so blocks are small by construction. The filter is
+    * LOSSLESS: the oracle states the naive any-shared-element +
+    * exact-Jaccard form and the hash match proves no pair was dropped.
+    *
+    * Scale shape: element df is one keyed aggregation; the rarest-first
+    * re-sort is a per-doc collect over its own elements (bounded by doc
+    * length); candidate generation shuffles ONLY prefix elements (≈ 40%
+    * at τ=0.6, each rare); verification joins the O(candidates) pair
+    * table back to the doc→element-array relation on doc id and runs
+    * per-row `array_intersect`. Everything integer: the prefix length
+    * uses `⌈τn⌉ = ⌊(3n+4)/5⌋` and the threshold test is
+    * `den·inter ≥ num·union`, so no float can flip a boundary pair.
+    * Duplicate families DO concentrate in one block (all copies share
+    * their rare shingles) — that is genuine work, not accidental skew;
+    * AQE skew-join splits it at cluster scale. */
+  def setSimJoin(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val dt = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select($"doc_id",
+          array_sort(array_distinct(wordShingles(tokens($"text"), n))).as("ts"))
+        .filter(size($"ts") > 0))
+    val dfreq = dt.select(explode($"ts").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("df"))
+    // rarest-first order: per-doc token list re-sorted by (global df, token)
+    val ord = dt.select($"doc_id", explode($"ts").as("t")).join(dfreq, "t")
+      .groupBy($"doc_id")
+      .agg(transform(array_sort(collect_list(struct($"df", $"t"))),
+          x => x("t")).as("ots"),
+        count(lit(1)).as("n"))
+    // prefix length p = n − ⌈τn⌉ + 1, in exact integer arithmetic
+    val p = ($"n" - floor(($"n" * setSimTauNum + (setSimTauDen - 1)) /
+      lit(setSimTauDen.toDouble)) + 1).cast("int")
+    val pref = ord.select($"doc_id", explode(slice($"ots", lit(1), p)).as("pt"))
+    val cand = pref.select($"doc_id".as("da"), $"pt")
+      .join(pref.select($"doc_id".as("db"), $"pt"), "pt")
+      .filter($"da" < $"db")
+      .select($"da", $"db").distinct()
+    cand
+      .join(dt.select($"doc_id".as("da"), $"ts".as("ta")), "da")
+      .join(dt.select($"doc_id".as("db"), $"ts".as("tb")), "db")
+      .select($"da".as("doc_a"), $"db".as("doc_b"),
+        size(array_intersect($"ta", $"tb")).cast("long").as("inter"),
+        (size($"ta") + size($"tb") - size(array_intersect($"ta", $"tb")))
+          .cast("long").as("union_sz"))
+      .filter($"inter" * setSimTauDen >= $"union_sz" * setSimTauNum)
+      .select($"doc_a", $"doc_b", $"inter", $"union_sz",
+        round($"inter".cast("double") / $"union_sz".cast("double"), 4)
+          .as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

@@ -299,4 +299,33 @@ class CorpusOpsSpec extends SparkSpec {
         r.getAs[Long]("n_docs"), r.getAs[Long]("sum_len")))
     assert(got.toSeq === want.toSeq)
   }
+
+  test("weightedSample: keys recompute from the hash uniform; cut is the global top-k") {
+    import spark.implicits._
+    val got = CorpusOps.weightedSample(spark, sf, k = 50).collect()
+    assert(got.length === 50)
+    // recompute every doc's A-ES key and check the reported 50 ARE the top 50
+    val all = graft.Tables.documents(spark, sf)
+      .filter($"n_chars" > 0)
+      .select($"doc_id",
+        graft.functions.TextFunctions.md5Hash32($"doc_id".cast("string"))
+          .as("h"), $"n_chars")
+      .collect()
+      .map { r =>
+        val ks = math.log((r.getLong(1) + 0.5) / 4294967296.0) / r.getLong(2)
+        (r.getLong(0), math.rint(ks * 1e8) / 1e8)
+      }
+    val want = all.sortBy { case (id, ks) => (-ks, id) }.take(50).map(_._1).toSeq
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === want)
+    got.foreach { r =>
+      val direct = all.toMap.apply(r.getAs[Long]("doc_id"))
+      assert(math.abs(r.getAs[Double]("ks") - direct) < 1e-7)
+    }
+  }
+
+  test("weightedSample: top-k is TakeOrdered — the corpus is never globally sorted") {
+    val plan = CorpusOps.weightedSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
 }

@@ -355,4 +355,40 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("setSimJoin: prefix filter is lossless against a brute-force Jaccard sweep") {
+    import spark.implicits._
+    val got = DedupOps.setSimJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("union_sz"))).toSet
+    graft.CacheGuard.release()
+    // brute force: all pairs of shingle sets, exact Jaccard ≥ 3/5
+    val sets = graft.Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions
+        .wordShingles(graft.functions.TextFunctions.tokens($"text"), 3).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1)
+    val want = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (a, sa) = sets(i); (b, sb) = sets(j)
+      inter = (sa & sb).size.toLong
+      un = (sa | sb).size.toLong
+      if inter * DedupOps.setSimTauDen >= un * DedupOps.setSimTauNum
+    } yield (a, b, inter, un)).toSet
+    assert(got === want)
+  }
+
+  test("setSimJoin: every reported pair meets the τ threshold exactly as stated") {
+    val rows = DedupOps.setSimJoin(spark, sf).collect()
+    graft.CacheGuard.release()
+    rows.foreach { r =>
+      val inter = r.getAs[Long]("inter"); val un = r.getAs[Long]("union_sz")
+      assert(inter * DedupOps.setSimTauDen >= un * DedupOps.setSimTauNum)
+      assert(math.abs(r.getAs[Double]("jaccard") -
+        math.round(inter.toDouble / un * 1e4) / 1e4) < 1e-9)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
 }
