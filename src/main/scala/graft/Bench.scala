@@ -123,6 +123,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the iterative operators (q48/q98/q116) release localCheckpoint
+    // blocks on purpose; the per-release WARN would land in the stdout
+    // tail the driver parses for the one JSON line
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm up the JVM/codegen/shuffle machinery once so the first measured
     // query reflects the operator, not session spin-up. A warm-up failure
     // is loudly reported — it would taint every number that follows.

@@ -180,6 +180,10 @@ object SparkEntry {
     "q113_embed_outliers" -> ((s, d) => AnnSearch.embeddingOutliers(s, d)),
     "q114_setsim_join" -> ((s, d) => DedupOps.setSimJoin(s, d)),
     "q115_weighted_sample" -> ((s, d) => CorpusOps.weightedSample(s, d)),
+    "q116_communities" -> ((s, d) => Components.communities(s, d)),
+    "q117_bpe_train" -> ((s, d) => TextAnalysis.bpeTrainMerges(s, d)),
+    "q118_event_transitions" -> ((s, d) => Analytics.eventTransitions(s, d)),
+    "q119_hll_merge" -> ((s, d) => Sketches.hllMergeAudit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2440,5 +2444,135 @@ object SparkEntry {
          |    / n_chars, 8) AS ks
          |FROM documents WHERE n_chars > 0
          |ORDER BY ks DESC, doc_id LIMIT 100""".stripMargin,
+
+    // synchronous LPA unrolled: the engine's argmax is
+    // max(struct(cnt, -lbl)) — identical total order to the oracle's
+    // row_number(ORDER BY cnt DESC, lbl)
+    "q116_communities" -> {
+      val rounds = (0 until 3).map { i =>
+        s"""n$i AS (
+           |  SELECT s.dst, l.lbl, count(*) AS cnt
+           |  FROM sym s JOIN l$i l ON l.node = s.src
+           |  GROUP BY s.dst, l.lbl),
+           |l${i + 1} AS (
+           |  SELECT dst AS node, lbl FROM (
+           |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+           |      ORDER BY cnt DESC, lbl) AS rk
+           |    FROM n$i) z WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minHashCtesSql,
+         |ed AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+         |$rounds,
+         |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+         |       FROM l3 GROUP BY lbl)
+         |SELECT l3.node AS doc_id, l3.lbl AS community, sz.community_size
+         |FROM l3 JOIN sz USING (lbl)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // three unrolled BPE rounds; both engines merge with the SAME builtin
+    // `replace` (literal, leftmost-non-overlapping), so every round's
+    // corpus state is bit-identical
+    "q117_bpe_train" -> {
+      val rounds = (0 until TextAnalysis.bpeTrainRounds).map { i =>
+        s"""p$i AS (
+           |  SELECT pr.a AS a, pr.b AS b, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT unnest(list_transform(range(1, len(sy)),
+           |      i -> {'a': sy[i], 'b': sy[i+1]})) AS pr
+           |    FROM (SELECT string_split(trim(s), ' ') AS sy FROM s$i) q) z
+           |  GROUP BY 1, 2),
+           |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+           |s${i + 1} AS (
+           |  SELECT replace(s, ' ' || t.a || ' ' || t.b || ' ',
+           |    ' ' || t.a || t.b || ' ') AS s
+           |  FROM s$i CROSS JOIN t$i t),
+           |v${i + 1} AS (
+           |  SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vocab FROM (
+           |    SELECT unnest(string_split(trim(s), ' ')) AS sym
+           |    FROM s${i + 1}) z)""".stripMargin
+      }.mkString(",\n")
+      val out = (0 until TextAnalysis.bpeTrainRounds).map { i =>
+        s"""SELECT CAST(${i + 1} AS BIGINT) AS round, t.a AS sym_a,
+           |  t.b AS sym_b, t.cnt AS pair_count, v.vocab AS vocab_after
+           |FROM t$i t CROSS JOIN v${i + 1} v""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
+         |s0 AS (
+         |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+         |  FROM w WHERE length(w) >= 2),
+         |$rounds
+         |$out
+         |ORDER BY round""".stripMargin
+    },
+
+    // one lead() window per user timeline, µs-truncated ts + event_id as
+    // the deterministic order — then pure keyed counting
+    "q118_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+        |    event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM e),
+        |c AS (
+        |  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        |t AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY cur)
+        |SELECT c.cur, c.nxt, c.cnt,
+        |  round(c.cnt / CAST(t.tot AS DOUBLE), 4) AS p
+        |FROM c JOIN t USING (cur)
+        |ORDER BY cur, nxt""".stripMargin,
+
+    // the merge theorem replayed: even/odd register tables folded by
+    // bucket-max vs the direct sketch — diff pinned to 0.0
+    "q119_hll_merge" -> {
+      def regs(px: String, pred: String) =
+        s"""${px}h AS (
+           |  SELECT ${h32("CAST(user_id AS VARCHAR)")} AS hv
+           |  FROM events $pred),
+           |${px}r AS (
+           |  SELECT hv // 16777216 AS bucket,
+           |    CASE WHEN hv % 16777216 = 0 THEN 25
+           |         ELSE 25 - (CAST(floor(log2(hv % 16777216)) AS BIGINT) + 1)
+           |    END AS rho
+           |  FROM ${px}h),
+           |${px}regs AS (
+           |  SELECT bucket, max(rho) AS reg FROM ${px}r GROUP BY bucket)"""
+          .stripMargin
+      def est(px: String, regsName: String, outName: String) =
+        s"""${px}a AS (
+           |  SELECT count(*) AS present, sum(power(2.0, -reg)) AS sinv
+           |  FROM $regsName),
+           |${px}e AS (
+           |  SELECT (0.7213 / (1.0 + 1.079 / ${Sketches.hllM}))
+           |      * ${Sketches.hllM}.0 * ${Sketches.hllM}.0
+           |      / (sinv + (${Sketches.hllM} - present)) AS e_raw,
+           |    ${Sketches.hllM} - present AS v
+           |  FROM ${px}a),
+           |${px}est AS (
+           |  SELECT round(CASE WHEN e_raw <= ${2.5 * Sketches.hllM} AND v > 0
+           |    THEN ${Sketches.hllM}.0 * ln(${Sketches.hllM}.0 / v)
+           |    ELSE e_raw END, 4) AS $outName
+           |  FROM ${px}e)""".stripMargin
+      s"""WITH ${regs("ev", "WHERE event_id % 2 = 0")},
+         |${regs("od", "WHERE event_id % 2 <> 0")},
+         |${regs("al", "")},
+         |mregs AS (
+         |  SELECT bucket, max(reg) AS reg FROM (
+         |    SELECT * FROM evregs UNION ALL SELECT * FROM odregs) u
+         |  GROUP BY bucket),
+         |${est("m", "mregs", "merged_estimate")},
+         |${est("d", "alregs", "direct_estimate")}
+         |SELECT merged_estimate, direct_estimate,
+         |  round(merged_estimate - direct_estimate, 4) AS diff
+         |FROM mest CROSS JOIN dest""".stripMargin
+    },
   )
 }

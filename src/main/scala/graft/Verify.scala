@@ -15,6 +15,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // intentional localCheckpoint releases (q48/q98/q116) would WARN per
+    // round; keep the driver-visible output clean
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // local-iteration filter: SPARK_GRAFT_ONLY=q67,q68 runs just those
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -39,13 +39,17 @@ object Analytics {
     val ev = Tables.events(spark, dir)
       .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
     val first = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
-    val cells = ev.join(first, "user_id")
+    // barrier: cells feeds both the output rows and the cohort-size
+    // denominators — without it the event scan + join + distinct pipeline
+    // is planned (and executed) twice; the cached relation is only
+    // O(cohorts × offsets)
+    val cells = graft.CacheGuard.barrier(ev.join(first, "user_id")
       .select($"cohort_wk",
         (datediff($"wk", $"cohort_wk") / 7).cast("long").as("wk_offset"),
         $"user_id")
       .distinct()
       .groupBy($"cohort_wk", $"wk_offset")
-      .agg(count(lit(1)).as("n_active"))
+      .agg(count(lit(1)).as("n_active")))
     val sizes = cells.filter($"wk_offset" === 0)
       .select($"cohort_wk", $"n_active".as("cohort_size"))
     cells.join(broadcast(sizes), "cohort_wk")
@@ -53,6 +57,36 @@ object Analytics {
         round($"n_active".cast("double") / $"cohort_size".cast("double"), 4)
           .as("retention"))
       .orderBy($"cohort_wk", $"wk_offset")
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral model behind next-action prediction and
+    * anomalous-session scoring: P(next event type | current event type),
+    * estimated from every consecutive event pair within a user's
+    * timeline. The funnel (q101) asks "did the canonical order happen";
+    * this asks "what order happens at all, with what probability".
+    *
+    * Scale shape: ONE window pass (`lead` over user-partitioned,
+    * time-ordered events — one shuffle + one per-partition sort, the q63
+    * window-kit shape; partitions are per-user and bounded), then two
+    * keyed aggregations over the O(|types|²) pair domain — the exchange
+    * after the window carries one row per (cur, next) pair per partition
+    * thanks to map-side partials. Ordering ties are pinned by
+    * (microsecond-truncated ts, event_id) in both engines. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("cur"))
+      .withColumn("nxt", lead($"cur", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"cur", $"nxt").agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy($"cur").agg(sum($"cnt").as("tot"))
+    pairs.join(broadcast(totals), "cur")
+      .select($"cur", $"nxt", $"cnt",
+        round($"cnt".cast("double") / $"tot".cast("double"), 4).as("p"))
+      .orderBy($"cur", $"nxt")
   }
 
   /** Key-skew diagnostic — the pre-join health check a pipeline runs

@@ -226,6 +226,58 @@ object Components {
     out
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection over the similarity graph — the clustering signal CC
+    * cannot give: CC fuses everything reachable, LPA splits a connected
+    * region into densely-linked communities (near-dup FAMILIES inside a
+    * loosely-chained blob). Fixed `iters` synchronous rounds, so the
+    * DuckDB oracle replays it as unrolled CTEs; the update is
+    * deterministic end-to-end — new label = the neighbor label with the
+    * highest count, ties to the SMALLEST label, computed as an
+    * integer-ordered `max(struct(cnt, -label))` (partial-aggregable; no
+    * window, no rand()).
+    *
+    * Scale shape: [[pageRank]]'s — one node-keyed shuffle per round
+    * (neighbor-label count, then per-node argmax, both map-side
+    * partial), eager `localCheckpoint` lineage cut per round, previous
+    * round's blocks released as the next materializes. */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint()
+    var labels = sym.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lbl")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val next = sym.join(labels, sym("src") === labels("node"))
+        .groupBy($"dst", $"lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy($"dst")
+        .agg(max(struct($"cnt", (-$"lbl").as("nl"))).as("m"))
+        .select($"dst".as("node"), (-$"m.nl").as("lbl"))
+        .localCheckpoint()
+      unpersistCheckpoint(labels)
+      labels = next
+    }
+    unpersistCheckpoint(sym)
+    graft.CacheGuard.onRelease(() => unpersistCheckpoint(labels))
+    labels
+  }
+
+  /** Declared query: 3-round LPA communities on the md5-LSH similarity
+    * graph, each node with its community label and the community size. */
+  def communities(spark: SparkSession, dir: String,
+                  threshold: Double = 0.2, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val labels = labelPropagation(
+      DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
+        .select($"a", $"b"), iters)
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select($"node".as("doc_id"), $"lbl".as("community"), $"community_size")
+      .orderBy($"doc_id")
+  }
+
   /** Declared query: 5-round PageRank on the md5-LSH similarity graph at
     * threshold 0.2 (same edges as [[triangleStats]]). Output: every node
     * with its degree, integer rank in millionths, and the rank rescaled

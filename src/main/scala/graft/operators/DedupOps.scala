@@ -654,7 +654,11 @@ object DedupOps {
     // prefix length p = n − ⌈τn⌉ + 1, in exact integer arithmetic
     val p = ($"n" - floor(($"n" * setSimTauNum + (setSimTauDen - 1)) /
       lit(setSimTauDen.toDouble)) + 1).cast("int")
-    val pref = ord.select($"doc_id", explode(slice($"ots", lit(1), p)).as("pt"))
+    // barrier: pref feeds BOTH sides of the candidate self-join — without
+    // it the whole tokenize→df→rarest-first-collect subtree is planned
+    // (and executed) twice, once per side
+    val pref = graft.CacheGuard.barrier(
+      ord.select($"doc_id", explode(slice($"ots", lit(1), p)).as("pt")))
     val cand = pref.select($"doc_id".as("da"), $"pt")
       .join(pref.select($"doc_id".as("db"), $"pt"), "pt")
       .filter($"da" < $"db")

@@ -168,6 +168,55 @@ object Sketches {
           $"exact_size".cast("double"), 4).as("rel_err"))
   }
 
+  /** The HLL MERGE theorem as a query — the property that makes sketches
+    * the incremental/distributed answer to distinct-counting: registers
+    * built on two disjoint halves of the stream, merged register-wise by
+    * `max`, are IDENTICAL to registers built on the whole stream — so
+    * `estimate(merge(A, B)) = estimate(A ∪ B)` exactly, not
+    * approximately. Operationally this is why per-partition / per-day
+    * sketches can be stored tiny and folded later without ever rescanning
+    * history (the q88/q105 incremental-maintenance story, for sketches).
+    *
+    * The engine genuinely computes BOTH paths — two independent sketches
+    * (events split by even/odd id) merged by bucket-max, and one direct
+    * sketch over everything — and reports both estimates plus their
+    * difference, which the structural theorem pins to exactly 0.0. Each
+    * path is the q65 register collapse: map partitions reduce to ≤256
+    * rows before any exchange. */
+  def hllMergeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = hllM
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
+    def regsOf(df: DataFrame): DataFrame = {
+      val h = md5Hash32($"user_id".cast("string"))
+      val w = h.bitwiseAND(lit(16777215L))
+      df.select(
+          shiftright(h, 24).as("bucket"),
+          when(w === 0, lit(25))
+            .otherwise(lit(25) - (floor(log2(w)) + lit(1))).cast("long")
+            .as("rho"))
+        .groupBy($"bucket").agg(max($"rho").as("reg"))
+    }
+    def estOf(regs: DataFrame, name: String): DataFrame =
+      regs.agg(count(lit(1)).as("present"),
+          sum(pow(lit(2.0), -$"reg")).as("sinv"))
+        .select(
+          (alpha * m * m / ($"sinv" + (lit(m) - $"present"))).as("e_raw"),
+          (lit(m) - $"present").as("v"))
+        .select(round(
+          when($"e_raw" <= lit(2.5 * m) && $"v" > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / $"v"))
+            .otherwise($"e_raw"), 4).as(name))
+    val ev = Tables.events(spark, dir)
+    val merged = regsOf(ev.filter($"event_id" % 2 === 0))
+      .unionByName(regsOf(ev.filter($"event_id" % 2 =!= 0)))
+      .groupBy($"bucket").agg(max($"reg").as("reg"))
+    estOf(merged, "merged_estimate")
+      .crossJoin(estOf(regsOf(ev), "direct_estimate"))
+      .select($"merged_estimate", $"direct_estimate",
+        round($"merged_estimate" - $"direct_estimate", 4).as("diff"))
+  }
+
   /** Per-group HyperLogLog — the grouped form of [[hllDistinct]] and the
     * shape that matters operationally: distinct users PER event type (per
     * partition/day/tenant in production), each next to its exact count

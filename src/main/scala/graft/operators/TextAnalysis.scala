@@ -355,6 +355,68 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Number of BPE training rounds, shared with the q117 oracle SQL. */
+  val bpeTrainRounds = 3
+
+  /** BPE vocabulary TRAINING, three merge rounds entirely in-plan — the
+    * iterative half of what [[bpePairStats]] only measures once: per
+    * round, count all adjacent symbol pairs across every token
+    * occurrence, pick the global top pair (count desc, pair asc — an
+    * integer/string-ordered `min(struct)`, no window), apply the merge
+    * corpus-wide, repeat on the MERGED corpus. Output: one row per round
+    * with the learned merge, its count, and the symbol-vocabulary size
+    * after applying it (Sennrich et al. 2016's algorithm, the loop a
+    * tokenizer trainer runs thousands of times).
+    *
+    * Symbol sequences are space-delimited strings (" a b c "); a merge is
+    * a literal leftmost-non-overlapping `replace(' a b ' → ' ab ')` —
+    * the SAME builtin with the SAME scan semantics in both engines, so
+    * the oracle replays every round bit-for-bit (a fold-based merge
+    * would differ from string replace on runs like "aaaa"; pinning both
+    * engines to `replace` removes the ambiguity).
+    *
+    * Scale shape: each round is (a) one pair-count aggregation over a
+    * tiny key domain (distinct symbol pairs — partial-aggregated
+    * map-side), (b) a 1-row top-pair broadcast, (c) a pure per-row
+    * corpus rewrite behind a cache barrier (without the barrier round
+    * k's pair scan would recompute every earlier round's rewrite).
+    * Exactly the production shape: the corpus state lives distributed,
+    * only the O(1) learned merge crosses to the driver-side plan. */
+  def bpeTrainMerges(spark: SparkSession, dir: String,
+                     rounds: Int = bpeTrainRounds): DataFrame = {
+    import spark.implicits._
+    var cur = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select(explode(tokens($"text")).as("w"))
+        .filter(length($"w") >= 2)
+        .select(concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("s")))
+    val perRound = (1 to rounds).map { r =>
+      val prs = cur.select(split(trim($"s"), " ").as("sy"))
+        .filter(size($"sy") >= 2)
+        .select(explode(transform(sequence(lit(1), size($"sy") - 1),
+          i => struct(element_at($"sy", i).as("a"),
+            element_at($"sy", i + 1).as("b")))).as("pr"))
+        .groupBy($"pr.a".as("a"), $"pr.b".as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = prs
+        .agg(min(struct((-$"cnt").as("nc"), $"a", $"b")).as("m"))
+        .select($"m.a".as("a"), $"m.b".as("b"), (-$"m.nc").as("cnt"))
+      val merged = graft.CacheGuard.barrier(
+        cur.crossJoin(broadcast(top))
+          .select(expr(
+            "replace(s, concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' '))")
+            .as("s")))
+      val vocab = merged
+        .select(explode(split(trim($"s"), " ")).as("sym"))
+        .agg(countDistinct($"sym").as("vocab"))
+      cur = merged
+      top.crossJoin(vocab)
+        .select(lit(r.toLong).as("round"), $"a".as("sym_a"), $"b".as("sym_b"),
+          $"cnt".as("pair_count"), $"vocab".as("vocab_after"))
+    }
+    perRound.reduce(_ unionByName _).orderBy($"round")
+  }
+
   /** PMI support threshold and per-doc distinct-token cap, shared with
     * the q111 oracle SQL. */
   val pmiMinSupport = 5

@@ -49,6 +49,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("p99") <= kc.max.toDouble)
   }
 
+  test("eventTransitions: rows count every consecutive pair; probabilities normalize per state") {
+    val rows = Analytics.eventTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Σ cnt = (total events) − (users with ≥1 event): each user timeline
+    // of length n contributes n−1 transitions
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val users = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("cnt")).sum === total - users)
+    rows.groupBy(_.getAs[String]("cur")).values.foreach { g =>
+      val psum = g.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < g.length * 1e-4 + 1e-9,
+        s"${g.head.getAs[String]("cur")}: $psum")
+    }
+  }
+
+  test("hllMergeAudit: merged and direct sketches agree exactly") {
+    val r = Sketches.hllMergeAudit(spark, sf).head()
+    assert(r.getAs[Double]("diff") === 0.0)
+    assert(r.getAs[Double]("merged_estimate") ===
+      r.getAs[Double]("direct_estimate"))
+  }
+
   test("groupedHllDistinct: per-group estimates land in the p=8 error regime") {
     val rows = Sketches.groupedHllDistinct(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -131,4 +131,30 @@ class ComponentsSpec extends SparkSpec {
     val (t, w) = (r.getAs[Long]("n_triangles"), r.getAs[Long]("n_wedges"))
     if (w > 0) assert(math.abs(r.getAs[Double]("wedge_closure") - t.toDouble / w) < 1e-3)
   }
+
+  test("labelPropagation: two triangles bridged by one edge split into two communities") {
+    import spark.implicits._
+    // 1-2-3 triangle, 4-5-6 triangle, bridge 3-4; 3 synchronous rounds
+    // with the (count desc, label asc) tie-break converge to labels
+    // {1,2,3}→1 and {4,5,6}→3 (hand-traced)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = Components.labelPropagation(edges, iters = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lbl")).toMap
+    graft.CacheGuard.release()
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("communities: community sizes partition the node set; deterministic") {
+    val a = Components.communities(spark, sf).collect()
+    graft.CacheGuard.release()
+    val b = Components.communities(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(a.toSeq === b.toSeq)
+    // sizes are consistent: per-community row count equals the size column
+    a.groupBy(_.getAs[Long]("community")).foreach { case (_, rows) =>
+      assert(rows.forall(_.getAs[Long]("community_size") === rows.length.toLong))
+    }
+  }
 }

@@ -259,6 +259,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ps.sameElements(ps.sortBy(-_)))
   }
 
+  test("bpeTrainMerges: round 1 agrees with bpePairStats; counts non-increasing; vocab grows") {
+    val rounds = TextAnalysis.bpeTrainMerges(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(rounds.length === TextAnalysis.bpeTrainRounds)
+    // round 1's learned merge IS the corpus's top adjacent pair
+    val top = TextAnalysis.bpePairStats(spark, sf, topN = 1).collect().head
+    val r1 = rounds.find(_.getAs[Long]("round") == 1L).get
+    assert(r1.getAs[String]("sym_a") + r1.getAs[String]("sym_b") ===
+      top.getAs[String]("pair"))
+    assert(r1.getAs[Long]("pair_count") === top.getAs[Long]("n"))
+    // merging the top pair can only shrink existing pair counts, and any
+    // NEW pair (x, ab) is bounded by ab's count — so round-over-round top
+    // counts never increase
+    val cnts = rounds.sortBy(_.getAs[Long]("round")).map(_.getAs[Long]("pair_count"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // each merge introduces a genuinely new symbol
+    val vocabs = rounds.sortBy(_.getAs[Long]("round")).map(_.getAs[Long]("vocab_after"))
+    assert(vocabs.zip(vocabs.tail).forall { case (a, b) => b >= a })
+  }
+
   test("pmiTopPairs: per-row fan-out — no per-doc self-join in the plan") {
     val plan = TextAnalysis.pmiTopPairs(spark, sf)
       .queryExecution.executedPlan.toString
