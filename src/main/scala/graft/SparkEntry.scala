@@ -184,6 +184,8 @@ object SparkEntry {
     "q117_bpe_train" -> ((s, d) => TextAnalysis.bpeTrainMerges(s, d)),
     "q118_event_transitions" -> ((s, d) => Analytics.eventTransitions(s, d)),
     "q119_hll_merge" -> ((s, d) => Sketches.hllMergeAudit(s, d)),
+    "q120_data_card" -> ((s, d) => Analytics.dataCard(s, d)),
+    "q121_ranking_eval" -> ((s, d) => AnnSearch.rankingEval(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2574,5 +2576,94 @@ object SparkEntry {
          |  round(merged_estimate - direct_estimate, 4) AS diff
          |FROM mest CROSS JOIN dest""".stripMargin
     },
+
+    // per-source datasheet: quality CASE is q26's verbatim; the dominant
+    // language is the oracle's row_number vs the engine's
+    // min(struct(-cnt, lang)) — same total order
+    "q120_data_card" ->
+      s"""WITH t AS (
+         |  SELECT source, lang, n_chars, text, $toksSql AS tk
+         |  FROM documents),
+         |b AS (
+         |  SELECT source, lang, n_chars, $fpSql AS fp,
+         |    round(CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
+         |        (CAST(len(list_filter(tk,
+         |          x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |         / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
+         |      END, 4) AS quality
+         |  FROM t),
+         |st AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+         |    quantile_cont(n_chars, 0.5) AS med,
+         |    CAST(sum(CAST(floor(quality * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS qu
+         |  FROM b GROUP BY source),
+         |tl AS (
+         |  SELECT source, lang AS top_lang, cnt AS top_cnt FROM (
+         |    SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY count(*) DESC, lang) AS rk
+         |    FROM b GROUP BY source, lang) z
+         |  WHERE rk = 1)
+         |SELECT st.source, n_docs, n_langs, top_lang,
+         |  round(CAST(top_cnt AS DOUBLE) / n_docs, 4) AS top_lang_share,
+         |  round(med, 4) AS median_chars,
+         |  round(CAST(n_docs - n_unique AS DOUBLE) / n_docs, 4) AS dup_rate,
+         |  round(CAST(qu AS DOUBLE) / 1e4 / n_docs, 4) AS mean_quality
+         |FROM st JOIN tl USING (source)
+         |ORDER BY source""".stripMargin,
+
+    // order-aware index eval: DCG gains quantized to micro-units per
+    // (query, rank) row, summed as BIGINTs — exact in both engines
+    "q121_ranking_eval" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qe,
+         |    ${bucketSql("embedding", 4)} AS qb
+         |  FROM embeddings WHERE vec_id < 10),
+         |ex0 AS (
+         |  SELECT q.q_id, e.vec_id, ${cosSql("e.embedding", "q.qe")} AS cos_sim
+         |  FROM embeddings e, q WHERE e.vec_id >= 10),
+         |ex AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id) AS rk
+         |    FROM ex0 WHERE NOT isnan(cos_sim)) z WHERE rk <= 10),
+         |ls0 AS (
+         |  SELECT q.q_id, e.vec_id, ${cosSql("e.embedding", "q.qe")} AS cos_sim
+         |  FROM embeddings e JOIN q ON ${bucketSql("e.embedding", 4)} = q.qb
+         |  WHERE e.vec_id >= 10),
+         |ls AS (
+         |  SELECT q_id, vec_id, rk FROM (
+         |    SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+         |    FROM ls0 WHERE NOT isnan(cos_sim)) z WHERE rk <= 10),
+         |rel AS (
+         |  SELECT ls.q_id, ls.rk FROM ls
+         |  JOIN ex ON ls.q_id = ex.q_id AND ls.vec_id = ex.vec_id),
+         |sc AS (
+         |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_relevant,
+         |    min(rk) AS first_rel,
+         |    CAST(sum(CAST(floor(1e6 / log2(rk + 1.0) + 0.5) AS BIGINT))
+         |      AS BIGINT) AS dcg_u
+         |  FROM rel GROUP BY q_id),
+         |ne AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM ex GROUP BY q_id),
+         |id AS (
+         |  SELECT ne.q_id, ne.n_exact,
+         |    CAST(sum(CAST(floor(1e6 / log2(i.i + 1.0) + 0.5) AS BIGINT))
+         |      AS BIGINT) AS idcg_u
+         |  FROM ne CROSS JOIN range(1, 11) i(i) WHERE i.i <= ne.n_exact
+         |  GROUP BY ne.q_id, ne.n_exact)
+         |SELECT id.q_id, id.n_exact,
+         |  CAST(coalesce(sc.n_relevant, 0) AS BIGINT) AS n_relevant,
+         |  round(CASE WHEN sc.first_rel IS NOT NULL
+         |    THEN 1.0 / sc.first_rel ELSE 0.0 END, 4) + 0.0 AS mrr,
+         |  round(coalesce(sc.dcg_u, 0) / CAST(id.idcg_u AS DOUBLE), 4) + 0.0
+         |    AS ndcg
+         |FROM id LEFT JOIN sc USING (q_id)
+         |ORDER BY q_id""".stripMargin,
   )
 }

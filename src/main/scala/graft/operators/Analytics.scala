@@ -89,6 +89,55 @@ object Analytics {
       .orderBy($"cur", $"nxt")
   }
 
+  /** Per-source data card — the one-page dataset documentation artifact
+    * (Gebru et al., "Datasheets for Datasets") a corpus ships with,
+    * computed as ONE plan: volume, language diversity, dominant language
+    * and its share, median length, exact-dup rate (content
+    * fingerprints), and mean quality score — every number the
+    * ingest-review meeting asks for, over one cache-barriered corpus
+    * projection.
+    *
+    * Scale shape: one corpus scan derives (source, lang, n_chars, fp,
+    * quality) per row; everything downstream is source-keyed aggregation
+    * with map-side partials — the dominant language is an argmax
+    * `min(struct(-cnt, lang))` over the O(sources × langs) count table
+    * (no window), dup counting is `count(distinct fp)` per source, and
+    * the mean quality is summed in exact micro-units (the q71 trick) so
+    * row order cannot drift the float. Median is exact `percentile` at
+    * sf scale with the documented `percentile_approx` swap (q52→q68). */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{fingerprint, tokens}
+    val toks = tokens($"text")
+    val base = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir).select(
+        $"source", $"lang", $"n_chars",
+        fingerprint($"text").as("fp"),
+        TextAnalysis.qualityExpr(size(toks).cast("long"),
+          graft.functions.TextFunctions
+            .stopwordCount(toks, TextAnalysis.stopwords).cast("long"))
+          .as("quality")))
+    val stats = base.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct($"lang").as("n_langs"),
+      countDistinct($"fp").as("n_unique"),
+      expr("percentile(n_chars, 0.5D)").as("med"),
+      sum(floor($"quality" * 1e4 + lit(0.5)).cast("long")).as("qu"))
+    val topLang = base.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"source")
+      .agg(min(struct((-$"cnt").as("nc"), $"lang")).as("m"))
+      .select($"source", $"m.lang".as("top_lang"), (-$"m.nc").as("top_cnt"))
+    stats.join(topLang, "source")
+      .select($"source", $"n_docs", $"n_langs", $"top_lang",
+        round($"top_cnt".cast("double") / $"n_docs", 4).as("top_lang_share"),
+        round($"med", 4).as("median_chars"),
+        round(($"n_docs" - $"n_unique").cast("double") / $"n_docs", 4)
+          .as("dup_rate"),
+        round($"qu".cast("double") / 1e4 / $"n_docs", 4).as("mean_quality"))
+      .orderBy($"source")
+  }
+
   /** Key-skew diagnostic — the pre-join health check a pipeline runs
     * before shuffling 100 TB on a key: per-key frequency distribution of
     * `orders.o_custkey` (count, max, p50/p99 quantiles), the max/median

@@ -598,6 +598,64 @@ object AnnSearch {
       .limit(topK)
   }
 
+  /** Retrieval-ranking evaluation — [[annRecallAudit]] upgraded from set
+    * overlap to ORDER-aware metrics: per query, the sign-LSH index's
+    * MRR (reciprocal rank of its first truly-relevant hit) and NDCG@k
+    * against the exact top-k as graded-irrelevant/relevant ground truth.
+    * Recall says "did the index find them"; NDCG says "did it put them
+    * first" — the number a serving team actually tracks release-over-
+    * release.
+    *
+    * Scale shape: both sides are the one-scan broadcast-query bounded-
+    * TopKAgg shape (q42/q93); the metric join runs on O(queries × k)
+    * rows. Float discipline: each rank's 1/log2(rank+1) gain is
+    * quantized to integer micro-units per (query, rank) row and SUMMED
+    * AS BIGINTs, so DCG/IDCG are exact integers in both engines; only
+    * the final ratio is rounded. */
+  def rankingEval(spark: SparkSession, dir: String,
+                  nQueries: Int = 10, k: Int = 10,
+                  bits: Int = 4): DataFrame = {
+    import spark.implicits._
+    val exact = graft.CacheGuard.barrier(
+      batchTopK(spark, dir, nQueries, k).select($"q_id", $"vec_id"))
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"),
+        signLshBucket($"embedding", bits).as("qb"))
+    val lsh = emb.filter($"vec_id" >= nQueries)
+      .withColumn("bucket", signLshBucket($"embedding", bits))
+      .join(broadcast(queries), $"bucket" === $"qb")
+      .select($"q_id", $"vec_id",
+        round(cosine($"embedding", $"qe"), 4).as("cos_sim"))
+      .filter(!isnan($"cos_sim"))
+      .groupBy($"q_id")
+      .agg(graft.functions.TopK.topK(k)($"cos_sim", $"vec_id").as("hits"))
+      .select($"q_id", posexplode($"hits"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rk"),
+        $"col.vec_id".as("vec_id"))
+    // graded relevance: 1 iff the LSH hit is in the exact top-k
+    val gain = (rk: org.apache.spark.sql.Column) =>
+      floor(lit(1e6) / log2(rk.cast("double") + 1.0) + lit(0.5)).cast("long")
+    val scored = lsh.join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy($"q_id").agg(
+        count(lit(1)).as("n_relevant"),
+        min($"rk").as("first_rel"),
+        sum(gain($"rk")).as("dcg_u"))
+    val ideal = exact.groupBy($"q_id").agg(count(lit(1)).as("n_exact"))
+      .select($"q_id", $"n_exact",
+        explode(sequence(lit(1L), $"n_exact")).as("irk"))
+      .groupBy($"q_id", $"n_exact").agg(sum(gain($"irk")).as("idcg_u"))
+    ideal.join(scored, Seq("q_id"), "left")
+      .select($"q_id", $"n_exact",
+        coalesce($"n_relevant", lit(0L)).as("n_relevant"),
+        (round(when($"first_rel".isNotNull,
+          lit(1.0) / $"first_rel".cast("double")).otherwise(lit(0.0)), 4)
+          + lit(0.0)).as("mrr"),
+        (round(coalesce($"dcg_u", lit(0L)).cast("double") /
+          $"idcg_u".cast("double"), 4) + lit(0.0)).as("ndcg"))
+      .orderBy($"q_id")
+  }
+
   /** Hard-negative mining — the contrastive-training data job: for each
     * anchor (every `step`-th stored vector), the top-k most-similar
     * vectors with a DIFFERENT label. High-cosine different-label pairs

@@ -49,6 +49,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("p99") <= kc.max.toDouble)
   }
 
+  test("dataCard: volumes partition the corpus; every rate is a valid share") {
+    val rows = Analytics.dataCard(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("top_lang_share")
+      assert(share > 0.0 && share <= 1.0)
+      // the dominant language is at least an equal share of the languages
+      assert(share >= 1.0 / r.getAs[Long]("n_langs") - 1e-4)
+      val dup = r.getAs[Double]("dup_rate")
+      assert(dup >= 0.0 && dup < 1.0)
+      val q = r.getAs[Double]("mean_quality")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Double]("median_chars") > 0.0)
+    }
+  }
+
   test("eventTransitions: rows count every consecutive pair; probabilities normalize per state") {
     val rows = Analytics.eventTransitions(spark, sf).collect()
     assert(rows.nonEmpty)

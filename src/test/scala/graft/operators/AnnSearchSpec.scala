@@ -340,6 +340,29 @@ class AnnSearchSpec extends SparkSpec {
       s"direct $z vs reported ${top.getAs[Double]("z")}")
   }
 
+  test("rankingEval: relevance counts agree with the recall audit; metrics bounded") {
+    val rank = AnnSearch.rankingEval(spark, sf).collect()
+    graft.CacheGuard.release()
+    val recall = AnnSearch.annRecallAudit(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_overlap")).toMap
+    assert(rank.nonEmpty)
+    rank.foreach { r =>
+      val qid = r.getAs[Long]("q_id")
+      // n_relevant is exactly the recall audit's overlap count — two
+      // independent derivations of the same set intersection
+      assert(r.getAs[Long]("n_relevant") === recall(qid))
+      assert(r.getAs[Long]("n_relevant") <= r.getAs[Long]("n_exact"))
+      val (mrr, ndcg) = (r.getAs[Double]("mrr"), r.getAs[Double]("ndcg"))
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      // a query with any relevant hit has mrr ≥ 1/k and ndcg > 0
+      if (r.getAs[Long]("n_relevant") > 0) {
+        assert(mrr >= 1.0 / 10 - 1e-9)
+        assert(ndcg > 0.0)
+      } else assert(mrr === 0.0 && ndcg === 0.0)
+    }
+  }
+
   test("embeddingOutliers: centroid model broadcasts — corpus is never exploded or cartesian-joined") {
     val plan = AnnSearch.embeddingOutliers(spark, sf)
       .queryExecution.executedPlan.toString
