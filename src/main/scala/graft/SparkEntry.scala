@@ -2481,16 +2481,17 @@ object SparkEntry {
     "q117_bpe_train" -> {
       val rounds = (0 until TextAnalysis.bpeTrainRounds).map { i =>
         s"""p$i AS (
-           |  SELECT pr.a AS a, pr.b AS b, CAST(count(*) AS BIGINT) AS cnt
+           |  SELECT pr.a AS a, pr.b AS b, CAST(sum(c) AS BIGINT) AS cnt
            |  FROM (
-           |    SELECT unnest(list_transform(range(1, len(sy)),
+           |    SELECT c, unnest(list_transform(range(1, len(sy)),
            |      i -> {'a': sy[i], 'b': sy[i+1]})) AS pr
-           |    FROM (SELECT string_split(trim(s), ' ') AS sy FROM s$i) q) z
+           |    FROM (SELECT string_split(trim(s), ' ') AS sy, c
+           |          FROM s$i) q) z
            |  GROUP BY 1, 2),
            |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
            |s${i + 1} AS (
            |  SELECT replace(s, ' ' || t.a || ' ' || t.b || ' ',
-           |    ' ' || t.a || t.b || ' ') AS s
+           |    ' ' || t.a || t.b || ' ') AS s, c
            |  FROM s$i CROSS JOIN t$i t),
            |v${i + 1} AS (
            |  SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vocab FROM (
@@ -2502,10 +2503,13 @@ object SparkEntry {
            |  t.b AS sym_b, t.cnt AS pair_count, v.vocab AS vocab_after
            |FROM t$i t CROSS JOIN v${i + 1} v""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
+      s"""WITH w0 AS (SELECT unnest($toksSql) AS w FROM documents),
+         |wc AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM w0 WHERE length(w) >= 2 GROUP BY w),
          |s0 AS (
-         |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
-         |  FROM w WHERE length(w) >= 2),
+         |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, c
+         |  FROM wc),
          |$rounds
          |$out
          |ORDER BY round""".stripMargin

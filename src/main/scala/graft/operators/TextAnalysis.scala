@@ -375,13 +375,16 @@ object TextAnalysis {
     * would differ from string replace on runs like "aaaa"; pinning both
     * engines to `replace` removes the ambiguity).
     *
-    * Scale shape: each round is (a) one pair-count aggregation over a
-    * tiny key domain (distinct symbol pairs — partial-aggregated
-    * map-side), (b) a 1-row top-pair broadcast, (c) a pure per-row
-    * corpus rewrite behind a cache barrier (without the barrier round
-    * k's pair scan would recompute every earlier round's rewrite).
-    * Exactly the production shape: the corpus state lives distributed,
-    * only the O(1) learned merge crosses to the driver-side plan. */
+    * Scale shape — the word-frequency-dictionary optimization every real
+    * BPE trainer uses (Sennrich's reference implementation included): the
+    * loop runs over token TYPES with occurrence counts, not over token
+    * occurrences. ONE corpus pass builds the (type, count) dictionary
+    * (keyed aggregation, map-side partials); every round after that is
+    * O(vocabulary): pair counts are `Σ type_count` per adjacent pair
+    * over the dictionary, the 1-row top pair broadcasts, the merge
+    * rewrite touches O(vocab) rows behind a cache barrier. At 100 TB the
+    * corpus is scanned exactly once regardless of the number of merge
+    * rounds — the iteration state is dictionary-sized. */
   def bpeTrainMerges(spark: SparkSession, dir: String,
                      rounds: Int = bpeTrainRounds): DataFrame = {
     import spark.implicits._
@@ -389,15 +392,17 @@ object TextAnalysis {
       Tables.documents(spark, dir)
         .select(explode(tokens($"text")).as("w"))
         .filter(length($"w") >= 2)
-        .select(concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("s")))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .select(concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("s"),
+          $"c"))
     val perRound = (1 to rounds).map { r =>
-      val prs = cur.select(split(trim($"s"), " ").as("sy"))
+      val prs = cur.select(split(trim($"s"), " ").as("sy"), $"c")
         .filter(size($"sy") >= 2)
-        .select(explode(transform(sequence(lit(1), size($"sy") - 1),
+        .select($"c", explode(transform(sequence(lit(1), size($"sy") - 1),
           i => struct(element_at($"sy", i).as("a"),
             element_at($"sy", i + 1).as("b")))).as("pr"))
         .groupBy($"pr.a".as("a"), $"pr.b".as("b"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum($"c").as("cnt"))
       val top = prs
         .agg(min(struct((-$"cnt").as("nc"), $"a", $"b")).as("m"))
         .select($"m.a".as("a"), $"m.b".as("b"), (-$"m.nc").as("cnt"))
@@ -405,7 +410,7 @@ object TextAnalysis {
         cur.crossJoin(broadcast(top))
           .select(expr(
             "replace(s, concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' '))")
-            .as("s")))
+            .as("s"), $"c"))
       val vocab = merged
         .select(explode(split(trim($"s"), " ")).as("sym"))
         .agg(countDistinct($"sym").as("vocab"))
