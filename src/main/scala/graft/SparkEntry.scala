@@ -186,6 +186,9 @@ object SparkEntry {
     "q119_hll_merge" -> ((s, d) => Sketches.hllMergeAudit(s, d)),
     "q120_data_card" -> ((s, d) => Analytics.dataCard(s, d)),
     "q121_ranking_eval" -> ((s, d) => AnnSearch.rankingEval(s, d)),
+    "q122_containment_join" -> ((s, d) => DedupOps.containmentJoin(s, d)),
+    "q123_multiprobe_lsh" -> ((s, d) => AnnSearch.multiProbeAudit(s, d)),
+    "q124_drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2669,5 +2672,112 @@ object SparkEntry {
          |    AS ndcg
          |FROM id LEFT JOIN sc USING (q_id)
          |ORDER BY q_id""".stripMargin,
+
+    // directed near-subset detection; same naive-oracle-vs-prefix-filter
+    // losslessness contract as q114, with the probe side's |A| as the
+    // denominator
+    "q122_containment_join" ->
+      s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |dt AS (
+         |  SELECT doc_id, list_sort(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 2, 0) + 1),
+         |    i -> array_to_string(tk[i:i+2], ' ')))) AS ts
+         |  FROM base WHERE len(tk) >= 3),
+         |tok AS (SELECT doc_id, unnest(ts) AS t FROM dt),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id <> b.doc_id),
+         |j AS (
+         |  SELECT da, db,
+         |    CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS inter,
+         |    CAST(len(x.ts) AS BIGINT) AS n_src
+         |  FROM cand
+         |  JOIN dt x ON x.doc_id = da
+         |  JOIN dt y ON y.doc_id = db)
+         |SELECT da AS src, db AS dst, inter, n_src,
+         |  round(inter / CAST(n_src AS DOUBLE), 4) AS containment
+         |FROM j
+         |WHERE inter * ${DedupOps.containTauDen}
+         |  >= n_src * ${DedupOps.containTauNum}
+         |ORDER BY src, dst""".stripMargin,
+
+    // probe set = home bucket + the 4 Hamming-1 buckets (xor masks);
+    // recalls against the q42-shape exact top-10
+    "q123_multiprobe_lsh" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qe,
+         |    ${bucketSql("embedding", 4)} AS qb
+         |  FROM embeddings WHERE vec_id < 10),
+         |pr AS (
+         |  SELECT q_id, qe, xor(qb, m.m) AS pb, m.m = 0 AS is_home
+         |  FROM q CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS m) m),
+         |sc AS (
+         |  SELECT q_id, vec_id, is_home, cos_sim FROM (
+         |    SELECT p.q_id, e.vec_id, p.is_home,
+         |      ${cosSql("e.embedding", "p.qe")} AS cos_sim
+         |    FROM embeddings e JOIN pr p
+         |      ON ${bucketSql("e.embedding", 4)} = p.pb
+         |    WHERE e.vec_id >= 10) z
+         |  WHERE NOT isnan(cos_sim)),
+         |ex0 AS (
+         |  SELECT q.q_id, e.vec_id, ${cosSql("e.embedding", "q.qe")} AS cos_sim
+         |  FROM embeddings e, q WHERE e.vec_id >= 10),
+         |ex AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id) AS rk
+         |    FROM ex0 WHERE NOT isnan(cos_sim)) z WHERE rk <= 10),
+         |sing AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_single
+         |         FROM sc WHERE is_home GROUP BY q_id),
+         |mult AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_multi
+         |         FROM sc GROUP BY q_id),
+         |stop AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id) AS rk
+         |    FROM sc WHERE is_home) z WHERE rk <= 10),
+         |mtop AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id) AS rk
+         |    FROM sc) z WHERE rk <= 10),
+         |srec AS (SELECT s.q_id, count(*) AS hits FROM stop s
+         |         JOIN ex USING (q_id, vec_id) GROUP BY s.q_id),
+         |mrec AS (SELECT s.q_id, count(*) AS hits FROM mtop s
+         |         JOIN ex USING (q_id, vec_id) GROUP BY s.q_id)
+         |SELECT q.q_id,
+         |  CAST(coalesce(sing.n_single, 0) AS BIGINT) AS n_single,
+         |  CAST(coalesce(mult.n_multi, 0) AS BIGINT) AS n_multi,
+         |  round(coalesce(srec.hits, 0) / 10.0, 4) + 0.0 AS recall_single,
+         |  round(coalesce(mrec.hits, 0) / 10.0, 4) + 0.0 AS recall_multi
+         |FROM q
+         |LEFT JOIN sing USING (q_id)
+         |LEFT JOIN mult USING (q_id)
+         |LEFT JOIN srec USING (q_id)
+         |LEFT JOIN mrec USING (q_id)
+         |ORDER BY q_id""".stripMargin,
+
+    // paired 7-observed-day frames over the O(days) daily rollup; pure
+    // integer drift test
+    "q124_drift_report" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS ds,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT ds, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY ds
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS recent7,
+        |    CAST(sum(cnt) OVER (ORDER BY ds
+        |      ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING) AS BIGINT)
+        |      AS prior7,
+        |    count(*) OVER (ORDER BY ds
+        |      ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING) AS n_prior
+        |  FROM daily)
+        |SELECT ds, cnt, recent7, prior7,
+        |  abs(recent7 - prior7) AS drift,
+        |  abs(recent7 - prior7) * 2 > prior7 AS flagged
+        |FROM w WHERE n_prior = 7 ORDER BY ds""".stripMargin,
   )
 }

@@ -59,6 +59,39 @@ object Analytics {
       .orderBy($"cohort_wk", $"wk_offset")
   }
 
+  /** Sliding-window volume-drift monitor — the pipeline-health alarm
+    * that catches ingestion regressions (a source going quiet, a
+    * scraper double-firing) before they poison a training snapshot:
+    * per observed day, compare the trailing 7-OBSERVED-day event volume
+    * against the 7 days before that, flag when the absolute change
+    * exceeds half the prior volume. All-integer arithmetic — counts and
+    * sums only — so the flag can never drift between engines. (CUSUM's
+    * recursive statistic is deliberately avoided: it is not
+    * prefix-decomposable; paired window frames are, and detect the same
+    * step changes at this granularity.)
+    *
+    * Scale shape: the event stream collapses to O(days) rows in one
+    * keyed aggregation with map-side partials; the two `rowsBetween`
+    * frames ride ONE partitionless window over that tiny relation (the
+    * q84 caveat: acceptable because the windowed relation is O(days),
+    * never O(events)). */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"ds")
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").cast("date").as("ds"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.select($"ds", $"cnt",
+        sum($"cnt").over(w.rowsBetween(-6, 0)).as("recent7"),
+        sum($"cnt").over(w.rowsBetween(-13, -7)).as("prior7"),
+        count(lit(1)).over(w.rowsBetween(-13, -7)).as("n_prior"))
+      .filter($"n_prior" === 7)
+      .select($"ds", $"cnt", $"recent7", $"prior7",
+        abs($"recent7" - $"prior7").as("drift"),
+        (abs($"recent7" - $"prior7") * 2 > $"prior7").as("flagged"))
+      .orderBy($"ds")
+  }
+
   /** First-order Markov transition matrix over per-user event sequences —
     * the behavioral model behind next-action prediction and
     * anomalous-session scoring: P(next event type | current event type),

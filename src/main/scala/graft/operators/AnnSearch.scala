@@ -656,6 +656,70 @@ object AnnSearch {
       .orderBy($"q_id")
   }
 
+  /** Multi-probe sign-LSH audit — the recall/cost dial every LSH serving
+    * system exposes (Lv et al. 2007): besides a query's own bucket,
+    * probe the `bits` buckets at Hamming distance 1 (one hyperplane's
+    * sign flipped — the likeliest place a near neighbor lands when it
+    * straddles a plane). Reported per query: candidate counts and
+    * recall@k for single-probe vs multi-probe against the exact top-k —
+    * the measured trade a capacity planner picks the probe count from.
+    *
+    * Scale shape: the probe set is queries × (bits+1) rows — still a
+    * broadcast; the corpus is scanned ONCE (each vector has one bucket,
+    * probe buckets are distinct, so the join fans out at most one match
+    * per query) and candidates pre-reduce through bounded TopKAgg. The
+    * scored candidate relation is cache-barriered because the
+    * single-probe and multi-probe reductions both consume it. */
+  def multiProbeAudit(spark: SparkSession, dir: String,
+                      nQueries: Int = 10, k: Int = 10,
+                      bits: Int = 4): DataFrame = {
+    import spark.implicits._
+    val exact = graft.CacheGuard.barrier(
+      batchTopK(spark, dir, nQueries, k).select($"q_id", $"vec_id"))
+    val emb = Tables.embeddings(spark, dir)
+    val masks = (0L +: (0 until bits).map(j => 1L << j)).toDF("mask")
+    val probes = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"),
+        signLshBucket($"embedding", bits).as("qb"))
+      .crossJoin(masks)
+      .select($"q_id", $"qe", ($"qb".bitwiseXOR($"mask")).as("pb"),
+        ($"mask" === 0).as("is_home"))
+    val scored = graft.CacheGuard.barrier(
+      emb.filter($"vec_id" >= nQueries)
+        .withColumn("bucket", signLshBucket($"embedding", bits))
+        .join(broadcast(probes), $"bucket" === $"pb")
+        .select($"q_id", $"vec_id", $"is_home",
+          round(cosine($"embedding", $"qe"), 4).as("cos_sim"))
+        .filter(!isnan($"cos_sim")))
+    def audit(cands: DataFrame, nName: String, rName: String): DataFrame = {
+      val top = cands.groupBy($"q_id")
+        .agg(count(lit(1)).as(nName),
+          graft.functions.TopK.topK(k)($"cos_sim", $"vec_id").as("hits"))
+      // count relevant hits SEPARATELY and left-join back: a query whose
+      // top-k has zero overlap with the exact set must keep its candidate
+      // count with recall 0, not vanish from the audit
+      val hits = top.select($"q_id", explode($"hits").as("h"))
+        .select($"q_id", $"h.vec_id".as("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("nh"))
+      top.select($"q_id", col(nName))
+        .join(hits, Seq("q_id"), "left")
+        .select($"q_id", col(nName),
+          round(coalesce($"nh", lit(0L)).cast("double") / k, 4).as(rName))
+    }
+    val single = audit(scored.filter($"is_home"), "n_single", "recall_single")
+    val multi = audit(scored, "n_multi", "recall_multi")
+    exact.select($"q_id").distinct()
+      .join(single, Seq("q_id"), "left")
+      .join(multi, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_single", lit(0L)).as("n_single"),
+        coalesce($"n_multi", lit(0L)).as("n_multi"),
+        (coalesce($"recall_single", lit(0.0)) + lit(0.0)).as("recall_single"),
+        (coalesce($"recall_multi", lit(0.0)) + lit(0.0)).as("recall_multi"))
+      .orderBy($"q_id")
+  }
+
   /** Hard-negative mining — the contrastive-training data job: for each
     * anchor (every `step`-th stored vector), the top-k most-similar
     * vectors with a DIFFERENT label. High-cosine different-label pairs

@@ -636,6 +636,65 @@ object DedupOps {
     * Duplicate families DO concentrate in one block (all copies share
     * their rare shingles) — that is genuine work, not accidental skew;
     * AQE skew-join splits it at cluster scale. */
+  /** Containment threshold as an exact rational (9/10), shared with the
+    * q122 oracle. */
+  val containTauNum = 9
+  val containTauDen = 10
+
+  /** Directed CONTAINMENT join — near-subset detection: pairs where ≥ τ
+    * of document A's distinct 3-shingle set appears inside document B
+    * (`C(A→B) = |A∩B| / |A|`). Jaccard misses these when B is much
+    * longer (a quoted article inside a digest scores low symmetric
+    * similarity but 100% containment); a dedup policy usually drops the
+    * CONTAINED side. Prefix filtering adapts asymmetrically: only the
+    * probe side A is prefix-reduced (rarest `n − ⌈τn⌉ + 1` elements);
+    * the containing side B must be matchable on ANY of its elements, so
+    * B contributes its full element list to the block join — the
+    * classic probe-prefix × full-postings shape of containment
+    * self-joins. Lossless for the same reason as [[setSimJoin]]: if
+    * C(A→B) ≥ τ, fewer than p(A) of A's elements can be missing from B,
+    * so A's rarest-first prefix must hit B.
+    *
+    * Scale shape: candidate volume is Σ over A-prefix elements of that
+    * element's posting length — prefix elements are globally rare by the
+    * df ordering, so postings are short; verification joins candidates
+    * back to the element arrays and runs per-row `array_intersect`;
+    * threshold test is pure integer. */
+  def containmentJoin(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val dt = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select($"doc_id",
+          array_sort(array_distinct(wordShingles(tokens($"text"), n))).as("ts"))
+        .filter(size($"ts") > 0))
+    val dfreq = dt.select(explode($"ts").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("df"))
+    val ord = dt.select($"doc_id", explode($"ts").as("t")).join(dfreq, "t")
+      .groupBy($"doc_id")
+      .agg(transform(array_sort(collect_list(struct($"df", $"t"))),
+          x => x("t")).as("ots"),
+        count(lit(1)).as("n"))
+    val p = ($"n" - floor(($"n" * containTauNum + (containTauDen - 1)) /
+      lit(containTauDen.toDouble)) + 1).cast("int")
+    val pref = ord.select($"doc_id".as("da"),
+      explode(slice($"ots", lit(1), p)).as("pt"))
+    val full = dt.select($"doc_id".as("db"), explode($"ts").as("pt"))
+    val cand = pref.join(full, "pt")
+      .filter($"da" =!= $"db")
+      .select($"da", $"db").distinct()
+    cand
+      .join(dt.select($"doc_id".as("da"), $"ts".as("ta")), "da")
+      .join(dt.select($"doc_id".as("db"), $"ts".as("tb")), "db")
+      .select($"da".as("src"), $"db".as("dst"),
+        size(array_intersect($"ta", $"tb")).cast("long").as("inter"),
+        size($"ta").cast("long").as("n_src"))
+      .filter($"inter" * containTauDen >= $"n_src" * containTauNum)
+      .select($"src", $"dst", $"inter", $"n_src",
+        round($"inter".cast("double") / $"n_src".cast("double"), 4)
+          .as("containment"))
+      .orderBy($"src", $"dst")
+  }
+
   def setSimJoin(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     import spark.implicits._
     val dt = graft.CacheGuard.barrier(

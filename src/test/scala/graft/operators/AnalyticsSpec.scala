@@ -49,6 +49,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("p99") <= kc.max.toDouble)
   }
 
+  test("driftReport: window sums recompute from the daily rollup; flag is the stated integer test") {
+    import spark.implicits._
+    val rows = Analytics.driftReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", $"ts").cast("date").as("ds"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"ds").collect()
+      .map(r => r.getAs[java.sql.Date]("ds") -> r.getAs[Long]("cnt"))
+    val idx = daily.map(_._1).zipWithIndex.toMap
+    rows.foreach { r =>
+      val i = idx(r.getAs[java.sql.Date]("ds"))
+      assert(i >= 13) // needs a full prior frame
+      val recent = (i - 6 to i).map(daily(_)._2).sum
+      val prior = (i - 13 to i - 7).map(daily(_)._2).sum
+      assert(r.getAs[Long]("recent7") === recent)
+      assert(r.getAs[Long]("prior7") === prior)
+      assert(r.getAs[Long]("drift") === math.abs(recent - prior))
+      assert(r.getAs[Boolean]("flagged") ===
+        (math.abs(recent - prior) * 2 > prior))
+    }
+  }
+
   test("dataCard: volumes partition the corpus; every rate is a valid share") {
     val rows = Analytics.dataCard(spark, sf).collect()
     graft.CacheGuard.release()

@@ -363,6 +363,24 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("multiProbeAudit: multi-probe dominates single-probe on candidates and recall") {
+    val rows = AnnSearch.multiProbeAudit(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // probing strictly more buckets can only add candidates and recall
+      assert(r.getAs[Long]("n_multi") >= r.getAs[Long]("n_single"))
+      assert(r.getAs[Double]("recall_multi") >=
+        r.getAs[Double]("recall_single") - 1e-9)
+      assert(r.getAs[Double]("recall_multi") <= 1.0 + 1e-9)
+    }
+    // single-probe matches the existing recall audit's candidate source:
+    // its recall@k can never exceed multi-probe aggregate recall
+    val meanS = rows.map(_.getAs[Double]("recall_single")).sum / rows.length
+    val meanM = rows.map(_.getAs[Double]("recall_multi")).sum / rows.length
+    assert(meanM >= meanS)
+  }
+
   test("embeddingOutliers: centroid model broadcasts — corpus is never exploded or cartesian-joined") {
     val plan = AnnSearch.embeddingOutliers(spark, sf)
       .queryExecution.executedPlan.toString

@@ -380,6 +380,32 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("containmentJoin: lossless vs brute force; containment is directional") {
+    import spark.implicits._
+    val got = DedupOps.containmentJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Long]("inter"), r.getAs[Long]("n_src"))).toSet
+    graft.CacheGuard.release()
+    val sets = graft.Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions
+        .wordShingles(graft.functions.TextFunctions.tokens($"text"), 3).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      inter = (sa & sb).size.toLong
+      if inter * DedupOps.containTauDen >= sa.size.toLong * DedupOps.containTauNum
+    } yield (a, b, inter, sa.size.toLong)).toSet
+    assert(got === want)
+    // the threshold denominates by the SOURCE size: a short doc contained
+    // in a long one must appear as (short → long) even when the reverse
+    // direction falls below τ
+    got.foreach { case (_, _, inter, nSrc) =>
+      assert(inter * DedupOps.containTauDen >= nSrc * DedupOps.containTauNum)
+    }
+  }
+
   test("setSimJoin: every reported pair meets the τ threshold exactly as stated") {
     val rows = DedupOps.setSimJoin(spark, sf).collect()
     graft.CacheGuard.release()
