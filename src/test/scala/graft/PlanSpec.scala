@@ -144,4 +144,22 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
     }
   }
+
+  test("q16 window top-k: Catalyst inserts a MAP-SIDE WindowGroupLimit before the exchange") {
+    // the engine's own InferWindowGroupLimit covers the row_number+filter
+    // pattern: each map partition pre-limits to k rows per key BEFORE the
+    // partition exchange (a partial WindowGroupLimit below Exchange, a
+    // final one above). This is why the declarative window form stays
+    // acceptable at scale for row-per-key outputs — and why we did NOT
+    // hand-roll a rewrite rule for it. The hand-built TopKAgg operators
+    // (q42/q53/q103) remain for the shapes the built-in cannot reach
+    // (top-k folded INTO an aggregation with other aggregates, candidate
+    // buffers feeding joins). Pinned here so an upgrade that loses the
+    // optimization fails loudly.
+    val p = plan(Relational.topOrdersPerCustomer(spark, sf))
+    val limits = "\\(\\d+\\) WindowGroupLimit".r.findAllIn(p).size
+    assert(limits >= 2, p) // partial (map-side) + final
+    assert(p.contains("Partial"), p) // the pre-exchange one is mode Partial
+    assert(p.contains("hashpartitioning"), p)
+  }
 }
