@@ -189,6 +189,8 @@ object SparkEntry {
     "q122_containment_join" -> ((s, d) => DedupOps.containmentJoin(s, d)),
     "q123_multiprobe_lsh" -> ((s, d) => AnnSearch.multiProbeAudit(s, d)),
     "q124_drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
+    "q125_forget_users" -> ((s, d) => Relational.forgetUsers(s, d)),
+    "q126_pit_join" -> ((s, d) => Relational.pointInTimeJoin(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2779,5 +2781,83 @@ object SparkEntry {
         |  abs(recent7 - prior7) AS drift,
         |  abs(recent7 - prior7) * 2 > prior7 AS flagged
         |FROM w WHERE n_prior = 7 ORDER BY ds""".stripMargin,
+
+    // deletion-list cascade: customers → their orders → those orders'
+    // lineitems, plus the user's events; audited counts per relation
+    "q125_forget_users" ->
+      """WITH del AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        |delord AS (
+        |  SELECT o_orderkey AS k FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM del))
+        |SELECT 'customer' AS table_name,
+        |  CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_before,
+        |  CAST((SELECT count(*) FROM customer
+        |        WHERE c_custkey IN (SELECT k FROM del)) AS BIGINT) AS n_deleted,
+        |  CAST((SELECT count(*) FROM customer) AS BIGINT)
+        |    - CAST((SELECT count(*) FROM customer
+        |            WHERE c_custkey IN (SELECT k FROM del)) AS BIGINT)
+        |    AS n_after
+        |UNION ALL
+        |SELECT 'events',
+        |  CAST((SELECT count(*) FROM events) AS BIGINT),
+        |  CAST((SELECT count(*) FROM events
+        |        WHERE user_id IN (SELECT k FROM del)) AS BIGINT),
+        |  CAST((SELECT count(*) FROM events) AS BIGINT)
+        |    - CAST((SELECT count(*) FROM events
+        |            WHERE user_id IN (SELECT k FROM del)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey IN (SELECT k FROM delord)) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        |    - CAST((SELECT count(*) FROM lineitem
+        |            WHERE l_orderkey IN (SELECT k FROM delord)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders',
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |  CAST((SELECT count(*) FROM orders
+        |        WHERE o_custkey IN (SELECT k FROM del)) AS BIGINT),
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT)
+        |    - CAST((SELECT count(*) FROM orders
+        |            WHERE o_custkey IN (SELECT k FROM del)) AS BIGINT)
+        |ORDER BY table_name""".stripMargin,
+
+    // the q100 history probed at three fixed dates: exactly one version
+    // matches each (doc, date) — the training-serving-skew guard
+    "q126_pit_join" -> {
+      def fp(c: String) =
+        s"md5(regexp_replace(lower(trim($c)), '\\s+', ' ', 'g'))"
+      s"""WITH chg AS (
+         |  SELECT doc_id, 0 AS seq, ${fp("text")} AS fp FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 1, ${fp("text || ' rev1'")} FROM documents
+         |  WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 2, ${fp("text || ' rev2'")} FROM documents
+         |  WHERE doc_id % 21 = 0),
+         |ts AS (
+         |  SELECT doc_id, seq, fp,
+         |    DATE '2024-01-01' + CAST(seq*30 + doc_id % 7 AS INTEGER)
+         |      AS valid_from
+         |  FROM chg),
+         |hist AS (
+         |  SELECT doc_id, fp, valid_from,
+         |    lead(valid_from) OVER w AS valid_to,
+         |    (lead(valid_from) OVER w IS NULL) AS is_current,
+         |    CAST(row_number() OVER w AS BIGINT) AS version
+         |  FROM ts
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY seq)),
+         |probes AS (
+         |  SELECT doc_id, pd.probe_date FROM documents
+         |  CROSS JOIN (SELECT unnest([DATE '2024-01-15', DATE '2024-02-15',
+         |    DATE '2024-03-15']) AS probe_date) pd)
+         |SELECT p.doc_id, p.probe_date, h.version, h.fp, h.is_current
+         |FROM probes p JOIN hist h ON p.doc_id = h.doc_id
+         |WHERE h.valid_from <= p.probe_date
+         |  AND (h.valid_to IS NULL OR p.probe_date < h.valid_to)
+         |ORDER BY p.doc_id, p.probe_date""".stripMargin
+    },
   )
 }

@@ -374,6 +374,69 @@ object Relational {
       .orderBy($"doc_id", $"version")
   }
 
+  /** Point-in-time (PIT) lookup against the [[scd2History]] dimension —
+    * the feature-store join that prevents training-serving skew: each
+    * probe (entity, as-of date) must see the dimension version that was
+    * CURRENT at that date, never a later revision (future leakage) and
+    * never an expired one. Probes here are every document at three fixed
+    * month-boundary dates, so revised docs demonstrably resolve to
+    * different versions at different probe dates.
+    *
+    * Scale shape: an SCD2 key has a HANDFUL of versions, so the right
+    * join is the plain equi-join on the key with the validity-range test
+    * as a residual filter — one keyed shuffle, ≤versions candidates per
+    * probe, no interval bucketing needed (that machinery — q75 — is for
+    * UNKEYED range joins where nothing equi-partitions). The window that
+    * built the history is not re-run per probe; the history relation is
+    * cache-barriered and joined as data. */
+  def pointInTimeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = graft.CacheGuard.barrier(scd2History(spark, dir))
+    val probeDates = Seq("2024-01-15", "2024-02-15", "2024-03-15")
+    val probes = Tables.documents(spark, dir)
+      .select($"doc_id")
+      .crossJoin(probeDates.toDF("pd").select($"pd".cast("date").as("probe_date")))
+    probes.join(hist, Seq("doc_id"))
+      .filter($"valid_from" <= $"probe_date" &&
+        ($"valid_to".isNull || $"probe_date" < $"valid_to"))
+      .select($"doc_id", $"probe_date", $"version", $"fp", $"is_current")
+      .orderBy($"doc_id", $"probe_date")
+  }
+
+  /** GDPR/right-to-be-forgotten delete cascade, audited — the compliance
+    * job a data platform runs on a deletion list: remove the users, their
+    * orders, those orders' line items, and their events, and report per
+    * relation how many rows the cascade touched. The deletion list is
+    * tiny (it arrives as a request batch) and BROADCASTS into semi/anti
+    * joins; the only non-broadcast hop is lineitem←orders, which is a
+    * keyed semi-join on the order key at scale. Counts audit the cascade
+    * rather than materializing the cleaned tables (the writes would be
+    * `.write` of the anti-join sides — same plans). */
+  def forgetUsers(spark: SparkSession, dir: String, mod: Int = 97): DataFrame = {
+    import spark.implicits._
+    val del = Tables.customer(spark, dir)
+      .filter($"c_custkey" % mod === 0).select($"c_custkey".as("k"))
+    def audit(name: String, df: DataFrame, keyCol: String,
+              keys: DataFrame): DataFrame = {
+      val total = df.agg(count(lit(1)).as("n_before"))
+      val deleted = df.join(broadcast(keys), df(keyCol) === keys("k"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_deleted"))
+      total.crossJoin(deleted)
+        .select(lit(name).as("table_name"), $"n_before", $"n_deleted",
+          ($"n_before" - $"n_deleted").as("n_after"))
+    }
+    val delOrders = Tables.orders(spark, dir)
+      .join(broadcast(del), $"o_custkey" === $"k", "left_semi")
+      .select($"o_orderkey".as("k"))
+    audit("customer", Tables.customer(spark, dir), "c_custkey", del)
+      .unionByName(audit("orders", Tables.orders(spark, dir), "o_custkey", del))
+      .unionByName(audit("lineitem", Tables.lineitem(spark, dir), "l_orderkey",
+        delOrders))
+      .unionByName(audit("events", Tables.events(spark, dir), "user_id", del))
+      .orderBy($"table_name")
+  }
+
   /** Ordered funnel (view → click → purchase, strictly later each step)
     * over the event stream — the product-analytics query every event
     * pipeline serves. A step counts only if it happens AFTER the previous

@@ -239,4 +239,50 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_view_click") >= r.getAs[Long]("n_full_funnel"))
     assert(r.getAs[Long]("n_view") > 0L)
   }
+
+  test("pointInTimeJoin: exactly one version per probe; the version valid at that date") {
+    import spark.implicits._
+    val rows = Relational.pointInTimeJoin(spark, sf).collect()
+    graft.CacheGuard.release()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    // every (doc, probe date) resolves to exactly one version — no
+    // future leakage duplicate, no gap (probe dates are after every v0)
+    assert(rows.length === nDocs * 3)
+    assert(rows.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[java.sql.Date]("probe_date"))).distinct.length === rows.length)
+    // a revised doc (doc_id % 7 == 0, revision lands Jan 31 + id%7) must
+    // see version 1 at the January probe and a LATER version by March
+    val revised = rows.filter(r => r.getAs[Long]("doc_id") % 7 == 0)
+    if (revised.nonEmpty) {
+      val byDoc = revised.groupBy(_.getAs[Long]("doc_id"))
+      byDoc.values.foreach { g =>
+        val vs = g.sortBy(_.getAs[java.sql.Date]("probe_date").toString)
+          .map(_.getAs[Long]("version"))
+        assert(vs.head === 1L)
+        assert(vs.last >= 2L)
+        assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+      }
+    }
+  }
+
+  test("forgetUsers: cascade counts are consistent and the deletion list is honored") {
+    import spark.implicits._
+    val rows = Relational.forgetUsers(spark, sf).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n_before"), r.getAs[Long]("n_deleted"),
+          r.getAs[Long]("n_after"))).toMap
+    assert(rows.keySet === Set("customer", "orders", "lineitem", "events"))
+    rows.values.foreach { case (before, deleted, after) =>
+      assert(after === before - deleted)
+      assert(deleted >= 0L && deleted <= before)
+    }
+    // direct recount of the customer deletions
+    val delCust = graft.Tables.customer(spark, sf)
+      .filter($"c_custkey" % 97 === 0).count()
+    assert(rows("customer")._2 === delCust)
+    // every deleted order belongs to a deleted customer — recount orders
+    val delOrd = graft.Tables.orders(spark, sf)
+      .filter($"o_custkey" % 97 === 0).count()
+    assert(rows("orders")._2 === delOrd)
+  }
 }
