@@ -191,6 +191,7 @@ object SparkEntry {
     "q124_drift_report" -> ((s, d) => Analytics.driftReport(s, d)),
     "q125_forget_users" -> ((s, d) => Relational.forgetUsers(s, d)),
     "q126_pit_join" -> ((s, d) => Relational.pointInTimeJoin(s, d)),
+    "q127_ttl_dedup" -> ((s, d) => graft.streaming.TtlDedup.ttlDedupReplay(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2859,5 +2860,24 @@ object SparkEntry {
          |  AND (h.valid_to IS NULL OR p.probe_date < h.valid_to)
          |ORDER BY p.doc_id, p.probe_date""".stripMargin
     },
+
+    // the TTL gate's exact replay: one lag per fingerprint chain; gap
+    // from last SEEN (admitted or not) > TTL admits — integer day math
+    "q127_ttl_dedup" ->
+      s"""WITH occ AS (
+         |  SELECT $fpSql AS fp, doc_id, o.occ,
+         |    CAST(doc_id % 30 + o.shift AS BIGINT) AS ts_day
+         |  FROM documents
+         |  CROSS JOIN (VALUES ${graft.streaming.TtlDedup.occShifts.zipWithIndex
+           .map { case (s, i) => s"($i, $s)" }.mkString(", ")}) o(occ, shift)),
+         |lagd AS (
+         |  SELECT doc_id, occ, ts_day,
+         |    lag(ts_day) OVER (PARTITION BY fp
+         |      ORDER BY ts_day, doc_id, occ) AS prev
+         |  FROM occ)
+         |SELECT doc_id, occ, ts_day,
+         |  (prev IS NULL OR ts_day - prev > ${graft.streaming.TtlDedup.ttlDays})
+         |    AS admitted
+         |FROM lagd ORDER BY doc_id, occ""".stripMargin,
   )
 }
