@@ -192,6 +192,8 @@ object SparkEntry {
     "q125_forget_users" -> ((s, d) => Relational.forgetUsers(s, d)),
     "q126_pit_join" -> ((s, d) => Relational.pointInTimeJoin(s, d)),
     "q127_ttl_dedup" -> ((s, d) => graft.streaming.TtlDedup.ttlDedupReplay(s, d)),
+    "q128_orc_roundtrip" -> ((s, d) => sources.ColumnarRoundTrip.orcRoundTrip(s, d)),
+    "q129_partitioned_scan" -> ((s, d) => sources.ColumnarRoundTrip.partitionedScan(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2879,5 +2881,23 @@ object SparkEntry {
          |  (prev IS NULL OR ts_day - prev > ${graft.streaming.TtlDedup.ttlDays})
          |    AS admitted
          |FROM lagd ORDER BY doc_id, occ""".stripMargin,
+
+    // the oracle aggregates the ORIGINAL table — a hash match proves the
+    // engine's ORC write→read cycle lossless (q46's contract, columnar)
+    "q128_orc_roundtrip" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // same lossless-roundtrip contract for the Hive-partitioned layout;
+    // the engine side must also PRUNE to the one partition (plan-asserted
+    // in ColumnarRoundTripSpec)
+    "q129_partitioned_scan" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }
