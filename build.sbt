@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout straight through instead of routing it via
+// sbt's logger: the bench/verify harness tail-parses stdout for one JSON
+// line, and the logger's "[info] " prefix keeps that line from parsing as
+// bare JSON (BENCH_r03..r05 all landed `parsed: null`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

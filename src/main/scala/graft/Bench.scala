@@ -99,14 +99,42 @@ object Bench {
     def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     def d3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     def qid(n: String) = n.takeWhile(_ != '_')
-    val qs = results.map(r => s"${jstr(qid(r.name))}:${d2(r.sec)}").mkString("{", ",", "}")
-    val failed =
-      if (results.forall(_.ok)) ""
-      else results.filter(!_.ok)
-        .map(r => s"${jstr(r.name)}:${jstr(r.err.get.take(80))}")
-        .mkString(""","failed":{""", ",", "}")
-    val total = d3(results.map(_.sec).sum)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${results.count(!_.ok)}$failed,"reps":$reps,"health_file":"bench_health.json","sf":"$sfDir"}"""
+    def render(included: Seq[Measured]): String = {
+      val qs = included.sortBy(_.name)
+        .map(r => s"${jstr(qid(r.name))}:${d2(r.sec)}").mkString("{", ",", "}")
+      val omittedSet = results.toSet -- included.toSet
+      val omitted =
+        if (omittedSet.isEmpty) ""
+        else s""","omitted":{"n":${omittedSet.size},"sec":${d2(omittedSet.toSeq.map(_.sec).sum)}}"""
+      val failed =
+        if (results.forall(_.ok)) ""
+        else results.filter(!_.ok)
+          .map(r => s"${jstr(r.name)}:${jstr(r.err.get.take(80))}")
+          .mkString(""","failed":{""", ",", "}")
+      val total = d3(results.map(_.sec).sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$omitted,"n_failed":${results.count(!_.ok)}$failed,"reps":$reps,"health_file":"bench_health.json","sf":"$sfDir"}"""
+    }
+    // Hard length cap: the consumer keeps only the LAST ~2000 chars of
+    // stdout, and an sbt "[success] Total time ..." line (~80 chars)
+    // follows this one. If the line outgrows the window its HEAD — with
+    // "value", the headline number — is what gets cut. When over budget,
+    // drop the FASTEST queries from the inline map (least regression
+    // signal; the full map is in bench_health.json) and summarize them
+    // in an "omitted" entry so the count/total stay reconstructable.
+    val budget = 1800
+    val full = render(results)
+    if (full.length <= budget) full
+    else {
+      val bySlowest = results.sortBy(-_.sec)
+      // each entry is ~12 bytes ("q123":12.34,); binary-search the cut
+      var keep = math.max(1, (budget - 200) / 13)
+      var line = render(bySlowest.take(keep))
+      while (line.length > budget && keep > 1) {
+        keep = math.max(1, keep - math.max(1, (line.length - budget) / 13 + 1))
+        line = render(bySlowest.take(keep))
+      }
+      line
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -149,7 +177,14 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] health file write failed: $e")
     }
+    // silence everything before the one line the harness tail-parses:
+    // with the forked run's stdout passed through un-prefixed, any WARN
+    // emitted during spark.stop() would land AFTER the JSON line in the
+    // consumer's 2000-char tail window
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
     println(renderSlim(results, reps, sfDir))
+    System.out.flush()
     spark.stop()
   }
 }

@@ -194,6 +194,13 @@ object SparkEntry {
     "q127_ttl_dedup" -> ((s, d) => graft.streaming.TtlDedup.ttlDedupReplay(s, d)),
     "q128_orc_roundtrip" -> ((s, d) => sources.ColumnarRoundTrip.orcRoundTrip(s, d)),
     "q129_partitioned_scan" -> ((s, d) => sources.ColumnarRoundTrip.partitionedScan(s, d)),
+    "q130_repetition" -> ((s, d) => TextAnalysis.repetitionRatios(s, d)),
+    "q131_kmv_intersect" -> ((s, d) => Sketches.kmvIntersection(s, d)),
+    "q132_compaction_plan" -> ((s, d) => Layout.compactionPlan(s, d)),
+    "q133_fuzzy_contamination" -> ((s, d) => CorpusOps.fuzzyContamination(s, d)),
+    "q134_tokenizer_fertility" -> ((s, d) => CorpusOps.tokenizerFertility(s, d)),
+    "q135_url_host_stats" -> ((s, d) => TextAnalysis.urlHostStats(s, d)),
+    "q136_matryoshka_audit" -> ((s, d) => AnnSearch.matryoshkaAudit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -2899,5 +2906,195 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // per-row shingle/distinct arithmetic replayed with list ops; the
+    // flag thresholds are interpolated from the one Scala source of truth
+    "q130_repetition" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id, lang, tk,
+         |    list_transform(range(1, len(tk)),
+         |      i -> array_to_string(list_slice(tk, i, i + 1), ' ')) AS g2,
+         |    list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(list_slice(tk, i, i + 2), ' ')) AS g3
+         |  FROM t),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(g2) <= 0 THEN 0.0 ELSE
+         |      round((len(g2) - len(list_distinct(g2)))
+         |        / CAST(len(g2) AS DOUBLE), 4) END AS dup_bigram_frac,
+         |    CASE WHEN len(g3) <= 0 THEN 0.0 ELSE
+         |      round((len(g3) - len(list_distinct(g3)))
+         |        / CAST(len(g3) AS DOUBLE), 4) END AS dup_trigram_frac,
+         |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+         |      round(list_max(list_transform(list_distinct(tk),
+         |        x -> len(list_filter(tk, y -> y = x))))
+         |        / CAST(len(tk) AS DOUBLE), 4) END AS top_token_frac
+         |  FROM g)
+         |SELECT doc_id, lang, n_tokens, dup_bigram_frac, dup_trigram_frac,
+         |  top_token_frac,
+         |  (dup_bigram_frac > ${TextAnalysis.dupBigramMax}
+         |    OR top_token_frac > ${TextAnalysis.topTokenMax}) AS flagged
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the sketch is replayed bit-for-bit (shared md5-32 hash family,
+    // integer k-th minima); only the final estimate divides
+    "q131_kmv_intersect" ->
+      s"""WITH ska AS (
+         |  SELECT DISTINCT ${h32("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE event_type = 'view'
+         |  ORDER BY h LIMIT ${Sketches.kmvK}),
+         |skb AS (
+         |  SELECT DISTINCT ${h32("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE event_type = 'purchase'
+         |  ORDER BY h LIMIT ${Sketches.kmvK}),
+         |th AS (
+         |  SELECT least((SELECT max(h) FROM ska), (SELECT max(h) FROM skb))
+         |    AS theta),
+         |ns AS (
+         |  SELECT count(*) AS n_sample
+         |  FROM ska JOIN skb USING (h) CROSS JOIN th WHERE h < theta),
+         |ex AS (
+         |  SELECT count(*) AS exact_overlap FROM (
+         |    SELECT user_id FROM events WHERE event_type = 'view'
+         |    INTERSECT
+         |    SELECT user_id FROM events WHERE event_type = 'purchase'))
+         |SELECT n_sample, theta,
+         |  round(n_sample * 4294967296.0 / theta, 4) AS kmv_estimate,
+         |  exact_overlap,
+         |  round(abs(round(n_sample * 4294967296.0 / theta, 4)
+         |    - exact_overlap) / CAST(exact_overlap AS DOUBLE), 4) AS rel_err
+         |FROM ns, th, ex""".stripMargin,
+
+    // greedy first-fit as a prefix sum: bin = floor(bytes-before / target)
+    "q132_compaction_plan" ->
+      s"""WITH f AS (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS bytes
+         |  FROM documents GROUP BY source, lang),
+         |c AS (
+         |  SELECT *, coalesce(sum(bytes) OVER (PARTITION BY source
+         |    ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0) AS cum_before
+         |  FROM f)
+         |SELECT source, lang, n_docs, bytes,
+         |  CAST(floor(cum_before / ${Layout.compactionTarget}.0) AS BIGINT)
+         |    AS bin
+         |FROM c ORDER BY source, lang""".stripMargin,
+
+    // q61's canary chain with per-doc distinct-set sizes riding along;
+    // Jaccard and bench-containment from the same matched-pair counts
+    "q133_fuzzy_contamination" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, coalesce(text, '')
+         |    || CASE WHEN doc_id % ${CorpusOps.benchMod} = 0
+         |              OR doc_id % ${CorpusOps.contamMod} = 0
+         |       THEN ' ${CorpusOps.contaminationCanary}' ELSE '' END AS text
+         |  FROM documents),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(
+         |    list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+         |      i -> array_to_string(toks[i:i+7], ' '))) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM d)),
+         |ex AS (
+         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+         |    unnest(sh) AS shingle
+         |  FROM sets),
+         |pairs AS (
+         |  SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+         |    count(*) AS n_shared,
+         |    max(t.n_sh) AS n_train, max(b.n_sh) AS n_bench
+         |  FROM ex t JOIN ex b ON t.shingle = b.shingle
+         |  WHERE b.doc_id % ${CorpusOps.benchMod} = 0
+         |    AND t.doc_id % ${CorpusOps.benchMod} <> 0
+         |  GROUP BY train_doc, bench_doc)
+         |SELECT train_doc, bench_doc, n_shared, n_train, n_bench,
+         |  round(n_shared / CAST(n_train + n_bench - n_shared AS DOUBLE), 4)
+         |    AS jaccard,
+         |  round(n_shared / CAST(n_bench AS DOUBLE), 4) AS containment
+         |FROM pairs ORDER BY train_doc, bench_doc""".stripMargin,
+
+    // vocabulary cut is deterministic (count DESC, token ASC); OOV words
+    // fragment to characters — the BPE worst case
+    "q134_tokenizer_fertility" ->
+      s"""WITH words AS (
+         |  SELECT lang, unnest($toksSql) AS w FROM documents),
+         |vocab AS (
+         |  SELECT w AS vw FROM (
+         |    SELECT w, count(*) AS cnt FROM words GROUP BY w
+         |    ORDER BY cnt DESC, w LIMIT ${CorpusOps.fertilityVocab})),
+         |j AS (
+         |  SELECT lang,
+         |    CASE WHEN vw IS NOT NULL THEN 1
+         |      ELSE len(w) END AS n_toks,
+         |    CASE WHEN vw IS NOT NULL THEN 0 ELSE 1 END AS oov
+         |  FROM words LEFT JOIN vocab ON w = vw)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  round(sum(n_toks) / CAST(count(*) AS DOUBLE), 4) AS fertility,
+         |  round(sum(oov) / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // host/path re-derived with REGEXES so the match cross-checks Spark's
+    // parse_url against an independent parse of the same synthetic URL
+    "q135_url_host_stats" ->
+      """WITH u AS (
+        |  SELECT 'https://' || source || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example.com/' || lang || '/doc-'
+        |      || CAST(doc_id AS VARCHAR) || '.html?ref=feed' AS url,
+        |    lang, n_chars
+        |  FROM documents),
+        |p AS (
+        |  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |    CAST(len(string_split(
+        |      regexp_extract(url, 'https://[^/]+(/[^?]*)', 1), '/')) - 1
+        |      AS BIGINT) AS path_depth,
+        |    lang, n_chars
+        |  FROM u)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  max(path_depth) AS max_depth,
+        |  round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+        |FROM p GROUP BY host ORDER BY host""".stripMargin,
+
+    // the q42 ranking semantics twice (full + truncated prefix), same
+    // rounding, same NaN-exclusion policy, same (cos DESC, id ASC) ties
+    "q136_matryoshka_audit" -> {
+      val dims = AnnSearch.mrlDims
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 5),
+         |s AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${cosSql("e.embedding", "q.qv")} AS cf,
+         |    ${cosSql(s"list_slice(e.embedding, 1, $dims)",
+                       s"list_slice(q.qv, 1, $dims)")} AS ct
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5),
+         |f AS (SELECT * FROM s WHERE NOT isnan(cf) AND NOT isnan(ct)),
+         |rf AS (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cf DESC, vec_id) AS rk
+         |  FROM f),
+         |rt AS (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ct DESC, vec_id) AS rk
+         |  FROM f),
+         |tf AS (
+         |  SELECT q_id, list(vec_id ORDER BY rk) AS ids_f
+         |  FROM rf WHERE rk <= 10 GROUP BY q_id),
+         |tt AS (
+         |  SELECT q_id, list(vec_id ORDER BY rk) AS ids_t
+         |  FROM rt WHERE rk <= 10 GROUP BY q_id)
+         |SELECT tf.q_id,
+         |  CAST(len(list_intersect(ids_f, ids_t)) AS BIGINT) AS n_overlap,
+         |  ids_f[1] = ids_t[1] AS top1_agree,
+         |  round(len(list_intersect(ids_f, ids_t)) / 10.0, 4)
+         |    AS overlap_frac
+         |FROM tf JOIN tt ON tf.q_id = tt.q_id ORDER BY tf.q_id""".stripMargin
+    },
   )
 }

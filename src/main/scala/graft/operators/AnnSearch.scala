@@ -804,4 +804,56 @@ object AnnSearch {
       .orderBy($"z".desc, $"vec_id")
       .limit(topN)
   }
+
+  /** Matryoshka truncation dims for [[matryoshkaAudit]] (half of the
+    * stored 64), shared with the q136 oracle and spec. */
+  val mrlDims = 32
+
+  /** MATRYOSHKA truncation audit — the "how many dimensions do we
+    * actually need" experiment behind MRL-style serving (Kusupati et
+    * al. 2022): rank the corpus against each query by full-dimension
+    * cosine AND by cosine over the first `dims` coordinates (truncation
+    * + renormalization — renormalization is implicit in cosine), then
+    * report per query how much of the true top-k the truncated index
+    * retains (overlap@k and whether rank-1 agrees). This is the audit a
+    * team runs before halving its vector-serving footprint.
+    *
+    * Scale shape: ONE corpus scan — both scores are computed per row and
+    * feed TWO bounded [[graft.functions.TopKAgg]] buffers inside the SAME
+    * partial aggregation, so the q_id exchange carries
+    * O(partitions × queries × 2k) buffer rows and the corpus is read
+    * once, never cached, never windowed (q42's contract, doubled).
+    * Candidates unscorable in EITHER space (zero-norm full or truncated
+    * prefix) are excluded from both rankings so the two lists rank the
+    * same population — the q42 NaN policy, oracle-mirrored. */
+  def matryoshkaAudit(spark: SparkSession, dir: String,
+                      nQueries: Int = 5, k: Int = 10,
+                      dims: Int = mrlDims): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopK.topK
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"embedding".as("q"))
+    def ids(hits: org.apache.spark.sql.Column) =
+      transform(hits, h => h.getField("vec_id"))
+    emb.filter($"vec_id" >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select($"q_id", $"vec_id",
+        round(cosine($"embedding", $"q"), 4).as("cos_full"),
+        round(cosine(slice($"embedding", 1, dims), slice($"q", 1, dims)), 4)
+          .as("cos_trunc"))
+      .filter(!isnan($"cos_full") && !isnan($"cos_trunc"))
+      .groupBy($"q_id")
+      .agg(
+        topK(k)($"cos_full", $"vec_id").as("hf"),
+        topK(k)($"cos_trunc", $"vec_id").as("ht"))
+      .select($"q_id",
+        size(array_intersect(ids($"hf"), ids($"ht"))).cast("long")
+          .as("n_overlap"),
+        (element_at(ids($"hf"), 1) === element_at(ids($"ht"), 1))
+          .as("top1_agree"))
+      .withColumn("overlap_frac",
+        round($"n_overlap".cast("double") / k.toDouble, 4))
+      .orderBy($"q_id")
+  }
 }

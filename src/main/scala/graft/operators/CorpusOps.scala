@@ -633,4 +633,91 @@ object CorpusOps {
           $"n_total".cast("double")).cast("long").as("shard"))
       .orderBy($"doc_id")
   }
+
+  /** FUZZY benchmark contamination — q61's exact-shingle-hit check
+    * upgraded to the decontamination metric eval suites actually use
+    * (GPT-3/PaLM style): per (train, bench) pair, Jaccard over the two
+    * documents' DISTINCT 8-gram sets and CONTAINMENT of the bench doc
+    * (shared / bench-size — the fraction of the eval doc reproduced),
+    * so near-verbatim leaks score high even when the train doc is long.
+    *
+    * Scale shape is q61's unchanged: `array_distinct` before explode
+    * (per-row work), the tiny bench side broadcasts with its per-doc
+    * set size riding along, and only MATCHED pairs reach the aggregate
+    * — shuffle O(overlap). The train doc's own set size also rides the
+    * scan (computed per-row before explode), so no second corpus pass
+    * and no join back: one scan, one bounded aggregate. */
+  def fuzzyContamination(spark: SparkSession, dir: String,
+                         n: Int = 8): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        concat(coalesce($"text", lit("")),
+          when($"doc_id" % benchMod === 0 || $"doc_id" % contamMod === 0,
+            lit(" " + contaminationCanary)).otherwise(lit(""))).as("text"))
+    def shingleSets(df: DataFrame, idCol: String, szCol: String) = df
+      .select(col("doc_id").as(idCol),
+        array_distinct(wordShingles(tokens($"text"), n)).as("sh"))
+      .select(col(idCol), size($"sh").cast("long").as(szCol),
+        explode($"sh").as("shingle"))
+    val bench = shingleSets(
+      docs.filter($"doc_id" % benchMod === 0), "bench_doc", "n_bench")
+    val train = shingleSets(
+      docs.filter($"doc_id" % benchMod =!= 0), "train_doc", "n_train")
+    train.join(broadcast(bench), "shingle")
+      .groupBy($"train_doc", $"bench_doc")
+      .agg(count(lit(1)).as("n_shared"),
+        max($"n_train").as("n_train"), max($"n_bench").as("n_bench"))
+      .select($"train_doc", $"bench_doc", $"n_shared", $"n_train", $"n_bench",
+        round($"n_shared".cast("double") /
+          ($"n_train" + $"n_bench" - $"n_shared").cast("double"), 4)
+          .as("jaccard"),
+        round($"n_shared".cast("double") / $"n_bench".cast("double"), 4)
+          .as("containment"))
+      .orderBy($"train_doc", $"bench_doc")
+  }
+
+  /** Vocabulary size for [[tokenizerFertility]], shared with the q134
+    * oracle and spec. */
+  val fertilityVocab = 256
+
+  /** Tokenizer FERTILITY audit — the "how will this tokenizer behave on
+    * this corpus" report run before committing a vocab: with the top-V
+    * corpus types as the vocabulary and a character fallback for OOV
+    * words (each OOV word fragments into its characters, the BPE
+    * worst case), report per language the word count, the fragmented
+    * token count, fertility (tokens per word — the compute multiplier
+    * training will pay), and the OOV word rate.
+    *
+    * Scale shape: one tokenize→explode pass; the vocabulary is a
+    * TakeOrdered over the (type, count) relation (O(parts × V)
+    * exchange, ties broken by token text so the cut is deterministic)
+    * and BROADCASTS back, so the corpus joins it map-side — the
+    * aggregate's exchange carries O(langs) rows. The token-count
+    * relation is built once behind a cache barrier and feeds both the
+    * vocab cut and nothing else twice. */
+  def tokenizerFertility(spark: SparkSession, dir: String,
+                         vocabSize: Int = fertilityVocab): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select($"lang", explode(tokens($"text")).as("w"))
+    val vocab = words.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"w".asc).limit(vocabSize)
+      .select($"w", lit(true).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .select($"lang",
+        when($"in_vocab".isNotNull, 1L)
+          .otherwise(length($"w").cast("long")).as("n_toks"),
+        when($"in_vocab".isNotNull, 0L).otherwise(1L).as("oov"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_toks").as("n_tokens"),
+        sum($"oov").as("n_oov"))
+      .select($"lang", $"n_words", $"n_tokens", $"n_oov",
+        round($"n_tokens".cast("double") / $"n_words".cast("double"), 4)
+          .as("fertility"),
+        round($"n_oov".cast("double") / $"n_words".cast("double"), 4)
+          .as("oov_rate"))
+      .orderBy($"lang")
+  }
 }

@@ -60,4 +60,42 @@ object Layout {
         (($"x_max" - $"x_min" + 1) * ($"y_max" - $"y_min" + 1)).as("span"))
       .orderBy($"zblock")
   }
+
+  /** Compaction target size (bytes of text per output file), shared with
+    * the q132 oracle and spec. Small against the synthetic corpus so
+    * multi-file bins actually occur. */
+  val compactionTarget = 40000L
+
+  /** Small-file COMPACTION planner — the `OPTIMIZE`/bin-packing pass
+    * every long-lived lakehouse table needs: given the current file
+    * inventory (here one "file" per (source, lang) leaf — the layout
+    * q129 writes), assign files to target-size output bins by walking
+    * each source's files in deterministic (lang) order and cutting a new
+    * bin whenever the running byte total crosses the target. bin =
+    * floor(cum_bytes_before / target) — the prefix-sum formulation of
+    * greedy first-fit, which makes the plan a WINDOW expression instead
+    * of a driver loop.
+    *
+    * Scale shape: the inventory aggregate is partial-first (O(leaves)
+    * exchange); the prefix sum windows PER SOURCE — partitioned, never
+    * the q84-style global-window collapse, because compaction never
+    * crosses a partition directory. A real run feeds this plan to
+    * per-bin coalesce writes; the PLAN is the deterministic, testable
+    * part. */
+  def compactionPlan(spark: SparkSession, dir: String,
+                     target: Long = compactionTarget): DataFrame = {
+    import spark.implicits._
+    val files = Tables.documents(spark, dir)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("bytes"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"lang")
+      .rowsBetween(Long.MinValue, -1)
+    files
+      .withColumn("cum_before", coalesce(sum($"bytes").over(wCum), lit(0L)))
+      .select($"source", $"lang", $"n_docs", $"bytes",
+        floor($"cum_before".cast("double") / target.toDouble).cast("long")
+          .as("bin"))
+      .orderBy($"source", $"lang")
+  }
 }

@@ -266,4 +266,59 @@ object Sketches {
           $"exact_distinct".cast("double"), 4).as("rel_err"))
       .orderBy($"event_type")
   }
+
+  /** KMV (bottom-k / theta-sketch) size, shared with the q131 oracle. */
+  val kmvK = 64
+
+  /** KMV set-INTERSECTION estimate — the operation HLL structurally
+    * cannot do (HLL only unions): audience overlap between two event
+    * segments (viewers ∩ purchasers) from two bottom-k sketches, next to
+    * the exact intersection. Theta-sketch semantics (Dasgupta et al.):
+    * each side keeps its k smallest distinct md5-32 hashes; θ = the
+    * smaller of the two k-th minima; every retained hash below θ is a
+    * uniform 1-in-(2³²/θ) sample of its set, so
+    * |A∩B| ≈ |{h ∈ skA ∩ skB : h < θ}| · 2³² / θ.
+    *
+    * Determinism: the hash family is the shared q65 md5-32, the k-th
+    * minima are integers, and the one division happens once at the end —
+    * both engines replay the sketch bit-for-bit (the estimate is
+    * oracle-VERIFIED, not just plausible). Scale shape: each side's
+    * bottom-k plans as distinct-then-TakeOrdered — O(parts × k) exchange
+    * after a map-side partial distinct; the sketch intersection joins two
+    * k-row relations. The exact `count(distinct)` intersection alongside
+    * pays the real shuffle — it is the audit half, and at 100 TB it is
+    * the column you drop. */
+  def kmvIntersection(spark: SparkSession, dir: String,
+                      k: Int = kmvK): DataFrame = {
+    import spark.implicits._
+    def hashes(t: String): DataFrame =
+      Tables.events(spark, dir).filter($"event_type" === t)
+        .select(md5Hash32($"user_id".cast("string")).as("h")).distinct()
+    def sketch(df: DataFrame): DataFrame =
+      df.orderBy($"h".asc).limit(k)
+    val skA = graft.CacheGuard.barrier(sketch(hashes("view")))
+    val skB = graft.CacheGuard.barrier(sketch(hashes("purchase")))
+    val range = math.pow(2.0, 32)
+    def kth(df: DataFrame, name: String): DataFrame =
+      df.agg(max($"h").as(name)) // the k-th minimum of the set
+    val theta = kth(skA, "ka").crossJoin(kth(skB, "kb"))
+      .select(least($"ka", $"kb").as("theta"))
+    val sampleHits = skA.join(skB, "h")
+      .crossJoin(broadcast(theta))
+      .filter($"h" < $"theta")
+      .agg(count(lit(1)).as("n_sample"))
+    val exact = Tables.events(spark, dir).filter($"event_type" === "view")
+      .select($"user_id").intersect(
+        Tables.events(spark, dir).filter($"event_type" === "purchase")
+          .select($"user_id"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    sampleHits.crossJoin(theta).crossJoin(exact)
+      .select(
+        $"n_sample", $"theta", $"exact_overlap",
+        round($"n_sample".cast("double") * lit(range) /
+          $"theta".cast("double"), 4).as("kmv_estimate"))
+      .select($"n_sample", $"theta", $"kmv_estimate", $"exact_overlap",
+        round(abs($"kmv_estimate" - $"exact_overlap") /
+          $"exact_overlap".cast("double"), 4).as("rel_err"))
+  }
 }

@@ -472,4 +472,85 @@ object TextAnalysis {
       .orderBy($"pmi".desc, $"a", $"b")
       .limit(topN)
   }
+
+  /** Repetition thresholds shared with the q130 oracle and spec: Gopher
+    * flags documents whose duplicate-bigram mass or single most-frequent
+    * token dominates (Rae et al. 2021 table A1 uses 0.2 / 0.3-class
+    * cutoffs; these are tuned to the synthetic word-salad corpus so both
+    * branches of the flag are exercised). */
+  val dupBigramMax = 0.60
+  val topTokenMax = 0.12
+
+  /** Gopher REPETITION filters (the half of the rule table q60 doesn't
+    * cover): per document, the fraction of word-bigrams/trigrams that are
+    * duplicates of an earlier one, and the share of the single most
+    * frequent token — boilerplate, keyword-stuffing and degenerate-decode
+    * detectors. All per-row array expressions (tokenize → shingle →
+    * distinct-count arithmetic), zero shuffle: at 100 TB this runs as a
+    * map-only pass exactly like q25–q29.
+    *
+    * The top-token share scans the distinct set per row (O(u·n) with
+    * n ≈ doc tokens — bounded, corpus-size-independent work per row);
+    * fractions are exact integer ratios rounded once, so both engines
+    * agree bit-for-bit. Mirrors the reference's per-document quality
+    * gating (`parser_media_articles.py:83-84`) taken to Gopher fidelity. */
+  def repetitionRatios(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    def dupFrac(grams: org.apache.spark.sql.Column) =
+      when(size(grams) <= 0, 0.0).otherwise(
+        round((size(grams) - size(array_distinct(grams))).cast("double") /
+          size(grams).cast("double"), 4))
+    val topCnt = array_max(transform(array_distinct($"tk"),
+      t => size(filter($"tk", x => x === t))))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", toks.as("tk"))
+      .select(
+        $"doc_id", $"lang",
+        size($"tk").cast("long").as("n_tokens"),
+        dupFrac(wordShingles($"tk", 2)).as("dup_bigram_frac"),
+        dupFrac(wordShingles($"tk", 3)).as("dup_trigram_frac"),
+        when(size($"tk") === 0, 0.0).otherwise(
+          round(topCnt.cast("double") / size($"tk").cast("double"), 4))
+          .as("top_token_frac"))
+      .withColumn("flagged",
+        $"dup_bigram_frac" > dupBigramMax || $"top_token_frac" > topTokenMax)
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic synthetic URL for a document — the corpus has no URL
+    * column, so one is derived from (source, lang, doc_id); shared with
+    * the q135 oracle so host parsing is exercised on identical inputs. */
+  def syntheticUrl(spark: SparkSession): org.apache.spark.sql.Column = {
+    import spark.implicits._
+    concat(lit("https://"), $"source", ($"doc_id" % 7).cast("string"),
+      lit(".example.com/"), $"lang", lit("/doc-"), $"doc_id".cast("string"),
+      lit(".html?ref=feed"))
+  }
+
+  /** Per-HOST corpus reputation rollup — the domain-level view every web
+    * pipeline maintains (CCNet/RefinedWeb gate documents by source-domain
+    * statistics before any per-document scoring). Host and path come from
+    * Spark's native `parse_url` (codegen'd, per-row); the aggregate is
+    * one partial-first hash aggregation keyed on host — shuffle volume
+    * O(hosts), never O(documents). The oracle re-derives host/path with
+    * regexes, so the match also cross-checks `parse_url` against an
+    * independent parse. */
+  def urlHostStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("url", syntheticUrl(spark))
+      .select(
+        parse_url($"url", lit("HOST")).as("host"),
+        (size(split(parse_url($"url", lit("PATH")), "/")) - 1)
+          .cast("long").as("path_depth"),
+        $"lang", $"n_chars")
+      .groupBy($"host")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        max($"path_depth").as("max_depth"),
+        round(avg($"n_chars".cast("double")), 4).as("avg_chars"))
+      .orderBy($"host")
+  }
 }

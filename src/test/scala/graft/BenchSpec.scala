@@ -68,4 +68,22 @@ class BenchSpec extends SparkSpec {
     val perQuery = slim.length / rs.size
     assert(perQuery < 200, s"slim line too fat: $perQuery chars/query")
   }
+
+  test("the stdout line never outgrows the consumer's tail window") {
+    // simulate a 400-query suite: the inline map must be capped by
+    // dropping the FASTEST queries into an "omitted" summary, keeping the
+    // headline "value" (at the line HEAD — the part a tail-cut destroys)
+    val rs = (1 to 400).map(i =>
+      Bench.Measured(f"q$i%03d_synthetic", Seq(i / 100.0), Seq(i / 100.0), None))
+    val slim = Bench.renderSlim(rs, 2, "/tmp/sf")
+    assert(slim.length <= 1800, s"line is ${slim.length} chars")
+    assert(slim.startsWith("""{"metric":"total","value":"""))
+    assert(slim.contains(""""omitted":{"n":"""))
+    // the slowest query survives the cut; the fastest is the one omitted
+    assert(slim.contains(""""q400":"""))
+    assert(!slim.contains(""""q001":"""))
+    // a small suite is NOT truncated
+    val small = Bench.renderSlim(rs.take(20), 2, "/tmp/sf")
+    assert(!small.contains(""""omitted""""))
+  }
 }

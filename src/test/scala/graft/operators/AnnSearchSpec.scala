@@ -388,4 +388,30 @@ class AnnSearchSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("matryoshkaAudit: overlap bounds hold and the full-dim side matches batchTopK") {
+    val rows = AnnSearch.matryoshkaAudit(spark, sf, nQueries = 5, k = 10).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0L && n <= 10L)
+      assert(r.getAs[Double]("overlap_frac") === n.toDouble / 10.0)
+      // truncating half the dimensions on random-ish vectors cannot keep
+      // the full ranking perfectly — and must not destroy it either
+      if (r.getAs[Boolean]("top1_agree")) assert(n >= 1L)
+    }
+    // truncation degrades gracefully on average (the MRL premise)
+    val mean = rows.map(_.getAs[Long]("n_overlap")).sum.toDouble / rows.length
+    assert(mean >= 1.0, s"mean overlap $mean — truncated space is noise")
+  }
+
+  test("matryoshkaAudit: ONE corpus pass — both rankings share a single partial aggregate") {
+    val plan = AnnSearch.matryoshkaAudit(spark, sf)
+      .queryExecution.executedPlan.toString
+    // both TopKAgg buffers live in the same ObjectHashAggregate pair
+    // (partial + final) — one corpus scan, no Window, no second join
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.split("ObjectHashAggregate").length - 1 === 2, plan.take(2000))
+  }
 }

@@ -328,4 +328,52 @@ class CorpusOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
+
+  test("fuzzyContamination: pair counts extend q61 and the scores replay from them") {
+    val fuzzy = CorpusOps.fuzzyContamination(spark, sf).collect()
+    val exact = CorpusOps.contaminationCheck(spark, sf).collect()
+      .map(r => (r.getAs[Long]("train_doc"), r.getAs[Long]("bench_doc")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(fuzzy.nonEmpty)
+    // same pair set as the exact checker, same shared counts
+    assert(fuzzy.length === exact.size)
+    fuzzy.foreach { r =>
+      val shared = r.getAs[Long]("n_shared")
+      val nTrain = r.getAs[Long]("n_train")
+      val nBench = r.getAs[Long]("n_bench")
+      assert(shared === exact(
+        (r.getAs[Long]("train_doc"), r.getAs[Long]("bench_doc"))))
+      assert(shared >= 1L && shared <= math.min(nTrain, nBench))
+      def d4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("jaccard") ===
+        d4(shared.toDouble / (nTrain + nBench - shared)))
+      assert(r.getAs[Double]("containment") === d4(shared.toDouble / nBench))
+      assert(r.getAs[Double]("jaccard") <= r.getAs[Double]("containment"))
+    }
+  }
+
+  test("tokenizerFertility: totals cover the corpus; in-vocab floor makes fertility ≥ 1") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val rows = CorpusOps.tokenizerFertility(spark, sf).collect()
+    val totalWords = Tables.documents(spark, sf)
+      .select(explode(tokens($"text"))).count()
+    assert(rows.map(_.getAs[Long]("n_words")).sum === totalWords)
+    rows.foreach { r =>
+      val fertility = r.getAs[Double]("fertility")
+      val oovRate = r.getAs[Double]("oov_rate")
+      assert(fertility >= 1.0) // every word is ≥ 1 token
+      assert(oovRate >= 0.0 && oovRate <= 1.0)
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_words"))
+    }
+  }
+
+  test("tokenizerFertility: vocab broadcasts — the corpus-side join never sort-merges") {
+    val plan = CorpusOps.tokenizerFertility(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }

@@ -36,4 +36,33 @@ class LayoutSpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("n_rows")).sum
     assert(total === Tables.events(spark, sf).count())
   }
+
+  test("compactionPlan: bins replay the greedy prefix-sum walk per source") {
+    val rows = Layout.compactionPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, files) =>
+      // collect() preserves the orderBy(source, lang) output order
+      var cum = 0L
+      files.foreach { f =>
+        assert(f.getAs[Long]("bin") ===
+          math.floorDiv(cum, Layout.compactionTarget))
+        cum += f.getAs[Long]("bytes")
+      }
+      // bins are contiguous non-decreasing from 0
+      val bins = files.map(_.getAs[Long]("bin"))
+      assert(bins.head === 0L)
+      assert(bins.zip(bins.tail).forall { case (a, b) => b >= a })
+    }
+    // inventory covers the whole corpus
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+  }
+
+  test("compactionPlan: the prefix sum windows PER SOURCE — no global-order collapse") {
+    val plan = Layout.compactionPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    // a partitioned window plans hashpartitioning on source, never a
+    // single-partition rangepartitioning before the window
+    assert(plan.contains("hashpartitioning(source"), plan.take(1500))
+  }
 }

@@ -78,4 +78,32 @@ class SketchesSpec extends SparkSpec {
       assert(rho >= 1L && rho <= 25L)
     }
   }
+
+  test("kmvIntersection: estimate replays the theta-sketch arithmetic; exact is exact") {
+    import spark.implicits._
+    val r = Sketches.kmvIntersection(spark, sf).head()
+    graft.CacheGuard.release()
+    val nSample = r.getAs[Long]("n_sample")
+    val theta = r.getAs[Long]("theta")
+    val est = r.getAs[Double]("kmv_estimate")
+    val exact = r.getAs[Long]("exact_overlap")
+    assert(nSample >= 0L && nSample <= Sketches.kmvK.toLong)
+    assert(theta > 0L)
+    // the reported estimate IS the theta formula, bit for bit
+    assert(est === BigDecimal(nSample * math.pow(2.0, 32) / theta)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // exact side recomputes from a direct join
+    def users(t: String) = Tables.events(spark, sf)
+      .filter($"event_type" === t).select($"user_id").distinct()
+    assert(exact === users("view").intersect(users("purchase")).count())
+    assert(exact > 0L)
+  }
+
+  test("kmvIntersection: deterministic across runs") {
+    val a = Sketches.kmvIntersection(spark, sf).head()
+    graft.CacheGuard.release()
+    val b = Sketches.kmvIntersection(spark, sf).head()
+    graft.CacheGuard.release()
+    assert(a === b)
+  }
 }

@@ -289,4 +289,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("Generate"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("repetitionRatios: fractions recompute from the raw text per row") {
+    val rows = TextAnalysis.repetitionRatios(spark, sf).collect()
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === texts.size)
+    rows.take(50).foreach { r =>
+      val tk = texts(r.getAs[Long]("doc_id")).toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      def dupFrac(n: Int): Double = {
+        val g = tk.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        if (g.isEmpty) 0.0
+        else BigDecimal((g.size - g.distinct.size).toDouble / g.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(r.getAs[Long]("n_tokens") === tk.length)
+      assert(r.getAs[Double]("dup_bigram_frac") === dupFrac(2))
+      assert(r.getAs[Double]("dup_trigram_frac") === dupFrac(3))
+      val topFrac =
+        if (tk.isEmpty) 0.0
+        else BigDecimal(tk.groupBy(identity).values.map(_.size).max.toDouble /
+          tk.length).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("top_token_frac") === topFrac)
+      assert(r.getAs[Boolean]("flagged") ===
+        (r.getAs[Double]("dup_bigram_frac") > TextAnalysis.dupBigramMax ||
+          r.getAs[Double]("top_token_frac") > TextAnalysis.topTokenMax))
+    }
+    // word-salad corpus: both flag branches should be exercised somewhere
+    assert(rows.exists(_.getAs[Boolean]("flagged")))
+    assert(rows.exists(!_.getAs[Boolean]("flagged")))
+  }
+
+  test("repetitionRatios: per-row pass — no joins or hash aggregates in the plan") {
+    val plan = TextAnalysis.repetitionRatios(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(!plan.contains("HashAggregate"), plan.take(1500))
+  }
+
+  test("urlHostStats: every document lands in exactly one host bucket") {
+    val rows = TextAnalysis.urlHostStats(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[String]("host").matches("src\\d+\\d\\.example\\.com"),
+        r.getAs[String]("host"))
+      // path is always /<lang>/doc-<id>.html → depth 2
+      assert(r.getAs[Long]("max_depth") === 2L)
+      assert(r.getAs[Long]("n_langs") >= 1L && r.getAs[Long]("n_langs") <= 5L)
+      assert(r.getAs[Double]("avg_chars") > 0.0)
+    }
+  }
 }
