@@ -201,6 +201,9 @@ object SparkEntry {
     "q134_tokenizer_fertility" -> ((s, d) => CorpusOps.tokenizerFertility(s, d)),
     "q135_url_host_stats" -> ((s, d) => TextAnalysis.urlHostStats(s, d)),
     "q136_matryoshka_audit" -> ((s, d) => AnnSearch.matryoshkaAudit(s, d)),
+    "q137_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+    "q138_dedup_sweep" -> ((s, d) => DedupOps.dedupThresholdSweep(s, d)),
+    "q139_vacuum_plan" -> ((s, d) => Layout.vacuumPlan(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -271,6 +274,42 @@ object SparkEntry {
        |  FROM cand c
        |  JOIN sigl sa ON sa.doc_id = c.a
        |  JOIN sigl sb ON sb.doc_id = c.b)""".stripMargin
+
+  /** The BPE training chain (corpus → word-frequency dictionary →
+    * char-spaced symbol strings → per-round top-pair + leftmost
+    * non-overlapping `replace` merge), shared verbatim by the q117
+    * trainer oracle and the q137 encoder oracle — one source of truth
+    * for the merge table. Exposes CTEs `w0` (all corpus words), `t0..t{R-1}`
+    * (per-round merges) and `v1..vR` (vocab sizes). */
+  private lazy val bpeTrainCtesSql: String = {
+    val rounds = (0 until TextAnalysis.bpeTrainRounds).map { i =>
+      s"""p$i AS (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT c, unnest(list_transform(range(1, len(sy)),
+         |      i -> {'a': sy[i], 'b': sy[i+1]})) AS pr
+         |    FROM (SELECT string_split(trim(s), ' ') AS sy, c
+         |          FROM s$i) q) z
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |s${i + 1} AS (
+         |  SELECT replace(s, ' ' || t.a || ' ' || t.b || ' ',
+         |    ' ' || t.a || t.b || ' ') AS s, c
+         |  FROM s$i CROSS JOIN t$i t),
+         |v${i + 1} AS (
+         |  SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vocab FROM (
+         |    SELECT unnest(string_split(trim(s), ' ')) AS sym
+         |    FROM s${i + 1}) z)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (SELECT unnest($toksSql) AS w FROM documents),
+       |wc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM w0 WHERE length(w) >= 2 GROUP BY w),
+       |s0 AS (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, c
+       |  FROM wc),
+       |$rounds""".stripMargin
+  }
 
   /** The 2-iteration integer-exact Lloyd's training chain (embeddings on
     * the e3 grid → assign → mean → assign → mean), shared by the q69
@@ -2494,38 +2533,12 @@ object SparkEntry {
     // `replace` (literal, leftmost-non-overlapping), so every round's
     // corpus state is bit-identical
     "q117_bpe_train" -> {
-      val rounds = (0 until TextAnalysis.bpeTrainRounds).map { i =>
-        s"""p$i AS (
-           |  SELECT pr.a AS a, pr.b AS b, CAST(sum(c) AS BIGINT) AS cnt
-           |  FROM (
-           |    SELECT c, unnest(list_transform(range(1, len(sy)),
-           |      i -> {'a': sy[i], 'b': sy[i+1]})) AS pr
-           |    FROM (SELECT string_split(trim(s), ' ') AS sy, c
-           |          FROM s$i) q) z
-           |  GROUP BY 1, 2),
-           |t$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-           |s${i + 1} AS (
-           |  SELECT replace(s, ' ' || t.a || ' ' || t.b || ' ',
-           |    ' ' || t.a || t.b || ' ') AS s, c
-           |  FROM s$i CROSS JOIN t$i t),
-           |v${i + 1} AS (
-           |  SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vocab FROM (
-           |    SELECT unnest(string_split(trim(s), ' ')) AS sym
-           |    FROM s${i + 1}) z)""".stripMargin
-      }.mkString(",\n")
       val out = (0 until TextAnalysis.bpeTrainRounds).map { i =>
         s"""SELECT CAST(${i + 1} AS BIGINT) AS round, t.a AS sym_a,
            |  t.b AS sym_b, t.cnt AS pair_count, v.vocab AS vocab_after
            |FROM t$i t CROSS JOIN v${i + 1} v""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH w0 AS (SELECT unnest($toksSql) AS w FROM documents),
-         |wc AS (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS c
-         |  FROM w0 WHERE length(w) >= 2 GROUP BY w),
-         |s0 AS (
-         |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, c
-         |  FROM wc),
-         |$rounds
+      s"""WITH $bpeTrainCtesSql
          |$out
          |ORDER BY round""".stripMargin
     },
@@ -3095,6 +3108,93 @@ object SparkEntry {
          |  round(len(list_intersect(ids_f, ids_t)) / 10.0, 4)
          |    AS overlap_frac
          |FROM tf JOIN tt ON tf.q_id = tt.q_id ORDER BY tf.q_id""".stripMargin
+    },
+
+    // the trained merges (shared CTE chain) applied to every word TYPE
+    // in round order with the same leftmost non-overlapping `replace`
+    "q137_bpe_encode" -> {
+      val spaced = "' ' || regexp_replace(types.w, '(.)', '\\1 ', 'g')"
+      val applied = (0 until TextAnalysis.bpeTrainRounds).foldLeft(spaced) {
+        (acc, i) =>
+          s"replace($acc,\n      ' ' || m$i.a || ' ' || m$i.b || ' ', ' ' || m$i.a || m$i.b || ' ')"
+      }
+      val mergeJoins = (0 until TextAnalysis.bpeTrainRounds)
+        .map(i => s"CROSS JOIN t$i m$i").mkString(" ")
+      s"""WITH $bpeTrainCtesSql,
+         |types AS (SELECT DISTINCT w FROM w0),
+         |enc AS (
+         |  SELECT types.w AS w, CAST(len(string_split(trim(
+         |    $applied), ' ')) AS BIGINT) AS n_bpe
+         |  FROM types $mergeJoins),
+         |occ AS (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(occ.w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  round(sum(length(occ.w)) / CAST(sum(n_bpe) AS DOUBLE), 4)
+         |    AS chars_per_token
+         |FROM occ JOIN enc ON occ.w = enc.w
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the q55 est relation swept against the 1/16-aligned threshold
+    // table; both aggregates derive from the same filtered relation
+    "q138_dedup_sweep" ->
+      s"""WITH $minHashCtesSql,
+         |th AS (SELECT CAST(x AS DOUBLE) AS threshold FROM (VALUES
+         |  ${DedupOps.sweepThresholds.map(t => s"($t)").mkString(", ")}) v(x)),
+         |sv AS (
+         |  SELECT threshold, a, b FROM est CROSS JOIN th
+         |  WHERE est_jaccard >= threshold),
+         |np AS (
+         |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM sv GROUP BY threshold),
+         |nd AS (
+         |  SELECT threshold, CAST(count(DISTINCT d) AS BIGINT)
+         |    AS n_docs_affected
+         |  FROM (SELECT threshold, unnest([a, b]) AS d FROM sv) z
+         |  GROUP BY threshold),
+         |tot AS (SELECT 2 * count(*) AS n_total FROM documents)
+         |SELECT threshold, n_pairs, n_docs_affected,
+         |  round(n_docs_affected / CAST(n_total AS DOUBLE), 4)
+         |    AS frac_affected
+         |FROM np JOIN nd USING (threshold) CROSS JOIN tot
+         |ORDER BY threshold""".stripMargin,
+
+    // written files and retained-snapshot references both derive from
+    // per-row CASE arithmetic over the version mods; vacuum = anti-join
+    "q139_vacuum_plan" -> {
+      import Layout.{vacAmend1Mod => a1, vacDeleteMod => dl,
+        vacAmend2Mod => a2, vacBuckets => nb}
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars, doc_id % $nb AS bucket,
+         |    doc_id % $a1 = 0 AS am1, doc_id % $dl = 0 AS del1,
+         |    doc_id % $a2 = 0 AS am2
+         |  FROM documents),
+         |written AS (
+         |  SELECT version, bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(n_chars) AS BIGINT) AS bytes
+         |  FROM (
+         |    SELECT n_chars, bucket, CAST(0 AS BIGINT) AS version FROM d
+         |    UNION ALL
+         |    SELECT n_chars, bucket, 1 FROM d WHERE am1
+         |    UNION ALL
+         |    SELECT n_chars, bucket, 2 FROM d WHERE am2 AND NOT del1) z
+         |  GROUP BY version, bucket),
+         |refs AS (
+         |  SELECT DISTINCT version, bucket FROM (
+         |    SELECT CASE WHEN am1 THEN CAST(1 AS BIGINT)
+         |      ELSE 0 END AS version, bucket
+         |    FROM d WHERE NOT del1
+         |    UNION ALL
+         |    SELECT CASE WHEN am2 THEN 2 WHEN am1 THEN 1 ELSE 0 END, bucket
+         |    FROM d WHERE NOT del1) z)
+         |SELECT w.version, w.bucket, n_rows, bytes,
+         |  r.version IS NOT NULL AS referenced,
+         |  CASE WHEN r.version IS NOT NULL THEN 0 ELSE bytes END
+         |    AS reclaim_bytes
+         |FROM written w LEFT JOIN refs r
+         |  ON w.version = r.version AND w.bucket = r.bucket
+         |ORDER BY w.version, w.bucket""".stripMargin
     },
   )
 }

@@ -735,4 +735,47 @@ object DedupOps {
           .as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** Sweep thresholds for [[dedupThresholdSweep]] — multiples of 1/16
+    * (the 16-perm signature's estimate granularity), so every comparison
+    * against an estimated Jaccard is exact in both engines. */
+  val sweepThresholds: Seq[Double] = Seq(0.5, 0.625, 0.75, 0.875, 1.0)
+
+  /** Dedup threshold TUNING CURVE — the report a corpus builder reads
+    * before picking τ: for each candidate threshold, how many candidate
+    * pairs survive and how many documents they touch (the removal
+    * surface). One pass over the q55 md5-family pair relation (no
+    * per-threshold re-run): pairs cross-join the 5-row threshold table
+    * and both aggregates — pair counts, and distinct touched docs via an
+    * explode of the two endpoints — derive from the same filtered
+    * relation behind a cache barrier.
+    *
+    * Scale shape: the pair stage is q55's audited band self-join; the
+    * sweep adds O(pairs × thresholds) post-filter rows and a distinct on
+    * (threshold, doc) — both bounded by match volume, never corpus
+    * volume. The threshold table broadcasts. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (pairs, _) = md5MinHashPairs(spark, dir,
+      shingleN = 3, perms = 16, bands = 4, threshold = 0.0)
+    val cached = graft.CacheGuard.barrier(pairs)
+    val th = sweepThresholds.toDF("threshold")
+    val surviving = cached.crossJoin(broadcast(th))
+      .filter($"est_jaccard" >= $"threshold")
+    val nPairs = surviving.groupBy($"threshold")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = surviving
+      .select($"threshold", explode(array($"a", $"b")).as("d"))
+      .groupBy($"threshold")
+      .agg(countDistinct($"d").as("n_docs_affected"))
+    val total = withDupCopies(
+      Tables.documents(spark, dir).select($"doc_id"))
+      .agg(count(lit(1)).as("n_total"))
+    nPairs.join(nDocs, "threshold")
+      .crossJoin(broadcast(total))
+      .select($"threshold", $"n_pairs", $"n_docs_affected",
+        round($"n_docs_affected".cast("double") / $"n_total".cast("double"), 4)
+          .as("frac_affected"))
+      .orderBy($"threshold")
+  }
 }

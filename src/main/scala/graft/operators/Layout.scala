@@ -98,4 +98,70 @@ object Layout {
           .as("bin"))
       .orderBy($"source", $"lang")
   }
+
+  /** Vacuum-plan version mods (amend-at-v1 / delete-at-v1 / amend-at-v2)
+    * and the per-version file bucket count, shared with the q139 oracle
+    * and spec. */
+  val vacAmend1Mod = 7
+  val vacDeleteMod = 11
+  val vacAmend2Mod = 13
+  val vacBuckets = 16
+
+  /** Snapshot VACUUM planner — the `expire_snapshots` / orphan-file GC
+    * pass of a versioned table (Iceberg/Delta retention): three table
+    * versions write row versions into (version, bucket) data files —
+    * v0 the base load, v1 amends doc_id%7 and deletes doc_id%11, v2
+    * amends doc_id%13 of the survivors. Retention keeps snapshots v1
+    * and v2; a file is RECLAIMABLE iff no retained snapshot references
+    * any row version in it (a snapshot references, per live row, the
+    * file holding its newest version ≤ that snapshot).
+    *
+    * The whole plan derives from per-row CASE arithmetic: each row emits
+    * its written (version, bucket) files in one pass (array + explode,
+    * bounded fan-out ≤ 3), the retained-reference set emits the same way
+    * from the snapshot-visibility rules, and reclaimable = written
+    * LEFT ANTI referenced. Inventory aggregates are partial-first
+    * O(versions × buckets); the reference set is distinct-collapsed
+    * map-side and BROADCAST to the anti-join — the table itself shuffles
+    * nothing. Output: every file with row/byte mass and its verdict (the
+    * reclaim report a retention job logs before deleting). */
+  def vacuumPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select(
+      $"doc_id", $"n_chars",
+      ($"doc_id" % vacBuckets).as("bucket"),
+      ($"doc_id" % vacAmend1Mod === 0).as("am1"),
+      ($"doc_id" % vacDeleteMod === 0).as("del1"),
+      ($"doc_id" % vacAmend2Mod === 0).as("am2"))
+    // files this row wrote a version into: base always; v1/v2 on amend
+    // (a v1 delete writes no data file; a v2 amend only if still live)
+    val written = d.select($"n_chars", explode(concat(
+        array(struct(lit(0L).as("version"), $"bucket")),
+        when($"am1", array(struct(lit(1L).as("version"), $"bucket")))
+          .otherwise(array().cast("array<struct<version:bigint,bucket:bigint>>")),
+        when($"am2" && !$"del1",
+          array(struct(lit(2L).as("version"), $"bucket")))
+          .otherwise(array().cast("array<struct<version:bigint,bucket:bigint>>"))))
+        .as("f"))
+      .groupBy($"f.version".as("version"), $"f.bucket".as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum($"n_chars").as("bytes"))
+    // retained snapshots v1, v2: the file of each live row's newest
+    // version visible at that snapshot
+    val refs = d.filter(!$"del1")
+      .select(array_distinct(array(
+          struct(when($"am1", 1L).otherwise(0L).as("version"), $"bucket"),
+          struct(when($"am2", 2L).when($"am1", 1L).otherwise(0L).as("version"),
+            $"bucket")))
+        .as("fs"))
+      .select(explode($"fs").as("f"))
+      .select($"f.version".as("version"), $"f.bucket".as("bucket"))
+      .distinct()
+    written.join(broadcast(refs.withColumn("referenced", lit(true))),
+        Seq("version", "bucket"), "left")
+      .select($"version", $"bucket", $"n_rows", $"bytes",
+        coalesce($"referenced", lit(false)).as("referenced"),
+        when(coalesce($"referenced", lit(false)), 0L).otherwise($"bytes")
+          .as("reclaim_bytes"))
+      .orderBy($"version", $"bucket")
+  }
 }

@@ -422,6 +422,56 @@ object TextAnalysis {
     perRound.reduce(_ unionByName _).orderBy($"round")
   }
 
+  /** BPE ENCODE — apply the [[bpeTrainMerges]]-trained merge table to the
+    * whole corpus (the tokenizer-APPLY half that makes q117's training
+    * loop a usable tokenizer): every word starts char-spaced and each
+    * trained merge rewrites it in ROUND ORDER with the same leftmost
+    * non-overlapping `replace` the trainer used, so
+    * encode(word) ≡ what the training dictionary chain did to that word.
+    * Per document: word count, character mass, BPE token count, and the
+    * chars-per-token compression ratio — the fertility numbers an actual
+    * tokenizer rollout is judged on (cf. q134's vocab-coverage bound).
+    *
+    * Scale shape: merges are [[bpeTrainRounds]] ONE-ROW relations
+    * (broadcast cross joins — the codebook pattern); encoding runs over
+    * word TYPES, not occurrences (the trainer's dictionary optimization
+    * again), and the type→occurrence join BROADCASTS the encoded
+    * dictionary (vocabulary-sized; a corpus whose vocab outgrows
+    * broadcast switches this one join to a keyed shuffle, the plan is
+    * otherwise unchanged). The corpus is scanned once for training
+    * (inside bpeTrainMerges, dictionary-collapsed) and once for
+    * occurrence counting. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = graft.CacheGuard.barrier(bpeTrainMerges(spark, dir))
+    val mergeCols = (1 to bpeTrainRounds).map { r =>
+      merges.filter($"round" === r.toLong)
+        .select(
+          concat(lit(" "), $"sym_a", lit(" "), $"sym_b", lit(" ")).as(s"p$r"),
+          concat(lit(" "), $"sym_a", $"sym_b", lit(" ")).as(s"q$r"))
+    }
+    val types = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("w")).distinct()
+      .withColumn("s", concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")))
+    val withMerges = mergeCols.foldLeft(types)((df, m) => df.crossJoin(broadcast(m)))
+    val applied = (1 to bpeTrainRounds).foldLeft("s")(
+      (acc, r) => s"replace($acc, p$r, q$r)")
+    val enc = withMerges
+      .select($"w", size(split(trim(expr(applied)), " ")).cast("long").as("n_bpe"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .join(broadcast(enc), "w")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length($"w")).cast("long").as("n_chars"),
+        sum($"n_bpe").as("n_bpe_tokens"))
+      .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens",
+        round($"n_chars".cast("double") / $"n_bpe_tokens".cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
   /** PMI support threshold and per-doc distinct-token cap, shared with
     * the q111 oracle SQL. */
   val pmiMinSupport = 5

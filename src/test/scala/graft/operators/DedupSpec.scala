@@ -417,4 +417,21 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
     }
   }
+
+  test("dedupThresholdSweep: curve is monotone; exact copies pin the τ=1.0 row") {
+    val rows = DedupOps.dedupThresholdSweep(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ===
+      DedupOps.sweepThresholds)
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    val docs = rows.map(_.getAs[Long]("n_docs_affected"))
+    // raising τ can only shrink the removal surface
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => b <= a })
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a })
+    // every doc has a planted exact copy → est 1.0 pairs cover everything
+    val n = graft.Tables.documents(spark, sf).count()
+    val at1 = rows.last
+    assert(at1.getAs[Long]("n_pairs") >= n)
+    assert(at1.getAs[Double]("frac_affected") === 1.0)
+  }
 }

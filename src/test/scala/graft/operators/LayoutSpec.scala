@@ -65,4 +65,51 @@ class LayoutSpec extends SparkSpec {
     // single-partition rangepartitioning before the window
     assert(plan.contains("hashpartitioning(source"), plan.take(1500))
   }
+
+  test("vacuumPlan: verdicts replay the snapshot-visibility rules row by row") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def am1(id: Long) = id % Layout.vacAmend1Mod == 0
+    def del(id: Long) = id % Layout.vacDeleteMod == 0
+    def am2(id: Long) = id % Layout.vacAmend2Mod == 0
+    def bucket(id: Long) = id % Layout.vacBuckets
+    val written = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)] // file -> (rows, bytes)
+    docs.foreach { case (id, ch) =>
+      def add(v: Long): Unit = {
+        val k = (v, bucket(id))
+        val (r0, b0) = written.getOrElse(k, (0L, 0L))
+        written(k) = (r0 + 1, b0 + ch)
+      }
+      add(0L)
+      if (am1(id)) add(1L)
+      if (am2(id) && !del(id)) add(2L)
+    }
+    val refs = docs.filter(d => !del(d._1)).flatMap { case (id, _) =>
+      val v1 = if (am1(id)) 1L else 0L
+      val v2 = if (am2(id)) 2L else v1
+      Seq((v1, bucket(id)), (v2, bucket(id)))
+    }.toSet
+    val rows = Layout.vacuumPlan(spark, sf).collect()
+    assert(rows.length === written.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("version"), r.getAs[Long]("bucket"))
+      val (nr, by) = written(k)
+      assert(r.getAs[Long]("n_rows") === nr)
+      assert(r.getAs[Long]("bytes") === by)
+      assert(r.getAs[Boolean]("referenced") === refs.contains(k))
+      assert(r.getAs[Long]("reclaim_bytes") ===
+        (if (refs.contains(k)) 0L else by))
+    }
+    // the retention pass must actually reclaim something on this corpus
+    assert(rows.exists(!_.getAs[Boolean]("referenced")))
+  }
+
+  test("vacuumPlan: reference set broadcasts — the inventory never sort-merges") {
+    val plan = Layout.vacuumPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }

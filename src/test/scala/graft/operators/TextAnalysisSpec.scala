@@ -329,6 +329,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), plan.take(1500))
   }
 
+  test("bpeEncode: token counts replay the trained merges word by word") {
+    val merges = TextAnalysis.bpeTrainMerges(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
+    graft.CacheGuard.release()
+    def encode(w: String): Int = {
+      var s = " " + w.toCharArray.map(_ + " ").mkString
+      merges.foreach { case (a, b) =>
+        s = s.replace(s" $a $b ", s" $a$b ")
+      }
+      s.trim.split(" ").length
+    }
+    val rows = TextAnalysis.bpeEncode(spark, sf).collect()
+    graft.CacheGuard.release()
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.take(30).foreach { r =>
+      val words = texts(r.getAs[Long]("doc_id")).toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_words") === words.length)
+      assert(r.getAs[Long]("n_chars") === words.map(_.length).sum)
+      assert(r.getAs[Long]("n_bpe_tokens") === words.map(encode).sum)
+    }
+    // merges fired somewhere: the corpus must compress below char level
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_bpe_tokens")).sum <
+      rows.map(_.getAs[Long]("n_chars")).sum)
+  }
+
   test("urlHostStats: every document lands in exactly one host bucket") {
     val rows = TextAnalysis.urlHostStats(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ===
