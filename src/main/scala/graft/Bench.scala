@@ -106,11 +106,21 @@ object Bench {
       val omitted =
         if (omittedSet.isEmpty) ""
         else s""","omitted":{"n":${omittedSet.size},"sec":${d2(omittedSet.toSeq.map(_.sec).sum)}}"""
+      // the failed map is also bounded (~90 chars/entry): a mass failure
+      // must not blow the line past the budget that the query-map cut
+      // below enforces — keep the first few alphabetically, count the rest
+      val failedAll = results.filter(!_.ok)
       val failed =
-        if (results.forall(_.ok)) ""
-        else results.filter(!_.ok)
-          .map(r => s"${jstr(r.name)}:${jstr(r.err.get.take(80))}")
-          .mkString(""","failed":{""", ",", "}")
+        if (failedAll.isEmpty) ""
+        else {
+          val shown = failedAll.sortBy(_.name).take(5)
+          val more =
+            if (failedAll.size > shown.size)
+              s""","failed_more":${failedAll.size - shown.size}"""
+            else ""
+          shown.map(r => s"${jstr(qid(r.name))}:${jstr(r.err.get.take(80))}")
+            .mkString(""","failed":{""", ",", "}") + more
+        }
       val total = d3(results.map(_.sec).sum)
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$omitted,"n_failed":${results.count(!_.ok)}$failed,"reps":$reps,"health_file":"bench_health.json","sf":"$sfDir"}"""
     }

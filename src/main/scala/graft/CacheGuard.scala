@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Registry for the cache BARRIERS operators plant against Catalyst
   * re-computation (CollapseProject re-tokenizing a corpus, a self-join
@@ -26,9 +27,18 @@ object CacheGuard {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[Dataset[_], java.lang.Boolean]())
 
-  /** Cache `ds` and register it for a later [[release]]. */
+  /** Cache `ds` and register it for a later [[release]].
+    *
+    * MEMORY_AND_DISK, not the `.cache()` default MEMORY_ONLY: a barrier
+    * exists to stop Catalyst re-computing a subtree, and under storage
+    * pressure a MEMORY_ONLY barrier is LRU-evicted and every consumer
+    * silently recomputes it — the round-6 full-suite bench inflated
+    * barriered queries up to 9× this way. Spilled-to-disk blocks keep the
+    * barrier's guarantee at the cost of local I/O (the same reason
+    * MEMORY_AND_DISK is the Dataset default recommendation on shared
+    * clusters). */
   def barrier[T](ds: Dataset[T]): Dataset[T] = {
-    ds.cache()
+    ds.persist(StorageLevel.MEMORY_AND_DISK)
     live.add(ds)
     ds
   }

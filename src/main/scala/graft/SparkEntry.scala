@@ -209,9 +209,9 @@ object SparkEntry {
   // ————— oracle SQL building blocks (DuckDB dialect) —————
 
   /** Whitespace tokens of lower(text), boundary empties removed — matches
-    * TextFunctions.tokens. */
+    * TextFunctions.tokens, including its null→[] guard. */
   private val toksSql =
-    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+    "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> t <> '')"
 
   /** 32-bit md5-derived hash — matches TextFunctions.md5Hash32. */
   private def h32(c: String) = s"CAST('0x' || substr(md5($c), 1, 8) AS BIGINT)"

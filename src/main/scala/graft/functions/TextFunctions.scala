@@ -14,9 +14,12 @@ object TextFunctions {
     * and the oracle's `string_split_regex` emit boundary empties).
     * `array_remove` rather than `filter(…, t => t =!= "")`: identical
     * result, but it is a codegen'd collection op while the lambda form is
-    * interpreted per token. */
+    * interpreted per token. Null-safe: a null document tokenizes to `[]`,
+    * never to a null array — downstream `size(...)` must count 0 tokens,
+    * not Spark's size(null) = -1 (the oracle's `len` on an empty list
+    * agrees; on a NULL it would not). */
   def tokens(text: Column): Column =
-    array_remove(split(lower(text), "\\s+"), "")
+    array_remove(split(lower(coalesce(text, lit(""))), "\\s+"), "")
 
   /** Word n-gram shingles: array of space-joined n-token windows; <n
     * tokens gives []. Delegates to the native [[WordShinglesExpr]] — the

@@ -693,9 +693,11 @@ object CorpusOps {
     * TakeOrdered over the (type, count) relation (O(parts × V)
     * exchange, ties broken by token text so the cut is deterministic)
     * and BROADCASTS back, so the corpus joins it map-side — the
-    * aggregate's exchange carries O(langs) rows. The token-count
-    * relation is built once behind a cache barrier and feeds both the
-    * vocab cut and nothing else twice. */
+    * aggregate's exchange carries O(langs) rows. The tokenize→explode
+    * scan deliberately runs TWICE (once under the vocab cut, once on the
+    * join side) rather than behind a cache barrier: the exploded token
+    * relation is corpus-token-sized, and two map-only scans are cheaper
+    * at scale than materializing it to storage. */
   def tokenizerFertility(spark: SparkSession, dir: String,
                          vocabSize: Int = fertilityVocab): DataFrame = {
     import spark.implicits._

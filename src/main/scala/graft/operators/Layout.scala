@@ -125,9 +125,19 @@ object Layout {
     * map-side and BROADCAST to the anti-join — the table itself shuffles
     * nothing. Output: every file with row/byte mass and its verdict (the
     * reclaim report a retention job logs before deleting). */
-  def vacuumPlan(spark: SparkSession, dir: String): DataFrame = {
+  def vacuumPlan(spark: SparkSession, dir: String): DataFrame =
+    vacuumPlanOf(Tables.documents(spark, dir))
+
+  /** Core of [[vacuumPlan]] over any `(doc_id, n_chars)` relation — split
+    * out so specs can drive it with a CONSTRUCTED corpus (on the synthetic
+    * sf tables the keep-v1+v2 retention never orphans a file: a v0 file
+    * reclaims only when every live row in its bucket was amended at v1,
+    * which id%7 on a uniform id range cannot produce; a corpus of ids
+    * ≡ 0 (mod lcm(7, 16)) does, deterministically). */
+  def vacuumPlanOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val d = Tables.documents(spark, dir).select(
+    val d = docs.select(
       $"doc_id", $"n_chars",
       ($"doc_id" % vacBuckets).as("bucket"),
       ($"doc_id" % vacAmend1Mod === 0).as("am1"),

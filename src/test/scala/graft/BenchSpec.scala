@@ -60,7 +60,8 @@ class BenchSpec extends SparkSpec {
     val slim = Bench.renderSlim(rs, 1, sf)
     assert(slim.startsWith("""{"metric":"total","value":"""))
     assert(slim.contains(""""n_failed":1"""))
-    assert(slim.contains(""""failed":{"b_broken":"""))
+    // failures key by the qNN id like the query map (names in health file)
+    assert(slim.contains(""""failed":{"b":"""))
     assert(slim.contains(""""health_file":"bench_health.json""""))
     // ~25 bytes/query: 60+ queries must still fit the consumer's 2000-char
     // output tail; per-rep spreads live in the health file, not here
@@ -85,5 +86,18 @@ class BenchSpec extends SparkSpec {
     // a small suite is NOT truncated
     val small = Bench.renderSlim(rs.take(20), 2, "/tmp/sf")
     assert(!small.contains(""""omitted""""))
+  }
+
+  test("a mass failure stays within the line budget: failed map is capped") {
+    // 200 failures at ~90 chars each would be 18 KB uncapped — the line
+    // must keep the first few and count the rest
+    val rs = (1 to 200).map(i =>
+      Bench.Measured(f"q$i%03d_synthetic", Seq(0.1), Nil,
+        Some("FileNotFoundException: " + "x" * 60)))
+    val slim = Bench.renderSlim(rs, 1, "/tmp/sf")
+    assert(slim.length <= 1800, s"line is ${slim.length} chars")
+    assert(slim.contains(""""n_failed":200"""))
+    assert(slim.contains(""""failed":{"q001":"""))
+    assert(slim.contains(""""failed_more":195"""))
   }
 }

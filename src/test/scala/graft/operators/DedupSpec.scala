@@ -45,6 +45,13 @@ class DedupSpec extends SparkSpec {
     DedupOps.minHashLshPairsOracled(spark, sf).count()
     assert(graft.CacheGuard.pending > 0)
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    // barriers must survive storage pressure: MEMORY_AND_DISK, never the
+    // MEMORY_ONLY default whose eviction silently recomputes the subtree
+    spark.sparkContext.getPersistentRDDs.values.foreach { rdd =>
+      assert(rdd.getStorageLevel ===
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+        s"barrier ${rdd.name} not MEMORY_AND_DISK")
+    }
     // ... and fully released once the consumer signals it is done
     graft.CacheGuard.release()
     assert(graft.CacheGuard.pending === 0)
