@@ -204,6 +204,7 @@ object SparkEntry {
     "q137_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "q138_dedup_sweep" -> ((s, d) => DedupOps.dedupThresholdSweep(s, d)),
     "q139_vacuum_plan" -> ((s, d) => Layout.vacuumPlan(s, d)),
+    "q140_dup_runs" -> ((s, d) => DedupOps.duplicatedRuns(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3196,5 +3197,38 @@ object SparkEntry {
          |  ON w.version = r.version AND w.bucket = r.bucket
          |ORDER BY w.version, w.bucket""".stripMargin
     },
+
+    // q72's span grid with per-doc indices; adjacent duplicated spans
+    // chain via the gap-and-islands constant idx - row_number()
+    "q140_dup_runs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + ${DedupOps.spanDupOffset}, text
+         |  FROM documents WHERE doc_id % ${DedupOps.spanDupMod} = 0),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |spans AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, len(toks) // ${DedupOps.spanLen})) AS idx,
+         |    unnest(list_transform(range(0, len(toks) // ${DedupOps.spanLen}),
+         |      i -> md5(array_to_string(
+         |        list_slice(toks, i*${DedupOps.spanLen} + 1,
+         |          i*${DedupOps.spanLen} + ${DedupOps.spanLen}), ' ')))) AS span
+         |  FROM tk WHERE len(toks) >= ${DedupOps.spanLen}),
+         |dup AS (
+         |  SELECT s.doc_id, s.idx FROM spans s
+         |  JOIN (SELECT span FROM spans GROUP BY span HAVING count(*) > 1) c
+         |    USING (span)),
+         |runs AS (
+         |  SELECT doc_id, idx,
+         |    idx - (row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1)
+         |      AS grp
+         |  FROM dup)
+         |SELECT doc_id,
+         |  CAST(min(idx) * ${DedupOps.spanLen} AS BIGINT) AS start_token,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(count(*) * ${DedupOps.spanLen} AS BIGINT) AS run_tokens,
+         |  count(*) >= ${DedupOps.minRunSpans} AS long_run
+         |FROM runs GROUP BY doc_id, grp
+         |ORDER BY doc_id, start_token""".stripMargin,
   )
 }

@@ -606,6 +606,68 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** Minimum chained-span count for a run to be flagged `long_run`,
+    * shared with the q140 oracle and spec: 2 spans = 10 tokens, the
+    * "substring long enough to be worth cutting" bar. */
+  val minRunSpans = 2
+
+  /** Maximal DUPLICATED-RUN extraction — the substring-level dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"), approximated on [[spanDedupReport]]'s fixed 5-token grid:
+    * q72 tells you WHICH spans duplicate somewhere in the corpus; this
+    * operator CHAINS adjacent duplicated spans per document into maximal
+    * runs (the gap-and-islands pattern: `idx − row_number()` is constant
+    * exactly along a consecutive duplicated stretch), reporting each
+    * run's token offset and length — the spans an actual dedup pass would
+    * cut out of the document, rather than a per-doc ratio. A seeded full
+    * copy (q72's `doc_id % 7` shift) makes every span of those documents
+    * duplicated, so their chains collapse to ONE whole-document run —
+    * the maximality property the spec asserts on a constructed corpus.
+    *
+    * Scale shape: identical to q72 through the span-count join (one
+    * tokenize+chunk pass, one partial-aggregated groupBy over span
+    * hashes, one hash join back); the chaining window PARTITIONS BY
+    * doc_id — per-document state, never a global window — and the final
+    * aggregate is one more keyed reduce. Shuffle volume O(duplicated
+    * spans), a subset of q72's. */
+  def duplicatedRuns(spark: SparkSession, dir: String,
+                     n: Int = spanLen): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    duplicatedRunsOf(docs.unionByName(
+      docs.filter($"doc_id" % spanDupMod === 0)
+        .withColumn("doc_id", $"doc_id" + spanDupOffset)), n)
+  }
+
+  /** Core of [[duplicatedRuns]] over any `(doc_id, text)` relation, split
+    * out so the spec can prove chaining/maximality on a constructed
+    * overlapping-document corpus. */
+  def duplicatedRunsOf(corpus: DataFrame, n: Int = spanLen): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val spans = corpus
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= n)
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), (size($"toks") / n).cast("int") - 1),
+          i => md5(array_join(slice($"toks", i * n + 1, lit(n)), " ")))))
+      .select($"doc_id", $"pos".as("idx"), $"col".as("span"))
+    val dupSpans = spans.groupBy($"span").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"idx")
+    spans.join(dupSpans, "span")
+      .withColumn("grp", $"idx" - (row_number().over(w) - 1))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"idx").as("start_idx"), count(lit(1)).as("n_spans"))
+      .select($"doc_id",
+        ($"start_idx" * n).cast("long").as("start_token"),
+        $"n_spans",
+        ($"n_spans" * n).cast("long").as("run_tokens"),
+        ($"n_spans" >= minRunSpans).as("long_run"))
+      .orderBy($"doc_id", $"start_token")
+  }
+
   /** Set-similarity Jaccard threshold as an exact rational (3/5 = 0.6),
     * shared with the q114 oracle — integer comparisons only, no float
     * threshold anywhere. */

@@ -27,6 +27,57 @@ class DedupSpec extends SparkSpec {
     exactPairs.foreach(r => assert(r.getAs[Double]("est_jaccard") === 1.0))
   }
 
+  test("duplicatedRuns: adjacent duplicated spans chain into one maximal run; gaps split") {
+    import spark.implicits._
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared15 = words("s", 15)  // 3 aligned 5-token spans
+    val sharedA = words("a", 5)
+    val sharedB = words("b", 5)
+    val corpus = Seq(
+      // docs 1/2 share a 15-token prefix: spans 0,1,2 duplicated and
+      // ADJACENT -> exactly one maximal run of 3 spans each
+      (1L, s"$shared15 ${words("u", 5)}"),
+      (2L, s"$shared15 ${words("v", 5)}"),
+      // doc 3 has two SEPARATED duplicated spans (0 and 2) -> two runs
+      (3L, s"$sharedA ${words("w", 5)} $sharedB"),
+      // doc 4 carries the partners at non-adjacent offsets of its own
+      (4L, s"$sharedB ${words("x", 5)} $sharedA"),
+      // doc 5 is all-unique -> no rows at all
+      (5L, words("z", 10))
+    ).toDF("doc_id", "text")
+    val out = DedupOps.duplicatedRunsOf(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_token"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("run_tokens"),
+        r.getAs[Boolean]("long_run")))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 3L, 15L, true),
+      (2L, 0L, 3L, 15L, true),
+      (3L, 0L, 1L, 5L, false), (3L, 10L, 1L, 5L, false),
+      (4L, 0L, 1L, 5L, false), (4L, 10L, 1L, 5L, false)))
+  }
+
+  test("duplicatedRuns: seeded full copies collapse to one whole-document run") {
+    import spark.implicits._
+    val out = DedupOps.duplicatedRuns(spark, sf)
+    // every seeded copy (id >= offset) is 100% duplicated text: all its
+    // spans chain into a single run starting at token 0 covering every span
+    val copies = out.filter($"doc_id" >= DedupOps.spanDupOffset)
+    val spanCounts = Tables.documents(spark, sf)
+      .filter($"doc_id" % DedupOps.spanDupMod === 0)
+      .select(($"doc_id" + DedupOps.spanDupOffset).as("doc_id"),
+        (size(graft.functions.TextFunctions.tokens($"text")) /
+          DedupOps.spanLen).cast("long").as("exp_spans"))
+      .filter($"exp_spans" > 0)
+    val joined = copies.join(spanCounts, "doc_id").collect()
+    assert(joined.nonEmpty)
+    assert(joined.length ===
+      copies.select($"doc_id").distinct().count().toInt) // ONE run per copy
+    joined.foreach { r =>
+      assert(r.getAs[Long]("start_token") === 0L)
+      assert(r.getAs[Long]("n_spans") === r.getAs[Long]("exp_spans"))
+    }
+  }
+
   test("ngramJaccardPairs: exact-dup pairs score jaccard 1.0") {
     val out = DedupOps.ngramJaccardPairs(spark, sf).collect()
     assert(out.nonEmpty)
