@@ -205,6 +205,7 @@ object SparkEntry {
     "q138_dedup_sweep" -> ((s, d) => DedupOps.dedupThresholdSweep(s, d)),
     "q139_vacuum_plan" -> ((s, d) => Layout.vacuumPlan(s, d)),
     "q140_dup_runs" -> ((s, d) => DedupOps.duplicatedRuns(s, d)),
+    "q144_bpe_decode" -> ((s, d) => TextAnalysis.bpeDecodeAudit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3230,5 +3231,27 @@ object SparkEntry {
          |  count(*) >= ${DedupOps.minRunSpans} AS long_run
          |FROM runs GROUP BY doc_id, grp
          |ORDER BY doc_id, start_token""".stripMargin,
+
+    // decode = strip separators from the merge chain's symbol string;
+    // the hash match is the concatenativity theorem over all word types
+    "q144_bpe_decode" -> {
+      val spaced = "' ' || regexp_replace(types.w, '(.)', '\\1 ', 'g')"
+      val applied = (0 until TextAnalysis.bpeTrainRounds).foldLeft(spaced) {
+        (acc, i) =>
+          s"replace($acc,\n      ' ' || m$i.a || ' ' || m$i.b || ' ', ' ' || m$i.a || m$i.b || ' ')"
+      }
+      val mergeJoins = (0 until TextAnalysis.bpeTrainRounds)
+        .map(i => s"CROSS JOIN t$i m$i").mkString(" ")
+      s"""WITH $bpeTrainCtesSql,
+         |types AS (SELECT DISTINCT w FROM w0),
+         |enc AS (
+         |  SELECT types.w AS w, trim($applied) AS e
+         |  FROM types $mergeJoins)
+         |SELECT w, CAST(length(w) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(e, ' ')) AS BIGINT) AS n_bpe,
+         |  replace(e, ' ', '') AS decoded,
+         |  replace(e, ' ', '') = w AS round_trip
+         |FROM enc ORDER BY w""".stripMargin
+    },
   )
 }

@@ -443,6 +443,29 @@ object TextAnalysis {
     * occurrence counting. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val enc = bpeEncodedTypes(spark, dir)
+      .select($"w", size(split($"enc", " ")).cast("long").as("n_bpe"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("w"))
+      .join(broadcast(enc), "w")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length($"w")).cast("long").as("n_chars"),
+        sum($"n_bpe").as("n_bpe_tokens"))
+      .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens",
+        round($"n_chars".cast("double") / $"n_bpe_tokens".cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** The encode core shared by q137/q144: every word TYPE char-spaced,
+    * the trained merge table applied in round order (each merge a one-row
+    * broadcast relation feeding the same leftmost non-overlapping
+    * `replace` the trainer used). Returns `(w, enc)` with `enc` the
+    * space-delimited symbol string. */
+  private def bpeEncodedTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val merges = graft.CacheGuard.barrier(bpeTrainMerges(spark, dir))
     val mergeCols = (1 to bpeTrainRounds).map { r =>
       merges.filter($"round" === r.toLong)
@@ -456,20 +479,34 @@ object TextAnalysis {
     val withMerges = mergeCols.foldLeft(types)((df, m) => df.crossJoin(broadcast(m)))
     val applied = (1 to bpeTrainRounds).foldLeft("s")(
       (acc, r) => s"replace($acc, p$r, q$r)")
-    val enc = withMerges
-      .select($"w", size(split(trim(expr(applied)), " ")).cast("long").as("n_bpe"))
-    Tables.documents(spark, dir)
-      .select($"doc_id", explode(tokens($"text")).as("w"))
-      .join(broadcast(enc), "w")
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).as("n_words"),
-        sum(length($"w")).cast("long").as("n_chars"),
-        sum($"n_bpe").as("n_bpe_tokens"))
-      .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens",
-        round($"n_chars".cast("double") / $"n_bpe_tokens".cast("double"), 4)
-          .as("chars_per_token"))
-      .orderBy($"doc_id")
+    withMerges.select($"w", trim(expr(applied)).as("enc"))
+  }
+
+  /** BPE DECODE round-trip audit — the closing theorem of the tokenizer
+    * loop (q117 trains, q137 encodes, this query proves the codec is
+    * lossless): BPE merges are CONCATENATIVE — a merge only ever glues
+    * two adjacent symbols into their concatenation — so joining the
+    * encoded symbols and stripping the separators must reproduce every
+    * word exactly. The query states `decode(encode(w))` per word type
+    * alongside the original; the oracle derives the same relation from
+    * its own independently-trained merge chain, so the HASH MATCH is the
+    * round-trip theorem verified over the entire vocabulary in both
+    * engines (and `round_trip` must be uniformly true — spec-asserted,
+    * and self-evident to any reader of the artifact).
+    *
+    * Scale shape: identical to q137's type-level encode (dictionary-form
+    * work, O(vocabulary) rows after one corpus tokenize for the type
+    * set); decode is a per-row `replace`, no additional shuffle. */
+  def bpeDecodeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeEncodedTypes(spark, dir)
+      .select($"w", $"enc")
+      .select($"w",
+        length($"w").cast("long").as("n_chars"),
+        size(split($"enc", " ")).cast("long").as("n_bpe"),
+        expr("replace(enc, ' ', '')").as("decoded"))
+      .withColumn("round_trip", $"decoded" === $"w")
+      .orderBy($"w")
   }
 
   /** PMI support threshold and per-doc distinct-token cap, shared with

@@ -364,6 +364,44 @@ class TextAnalysisSpec extends SparkSpec {
       rows.map(_.getAs[Long]("n_chars")).sum)
   }
 
+  test("bpeDecodeAudit: decode(encode(w)) = w over the whole vocabulary") {
+    import spark.implicits._
+    val rows = TextAnalysis.bpeDecodeAudit(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("round_trip"), r.getAs[String]("w"))
+      assert(r.getAs[String]("decoded") === r.getAs[String]("w"))
+      // symbol count bounded by chars (merges only shrink) and ≥ 1
+      assert(r.getAs[Long]("n_bpe") >= 1L)
+      assert(r.getAs[Long]("n_bpe") <= r.getAs[Long]("n_chars"))
+    }
+    // merges fired: somewhere the vocabulary compresses below char level
+    assert(rows.exists(r => r.getAs[Long]("n_bpe") < r.getAs[Long]("n_chars")))
+    // the audit covers every corpus word type, exactly once each
+    val nTypes = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+      .distinct().count()
+    assert(rows.length.toLong === nTypes)
+    assert(rows.map(_.getAs[String]("w")).distinct.length === rows.length)
+  }
+
+  test("bpeDecodeAudit/bpeEncode consistency: type-level n_bpe re-sums to q137 per-doc totals") {
+    import spark.implicits._
+    val perType = TextAnalysis.bpeDecodeAudit(spark, sf)
+      .select($"w", $"n_bpe")
+    val resummed = Tables.documents(spark, sf)
+      .select($"doc_id", explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+      .join(perType, "w")
+      .groupBy($"doc_id").agg(sum($"n_bpe").as("n_bpe_tokens"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    graft.CacheGuard.release()
+    val q137 = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    graft.CacheGuard.release()
+    assert(q137 === resummed)
+  }
+
   test("urlHostStats: every document lands in exactly one host bucket") {
     val rows = TextAnalysis.urlHostStats(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ===
