@@ -205,6 +205,7 @@ object SparkEntry {
     "q138_dedup_sweep" -> ((s, d) => DedupOps.dedupThresholdSweep(s, d)),
     "q139_vacuum_plan" -> ((s, d) => Layout.vacuumPlan(s, d)),
     "q140_dup_runs" -> ((s, d) => DedupOps.duplicatedRuns(s, d)),
+    "q142_quantile_merge" -> ((s, d) => Sketches.quantileMergeAudit(s, d)),
     "q144_bpe_decode" -> ((s, d) => TextAnalysis.bpeDecodeAudit(s, d)),
   )
 
@@ -3231,6 +3232,42 @@ object SparkEntry {
          |  count(*) >= ${DedupOps.minRunSpans} AS long_run
          |FROM runs GROUP BY doc_id, grp
          |ORDER BY doc_id, start_token""".stripMargin,
+
+    // bottom-k-by-hash sample sketch replayed bit-for-bit; merged and
+    // direct sketches must agree exactly (the mergeability theorem),
+    // sample quantiles audited against the exact rank quantile
+    "q142_quantile_merge" -> {
+      val k = Sketches.qsK
+      val h = h32("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")
+      def quantiles(rel: String, name: String) =
+        s"""  SELECT p, v AS $name
+           |  FROM probs, (SELECT count(*) AS n FROM $rel) c,
+           |    (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM $rel) r
+           |  WHERE r.rn = CAST(floor((c.n - 1) * p) AS BIGINT) + 1""".stripMargin
+      s"""WITH li AS (
+         |  SELECT $h AS h, l_extendedprice AS v, l_orderkey % 2 AS part
+         |  FROM lineitem),
+         |ska AS (SELECT h, v FROM li WHERE part = 0 ORDER BY h, v LIMIT $k),
+         |skb AS (SELECT h, v FROM li WHERE part = 1 ORDER BY h, v LIMIT $k),
+         |merged AS (
+         |  SELECT h, v FROM (SELECT h, v FROM ska
+         |                    UNION ALL SELECT h, v FROM skb) u
+         |  ORDER BY h, v LIMIT $k),
+         |direct AS (SELECT h, v FROM li ORDER BY h, v LIMIT $k),
+         |probs AS (SELECT CAST(unnest([${Sketches.qsProbs.mkString(", ")}])
+         |  AS DOUBLE) AS p),
+         |eq AS (
+         |${quantiles("li", "exact_q")}),
+         |dq AS (
+         |${quantiles("direct", "direct_q")}),
+         |mq AS (
+         |${quantiles("merged", "merged_q")})
+         |SELECT p, exact_q, direct_q, merged_q,
+         |  round(merged_q - direct_q, 4) AS merge_diff,
+         |  round(abs(merged_q - exact_q) / exact_q, 4) AS rel_err
+         |FROM eq JOIN dq USING (p) JOIN mq USING (p)
+         |ORDER BY p""".stripMargin
+    },
 
     // decode = strip separators from the merge chain's symbol string;
     // the hash match is the concatenativity theorem over all word types

@@ -267,6 +267,68 @@ object Sketches {
       .orderBy($"event_type")
   }
 
+  /** Quantile-sketch sample size and audited probabilities, shared with
+    * the q142 oracle. */
+  val qsK = 256
+  val qsProbs = Seq(0.25, 0.5, 0.75, 0.95)
+
+  /** The QUANTILE-sketch merge theorem as a query — q119's pattern for
+    * order statistics: a bottom-k-BY-HASH sketch (the k rows with the
+    * smallest md5-32 of their primary key) is a uniform random sample
+    * fixed by the hash function, and it is MERGEABLE exactly:
+    * bottomK(bottomK(A) ∪ bottomK(B)) = bottomK(A ∪ B), because any of
+    * the union's k smallest is among its own half's k smallest. The
+    * engine computes both paths over lineitem prices split by
+    * l_orderkey parity — per-half sketches merged, and one direct
+    * sketch — takes sample quantiles from each (value at rank
+    * ⌊(n−1)·p⌋+1 of the sample ordered by value), and reports them
+    * against the EXACT rank quantile of the full relation; `merge_diff`
+    * is pinned to exactly 0.0 by the theorem, `rel_err` is the sample
+    * error a k-row sketch pays (bounded, and the point of the audit).
+    *
+    * Unlike `percentile_approx` (whose KLL-ish sketch state is
+    * engine-private), every number here is replayable bit-for-bit in
+    * DuckDB — the SKETCH is oracle-verified, not just plausible.
+    *
+    * Scale shape: each bottom-k plans as TakeOrdered — O(parts × k)
+    * exchange, no full sort; quantile extraction windows over k-row
+    * relations. The exact column is the audit half and pays a real
+    * global rank (single-partition window) — at 100 TB it is the column
+    * you drop, exactly like q65's exact count(distinct). */
+  def quantileMergeAudit(spark: SparkSession, dir: String,
+                         k: Int = qsK): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select(
+      md5Hash32(concat($"l_orderkey".cast("string"), lit(":"),
+        $"l_linenumber".cast("string"))).as("h"),
+      $"l_extendedprice".as("v"),
+      ($"l_orderkey" % 2).as("part"))
+    def sketch(df: DataFrame): DataFrame =
+      df.select($"h", $"v").orderBy($"h", $"v").limit(k)
+    val merged = sketch(
+      sketch(li.filter($"part" === 0)).unionByName(
+        sketch(li.filter($"part" === 1))))
+    val direct = sketch(li)
+    val probs = qsProbs.toDF("p")
+    def quantilesOf(rel: DataFrame, name: String): DataFrame = {
+      val ranked = rel.select($"v").withColumn("rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"v")))
+      val cnt = rel.agg(count(lit(1)).as("n"))
+      probs.crossJoin(broadcast(cnt))
+        .select($"p", (floor(($"n" - 1) * $"p") + 1).as("rk"))
+        .join(ranked, $"rk" === $"rn")
+        .select($"p", $"v".as(name))
+    }
+    quantilesOf(li, "exact_q")
+      .join(quantilesOf(direct, "direct_q"), "p")
+      .join(quantilesOf(merged, "merged_q"), "p")
+      .select($"p", $"exact_q", $"direct_q", $"merged_q",
+        round($"merged_q" - $"direct_q", 4).as("merge_diff"),
+        round(abs($"merged_q" - $"exact_q") / $"exact_q", 4).as("rel_err"))
+      .orderBy($"p")
+  }
+
   /** KMV (bottom-k / theta-sketch) size, shared with the q131 oracle. */
   val kmvK = 64
 

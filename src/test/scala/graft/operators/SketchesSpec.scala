@@ -99,6 +99,37 @@ class SketchesSpec extends SparkSpec {
     assert(exact > 0L)
   }
 
+  test("quantileMergeAudit: merged = direct exactly; sample quantiles track exact") {
+    val rows = Sketches.quantileMergeAudit(spark, sf).collect()
+    assert(rows.length === Sketches.qsProbs.length)
+    assert(rows.map(_.getAs[Double]("p")).toSeq === Sketches.qsProbs)
+    rows.foreach { r =>
+      // the merge theorem: both sketch paths yield the SAME sample
+      assert(r.getAs[Double]("merged_q") === r.getAs[Double]("direct_q"))
+      assert(r.getAs[Double]("merge_diff") === 0.0)
+      // a 256-row uniform sample's quantile error: generous 4σ-ish bound
+      assert(r.getAs[Double]("rel_err") < 0.25,
+        s"p=${r.getAs[Double]("p")} rel_err=${r.getAs[Double]("rel_err")}")
+    }
+    // quantiles are monotone in p for every column
+    for (c <- Seq("exact_q", "direct_q", "merged_q")) {
+      val vs = rows.map(_.getAs[Double](c))
+      assert(vs.zip(vs.tail).forall { case (a, b) => a <= b }, c)
+    }
+  }
+
+  test("quantileMergeAudit: exact quantiles replay a driver-side sort of the column") {
+    import spark.implicits._
+    val vs = Tables.lineitem(spark, sf)
+      .select($"l_extendedprice").as[Double].collect().sorted
+    val byP = Sketches.quantileMergeAudit(spark, sf).collect()
+      .map(r => r.getAs[Double]("p") -> r.getAs[Double]("exact_q")).toMap
+    Sketches.qsProbs.foreach { p =>
+      val rk = math.floor((vs.length - 1) * p).toLong + 1
+      assert(byP(p) === vs((rk - 1).toInt), s"p=$p")
+    }
+  }
+
   test("kmvIntersection: deterministic across runs") {
     val a = Sketches.kmvIntersection(spark, sf).head()
     graft.CacheGuard.release()
