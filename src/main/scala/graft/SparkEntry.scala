@@ -206,6 +206,7 @@ object SparkEntry {
     "q139_vacuum_plan" -> ((s, d) => Layout.vacuumPlan(s, d)),
     "q140_dup_runs" -> ((s, d) => DedupOps.duplicatedRuns(s, d)),
     "q142_quantile_merge" -> ((s, d) => Sketches.quantileMergeAudit(s, d)),
+    "q143_ivf_delta" -> ((s, d) => AnnSearch.ivfDeltaAudit(s, d)),
     "q144_bpe_decode" -> ((s, d) => TextAnalysis.bpeDecodeAudit(s, d)),
   )
 
@@ -3267,6 +3268,83 @@ object SparkEntry {
          |  round(abs(merged_q - exact_q) / exact_q, 4) AS rel_err
          |FROM eq JOIN dq USING (p) JOIN mq USING (p)
          |ORDER BY p""".stripMargin
+    },
+
+    // base-only Lloyd's training (LIMIT-seeded), one extra M-step to the
+    // stored centroids, then base/delta assignment against them; drift's
+    // integer numerator (s_b·n_d − n_b·s_d) keeps everything exact until
+    // one sqrt + one division
+    "q143_ivf_delta" -> {
+      import AnnSearch.{ivfDeltaMod => dm, ivfDriftTau => dt,
+        ivfGrowthTau => gt}
+      def assignStats(src: String, cb: String, pfx: String) =
+        s"""s$pfx AS (
+           |  SELECT q.vec_id, cb.c,
+           |    CAST(list_sum(list_transform(range(1, len(q.e)+1),
+           |      i -> q.e[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE)
+           |      AS score
+           |  FROM $src q CROSS JOIN $cb cb),
+           |a$pfx AS (
+           |  SELECT vec_id, c AS list_id FROM (
+           |    SELECT vec_id, c,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY score DESC, c) AS rn
+           |    FROM s$pfx) z WHERE rn = 1),
+           |ex$pfx AS (
+           |  SELECT a.list_id, unnest(q.e) AS v,
+           |    unnest(range(1, len(q.e)+1)) AS dim
+           |  FROM a$pfx a JOIN $src q USING (vec_id)),
+           |m$pfx AS (
+           |  SELECT list_id, dim, CAST(sum(v) AS BIGINT) AS s,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM ex$pfx GROUP BY 1, 2)""".stripMargin
+      def carry(prev: String, m: String, out: String) =
+        s"""$out AS (
+           |  SELECT list_id AS c, list(s ORDER BY dim) AS s, min(n) AS n
+           |  FROM $m GROUP BY list_id
+           |  UNION ALL
+           |  SELECT c, s, n FROM $prev
+           |  WHERE c NOT IN (SELECT DISTINCT list_id FROM $m))""".stripMargin
+      s"""WITH eqa AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS e
+         |  FROM embeddings),
+         |eqb AS (SELECT * FROM eqa WHERE vec_id % $dm <> 0),
+         |eqd AS (SELECT * FROM eqa WHERE vec_id % $dm = 0),
+         |cb0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS c, e AS s,
+         |    CAST(1 AS BIGINT) AS n
+         |  FROM (SELECT vec_id, e FROM eqb ORDER BY vec_id LIMIT 16) z),
+         |${assignStats("eqb", "cb0", "1")},
+         |${carry("cb0", "m1", "cb1")},
+         |${assignStats("eqb", "cb1", "2")},
+         |${carry("cb1", "m2", "cb2")},
+         |${assignStats("eqb", "cb2", "b")},
+         |${assignStats("eqd", "cb2", "d")},
+         |cells AS (
+         |  SELECT coalesce(b.list_id, d.list_id) AS list_id,
+         |    coalesce(b.s, 0) AS s_b, coalesce(b.n, 0) AS n_b,
+         |    coalesce(d.s, 0) AS s_d, coalesce(d.n, 0) AS n_d
+         |  FROM mb b FULL OUTER JOIN md d
+         |    ON b.list_id = d.list_id AND b.dim = d.dim),
+         |per AS (
+         |  SELECT list_id, max(n_b) AS n_base, max(n_d) AS n_delta,
+         |    sum(CAST(s_b*n_d - n_b*s_d AS HUGEINT) * (s_b*n_d - n_b*s_d))
+         |      AS ssq
+         |  FROM cells GROUP BY list_id),
+         |fin AS (
+         |  SELECT list_id, n_base, n_delta,
+         |    round(n_delta / CAST(greatest(n_base, 1) AS DOUBLE), 4)
+         |      AS growth,
+         |    CASE WHEN n_base > 0 AND n_delta > 0 THEN
+         |      round(sqrt(CAST(ssq AS DOUBLE))
+         |        / CAST(n_base*(n_base+n_delta) AS DOUBLE) / 1000.0, 6)
+         |    ELSE 0.0 END AS drift
+         |  FROM per)
+         |SELECT list_id, n_base, n_delta, growth, drift,
+         |  (n_base = 0 AND n_delta > 0) OR drift > $dt OR growth > $gt
+         |    AS needs_retrain
+         |FROM fin ORDER BY list_id""".stripMargin
     },
 
     // decode = strip separators from the merge chain's symbol string;

@@ -262,51 +262,86 @@ object AnnSearch {
   def trainIvfCodebook(spark: SparkSession, dir: String,
                        nlist: Int = 16, iters: Int = 2): DataFrame = {
     import spark.implicits._
-    val eq = Tables.embeddings(spark, dir)
-      .select($"vec_id",
-        transform($"embedding",
-          x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("e"))
-    // init: codebook[c] = (sum vector, n) seeded from the first nlist
-    // stored vectors; kept DENSE (all nlist entries, position = list id)
-    var codebook: IndexedSeq[(Seq[Long], Long)] = eq.filter($"vec_id" < nlist)
-      .orderBy($"vec_id").as[(Long, Seq[Long])].collect()
-      .map { case (_, e) => (e, 1L) }.toIndexedSeq
-
-    def assign(cb: IndexedSeq[(Seq[Long], Long)]): DataFrame = {
-      val sumsCol = typedlit(cb.map(_._1))
-      val nsCol = typedlit(cb.map(_._2))
-      val scores = transform(sequence(lit(1), lit(cb.size)), c =>
-        aggregate(zip_with($"e", element_at(sumsCol, c), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x)
-          .cast("double") / element_at(nsCol, c).cast("double"))
-      eq.withColumn("scores", scores)
-        .withColumn("list_id",
-          array_position($"scores", array_max($"scores")))
-    }
-    def mstep(a: DataFrame): DataFrame = a
-      .select($"list_id", posexplode($"e"))
-      .groupBy($"list_id", ($"pos" + 1).cast("long").as("dim"))
-      .agg(sum($"col").as("s"), count(lit(1)).as("n"))
-
-    for (_ <- 1 until iters) {
-      val m = mstep(assign(codebook))
-        .collect()
-        .map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("dim"),
-          r.getAs[Long]("s"), r.getAs[Long]("n")))
-        .groupBy(_._1)
-      codebook = (1 to nlist).map { c =>
-        m.get(c.toLong) match {
-          case Some(rows) =>
-            (rows.sortBy(_._2).map(_._3).toSeq, rows.head._4)
-          case None => codebook(c - 1) // empty list: carry centroid forward
-        }
-      }
-    }
-    mstep(assign(codebook))
+    val eq = ivfQuantize(spark, dir)
+    ivfMstep(ivfAssign(eq, ivfTrainRational(eq, nlist, iters)))
       .select($"list_id", $"n".as("n_members"), $"dim",
         (round($"s".cast("double") / $"n".cast("double") / 1000.0, 6) + lit(0.0))
           .as("centroid"))
       .orderBy($"list_id", $"dim")
+  }
+
+  /** Embeddings on the e3 integer grid (`floor(x·1000 + 0.5)` — the q64
+    * rounding pinned across engines): the `(vec_id, e)` relation every
+    * IVF stage works over. */
+  private def ivfQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("e"))
+  }
+
+  /** E-step: score every vector against the broadcast rational codebook
+    * (`dot(e, sum_c) / n_c` — one correctly-rounded double division of
+    * exact integers) and argmax with lowest-list tie-break. Map-side
+    * expression work; the input never shuffles. */
+  private def ivfAssign(vecs: DataFrame,
+                        cb: IndexedSeq[(Seq[Long], Long)]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val sumsCol = typedlit(cb.map(_._1))
+    val nsCol = typedlit(cb.map(_._2))
+    val scores = transform(sequence(lit(1), lit(cb.size)), c =>
+      aggregate(zip_with($"e", element_at(sumsCol, c), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+        .cast("double") / element_at(nsCol, c).cast("double"))
+    vecs.withColumn("scores", scores)
+      .withColumn("list_id",
+        array_position($"scores", array_max($"scores")))
+  }
+
+  /** M-step aggregate: per-(list, dim) integer sums + member counts —
+    * one posexplode + partial-aggregated groupBy, shuffle O(nlist×dim). */
+  private def ivfMstep(a: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.select($"list_id", posexplode($"e"))
+      .groupBy($"list_id", ($"pos" + 1).cast("long").as("dim"))
+      .agg(sum($"col").as("s"), count(lit(1)).as("n"))
+  }
+
+  /** Fold one M-step result into a dense rational codebook (codebook-sized
+    * collect — the FAISS driver loop, NOT a hot path); empty lists carry
+    * their previous centroid forward. */
+  private def ivfUpdate(m: DataFrame, prev: IndexedSeq[(Seq[Long], Long)],
+                        nlist: Int): IndexedSeq[(Seq[Long], Long)] = {
+    val rows = m.collect()
+      .map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("dim"),
+        r.getAs[Long]("s"), r.getAs[Long]("n")))
+      .groupBy(_._1)
+    (1 to nlist).map { c =>
+      rows.get(c.toLong) match {
+        case Some(rs) => (rs.sortBy(_._2).map(_._3).toSeq, rs.head._4)
+        case None => prev(c - 1)
+      }
+    }
+  }
+
+  /** Lloyd's training loop over any quantized `(vec_id, e)` relation:
+    * codebook seeded from the first `nlist` vectors by id, `iters − 1`
+    * assign→mean updates. Returns the rational codebook the FINAL
+    * assignment (q69's published M-step) scores against. */
+  private def ivfTrainRational(vecs: DataFrame, nlist: Int,
+                               iters: Int): IndexedSeq[(Seq[Long], Long)] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var codebook: IndexedSeq[(Seq[Long], Long)] = vecs
+      .select($"vec_id", $"e").orderBy($"vec_id").limit(nlist)
+      .as[(Long, Seq[Long])].collect()
+      .map { case (_, e) => (e, 1L) }.toIndexedSeq
+    for (_ <- 1 until iters)
+      codebook = ivfUpdate(ivfMstep(ivfAssign(vecs, codebook)), codebook, nlist)
+    codebook
   }
 
   /** The trained codebook as per-list mean vectors in the ORIGINAL float
@@ -320,6 +355,72 @@ object AnnSearch {
       .groupBy(_._1)
     (1 to nlist).flatMap(c =>
       rows.get(c.toLong).map(_.sortBy(_._2).map(_._3).toSeq))
+  }
+
+  /** Delta split modulus (every 5th vector is "newly arrived") and the
+    * retrain thresholds, shared with the q143 oracle and spec. */
+  val ivfDeltaMod = 5L
+  val ivfDriftTau = 0.08
+  val ivfGrowthTau = 0.5
+
+  /** Incremental IVF index MAINTENANCE audit (q80's diff composed with
+    * q69's codebook): the index was trained on the BASE corpus (vec_id %
+    * [[ivfDeltaMod]] ≠ 0); a DELTA batch arrives and is assigned to the
+    * trained centroids WITHOUT retraining — O(delta) map-side work
+    * against the broadcast codebook, the whole point of incremental
+    * maintenance. Per list: stored-index member count, delta arrivals,
+    * growth ratio, and CENTROID DRIFT — the L2 distance between the
+    * stored centroid (s_b/n_b) and what the centroid would become if the
+    * delta were folded in ((s_b+s_d)/(n_b+n_d)) — flagging lists whose
+    * drift or growth crosses the retrain thresholds (FAISS's "when to
+    * re-run k-means" signal, as a query).
+    *
+    * Exactness: per-dim drift has the closed form
+    * `(s_b·n_d − n_b·s_d) / (n_b·(n_b+n_d))` — an EXACT integer
+    * numerator; squares are summed in DECIMAL/HUGEINT so the only float
+    * steps are one cast, one sqrt and one division, correctly rounded
+    * identically in both engines.
+    *
+    * Scale shape: training and base stats touch the base corpus (the
+    * stored index — a real system reads these stats from index
+    * metadata); the DELTA path is one assign+aggregate over delta rows
+    * only, shuffle O(nlist × dim). Nothing joins base rows to delta
+    * rows — the audit join is between two nlist×dim stat relations. */
+  def ivfDeltaAudit(spark: SparkSession, dir: String,
+                    nlist: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val eqAll = ivfQuantize(spark, dir)
+    val base = eqAll.filter($"vec_id" % ivfDeltaMod =!= 0)
+    val delta = eqAll.filter($"vec_id" % ivfDeltaMod === 0)
+    val trained = ivfTrainRational(base, nlist, iters)
+    // the stored index: centroids after the final M-step over base
+    val cbFinal = ivfUpdate(ivfMstep(ivfAssign(base, trained)), trained, nlist)
+    val bstats = ivfMstep(ivfAssign(base, cbFinal))
+      .select($"list_id", $"dim", $"s".as("s_b"), $"n".as("n_b"))
+    val dstats = ivfMstep(ivfAssign(delta, cbFinal))
+      .select($"list_id", $"dim", $"s".as("s_d"), $"n".as("n_d"))
+    val cells = bstats.join(dstats, Seq("list_id", "dim"), "full_outer")
+      .select($"list_id",
+        coalesce($"s_b", lit(0L)).as("s_b"),
+        coalesce($"n_b", lit(0L)).as("n_b"),
+        coalesce($"s_d", lit(0L)).as("s_d"),
+        coalesce($"n_d", lit(0L)).as("n_d"))
+      .withColumn("nm", $"s_b" * $"n_d" - $"n_b" * $"s_d")
+    cells.groupBy($"list_id")
+      .agg(max($"n_b").as("n_base"), max($"n_d").as("n_delta"),
+        sum($"nm".cast("decimal(38,0)") * $"nm".cast("decimal(38,0)"))
+          .as("ssq"))
+      .select($"list_id", $"n_base", $"n_delta",
+        round($"n_delta".cast("double") /
+          greatest($"n_base", lit(1L)).cast("double"), 4).as("growth"),
+        when($"n_base" > 0 && $"n_delta" > 0,
+          round(sqrt($"ssq".cast("double")) /
+            ($"n_base" * ($"n_base" + $"n_delta")).cast("double") / 1000.0, 6))
+          .otherwise(lit(0.0)).as("drift"))
+      .withColumn("needs_retrain",
+        ($"n_base" === 0 && $"n_delta" > 0) ||
+          $"drift" > ivfDriftTau || $"growth" > ivfGrowthTau)
+      .orderBy($"list_id")
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: pairs sharing a

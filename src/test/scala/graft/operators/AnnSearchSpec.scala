@@ -414,4 +414,42 @@ class AnnSearchSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(2000))
     assert(plan.split("ObjectHashAggregate").length - 1 === 2, plan.take(2000))
   }
+
+  test("ivfDeltaAudit: every vector lands in one list; drift/flag arithmetic is consistent") {
+    import spark.implicits._
+    val rows = AnnSearch.ivfDeltaAudit(spark, sf).collect()
+    assert(rows.length === 16)
+    assert(rows.map(_.getAs[Long]("list_id")).toSeq === (1L to 16L))
+    // membership conservation: per-list counts re-sum to the two splits
+    val emb = Tables.embeddings(spark, sf)
+    val nDelta = emb.filter($"vec_id" % AnnSearch.ivfDeltaMod === 0).count()
+    val nBase = emb.count() - nDelta
+    assert(rows.map(_.getAs[Long]("n_base")).sum === nBase)
+    assert(rows.map(_.getAs[Long]("n_delta")).sum === nDelta)
+    rows.foreach { r =>
+      val (nb, nd) = (r.getAs[Long]("n_base"), r.getAs[Long]("n_delta"))
+      val growth = r.getAs[Double]("growth")
+      val drift = r.getAs[Double]("drift")
+      assert(growth === BigDecimal(nd.toDouble / math.max(nb, 1L))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // no delta arrivals -> the stored centroid cannot drift
+      if (nd === 0L) assert(drift === 0.0)
+      assert(drift >= 0.0)
+      assert(r.getAs[Boolean]("needs_retrain") ===
+        ((nb == 0L && nd > 0L) || drift > AnnSearch.ivfDriftTau ||
+          growth > AnnSearch.ivfGrowthTau))
+    }
+    // the thresholds exercise BOTH branches on this corpus
+    assert(rows.exists(_.getAs[Boolean]("needs_retrain")))
+    assert(rows.exists(!_.getAs[Boolean]("needs_retrain")))
+  }
+
+  test("ivfDeltaAudit: the delta path never joins base rows to delta rows") {
+    val plan = AnnSearch.ivfDeltaAudit(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only join is between the two nlist×dim stat relations (a tiny
+    // sort-merge/shuffle join is fine there); no cartesian anywhere
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
