@@ -205,6 +205,7 @@ object SparkEntry {
     "q138_dedup_sweep" -> ((s, d) => DedupOps.dedupThresholdSweep(s, d)),
     "q139_vacuum_plan" -> ((s, d) => Layout.vacuumPlan(s, d)),
     "q140_dup_runs" -> ((s, d) => DedupOps.duplicatedRuns(s, d)),
+    "q141_crossmodal_eval" -> ((s, d) => Multimodal.crossModalEval(s, d)),
     "q142_quantile_merge" -> ((s, d) => Sketches.quantileMergeAudit(s, d)),
     "q143_ivf_delta" -> ((s, d) => AnnSearch.ivfDeltaAudit(s, d)),
     "q144_bpe_decode" -> ((s, d) => TextAnalysis.bpeDecodeAudit(s, d)),
@@ -3269,6 +3270,45 @@ object SparkEntry {
          |FROM eq JOIN dq USING (p) JOIN mq USING (p)
          |ORDER BY p""".stripMargin
     },
+
+    // both towers collapse to the md5 gray law (pixel(0,0) = sample(0)
+    // = g), so the oracle replays the integer ranking without a codec —
+    // the engine side went through the REAL PNG/WAV decode to get ghat
+    "q141_crossmodal_eval" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(coalesce(text, '')), 1, 2) AS BIGINT)
+        |      AS gv
+        |  FROM documents),
+        |med AS (SELECT doc_id AS media_id, gv AS ghat FROM g),
+        |q AS (
+        |  SELECT doc_id AS q_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |    gv AS gq
+        |  FROM g WHERE doc_id < 20),
+        |scored AS (
+        |  SELECT q.q_id, m.media_id, 255 - abs(m.ghat - q.gq) AS sim
+        |  FROM q CROSS JOIN med m),
+        |ranked AS (
+        |  SELECT q_id, media_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, media_id) AS rk
+        |  FROM scored),
+        |tr AS (
+        |  SELECT q_id, rk FROM ranked WHERE media_id = q_id AND rk <= 10),
+        |ties AS (
+        |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_ties
+        |  FROM scored WHERE sim = 255 GROUP BY q_id)
+        |SELECT q.q_id AS q_id, q.kind AS kind,
+        |  coalesce(t.n_ties, 0) AS n_ties,
+        |  coalesce(tr.rk, -1) AS true_rank,
+        |  round(CASE WHEN tr.rk IS NOT NULL THEN 1.0 / tr.rk
+        |        ELSE 0.0 END, 4) AS rr,
+        |  coalesce(tr.rk, -1) = 1 AS hit1,
+        |  tr.rk IS NOT NULL AS hitk
+        |FROM q LEFT JOIN tr ON q.q_id = tr.q_id
+        |  LEFT JOIN ties t ON q.q_id = t.q_id
+        |ORDER BY q_id""".stripMargin,
 
     // base-only Lloyd's training (LIMIT-seeded), one extra M-step to the
     // stored centroids, then base/delta assignment against them; drift's

@@ -221,6 +221,82 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** One decoded scalar per media row for [[crossModalEval]]: the first
+    * decoded value — pixel (0,0) for images, sample 0 for audio — which
+    * the generation laws pin to the text-derived gray `g` for BOTH kinds
+    * (`pixel(0,0) = (3·0 + 5·0 + g) % 256 = g`; `sample(0) = (7·0 + g)
+    * % 256 = g`). Extracted through the REAL codecs, so a wrong decode
+    * breaks the retrieval pairing downstream. */
+  case class MediaSig(media_id: Long, ghat: Long)
+
+  /** Cross-modal retrieval evaluation, CLIP-style (q30's decoded media
+    * composed with the q121 ranking kit): the TEXT tower embeds a query
+    * document as its md5-derived gray value; the MEDIA tower embeds
+    * every stored payload as its first DECODED value; score = 255 −
+    * |ĝ − g| — all integers, rank = (score desc, media_id asc). Each
+    * query's ground truth is its PAIRED media row (media_id = doc_id),
+    * and since g lives in a 256-value space, unrelated documents collide
+    * — retrieval is realistically imperfect and the tie-class size is
+    * reported per query. Output per query: paired-media rank inside
+    * top-k (−1 = miss), reciprocal rank, hit@1/hit@k — the numbers a
+    * retrieval eval tracks.
+    *
+    * Scale shape: the media corpus is decoded ONCE (mapPartitions codec
+    * lifecycle) and scored against the BROADCAST query block; per-query
+    * candidates pre-reduce through the bounded TopKAgg (one
+    * ObjectHashAggregate, never a corpus-wide Window); the scored
+    * relation is cache-barriered because the top-k and tie-count
+    * reductions both consume it. Everything before the final 1/rank is
+    * integer arithmetic — both engines rank identically. */
+  def crossModalEval(spark: SparkSession, dir: String,
+                     nQueries: Int = 20, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val sigs = mediaTable(spark, dir)
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { r =>
+          val g = if (r.kind == "image") {
+            val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+            if (img == null)
+              throw new IllegalArgumentException("undecodable image payload")
+            img.getRaster.getSample(0, 0, 0).toLong
+          } else decodeWav(r.payload)._3(0).toLong
+          MediaSig(r.media_id, g)
+        }
+      }.toDF()
+    val queries = Tables.documents(spark, dir)
+      .filter($"doc_id" < nQueries)
+      .select($"doc_id".as("q_id"),
+        when($"doc_id" % 2 === 0, "image").otherwise("audio").as("kind"),
+        conv(substring(md5(coalesce($"text", lit(""))), 1, 2), 16, 10)
+          .cast("long").as("gq"))
+    val scored = graft.CacheGuard.barrier(
+      sigs.crossJoin(broadcast(queries))
+        .select($"q_id", $"media_id",
+          (lit(255L) - abs($"ghat" - $"gq")).as("sim")))
+    val topk = scored
+      .groupBy($"q_id")
+      .agg(graft.functions.TopK.topK(k)($"sim".cast("double"), $"media_id")
+        .as("hits"))
+      .select($"q_id", posexplode($"hits"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rk"),
+        $"col.vec_id".as("media_id"))
+    val tr = topk.filter($"media_id" === $"q_id").select($"q_id", $"rk")
+    val ties = scored.filter($"sim" === 255L)
+      .groupBy($"q_id").agg(count(lit(1)).as("n_ties"))
+    queries.select($"q_id", $"kind")
+      .join(tr, Seq("q_id"), "left")
+      .join(ties, Seq("q_id"), "left")
+      .select($"q_id", $"kind",
+        coalesce($"n_ties", lit(0L)).as("n_ties"),
+        coalesce($"rk", lit(-1L)).as("true_rank"),
+        (round(when($"rk".isNotNull, lit(1.0) / $"rk".cast("double"))
+          .otherwise(lit(0.0)), 4) + lit(0.0)).as("rr"),
+        (coalesce($"rk", lit(-1L)) === 1L).as("hit1"),
+        $"rk".isNotNull.as("hitk"))
+      .orderBy($"q_id")
+  }
+
   /** Frame sampling over the DECODED audio stream: parse the WAV, then
     * fan the PCM samples into fixed-size frames with per-frame sample
     * sums — the windowing an audio featurizer (MFCC, VAD) consumes.

@@ -104,4 +104,40 @@ class MultimodalSpec extends SparkSpec {
       .count()
     assert(bad === 0L)
   }
+
+  test("crossModalEval: paired media is retrievable through the real decode path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Multimodal.crossModalEval(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val rk = r.getAs[Long]("true_rank")
+      val rr = r.getAs[Double]("rr")
+      // the paired media scores a perfect 255 (first decoded value = g),
+      // so it is always inside its tie class: n_ties ≥ 1 and the rank,
+      // when inside top-k, is ≤ its tie-class size (ties break by id)
+      assert(r.getAs[Long]("n_ties") >= 1L)
+      if (rk > 0) {
+        assert(rk <= r.getAs[Long]("n_ties"))
+        assert(rr === BigDecimal(1.0 / rk)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      } else assert(rk === -1L && rr === 0.0)
+      assert(r.getAs[Boolean]("hit1") === (rk === 1L))
+      assert(r.getAs[Boolean]("hitk") === (rk > 0L))
+      assert(Seq("image", "audio").contains(r.getAs[String]("kind")))
+    }
+    // retrieval genuinely works: most queries find their pair at rank 1
+    // (g-space collisions with a smaller id can push it down, never out
+    // of the tie class)
+    assert(rows.count(_.getAs[Boolean]("hit1")) >= 10)
+  }
+
+  test("crossModalEval: bounded TopKAgg ranking — no corpus-wide Window") {
+    val plan = Multimodal.crossModalEval(spark, sf)
+      .queryExecution.executedPlan.toString
+    graft.CacheGuard.release()
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
 }
