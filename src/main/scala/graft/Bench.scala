@@ -31,9 +31,17 @@ object Bench {
     * over SUCCESSFUL reps when any rep succeeded — a rep that threw did
     * not do the query's work, so its (fast) time must never become the
     * headline number — falling back to min-overall only when every rep
-    * failed (the timing is then explicitly marked `ok:false` anyway). */
+    * failed (the timing is then explicitly marked `ok:false` anyway).
+    *
+    * `gcMs` is the JVM GC time spent during each rep and `pressure` is
+    * whether any rep ended with a cache barrier partially evicted or
+    * spilled to disk — the round-6 phantom-regression attribution
+    * problem (ten >2× full-suite rows, all JVM/storage pressure, cost a
+    * manual re-bench to refute): with these in the health file a slow
+    * row is machine-attributable from the artifact alone. */
   final case class Measured(name: String, secs: Seq[Double],
-                            okSecs: Seq[Double], err: Option[String]) {
+                            okSecs: Seq[Double], err: Option[String],
+                            gcMs: Seq[Long] = Nil, pressure: Boolean = false) {
     def sec: Double = (if (okSecs.nonEmpty) okSecs else secs).min
     def ok: Boolean = err.isEmpty
   }
@@ -43,6 +51,21 @@ object Bench {
     * noise motivated the reps; per-rep times are kept so the spread
     * itself is visible. A throwing query surfaces as `ok:false` with its
     * error and must not abort the remaining queries. */
+  /** Cumulative JVM GC milliseconds across all collectors. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** True when any persisted RDD (a cache barrier) ended the rep
+    * partially evicted or spilled to disk — the recompute/IO signal that
+    * explains an inflated full-suite timing. */
+  private def storagePressure(spark: SparkSession): Boolean =
+    spark.sparkContext.getRDDStorageInfo.exists(i =>
+      i.isCached && (i.diskSize > 0L ||
+        i.numCachedPartitions < i.numPartitions))
+
   def measure(spark: SparkSession, sfDir: String,
               queries: Map[String, (SparkSession, String) => DataFrame],
               reps: Int): Seq[Measured] =
@@ -54,18 +77,22 @@ object Bench {
         // single-shot baseline. Reps isolate JIT/scheduler noise only.
         spark.catalog.clearCache()
         CacheGuard.release() // registered barriers from the previous rep
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-        ((System.nanoTime() - t0) / 1e9, err)
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, err, gcMillis() - gc0, storagePressure(spark))
       }
       Measured(name,
         runs.map(_._1),
-        runs.collect { case (s, None) => s },
-        runs.flatMap(_._2).headOption)
+        runs.collect { case (s, None, _, _) => s },
+        runs.flatMap(_._2).headOption,
+        runs.map(_._3),
+        runs.exists(_._4))
     }
 
   /** Full result JSON: per-query health `{sec, ok, err, secs[]}` — the
@@ -82,7 +109,9 @@ object Bench {
     val health = results.map { r =>
       s"${jstr(r.name)}:{" + s""""sec":${r.sec},"ok":${r.ok},"err":""" +
         r.err.map(jstr).getOrElse("null") +
-        s""","secs":${r.secs.mkString("[", ",", "]")}}"""
+        s""","secs":${r.secs.mkString("[", ",", "]")}""" +
+        s""","gc_ms":${r.gcMs.mkString("[", ",", "]")}""" +
+        s""","pressure":${r.pressure}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.sec).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"health":$health,"n_failed":${results.count(!_.ok)},"reps":$reps,"sf":"$sfDir"}"""

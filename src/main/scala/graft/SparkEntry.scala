@@ -209,6 +209,9 @@ object SparkEntry {
     "q142_quantile_merge" -> ((s, d) => Sketches.quantileMergeAudit(s, d)),
     "q143_ivf_delta" -> ((s, d) => AnnSearch.ivfDeltaAudit(s, d)),
     "q144_bpe_decode" -> ((s, d) => TextAnalysis.bpeDecodeAudit(s, d)),
+    "q145_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(s, d)),
+    "q146_source_kl" -> ((s, d) => CorpusOps.sourceKlDrift(s, d)),
+    "q147_dsir_weights" -> ((s, d) => CorpusOps.dsirWeights(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3407,6 +3410,102 @@ object SparkEntry {
          |  replace(e, ' ', '') AS decoded,
          |  replace(e, ' ', '') = w AS round_trip
          |FROM enc ORDER BY w""".stripMargin
+    },
+
+    // q71's scoring chain with lang riding along; tercile cuts are pure
+    // integer rank arithmetic and bucket means re-quantize to 1e4 units
+    "q145_ccnet_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY term),
+         |t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+         |u AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6
+         |      + 0.5) AS BIGINT) AS u
+         |  FROM toks JOIN tf USING (term) CROSS JOIN t),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    round(CAST(sum(u) AS DOUBLE) / count(*) / 1e6, 4) + 0.0
+         |      AS mean_logprob
+         |  FROM u GROUP BY doc_id, lang),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY mean_logprob DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM sc),
+         |bk AS (
+         |  SELECT lang,
+         |    CASE WHEN rn * 3 <= n_lang THEN 'head'
+         |         WHEN rn * 3 <= n_lang * 2 THEN 'middle'
+         |         ELSE 'tail' END AS bucket,
+         |    mean_logprob,
+         |    CAST(floor(mean_logprob * 1e4 + 0.5) AS BIGINT) AS m4
+         |  FROM r)
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(m4) AS DOUBLE) / count(*) / 1e4, 4) + 0.0
+         |    AS mean_bucket_logprob,
+         |  min(mean_logprob) AS min_logprob,
+         |  max(mean_logprob) AS max_logprob
+         |FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    // corpus counts DERIVE from the per-source relation; per-term KL
+    // contributions quantized to micro-units before the exact sum
+    "q146_source_kl" ->
+      s"""WITH st AS (
+         |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf_s
+         |  FROM (SELECT source, unnest($toksSql) AS term FROM documents) z
+         |  GROUP BY 1, 2),
+         |ct AS (SELECT term, CAST(sum(tf_s) AS BIGINT) AS tf_c
+         |       FROM st GROUP BY term),
+         |ts AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS t_s
+         |       FROM st GROUP BY source),
+         |tc AS (SELECT CAST(sum(t_s) AS BIGINT) AS t_c FROM ts),
+         |u AS (
+         |  SELECT source,
+         |    CAST(floor((CAST(tf_s AS DOUBLE) / CAST(t_s AS DOUBLE)) *
+         |      ln(CAST(tf_s * t_c AS DOUBLE) / CAST(t_s * tf_c AS DOUBLE))
+         |      * 1e6 + 0.5) AS BIGINT) AS u
+         |  FROM st JOIN ct USING (term) JOIN ts USING (source)
+         |  CROSS JOIN tc)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+         |  round(CAST(sum(u) AS DOUBLE) / 1e6, 6) + 0.0 AS kl
+         |FROM u GROUP BY source ORDER BY source""".stripMargin,
+
+    // hashed-bigram feature table (≤4096 rows) with Laplace-smoothed
+    // log-ratios in micro-units; per-doc weights are exact integer sums
+    "q147_dsir_weights" -> {
+      val b = CorpusOps.dsirBuckets
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |fe AS (
+         |  SELECT doc_id, lang, ${h32("bg")} % $b AS f
+         |  FROM (
+         |    SELECT doc_id, lang, unnest(list_transform(
+         |      range(1, greatest(len(toks) - 1, 0) + 1),
+         |      i -> array_to_string(toks[i:i+1], ' '))) AS bg
+         |    FROM tk) z),
+         |raw AS (SELECT f, CAST(count(*) AS BIGINT) AS c_r
+         |        FROM fe GROUP BY f),
+         |tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS c_t
+         |        FROM fe WHERE lang = '${CorpusOps.dsirTargetLang}'
+         |        GROUP BY f),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(c_r) AS BIGINT) FROM raw) AS t_r,
+         |         (SELECT CAST(sum(c_t) AS BIGINT) FROM tgt) AS t_t),
+         |wt AS (
+         |  SELECT raw.f AS f,
+         |    CAST(floor(ln(
+         |      CAST((coalesce(c_t, 0) + 1) * (t_r + $b) AS DOUBLE) /
+         |      CAST((t_t + $b) * (c_r + 1) AS DOUBLE)) * 1e6 + 0.5)
+         |      AS BIGINT) AS u
+         |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f CROSS JOIN tot)
+         |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
+         |  round(CAST(sum(u) AS DOUBLE) / 1e6, 4) + 0.0 AS weight
+         |FROM fe JOIN wt USING (f)
+         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
     },
   )
 }

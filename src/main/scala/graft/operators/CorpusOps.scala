@@ -677,6 +677,95 @@ object CorpusOps {
       .orderBy($"train_doc", $"bench_doc")
   }
 
+  /** Per-source unigram KL DIVERGENCE vs the whole corpus — the
+    * composition-drift monitor a mixture owner tracks per ingestion
+    * source: `KL(P_s ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t))`,
+    * which is 0 iff the source's token distribution matches the corpus
+    * and grows as a source's vocabulary skews (the distributional
+    * counterpart of q124's volume drift). Per-term contributions are
+    * quantized to integer micro-units before summation — the q71
+    * discipline — so the per-source sums are exact BIGINTs; note the
+    * per-TERM terms may be negative (only the total is ≥ 0 up to
+    * quantization).
+    *
+    * Scale shape: ONE tokenize pass into the (source, term) count
+    * relation (partial-aggregated, shuffle O(sources × vocab)); the
+    * corpus-wide counts DERIVE from that same relation by
+    * re-aggregation — the corpus is never scanned twice; totals are
+    * O(sources) rows broadcast back. */
+  def sourceKlDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("tf_s"))
+    val ct = st.groupBy($"term").agg(sum($"tf_s").as("tf_c"))
+    val totS = st.groupBy($"source").agg(sum($"tf_s").as("t_s"))
+    val totC = totS.select(sum($"t_s").as("t_c"))
+    st.join(ct, "term")
+      .join(broadcast(totS), "source")
+      .crossJoin(broadcast(totC))
+      .select($"source",
+        floor(($"tf_s".cast("double") / $"t_s".cast("double")) *
+          log(($"tf_s" * $"t_c").cast("double") /
+            ($"t_s" * $"tf_c").cast("double")) * 1e6 + lit(0.5))
+          .cast("long").as("u"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"), sum($"u").as("units"))
+      .select($"source", $"n_terms",
+        (round($"units".cast("double") / 1e6, 6) + lit(0.0)).as("kl"))
+      .orderBy($"source")
+  }
+
+  /** DSIR feature-hash buckets and target language, shared with the q147
+    * oracle and spec. */
+  val dsirBuckets = 4096
+  val dsirTargetLang = "de"
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW
+    * document by how target-like its hashed-n-gram profile is —
+    * `w(doc) = Σ_f c_f(doc) · ln(p_target(f) / p_raw(f))` over
+    * [[dsirBuckets]] hashed BIGRAM features, with Laplace smoothing on
+    * both distributions. Target here = the `de`-language slice (the
+    * "domain" being matched); a selection pass keeps the top-weight
+    * documents. Every feature's log-ratio is one log of exact integer
+    * rationals, quantized to micro-units, so per-doc sums are exact
+    * BIGINTs; feature hashing is the shared md5-32 family mod buckets.
+    *
+    * Scale shape: the feature-weight table is AT MOST `dsirBuckets`
+    * rows — built from one tokenize+shingle pass (partial-aggregated on
+    * the bucket id, exchange O(buckets)) and BROADCAST back; scoring is
+    * a map-side join over the per-doc feature stream plus one per-doc
+    * reduce. The corpus shuffles only doc-keyed partial sums. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = dsirBuckets
+    val feats = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"lang",
+          explode(wordShingles(tokens($"text"), 2)).as("bg"))
+        .select($"doc_id", $"lang", (md5Hash32($"bg") % b).as("f")))
+    val raw = feats.groupBy($"f").agg(count(lit(1)).as("c_r"))
+    val tgt = feats.filter($"lang" === dsirTargetLang)
+      .groupBy($"f").agg(count(lit(1)).as("c_t"))
+    val totals = raw.agg(sum($"c_r").as("t_r")).crossJoin(
+      tgt.agg(sum($"c_t").as("t_t")))
+    // log-ratio units per feature: ln((c_t+1)·(T_r+B) / ((T_t+B)·(c_r+1)))
+    val wtable = raw.join(tgt, Seq("f"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"f",
+        floor(log(
+          ((coalesce($"c_t", lit(0L)) + 1) * ($"t_r" + b)).cast("double") /
+            (($"t_t" + b) * ($"c_r" + 1)).cast("double")) * 1e6 + lit(0.5))
+          .cast("long").as("u"))
+    feats.join(broadcast(wtable), "f")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_feats"), sum($"u").as("units"))
+      .select($"doc_id", $"lang", $"n_feats",
+        (round($"units".cast("double") / 1e6, 4) + lit(0.0)).as("weight"))
+      .orderBy($"doc_id")
+  }
+
   /** Vocabulary size for [[tokenizerFertility]], shared with the q134
     * oracle and spec. */
   val fertilityVocab = 256

@@ -280,6 +280,61 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020): per
+    * language, rank documents by their q71 unigram-LM score and cut the
+    * ranking into head/middle/tail terciles — the bucket assignment
+    * CCNet uses to keep "head" web text, sample "middle", and drop
+    * "tail". Cuts are pure integer rank arithmetic (`rn·3 ≤ n` ⟺
+    * `rn ≤ ⌊n/3⌋`), ties broken by doc_id, so both engines slice
+    * identically; per-bucket means re-quantize each doc's (already
+    * 4-dp-exact) score to integer 1e4 units before summation so the
+    * aggregate is addition-order-proof.
+    *
+    * Scale shape: the scoring pass is exactly q71 (one tokenize, O(vocab)
+    * count table joined back); the ranking window partitions BY LANGUAGE
+    * — the per-shard sort CCNet itself runs (at 100 TB a language shard
+    * is range-partitioned on the score; the window never goes global);
+    * the bucket rollup exchanges O(langs × 3) rows. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
+    val tf = toks.groupBy($"term").agg(count(lit(1)).as("tf"))
+    val total = tf.select(sum($"tf").as("total"))
+    val unitCol = floor(
+      log($"tf".cast("double") / $"total".cast("double")) * 1e6 + lit(0.5))
+      .cast("long")
+    val scored = toks.join(tf, "term")
+      .crossJoin(broadcast(total))
+      .select($"doc_id", $"lang", unitCol.as("u"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tokens"), sum($"u").as("units"))
+      .select($"doc_id", $"lang",
+        (round($"units".cast("double") / $"n_tokens".cast("double") / 1e6, 4)
+          + lit(0.0)).as("mean_logprob"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"mean_logprob".desc, $"doc_id")
+    val nLang = scored.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .join(broadcast(nLang), "lang")
+      .withColumn("bucket",
+        when($"rn" * 3 <= $"n_lang", "head")
+          .when($"rn" * 3 <= $"n_lang" * 2, "middle")
+          .otherwise("tail"))
+      .withColumn("m4",
+        floor($"mean_logprob" * 1e4 + lit(0.5)).cast("long"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"m4").as("sum4"),
+        min($"mean_logprob").as("min_logprob"),
+        max($"mean_logprob").as("max_logprob"))
+      .select($"lang", $"bucket", $"n_docs",
+        (round($"sum4".cast("double") / $"n_docs".cast("double") / 1e4, 4)
+          + lit(0.0)).as("mean_bucket_logprob"),
+        $"min_logprob", $"max_logprob")
+      .orderBy($"lang", $"bucket")
+  }
+
   /** First-round BPE merge statistics — the corpus-wide adjacent
     * character-pair counts a byte-pair-encoding vocabulary trainer uses
     * to pick its first merge (Sennrich et al. 2016): every occurrence of

@@ -34,6 +34,9 @@ class BenchSpec extends SparkSpec {
     assert(json.contains(""""queries":{"a_ok":"""))
     assert(json.contains(""""health":{"a_ok":{"sec":"""))
     assert(json.contains(""""secs":[""")) // per-rep spread is visible
+    // pressure attribution rides along: per-rep GC time + eviction flag
+    assert(json.contains(""""gc_ms":["""))
+    assert(json.contains(""""pressure":"""))
     assert(json.endsWith(s""""sf":"$sf"}"""))
   }
 

@@ -376,4 +376,53 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("sourceKlDrift: KL is non-negative per source; term counts are the source vocab") {
+    import spark.implicits._
+    val rows = CorpusOps.sourceKlDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vocab = Tables.documents(spark, sf)
+      .select($"source",
+        explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .groupBy($"source").agg(countDistinct($"t").as("v")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("v")).toMap
+    rows.foreach { r =>
+      // Gibbs: KL ≥ 0 up to the micro-unit quantization slack
+      assert(r.getAs[Double]("kl") >= -1e-3, r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_terms") === vocab(r.getAs[String]("source")))
+    }
+    // the sources genuinely differ from the corpus somewhere
+    assert(rows.exists(_.getAs[Double]("kl") > 0.0))
+  }
+
+  test("dsirWeights: target-language documents score most target-like") {
+    import spark.implicits._
+    val rows = CorpusOps.dsirWeights(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(rows.nonEmpty)
+    val (tgt, rest) = rows.partition(
+      _.getAs[String]("lang") == CorpusOps.dsirTargetLang)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def meanW(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("weight")).sum / rs.length
+    // the DSIR premise: importance weights separate the target domain
+    assert(meanW(tgt) > meanW(rest),
+      s"target ${meanW(tgt)} vs rest ${meanW(rest)}")
+    // weights are per-bigram sums: n_feats = doc bigram count
+    val bigrams = Tables.documents(spark, sf)
+      .select($"doc_id", size(graft.functions.TextFunctions.wordShingles(
+        graft.functions.TextFunctions.tokens($"text"), 2)).cast("long").as("nb"))
+      .filter($"nb" > 0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nb")).toMap
+    assert(rows.length === bigrams.size)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_feats") === bigrams(r.getAs[Long]("doc_id"))))
+  }
+
+  test("dsirWeights: the feature-weight table broadcasts into the scoring join") {
+    val plan = CorpusOps.dsirWeights(spark, sf)
+      .queryExecution.executedPlan.toString
+    graft.CacheGuard.release()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }

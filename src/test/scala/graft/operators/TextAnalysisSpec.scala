@@ -402,6 +402,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q137 === resummed)
   }
 
+  test("ccnetBuckets: terciles partition each language; buckets are score-ordered") {
+    import spark.implicits._
+    val rows = TextAnalysis.ccnetBuckets(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val perLang = Tables.documents(spark, sf)
+      .filter(size(graft.functions.TextFunctions.tokens($"text")) > 0)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    byLang.foreach { case (lang, bs) =>
+      val m = bs.map(r => r.getAs[String]("bucket") -> r).toMap
+      assert(m.keySet === Set("head", "middle", "tail"), lang)
+      val n = perLang(lang)
+      // exact integer tercile sizes: floor(n/3) / floor(2n/3)-floor(n/3) / rest
+      assert(m("head").getAs[Long]("n_docs") === n / 3)
+      assert(m("middle").getAs[Long]("n_docs") === 2 * n / 3 - n / 3)
+      assert(m("tail").getAs[Long]("n_docs") === n - 2 * n / 3)
+      // the ranking is by score desc: bucket ranges never interleave
+      assert(m("head").getAs[Double]("min_logprob") >=
+        m("middle").getAs[Double]("max_logprob"), lang)
+      assert(m("middle").getAs[Double]("min_logprob") >=
+        m("tail").getAs[Double]("max_logprob"), lang)
+      bs.foreach { r =>
+        assert(r.getAs[Double]("mean_bucket_logprob") <=
+          r.getAs[Double]("max_logprob") + 1e-4)
+        assert(r.getAs[Double]("mean_bucket_logprob") >=
+          r.getAs[Double]("min_logprob") - 1e-4)
+      }
+    }
+  }
+
   test("urlHostStats: every document lands in exactly one host bucket") {
     val rows = TextAnalysis.urlHostStats(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ===
