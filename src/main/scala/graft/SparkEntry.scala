@@ -212,6 +212,9 @@ object SparkEntry {
     "q145_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(s, d)),
     "q146_source_kl" -> ((s, d) => CorpusOps.sourceKlDrift(s, d)),
     "q147_dsir_weights" -> ((s, d) => CorpusOps.dsirWeights(s, d)),
+    "q148_padding_sweep" -> ((s, d) => CorpusOps.paddingSweep(s, d)),
+    "q149_cluster_histogram" -> ((s, d) => DedupOps.dedupClusterHistogram(s, d)),
+    "q150_minhash_accuracy" -> ((s, d) => DedupOps.minhashAccuracyAudit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3507,5 +3510,75 @@ object SparkEntry {
          |FROM fe JOIN wt USING (f)
          |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
     },
+
+    // q138's sweep pattern over per-doc token counts: exact integer
+    // truncation/padding mass per candidate context length
+    "q148_padding_sweep" ->
+      s"""WITH d AS (
+         |  SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents
+         |  WHERE len($toksSql) > 0),
+         |lens AS (SELECT CAST(unnest([${CorpusOps.packSweepLens
+              .mkString(", ")}]) AS BIGINT) AS max_len)
+         |SELECT max_len, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n > max_len THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_truncated,
+         |  CAST(sum(CASE WHEN n > max_len THEN n - max_len ELSE 0 END)
+         |    AS BIGINT) AS tokens_lost,
+         |  CAST(sum(CASE WHEN n < max_len THEN max_len - n ELSE 0 END)
+         |    AS BIGINT) AS pad_tokens,
+         |  round(CAST(sum(least(n, max_len)) AS DOUBLE)
+         |    / CAST(count(*) * max_len AS DOUBLE), 4) + 0.0 AS utilization
+         |FROM d CROSS JOIN lens
+         |GROUP BY max_len ORDER BY max_len""".stripMargin,
+
+    // the q67 component chain rolled up by family size — the dedup
+    // policy report (heavy tail = threshold too loose)
+    "q149_cluster_histogram" ->
+      s"""WITH RECURSIVE $minHashCtesSql,
+         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |ids AS (SELECT doc_id FROM corpus),
+         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |labeled AS (
+         |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
+         |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+         |cs AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM labeled GROUP BY keeper)
+         |SELECT cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    // q55's estimate joined to the exact distinct-shingle Jaccard of
+    // the same pairs; the error column audits the 16-perm estimator
+    "q150_minhash_accuracy" ->
+      s"""WITH $minHashCtesSql,
+         |prs AS (SELECT a, b, est_jaccard FROM est
+         |        WHERE est_jaccard >= 0.5),
+         |ssz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |        FROM shq GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS ni
+         |  FROM prs p
+         |  JOIN shq x ON x.doc_id = p.a
+         |  JOIN shq y ON y.doc_id = p.b AND y.sh = x.sh
+         |  GROUP BY p.a, p.b),
+         |ex AS (
+         |  SELECT p.a, p.b, p.est_jaccard,
+         |    round(coalesce(i.ni, 0) /
+         |      CAST(na.n + nb.n - coalesce(i.ni, 0) AS DOUBLE), 4)
+         |      AS exact_jaccard
+         |  FROM prs p
+         |  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+         |  JOIN ssz na ON na.doc_id = p.a
+         |  JOIN ssz nb ON nb.doc_id = p.b)
+         |SELECT a, b, est_jaccard, exact_jaccard,
+         |  round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
+         |FROM ex ORDER BY a, b""".stripMargin,
   )
 }

@@ -677,6 +677,46 @@ object CorpusOps {
       .orderBy($"train_doc", $"bench_doc")
   }
 
+  /** Candidate context lengths for [[paddingSweep]], shared with the
+    * q148 oracle. */
+  val packSweepLens = Seq(64, 128, 256, 512)
+
+  /** PADDING-WASTE sweep — the batch-shape planning report run before
+    * fixing a training context length: for each candidate `max_len`,
+    * how many documents truncate (and how many tokens that loses), how
+    * much padding fixed-shape batches would carry, and the resulting
+    * token utilization `Σ min(n, L) / (docs·L)` — the compute-efficiency
+    * number that drives the q73 packing decision (pack vs pad). The
+    * q138 sweep pattern: per-doc token counts are computed ONCE and
+    * swept against a broadcast candidate table; every column is an
+    * exact integer sum until the one final division.
+    *
+    * Scale shape: one tokenize pass to per-doc counts (map-side), a
+    * |lens|-way broadcast fan-out, one partial-aggregated groupBy over
+    * 4 keys — exchange O(lens). */
+  def paddingSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(size(tokens($"text")).cast("long").as("n"))
+      .filter($"n" > 0)
+    val lens = packSweepLens.map(_.toLong).toDF("max_len")
+    counts.crossJoin(broadcast(lens))
+      .groupBy($"max_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n" > $"max_len", 1L).otherwise(0L)).as("n_truncated"),
+        sum(when($"n" > $"max_len", $"n" - $"max_len").otherwise(0L))
+          .as("tokens_lost"),
+        sum(when($"n" < $"max_len", $"max_len" - $"n").otherwise(0L))
+          .as("pad_tokens"),
+        sum(least($"n", $"max_len")).as("kept_tokens"))
+      .select($"max_len", $"n_docs", $"n_truncated", $"tokens_lost",
+        $"pad_tokens",
+        (round($"kept_tokens".cast("double") /
+          ($"n_docs" * $"max_len").cast("double"), 4) + lit(0.0))
+          .as("utilization"))
+      .orderBy($"max_len")
+  }
+
   /** Per-source unigram KL DIVERGENCE vs the whole corpus — the
     * composition-drift monitor a mixture owner tracks per ingestion
     * source: `KL(P_s ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t))`,

@@ -606,6 +606,63 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** Cluster-SIZE histogram over the q67 near-dup components — the
+    * dedup-quality report a corpus owner reads before committing a
+    * keeper policy: how many duplicate families exist at each size (and
+    * how much of the corpus they hold). A heavy tail here means the
+    * LSH threshold is too loose (or boilerplate is chaining unrelated
+    * documents — the q48 transitive-closure caveat made measurable).
+    * Derived entirely from [[nearDupKeepers]] — one more keyed rollup,
+    * exchange O(distinct sizes). */
+  def dedupClusterHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    nearDupKeepers(spark, dir)
+      .groupBy($"cluster_size")
+      .agg(countDistinct($"keeper").as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"cluster_size")
+  }
+
+  /** MinHash ACCURACY audit — q93's recall-audit discipline applied to
+    * the q55 estimator itself: for every LSH candidate pair, the
+    * 16-permutation signature estimate next to the EXACT distinct
+    * 3-shingle Jaccard and their absolute error — the measured answer
+    * to "how many permutations do we need", and the audit that catches
+    * a silently-degraded hash family (a wrong estimate shifts the
+    * error column, a wrong candidate set changes the row set).
+    *
+    * Scale shape: the pair relation is q55's (banded, never all-pairs);
+    * verification joins each pair's A-side shingles to the B-side
+    * shingle relation on (doc, shingle) — O(pairs × doc_len) candidate
+    * rows, the standard verification cost — and set sizes come from one
+    * keyed aggregation over the shingle relation. */
+  def minhashAccuracyAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minHashLshPairsOracled(spark, dir)
+    val sh = dupCorpus(spark, dir)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 3)
+      .select($"doc_id",
+        explode(array_distinct(wordShingles($"tk", 3))).as("sh"))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs.select($"a", $"b")
+      .join(sh.select($"doc_id".as("a"), $"sh"), "a")
+      .join(sh.select($"doc_id".as("b"), $"sh"), Seq("b", "sh"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("ni"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
+      .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
+      .select($"a", $"b", $"est_jaccard",
+        coalesce($"ni", lit(0L)).as("ni"), $"na", $"nb")
+      .select($"a", $"b", $"est_jaccard",
+        round($"ni".cast("double") /
+          ($"na" + $"nb" - $"ni").cast("double"), 4).as("exact_jaccard"))
+      .withColumn("abs_err",
+        round(abs($"est_jaccard" - $"exact_jaccard"), 4))
+      .orderBy($"a", $"b")
+  }
+
   /** Minimum chained-span count for a run to be flagged `long_run`,
     * shared with the q140 oracle and spec: 2 spans = 10 tokens, the
     * "substring long enough to be worth cutting" bar. */

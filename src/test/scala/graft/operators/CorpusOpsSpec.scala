@@ -377,6 +377,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("paddingSweep: token mass is conserved and the sweep is monotone in max_len") {
+    import spark.implicits._
+    val rows = CorpusOps.paddingSweep(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("max_len")).toSeq ===
+      CorpusOps.packSweepLens.map(_.toLong))
+    val totalTokens = Tables.documents(spark, sf)
+      .select(sum(size(graft.functions.TextFunctions.tokens($"text"))
+        .cast("long"))).head().getLong(0)
+    rows.foreach { r =>
+      val (l, nd) = (r.getAs[Long]("max_len"), r.getAs[Long]("n_docs"))
+      val kept = nd * l - r.getAs[Long]("pad_tokens")
+      // kept + lost = the corpus's token count, at every candidate length
+      assert(kept + r.getAs[Long]("tokens_lost") === totalTokens)
+      val u = r.getAs[Double]("utilization")
+      assert(u > 0.0 && u <= 1.0)
+      assert(r.getAs[Long]("n_truncated") <= nd)
+    }
+    // longer contexts: truncation can only fall, padding only grow
+    val byLen = rows.sortBy(_.getAs[Long]("max_len"))
+    byLen.zip(byLen.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("n_truncated") >= b.getAs[Long]("n_truncated"))
+      assert(a.getAs[Long]("tokens_lost") >= b.getAs[Long]("tokens_lost"))
+      assert(a.getAs[Long]("pad_tokens") <= b.getAs[Long]("pad_tokens"))
+    }
+  }
+
   test("sourceKlDrift: KL is non-negative per source; term counts are the source vocab") {
     import spark.implicits._
     val rows = CorpusOps.sourceKlDrift(spark, sf).collect()

@@ -27,6 +27,41 @@ class DedupSpec extends SparkSpec {
     exactPairs.foreach(r => assert(r.getAs[Double]("est_jaccard") === 1.0))
   }
 
+  test("dedupClusterHistogram: families cover the doubled corpus; row arithmetic consistent") {
+    val rows = DedupOps.dedupClusterHistogram(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 2 * nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+    // the seeded copies guarantee multi-doc families exist
+    assert(rows.exists(_.getAs[Long]("cluster_size") >= 2L))
+  }
+
+  test("minhashAccuracyAudit: exact-dup pairs have zero error; errors bounded") {
+    val rows = DedupOps.minhashAccuracyAudit(spark, sf).collect()
+    graft.CacheGuard.release()
+    val est = DedupOps.minHashLshPairsOracled(spark, sf).count()
+    graft.CacheGuard.release()
+    assert(rows.length.toLong === est) // one audit row per q55 pair
+    rows.foreach { r =>
+      val (e, x) = (r.getAs[Double]("est_jaccard"),
+        r.getAs[Double]("exact_jaccard"))
+      assert(e >= 0.0 && e <= 1.0)
+      assert(x >= 0.0 && x <= 1.0)
+      assert(r.getAs[Double]("abs_err") ===
+        BigDecimal((e - x).abs).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // a shifted full copy is set-identical: both estimator and truth say 1
+      if (r.getAs[Long]("b") === r.getAs[Long]("a") + DedupOps.dupOffset) {
+        assert(e === 1.0 && x === 1.0 && r.getAs[Double]("abs_err") === 0.0)
+      }
+    }
+  }
+
   test("duplicatedRuns: adjacent duplicated spans chain into one maximal run; gaps split") {
     import spark.implicits._
     def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
