@@ -215,6 +215,7 @@ object SparkEntry {
     "q148_padding_sweep" -> ((s, d) => CorpusOps.paddingSweep(s, d)),
     "q149_cluster_histogram" -> ((s, d) => DedupOps.dedupClusterHistogram(s, d)),
     "q150_minhash_accuracy" -> ((s, d) => DedupOps.minhashAccuracyAudit(s, d)),
+    "q151_quality_pr" -> ((s, d) => TextAnalysis.qualityPrCurve(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3580,5 +3581,69 @@ object SparkEntry {
          |SELECT a, b, est_jaccard, exact_jaccard,
          |  round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
          |FROM ex ORDER BY a, b""".stripMargin,
+
+    // q26's score swept against q60's gate as the label; P/R/F1 in
+    // integer-ratio forms, kappa's parenthesization pinned cross-engine
+    "q151_quality_pr" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[\\p{P}\\p{S}]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(tk,
+         |      x -> x IN ('the','a','of','and','to','in'))) AS BIGINT)
+         |      AS n_stop,
+         |    round(CAST(length(array_to_string(tk, '')) AS DOUBLE)
+         |      / CAST(greatest(len(tk), 1) AS DOUBLE), 4) AS mean_word_len,
+         |    round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
+         |      / CAST(greatest(len(tk), 1) AS DOUBLE), 4) AS dup_ratio
+         |  FROM t),
+         |sig AS (
+         |  SELECT doc_id,
+         |    round(CASE WHEN n_tokens = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.6 +
+         |        (CAST(n_stop AS DOUBLE)
+         |          / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.4
+         |      END, 4) AS quality,
+         |    (n_tokens >= ${TextAnalysis.gopherMinWords}
+         |     AND dup_ratio < ${TextAnalysis.gopherMaxDupRatio}
+         |     AND mean_word_len BETWEEN ${TextAnalysis.gopherMeanLen._1}
+         |       AND ${TextAnalysis.gopherMeanLen._2}) AS passes
+         |  FROM c),
+         |th AS (SELECT CAST(unnest([${TextAnalysis.prThresholds
+              .mkString(", ")}]) AS DOUBLE) AS threshold),
+         |cnt AS (
+         |  SELECT threshold,
+         |    CAST(sum(CASE WHEN quality >= threshold AND passes
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN quality >= threshold AND NOT passes
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN quality < threshold AND passes
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN quality < threshold AND NOT passes
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM sig CROSS JOIN th GROUP BY threshold)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0
+         |    ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 4)
+         |  END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN 0.0
+         |    ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 4)
+         |  END AS recall,
+         |  CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
+         |    ELSE round(CAST(2*tp AS DOUBLE)
+         |      / CAST(2*tp + fp + fn AS DOUBLE), 4)
+         |  END AS f1,
+         |  round((CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+         |    - (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+         |       + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+         |      / (CAST(tp + fp + fn + tn AS DOUBLE)
+         |         * CAST(tp + fp + fn + tn AS DOUBLE)))
+         |  / (1.0 - (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+         |       + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+         |      / (CAST(tp + fp + fn + tn AS DOUBLE)
+         |         * CAST(tp + fp + fn + tn AS DOUBLE))), 4) + 0.0 AS kappa
+         |FROM cnt ORDER BY threshold""".stripMargin,
   )
 }

@@ -219,6 +219,64 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Thresholds for [[qualityPrCurve]], shared with the q151 oracle.
+    * Placed across the passers' score range (0.21–0.42 on the synthetic
+    * corpus) so every confusion cell is populated and the curve actually
+    * trades precision against recall. */
+  val prThresholds = Seq(0.2, 0.25, 0.3, 0.35, 0.4)
+
+  /** Quality-classifier CALIBRATION curve — the eval every cheap quality
+    * score needs before it gates a corpus: sweep the q26 composite score
+    * against the q60 Gopher rule gate as the reference label and report,
+    * per threshold, the confusion counts plus precision / recall / F1
+    * and Cohen's κ (chance-corrected agreement). A pipeline owner reads
+    * this to pick the score cutoff that best reproduces the expensive
+    * rule gate — or to conclude the score is uncalibrated.
+    *
+    * Float discipline: P/R/F1 use the integer-ratio forms
+    * (`f1 = 2·tp/(2·tp+fp+fn)` — never composed from rounded P and R);
+    * κ composes two exact-count ratios with pinned parenthesization
+    * `(po − pe) / (1 − pe)`, identical IEEE steps in both engines.
+    *
+    * Scale shape: both signal passes are per-row expression work over
+    * one scan each, joined on doc_id; the sweep is the q138/q148
+    * broadcast fan-out — exchange O(thresholds). */
+  def qualityPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scores = qualityScore(spark, dir).select($"doc_id", $"quality")
+    val labels = gopherQuality(spark, dir).select($"doc_id", $"passes")
+    val th = prThresholds.toDF("threshold")
+    val counts = scores.join(labels, "doc_id")
+      .crossJoin(broadcast(th))
+      .groupBy($"threshold")
+      .agg(
+        sum(when($"quality" >= $"threshold" && $"passes", 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when($"quality" >= $"threshold" && !$"passes", 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when($"quality" < $"threshold" && $"passes", 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when($"quality" < $"threshold" && !$"passes", 1L)
+          .otherwise(0L)).as("tn"))
+    val n = ($"tp" + $"fp" + $"fn" + $"tn").cast("double")
+    val po = ($"tp" + $"tn").cast("double") / n
+    val pe = (($"tp" + $"fp").cast("double") * ($"tp" + $"fn").cast("double") +
+      ($"fn" + $"tn").cast("double") * ($"fp" + $"tn").cast("double")) / (n * n)
+    counts
+      .select($"threshold", $"tp", $"fp", $"fn", $"tn",
+        when($"tp" + $"fp" === 0, 0.0)
+          .otherwise(round($"tp".cast("double") /
+            ($"tp" + $"fp").cast("double"), 4)).as("precision"),
+        when($"tp" + $"fn" === 0, 0.0)
+          .otherwise(round($"tp".cast("double") /
+            ($"tp" + $"fn").cast("double"), 4)).as("recall"),
+        when(lit(2L) * $"tp" + $"fp" + $"fn" === 0, 0.0)
+          .otherwise(round((lit(2L) * $"tp").cast("double") /
+            (lit(2L) * $"tp" + $"fp" + $"fn").cast("double"), 4)).as("f1"),
+        (round((po - pe) / (lit(1.0) - pe), 4) + lit(0.0)).as("kappa"))
+      .orderBy($"threshold")
+  }
+
   /** A fixed multilingual tail appended to every doc so the unicode pass
     * has real accents/ligatures to work on (the synthetic corpus is
     * ASCII); the SAME Scala string is interpolated into the oracle SQL,

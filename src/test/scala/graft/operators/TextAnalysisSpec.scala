@@ -432,6 +432,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("qualityPrCurve: confusion cells partition the corpus; metrics replay the counts") {
+    val rows = TextAnalysis.qualityPrCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ===
+      TextAnalysis.prThresholds)
+    val nDocs = Tables.documents(spark, sf).count()
+    val nPass = TextAnalysis.gopherQuality(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("passes")).count()
+    rows.foreach { r =>
+      val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+      assert(tp + fp + fn + tn === nDocs)
+      assert(tp + fn === nPass) // the label side never moves with the threshold
+      def d4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (tp + fp > 0)
+        assert(r.getAs[Double]("precision") === d4(tp.toDouble / (tp + fp)))
+      assert(r.getAs[Double]("recall") === d4(tp.toDouble / (tp + fn)))
+      if (2 * tp + fp + fn > 0)
+        assert(r.getAs[Double]("f1") ===
+          d4(2.0 * tp / (2.0 * tp + fp + fn)))
+      val k = r.getAs[Double]("kappa")
+      assert(k >= -1.0 && k <= 1.0)
+    }
+    // raising the threshold can only shrink the predicted-positive set
+    val byT = rows.sortBy(_.getAs[Double]("threshold"))
+    byT.zip(byT.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("tp") >= b.getAs[Long]("tp"))
+      assert(a.getAs[Double]("recall") >= b.getAs[Double]("recall"))
+    }
+    // the tuned thresholds populate every cell somewhere on the curve
+    assert(rows.exists(r => r.getAs[Long]("tp") > 0))
+    assert(rows.exists(r => r.getAs[Long]("fn") > 0))
+  }
+
   test("urlHostStats: every document lands in exactly one host bucket") {
     val rows = TextAnalysis.urlHostStats(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ===
