@@ -216,6 +216,7 @@ object SparkEntry {
     "q149_cluster_histogram" -> ((s, d) => DedupOps.dedupClusterHistogram(s, d)),
     "q150_minhash_accuracy" -> ((s, d) => DedupOps.minhashAccuracyAudit(s, d)),
     "q151_quality_pr" -> ((s, d) => TextAnalysis.qualityPrCurve(s, d)),
+    "q152_schema_evolution" -> ((s, d) => sources.ColumnarRoundTrip.schemaEvolutionScan(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3645,5 +3646,30 @@ object SparkEntry {
          |      / (CAST(tp + fp + fn + tn AS DOUBLE)
          |         * CAST(tp + fp + fn + tn AS DOUBLE))), 4) + 0.0 AS kappa
          |FROM cnt ORDER BY threshold""".stripMargin,
+
+    // the engine writes two parquet snapshots with DIFFERENT schemas and
+    // mergeSchema-reads them; the oracle derives the same relation from
+    // the original table with a parity CASE — NULLs land exactly on the
+    // pre-evolution rows iff the storage cycle is lossless
+    "q152_schema_evolution" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, n_chars, $toksSql AS tk FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CASE WHEN doc_id % 2 <> 0 THEN
+         |      round(CASE WHEN len(tk) = 0 THEN 0.0
+         |        ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
+         |          (CAST(len(list_filter(tk,
+         |            x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |            / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
+         |        END, 4)
+         |    ELSE NULL END AS quality
+         |  FROM t)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(quality) AS BIGINT) AS n_with_quality,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  round(CAST(sum(CAST(floor(quality * 1e4 + 0.5) AS BIGINT))
+         |    AS DOUBLE) / count(quality) / 1e4, 4) + 0.0 AS mean_quality
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -57,4 +57,50 @@ object ColumnarRoundTrip {
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     spark.read.parquet(out)
   }
+
+  /** SCHEMA-EVOLUTION scan — the lakehouse drift case every long-lived
+    * table hits: an old snapshot written WITHOUT a column (here the even
+    * doc_ids, pre-quality-score era) and a new snapshot WITH it (odd
+    * ids, carrying the q26 composite score), read together via parquet
+    * `mergeSchema` so the old rows surface the new column as NULL.
+    * Reduced to a per-language report of row counts, how much of the
+    * table has the new column, and the mean score over the rows that do
+    * (quantized to 1e4 units before the sum, the q145 discipline). The
+    * oracle recomputes from the ORIGINAL table with a parity CASE — the
+    * hash match proves the two-schema write→merge→read cycle is lossless
+    * AND null-fills exactly the old rows.
+    *
+    * Scale: both snapshots write/read full-parallel; `mergeSchema` costs
+    * one footer read per file at planning time (on a real lake the
+    * merged schema comes from the table catalog instead); the aggregate
+    * is partial-first keyed on lang. */
+  def schemaEvolutionScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val base = TmpNonce.scratchDir("graft-evo", dir).toString
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tk", graft.functions.TextFunctions.tokens($"text"))
+      .withColumn("quality", TextAnalysis.qualityExpr(
+        size($"tk").cast("long"),
+        graft.functions.TextFunctions.stopwordCount(
+          $"tk", TextAnalysis.stopwords).cast("long")))
+    docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"lang", $"n_chars")
+      .write.mode("overwrite").parquet(s"$base/v1")
+    docs.filter($"doc_id" % 2 =!= 0)
+      .select($"doc_id", $"lang", $"n_chars", $"quality")
+      .write.mode("overwrite").parquet(s"$base/v2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/v1", s"$base/v2")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"quality").as("n_with_quality"),
+        sum($"n_chars").as("sum_chars"),
+        sum(floor($"quality" * 1e4 + lit(0.5)).cast("long")).as("q4"))
+      .select($"lang", $"n_rows", $"n_with_quality", $"sum_chars",
+        (round($"q4".cast("double") /
+          $"n_with_quality".cast("double") / 1e4, 4) + lit(0.0))
+          .as("mean_quality"))
+      .orderBy($"lang")
+  }
 }

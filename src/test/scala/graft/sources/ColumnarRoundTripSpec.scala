@@ -50,4 +50,26 @@ class ColumnarRoundTripSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === want.toSeq)
   }
+
+  test("schemaEvolutionScan: old-snapshot rows null-fill the evolved column exactly") {
+    import spark.implicits._
+    val rows = ColumnarRoundTrip.schemaEvolutionScan(spark, sf).collect()
+    val perLang = graft.Tables.documents(spark, sf)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum(($"doc_id" % 2).cast("long")).as("odd"),
+        sum($"n_chars").as("sc")).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("odd"), r.getAs[Long]("sc"))).toMap
+    assert(rows.length === perLang.size)
+    rows.foreach { r =>
+      val (n, odd, sc) = perLang(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_rows") === n) // nothing lost across snapshots
+      // quality is non-null on exactly the v2 (odd-id) rows
+      assert(r.getAs[Long]("n_with_quality") === odd)
+      assert(r.getAs[Long]("sum_chars") === sc)
+      val mq = r.getAs[Double]("mean_quality")
+      assert(mq > 0.0 && mq <= 1.0)
+    }
+  }
 }
