@@ -217,6 +217,7 @@ object SparkEntry {
     "q150_minhash_accuracy" -> ((s, d) => DedupOps.minhashAccuracyAudit(s, d)),
     "q151_quality_pr" -> ((s, d) => TextAnalysis.qualityPrCurve(s, d)),
     "q152_schema_evolution" -> ((s, d) => sources.ColumnarRoundTrip.schemaEvolutionScan(s, d)),
+    "q153_dedup_rewrite" -> ((s, d) => DedupOps.dedupRewrite(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3671,5 +3672,58 @@ object SparkEntry {
          |  round(CAST(sum(CAST(floor(quality * 1e4 + 0.5) AS BIGINT))
          |    AS DOUBLE) / count(quality) / 1e4, 4) + 0.0 AS mean_quality
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q140's run chain applied as an edit: long runs cut, kept stream
+    // fingerprinted — the hash match proves the rewrite token-for-token
+    "q153_dedup_rewrite" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + ${DedupOps.spanDupOffset}, text
+         |  FROM documents WHERE doc_id % ${DedupOps.spanDupMod} = 0),
+         |tkc AS (SELECT doc_id, $toksSql AS tk FROM corpus),
+         |spans AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, len(tk) // ${DedupOps.spanLen})) AS idx,
+         |    unnest(list_transform(range(0, len(tk) // ${DedupOps.spanLen}),
+         |      i -> md5(array_to_string(
+         |        list_slice(tk, i*${DedupOps.spanLen} + 1,
+         |          i*${DedupOps.spanLen} + ${DedupOps.spanLen}), ' '))))
+         |      AS span
+         |  FROM tkc WHERE len(tk) >= ${DedupOps.spanLen}),
+         |dup AS (
+         |  SELECT s.doc_id, s.idx FROM spans s
+         |  JOIN (SELECT span FROM spans GROUP BY span HAVING count(*) > 1) c
+         |    USING (span)),
+         |grps AS (
+         |  SELECT doc_id, idx,
+         |    idx - (row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1)
+         |      AS grp
+         |  FROM dup),
+         |runs AS (
+         |  SELECT doc_id,
+         |    CAST(min(idx) * ${DedupOps.spanLen} AS BIGINT) AS s,
+         |    CAST(count(*) * ${DedupOps.spanLen} AS BIGINT) AS l
+         |  FROM grps GROUP BY doc_id, grp
+         |  HAVING count(*) >= ${DedupOps.minRunSpans}),
+         |rpd AS (
+         |  SELECT doc_id, list({'s': s, 'l': l}) AS rs
+         |  FROM runs GROUP BY doc_id),
+         |cut AS (
+         |  SELECT t.doc_id, t.tk, coalesce(r.rs, []) AS rs
+         |  FROM tkc t LEFT JOIN rpd r USING (doc_id)),
+         |kept AS (
+         |  SELECT doc_id, tk,
+         |    list_filter(list_transform(range(0, len(tk)),
+         |        i -> {'t': tk[i + 1], 'i': i}),
+         |      st -> len(list_filter(rs,
+         |        r -> st.i >= r.s AND st.i < r.s + r.l)) = 0) AS ks
+         |  FROM cut)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(tk) - len(ks) AS BIGINT) AS n_cut,
+         |  CAST(len(ks) AS BIGINT) AS n_kept,
+         |  md5(coalesce(
+         |    array_to_string(list_transform(ks, st -> st.t), ' '), ''))
+         |    AS kept_fp
+         |FROM kept ORDER BY doc_id""".stripMargin,
   )
 }

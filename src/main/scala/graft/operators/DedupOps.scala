@@ -725,6 +725,48 @@ object DedupOps {
       .orderBy($"doc_id", $"start_token")
   }
 
+  /** Substring-dedup REWRITE — the ACT half of q140's detect (Lee et
+    * al.'s pipeline actually edits the documents): every long duplicated
+    * run (≥ [[minRunSpans]] chained spans) is CUT from its document, and
+    * the cleaned text is fingerprinted so the oracle hash match proves
+    * the REWRITE itself — token-for-token — not just the cut counts.
+    * Per document: original token count, tokens cut, tokens kept, and
+    * the md5 of the kept token stream.
+    *
+    * Scale shape: the run relation is q140's (banded span counts + a
+    * per-doc window); the rewrite is a per-row lambda over the token
+    * array against the doc's own run list (runs per doc are few and
+    * bounded by doc length) joined doc-keyed — no new shuffle class.
+    * Two tokenize passes (one inside run detection, one for the
+    * rewrite), both map-side. */
+  def dedupRewrite(spark: SparkSession, dir: String,
+                   n: Int = spanLen): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.unionByName(
+      docs.filter($"doc_id" % spanDupMod === 0)
+        .withColumn("doc_id", $"doc_id" + spanDupOffset))
+    val runs = duplicatedRunsOf(corpus, n).filter($"long_run")
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"start_token".as("s"), $"run_tokens".as("l")))
+        .as("rs"))
+    corpus.select($"doc_id", tokens($"text").as("tk"))
+      .join(runs, Seq("doc_id"), "left")
+      .withColumn("rs",
+        coalesce($"rs", array().cast("array<struct<s:bigint,l:bigint>>")))
+      .withColumn("kept",
+        filter(transform($"tk", (t, i) => struct(t.as("t"), i.as("i"))),
+          s => !exists($"rs", r =>
+            s("i").cast("long") >= r("s") &&
+              s("i").cast("long") < r("s") + r("l"))))
+      .select($"doc_id",
+        size($"tk").cast("long").as("n_tokens"),
+        (size($"tk") - size($"kept")).cast("long").as("n_cut"),
+        size($"kept").cast("long").as("n_kept"),
+        md5(array_join(transform($"kept", s => s("t")), " ")).as("kept_fp"))
+      .orderBy($"doc_id")
+  }
+
   /** Set-similarity Jaccard threshold as an exact rational (3/5 = 0.6),
     * shared with the q114 oracle — integer comparisons only, no float
     * threshold anywhere. */

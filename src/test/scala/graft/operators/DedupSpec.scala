@@ -113,6 +113,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupRewrite: cut mass equals the long-run mass; seeded copies cut to nothing") {
+    import spark.implicits._
+    val rewritten = DedupOps.dedupRewrite(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_cut"),
+          r.getAs[Long]("n_kept"), r.getAs[String]("kept_fp"))).toMap
+    val runCut = DedupOps.duplicatedRuns(spark, sf).collect()
+      .filter(_.getAs[Boolean]("long_run"))
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("run_tokens")).sum).toMap
+    rewritten.foreach { case (id, (n, cut, kept, fp)) =>
+      assert(n === cut + kept)
+      assert(cut === runCut.getOrElse(id, 0L), s"doc $id") // q140 consistency
+      assert(fp.length === 32)
+    }
+    // a seeded full copy whose every span chains is cut down to its tail
+    // (the < spanLen remainder that no span grid covers)
+    val copies = rewritten.filter(_._1 >= DedupOps.spanDupOffset)
+    assert(copies.nonEmpty)
+    copies.foreach { case (_, (n, cut, kept, _)) =>
+      assert(cut === (n / DedupOps.spanLen) * DedupOps.spanLen
+        || cut === 0L) // 0 only for docs too short to span
+      if (n >= DedupOps.spanLen * DedupOps.minRunSpans)
+        assert(kept === n % DedupOps.spanLen)
+    }
+  }
+
   test("ngramJaccardPairs: exact-dup pairs score jaccard 1.0") {
     val out = DedupOps.ngramJaccardPairs(spark, sf).collect()
     assert(out.nonEmpty)
