@@ -218,6 +218,7 @@ object SparkEntry {
     "q151_quality_pr" -> ((s, d) => TextAnalysis.qualityPrCurve(s, d)),
     "q152_schema_evolution" -> ((s, d) => sources.ColumnarRoundTrip.schemaEvolutionScan(s, d)),
     "q153_dedup_rewrite" -> ((s, d) => DedupOps.dedupRewrite(s, d)),
+    "q154_filter_pipeline" -> ((s, d) => TextAnalysis.filterPipeline(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3725,5 +3726,46 @@ object SparkEntry {
          |    array_to_string(list_transform(ks, st -> st.t), ' '), ''))
          |    AS kept_fp
          |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // fixed rule order = reason attribution; every signal reuses its
+    // already-oracled per-row form (q60 word stats, q130 repetition,
+    // q26 composite score) in one scan
+    "q154_filter_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CASE WHEN len(tk) <= 1 THEN 0.0 ELSE
+         |      round((len(g2) - len(list_distinct(g2)))
+         |        / CAST(len(g2) AS DOUBLE), 4) END AS dup_bigram_frac,
+         |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+         |      round(list_max(list_transform(list_distinct(tk),
+         |        x -> len(list_filter(tk, y -> y = x))))
+         |        / CAST(len(tk) AS DOUBLE), 4) END AS top_token_frac,
+         |    round(CAST(length(array_to_string(tk, '')) AS DOUBLE)
+         |      / CAST(greatest(len(tk), 1) AS DOUBLE), 4) AS mean_word_len,
+         |    round(CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
+         |        (CAST(len(list_filter(tk,
+         |          x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |          / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
+         |      END, 4) AS quality
+         |  FROM (
+         |    SELECT doc_id, lang, tk,
+         |      list_transform(range(1, len(tk)),
+         |        i -> array_to_string(list_slice(tk, i, i + 1), ' ')) AS g2
+         |    FROM t) z)
+         |SELECT doc_id, lang, n_words,
+         |  CASE
+         |    WHEN n_words < ${TextAnalysis.gopherMinWords} THEN 'too_short'
+         |    WHEN dup_bigram_frac > ${TextAnalysis.dupBigramMax}
+         |      OR top_token_frac > ${TextAnalysis.topTokenMax}
+         |      THEN 'repetitive'
+         |    WHEN NOT (mean_word_len BETWEEN ${TextAnalysis.gopherMeanLen._1}
+         |      AND ${TextAnalysis.gopherMeanLen._2}) THEN 'word_shape'
+         |    WHEN quality < ${TextAnalysis.filterQualityFloor}
+         |      THEN 'low_quality'
+         |    ELSE 'keep' END AS reason
+         |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -277,6 +277,54 @@ object TextAnalysis {
       .orderBy($"threshold")
   }
 
+  /** Quality floor for [[filterPipeline]]'s last rule, shared with the
+    * q154 oracle. */
+  val filterQualityFloor = 0.25
+
+  /** REASON-CODED filter pipeline — the Dolma/RedPajama-style corpus
+    * gate as one auditable pass: every document gets either `keep` or
+    * the FIRST rule it failed, in a fixed rule order (length → Gopher
+    * repetition → word-shape → composite-quality floor). Reason
+    * attribution is what distinguishes a production gate from a bare
+    * boolean: the reason histogram is how a pipeline owner sees WHICH
+    * rule is eating the corpus when the keep-rate moves. All signals are
+    * the already-oracled per-row expressions (q60's word stats, q130's
+    * repetition ratios, q26's composite score) computed in ONE scan —
+    * composition costs no second pass and no shuffle; the rounded-ratio
+    * compares reuse each rule's existing cross-engine contract. */
+  def filterPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    def dupFrac(grams: org.apache.spark.sql.Column) =
+      when(size(grams) <= 0, 0.0).otherwise(
+        round((size(grams) - size(array_distinct(grams))).cast("double") /
+          size(grams).cast("double"), 4))
+    val topCnt = array_max(transform(array_distinct($"tk"),
+      t => size(filter($"tk", x => x === t))))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", toks.as("tk"),
+        stopwordCount(toks, stopwords).cast("long").as("n_stop"))
+      .select($"doc_id", $"lang",
+        size($"tk").cast("long").as("n_words"),
+        dupFrac(wordShingles($"tk", 2)).as("dup_bigram_frac"),
+        when(size($"tk") === 0, 0.0).otherwise(
+          round(topCnt.cast("double") / size($"tk").cast("double"), 4))
+          .as("top_token_frac"),
+        round(length(array_join($"tk", "")).cast("double") /
+          greatest(size($"tk"), lit(1)).cast("double"), 4).as("mean_word_len"),
+        qualityExpr(size($"tk").cast("long"), $"n_stop").as("quality"))
+      .withColumn("reason",
+        when($"n_words" < gopherMinWords, "too_short")
+          .when($"dup_bigram_frac" > dupBigramMax ||
+            $"top_token_frac" > topTokenMax, "repetitive")
+          .when(!$"mean_word_len".between(gopherMeanLen._1, gopherMeanLen._2),
+            "word_shape")
+          .when($"quality" < filterQualityFloor, "low_quality")
+          .otherwise("keep"))
+      .select($"doc_id", $"lang", $"n_words", $"reason")
+      .orderBy($"doc_id")
+  }
+
   /** A fixed multilingual tail appended to every doc so the unicode pass
     * has real accents/ligatures to work on (the synthetic corpus is
     * ASCII); the SAME Scala string is interpolated into the oracle SQL,

@@ -466,6 +466,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("fn") > 0))
   }
 
+  test("filterPipeline: reasons replay the individual rule signals in fixed order") {
+    val reasons = TextAnalysis.filterPipeline(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(reasons.size.toLong === Tables.documents(spark, sf).count())
+    val gopher = TextAnalysis.gopherQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Double]("mean_word_len"))).toMap
+    val rep = TextAnalysis.repetitionRatios(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_bigram_frac"), r.getAs[Double]("top_token_frac"))).toMap
+    val qual = TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    reasons.foreach { case (id, reason) =>
+      val (nWords, mwl) = gopher(id)
+      val (dupBg, topTok) = rep(id)
+      val expected =
+        if (nWords < TextAnalysis.gopherMinWords) "too_short"
+        else if (dupBg > TextAnalysis.dupBigramMax ||
+          topTok > TextAnalysis.topTokenMax) "repetitive"
+        else if (mwl < TextAnalysis.gopherMeanLen._1 ||
+          mwl > TextAnalysis.gopherMeanLen._2) "word_shape"
+        else if (qual(id) < TextAnalysis.filterQualityFloor) "low_quality"
+        else "keep"
+      assert(reason === expected, s"doc $id")
+    }
+    // the gate does real work on this corpus: keeps some, rejects for
+    // several distinct reasons
+    val hist = reasons.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(hist.getOrElse("keep", 0) > 0)
+    assert((hist.keySet - "keep").size >= 3)
+  }
+
   test("urlHostStats: every document lands in exactly one host bucket") {
     val rows = TextAnalysis.urlHostStats(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ===
