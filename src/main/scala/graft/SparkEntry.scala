@@ -219,6 +219,7 @@ object SparkEntry {
     "q152_schema_evolution" -> ((s, d) => sources.ColumnarRoundTrip.schemaEvolutionScan(s, d)),
     "q153_dedup_rewrite" -> ((s, d) => DedupOps.dedupRewrite(s, d)),
     "q154_filter_pipeline" -> ((s, d) => TextAnalysis.filterPipeline(s, d)),
+    "q155_token_budget" -> ((s, d) => CorpusOps.tokenBudgetPlan(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3767,5 +3768,26 @@ object SparkEntry {
          |      THEN 'low_quality'
          |    ELSE 'keep' END AS reason
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // α=0.5 temperature share over token mass; floor of one pinned
+    // double product allocates the budget identically in both engines
+    "q155_token_budget" ->
+      s"""WITH tl AS (
+         |  SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (
+         |  SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS sum_sq FROM tl)
+         |SELECT lang, n_tokens,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq, 6) AS weight,
+         |  CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
+         |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS BIGINT)
+         |    AS target_tokens,
+         |  round(CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
+         |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE), 4) AS epochs,
+         |  CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
+         |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS BIGINT)
+         |    > n_tokens AS oversampled
+         |FROM tl CROSS JOIN tot ORDER BY lang""".stripMargin,
   )
 }

@@ -216,6 +216,43 @@ object CorpusOps {
       .orderBy($"lang")
   }
 
+  /** Token budget for [[tokenBudgetPlan]], shared with the q155 oracle. */
+  val mixBudgetTokens = 1000000L
+
+  /** TOKEN-BUDGET mixture plan — the allocation table a pretraining run
+    * fixes before sampling: given each language's available token mass
+    * and a temperature-weighted target share (α = 0.5, the q70 recipe
+    * over TOKENS rather than documents — budget math allocates compute,
+    * which is tokens), how many tokens of each slice the mix takes from
+    * a fixed budget and the implied EPOCH factor (>1 = that slice
+    * repeats — the q130-style repetition risk the plan makes visible
+    * before training, cf. Muennighoff et al. 2023 on data-constrained
+    * scaling). `target = ⌊budget · w⌋` with w = √T/Σ√T: sqrt and one
+    * divide are correctly-rounded IEEE primitives, so both engines
+    * floor the same double.
+    *
+    * Scale shape: one tokenize pass partial-aggregated to O(languages)
+    * rows; scalar totals broadcast back; the corpus shuffles nothing. */
+  def tokenBudgetPlan(spark: SparkSession, dir: String,
+                      budget: Long = mixBudgetTokens): DataFrame = {
+    import spark.implicits._
+    val tl = Tables.documents(spark, dir)
+      .select($"lang", size(tokens($"text")).cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("n_tokens"))
+    val tot = tl.select(sum(sqrt($"n_tokens".cast("double"))).as("sum_sq"))
+    tl.crossJoin(broadcast(tot))
+      .select($"lang", $"n_tokens",
+        round(sqrt($"n_tokens".cast("double")) / $"sum_sq", 6).as("weight"),
+        floor(lit(budget.toDouble) *
+          (sqrt($"n_tokens".cast("double")) / $"sum_sq")).cast("long")
+          .as("target_tokens"))
+      .withColumn("epochs",
+        round($"target_tokens".cast("double") /
+          $"n_tokens".cast("double"), 4))
+      .withColumn("oversampled", $"target_tokens" > $"n_tokens")
+      .orderBy($"lang")
+  }
+
   /** Training-sequence length and prefix-sum bucket width for
     * [[sequencePack]], shared with the q73 oracle and spec. */
   val packSeqLen = 128

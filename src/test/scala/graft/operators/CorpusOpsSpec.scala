@@ -403,6 +403,35 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetPlan: allocation stays inside the budget and replays the formula") {
+    import spark.implicits._
+    val rows = CorpusOps.tokenBudgetPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // floor allocation can never exceed the budget
+    assert(rows.map(_.getAs[Long]("target_tokens")).sum <=
+      CorpusOps.mixBudgetTokens)
+    // weights normalize (up to the 6-dp display rounding)
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-4)
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(totalTokens === Tables.documents(spark, sf)
+      .select(sum(size(graft.functions.TextFunctions.tokens($"text"))
+        .cast("long"))).head().getLong(0))
+    rows.foreach { r =>
+      val (t, tgt) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"))
+      assert(r.getAs[Double]("epochs") ===
+        BigDecimal(tgt.toDouble / t).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Boolean]("oversampled") === (tgt > t))
+      // α=0.5 squashing: every slice's weight sits between its natural
+      // share and the uniform share (the temperature-sampling guarantee)
+      val natural = t.toDouble / totalTokens
+      val uniform = 1.0 / rows.length
+      val w = r.getAs[Double]("weight")
+      assert(w >= math.min(natural, uniform) - 1e-6, r.getAs[String]("lang"))
+      assert(w <= math.max(natural, uniform) + 1e-6, r.getAs[String]("lang"))
+    }
+  }
+
   test("sourceKlDrift: KL is non-negative per source; term counts are the source vocab") {
     import spark.implicits._
     val rows = CorpusOps.sourceKlDrift(spark, sf).collect()
