@@ -220,6 +220,7 @@ object SparkEntry {
     "q153_dedup_rewrite" -> ((s, d) => DedupOps.dedupRewrite(s, d)),
     "q154_filter_pipeline" -> ((s, d) => TextAnalysis.filterPipeline(s, d)),
     "q155_token_budget" -> ((s, d) => CorpusOps.tokenBudgetPlan(s, d)),
+    "q156_novelty_curve" -> ((s, d) => CorpusOps.noveltyCurve(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3789,5 +3790,45 @@ object SparkEntry {
          |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS BIGINT)
          |    > n_tokens AS oversampled
          |FROM tl CROSS JOIN tot ORDER BY lang""".stripMargin,
+
+    // each distinct span attributed to its min-doc_id first occurrence;
+    // deciles cut by doc_id vs max id; cumulative over ten rows only
+    "q156_novelty_curve" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |spans AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(toks) // 5),
+         |    i -> md5(array_to_string(list_slice(toks, i*5 + 1, i*5 + 5),
+         |      ' ')))) AS span
+         |  FROM tk WHERE len(toks) >= 5),
+         |mx AS (SELECT max(doc_id) AS max_id FROM documents),
+         |pd AS (
+         |  SELECT least(9, CAST(floor(doc_id * 10 / (max_id + 1))
+         |      AS BIGINT)) AS decile,
+         |    CAST(count(*) AS BIGINT) AS n_spans
+         |  FROM spans CROSS JOIN mx GROUP BY 1),
+         |fd AS (
+         |  SELECT least(9, CAST(floor(first_doc * 10 / (max_id + 1))
+         |      AS BIGINT)) AS decile,
+         |    CAST(count(*) AS BIGINT) AS n_new
+         |  FROM (SELECT span, min(doc_id) AS first_doc
+         |        FROM spans GROUP BY span) f
+         |  CROSS JOIN mx GROUP BY 1),
+         |j AS (
+         |  SELECT pd.decile, pd.n_spans, coalesce(fd.n_new, 0) AS n_new
+         |  FROM pd LEFT JOIN fd ON pd.decile = fd.decile),
+         |c AS (
+         |  SELECT decile, n_spans, n_new,
+         |    CAST(sum(n_spans) OVER (ORDER BY decile
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spans,
+         |    CAST(sum(n_new) OVER (ORDER BY decile
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new
+         |  FROM j)
+         |SELECT decile, n_spans, CAST(n_new AS BIGINT) AS n_new,
+         |  cum_spans, cum_new,
+         |  round(CAST(n_new AS DOUBLE) / CAST(n_spans AS DOUBLE), 4)
+         |    AS novelty_rate,
+         |  round(CAST(cum_new AS DOUBLE) / CAST(cum_spans AS DOUBLE), 4)
+         |    AS cum_distinct_frac
+         |FROM c ORDER BY decile""".stripMargin,
   )
 }

@@ -216,6 +216,56 @@ object CorpusOps {
       .orderBy($"lang")
   }
 
+  /** NOVELTY curve — the diversity diagnostic behind "is more of this
+    * source still worth ingesting": scanning the corpus in doc_id order,
+    * what fraction of each decile's 5-token spans has never been seen
+    * before? A healthy diverse corpus keeps the new-span rate high;
+    * boilerplate-heavy or self-repeating sources decay fast (the
+    * data-constrained-scaling signal, span-level). Each distinct span is
+    * attributed to its FIRST document (min doc_id — a keyed aggregation,
+    * no ordered scan needed); deciles cut by doc_id against the max id
+    * (one broadcast scalar); the cumulative columns window over the TEN
+    * decile rows only.
+    *
+    * Scale shape: one tokenize+chunk pass, one partial-aggregated
+    * min-per-span (the q72 exchange), one O(deciles) rollup + a 10-row
+    * window — nothing global touches row-level data. */
+  def noveltyCurve(spark: SparkSession, dir: String,
+                   n: Int = 5): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= n)
+      .select($"doc_id", explode(
+        transform(sequence(lit(0), (size($"toks") / n).cast("int") - 1),
+          i => md5(array_join(slice($"toks", i * n + 1, lit(n)), " "))))
+        .as("span"))
+    val maxId = Tables.documents(spark, dir)
+      .agg(max($"doc_id").as("max_id"))
+    def decileOf(c: org.apache.spark.sql.Column) =
+      least(lit(9L), floor(c * 10 / ($"max_id" + 1)).cast("long"))
+    val perDecile = spans.crossJoin(broadcast(maxId))
+      .select(decileOf($"doc_id").as("decile"), $"span")
+      .groupBy($"decile").agg(count(lit(1)).as("n_spans"))
+    val firstDecile = spans.groupBy($"span").agg(min($"doc_id").as("first_doc"))
+      .crossJoin(broadcast(maxId))
+      .select(decileOf($"first_doc").as("decile"))
+      .groupBy($"decile").agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"decile").rowsBetween(Long.MinValue, 0)
+    perDecile.join(firstDecile, Seq("decile"), "left")
+      .select($"decile", $"n_spans",
+        coalesce($"n_new", lit(0L)).as("n_new"))
+      .withColumn("cum_spans", sum($"n_spans").over(w))
+      .withColumn("cum_new", sum($"n_new").over(w))
+      .select($"decile", $"n_spans", $"n_new", $"cum_spans", $"cum_new",
+        round($"n_new".cast("double") / $"n_spans".cast("double"), 4)
+          .as("novelty_rate"),
+        round($"cum_new".cast("double") / $"cum_spans".cast("double"), 4)
+          .as("cum_distinct_frac"))
+      .orderBy($"decile")
+  }
+
   /** Token budget for [[tokenBudgetPlan]], shared with the q155 oracle. */
   val mixBudgetTokens = 1000000L
 

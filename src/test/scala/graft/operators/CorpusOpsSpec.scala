@@ -403,6 +403,34 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("noveltyCurve: decile mass re-sums to the span relation; cumulatives consistent") {
+    import spark.implicits._
+    val rows = CorpusOps.noveltyCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq === (0L to 9L))
+    val spans = Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 5)
+      .select(explode(transform(sequence(lit(0), (size($"tk") / 5).cast("int") - 1),
+        i => md5(array_join(slice($"tk", i * 5 + 1, lit(5)), " ")))).as("s"))
+    assert(rows.map(_.getAs[Long]("n_spans")).sum === spans.count())
+    assert(rows.map(_.getAs[Long]("n_new")).sum ===
+      spans.select($"s").distinct().count())
+    var (cs, cn) = (0L, 0L)
+    rows.foreach { r =>
+      val (ns, nn) = (r.getAs[Long]("n_spans"), r.getAs[Long]("n_new"))
+      assert(nn >= 0L && nn <= ns)
+      cs += ns; cn += nn
+      assert(r.getAs[Long]("cum_spans") === cs)
+      assert(r.getAs[Long]("cum_new") === cn)
+      val rate = r.getAs[Double]("novelty_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // the first decile is all-novel relative to nothing before it only in
+    // cum terms: cum_distinct_frac at decile 0 equals its novelty_rate
+    assert(rows.head.getAs[Double]("cum_distinct_frac") ===
+      rows.head.getAs[Double]("novelty_rate"))
+  }
+
   test("tokenBudgetPlan: allocation stays inside the budget and replays the formula") {
     import spark.implicits._
     val rows = CorpusOps.tokenBudgetPlan(spark, sf).collect()
