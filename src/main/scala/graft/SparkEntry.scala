@@ -221,6 +221,7 @@ object SparkEntry {
     "q154_filter_pipeline" -> ((s, d) => TextAnalysis.filterPipeline(s, d)),
     "q155_token_budget" -> ((s, d) => CorpusOps.tokenBudgetPlan(s, d)),
     "q156_novelty_curve" -> ((s, d) => CorpusOps.noveltyCurve(s, d)),
+    "q157_decontaminate" -> ((s, d) => CorpusOps.decontaminate(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3830,5 +3831,47 @@ object SparkEntry {
          |  round(CAST(cum_new AS DOUBLE) / CAST(cum_spans AS DOUBLE), 4)
          |    AS cum_distinct_frac
          |FROM c ORDER BY decile""".stripMargin,
+
+    // the q133 pair chain rolled up to a per-train-doc verdict; all
+    // train ids surface (unmatched keep with zero hits)
+    "q157_decontaminate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, coalesce(text, '')
+         |    || CASE WHEN doc_id % ${CorpusOps.benchMod} = 0
+         |              OR doc_id % ${CorpusOps.contamMod} = 0
+         |       THEN ' ${CorpusOps.contaminationCanary}' ELSE '' END AS text
+         |  FROM documents),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(
+         |    list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+         |      i -> array_to_string(toks[i:i+7], ' '))) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM d)),
+         |ex AS (
+         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+         |    unnest(sh) AS shingle
+         |  FROM sets),
+         |pairs AS (
+         |  SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+         |    count(*) AS n_shared, max(b.n_sh) AS n_bench
+         |  FROM ex t JOIN ex b ON t.shingle = b.shingle
+         |  WHERE b.doc_id % ${CorpusOps.benchMod} = 0
+         |    AND t.doc_id % ${CorpusOps.benchMod} <> 0
+         |  GROUP BY train_doc, bench_doc),
+         |agg AS (
+         |  SELECT train_doc AS doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_bench_hits,
+         |    max(round(n_shared / CAST(n_bench AS DOUBLE), 4))
+         |      AS max_containment
+         |  FROM pairs GROUP BY train_doc)
+         |SELECT t.doc_id,
+         |  coalesce(a.n_bench_hits, 0) AS n_bench_hits,
+         |  coalesce(a.max_containment, 0.0) AS max_containment,
+         |  CASE WHEN coalesce(a.max_containment, 0.0)
+         |    >= ${CorpusOps.contamDropTau} THEN 'drop'
+         |    ELSE 'keep' END AS status
+         |FROM (SELECT doc_id FROM documents
+         |      WHERE doc_id % ${CorpusOps.benchMod} <> 0) t
+         |LEFT JOIN agg a ON t.doc_id = a.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
   )
 }

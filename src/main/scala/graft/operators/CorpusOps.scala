@@ -266,6 +266,42 @@ object CorpusOps {
       .orderBy($"decile")
   }
 
+  /** Containment threshold above which a train document is dropped by
+    * [[decontaminate]], shared with the q157 oracle — placed inside the
+    * corpus's observed containment range so both verdicts occur. */
+  val contamDropTau = 0.06
+
+  /** DECONTAMINATION — the ACT half of q133's detect (the q153 pattern
+    * applied to eval leakage): every train-side document gets a
+    * keep/drop verdict from its WORST bench containment, with the hit
+    * count and max score carried for audit. Unmatched train docs (the
+    * overwhelming majority) keep with zero hits — the report a training
+    * run logs before freezing its corpus, and the manifest the sampler
+    * consumes.
+    *
+    * Scale shape: the pair relation is q133's (shuffle O(matched
+    * overlap)); the verdict is one keyed rollup of it LEFT-joined onto
+    * the train id relation — no second shingle pass, no new shuffle
+    * class. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = fuzzyContamination(spark, dir)
+      .groupBy($"train_doc")
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max($"containment").as("max_containment"))
+      .withColumnRenamed("train_doc", "doc_id")
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % benchMod =!= 0)
+      .select($"doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bench_hits", lit(0L)).as("n_bench_hits"),
+        coalesce($"max_containment", lit(0.0)).as("max_containment"))
+      .withColumn("status",
+        when($"max_containment" >= contamDropTau, "drop").otherwise("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** Token budget for [[tokenBudgetPlan]], shared with the q155 oracle. */
   val mixBudgetTokens = 1000000L
 

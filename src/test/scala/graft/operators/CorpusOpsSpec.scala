@@ -403,6 +403,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: verdicts replay q133's pair relation; all train docs surface") {
+    import spark.implicits._
+    val rows = CorpusOps.decontaminate(spark, sf).collect()
+    val nTrain = Tables.documents(spark, sf)
+      .filter($"doc_id" % CorpusOps.benchMod =!= 0).count()
+    assert(rows.length.toLong === nTrain)
+    val pairAgg = CorpusOps.fuzzyContamination(spark, sf).collect()
+      .groupBy(_.getAs[Long]("train_doc"))
+      .view.mapValues(ps => (ps.length.toLong,
+        ps.map(_.getAs[Double]("containment")).max)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (hits, maxC) = pairAgg.getOrElse(id, (0L, 0.0))
+      assert(r.getAs[Long]("n_bench_hits") === hits)
+      assert(r.getAs[Double]("max_containment") === maxC)
+      assert(r.getAs[String]("status") ===
+        (if (maxC >= CorpusOps.contamDropTau) "drop" else "keep"))
+    }
+    // the threshold genuinely splits the corpus
+    assert(rows.exists(_.getAs[String]("status") == "drop"))
+    assert(rows.count(_.getAs[String]("status") == "keep") >
+      rows.length / 2)
+  }
+
   test("noveltyCurve: decile mass re-sums to the span relation; cumulatives consistent") {
     import spark.implicits._
     val rows = CorpusOps.noveltyCurve(spark, sf).collect()
