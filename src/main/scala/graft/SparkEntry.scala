@@ -222,6 +222,7 @@ object SparkEntry {
     "q155_token_budget" -> ((s, d) => CorpusOps.tokenBudgetPlan(s, d)),
     "q156_novelty_curve" -> ((s, d) => CorpusOps.noveltyCurve(s, d)),
     "q157_decontaminate" -> ((s, d) => CorpusOps.decontaminate(s, d)),
+    "q158_embedding_health" -> ((s, d) => AnnSearch.embeddingHealth(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3873,5 +3874,33 @@ object SparkEntry {
          |      WHERE doc_id % ${CorpusOps.benchMod} <> 0) t
          |LEFT JOIN agg a ON t.doc_id = a.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    // exact integer sums/sums-of-squares on the e3 grid; the variance
+    // composition (ssq − s²/n)/n is pinned term for term
+    "q158_embedding_health" ->
+      """WITH eq AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(v * v) AS BIGINT) AS ssq
+        |  FROM (
+        |    SELECT unnest(range(1, len(e)+1)) AS dim, unnest(e) AS v
+        |    FROM eq) z
+        |  GROUP BY dim),
+        |sv AS (
+        |  SELECT dim,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    (CAST(ssq AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS v
+        |  FROM st),
+        |tot AS (SELECT sum(v) AS v_tot FROM sv)
+        |SELECT dim, round(m / 1000.0, 6) AS mean,
+        |  round(v / 1e6, 6) AS variance,
+        |  round(v / v_tot, 6) AS var_share
+        |FROM sv CROSS JOIN tot ORDER BY dim""".stripMargin,
   )
 }

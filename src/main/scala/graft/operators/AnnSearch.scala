@@ -357,6 +357,42 @@ object AnnSearch {
       rows.get(c.toLong).map(_.sortBy(_._2).map(_._3).toSeq))
   }
 
+  /** Embedding HEALTH report — the isotropy check run before trusting
+    * cosine retrieval (Ethayarajh 2019: anisotropic spaces squash cosine
+    * contrast; a dimension hoarding variance dominates every score): per
+    * dimension, the mean, variance and share of total variance over the
+    * e3-quantized corpus. `var_share` far above 1/dims flags a rogue
+    * dimension (the practical fix being mean-centering or whitening —
+    * whose input statistics are exactly these columns).
+    *
+    * Exactness: sums and sums-of-squares are exact BIGINTs on the e3
+    * grid; mean = s/n and `var = (ssq − s²/n)/n` are pinned float
+    * compositions of exact integers, identical IEEE steps in both
+    * engines; the grid descale folds into the final rounding.
+    *
+    * Scale shape: one posexplode + partial-aggregated groupBy(dim) —
+    * exchange O(dims); the variance total is a broadcast scalar. */
+  def embeddingHealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = ivfQuantize(spark, dir)
+      .select(posexplode($"e"))
+      .groupBy(($"pos" + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum($"col").as("s"),
+        sum($"col" * $"col").as("ssq"))
+      .select($"dim", $"n",
+        ($"s".cast("double") / $"n".cast("double")).as("m"),
+        (($"ssq".cast("double") -
+          $"s".cast("double") * $"s".cast("double") / $"n".cast("double")) /
+          $"n".cast("double")).as("v"))
+    val tot = stats.agg(sum($"v").as("v_tot"))
+    stats.crossJoin(broadcast(tot))
+      .select($"dim",
+        round($"m" / 1000.0, 6).as("mean"),
+        round($"v" / 1e6, 6).as("variance"),
+        round($"v" / $"v_tot", 6).as("var_share"))
+      .orderBy($"dim")
+  }
+
   /** Delta split modulus (every 5th vector is "newly arrived") and the
     * retrain thresholds, shared with the q143 oracle and spec. */
   val ivfDeltaMod = 5L

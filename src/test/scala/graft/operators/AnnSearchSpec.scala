@@ -415,6 +415,30 @@ class AnnSearchSpec extends SparkSpec {
     assert(plan.split("ObjectHashAggregate").length - 1 === 2, plan.take(2000))
   }
 
+  test("embeddingHealth: per-dim moments replay a driver-side computation; shares normalize") {
+    import spark.implicits._
+    val rows = AnnSearch.embeddingHealth(spark, sf).collect()
+    val dims = Tables.embeddings(spark, sf)
+      .select(size($"embedding")).head().getInt(0)
+    assert(rows.length === dims)
+    assert(math.abs(rows.map(_.getAs[Double]("var_share")).sum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("variance") >= 0.0)
+      assert(r.getAs[Double]("var_share") >= 0.0)
+    }
+    // replay dimension 1 exactly on the e3 grid
+    val xs = Tables.embeddings(spark, sf)
+      .select(element_at($"embedding", 1).cast("double")).collect()
+      .map(r => math.floor(r.getDouble(0) * 1000 + 0.5).toLong)
+    val n = xs.length.toDouble
+    val (s, ssq) = (xs.sum.toDouble, xs.map(x => x * x).sum.toDouble)
+    val d1 = rows.find(_.getAs[Long]("dim") === 1L).get
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d1.getAs[Double]("mean") === r6(s / n / 1000.0))
+    assert(d1.getAs[Double]("variance") === r6((ssq - s * s / n) / n / 1e6))
+  }
+
   test("ivfDeltaAudit: every vector lands in one list; drift/flag arithmetic is consistent") {
     import spark.implicits._
     val rows = AnnSearch.ivfDeltaAudit(spark, sf).collect()
