@@ -223,6 +223,8 @@ object SparkEntry {
     "q156_novelty_curve" -> ((s, d) => CorpusOps.noveltyCurve(s, d)),
     "q157_decontaminate" -> ((s, d) => CorpusOps.decontaminate(s, d)),
     "q158_embedding_health" -> ((s, d) => AnnSearch.embeddingHealth(s, d)),
+    "q159_simhash_pairs" -> ((s, d) => DedupOps.simHashPairs(s, d)),
+    "q160_detector_agreement" -> ((s, d) => DedupOps.detectorAgreement(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -293,6 +295,49 @@ object SparkEntry {
        |  FROM cand c
        |  JOIN sigl sa ON sa.doc_id = c.a
        |  JOIN sigl sb ON sb.doc_id = c.b)""".stripMargin
+
+  /** The SimHash banded-pair chain over the doubled corpus (q21's
+    * fingerprint replay → 8-bit band keys → capped blocks → popcount
+    * verification), shared by the q159 pair oracle and the q160
+    * agreement oracle. Ends at CTE `shp` (a, b, hamming). */
+  private lazy val simPairCtesSql: String = {
+    import DedupOps.{simBands, simBandBits, simBlockCap, simHammingMax}
+    s"""shtoks AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM (
+       |    SELECT doc_id, text FROM documents
+       |    UNION ALL SELECT doc_id + ${DedupOps.dupOffset}, text
+       |    FROM documents) c),
+       |shh AS (SELECT doc_id, ${h32("tok")} AS h FROM shtoks),
+       |shbits AS (
+       |  SELECT doc_id, b.i AS bit,
+       |    CAST(sum(CASE WHEN (h >> CAST(b.i AS INTEGER)) & 1 = 1
+       |      THEN 1 ELSE -1 END) AS BIGINT) AS s
+       |  FROM shh, range(0, 32) b(i) GROUP BY doc_id, b.i),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0
+       |      THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+       |      ELSE 0 END) AS BIGINT) AS sh
+       |  FROM shbits GROUP BY doc_id),
+       |shbanded AS (
+       |  SELECT doc_id, sh,
+       |    ((sh >> CAST(b.b * $simBandBits AS INTEGER))
+       |      & ${(1L << simBandBits) - 1})
+       |      + b.b * ${1L << simBandBits} AS bk
+       |  FROM sim CROSS JOIN range(0, $simBands) b(b)),
+       |shok AS (
+       |  SELECT bk FROM shbanded GROUP BY bk
+       |  HAVING count(*) <= $simBlockCap),
+       |shblocks AS (
+       |  SELECT k.doc_id, k.sh, k.bk FROM shbanded k JOIN shok USING (bk)),
+       |shp AS (
+       |  SELECT a, b, CAST(bit_count(x) AS BIGINT) AS hamming FROM (
+       |    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |      xor(x.sh, y.sh) AS x
+       |    FROM shblocks x JOIN shblocks y
+       |      ON x.bk = y.bk AND x.doc_id < y.doc_id) z
+       |  WHERE bit_count(x) <= $simHammingMax)""".stripMargin
+  }
 
   /** The BPE training chain (corpus → word-frequency dictionary →
     * char-spaced symbol strings → per-round top-pair + leftmost
@@ -3902,5 +3947,30 @@ object SparkEntry {
         |  round(v / 1e6, 6) AS variance,
         |  round(v / v_tot, 6) AS var_share
         |FROM sv CROSS JOIN tot ORDER BY dim""".stripMargin,
+
+    // q21's fingerprint replay banded into 8-bit keys; the pigeonhole
+    // candidates verified by popcount — never all-pairs
+    "q159_simhash_pairs" ->
+      s"""WITH $simPairCtesSql
+         |SELECT a, b, hamming FROM shp ORDER BY a, b""".stripMargin,
+
+    // both pair sets over the same doubled corpus; the Venn rollup
+    // carries each bucket's known-exact-dup count (ground truth by
+    // construction: the shifted copies)
+    "q160_detector_agreement" ->
+      s"""WITH $minHashCtesSql,
+         |$simPairCtesSql,
+         |mh AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |fo AS (
+         |  SELECT coalesce(m.a, s.a) AS a, coalesce(m.b, s.b) AS b,
+         |    CASE WHEN m.a IS NOT NULL AND s.a IS NOT NULL THEN 'both'
+         |         WHEN m.a IS NOT NULL THEN 'minhash_only'
+         |         ELSE 'simhash_only' END AS method
+         |  FROM mh m FULL OUTER JOIN shp s
+         |    ON m.a = s.a AND m.b = s.b)
+         |SELECT method, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN b = a + ${DedupOps.dupOffset}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
+         |FROM fo GROUP BY method ORDER BY method""".stripMargin,
   )
 }

@@ -725,6 +725,86 @@ object DedupOps {
       .orderBy($"doc_id", $"start_token")
   }
 
+  /** SimHash banding parameters, shared with the q159/q160 oracles:
+    * 4 bands of 8 bits over the 32-bit fingerprint, Hamming radius, and
+    * the hot-block cap. */
+  val simBands = 4
+  val simBandBits = 8
+  val simHammingMax = 6
+  val simBlockCap = 20
+
+  /** SimHash NEAR-DUP pair generation — the pair-producing half q21's
+    * fingerprint column was built for: band the 32-bit fingerprint into
+    * [[simBands]] 8-bit keys (two fingerprints within Hamming distance
+    * d < bands must agree on ≥ one whole band — the pigeonhole guarantee
+    * LSH banding rests on), block-join on (band, value), verify with
+    * `bit_count(xor)` ≤ [[simHammingMax]]. The structural complement of
+    * q55: MinHash approximates set overlap, SimHash approximates
+    * weighted-profile cosine — q160 measures where they disagree.
+    *
+    * Scale shape: banding is a 4-way per-row fan-out; blocks are capped
+    * via [[Guards.capHotKeys]] BEFORE the self-join (8-bit band values
+    * over a shared vocabulary do concentrate); verification is one
+    * per-row popcount on the O(candidates) pair table — never all-pairs. */
+  def simHashPairs(spark: SparkSession, dir: String,
+                   hammingMax: Int = simHammingMax,
+                   cap: Int = simBlockCap): DataFrame = {
+    import spark.implicits._
+    val fp = graft.CacheGuard.barrier(
+      dupCorpus(spark, dir)
+        .select($"doc_id", tokens($"text").as("toks"))
+        .filter(size($"toks") > 0)
+        .select($"doc_id", graft.functions.native.simHash($"toks").as("sh")))
+    val banded = (0 until simBands).map { b =>
+      fp.select($"doc_id", $"sh",
+        (shiftright($"sh", b * simBandBits)
+          .bitwiseAND(lit((1L << simBandBits) - 1)) +
+          lit(b.toLong * (1L << simBandBits))).as("bk"))
+    }.reduce(_ unionByName _)
+    val blocks = Guards.capHotKeys(banded, "bk", cap)
+    blocks.as("x").join(blocks.as("y"),
+        $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+        $"x.sh".as("sha"), $"y.sh".as("shb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sha ^ shb)").cast("long"))
+      .filter($"hamming" <= hammingMax)
+      .select($"a", $"b", $"hamming")
+      .orderBy($"a", $"b")
+  }
+
+  /** Near-dup DETECTOR agreement — the method-comparison artifact a
+    * dedup owner reads before standardizing on one detector: the q55
+    * MinHash-LSH pair set vs the q159 SimHash pair set over the SAME
+    * doubled corpus, split into both / minhash-only / simhash-only,
+    * each bucket carrying how many KNOWN exact-duplicate pairs (the
+    * seeded shifted copies — ground truth by construction) it holds.
+    * MinHash sees set overlap, SimHash sees weighted profiles: the
+    * disagreement buckets are precisely the pairs where that modeling
+    * difference bites.
+    *
+    * Scale shape: both pair relations are banded (never all-pairs);
+    * the comparison is one full-outer join on O(pairs) keys + a 3-row
+    * rollup. */
+  def detectorAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mh = minHashLshPairsOracled(spark, dir)
+      .select($"a", $"b").withColumn("in_mh", lit(true))
+    val sh = simHashPairs(spark, dir)
+      .select($"a", $"b").withColumn("in_sh", lit(true))
+    mh.join(sh, Seq("a", "b"), "full_outer")
+      .select($"a", $"b",
+        when(coalesce($"in_mh", lit(false)) && coalesce($"in_sh", lit(false)),
+          "both")
+          .when(coalesce($"in_mh", lit(false)), "minhash_only")
+          .otherwise("simhash_only").as("method"))
+      .groupBy($"method")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"b" === $"a" + dupOffset, 1L).otherwise(0L))
+          .as("n_exact_dups"))
+      .orderBy($"method")
+  }
+
   /** Substring-dedup REWRITE — the ACT half of q140's detect (Lee et
     * al.'s pipeline actually edits the documents): every long duplicated
     * run (≥ [[minRunSpans]] chained spans) is CUT from its document, and

@@ -27,6 +27,43 @@ class DedupSpec extends SparkSpec {
     exactPairs.foreach(r => assert(r.getAs[Double]("est_jaccard") === 1.0))
   }
 
+  test("simHashPairs: pairs respect the Hamming radius; exact dups land at distance 0") {
+    val rows = DedupOps.simHashPairs(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      assert(r.getAs[Long]("hamming") >= 0L &&
+        r.getAs[Long]("hamming") <= DedupOps.simHammingMax)
+    }
+    // identical texts have identical fingerprints: every found exact-dup
+    // pair sits at distance 0 (the cap may drop some blocks, so presence
+    // is asserted on the set that survived, equality on all of them)
+    val exact = rows.filter(r =>
+      r.getAs[Long]("b") === r.getAs[Long]("a") + DedupOps.dupOffset)
+    assert(exact.nonEmpty)
+    exact.foreach(r => assert(r.getAs[Long]("hamming") === 0L))
+  }
+
+  test("detectorAgreement: bucket counts re-sum to the two detectors' pair sets") {
+    val rows = DedupOps.detectorAgreement(spark, sf).collect()
+    graft.CacheGuard.release()
+    val m = rows.map(r => r.getAs[String]("method") ->
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_exact_dups"))).toMap
+    val nMh = DedupOps.minHashLshPairsOracled(spark, sf).count()
+    graft.CacheGuard.release()
+    val nSh = DedupOps.simHashPairs(spark, sf).count()
+    graft.CacheGuard.release()
+    def of(k: String) = m.getOrElse(k, (0L, 0L))
+    assert(of("both")._1 + of("minhash_only")._1 === nMh)
+    assert(of("both")._1 + of("simhash_only")._1 === nSh)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact_dups") <= r.getAs[Long]("n_pairs"))
+    }
+    // agreement exists: the seeded copies are found by both detectors
+    assert(of("both")._2 > 0L)
+  }
+
   test("dedupClusterHistogram: families cover the doubled corpus; row arithmetic consistent") {
     val rows = DedupOps.dedupClusterHistogram(spark, sf).collect()
     graft.CacheGuard.release()
