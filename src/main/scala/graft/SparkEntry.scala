@@ -225,6 +225,7 @@ object SparkEntry {
     "q158_embedding_health" -> ((s, d) => AnnSearch.embeddingHealth(s, d)),
     "q159_simhash_pairs" -> ((s, d) => DedupOps.simHashPairs(s, d)),
     "q160_detector_agreement" -> ((s, d) => DedupOps.detectorAgreement(s, d)),
+    "q161_batch_novelty" -> ((s, d) => CorpusOps.batchNovelty(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -3972,5 +3973,28 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN b = a + ${DedupOps.dupOffset}
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
          |FROM fo GROUP BY method ORDER BY method""".stripMargin,
+
+    // history collapses to its distinct span set; the batch left-joins
+    // it span-keyed — the q156 diagnostic at ingestion time
+    "q161_batch_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |spans AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(toks) // 5),
+         |    i -> md5(array_to_string(list_slice(toks, i*5 + 1, i*5 + 5),
+         |      ' ')))) AS span
+         |  FROM tk WHERE len(toks) >= 5),
+         |hist AS (
+         |  SELECT DISTINCT span FROM spans
+         |  WHERE doc_id % ${CorpusOps.batchNovMod} <> 0),
+         |b AS (
+         |  SELECT s.doc_id, s.span, h.span IS NOT NULL AS seen
+         |  FROM spans s LEFT JOIN hist h ON s.span = h.span
+         |  WHERE s.doc_id % ${CorpusOps.batchNovMod} = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+         |  CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_novel,
+         |  round(sum(CASE WHEN seen THEN 0 ELSE 1 END)
+         |    / CAST(count(*) AS DOUBLE), 4) AS novelty_rate
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -266,6 +266,46 @@ object CorpusOps {
       .orderBy($"decile")
   }
 
+  /** Batch split modulus for [[batchNovelty]] (every 10th document is
+    * the "incoming batch"), shared with the q161 oracle. */
+  val batchNovMod = 10L
+
+  /** BATCH novelty — q156's diversity diagnostic at ingestion time: for
+    * each document of an incoming batch, how many of its 5-token spans
+    * the accumulated history has never seen (the keep/boost signal an
+    * ingestion pipeline computes per batch: a batch that is mostly
+    * already-seen spans buys little). History = the q80-style stored
+    * corpus (doc_id % [[batchNovMod]] ≠ 0), batch = the rest.
+    *
+    * Scale shape: history collapses to its DISTINCT span-hash set via a
+    * partial-aggregated distinct (the q72 exchange — at 100 TB this set
+    * is the stored index, maintained incrementally, not recomputed);
+    * the batch joins it span-keyed — shuffle O(batch spans + distinct
+    * history spans), then one per-doc reduce. */
+  def batchNovelty(spark: SparkSession, dir: String,
+                   n: Int = 5): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= n)
+      .select($"doc_id", explode(
+        transform(sequence(lit(0), (size($"toks") / n).cast("int") - 1),
+          i => md5(array_join(slice($"toks", i * n + 1, lit(n)), " "))))
+        .as("span"))
+    val hist = spans.filter($"doc_id" % batchNovMod =!= 0)
+      .select($"span").distinct().withColumn("seen", lit(true))
+    spans.filter($"doc_id" % batchNovMod === 0)
+      .join(hist, Seq("span"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"seen", 1L).otherwise(0L)).as("n_seen"))
+      .select($"doc_id", $"n_spans", $"n_seen",
+        ($"n_spans" - $"n_seen").as("n_novel"),
+        round(($"n_spans" - $"n_seen").cast("double") /
+          $"n_spans".cast("double"), 4).as("novelty_rate"))
+      .orderBy($"doc_id")
+  }
+
   /** Containment threshold above which a train document is dropped by
     * [[decontaminate]], shared with the q157 oracle — placed inside the
     * corpus's observed containment range so both verdicts occur. */

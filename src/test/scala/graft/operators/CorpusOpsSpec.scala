@@ -403,6 +403,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("batchNovelty: batch coverage and seen/novel partition; rates replay") {
+    import spark.implicits._
+    val rows = CorpusOps.batchNovelty(spark, sf).collect()
+    val nBatch = Tables.documents(spark, sf)
+      .filter($"doc_id" % CorpusOps.batchNovMod === 0)
+      .filter(size(graft.functions.TextFunctions.tokens($"text")) >= 5)
+      .count()
+    assert(rows.length.toLong === nBatch)
+    rows.foreach { r =>
+      val (ns, seen, novel) = (r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_seen"), r.getAs[Long]("n_novel"))
+      assert(seen + novel === ns)
+      assert(seen >= 0L && novel >= 0L)
+      assert(r.getAs[Double]("novelty_rate") ===
+        BigDecimal(novel.toDouble / ns).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the history genuinely absorbs some batch spans and misses others
+    assert(rows.exists(_.getAs[Long]("n_seen") > 0L))
+    assert(rows.exists(_.getAs[Long]("n_novel") > 0L))
+  }
+
   test("decontaminate: verdicts replay q133's pair relation; all train docs surface") {
     import spark.implicits._
     val rows = CorpusOps.decontaminate(spark, sf).collect()
