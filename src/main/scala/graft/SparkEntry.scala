@@ -580,13 +580,19 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000.0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    // 1e4-unit integer quantization (floor(x·1e4+0.5)) instead of a
+    // double→DECIMAL cast: the cast's half-rounding differs between the
+    // engines on representable halves; floor of a correctly-rounded
+    // product cannot
     "q14_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-        |    AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / 1e4 AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / 1e4 AS sum_base_price,
+        |  CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS HUGEINT) *
+        |    (10000 - CAST(floor(l_discount * 10000 + 0.5) AS HUGEINT)))
+        |    AS DOUBLE) / 1e8 AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -3523,7 +3529,8 @@ object SparkEntry {
          |u AS (
          |  SELECT source,
          |    CAST(floor((CAST(tf_s AS DOUBLE) / CAST(t_s AS DOUBLE)) *
-         |      ln(CAST(tf_s * t_c AS DOUBLE) / CAST(t_s * tf_c AS DOUBLE))
+         |      round(ln(CAST(tf_s * t_c AS DOUBLE)
+         |        / CAST(t_s * tf_c AS DOUBLE)), 8)
          |      * 1e6 + 0.5) AS BIGINT) AS u
          |  FROM st JOIN ct USING (term) JOIN ts USING (source)
          |  CROSS JOIN tc)
@@ -3554,13 +3561,14 @@ object SparkEntry {
          |         (SELECT CAST(sum(c_t) AS BIGINT) FROM tgt) AS t_t),
          |wt AS (
          |  SELECT raw.f AS f,
-         |    CAST(floor(ln(
+         |    CAST(floor(round(ln(
          |      CAST((coalesce(c_t, 0) + 1) * (t_r + $b) AS DOUBLE) /
-         |      CAST((t_t + $b) * (c_r + 1) AS DOUBLE)) * 1e6 + 0.5)
+         |      CAST((t_t + $b) * (c_r + 1) AS DOUBLE)), 8) * 1e6 + 0.5)
          |      AS BIGINT) AS u
          |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f CROSS JOIN tot)
          |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
-         |  round(CAST(sum(u) AS DOUBLE) / 1e6, 4) + 0.0 AS weight
+         |  CAST(floor(CAST(sum(u) AS DOUBLE) / 100.0 + 0.5) AS BIGINT)
+         |    / 1e4 AS weight
          |FROM fe JOIN wt USING (f)
          |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
     },
@@ -3937,16 +3945,17 @@ object SparkEntry {
         |    FROM eq) z
         |  GROUP BY dim),
         |sv AS (
-        |  SELECT dim,
-        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
-        |    (CAST(ssq AS DOUBLE)
-        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-        |      / CAST(n AS DOUBLE) AS v
+        |  SELECT dim, n, s,
+        |    CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s AS vnum
         |  FROM st),
-        |tot AS (SELECT sum(v) AS v_tot FROM sv)
-        |SELECT dim, round(m / 1000.0, 6) AS mean,
-        |  round(v / 1e6, 6) AS variance,
-        |  round(v / v_tot, 6) AS var_share
+        |tot AS (SELECT sum(vnum) AS vnum_tot FROM sv)
+        |SELECT dim,
+        |  CAST(floor(CAST(s * 1000 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+        |    AS BIGINT) / 1e6 AS mean,
+        |  round(CAST(vnum AS DOUBLE) / CAST(n * n AS DOUBLE) / 1e6, 6)
+        |    AS variance,
+        |  round(CAST(vnum AS DOUBLE) / CAST(vnum_tot AS DOUBLE), 6)
+        |    AS var_share
         |FROM sv CROSS JOIN tot ORDER BY dim""".stripMargin,
 
     // q21's fingerprint replay banded into 8-bit keys; the pigeonhole

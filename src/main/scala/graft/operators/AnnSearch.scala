@@ -366,9 +366,12 @@ object AnnSearch {
     * whose input statistics are exactly these columns).
     *
     * Exactness: sums and sums-of-squares are exact BIGINTs on the e3
-    * grid; mean = s/n and `var = (ssq − s²/n)/n` are pinned float
-    * compositions of exact integers, identical IEEE steps in both
-    * engines; the grid descale folds into the final rounding.
+    * grid, and the variance is kept as the exact RATIONAL
+    * `v_num/n² = (n·ssq − s²)/n²` — integer numerator, so the
+    * cross-dimension TOTAL is an exact integer sum (a float total would
+    * be summation-order-dependent: the 10×-scale differential run
+    * caught exactly that in this query's first cut). Every output is
+    * one correctly-rounded division of exact integers.
     *
     * Scale shape: one posexplode + partial-aggregated groupBy(dim) —
     * exchange O(dims); the variance total is a broadcast scalar. */
@@ -379,17 +382,23 @@ object AnnSearch {
       .groupBy(($"pos" + 1).cast("long").as("dim"))
       .agg(count(lit(1)).as("n"), sum($"col").as("s"),
         sum($"col" * $"col").as("ssq"))
-      .select($"dim", $"n",
-        ($"s".cast("double") / $"n".cast("double")).as("m"),
-        (($"ssq".cast("double") -
-          $"s".cast("double") * $"s".cast("double") / $"n".cast("double")) /
-          $"n".cast("double")).as("v"))
-    val tot = stats.agg(sum($"v").as("v_tot"))
+      .select($"dim", $"n", $"s",
+        ($"n".cast("decimal(38,0)") * $"ssq" -
+          $"s".cast("decimal(38,0)") * $"s").as("vnum"))
+    val tot = stats.agg(sum($"vnum").as("vnum_tot"))
     stats.crossJoin(broadcast(tot))
       .select($"dim",
-        round($"m" / 1000.0, 6).as("mean"),
-        round($"v" / 1e6, 6).as("variance"),
-        round($"v" / $"v_tot", 6).as("var_share"))
+        // mean quantized via floor(+0.5) on s·1000/n (one correctly-
+        // rounded division of exact integers): s/n often TERMINATES at
+        // exactly 6 decimals on round counts, and round()'s half-case
+        // disagrees between the engines' decimal conversions — the
+        // integer quantization has no such boundary
+        (floor($"s".cast("double") * 1000.0 / $"n".cast("double") +
+          lit(0.5)).cast("long").cast("double") / 1e6).as("mean"),
+        round($"vnum".cast("double") /
+          ($"n" * $"n").cast("double") / 1e6, 6).as("variance"),
+        round($"vnum".cast("double") / $"vnum_tot".cast("double"), 6)
+          .as("var_share"))
       .orderBy($"dim")
   }
 

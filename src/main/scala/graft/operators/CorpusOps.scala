@@ -907,10 +907,15 @@ object CorpusOps {
     st.join(ct, "term")
       .join(broadcast(totS), "source")
       .crossJoin(broadcast(totC))
+      // the log is ROUNDED to 8 decimals before quantization: ln is not
+      // correctly-rounded in either engine, and a 1-ulp disagreement on
+      // a quantization boundary would flip the floor (caught by the
+      // 10×-scale differential run; 8 decimals ≫ the 1e-6 grid, ≪ ulp
+      // disagreement bands)
       .select($"source",
         floor(($"tf_s".cast("double") / $"t_s".cast("double")) *
-          log(($"tf_s" * $"t_c").cast("double") /
-            ($"t_s" * $"tf_c").cast("double")) * 1e6 + lit(0.5))
+          round(log(($"tf_s" * $"t_c").cast("double") /
+            ($"t_s" * $"tf_c").cast("double")), 8) * 1e6 + lit(0.5))
           .cast("long").as("u"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_terms"), sum($"u").as("units"))
@@ -954,18 +959,26 @@ object CorpusOps {
     val totals = raw.agg(sum($"c_r").as("t_r")).crossJoin(
       tgt.agg(sum($"c_t").as("t_t")))
     // log-ratio units per feature: ln((c_t+1)·(T_r+B) / ((T_t+B)·(c_r+1)))
+    // round-8 before quantizing: ln's 1-ulp cross-engine wobble must
+    // not straddle the micro-unit floor (one boundary feature would
+    // shift every document containing it — 6 docs at sf0.1 before this)
     val wtable = raw.join(tgt, Seq("f"), "left")
       .crossJoin(broadcast(totals))
       .select($"f",
-        floor(log(
+        floor(round(log(
           ((coalesce($"c_t", lit(0L)) + 1) * ($"t_r" + b)).cast("double") /
-            (($"t_t" + b) * ($"c_r" + 1)).cast("double")) * 1e6 + lit(0.5))
+            (($"t_t" + b) * ($"c_r" + 1)).cast("double")), 8) * 1e6 + lit(0.5))
           .cast("long").as("u"))
     feats.join(broadcast(wtable), "f")
       .groupBy($"doc_id", $"lang")
       .agg(count(lit(1)).as("n_feats"), sum($"u").as("units"))
+      // weight quantized in INTEGER space (floor(units/100 + 0.5)/1e4):
+      // units/1e6 terminates at 6 decimals, so round(…, 4) would sit on
+      // exact half boundaries where the engines' decimal conversions
+      // disagree — the q158 lesson applied here
       .select($"doc_id", $"lang", $"n_feats",
-        (round($"units".cast("double") / 1e6, 4) + lit(0.0)).as("weight"))
+        (floor($"units".cast("double") / 100.0 + lit(0.5)).cast("long")
+          .cast("double") / 1e4).as("weight"))
       .orderBy($"doc_id")
   }
 

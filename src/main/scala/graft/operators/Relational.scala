@@ -80,18 +80,32 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
-  /** TPC-H Q1-shaped pricing summary over lineitem. DECIMAL sums for
-    * cross-engine determinism; avg exposed as round(sum/count, 4). */
+  /** TPC-H Q1-shaped pricing summary over lineitem, in deterministic
+    * INTEGER 1e4-units: `floor(x·1e4 + 0.5)` quantizes each money/qty
+    * double identically in both engines (a `CAST(double AS
+    * DECIMAL(18,4))` does NOT — Spark rounds representable halves
+    * HALF_UP, DuckDB half-even, and at 600k rows one boundary row
+    * flipped the sf0.1 differential), sums are exact DECIMAL integers,
+    * and each output is one correctly-rounded division. The disc-price
+    * term is the exact integer product `price₄·(10⁴ − disc₄)` in 1e8
+    * units. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    def u4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + lit(0.5)).cast("long")
     Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_linestatus",
+        u4($"l_quantity").as("qty_u"),
+        u4($"l_extendedprice").as("price_u"),
+        u4($"l_discount").as("disc_u"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum($"l_quantity".cast("decimal(18,4)")).cast("double").as("sum_qty"),
-        sum($"l_extendedprice".cast("decimal(18,4)")).cast("double").as("sum_base_price"),
-        sum(($"l_extendedprice".cast("decimal(18,4)") *
-          (lit(1).cast("decimal(18,4)") - $"l_discount".cast("decimal(18,4)")))
-          .cast("decimal(28,8)")).cast("double").as("sum_disc_price"),
+        (sum($"qty_u".cast("decimal(38,0)")).cast("double") / 1e4)
+          .as("sum_qty"),
+        (sum($"price_u".cast("decimal(38,0)")).cast("double") / 1e4)
+          .as("sum_base_price"),
+        (sum($"price_u".cast("decimal(38,0)") * (lit(10000L) - $"disc_u"))
+          .cast("double") / 1e8).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }

@@ -435,7 +435,8 @@ class AnnSearchSpec extends SparkSpec {
     val d1 = rows.find(_.getAs[Long]("dim") === 1L).get
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(d1.getAs[Double]("mean") === r6(s / n / 1000.0))
+    assert(d1.getAs[Double]("mean") ===
+      math.floor(s * 1000.0 / n + 0.5) / 1e6)
     assert(d1.getAs[Double]("variance") === r6((ssq - s * s / n) / n / 1e6))
   }
 
