@@ -226,6 +226,7 @@ object SparkEntry {
     "q159_simhash_pairs" -> ((s, d) => DedupOps.simHashPairs(s, d)),
     "q160_detector_agreement" -> ((s, d) => DedupOps.detectorAgreement(s, d)),
     "q161_batch_novelty" -> ((s, d) => CorpusOps.batchNovelty(s, d)),
+    "q162_pseudonymize" -> ((s, d) => Relational.pseudonymizeAudit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4005,5 +4006,37 @@ object SparkEntry {
          |  round(sum(CASE WHEN seen THEN 0 ELSE 1 END)
          |    / CAST(count(*) AS DOUBLE), 4) AS novelty_rate
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the keyed md5 remap is a pure function, so integrity is preserved
+    // by construction; the audit proves it relationally per referencing
+    // relation (distinct counts + orphan counts before vs after)
+    "q162_pseudonymize" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS id,
+        |    md5('u:' || CAST(c_custkey AS VARCHAR)) AS p
+        |  FROM customer),
+        |rel AS (
+        |  SELECT 'orders' AS relation, o_custkey AS rid FROM orders
+        |  UNION ALL
+        |  SELECT 'events', user_id FROM events)
+        |SELECT relation,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT rid) AS BIGINT) AS n_ids,
+        |  CAST(count(DISTINCT md5('u:' || CAST(rid AS VARCHAR)))
+        |    AS BIGINT) AS n_pids,
+        |  CAST(count(DISTINCT CASE WHEN rid NOT IN (SELECT id FROM cust)
+        |    THEN rid END) AS BIGINT) AS n_orphans_before,
+        |  CAST(count(DISTINCT CASE WHEN md5('u:' || CAST(rid AS VARCHAR))
+        |    NOT IN (SELECT p FROM cust)
+        |    THEN md5('u:' || CAST(rid AS VARCHAR)) END) AS BIGINT)
+        |    AS n_orphans_after,
+        |  count(DISTINCT rid) = count(DISTINCT md5('u:' ||
+        |    CAST(rid AS VARCHAR)))
+        |  AND count(DISTINCT CASE WHEN rid NOT IN (SELECT id FROM cust)
+        |    THEN rid END) = count(DISTINCT CASE
+        |    WHEN md5('u:' || CAST(rid AS VARCHAR))
+        |      NOT IN (SELECT p FROM cust)
+        |    THEN md5('u:' || CAST(rid AS VARCHAR)) END) AS intact
+        |FROM rel GROUP BY relation ORDER BY relation""".stripMargin,
   )
 }

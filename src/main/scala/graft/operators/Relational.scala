@@ -426,6 +426,51 @@ object Relational {
     * keyed semi-join on the order key at scale. Counts audit the cascade
     * rather than materializing the cleaned tables (the writes would be
     * `.write` of the anti-join sides — same plans). */
+  /** PSEUDONYMIZATION audit — the privacy transform q125's delete
+    * cascade complements: every customer key is remapped to a
+    * deterministic keyed pseudonym (`md5('u:' ‖ id)` — a pure function,
+    * so referential integrity is preserved BY CONSTRUCTION), and the
+    * audit PROVES it relationally: per referencing relation, distinct
+    * ids before vs distinct pseudonyms after (equal ⟺ no collision) and
+    * orphaned references before vs after (equal ⟺ joinability
+    * preserved). This is the "analytics-safe export" transform — the
+    * downstream join graph works unchanged while raw ids never leave.
+    *
+    * Scale shape: remapping is per-row hash work inside each scan; the
+    * orphan audits are key-distinct semi/anti joins (the exact joins the
+    * exported data will run — auditing them IS the product guarantee).
+    * Counts audit the transform rather than materializing the exports
+    * (the writes would be `.write` of the remapped sides — same plans). */
+  def pseudonymizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def pid(c: org.apache.spark.sql.Column) =
+      md5(concat(lit("u:"), c.cast("string")))
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey".as("id"), pid($"c_custkey").as("p"))
+    def audit(name: String, refs: DataFrame): DataFrame = {
+      val r = refs.select($"rid", pid($"rid").as("rp"))
+      val ids = cust.select($"id").distinct()
+      val pids = cust.select($"p").distinct()
+      r.agg(count(lit(1)).as("n_rows"),
+          countDistinct($"rid").as("n_ids"),
+          countDistinct($"rp").as("n_pids"))
+        .crossJoin(r.select($"rid").distinct()
+          .join(ids, $"rid" === $"id", "left_anti")
+          .agg(count(lit(1)).as("n_orphans_before")))
+        .crossJoin(r.select($"rp").distinct()
+          .join(pids, $"rp" === $"p", "left_anti")
+          .agg(count(lit(1)).as("n_orphans_after")))
+        .select(lit(name).as("relation"), $"n_rows", $"n_ids", $"n_pids",
+          $"n_orphans_before", $"n_orphans_after",
+          ($"n_ids" === $"n_pids" &&
+            $"n_orphans_before" === $"n_orphans_after").as("intact"))
+    }
+    audit("orders", Tables.orders(spark, dir).select($"o_custkey".as("rid")))
+      .unionByName(audit("events",
+        Tables.events(spark, dir).select($"user_id".as("rid"))))
+      .orderBy($"relation")
+  }
+
   def forgetUsers(spark: SparkSession, dir: String, mod: Int = 97): DataFrame = {
     import spark.implicits._
     val del = Tables.customer(spark, dir)
