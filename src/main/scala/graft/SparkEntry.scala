@@ -227,6 +227,7 @@ object SparkEntry {
     "q160_detector_agreement" -> ((s, d) => DedupOps.detectorAgreement(s, d)),
     "q161_batch_novelty" -> ((s, d) => CorpusOps.batchNovelty(s, d)),
     "q162_pseudonymize" -> ((s, d) => Relational.pseudonymizeAudit(s, d)),
+    "q163_ivf_probe_sweep" -> ((s, d) => AnnSearch.ivfProbeSweep(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4038,5 +4039,71 @@ object SparkEntry {
         |      NOT IN (SELECT p FROM cust)
         |    THEN md5('u:' || CAST(rid AS VARCHAR)) END) AS intact
         |FROM rel GROUP BY relation ORDER BY relation""".stripMargin,
+
+    // q35's assignment chain; list ranks by (dot desc, c asc) are pure
+    // array arithmetic; per-nprobe candidates ranked and recalled
+    // against the exact top-10
+    "q163_ivf_probe_sweep" -> {
+      val cos = cosSql("e.embedding", "q.qe")
+      s"""WITH cents AS (
+         |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |    ORDER BY vec_id) AS cs
+         |  FROM embeddings WHERE vec_id < 16),
+         |a AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(cs, c -> list_sum(list_transform(
+         |      range(1, len(embedding)+1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * c[i]))) AS dots
+         |  FROM embeddings, cents),
+         |asg AS (
+         |  SELECT vec_id, embedding, dots,
+         |    CAST(list_indexof(dots, list_max(dots)) AS BIGINT) AS list_id
+         |  FROM a),
+         |q AS (
+         |  SELECT embedding AS qe,
+         |    list_transform(range(1, len(dots)+1), c ->
+         |      CAST(len(list_filter(range(1, len(dots)+1), i ->
+         |        dots[i] > dots[c] OR (dots[i] = dots[c] AND i < c))) + 1
+         |        AS BIGINT)) AS ranks
+         |  FROM asg WHERE vec_id = 0),
+         |nps AS (SELECT CAST(unnest([${AnnSearch.probeSweep
+              .mkString(", ")}]) AS BIGINT) AS nprobe),
+         |cand AS (
+         |  SELECT * FROM (
+         |    SELECT nprobe, e.vec_id, $cos AS cos
+         |    FROM asg e, q, nps
+         |    WHERE e.vec_id <> 0
+         |      AND q.ranks[CAST(e.list_id AS INTEGER)] <= nprobe) z
+         |  WHERE NOT isnan(cos)),
+         |topk AS (
+         |  SELECT nprobe, vec_id,
+         |    row_number() OVER (PARTITION BY nprobe
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM cand),
+         |exact AS (
+         |  SELECT e.vec_id
+         |  FROM embeddings e,
+         |    (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY $cos DESC, vec_id LIMIT 10),
+         |nc AS (
+         |  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cand GROUP BY nprobe),
+         |rc AS (
+         |  SELECT t.nprobe, CAST(count(*) AS BIGINT) AS n_recalled
+         |  FROM topk t JOIN exact x ON t.vec_id = x.vec_id
+         |  WHERE t.rk <= 10 GROUP BY t.nprobe),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_total
+         |  FROM embeddings WHERE vec_id <> 0)
+         |SELECT n.nprobe, nc.n_candidates,
+         |  round(nc.n_candidates / CAST(tot.n_total AS DOUBLE), 4)
+         |    AS scanned_frac,
+         |  coalesce(rc.n_recalled, 0) AS n_recalled,
+         |  round(coalesce(rc.n_recalled, 0) / 10.0, 4) AS recall
+         |FROM nps n JOIN nc USING (nprobe)
+         |LEFT JOIN rc ON rc.nprobe = n.nprobe CROSS JOIN tot
+         |ORDER BY n.nprobe""".stripMargin
+    },
   )
 }

@@ -357,6 +357,77 @@ object AnnSearch {
       rows.get(c.toLong).map(_.sortBy(_._2).map(_._3).toSeq))
   }
 
+  /** Probe counts audited by [[ivfProbeSweep]], shared with the q163
+    * oracle. */
+  val probeSweep = Seq(1, 2, 4, 8)
+
+  /** IVF PROBE-COUNT dial — FAISS's main serving knob, measured (the
+    * q123 recall/cost audit, for the IVF index q35/q69 built): for each
+    * `nprobe`, the query probes its best-ranked lists only; reported
+    * per setting: candidates scanned, scanned fraction of the corpus,
+    * and recall@k against the exact top-k. The capacity planner reads
+    * this table to pick nprobe; the monotone trade (more probes → more
+    * scan → more recall) is the product.
+    *
+    * Scale shape: assignment is the q35 map-side expression against the
+    * broadcast codebook (cache-barriered: every nprobe setting reuses
+    * it); the list RANKING is per-query array arithmetic; candidates
+    * pre-reduce through bounded TopKAgg per (nprobe) — one
+    * ObjectHashAggregate, no Window; the sweep fans out via a broadcast
+    * 4-row table. */
+  def ivfProbeSweep(spark: SparkSession, dir: String,
+                    queryId: Long = 0L, k: Int = 10,
+                    nlist: Int = 16): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents: Seq[Seq[Double]] = emb.filter($"vec_id" < nlist)
+      .orderBy($"vec_id").select($"embedding").as[Seq[Float]]
+      .collect().toSeq.map(_.map(_.toDouble))
+    val centsCol = typedlit(cents)
+    val dots = transform(centsCol, c =>
+      aggregate(zip_with($"embedding", c, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x))
+    val assigned = graft.CacheGuard.barrier(emb
+      .withColumn("dots", dots)
+      .withColumn("list_id", array_position($"dots", array_max($"dots"))))
+    // the query's list ranking: rank of list c = 1 + #lists strictly
+    // better under (dot desc, c asc) — pure array arithmetic, no sort
+    val ranked = assigned.filter($"vec_id" === queryId)
+      .select($"embedding".as("qv"),
+        transform(sequence(lit(1), lit(nlist)), c =>
+          (size(filter(sequence(lit(1), lit(nlist)), i =>
+            element_at($"dots", i) > element_at($"dots", c) ||
+              (element_at($"dots", i) === element_at($"dots", c) && i < c)))
+            + 1).cast("long")).as("ranks"))
+    val nps = probeSweep.map(_.toLong).toDF("nprobe")
+    val cand = assigned.filter($"vec_id" =!= queryId)
+      .crossJoin(broadcast(ranked))
+      .crossJoin(broadcast(nps))
+      .filter(element_at($"ranks", $"list_id".cast("int")) <= $"nprobe")
+      .select($"nprobe", $"vec_id",
+        round(cosine($"embedding", $"qv"), 4).as("cos"))
+      .filter(!isnan($"cos"))
+    val exact = bruteForceTopK(spark, dir, queryId, k)
+      .select($"vec_id").withColumn("in_exact", lit(true))
+    val tot = emb.filter($"vec_id" =!= queryId)
+      .agg(count(lit(1)).as("n_total"))
+    cand.groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_candidates"),
+        graft.functions.TopK.topK(k)($"cos", $"vec_id").as("hits"))
+      .select($"nprobe", $"n_candidates", posexplode($"hits"))
+      .select($"nprobe", $"n_candidates", $"col.vec_id".as("vec_id"))
+      .join(exact, Seq("vec_id"), "left")
+      .groupBy($"nprobe", $"n_candidates")
+      .agg(sum(when($"in_exact", 1L).otherwise(0L)).as("n_recalled"))
+      .crossJoin(broadcast(tot))
+      .select($"nprobe", $"n_candidates",
+        round($"n_candidates".cast("double") / $"n_total".cast("double"), 4)
+          .as("scanned_frac"),
+        $"n_recalled",
+        round($"n_recalled".cast("double") / k, 4).as("recall"))
+      .orderBy($"nprobe")
+  }
+
   /** Embedding HEALTH report — the isotropy check run before trusting
     * cosine retrieval (Ethayarajh 2019: anisotropic spaces squash cosine
     * contrast; a dimension hoarding variance dominates every score): per

@@ -415,6 +415,35 @@ class AnnSearchSpec extends SparkSpec {
     assert(plan.split("ObjectHashAggregate").length - 1 === 2, plan.take(2000))
   }
 
+  test("ivfProbeSweep: candidates and recall are monotone in nprobe; fractions replay") {
+    import spark.implicits._
+    val rows = AnnSearch.ivfProbeSweep(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq ===
+      AnnSearch.probeSweep.map(_.toLong))
+    val nTotal = Tables.embeddings(spark, sf)
+      .filter($"vec_id" =!= 0L).count()
+    rows.foreach { r =>
+      val nc = r.getAs[Long]("n_candidates")
+      assert(nc >= 1L && nc <= nTotal)
+      assert(r.getAs[Double]("scanned_frac") ===
+        BigDecimal(nc.toDouble / nTotal).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val rec = r.getAs[Long]("n_recalled")
+      assert(rec >= 0L && rec <= 10L)
+      assert(r.getAs[Double]("recall") === rec / 10.0)
+    }
+    // the dial's defining trade: more probes never scan less or recall less
+    val byNp = rows.sortBy(_.getAs[Long]("nprobe"))
+    byNp.zip(byNp.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("n_candidates") <= b.getAs[Long]("n_candidates"))
+      assert(a.getAs[Long]("n_recalled") <= b.getAs[Long]("n_recalled"))
+    }
+    // probing more lists genuinely buys recall on this corpus
+    assert(byNp.last.getAs[Long]("n_recalled") >
+      byNp.head.getAs[Long]("n_recalled"))
+  }
+
   test("embeddingHealth: per-dim moments replay a driver-side computation; shares normalize") {
     import spark.implicits._
     val rows = AnnSearch.embeddingHealth(spark, sf).collect()
