@@ -33,15 +33,20 @@ object Bench {
     * headline number — falling back to min-overall only when every rep
     * failed (the timing is then explicitly marked `ok:false` anyway).
     *
-    * `gcMs` is the JVM GC time spent during each rep and `pressure` is
-    * whether any rep ended with a cache barrier partially evicted or
-    * spilled to disk — the round-6 phantom-regression attribution
-    * problem (ten >2× full-suite rows, all JVM/storage pressure, cost a
-    * manual re-bench to refute): with these in the health file a slow
-    * row is machine-attributable from the artifact alone. */
+    * `gcMs` is the JVM GC time spent during each rep; `pressure` is
+    * whether any rep ended with a cache barrier SPILLED to disk (round 8
+    * narrowed this from "spilled OR partially cached": a partially-
+    * materialized barrier — a rep that threw, a consumer that touches
+    * only some partitions — is not pressure, and the old disjunction
+    * mislabeled quiet reps). `probe` holds each rep's [[BenchProbe]]
+    * window — task/compile/fetch/spill/evict/broadcast-clean deltas —
+    * the decomposition that makes a slow row attributable from the
+    * artifact alone (round 7's gc+spill pair provably missed q114's 5×
+    * in-suite inflation). */
   final case class Measured(name: String, secs: Seq[Double],
                             okSecs: Seq[Double], err: Option[String],
-                            gcMs: Seq[Long] = Nil, pressure: Boolean = false) {
+                            gcMs: Seq[Long] = Nil, pressure: Boolean = false,
+                            probe: Seq[BenchProbe.Snap] = Nil) {
     def sec: Double = (if (okSecs.nonEmpty) okSecs else secs).min
     def ok: Boolean = err.isEmpty
   }
@@ -58,17 +63,30 @@ object Bench {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
-  /** True when any persisted RDD (a cache barrier) ended the rep
-    * partially evicted or spilled to disk — the recompute/IO signal that
-    * explains an inflated full-suite timing. */
+  /** True when any persisted RDD (a cache barrier) ended the rep spilled
+    * to disk — the recompute/IO signal that explains an inflated
+    * full-suite timing. Spill ONLY: `numCachedPartitions < numPartitions`
+    * also holds for a barrier that was never fully materialized (a rep
+    * that threw, a consumer touching only some partitions), so the old
+    * disjunction could flag a perfectly quiet rep; genuine full eviction
+    * is counted instead by [[BenchProbe]]'s block-removal window. */
   private def storagePressure(spark: SparkSession): Boolean =
     spark.sparkContext.getRDDStorageInfo.exists(i =>
-      i.isCached && (i.diskSize > 0L ||
-        i.numCachedPartitions < i.numPartitions))
+      i.isCached && i.diskSize > 0L)
+
+  private val probes =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, BenchProbe]()
+  private def probeFor(spark: SparkSession): BenchProbe =
+    probes.computeIfAbsent(spark, s => {
+      val p = new BenchProbe
+      s.sparkContext.addSparkListener(p)
+      p
+    })
 
   def measure(spark: SparkSession, sfDir: String,
               queries: Map[String, (SparkSession, String) => DataFrame],
-              reps: Int): Seq[Measured] =
+              reps: Int): Seq[Measured] = {
+    val probe = probeFor(spark)
     queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to math.max(1, reps)).map { _ =>
         // drop data caches between reps: CacheManager matches rebuilt
@@ -77,6 +95,7 @@ object Bench {
         // single-shot baseline. Reps isolate JIT/scheduler noise only.
         spark.catalog.clearCache()
         CacheGuard.release() // registered barriers from the previous rep
+        val s0 = probe.snap(spark.sparkContext) // drains pre-rep cleanup events
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
@@ -85,15 +104,18 @@ object Bench {
             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        (sec, err, gcMillis() - gc0, storagePressure(spark))
+        (sec, err, gcMillis() - gc0, storagePressure(spark),
+          probe.snap(spark.sparkContext) - s0)
       }
       Measured(name,
         runs.map(_._1),
-        runs.collect { case (s, None, _, _) => s },
+        runs.collect { case (s, None, _, _, _) => s },
         runs.flatMap(_._2).headOption,
         runs.map(_._3),
-        runs.exists(_._4))
+        runs.exists(_._4),
+        runs.map(_._5))
     }
+  }
 
   /** Full result JSON: per-query health `{sec, ok, err, secs[]}` — the
     * unit-testable failure-transparency contract, and the payload of
@@ -107,11 +129,23 @@ object Bench {
   def renderFull(results: Seq[Measured], reps: Int, sfDir: String): String = {
     val qs = results.map(r => s"${jstr(r.name)}:${r.sec}").mkString("{", ",", "}")
     val health = results.map { r =>
+      // per-rep attribution arrays (see BenchProbe): task_ms is executor
+      // work (wall ≈ task_ms/cores when the cluster is busy), compile_ms
+      // is driver-side codegen, fetch/swrite are shuffle I/O stalls,
+      // spill_mb execution spill, evict/bcast_rm block-removal activity
+      val p = r.probe
+      def arr(f: BenchProbe.Snap => Long) =
+        p.map(f).mkString("[", ",", "]")
+      val probeJson = if (p.isEmpty) "" else
+        s""","task_ms":${arr(_.taskMs)},"compile_ms":${arr(_.compileMs)}""" +
+          s""","fetch_ms":${arr(_.fetchMs)},"swrite_ms":${arr(_.swriteMs)}""" +
+          s""","spill_mb":${arr(_.spillBytes / (1 << 20))}""" +
+          s""","evict":${arr(_.evicted)},"bcast_rm":${arr(_.bcastRm)}"""
       s"${jstr(r.name)}:{" + s""""sec":${r.sec},"ok":${r.ok},"err":""" +
         r.err.map(jstr).getOrElse("null") +
         s""","secs":${r.secs.mkString("[", ",", "]")}""" +
         s""","gc_ms":${r.gcMs.mkString("[", ",", "]")}""" +
-        s""","pressure":${r.pressure}}"""
+        s""","pressure":${r.pressure}$probeJson}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.sec).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"health":$health,"n_failed":${results.count(!_.ok)},"reps":$reps,"sf":"$sfDir"}"""

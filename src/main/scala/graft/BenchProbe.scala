@@ -1,0 +1,87 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.SparkContext
+import org.apache.spark.GraftBusBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd}
+
+/** Cumulative per-process gauges behind the bench health file's per-rep
+  * attribution fields. Round 7's protocol had a PROVEN false negative:
+  * q114 read 5× its quiet time in-suite with `gc_ms` and `pressure` both
+  * clean, so the excess lived somewhere those two fields cannot see. The
+  * probe decomposes a rep's wall time into the remaining suspects:
+  *
+  *   - `task_ms`  — sum of executor task run time. Wall ≈ task_ms/cores
+  *     when the cluster does the work; wall ≫ task_ms/cores means the
+  *     time went to the DRIVER (planning, codegen, scheduling) or to
+  *     stalls the tasks never saw.
+  *   - `compile_ms` — Janino codegen compile time (driver-side,
+  *     serialized). The codegen cache holds 100 entries; after a hundred
+  *     suite queries it thrashes, and a barrier-heavy plan recompiles
+  *     every generated class a quiet run gets from cache.
+  *   - `fetch_ms` / `swrite_ms` — shuffle fetch-wait and write time:
+  *     local-disk contention from accumulated shuffle files shows here.
+  *   - `spill_mb` — execution-memory spill (memory+disk bytes spilled);
+  *     storage-side spill is the separate `pressure` flag.
+  *   - `evict` — RDD cache blocks fully REMOVED during the measured
+  *     window (LRU eviction, or an operator's documented inline drop —
+  *     constant per query, so a suite-vs-quiet DIFF still attributes).
+  *   - `bcast_rm` — broadcast blocks removed during the window: the
+  *     ContextCleaner-activity signal (a GC-triggered cleanup storm
+  *     inside a rep stalls the scheduler on the cleanup lock).
+  *
+  * All gauges are cumulative atomics sampled before/after each rep, with
+  * the listener bus DRAINED at both edges ([[GraftBusBridge]]) so the
+  * window is exact. Task-end events cost one map lookup each — noise-
+  * level next to the tasks themselves. */
+final class BenchProbe extends SparkListener {
+  private val taskMs = new AtomicLong
+  private val gcTaskMs = new AtomicLong
+  private val fetchMs = new AtomicLong
+  private val swriteMs = new AtomicLong
+  private val spillBytes = new AtomicLong
+  private val evicted = new AtomicLong
+  private val bcastRm = new AtomicLong
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      taskMs.addAndGet(m.executorRunTime)
+      gcTaskMs.addAndGet(m.jvmGCTime)
+      fetchMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+      swriteMs.addAndGet(m.shuffleWriteMetrics.writeTime / 1000000L)
+      spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+    }
+  }
+
+  override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = {
+    val i = e.blockUpdatedInfo
+    // an invalid storage level on an update = the block was removed
+    if (!i.storageLevel.isValid) {
+      if (i.blockId.isRDD) evicted.incrementAndGet()
+      else if (i.blockId.isBroadcast) bcastRm.incrementAndGet()
+    }
+  }
+
+  /** Drain the bus, then read every gauge. */
+  def snap(sc: SparkContext): BenchProbe.Snap = {
+    GraftBusBridge.flushListenerBus(sc)
+    BenchProbe.Snap(taskMs.get, gcTaskMs.get, fetchMs.get, swriteMs.get,
+      spillBytes.get, evicted.get, bcastRm.get,
+      GraftBusBridge.codegenCompileMs())
+  }
+}
+
+object BenchProbe {
+  /** One cumulative reading; subtract two to get a window. */
+  final case class Snap(taskMs: Long, gcTaskMs: Long, fetchMs: Long,
+                        swriteMs: Long, spillBytes: Long, evicted: Long,
+                        bcastRm: Long, compileMs: Long) {
+    def -(prev: Snap): Snap = Snap(
+      taskMs - prev.taskMs, gcTaskMs - prev.gcTaskMs,
+      fetchMs - prev.fetchMs, swriteMs - prev.swriteMs,
+      spillBytes - prev.spillBytes, evicted - prev.evicted,
+      bcastRm - prev.bcastRm, compileMs - prev.compileMs)
+  }
+}

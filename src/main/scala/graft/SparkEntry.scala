@@ -1419,8 +1419,8 @@ object SparkEntry {
          |t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
          |u AS (
          |  SELECT doc_id,
-         |    CAST(floor(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6
-         |      + 0.5) AS BIGINT) AS u
+         |    CAST(floor(round(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)), 8)
+         |      * 1e6 + 0.5) AS BIGINT) AS u
          |  FROM toks JOIN tf USING (term) CROSS JOIN t)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |  round(CAST(sum(u) AS DOUBLE) / count(*) / 1e6, 4) + 0.0
@@ -1559,7 +1559,8 @@ object SparkEntry {
          |    round(CAST(units AS DOUBLE) / n / 1e6, 4) + 0.0 AS mean_logprob
          |  FROM (
          |    SELECT doc_id,
-         |      sum(CAST(floor(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE))
+         |      sum(CAST(floor(round(ln(CAST(tf AS DOUBLE)
+         |        / CAST(total AS DOUBLE)), 8)
          |        * 1e6 + 0.5) AS BIGINT)) AS units,
          |      count(*) AS n
          |    FROM toks2 JOIN tf USING (term) CROSS JOIN t GROUP BY 1) z
@@ -2438,10 +2439,10 @@ object SparkEntry {
          |        FROM bgs GROUP BY bg),
          |u AS (
          |  SELECT doc_id,
-         |    CAST(floor(ln(
+         |    CAST(floor(round(ln(
          |      ${TextAnalysis.bigramLambda} * (CAST(c2 AS DOUBLE) / u1.c1)
          |      + ${1.0 - TextAnalysis.bigramLambda}
-         |        * (CAST(u2.c1 AS DOUBLE) / total)) * 1e6 + 0.5)
+         |        * (CAST(u2.c1 AS DOUBLE) / total)), 8) * 1e6 + 0.5)
          |      AS BIGINT) AS u
          |  FROM bgs JOIN big USING (bg)
          |  JOIN uni u1 ON u1.term = string_split(bg, ' ')[1]
@@ -3487,8 +3488,8 @@ object SparkEntry {
          |t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
          |u AS (
          |  SELECT doc_id, lang,
-         |    CAST(floor(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6
-         |      + 0.5) AS BIGINT) AS u
+         |    CAST(floor(round(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)), 8)
+         |      * 1e6 + 0.5) AS BIGINT) AS u
          |  FROM toks JOIN tf USING (term) CROSS JOIN t),
          |sc AS (
          |  SELECT doc_id, lang,
@@ -3531,8 +3532,8 @@ object SparkEntry {
          |u AS (
          |  SELECT source,
          |    CAST(floor((CAST(tf_s AS DOUBLE) / CAST(t_s AS DOUBLE)) *
-         |      round(ln(CAST(tf_s * t_c AS DOUBLE)
-         |        / CAST(t_s * tf_c AS DOUBLE)), 8)
+         |      round(ln((CAST(tf_s AS DOUBLE) * CAST(t_c AS DOUBLE))
+         |        / (CAST(t_s AS DOUBLE) * CAST(tf_c AS DOUBLE))), 8)
          |      * 1e6 + 0.5) AS BIGINT) AS u
          |  FROM st JOIN ct USING (term) JOIN ts USING (source)
          |  CROSS JOIN tc)
@@ -3564,9 +3565,9 @@ object SparkEntry {
          |wt AS (
          |  SELECT raw.f AS f,
          |    CAST(floor(round(ln(
-         |      CAST((coalesce(c_t, 0) + 1) * (t_r + $b) AS DOUBLE) /
-         |      CAST((t_t + $b) * (c_r + 1) AS DOUBLE)), 8) * 1e6 + 0.5)
-         |      AS BIGINT) AS u
+         |      (CAST(coalesce(c_t, 0) + 1 AS DOUBLE) * CAST(t_r + $b AS DOUBLE))
+         |      / (CAST(t_t + $b AS DOUBLE) * CAST(c_r + 1 AS DOUBLE))), 8)
+         |      * 1e6 + 0.5) AS BIGINT) AS u
          |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f CROSS JOIN tot)
          |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_feats,
          |  CAST(floor(CAST(sum(u) AS DOUBLE) / 100.0 + 0.5) AS BIGINT)

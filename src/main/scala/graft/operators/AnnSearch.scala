@@ -459,12 +459,15 @@ object AnnSearch {
     val tot = stats.agg(sum($"vnum").as("vnum_tot"))
     stats.crossJoin(broadcast(tot))
       .select($"dim",
-        // mean quantized via floor(+0.5) on s·1000/n (one correctly-
+        // mean quantized via floor(+0.5) on s·1000/n (ONE correctly-
         // rounded division of exact integers): s/n often TERMINATES at
         // exactly 6 decimals on round counts, and round()'s half-case
         // disagrees between the engines' decimal conversions — the
-        // integer quantization has no such boundary
-        (floor($"s".cast("double") * 1000.0 / $"n".cast("double") +
+        // integer quantization has no such boundary. The ×1000 happens
+        // in INTEGER space before the single double cast, matching the
+        // oracle's CAST(s*1000 AS DOUBLE)/n exactly — casting s first
+        // adds a second rounding that can flip the floor past 2^53.
+        (floor(($"s" * 1000).cast("double") / $"n".cast("double") +
           lit(0.5)).cast("long").cast("double") / 1e6).as("mean"),
         round($"vnum".cast("double") /
           ($"n" * $"n").cast("double") / 1e6, 6).as("variance"),

@@ -485,7 +485,9 @@ object CorpusOps {
     val total = tf.select(sum($"tf").as("total"))
     val lm = toks.join(tf, "term").crossJoin(broadcast(total))
       .select($"doc_id",
-        floor(log($"tf".cast("double") / $"total".cast("double")) * 1e6 + lit(0.5))
+        // round-8 before quantizing — pinned with q71's scoring chain
+        floor(round(log($"tf".cast("double") / $"total".cast("double")), 8)
+          * 1e6 + lit(0.5))
           .cast("long").as("u"))
       .groupBy($"doc_id").agg(sum($"u").as("units"), count(lit(1)).as("n"))
       .filter($"units" > lit(buildLogProbFloorUnits) * $"n") // exact ints
@@ -911,11 +913,16 @@ object CorpusOps {
       // correctly-rounded in either engine, and a 1-ulp disagreement on
       // a quantization boundary would flip the floor (caught by the
       // 10×-scale differential run; 8 decimals ≫ the 1e-6 grid, ≪ ulp
-      // disagreement bands)
+      // disagreement bands). Each factor casts to double BEFORE the
+      // multiply: BIGINT products tf_s·t_c overflow at the design scale
+      // (wrapping silently in non-ANSI Spark, raising in DuckDB), while
+      // double products are correctly rounded in both engines — and
+      // bit-identical to the integer path whenever the product < 2^53,
+      // so tested-SF hashes are unchanged.
       .select($"source",
         floor(($"tf_s".cast("double") / $"t_s".cast("double")) *
-          round(log(($"tf_s" * $"t_c").cast("double") /
-            ($"t_s" * $"tf_c").cast("double")), 8) * 1e6 + lit(0.5))
+          round(log(($"tf_s".cast("double") * $"t_c".cast("double")) /
+            ($"t_s".cast("double") * $"tf_c".cast("double"))), 8) * 1e6 + lit(0.5))
           .cast("long").as("u"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_terms"), sum($"u").as("units"))
@@ -961,13 +968,19 @@ object CorpusOps {
     // log-ratio units per feature: ln((c_t+1)·(T_r+B) / ((T_t+B)·(c_r+1)))
     // round-8 before quantizing: ln's 1-ulp cross-engine wobble must
     // not straddle the micro-unit floor (one boundary feature would
-    // shift every document containing it — 6 docs at sf0.1 before this)
+    // shift every document containing it — 6 docs at sf0.1 before this).
+    // Factors cast to double BEFORE the multiply: the BIGINT products
+    // overflow at the design scale (silent wrap in non-ANSI Spark,
+    // raise in DuckDB); double products are correctly rounded in both
+    // engines and bit-identical to the integer path below 2^53.
     val wtable = raw.join(tgt, Seq("f"), "left")
       .crossJoin(broadcast(totals))
       .select($"f",
         floor(round(log(
-          ((coalesce($"c_t", lit(0L)) + 1) * ($"t_r" + b)).cast("double") /
-            (($"t_t" + b) * ($"c_r" + 1)).cast("double")), 8) * 1e6 + lit(0.5))
+          ((coalesce($"c_t", lit(0L)) + 1).cast("double")
+            * ($"t_r" + b).cast("double")) /
+            (($"t_t" + b).cast("double") * ($"c_r" + 1).cast("double"))), 8)
+          * 1e6 + lit(0.5))
           .cast("long").as("u"))
     feats.join(broadcast(wtable), "f")
       .groupBy($"doc_id", $"lang")

@@ -372,8 +372,14 @@ object TextAnalysis {
       .select($"doc_id", explode(tokens($"text")).as("term"))
     val tf = toks.groupBy($"term").agg(count(lit(1)).as("tf"))
     val total = tf.select(sum($"tf").as("total"))
+    // ln rounded to 8 decimals before the 1e6 quantization: ln is not
+    // correctly-rounded in either engine, and a 1-ulp disagreement on a
+    // micro-unit boundary would flip the floor (the class the 10×-scale
+    // differential caught in q146/q147; same hardening applied here and
+    // in the q71/q145 oracles in lockstep)
     val unitCol = floor(
-      log($"tf".cast("double") / $"total".cast("double")) * 1e6 + lit(0.5))
+      round(log($"tf".cast("double") / $"total".cast("double")), 8)
+        * 1e6 + lit(0.5))
       .cast("long")
     toks.join(tf, "term")
       .crossJoin(broadcast(total))
@@ -407,8 +413,11 @@ object TextAnalysis {
       .select($"doc_id", $"lang", explode(tokens($"text")).as("term"))
     val tf = toks.groupBy($"term").agg(count(lit(1)).as("tf"))
     val total = tf.select(sum($"tf").as("total"))
+    // round-8 before quantizing, same as q71 (shared scoring chain —
+    // the two stay pinned together)
     val unitCol = floor(
-      log($"tf".cast("double") / $"total".cast("double")) * 1e6 + lit(0.5))
+      round(log($"tf".cast("double") / $"total".cast("double")), 8)
+        * 1e6 + lit(0.5))
       .cast("long")
     val scored = toks.join(tf, "term")
       .crossJoin(broadcast(total))
@@ -507,7 +516,9 @@ object TextAnalysis {
       .join(u2, "w2")
       .crossJoin(broadcast(total))
       .select($"doc_id",
-        floor(log(p) * 1e6 + lit(0.5)).cast("long").as("u"))
+        // p is exact-double-identical across engines (only +,×,/); ln is
+        // not — round-8 before quantizing, pinned with the q110 oracle
+        floor(round(log(p), 8) * 1e6 + lit(0.5)).cast("long").as("u"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"u").as("units"))
       .select($"doc_id", $"n_bigrams",
