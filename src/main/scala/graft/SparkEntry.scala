@@ -602,9 +602,9 @@ object SparkEntry {
 
     "q15_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-        |    AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS HUGEINT) *
+        |    (10000 - CAST(floor(l_discount * 10000 + 0.5) AS HUGEINT)))
+        |    AS DOUBLE) / 1e8 AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -624,7 +624,8 @@ object SparkEntry {
     "q17_hourly_counts" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(sum(CAST(floor(value * 10000 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e4 AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
@@ -926,7 +927,8 @@ object SparkEntry {
 
     "q44_suppliers_by_nation" ->
       """SELECT n_name, count(*) AS n_suppliers,
-        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+        |  CAST(sum(CAST(floor(s_acctbal * 10000 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e4 AS total_acctbal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
@@ -1181,7 +1183,8 @@ object SparkEntry {
     // salting changes only shuffle routing, never results → plain join SQL
     "q38_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(sum(CAST(floor(value * 10000 + 0.5) AS HUGEINT)) AS DOUBLE)
+        |    / 1e4 AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -1269,7 +1272,8 @@ object SparkEntry {
         |  CAST(grouping(n_name) AS BIGINT) AS g_nation,
         |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
         |  count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / 1e4 AS revenue
         |FROM j GROUP BY ROLLUP(n_name, o_orderpriority)
         |ORDER BY nation, priority""".stripMargin,
 
@@ -1603,11 +1607,11 @@ object SparkEntry {
     "q78_gap_fill" ->
       """WITH ev AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
-        |    CAST(value AS DECIMAL(18,4)) AS v
+        |    CAST(floor(value * 10000 + 0.5) AS HUGEINT) AS v
         |  FROM events),
         |agg AS (
         |  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n_events,
-        |    CAST(sum(v) AS DOUBLE) AS sv
+        |    CAST(sum(v) AS DOUBLE) / 1e4 AS sv
         |  FROM ev GROUP BY 1, 2),
         |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
         |spine AS (
@@ -2980,8 +2984,8 @@ object SparkEntry {
     // engine's ORC write→read cycle lossless (q46's contract, columnar)
     "q128_orc_roundtrip" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-        |    AS sum_price
+        |  CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS HUGEINT))
+        |    AS DOUBLE) / 1e4 AS sum_price
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 

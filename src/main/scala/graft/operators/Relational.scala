@@ -110,16 +110,28 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Money doubles → exact 1e4-unit integers, the q14 quantization every
+    * money aggregate shares: `floor(x·1e4 + 0.5)` is computed identically
+    * in both engines (one binary multiply + floor), where `CAST(double AS
+    * DECIMAL(18,4))` is NOT — Spark rounds the value's shortest decimal
+    * rendering HALF_UP while DuckDB rounds the binary value half-even,
+    * and any input whose rendering lands on a 4-dp half boundary flips
+    * (the class the sf0.1 differential caught on q14; round 8 retired
+    * every remaining decimal-cast money sum to this). */
+  private[graft] def u4(c: org.apache.spark.sql.Column) =
+    floor(c * 10000 + lit(0.5)).cast("long")
+
   /** TPC-H Q5-shaped multi-join revenue rollup: lineitem⋈orders (big-big,
     * sort-merge / shuffled-hash under AQE) then broadcast dims
-    * customer⋈nation⋈region. Dimension joins never reshuffle the fact. */
+    * customer⋈nation⋈region. Dimension joins never reshuffle the fact.
+    * Revenue is the exact integer product `price₄·(10⁴ − disc₄)` in 1e8
+    * units (q14's disc-price term), summed in DECIMAL(38,0). */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
       .select($"l_orderkey",
-        ($"l_extendedprice".cast("decimal(18,4)") *
-          (lit(1).cast("decimal(18,4)") - $"l_discount".cast("decimal(18,4)")))
-          .cast("decimal(28,8)").as("rev"))
+        (u4($"l_extendedprice") * (lit(10000L) - u4($"l_discount")))
+          .cast("decimal(38,0)").as("rev"))
     val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
     val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
     val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
@@ -129,7 +141,8 @@ object Relational {
       .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(sum($"rev").cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .agg((sum($"rev").cast("double") / 1e8).as("revenue"),
+        count(lit(1)).as("n_items"))
       .orderBy($"r_name", $"n_name")
   }
 
@@ -176,7 +189,8 @@ object Relational {
       .groupBy($"n_name")
       .agg(
         count(lit(1)).as("n_suppliers"),
-        sum($"s_acctbal".cast("decimal(18,4)")).cast("double").as("total_acctbal"))
+        (sum(u4($"s_acctbal").cast("decimal(38,0)")).cast("double") / 1e4)
+          .as("total_acctbal"))
       .orderBy($"n_name")
   }
 
@@ -189,7 +203,8 @@ object Relational {
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        sum($"value".cast("decimal(18,4)")).cast("double").as("sum_value"))
+        (sum(u4($"value").cast("decimal(38,0)")).cast("double") / 1e4)
+          .as("sum_value"))
       .select(
         date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         $"event_type", $"n_events", $"sum_value")
@@ -202,8 +217,9 @@ object Relational {
     * total in ONE pass — Spark plans `Expand` + a single hash aggregate,
     * so the fact shuffles once for all three grains instead of once per
     * grain. `grouping()` flags distinguish a subtotal row from a real
-    * 'ALL' value; sums are decimal-cast (associative, order-free) as
-    * everywhere else. Dim joins broadcast; the fact never reshuffles. */
+    * 'ALL' value; sums are exact [[u4]] integer units (associative,
+    * order-free) as everywhere else. Dim joins broadcast; the fact never
+    * reshuffles. */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
@@ -217,7 +233,8 @@ object Relational {
         grouping($"n_name").cast("long").as("g_nation"),
         grouping($"o_orderpriority").cast("long").as("g_priority"),
         count(lit(1)).as("n_orders"),
-        sum($"o_totalprice".cast("decimal(18,4)")).cast("double").as("revenue"))
+        (sum(u4($"o_totalprice").cast("decimal(38,0)")).cast("double") / 1e4)
+          .as("revenue"))
       .select(
         coalesce($"n_name", lit("ALL")).as("nation"),
         coalesce($"o_orderpriority", lit("ALL")).as("priority"),
@@ -303,9 +320,10 @@ object Relational {
     * broadcast min/max bounds), and the hour's running total carries the
     * last known value forward (`last(..., ignoreNulls)` window).
     *
-    * Engine-exact float discipline: hourly sums go through
-    * DECIMAL(18,4) (the q17 trick) so addition order cannot move an ulp;
-    * the fill then copies already-exact values. Scale shape: one
+    * Engine-exact float discipline: hourly sums go through [[u4]]
+    * integer 1e4-units (the q14 trick) so addition order cannot move an
+    * ulp and no decimal-cast half boundary exists; the fill then copies
+    * already-exact values. Scale shape: one
     * partial-agg shuffle on (type, hour); the spine is
     * O(types × hours) — tiny next to events — and the fill window
     * partitions per type over bounded hour counts (for per-entity fills
@@ -315,9 +333,10 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
       .select($"event_type", expr("unix_micros(ts) div 3600000000").as("h"),
-        $"value".cast("decimal(18,4)").as("v"))
+        u4($"value").cast("decimal(38,0)").as("v"))
     val agg = ev.groupBy($"event_type", $"h")
-      .agg(count(lit(1)).as("n_events"), sum($"v").cast("double").as("sv"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum($"v").cast("double") / 1e4).as("sv"))
     val bounds = ev.agg(min($"h").as("h0"), max($"h").as("h1"))
     val spine = ev.select($"event_type").distinct()
       .crossJoin(broadcast(bounds))

@@ -45,7 +45,8 @@ object SkewJoin {
     joined
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_events"),
-        sum($"value".cast("decimal(18,4)")).cast("double").as("sum_value"))
+        (sum(Relational.u4($"value").cast("decimal(38,0)")).cast("double")
+          / 1e4).as("sum_value"))
       .orderBy($"c_mktsegment")
   }
 }

@@ -15,21 +15,24 @@ import graft.Tables
 object ColumnarRoundTrip {
 
   /** ORC write + scan-back (zlib, Spark's built-in orc source), reduced
-    * to a per-priority aggregate. Decimal money columns survive as
-    * exact decimals; the final sum is cast to double only for display.
-    * Scale: both the write and the read are full-parallel columnar IO;
-    * the aggregate is partial-first. */
+    * to a per-priority aggregate. Money quantizes to exact integer
+    * 1e4-units BEFORE the write (the q14 pattern — a decimal cast of a
+    * double rounds its half boundaries differently per engine), survives
+    * the roundtrip as plain longs, and the final sum is cast to double
+    * only for display. Scale: both the write and the read are
+    * full-parallel columnar IO; the aggregate is partial-first. */
   def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = TmpNonce.scratchDir("graft-orc", dir).toString
     Tables.orders(spark, dir)
       .select($"o_orderkey", $"o_custkey", $"o_orderpriority",
-        $"o_totalprice".cast("decimal(18,4)").as("price"))
+        graft.operators.Relational.u4($"o_totalprice").as("price_u"))
       .write.mode("overwrite").orc(out)
     spark.read.orc(out)
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        sum($"price").cast("double").as("sum_price"))
+        (sum($"price_u".cast("decimal(38,0)")).cast("double") / 1e4)
+          .as("sum_price"))
       .orderBy($"o_orderpriority")
   }
 

@@ -23,7 +23,11 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window($"ts", windowLen), $"event_type")
       .agg(count(lit(1)).as("n_events"),
-        sum($"value".cast("decimal(18,4)")).as("sum_value"))
+        // q14 integer 1e4-units, same money discipline as the batch kit:
+        // a decimal cast of a double rounds half boundaries differently
+        // per engine, the quantized integer floor does not
+        (sum(graft.operators.Relational.u4($"value").cast("decimal(38,0)"))
+          .cast("double") / 1e4).as("sum_value"))
       .select($"window.start".as("window_start"), $"event_type",
         $"n_events", $"sum_value")
   }

@@ -12,7 +12,8 @@ class ColumnarRoundTripSpec extends SparkSpec {
     val direct = graft.Tables.orders(spark, sf)
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        sum($"o_totalprice".cast("decimal(18,4)")).cast("double").as("s"))
+        (sum(graft.operators.Relational.u4($"o_totalprice")
+          .cast("decimal(38,0)")).cast("double") / 1e4).as("s"))
       .orderBy($"o_orderpriority").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(viaOrc.toSeq === direct.toSeq)
