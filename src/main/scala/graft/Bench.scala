@@ -137,7 +137,8 @@ object Bench {
       def arr(f: BenchProbe.Snap => Long) =
         p.map(f).mkString("[", ",", "]")
       val probeJson = if (p.isEmpty) "" else
-        s""","task_ms":${arr(_.taskMs)},"compile_ms":${arr(_.compileMs)}""" +
+        s""","task_ms":${arr(_.taskMs)},"cpu_ms":${arr(_.cpuMs)}""" +
+          s""","compile_ms":${arr(_.compileMs)}""" +
           s""","fetch_ms":${arr(_.fetchMs)},"swrite_ms":${arr(_.swriteMs)}""" +
           s""","spill_mb":${arr(_.spillBytes / (1 << 20))}""" +
           s""","evict":${arr(_.evicted)},"bcast_rm":${arr(_.bcastRm)}"""

@@ -228,6 +228,7 @@ object SparkEntry {
     "q161_batch_novelty" -> ((s, d) => CorpusOps.batchNovelty(s, d)),
     "q162_pseudonymize" -> ((s, d) => Relational.pseudonymizeAudit(s, d)),
     "q163_ivf_probe_sweep" -> ((s, d) => AnnSearch.ivfProbeSweep(s, d)),
+    "q164_cluster_budget" -> ((s, d) => CorpusOps.clusterBudgetPlan(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————

@@ -379,6 +379,57 @@ object CorpusOps {
       .orderBy($"lang")
   }
 
+  /** CLUSTER-balanced token budget (q164) — the semantic-mixture step
+    * real pipelines run between dedup and packing (DoReMi / cluster-
+    * balanced selection): instead of allocating the training budget per
+    * LANGUAGE (q155), assign every document to a SEMANTIC cluster from
+    * the q69-trained IVF codebook and run the same α=0.5 temperature
+    * allocation per cluster — up-weighting rare semantic slices that a
+    * language key cannot see. Pure composition of proven parts: the
+    * q82 assignment shape (broadcast rounded-double centroids, map-side
+    * dot + argmax, lowest-cluster tie-break) feeding the q155 budget
+    * arithmetic (`target = ⌊budget · √T_c/Σ√T⌋`, floors of identical
+    * correctly-rounded doubles in both engines).
+    *
+    * Scale shape: training cost is q69's (M-step shuffles O(nlist×dim);
+    * the codebook collect is nlist×dim — the FAISS driver loop); the
+    * corpus-facing work is ONE map-side assignment pass against the
+    * BROADCAST codebook plus one tokenize, partial-aggregated straight
+    * to O(nlist) rows; scalar totals broadcast back. The corpus never
+    * shuffles — the same no-shuffle shape as q155 with a cluster key
+    * swapped in. */
+  def clusterBudgetPlan(spark: SparkSession, dir: String,
+                        budget: Long = mixBudgetTokens,
+                        nlist: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cents: Seq[Seq[Double]] =
+      AnnSearch.trainedCentroids(spark, dir, nlist, iters)
+    val centsCol = typedlit(cents)
+    val dots = transform(centsCol, c =>
+      aggregate(zip_with($"embedding", c, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x))
+    val assigned = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        array_position(dots, array_max(dots)).cast("long").as("cluster"))
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n"))
+    val tc = assigned.join(toks, $"vec_id" === $"doc_id")
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+    val tot = tc.select(sum(sqrt($"n_tokens".cast("double"))).as("sum_sq"))
+    tc.crossJoin(broadcast(tot))
+      .select($"cluster", $"n_docs", $"n_tokens",
+        round(sqrt($"n_tokens".cast("double")) / $"sum_sq", 6).as("weight"),
+        floor(lit(budget.toDouble) *
+          (sqrt($"n_tokens".cast("double")) / $"sum_sq")).cast("long")
+          .as("target_tokens"))
+      .withColumn("epochs",
+        round($"target_tokens".cast("double") /
+          $"n_tokens".cast("double"), 4))
+      .withColumn("oversampled", $"target_tokens" > $"n_tokens")
+      .orderBy($"cluster")
+  }
+
   /** Training-sequence length and prefix-sum bucket width for
     * [[sequencePack]], shared with the q73 oracle and spec. */
   val packSeqLen = 128
