@@ -4111,5 +4111,47 @@ object SparkEntry {
          |LEFT JOIN rc ON rc.nprobe = n.nprobe CROSS JOIN tot
          |ORDER BY n.nprobe""".stripMargin
     },
+
+    // cluster-balanced budget: the q82 trained-codebook assignment
+    // (rounded-double centroids, argmax tie → lowest cluster) feeding
+    // the q155 sqrt-temperature allocation with cluster as the key
+    "q164_cluster_budget" ->
+      s"""WITH $ivfTrainCtesSql,
+         |cv AS (
+         |  SELECT list_id,
+         |    list(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
+         |      ORDER BY dim) AS c
+         |  FROM m2 GROUP BY list_id),
+         |sc AS (
+         |  SELECT e.vec_id, cv.list_id,
+         |    list_sum(list_transform(range(1, len(e.embedding)+1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * cv.c[i])) AS score
+         |  FROM embeddings e CROSS JOIN cv),
+         |asg AS (
+         |  SELECT vec_id, list_id AS cluster FROM (
+         |    SELECT vec_id, list_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY score DESC, list_id) AS rn
+         |    FROM sc) z WHERE rn = 1),
+         |tk AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |tc AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM asg JOIN tk ON vec_id = doc_id GROUP BY cluster),
+         |tot AS (
+         |  SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS sum_sq FROM tc)
+         |SELECT cluster, n_docs, n_tokens,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq, 6) AS weight,
+         |  CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
+         |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS BIGINT)
+         |    AS target_tokens,
+         |  round(CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
+         |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE), 4) AS epochs,
+         |  CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
+         |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS BIGINT)
+         |    > n_tokens AS oversampled
+         |FROM tc CROSS JOIN tot ORDER BY cluster""".stripMargin,
   )
 }

@@ -393,24 +393,32 @@ object CorpusOps {
     *
     * Scale shape: training cost is q69's (M-step shuffles O(nlist×dim);
     * the codebook collect is nlist×dim — the FAISS driver loop); the
-    * corpus-facing work is ONE map-side assignment pass against the
-    * BROADCAST codebook plus one tokenize, partial-aggregated straight
-    * to O(nlist) rows; scalar totals broadcast back. The corpus never
-    * shuffles — the same no-shuffle shape as q155 with a cluster key
-    * swapped in. */
+    * corpus-facing work is one map-side assignment pass against the
+    * BROADCAST codebook, one tokenize, and ONE doc-keyed equi-join
+    * linking embeddings to token counts (both sides keyed by the doc id,
+    * so bucketing/co-partitioning by doc id makes it a zip at scale;
+    * here AQE broadcasts the tiny side), partial-aggregated straight to
+    * O(nlist) rows; scalar totals broadcast back. No Window anywhere. */
   def clusterBudgetPlan(spark: SparkSession, dir: String,
                         budget: Long = mixBudgetTokens,
                         nlist: Int = 16, iters: Int = 2): DataFrame = {
     import spark.implicits._
     val cents: Seq[Seq[Double]] =
       AnnSearch.trainedCentroids(spark, dir, nlist, iters)
+    require(cents.size == nlist,
+      s"trained codebook has ${cents.size} lists, expected $nlist")
     val centsCol = typedlit(cents)
-    val dots = transform(centsCol, c =>
-      aggregate(zip_with($"embedding", c, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x))
+    // q82's assignment verbatim: native codegen'd dot against each
+    // broadcast centroid; array_position takes the FIRST max = lowest
+    // cluster, matching the oracle's (score DESC, list_id) rank
+    val scores = transform(sequence(lit(1), lit(nlist)),
+      c => graft.functions.VectorFunctions.dot(
+        $"embedding", element_at(centsCol, c)))
     val assigned = Tables.embeddings(spark, dir)
+      .withColumn("scores", scores)
       .select($"vec_id",
-        array_position(dots, array_max(dots)).cast("long").as("cluster"))
+        array_position($"scores", array_max($"scores"))
+          .cast("long").as("cluster"))
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", size(tokens($"text")).cast("long").as("n"))
     val tc = assigned.join(toks, $"vec_id" === $"doc_id")

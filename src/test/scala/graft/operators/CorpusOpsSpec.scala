@@ -554,4 +554,52 @@ class CorpusOpsSpec extends SparkSpec {
     graft.CacheGuard.release()
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("clusterBudgetPlan: every doc allocated once; budget conserved; q155 arithmetic per cluster") {
+    import spark.implicits._
+    val rows = CorpusOps.clusterBudgetPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every embedded doc lands in exactly one cluster
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.embeddings(spark, sf).count())
+    // floor allocation: never over budget, and the total shortfall is
+    // bounded by one token per cluster (each floor loses < 1)
+    val allocated = rows.map(_.getAs[Long]("target_tokens")).sum
+    assert(allocated <= CorpusOps.mixBudgetTokens)
+    assert(CorpusOps.mixBudgetTokens - allocated < rows.length,
+      s"allocated $allocated of ${CorpusOps.mixBudgetTokens}")
+    // weights normalize (up to 6-dp display rounding)
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-4)
+    // token mass equals the corpus total for the embedded docs
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(totalTokens === Tables.documents(spark, sf)
+      .join(Tables.embeddings(spark, sf), $"doc_id" === $"vec_id")
+      .select(sum(size(graft.functions.TextFunctions.tokens($"text"))
+        .cast("long"))).head().getLong(0))
+    // per-row q155 formula replay + the α=0.5 temperature guarantee:
+    // each cluster's weight sits between its natural and uniform share
+    rows.foreach { r =>
+      val (t, tgt) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"))
+      assert(r.getAs[Double]("epochs") ===
+        BigDecimal(tgt.toDouble / t).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Boolean]("oversampled") === (tgt > t))
+      val natural = t.toDouble / totalTokens
+      val uniform = 1.0 / rows.length
+      val w = r.getAs[Double]("weight")
+      assert(w >= math.min(natural, uniform) - 1e-6,
+        s"cluster ${r.getAs[Long]("cluster")}")
+      assert(w <= math.max(natural, uniform) + 1e-6,
+        s"cluster ${r.getAs[Long]("cluster")}")
+    }
+  }
+
+  test("clusterBudgetPlan: assignment is map-side against the broadcast codebook — the corpus never shuffles before the O(nlist) rollup") {
+    val plan = CorpusOps.clusterBudgetPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    // no sort-merge join anywhere: the doc-token join hashes on the
+    // already-tiny assigned relation or broadcasts, and no Window exists
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("WindowExec"), plan.take(3000))
+  }
 }
