@@ -229,6 +229,7 @@ object SparkEntry {
     "q162_pseudonymize" -> ((s, d) => Relational.pseudonymizeAudit(s, d)),
     "q163_ivf_probe_sweep" -> ((s, d) => AnnSearch.ivfProbeSweep(s, d)),
     "q164_cluster_budget" -> ((s, d) => CorpusOps.clusterBudgetPlan(s, d)),
+    "q165_media_capstone" -> ((s, d) => Multimodal.mediaCorpusAudit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4153,5 +4154,73 @@ object SparkEntry {
          |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS BIGINT)
          |    > n_tokens AS oversampled
          |FROM tc CROSS JOIN tot ORDER BY cluster""".stripMargin,
+
+    // media capstone: the corpus (base + seeded payload copies + seeded
+    // truncated blobs) and every stage verdict recomputed from the
+    // generation laws alone — a wrong decode, gate, or election breaks
+    // the hash without the oracle touching a codec
+    "q165_media_capstone" -> {
+      import Multimodal.{capstoneDupMod => dm, capstoneCorruptMod => cm,
+        capstoneDupOffset => doff, capstoneCorruptOffset => coff,
+        capstoneGateLo => lo, capstoneGateHi => hi}
+      s"""WITH d AS (
+         |  SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |m0 AS (
+         |  SELECT doc_id AS base_id, doc_id AS media_id, true AS ok FROM d
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + $doff, true FROM d WHERE doc_id % $dm = 0
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + $coff, false FROM d
+         |  WHERE doc_id % $cm = 0),
+         |g AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) AS g
+         |  FROM d),
+         |feat AS (
+         |  SELECT m0.media_id,
+         |    CASE WHEN base_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         |    m0.ok AS decode_ok,
+         |    CASE WHEN m0.ok AND base_id % 2 = 0
+         |      THEN 1 + base_id % 8 ELSE -1 END AS width,
+         |    CASE WHEN m0.ok AND base_id % 2 = 0
+         |      THEN 1 + base_id % 5 ELSE -1 END AS height,
+         |    CAST(CASE WHEN m0.ok AND base_id % 2 = 0
+         |      THEN list_sum(list_transform(range(0, 1 + base_id % 5), y ->
+         |        list_sum(list_transform(range(0, 1 + base_id % 8), x ->
+         |          (3*x + 5*y + g.g) % 256))))
+         |      ELSE -1 END AS BIGINT) AS pixel_sum,
+         |    CASE WHEN m0.ok AND base_id % 2 = 1
+         |      THEN 16 + base_id % 32 ELSE -1 END AS n_frames,
+         |    CAST(CASE WHEN m0.ok AND base_id % 2 = 1
+         |      THEN list_sum(list_transform(range(0, 16 + base_id % 32), i ->
+         |        (7*i + g.g) % 256))
+         |      ELSE -1 END AS BIGINT) AS sample_sum
+         |  FROM m0 JOIN g ON g.doc_id = m0.base_id),
+         |gated AS (
+         |  SELECT *,
+         |    decode_ok AND
+         |      $lo * (CASE WHEN kind = 'image' THEN width * height
+         |                  ELSE n_frames END)
+         |        <= (CASE WHEN kind = 'image' THEN pixel_sum
+         |                 ELSE sample_sum END) AND
+         |      (CASE WHEN kind = 'image' THEN pixel_sum
+         |            ELSE sample_sum END)
+         |        < $hi * (CASE WHEN kind = 'image' THEN width * height
+         |                      ELSE n_frames END) AS gate_ok
+         |  FROM feat),
+         |grp AS (
+         |  SELECT kind, width, height, pixel_sum, n_frames, sample_sum,
+         |    min(media_id) AS keeper_id,
+         |    CAST(count(*) AS BIGINT) AS n_copies
+         |  FROM gated WHERE gate_ok
+         |  GROUP BY 1, 2, 3, 4, 5, 6)
+         |SELECT f.media_id, f.kind, f.decode_ok, f.gate_ok,
+         |  coalesce(grp.n_copies, -1) AS n_copies,
+         |  coalesce(grp.keeper_id, -1) AS keeper_id,
+         |  f.gate_ok AND f.media_id = coalesce(grp.keeper_id, -1) AS kept
+         |FROM gated f LEFT JOIN grp USING (kind, width, height, pixel_sum,
+         |  n_frames, sample_sum)
+         |ORDER BY f.media_id""".stripMargin
+    },
   )
 }

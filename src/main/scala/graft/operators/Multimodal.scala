@@ -297,6 +297,118 @@ object Multimodal {
       .orderBy($"q_id")
   }
 
+  /** q165 corpus-capstone knobs, shared with the oracle and spec: every
+    * `dupMod`-th document is seeded with an exact PAYLOAD COPY at
+    * `media_id + dupOffset` (the near-dup stage's ground truth) and every
+    * `corruptMod`-th with a TRUNCATED payload at `media_id +
+    * corruptOffset` (first 8 bytes — a valid magic prefix no codec can
+    * decode; the quality gate's ground truth). The decoded-mean gate
+    * keeps rows with `gateLo ≤ mean decoded value < gateHi`, compared in
+    * EXACT integer space (`gateLo·n ≤ sum < gateHi·n`). */
+  val capstoneDupMod = 9L
+  val capstoneCorruptMod = 13L
+  val capstoneDupOffset = 200000L
+  val capstoneCorruptOffset = 400000L
+  val capstoneGateLo = 32L
+  val capstoneGateHi = 224L
+
+  /** Decoded row for the capstone: feature columns double as the dedup
+    * key (−1 sentinels for not-applicable / undecodable, q30's
+    * convention). Public, not private: whole-stage codegen compiles
+    * accessor calls against this class with Janino, which rejects
+    * members of a private nested class (the fallback would silently run
+    * the decode audit interpreted). */
+  case class MediaDecoded(media_id: Long, kind: String,
+                          decode_ok: Boolean,
+                          width: Long, height: Long, pixel_sum: Long,
+                          n_frames: Long, sample_sum: Long)
+
+  /** MULTIMODAL CORPUS CAPSTONE (q165) — the q76 pipeline for media: the
+    * full pre-training media-curation chain as ONE relation. Stages:
+    *
+    *   1. DECODE through the real codecs (`ImageIO`/`AudioSystem`,
+    *      mapPartitions lifecycle); undecodable payloads survive as
+    *      `decode_ok = false` rows — a corrupt blob must never kill the
+    *      job (the permissive-mode contract, S1's bad-line counter
+    *      applied to media);
+    *   2. QUALITY-GATE on decoded statistics: mean decoded value inside
+    *      `[gateLo, gateHi)`, compared as exact integers
+    *      (`lo·n ≤ sum < hi·n`) so both engines cut identically — the
+    *      raster/PCM bounds check (all-black / clipped-silence filter) a
+    *      media pipeline runs before training;
+    *   3. NEAR-DUP in DECODED space: group gate-survivors by their
+    *      decoded feature tuple — two different containers of the same
+    *      content dedup together, which byte-level hashing cannot do;
+    *   4. KEEPER ELECTION: min media_id per group (q18's deterministic
+    *      representative), `kept = gate_ok ∧ media_id = keeper_id`.
+    *
+    * Every generation law is SQL-expressible, so the oracle recomputes
+    * the whole pipeline — including which seeded copies collapse and
+    * which corrupt rows the gate drops — without touching a codec.
+    *
+    * Scale shape: ONE decode pass over the corpus (mapPartitions, codec
+    * init per partition, payloads never enter codegen); the dedup is one
+    * feature-keyed partial-aggregated shuffle (groups are O(distinct
+    * contents)); the audit join is key-equi on the same columns — the
+    * exact q18 shape with decoded features as the fingerprint. No
+    * Window, no self-join, nothing quadratic. */
+  def mediaCorpusAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decoded = Tables.documents(spark, dir)
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        def dec(mediaId: Long, baseId: Long, payload: Array[Byte]): MediaDecoded = {
+          val kind = if (baseId % 2 == 0) "image" else "audio"
+          try {
+            if (kind == "image") {
+              val (w, h, sum) = decodePng(payload)
+              MediaDecoded(mediaId, kind, decode_ok = true,
+                w.toLong, h.toLong, sum, -1L, -1L)
+            } else {
+              val (n, _, samples) = decodeWav(payload)
+              MediaDecoded(mediaId, kind, decode_ok = true,
+                -1L, -1L, -1L, n, samples.map(_.toLong).sum)
+            }
+          } catch { case _: Throwable =>
+            MediaDecoded(mediaId, kind, decode_ok = false,
+              -1L, -1L, -1L, -1L, -1L)
+          }
+        }
+        it.flatMap { case (id, text) =>
+          val payload =
+            if (id % 2 == 0) renderPng(id, text) else renderWav(id, text)
+          Iterator(dec(id, id, payload)) ++
+            (if (id % capstoneDupMod == 0)
+              Iterator(dec(id + capstoneDupOffset, id, payload))
+            else Iterator.empty) ++
+            (if (id % capstoneCorruptMod == 0)
+              Iterator(dec(id + capstoneCorruptOffset, id, payload.take(8)))
+            else Iterator.empty)
+        }
+      }
+      .toDF()
+    val n = when($"kind" === "image", $"width" * $"height")
+      .otherwise($"n_frames")
+    val vsum = when($"kind" === "image", $"pixel_sum")
+      .otherwise($"sample_sum")
+    val gated = decoded.withColumn("gate_ok",
+      $"decode_ok" && lit(capstoneGateLo) * n <= vsum &&
+        vsum < lit(capstoneGateHi) * n)
+    val key = Seq("kind", "width", "height", "pixel_sum",
+      "n_frames", "sample_sum")
+    val groups = gated.filter($"gate_ok")
+      .groupBy(key.map(col): _*)
+      .agg(min($"media_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+    gated.join(groups, key, "left")
+      .select($"media_id", $"kind", $"decode_ok", $"gate_ok",
+        coalesce($"n_copies", lit(-1L)).as("n_copies"),
+        coalesce($"keeper_id", lit(-1L)).as("keeper_id"),
+        ($"gate_ok" && $"media_id" === $"keeper_id").as("kept"))
+      .orderBy($"media_id")
+  }
+
   /** Frame sampling over the DECODED audio stream: parse the WAV, then
     * fan the PCM samples into fixed-size frames with per-frame sample
     * sums — the windowing an audio featurizer (MFCC, VAD) consumes.

@@ -140,4 +140,47 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
     assert(!plan.contains("Window"), plan.take(2000))
   }
+
+  test("mediaCorpusAudit: seeded corrupt rows fail decode, seeded copies collapse, election is exact") {
+    import spark.implicits._
+    val rows = Multimodal.mediaCorpusAudit(spark, sf).collect()
+    val byId = rows.map(r => r.getAs[Long]("media_id") -> r).toMap
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val ids = graft.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().sorted
+    // corpus composition: base + one copy per dupMod + one corrupt per corruptMod
+    assert(rows.length === nDocs +
+      ids.count(_ % Multimodal.capstoneDupMod == 0) +
+      ids.count(_ % Multimodal.capstoneCorruptMod == 0))
+    // every seeded corrupt row fails decode THROUGH the real codec path
+    ids.filter(_ % Multimodal.capstoneCorruptMod == 0).foreach { id =>
+      val r = byId(id + Multimodal.capstoneCorruptOffset)
+      assert(!r.getAs[Boolean]("decode_ok") && !r.getAs[Boolean]("gate_ok")
+        && !r.getAs[Boolean]("kept") && r.getAs[Long]("n_copies") === -1L)
+    }
+    // every seeded copy shares its base's verdict; when both pass the
+    // gate they land in the same group and the BASE (lower id) wins
+    ids.filter(_ % Multimodal.capstoneDupMod == 0).foreach { id =>
+      val (b, c) = (byId(id), byId(id + Multimodal.capstoneDupOffset))
+      assert(b.getAs[Boolean]("gate_ok") === c.getAs[Boolean]("gate_ok"))
+      if (b.getAs[Boolean]("gate_ok")) {
+        assert(c.getAs[Long]("keeper_id") === b.getAs[Long]("keeper_id"))
+        assert(b.getAs[Long]("n_copies") >= 2L)
+        assert(!c.getAs[Boolean]("kept"))
+      }
+    }
+    // the gate does real work: both verdicts occur among decodable rows
+    val decodable = rows.filter(_.getAs[Boolean]("decode_ok"))
+    assert(decodable.exists(_.getAs[Boolean]("gate_ok")))
+    assert(decodable.exists(!_.getAs[Boolean]("gate_ok")))
+    // election: kept ⟺ gate_ok ∧ keeper of own group; keepers unique per group
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("kept") ===
+        (r.getAs[Boolean]("gate_ok") &&
+          r.getAs[Long]("media_id") === r.getAs[Long]("keeper_id")))
+    }
+    val keepers = rows.filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("keeper_id"))
+    assert(keepers.distinct.length === keepers.length)
+  }
 }
