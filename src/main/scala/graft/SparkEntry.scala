@@ -230,6 +230,8 @@ object SparkEntry {
     "q163_ivf_probe_sweep" -> ((s, d) => AnnSearch.ivfProbeSweep(s, d)),
     "q164_cluster_budget" -> ((s, d) => CorpusOps.clusterBudgetPlan(s, d)),
     "q165_media_capstone" -> ((s, d) => Multimodal.mediaCorpusAudit(s, d)),
+    "q166_curate_stream" -> ((s, d) =>
+      graft.streaming.CuratePipeline.curateReplayBatch(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4221,6 +4223,38 @@ object SparkEntry {
          |FROM gated f LEFT JOIN grp USING (kind, width, height, pixel_sum,
          |  n_frames, sample_sum)
          |ORDER BY f.media_id""".stripMargin
+    },
+
+    // streaming-pipeline replay: q94's sequential-gate theorem (a Bloom
+    // position is set for d iff an earlier doc hashes to it) extended by
+    // the stateless quality cut — the curated table the stream appends
+    "q166_curate_stream" -> {
+      import graft.streaming.BloomGate
+      import graft.streaming.CuratePipeline.{minTokens, maxTokens}
+      s"""WITH docs AS (
+         |  SELECT source, doc_id, $fpSql AS fp,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT source, doc_id + 100000, $fpSql,
+         |    CAST(len($toksSql) AS BIGINT)
+         |  FROM documents),
+         |pos AS (
+         |  SELECT source, doc_id, fp, n_tokens,
+         |    ${h32("fp || '#' || r.j")} % ${BloomGate.mBits} AS pos
+         |  FROM docs CROSS JOIN range(0, ${BloomGate.kHashes}) r(j)),
+         |fs AS (SELECT source, pos, min(doc_id) AS first_doc
+         |       FROM pos GROUP BY 1, 2),
+         |cov AS (
+         |  SELECT p.source, p.doc_id, p.fp, p.n_tokens,
+         |    sum(CASE WHEN f.first_doc < p.doc_id THEN 1 ELSE 0 END) AS n_cov
+         |  FROM pos p JOIN fs f ON f.source = p.source AND f.pos = p.pos
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_id, source, fp, n_tokens
+         |FROM cov
+         |WHERE n_cov < ${BloomGate.kHashes}
+         |  AND n_tokens >= $minTokens AND n_tokens < $maxTokens
+         |ORDER BY doc_id""".stripMargin
     },
   )
 }
