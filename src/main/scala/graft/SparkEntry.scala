@@ -232,6 +232,7 @@ object SparkEntry {
     "q165_media_capstone" -> ((s, d) => Multimodal.mediaCorpusAudit(s, d)),
     "q166_curate_stream" -> ((s, d) =>
       graft.streaming.CuratePipeline.curateReplayBatch(s, d)),
+    "q167_bm25_rank" -> ((s, d) => CorpusOps.bm25Rank(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4255,6 +4256,40 @@ object SparkEntry {
          |WHERE n_cov < ${BloomGate.kHashes}
          |  AND n_tokens >= $minTokens AND n_tokens < $maxTokens
          |ORDER BY doc_id""".stripMargin
+    },
+    "q167_bm25_rank" -> {
+      val qvals = CorpusOps.bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH qt(query_id, term) AS (VALUES $qvals),
+         |lens AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(dl) AS BIGINT) AS t FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents) z
+         |  WHERE term IN (SELECT term FROM qt)
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY term),
+         |s AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(floor(
+         |      round(ln(CAST(2*n+2 AS DOUBLE) / CAST(2*df+1 AS DOUBLE)), 8)
+         |      * ((44.0 * CAST(t AS DOUBLE) * CAST(tf AS DOUBLE))
+         |        / (20.0 * CAST(t AS DOUBLE) * CAST(tf AS DOUBLE)
+         |          + 6.0 * CAST(t AS DOUBLE)
+         |          + 18.0 * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)))
+         |      * 1e4 + 0.5) AS BIGINT) AS u
+         |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+         |  JOIN lens USING (doc_id) CROSS JOIN tot),
+         |agg AS (SELECT query_id, doc_id, CAST(sum(u) AS BIGINT) AS score_u4
+         |        FROM s GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_u4 DESC, doc_id) AS BIGINT) AS rk FROM agg)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score_u4
+         |FROM r WHERE rk <= ${CorpusOps.bm25K}
+         |ORDER BY query_id, rk""".stripMargin
     },
   )
 }

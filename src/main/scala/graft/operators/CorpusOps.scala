@@ -1054,6 +1054,90 @@ object CorpusOps {
       .orderBy($"doc_id")
   }
 
+  /** Probe queries for [[bm25Rank]] as (query_id, term) pairs, shared
+    * with the q167 oracle and spec. Terms drawn from the synthetic
+    * corpus vocabulary so every query matches a non-trivial posting. */
+  val bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "spark"), (1L, "join"),
+    (2L, "window"), (2L, "agg"),
+    (3L, "vector"), (3L, "stream"), (3L, "filter"),
+    (4L, "customer"), (4L, "query"))
+  val bm25K = 5
+
+  /** BM25 ranked retrieval over the corpus (Robertson–Spärck Jones;
+    * k1 = 1.2, b = 0.75): per probe query, the top-k documents by
+    * summed per-term BM25 — the lexical-retrieval half of a RAG /
+    * eval-harness stack next to the embedding retrievers (q22/q53),
+    * and the ranking complement of q50's unnormalized TF-IDF.
+    *
+    * Exact-arithmetic form: with integer corpus totals N (docs) and
+    * T (tokens), avgdl = T/N, so the tf saturation term
+    * `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` is the integer rational
+    * `44·T·tf / (20·T·tf + 6·T + 18·dl·N)` (×20T in num and den), and
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)) = ln((2N+2)/(2df+1)). The ln is
+    * rounded to 8 decimals BEFORE quantization (the q146/q147 1-ulp
+    * discipline) and each per-term score lands as an integer in 1e-4
+    * units via `floor(x·1e4 + 0.5)`; the per-document score is then an
+    * EXACT integer sum and ranking never compares floats. Rational
+    * factors are cast to double BEFORE multiplying — the BIGINT
+    * products overflow at the design scale (silent wrap in non-ANSI
+    * Spark, raise in DuckDB); double products are correctly rounded in
+    * both engines and bit-identical to the integer path below 2^53
+    * (the q147 lesson).
+    *
+    * Scale shape: tokens explode ONCE with the document length carried
+    * THROUGH the explode as a grouping key (dl is functionally
+    * dependent on doc_id, so tf's cardinality is unchanged and the
+    * doc-keyed length join a naive plan would pay — shuffling the
+    * whole O(docs) length relation — never exists). The probe-term
+    * `isin` filter sits UNDER the tf aggregate, so only matching
+    * postings shuffle: the exchange carries O(docs containing a probe
+    * term), not the corpus token stream. df (O(probe terms)), the
+    * query map, and the (N, T) totals all broadcast. The per-query
+    * ranking pre-reduces through the bounded [[graft.functions.TopK]]
+    * aggregate — partial top-k per map partition, O(parts × queries ×
+    * k) across the exchange, never a corpus-sized `row_number` window
+    * (that window is the oracle's job, not the engine's). */
+  def bm25Rank(spark: SparkSession, dir: String,
+               queries: Seq[(Long, String)] = bm25Queries,
+               k: Int = bm25K): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tot = docs.agg(count(lit(1)).as("n"),
+      sum(size(tokens($"text")).cast("long")).as("t"))
+    val terms = queries.map(_._2).distinct
+    val qt = queries.toDF("query_id", "term")
+    val tf = docs
+      .select($"doc_id", tokens($"text").as("tk"))
+      .select($"doc_id", size($"tk").cast("long").as("dl"),
+        explode($"tk").as("term"))
+      .filter($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val perTerm = tf
+      .join(broadcast(qt), "term")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(tot))
+      .select($"query_id", $"doc_id",
+        floor(
+          round(log((lit(2L) * $"n" + 2L).cast("double") /
+            (lit(2L) * $"df" + 1L).cast("double")), 8) *
+            ((lit(44.0) * $"t".cast("double") * $"tf".cast("double")) /
+              (lit(20.0) * $"t".cast("double") * $"tf".cast("double") +
+                lit(6.0) * $"t".cast("double") +
+                lit(18.0) * $"dl".cast("double") * $"n".cast("double"))) *
+            lit(1e4) + lit(0.5)).cast("long").as("u"))
+    val scored = perTerm.groupBy($"query_id", $"doc_id")
+      .agg(sum($"u").as("score_u4"))
+    scored.groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(k)(
+        $"score_u4".cast("double"), $"doc_id").as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rk"),
+        $"col.vec_id".as("doc_id"), $"col.cos_sim".cast("long").as("score_u4"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** Vocabulary size for [[tokenizerFertility]], shared with the q134
     * oracle and spec. */
   val fertilityVocab = 256

@@ -602,4 +602,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
     assert(!plan.contains("WindowExec"), plan.take(3000))
   }
+
+  test("bm25Rank: exact replay of the k1=1.2/b=0.75 rational form; ranking and tie-break deterministic") {
+    val rows = CorpusOps.bm25Rank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver-side replay from raw tokens
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = docs.length.toLong
+    val t = docs.map(_._2.length.toLong).sum
+    val tfm = docs.flatMap { case (id, tk) =>
+      tk.groupBy(identity).map { case (w, g) => (id, w, g.length.toLong, tk.length.toLong) }
+    }
+    val dfm = tfm.groupBy(_._2).map { case (w, g) => w -> g.length.toLong }
+    def u(tf: Long, df: Long, dl: Long): Long = {
+      val idf = BigDecimal(math.log((2 * n + 2).toDouble / (2 * df + 1).toDouble))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val frac = (44.0 * t * tf) / (20.0 * t * tf + 6.0 * t + 18.0 * dl * n)
+      math.floor(idf * frac * 1e4 + 0.5).toLong
+    }
+    val expect = CorpusOps.bm25Queries.groupBy(_._1).map { case (q, qt) =>
+      val terms = qt.map(_._2).toSet
+      val scores = tfm.filter(x => terms(x._2))
+        .groupBy(_._1)
+        .map { case (id, g) => id -> g.map(x => u(x._3, dfm(x._2), x._4)).sum }
+      q -> scores.toSeq.sortBy { case (id, s) => (-s, id) }
+        .take(CorpusOps.bm25K)
+    }
+    rows.foreach { r =>
+      val (q, rk) = (r.getAs[Long]("query_id"), r.getAs[Long]("rk"))
+      val (eid, es) = expect(q)(rk.toInt - 1)
+      assert(r.getAs[Long]("doc_id") === eid, s"q$q rk$rk")
+      assert(r.getAs[Long]("score_u4") === es, s"q$q rk$rk")
+    }
+    assert(rows.length === expect.values.map(_.length).sum)
+  }
+
+  test("bm25Rank: ranking pre-reduces through the bounded top-k aggregate — no Window, no corpus-keyed SortMergeJoin") {
+    val plan = CorpusOps.bm25Rank(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }
