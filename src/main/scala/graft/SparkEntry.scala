@@ -233,6 +233,7 @@ object SparkEntry {
     "q166_curate_stream" -> ((s, d) =>
       graft.streaming.CuratePipeline.curateReplayBatch(s, d)),
     "q167_bm25_rank" -> ((s, d) => CorpusOps.bm25Rank(s, d)),
+    "q168_quality_floor" -> ((s, d) => TextAnalysis.sourceQualityFloor(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4291,5 +4292,37 @@ object SparkEntry {
          |FROM r WHERE rk <= ${CorpusOps.bm25K}
          |ORDER BY query_id, rk""".stripMargin
     },
+    "q168_quality_floor" ->
+      s"""WITH t AS (SELECT source, text, $toksSql AS tk FROM documents),
+         |sc AS (
+         |  SELECT source,
+         |    CAST(floor(round(CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
+         |        (CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |          / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
+         |      END, 4) * 1e4 + 0.5) AS BIGINT) AS u
+         |  FROM t),
+         |freq AS (SELECT source, u, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM sc GROUP BY source, u),
+         |cum AS (
+         |  SELECT source, u, cnt,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY u) AS cum,
+         |    sum(cnt) OVER (PARTITION BY source) AS n
+         |  FROM freq),
+         |thr AS (
+         |  SELECT source, min(u) AS thr_u4, CAST(max(n) AS BIGINT) AS n_docs
+         |  FROM cum
+         |  WHERE cum * 100 >= n * ${TextAnalysis.floorQuantilePct}
+         |  GROUP BY source),
+         |agg AS (
+         |  SELECT f.source, max(t.thr_u4) AS thr_u4, max(t.n_docs) AS n_docs,
+         |    CAST(sum(CASE WHEN f.u >= t.thr_u4 THEN f.cnt ELSE 0 END)
+         |      AS BIGINT) AS n_kept
+         |  FROM freq f JOIN thr t USING (source) GROUP BY f.source)
+         |SELECT source, n_docs, thr_u4, n_kept,
+         |  n_docs - n_kept AS n_dropped,
+         |  round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+         |    AS kept_rate
+         |FROM agg ORDER BY source""".stripMargin,
   )
 }

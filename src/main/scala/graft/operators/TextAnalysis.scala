@@ -812,4 +812,61 @@ object TextAnalysis {
         round(avg($"n_chars".cast("double")), 4).as("avg_chars"))
       .orderBy($"host")
   }
+
+  /** Quantile rank (in percent) for [[sourceQualityFloor]]'s per-source
+    * threshold, shared with the q168 oracle and spec. */
+  val floorQuantilePct = 25
+
+  /** Per-SOURCE adaptive quality floor — the "every domain keeps its
+    * best 75%" gate (FineWeb/CCNet filter per dump/domain with
+    * per-partition thresholds, because one global cutoff either guts
+    * clean sources or passes everything from dirty ones): per source,
+    * the discrete p25 of the q26 quality score, and the keep/drop mass
+    * that floor induces. The threshold table (O(sources) rows) is the
+    * production artifact — at 100 TB it broadcasts back into the
+    * per-document keep filter, the q61-style broadcast-gate shape.
+    *
+    * The quantile is EXACT without any per-group sort: scores land on
+    * the integer 1e-4 grid ([[qualityExpr]] rounds to 4 decimals, so
+    * `floor(q·1e4 + 0.5)` recovers the grid point losslessly), one
+    * (source, unit)-keyed aggregation builds the value-frequency
+    * table, and the cumulative window runs over THAT — O(sources ×
+    * distinct scores) rows, never the corpus (the q84 two-phase rank
+    * discipline; contrast `percentile` whose per-group state is the
+    * group itself, q68's documented swap-to-sketch). threshold =
+    * smallest grid value with cumulative count ≥ ⌈q·n⌉ — pure integer
+    * comparisons end to end, so the hash match is exact by
+    * construction, not by rounding luck. */
+  def sourceQualityFloor(spark: SparkSession, dir: String,
+                         pct: Int = floorQuantilePct): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val freq = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop", stopwordCount(toks, stopwords).cast("long"))
+      .select($"source",
+        floor(qualityExpr($"n_tokens", $"n_stop") * 1e4 + lit(0.5))
+          .cast("long").as("u"))
+      .groupBy($"source", $"u").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"u")
+    val cum = freq
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+    val thr = cum
+      .filter($"cum" * 100 >= $"n" * pct)
+      .groupBy($"source").agg(min($"u").as("thr_u4"), max($"n").as("n_docs"))
+    freq.join(thr, "source")
+      .groupBy($"source")
+      .agg(
+        max($"thr_u4").as("thr_u4"),
+        max($"n_docs").as("n_docs"),
+        sum(when($"u" >= $"thr_u4", $"cnt").otherwise(0L)).as("n_kept"))
+      .select($"source", $"n_docs", $"thr_u4", $"n_kept",
+        ($"n_docs" - $"n_kept").as("n_dropped"),
+        round($"n_kept".cast("double") / $"n_docs".cast("double"), 4)
+          .as("kept_rate"))
+      .orderBy($"source")
+  }
 }

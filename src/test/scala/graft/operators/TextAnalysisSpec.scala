@@ -511,4 +511,44 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_chars") > 0.0)
     }
   }
+
+  test("sourceQualityFloor: threshold is the discrete p25 of the per-source score; keep/drop mass replays") {
+    val rows = TextAnalysis.sourceQualityFloor(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver-side replay: per-source score units from q26's own output
+    val units = TextAnalysis.qualityScore(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "source"), "doc_id")
+      .select(col("source"),
+        floor(col("quality") * 1e4 + lit(0.5)).cast("long").as("u"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.length === units.size)
+    rows.foreach { r =>
+      val us = units(r.getAs[String]("source"))
+      val n = us.length
+      // smallest grid value whose cumulative count reaches ceil(pct·n/100)
+      val need = (n * TextAnalysis.floorQuantilePct + 99) / 100
+      val thr = us(need - 1) // sorted: the need-th smallest IS that value
+      assert(r.getAs[Long]("n_docs") === n.toLong)
+      assert(r.getAs[Long]("thr_u4") === thr, r.getAs[String]("source"))
+      val kept = us.count(_ >= thr).toLong
+      assert(r.getAs[Long]("n_kept") === kept)
+      assert(r.getAs[Long]("n_dropped") === n - kept)
+      // the floor keeps at least (100-pct)% of every source
+      assert(kept * 100L >= (100L - TextAnalysis.floorQuantilePct) * n)
+    }
+  }
+
+  test("sourceQualityFloor: windows run over the value-frequency table, never the corpus — every window input is pre-aggregated") {
+    val plan = TextAnalysis.sourceQualityFloor(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized relation reaches only HashAggregate (the freq
+    // build); each Window sits ABOVE that aggregate in the plan, so its
+    // input is O(sources × distinct grid values)
+    assert(plan.contains("Window"), plan.take(2000))
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(aggIdx >= 0)
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }
