@@ -234,6 +234,7 @@ object SparkEntry {
       graft.streaming.CuratePipeline.curateReplayBatch(s, d)),
     "q167_bm25_rank" -> ((s, d) => CorpusOps.bm25Rank(s, d)),
     "q168_quality_floor" -> ((s, d) => TextAnalysis.sourceQualityFloor(s, d)),
+    "q169_source_overlap" -> ((s, d) => DedupOps.sourceOverlapMatrix(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4324,5 +4325,26 @@ object SparkEntry {
          |  round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
          |    AS kept_rate
          |FROM agg ORDER BY source""".stripMargin,
+    "q169_source_overlap" ->
+      s"""WITH corpus AS (
+         |  SELECT source, $fpSql AS fp FROM documents
+         |  UNION ALL
+         |  SELECT 'src' || CAST((CAST(substr(source, 4) AS INT) + 1) % 20
+         |      AS VARCHAR) AS source, $fpSql AS fp
+         |  FROM documents
+         |  WHERE doc_id % ${DedupOps.overlapMirrorStride} = 0),
+         |d AS (SELECT DISTINCT source, fp FROM corpus),
+         |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_fps
+         |       FROM d GROUP BY source),
+         |pr AS (SELECT a.fp, a.source AS src_a, b.source AS src_b
+         |       FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source),
+         |ag AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM pr GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared, pa.n_fps AS fps_a, pb.n_fps AS fps_b,
+         |  round(CAST(n_shared AS DOUBLE)
+         |    / CAST(pa.n_fps + pb.n_fps - n_shared AS DOUBLE), 4) AS jaccard
+         |FROM ag JOIN ps pa ON ag.src_a = pa.source
+         |         JOIN ps pb ON ag.src_b = pb.source
+         |ORDER BY src_a, src_b""".stripMargin,
   )
 }

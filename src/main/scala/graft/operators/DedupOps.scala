@@ -1019,4 +1019,66 @@ object DedupOps {
           .as("frac_affected"))
       .orderBy($"threshold")
   }
+
+  /** Mirror stride for [[sourceOverlapMatrix]]'s seeded fixture, shared
+    * with the q169 oracle and spec: every doc with `doc_id % 7 == 0`
+    * re-appears under the cyclically NEXT source. */
+  val overlapMirrorStride = 7
+
+  /** Cross-SOURCE duplication matrix — "which sources mirror each
+    * other": for every source pair sharing at least one exact
+    * fingerprint, the shared-fingerprint count and the Jaccard overlap
+    * of the two sources' fingerprint sets. This is the dedup PRIORITY
+    * artifact a corpus team reads before scheduling cross-source dedup
+    * (Common Crawl dumps overlap massively dump-to-dump; mirrors and
+    * aggregators reproduce whole feeds) — q18 tells you how many
+    * copies exist, this tells you WHERE they concentrate.
+    *
+    * The driver corpus has no cross-source duplicates by construction
+    * (verified), so the fixture seeds its own ground truth, the
+    * q165/q166 convention: every `doc_id % 7 == 0` document re-appears
+    * (new doc_id) under the cyclically next source, giving each
+    * adjacent source pair a KNOWN overlap the spec replays exactly.
+    *
+    * Scale shape: one fingerprint-keyed aggregate collapses each fp to
+    * its distinct source SET (state bounded by |sources|, the set, not
+    * the corpus — same bound as q10's distinct-collect); the pair
+    * fan-out per fp is C(|sources with fp|, 2), and a boilerplate fp
+    * present in THOUSANDS of domains would fan quadratically — at that
+    * scale the set is capped before expansion (the q159
+    * `Guards.capHotKeys` discipline: boilerplate shared by every
+    * domain carries no pair-specific signal). Per-source totals are
+    * O(sources) and broadcast into the Jaccard. */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"source", $"text")
+    val mirrored = base
+      .filter($"doc_id" % overlapMirrorStride === 0)
+      .select(($"doc_id" + 200000L).as("doc_id"),
+        concat(lit("src"),
+          ((substring($"source", 4, 10).cast("int") + 1) % 20).cast("string"))
+          .as("source"),
+        $"text")
+    val corpus = base.unionByName(mirrored)
+      .select($"source", fingerprint($"text").as("fp"))
+    val bySrc = corpus.distinct()
+    val perSource = bySrc.groupBy($"source").agg(count(lit(1)).as("n_fps"))
+    val pairs = bySrc
+      .groupBy($"fp").agg(collect_set($"source").as("ss"))
+      .filter(size($"ss") > 1)
+      .select($"fp", explode($"ss").as("src_a"), $"ss")
+      .select($"fp", $"src_a", explode($"ss").as("src_b"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(perSource.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_fps", "fps_a")), "src_a")
+      .join(broadcast(perSource.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n_fps", "fps_b")), "src_b")
+      .select($"src_a", $"src_b", $"n_shared", $"fps_a", $"fps_b",
+        round($"n_shared".cast("double") /
+          ($"fps_a" + $"fps_b" - $"n_shared").cast("double"), 4)
+          .as("jaccard"))
+      .orderBy($"src_a", $"src_b")
+  }
 }

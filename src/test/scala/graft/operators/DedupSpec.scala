@@ -591,4 +591,44 @@ class DedupSpec extends SparkSpec {
     assert(at1.getAs[Long]("n_pairs") >= n)
     assert(at1.getAs[Double]("frac_affected") === 1.0)
   }
+
+  test("sourceOverlapMatrix: exactly the seeded cyclic pairs, with counts replaying the mirror slice") {
+    val rows = DedupOps.sourceOverlapMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ground truth: distinct fps of the doc_id % stride slice per source
+    val slice = Tables.documents(spark, sf)
+      .filter(col("doc_id") % DedupOps.overlapMirrorStride === 0)
+      .select(col("source"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    // every emitted pair is a seeded cyclic neighbor pair (no other
+    // cross-source dup exists in the driver corpus)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val (ka, kb) = (a.drop(3).toInt, b.drop(3).toInt)
+      val cyclic = (ka + 1) % 20 == kb || (kb + 1) % 20 == ka
+      assert(cyclic, s"unexpected pair $a-$b")
+      // the mirror donor is the cyclic PREDECESSOR in the pair
+      val donor = if ((ka + 1) % 20 == kb) a else b
+      assert(r.getAs[Long]("n_shared") === slice(donor).toLong, s"$a-$b")
+      // jaccard bounded and consistent with the reported set sizes
+      val (fa, fb, sh) = (r.getAs[Long]("fps_a"), r.getAs[Long]("fps_b"),
+        r.getAs[Long]("n_shared"))
+      assert(sh <= math.min(fa, fb))
+      assert(r.getAs[Double]("jaccard") ===
+        BigDecimal(sh.toDouble / (fa + fb - sh)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // every source with a non-empty mirror slice produces its pair
+    assert(rows.length === slice.count(_._2 > 0))
+  }
+
+  test("sourceOverlapMatrix: the fp rollup is one aggregate with set state bounded by |sources| — no fp self-join, no window") {
+    val plan = DedupOps.sourceOverlapMatrix(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("WindowExec"), plan.take(3000))
+  }
 }
