@@ -235,6 +235,7 @@ object SparkEntry {
     "q167_bm25_rank" -> ((s, d) => CorpusOps.bm25Rank(s, d)),
     "q168_quality_floor" -> ((s, d) => TextAnalysis.sourceQualityFloor(s, d)),
     "q169_source_overlap" -> ((s, d) => DedupOps.sourceOverlapMatrix(s, d)),
+    "q170_cluster_silhouette" -> ((s, d) => AnnSearch.clusterSilhouette(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4346,5 +4347,47 @@ object SparkEntry {
          |FROM ag JOIN ps pa ON ag.src_a = pa.source
          |         JOIN ps pb ON ag.src_b = pb.source
          |ORDER BY src_a, src_b""".stripMargin,
+    "q170_cluster_silhouette" ->
+      s"""WITH $ivfTrainCtesSql,
+         |cv AS (
+         |  SELECT list_id,
+         |    list(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
+         |      ORDER BY dim) AS c
+         |  FROM m2 GROUP BY list_id),
+         |cc AS (SELECT list_id,
+         |         list_sum(list_transform(c, x -> x * x)) AS cc FROM cv),
+         |ev AS (SELECT vec_id, embedding,
+         |         list_sum(list_transform(embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ee
+         |       FROM embeddings),
+         |sc AS (
+         |  SELECT ev.vec_id, cv.list_id, ev.ee,
+         |    list_sum(list_transform(range(1, len(ev.embedding)+1),
+         |      i -> CAST(ev.embedding[i] AS DOUBLE) * cv.c[i])) AS dot
+         |  FROM ev CROSS JOIN cv),
+         |d AS (
+         |  SELECT vec_id, list_id, (ee - 2.0 * dot) + cc AS dist,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dot DESC, list_id) AS rn
+         |  FROM sc JOIN cc USING (list_id)),
+         |own AS (SELECT vec_id, list_id AS cluster, dist AS a
+         |        FROM d WHERE rn = 1),
+         |oth AS (
+         |  SELECT d.vec_id, min(d.dist) AS b
+         |  FROM d JOIN own ON d.vec_id = own.vec_id
+         |    AND d.list_id <> own.cluster
+         |  GROUP BY d.vec_id),
+         |s AS (
+         |  SELECT own.cluster,
+         |    CAST(floor(round(CASE WHEN greatest(a, b) <= 0 THEN 0.0
+         |        ELSE (b - a) / greatest(a, b) END, 8) * 1e6 + 0.5)
+         |      AS BIGINT) AS u,
+         |    CASE WHEN b < a THEN 1 ELSE 0 END AS neg
+         |  FROM own JOIN oth USING (vec_id))
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(neg) AS BIGINT) AS n_misassigned,
+         |  CAST(floor(CAST(sum(u) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+         |    AS mean_sil_u6
+         |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin,
   )
 }

@@ -1076,4 +1076,62 @@ object AnnSearch {
         round($"n_overlap".cast("double") / k.toDouble, 4))
       .orderBy($"q_id")
   }
+
+  /** Cluster-quality audit for the q69-trained codebook — the "should I
+    * trust these clusters" report read BEFORE the codebook drives
+    * retrieval (q35/q163) or budget allocation (q164): per cluster, a
+    * centroid-silhouette on squared Euclidean distance. For each vector,
+    * `a` = distance to its ASSIGNED centroid (the production argmax-dot
+    * assignment, q82 verbatim), `b` = distance to the nearest OTHER
+    * centroid, s = (b−a)/max(a,b) ∈ [−1, 1]; the report rolls up vector
+    * count, mean s, and how many vectors sit strictly closer to a
+    * foreign centroid (`n_misassigned` — inner-product assignment and
+    * L2 proximity disagree exactly where cluster radii are uneven,
+    * which is what this audit exists to surface).
+    *
+    * Distances decompose as ‖e‖² − 2·e·c + ‖c‖², so the per-vector work
+    * is the SAME native dot products the assignment already computes
+    * (one extra self-dot), against the broadcast codebook — map-side
+    * only, no corpus×nlist explode; the rollup is one cluster-keyed
+    * aggregation to O(nlist) rows. Per-vector s is quantized to integer
+    * micro-units AFTER an 8-decimal round (the q146 ln discipline
+    * applied to the division), so the cluster means are integer sums
+    * divided once — the oracle's extra join topology cannot perturb
+    * them. */
+  def clusterSilhouette(spark: SparkSession, dir: String,
+                        nlist: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cents = trainedCentroids(spark, dir, nlist, iters)
+    require(cents.size == nlist,
+      s"trained codebook has ${cents.size} lists, expected $nlist")
+    val centsCol = typedlit(cents)
+    // ‖c‖² per centroid, summed dim-order like the oracle's list_sum
+    val ccCol = typedlit(cents.map(c => c.foldLeft(0.0)((s, x) => s + x * x)))
+    val dots = transform(sequence(lit(1), lit(nlist)),
+      c => graft.functions.VectorFunctions.dot(
+        $"embedding", element_at(centsCol, c)))
+    Tables.embeddings(spark, dir)
+      .withColumn("dots", dots)
+      .withColumn("ee", graft.functions.VectorFunctions.dot(
+        $"embedding", $"embedding"))
+      .withColumn("own", array_position($"dots", array_max($"dots"))
+        .cast("int"))
+      .withColumn("dists", transform(sequence(lit(1), lit(nlist)),
+        c => $"ee" - lit(2.0) * element_at($"dots", c) + element_at(ccCol, c)))
+      .withColumn("a", element_at($"dists", $"own"))
+      .withColumn("b", array_min(transform(sequence(lit(1), lit(nlist)),
+        c => when(c === $"own", lit(Double.PositiveInfinity))
+          .otherwise(element_at($"dists", c)))))
+      .select($"own".cast("long").as("cluster"),
+        floor(round(when(greatest($"a", $"b") <= 0, 0.0)
+          .otherwise(($"b" - $"a") / greatest($"a", $"b")), 8) * 1e6
+          + lit(0.5)).cast("long").as("u"),
+        when($"b" < $"a", 1L).otherwise(0L).as("neg"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"neg").as("n_misassigned"),
+        floor(sum($"u").cast("double") / count(lit(1)).cast("double")
+          + lit(0.5)).cast("long").as("mean_sil_u6"))
+      .orderBy($"cluster")
+  }
 }

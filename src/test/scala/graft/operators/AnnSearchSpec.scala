@@ -506,4 +506,54 @@ class AnnSearchSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("clusterSilhouette: driver-side replay of a/b/s per vector; mass and misassignment exact") {
+    val nlist = 16
+    val rows = AnnSearch.clusterSilhouette(spark, sf, nlist).collect()
+    assert(rows.nonEmpty)
+    val cents = AnnSearch.trainedCentroids(spark, sf, nlist)
+    val cc = cents.map(c => c.foldLeft(0.0)((s, x) => s + x * x))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    case class Cell(var n: Long = 0L, var neg: Long = 0L, var sum: Long = 0L)
+    val cells = collection.mutable.Map[Long, Cell]()
+    vecs.foreach { case (_, e) =>
+      val ed = e.map(_.toDouble)
+      val ee = ed.foldLeft(0.0)((s, x) => s + x * x)
+      val dots = cents.map(c =>
+        c.indices.foldLeft(0.0)((s, i) => s + ed(i) * c(i)))
+      val own = dots.indexOf(dots.max) // first max = lowest cluster
+      val dists = dots.indices.map(i => (ee - 2.0 * dots(i)) + cc(i))
+      val a = dists(own)
+      val b = dists.indices.filter(_ != own).map(dists).min
+      val s0 = if (math.max(a, b) <= 0) 0.0 else (b - a) / math.max(a, b)
+      val u = math.floor(BigDecimal(s0).setScale(8,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6 + 0.5).toLong
+      val cell = cells.getOrElseUpdate(own + 1L, Cell())
+      cell.n += 1; cell.sum += u; if (b < a) cell.neg += 1
+    }
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === vecs.length.toLong)
+    rows.foreach { r =>
+      val c = cells(r.getAs[Long]("cluster"))
+      assert(r.getAs[Long]("n_vecs") === c.n)
+      assert(r.getAs[Long]("n_misassigned") === c.neg)
+      assert(r.getAs[Long]("mean_sil_u6") ===
+        math.floor(c.sum.toDouble / c.n + 0.5).toLong)
+      // silhouette mean stays in the legal band
+      assert(math.abs(r.getAs[Long]("mean_sil_u6")) <= 1000000L)
+    }
+    // the audit has signal on this corpus: some cluster reports
+    // misassigned vectors OR a sub-perfect mean
+    assert(rows.exists(r => r.getAs[Long]("n_misassigned") > 0 ||
+      r.getAs[Long]("mean_sil_u6") < 1000000L))
+  }
+
+  test("clusterSilhouette: map-side against the broadcast codebook — no window, no join on the corpus side") {
+    val plan = AnnSearch.clusterSilhouette(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
