@@ -236,6 +236,7 @@ object SparkEntry {
     "q168_quality_floor" -> ((s, d) => TextAnalysis.sourceQualityFloor(s, d)),
     "q169_source_overlap" -> ((s, d) => DedupOps.sourceOverlapMatrix(s, d)),
     "q170_cluster_silhouette" -> ((s, d) => AnnSearch.clusterSilhouette(s, d)),
+    "q171_cluster_purity" -> ((s, d) => AnnSearch.clusterPurity(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4389,5 +4390,51 @@ object SparkEntry {
          |  CAST(floor(CAST(sum(u) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
          |    AS mean_sil_u6
          |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "q171_cluster_purity" ->
+      s"""WITH $ivfTrainCtesSql,
+         |cv AS (
+         |  SELECT list_id,
+         |    list(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
+         |      ORDER BY dim) AS c
+         |  FROM m2 GROUP BY list_id),
+         |sc AS (
+         |  SELECT e.vec_id, cv.list_id,
+         |    list_sum(list_transform(range(1, len(e.embedding)+1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * cv.c[i])) AS score
+         |  FROM embeddings e CROSS JOIN cv),
+         |asg AS (
+         |  SELECT vec_id, list_id AS cluster FROM (
+         |    SELECT vec_id, list_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY score DESC, list_id) AS rn
+         |    FROM sc) z WHERE rn = 1),
+         |cells AS (
+         |  SELECT cluster, lang, CAST(count(*) AS BIGINT) AS n_cell
+         |  FROM asg JOIN documents d ON asg.vec_id = d.doc_id
+         |  GROUP BY cluster, lang),
+         |cx AS (
+         |  SELECT cluster, lang, n_cell,
+         |    sum(n_cell) OVER (PARTITION BY cluster) AS n,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_cell DESC, lang) AS rk
+         |  FROM cells),
+         |hx AS (
+         |  SELECT cluster, lang, n_cell, n, rk,
+         |    CAST(floor(round(
+         |      -(CAST(n_cell AS DOUBLE) / CAST(n AS DOUBLE)) *
+         |        ln(CAST(n_cell AS DOUBLE) / CAST(n AS DOUBLE)), 8) * 1e6
+         |      + 0.5) AS BIGINT) AS h_u6
+         |  FROM cx),
+         |agg AS (
+         |  SELECT cluster, CAST(max(n) AS BIGINT) AS n_vecs,
+         |    max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+         |    max(CASE WHEN rk = 1 THEN n_cell END) AS n_top,
+         |    CAST(sum(h_u6) AS BIGINT) AS entropy_u6
+         |  FROM hx GROUP BY cluster)
+         |SELECT cluster, n_vecs, top_lang, n_top,
+         |  CAST(floor(CAST(n_top AS DOUBLE) / CAST(n_vecs AS DOUBLE) * 1e4
+         |    + 0.5) AS BIGINT) AS purity_u4,
+         |  entropy_u6
+         |FROM agg ORDER BY cluster""".stripMargin,
   )
 }

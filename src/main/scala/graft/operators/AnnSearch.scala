@@ -1134,4 +1134,64 @@ object AnnSearch {
           + lit(0.5)).cast("long").as("mean_sil_u6"))
       .orderBy($"cluster")
   }
+
+  /** Cluster↔label agreement audit — the SEMANTIC complement of q170's
+    * geometric silhouette: per trained cluster, the majority language,
+    * its purity, and the label entropy. High-entropy clusters mix
+    * languages (the codebook split on topic, not language — usually
+    * fine); a low-purity cluster that q164 then up-weights is how a
+    * budget plan silently skews a language mix, which is why this
+    * report precedes cluster-balanced allocation.
+    *
+    * Scale shape: the corpus pays the q82 map-side assignment plus ONE
+    * doc-keyed equi-join to the language column (the q164 join; zip at
+    * scale under co-partitioning) and collapses straight to the
+    * (cluster, lang) contingency table — O(nlist × langs) rows.
+    * Everything after (majority election via a window, entropy) runs
+    * on that tiny relation only. Entropy terms are per-CELL quantized
+    * (round-8 ln then micro-unit floor, the q146 discipline) and
+    * summed as integers, so the cluster entropy is exact given the
+    * cell counts. */
+  def clusterPurity(spark: SparkSession, dir: String,
+                    nlist: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cents = trainedCentroids(spark, dir, nlist, iters)
+    require(cents.size == nlist,
+      s"trained codebook has ${cents.size} lists, expected $nlist")
+    val centsCol = typedlit(cents)
+    val scores = transform(sequence(lit(1), lit(nlist)),
+      c => graft.functions.VectorFunctions.dot(
+        $"embedding", element_at(centsCol, c)))
+    val assigned = Tables.embeddings(spark, dir)
+      .withColumn("scores", scores)
+      .select($"vec_id",
+        array_position($"scores", array_max($"scores"))
+          .cast("long").as("cluster"))
+    val cells = assigned
+      .join(Tables.documents(spark, dir)
+        .select($"doc_id", $"lang"), $"vec_id" === $"doc_id")
+      .groupBy($"cluster", $"lang").agg(count(lit(1)).as("n_cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster").orderBy($"n_cell".desc, $"lang".asc)
+    cells
+      .withColumn("n", sum($"n_cell").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster")))
+      .withColumn("rk", row_number().over(w))
+      // -p·ln(p) per cell in micro-nats, integer thereafter
+      .withColumn("h_u6", floor(round(
+        -($"n_cell".cast("double") / $"n".cast("double")) *
+          log($"n_cell".cast("double") / $"n".cast("double")), 8) * 1e6
+        + lit(0.5)).cast("long"))
+      .groupBy($"cluster")
+      .agg(
+        max($"n").as("n_vecs"),
+        max(when($"rk" === 1, $"lang")).as("top_lang"),
+        max(when($"rk" === 1, $"n_cell")).as("n_top"),
+        sum($"h_u6").as("entropy_u6"))
+      .select($"cluster", $"n_vecs", $"top_lang", $"n_top",
+        floor($"n_top".cast("double") / $"n_vecs".cast("double") * 1e4
+          + lit(0.5)).cast("long").as("purity_u4"),
+        $"entropy_u6")
+      .orderBy($"cluster")
+  }
 }

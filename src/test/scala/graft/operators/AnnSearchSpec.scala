@@ -549,6 +549,56 @@ class AnnSearchSpec extends SparkSpec {
       r.getAs[Long]("mean_sil_u6") < 1000000L))
   }
 
+  test("clusterPurity: contingency replay — purity and entropy recompose from the per-cluster language histogram") {
+    val rows = AnnSearch.clusterPurity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild the (cluster, lang) histogram from the engine's own
+    // assignment primitives
+    val cents = AnnSearch.trainedCentroids(spark, sf, 16)
+    val langs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hist = collection.mutable.Map[(Long, String), Long]()
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .foreach { r =>
+        val ed = r.getSeq[Float](1).map(_.toDouble)
+        val dots = cents.map(c =>
+          c.indices.foldLeft(0.0)((s, i) => s + ed(i) * c(i)))
+        val cl = dots.indexOf(dots.max) + 1L
+        val k = (cl, langs(r.getLong(0)))
+        hist(k) = hist.getOrElse(k, 0L) + 1L
+      }
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === hist.values.sum)
+    rows.foreach { r =>
+      val cl = r.getAs[Long]("cluster")
+      val cells = hist.collect { case ((c, l), n) if c == cl => (l, n) }.toSeq
+      val n = cells.map(_._2).sum
+      // majority election with (count desc, lang asc) tie-break
+      val (topLang, nTop) = cells.sortBy { case (l, c) => (-c, l) }.head
+      assert(r.getAs[Long]("n_vecs") === n)
+      assert(r.getAs[String]("top_lang") === topLang, s"cluster $cl")
+      assert(r.getAs[Long]("n_top") === nTop)
+      assert(r.getAs[Long]("purity_u4") ===
+        math.floor(nTop.toDouble / n * 1e4 + 0.5).toLong)
+      val h = cells.map { case (_, c) =>
+        val p = c.toDouble / n
+        math.floor(BigDecimal(-p * math.log(p)).setScale(8,
+          BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6 + 0.5).toLong
+      }.sum
+      assert(r.getAs[Long]("entropy_u6") === h, s"cluster $cl")
+      // a one-language cluster has zero entropy and full purity; mixed
+      // clusters have positive entropy
+      if (cells.size == 1) {
+        assert(r.getAs[Long]("entropy_u6") === 0L)
+        assert(r.getAs[Long]("purity_u4") === 10000L)
+      } else assert(r.getAs[Long]("entropy_u6") > 0L)
+    }
+    // the synthetic corpus mixes languages inside semantic clusters —
+    // the audit must show at least one impure cluster
+    assert(rows.exists(_.getAs[Long]("purity_u4") < 10000L))
+  }
+
   test("clusterSilhouette: map-side against the broadcast codebook — no window, no join on the corpus side") {
     val plan = AnnSearch.clusterSilhouette(spark, sf)
       .queryExecution.executedPlan.toString
