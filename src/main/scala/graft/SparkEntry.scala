@@ -1317,12 +1317,13 @@ object SparkEntry {
         |    list_transform(embedding,
         |      x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS q
         |  FROM t)
-        |SELECT vec_id, round(scale, 4) AS scale,
+        |SELECT vec_id,
+        |  CAST(floor(scale * 1e4 + 0.5) AS BIGINT) AS scale_u4,
         |  list_max(list_transform(q, l -> abs(l))) AS max_level,
-        |  round(list_sum(list_transform(range(1, len(embedding) + 1),
+        |  CAST(floor(list_sum(list_transform(range(1, len(embedding) + 1),
         |      i -> (CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) / scale)
         |         * (CAST(embedding[i] AS DOUBLE) - CAST(q[i] AS DOUBLE) / scale)))
-        |    / len(embedding), 8) AS mse
+        |    / len(embedding) * 1e8 + 0.5) AS BIGINT) AS mse_u8
         |FROM u ORDER BY vec_id""".stripMargin,
 
     // the HLL sketch replayed step-for-step in SQL: same md5-32 hash

@@ -210,7 +210,16 @@ object AnnSearch {
     * Rounding is `floor(x + 0.5)` explicitly: Java and C round() diverge
     * on negative halves, floor-plus-half is bit-identical in both
     * engines. Zero-norm vectors (scale undefined) pass through flagged
-    * with null scale rather than poisoning the batch with NaN. */
+    * with null scale rather than poisoning the batch with NaN.
+    *
+    * The audit columns are INTEGER units (`scale_u4` in 1e-4, `mse_u8`
+    * in 1e-8), quantized `floor(x·1eN + 0.5)` — an IEEE multiply+floor
+    * both engines compute bit-identically. The former `round(mse, 8)`
+    * double hit the sf1 probe's first real divergence: one vector's raw
+    * MSE landed exactly on the 3.85e-7 half boundary, where Spark's
+    * BigDecimal HALF_UP (via the shortest decimal repr) says 3.9e-7 and
+    * DuckDB's numeric path says 3.8e-7 — the q158 decimal-conversion
+    * class, closed here the same way as the round-8 money retirement. */
   def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
@@ -227,11 +236,12 @@ object AnnSearch {
     withScale
       .withColumn("q", q)
       .select($"vec_id",
-        round($"scale", 4).as("scale"),
+        floor($"scale" * 1e4 + lit(0.5)).cast("long").as("scale_u4"),
         array_max(transform($"q", l => abs(l))).as("max_level"),
-        round(
+        floor(
           aggregate(sqErr, lit(0.0), (acc, x) => acc + x) /
-            size($"embedding").cast("double"), 8).as("mse"))
+            size($"embedding").cast("double") * 1e8 + lit(0.5))
+          .cast("long").as("mse_u8"))
       .orderBy($"vec_id")
   }
 

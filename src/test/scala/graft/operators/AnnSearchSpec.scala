@@ -189,11 +189,12 @@ class AnnSearchSpec extends SparkSpec {
     out.foreach { r =>
       // symmetric scaling maps max|x| exactly to ±127; no level overflows
       assert(r.getAs[Long]("max_level") === 127L)
-      assert(r.getAs[Double]("scale") > 0.0)
+      assert(r.getAs[Long]("scale_u4") > 0L)
       // SQ8 step is amax/127, per-dim error ≤ half a step; for unit-ish
-      // random vectors mse stays far below 1e-3
-      val mse = r.getAs[Double]("mse")
-      assert(mse >= 0.0 && mse < 1e-3, s"vec ${r.getAs[Long]("vec_id")} mse=$mse")
+      // random vectors mse stays far below 1e-3 (1e5 in 1e-8 units)
+      val mse = r.getAs[Long]("mse_u8")
+      assert(mse >= 0L && mse < 100000L,
+        s"vec ${r.getAs[Long]("vec_id")} mse_u8=$mse")
     }
   }
 
