@@ -132,7 +132,8 @@ object Bench {
       // per-rep attribution arrays (see BenchProbe): task_ms is executor
       // work (wall ≈ task_ms/cores when the cluster is busy), compile_ms
       // is driver-side codegen, fetch/swrite are shuffle I/O stalls,
-      // spill_mb execution spill, evict/bcast_rm block-removal activity
+      // spill_mb execution spill, evict/bcast_rm block-removal activity,
+      // recompute barrier re-materializations, jit_ms HotSpot compile time
       val p = r.probe
       def arr(f: BenchProbe.Snap => Long) =
         p.map(f).mkString("[", ",", "]")
@@ -141,7 +142,8 @@ object Bench {
           s""","compile_ms":${arr(_.compileMs)}""" +
           s""","fetch_ms":${arr(_.fetchMs)},"swrite_ms":${arr(_.swriteMs)}""" +
           s""","spill_mb":${arr(_.spillBytes / (1 << 20))}""" +
-          s""","evict":${arr(_.evicted)},"bcast_rm":${arr(_.bcastRm)}"""
+          s""","evict":${arr(_.evicted)},"bcast_rm":${arr(_.bcastRm)}""" +
+          s""","recompute":${arr(_.recompute)},"jit_ms":${arr(_.jitMs)}"""
       s"${jstr(r.name)}:{" + s""""sec":${r.sec},"ok":${r.ok},"err":""" +
         r.err.map(jstr).getOrElse("null") +
         s""","secs":${r.secs.mkString("[", ",", "]")}""" +

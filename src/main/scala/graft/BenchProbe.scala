@@ -30,6 +30,19 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, Spa
   *   - `bcast_rm` — broadcast blocks removed during the window: the
   *     ContextCleaner-activity signal (a GC-triggered cleanup storm
   *     inside a rep stalls the scheduler on the cleanup lock).
+  *   - `recompute` — cache-barrier blocks RE-materialized during the
+  *     window: a block stored again after having been removed. This is
+  *     exactly the evict-then-silently-recompute path that round 8's
+  *     q126 burned 18 s of real `cpu_ms` on while gc/spill/steal/
+  *     compile all read clean — the in-process CPU-inflation mechanism
+  *     none of the other gauges can attribute. Detected as a per-block
+  *     state machine over block-status updates (stored → removed →
+  *     stored again = one recompute); a memory→disk demotion keeps the
+  *     block valid and does NOT count.
+  *   - `jit_ms` — HotSpot JIT total compilation time (CompilationMXBean)
+  *     spent during the window. Late-suite deopt/recompile storms are
+  *     the OTHER way a rep burns real CPU that Janino `compile_ms`
+  *     (driver codegen only) cannot see.
   *
   * All gauges are cumulative atomics sampled before/after each rep, with
   * the listener bus DRAINED at both edges ([[GraftBusBridge]]) so the
@@ -44,6 +57,13 @@ final class BenchProbe extends SparkListener {
   private val spillBytes = new AtomicLong
   private val evicted = new AtomicLong
   private val bcastRm = new AtomicLong
+  private val recomputes = new AtomicLong
+  // blockId name -> currently stored? Entries accumulate for the process
+  // lifetime (one per distinct cached block ever seen; a full 171-query
+  // suite creates a few tens of thousands — bounded, since released
+  // barriers get fresh RDD ids and their old entries go quiet).
+  private val blockStored =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
@@ -61,9 +81,26 @@ final class BenchProbe extends SparkListener {
     val i = e.blockUpdatedInfo
     // an invalid storage level on an update = the block was removed
     if (!i.storageLevel.isValid) {
-      if (i.blockId.isRDD) evicted.incrementAndGet()
-      else if (i.blockId.isBroadcast) bcastRm.incrementAndGet()
+      if (i.blockId.isRDD) {
+        evicted.incrementAndGet()
+        blockStored.put(i.blockId.name, java.lang.Boolean.FALSE)
+      } else if (i.blockId.isBroadcast) bcastRm.incrementAndGet()
+    } else if (i.blockId.isRDD) {
+      // valid update: first store (absent), demotion/update of a live
+      // block (TRUE — not a recompute), or a re-store after removal
+      // (FALSE — the task just re-ran the barrier's subtree)
+      val prev = blockStored.put(i.blockId.name, java.lang.Boolean.TRUE)
+      if (prev != null && !prev.booleanValue()) recomputes.incrementAndGet()
     }
+  }
+
+  /** Cumulative HotSpot JIT compilation milliseconds (all compiler
+    * threads). Monotone when supported; 0 on JVMs without the gauge. */
+  private def jitMillis(): Long = {
+    val b = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (b != null && b.isCompilationTimeMonitoringSupported)
+      b.getTotalCompilationTime
+    else 0L
   }
 
   /** Drain the bus, then read every gauge. `SPARK_GRAFT_NO_DRAIN=1`
@@ -76,7 +113,7 @@ final class BenchProbe extends SparkListener {
       GraftBusBridge.flushListenerBus(sc)
     BenchProbe.Snap(taskMs.get, cpuMs.get, gcTaskMs.get, fetchMs.get,
       swriteMs.get, spillBytes.get, evicted.get, bcastRm.get,
-      GraftBusBridge.codegenCompileMs())
+      GraftBusBridge.codegenCompileMs(), recomputes.get, jitMillis())
   }
 }
 
@@ -90,11 +127,13 @@ object BenchProbe {
     * a quiet machine under any harness protocol). */
   final case class Snap(taskMs: Long, cpuMs: Long, gcTaskMs: Long,
                         fetchMs: Long, swriteMs: Long, spillBytes: Long,
-                        evicted: Long, bcastRm: Long, compileMs: Long) {
+                        evicted: Long, bcastRm: Long, compileMs: Long,
+                        recompute: Long = 0L, jitMs: Long = 0L) {
     def -(prev: Snap): Snap = Snap(
       taskMs - prev.taskMs, cpuMs - prev.cpuMs, gcTaskMs - prev.gcTaskMs,
       fetchMs - prev.fetchMs, swriteMs - prev.swriteMs,
       spillBytes - prev.spillBytes, evicted - prev.evicted,
-      bcastRm - prev.bcastRm, compileMs - prev.compileMs)
+      bcastRm - prev.bcastRm, compileMs - prev.compileMs,
+      recompute - prev.recompute, jitMs - prev.jitMs)
   }
 }

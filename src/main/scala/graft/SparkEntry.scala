@@ -237,6 +237,7 @@ object SparkEntry {
     "q169_source_overlap" -> ((s, d) => DedupOps.sourceOverlapMatrix(s, d)),
     "q170_cluster_silhouette" -> ((s, d) => AnnSearch.clusterSilhouette(s, d)),
     "q171_cluster_purity" -> ((s, d) => AnnSearch.clusterPurity(s, d)),
+    "q172_hybrid_rrf" -> ((s, d) => CorpusOps.hybridRrf(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -262,7 +263,7 @@ object SparkEntry {
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   private def cosSql(a: String, b: String) =
-    s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 4)"
+    s"floor((${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))*1e4 + 0.5)/1e4"
 
   /** Integer-exact sign-LSH bucket — matches VectorFunctions.signLshBucket:
     * plane j (0-based), coordinate i (1-based) = ((i*(2j+3)) mod 101) - 50. */
@@ -302,7 +303,7 @@ object SparkEntry {
        |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
        |est AS (
        |  SELECT c.a, c.b,
-       |    round(len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) / 16.0, 4)
+       |    floor((len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) / 16.0)*1e4 + 0.5)/1e4
        |      AS est_jaccard
        |  FROM cand c
        |  JOIN sigl sa ON sa.doc_id = c.a
@@ -502,7 +503,7 @@ object SparkEntry {
     "q01_reddit_filter" ->
       """SELECT event_id, user_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |  round(value, 2) AS value
+        |  floor((value)*1e2 + 0.5)/1e2 AS value
         |FROM events
         |WHERE lower(event_type) IN ('click','view','purchase')
         |  AND value > 50.0
@@ -554,7 +555,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q08_last_wins" ->
-      """SELECT user_id, event_type, round(value, 2) AS value FROM (
+      """SELECT user_id, event_type, floor((value)*1e2 + 0.5)/1e2 AS value FROM (
         |  SELECT user_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
@@ -581,7 +582,7 @@ object SparkEntry {
          |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
 
     "q12_orders_customer" ->
-      """SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 2) AS o_totalprice
+      """SELECT o_orderkey, c_name, c_mktsegment, floor((o_totalprice)*1e2 + 0.5)/1e2 AS o_totalprice
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
 
@@ -623,7 +624,7 @@ object SparkEntry {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
     "q16_top_orders_per_customer" ->
-      """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
+      """SELECT o_custkey, rk, o_orderkey, floor((o_totalprice)*1e2 + 0.5)/1e2 AS o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
@@ -686,8 +687,8 @@ object SparkEntry {
          |  GROUP BY a, b)
          |SELECT a, b, n_inter, jaccard FROM (
          |  SELECT a, b, n_inter,
-         |    round(CAST(n_inter AS DOUBLE) /
-         |      CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+         |    floor((CAST(n_inter AS DOUBLE) /
+         |      CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE))*1e4 + 0.5)/1e4 AS jaccard
          |  FROM inter
          |  JOIN sizes za ON za.doc_id = a
          |  JOIN sizes zb ON zb.doc_id = b) j
@@ -792,10 +793,10 @@ object SparkEntry {
          |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
          |  FROM t)
          |SELECT doc_id, n_tokens, n_punct, n_stop,
-         |  round(CASE WHEN n_tokens = 0 THEN 0.0
+         |  floor((CASE WHEN n_tokens = 0 THEN 0.0
          |    ELSE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.6 +
          |         (CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.4
-         |    END, 4) AS quality
+         |    END)*1e4 + 0.5)/1e4 AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "q27_token_counts" ->
@@ -856,7 +857,7 @@ object SparkEntry {
         |FROM documents ORDER BY page_id, title""".stripMargin,
 
     "q32_paged_api" ->
-      """SELECT event_id, user_id, event_type, round(value, 2) AS value,
+      """SELECT event_id, user_id, event_type, floor((value)*1e2 + 0.5)/1e2 AS value,
         |  CAST(event_id // 100 AS BIGINT) AS page_id,
         |  CASE WHEN event_id // 100 < (SELECT max(event_id // 100) FROM events)
         |    THEN CAST(event_id // 100 + 1 AS VARCHAR) END AS next_token,
@@ -865,7 +866,7 @@ object SparkEntry {
 
     // round trip through zstd NDJSON must reproduce the parquet rows
     "q33_zst_ndjson" ->
-      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+      """SELECT event_id, user_id, event_type, floor((value)*1e2 + 0.5)/1e2 AS value
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q34_binary_sink" ->
@@ -903,7 +904,7 @@ object SparkEntry {
     "q37_anomaly_state" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,
-        |    CAST(round(value * 10000) AS BIGINT) AS v4,
+        |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
         |    date_trunc('microseconds', ts) AS ts
         |  FROM events),
         |w AS (
@@ -911,7 +912,7 @@ object SparkEntry {
         |    count(*) OVER win AS pc, sum(v4) OVER win AS ps
         |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-        |SELECT user_id, event_id, round(value, 2) AS value
+        |SELECT user_id, event_id, floor((value)*1e2 + 0.5)/1e2 AS value
         |FROM w WHERE pc >= 3 AND v4 * pc > 3 * ps
         |ORDER BY event_id""".stripMargin,
 
@@ -1023,7 +1024,7 @@ object SparkEntry {
 
     // round trip through a header CSV must reproduce the parquet rows
     "q46_csv_header" ->
-      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+      """SELECT event_id, user_id, event_type, floor((value)*1e2 + 0.5)/1e2 AS value
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q47_comments_filter" ->
@@ -1076,7 +1077,7 @@ object SparkEntry {
          |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
          |s AS (
          |  SELECT doc_id, term, tf, df,
-         |    round(tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+         |    floor((round(tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 8))*1e4 + 0.5)/1e4 AS tfidf
          |  FROM tf JOIN df USING (term), n),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
          |    ORDER BY tfidf DESC, term) AS BIGINT) AS rk FROM s)
@@ -1089,13 +1090,13 @@ object SparkEntry {
         |    i -> {'dim': CAST(i AS BIGINT),
         |          'v': CAST(embedding[i] AS DOUBLE)})) AS e
         |  FROM embeddings)
-        |SELECT label, e.dim AS dim, round(avg(e.v), 4) + 0.0 AS mean_val
+        |SELECT label, e.dim AS dim, floor((avg(e.v))*1e4 + 0.5)/1e4 + 0.0 AS mean_val
         |FROM u GROUP BY label, e.dim ORDER BY label, dim""".stripMargin,
 
     "q52_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
-        |  round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
-        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS median_chars,
+        |  floor((avg(CAST(n_chars AS DOUBLE)))*1e4 + 0.5)/1e4 AS avg_chars,
+        |  floor((quantile_cont(CAST(n_chars AS DOUBLE), 0.5))*1e4 + 0.5)/1e4 AS median_chars,
         |  CAST(sum(CASE WHEN length(trim(coalesce(text, ''))) = 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
@@ -1235,12 +1236,12 @@ object SparkEntry {
          |m AS (
          |  SELECT doc_id,
          |    CAST(len(toks) AS BIGINT) AS n_words,
-         |    round(CAST(length(array_to_string(toks, '')) AS DOUBLE)
-         |      / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS mean_word_len,
-         |    round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
-         |      / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS dup_ratio,
-         |    round(CAST(n_punct AS DOUBLE)
-         |      / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS punct_ratio
+         |    floor((CAST(length(array_to_string(toks, '')) AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE))*1e4 + 0.5)/1e4 AS mean_word_len,
+         |    floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE))*1e4 + 0.5)/1e4 AS dup_ratio,
+         |    floor((CAST(n_punct AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE))*1e4 + 0.5)/1e4 AS punct_ratio
          |  FROM t)
          |SELECT doc_id, n_words, mean_word_len, dup_ratio, punct_ratio,
          |  (n_words >= ${TextAnalysis.gopherMinWords}
@@ -1290,13 +1291,13 @@ object SparkEntry {
     "q63_activity_windows" ->
       """WITH e AS (
         |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
-        |    round(value, 2) AS v2
+        |    floor((value)*1e2 + 0.5)/1e2 AS v2
         |  FROM events)
         |SELECT event_id, user_id,
         |  CAST(row_number() OVER w AS BIGINT) AS seq,
         |  date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us,
-        |  round(avg(v2) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+        |  floor((avg(v2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))*1e4 + 0.5)/1e4 AS mavg3
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
@@ -1349,14 +1350,14 @@ object SparkEntry {
          |    ${Sketches.hllM} - present AS v
          |  FROM a),
          |est AS (
-         |  SELECT round(CASE WHEN e_raw <= ${2.5 * Sketches.hllM} AND v > 0
+         |  SELECT floor((round(CASE WHEN e_raw <= ${2.5 * Sketches.hllM} AND v > 0
          |    THEN ${Sketches.hllM}.0 * ln(${Sketches.hllM}.0 / v)
-         |    ELSE e_raw END, 4) AS hll_estimate
+         |    ELSE e_raw END, 8))*1e4 + 0.5)/1e4 AS hll_estimate
          |  FROM e)
          |SELECT hll_estimate,
          |  (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct,
-         |  round(abs(hll_estimate - (SELECT count(DISTINCT user_id) FROM events))
-         |    / CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE), 4)
+         |  floor((abs(hll_estimate - (SELECT count(DISTINCT user_id) FROM events))
+         |    / CAST((SELECT count(DISTINCT user_id) FROM events) AS DOUBLE))*1e4 + 0.5)/1e4
          |    AS rel_err
          |FROM est""".stripMargin,
 
@@ -1393,7 +1394,7 @@ object SparkEntry {
     // hash mismatch means the KLL sketch drifted out of tolerance)
     "q68_corpus_stats_approx" ->
       """SELECT source, count(*) AS n_docs,
-        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4)
+        |  floor((quantile_cont(CAST(n_chars AS DOUBLE), 0.5))*1e4 + 0.5)/1e4
         |    AS median_exact,
         |  TRUE AS approx_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
@@ -1404,7 +1405,7 @@ object SparkEntry {
     "q69_ivf_train" ->
       s"""WITH $ivfTrainCtesSql
          |SELECT list_id, n AS n_members, dim,
-         |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
+         |  floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0)*1e6 + 0.5)/1e6 + 0.0
          |    AS centroid
          |FROM m2 ORDER BY list_id, dim""".stripMargin,
 
@@ -1417,10 +1418,10 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
         |        sum(sqrt(CAST(n_docs AS DOUBLE))) AS sum_sq FROM c)
         |SELECT lang, n_docs,
-        |  round(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS p,
-        |  round(sqrt(CAST(n_docs AS DOUBLE)) / sum_sq, 6) AS w,
-        |  round(sqrt(CAST(n_docs AS DOUBLE)) / sum_sq /
-        |    (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)), 4) AS sample_rate
+        |  floor((CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))*1e6 + 0.5)/1e6 AS p,
+        |  floor((sqrt(CAST(n_docs AS DOUBLE)) / sum_sq)*1e6 + 0.5)/1e6 AS w,
+        |  floor((sqrt(CAST(n_docs AS DOUBLE)) / sum_sq /
+        |    (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)))*1e4 + 0.5)/1e4 AS sample_rate
         |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
 
     // per-token ln(tf/T) quantized to integer micro-units BEFORE the
@@ -1437,7 +1438,7 @@ object SparkEntry {
          |      * 1e6 + 0.5) AS BIGINT) AS u
          |  FROM toks JOIN tf USING (term) CROSS JOIN t)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |  round(CAST(sum(u) AS DOUBLE) / count(*) / 1e6, 4) + 0.0
+         |  floor((CAST(sum(u) AS DOUBLE) / count(*) / 1e6)*1e4 + 0.5)/1e4 + 0.0
          |    AS mean_logprob
          |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -1461,8 +1462,8 @@ object SparkEntry {
          |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          |  CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_dup_spans,
-         |  round(CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*), 4) AS dup_ratio,
+         |  floor((CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*))*1e4 + 0.5)/1e4 AS dup_ratio,
          |  CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    > 0.5 * count(*) AS flagged
          |FROM spans s JOIN counts c USING (span)
@@ -1557,7 +1558,7 @@ object SparkEntry {
          |sc AS (SELECT span, count(*) AS cnt FROM spans GROUP BY 1),
          |dupok AS (
          |  SELECT doc_id,
-         |    round(CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE), 4)
+         |    floor((CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE))*1e4 + 0.5)/1e4
          |      AS dup_ratio
          |  FROM (
          |    SELECT s.doc_id, count(*) AS n_spans,
@@ -1570,7 +1571,7 @@ object SparkEntry {
          |t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
          |lmok AS (
          |  SELECT doc_id,
-         |    round(CAST(units AS DOUBLE) / n / 1e6, 4) + 0.0 AS mean_logprob
+         |    floor((CAST(units AS DOUBLE) / n / 1e6)*1e4 + 0.5)/1e4 + 0.0 AS mean_logprob
          |  FROM (
          |    SELECT doc_id,
          |      sum(CAST(floor(round(ln(CAST(tf AS DOUBLE)
@@ -1634,9 +1635,9 @@ object SparkEntry {
         |  FROM spine s LEFT JOIN agg a USING (event_type, h))
         |SELECT event_type, CAST(h AS BIGINT) AS h,
         |  CAST(n_events AS BIGINT) AS n_events,
-        |  round(coalesce(last_value(sv IGNORE NULLS) OVER (
+        |  floor((coalesce(last_value(sv IGNORE NULLS) OVER (
         |    PARTITION BY event_type ORDER BY h
-        |    ROWS UNBOUNDED PRECEDING), 0), 2) AS filled_sum
+        |    ROWS UNBOUNDED PRECEDING), 0))*1e2 + 0.5)/1e2 AS filled_sum
         |FROM j ORDER BY event_type, h""".stripMargin,
 
     // the roundtrip law IS the oracle: unpivot(pivot(T)) = groupBy(T)
@@ -1715,7 +1716,7 @@ object SparkEntry {
       s"""WITH $ivfTrainCtesSql,
          |cv AS (
          |  SELECT list_id,
-         |    list(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
+         |    list(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0)*1e6 + 0.5)/1e6 + 0.0
          |      ORDER BY dim) AS c
          |  FROM m2 GROUP BY list_id),
          |corpus AS (
@@ -1777,7 +1778,7 @@ object SparkEntry {
     "q85_pq_encode" ->
       s"""WITH $pqCtesSql
          |SELECT vec_id, sub, c AS code,
-         |  round(err2 / 1000000.0, 6) + 0.0 AS err2
+         |  floor((err2 / 1000000.0)*1e6 + 0.5)/1e6 + 0.0 AS err2
          |FROM (
          |  SELECT vec_id, sub, c, err2,
          |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY score, c) AS rn
@@ -1809,7 +1810,7 @@ object SparkEntry {
          |      AS d
          |  FROM cb1 cb JOIN q ON q.sub = cb.sub)
          |SELECT vec_id,
-         |  round(list_sum(list(l.d ORDER BY l.sub)) / 1000000.0, 4) + 0.0
+         |  floor((list_sum(list(l.d ORDER BY l.sub)) / 1000000.0)*1e4 + 0.5)/1e4 + 0.0
          |    AS adc_dist2
          |FROM codes JOIN lut l ON l.sub = codes.sub AND l.c = codes.code
          |WHERE vec_id <> 0
@@ -1935,7 +1936,7 @@ object SparkEntry {
         |  FROM ev CROSS JOIN b),
         |g AS (
         |  SELECT bucket,
-        |    round(lo + bucket * ((hi - lo) / 20), 4) + 0.0 AS bucket_lo
+        |    floor((lo + bucket * ((hi - lo) / 20))*1e4 + 0.5)/1e4 + 0.0 AS bucket_lo
         |  FROM k)
         |SELECT bucket, bucket_lo, CAST(count(*) AS BIGINT) AS n
         |FROM g GROUP BY bucket, bucket_lo ORDER BY bucket""".stripMargin,
@@ -1986,7 +1987,7 @@ object SparkEntry {
          |    ON d.band = v.band AND d.bk = v.bk AND d.side = 1 AND v.side = 0),
          |est AS (
          |  SELECT c.doc_id, c.hist_id,
-         |    round(len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) / 16.0, 4)
+         |    floor((len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) / 16.0)*1e4 + 0.5)/1e4
          |      AS ej
          |  FROM cand c
          |  JOIN sigl sa ON sa.side = 1 AND sa.doc_id = c.doc_id
@@ -2038,8 +2039,8 @@ object SparkEntry {
          |  CAST(coalesce(ne.n_exact, 0) AS BIGINT) AS n_exact,
          |  CAST(coalesce(nl.n_lsh, 0) AS BIGINT) AS n_lsh,
          |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-         |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) /
-         |    CAST(coalesce(ne.n_exact, 1) AS DOUBLE), 4) + 0.0 AS recall
+         |  floor((CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) /
+         |    CAST(coalesce(ne.n_exact, 1) AS DOUBLE))*1e4 + 0.5)/1e4 + 0.0 AS recall
          |FROM q LEFT JOIN ne ON ne.q_id = q.q_id
          |LEFT JOIN nl ON nl.q_id = q.q_id
          |LEFT JOIN ov ON ov.q_id = q.q_id
@@ -2102,8 +2103,8 @@ object SparkEntry {
         |  SELECT source, quantile_cont(adev, 0.5) AS mad
         |  FROM dev GROUP BY source)
         |SELECT dev.source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  round(any_value(dev.med), 4) + 0.0 AS median_chars,
-        |  round(any_value(mad.mad), 4) + 0.0 AS mad_chars,
+        |  floor((any_value(dev.med))*1e4 + 0.5)/1e4 + 0.0 AS median_chars,
+        |  floor((any_value(mad.mad))*1e4 + 0.5)/1e4 + 0.0 AS mad_chars,
         |  CAST(sum(CASE WHEN dev.adev > 4.4478 * mad.mad
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev JOIN mad ON mad.source = dev.source
@@ -2125,7 +2126,7 @@ object SparkEntry {
          |  CAST(cnt.n_wedges AS BIGINT) AS n_wedges,
          |  CAST(cnt.n_triangles AS BIGINT) AS n_triangles,
          |  CASE WHEN cnt.n_wedges = 0 THEN 0.0
-         |       ELSE round(CAST(cnt.n_triangles AS DOUBLE) / cnt.n_wedges, 4)
+         |       ELSE floor((CAST(cnt.n_triangles AS DOUBLE) / cnt.n_wedges)*1e4 + 0.5)/1e4
          |         + 0.0
          |  END AS wedge_closure
          |FROM ne, cnt""".stripMargin,
@@ -2151,7 +2152,7 @@ object SparkEntry {
          |$rounds
          |SELECT r5.node AS doc_id, CAST(d.deg AS BIGINT) AS degree,
          |  r5.r AS rank_ppm,
-         |  round(CAST(r5.r AS DOUBLE) / 1000000.0, 4) AS rank
+         |  floor((CAST(r5.r AS DOUBLE) / 1000000.0)*1e4 + 0.5)/1e4 AS rank
          |FROM r5 JOIN deg d USING (node)
          |ORDER BY doc_id""".stripMargin
     },
@@ -2238,8 +2239,8 @@ object SparkEntry {
         |  CAST(sum(f_click) AS BIGINT) AS n_view_click,
         |  CAST(sum(f_purchase) AS BIGINT) AS n_full_funnel,
         |  CASE WHEN sum(f_view) = 0 THEN 0.0
-        |       ELSE round(CAST(sum(f_purchase) AS DOUBLE)
-        |                  / CAST(sum(f_view) AS DOUBLE), 4)
+        |       ELSE floor((CAST(sum(f_purchase) AS DOUBLE)
+        |                  / CAST(sum(f_view) AS DOUBLE))*1e4 + 0.5)/1e4
         |  END AS view_to_purchase
         |FROM u""".stripMargin,
 
@@ -2268,10 +2269,10 @@ object SparkEntry {
          |  FROM t),
          |q AS (
          |  SELECT doc_id, source,
-         |    round(CASE WHEN n_tokens = 0 THEN 0.0
+         |    floor((CASE WHEN n_tokens = 0 THEN 0.0
          |      ELSE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.6 +
          |           (CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.4
-         |      END, 4) AS quality
+         |      END)*1e4 + 0.5)/1e4 AS quality
          |  FROM c),
          |r AS (
          |  SELECT source, doc_id, quality,
@@ -2307,8 +2308,8 @@ object SparkEntry {
          |est AS (SELECT min(ip) AS cms_estimate FROM ip)
          |SELECT ex.exact_size, est.cms_estimate,
          |  est.cms_estimate - ex.exact_size AS overest,
-         |  round(CAST(est.cms_estimate - ex.exact_size AS DOUBLE)
-         |        / CAST(ex.exact_size AS DOUBLE), 4) AS rel_err
+         |  floor((CAST(est.cms_estimate - ex.exact_size AS DOUBLE)
+         |        / CAST(ex.exact_size AS DOUBLE))*1e4 + 0.5)/1e4 AS rel_err
          |FROM ex, est""".stripMargin,
 
     // the IVM theorem stated directly: the oracle recomputes the summary
@@ -2371,7 +2372,7 @@ object SparkEntry {
         |  SELECT cohort_wk, n_active AS cohort_size FROM cells
         |  WHERE wk_offset = 0)
         |SELECT c.cohort_wk, c.wk_offset, c.n_active, s.cohort_size,
-        |  round(c.n_active / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+        |  floor((c.n_active / CAST(s.cohort_size AS DOUBLE))*1e4 + 0.5)/1e4 AS retention
         |FROM cells c JOIN sizes s USING (cohort_wk)
         |ORDER BY cohort_wk, wk_offset""".stripMargin,
 
@@ -2401,16 +2402,16 @@ object SparkEntry {
          |  FROM a),
          |est AS (
          |  SELECT event_type,
-         |    round(CASE WHEN e_raw <= ${2.5 * Sketches.hllM} AND v > 0
+         |    floor((round(CASE WHEN e_raw <= ${2.5 * Sketches.hllM} AND v > 0
          |      THEN ${Sketches.hllM}.0 * ln(${Sketches.hllM}.0 / v)
-         |      ELSE e_raw END, 4) AS hll_estimate
+         |      ELSE e_raw END, 8))*1e4 + 0.5)/1e4 AS hll_estimate
          |  FROM e),
          |ex AS (
          |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
          |  FROM events GROUP BY event_type)
          |SELECT event_type, hll_estimate, exact_distinct,
-         |  round(abs(hll_estimate - exact_distinct)
-         |    / CAST(exact_distinct AS DOUBLE), 4) AS rel_err
+         |  floor((abs(hll_estimate - exact_distinct)
+         |    / CAST(exact_distinct AS DOUBLE))*1e4 + 0.5)/1e4 AS rel_err
          |FROM est JOIN ex USING (event_type)
          |ORDER BY event_type""".stripMargin,
 
@@ -2429,8 +2430,8 @@ object SparkEntry {
         |    quantile_cont(cnt, 0.99) AS p99d
         |  FROM kc)
         |SELECT n_keys, n_rows, max_cnt,
-        |  round(p50d, 4) AS p50, round(p99d, 4) AS p99,
-        |  round(CAST(max_cnt AS DOUBLE) / p50d, 4) AS skew_ratio,
+        |  floor((p50d)*1e4 + 0.5)/1e4 AS p50, floor((p99d)*1e4 + 0.5)/1e4 AS p99,
+        |  floor((CAST(max_cnt AS DOUBLE) / p50d)*1e4 + 0.5)/1e4 AS skew_ratio,
         |  greatest(1, CAST(ceil(round(CAST(max_cnt AS DOUBLE) / p99d, 6))
         |    AS BIGINT)) AS salt_factor
         |FROM s""".stripMargin,
@@ -2463,7 +2464,7 @@ object SparkEntry {
          |  JOIN uni u2 ON u2.term = string_split(bg, ' ')[2]
          |  CROSS JOIN t)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  round(CAST(sum(u) AS DOUBLE) / count(*) / 1e6, 4) + 0.0
+         |  floor((CAST(sum(u) AS DOUBLE) / count(*) / 1e6)*1e4 + 0.5)/1e4 + 0.0
          |    AS mean_logprob
          |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -2488,8 +2489,8 @@ object SparkEntry {
          |  GROUP BY a, b
          |  HAVING count(*) >= ${TextAnalysis.pmiMinSupport})
          |SELECT pc.a, pc.b, n_ab, da.df AS df_a, db.df AS df_b,
-         |  round(ln(CAST(n_ab AS DOUBLE) * n_docs
-         |    / (CAST(da.df AS DOUBLE) * db.df)), 4) AS pmi
+         |  floor((round(ln(CAST(n_ab AS DOUBLE) * n_docs
+         |    / (CAST(da.df AS DOUBLE) * db.df)), 8))*1e4 + 0.5)/1e4 AS pmi
          |FROM pc
          |JOIN df da ON da.t = pc.a
          |JOIN df db ON db.t = pc.b
@@ -2520,7 +2521,7 @@ object SparkEntry {
     // decimal on the engine side, identical integers either way
     "q113_embed_outliers" ->
       """WITH cent AS (
-        |  SELECT label, e.dim AS dim, round(avg(e.v), 4) + 0.0 AS mean_val
+        |  SELECT label, e.dim AS dim, floor((avg(e.v))*1e4 + 0.5)/1e4 + 0.0 AS mean_val
         |  FROM (
         |    SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
         |      i -> {'dim': CAST(i AS BIGINT),
@@ -2544,9 +2545,9 @@ object SparkEntry {
         |    sum(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS su2
         |  FROM d GROUP BY label)
         |SELECT vec_id, label,
-        |  round(CAST(u AS DOUBLE) / 1e6, 4) + 0.0 AS dist,
-        |  round(CAST(n * u - su AS DOUBLE)
-        |    / sqrt(CAST(n * su2 - su * su AS DOUBLE)), 4) + 0.0 AS z
+        |  floor((CAST(u AS DOUBLE) / 1e6)*1e4 + 0.5)/1e4 + 0.0 AS dist,
+        |  floor((CAST(n * u - su AS DOUBLE)
+        |    / sqrt(CAST(n * su2 - su * su AS DOUBLE)))*1e4 + 0.5)/1e4 + 0.0 AS z
         |FROM d JOIN st USING (label)
         |ORDER BY z DESC, vec_id LIMIT 20""".stripMargin,
 
@@ -2574,7 +2575,7 @@ object SparkEntry {
          |  JOIN dt x ON x.doc_id = da
          |  JOIN dt y ON y.doc_id = db)
          |SELECT da AS doc_a, db AS doc_b, inter, union_sz,
-         |  round(inter / CAST(union_sz AS DOUBLE), 4) AS jaccard
+         |  floor((inter / CAST(union_sz AS DOUBLE))*1e4 + 0.5)/1e4 AS jaccard
          |FROM j
          |WHERE inter * ${DedupOps.setSimTauDen}
          |  >= union_sz * ${DedupOps.setSimTauNum}
@@ -2584,8 +2585,8 @@ object SparkEntry {
     // rounded to 8 decimals with a doc_id tiebreak before the top-k cut
     "q115_weighted_sample" ->
       s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
-         |  round(ln((${h32("CAST(doc_id AS VARCHAR)")} + 0.5) / 4294967296.0)
-         |    / n_chars, 8) AS ks
+         |  floor((ln((${h32("CAST(doc_id AS VARCHAR)")} + 0.5) / 4294967296.0)
+         |    / n_chars)*1e8 + 0.5)/1e8 AS ks
          |FROM documents WHERE n_chars > 0
          |ORDER BY ks DESC, doc_id LIMIT 100""".stripMargin,
 
@@ -2648,7 +2649,7 @@ object SparkEntry {
         |  FROM p WHERE nxt IS NOT NULL GROUP BY cur, nxt),
         |t AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY cur)
         |SELECT c.cur, c.nxt, c.cnt,
-        |  round(c.cnt / CAST(t.tot AS DOUBLE), 4) AS p
+        |  floor((c.cnt / CAST(t.tot AS DOUBLE))*1e4 + 0.5)/1e4 AS p
         |FROM c JOIN t USING (cur)
         |ORDER BY cur, nxt""".stripMargin,
 
@@ -2679,9 +2680,9 @@ object SparkEntry {
            |    ${Sketches.hllM} - present AS v
            |  FROM ${px}a),
            |${px}est AS (
-           |  SELECT round(CASE WHEN e_raw <= ${2.5 * Sketches.hllM} AND v > 0
+           |  SELECT floor((round(CASE WHEN e_raw <= ${2.5 * Sketches.hllM} AND v > 0
            |    THEN ${Sketches.hllM}.0 * ln(${Sketches.hllM}.0 / v)
-           |    ELSE e_raw END, 4) AS $outName
+           |    ELSE e_raw END, 8))*1e4 + 0.5)/1e4 AS $outName
            |  FROM ${px}e)""".stripMargin
       s"""WITH ${regs("ev", "WHERE event_id % 2 = 0")},
          |${regs("od", "WHERE event_id % 2 <> 0")},
@@ -2693,7 +2694,7 @@ object SparkEntry {
          |${est("m", "mregs", "merged_estimate")},
          |${est("d", "alregs", "direct_estimate")}
          |SELECT merged_estimate, direct_estimate,
-         |  round(merged_estimate - direct_estimate, 4) AS diff
+         |  floor((merged_estimate - direct_estimate)*1e4 + 0.5)/1e4 AS diff
          |FROM mest CROSS JOIN dest""".stripMargin
     },
 
@@ -2706,12 +2707,12 @@ object SparkEntry {
          |  FROM documents),
          |b AS (
          |  SELECT source, lang, n_chars, $fpSql AS fp,
-         |    round(CASE WHEN len(tk) = 0 THEN 0.0
+         |    floor((CASE WHEN len(tk) = 0 THEN 0.0
          |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
          |        (CAST(len(list_filter(tk,
          |          x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
          |         / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
-         |      END, 4) AS quality
+         |      END)*1e4 + 0.5)/1e4 AS quality
          |  FROM t),
          |st AS (
          |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2729,10 +2730,10 @@ object SparkEntry {
          |    FROM b GROUP BY source, lang) z
          |  WHERE rk = 1)
          |SELECT st.source, n_docs, n_langs, top_lang,
-         |  round(CAST(top_cnt AS DOUBLE) / n_docs, 4) AS top_lang_share,
-         |  round(med, 4) AS median_chars,
-         |  round(CAST(n_docs - n_unique AS DOUBLE) / n_docs, 4) AS dup_rate,
-         |  round(CAST(qu AS DOUBLE) / 1e4 / n_docs, 4) AS mean_quality
+         |  floor((CAST(top_cnt AS DOUBLE) / n_docs)*1e4 + 0.5)/1e4 AS top_lang_share,
+         |  floor((med)*1e4 + 0.5)/1e4 AS median_chars,
+         |  floor((CAST(n_docs - n_unique AS DOUBLE) / n_docs)*1e4 + 0.5)/1e4 AS dup_rate,
+         |  floor((CAST(qu AS DOUBLE) / 1e4 / n_docs)*1e4 + 0.5)/1e4 AS mean_quality
          |FROM st JOIN tl USING (source)
          |ORDER BY source""".stripMargin,
 
@@ -2779,9 +2780,9 @@ object SparkEntry {
          |  GROUP BY ne.q_id, ne.n_exact)
          |SELECT id.q_id, id.n_exact,
          |  CAST(coalesce(sc.n_relevant, 0) AS BIGINT) AS n_relevant,
-         |  round(CASE WHEN sc.first_rel IS NOT NULL
-         |    THEN 1.0 / sc.first_rel ELSE 0.0 END, 4) + 0.0 AS mrr,
-         |  round(coalesce(sc.dcg_u, 0) / CAST(id.idcg_u AS DOUBLE), 4) + 0.0
+         |  floor((CASE WHEN sc.first_rel IS NOT NULL
+         |    THEN 1.0 / sc.first_rel ELSE 0.0 END)*1e4 + 0.5)/1e4 + 0.0 AS mrr,
+         |  floor((coalesce(sc.dcg_u, 0) / CAST(id.idcg_u AS DOUBLE))*1e4 + 0.5)/1e4 + 0.0
          |    AS ndcg
          |FROM id LEFT JOIN sc USING (q_id)
          |ORDER BY q_id""".stripMargin,
@@ -2808,7 +2809,7 @@ object SparkEntry {
          |  JOIN dt x ON x.doc_id = da
          |  JOIN dt y ON y.doc_id = db)
          |SELECT da AS src, db AS dst, inter, n_src,
-         |  round(inter / CAST(n_src AS DOUBLE), 4) AS containment
+         |  floor((inter / CAST(n_src AS DOUBLE))*1e4 + 0.5)/1e4 AS containment
          |FROM j
          |WHERE inter * ${DedupOps.containTauDen}
          |  >= n_src * ${DedupOps.containTauNum}
@@ -2861,8 +2862,8 @@ object SparkEntry {
          |SELECT q.q_id,
          |  CAST(coalesce(sing.n_single, 0) AS BIGINT) AS n_single,
          |  CAST(coalesce(mult.n_multi, 0) AS BIGINT) AS n_multi,
-         |  round(coalesce(srec.hits, 0) / 10.0, 4) + 0.0 AS recall_single,
-         |  round(coalesce(mrec.hits, 0) / 10.0, 4) + 0.0 AS recall_multi
+         |  floor((coalesce(srec.hits, 0) / 10.0)*1e4 + 0.5)/1e4 + 0.0 AS recall_single,
+         |  floor((coalesce(mrec.hits, 0) / 10.0)*1e4 + 0.5)/1e4 + 0.0 AS recall_multi
          |FROM q
          |LEFT JOIN sing USING (q_id)
          |LEFT JOIN mult USING (q_id)
@@ -3023,15 +3024,15 @@ object SparkEntry {
          |  SELECT doc_id, lang,
          |    CAST(len(tk) AS BIGINT) AS n_tokens,
          |    CASE WHEN len(g2) <= 0 THEN 0.0 ELSE
-         |      round((len(g2) - len(list_distinct(g2)))
-         |        / CAST(len(g2) AS DOUBLE), 4) END AS dup_bigram_frac,
+         |      floor(((len(g2) - len(list_distinct(g2)))
+         |        / CAST(len(g2) AS DOUBLE))*1e4 + 0.5)/1e4 END AS dup_bigram_frac,
          |    CASE WHEN len(g3) <= 0 THEN 0.0 ELSE
-         |      round((len(g3) - len(list_distinct(g3)))
-         |        / CAST(len(g3) AS DOUBLE), 4) END AS dup_trigram_frac,
+         |      floor(((len(g3) - len(list_distinct(g3)))
+         |        / CAST(len(g3) AS DOUBLE))*1e4 + 0.5)/1e4 END AS dup_trigram_frac,
          |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
-         |      round(list_max(list_transform(list_distinct(tk),
+         |      floor((list_max(list_transform(list_distinct(tk),
          |        x -> len(list_filter(tk, y -> y = x))))
-         |        / CAST(len(tk) AS DOUBLE), 4) END AS top_token_frac
+         |        / CAST(len(tk) AS DOUBLE))*1e4 + 0.5)/1e4 END AS top_token_frac
          |  FROM g)
          |SELECT doc_id, lang, n_tokens, dup_bigram_frac, dup_trigram_frac,
          |  top_token_frac,
@@ -3062,10 +3063,10 @@ object SparkEntry {
          |    INTERSECT
          |    SELECT user_id FROM events WHERE event_type = 'purchase'))
          |SELECT n_sample, theta,
-         |  round(n_sample * 4294967296.0 / theta, 4) AS kmv_estimate,
+         |  floor((n_sample * 4294967296.0 / theta)*1e4 + 0.5)/1e4 AS kmv_estimate,
          |  exact_overlap,
-         |  round(abs(round(n_sample * 4294967296.0 / theta, 4)
-         |    - exact_overlap) / CAST(exact_overlap AS DOUBLE), 4) AS rel_err
+         |  floor((abs(floor((n_sample * 4294967296.0 / theta)*1e4 + 0.5)/1e4
+         |    - exact_overlap) / CAST(exact_overlap AS DOUBLE))*1e4 + 0.5)/1e4 AS rel_err
          |FROM ns, th, ex""".stripMargin,
 
     // greedy first-fit as a prefix sum: bin = floor(bytes-before / target)
@@ -3111,9 +3112,9 @@ object SparkEntry {
          |    AND t.doc_id % ${CorpusOps.benchMod} <> 0
          |  GROUP BY train_doc, bench_doc)
          |SELECT train_doc, bench_doc, n_shared, n_train, n_bench,
-         |  round(n_shared / CAST(n_train + n_bench - n_shared AS DOUBLE), 4)
+         |  floor((n_shared / CAST(n_train + n_bench - n_shared AS DOUBLE))*1e4 + 0.5)/1e4
          |    AS jaccard,
-         |  round(n_shared / CAST(n_bench AS DOUBLE), 4) AS containment
+         |  floor((n_shared / CAST(n_bench AS DOUBLE))*1e4 + 0.5)/1e4 AS containment
          |FROM pairs ORDER BY train_doc, bench_doc""".stripMargin,
 
     // vocabulary cut is deterministic (count DESC, token ASC); OOV words
@@ -3134,8 +3135,8 @@ object SparkEntry {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
          |  CAST(sum(oov) AS BIGINT) AS n_oov,
-         |  round(sum(n_toks) / CAST(count(*) AS DOUBLE), 4) AS fertility,
-         |  round(sum(oov) / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+         |  floor((sum(n_toks) / CAST(count(*) AS DOUBLE))*1e4 + 0.5)/1e4 AS fertility,
+         |  floor((sum(oov) / CAST(count(*) AS DOUBLE))*1e4 + 0.5)/1e4 AS oov_rate
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     // host/path re-derived with REGEXES so the match cross-checks Spark's
@@ -3157,7 +3158,7 @@ object SparkEntry {
         |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |  max(path_depth) AS max_depth,
-        |  round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+        |  floor((avg(CAST(n_chars AS DOUBLE)))*1e4 + 0.5)/1e4 AS avg_chars
         |FROM p GROUP BY host ORDER BY host""".stripMargin,
 
     // the q42 ranking semantics twice (full + truncated prefix), same
@@ -3193,7 +3194,7 @@ object SparkEntry {
          |SELECT tf.q_id,
          |  CAST(len(list_intersect(ids_f, ids_t)) AS BIGINT) AS n_overlap,
          |  ids_f[1] = ids_t[1] AS top1_agree,
-         |  round(len(list_intersect(ids_f, ids_t)) / 10.0, 4)
+         |  floor((len(list_intersect(ids_f, ids_t)) / 10.0)*1e4 + 0.5)/1e4
          |    AS overlap_frac
          |FROM tf JOIN tt ON tf.q_id = tt.q_id ORDER BY tf.q_id""".stripMargin
     },
@@ -3218,7 +3219,7 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(length(occ.w)) AS BIGINT) AS n_chars,
          |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
-         |  round(sum(length(occ.w)) / CAST(sum(n_bpe) AS DOUBLE), 4)
+         |  floor((sum(length(occ.w)) / CAST(sum(n_bpe) AS DOUBLE))*1e4 + 0.5)/1e4
          |    AS chars_per_token
          |FROM occ JOIN enc ON occ.w = enc.w
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -3243,7 +3244,7 @@ object SparkEntry {
          |  GROUP BY threshold),
          |tot AS (SELECT 2 * count(*) AS n_total FROM documents)
          |SELECT threshold, n_pairs, n_docs_affected,
-         |  round(n_docs_affected / CAST(n_total AS DOUBLE), 4)
+         |  floor((n_docs_affected / CAST(n_total AS DOUBLE))*1e4 + 0.5)/1e4
          |    AS frac_affected
          |FROM np JOIN nd USING (threshold) CROSS JOIN tot
          |ORDER BY threshold""".stripMargin,
@@ -3348,8 +3349,8 @@ object SparkEntry {
          |mq AS (
          |${quantiles("merged", "merged_q")})
          |SELECT p, exact_q, direct_q, merged_q,
-         |  round(merged_q - direct_q, 4) AS merge_diff,
-         |  round(abs(merged_q - exact_q) / exact_q, 4) AS rel_err
+         |  floor((merged_q - direct_q)*1e4 + 0.5)/1e4 AS merge_diff,
+         |  floor((abs(merged_q - exact_q) / exact_q)*1e4 + 0.5)/1e4 AS rel_err
          |FROM eq JOIN dq USING (p) JOIN mq USING (p)
          |ORDER BY p""".stripMargin
     },
@@ -3385,8 +3386,8 @@ object SparkEntry {
         |SELECT q.q_id AS q_id, q.kind AS kind,
         |  coalesce(t.n_ties, 0) AS n_ties,
         |  coalesce(tr.rk, -1) AS true_rank,
-        |  round(CASE WHEN tr.rk IS NOT NULL THEN 1.0 / tr.rk
-        |        ELSE 0.0 END, 4) AS rr,
+        |  floor((CASE WHEN tr.rk IS NOT NULL THEN 1.0 / tr.rk
+        |        ELSE 0.0 END)*1e4 + 0.5)/1e4 AS rr,
         |  coalesce(tr.rk, -1) = 1 AS hit1,
         |  tr.rk IS NOT NULL AS hitk
         |FROM q LEFT JOIN tr ON q.q_id = tr.q_id
@@ -3457,11 +3458,11 @@ object SparkEntry {
          |  FROM cells GROUP BY list_id),
          |fin AS (
          |  SELECT list_id, n_base, n_delta,
-         |    round(n_delta / CAST(greatest(n_base, 1) AS DOUBLE), 4)
+         |    floor((n_delta / CAST(greatest(n_base, 1) AS DOUBLE))*1e4 + 0.5)/1e4
          |      AS growth,
          |    CASE WHEN n_base > 0 AND n_delta > 0 THEN
-         |      round(sqrt(CAST(ssq AS DOUBLE))
-         |        / CAST(n_base*(n_base+n_delta) AS DOUBLE) / 1000.0, 6)
+         |      floor((sqrt(CAST(ssq AS DOUBLE))
+         |        / CAST(n_base*(n_base+n_delta) AS DOUBLE) / 1000.0)*1e6 + 0.5)/1e6
          |    ELSE 0.0 END AS drift
          |  FROM per)
          |SELECT list_id, n_base, n_delta, growth, drift,
@@ -3507,7 +3508,7 @@ object SparkEntry {
          |  FROM toks JOIN tf USING (term) CROSS JOIN t),
          |sc AS (
          |  SELECT doc_id, lang,
-         |    round(CAST(sum(u) AS DOUBLE) / count(*) / 1e6, 4) + 0.0
+         |    floor((CAST(sum(u) AS DOUBLE) / count(*) / 1e6)*1e4 + 0.5)/1e4 + 0.0
          |      AS mean_logprob
          |  FROM u GROUP BY doc_id, lang),
          |r AS (
@@ -3525,7 +3526,7 @@ object SparkEntry {
          |    CAST(floor(mean_logprob * 1e4 + 0.5) AS BIGINT) AS m4
          |  FROM r)
          |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
-         |  round(CAST(sum(m4) AS DOUBLE) / count(*) / 1e4, 4) + 0.0
+         |  floor((CAST(sum(m4) AS DOUBLE) / count(*) / 1e4)*1e4 + 0.5)/1e4 + 0.0
          |    AS mean_bucket_logprob,
          |  min(mean_logprob) AS min_logprob,
          |  max(mean_logprob) AS max_logprob
@@ -3552,7 +3553,7 @@ object SparkEntry {
          |  FROM st JOIN ct USING (term) JOIN ts USING (source)
          |  CROSS JOIN tc)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
-         |  round(CAST(sum(u) AS DOUBLE) / 1e6, 6) + 0.0 AS kl
+         |  floor((CAST(sum(u) AS DOUBLE) / 1e6)*1e6 + 0.5)/1e6 + 0.0 AS kl
          |FROM u GROUP BY source ORDER BY source""".stripMargin,
 
     // hashed-bigram feature table (≤4096 rows) with Laplace-smoothed
@@ -3605,8 +3606,8 @@ object SparkEntry {
          |    AS BIGINT) AS tokens_lost,
          |  CAST(sum(CASE WHEN n < max_len THEN max_len - n ELSE 0 END)
          |    AS BIGINT) AS pad_tokens,
-         |  round(CAST(sum(least(n, max_len)) AS DOUBLE)
-         |    / CAST(count(*) * max_len AS DOUBLE), 4) + 0.0 AS utilization
+         |  floor((CAST(sum(least(n, max_len)) AS DOUBLE)
+         |    / CAST(count(*) * max_len AS DOUBLE))*1e4 + 0.5)/1e4 + 0.0 AS utilization
          |FROM d CROSS JOIN lens
          |GROUP BY max_len ORDER BY max_len""".stripMargin,
 
@@ -3649,15 +3650,15 @@ object SparkEntry {
          |  GROUP BY p.a, p.b),
          |ex AS (
          |  SELECT p.a, p.b, p.est_jaccard,
-         |    round(coalesce(i.ni, 0) /
-         |      CAST(na.n + nb.n - coalesce(i.ni, 0) AS DOUBLE), 4)
+         |    floor((coalesce(i.ni, 0) /
+         |      CAST(na.n + nb.n - coalesce(i.ni, 0) AS DOUBLE))*1e4 + 0.5)/1e4
          |      AS exact_jaccard
          |  FROM prs p
          |  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
          |  JOIN ssz na ON na.doc_id = p.a
          |  JOIN ssz nb ON nb.doc_id = p.b)
          |SELECT a, b, est_jaccard, exact_jaccard,
-         |  round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
+         |  floor((abs(est_jaccard - exact_jaccard))*1e4 + 0.5)/1e4 AS abs_err
          |FROM ex ORDER BY a, b""".stripMargin,
 
     // q26's score swept against q60's gate as the label; P/R/F1 in
@@ -3672,18 +3673,18 @@ object SparkEntry {
          |    CAST(len(list_filter(tk,
          |      x -> x IN ('the','a','of','and','to','in'))) AS BIGINT)
          |      AS n_stop,
-         |    round(CAST(length(array_to_string(tk, '')) AS DOUBLE)
-         |      / CAST(greatest(len(tk), 1) AS DOUBLE), 4) AS mean_word_len,
-         |    round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
-         |      / CAST(greatest(len(tk), 1) AS DOUBLE), 4) AS dup_ratio
+         |    floor((CAST(length(array_to_string(tk, '')) AS DOUBLE)
+         |      / CAST(greatest(len(tk), 1) AS DOUBLE))*1e4 + 0.5)/1e4 AS mean_word_len,
+         |    floor((1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
+         |      / CAST(greatest(len(tk), 1) AS DOUBLE))*1e4 + 0.5)/1e4 AS dup_ratio
          |  FROM t),
          |sig AS (
          |  SELECT doc_id,
-         |    round(CASE WHEN n_tokens = 0 THEN 0.0
+         |    floor((CASE WHEN n_tokens = 0 THEN 0.0
          |      ELSE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.6 +
          |        (CAST(n_stop AS DOUBLE)
          |          / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.4
-         |      END, 4) AS quality,
+         |      END)*1e4 + 0.5)/1e4 AS quality,
          |    (n_tokens >= ${TextAnalysis.gopherMinWords}
          |     AND dup_ratio < ${TextAnalysis.gopherMaxDupRatio}
          |     AND mean_word_len BETWEEN ${TextAnalysis.gopherMeanLen._1}
@@ -3704,16 +3705,16 @@ object SparkEntry {
          |  FROM sig CROSS JOIN th GROUP BY threshold)
          |SELECT threshold, tp, fp, fn, tn,
          |  CASE WHEN tp + fp = 0 THEN 0.0
-         |    ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 4)
+         |    ELSE floor((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))*1e4 + 0.5)/1e4
          |  END AS precision,
          |  CASE WHEN tp + fn = 0 THEN 0.0
-         |    ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 4)
+         |    ELSE floor((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))*1e4 + 0.5)/1e4
          |  END AS recall,
          |  CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
-         |    ELSE round(CAST(2*tp AS DOUBLE)
-         |      / CAST(2*tp + fp + fn AS DOUBLE), 4)
+         |    ELSE floor((CAST(2*tp AS DOUBLE)
+         |      / CAST(2*tp + fp + fn AS DOUBLE))*1e4 + 0.5)/1e4
          |  END AS f1,
-         |  round((CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+         |  floor(((CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
          |    - (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
          |       + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
          |      / (CAST(tp + fp + fn + tn AS DOUBLE)
@@ -3721,7 +3722,7 @@ object SparkEntry {
          |  / (1.0 - (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
          |       + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
          |      / (CAST(tp + fp + fn + tn AS DOUBLE)
-         |         * CAST(tp + fp + fn + tn AS DOUBLE))), 4) + 0.0 AS kappa
+         |         * CAST(tp + fp + fn + tn AS DOUBLE))))*1e4 + 0.5)/1e4 + 0.0 AS kappa
          |FROM cnt ORDER BY threshold""".stripMargin,
 
     // the engine writes two parquet snapshots with DIFFERENT schemas and
@@ -3734,19 +3735,19 @@ object SparkEntry {
          |c AS (
          |  SELECT doc_id, lang, n_chars,
          |    CASE WHEN doc_id % 2 <> 0 THEN
-         |      round(CASE WHEN len(tk) = 0 THEN 0.0
+         |      floor((CASE WHEN len(tk) = 0 THEN 0.0
          |        ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
          |          (CAST(len(list_filter(tk,
          |            x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
          |            / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
-         |        END, 4)
+         |        END)*1e4 + 0.5)/1e4
          |    ELSE NULL END AS quality
          |  FROM t)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(count(quality) AS BIGINT) AS n_with_quality,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         |  round(CAST(sum(CAST(floor(quality * 1e4 + 0.5) AS BIGINT))
-         |    AS DOUBLE) / count(quality) / 1e4, 4) + 0.0 AS mean_quality
+         |  floor((CAST(sum(CAST(floor(quality * 1e4 + 0.5) AS BIGINT))
+         |    AS DOUBLE) / count(quality) / 1e4)*1e4 + 0.5)/1e4 + 0.0 AS mean_quality
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q140's run chain applied as an edit: long runs cut, kept stream
@@ -3811,20 +3812,20 @@ object SparkEntry {
          |  SELECT doc_id, lang,
          |    CAST(len(tk) AS BIGINT) AS n_words,
          |    CASE WHEN len(tk) <= 1 THEN 0.0 ELSE
-         |      round((len(g2) - len(list_distinct(g2)))
-         |        / CAST(len(g2) AS DOUBLE), 4) END AS dup_bigram_frac,
+         |      floor(((len(g2) - len(list_distinct(g2)))
+         |        / CAST(len(g2) AS DOUBLE))*1e4 + 0.5)/1e4 END AS dup_bigram_frac,
          |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
-         |      round(list_max(list_transform(list_distinct(tk),
+         |      floor((list_max(list_transform(list_distinct(tk),
          |        x -> len(list_filter(tk, y -> y = x))))
-         |        / CAST(len(tk) AS DOUBLE), 4) END AS top_token_frac,
-         |    round(CAST(length(array_to_string(tk, '')) AS DOUBLE)
-         |      / CAST(greatest(len(tk), 1) AS DOUBLE), 4) AS mean_word_len,
-         |    round(CASE WHEN len(tk) = 0 THEN 0.0
+         |        / CAST(len(tk) AS DOUBLE))*1e4 + 0.5)/1e4 END AS top_token_frac,
+         |    floor((CAST(length(array_to_string(tk, '')) AS DOUBLE)
+         |      / CAST(greatest(len(tk), 1) AS DOUBLE))*1e4 + 0.5)/1e4 AS mean_word_len,
+         |    floor((CASE WHEN len(tk) = 0 THEN 0.0
          |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
          |        (CAST(len(list_filter(tk,
          |          x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
          |          / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
-         |      END, 4) AS quality
+         |      END)*1e4 + 0.5)/1e4 AS quality
          |  FROM (
          |    SELECT doc_id, lang, tk,
          |      list_transform(range(1, len(tk)),
@@ -3852,13 +3853,13 @@ object SparkEntry {
          |tot AS (
          |  SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS sum_sq FROM tl)
          |SELECT lang, n_tokens,
-         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq, 6) AS weight,
+         |  floor((sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)*1e6 + 0.5)/1e6 AS weight,
          |  CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
          |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS BIGINT)
          |    AS target_tokens,
-         |  round(CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
+         |  floor((CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
          |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS DOUBLE)
-         |    / CAST(n_tokens AS DOUBLE), 4) AS epochs,
+         |    / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4 AS epochs,
          |  CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
          |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS BIGINT)
          |    > n_tokens AS oversampled
@@ -3898,9 +3899,9 @@ object SparkEntry {
          |  FROM j)
          |SELECT decile, n_spans, CAST(n_new AS BIGINT) AS n_new,
          |  cum_spans, cum_new,
-         |  round(CAST(n_new AS DOUBLE) / CAST(n_spans AS DOUBLE), 4)
+         |  floor((CAST(n_new AS DOUBLE) / CAST(n_spans AS DOUBLE))*1e4 + 0.5)/1e4
          |    AS novelty_rate,
-         |  round(CAST(cum_new AS DOUBLE) / CAST(cum_spans AS DOUBLE), 4)
+         |  floor((CAST(cum_new AS DOUBLE) / CAST(cum_spans AS DOUBLE))*1e4 + 0.5)/1e4
          |    AS cum_distinct_frac
          |FROM c ORDER BY decile""".stripMargin,
 
@@ -3932,7 +3933,7 @@ object SparkEntry {
          |agg AS (
          |  SELECT train_doc AS doc_id,
          |    CAST(count(*) AS BIGINT) AS n_bench_hits,
-         |    max(round(n_shared / CAST(n_bench AS DOUBLE), 4))
+         |    max(floor((n_shared / CAST(n_bench AS DOUBLE))*1e4 + 0.5)/1e4)
          |      AS max_containment
          |  FROM pairs GROUP BY train_doc)
          |SELECT t.doc_id,
@@ -3969,9 +3970,9 @@ object SparkEntry {
         |SELECT dim,
         |  CAST(floor(CAST(s * 1000 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
         |    AS BIGINT) / 1e6 AS mean,
-        |  round(CAST(vnum AS DOUBLE) / CAST(n * n AS DOUBLE) / 1e6, 6)
+        |  floor((CAST(vnum AS DOUBLE) / CAST(n * n AS DOUBLE) / 1e6)*1e6 + 0.5)/1e6
         |    AS variance,
-        |  round(CAST(vnum AS DOUBLE) / CAST(vnum_tot AS DOUBLE), 6)
+        |  floor((CAST(vnum AS DOUBLE) / CAST(vnum_tot AS DOUBLE))*1e6 + 0.5)/1e6
         |    AS var_share
         |FROM sv CROSS JOIN tot ORDER BY dim""".stripMargin,
 
@@ -4019,8 +4020,8 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          |  CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
          |  CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_novel,
-         |  round(sum(CASE WHEN seen THEN 0 ELSE 1 END)
-         |    / CAST(count(*) AS DOUBLE), 4) AS novelty_rate
+         |  floor((sum(CASE WHEN seen THEN 0 ELSE 1 END)
+         |    / CAST(count(*) AS DOUBLE))*1e4 + 0.5)/1e4 AS novelty_rate
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the keyed md5 remap is a pure function, so integrity is preserved
@@ -4112,10 +4113,10 @@ object SparkEntry {
          |  SELECT CAST(count(*) AS BIGINT) AS n_total
          |  FROM embeddings WHERE vec_id <> 0)
          |SELECT n.nprobe, nc.n_candidates,
-         |  round(nc.n_candidates / CAST(tot.n_total AS DOUBLE), 4)
+         |  floor((nc.n_candidates / CAST(tot.n_total AS DOUBLE))*1e4 + 0.5)/1e4
          |    AS scanned_frac,
          |  coalesce(rc.n_recalled, 0) AS n_recalled,
-         |  round(coalesce(rc.n_recalled, 0) / 10.0, 4) AS recall
+         |  floor((coalesce(rc.n_recalled, 0) / 10.0)*1e4 + 0.5)/1e4 AS recall
          |FROM nps n JOIN nc USING (nprobe)
          |LEFT JOIN rc ON rc.nprobe = n.nprobe CROSS JOIN tot
          |ORDER BY n.nprobe""".stripMargin
@@ -4128,7 +4129,7 @@ object SparkEntry {
       s"""WITH $ivfTrainCtesSql,
          |cv AS (
          |  SELECT list_id,
-         |    list(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
+         |    list(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0)*1e6 + 0.5)/1e6 + 0.0
          |      ORDER BY dim) AS c
          |  FROM m2 GROUP BY list_id),
          |sc AS (
@@ -4151,13 +4152,13 @@ object SparkEntry {
          |tot AS (
          |  SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS sum_sq FROM tc)
          |SELECT cluster, n_docs, n_tokens,
-         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq, 6) AS weight,
+         |  floor((sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)*1e6 + 0.5)/1e6 AS weight,
          |  CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
          |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS BIGINT)
          |    AS target_tokens,
-         |  round(CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
+         |  floor((CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
          |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS DOUBLE)
-         |    / CAST(n_tokens AS DOUBLE), 4) AS epochs,
+         |    / CAST(n_tokens AS DOUBLE))*1e4 + 0.5)/1e4 AS epochs,
          |  CAST(floor(${CorpusOps.mixBudgetTokens}.0 *
          |    (sqrt(CAST(n_tokens AS DOUBLE)) / sum_sq)) AS BIGINT)
          |    > n_tokens AS oversampled
@@ -4300,11 +4301,11 @@ object SparkEntry {
       s"""WITH t AS (SELECT source, text, $toksSql AS tk FROM documents),
          |sc AS (
          |  SELECT source,
-         |    CAST(floor(round(CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0
+         |    CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0
          |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
          |        (CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
          |          / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
-         |      END, 4) * 1e4 + 0.5) AS BIGINT) AS u
+         |      END) * 1e4 + 0.5) AS BIGINT) AS u
          |  FROM t),
          |freq AS (SELECT source, u, CAST(count(*) AS BIGINT) AS cnt
          |         FROM sc GROUP BY source, u),
@@ -4325,7 +4326,7 @@ object SparkEntry {
          |  FROM freq f JOIN thr t USING (source) GROUP BY f.source)
          |SELECT source, n_docs, thr_u4, n_kept,
          |  n_docs - n_kept AS n_dropped,
-         |  round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+         |  floor((CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE))*1e4 + 0.5)/1e4
          |    AS kept_rate
          |FROM agg ORDER BY source""".stripMargin,
     "q169_source_overlap" ->
@@ -4344,8 +4345,8 @@ object SparkEntry {
          |ag AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
          |       FROM pr GROUP BY 1, 2)
          |SELECT src_a, src_b, n_shared, pa.n_fps AS fps_a, pb.n_fps AS fps_b,
-         |  round(CAST(n_shared AS DOUBLE)
-         |    / CAST(pa.n_fps + pb.n_fps - n_shared AS DOUBLE), 4) AS jaccard
+         |  floor((CAST(n_shared AS DOUBLE)
+         |    / CAST(pa.n_fps + pb.n_fps - n_shared AS DOUBLE))*1e4 + 0.5)/1e4 AS jaccard
          |FROM ag JOIN ps pa ON ag.src_a = pa.source
          |         JOIN ps pb ON ag.src_b = pb.source
          |ORDER BY src_a, src_b""".stripMargin,
@@ -4353,7 +4354,7 @@ object SparkEntry {
       s"""WITH $ivfTrainCtesSql,
          |cv AS (
          |  SELECT list_id,
-         |    list(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
+         |    list(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0)*1e6 + 0.5)/1e6 + 0.0
          |      ORDER BY dim) AS c
          |  FROM m2 GROUP BY list_id),
          |cc AS (SELECT list_id,
@@ -4395,7 +4396,7 @@ object SparkEntry {
       s"""WITH $ivfTrainCtesSql,
          |cv AS (
          |  SELECT list_id,
-         |    list(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0, 6) + 0.0
+         |    list(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0)*1e6 + 0.5)/1e6 + 0.0
          |      ORDER BY dim) AS c
          |  FROM m2 GROUP BY list_id),
          |sc AS (
@@ -4437,5 +4438,74 @@ object SparkEntry {
          |    + 0.5) AS BIGINT) AS purity_u4,
          |  entropy_u6
          |FROM agg ORDER BY cluster""".stripMargin,
+
+    // RRF fusion of the q167 BM25 ranking and a q42-shaped dense cosine
+    // ranking over the same query ids; contributions are exact
+    // floor(1e6/(60+rank)+0.5) integers, fused score an integer sum
+    "q172_hybrid_rrf" -> {
+      val qvals = CorpusOps.bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      val qidList = CorpusOps.bm25Queries.map(_._1).distinct.sorted.mkString(", ")
+      val k = CorpusOps.bm25K
+      val k0 = CorpusOps.rrfK0
+      s"""WITH qt(query_id, term) AS (VALUES $qvals),
+         |lens AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(dl) AS BIGINT) AS t FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents) z
+         |  WHERE term IN (SELECT term FROM qt)
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY term),
+         |s AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(floor(
+         |      round(ln(CAST(2*n+2 AS DOUBLE) / CAST(2*df+1 AS DOUBLE)), 8)
+         |      * ((44.0 * CAST(t AS DOUBLE) * CAST(tf AS DOUBLE))
+         |        / (20.0 * CAST(t AS DOUBLE) * CAST(tf AS DOUBLE)
+         |          + 6.0 * CAST(t AS DOUBLE)
+         |          + 18.0 * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)))
+         |      * 1e4 + 0.5) AS BIGINT) AS u
+         |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+         |  JOIN lens USING (doc_id) CROSS JOIN tot),
+         |agg AS (SELECT query_id, doc_id, CAST(sum(u) AS BIGINT) AS score_u4
+         |        FROM s GROUP BY 1, 2),
+         |lexr AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_u4 DESC, doc_id) AS BIGINT) AS bm25_rk
+         |  FROM agg),
+         |lexk AS (SELECT * FROM lexr WHERE bm25_rk <= $k),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qe
+         |       FROM embeddings WHERE vec_id IN ($qidList)),
+         |dsc AS (
+         |  SELECT qv.query_id, e.vec_id AS doc_id,
+         |    ${cosSql("e.embedding", "qv.qe")} AS cos
+         |  FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+         |denr AS (SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rk
+         |  FROM dsc WHERE NOT isnan(cos)),
+         |denk AS (SELECT * FROM denr WHERE dense_rk <= $k),
+         |f AS (
+         |  SELECT query_id, doc_id,
+         |    (CASE WHEN bm25_rk IS NOT NULL
+         |       THEN CAST(floor(1e6 / ($k0.0 + bm25_rk) + 0.5) AS BIGINT)
+         |       ELSE 0 END
+         |     + CASE WHEN dense_rk IS NOT NULL
+         |       THEN CAST(floor(1e6 / ($k0.0 + dense_rk) + 0.5) AS BIGINT)
+         |       ELSE 0 END) AS rrf_u6,
+         |    CAST(coalesce(bm25_rk, 0) AS BIGINT) AS b_rk,
+         |    CAST(coalesce(dense_rk, 0) AS BIGINT) AS d_rk
+         |  FROM lexk FULL JOIN denk USING (query_id, doc_id)),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_u6 DESC, doc_id) AS BIGINT) AS rk FROM f)
+         |SELECT query_id, rk, doc_id, rrf_u6,
+         |  b_rk AS bm25_rk, d_rk AS dense_rk
+         |FROM r WHERE rk <= $k
+         |ORDER BY query_id, rk""".stripMargin
+    },
   )
 }

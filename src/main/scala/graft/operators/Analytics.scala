@@ -54,7 +54,7 @@ object Analytics {
       .select($"cohort_wk", $"n_active".as("cohort_size"))
     cells.join(broadcast(sizes), "cohort_wk")
       .select($"cohort_wk", $"wk_offset", $"n_active", $"cohort_size",
-        round($"n_active".cast("double") / $"cohort_size".cast("double"), 4)
+        Quant.r4($"n_active".cast("double") / $"cohort_size".cast("double"))
           .as("retention"))
       .orderBy($"cohort_wk", $"wk_offset")
   }
@@ -118,7 +118,7 @@ object Analytics {
     val totals = pairs.groupBy($"cur").agg(sum($"cnt").as("tot"))
     pairs.join(broadcast(totals), "cur")
       .select($"cur", $"nxt", $"cnt",
-        round($"cnt".cast("double") / $"tot".cast("double"), 4).as("p"))
+        Quant.r4($"cnt".cast("double") / $"tot".cast("double")).as("p"))
       .orderBy($"cur", $"nxt")
   }
 
@@ -163,11 +163,11 @@ object Analytics {
       .select($"source", $"m.lang".as("top_lang"), (-$"m.nc").as("top_cnt"))
     stats.join(topLang, "source")
       .select($"source", $"n_docs", $"n_langs", $"top_lang",
-        round($"top_cnt".cast("double") / $"n_docs", 4).as("top_lang_share"),
-        round($"med", 4).as("median_chars"),
-        round(($"n_docs" - $"n_unique").cast("double") / $"n_docs", 4)
+        Quant.r4($"top_cnt".cast("double") / $"n_docs").as("top_lang_share"),
+        Quant.r4($"med").as("median_chars"),
+        Quant.r4(($"n_docs" - $"n_unique").cast("double") / $"n_docs")
           .as("dup_rate"),
-        round($"qu".cast("double") / 1e4 / $"n_docs", 4).as("mean_quality"))
+        Quant.r4($"qu".cast("double") / 1e4 / $"n_docs").as("mean_quality"))
       .orderBy($"source")
   }
 
@@ -198,11 +198,11 @@ object Analytics {
         expr("percentile(cnt, 0.99D)").as("p99d"))
       .select(
         $"n_keys", $"n_rows", $"max_cnt",
-        round($"p50d", 4).as("p50"),
-        round($"p99d", 4).as("p99"),
-        round($"max_cnt".cast("double") / $"p50d", 4).as("skew_ratio"),
+        Quant.r4($"p50d").as("p50"),
+        Quant.r4($"p99d").as("p99"),
+        Quant.r4($"max_cnt".cast("double") / $"p50d").as("skew_ratio"),
         greatest(lit(1L),
-          ceil(round($"max_cnt".cast("double") / $"p99d", 6)).cast("long"))
+          ceil(round($"max_cnt".cast("double") / $"p99d", 6)).cast("long")) // round-ok: ulp-guard before ceil; oracle mirrors
           .as("salt_factor"))
   }
 }

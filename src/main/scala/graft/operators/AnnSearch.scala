@@ -31,7 +31,7 @@ object AnnSearch {
       .crossJoin(broadcast(query))
       .select(
         $"vec_id", $"label",
-        round(cosine($"embedding", $"q"), 4).as("cos_sim"))
+        Quant.r4(cosine($"embedding", $"q")).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(k)
   }
@@ -51,7 +51,7 @@ object AnnSearch {
       .join(broadcast(query), $"bucket" === $"qbucket")
       .select(
         $"vec_id", $"label", $"bucket",
-        round(cosine($"embedding", $"q"), 4).as("cos_sim"))
+        Quant.r4(cosine($"embedding", $"q")).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(k)
   }
@@ -74,7 +74,7 @@ object AnnSearch {
     emb.filter($"vec_id" >= nQueries)
       .crossJoin(broadcast(queries))
       .select($"q_id", $"vec_id",
-        round(cosine($"embedding", $"q"), 4).as("cos_sim"))
+        Quant.r4(cosine($"embedding", $"q")).as("cos_sim"))
       // NaN policy (documented, oracle-mirrored): cosine of a zero-norm
       // vector is NaN = "unscorable", and unscorable candidates are
       // EXCLUDED from serving results. Without this filter the engines
@@ -138,7 +138,7 @@ object AnnSearch {
     assigned.filter($"vec_id" =!= queryId)
       .join(broadcast(probed), array_contains($"probe_lists", $"list_id"))
       .select($"vec_id", $"label", $"list_id".cast("long").as("list_id"),
-        round(cosine($"embedding", $"q"), 4).as("cos_sim"))
+        Quant.r4(cosine($"embedding", $"q")).as("cos_sim"))
       .orderBy($"cos_sim".desc, $"vec_id")
       .limit(k)
   }
@@ -166,7 +166,7 @@ object AnnSearch {
     emb.as("x").join(emb.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.vec_id" =!= $"y.vec_id")
       .select($"x.vec_id".as("vec_id"),
-        round(dot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"), 4)
+        Quant.r4(dot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"))
           .as("cos_sim"),
         $"y.vec_id".as("nbr"))
       // same NaN-exclusion policy as batchTopK (zero-norm → unscorable)
@@ -196,7 +196,7 @@ object AnnSearch {
       .groupBy($"label", ($"pos" + 1).cast("long").as("dim"))
       // + 0.0 canonicalizes IEEE negative zero (a tiny negative mean
       // rounds to -0.0 in one engine and 0.0 in the other)
-      .agg((round(avg($"col".cast("double")), 4) + lit(0.0)).as("mean_val"))
+      .agg((Quant.r4(avg($"col".cast("double"))) + lit(0.0)).as("mean_val"))
       .orderBy($"label", $"dim")
   }
 
@@ -275,7 +275,7 @@ object AnnSearch {
     val eq = ivfQuantize(spark, dir)
     ivfMstep(ivfAssign(eq, ivfTrainRational(eq, nlist, iters)))
       .select($"list_id", $"n".as("n_members"), $"dim",
-        (round($"s".cast("double") / $"n".cast("double") / 1000.0, 6) + lit(0.0))
+        (Quant.r6($"s".cast("double") / $"n".cast("double") / 1000.0) + lit(0.0))
           .as("centroid"))
       .orderBy($"list_id", $"dim")
   }
@@ -415,7 +415,7 @@ object AnnSearch {
       .crossJoin(broadcast(nps))
       .filter(element_at($"ranks", $"list_id".cast("int")) <= $"nprobe")
       .select($"nprobe", $"vec_id",
-        round(cosine($"embedding", $"qv"), 4).as("cos"))
+        Quant.r4(cosine($"embedding", $"qv")).as("cos"))
       .filter(!isnan($"cos"))
     val exact = bruteForceTopK(spark, dir, queryId, k)
       .select($"vec_id").withColumn("in_exact", lit(true))
@@ -431,10 +431,10 @@ object AnnSearch {
       .agg(sum(when($"in_exact", 1L).otherwise(0L)).as("n_recalled"))
       .crossJoin(broadcast(tot))
       .select($"nprobe", $"n_candidates",
-        round($"n_candidates".cast("double") / $"n_total".cast("double"), 4)
+        Quant.r4($"n_candidates".cast("double") / $"n_total".cast("double"))
           .as("scanned_frac"),
         $"n_recalled",
-        round($"n_recalled".cast("double") / k, 4).as("recall"))
+        Quant.r4($"n_recalled".cast("double") / k).as("recall"))
       .orderBy($"nprobe")
   }
 
@@ -479,9 +479,9 @@ object AnnSearch {
         // adds a second rounding that can flip the floor past 2^53.
         (floor(($"s" * 1000).cast("double") / $"n".cast("double") +
           lit(0.5)).cast("long").cast("double") / 1e6).as("mean"),
-        round($"vnum".cast("double") /
-          ($"n" * $"n").cast("double") / 1e6, 6).as("variance"),
-        round($"vnum".cast("double") / $"vnum_tot".cast("double"), 6)
+        Quant.r6($"vnum".cast("double") /
+          ($"n" * $"n").cast("double") / 1e6).as("variance"),
+        Quant.r6($"vnum".cast("double") / $"vnum_tot".cast("double"))
           .as("var_share"))
       .orderBy($"dim")
   }
@@ -540,11 +540,11 @@ object AnnSearch {
         sum($"nm".cast("decimal(38,0)") * $"nm".cast("decimal(38,0)"))
           .as("ssq"))
       .select($"list_id", $"n_base", $"n_delta",
-        round($"n_delta".cast("double") /
-          greatest($"n_base", lit(1L)).cast("double"), 4).as("growth"),
+        Quant.r4($"n_delta".cast("double") /
+          greatest($"n_base", lit(1L)).cast("double")).as("growth"),
         when($"n_base" > 0 && $"n_delta" > 0,
-          round(sqrt($"ssq".cast("double")) /
-            ($"n_base" * ($"n_base" + $"n_delta")).cast("double") / 1000.0, 6))
+          Quant.r6(sqrt($"ssq".cast("double")) /
+            ($"n_base" * ($"n_base" + $"n_delta")).cast("double") / 1000.0))
           .otherwise(lit(0.0)).as("drift"))
       .withColumn("needs_retrain",
         ($"n_base" === 0 && $"n_delta" > 0) ||
@@ -588,7 +588,7 @@ object AnnSearch {
         $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
       .select(
         $"x.vec_id".as("a"), $"y.vec_id".as("b"),
-        round(dot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"), 4)
+        Quant.r4(dot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"))
           .as("cos_sim"))
       .filter($"cos_sim" >= threshold)
       .orderBy($"a", $"b")
@@ -635,7 +635,7 @@ object AnnSearch {
     val lower = cached.as("x").join(cached.as("y"),
         $"x.list_id" === $"y.list_id" && $"x.vec_id" < $"y.vec_id")
       .select($"y.vec_id".as("vec_id"),
-        round(dot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"), 4)
+        Quant.r4(dot($"x.embedding", $"y.embedding") / ($"x.nrm" * $"y.nrm"))
           .as("cs"))
       .groupBy($"vec_id").agg(max($"cs").as("mx"))
     // barrier stays live until the consumer's CacheGuard.release() — the
@@ -671,7 +671,7 @@ object AnnSearch {
       .withColumn("bucket", signLshBucket($"embedding", bits))
       .join(broadcast(queries), $"bucket" === $"qb")
       .select($"q_id", $"vec_id",
-        round(cosine($"embedding", $"qe"), 4).as("cos_sim"))
+        Quant.r4(cosine($"embedding", $"qe")).as("cos_sim"))
       .filter(!isnan($"cos_sim"))
       .groupBy($"q_id")
       .agg(graft.functions.TopK.topK(k)($"cos_sim", $"vec_id").as("hits"))
@@ -689,8 +689,8 @@ object AnnSearch {
         coalesce($"n_exact", lit(0L)).as("n_exact"),
         coalesce($"n_lsh", lit(0L)).as("n_lsh"),
         coalesce($"n_overlap", lit(0L)).as("n_overlap"),
-        (round(coalesce($"n_overlap", lit(0L)).cast("double") /
-          coalesce($"n_exact", lit(1L)).cast("double"), 4) + lit(0.0))
+        (Quant.r4(coalesce($"n_overlap", lit(0L)).cast("double") /
+          coalesce($"n_exact", lit(1L)).cast("double")) + lit(0.0))
           .as("recall"))
       .orderBy($"q_id")
   }
@@ -729,7 +729,7 @@ object AnnSearch {
       .groupBy($"vec_id", $"sub")
       .agg(min_by(struct($"c".as("code"), $"err2"), struct($"score", $"c")).as("w"))
     enc.select($"vec_id", $"sub", $"w.code".as("code"),
-        (round($"w.err2" / lit(1000000.0), 6) + lit(0.0)).as("err2"))
+        (Quant.r6($"w.err2" / lit(1000000.0)) + lit(0.0)).as("err2"))
       .orderBy($"vec_id", $"sub")
   }
 
@@ -823,7 +823,7 @@ object AnnSearch {
       .agg(aggregate(transform(array_sort(collect_list(struct($"lsub", $"d"))),
           x => x("d")), lit(0.0), (a, x) => a + x).as("g"))
       .filter($"vec_id" =!= queryId)
-      .select($"vec_id", (round($"g" / lit(1000000.0), 4) + lit(0.0)).as("adc_dist2"))
+      .select($"vec_id", (Quant.r4($"g" / lit(1000000.0)) + lit(0.0)).as("adc_dist2"))
       .orderBy($"adc_dist2", $"vec_id")
       .limit(topK)
   }
@@ -856,7 +856,7 @@ object AnnSearch {
       .withColumn("bucket", signLshBucket($"embedding", bits))
       .join(broadcast(queries), $"bucket" === $"qb")
       .select($"q_id", $"vec_id",
-        round(cosine($"embedding", $"qe"), 4).as("cos_sim"))
+        Quant.r4(cosine($"embedding", $"qe")).as("cos_sim"))
       .filter(!isnan($"cos_sim"))
       .groupBy($"q_id")
       .agg(graft.functions.TopK.topK(k)($"cos_sim", $"vec_id").as("hits"))
@@ -878,11 +878,11 @@ object AnnSearch {
     ideal.join(scored, Seq("q_id"), "left")
       .select($"q_id", $"n_exact",
         coalesce($"n_relevant", lit(0L)).as("n_relevant"),
-        (round(when($"first_rel".isNotNull,
-          lit(1.0) / $"first_rel".cast("double")).otherwise(lit(0.0)), 4)
+        (Quant.r4(when($"first_rel".isNotNull,
+          lit(1.0) / $"first_rel".cast("double")).otherwise(lit(0.0)))
           + lit(0.0)).as("mrr"),
-        (round(coalesce($"dcg_u", lit(0L)).cast("double") /
-          $"idcg_u".cast("double"), 4) + lit(0.0)).as("ndcg"))
+        (Quant.r4(coalesce($"dcg_u", lit(0L)).cast("double") /
+          $"idcg_u".cast("double")) + lit(0.0)).as("ndcg"))
       .orderBy($"q_id")
   }
 
@@ -919,7 +919,7 @@ object AnnSearch {
         .withColumn("bucket", signLshBucket($"embedding", bits))
         .join(broadcast(probes), $"bucket" === $"pb")
         .select($"q_id", $"vec_id", $"is_home",
-          round(cosine($"embedding", $"qe"), 4).as("cos_sim"))
+          Quant.r4(cosine($"embedding", $"qe")).as("cos_sim"))
         .filter(!isnan($"cos_sim")))
     def audit(cands: DataFrame, nName: String, rName: String): DataFrame = {
       val top = cands.groupBy($"q_id")
@@ -935,7 +935,7 @@ object AnnSearch {
       top.select($"q_id", col(nName))
         .join(hits, Seq("q_id"), "left")
         .select($"q_id", col(nName),
-          round(coalesce($"nh", lit(0L)).cast("double") / k, 4).as(rName))
+          Quant.r4(coalesce($"nh", lit(0L)).cast("double") / k).as(rName))
     }
     val single = audit(scored.filter($"is_home"), "n_single", "recall_single")
     val multi = audit(scored, "n_multi", "recall_multi")
@@ -973,7 +973,7 @@ object AnnSearch {
     emb.crossJoin(broadcast(anchors))
       .filter($"label" =!= $"q_label")
       .select($"q_id", $"q_label", $"vec_id",
-        round(cosine($"embedding", $"qe"), 4).as("cos_sim"))
+        Quant.r4(cosine($"embedding", $"qe")).as("cos_sim"))
       .filter(!isnan($"cos_sim"))
       .groupBy($"q_id", $"q_label")
       .agg(graft.functions.TopK.topK(k)($"cos_sim", $"vec_id").as("hits"))
@@ -1027,10 +1027,10 @@ object AnnSearch {
       sum(($"u" * $"u").cast("decimal(38,0)")).as("su2"))
     cached.join(broadcast(stats), "label")
       .select($"vec_id", $"label",
-        (round($"u".cast("double") / 1e6, 4) + lit(0.0)).as("dist"),
-        (round(($"n".cast("decimal(38,0)") * $"u" - $"su").cast("double") /
+        (Quant.r4($"u".cast("double") / 1e6) + lit(0.0)).as("dist"),
+        (Quant.r4(($"n".cast("decimal(38,0)") * $"u" - $"su").cast("double") /
           sqrt(($"n".cast("decimal(38,0)") * $"su2" - $"su" * $"su")
-            .cast("double")), 4) + lit(0.0)).as("z"))
+            .cast("double"))) + lit(0.0)).as("z"))
       .orderBy($"z".desc, $"vec_id")
       .limit(topN)
   }
@@ -1069,8 +1069,8 @@ object AnnSearch {
     emb.filter($"vec_id" >= nQueries)
       .crossJoin(broadcast(queries))
       .select($"q_id", $"vec_id",
-        round(cosine($"embedding", $"q"), 4).as("cos_full"),
-        round(cosine(slice($"embedding", 1, dims), slice($"q", 1, dims)), 4)
+        Quant.r4(cosine($"embedding", $"q")).as("cos_full"),
+        Quant.r4(cosine(slice($"embedding", 1, dims), slice($"q", 1, dims)))
           .as("cos_trunc"))
       .filter(!isnan($"cos_full") && !isnan($"cos_trunc"))
       .groupBy($"q_id")
@@ -1083,7 +1083,7 @@ object AnnSearch {
         (element_at(ids($"hf"), 1) === element_at(ids($"ht"), 1))
           .as("top1_agree"))
       .withColumn("overlap_frac",
-        round($"n_overlap".cast("double") / k.toDouble, 4))
+        Quant.r4($"n_overlap".cast("double") / k.toDouble))
       .orderBy($"q_id")
   }
 
@@ -1133,7 +1133,7 @@ object AnnSearch {
         c => when(c === $"own", lit(Double.PositiveInfinity))
           .otherwise(element_at($"dists", c)))))
       .select($"own".cast("long").as("cluster"),
-        floor(round(when(greatest($"a", $"b") <= 0, 0.0)
+        floor(round(when(greatest($"a", $"b") <= 0, 0.0) // round-ok: ulp-snap on ln before quantize (round-7 discipline)
           .otherwise(($"b" - $"a") / greatest($"a", $"b")), 8) * 1e6
           + lit(0.5)).cast("long").as("u"),
         when($"b" < $"a", 1L).otherwise(0L).as("neg"))
@@ -1188,7 +1188,7 @@ object AnnSearch {
         org.apache.spark.sql.expressions.Window.partitionBy($"cluster")))
       .withColumn("rk", row_number().over(w))
       // -p·ln(p) per cell in micro-nats, integer thereafter
-      .withColumn("h_u6", floor(round(
+      .withColumn("h_u6", floor(round( // round-ok: ulp-snap on ln before quantize (round-7 discipline)
         -($"n_cell".cast("double") / $"n".cast("double")) *
           log($"n_cell".cast("double") / $"n".cast("double")), 8) * 1e6
         + lit(0.5)).cast("long"))

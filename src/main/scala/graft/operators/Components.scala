@@ -167,7 +167,7 @@ object Components {
       .crossJoin(counts)
       .select($"n_edges", $"n_wedges", $"n_triangles",
         when($"n_wedges" === 0, lit(0.0))
-          .otherwise(round($"n_triangles".cast("double") / $"n_wedges", 4)
+          .otherwise(Quant.r4($"n_triangles".cast("double") / $"n_wedges")
             + lit(0.0))
           .as("wedge_closure"))
   }
@@ -290,7 +290,7 @@ object Components {
           .select($"a", $"b"), iters)
       .select($"node".as("doc_id"), $"deg".as("degree"),
         $"r".as("rank_ppm"),
-        round($"r".cast("double") / 1000000.0, 4).as("rank"))
+        Quant.r4($"r".cast("double") / 1000000.0).as("rank"))
       .orderBy($"doc_id")
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.cosine
 
 /** Corpus-construction operators a training-data pipeline runs after
   * filtering/dedup: deterministic stratified sampling (data mixing) and
@@ -160,9 +161,9 @@ object CorpusOps {
     Tables.documents(spark, dir)
       .filter($"n_chars" > 0)
       .select($"doc_id", $"n_chars".as("w"),
-        round(
+        Quant.r8(
           log((md5Hash32($"doc_id".cast("string")).cast("double") + 0.5) /
-            4294967296.0) / $"n_chars", 8).as("ks"))
+            4294967296.0) / $"n_chars").as("ks"))
       .orderBy($"ks".desc, $"doc_id")
       .limit(k)
   }
@@ -180,8 +181,8 @@ object CorpusOps {
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg($"n_chars".cast("double")), 4).as("avg_chars"),
-        round(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 4).as("median_chars"),
+        Quant.r4(avg($"n_chars".cast("double"))).as("avg_chars"),
+        Quant.r4(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)")).as("median_chars"),
         sum(when(length(trim(coalesce($"text", lit("")))) === 0, 1L)
           .otherwise(0L)).as("n_empty"))
       .orderBy($"source")
@@ -208,10 +209,10 @@ object CorpusOps {
       sum(sqrt($"n_docs".cast("double"))).as("sum_sq"))
     counts.crossJoin(broadcast(tot))
       .select($"lang", $"n_docs",
-        round($"n_docs".cast("double") / $"total".cast("double"), 6).as("p"),
-        round(sqrt($"n_docs".cast("double")) / $"sum_sq", 6).as("w"),
-        round(sqrt($"n_docs".cast("double")) / $"sum_sq" /
-          ($"n_docs".cast("double") / $"total".cast("double")), 4)
+        Quant.r6($"n_docs".cast("double") / $"total".cast("double")).as("p"),
+        Quant.r6(sqrt($"n_docs".cast("double")) / $"sum_sq").as("w"),
+        Quant.r4(sqrt($"n_docs".cast("double")) / $"sum_sq" /
+          ($"n_docs".cast("double") / $"total".cast("double")))
           .as("sample_rate"))
       .orderBy($"lang")
   }
@@ -259,9 +260,9 @@ object CorpusOps {
       .withColumn("cum_spans", sum($"n_spans").over(w))
       .withColumn("cum_new", sum($"n_new").over(w))
       .select($"decile", $"n_spans", $"n_new", $"cum_spans", $"cum_new",
-        round($"n_new".cast("double") / $"n_spans".cast("double"), 4)
+        Quant.r4($"n_new".cast("double") / $"n_spans".cast("double"))
           .as("novelty_rate"),
-        round($"cum_new".cast("double") / $"cum_spans".cast("double"), 4)
+        Quant.r4($"cum_new".cast("double") / $"cum_spans".cast("double"))
           .as("cum_distinct_frac"))
       .orderBy($"decile")
   }
@@ -301,8 +302,8 @@ object CorpusOps {
         sum(when($"seen", 1L).otherwise(0L)).as("n_seen"))
       .select($"doc_id", $"n_spans", $"n_seen",
         ($"n_spans" - $"n_seen").as("n_novel"),
-        round(($"n_spans" - $"n_seen").cast("double") /
-          $"n_spans".cast("double"), 4).as("novelty_rate"))
+        Quant.r4(($"n_spans" - $"n_seen").cast("double") /
+          $"n_spans".cast("double")).as("novelty_rate"))
       .orderBy($"doc_id")
   }
 
@@ -368,13 +369,13 @@ object CorpusOps {
     val tot = tl.select(sum(sqrt($"n_tokens".cast("double"))).as("sum_sq"))
     tl.crossJoin(broadcast(tot))
       .select($"lang", $"n_tokens",
-        round(sqrt($"n_tokens".cast("double")) / $"sum_sq", 6).as("weight"),
+        Quant.r6(sqrt($"n_tokens".cast("double")) / $"sum_sq").as("weight"),
         floor(lit(budget.toDouble) *
           (sqrt($"n_tokens".cast("double")) / $"sum_sq")).cast("long")
           .as("target_tokens"))
       .withColumn("epochs",
-        round($"target_tokens".cast("double") /
-          $"n_tokens".cast("double"), 4))
+        Quant.r4($"target_tokens".cast("double") /
+          $"n_tokens".cast("double")))
       .withColumn("oversampled", $"target_tokens" > $"n_tokens")
       .orderBy($"lang")
   }
@@ -427,13 +428,13 @@ object CorpusOps {
     val tot = tc.select(sum(sqrt($"n_tokens".cast("double"))).as("sum_sq"))
     tc.crossJoin(broadcast(tot))
       .select($"cluster", $"n_docs", $"n_tokens",
-        round(sqrt($"n_tokens".cast("double")) / $"sum_sq", 6).as("weight"),
+        Quant.r6(sqrt($"n_tokens".cast("double")) / $"sum_sq").as("weight"),
         floor(lit(budget.toDouble) *
           (sqrt($"n_tokens".cast("double")) / $"sum_sq")).cast("long")
           .as("target_tokens"))
       .withColumn("epochs",
-        round($"target_tokens".cast("double") /
-          $"n_tokens".cast("double"), 4))
+        Quant.r4($"target_tokens".cast("double") /
+          $"n_tokens".cast("double")))
       .withColumn("oversampled", $"target_tokens" > $"n_tokens")
       .orderBy($"cluster")
   }
@@ -537,7 +538,7 @@ object CorpusOps {
         sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup"))
       .filter($"n_dup" * 2 <= $"n_spans") // integer-exact q72 gate
       .select($"doc_id",
-        round($"n_dup".cast("double") / $"n_spans".cast("double"), 4).as("dup_ratio"))
+        Quant.r4($"n_dup".cast("double") / $"n_spans".cast("double")).as("dup_ratio"))
     // stage 3: unigram-LM floor over the gated corpus's own model
     val toks = base.select($"doc_id", explode($"toks").as("term"))
     val tf = toks.groupBy($"term").agg(count(lit(1)).as("tf"))
@@ -545,13 +546,13 @@ object CorpusOps {
     val lm = toks.join(tf, "term").crossJoin(broadcast(total))
       .select($"doc_id",
         // round-8 before quantizing — pinned with q71's scoring chain
-        floor(round(log($"tf".cast("double") / $"total".cast("double")), 8)
+        floor(round(log($"tf".cast("double") / $"total".cast("double")), 8) // round-ok: ulp-snap on ln before quantize (round-7 discipline)
           * 1e6 + lit(0.5))
           .cast("long").as("u"))
       .groupBy($"doc_id").agg(sum($"u").as("units"), count(lit(1)).as("n"))
       .filter($"units" > lit(buildLogProbFloorUnits) * $"n") // exact ints
       .select($"doc_id",
-        (round($"units".cast("double") / $"n".cast("double") / 1e6, 4) + lit(0.0))
+        (Quant.r4($"units".cast("double") / $"n".cast("double") / 1e6) + lit(0.0))
           .as("mean_logprob"))
     // stage 4: temperature-weighted deterministic sample
     val counts = base.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
@@ -710,8 +711,8 @@ object CorpusOps {
     dev.join(broadcast(mad), "source")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
-        (round(first($"med"), 4) + lit(0.0)).as("median_chars"),
-        (round(first($"mad"), 4) + lit(0.0)).as("mad_chars"),
+        (Quant.r4(first($"med")) + lit(0.0)).as("median_chars"),
+        (Quant.r4(first($"mad")) + lit(0.0)).as("mad_chars"),
         sum(when($"adev" > lit(4.4478) * $"mad", 1L).otherwise(0L))
           .as("n_outliers"))
       .orderBy($"source")
@@ -738,7 +739,7 @@ object CorpusOps {
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 4)
+        Quant.r4(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"))
           .as("median_exact"),
         expr("percentile_approx(CAST(n_chars AS DOUBLE), 0.5, 10000)")
           .as("median_approx"))
@@ -777,7 +778,7 @@ object CorpusOps {
     tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        round($"tf" * log($"n".cast("double") / $"df".cast("double")), 4))
+        Quant.r4(round($"tf" * log($"n".cast("double") / $"df".cast("double")), 8))) // round-ok: ulp-snap on ln before quantize (round-7 discipline)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"doc_id", $"rk".cast("long").as("rk"), $"term", $"tf", $"df", $"tfidf")
@@ -893,10 +894,10 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared"),
         max($"n_train").as("n_train"), max($"n_bench").as("n_bench"))
       .select($"train_doc", $"bench_doc", $"n_shared", $"n_train", $"n_bench",
-        round($"n_shared".cast("double") /
-          ($"n_train" + $"n_bench" - $"n_shared").cast("double"), 4)
+        Quant.r4($"n_shared".cast("double") /
+          ($"n_train" + $"n_bench" - $"n_shared").cast("double"))
           .as("jaccard"),
-        round($"n_shared".cast("double") / $"n_bench".cast("double"), 4)
+        Quant.r4($"n_shared".cast("double") / $"n_bench".cast("double"))
           .as("containment"))
       .orderBy($"train_doc", $"bench_doc")
   }
@@ -935,8 +936,8 @@ object CorpusOps {
         sum(least($"n", $"max_len")).as("kept_tokens"))
       .select($"max_len", $"n_docs", $"n_truncated", $"tokens_lost",
         $"pad_tokens",
-        (round($"kept_tokens".cast("double") /
-          ($"n_docs" * $"max_len").cast("double"), 4) + lit(0.0))
+        (Quant.r4($"kept_tokens".cast("double") /
+          ($"n_docs" * $"max_len").cast("double")) + lit(0.0))
           .as("utilization"))
       .orderBy($"max_len")
   }
@@ -980,13 +981,13 @@ object CorpusOps {
       // so tested-SF hashes are unchanged.
       .select($"source",
         floor(($"tf_s".cast("double") / $"t_s".cast("double")) *
-          round(log(($"tf_s".cast("double") * $"t_c".cast("double")) /
-            ($"t_s".cast("double") * $"tf_c".cast("double"))), 8) * 1e6 + lit(0.5))
+          Quant.r8(log(($"tf_s".cast("double") * $"t_c".cast("double")) /
+            ($"t_s".cast("double") * $"tf_c".cast("double")))) * 1e6 + lit(0.5))
           .cast("long").as("u"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_terms"), sum($"u").as("units"))
       .select($"source", $"n_terms",
-        (round($"units".cast("double") / 1e6, 6) + lit(0.0)).as("kl"))
+        (Quant.r6($"units".cast("double") / 1e6) + lit(0.0)).as("kl"))
       .orderBy($"source")
   }
 
@@ -1035,7 +1036,7 @@ object CorpusOps {
     val wtable = raw.join(tgt, Seq("f"), "left")
       .crossJoin(broadcast(totals))
       .select($"f",
-        floor(round(log(
+        floor(round(log( // round-ok: ulp-snap on ln before quantize (round-7 discipline)
           ((coalesce($"c_t", lit(0L)) + 1).cast("double")
             * ($"t_r" + b).cast("double")) /
             (($"t_t" + b).cast("double") * ($"c_r" + 1).cast("double"))), 8)
@@ -1120,7 +1121,7 @@ object CorpusOps {
       .crossJoin(broadcast(tot))
       .select($"query_id", $"doc_id",
         floor(
-          round(log((lit(2L) * $"n" + 2L).cast("double") /
+          round(log((lit(2L) * $"n" + 2L).cast("double") / // round-ok: ulp-snap on ln before quantize (round-7 discipline)
             (lit(2L) * $"df" + 1L).cast("double")), 8) *
             ((lit(44.0) * $"t".cast("double") * $"tf".cast("double")) /
               (lit(20.0) * $"t".cast("double") * $"tf".cast("double") +
@@ -1135,6 +1136,73 @@ object CorpusOps {
       .select($"query_id", posexplode($"top"))
       .select($"query_id", ($"pos" + 1).cast("long").as("rk"),
         $"col.vec_id".as("doc_id"), $"col.cos_sim".cast("long").as("score_u4"))
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** RRF rank constant (the standard k=60 from Cormack et al.) shared
+    * with the q172 oracle and spec. */
+  val rrfK0 = 60
+
+  /** Hybrid retrieval via reciprocal-rank fusion (q172): fuse the
+    * lexical BM25 ranking (q167) with a dense cosine ranking over the
+    * SAME query ids (each query's stored embedding probes the corpus,
+    * q42's serving shape) by RRF score = Σ_lists 1/(k0 + rank) — the
+    * standard production composition of the two halves of a RAG stack.
+    *
+    * Exact arithmetic: each list contribution is the integer
+    * `floor(1e6/(k0+rank) + 0.5)` (rank is a small int, the division is
+    * one IEEE op both engines compute bit-identically), the fused score
+    * is an exact integer SUM of 1e-6-unit contributions, and the fused
+    * ranking never compares floats. A document missing from one list
+    * contributes 0 from that list (RRF over the union).
+    *
+    * Scale shape: both input rankings are bounded top-k relations —
+    * BM25 pre-reduces through [[graft.functions.TopK]] with only
+    * matching postings shuffling (q167's plan), the dense side scans
+    * the corpus once against the BROADCAST query block and pre-reduces
+    * per partition (q42's plan). The fusion itself — full-outer join +
+    * per-query rank — runs on O(queries × 2k) rows, so its row_number
+    * window is over a provably bounded relation, never the corpus. */
+  def hybridRrf(spark: SparkSession, dir: String,
+                queries: Seq[(Long, String)] = bm25Queries,
+                k: Int = bm25K): DataFrame = {
+    import spark.implicits._
+    val qids = queries.map(_._1).distinct.sorted
+    val lex = bm25Rank(spark, dir, queries, k)
+      .select($"query_id", $"doc_id", $"rk".as("bm25_rk"))
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val dense = emb
+      .crossJoin(broadcast(qv))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        Quant.r4(cosine($"embedding", $"qe")).as("cos"))
+      // q42's NaN policy: zero-norm vectors are unscorable, excluded
+      .filter(!isnan($"cos"))
+      .groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(k)($"cos", $"vec_id").as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.vec_id".as("doc_id"),
+        ($"pos" + 1).cast("long").as("dense_rk"))
+    val contrib = (rk: org.apache.spark.sql.Column) =>
+      floor(lit(1e6) / (lit(rrfK0.toDouble) + rk.cast("double")) + lit(0.5))
+        .cast("long")
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select($"query_id", $"doc_id",
+        coalesce($"bm25_rk", lit(0L)).as("bm25_rk"),
+        coalesce($"dense_rk", lit(0L)).as("dense_rk"),
+        (when($"bm25_rk".isNotNull, contrib($"bm25_rk")).otherwise(0L) +
+          when($"dense_rk".isNotNull, contrib($"dense_rk")).otherwise(0L))
+          .as("rrf_u6"))
+    // bounded window: |fused| ≤ queries × 2k by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"rrf_u6".desc, $"doc_id".asc)
+    fused
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+      .select($"query_id", $"rk", $"doc_id", $"rrf_u6",
+        $"bm25_rk", $"dense_rk")
       .orderBy($"query_id", $"rk")
   }
 
@@ -1177,9 +1245,9 @@ object CorpusOps {
         sum($"n_toks").as("n_tokens"),
         sum($"oov").as("n_oov"))
       .select($"lang", $"n_words", $"n_tokens", $"n_oov",
-        round($"n_tokens".cast("double") / $"n_words".cast("double"), 4)
+        Quant.r4($"n_tokens".cast("double") / $"n_words".cast("double"))
           .as("fertility"),
-        round($"n_oov".cast("double") / $"n_words".cast("double"), 4)
+        Quant.r4($"n_oov".cast("double") / $"n_words".cast("double"))
           .as("oov_rate"))
       .orderBy($"lang")
   }

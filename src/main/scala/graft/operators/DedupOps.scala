@@ -108,8 +108,8 @@ object DedupOps {
         size(array_intersect($"x.harr", $"y.harr")).cast("long").as("n_inter"),
         $"x.n_sh".as("na"), $"y.n_sh".as("nb"))
       .withColumn("jaccard",
-        round($"n_inter".cast("double") /
-          ($"na" + $"nb" - $"n_inter").cast("double"), 4))
+        Quant.r4($"n_inter".cast("double") /
+          ($"na" + $"nb" - $"n_inter").cast("double")))
       .filter($"jaccard" >= threshold)
       .select($"a", $"b", $"n_inter", $"jaccard")
       .orderBy($"a", $"b")
@@ -181,7 +181,7 @@ object DedupOps {
         (size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
           .cast("double") / lit(perms.toDouble)).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)
-      .select($"a", $"b", round($"est_jaccard", 4).as("est_jaccard"))
+      .select($"a", $"b", Quant.r4($"est_jaccard").as("est_jaccard"))
       .orderBy($"a", $"b")
   }
 
@@ -229,8 +229,8 @@ object DedupOps {
       .dropDuplicates("a", "b")
     val pairs = cand
       .select($"a", $"b",
-        round(size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
-          .cast("double") / lit(perms.toDouble), 4).as("est_jaccard"))
+        Quant.r4(size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
+          .cast("double") / lit(perms.toDouble)).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)
     (pairs, sigCached)
   }
@@ -367,8 +367,8 @@ object DedupOps {
         $"d.sig".as("sa"), $"h.sig".as("sb"))
       .dropDuplicates("doc_id", "hist_id")
       .filter(
-        round(size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
-          .cast("double") / lit(perms.toDouble), 4) >= threshold)
+        Quant.r4(size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
+          .cast("double") / lit(perms.toDouble)) >= threshold)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_near"), min($"hist_id").as("first_match"))
     delta.join(hits, Seq("doc_id"), "left")
@@ -599,7 +599,7 @@ object DedupOps {
       .agg(count(lit(1)).as("n_spans"),
         sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup_spans"))
       .select($"doc_id", $"n_spans", $"n_dup_spans",
-        round($"n_dup_spans".cast("double") / $"n_spans".cast("double"), 4)
+        Quant.r4($"n_dup_spans".cast("double") / $"n_spans".cast("double"))
           .as("dup_ratio"),
         ($"n_dup_spans".cast("double") >
           lit(threshold) * $"n_spans".cast("double")).as("flagged"))
@@ -656,10 +656,10 @@ object DedupOps {
       .select($"a", $"b", $"est_jaccard",
         coalesce($"ni", lit(0L)).as("ni"), $"na", $"nb")
       .select($"a", $"b", $"est_jaccard",
-        round($"ni".cast("double") /
-          ($"na" + $"nb" - $"ni").cast("double"), 4).as("exact_jaccard"))
+        Quant.r4($"ni".cast("double") /
+          ($"na" + $"nb" - $"ni").cast("double")).as("exact_jaccard"))
       .withColumn("abs_err",
-        round(abs($"est_jaccard" - $"exact_jaccard"), 4))
+        Quant.r4(abs($"est_jaccard" - $"exact_jaccard")))
       .orderBy($"a", $"b")
   }
 
@@ -931,7 +931,7 @@ object DedupOps {
         size($"ta").cast("long").as("n_src"))
       .filter($"inter" * containTauDen >= $"n_src" * containTauNum)
       .select($"src", $"dst", $"inter", $"n_src",
-        round($"inter".cast("double") / $"n_src".cast("double"), 4)
+        Quant.r4($"inter".cast("double") / $"n_src".cast("double"))
           .as("containment"))
       .orderBy($"src", $"dst")
   }
@@ -972,7 +972,7 @@ object DedupOps {
           .cast("long").as("union_sz"))
       .filter($"inter" * setSimTauDen >= $"union_sz" * setSimTauNum)
       .select($"doc_a", $"doc_b", $"inter", $"union_sz",
-        round($"inter".cast("double") / $"union_sz".cast("double"), 4)
+        Quant.r4($"inter".cast("double") / $"union_sz".cast("double"))
           .as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
@@ -1015,7 +1015,7 @@ object DedupOps {
     nPairs.join(nDocs, "threshold")
       .crossJoin(broadcast(total))
       .select($"threshold", $"n_pairs", $"n_docs_affected",
-        round($"n_docs_affected".cast("double") / $"n_total".cast("double"), 4)
+        Quant.r4($"n_docs_affected".cast("double") / $"n_total".cast("double"))
           .as("frac_affected"))
       .orderBy($"threshold")
   }
@@ -1076,8 +1076,8 @@ object DedupOps {
       .join(broadcast(perSource.withColumnRenamed("source", "src_b")
         .withColumnRenamed("n_fps", "fps_b")), "src_b")
       .select($"src_a", $"src_b", $"n_shared", $"fps_a", $"fps_b",
-        round($"n_shared".cast("double") /
-          ($"fps_a" + $"fps_b" - $"n_shared").cast("double"), 4)
+        Quant.r4($"n_shared".cast("double") /
+          ($"fps_a" + $"fps_b" - $"n_shared").cast("double"))
           .as("jaccard"))
       .orderBy($"src_a", $"src_b")
   }

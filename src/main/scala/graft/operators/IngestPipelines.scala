@@ -43,7 +43,7 @@ object IngestPipelines {
         $"user_id",
         $"event_type",
         $"k",
-        round($"value", 2).as("value"))
+        Quant.r2($"value").as("value"))
       .orderBy($"event_id")
   }
 

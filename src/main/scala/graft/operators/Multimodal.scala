@@ -290,8 +290,8 @@ object Multimodal {
       .select($"q_id", $"kind",
         coalesce($"n_ties", lit(0L)).as("n_ties"),
         coalesce($"rk", lit(-1L)).as("true_rank"),
-        (round(when($"rk".isNotNull, lit(1.0) / $"rk".cast("double"))
-          .otherwise(lit(0.0)), 4) + lit(0.0)).as("rr"),
+        (Quant.r4(when($"rk".isNotNull, lit(1.0) / $"rk".cast("double"))
+          .otherwise(lit(0.0))) + lit(0.0)).as("rr"),
         (coalesce($"rk", lit(-1L)) === 1L).as("hit1"),
         $"rk".isNotNull.as("hitk"))
       .orderBy($"q_id")

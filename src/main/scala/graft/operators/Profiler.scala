@@ -67,7 +67,7 @@ object Profiler {
           lit(nb - 1L)).as("bucket"),
         $"lo", $"hi")
       .select($"bucket",
-        (round($"lo" + $"bucket" * (($"hi" - $"lo") / nb), 4) + lit(0.0))
+        (Quant.r4($"lo" + $"bucket" * (($"hi" - $"lo") / nb)) + lit(0.0))
           .as("bucket_lo"))
       .groupBy($"bucket", $"bucket_lo")
       .agg(count(lit(1)).as("n"))

@@ -46,7 +46,7 @@ object Relational {
     Tables.events(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
-      .select($"user_id", $"event_type", round($"value", 2).as("value"))
+      .select($"user_id", $"event_type", Quant.r2($"value").as("value"))
       .orderBy($"user_id")
   }
 
@@ -60,7 +60,7 @@ object Relational {
     Tables.orders(spark, dir)
       .join(broadcast(cust), $"o_custkey" === $"c_custkey", "left")
       .select($"o_orderkey", $"c_name", $"c_mktsegment",
-        round($"o_totalprice", 2).as("o_totalprice"))
+        Quant.r2($"o_totalprice").as("o_totalprice"))
       .orderBy($"o_orderkey")
   }
 
@@ -156,7 +156,7 @@ object Relational {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"o_custkey", $"rk", $"o_orderkey",
-        round($"o_totalprice", 2).as("o_totalprice"))
+        Quant.r2($"o_totalprice").as("o_totalprice"))
       .orderBy($"o_custkey", $"rk")
   }
 
@@ -255,11 +255,11 @@ object Relational {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     Tables.events(spark, dir)
-      .withColumn("v2", round($"value", 2))
+      .withColumn("v2", Quant.r2($"value"))
       .select($"event_id", $"user_id",
         row_number().over(w).cast("long").as("seq"),
         (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"),
-        round(avg($"v2").over(w.rowsBetween(-2, 0)), 4).as("mavg3"))
+        Quant.r4(avg($"v2").over(w.rowsBetween(-2, 0))).as("mavg3"))
       .orderBy($"event_id")
   }
 
@@ -346,7 +346,7 @@ object Relational {
     spine.join(agg, Seq("event_type", "h"), "left")
       .select($"event_type", $"h",
         coalesce($"n_events", lit(0L)).as("n_events"),
-        round(coalesce(last($"sv", ignoreNulls = true).over(w), lit(0.0)), 2)
+        Quant.r2(coalesce(last($"sv", ignoreNulls = true).over(w), lit(0.0)))
           .as("filled_sum"))
       .orderBy($"event_type", $"h")
   }
@@ -555,8 +555,8 @@ object Relational {
         sum($"f_purchase").as("n_full_funnel"))
       .select($"n_users", $"n_view", $"n_view_click", $"n_full_funnel",
         when($"n_view" === 0, lit(0.0))
-          .otherwise(round($"n_full_funnel".cast("double") /
-            $"n_view".cast("double"), 4))
+          .otherwise(Quant.r4($"n_full_funnel".cast("double") /
+            $"n_view".cast("double")))
           .as("view_to_purchase"))
   }
 }

@@ -60,16 +60,16 @@ object Sketches {
       // standard small-range correction: linear counting when the raw
       // estimate is ≤ 2.5m and zero registers remain
       .select(
-        round(
+        Quant.r4(round( // round-ok: ulp-snap on ln before quantize (round-7 discipline)
           when($"e_raw" <= lit(2.5 * m) && $"v" > 0,
             lit(m.toDouble) * log(lit(m.toDouble) / $"v"))
-            .otherwise($"e_raw"), 4).as("hll_estimate"))
+            .otherwise($"e_raw"), 8)).as("hll_estimate"))
     val exact = Tables.events(spark, dir)
       .agg(countDistinct($"user_id").as("exact_distinct"))
     est.crossJoin(exact)
       .select($"hll_estimate", $"exact_distinct",
-        round(abs($"hll_estimate" - $"exact_distinct") /
-          $"exact_distinct".cast("double"), 4).as("rel_err"))
+        Quant.r4(abs($"hll_estimate" - $"exact_distinct") /
+          $"exact_distinct".cast("double")).as("rel_err"))
   }
 
   /** Count-Min sketch depth × width: 4 md5-salted hash rows over 256
@@ -164,8 +164,8 @@ object Sketches {
     exact.crossJoin(est)
       .select($"exact_size", $"cms_estimate",
         ($"cms_estimate" - $"exact_size").as("overest"),
-        round(($"cms_estimate" - $"exact_size").cast("double") /
-          $"exact_size".cast("double"), 4).as("rel_err"))
+        Quant.r4(($"cms_estimate" - $"exact_size").cast("double") /
+          $"exact_size".cast("double")).as("rel_err"))
   }
 
   /** The HLL MERGE theorem as a query — the property that makes sketches
@@ -203,10 +203,10 @@ object Sketches {
         .select(
           (alpha * m * m / ($"sinv" + (lit(m) - $"present"))).as("e_raw"),
           (lit(m) - $"present").as("v"))
-        .select(round(
+        .select(Quant.r4(round( // round-ok: ulp-snap on ln before quantize (round-7 discipline)
           when($"e_raw" <= lit(2.5 * m) && $"v" > 0,
             lit(m.toDouble) * log(lit(m.toDouble) / $"v"))
-            .otherwise($"e_raw"), 4).as(name))
+            .otherwise($"e_raw"), 8)).as(name))
     val ev = Tables.events(spark, dir)
     val merged = regsOf(ev.filter($"event_id" % 2 === 0))
       .unionByName(regsOf(ev.filter($"event_id" % 2 =!= 0)))
@@ -214,7 +214,7 @@ object Sketches {
     estOf(merged, "merged_estimate")
       .crossJoin(estOf(regsOf(ev), "direct_estimate"))
       .select($"merged_estimate", $"direct_estimate",
-        round($"merged_estimate" - $"direct_estimate", 4).as("diff"))
+        Quant.r4($"merged_estimate" - $"direct_estimate").as("diff"))
   }
 
   /** Per-group HyperLogLog — the grouped form of [[hllDistinct]] and the
@@ -253,17 +253,17 @@ object Sketches {
         (alpha * m * m / ($"sinv" + (lit(m) - $"present"))).as("e_raw"),
         (lit(m) - $"present").as("v"))
       .select($"event_type",
-        round(
+        Quant.r4(round( // round-ok: ulp-snap on ln before quantize (round-7 discipline)
           when($"e_raw" <= lit(2.5 * m) && $"v" > 0,
             lit(m.toDouble) * log(lit(m.toDouble) / $"v"))
-            .otherwise($"e_raw"), 4).as("hll_estimate"))
+            .otherwise($"e_raw"), 8)).as("hll_estimate"))
     val exact = Tables.events(spark, dir)
       .groupBy($"event_type")
       .agg(countDistinct($"user_id").as("exact_distinct"))
     est.join(exact, "event_type")
       .select($"event_type", $"hll_estimate", $"exact_distinct",
-        round(abs($"hll_estimate" - $"exact_distinct") /
-          $"exact_distinct".cast("double"), 4).as("rel_err"))
+        Quant.r4(abs($"hll_estimate" - $"exact_distinct") /
+          $"exact_distinct".cast("double")).as("rel_err"))
       .orderBy($"event_type")
   }
 
@@ -324,8 +324,8 @@ object Sketches {
       .join(quantilesOf(direct, "direct_q"), "p")
       .join(quantilesOf(merged, "merged_q"), "p")
       .select($"p", $"exact_q", $"direct_q", $"merged_q",
-        round($"merged_q" - $"direct_q", 4).as("merge_diff"),
-        round(abs($"merged_q" - $"exact_q") / $"exact_q", 4).as("rel_err"))
+        Quant.r4($"merged_q" - $"direct_q").as("merge_diff"),
+        Quant.r4(abs($"merged_q" - $"exact_q") / $"exact_q").as("rel_err"))
       .orderBy($"p")
   }
 
@@ -377,10 +377,10 @@ object Sketches {
     sampleHits.crossJoin(theta).crossJoin(exact)
       .select(
         $"n_sample", $"theta", $"exact_overlap",
-        round($"n_sample".cast("double") * lit(range) /
-          $"theta".cast("double"), 4).as("kmv_estimate"))
+        Quant.r4($"n_sample".cast("double") * lit(range) /
+          $"theta".cast("double")).as("kmv_estimate"))
       .select($"n_sample", $"theta", $"kmv_estimate", $"exact_overlap",
-        round(abs($"kmv_estimate" - $"exact_overlap") /
-          $"exact_overlap".cast("double"), 4).as("rel_err"))
+        Quant.r4(abs($"kmv_estimate" - $"exact_overlap") /
+          $"exact_overlap".cast("double")).as("rel_err"))
   }
 }

@@ -39,12 +39,11 @@ object TextAnalysis {
     * — one source of truth for every quality-ranked operator. */
   def qualityExpr(nTokens: org.apache.spark.sql.Column,
                   nStop: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(
+    Quant.r4(
       when(nTokens === 0, 0.0)
         .otherwise(
           least(lit(1.0), nTokens.cast("double") / 100.0) * 0.6 +
-          (nStop.cast("double") / greatest(nTokens, lit(1)).cast("double")) * 0.4),
-      4)
+          (nStop.cast("double") / greatest(nTokens, lit(1)).cast("double")) * 0.4))
 
   /** Quality scoring: length, token, punctuation and stopword statistics
     * plus a composite score — the standard cheap pre-filter before
@@ -207,12 +206,12 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select($"doc_id", toks.as("toks"), punctCount($"text").as("n_punct"))
       .select($"doc_id", size($"toks").cast("long").as("n_words"),
-        round(length(array_join($"toks", "")).cast("double") /
-          greatest(size($"toks"), lit(1)).cast("double"), 4).as("mean_word_len"),
-        round(lit(1.0) - size(array_distinct($"toks")).cast("double") /
-          greatest(size($"toks"), lit(1)).cast("double"), 4).as("dup_ratio"),
-        round($"n_punct".cast("double") /
-          greatest(size($"toks"), lit(1)).cast("double"), 4).as("punct_ratio"))
+        Quant.r4(length(array_join($"toks", "")).cast("double") /
+          greatest(size($"toks"), lit(1)).cast("double")).as("mean_word_len"),
+        Quant.r4(lit(1.0) - size(array_distinct($"toks")).cast("double") /
+          greatest(size($"toks"), lit(1)).cast("double")).as("dup_ratio"),
+        Quant.r4($"n_punct".cast("double") /
+          greatest(size($"toks"), lit(1)).cast("double")).as("punct_ratio"))
       .withColumn("passes",
         $"n_words" >= gopherMinWords && $"dup_ratio" < gopherMaxDupRatio &&
           $"mean_word_len".between(gopherMeanLen._1, gopherMeanLen._2))
@@ -265,15 +264,15 @@ object TextAnalysis {
     counts
       .select($"threshold", $"tp", $"fp", $"fn", $"tn",
         when($"tp" + $"fp" === 0, 0.0)
-          .otherwise(round($"tp".cast("double") /
-            ($"tp" + $"fp").cast("double"), 4)).as("precision"),
+          .otherwise(Quant.r4($"tp".cast("double") /
+            ($"tp" + $"fp").cast("double"))).as("precision"),
         when($"tp" + $"fn" === 0, 0.0)
-          .otherwise(round($"tp".cast("double") /
-            ($"tp" + $"fn").cast("double"), 4)).as("recall"),
+          .otherwise(Quant.r4($"tp".cast("double") /
+            ($"tp" + $"fn").cast("double"))).as("recall"),
         when(lit(2L) * $"tp" + $"fp" + $"fn" === 0, 0.0)
-          .otherwise(round((lit(2L) * $"tp").cast("double") /
-            (lit(2L) * $"tp" + $"fp" + $"fn").cast("double"), 4)).as("f1"),
-        (round((po - pe) / (lit(1.0) - pe), 4) + lit(0.0)).as("kappa"))
+          .otherwise(Quant.r4((lit(2L) * $"tp").cast("double") /
+            (lit(2L) * $"tp" + $"fp" + $"fn").cast("double"))).as("f1"),
+        (Quant.r4((po - pe) / (lit(1.0) - pe)) + lit(0.0)).as("kappa"))
       .orderBy($"threshold")
   }
 
@@ -297,8 +296,8 @@ object TextAnalysis {
     val toks = tokens($"text")
     def dupFrac(grams: org.apache.spark.sql.Column) =
       when(size(grams) <= 0, 0.0).otherwise(
-        round((size(grams) - size(array_distinct(grams))).cast("double") /
-          size(grams).cast("double"), 4))
+        Quant.r4((size(grams) - size(array_distinct(grams))).cast("double") /
+          size(grams).cast("double")))
     val topCnt = array_max(transform(array_distinct($"tk"),
       t => size(filter($"tk", x => x === t))))
     Tables.documents(spark, dir)
@@ -308,10 +307,10 @@ object TextAnalysis {
         size($"tk").cast("long").as("n_words"),
         dupFrac(wordShingles($"tk", 2)).as("dup_bigram_frac"),
         when(size($"tk") === 0, 0.0).otherwise(
-          round(topCnt.cast("double") / size($"tk").cast("double"), 4))
+          Quant.r4(topCnt.cast("double") / size($"tk").cast("double")))
           .as("top_token_frac"),
-        round(length(array_join($"tk", "")).cast("double") /
-          greatest(size($"tk"), lit(1)).cast("double"), 4).as("mean_word_len"),
+        Quant.r4(length(array_join($"tk", "")).cast("double") /
+          greatest(size($"tk"), lit(1)).cast("double")).as("mean_word_len"),
         qualityExpr(size($"tk").cast("long"), $"n_stop").as("quality"))
       .withColumn("reason",
         when($"n_words" < gopherMinWords, "too_short")
@@ -378,7 +377,7 @@ object TextAnalysis {
     // differential caught in q146/q147; same hardening applied here and
     // in the q71/q145 oracles in lockstep)
     val unitCol = floor(
-      round(log($"tf".cast("double") / $"total".cast("double")), 8)
+      round(log($"tf".cast("double") / $"total".cast("double")), 8) // round-ok: ulp-snap on ln before quantize (round-7 discipline)
         * 1e6 + lit(0.5))
       .cast("long")
     toks.join(tf, "term")
@@ -387,7 +386,7 @@ object TextAnalysis {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum($"u").as("units"))
       .select($"doc_id", $"n_tokens",
-        (round($"units".cast("double") / $"n_tokens".cast("double") / 1e6, 4)
+        (Quant.r4($"units".cast("double") / $"n_tokens".cast("double") / 1e6)
           + lit(0.0)).as("mean_logprob"))
       .orderBy($"doc_id")
   }
@@ -416,7 +415,7 @@ object TextAnalysis {
     // round-8 before quantizing, same as q71 (shared scoring chain —
     // the two stay pinned together)
     val unitCol = floor(
-      round(log($"tf".cast("double") / $"total".cast("double")), 8)
+      round(log($"tf".cast("double") / $"total".cast("double")), 8) // round-ok: ulp-snap on ln before quantize (round-7 discipline)
         * 1e6 + lit(0.5))
       .cast("long")
     val scored = toks.join(tf, "term")
@@ -425,7 +424,7 @@ object TextAnalysis {
       .groupBy($"doc_id", $"lang")
       .agg(count(lit(1)).as("n_tokens"), sum($"u").as("units"))
       .select($"doc_id", $"lang",
-        (round($"units".cast("double") / $"n_tokens".cast("double") / 1e6, 4)
+        (Quant.r4($"units".cast("double") / $"n_tokens".cast("double") / 1e6)
           + lit(0.0)).as("mean_logprob"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang").orderBy($"mean_logprob".desc, $"doc_id")
@@ -444,7 +443,7 @@ object TextAnalysis {
         min($"mean_logprob").as("min_logprob"),
         max($"mean_logprob").as("max_logprob"))
       .select($"lang", $"bucket", $"n_docs",
-        (round($"sum4".cast("double") / $"n_docs".cast("double") / 1e4, 4)
+        (Quant.r4($"sum4".cast("double") / $"n_docs".cast("double") / 1e4)
           + lit(0.0)).as("mean_bucket_logprob"),
         $"min_logprob", $"max_logprob")
       .orderBy($"lang", $"bucket")
@@ -518,11 +517,11 @@ object TextAnalysis {
       .select($"doc_id",
         // p is exact-double-identical across engines (only +,×,/); ln is
         // not — round-8 before quantizing, pinned with the q110 oracle
-        floor(round(log(p), 8) * 1e6 + lit(0.5)).cast("long").as("u"))
+        floor(round(log(p), 8) * 1e6 + lit(0.5)).cast("long").as("u")) // round-ok: ulp-snap on ln before quantize (round-7 discipline)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum($"u").as("units"))
       .select($"doc_id", $"n_bigrams",
-        (round($"units".cast("double") / $"n_bigrams".cast("double") / 1e6, 4)
+        (Quant.r4($"units".cast("double") / $"n_bigrams".cast("double") / 1e6)
           + lit(0.0)).as("mean_logprob"))
       .orderBy($"doc_id")
   }
@@ -626,7 +625,7 @@ object TextAnalysis {
         sum(length($"w")).cast("long").as("n_chars"),
         sum($"n_bpe").as("n_bpe_tokens"))
       .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens",
-        round($"n_chars".cast("double") / $"n_bpe_tokens".cast("double"), 4)
+        Quant.r4($"n_chars".cast("double") / $"n_bpe_tokens".cast("double"))
           .as("chars_per_token"))
       .orderBy($"doc_id")
   }
@@ -726,8 +725,8 @@ object TextAnalysis {
       .join(df_.select($"t".as("b"), $"df".as("df_b")), "b")
       .crossJoin(broadcast(nDocs))
       .select($"a", $"b", $"n_ab", $"df_a", $"df_b",
-        round(log($"n_ab".cast("double") * $"n_docs" /
-          ($"df_a".cast("double") * $"df_b")), 4).as("pmi"))
+        Quant.r4(round(log($"n_ab".cast("double") * $"n_docs" / // round-ok: ulp-snap on ln before quantize (round-7 discipline)
+          ($"df_a".cast("double") * $"df_b")), 8)).as("pmi"))
       .orderBy($"pmi".desc, $"a", $"b")
       .limit(topN)
   }
@@ -758,8 +757,8 @@ object TextAnalysis {
     val toks = tokens($"text")
     def dupFrac(grams: org.apache.spark.sql.Column) =
       when(size(grams) <= 0, 0.0).otherwise(
-        round((size(grams) - size(array_distinct(grams))).cast("double") /
-          size(grams).cast("double"), 4))
+        Quant.r4((size(grams) - size(array_distinct(grams))).cast("double") /
+          size(grams).cast("double")))
     val topCnt = array_max(transform(array_distinct($"tk"),
       t => size(filter($"tk", x => x === t))))
     Tables.documents(spark, dir)
@@ -770,7 +769,7 @@ object TextAnalysis {
         dupFrac(wordShingles($"tk", 2)).as("dup_bigram_frac"),
         dupFrac(wordShingles($"tk", 3)).as("dup_trigram_frac"),
         when(size($"tk") === 0, 0.0).otherwise(
-          round(topCnt.cast("double") / size($"tk").cast("double"), 4))
+          Quant.r4(topCnt.cast("double") / size($"tk").cast("double")))
           .as("top_token_frac"))
       .withColumn("flagged",
         $"dup_bigram_frac" > dupBigramMax || $"top_token_frac" > topTokenMax)
@@ -809,7 +808,7 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         countDistinct($"lang").as("n_langs"),
         max($"path_depth").as("max_depth"),
-        round(avg($"n_chars".cast("double")), 4).as("avg_chars"))
+        Quant.r4(avg($"n_chars".cast("double"))).as("avg_chars"))
       .orderBy($"host")
   }
 
@@ -865,7 +864,7 @@ object TextAnalysis {
         sum(when($"u" >= $"thr_u4", $"cnt").otherwise(0L)).as("n_kept"))
       .select($"source", $"n_docs", $"thr_u4", $"n_kept",
         ($"n_docs" - $"n_kept").as("n_dropped"),
-        round($"n_kept".cast("double") / $"n_docs".cast("double"), 4)
+        Quant.r4($"n_kept".cast("double") / $"n_docs".cast("double"))
           .as("kept_rate"))
       .orderBy($"source")
   }

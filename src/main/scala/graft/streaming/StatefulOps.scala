@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
+import graft.operators.Quant
 
 /** Typed event projection used by the stateful operators. */
 case class UserEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
@@ -27,8 +28,11 @@ case class AnomalousEvent(user_id: Long, event_id: Long, value: Double)
 object StatefulOps {
 
   /** 1e-4 fixed-point encoding shared with the oracle:
-    * CAST(round(value*10000) AS BIGINT). */
-  private def enc(value: Double): Long = math.round(value * 10000.0)
+    * CAST(floor(value*10000 + 0.5) AS BIGINT) — `Math.round` IS
+    * floor(x+0.5), so the pair is bit-identical (DuckDB's bare
+    * `round()` is half-away-from-zero and diverges on negative
+    * halves; round-9 mirrored the oracle to the floor form). */
+  private def enc(value: Double): Long = math.round(value * 10000.0) // round-ok: Math.round == floor(x+0.5), oracle mirrors
 
   /** Core fold, shared verbatim by batch and streaming: events in
     * (ts, event_id) order; an event is anomalous when at least `minPrior`
@@ -79,7 +83,7 @@ object StatefulOps {
       .select($"user_id", $"event_id", $"ts", $"value")
       .as[UserEvent]
     anomaliesBatch(evs).toDF()
-      .select($"user_id", $"event_id", round($"value", 2).as("value"))
+      .select($"user_id", $"event_id", Quant.r2($"value").as("value"))
       .orderBy($"event_id")
   }
 }

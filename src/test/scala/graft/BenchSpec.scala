@@ -91,6 +91,34 @@ class BenchSpec extends SparkSpec {
     assert(!small.contains(""""omitted""""))
   }
 
+  test("recompute gauge: stored→removed→stored counts one; demotion counts zero") {
+    // Drive the probe's block state machine with synthetic events — the
+    // evict-then-silent-recompute path is not deterministically forcible
+    // from a small fixture, but the machine IS the mechanism (round 8's
+    // q126 burned 18 s of clean-looking cpu_ms on exactly this).
+    import org.apache.spark.GraftTestEvents.rddBlockUpdate
+    val p = new BenchProbe
+    def snap() = p.snap(spark.sparkContext)
+    val s0 = snap()
+    p.onBlockUpdated(rddBlockUpdate(1, 0, "MEMORY_AND_DISK")) // first store
+    p.onBlockUpdated(rddBlockUpdate(1, 0, "DISK_ONLY"))       // demotion: live→live
+    assert((snap() - s0).recompute === 0L)
+    p.onBlockUpdated(rddBlockUpdate(1, 0, "NONE"))            // removed (evict)
+    p.onBlockUpdated(rddBlockUpdate(1, 0, "MEMORY_AND_DISK")) // re-store = recompute
+    val w = snap() - s0
+    assert(w.recompute === 1L)
+    assert(w.evicted >= 1L)
+    // an unrelated block's first store still does not count
+    p.onBlockUpdated(rddBlockUpdate(2, 0, "MEMORY_AND_DISK"))
+    assert((snap() - s0).recompute === 1L)
+  }
+
+  test("health line carries the recompute and jit_ms attribution arrays") {
+    val json = Bench.run(spark, sf, Map("a_ok" -> (good _)))
+    assert(json.contains(""""recompute":["""))
+    assert(json.contains(""""jit_ms":["""))
+  }
+
   test("a mass failure stays within the line budget: failed map is capped") {
     // 200 failures at ~90 chars each would be 18 KB uncapped — the line
     // must keep the first few and count the rest

@@ -646,4 +646,68 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("WindowExec"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("hybridRrf: seeded fixture — fusion recovers the gold that each single retriever ranks below its deceivers") {
+    // Gold docs 10–12 carry the probe term once AND sit near the query
+    // embedding; lexical deceivers 20–21 spam the term with orthogonal
+    // embeddings (BM25 ranks them 1–2); semantic deceivers 30–31 hug the
+    // query vector with no term (cosine ranks them 1–2). RRF's both-list
+    // bonus (2·1/(60+3) > 1/(60+1)) must put the gold at fused 1–3.
+    val tmp = java.nio.file.Files.createTempDirectory("rrf").toString
+    import spark.implicits._
+    def doc(id: Long, text: String) = (id, text, "en", "src0", text.length.toLong)
+    val docs = Seq(
+      doc(1L, "anchor doc for the query id itself"),
+      doc(10L, "zzq pad pad pad pad"), doc(11L, "zzq pad pad pad pad"),
+      doc(12L, "zzq pad pad pad pad"),
+      doc(20L, "zzq zzq zzq zzq zzq"), doc(21L, "zzq zzq zzq zzq pad")) ++
+      (30L to 31L).map(i => doc(i, "pad pad pad pad pad")) ++
+      (40L to 49L).map(i => doc(i, "pad pad pad pad pad"))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def vec(c: Double) = Seq(c.toFloat, math.sqrt(1 - c * c).toFloat, 0f, 0f)
+    val embs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (10L, vec(0.97), 0), (11L, vec(0.96), 0), (12L, vec(0.95), 0),
+      (20L, Seq(0f, 0f, 1f, 0f), 1), (21L, Seq(0f, 0f, 1f, 0f), 1),
+      (30L, vec(0.999), 0), (31L, vec(0.998), 0)) ++
+      (40L to 49L).map(i => (i, Seq(0f, 0f, 0f, 1f), 2))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val queries = Seq((1L, "zzq"))
+    val gold = Set(10L, 11L, 12L)
+
+    val fused = CorpusOps.hybridRrf(spark, tmp, queries, k = 5).collect()
+    assert(fused.map(_.getAs[Long]("rk")).toSeq === (1L to 5L))
+    // fused precision@3 = 1.0: the gold, in both-lists-bonus order
+    assert(fused.take(3).map(_.getAs[Long]("doc_id")).toSeq === Seq(10L, 11L, 12L))
+    // exact integer RRF scores: floor(1e6/(60+r)+0.5) summed per list
+    def c(r: Long) = math.floor(1e6 / (60.0 + r) + 0.5).toLong
+    assert(fused.take(3).map(_.getAs[Long]("rrf_u6")).toSeq ===
+      Seq(2 * c(3), 2 * c(4), 2 * c(5)))
+    // ranks 4–5: one deceiver from each list, equal score, doc_id tie
+    assert(fused.drop(3).map(_.getAs[Long]("doc_id")).toSeq === Seq(20L, 30L))
+    assert(fused.drop(3).map(_.getAs[Long]("rrf_u6")).toSeq === Seq(c(1), c(1)))
+
+    // BM25 alone: deceivers 20–21 outrank the gold → precision@3 = 1/3
+    val lex = CorpusOps.bm25Rank(spark, tmp, queries, k = 5).collect()
+    assert(lex.take(2).map(_.getAs[Long]("doc_id")).toSeq === Seq(20L, 21L))
+    assert(lex.take(3).count(r => gold(r.getAs[Long]("doc_id"))) === 1)
+    // dense alone: gold sits at cosine ranks 3–5 (deceivers 30–31 above)
+    // → precision@3 = 1/3, visible in the fused rows' dense_rk column
+    val byDoc = fused.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byDoc(10L).getAs[Long]("dense_rk") === 3L)
+    assert(byDoc(30L).getAs[Long]("dense_rk") === 1L)
+    assert(byDoc(30L).getAs[Long]("bm25_rk") === 0L) // absent from lexical
+    assert(byDoc(20L).getAs[Long]("dense_rk") === 0L) // absent from dense
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("hybridRrf: fusion window is bounded — no corpus-sized exchange above the two top-k inputs") {
+    val plan = CorpusOps.hybridRrf(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only WindowExec input is the full-outer join of two ≤q×k
+    // relations; assert no SortMergeJoin handles a corpus-keyed side
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
