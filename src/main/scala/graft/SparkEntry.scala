@@ -238,6 +238,9 @@ object SparkEntry {
     "q170_cluster_silhouette" -> ((s, d) => AnnSearch.clusterSilhouette(s, d)),
     "q171_cluster_purity" -> ((s, d) => AnnSearch.clusterPurity(s, d)),
     "q172_hybrid_rrf" -> ((s, d) => CorpusOps.hybridRrf(s, d)),
+    "q173_neardup_gate" -> ((s, d) =>
+      graft.streaming.NearDupGate.replayBatch(s, d)),
+    "q174_dedup_policy" -> ((s, d) => DedupOps.dedupPolicyReport(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4238,30 +4241,51 @@ object SparkEntry {
     "q166_curate_stream" -> {
       import graft.streaming.BloomGate
       import graft.streaming.CuratePipeline.{minTokens, maxTokens}
-      s"""WITH docs AS (
-         |  SELECT source, doc_id, $fpSql AS fp,
-         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT source, doc_id + 100000, $fpSql,
-         |    CAST(len($toksSql) AS BIGINT)
+      // per-doc u4 score — the q168 `sc` expression verbatim
+      val uSql = "CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0 " +
+        "ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 + " +
+        "(CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) " +
+        "/ CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4 " +
+        "END) * 1e4 + 0.5) AS BIGINT)"
+      s"""WITH base AS (
+         |  SELECT source, doc_id, $fpSql AS fp, $toksSql AS tk
          |  FROM documents),
+         |scored AS (
+         |  SELECT source, doc_id, fp,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens, $uSql AS q_u4
+         |  FROM base),
+         |docs AS (
+         |  SELECT * FROM scored
+         |  UNION ALL
+         |  SELECT source, doc_id + 100000, fp, n_tokens, q_u4 FROM scored),
+         |freq AS (SELECT source, q_u4 AS u, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM scored GROUP BY source, q_u4),
+         |cum AS (
+         |  SELECT source, u, cnt,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY u) AS cum,
+         |    sum(cnt) OVER (PARTITION BY source) AS n
+         |  FROM freq),
+         |thr AS (
+         |  SELECT source, min(u) AS thr_u4 FROM cum
+         |  WHERE cum * 100 >= n * ${TextAnalysis.floorQuantilePct}
+         |  GROUP BY source),
          |pos AS (
-         |  SELECT source, doc_id, fp, n_tokens,
+         |  SELECT source, doc_id, fp, n_tokens, q_u4,
          |    ${h32("fp || '#' || r.j")} % ${BloomGate.mBits} AS pos
          |  FROM docs CROSS JOIN range(0, ${BloomGate.kHashes}) r(j)),
          |fs AS (SELECT source, pos, min(doc_id) AS first_doc
          |       FROM pos GROUP BY 1, 2),
          |cov AS (
-         |  SELECT p.source, p.doc_id, p.fp, p.n_tokens,
+         |  SELECT p.source, p.doc_id, p.fp, p.n_tokens, p.q_u4,
          |    sum(CASE WHEN f.first_doc < p.doc_id THEN 1 ELSE 0 END) AS n_cov
          |  FROM pos p JOIN fs f ON f.source = p.source AND f.pos = p.pos
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT doc_id, source, fp, n_tokens
-         |FROM cov
-         |WHERE n_cov < ${BloomGate.kHashes}
-         |  AND n_tokens >= $minTokens AND n_tokens < $maxTokens
-         |ORDER BY doc_id""".stripMargin
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT c.doc_id, c.source, c.fp, c.n_tokens, c.q_u4
+         |FROM cov c JOIN thr t ON t.source = c.source
+         |WHERE c.n_cov < ${BloomGate.kHashes}
+         |  AND c.n_tokens >= $minTokens AND c.n_tokens < $maxTokens
+         |  AND c.q_u4 >= t.thr_u4
+         |ORDER BY c.doc_id""".stripMargin
     },
     "q167_bm25_rank" -> {
       val qvals = CorpusOps.bm25Queries
@@ -4506,6 +4530,83 @@ object SparkEntry {
          |  b_rk AS bm25_rk, d_rk AS dense_rk
          |FROM r WHERE rk <= $k
          |ORDER BY query_id, rk""".stripMargin
+    },
+
+    // the q173 streaming near-dup gate's exact relational replay: band →
+    // rank per (band, slice) by doc_id (the groupCap registration) →
+    // registered×later candidate join → integer coordinate-match
+    // verification (≥8 of 16 = est-Jaccard ≥ 0.5) → per-doc collider
+    // rollup. Reuses the q55 CTE chain's signature family verbatim.
+    "q173_neardup_gate" -> {
+      import graft.streaming.NearDupGate.{groupCap, matchMin}
+      s"""WITH $minHashCtesSql,
+         |gr AS (
+         |  SELECT doc_id, band, bk,
+         |    row_number() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rk
+         |  FROM banded),
+         |gc AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM gr x JOIN banded y
+         |    ON x.band = y.band AND x.bk = y.bk
+         |    AND x.doc_id < y.doc_id AND x.rk <= $groupCap),
+         |gm AS (
+         |  SELECT gc.a, gc.b FROM gc
+         |  JOIN sigl sa ON sa.doc_id = gc.a
+         |  JOIN sigl sb ON sb.doc_id = gc.b
+         |  WHERE len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i]))
+         |    >= $matchMin),
+         |hits AS (
+         |  SELECT b AS doc_id, CAST(count(*) AS BIGINT) AS n_prior_neardups,
+         |    min(a) AS first_collider
+         |  FROM gm GROUP BY b)
+         |SELECT s.doc_id, (h.doc_id IS NULL) AS admitted,
+         |  coalesce(h.n_prior_neardups, 0) AS n_prior_neardups,
+         |  coalesce(h.first_collider, -1) AS first_collider
+         |FROM sigl s LEFT JOIN hits h ON h.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    },
+
+    // the q174 policy table: q138's sweep + q160's agreement + the
+    // seeded-ground-truth precision bound, one row per candidate τ.
+    // Reuses the q55 (est) and q159 (shp) CTE chains verbatim.
+    "q174_dedup_policy" -> {
+      val tvals = DedupOps.sweepThresholds.map(t => s"($t)").mkString(", ")
+      s"""WITH $minHashCtesSql,
+         |$simPairCtesSql,
+         |th AS (SELECT CAST(x AS DOUBLE) AS threshold
+         |       FROM (VALUES $tvals) v(x)),
+         |pw AS (
+         |  SELECT e.a, e.b, e.est_jaccard, s.a IS NOT NULL AS in_sh
+         |  FROM est e LEFT JOIN shp s ON e.a = s.a AND e.b = s.b),
+         |sv AS (
+         |  SELECT th.threshold, pw.a, pw.b, pw.in_sh
+         |  FROM pw CROSS JOIN th WHERE pw.est_jaccard >= th.threshold),
+         |pt AS (
+         |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_both,
+         |    CAST(sum(CASE WHEN b = a + ${DedupOps.dupOffset}
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_seeded
+         |  FROM sv GROUP BY threshold),
+         |nd AS (
+         |  SELECT threshold, CAST(count(DISTINCT d) AS BIGINT)
+         |    AS n_docs_affected
+         |  FROM (SELECT threshold, a AS d FROM sv
+         |        UNION ALL SELECT threshold, b FROM sv) z
+         |  GROUP BY threshold),
+         |tot AS (SELECT CAST(2 * count(*) AS BIGINT) AS n_total
+         |        FROM documents)
+         |SELECT pt.threshold, pt.n_pairs, nd.n_docs_affected,
+         |  floor((CAST(nd.n_docs_affected AS DOUBLE)
+         |    / CAST(tot.n_total AS DOUBLE))*1e4 + 0.5)/1e4 AS frac_affected,
+         |  pt.n_both,
+         |  floor((CAST(pt.n_both AS DOUBLE)
+         |    / CAST(pt.n_pairs AS DOUBLE))*1e4 + 0.5)/1e4 AS agree_rate,
+         |  pt.n_seeded,
+         |  floor((CAST(pt.n_seeded AS DOUBLE)
+         |    / CAST(pt.n_pairs AS DOUBLE))*1e4 + 0.5)/1e4 AS precision_lb
+         |FROM pt JOIN nd USING (threshold) CROSS JOIN tot
+         |ORDER BY pt.threshold""".stripMargin
     },
   )
 }

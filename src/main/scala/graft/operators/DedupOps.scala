@@ -61,6 +61,21 @@ object DedupOps {
       .filter(size($"arr") > 0)
   }
 
+  /** The md5-family MinHash signature relation over the doubled corpus —
+    * (doc_id, sig: array<bigint>[perms]) for every sig-bearing document
+    * (≥ `shingleN` tokens), derived ONCE per unique text (the
+    * [[withDupCopies]] discipline) behind a cache barrier. Shared by the
+    * q55/q67 batch chains' family and the q173 streaming near-dup gate,
+    * whose replay and feed must band the IDENTICAL signatures. */
+  def md5SigCorpus(spark: SparkSession, dir: String,
+                   shingleN: Int = 3, perms: Int = 16): DataFrame = {
+    import spark.implicits._
+    withDupCopies(graft.CacheGuard.barrier(
+      shingleArrays(spark, dir, shingleN)
+        .select($"doc_id",
+          graft.functions.native.md5MinHashSig($"arr", perms).as("sig"))))
+  }
+
   /** The dupCorpus id-shift applied AFTER per-doc derivations: copies are
     * cheap projections over the (cached) derived relation, since every
     * text-derived column is identical for both copies by construction. */
@@ -1017,6 +1032,74 @@ object DedupOps {
       .select($"threshold", $"n_pairs", $"n_docs_affected",
         Quant.r4($"n_docs_affected".cast("double") / $"n_total".cast("double"))
           .as("frac_affected"))
+      .orderBy($"threshold")
+  }
+
+  /** Dedup POLICY recommendation (q174) — the q138 sweep, the q160
+    * detector comparison, and the q150 accuracy discipline composed into
+    * ONE per-threshold decision table, so "which detector at which τ" is
+    * a query result instead of a judgment call. Per candidate τ (the
+    * 1/16-aligned [[sweepThresholds]]):
+    *
+    *   - removal surface: surviving MinHash pairs, distinct documents
+    *     touched, fraction of the corpus (q138's columns);
+    *   - detector agreement: how many of those pairs SimHash also finds
+    *     (q159's banded pair set) and the agreement rate — a low rate at
+    *     loose τ means the two detectors are modeling different
+    *     phenomena there, a high rate means either detector suffices;
+    *   - estimated precision from SEEDED ground truth: the shifted
+    *     exact copies are true duplicates by construction, so
+    *     `n_seeded / n_pairs` is a precision LOWER BOUND (non-seeded
+    *     survivors may be genuine organic near-dups — at τ→1 the bound
+    *     tightens toward the true rate).
+    *
+    * The recommendation reading: pick the loosest τ whose precision
+    * bound and agreement rate are both acceptable — the table makes the
+    * trade explicit per step of the estimate's native 1/16 grid.
+    *
+    * Scale shape: ONE pass over the q55-audited band self-join (no
+    * per-τ re-run; the 5-row τ table broadcasts), one full-outer-free
+    * left join against the equally-banded SimHash pairs on O(pairs)
+    * keys, and O(pairs × 5) post-filter rows into two keyed rollups
+    * (the distinct-doc count via endpoint explode, bounded by match
+    * volume, never corpus volume). All ratios are u4-floored
+    * ratios-of-counts — exact in both engines. */
+  def dedupPolicyReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (pairs0, _) = md5MinHashPairs(spark, dir,
+      shingleN = 3, perms = 16, bands = 4, threshold = 0.0)
+    val sh = simHashPairs(spark, dir)
+      .select($"a", $"b", lit(true).as("in_sh"))
+    val pairs = graft.CacheGuard.barrier(
+      pairs0.join(sh, Seq("a", "b"), "left")
+        .select($"a", $"b", $"est_jaccard",
+          coalesce($"in_sh", lit(false)).as("in_sh")))
+    val th = sweepThresholds.toDF("threshold")
+    val surviving = pairs.crossJoin(broadcast(th))
+      .filter($"est_jaccard" >= $"threshold")
+    val perTau = surviving.groupBy($"threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"in_sh", 1L).otherwise(0L)).as("n_both"),
+        sum(when($"b" === $"a" + dupOffset, 1L).otherwise(0L))
+          .as("n_seeded"))
+    val nDocs = surviving
+      .select($"threshold", explode(array($"a", $"b")).as("d"))
+      .groupBy($"threshold")
+      .agg(countDistinct($"d").as("n_docs_affected"))
+    val total = withDupCopies(
+      Tables.documents(spark, dir).select($"doc_id"))
+      .agg(count(lit(1)).as("n_total"))
+    perTau.join(nDocs, "threshold")
+      .crossJoin(broadcast(total))
+      .select($"threshold", $"n_pairs", $"n_docs_affected",
+        Quant.r4($"n_docs_affected".cast("double") / $"n_total".cast("double"))
+          .as("frac_affected"),
+        $"n_both",
+        Quant.r4($"n_both".cast("double") / $"n_pairs".cast("double"))
+          .as("agree_rate"),
+        $"n_seeded",
+        Quant.r4($"n_seeded".cast("double") / $"n_pairs".cast("double"))
+          .as("precision_lb"))
       .orderBy($"threshold")
   }
 

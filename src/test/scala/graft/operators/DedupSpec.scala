@@ -631,4 +631,37 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
     assert(!plan.contains("WindowExec"), plan.take(3000))
   }
+
+  test("dedupPolicyReport: agrees with its three components and the precision bound tightens with τ") {
+    val report = DedupOps.dedupPolicyReport(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(report.map(_.getAs[Double]("threshold")).toSeq ===
+      DedupOps.sweepThresholds)
+    // q138 cross-check: identical removal surface per τ
+    val sweep = DedupOps.dedupThresholdSweep(spark, sf).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_affected"))).toMap
+    graft.CacheGuard.release()
+    report.foreach { r =>
+      assert(sweep(r.getAs[Double]("threshold")) ===
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_affected")))
+    }
+    // q160 cross-check: n_both at τ=0.5 is exactly the 'both' bucket
+    val both = DedupOps.detectorAgreement(spark, sf).collect()
+      .find(_.getAs[String]("method") === "both").get.getAs[Long]("n_pairs")
+    graft.CacheGuard.release()
+    assert(report.head.getAs[Long]("n_both") === both)
+    // seeded ground truth: every sig-bearing base doc's planted copy
+    // survives at every τ (est exactly 1.0), so n_seeded is constant...
+    val nSeeded = report.map(_.getAs[Long]("n_seeded")).distinct
+    assert(nSeeded.length === 1)
+    assert(nSeeded.head === Tables.documents(spark, sf).count())
+    // ...and the precision lower bound can only tighten as τ rises
+    val prec = report.map(_.getAs[Double]("precision_lb"))
+    assert(prec.zip(prec.tail).forall { case (a, b) => b >= a })
+    report.foreach { r =>
+      assert(r.getAs[Long]("n_both") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("n_seeded") <= r.getAs[Long]("n_pairs"))
+    }
+  }
 }
