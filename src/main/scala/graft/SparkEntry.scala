@@ -278,9 +278,13 @@ object SparkEntry {
     }.mkString(" + ")
 
   /** The md5 + mod-prime MinHash+LSH pair chain (corpus → shingles → h32 →
-    * 16-perm signature → 4-band slices → candidate join → match-fraction
-    * estimate), shared verbatim by the q55 pair oracle and the q67
-    * composed-pipeline oracle — one source of truth for the hash family. */
+    * 16-perm signature → 4-band slices → rank ≤ bandBlockCap A-side
+    * registration → candidate join → match-fraction estimate), shared
+    * verbatim by the q55 pair oracle and the q67 composed-pipeline oracle —
+    * one source of truth for the hash family. The cap mirrors
+    * `DedupOps.registeredBand` (round 9, sf10-motivated) and never binds
+    * at driver SFs (max block 34 at sf0.1), so it is result-neutral
+    * everywhere the oracle runs. */
   private lazy val minHashCtesSql: String =
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
@@ -300,10 +304,15 @@ object SparkEntry {
        |banded AS (
        |  SELECT doc_id, b.b AS band, list_slice(s, b.b*4 + 1, b.b*4 + 4) AS bk
        |  FROM sigl CROSS JOIN range(0, 4) b(b)),
+       |ranked AS (
+       |  SELECT doc_id, band, bk,
+       |    row_number() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rk
+       |  FROM banded),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |  FROM ranked x JOIN banded y
+       |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+       |    AND x.rk <= ${DedupOps.bandBlockCap}),
        |est AS (
        |  SELECT c.a, c.b,
        |    floor((len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) / 16.0)*1e4 + 0.5)/1e4

@@ -167,6 +167,33 @@ object DedupOps {
     * <2 s native. This operator has no SQL oracle (rows-only check), so
     * the hash family is free to be Spark-native. The only shuffle is the
     * band self-join at `bands` rows/doc. */
+  /** Hot band-block cap for the MinHash pair chains — the q173
+    * registration discipline applied to symmetric pair GENERATION: per
+    * (band, band-key) block, only the first `bandBlockCap` docs (by
+    * doc_id) act as pair A-sides; every later carrier still pairs
+    * against that registered core, so a hot block's pair volume is
+    * O(cap × block) instead of O(block²) and cluster CONNECTIVITY is
+    * preserved (every doc in the block links to the registered core →
+    * one CC component, same keeper). Measured necessity: the sf10 probe
+    * (200-deep replica clusters) ran the uncapped join out of DISK —
+    * >75 GB of band-join shuffle spill — exactly the boilerplate-block
+    * blowup q20's `maxBlock` and q159's `simBlockCap` already guard
+    * against. The cap NEVER binds at driver SFs (measured max block: 6
+    * at sf0.01, 34 at sf0.1, ~40 at sf1 — zero blocks > 64 anywhere),
+    * so every oracle result is unchanged where the gate runs; the
+    * oracle CTE applies the identical rank ≤ cap predicate. */
+  val bandBlockCap = 64
+
+  /** rank ≤ [[bandBlockCap]] A-side registration over a banded relation
+    * — the window partitions by (band, key): block-sized partitions,
+    * never corpus-sized. */
+  private def registeredBand(banded: DataFrame, keyCol: String): DataFrame =
+    banded
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col(keyCol)).orderBy(col("doc_id"))))
+      .filter(col("rk") <= bandBlockCap).drop("rk")
+
   def minHashLshPairs(spark: SparkSession, dir: String,
                       shingleN: Int = 3, perms: Int = 32,
                       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
@@ -185,7 +212,7 @@ object DedupOps {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice($"sig", b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val cand = banded.as("x").join(banded.as("y"),
+    val cand = registeredBand(banded, "band_key").as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
@@ -236,7 +263,7 @@ object DedupOps {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice($"sig", b * lit(rows) + 1, lit(rows)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val cand = banded.as("x").join(banded.as("y"),
+    val cand = registeredBand(banded, "band_key").as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),

@@ -101,8 +101,8 @@ object ColumnarRoundTrip {
         sum($"n_chars").as("sum_chars"),
         sum(floor($"quality" * 1e4 + lit(0.5)).cast("long")).as("q4"))
       .select($"lang", $"n_rows", $"n_with_quality", $"sum_chars",
-        (round($"q4".cast("double") /
-          $"n_with_quality".cast("double") / 1e4, 4) + lit(0.0))
+        (graft.operators.Quant.r4($"q4".cast("double") /
+          $"n_with_quality".cast("double") / 1e4) + lit(0.0))
           .as("mean_quality"))
       .orderBy($"lang")
   }
