@@ -18,17 +18,31 @@ object Tables {
   def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as LONG (legacy conf) and
-    * truncate to microseconds with integer `div` (the ns epoch ≈ 1.7e18
-    * exceeds double's 2^53 mantissa, so float division would corrupt it).
+  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) or
+    * TIMESTAMP(MICROS) across driver testdata generations, so the loader
+    * branches on the type the scan actually produces:
+    *   - NANOS: Spark's vectorized reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]), so read nanos as LONG (legacy conf) and
+    *     truncate to microseconds with integer `div` (the ns epoch ≈ 1.7e18
+    *     exceeds double's 2^53 mantissa — float division would corrupt it).
+    *   - MICROS: arrives as TIMESTAMP_NTZ (no tz flag in the file); cast to
+    *     session-zoned TIMESTAMP — the session is pinned to UTC everywhere
+    *     (Verify/Bench/tests), so the instant and its formatting are
+    *     identical to the nanos path's `timestamp_micros` output.
     * The DuckDB oracle side truncates with date_trunc('microseconds', ts)
-    * wherever sub-µs ordering could matter. */
+    * wherever sub-µs ordering could matter (a no-op on micros data). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
