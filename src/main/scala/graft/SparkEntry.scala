@@ -241,6 +241,7 @@ object SparkEntry {
     "q173_neardup_gate" -> ((s, d) =>
       graft.streaming.NearDupGate.replayBatch(s, d)),
     "q174_dedup_policy" -> ((s, d) => DedupOps.dedupPolicyReport(s, d)),
+    "q175_setsim_keepers" -> ((s, d) => DedupOps.setSimJoinKeepers(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4617,5 +4618,52 @@ object SparkEntry {
          |FROM pt JOIN nd USING (threshold) CROSS JOIN tot
          |ORDER BY pt.threshold""".stripMargin
     },
+
+    // dedup-then-audit: q67's keeper election (minhash CTE chain + CC)
+    // collapses near-dup clusters, then q114's NAIVE exact set-sim join
+    // runs over keeper texts only — the oracle states the uncapped
+    // all-shared-token candidate form, so the hash match proves the
+    // engine's prefix filter stayed lossless over the reduced corpus.
+    "q175_setsim_keepers" ->
+      s"""WITH RECURSIVE $minHashCtesSql,
+         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |ids AS (SELECT doc_id FROM corpus),
+         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |labeled AS (
+         |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
+         |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+         |kbase AS (
+         |  SELECT c.doc_id, $toksSql AS tk
+         |  FROM corpus c JOIN labeled l ON l.doc_id = c.doc_id
+         |  WHERE l.doc_id = l.keeper),
+         |kdt AS (
+         |  SELECT doc_id, list_sort(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 2, 0) + 1),
+         |    i -> array_to_string(tk[i:i+2], ' ')))) AS ts
+         |  FROM kbase WHERE len(tk) >= 3),
+         |ktok AS (SELECT doc_id, unnest(ts) AS t FROM kdt),
+         |kcand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM ktok a JOIN ktok b ON a.t = b.t AND a.doc_id < b.doc_id),
+         |kj AS (
+         |  SELECT da, db,
+         |    CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS inter,
+         |    CAST(len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))
+         |      AS BIGINT) AS union_sz
+         |  FROM kcand
+         |  JOIN kdt x ON x.doc_id = da
+         |  JOIN kdt y ON y.doc_id = db)
+         |SELECT da AS doc_a, db AS doc_b, inter, union_sz,
+         |  floor((inter / CAST(union_sz AS DOUBLE))*1e4 + 0.5)/1e4 AS jaccard
+         |FROM kj
+         |WHERE inter * ${DedupOps.setSimTauDen}
+         |  >= union_sz * ${DedupOps.setSimTauNum}
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -23,6 +23,25 @@ object DedupOps {
     * do. The same union is reproduced in the DuckDB oracle. */
   val dupOffset = 100000L
 
+  /** Number of equal coordinates between two equal-length `array<long>`
+    * signature columns, UNROLLED to `element_at` comparisons.
+    *
+    * The combinator form `size(filter(zip_with(sa, sb, _ === _), m => m))`
+    * is a higher-order-function chain, which Spark always evaluates
+    * INTERPRETED (`HigherOrderFunction` has no `doGenCode`) — harmless on
+    * per-document columns, but the LSH verification step runs it once per
+    * CANDIDATE PAIR, and the round-9 sf10 probe (100-replica duplication
+    * clusters → ~10⁸ candidates) showed executors pinned inside
+    * `ZipWith.eval` with the stage outside whole-stage codegen. The
+    * unrolled form is plain element_at/CASE integer arithmetic —
+    * bit-identical result, stays fully inside codegen. */
+  def sigMatches(sa: org.apache.spark.sql.Column,
+                 sb: org.apache.spark.sql.Column, perms: Int):
+      org.apache.spark.sql.Column =
+    (1 to perms).map(i =>
+      when(element_at(sa, i) === element_at(sb, i), 1).otherwise(0))
+      .reduce(_ + _)
+
   def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -220,7 +239,7 @@ object DedupOps {
       .dropDuplicates("a", "b")
     cand
       .select($"a", $"b",
-        (size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
+        (sigMatches($"sa", $"sb", perms)
           .cast("double") / lit(perms.toDouble)).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)
       .select($"a", $"b", Quant.r4($"est_jaccard").as("est_jaccard"))
@@ -271,7 +290,7 @@ object DedupOps {
       .dropDuplicates("a", "b")
     val pairs = cand
       .select($"a", $"b",
-        Quant.r4(size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
+        Quant.r4(sigMatches($"sa", $"sb", perms)
           .cast("double") / lit(perms.toDouble)).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)
     (pairs, sigCached)
@@ -409,7 +428,7 @@ object DedupOps {
         $"d.sig".as("sa"), $"h.sig".as("sb"))
       .dropDuplicates("doc_id", "hist_id")
       .filter(
-        Quant.r4(size(filter(zip_with($"sa", $"sb", (x, y) => x === y), m => m))
+        Quant.r4(sigMatches($"sa", $"sb", perms)
           .cast("double") / lit(perms.toDouble)) >= threshold)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_near"), min($"hist_id").as("first_match"))
@@ -978,10 +997,16 @@ object DedupOps {
       .orderBy($"src", $"dst")
   }
 
-  def setSimJoin(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+  def setSimJoin(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    setSimJoinOver(spark, Tables.documents(spark, dir), n)
+
+  /** [[setSimJoin]]'s core over an arbitrary `(doc_id, text, …)` relation —
+    * split out so the exact audit can run over a reduced corpus (q175's
+    * keeper set) as well as the raw `documents` table (q114). */
+  def setSimJoinOver(spark: SparkSession, docs: DataFrame, n: Int = 3): DataFrame = {
     import spark.implicits._
     val dt = graft.CacheGuard.barrier(
-      Tables.documents(spark, dir)
+      docs
         .select($"doc_id",
           array_sort(array_distinct(wordShingles(tokens($"text"), n))).as("ts"))
         .filter(size($"ts") > 0))
@@ -1017,6 +1042,35 @@ object DedupOps {
         Quant.r4($"inter".cast("double") / $"union_sz".cast("double"))
           .as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Dedup-then-audit: the exact set-similarity join run over the
+    * near-dup KEEPER corpus instead of the raw corpus — the composition
+    * that makes the exact audit usable at 100 TB.
+    *
+    * The round-9 sf10 probe measured why the composition is required:
+    * [[setSimJoin]] is lossless, so its output is Ω(true pairs), and true
+    * pairs are QUADRATIC in duplication-cluster size — at the probe's
+    * designed 100-replica clusters that is ~C(100,2) ≈ 5k pairs per
+    * original document (~25M pairs corpus-wide, 110× the sf1 volume),
+    * which no join algorithm can beat because it is the answer itself
+    * (observed: >75 GB of shuffle spill, then heap exhaustion). Collapsing
+    * near-dup clusters to their keepers FIRST ([[nearDupKeepers]]: banded
+    * signatures, capped blocks, CC over pairs only — everything linear in
+    * corpus + match volume) leaves the exact join a corpus with no intra-
+    * cluster pairs left, so its output is only the genuine cross-cluster
+    * borderline matches — the pairs a human actually reviews.
+    *
+    * Exactness is preserved, not approximated: over the keeper corpus the
+    * rarest-first prefix filter is still lossless, so the result equals
+    * "all pairs of keepers with true Jaccard ≥ τ" (spec-pinned identical
+    * to filtering [[setSimJoin]]'s full output to keeper endpoints). */
+  def setSimJoinKeepers(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val keepers = nearDupKeepers(spark, dir)
+      .filter($"is_keeper").select($"doc_id")
+    val docs = dupCorpus(spark, dir).join(keepers, "doc_id")
+    setSimJoinOver(spark, docs, n)
   }
 
   /** Sweep thresholds for [[dedupThresholdSweep]] — multiples of 1/16

@@ -168,8 +168,8 @@ object NearDupGate {
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
         $"x.sig".as("sa"), $"y.sig".as("sb"))
       .dropDuplicates("a", "b")
-      .filter(size(filter(zip_with($"sa", $"sb", (x, y) => x === y),
-        m => m)) >= matchMin)
+      .filter(graft.operators.DedupOps.sigMatches($"sa", $"sb", perms)
+        >= matchMin)
       .groupBy($"b")
       .agg(count(lit(1)).as("n_prior_neardups"),
         min($"a").as("first_collider"))

@@ -664,4 +664,28 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("n_seeded") <= r.getAs[Long]("n_pairs"))
     }
   }
+
+  test("setSimJoinKeepers: exactly the full exact join filtered to keeper endpoints, with every intra-cluster pair gone") {
+    import spark.implicits._
+    val keepers = DedupOps.nearDupKeepers(spark, sf)
+      .filter($"is_keeper").select($"doc_id")
+      .as[Long].collect().toSet
+    graft.CacheGuard.release()
+    // keepers are cluster minima, so they always live in the original id
+    // range (each +dupOffset copy shares a component with its original)
+    assert(keepers.forall(_ < DedupOps.dupOffset))
+    val full = DedupOps.setSimJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.CacheGuard.release()
+    val got = DedupOps.setSimJoinKeepers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.CacheGuard.release()
+    // exactness preserved over the reduced corpus: the keeper join equals
+    // the full O(true pairs) join restricted to keeper-only endpoints
+    val expected = full.filter(p => keepers(p._1) && keepers(p._2))
+    assert(got.toSeq === expected.toSeq)
+    // and the collapse really removed pair volume (the seeded corpus has
+    // intra-cluster pairs the keeper corpus cannot contain)
+    assert(got.length < full.length)
+  }
 }
