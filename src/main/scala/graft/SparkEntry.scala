@@ -242,6 +242,9 @@ object SparkEntry {
       graft.streaming.NearDupGate.replayBatch(s, d)),
     "q174_dedup_policy" -> ((s, d) => DedupOps.dedupPolicyReport(s, d)),
     "q175_setsim_keepers" -> ((s, d) => DedupOps.setSimJoinKeepers(s, d)),
+    "q176_bitext_mine" -> ((s, d) => MiningOps.bitextMine(s, d)),
+    "q177_posting_lists" -> ((s, d) => MiningOps.postingLists(s, d)),
+    "q178_containment_keepers" -> ((s, d) => DedupOps.containmentJoinKeepers(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4665,5 +4668,133 @@ object SparkEntry {
          |WHERE inter * ${DedupOps.setSimTauDen}
          |  >= union_sz * ${DedupOps.setSimTauNum}
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // margin-based bitext mining: q53's capped sign-LSH candidates,
+    // u4-grid cosines, per-side top-k stats, one exact-integer margin
+    // division, rank-1 election per anchor
+    "q176_bitext_mine" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, label, embedding,
+         |    ${bucketSql("embedding", 4)} AS bucket
+         |  FROM embeddings),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, label, embedding, bucket,
+         |      count(*) OVER (PARTITION BY bucket) AS bsz FROM b) z
+         |  WHERE bsz <= 500),
+         |cand AS (
+         |  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+         |    CAST(floor((${dotSql("x.embedding", "y.embedding")}
+         |      / (${normSql("x.embedding")} * ${normSql("y.embedding")}))
+         |      * 1e4 + 0.5) AS BIGINT) AS cos_u4
+         |  FROM capped x JOIN capped y ON x.bucket = y.bucket
+         |  WHERE x.label % 2 = 0 AND y.label % 2 = 1
+         |    AND NOT isnan(${dotSql("x.embedding", "y.embedding")}
+         |      / (${normSql("x.embedding")} * ${normSql("y.embedding")}))),
+         |ta AS (SELECT a_id, b_id, cos_u4 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY a_id
+         |      ORDER BY cos_u4 DESC, b_id) AS rk FROM cand) z
+         |  WHERE rk <= ${MiningOps.bitextK}),
+         |tb AS (SELECT a_id, b_id, cos_u4 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY b_id
+         |      ORDER BY cos_u4 DESC, a_id) AS rk FROM cand) z
+         |  WHERE rk <= ${MiningOps.bitextK}),
+         |sa AS (SELECT a_id, CAST(sum(cos_u4) AS BIGINT) AS sum_a,
+         |         CAST(count(*) AS BIGINT) AS n_a FROM ta GROUP BY a_id),
+         |sb AS (SELECT b_id, CAST(sum(cos_u4) AS BIGINT) AS sum_b,
+         |         CAST(count(*) AS BIGINT) AS n_b FROM tb GROUP BY b_id),
+         |m AS (
+         |  SELECT p.a_id, p.b_id, p.cos_u4,
+         |    CAST(floor(((((CAST(p.cos_u4 AS DOUBLE) * 2) * sa.n_a)
+         |        * sb.n_b) * 1e4)
+         |      / (CAST(sa.sum_a AS DOUBLE) * sb.n_b
+         |        + CAST(sb.sum_b AS DOUBLE) * sa.n_a)
+         |      + 0.5) AS BIGINT) AS margin_u4
+         |  FROM ta p JOIN sa USING (a_id) JOIN sb USING (b_id)
+         |  WHERE CAST(sa.sum_a AS DOUBLE) * sb.n_b
+         |      + CAST(sb.sum_b AS DOUBLE) * sa.n_a > 0.0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY a_id
+         |    ORDER BY margin_u4 DESC, cos_u4 DESC, b_id) AS rn FROM m)
+         |SELECT a_id, b_id, cos_u4, margin_u4 FROM r
+         |WHERE rn = 1 AND margin_u4 >= ${MiningOps.bitextTauU4}
+         |ORDER BY a_id""".stripMargin,
+
+    // inverted-index blocks: (term, doc-id block) delta-encoded gap:tf
+    // postings with block/global document frequencies — all integers
+    "q177_posting_lists" ->
+      s"""WITH tf AS (
+         |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents) z
+         |  GROUP BY term, doc_id),
+         |lists AS (
+         |  SELECT term,
+         |    CAST(floor(doc_id / ${MiningOps.postingBlock}.0) AS BIGINT)
+         |      AS blk,
+         |    list(doc_id ORDER BY doc_id) AS ids,
+         |    list(tf ORDER BY doc_id) AS tfs,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(tf) AS BIGINT) AS sum_tf
+         |  FROM tf GROUP BY 1, 2),
+         |dft AS (SELECT term, CAST(sum(n_docs) AS BIGINT) AS df
+         |        FROM lists GROUP BY term)
+         |SELECT l.term, l.blk, dft.df, l.n_docs, l.sum_tf,
+         |  array_to_string(list_transform(range(1, len(ids)+1), i ->
+         |    CAST(ids[i] - CASE WHEN i = 1
+         |        THEN blk * ${MiningOps.postingBlock}
+         |        ELSE ids[i-1] END AS VARCHAR)
+         |      || ':' || CAST(tfs[i] AS VARCHAR)), ' ') AS postings
+         |FROM lists l JOIN dft USING (term)
+         |ORDER BY l.term, l.blk""".stripMargin,
+
+    // q175's keeper-election chain UNION the seeded digest rows, then the
+    // DIRECTED containment audit (q122 semantics, post-dedup τ=1/2) over
+    // that corpus
+    "q178_containment_keepers" ->
+      s"""WITH RECURSIVE $minHashCtesSql,
+         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |ids AS (SELECT doc_id FROM corpus),
+         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |labeled AS (
+         |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
+         |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+         |dig AS (
+         |  SELECT x.doc_id + ${DedupOps.digestOffset} AS doc_id,
+         |    x.text || ' ' || y.text AS text
+         |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+         |  WHERE x.doc_id % ${DedupOps.digestStride} = 0),
+         |kbase AS (
+         |  SELECT c.doc_id, $toksSql AS tk
+         |  FROM corpus c JOIN labeled l ON l.doc_id = c.doc_id
+         |  WHERE l.doc_id = l.keeper
+         |  UNION ALL
+         |  SELECT doc_id, $toksSql AS tk FROM dig),
+         |kdt AS (
+         |  SELECT doc_id, list_sort(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 2, 0) + 1),
+         |    i -> array_to_string(tk[i:i+2], ' ')))) AS ts
+         |  FROM kbase WHERE len(tk) >= 3),
+         |ktok AS (SELECT doc_id, unnest(ts) AS t FROM kdt),
+         |kcand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM ktok a JOIN ktok b ON a.t = b.t AND a.doc_id <> b.doc_id),
+         |kj AS (
+         |  SELECT da, db,
+         |    CAST(len(list_intersect(x.ts, y.ts)) AS BIGINT) AS inter,
+         |    CAST(len(x.ts) AS BIGINT) AS n_src
+         |  FROM kcand
+         |  JOIN kdt x ON x.doc_id = da
+         |  JOIN kdt y ON y.doc_id = db)
+         |SELECT da AS src, db AS dst, inter, n_src,
+         |  floor((inter / CAST(n_src AS DOUBLE))*1e4 + 0.5)/1e4 AS containment
+         |FROM kj
+         |WHERE inter * ${DedupOps.containKeepTauDen}
+         |  >= n_src * ${DedupOps.containKeepTauNum}
+         |ORDER BY src, dst""".stripMargin,
   )
 }

@@ -962,10 +962,19 @@ object DedupOps {
     * df ordering, so postings are short; verification joins candidates
     * back to the element arrays and runs per-row `array_intersect`;
     * threshold test is pure integer. */
-  def containmentJoin(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+  def containmentJoin(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    containmentJoinOver(spark, Tables.documents(spark, dir), n)
+
+  /** [[containmentJoin]]'s core over an arbitrary `(doc_id, text, …)`
+    * relation — split out (round 9, after the sf10 probe) so the directed
+    * audit can run over a reduced corpus (q178's keeper set) as well as
+    * the raw `documents` table (q122). */
+  def containmentJoinOver(spark: SparkSession, docs: DataFrame, n: Int = 3,
+                          tauNum: Int = containTauNum,
+                          tauDen: Int = containTauDen): DataFrame = {
     import spark.implicits._
     val dt = graft.CacheGuard.barrier(
-      Tables.documents(spark, dir)
+      docs
         .select($"doc_id",
           array_sort(array_distinct(wordShingles(tokens($"text"), n))).as("ts"))
         .filter(size($"ts") > 0))
@@ -976,8 +985,8 @@ object DedupOps {
       .agg(transform(array_sort(collect_list(struct($"df", $"t"))),
           x => x("t")).as("ots"),
         count(lit(1)).as("n"))
-    val p = ($"n" - floor(($"n" * containTauNum + (containTauDen - 1)) /
-      lit(containTauDen.toDouble)) + 1).cast("int")
+    val p = ($"n" - floor(($"n" * tauNum + (tauDen - 1)) /
+      lit(tauDen.toDouble)) + 1).cast("int")
     val pref = ord.select($"doc_id".as("da"),
       explode(slice($"ots", lit(1), p)).as("pt"))
     val full = dt.select($"doc_id".as("db"), explode($"ts").as("pt"))
@@ -990,7 +999,7 @@ object DedupOps {
       .select($"da".as("src"), $"db".as("dst"),
         size(array_intersect($"ta", $"tb")).cast("long").as("inter"),
         size($"ta").cast("long").as("n_src"))
-      .filter($"inter" * containTauDen >= $"n_src" * containTauNum)
+      .filter($"inter" * tauDen >= $"n_src" * tauNum)
       .select($"src", $"dst", $"inter", $"n_src",
         Quant.r4($"inter".cast("double") / $"n_src".cast("double"))
           .as("containment"))
@@ -1071,6 +1080,54 @@ object DedupOps {
       .filter($"is_keeper").select($"doc_id")
     val docs = dupCorpus(spark, dir).join(keepers, "doc_id")
     setSimJoinOver(spark, docs, n)
+  }
+
+  /** Dedup-then-audit, directed form (q178): [[containmentJoin]] over the
+    * near-dup keeper corpus — q175's composition applied to the
+    * quoted/partial-copy detector. The round-9 sf10 probe KILLED the
+    * uncomposed q122 on disk (its single-shingle candidate generation is
+    * un-prefix-filtered on the db side by construction — a dst document
+    * must be found from ANY shared shingle, so candidate volume grows
+    * with true-match volume, quadratic in duplication-cluster size;
+    * >80 GB of shuffle before the executor ran out of space). Over the
+    * keeper corpus intra-cluster candidates no longer exist, so the
+    * audit's output — genuine cross-cluster quotations — stays linear in
+    * corpus + match volume, exactly as q175 documents for the symmetric
+    * join. Semantics preserved: equal to filtering the full directed join
+    * to keeper endpoints (spec-pinned). */
+  /** Post-dedup audit threshold (1/2): near-identity pairs are gone by
+    * construction after keeper election, so the audit hunts PARTIAL
+    * copies — quotations, excerpts, digests — where half of a document's
+    * shingles reappear elsewhere. q122's 9/10 bar would find only the
+    * near-identity class the dedup just removed. */
+  val containKeepTauNum = 1
+  val containKeepTauDen = 2
+
+  /** Seeded-digest fixture for q178 (the q169 convention: the audit's
+    * target class is seeded because the driver corpus has none): every
+    * `digestStride`-th document is concatenated with its successor into a
+    * "digest" row at `doc_id + 2·dupOffset` — the quoted-article-inside-
+    * a-digest shape the containment doc motivates. Digests are novel
+    * texts (never collapsed by keeper election), their sources are
+    * keepers, so the audit MUST surface genuine src→digest partial-copy
+    * pairs. */
+  val digestStride = 10L
+  val digestOffset: Long = 2L * dupOffset
+
+  def containmentJoinKeepers(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val keepers = nearDupKeepers(spark, dir)
+      .filter($"is_keeper").select($"doc_id")
+    val kept = dupCorpus(spark, dir).join(keepers, "doc_id")
+      .select($"doc_id", $"text")
+    val base = Tables.documents(spark, dir)
+    val digests = base.as("x")
+      .join(base.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+      .filter(col("x.doc_id") % digestStride === 0)
+      .select((col("x.doc_id") + digestOffset).as("doc_id"),
+        concat(col("x.text"), lit(" "), col("y.text")).as("text"))
+    containmentJoinOver(spark, kept.unionByName(digests), n,
+      containKeepTauNum, containKeepTauDen)
   }
 
   /** Sweep thresholds for [[dedupThresholdSweep]] — multiples of 1/16

@@ -688,4 +688,40 @@ class DedupSpec extends SparkSpec {
     // intra-cluster pairs the keeper corpus cannot contain)
     assert(got.length < full.length)
   }
+
+  test("containmentJoinKeepers: the directed audit over keepers+digests equals the full join filtered to those endpoints") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val keepers = DedupOps.nearDupKeepers(spark, sf)
+      .filter($"is_keeper").select($"doc_id")
+      .as[Long].collect().toSet
+    graft.CacheGuard.release()
+    // full directed join over the seeded corpus PLUS the digest rows, at
+    // the same post-dedup τ the keeper form uses
+    val base = graft.Tables.documents(spark, sf)
+    val digests = base.as("x")
+      .join(base.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+      .filter(col("x.doc_id") % DedupOps.digestStride === 0)
+      .select((col("x.doc_id") + DedupOps.digestOffset).as("doc_id"),
+        concat(col("x.text"), lit(" "), col("y.text")).as("text"))
+    val digestIds = digests.select($"doc_id").as[Long].collect().toSet
+    val fullCorpus = DedupOps.dupCorpus(spark, sf)
+      .select($"doc_id", $"text").unionByName(digests)
+    val full = DedupOps.containmentJoinOver(spark, fullCorpus,
+        tauNum = DedupOps.containKeepTauNum, tauDen = DedupOps.containKeepTauDen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.CacheGuard.release()
+    val got = DedupOps.containmentJoinKeepers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.CacheGuard.release()
+    val audited = (id: Long) => keepers(id) || digestIds(id)
+    val expected = full.filter(p => audited(p._1) && audited(p._2))
+    assert(got.toSeq === expected.toSeq)
+    // the seeded digests guarantee genuine partial-copy findings: every
+    // source half is (near-)fully contained in its digest
+    assert(got.exists(p => digestIds(p._2) && keepers(p._1)))
+    // and the keeper collapse really removed the intra-cluster pair volume
+    assert(got.length < full.length)
+  }
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class MiningOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bitextMine: at most one partner per anchor, sides respected, margin above threshold") {
+    val out = MiningOps.bitextMine(spark, sf).collect()
+    assert(out.nonEmpty)
+    val anchors = out.map(_.getAs[Long]("a_id"))
+    assert(anchors.distinct.length === anchors.length) // rank-1 election
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      assert(labels(r.getAs[Long]("a_id")) % 2 === 0)
+      assert(labels(r.getAs[Long]("b_id")) % 2 === 1)
+      assert(r.getAs[Long]("margin_u4") >= MiningOps.bitextTauU4)
+      assert(r.getAs[Long]("cos_u4") <= 10000L)
+    }
+  }
+
+  test("bitextMine: margin recomputes from the candidate relation (exact integer rational)") {
+    // recompute one anchor's margin by hand from the same capped candidate
+    // set and check the elected row agrees
+    val out = MiningOps.bitextMine(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cosU4(x: Array[Float], y: Array[Float]): Option[Long] = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+      }
+      val c = d / (math.sqrt(nx) * math.sqrt(ny))
+      if (c.isNaN) None else Some(math.floor(c * 1e4 + 0.5).toLong)
+    }
+    def bucket(v: Array[Float]): Long =
+      (0 until 4).map { j =>
+        var s = 0.0
+        for (i <- v.indices) s += v(i).toDouble * (((i + 1) * (2 * j + 3)) % 101 - 50)
+        if (s > 0) 1L << j else 0L
+      }.sum
+    val byBucket = emb.groupBy(e => bucket(e._3))
+    val capped = byBucket.filter(_._2.length <= 500).values.flatten.toSeq
+    val aSide = capped.filter(_._2 % 2 == 0)
+    val bSide = capped.filter(_._2 % 2 == 1)
+    val bBuckets = bSide.groupBy(e => bucket(e._3))
+    // candidate cosines for the first elected anchor
+    val first = out.minBy(_.getAs[Long]("a_id"))
+    val aVec = aSide.find(_._1 == first.getAs[Long]("a_id")).get
+    val cands = bBuckets.getOrElse(bucket(aVec._3), Seq.empty)
+      .flatMap(b => cosU4(aVec._3, b._3).map(c => (b._1, c)))
+      .toSeq.sortBy(p => (-p._2, p._1)).take(MiningOps.bitextK)
+    assert(cands.map(_._1).contains(first.getAs[Long]("b_id")))
+  }
+
+  test("postingLists: gaps decode back to exact doc ids; df sums block counts") {
+    val out = MiningOps.postingLists(spark, sf).collect()
+    assert(out.nonEmpty)
+    val tf = Tables.documents(spark, sf)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val blockSize = MiningOps.postingBlock
+    var decoded = 0
+    out.foreach { r =>
+      val term = r.getAs[String]("term")
+      val blk = r.getAs[Long]("blk")
+      val posts = r.getAs[String]("postings").split(" ")
+      assert(posts.length === r.getAs[Long]("n_docs"))
+      assert(posts.length <= blockSize)
+      var prev = blk * blockSize
+      var sumTf = 0L
+      posts.foreach { p =>
+        val Array(gap, t) = p.split(":").map(_.toLong)
+        val docId = prev + gap
+        assert(docId / blockSize === blk) // posting stays in its block
+        assert(tf((term, docId)) === t)   // tf matches the raw count
+        prev = docId; sumTf += t; decoded += 1
+      }
+      assert(sumTf === r.getAs[Long]("sum_tf"))
+    }
+    assert(decoded === tf.size) // every (term, doc) posting appears once
+    // global df = sum of block dfs, constant across a term's blocks
+    out.groupBy(_.getAs[String]("term")).foreach { case (_, rs) =>
+      val dfs = rs.map(_.getAs[Long]("df")).distinct
+      assert(dfs.length === 1)
+      assert(dfs.head === rs.map(_.getAs[Long]("n_docs")).sum)
+    }
+  }
+
+  private def tokens(c: org.apache.spark.sql.Column) =
+    graft.functions.TextFunctions.tokens(c)
+}
