@@ -245,6 +245,7 @@ object SparkEntry {
     "q176_bitext_mine" -> ((s, d) => MiningOps.bitextMine(s, d)),
     "q177_posting_lists" -> ((s, d) => MiningOps.postingLists(s, d)),
     "q178_containment_keepers" -> ((s, d) => DedupOps.containmentJoinKeepers(s, d)),
+    "q179_ivfpq_topk" -> ((s, d) => AnnSearch.ivfPqTopK(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4796,5 +4797,54 @@ object SparkEntry {
          |WHERE inter * ${DedupOps.containKeepTauDen}
          |  >= n_src * ${DedupOps.containKeepTauNum}
          |ORDER BY src, dst""".stripMargin,
+
+    // IVF coarse pruning (all-integer e3-grid dots vs the first-16
+    // seeds, nprobe=4) composed with q86's trained-PQ ADC scoring over
+    // the probed lists only
+    "q179_ivfpq_topk" ->
+      s"""WITH $pqCtesSql,
+         |codes AS (
+         |  SELECT vec_id, sub, c AS code FROM (
+         |    SELECT vec_id, sub, c,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY score, c) AS rn
+         |    FROM sc2) z WHERE rn = 1),
+         |cents AS (SELECT vec_id + 1 AS c, e AS ce FROM eq WHERE vec_id < 16),
+         |ad AS (
+         |  SELECT q.vec_id, ct.c,
+         |    list_sum(list_transform(range(1, len(q.e)+1),
+         |      i -> q.e[i]*ct.ce[i])) AS idot
+         |  FROM eq q CROSS JOIN cents ct),
+         |asg AS (SELECT vec_id, c AS list_id FROM (
+         |    SELECT vec_id, c,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY idot DESC, c) AS rn
+         |    FROM ad) z WHERE rn = 1),
+         |probes AS (SELECT c AS list_id FROM (
+         |    SELECT c, row_number() OVER (ORDER BY idot DESC, c) AS rn
+         |    FROM ad WHERE vec_id = 0) z
+         |  WHERE rn <= 4),
+         |q AS (
+         |  SELECT sub, se AS qe,
+         |    list_sum(list_transform(se, x -> x*x)) AS qq
+         |  FROM sv WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT cb.sub, cb.c,
+         |    CAST(q.qq AS DOUBLE) +
+         |      (CAST(list_sum(list_transform(cb.s, x -> x*x)) AS DOUBLE)
+         |         / CAST(cb.n*cb.n AS DOUBLE)
+         |       - CAST(2*list_sum(list_transform(range(1, 9),
+         |           i -> q.qe[i]*cb.s[i])) AS DOUBLE) / CAST(cb.n AS DOUBLE))
+         |      AS d
+         |  FROM cb1 cb JOIN q ON q.sub = cb.sub)
+         |SELECT codes.vec_id, asg.list_id,
+         |  floor((list_sum(list(l.d ORDER BY l.sub)) / 1000000.0)*1e4 + 0.5)/1e4 + 0.0
+         |    AS adc_dist2
+         |FROM codes
+         |JOIN asg ON asg.vec_id = codes.vec_id
+         |JOIN probes ON probes.list_id = asg.list_id
+         |JOIN lut l ON l.sub = codes.sub AND l.c = codes.code
+         |WHERE codes.vec_id <> 0
+         |GROUP BY codes.vec_id, asg.list_id
+         |ORDER BY adc_dist2, codes.vec_id LIMIT 10""".stripMargin,
   )
 }

@@ -1204,4 +1204,96 @@ object AnnSearch {
         $"entropy_u6")
       .orderBy($"cluster")
   }
+
+  /** IVF + PQ composed serving (q179) — the FAISS `IVFPQ` index shape,
+    * and the form a billion-vector deployment actually runs: the coarse
+    * quantizer (IVF) prunes the corpus to `nprobe` of `nlist` inverted
+    * lists, and the fine quantizer (PQ codes + the query's ADC lookup
+    * table) scores only the surviving candidates by m table lookups
+    * each. q35/q163 measure the pruning alone, q85/q86 the compression
+    * alone; this is their composition — the one that makes 100 TB of
+    * vectors servable from RAM (codes are m bytes/vector, the scan
+    * touches nprobe/nlist of them).
+    *
+    * Exactness: the coarse side is ALL-INTEGER — centroids are the
+    * first-`nlist` vectors on the e3 grid, assignment and the query's
+    * list ranking compare exact BIGINT dot products (ties to the lowest
+    * list id), so the probe set can never drift between engines. The
+    * fine side reuses q86's ADC contract verbatim (exact-int divisions,
+    * subspace-ordered LUT fold, r4 floor at the edge).
+    *
+    * Scale shape: one corpus pass computes assignments against the
+    * BROADCAST coarse codebook (O(nlist × dim) in the task closure);
+    * the probe set is a ≤nprobe-row relation joined broadcast, so the
+    * ADC join + fold runs on the PROBED fraction only; top-k is
+    * TakeOrdered after a corpus-free O(probed) aggregation. The
+    * per-row transform lambdas are bounded nlist × dim work against
+    * broadcast constants — the q163 cost class, documented there. */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+                queryId: Long = 0L, topK: Int = 10,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, k: Int = 16): DataFrame = {
+    import spark.implicits._
+    val eq = graft.CacheGuard.barrier(
+      Tables.embeddings(spark, dir).select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long"))
+          .as("e")))
+    val cents: Seq[Seq[Long]] = eq.filter($"vec_id" < nlist)
+      .orderBy($"vec_id").select($"e").as[Seq[Long]].collect().toSeq
+    require(cents.size == nlist, s"coarse codebook needs $nlist seeds")
+    val centsCol = typedlit(cents)
+    // exact integer dots against every coarse centroid; first max =
+    // lowest list id on ties (array_position semantics)
+    val idots = transform(sequence(lit(1), lit(nlist)), c =>
+      aggregate(zip_with($"e", element_at(centsCol, c), (x, y) => x * y),
+        lit(0L), (a, x) => a + x))
+    val assigned = eq
+      .withColumn("idots", idots)
+      .select($"vec_id",
+        array_position($"idots", array_max($"idots"))
+          .cast("long").as("list_id"),
+        $"idots")
+    // the query's nprobe best lists: rank of list c = 1 + #lists strictly
+    // better under (idot desc, c asc) — integer array arithmetic, no sort
+    val probes = assigned.filter($"vec_id" === queryId)
+      .select(explode(filter(sequence(lit(1), lit(nlist)), c =>
+        size(filter(sequence(lit(1), lit(nlist)), i =>
+          element_at($"idots", i) > element_at($"idots", c) ||
+            (element_at($"idots", i) === element_at($"idots", c) && i < c)))
+          < nprobe)).as("c0"))
+      .select($"c0".cast("long").as("list_id"))
+    // fine side: q86's trained PQ codes + the query's LUT, restricted to
+    // the probed lists BEFORE any scoring work
+    val cached = pqSubvectors(spark, dir, m)
+    val cb1 = pqCodebook(cached, k)
+    val codes = pqScored(cached, cb1).groupBy($"vec_id", $"sub")
+      .agg(min_by($"c", struct($"score", $"c")).as("code"))
+      .join(assigned.select($"vec_id", $"list_id"), "vec_id")
+      .join(broadcast(probes), "list_id")
+    val qsv = cached.filter($"vec_id" === queryId)
+      .select($"sub", $"se".as("qe"),
+        aggregate(transform($"se", x => x * x), lit(0L), (a, x) => a + x)
+          .as("qq"))
+    val lut = cb1.join(qsv, "sub")
+      .withColumn("qdot", aggregate(zip_with($"qe", $"s", (x, y) => x * y),
+        lit(0L), (a, x) => a + x))
+      .withColumn("ss", aggregate(transform($"s", x => x * x),
+        lit(0L), (a, x) => a + x))
+      .select($"sub".as("lsub"), $"c",
+        ($"qq".cast("double") +
+          ($"ss".cast("double") / ($"n" * $"n").cast("double")
+            - (lit(2L) * $"qdot").cast("double") / $"n".cast("double")))
+          .as("d"))
+    codes.join(broadcast(lut),
+        codes("sub") === lut("lsub") && codes("code") === lut("c"))
+      .groupBy($"vec_id", $"list_id")
+      .agg(aggregate(transform(array_sort(collect_list(struct($"lsub", $"d"))),
+          x => x("d")), lit(0.0), (a, x) => a + x).as("g"))
+      .filter($"vec_id" =!= queryId)
+      .select($"vec_id", $"list_id",
+        (Quant.r4($"g" / lit(1000000.0)) + lit(0.0)).as("adc_dist2"))
+      .orderBy($"adc_dist2", $"vec_id")
+      .limit(topK)
+  }
 }

@@ -607,4 +607,47 @@ class AnnSearchSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("ivfPqTopK: equals the unrestricted ADC ranking filtered to the integer-dot probe set") {
+    import spark.implicits._
+    val got = AnnSearch.ivfPqTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("list_id"),
+        r.getAs[Double]("adc_dist2")))
+    graft.CacheGuard.release()
+    // unrestricted ADC distances for the whole corpus (q86 with a large k)
+    val full = AnnSearch.pqAdcTopK(spark, sf, topK = 1000000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc_dist2")).toMap
+    graft.CacheGuard.release()
+    // driver-side replay of the INTEGER coarse quantizer: e3 grid, first-16
+    // seeds, argmax dot with ties to the lowest list id
+    val eq = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong))
+      .toMap
+    val cents = (0L until 16L).map(eq)
+    def idots(e: Seq[Long]): Seq[Long] =
+      cents.map(c => c.zip(e).map { case (a, b) => a * b }.sum)
+    def listOf(e: Seq[Long]): Long = {
+      val d = idots(e)
+      (d.indexOf(d.max) + 1).toLong
+    }
+    val qd = idots(eq(0L))
+    val probeSet = (1 to 16).filter { c =>
+      (1 to 16).count(i => qd(i - 1) > qd(c - 1) ||
+        (qd(i - 1) == qd(c - 1) && i < c)) < 4
+    }.map(_.toLong).toSet
+    // every elected row sits in a probed list, with the q86 distance
+    got.foreach { case (v, l, d) =>
+      assert(listOf(eq(v)) === l)
+      assert(probeSet(l))
+      assert(full(v) === d)
+    }
+    // and the result IS the top-10 of the probed fraction
+    val expected = full.toSeq
+      .filter { case (v, _) => v != 0L && probeSet(listOf(eq(v))) }
+      .sortBy { case (v, d) => (d, v) }.take(10)
+      .map { case (v, d) => (v, listOf(eq(v)), d) }
+    assert(got.toSeq === expected)
+  }
 }
