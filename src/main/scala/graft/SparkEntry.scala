@@ -246,6 +246,10 @@ object SparkEntry {
     "q177_posting_lists" -> ((s, d) => MiningOps.postingLists(s, d)),
     "q178_containment_keepers" -> ((s, d) => DedupOps.containmentJoinKeepers(s, d)),
     "q179_ivfpq_topk" -> ((s, d) => AnnSearch.ivfPqTopK(s, d)),
+    "q180_engagement_curve" -> ((s, d) => Analytics.engagementCurve(s, d)),
+    "q181_burst_detect" -> ((s, d) => Analytics.burstDetect(s, d)),
+    "q182_preference_pairs" -> ((s, d) => TextAnalysis.preferencePairs(s, d)),
+    "q183_kwic" -> ((s, d) => IngestPipelines.kwicConcordance(s, d, kwContains)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4846,5 +4850,101 @@ object SparkEntry {
          |WHERE codes.vec_id <> 0
          |GROUP BY codes.vec_id, asg.list_id
          |ORDER BY adc_dist2, codes.vec_id LIMIT 10""".stripMargin,
+
+    // rolling-distinct via the exploded user-day grid (prefix-decomposable
+    // form of count(DISTINCT) OVER RANGE, which DuckDB also lacks)
+    "q180_engagement_curve" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS ds FROM events),
+        |days AS (SELECT DISTINCT ds FROM ud),
+        |dau AS (SELECT ds, CAST(count(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY ds),
+        |newu AS (
+        |  SELECT ds, CAST(count(*) AS BIGINT) AS new_users FROM (
+        |    SELECT user_id, min(ds) AS ds FROM ud GROUP BY user_id) f
+        |  GROUP BY ds),
+        |contrib AS (
+        |  SELECT DISTINCT ud.user_id, ud.ds + CAST(t.o AS INTEGER) AS ds
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) t),
+        |wau AS (
+        |  SELECT c.ds, CAST(count(*) AS BIGINT) AS wau7
+        |  FROM contrib c JOIN days USING (ds) GROUP BY c.ds)
+        |SELECT d.ds, d.dau, w.wau7,
+        |  coalesce(n.new_users, CAST(0 AS BIGINT)) AS new_users
+        |FROM dau d JOIN wau w USING (ds) LEFT JOIN newu n USING (ds)
+        |ORDER BY d.ds""".stripMargin,
+
+    // integer burst rule over the per-type hourly rollup; 24-hour warm-up
+    // gate mirrors q124's n_prior discipline
+    "q181_burst_detect" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hh,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hh, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY hh
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |      AS prior24,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY hh
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_prior
+        |  FROM hourly)
+        |SELECT event_type,
+        |  strftime(hh, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  cnt, prior24, cnt * 24 > prior24 * 3 AS flagged
+        |FROM w WHERE n_prior = 24
+        |ORDER BY event_type, hour_start""".stripMargin,
+
+    // argmax/argmin by lexicographic (quality, doc_id) order — the window
+    // form here is the oracle twin of the Spark side's ordered-struct
+    // max/min aggregate
+    "q182_preference_pairs" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, $toksSql AS tk FROM documents),
+         |c AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(tk,
+         |      x -> x IN ('the','a','of','and','to','in'))) AS BIGINT)
+         |      AS n_stop
+         |  FROM t),
+         |s AS (
+         |  SELECT source, doc_id,
+         |    floor((CASE WHEN n_tokens = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.6 +
+         |           (CAST(n_stop AS DOUBLE)
+         |              / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.4
+         |      END)*1e4 + 0.5)/1e4 AS q
+         |  FROM c),
+         |r AS (
+         |  SELECT source, doc_id, q,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY q DESC, doc_id) AS rb,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY q ASC, doc_id) AS rw
+         |  FROM s)
+         |SELECT b.source,
+         |  b.doc_id AS chosen_id, b.q AS chosen_quality,
+         |  w.doc_id AS rejected_id, w.q AS rejected_quality,
+         |  floor((b.q - w.q)*1e4 + 0.5)/1e4 AS margin
+         |FROM r b JOIN r w ON b.source = w.source
+         |WHERE b.rb = 1 AND w.rw = 1 AND b.q > w.q
+         |ORDER BY b.source""".stripMargin,
+
+    // first-hit keyword-in-context snippets; substr clamps identically in
+    // both engines, positions index the length-preserving lower(text)
+    "q183_kwic" ->
+      """SELECT doc_id, kw.keyword,
+        |  CAST(strpos(lower(text), kw.keyword) AS BIGINT) AS pos,
+        |  substr(text,
+        |    CAST(greatest(1, strpos(lower(text), kw.keyword) - 30) AS BIGINT),
+        |    CAST(length(kw.keyword) + 60 AS BIGINT)) AS snippet
+        |FROM documents
+        |CROSS JOIN (SELECT unnest([KWLIST]) AS keyword) kw
+        |WHERE strpos(lower(text), kw.keyword) > 0
+        |ORDER BY doc_id, kw.keyword""".stripMargin
+        .replace("KWLIST",
+          kwContains.map(k => s"'${k.toLowerCase}'").mkString(",")),
   )
 }

@@ -205,4 +205,89 @@ object Analytics {
           ceil(round($"max_cnt".cast("double") / $"p99d", 6)).cast("long")) // round-ok: ulp-guard before ceil; oracle mirrors
           .as("salt_factor"))
   }
+
+  /** Daily engagement curve — DAU, trailing-7-day active users (WAU),
+    * and first-seen (new-user) counts per observed day: the standard
+    * health dashboard over the event stream the reference's ingest
+    * feeds (`reddit_crawl.py`-style feeds are judged by exactly these
+    * curves downstream).
+    *
+    * The rolling DISTINCT is the interesting operator: `count(distinct)
+    * OVER (RANGE 6 PRECEDING)` re-scans the window per row and most
+    * engines refuse DISTINCT window aggregates outright. The
+    * prefix-decomposable form used here: collapse the stream to the
+    * distinct (user, day) grid ONCE, then explode each grid row to the
+    * ≤7 target days it makes active, distinct again on (user, target
+    * day), and count — every step a keyed aggregation with map-side
+    * partials.
+    *
+    * Scale shape (100 TB of events):
+    *   - the stream is scanned ONCE, collapsing to O(users × days) with
+    *     partial aggregation before the exchange;
+    *   - the 7× fan-out multiplies the COLLAPSED grid, not the stream,
+    *     and re-collapses map-side (a user active on consecutive days
+    *     emits duplicate (user, target) pairs that die in the partial);
+    *   - the observed-day relation (O(days)) broadcasts for the
+    *     calendar clamp; new-user counts reuse the same grid via a
+    *     per-user min — nothing re-reads events.
+    * All-integer output; days are `date_trunc` dates in both engines. */
+  def engagementCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // barrier: the user-day grid feeds dau, wau and the first-seen rollup
+    val ud = graft.CacheGuard.barrier(
+      Tables.events(spark, dir)
+        .select($"user_id", date_trunc("day", $"ts").cast("date").as("ds"))
+        .distinct())
+    val days = ud.select($"ds").distinct()
+    val dau = ud.groupBy($"ds").agg(count(lit(1)).as("dau"))
+    val newu = ud.groupBy($"user_id").agg(min($"ds").as("ds"))
+      .groupBy($"ds").agg(count(lit(1)).as("new_users"))
+    val wau = ud
+      .select($"user_id", explode(sequence(lit(0), lit(6))).as("o"), $"ds")
+      .select($"user_id", date_add($"ds", $"o").as("ds"))
+      .distinct()
+      .join(broadcast(days), "ds") // clamp to observed days only
+      .groupBy($"ds").agg(count(lit(1)).as("wau7"))
+    dau.join(wau, "ds")
+      .join(newu, Seq("ds"), "left")
+      .select($"ds", $"dau", $"wau7",
+        coalesce($"new_users", lit(0L)).as("new_users"))
+      .orderBy($"ds")
+  }
+
+  /** Hourly burst detector — flags (event_type, hour) cells whose count
+    * exceeds 3× the trailing-24-observed-hour mean: the spike alarm that
+    * catches scraper double-fires, bot storms and viral bursts in a
+    * social-media feed before they skew a training snapshot (the
+    * per-type twin of q124's daily drift monitor).
+    *
+    * The rule is pure integer arithmetic — `cnt · n_prior > 3 · Σ prior`
+    * — so the flag can never drift between engines; rows only surface
+    * once a full 24-hour history exists (matching q124's warm-up gate).
+    *
+    * Scale shape: the stream collapses to O(types × hours) in one keyed
+    * aggregation with map-side partials; both window frames ride ONE
+    * `partitionBy(event_type)` window over that tiny relation, so the
+    * sort behind the window never sees event-level data and the
+    * per-type partitions are independent (no single-partition window —
+    * the q84 caveat does not even arise). */
+  def burstDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"hh")
+      .rowsBetween(-24, -1)
+    Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hh"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"event_type", $"hh", $"cnt",
+        sum($"cnt").over(w).as("prior24"),
+        count(lit(1)).over(w).as("n_prior"))
+      .filter($"n_prior" === 24)
+      .select(
+        $"event_type",
+        date_format($"hh", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        $"cnt", $"prior24",
+        ($"cnt" * 24 > $"prior24" * 3).as("flagged"))
+      .orderBy($"event_type", $"hour_start")
+  }
 }

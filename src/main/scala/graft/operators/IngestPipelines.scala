@@ -153,4 +153,36 @@ object IngestPipelines {
       .select($"p_partkey", $"p_name", $"p_brand", $"p_type")
       .orderBy($"p_partkey")
   }
+
+  /** KWIC concordance — keyword-in-context extraction: for each
+    * (document, monitored keyword) hit, the first match position and a
+    * ±30-character snippet around it. This is the human-review surface
+    * behind the reference's keyword monitors (`reddit_crawl.py`'s
+    * keyword filters feed analysts who read exactly these windows); it
+    * is also the span-extraction primitive for weak-labeling pipelines.
+    *
+    * Scale shape: the keyword list is a literal handful of rows, so the
+    * doc × keyword pairing is a BroadcastNestedLoopJoin whose inner side
+    * never leaves the driver-built broadcast — the corpus is scanned
+    * once, each row doing O(keywords) codegen'd `instr` probes (the P4
+    * cost class), and no shuffle exists except the deterministic final
+    * order. Snippet arithmetic (`greatest(1, pos-30)`, fixed width) is
+    * byte-identical in the oracle; positions index `lower(text)`, which
+    * is length-preserving for this ASCII corpus (documented caveat:
+    * locale-expanding lowercase would shift offsets — at 100 TB you
+    * lower once at ingest and match on the stored column, same plan). */
+  def kwicConcordance(spark: SparkSession, dir: String,
+                      keywords: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val kw = keywords.map(_.toLowerCase).toDF("keyword")
+    Tables.documents(spark, dir)
+      .crossJoin(broadcast(kw))
+      .withColumn("pos", expr("instr(lower(text), keyword)").cast("long"))
+      .filter($"pos" > 0)
+      .select($"doc_id", $"keyword", $"pos",
+        $"text".substr(
+          greatest(lit(1L), $"pos" - 30),
+          length($"keyword") + lit(60L)).as("snippet"))
+      .orderBy($"doc_id", $"keyword")
+  }
 }

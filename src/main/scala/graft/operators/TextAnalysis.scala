@@ -868,4 +868,44 @@ object TextAnalysis {
           .as("kept_rate"))
       .orderBy($"source")
   }
+
+  /** Preference-pair mining — the DPO/RLHF data-prep step: within each
+    * source group, elect the highest-quality document as `chosen` and the
+    * lowest as `rejected` (q26's composite score, one source of truth),
+    * emitting the pair with its quality margin. Groups whose extremes tie
+    * produce no pair (a zero-margin pair teaches nothing).
+    *
+    * Why no window: `row_number() OVER (PARTITION BY source)` shuffles
+    * every scored document through the source exchange before the rank
+    * filter. Both extremes here are argmax/argmin encoded as `max/min`
+    * over an ordered struct — a plain hash aggregate whose state is ONE
+    * struct per source per map partition, so the exchange carries
+    * O(partitions × sources) rows no matter the corpus size.
+    *
+    * Tie-breaks are total: chosen = (quality DESC, doc_id ASC) via
+    * `max(struct(q, -doc_id))`, rejected = (quality ASC, doc_id ASC) via
+    * `min(struct(q, doc_id))` — struct comparison is lexicographic in
+    * both engines' oracle forms. The margin subtracts two 1e-4-quantized
+    * doubles (one IEEE op, bit-identical cross-engine) and re-quantizes. */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop", stopwordCount(toks, stopwords).cast("long"))
+      .select($"source", $"doc_id",
+        qualityExpr($"n_tokens", $"n_stop").as("q"))
+      .groupBy($"source")
+      .agg(
+        max(struct($"q".as("q"), (-$"doc_id").as("neg_id"))).as("best"),
+        min(struct($"q".as("q"), $"doc_id".as("doc_id"))).as("worst"))
+      .filter($"best.q" > $"worst.q")
+      .select($"source",
+        (-$"best.neg_id").as("chosen_id"),
+        $"best.q".as("chosen_quality"),
+        $"worst.doc_id".as("rejected_id"),
+        $"worst.q".as("rejected_quality"),
+        Quant.r4($"best.q" - $"worst.q").as("margin"))
+      .orderBy($"source")
+  }
 }

@@ -132,4 +132,54 @@ class AnalyticsSpec extends SparkSpec {
       .select(countDistinct(col("user_id"))).head().getLong(0)
     assert(rows.map(_.getAs[Long]("exact_distinct")).max <= total)
   }
+
+  test("engagementCurve: wau7 matches a brute-force trailing-7-day distinct; new_users partition the user base") {
+    val out = Analytics.engagementCurve(spark, sf).collect()
+    assert(out.nonEmpty)
+    // brute force from the raw events: user-day pairs on the driver
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("ds"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSet
+    val days = ud.map(_._2)
+    out.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val dau = ud.count(_._2 == d)
+      val wau = ud.filter { case (_, x) =>
+        !x.isAfter(d) && x.isAfter(d.minusDays(7)) }.map(_._1).toSet.size
+      assert(r.getLong(1) === dau, s"dau@$d")
+      assert(r.getLong(2) === wau, s"wau7@$d")
+      assert(r.getLong(2) >= r.getLong(1)) // window ⊇ the day itself
+    }
+    // every observed day is present, and first-seen counts sum to the base
+    assert(out.map(_.getDate(0).toLocalDate).toSet === days)
+    assert(out.map(_.getLong(3)).sum === ud.map(_._1).size)
+    // day one: everyone is new and the window is just that day
+    val first = out.minBy(_.getDate(0).toLocalDate.toEpochDay)
+    assert(first.getLong(1) === first.getLong(2))
+    assert(first.getLong(1) === first.getLong(3))
+  }
+
+  test("burstDetect: flag agrees with a driver-side recomputation of the trailing-24-hour rule") {
+    val out = Analytics.burstDetect(spark, sf).collect()
+    assert(out.nonEmpty)
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hh"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3)).toVector).toMap
+    // expected: only rows with a full 24-observed-hour history, in order
+    val expected = hourly.toSeq.flatMap { case (et, hs) =>
+      hs.zipWithIndex.drop(24).map { case ((_, cnt), i) =>
+        val prior = hs.slice(i - 24, i).map(_._2).sum
+        (et, cnt, prior, cnt * 24 > prior * 3)
+      }
+    }
+    assert(out.length === expected.length)
+    val got = out.map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+      r.getBoolean(4))).toSeq
+    assert(got.sorted === expected.sorted)
+  }
 }

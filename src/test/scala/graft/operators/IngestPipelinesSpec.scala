@@ -95,4 +95,39 @@ class IngestPipelinesSpec extends SparkSpec {
       assert(t.endsWith("economy") || t.endsWith("promo") || n.contains("widget"))
     }
   }
+
+  test("kwicConcordance: pos is the first case-insensitive hit and every snippet window contains it") {
+    val kws = Seq("spark", "window")
+    val out = IngestPipelines.kwicConcordance(spark, sf, kws).collect()
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    out.foreach { r =>
+      val (id, kw, pos, snip) = (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getString(3))
+      val text = texts(id)
+      assert(pos === text.toLowerCase.indexOf(kw) + 1, s"doc $id kw $kw")
+      assert(snip.toLowerCase.contains(kw))
+      assert(snip.length <= kw.length + 60)
+      // the snippet is literally the claimed slice of the original text
+      val start = math.max(1, pos - 30).toInt - 1
+      assert(snip === text.slice(start, start + kw.length + 60))
+    }
+    // completeness: every (doc, keyword) hit in the corpus is reported
+    val expected = for {
+      (id, t) <- texts.toSeq; kw <- kws
+      if t.toLowerCase.contains(kw)
+    } yield (id, kw)
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSet ===
+      expected.toSet)
+  }
+
+  test("kwicConcordance: keyword side broadcasts — the corpus is never shuffled") {
+    val plan = IngestPipelines.kwicConcordance(spark, sf, Seq("spark"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }

@@ -551,4 +551,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(aggIdx >= 0)
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("preferencePairs: chosen/rejected are the per-source quality argmax/argmin with the documented tie-breaks") {
+    val pairs = TextAnalysis.preferencePairs(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    // recompute the scored corpus once and group on the driver
+    val scored = TextAnalysis.qualityScore(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("source"), col("doc_id"), col("quality")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    pairs.foreach { r =>
+      val g = scored(r.getString(0))
+      val chosen = g.minBy(t => (-t._3, t._2)) // quality DESC, doc_id ASC
+      val rejected = g.minBy(t => (t._3, t._2)) // quality ASC, doc_id ASC
+      assert(r.getAs[Long]("chosen_id") === chosen._2)
+      assert(r.getAs[Long]("rejected_id") === rejected._2)
+      assert(r.getAs[Double]("chosen_quality") === chosen._3)
+      assert(r.getAs[Double]("rejected_quality") === rejected._3)
+      assert(r.getAs[Double]("margin") > 0.0)
+    }
+    // exactly the sources whose extremes differ produce a pair
+    val expectSources = scored.filter { case (_, g) =>
+      g.map(_._3).max > g.map(_._3).min }.keySet
+    assert(pairs.map(_.getString(0)).toSet === expectSources)
+  }
+
+  test("preferencePairs: plan is a single hash aggregate — no Window over the corpus") {
+    val plan = TextAnalysis.preferencePairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      plan.take(2000))
+  }
 }
