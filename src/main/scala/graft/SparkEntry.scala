@@ -247,6 +247,8 @@ object SparkEntry {
     "q178_containment_keepers" -> ((s, d) => DedupOps.containmentJoinKeepers(s, d)),
     "q179_ivfpq_topk" -> ((s, d) => AnnSearch.ivfPqTopK(s, d)),
     "q180_engagement_curve" -> ((s, d) => Analytics.engagementCurve(s, d)),
+    "q184_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
+    "q185_kcore" -> ((s, d) => Components.kCoreDocs(s, d)),
     "q181_burst_detect" -> ((s, d) => Analytics.burstDetect(s, d)),
     "q182_preference_pairs" -> ((s, d) => TextAnalysis.preferencePairs(s, d)),
     "q183_kwic" -> ((s, d) => IngestPipelines.kwicConcordance(s, d, kwContains)),
@@ -4946,5 +4948,71 @@ object SparkEntry {
         |ORDER BY doc_id, kw.keyword""".stripMargin
         .replace("KWLIST",
           kwContains.map(k => s"'${k.toLowerCase}'").mkString(",")),
+
+    // 37-bucket Shannon entropy, rendered from the SAME alphabet constant
+    // the Spark side folds over — bucket order (and therefore the exact
+    // left-associative float-sum order) cannot diverge between engines;
+    // round(log2, 8) is the documented transcendental ulp-guard
+    "q184_char_entropy" -> {
+      val idx = TextAnalysis.entropyAlphabet.indices
+      val cnts = TextAnalysis.entropyAlphabet.zipWithIndex.map {
+        case (ch, i) => s"length(t) - length(replace(t, '$ch', '')) AS c_$i"
+      }.mkString(",\n    ")
+      val alphaSum = idx.map(i => s"c_$i").mkString(" + ")
+      def term(c: String) =
+        s"(CASE WHEN $c > 0 THEN CAST($c AS DOUBLE) * round(log2(CAST($c AS DOUBLE)), 8) ELSE 0.0 END)"
+      val s = (idx.map(i => term(s"c_$i")) :+ term(s"(len - ($alphaSum))"))
+        .mkString(" +\n    ")
+      s"""WITH raw AS (
+         |  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, length(t) AS len,
+         |    $cnts
+         |  FROM raw),
+         |e AS (
+         |  SELECT doc_id,
+         |    CAST(len AS BIGINT) AS len,
+         |    CAST(len - ($alphaSum) AS BIGINT) AS n_other,
+         |    CASE WHEN len > 0 THEN
+         |      floor((round(log2(CAST(len AS DOUBLE)), 8) -
+         |        ($s) / CAST(len AS DOUBLE))*1e4 + 0.5)/1e4
+         |    ELSE 0.0 END AS entropy,
+         |    CASE WHEN len > 0 THEN
+         |      floor((CAST(len - ($alphaSum) AS DOUBLE)
+         |        / CAST(len AS DOUBLE))*1e4 + 0.5)/1e4
+         |    ELSE 0.0 END AS other_ratio
+         |  FROM b)
+         |SELECT doc_id, len, n_other, entropy, other_ratio,
+         |  entropy < 4.0 AS flagged
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
+
+    // fixed-12-round peel, unrolled — each round drops nodes whose
+    // current degree is below k and restricts the edge set to survivors;
+    // the Spark side's early exit is equivalence-preserving (peeling is
+    // monotone, so a fixpoint persists through the remaining rounds)
+    "q185_kcore" -> {
+      val k = 3; val rounds = 12
+      // MATERIALIZED is load-bearing: without it DuckDB inlines each
+      // CTE at every reference site and the doubly-self-referential
+      // peel rounds explode the scan tree ~3^rounds-fold
+      val peel = (1 to rounds).map { i =>
+        val prev = s"sym${i - 1}"
+        s"""a$i AS MATERIALIZED (SELECT src AS node FROM (
+           |    SELECT src, count(*) AS deg FROM $prev GROUP BY src) d
+           |  WHERE deg >= $k),
+           |sym$i AS MATERIALIZED (
+           |  SELECT s.src, s.dst FROM $prev s
+           |  JOIN a$i x ON s.src = x.node
+           |  JOIN a$i y ON s.dst = y.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minHashCtesSql,
+         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |sym0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
+         |         UNION ALL SELECT b, a FROM prs),
+         |$peel
+         |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM sym$rounds GROUP BY src ORDER BY doc_id""".stripMargin
+    },
   )
 }

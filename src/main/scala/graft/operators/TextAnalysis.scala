@@ -869,6 +869,59 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Fixed alphabet for the q184 entropy filter — shared with the oracle
+    * renderer in SparkEntry so the bucket set cannot diverge. */
+  val entropyAlphabet: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " "
+
+  /** Character-entropy gibberish filter — the cheap information-theoretic
+    * screen that catches encoding garbage, binary spew and single-char
+    * floods which length/stopword heuristics (q26/q60) miss: Shannon
+    * entropy of the per-document character distribution over a fixed
+    * 37-bucket alphabet (a–z, 0–9, space) plus an `other` bucket,
+    * H = log2(n) − Σ c·log2(c) / n.
+    *
+    * The per-char counts use the length-difference trick —
+    * `length(t) − length(replace(t, ch, ''))` — so the histogram is 37
+    * codegen'd string scans per row instead of a corpus-sized character
+    * explode: the operator stays a pure per-row pass with NO shuffle
+    * except the deterministic output order, and at 100 TB it fuses into
+    * whatever scan precedes it.
+    *
+    * Cross-engine arithmetic: every `log2` is snapped with `round(·, 8)`
+    * before use (the documented 1-ulp transcendental guard), the Σ folds
+    * the buckets in one fixed literal order (both engines evaluate the
+    * `+` chain left-associatively over identical doubles), and the final
+    * entropy and other-ratio are 1e-4-quantized. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val txt = lower(coalesce($"text", lit("")))
+    val cntCols = entropyAlphabet.zipWithIndex.map { case (ch, i) =>
+      (length(txt) - length(replace(txt, lit(ch), lit(""))))
+        .cast("long").as(s"c_$i")
+    }
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id" +: length(txt).cast("long").as("len") +: cntCols: _*)
+    def term(c: org.apache.spark.sql.Column) =
+      when(c > 0, c.cast("double") * round(log2(c.cast("double")), 8)) // round-ok: ulp-guard on log2
+        .otherwise(lit(0.0))
+    val alphaSum = entropyAlphabet.indices
+      .map(i => col(s"c_$i")).reduceLeft(_ + _)
+    val other = ($"len" - alphaSum).as("n_other")
+    val s = (entropyAlphabet.indices.map(i => term(col(s"c_$i"))) :+
+      term($"len" - alphaSum)).reduceLeft(_ + _)
+    val entropy = when($"len" > 0,
+      Quant.r4(round(log2($"len".cast("double")), 8) - s / $"len".cast("double"))) // round-ok: ulp-guard on log2
+      .otherwise(lit(0.0))
+    base.select($"doc_id", $"len", other,
+        entropy.as("entropy"),
+        when($"len" > 0,
+          Quant.r4(($"len" - alphaSum).cast("double") / $"len".cast("double")))
+          .otherwise(lit(0.0)).as("other_ratio"))
+      .withColumn("flagged", $"entropy" < 4.0)
+      .orderBy($"doc_id")
+  }
+
   /** Preference-pair mining — the DPO/RLHF data-prep step: within each
     * source group, elect the highest-quality document as `chosen` and the
     * lowest as `rejected` (q26's composite score, one source of truth),

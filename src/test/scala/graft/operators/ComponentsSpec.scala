@@ -157,4 +157,38 @@ class ComponentsSpec extends SparkSpec {
       assert(rows.forall(_.getAs[Long]("community_size") === rows.length.toLong))
     }
   }
+
+  test("kCore: fixture peel — the triangle-plus-tail graph loses its tail, keeps its clique") {
+    import spark.implicits._
+    // 1-2-3-4 form a 4-clique (degree 3 each); 5 hangs off 4; 6 off 5
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Components.kCore(edges, k = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_degree")).toMap
+    graft.CacheGuard.release()
+    // the 3-core is exactly the clique, every member at degree 3; the
+    // tail (5, 6) peels away over two rounds
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCoreDocs: k-core property holds and the peel reached a genuine fixpoint") {
+    val core = Components.kCoreDocs(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(core.nonEmpty)
+    core.foreach(r => assert(r.getAs[Long]("core_degree") >= 3L))
+    // fixpoint check: rebuilding the subgraph induced by the reported
+    // core and recounting degrees reproduces core_degree exactly (the
+    // 12-round budget was enough — nothing more would peel)
+    val nodes = core.map(_.getAs[Long]("doc_id")).toSet
+    val edges = DedupOps.minHashLshPairsOracled(spark, sf, threshold = 0.2)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    graft.CacheGuard.release()
+    val inCore = edges.filter { case (a, b) => nodes(a) && nodes(b) }
+    val deg = (inCore.map(_._1) ++ inCore.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    core.foreach { r =>
+      assert(deg(r.getAs[Long]("doc_id")) === r.getAs[Long]("core_degree"))
+    }
+    deg.values.foreach(d => assert(d >= 3L))
+  }
 }

@@ -552,6 +552,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("charEntropy: entropy replays a driver-side histogram computation on every row") {
+    val out = TextAnalysis.charEntropy(spark, sf).collect()
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    def r8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      val t = texts(r.getLong(0)).toLowerCase
+      val n = t.length
+      assert(r.getLong(1) === n.toLong)
+      val counts = TextAnalysis.entropyAlphabet
+        .map(ch => t.count(_ == ch.head).toLong)
+      val other = n - counts.sum
+      assert(r.getLong(2) === other)
+      def term(c: Long) =
+        if (c > 0) c.toDouble * r8(math.log(c.toDouble) / math.log(2.0))
+        else 0.0
+      val s = (counts.map(term) :+ term(other)).reduceLeft(_ + _)
+      val expected = if (n == 0) 0.0
+        else math.floor((r8(math.log(n.toDouble) / math.log(2.0)) - s / n)
+          * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(3) === expected, s"doc ${r.getLong(0)}")
+      assert(r.getBoolean(5) === (r.getDouble(3) < 4.0))
+      // entropy of a 37+1-bucket distribution is bounded by log2(38)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 5.25)
+    }
+  }
+
+  test("charEntropy: pure per-row pass — no exchange except the output order") {
+    val plan = TextAnalysis.charEntropy(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+  }
+
   test("preferencePairs: chosen/rejected are the per-source quality argmax/argmin with the documented tie-breaks") {
     val pairs = TextAnalysis.preferencePairs(spark, sf).collect()
     assert(pairs.nonEmpty)
