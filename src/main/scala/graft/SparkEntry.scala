@@ -249,6 +249,7 @@ object SparkEntry {
     "q180_engagement_curve" -> ((s, d) => Analytics.engagementCurve(s, d)),
     "q184_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "q185_kcore" -> ((s, d) => Components.kCoreDocs(s, d)),
+    "q186_export_manifest" -> ((s, d) => Layout.exportManifest(s, d)),
     "q181_burst_detect" -> ((s, d) => Analytics.burstDetect(s, d)),
     "q182_preference_pairs" -> ((s, d) => TextAnalysis.preferencePairs(s, d)),
     "q183_kwic" -> ((s, d) => IngestPipelines.kwicConcordance(s, d, kwContains)),
@@ -5014,5 +5015,20 @@ object SparkEntry {
          |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
          |FROM sym$rounds GROUP BY src ORDER BY doc_id""".stripMargin
     },
+
+    // portable md5 shard assignment; bit_xor checksum commutes so both
+    // engines fold partition-order-independently
+    "q186_export_manifest" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    ${h32(fpSql)} AS fp32
+         |  FROM documents WHERE coalesce(text, '') <> '')
+         |SELECT fp32 % ${Layout.exportShards} AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  min(doc_id) AS min_doc_id,
+         |  max(doc_id) AS max_doc_id,
+         |  bit_xor(fp32) AS checksum32
+         |FROM f GROUP BY shard ORDER BY shard""".stripMargin,
   )
 }

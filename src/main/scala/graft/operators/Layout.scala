@@ -174,4 +174,51 @@ object Layout {
           .as("reclaim_bytes"))
       .orderBy($"version", $"bucket")
   }
+
+  val exportShards = 16
+
+  /** Export-shard assignment shared by the declared manifest query and
+    * the writer: fingerprint-hash mod [[exportShards]] — engine-portable
+    * (md5-derived, not Spark's Murmur3) and stable under re-runs, so an
+    * incremental exporter re-deriving the layout routes every doc to the
+    * same shard file. Empty docs are excluded (an export row must carry
+    * payload). */
+  def exportAssign(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    docs.filter(coalesce($"text", lit("")) =!= "")
+      .select($"doc_id", $"text", $"lang", $"source",
+        length($"text").cast("long").as("n_chars"),
+        md5Hash32(fingerprint($"text")).as("fp32"))
+      .withColumn("shard", $"fp32" % exportShards)
+  }
+
+  /** Sharded-export manifest — the integrity artifact a training-data
+    * drop ships next to its JSONL shards (WebDataset/`datasets` style):
+    * per shard, the row count, byte-proxy char mass, id range, and an
+    * order-independent content checksum (`bit_xor` of the 32-bit
+    * fingerprint hashes — XOR never overflows and commutes, so the fold
+    * is partition-order-proof in a way a sum at corpus scale is not).
+    * Consumers re-derive the manifest from the files they received and
+    * diff — a truncated, duplicated or bit-rotted shard surfaces as a
+    * count or checksum mismatch (the `ExportManifestSpec` round-trip).
+    *
+    * Scale shape: one corpus scan computing (shard, fp32) per row, then
+    * ONE hash aggregation to O(shards) rows — map-side partials carry
+    * (count, sum, xor, min, max) per shard per partition. The writer
+    * side (spec) is `partitionBy(shard)` JSONL: shard count bounds
+    * output files, not input partitions. */
+  def exportManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    exportAssign(Tables.documents(spark, dir))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"),
+        expr("bit_xor(fp32)").as("checksum32"))
+      .orderBy($"shard")
+  }
 }

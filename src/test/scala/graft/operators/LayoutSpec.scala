@@ -135,4 +135,48 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("exportManifest: round-trip — a consumer re-deriving the manifest from written JSONL shards reproduces it") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-export").toString
+    // writer side: JSONL shards partitioned by the assignment column
+    Layout.exportAssign(Tables.documents(spark, sf))
+      .select($"shard", $"doc_id", $"text", $"lang", $"source")
+      .write.partitionBy("shard").mode("overwrite").json(out)
+    // consumer side: read the files back, re-derive shard + manifest
+    // from the payload ALONE (shard column comes from the directory,
+    // but the checksum must recompute from text — that is the point)
+    val back = spark.read.json(out)
+    val rederived = Layout.exportAssign(
+        back.select($"doc_id".cast("long").as("doc_id"),
+          $"text", $"lang", $"source",
+          length($"text").cast("long").as("n_chars")))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
+        min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"),
+        expr("bit_xor(fp32)").as("checksum32"))
+      .orderBy($"shard").collect().toSeq
+    val declared = Layout.exportManifest(spark, sf).collect().toSeq
+    assert(rederived === declared)
+    // directory-level shard from the writer agrees with the re-derived
+    // assignment (the hash is stable, not partition-dependent)
+    val mismatch = back.select($"shard".cast("long").as("dir_shard"),
+        $"doc_id".cast("long").as("doc_id"), $"text", $"lang", $"source")
+      .join(Layout.exportAssign(Tables.documents(spark, sf))
+        .select($"doc_id", $"shard"), "doc_id")
+      .filter($"dir_shard" =!= $"shard").count()
+    assert(mismatch === 0L)
+    // a corrupted shard surfaces: drop one row and the checksum flips
+    val full = Layout.exportAssign(Tables.documents(spark, sf))
+    val victim = full.orderBy($"doc_id").limit(1)
+      .select($"doc_id", $"shard").head()
+    val truncated = full
+      .filter($"doc_id" =!= victim.getLong(0))
+      .groupBy($"shard").agg(expr("bit_xor(fp32)").as("checksum32"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orig = declared
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("checksum32")).toMap
+    assert(truncated(victim.getLong(1)) !== orig(victim.getLong(1)))
+  }
 }
