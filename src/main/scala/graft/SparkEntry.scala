@@ -250,6 +250,8 @@ object SparkEntry {
     "q184_char_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "q185_kcore" -> ((s, d) => Components.kCoreDocs(s, d)),
     "q186_export_manifest" -> ((s, d) => Layout.exportManifest(s, d)),
+    "q187_session_cooccur" -> ((s, d) => Analytics.sessionCooccurrence(s, d)),
+    "q188_lang_confusion" -> ((s, d) => TextAnalysis.langConfusion(s, d)),
     "q181_burst_detect" -> ((s, d) => Analytics.burstDetect(s, d)),
     "q182_preference_pairs" -> ((s, d) => TextAnalysis.preferencePairs(s, d)),
     "q183_kwic" -> ((s, d) => IngestPipelines.kwicConcordance(s, d, kwContains)),
@@ -5030,5 +5032,73 @@ object SparkEntry {
          |  max(doc_id) AS max_doc_id,
          |  bit_xor(fp32) AS checksum32
          |FROM f GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // market-basket lift over q36-semantics session islands; the pair
+    // relation comes from a within-session self-join in SQL where Spark
+    // explodes the per-session sorted item set (equivalent sets)
+    "q187_session_cooccur" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, ts, k,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, k,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |d AS (SELECT DISTINCT user_id, sid, k FROM s),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |        FROM (SELECT DISTINCT user_id, sid FROM d) z),
+        |marg AS (SELECT k AS item, CAST(count(*) AS BIGINT) AS n_item
+        |         FROM d GROUP BY k),
+        |p AS (
+        |  SELECT x.k AS a, y.k AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM d x JOIN d y
+        |    ON x.user_id = y.user_id AND x.sid = y.sid AND x.k < y.k
+        |  GROUP BY x.k, y.k HAVING count(*) >= MINSUP)
+        |SELECT p.a, p.b, p.n_ab,
+        |  ma.n_item AS n_a, mb.n_item AS n_b,
+        |  floor((CAST(p.n_ab * t.n_sessions AS DOUBLE)
+        |    / CAST(ma.n_item * mb.n_item AS DOUBLE))*1e4 + 0.5)/1e4 AS lift
+        |FROM p
+        |JOIN marg ma ON ma.item = p.a
+        |JOIN marg mb ON mb.item = p.b
+        |CROSS JOIN tot t
+        |ORDER BY p.a, p.b""".stripMargin
+        .replace("MINSUP", Analytics.cooccurMinSupport.toString),
+
+    // q25's per-row classifier rolled to the (lang, predicted) matrix
+    "q188_lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, len(tk) AS n,
+         |    len(list_filter(tk, x -> x IN ('the','a','of'))) AS en,
+         |    len(list_filter(tk, x -> x IN ('spark','query','vector'))) AS tech,
+         |    len(list_filter(tk, x -> x IN ('table','row','column'))) AS dat
+         |  FROM t),
+         |pr AS (
+         |  SELECT lang,
+         |    CASE WHEN n = 0 THEN 'unknown'
+         |         WHEN en >= tech AND en >= dat THEN 'en_like'
+         |         WHEN tech >= dat THEN 'tech_like'
+         |         ELSE 'data_like' END AS predicted
+         |  FROM c),
+         |cells AS (
+         |  SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+         |  FROM pr GROUP BY lang, predicted),
+         |tt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+         |       FROM cells GROUP BY lang)
+         |SELECT c.lang, c.predicted, c.n, t.n_lang,
+         |  floor((CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE))*1e4 + 0.5)/1e4
+         |    AS share
+         |FROM cells c JOIN tt t ON t.lang = c.lang
+         |ORDER BY c.lang, c.predicted""".stripMargin,
   )
 }

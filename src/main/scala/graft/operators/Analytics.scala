@@ -290,4 +290,62 @@ object Analytics {
         ($"cnt" * 24 > $"prior24" * 3).as("flagged"))
       .orderBy($"event_type", $"hour_start")
   }
+
+  /** Session co-occurrence mining — the market-basket/item-graph pass
+    * over the event stream: which `props.k` items appear together inside
+    * one 30-minute session, with support counts and lift
+    * (n_ab·N / (n_a·n_b)) against independence. This is the recommender
+    * and query-expansion primitive (co-click graphs, related-topic
+    * mining) the reference's feeds ultimately power.
+    *
+    * Scale shape:
+    *   - sessionization is the built-in `session_window` aggregate (q36
+    *     semantics, oracle-proven equal to 30-min-gap islands), so the
+    *     stream collapses once, keyed by user — no window over raw
+    *     events;
+    *   - per-session item SETS ride `collect_set` whose state is bounded
+    *     by the item domain (here ≤100; for open domains swap in a
+    *     per-session distinct + two-phase pairing, same downstream);
+    *   - the pair fan-out explodes C(m,2) per session from the sorted
+    *     set array (a per-row combinatorial expand, never a self-join —
+    *     no shuffle carries pair candidates, only the final
+    *     O(items²)-bounded aggregate);
+    *   - marginals and the session total come from the SAME barriered
+    *     session relation, broadcast back onto the O(items²) pair table.
+    * Lift is ONE double division over exact integer counts, 1e-4
+    * quantized; ties cannot drift. */
+  /** Support floor shared with the q187 oracle SQL (interpolated there
+    * so an edit cannot silently diverge). */
+  val cooccurMinSupport = 2L
+
+  def sessionCooccurrence(spark: SparkSession, dir: String,
+                          minSupport: Long = cooccurMinSupport): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("k",
+        from_json($"props", IngestPipelines.propsSchema).getField("k"))
+      .filter($"k".isNotNull)
+    // barrier: the session relation feeds pairs, marginals and the total
+    val sess = graft.CacheGuard.barrier(
+      ev.groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(array_sort(collect_set($"k")).as("items")))
+    val total = sess.agg(count(lit(1)).as("n_sessions"))
+    val marg = sess.select(explode($"items").as("item"))
+      .groupBy($"item").agg(count(lit(1)).as("n_item"))
+    val pairs = sess
+      .select($"items", posexplode($"items"))
+      .select($"col".as("a"),
+        explode(slice($"items", $"pos" + 2,
+          greatest(size($"items") - $"pos" - 1, lit(0)))).as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= minSupport)
+    pairs
+      .join(broadcast(marg.select($"item".as("a"), $"n_item".as("n_a"))), "a")
+      .join(broadcast(marg.select($"item".as("b"), $"n_item".as("n_b"))), "b")
+      .crossJoin(broadcast(total))
+      .select($"a", $"b", $"n_ab", $"n_a", $"n_b",
+        Quant.r4(($"n_ab" * $"n_sessions").cast("double") /
+          ($"n_a" * $"n_b").cast("double")).as("lift"))
+      .orderBy($"a", $"b")
+  }
 }

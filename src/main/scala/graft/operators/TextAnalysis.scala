@@ -922,6 +922,26 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Language-ID confusion matrix — the evaluation artifact for q25's
+    * classifier: declared `lang` × predicted bucket with cell counts and
+    * per-language shares. In a curation pipeline this is the drift alarm
+    * for the language router (a source whose declared language stops
+    * matching its predicted distribution is mislabeled or compromised).
+    * Scale shape: the per-row q25 scoring collapses straight into an
+    * O(langs × buckets) aggregate with map-side partials; the per-lang
+    * totals come from the cell relation itself (O(langs)) and broadcast
+    * back — one corpus scan total. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = langId(spark, dir)
+      .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy($"lang").agg(sum($"n").as("n_lang"))
+    cells.join(broadcast(totals), "lang")
+      .select($"lang", $"predicted", $"n", $"n_lang",
+        Quant.r4($"n".cast("double") / $"n_lang".cast("double")).as("share"))
+      .orderBy($"lang", $"predicted")
+  }
+
   /** Preference-pair mining — the DPO/RLHF data-prep step: within each
     * source group, elect the highest-quality document as `chosen` and the
     * lowest as `rejected` (q26's composite score, one source of truth),

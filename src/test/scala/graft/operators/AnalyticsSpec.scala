@@ -161,6 +161,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(first.getLong(1) === first.getLong(3))
   }
 
+  test("sessionCooccurrence: pairs, marginals and lift replay a driver-side gap-sessionizer") {
+    val out = Analytics.sessionCooccurrence(spark, sf).collect()
+    graft.CacheGuard.release()
+    // driver-side: 30-min-gap sessions per user over (ts, k)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect()
+      .filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val gap = 30L * 60 * 1000
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(_._2)
+      val buf = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.Set[Long]())
+      var prev = Long.MinValue
+      sorted.foreach { case (_, t, k) =>
+        if (prev != Long.MinValue && t - prev >= gap)
+          buf += scala.collection.mutable.Set[Long]()
+        buf.last += k; prev = t
+      }
+      buf.map(_.toSet)
+    }.toSeq
+    val n = sessions.size.toLong
+    val marg = sessions.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val pairCnt = sessions.flatMap(s =>
+        s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= Analytics.cooccurMinSupport)
+    assert(out.length === pairCnt.size)
+    out.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === pairCnt(key))
+      assert(r.getLong(3) === marg(key._1))
+      assert(r.getLong(4) === marg(key._2))
+      val lift = math.floor((pairCnt(key) * n).toDouble /
+        (marg(key._1) * marg(key._2)).toDouble * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(5) === lift)
+    }
+  }
+
   test("burstDetect: flag agrees with a driver-side recomputation of the trailing-24-hour rule") {
     val out = Analytics.burstDetect(spark, sf).collect()
     assert(out.nonEmpty)

@@ -552,6 +552,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("langConfusion: cells partition the corpus and replay q25's per-doc predictions") {
+    val cells = TextAnalysis.langConfusion(spark, sf).collect()
+    val perDoc = TextAnalysis.langId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expected = perDoc.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    assert(cells.length === expected.size)
+    cells.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === expected(key))
+    }
+    // cell mass partitions the corpus; per-lang shares sum to 1 within
+    // quantization (each share is floor-rounded to 4dp)
+    assert(cells.map(_.getLong(2)).sum === perDoc.length.toLong)
+    cells.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val tot = rows.head.getLong(3)
+      assert(rows.map(_.getLong(2)).sum === tot)
+      val shareSum = rows.map(_.getDouble(4)).sum
+      assert(math.abs(shareSum - 1.0) <= rows.length * 1e-4)
+    }
+  }
+
   test("charEntropy: entropy replays a driver-side histogram computation on every row") {
     val out = TextAnalysis.charEntropy(spark, sf).collect()
     assert(out.nonEmpty)
