@@ -203,6 +203,16 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sessionCooccurrence: pairs come from a per-row set expand — no self-join, marginals broadcast") {
+    val plan = Analytics.sessionCooccurrence(spark, sf)
+      .queryExecution.executedPlan.toString
+    graft.CacheGuard.release()
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // the only joins are the broadcast marginal/total attachments over
+    // the O(items²) pair table
+    assert(!plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
   test("burstDetect: flag agrees with a driver-side recomputation of the trailing-24-hour rule") {
     val out = Analytics.burstDetect(spark, sf).collect()
     assert(out.nonEmpty)
