@@ -158,6 +158,33 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("kCore agrees with a driver-side peel-to-fixpoint on random graphs (multi-seed, multi-k)") {
+    import spark.implicits._
+    for (seed <- Seq(5, 23); k <- Seq(2, 3)) {
+      val rng = new scala.util.Random(seed)
+      val n = 40
+      val edgeList = (1 to 90)
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // reference: peel to fixpoint on the driver
+      var adj = edgeList.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var changed = true
+      while (changed) {
+        val dead = adj.collect { case (v, ns) if ns.size < k => v }.toSet
+        changed = dead.nonEmpty
+        adj = adj.view.filterKeys(!dead(_))
+          .mapValues(_ -- dead).filter(_._2.nonEmpty).toMap
+      }
+      val want = adj.view.mapValues(_.size.toLong).toMap
+      val got = Components.kCore(edgeList.toDF("a", "b"), k, rounds = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.CacheGuard.release()
+      assert(got === want, s"seed=$seed k=$k")
+    }
+  }
+
   test("kCore: fixture peel — the triangle-plus-tail graph loses its tail, keeps its clique") {
     import spark.implicits._
     // 1-2-3-4 form a 4-clique (degree 3 each); 5 hangs off 4; 6 off 5
