@@ -294,38 +294,66 @@ object Components {
     * real similarity graphs peel in a handful of rounds because whole
     * fringe layers drop together).
     *
-    * Scale shape: per round ONE degree aggregation (map-side partials)
-    * and two `left_semi` joins keyed by endpoint — no broadcast of the
-    * O(nodes) alive-set is attempted, no windows, and every round ends
-    * in a lineage cut (the q48 localCheckpoint discipline) with the
-    * previous round's blocks released. */
+    * Scale shape: the symmetrized edge list materializes ONCE; each
+    * round is one degree aggregation over the live subgraph (map-side
+    * partials) with two `left_anti` probes against the cumulative
+    * node-sized TOMBSTONE set — small enough for AQE to broadcast, and
+    * keyed-joinable at cluster scale. The edge relation is never
+    * rewritten (a shrinking-copy peel re-materializes a corpus-sized
+    * list per round — measured OOM at the sf10 probe's density) and
+    * never sorted; the dead set doubles as the fixpoint signal, and
+    * node tables are lineage-cut per round with block release (the q48
+    * discipline). */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 12): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var sym = edges.select($"a".as("src"), $"b".as("dst"))
+    // the edge list is materialized ONCE and never rewritten: peeling
+    // maintains a cumulative node TOMBSTONE set instead. The first cut
+    // checkpointed a filtered copy of the edge relation every round —
+    // at the sf10 probe's 128M-row symmetrized list the generation
+    // churn (new 128M-row checkpoint per round while the previous
+    // released asynchronously) exhausted execution memory under 32
+    // concurrent tasks (measured OOM at ~400 GB of cumulative spill).
+    // The tombstone form is also the 100 TB shape: a shrinking-copy
+    // peel would re-materialize a corpus-sized edge list per round,
+    // while tombstones keep per-round state node-sized and
+    // delta-friendly.
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
       .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
       .localCheckpoint()
-    var nEdges = sym.count()
-    var done = nEdges == 0
+    def liveEdges(removed: DataFrame): DataFrame = sym
+      .join(removed.select($"node".as("src")), Seq("src"), "left_anti")
+      .join(removed.select($"node".as("dst")), Seq("dst"), "left_anti")
+    var removed = sym.select($"src".as("node")).limit(0).localCheckpoint()
+    var done = false
     var r = 0
     while (!done && r < rounds) {
-      val alive = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
-        .filter($"deg" >= k).select($"src".as("node"))
-      val next = sym
-        .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
-        .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
-        .select($"src", $"dst")
+      // synchronous round: nodes whose degree in the CURRENT live
+      // subgraph is below k join the tombstones together (matches the
+      // oracle's unrolled rounds); the dead set is also the fixpoint
+      // signal — empty → done, no separate edge-count job
+      val dead = liveEdges(removed)
+        .groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" < k).select($"src".as("node"))
         .localCheckpoint()
-      val m = next.count()
-      unpersistCheckpoint(sym)
-      sym = next
-      done = m == nEdges // no edge dropped → no node dropped → fixpoint
-      nEdges = m
+      if (dead.isEmpty) {
+        unpersistCheckpoint(dead)
+        done = true
+      } else {
+        val nr = removed.unionByName(dead).localCheckpoint()
+        unpersistCheckpoint(removed)
+        unpersistCheckpoint(dead)
+        removed = nr
+      }
       r += 1
     }
-    val out = sym.groupBy($"src").agg(count(lit(1)).as("core_degree"))
+    val out = liveEdges(removed)
+      .groupBy($"src").agg(count(lit(1)).as("core_degree"))
       .select($"src".as("node"), $"core_degree")
-    graft.CacheGuard.onRelease(() => unpersistCheckpoint(sym))
+    val (symF, remF) = (sym, removed)
+    graft.CacheGuard.onRelease { () =>
+      unpersistCheckpoint(symF); unpersistCheckpoint(remF)
+    }
     out
   }
 
