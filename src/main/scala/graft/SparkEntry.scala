@@ -255,6 +255,7 @@ object SparkEntry {
     "q181_burst_detect" -> ((s, d) => Analytics.burstDetect(s, d)),
     "q182_preference_pairs" -> ((s, d) => TextAnalysis.preferencePairs(s, d)),
     "q183_kwic" -> ((s, d) => IngestPipelines.kwicConcordance(s, d, kwContains)),
+    "q189_crawl_plan" -> ((s, d) => IngestPipelines.crawlPlan(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5100,5 +5101,42 @@ object SparkEntry {
          |    AS share
          |FROM cells c JOIN tt t ON t.lang = c.lang
          |ORDER BY c.lang, c.predicted""".stripMargin,
+
+    // snake-dealt politeness schedule over the q135 host rollup; the
+    // politeness and worker constants interpolate from the Scala side
+    "q189_crawl_plan" ->
+      s"""WITH u AS (
+         |  SELECT regexp_extract(
+         |    'https://' || source || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.example.com/' || lang || '/doc-'
+         |      || CAST(doc_id AS VARCHAR) || '.html?ref=feed',
+         |    'https://([^/]+)/', 1) AS host
+         |  FROM documents),
+         |ph AS (
+         |  SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+         |    CAST(count(*) * ${IngestPipelines.politenessMs} AS BIGINT)
+         |      AS drain_ms
+         |  FROM u GROUP BY host),
+         |r AS (
+         |  SELECT host, n_urls, drain_ms,
+         |    row_number() OVER (ORDER BY drain_ms DESC, host) AS rk
+         |  FROM ph),
+         |a AS (
+         |  SELECT host, n_urls, drain_ms,
+         |    CAST(CASE WHEN (rk-1) % ${2 * IngestPipelines.crawlWorkers}
+         |            < ${IngestPipelines.crawlWorkers}
+         |      THEN (rk-1) % ${2 * IngestPipelines.crawlWorkers}
+         |      ELSE ${2 * IngestPipelines.crawlWorkers - 1}
+         |        - ((rk-1) % ${2 * IngestPipelines.crawlWorkers})
+         |      END AS BIGINT) AS worker
+         |  FROM r),
+         |l AS (SELECT worker, CAST(sum(drain_ms) AS BIGINT)
+         |        AS worker_load_ms
+         |      FROM a GROUP BY worker),
+         |m AS (SELECT max(worker_load_ms) AS makespan_ms FROM l)
+         |SELECT a.host, a.n_urls, a.drain_ms, a.worker,
+         |  l.worker_load_ms, m.makespan_ms
+         |FROM a JOIN l USING (worker) CROSS JOIN m
+         |ORDER BY a.host""".stripMargin,
   )
 }

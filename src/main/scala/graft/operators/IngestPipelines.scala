@@ -171,6 +171,56 @@ object IngestPipelines {
     * is length-preserving for this ASCII corpus (documented caveat:
     * locale-expanding lowercase would shift offsets — at 100 TB you
     * lower once at ingest and match on the stored column, same plan). */
+  /** Politeness delay per fetch, ms — the midpoint of the reference's
+    * uniform 1–6 s image-download sleep (`reddit_image_scraper.py:18`,
+    * `SLEEP_RANGE=(1,6)`), shared with the q189 oracle. */
+  val politenessMs = 3500L
+  /** Crawl worker slots for the q189 plan, shared with its oracle. */
+  val crawlWorkers = 8
+
+  /** Crawl-frontier politeness schedule — the planning artifact for the
+    * reference's own fetch behavior: per-host pending URL counts become
+    * per-host drain times under the politeness budget (one fetch per
+    * [[politenessMs]] per host — parallelism across hosts is free, but a
+    * single host is rate-bound by courtesy, so host drain time is the
+    * unit of scheduling), and hosts are dealt to [[crawlWorkers]] worker
+    * slots in SNAKE order over descending drain time (rank r → lane
+    * r mod 2W, reflected) — the deterministic one-pass approximation of
+    * longest-processing-time balancing that a window can express. The
+    * output carries each worker's total load and the fleet makespan:
+    * the number the crawl-capacity meeting actually asks for.
+    *
+    * Scale shape: the corpus collapses to O(hosts) in one partial-first
+    * aggregation keyed on host (the q135 shape); the ranking window runs
+    * over that O(hosts) relation only (the q124 caveat class —
+    * acceptable because hosts, not documents, are windowed); worker
+    * loads are O(W) rows and broadcast back with the single makespan
+    * row. Nothing document-sized moves after the first aggregate. */
+  def crawlPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w2 = 2 * crawlWorkers
+    val perHost = TextAnalysis.hostOf(spark, dir)
+      .groupBy($"host").agg(count(lit(1)).as("n_urls"))
+      .withColumn("drain_ms", $"n_urls" * politenessMs)
+    val ranked = perHost.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy($"drain_ms".desc, $"host")))
+    val assigned = ranked.withColumn("lane", ($"rk" - 1) % w2)
+      .withColumn("worker",
+        when($"lane" < crawlWorkers, $"lane")
+          .otherwise(lit(w2 - 1) - $"lane").cast("long"))
+      .drop("rk", "lane")
+    val loads = assigned.groupBy($"worker")
+      .agg(sum($"drain_ms").as("worker_load_ms"))
+    val makespan = loads.agg(max($"worker_load_ms").as("makespan_ms"))
+    assigned
+      .join(broadcast(loads), "worker")
+      .crossJoin(broadcast(makespan))
+      .select($"host", $"n_urls", $"drain_ms", $"worker",
+        $"worker_load_ms", $"makespan_ms")
+      .orderBy($"host")
+  }
+
   def kwicConcordance(spark: SparkSession, dir: String,
                       keywords: Seq[String]): DataFrame = {
     import spark.implicits._

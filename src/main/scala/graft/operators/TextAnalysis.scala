@@ -786,6 +786,15 @@ object TextAnalysis {
       lit(".html?ref=feed"))
   }
 
+  /** Per-document host relation (synthetic URL → `parse_url` HOST),
+    * shared by q135's rollup and q189's crawl planner. */
+  def hostOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("url", syntheticUrl(spark))
+      .withColumn("host", parse_url($"url", lit("HOST")))
+  }
+
   /** Per-HOST corpus reputation rollup — the domain-level view every web
     * pipeline maintains (CCNet/RefinedWeb gate documents by source-domain
     * statistics before any per-document scoring). Host and path come from

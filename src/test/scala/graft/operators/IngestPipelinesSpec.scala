@@ -96,6 +96,36 @@ class IngestPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("crawlPlan: snake schedule replays on the driver; loads and makespan are consistent") {
+    val out = IngestPipelines.crawlPlan(spark, sf).collect()
+    assert(out.nonEmpty)
+    // driver replay from the raw host relation
+    val hosts = TextAnalysis.hostOf(spark, sf)
+      .groupBy(col("host")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val w = IngestPipelines.crawlWorkers
+    val ranked = hosts
+      .map { case (h, n) => (h, n, n * IngestPipelines.politenessMs) }
+      .sortBy { case (h, _, d) => (-d, h) }.zipWithIndex
+    val assign = ranked.map { case ((h, n, d), i) =>
+      val lane = i % (2 * w)
+      (h, n, d, if (lane < w) lane.toLong else (2 * w - 1 - lane).toLong)
+    }
+    val loads = assign.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+    val makespan = loads.values.max
+    val expect = assign.map { case (h, n, d, wk) =>
+      (h, n, d, wk, loads(wk), makespan) }.sortBy(_._1)
+    val got = out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect.toSeq)
+    // schedule sanity: loads partition the total drain; makespan is at
+    // least the ideal share and every worker fits under it
+    val total = hosts.map(_._2 * IngestPipelines.politenessMs).sum
+    assert(loads.values.sum === total)
+    assert(makespan >= total / w)
+    loads.values.foreach(l => assert(l <= makespan))
+  }
+
   test("kwicConcordance: pos is the first case-insensitive hit and every snippet window contains it") {
     val kws = Seq("spark", "window")
     val out = IngestPipelines.kwicConcordance(spark, sf, kws).collect()
