@@ -256,6 +256,7 @@ object SparkEntry {
     "q182_preference_pairs" -> ((s, d) => TextAnalysis.preferencePairs(s, d)),
     "q183_kwic" -> ((s, d) => IngestPipelines.kwicConcordance(s, d, kwContains)),
     "q189_crawl_plan" -> ((s, d) => IngestPipelines.crawlPlan(s, d)),
+    "q190_thread_trees" -> ((s, d) => Components.threadTrees(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5138,5 +5139,35 @@ object SparkEntry {
          |  l.worker_load_ms, m.makespan_ms
          |FROM a JOIN l USING (worker) CROSS JOIN m
          |ORDER BY a.host""".stripMargin,
+
+    // recursive-CTE walk of the same md5-derived reply forest the engine
+    // resolves by pointer doubling; CTE iterations = true max depth
+    // (fine at oracle scale), engine rounds = log2(block) by design
+    "q190_thread_trees" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT event_id AS node,
+        |    CASE WHEN event_id % 64 = 0 THEN NULL
+        |         ELSE event_id - (event_id % 64)
+        |           + (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |                AS BIGINT) % (event_id % 64))
+        |    END AS parent
+        |  FROM events),
+        |walk AS (
+        |  SELECT node, node AS anc, CAST(0 AS BIGINT) AS depth FROM nodes
+        |  UNION ALL
+        |  SELECT w.node, n.parent AS anc, w.depth + 1 AS depth
+        |  FROM walk w JOIN nodes n ON n.node = w.anc
+        |  WHERE n.parent IS NOT NULL),
+        |res AS (
+        |  SELECT node, arg_max(anc, depth) AS root_id, max(depth) AS depth
+        |  FROM walk GROUP BY node),
+        |st AS (
+        |  SELECT root_id, CAST(count(*) AS BIGINT) AS thread_n,
+        |         max(depth) AS thread_depth
+        |  FROM res GROUP BY root_id)
+        |SELECT r.node AS event_id, r.root_id, r.depth, s.thread_n,
+        |       s.thread_depth
+        |FROM res r JOIN st s USING (root_id)
+        |ORDER BY event_id""".stripMargin,
   )
 }

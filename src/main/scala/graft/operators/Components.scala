@@ -384,4 +384,87 @@ object Components {
         Quant.r4($"r".cast("double") / 1000000.0).as("rank"))
       .orderBy($"doc_id")
   }
+
+  /** Root + depth for every node of a parent-pointer FOREST by pointer
+    * doubling (Wyllie 1979 list ranking, the forest form): each round
+    * replaces every node's ancestor pointer with its ancestor's ancestor
+    * and adds the two hop counts, so `rounds` rounds resolve any depth
+    * ≤ 2^rounds. This is the scale-critical difference from the naive
+    * frontier climb: a reply chain of depth d costs d keyed joins
+    * naively but only ⌈log₂ d⌉ here — at 100 TB of comment streams the
+    * per-round cost is ONE self-equi-join of the O(nodes) pointer
+    * relation on its current ancestor key (roots self-loop with hop 0,
+    * so converged rows ride through unchanged; the join is total — every
+    * ancestor id IS a node — hence inner, never dropping rows). Rounds
+    * are lineage-cut with block release per the q48 discipline.
+    *
+    * `nodes` has columns (node: long, parent: long nullable); parent
+    * null marks a root. The FIXED round count is part of the declared
+    * semantics (like [[kCore]]): callers must size 2^rounds ≥ the
+    * structural max depth, and [[threadTrees]] derives it from its block
+    * width. */
+  def pointerDoubling(nodes: DataFrame, rounds: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    var ptr = nodes.select($"node",
+        coalesce($"parent", $"node").as("anc"),
+        when($"parent".isNull, 0L).otherwise(1L).as("depth"))
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val hop = ptr.select($"node".as("h_node"), $"anc".as("h_anc"),
+        $"depth".as("h_depth"))
+      val next = ptr.join(hop, ptr("anc") === hop("h_node"))
+        .select($"node", $"h_anc".as("anc"),
+          ($"depth" + $"h_depth").as("depth"))
+        .localCheckpoint()
+      unpersistCheckpoint(ptr)
+      ptr = next
+      r += 1
+    }
+    val out = ptr
+    graft.CacheGuard.onRelease(() => unpersistCheckpoint(out))
+    out
+  }
+
+  /** Declared query: conversation-thread reconstruction over the event
+    * stream — the reply-tree primitive behind the reference's comment
+    * ingestion (its Reddit feed carries parent-linked comments; the
+    * engine's analog derives a deterministic parent-pointer forest so
+    * both engines agree on the input). Forest construction: events chunk
+    * into threads of `block` consecutive ids; the block's first event is
+    * the root and every later event replies to a uniformly md5-chosen
+    * EARLIER event of its block (`parent = block_start + h32(id) % pos`)
+    * — the random-recursive-tree shape real reply threads take (depth
+    * ~2·ln block, worst case block−1). Output per event: its thread
+    * root, reply depth, and the thread's size + max depth — the
+    * conversation-analytics base relation (thread length distributions,
+    * deep-chain detection).
+    *
+    * Scale shape: ⌈log₂ block⌉ = 6 doubling rounds, each one keyed
+    * self-join (never a frontier walk whose round count is the DATA's
+    * max depth); the per-root rollup is O(threads) and joins back on the
+    * root key the doubling output already carries. The oracle walks the
+    * same forest with a recursive CTE — iterations there equal true max
+    * depth, fine at oracle scale, linear-round at 100 TB (why the engine
+    * side doubles instead). */
+  def threadTrees(spark: SparkSession, dir: String, block: Int = 64,
+                  rounds: Int = 6): DataFrame = {
+    import spark.implicits._
+    val pos = $"event_id" % block
+    val nodes = Tables.events(spark, dir).select($"event_id",
+        graft.functions.TextFunctions.md5Hash32($"event_id".cast("string"))
+          .as("h32"))
+      .select($"event_id".as("node"),
+        when(pos === 0, lit(null).cast("long"))
+          .otherwise($"event_id" - pos + ($"h32" % pos)).as("parent"))
+    val resolved = pointerDoubling(nodes, rounds)
+    val stats = resolved.groupBy($"anc")
+      .agg(count(lit(1)).as("thread_n"), max($"depth").as("thread_depth"))
+      .select($"anc".as("s_root"), $"thread_n", $"thread_depth")
+    resolved.join(stats, $"anc" === $"s_root")
+      .select($"node".as("event_id"), $"anc".as("root_id"), $"depth",
+        $"thread_n", $"thread_depth")
+      .orderBy($"event_id")
+  }
 }

@@ -218,4 +218,84 @@ class ComponentsSpec extends SparkSpec {
     }
     deg.values.foreach(d => assert(d >= 3L))
   }
+
+  test("pointerDoubling: hand forest — chain, star, and a lone root") {
+    // forest: chain 0<-1<-2<-3, star 10<-{11,12}, isolated root 20
+    val nodes = Seq(
+      (0L, None), (1L, Some(0L)), (2L, Some(1L)), (3L, Some(2L)),
+      (10L, None), (11L, Some(10L)), (12L, Some(10L)), (20L, None))
+      .toDF("node", "parent")
+    val got = Components.pointerDoubling(nodes, rounds = 2).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("anc"), r.getAs[Long]("depth")))).toMap
+    graft.CacheGuard.release()
+    assert(got === Map(
+      0L -> ((0L, 0L)), 1L -> ((0L, 1L)), 2L -> ((0L, 2L)), 3L -> ((0L, 3L)),
+      10L -> ((10L, 0L)), 11L -> ((10L, 1L)), 12L -> ((10L, 1L)),
+      20L -> ((20L, 0L))))
+  }
+
+  test("pointerDoubling: random forests resolve exactly at ceil(log2(maxDepth)) rounds") {
+    for (seed <- Seq(5, 23)) {
+      val rng = new scala.util.Random(seed)
+      val n = 80
+      // random recursive forest: node i attaches to a uniform earlier
+      // node, 15% fresh roots
+      val parent = Array.fill[Option[Long]](n)(None)
+      for (i <- 1 until n if rng.nextDouble() >= 0.15)
+        parent(i) = Some(rng.nextInt(i).toLong)
+      def climb(i: Int): (Long, Long) = {
+        var (cur, d) = (i, 0L)
+        while (parent(cur).isDefined) { cur = parent(cur).get.toInt; d += 1 }
+        (cur.toLong, d)
+      }
+      val want = (0 until n).map(i => i.toLong -> climb(i)).toMap
+      val maxDepth = want.values.map(_._2).max
+      val rounds = math.max(1,
+        math.ceil(math.log(maxDepth.toDouble) / math.log(2.0)).toInt)
+      val nodes = (0 until n).map(i => (i.toLong, parent(i))).toDF("node", "parent")
+      val got = Components.pointerDoubling(nodes, rounds).collect()
+        .map(r => r.getAs[Long]("node") ->
+          ((r.getAs[Long]("anc"), r.getAs[Long]("depth")))).toMap
+      graft.CacheGuard.release()
+      assert(got === want, s"seed=$seed maxDepth=$maxDepth rounds=$rounds")
+    }
+  }
+
+  test("threadTrees: per-thread invariants and the md5 forest replayed in Scala") {
+    val out = Components.threadTrees(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    // replay the forest construction + naive climb driver-side
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val ids = out.map(_.getAs[Long]("event_id"))
+    val par: Map[Long, Option[Long]] = ids.map { e =>
+      val pos = e % 64
+      e -> (if (pos == 0) None else Some(e - pos + (h32(e.toString) % pos)))
+    }.toMap
+    def climb(e: Long): (Long, Long) = {
+      var (cur, d) = (e, 0L)
+      while (par(cur).isDefined) { cur = par(cur).get; d += 1 }
+      (cur, d)
+    }
+    val resolved = ids.map(e => e -> climb(e)).toMap
+    val sizes = resolved.values.groupBy(_._1)
+      .map { case (r, vs) => r -> ((vs.size.toLong, vs.map(_._2).max)) }
+    out.foreach { r =>
+      val e = r.getAs[Long]("event_id")
+      val (root, depth) = resolved(e)
+      assert(r.getAs[Long]("root_id") === root)
+      assert(r.getAs[Long]("depth") === depth)
+      assert(r.getAs[Long]("thread_n") === sizes(root)._1)
+      assert(r.getAs[Long]("thread_depth") === sizes(root)._2)
+    }
+    // every thread is a 64-block: root ids are multiples of 64 and the
+    // doubling budget 2^6 covers the structural worst case (depth 63)
+    assert(out.forall(_.getAs[Long]("root_id") % 64 == 0))
+    assert(out.forall(_.getAs[Long]("depth") <= 63))
+  }
 }
