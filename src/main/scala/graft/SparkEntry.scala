@@ -257,6 +257,7 @@ object SparkEntry {
     "q183_kwic" -> ((s, d) => IngestPipelines.kwicConcordance(s, d, kwContains)),
     "q189_crawl_plan" -> ((s, d) => IngestPipelines.crawlPlan(s, d)),
     "q190_thread_trees" -> ((s, d) => Components.threadTrees(s, d)),
+    "q191_mg_heavy_hitters" -> ((s, d) => Sketches.mgHeavyHitters(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5169,5 +5170,19 @@ object SparkEntry {
         |       s.thread_depth
         |FROM res r JOIN st s USING (root_id)
         |ORDER BY event_id""".stripMargin,
+
+    // exact heavy hitters at the MG threshold N/(k+1), k=32: the oracle
+    // needs no candidate pass — the MG guarantee makes the engine's
+    // two-pass output equal the plain exact filter
+    "q191_mg_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM t GROUP BY tok),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+         |SELECT c.tok AS token, c.cnt, n.n_total,
+         |  (c.cnt * 10000) // n.n_total AS share_bp
+         |FROM c, n
+         |WHERE c.cnt * 33 > n.n_total
+         |ORDER BY c.cnt DESC, token""".stripMargin,
   )
 }

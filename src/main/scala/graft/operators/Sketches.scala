@@ -383,4 +383,44 @@ object Sketches {
         Quant.r4(abs($"kmv_estimate" - $"exact_overlap") /
           $"exact_overlap".cast("double")).as("rel_err"))
   }
+
+  /** Two-pass exact heavy hitters with a Misra–Gries candidate pass —
+    * the DETERMINISTIC-guarantee counterpart of q99's CMS (which can
+    * only overestimate probabilistically): pass 1 runs the mergeable MG
+    * summary ([[graft.functions.MisraGriesAgg]]) over the raw token
+    * stream, whose exchange carries O(partitions × k) buffer rows
+    * instead of the O(vocab) full `groupBy(token)` exchange; pass 2
+    * re-scans the stream filtered to the ≤ k candidates (broadcast) and
+    * counts them exactly. The final filter keeps items whose EXACT count
+    * exceeds N/(k+1) — the MG guarantee says every such item is a
+    * candidate, so the output is deterministic even though the MG
+    * summary itself is merge-order-dependent below the threshold.
+    * Candidate-pass total N rides the same single-row aggregate as the
+    * summary (no third scan); `share_bp` is exact integer division
+    * (cnt·10⁴ div N), never a rounded double. */
+  def mgHeavyHittersOf(toks: DataFrame, k: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val agg1 = toks.agg(
+      graft.functions.MisraGries.mgSummary(k)($"t").as("mg"),
+      count(lit(1)).as("n_total"))
+    val cand = agg1.select(explode(map_keys($"mg")).as("t"), $"n_total")
+    toks.join(broadcast(cand), Seq("t"))
+      .groupBy($"t", $"n_total").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * (k + 1) > $"n_total")
+      .select($"t".as("token"), $"cnt", $"n_total",
+        expr("cnt * 10000 div n_total").as("share_bp"))
+      .orderBy($"cnt".desc, $"token")
+  }
+
+  /** Declared query: exact corpus heavy hitters (frequency > N/(k+1),
+    * k = 32) over `documents` tokens via the MG candidate pass. */
+  def mgHeavyHitters(spark: SparkSession, dir: String,
+                     k: Int = 32): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    def toks = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("t"))
+    mgHeavyHittersOf(toks, k)
+  }
 }

@@ -137,4 +137,73 @@ class SketchesSpec extends SparkSpec {
     graft.CacheGuard.release()
     assert(a === b)
   }
+
+  test("MisraGriesAgg: reduce + merge keep the N/(k+1) error bound on adversarial splits") {
+    val k = 9
+    val agg = new graft.functions.MisraGriesAgg(k)
+    val rng = new scala.util.Random(11)
+    // 600 singleton-ish noise tokens + two genuine heavy items
+    val stream = rng.shuffle(
+      (0 until 600).map(i => s"noise$i") ++
+        Seq.fill(300)("hot") ++ Seq.fill(150)("warm"))
+    val n = stream.length.toLong
+    val truth = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // split into 4 sub-streams, reduce each, merge pairwise both ways
+    val parts = stream.grouped(stream.length / 4 + 1).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    val merged = parts.reduce(agg.merge)
+    val mergedRev = parts.reverse.reduce(agg.merge)
+    for (m <- Seq(merged, mergedRev)) {
+      assert(m.size <= k)
+      // guarantee: every item with freq > N/(k+1) is present...
+      truth.foreach { case (t, c) =>
+        if (c * (k + 1) > n) assert(m.contains(t), s"lost heavy hitter $t")
+        // ...and every counter is an underestimate within N/(k+1)
+        val est = m.getOrElse(t, 0L)
+        assert(est <= c, s"$t overestimated")
+        assert(c - est <= n / (k + 1) + 1, s"$t error beyond bound")
+      }
+    }
+  }
+
+  test("mgHeavyHittersOf: exact output on an adversarial wide-vocab stream") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val k = 9
+    val stream = rng.shuffle(
+      (0 until 800).map(i => s"n$i") ++
+        Seq.fill(400)("alpha") ++ Seq.fill(200)("beta") ++ Seq.fill(90)("gamma"))
+    val n = stream.length.toLong
+    val got = Sketches.mgHeavyHittersOf(
+        stream.toDF("t").repartition(5), k).collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("n_total"),
+          r.getAs[Long]("share_bp"))))
+    // exact heavy hitters at threshold N/(k+1): alpha (400) and beta
+    // (200) clear 1490/10 = 149; gamma (90) and all noise do not
+    assert(got.map(_._1).toSeq === Seq("alpha", "beta"))
+    got.foreach { case (t, (cnt, total, bp)) =>
+      assert(total === n)
+      assert(cnt === (if (t == "alpha") 400L else 200L))
+      assert(bp === cnt * 10000 / n)
+    }
+  }
+
+  test("mgHeavyHitters: driver-side exact replay on the corpus") {
+    val out = Sketches.mgHeavyHitters(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    // replay: exact token counts + threshold filter
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(r => Option(r.getString(0)).getOrElse(""))
+    val toks = docs.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val n = toks.length.toLong
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = counts.filter { case (_, c) => c * 33 > n }
+    assert(out.map(_.getAs[String]("token")).toSet === want.keySet)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cnt") === want(r.getAs[String]("token")))
+      assert(r.getAs[Long]("n_total") === n)
+    }
+  }
 }
