@@ -258,6 +258,8 @@ object SparkEntry {
     "q189_crawl_plan" -> ((s, d) => IngestPipelines.crawlPlan(s, d)),
     "q190_thread_trees" -> ((s, d) => Components.threadTrees(s, d)),
     "q191_mg_heavy_hitters" -> ((s, d) => Sketches.mgHeavyHitters(s, d)),
+    "q192_pivot_roundtrip" -> ((s, d) => Relational.pivotRoundTrip(s, d)),
+    "q193_revenue_rollup" -> ((s, d) => Relational.revenueRollup(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5184,5 +5186,44 @@ object SparkEntry {
          |FROM c, n
          |WHERE c.cnt * 33 > n.n_total
          |ORDER BY c.cnt DESC, token""".stripMargin,
+
+    // the wide+melt cycle emulated directly: every (source × declared
+    // lang) grid cell 0-filled — equality proves the pivot/unpivot
+    // round trip lossless
+    "q192_pivot_roundtrip" ->
+      """WITH cell AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source, lang),
+        |s AS (SELECT DISTINCT source FROM documents),
+        |l AS (SELECT unnest(['de','en','es','fr','zh']) AS lang),
+        |m AS (
+        |  SELECT s.source, l.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |  FROM s CROSS JOIN l
+        |  LEFT JOIN cell c ON c.source = s.source AND c.lang = l.lang),
+        |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS row_total
+        |      FROM m GROUP BY source)
+        |SELECT m.source, m.lang, m.n, t.row_total
+        |FROM m JOIN t USING (source)
+        |ORDER BY m.source, m.lang""".stripMargin,
+
+    // ROLLUP (r_name, n_name) with lvl matching Spark's grouping_id()
+    // bit order (bit 2 = region aggregated, bit 1 = nation aggregated)
+    "q193_revenue_rollup" ->
+      """WITH j AS (
+        |  SELECT r.r_name, n.n_name,
+        |    CAST(floor(o.o_totalprice * 1e4 + 0.5) AS BIGINT) AS pu
+        |  FROM orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey),
+        |g AS (
+        |  SELECT r_name, n_name,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(pu) AS BIGINT) AS revenue_u,
+        |    CAST(2 * GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS lvl
+        |  FROM j GROUP BY ROLLUP (r_name, n_name))
+        |SELECT coalesce(r_name, '(all)') AS r_name,
+        |  coalesce(n_name, '(all)') AS n_name, lvl, n_orders, revenue_u
+        |FROM g ORDER BY lvl, r_name, n_name""".stripMargin,
   )
 }

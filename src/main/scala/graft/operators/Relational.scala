@@ -559,4 +559,63 @@ object Relational {
             $"n_view".cast("double")))
           .as("view_to_purchase"))
   }
+
+  /** Pivot → unpivot round trip over the (source × lang) document-count
+    * matrix — the wide-report reshape every BI export needs, declared as
+    * a cycle so the oracle hash match proves it LOSSLESS (absent cells
+    * 0-filled, melt reproduces every cell, row totals preserved).
+    *
+    * Two deliberate scale choices: the pivot passes EXPLICIT values
+    * (Spark's value-discovery overload runs a separate distinct job over
+    * the corpus first — the declared language router domain is closed,
+    * so that job is pure waste), making the whole pivot ONE aggregation
+    * with map-side partials whose exchange is O(sources × langs); and
+    * the melt is `stack` — a per-row generator over the O(sources) wide
+    * relation, never a shuffle. */
+  def pivotRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val wide = Tables.documents(spark, dir)
+      .groupBy($"source").pivot("lang", langs).agg(count(lit(1)))
+      .na.fill(0L, langs)
+    val rowTotal = langs.map(col).reduce(_ + _)
+    wide.select($"source", rowTotal.as("row_total"),
+        expr("stack(5, 'de', de, 'en', en, 'es', es, 'fr', fr, 'zh', zh) " +
+          "AS (lang, n)"))
+      .select($"source", $"lang", $"n", $"row_total")
+      .orderBy($"source", $"lang")
+  }
+
+  /** Multi-level revenue report via ROLLUP (region → nation → grand
+    * total in one pass) — the grouping-sets operator the per-level
+    * UNION-of-GROUP-BYs rewrite would otherwise scan the fact table
+    * three times for. Spark plans rollup as one Expand (×3 rows map-side)
+    * feeding a single partial-then-final aggregate, so the fact is read
+    * ONCE and the exchange carries O(levels × groups) partials — at
+    * 100 TB the Expand multiplication happens before the combine, never
+    * across the wire. `lvl` is `grouping_id()` (bit 2 = region
+    * aggregated, bit 1 = nation aggregated), revenue is the exact
+    * integer 1e4-unit sum (u4 — the retired-decimal-cast discipline),
+    * and NULL group labels are coalesced to '(all)' so the hash compare
+    * never rides NULL-ordering differences. Dimensions broadcast onto
+    * customer; orders⋈customer is the one keyed shuffle. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey", $"n_name", $"r_name")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", u4($"o_totalprice").as("pu"))
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"), sum($"pu").as("revenue_u"),
+        grouping_id().as("lvl"))
+      .select(coalesce($"r_name", lit("(all)")).as("r_name"),
+        coalesce($"n_name", lit("(all)")).as("n_name"),
+        $"lvl", $"n_orders", $"revenue_u")
+      .orderBy($"lvl", $"r_name", $"n_name")
+  }
 }

@@ -307,4 +307,62 @@ class RelationalSpec extends SparkSpec {
     // referencing keys genuinely resolve against customers here
     assert(rows("orders").getAs[Long]("n_orphans_before") === 0L)
   }
+
+  test("pivotRoundTrip: melt reproduces every (source, lang) cell and fills absent cells with 0") {
+    val out = Relational.pivotRoundTrip(spark, sf).collect()
+    // direct cell counts from the table
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sources = docs.map(_._1).distinct
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    // full grid present: |sources| × 5 rows, zeros included
+    assert(out.length === sources.length * langs.length)
+    out.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n") === cells.getOrElse(key, 0L))
+    }
+    // row totals re-sum the melted cells
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val total = rs.map(_.getAs[Long]("n")).sum
+      rs.foreach(r => assert(r.getAs[Long]("row_total") === total))
+    }
+  }
+
+  test("revenueRollup: levels nest exactly — nations sum to regions, regions to the grand total") {
+    import spark.implicits._
+    val out = Relational.revenueRollup(spark, sf).collect()
+    val lvl0 = out.filter(_.getAs[Long]("lvl") === 0L)
+    val lvl1 = out.filter(_.getAs[Long]("lvl") === 1L)
+    val lvl3 = out.filter(_.getAs[Long]("lvl") === 3L)
+    assert(out.map(_.getAs[Long]("lvl")).toSet === Set(0L, 1L, 3L))
+    assert(lvl3.length === 1)
+    assert(lvl3.head.getAs[String]("r_name") === "(all)")
+    // region subtotals re-sum their nations
+    lvl1.foreach { r =>
+      val nations = lvl0.filter(_.getAs[String]("r_name") === r.getAs[String]("r_name"))
+      assert(r.getAs[Long]("revenue_u") === nations.map(_.getAs[Long]("revenue_u")).sum)
+      assert(r.getAs[Long]("n_orders") === nations.map(_.getAs[Long]("n_orders")).sum)
+      assert(r.getAs[String]("n_name") === "(all)")
+    }
+    // grand total re-sums the regions
+    assert(lvl3.head.getAs[Long]("revenue_u") ===
+      lvl1.map(_.getAs[Long]("revenue_u")).sum)
+    assert(lvl3.head.getAs[Long]("n_orders") ===
+      lvl1.map(_.getAs[Long]("n_orders")).sum)
+    // leaf level replays the direct join + exact-unit sum
+    val direct = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        $"o_custkey" === $"c_custkey")
+      .join(graft.Tables.nation(spark, sf), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name",
+        floor($"o_totalprice" * 10000 + lit(0.5)).cast("long").as("pu"))
+      .groupBy($"n_name")
+      .agg(sum($"pu").as("ru"))
+      .collect().map(r => r.getAs[String]("n_name") -> r.getAs[Long]("ru")).toMap
+    lvl0.foreach { r =>
+      assert(r.getAs[Long]("revenue_u") === direct(r.getAs[String]("n_name")))
+    }
+  }
 }
