@@ -260,6 +260,8 @@ object SparkEntry {
     "q191_mg_heavy_hitters" -> ((s, d) => Sketches.mgHeavyHitters(s, d)),
     "q192_pivot_roundtrip" -> ((s, d) => Relational.pivotRoundTrip(s, d)),
     "q193_revenue_rollup" -> ((s, d) => Relational.revenueRollup(s, d)),
+    "q194_url_canonical" -> ((s, d) => TextAnalysis.urlCanonicalize(s, d)),
+    "q195_stratified_split" -> ((s, d) => CorpusOps.stratifiedSplit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5225,5 +5227,81 @@ object SparkEntry {
         |SELECT coalesce(r_name, '(all)') AS r_name,
         |  coalesce(n_name, '(all)') AS n_name, lvl, n_orders, revenue_u
         |FROM g ORDER BY lvl, r_name, n_name""".stripMargin,
+
+    // the messy-URL construction + RFC-3986-style canonicalization
+    // replayed with regexes and list ops; grouping on the canonical form
+    "q194_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN upper('site' || CAST((doc_id // 5) % 13 AS VARCHAR)
+        |             || '.Example.COM')
+        |      ELSE 'site' || CAST((doc_id // 5) % 13 AS VARCHAR)
+        |             || '.Example.COM' END ||
+        |    '/posts/doc-' || CAST(doc_id // 5 AS VARCHAR) || '.html' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || '?' ||
+        |    CASE WHEN doc_id % 5 < 2
+        |      THEN (CASE WHEN doc_id % 2 = 0 THEN 'utm_source=news'
+        |              ELSE 'fbclid=xyz' END)
+        |        || '&p=' || CAST((doc_id // 5) % 3 AS VARCHAR)
+        |        || '&s=' || CAST((doc_id // 5) % 4 AS VARCHAR)
+        |      ELSE 's=' || CAST((doc_id // 5) % 4 AS VARCHAR) || '&'
+        |        || (CASE WHEN doc_id % 2 = 0 THEN 'utm_source=news'
+        |              ELSE 'fbclid=xyz' END)
+        |        || '&p=' || CAST((doc_id // 5) % 3 AS VARCHAR)
+        |    END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '#sec1' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf
+        |      FROM u),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(nf, 'https://([^/?#]+)', 1)) AS host,
+        |    regexp_replace(regexp_extract(nf, 'https://[^/?]+([^?]*)', 1),
+        |      '/$', '') AS path,
+        |    regexp_extract(nf, '\?(.*)$', 1) AS q
+        |  FROM c),
+        |k AS (
+        |  SELECT doc_id, url, host, path,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      x -> NOT regexp_matches(x, '^(utm_|fbclid=|ref=)'))), '&')
+        |      AS kept
+        |  FROM p),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    'https://' || host || path ||
+        |      CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+        |      AS canonical_url
+        |  FROM k)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_spellings,
+        |  min(doc_id) AS keeper_doc
+        |FROM canon GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
+
+    // md5-ranked stratified 80/10/10 split with exact floor counts per
+    // language; val/test get exactly n//10 each, train the rest
+    "q195_stratified_split" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS rk
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) // 10 AS BIGINT) AS n_val,
+        |    CAST(count(*) // 10 AS BIGINT) AS n_test
+        |  FROM r GROUP BY lang),
+        |s2 AS (SELECT lang, n - n_val - n_test AS n_train, n_val, n_test
+        |       FROM s)
+        |SELECT r.doc_id, r.lang, r.rk,
+        |  CASE WHEN r.rk <= s2.n_train THEN 'train'
+        |       WHEN r.rk <= s2.n_train + s2.n_val THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  s2.n_train, s2.n_val, s2.n_test
+        |FROM r JOIN s2 USING (lang)
+        |ORDER BY r.doc_id""".stripMargin,
   )
 }

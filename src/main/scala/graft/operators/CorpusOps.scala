@@ -1251,4 +1251,42 @@ object CorpusOps {
           .as("oov_rate"))
       .orderBy($"lang")
   }
+
+  /** Stratified train/val/test split with EXACT per-stratum counts — the
+    * eval-set carve-out that precedes any training run: per language,
+    * val and test each get exactly ⌊n/10⌋ documents and train the rest,
+    * assignment by md5 rank within the stratum (deterministic,
+    * re-run-stable, engine-portable — the q186 routing discipline).
+    * Complements q81's GROUP-aware split (there: near-dup clusters must
+    * not straddle folds; here: per-stratum proportions must be exact).
+    * Output: every document with its stratum rank and split, plus the
+    * stratum's split sizes for audit.
+    *
+    * Scale shape: the rank is `row_number` partitioned BY LANGUAGE — a
+    * genuine per-stratum sort-shuffle, which is the honest cost of an
+    * EXACT-count split (the cheap alternative, hash-range thresholding
+    * on md5 directly, is shuffle-free map-side work but only
+    * approximates the 80/10/10 proportions — the documented swap when
+    * counts may be approximate). Stratum sizes collapse to O(langs) and
+    * broadcast back; no global window anywhere. */
+  def stratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val ranked = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang")
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val sizes = ranked.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .select($"lang", $"n",
+        expr("n div 10").as("n_val"), expr("n div 10").as("n_test"))
+      .select($"lang", $"n", ($"n" - $"n_val" - $"n_test").as("n_train"),
+        $"n_val", $"n_test")
+    ranked.join(broadcast(sizes), "lang")
+      .select($"doc_id", $"lang", $"rk",
+        when($"rk" <= $"n_train", lit("train"))
+          .when($"rk" <= $"n_train" + $"n_val", lit("val"))
+          .otherwise(lit("test")).as("split"),
+        $"n_train", $"n_val", $"n_test")
+      .orderBy($"doc_id")
+  }
 }

@@ -990,4 +990,70 @@ object TextAnalysis {
         Quant.r4($"best.q" - $"worst.q").as("margin"))
       .orderBy($"source")
   }
+
+  /** Deterministic MESSY synthetic URL — [[syntheticUrl]]'s adversarial
+    * twin for the canonicalization operator: host case flips on doc_id%3,
+    * tracking params (utm_source / fbclid) interleave with the two kept
+    * params in doc_id-dependent ORDER, a trailing slash rides doc_id%2,
+    * and a fragment rides doc_id%4. `doc_id div 5` in the path makes ~5
+    * raw variants collapse per canonical page, so dedup has real work. */
+  def messyUrl(spark: SparkSession): org.apache.spark.sql.Column = {
+    import spark.implicits._
+    val block = expr("doc_id div 5")
+    val host = concat(lit("site"), (block % 13).cast("string"),
+      lit(".Example.COM"))
+    val page = concat(lit("p="), (block % 3).cast("string"))
+    val sess = concat(lit("s="), (block % 4).cast("string"))
+    val junk = when($"doc_id" % 2 === 0, lit("utm_source=news"))
+      .otherwise(lit("fbclid=xyz"))
+    concat(lit("https://"),
+      when($"doc_id" % 3 === 0, upper(host)).otherwise(host),
+      lit("/posts/doc-"), block.cast("string"), lit(".html"),
+      when($"doc_id" % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when($"doc_id" % 5 < 2, concat_ws("&", junk, page, sess))
+        .otherwise(concat_ws("&", sess, junk, page)),
+      when($"doc_id" % 4 === 0, lit("#sec1")).otherwise(lit("")))
+  }
+
+  /** Canonical form of a URL: fragment stripped, host lowercased,
+    * trailing path slash removed, tracking params (utm_*, fbclid, ref)
+    * dropped, surviving query params sorted bytewise. Pure per-row
+    * column work — `parse_url` + one regexp + array ops, no UDF. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val host = lower(parse_url(noFrag, lit("HOST")))
+    val path = regexp_replace(parse_url(noFrag, lit("PATH")), "/$", "")
+    val q = coalesce(parse_url(noFrag, lit("QUERY")), lit(""))
+    val kept = array_join(sort_array(filter(split(q, "&"),
+      p => !p.rlike("^(utm_|fbclid=|ref=)"))), "&")
+    concat(lit("https://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** Declared query: URL canonicalization + canonical-group dedup — the
+    * crawl-frontier normalization every web pipeline runs BEFORE fetch
+    * dedup (RFC 3986 normalization plus the tracking-param strip;
+    * without it every utm-tagged share of the same page fetches again).
+    * Per canonical URL: raw-variant volume, distinct raw spellings, and
+    * the min-doc_id keeper — the q45 URL-strip dedup upgraded from
+    * "strip the query wholesale" to param-aware rewriting that PRESERVES
+    * meaningful params (p, s here) while collapsing case/order/tracking
+    * noise.
+    *
+    * Scale shape: canonicalization is per-row codegen'd column work
+    * riding the scan; the rollup is one canonical-url-keyed aggregation
+    * with map-side partials — shuffle O(canonical pages), never a
+    * self-join of raw URLs. */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("url", messyUrl(spark))
+      .select($"doc_id", $"url", canonicalUrl($"url").as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct($"url").as("n_spellings"),
+        min($"doc_id").as("keeper_doc"))
+      .orderBy($"canonical_url")
+  }
 }

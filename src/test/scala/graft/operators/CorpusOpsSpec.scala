@@ -710,4 +710,30 @@ class CorpusOpsSpec extends SparkSpec {
     // relations; assert no SortMergeJoin handles a corpus-keyed side
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("stratifiedSplit: exact floor counts per stratum, ranks a permutation, deterministic") {
+    val out = CorpusOps.stratifiedSplit(spark, sf).collect()
+    assert(out.length === graft.Tables.documents(spark, sf).count().toInt)
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val n = rs.length.toLong
+      val (nv, nt) = (n / 10, n / 10)
+      val splits = rs.groupBy(_.getAs[String]("split"))
+        .view.mapValues(_.length.toLong).toMap
+      assert(splits.getOrElse("val", 0L) === nv, s"$lang val")
+      assert(splits.getOrElse("test", 0L) === nt, s"$lang test")
+      assert(splits.getOrElse("train", 0L) === n - nv - nt, s"$lang train")
+      // ranks are exactly 1..n within the stratum
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to n))
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_train") === n - nv - nt)
+        assert(r.getAs[Long]("n_val") === nv)
+        assert(r.getAs[Long]("n_test") === nt)
+      }
+    }
+    // md5 assignment is re-run stable
+    val again = CorpusOps.stratifiedSplit(spark, sf).collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSeq ===
+      again.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSeq)
+  }
 }

@@ -645,4 +645,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
       plan.take(2000))
   }
+
+  test("urlCanonicalize: canonicalization replayed driver-side, blocks collapse, noise-only variants") {
+    val out = TextAnalysis.urlCanonicalize(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    // every full 5-block collapses to ONE canonical url
+    assert(out.length === ((nDocs + 4) / 5).toInt)
+    assert(out.map(_.getAs[Long]("n_raw")).sum === nDocs)
+    // driver replay of construction + canonicalization for each block
+    out.foreach { r =>
+      val keeper = r.getAs[Long]("keeper_doc")
+      val block = keeper / 5
+      assert(keeper === block * 5) // keeper is the block's min doc id
+      val expected = s"https://site${block % 13}.example.com" +
+        s"/posts/doc-$block.html?p=${block % 3}&s=${block % 4}"
+      assert(r.getAs[String]("canonical_url") === expected)
+      if ((block + 1) * 5 <= nDocs) assert(r.getAs[Long]("n_raw") === 5L)
+      // spellings can coincide when two same-parity docs share all the
+      // mod-3/mod-4 noise bits, but never exceed the raw count
+      assert(r.getAs[Long]("n_spellings") >= 1L)
+      assert(r.getAs[Long]("n_spellings") <= r.getAs[Long]("n_raw"))
+    }
+    // the noise is real: most blocks carry >1 raw spelling
+    assert(out.count(_.getAs[Long]("n_spellings") > 1L) > out.length / 2)
+  }
+
+  test("canonicalUrl: unit cases — fragment, case, tracking params, param order, trailing slash") {
+    import spark.implicits._
+    val raw = Seq(
+      "https://A.B.com/x/y.html/?utm_source=a&b=2&a=1#frag",
+      "https://a.b.com/x/y.html?a=1&fbclid=zz&b=2",
+      "https://a.b.com/x/y.html?ref=feed&b=2&a=1").toDF("url")
+    val got = raw.select(TextAnalysis.canonicalUrl($"url").as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("https://a.b.com/x/y.html?a=1&b=2"))
+  }
 }
