@@ -262,6 +262,8 @@ object SparkEntry {
     "q193_revenue_rollup" -> ((s, d) => Relational.revenueRollup(s, d)),
     "q194_url_canonical" -> ((s, d) => TextAnalysis.urlCanonicalize(s, d)),
     "q195_stratified_split" -> ((s, d) => CorpusOps.stratifiedSplit(s, d)),
+    "q196_decayed_trending" -> ((s, d) => Analytics.decayedTrending(s, d)),
+    "q197_typo_link" -> ((s, d) => RecordLinkage.typoLink(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5303,5 +5305,47 @@ object SparkEntry {
         |  s2.n_train, s2.n_val, s2.n_test
         |FROM r JOIN s2 USING (lang)
         |ORDER BY r.doc_id""".stripMargin,
+
+    // half-life-3-day decay in exact 2^20-unit integers; the final
+    // double is one division by a power of two (exact in binary fp)
+    "q196_decayed_trending" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+        |m AS (SELECT max(d) AS ref FROM e),
+        |w AS (
+        |  SELECT event_type,
+        |    CASE WHEN (date_diff('day', d, m.ref) // 3) >= 20
+        |      THEN CAST(0 AS BIGINT)
+        |      ELSE (CAST(1 AS BIGINT)
+        |        << CAST(20 - date_diff('day', d, m.ref) // 3 AS INT))
+        |    END AS wu
+        |  FROM e, m)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(wu) AS BIGINT) AS decayed_units,
+        |  floor(CAST(sum(wu) AS DOUBLE) / 1048576.0 * 1e4 + 0.5) / 1e4
+        |    AS decayed
+        |FROM w GROUP BY event_type
+        |ORDER BY decayed_units DESC, event_type""".stripMargin,
+
+    // the oracle links typos the NAIVE way — all (typo × vocab) pairs
+    // under levenshtein ≤ 1 (the q114 discipline: quadratic verifier
+    // only ever lives oracle-side); the engine's deletion-neighborhood
+    // blocking must reproduce it losslessly
+    "q197_typo_link" ->
+      s"""WITH v AS (
+         |  SELECT DISTINCT unnest($toksSql) AS t FROM documents),
+         |src AS (
+         |  SELECT t, CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+         |    % length(t) AS INT) AS p
+         |  FROM v WHERE length(t) >= 4),
+         |ty AS (
+         |  SELECT DISTINCT
+         |    substr(t, 1, p) || substr(t, p + 2, length(t)) AS typo
+         |  FROM src)
+         |SELECT ty.typo, v.t AS matched,
+         |  CAST(levenshtein(ty.typo, v.t) AS BIGINT) AS dist
+         |FROM ty CROSS JOIN v
+         |WHERE levenshtein(ty.typo, v.t) <= 1
+         |ORDER BY ty.typo, v.t""".stripMargin,
   )
 }

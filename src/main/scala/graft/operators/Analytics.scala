@@ -348,4 +348,42 @@ object Analytics {
           ($"n_a" * $"n_b").cast("double")).as("lift"))
       .orderBy($"a", $"b")
   }
+
+  /** Exponentially time-decayed popularity per event type — the
+    * "trending now" score every feed ranker runs, with half-life decay
+    * kept EXACT: half-life = 3 days, so a row's weight is 2^(−⌊Δd/3⌋)
+    * of a fresh event's; representing weights as integer 2^20-units
+    * (`1 << (20 − ⌊Δd/3⌋)`, 0 beyond 60 days) makes every per-row
+    * weight and every sum a plain BIGINT — no float accumulation, no
+    * `pow` ulp drift between engines (the q184/q146 discipline applied
+    * to decay instead of entropy). The reference time is the corpus max
+    * day, so the query is replayable on any snapshot. The `decayed`
+    * double is ONE division by 2^20 at the end — exact in binary
+    * floating point, so even the quantized rendering cannot drift.
+    *
+    * Scale shape: the reference day is an O(1) aggregate broadcast back;
+    * weights are per-row codegen arithmetic riding the scan; the rollup
+    * is one event_type-keyed aggregation with map-side partials —
+    * exchange O(types). A decayed-score MAINTENANCE loop at serving
+    * time multiplies yesterday's units by the day factor instead of
+    * rescanning — the units representation makes that exact too. */
+  def decayedTrending(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("d"))
+    val ref = ev.agg(max($"d").as("ref"))
+    ev.crossJoin(broadcast(ref))
+      .select($"event_type",
+        expr("datediff(ref, d) div 3").as("we"))
+      .select($"event_type",
+        when($"we" >= 20, lit(0L))
+          .otherwise(expr("shiftleft(1L, cast(20 - we as int))"))
+          .as("wu"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"wu").as("decayed_units"))
+      .select($"event_type", $"n_events", $"decayed_units",
+        Quant.r4($"decayed_units".cast("double") / lit(1048576.0))
+          .as("decayed"))
+      .orderBy($"decayed_units".desc, $"event_type")
+  }
 }

@@ -234,4 +234,33 @@ class AnalyticsSpec extends SparkSpec {
       r.getBoolean(4))).toSeq
     assert(got.sorted === expected.sorted)
   }
+
+  test("decayedTrending: driver replay of the exact 2^20-unit decay sums") {
+    import spark.implicits._
+    val out = Analytics.decayedTrending(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").as("d"))
+      .collect().map(r => (r.getString(0), r.getAs[java.sql.Date]("d")))
+    val ref = ev.map(_._2.toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val want = ev.groupBy(_._1).view.mapValues { rows =>
+      val units = rows.map { case (_, d) =>
+        val we = java.time.temporal.ChronoUnit.DAYS
+          .between(d.toLocalDate, ref) / 3
+        if (we >= 20) 0L else 1L << (20 - we)
+      }.sum
+      (rows.size.toLong, units)
+    }.toMap
+    out.foreach { r =>
+      val (n, units) = want(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") === n)
+      assert(r.getAs[Long]("decayed_units") === units)
+      // the double column is the exact power-of-two division, quantized
+      assert(r.getAs[Double]("decayed") ===
+        math.floor(units.toDouble / 1048576.0 * 1e4 + 0.5) / 1e4)
+    }
+    // ordering: strictly non-increasing in decayed_units
+    val seq = out.map(_.getAs[Long]("decayed_units")).toSeq
+    assert(seq === seq.sorted(Ordering[Long].reverse))
+  }
 }
