@@ -264,6 +264,7 @@ object SparkEntry {
     "q195_stratified_split" -> ((s, d) => CorpusOps.stratifiedSplit(s, d)),
     "q196_decayed_trending" -> ((s, d) => Analytics.decayedTrending(s, d)),
     "q197_typo_link" -> ((s, d) => RecordLinkage.typoLink(s, d)),
+    "q198_bot_signals" -> ((s, d) => Analytics.botSignals(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5347,5 +5348,55 @@ object SparkEntry {
          |FROM ty CROSS JOIN v
          |WHERE levenshtein(ty.typo, v.t) <= 1
          |ORDER BY ty.typo, v.t""".stripMargin,
+
+    // per-user type entropy (micro-nat integer cells, q171 discipline)
+    // + exact-integer cadence variance; CV < 1/2 compared without
+    // division as vn*4 < (sum g)^2
+    "q198_bot_signals" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events),
+         |cells AS (
+         |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_cell
+         |  FROM e GROUP BY user_id, event_type),
+         |cn AS (SELECT user_id, CAST(sum(n_cell) AS BIGINT) AS n
+         |       FROM cells GROUP BY user_id),
+         |ent AS (
+         |  SELECT c.user_id, max(cn.n) AS n_events,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CAST(floor(round(
+         |      -(CAST(n_cell AS DOUBLE) / CAST(cn.n AS DOUBLE)) *
+         |        ln(CAST(n_cell AS DOUBLE) / CAST(cn.n AS DOUBLE)), 8)
+         |      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_u6
+         |  FROM cells c JOIN cn ON cn.user_id = c.user_id
+         |  GROUP BY c.user_id),
+         |g AS (
+         |  SELECT user_id,
+         |    (us - lag(us) OVER (PARTITION BY user_id ORDER BY us))
+         |      // 1000000 AS gap
+         |  FROM e),
+         |gs AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         |    CAST(sum(gap) AS BIGINT) AS gap_sum_s,
+         |    CAST(count(*) * sum(gap * gap) - sum(gap) * sum(gap)
+         |      AS BIGINT) AS gap_var_num
+         |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+         |SELECT ent.user_id, ent.n_events, ent.n_types, ent.entropy_u6,
+         |  coalesce(gs.n_gaps, 0) AS n_gaps,
+         |  coalesce(gs.gap_sum_s, 0) AS gap_sum_s,
+         |  coalesce(gs.gap_var_num, 0) AS gap_var_num,
+         |  ent.entropy_u6 < ${Analytics.botEntropyFloorU6} AS low_entropy,
+         |  coalesce(gs.n_gaps, 0) >= ${Analytics.botMinGaps}
+         |    AND coalesce(gs.gap_var_num, 0) * 4
+         |      < coalesce(gs.gap_sum_s, 0) * coalesce(gs.gap_sum_s, 0)
+         |    AS regular_cadence,
+         |  (ent.entropy_u6 < ${Analytics.botEntropyFloorU6})
+         |    AND (coalesce(gs.n_gaps, 0) >= ${Analytics.botMinGaps}
+         |      AND coalesce(gs.gap_var_num, 0) * 4
+         |        < coalesce(gs.gap_sum_s, 0) * coalesce(gs.gap_sum_s, 0))
+         |    AS bot_flag
+         |FROM ent LEFT JOIN gs ON gs.user_id = ent.user_id
+         |ORDER BY ent.user_id""".stripMargin,
   )
 }

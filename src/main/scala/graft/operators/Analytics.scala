@@ -386,4 +386,77 @@ object Analytics {
           .as("decayed"))
       .orderBy($"decayed_units".desc, $"event_type")
   }
+
+  /** Entropy floor (micro-nats) below which a user's event-type mix
+    * counts as suspicious: ln 2 ≈ "fewer than two effective types". */
+  val botEntropyFloorU6 = 693147L
+
+  /** Minimum inter-event gaps before cadence regularity is judged. */
+  val botMinGaps = 5L
+
+  /** Per-user bot-likelihood signals — the automation screen a
+    * social-media ingest runs before letting accounts into a training
+    * corpus (bot farms poison both dedup statistics and preference
+    * data): per user, (a) event-TYPE entropy — scripted accounts do one
+    * thing, humans mix — via the (user, type) contingency table with
+    * per-cell −p·ln p in integer micro-nats (round-8 ln then floor, the
+    * q171/q146 discipline, so the double-summation order can never
+    * drift); and (b) cadence regularity — schedulers fire on fixed
+    * intervals — from whole-second inter-event gaps as the EXACT integer
+    * variance numerator n·Σg²−(Σg)², compared against the squared mean
+    * without any division (CV < ½ ⇔ vn·4 < (Σg)²). A user flags as a
+    * bot only when BOTH signals fire.
+    *
+    * Scale shape: the contingency pass is one keyed aggregation
+    * (exchange O(users × types)); the gap pass is the per-user
+    * time-order window — the standard sessionization sort-shuffle
+    * (q36/q187's cost), with all state O(1) per row; both collapse to
+    * O(users) before the final join. Gaps use `unix_micros` (exact
+    * BIGINT) floored to seconds, so ties at identical micros cannot
+    * reorder the gap multiset. */
+  def botSignalsOf(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val cells = ev.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_cell"))
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    val ent = cells
+      .withColumn("n", sum($"n_cell").over(wu))
+      .withColumn("h_u6", floor(round( // round-ok: ulp-snap on ln before quantize
+        -($"n_cell".cast("double") / $"n".cast("double")) *
+          log($"n_cell".cast("double") / $"n".cast("double")), 8) * 1e6
+        + lit(0.5)).cast("long"))
+      .groupBy($"user_id")
+      .agg(max($"n").as("n_events"), count(lit(1)).as("n_types"),
+        sum($"h_u6").as("entropy_u6"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+      .orderBy($"us")
+    val gstats = ev.select($"user_id", unix_micros($"ts").as("us"))
+      .withColumn("prev", lag($"us", 1).over(wt))
+      .filter($"prev".isNotNull)
+      .select($"user_id", expr("(us - prev) div 1000000").as("g"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum($"g").as("gap_sum_s"),
+        sum($"g" * $"g").as("gap_sq_s"))
+      .select($"user_id", $"n_gaps", $"gap_sum_s",
+        ($"n_gaps" * $"gap_sq_s" - $"gap_sum_s" * $"gap_sum_s")
+          .as("gap_var_num"))
+    ent.join(gstats, Seq("user_id"), "left")
+      .select($"user_id", $"n_events", $"n_types", $"entropy_u6",
+        coalesce($"n_gaps", lit(0L)).as("n_gaps"),
+        coalesce($"gap_sum_s", lit(0L)).as("gap_sum_s"),
+        coalesce($"gap_var_num", lit(0L)).as("gap_var_num"))
+      .withColumn("low_entropy", $"entropy_u6" < botEntropyFloorU6)
+      .withColumn("regular_cadence", $"n_gaps" >= botMinGaps &&
+        $"gap_var_num" * 4 < $"gap_sum_s" * $"gap_sum_s")
+      .withColumn("bot_flag", $"low_entropy" && $"regular_cadence")
+      .orderBy($"user_id")
+  }
+
+  /** Declared query: [[botSignalsOf]] over the event stream. */
+  def botSignals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    botSignalsOf(Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_type"))
+  }
 }

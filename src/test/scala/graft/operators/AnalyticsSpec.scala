@@ -263,4 +263,56 @@ class AnalyticsSpec extends SparkSpec {
     val seq = out.map(_.getAs[Long]("decayed_units")).toSeq
     assert(seq === seq.sorted(Ordering[Long].reverse))
   }
+
+  test("botSignalsOf: constructed bot flags, human and singleton do not") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    // user 1: scripted — one type, exactly 60 s cadence, 10 events
+    val bot = (0L until 10L).map(i => (1L, at(i * 60), "click"))
+    // user 2: human — mixed types, irregular gaps
+    val human = Seq(0L, 7L, 95L, 96L, 400L, 1000L, 1003L, 2000L).zipWithIndex
+      .map { case (s, i) =>
+        (2L, at(s), Seq("view", "click", "purchase")(i % 3)) }
+    // user 3: one event — no gaps, entropy 0, must NOT flag
+    val single = Seq((3L, at(5L), "view"))
+    val out = Analytics.botSignalsOf(
+        (bot ++ human ++ single).toDF("user_id", "ts", "event_type"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("bot_flag"))
+    assert(out(1L).getAs[Boolean]("low_entropy"))
+    assert(out(1L).getAs[Boolean]("regular_cadence"))
+    assert(out(1L).getAs[Long]("entropy_u6") === 0L)
+    assert(out(1L).getAs[Long]("gap_var_num") === 0L)
+    assert(out(1L).getAs[Long]("gap_sum_s") === 9L * 60L)
+    assert(!out(2L).getAs[Boolean]("bot_flag"))
+    assert(!out(2L).getAs[Boolean]("low_entropy"))
+    assert(!out(3L).getAs[Boolean]("bot_flag"))
+    assert(!out(3L).getAs[Boolean]("regular_cadence")) // below the gap floor
+    assert(out(3L).getAs[Long]("n_gaps") === 0L)
+  }
+
+  test("botSignals: corpus totals partition and entropy cells replay") {
+    import spark.implicits._
+    val out = Analytics.botSignals(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_events")).sum ===
+      graft.Tables.events(spark, sf).count())
+    // per-user entropy replay on a sample of users
+    val ev = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sample = out.take(10)
+    sample.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val cells = ev.filter(_._1 == u).groupBy(_._2).view.mapValues(_.size).toMap
+      val n = cells.values.sum.toDouble
+      val entU6 = cells.values.map { c =>
+        val p = c / n
+        math.floor(BigDecimal(-p * math.log(p))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6 + 0.5).toLong
+      }.sum
+      assert(r.getAs[Long]("entropy_u6") === entU6, s"user $u")
+      assert(r.getAs[Long]("n_types") === cells.size.toLong)
+    }
+  }
 }
