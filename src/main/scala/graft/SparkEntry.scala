@@ -265,6 +265,7 @@ object SparkEntry {
     "q196_decayed_trending" -> ((s, d) => Analytics.decayedTrending(s, d)),
     "q197_typo_link" -> ((s, d) => RecordLinkage.typoLink(s, d)),
     "q198_bot_signals" -> ((s, d) => Analytics.botSignals(s, d)),
+    "q199_video_keyframes" -> ((s, d) => Multimodal.videoKeyframes(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5398,5 +5399,38 @@ object SparkEntry {
          |    AS bot_flag
          |FROM ent LEFT JOIN gs ON gs.user_id = ent.user_id
          |ORDER BY ent.user_id""".stripMargin,
+
+    // the GVID laws replayed in SQL: per-frame byte sums from the
+    // generation arithmetic, keyframes = frames whose sum differs from
+    // the previous frame (a wrong container parse breaks every sum)
+    "q199_video_keyframes" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    12 + doc_id % 9 AS l, 24 + doc_id % 24 AS n,
+        |    6 + doc_id % 5 AS s,
+        |    CAST('0x' || substr(md5(coalesce(text, '')), 1, 2) AS BIGINT)
+        |      AS g
+        |  FROM documents),
+        |f AS (SELECT media_id, n, s, l, g, unnest(range(n)) AS fr FROM m),
+        |sm AS (
+        |  SELECT media_id, n, fr,
+        |    CAST(list_sum(list_transform(range(l),
+        |      i -> (3 * i + 17 * (fr // s) + g) % 256)) AS BIGINT) AS fsum
+        |  FROM f),
+        |lg AS (
+        |  SELECT media_id, n, fr, fsum,
+        |    lag(fsum) OVER (PARTITION BY media_id ORDER BY fr) AS prev
+        |  FROM sm),
+        |k AS (
+        |  SELECT media_id, n, fr, fsum,
+        |    CAST(row_number() OVER (PARTITION BY media_id ORDER BY fr) - 1
+        |      AS BIGINT) AS scene_idx
+        |  FROM lg WHERE prev IS NULL OR fsum != prev),
+        |c AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_scenes
+        |      FROM k GROUP BY media_id)
+        |SELECT k.media_id, CAST(k.fr AS BIGINT) AS frame_idx, k.scene_idx,
+        |  k.fsum AS frame_sum, CAST(k.n AS BIGINT) AS n_frames, c.n_scenes
+        |FROM k JOIN c USING (media_id)
+        |ORDER BY k.media_id, frame_idx""".stripMargin,
   )
 }

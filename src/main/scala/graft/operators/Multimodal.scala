@@ -434,4 +434,102 @@ object Multimodal {
       .toDF()
       .orderBy($"media_id", $"frame_no")
   }
+
+  /** Video-generation laws, same SQL-expressible discipline as
+    * [[ImageLaw]]/[[AudioLaw]]: frame length L = 12 + id%9 bytes, frame
+    * count N = 24 + id%24, scene length S = 6 + id%5 frames, and frame
+    * byte(i, f) = (3i + 17·⌊f/S⌋ + g) mod 256 with the md5-derived g —
+    * frames within a scene are IDENTICAL, scene cuts shift every byte
+    * by 17. S is deliberately NOT stored in the container: scene
+    * structure must be discovered from frame CONTENT, like a real
+    * shot-boundary detector. */
+  object VideoLaw {
+    def frameLen(id: Long): Int = (12 + id % 9).toInt
+    def frames(id: Long): Int = (24 + id % 24).toInt
+    def sceneLen(id: Long): Int = (6 + id % 5).toInt
+    def byteAt(i: Int, f: Int, s: Int, g: Int): Int =
+      (3 * i + 17 * (f / s) + g) % 256
+  }
+
+  /** Render the deterministic clip in a minimal real container:
+    * magic "GVID", big-endian u16 frame length + u16 frame count, then
+    * the raw frames. */
+  def renderVid(id: Long, text: String): Array[Byte] = {
+    val (l, n, s, g) = (VideoLaw.frameLen(id), VideoLaw.frames(id),
+      VideoLaw.sceneLen(id), ImageLaw.gray(text))
+    val bb = java.nio.ByteBuffer.allocate(8 + n * l)
+    bb.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
+    bb.putShort(l.toShort).putShort(n.toShort)
+    var f = 0
+    while (f < n) {
+      var i = 0
+      while (i < l) { bb.put(VideoLaw.byteAt(i, f, s, g).toByte); i += 1 }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** REAL container parse: validate magic, read the header dims, and
+    * return (n_frames, per-frame byte sums) — the frame "feature" a
+    * stub decoder extracts (stands in for a perceptual hash; the
+    * container libs aren't in this environment, so the custom container
+    * plays the role a real demuxer would, with the Spark-side plumbing
+    * identical). */
+  def decodeVid(payload: Array[Byte]): (Long, Seq[Long]) = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    val magic = Array.fill(4)(bb.get()).map(_.toChar).mkString
+    require(magic == "GVID", s"bad video magic '$magic'")
+    val l = bb.getShort.toInt
+    val n = bb.getShort.toInt
+    val sums = (0 until n).map { _ =>
+      var s = 0L
+      var i = 0
+      while (i < l) { s += bb.get() & 0xff; i += 1 }
+      s
+    }
+    (n.toLong, sums)
+  }
+
+  /** One decoded video: frame count + per-frame features. */
+  case class VidDecoded(media_id: Long, n_frames: Long, sums: Seq[Long])
+
+  /** Declared query: video scene-cut detection + keyframe extraction —
+    * the temporal-dedup pass a vision-language corpus runs before
+    * captioning (consecutive near-identical frames are redundant
+    * supervision; keyframes are what gets embedded/captioned). Every
+    * document renders to a real GVID container, the REAL parse extracts
+    * per-frame features, and keyframe election is pure ARRAY work on
+    * the decoded feature sequence: keep frame f iff f = 0 or its
+    * feature differs from frame f−1 — no window, no shuffle until the
+    * final O(keyframes) explode (frames of one video never leave their
+    * row until elected).
+    *
+    * Scale shape: one render+parse pass per blob inside `mapPartitions`
+    * (codec-lifecycle discipline, q30's class); the election is a
+    * per-row `filter` lambda over a ≤47-element array; output volume is
+    * O(videos × scenes), a ~6× reduction of the frame stream before
+    * anything downstream (embedding, captioning) pays per-item cost. */
+  def videoKeyframes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = Tables.documents(spark, dir)
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val (n, sums) = decodeVid(renderVid(id, text))
+          VidDecoded(id, n, sums)
+        }
+      }
+    dec.toDF()
+      .withColumn("keys", expr("filter(sequence(0, size(sums) - 1), " +
+        "i -> i = 0 OR element_at(sums, i + 1) != element_at(sums, i))"))
+      .select($"media_id", $"n_frames",
+        size($"keys").cast("long").as("n_scenes"), $"sums",
+        posexplode($"keys"))
+      .select($"media_id", $"col".cast("long").as("frame_idx"),
+        $"pos".cast("long").as("scene_idx"),
+        element_at($"sums", ($"col" + 1).cast("int")).as("frame_sum"),
+        $"n_frames", $"n_scenes")
+      .orderBy($"media_id", $"frame_idx")
+  }
 }

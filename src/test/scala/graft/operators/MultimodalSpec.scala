@@ -183,4 +183,50 @@ class MultimodalSpec extends SparkSpec {
       .map(_.getAs[Long]("keeper_id"))
     assert(keepers.distinct.length === keepers.length)
   }
+
+  test("renderVid/decodeVid: container round-trips the generation laws byte-exactly") {
+    for (id <- Seq(0L, 7L, 23L, 101L)) {
+      val text = s"sample text $id"
+      val (n, sums) = Multimodal.decodeVid(Multimodal.renderVid(id, text))
+      assert(n === Multimodal.VideoLaw.frames(id).toLong)
+      val (l, s, g) = (Multimodal.VideoLaw.frameLen(id),
+        Multimodal.VideoLaw.sceneLen(id), Multimodal.ImageLaw.gray(text))
+      val want = (0 until n.toInt).map(f =>
+        (0 until l).map(i => Multimodal.VideoLaw.byteAt(i, f, s, g).toLong).sum)
+      assert(sums === want, s"id=$id")
+    }
+  }
+
+  test("decodeVid: corrupt magic fails loudly") {
+    val bytes = Multimodal.renderVid(3L, "x")
+    bytes(0) = 'X'.toByte
+    val e = intercept[IllegalArgumentException](Multimodal.decodeVid(bytes))
+    assert(e.getMessage.contains("bad video magic"))
+  }
+
+  test("videoKeyframes: election replays the decoded feature sequence per video") {
+    val out = Multimodal.videoKeyframes(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    out.groupBy(_.getAs[Long]("media_id")).foreach { case (id, rs) =>
+      val (n, sums) = Multimodal.decodeVid(Multimodal.renderVid(id, docs(id)))
+      val keyIdx = sums.indices.filter(f => f == 0 || sums(f) != sums(f - 1))
+      val got = rs.sortBy(_.getAs[Long]("frame_idx"))
+      assert(got.map(_.getAs[Long]("frame_idx")).toSeq === keyIdx.map(_.toLong))
+      got.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("scene_idx") === i.toLong)
+        assert(r.getAs[Long]("frame_sum") === sums(r.getAs[Long]("frame_idx").toInt))
+        assert(r.getAs[Long]("n_frames") === n)
+        assert(r.getAs[Long]("n_scenes") === keyIdx.length.toLong)
+      }
+      // scene structure: keyframes land on scene boundaries (multiples
+      // of S) unless two consecutive scenes collide on their sum — in
+      // the law's range the shift is 17 per byte, so collisions require
+      // wrap cancellation; verify against the law directly
+      val s = Multimodal.VideoLaw.sceneLen(id)
+      keyIdx.tail.foreach(f => assert(f % s === 0, s"id=$id f=$f"))
+    }
+  }
 }
