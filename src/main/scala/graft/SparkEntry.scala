@@ -266,6 +266,8 @@ object SparkEntry {
     "q197_typo_link" -> ((s, d) => RecordLinkage.typoLink(s, d)),
     "q198_bot_signals" -> ((s, d) => Analytics.botSignals(s, d)),
     "q199_video_keyframes" -> ((s, d) => Multimodal.videoKeyframes(s, d)),
+    "q200_pareto_frontier" -> ((s, d) => CorpusOps.paretoFrontier(s, d)),
+    "q201_source_exemplars" -> ((s, d) => TextAnalysis.sourceExemplars(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5432,5 +5434,48 @@ object SparkEntry {
         |  k.fsum AS frame_sum, CAST(k.n AS BIGINT) AS n_frames, c.n_scenes
         |FROM k JOIN c USING (media_id)
         |ORDER BY k.media_id, frame_idx""".stripMargin,
+
+    // the skyline by the O(n²) NOT EXISTS dominance test — the engine's
+    // frequency-table form must reproduce it exactly
+    "q200_pareto_frontier" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, $toksSql AS tk FROM documents),
+         |sc AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
+         |        (CAST(len(list_filter(tk,
+         |           x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |          / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
+         |      END) * 1e4 + 0.5) AS BIGINT) AS q_u4
+         |  FROM t)
+         |SELECT d.doc_id, d.q_u4, d.n_chars
+         |FROM sc d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM sc o
+         |  WHERE o.q_u4 >= d.q_u4 AND o.n_chars <= d.n_chars
+         |    AND (o.q_u4 > d.q_u4 OR o.n_chars < d.n_chars))
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // per-source top-3 by the q26 score; rank via the same total order
+    // the bounded aggregator uses (score desc, doc_id asc)
+    "q201_source_exemplars" ->
+      s"""WITH t AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
+         |sc AS (
+         |  SELECT source, doc_id,
+         |    CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
+         |        (CAST(len(list_filter(tk,
+         |           x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |          / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
+         |      END) * 1e4 + 0.5) AS BIGINT) AS q_u4
+         |  FROM t),
+         |r AS (
+         |  SELECT source, doc_id, q_u4,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY q_u4 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT source, rank, doc_id, q_u4
+         |FROM r WHERE rank <= 3
+         |ORDER BY source, rank""".stripMargin,
   )
 }

@@ -1289,4 +1289,42 @@ object CorpusOps {
         $"n_train", $"n_val", $"n_test")
       .orderBy($"doc_id")
   }
+
+  /** Pareto-frontier document selection — the skyline of (quality ↑,
+    * length ↓): documents no other document beats on BOTH axes, the
+    * data-selection frontier when a budget trades quality against
+    * context cost (every skyline point is the unique optimum for SOME
+    * quality/length weighting; everything off it is strictly wasted
+    * tokens at its quality level). Dominance is the standard skyline
+    * rule: d is dominated iff some o has q ≥ q_d AND len ≤ len_d with
+    * one strict.
+    *
+    * Scale shape — the q168 frequency-table trick applied to skylines:
+    * the corpus collapses to the O(quality levels) relation
+    * (q_u4, min length) in one keyed aggregation; the running min over
+    * STRICTLY higher levels is a window over that tiny relation only
+    * (the q84 caveat class); a document survives iff it achieves its
+    * level's min length and beats every higher level's. Never a
+    * corpus-sized window, never the O(n²) pairwise dominance test —
+    * that lives in the DuckDB oracle (NOT EXISTS), the q114/q197
+    * discipline. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        floor(graft.operators.TextAnalysis.qualityExpr(
+            size(toks).cast("long"),
+            stopwordCount(toks, graft.operators.TextAnalysis.stopwords)
+              .cast("long")) * 1e4 + lit(0.5)).cast("long").as("q_u4"))
+    val levels = docs.groupBy($"q_u4").agg(min($"n_chars").as("minlen"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"q_u4".desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val lv = levels.withColumn("hi_min", min($"minlen").over(w))
+    docs.join(broadcast(lv), "q_u4")
+      .filter($"n_chars" === $"minlen" &&
+        ($"hi_min".isNull || $"n_chars" < $"hi_min"))
+      .select($"doc_id", $"q_u4", $"n_chars")
+      .orderBy($"doc_id")
+  }
 }

@@ -1031,6 +1031,37 @@ object TextAnalysis {
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
   }
 
+  /** Per-source top-k exemplar selection — the few-shot/SFT curation
+    * step that picks each source's k best documents by the q26 quality
+    * score (q182's preference extremes generalized from best-1/worst-1
+    * to a ranked best-k slate). The ranking rides the bounded
+    * [[graft.functions.TopK]] aggregator, NOT a `row_number` window:
+    * the window form shuffles every scored document through the source
+    * exchange before its `rk <= k` filter, while the aggregator reduces
+    * each map partition to ≤ k candidates per source first, so the
+    * exchange carries O(partitions × sources × k) buffer rows (the q22
+    * serving argument applied to curation; plan-asserted no-Window).
+    * Ties break (score desc, doc_id asc) — the aggregator's total
+    * order, mirrored in the oracle's ORDER BY. */
+  def sourceExemplars(spark: SparkSession, dir: String,
+                      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        floor(qualityExpr(size(toks).cast("long"),
+          stopwordCount(toks, stopwords).cast("long")) * 1e4 + lit(0.5))
+          .cast("long").as("q_u4"))
+      .groupBy($"source")
+      .agg(graft.functions.TopK.topK(k)($"q_u4".cast("double"), $"doc_id")
+        .as("top"))
+      .select($"source", posexplode($"top"))
+      .select($"source", ($"pos" + 1).cast("long").as("rank"),
+        $"col.vec_id".as("doc_id"),
+        $"col.cos_sim".cast("long").as("q_u4"))
+      .orderBy($"source", $"rank")
+  }
+
   /** Declared query: URL canonicalization + canonical-group dedup — the
     * crawl-frontier normalization every web pipeline runs BEFORE fetch
     * dedup (RFC 3986 normalization plus the tracking-param strip;

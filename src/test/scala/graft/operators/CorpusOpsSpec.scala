@@ -736,4 +736,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSeq ===
       again.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSeq)
   }
+
+  test("paretoFrontier: equals the naive pairwise dominance test, frontier is a staircase") {
+    import spark.implicits._
+    val out = CorpusOps.paretoFrontier(spark, sf).collect()
+    assert(out.nonEmpty)
+    // naive replay: recompute (q_u4, n_chars) per doc and test dominance
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars", $"text").collect().map { r =>
+        val toks = Option(r.getAs[String]("text")).getOrElse("")
+          .toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val stop = toks.count(Set("the", "a", "of", "and", "to", "in"))
+        val q = if (toks.isEmpty) 0.0
+          else math.min(1.0, toks.length / 100.0) * 0.6 +
+            stop.toDouble / math.max(toks.length, 1) * 0.4
+        val u = math.floor(math.floor(q * 1e4 + 0.5) / 1e4 * 1e4 + 0.5).toLong
+        (r.getAs[Long]("doc_id"), u, r.getAs[Long]("n_chars"))
+      }
+    val want = docs.filter { case (_, q, l) =>
+      !docs.exists { case (_, oq, ol) =>
+        oq >= q && ol <= l && (oq > q || ol < l) }
+    }.map(_._1).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === want)
+    // staircase: higher-quality frontier points must pay strictly more
+    // length (otherwise they would dominate the lower-quality point)
+    val byQ = out.map(r => (r.getAs[Long]("q_u4"), r.getAs[Long]("n_chars")))
+      .distinct.sortBy(_._1)
+    byQ.sliding(2).foreach {
+      case Array((q1, l1), (q2, l2)) if q1 < q2 => assert(l2 > l1)
+      case _ => ()
+    }
+  }
 }

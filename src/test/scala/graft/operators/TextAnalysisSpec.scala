@@ -670,6 +670,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.count(_.getAs[Long]("n_spellings") > 1L) > out.length / 2)
   }
 
+  test("sourceExemplars: window replay per source, no Window in the plan") {
+    import spark.implicits._
+    val out = TextAnalysis.sourceExemplars(spark, sf).collect()
+    assert(out.nonEmpty)
+    // replay: per source, rank docs by (q desc, doc_id asc), take 3
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"source", $"doc_id", $"text").collect().map { r =>
+        val toks = Option(r.getAs[String]("text")).getOrElse("")
+          .toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val stop = toks.count(Set("the", "a", "of", "and", "to", "in"))
+        val q = if (toks.isEmpty) 0.0
+          else math.min(1.0, toks.length / 100.0) * 0.6 +
+            stop.toDouble / math.max(toks.length, 1) * 0.4
+        (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          math.floor(q * 1e4 + 0.5).toLong)
+      }
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      rs.sortBy { case (_, id, u) => (-u, id) }.take(3).zipWithIndex
+        .map { case ((_, id, u), i) => (src, i + 1L, id, u) }.toSeq
+    }.toSet
+    assert(out.map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("q_u4"))).toSet === want)
+    val plan = TextAnalysis.sourceExemplars(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("RunningWindow"),
+      plan.take(2000))
+  }
+
   test("canonicalUrl: unit cases — fragment, case, tracking params, param order, trailing slash") {
     import spark.implicits._
     val raw = Seq(
