@@ -1311,12 +1311,15 @@ object CorpusOps {
   def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = tokens($"text")
-    val docs = Tables.documents(spark, dir)
+    // barrier: the scored projection feeds both the level table and the
+    // final join — without it the tokenize+score scan runs twice; the
+    // cached relation is 3 longs per document
+    val docs = graft.CacheGuard.barrier(Tables.documents(spark, dir)
       .select($"doc_id", $"n_chars",
         floor(graft.operators.TextAnalysis.qualityExpr(
             size(toks).cast("long"),
             stopwordCount(toks, graft.operators.TextAnalysis.stopwords)
-              .cast("long")) * 1e4 + lit(0.5)).cast("long").as("q_u4"))
+              .cast("long")) * 1e4 + lit(0.5)).cast("long").as("q_u4")))
     val levels = docs.groupBy($"q_u4").agg(min($"n_chars").as("minlen"))
     val w = org.apache.spark.sql.expressions.Window.orderBy($"q_u4".desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
