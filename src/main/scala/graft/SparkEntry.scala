@@ -268,6 +268,7 @@ object SparkEntry {
     "q199_video_keyframes" -> ((s, d) => Multimodal.videoKeyframes(s, d)),
     "q200_pareto_frontier" -> ((s, d) => CorpusOps.paretoFrontier(s, d)),
     "q201_source_exemplars" -> ((s, d) => TextAnalysis.sourceExemplars(s, d)),
+    "q202_robust_outliers" -> ((s, d) => Analytics.robustOutliers(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5477,5 +5478,48 @@ object SparkEntry {
          |SELECT source, rank, doc_id, q_u4
          |FROM r WHERE rank <= 3
          |ORDER BY source, rank""".stripMargin,
+
+    // discrete median + MAD on the integer 1e-2 grid, both as smallest
+    // unit with 2*cum >= n over (type, unit) frequency tables; outlier
+    // iff |u - med| > 3*MAD, all integer comparisons
+    "q202_robust_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS u
+        |  FROM events),
+        |f1 AS (SELECT event_type, u, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM e GROUP BY event_type, u),
+        |c1 AS (
+        |  SELECT event_type, u, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY u) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM f1),
+        |med AS (
+        |  SELECT event_type, CAST(min(u) AS BIGINT) AS med_u2,
+        |    CAST(max(n) AS BIGINT) AS n
+        |  FROM c1 WHERE cum * 2 >= n GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, abs(e.u - m.med_u2) AS dv, m.med_u2, m.n
+        |  FROM e JOIN med m ON m.event_type = e.event_type),
+        |f2 AS (SELECT event_type, dv, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM d GROUP BY event_type, dv),
+        |c2 AS (
+        |  SELECT event_type, dv, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY dv) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM f2),
+        |mad AS (
+        |  SELECT event_type, CAST(min(dv) AS BIGINT) AS mad_u2
+        |  FROM c2 WHERE cum * 2 >= n GROUP BY event_type),
+        |agg AS (
+        |  SELECT d.event_type, max(d.n) AS n, max(d.med_u2) AS med_u2,
+        |    max(ma.mad_u2) AS mad_u2,
+        |    CAST(sum(CASE WHEN d.dv > ma.mad_u2 * 3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_outliers
+        |  FROM d JOIN mad ma ON ma.event_type = d.event_type
+        |  GROUP BY d.event_type)
+        |SELECT event_type, n, med_u2, mad_u2, n_outliers,
+        |  (n_outliers * 10000) // n AS outlier_bp
+        |FROM agg ORDER BY event_type""".stripMargin,
   )
 }

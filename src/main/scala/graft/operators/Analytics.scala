@@ -459,4 +459,55 @@ object Analytics {
     botSignalsOf(Tables.events(spark, dir)
       .select($"user_id", $"ts", $"event_type"))
   }
+
+  /** Robust per-type outlier audit — median/MAD instead of mean/stddev
+    * (one fat-fingered 1e6 value drags a mean-based z-score gate into
+    * passing everything; the median absolute deviation shrugs it off —
+    * the robust-statistics upgrade of q37's running-mean anomaly flag).
+    * `value` lives on the exact 2-decimal grid, so medians are DISCRETE
+    * quantiles in integer 1e-2 units: med = smallest unit with
+    * 2·cum ≥ n over the (type, unit) value-frequency table, MAD the
+    * same rule over |u − med|, outlier ⇔ |u − med| > 3·MAD — pure
+    * integer comparisons end to end, engine-drift-proof.
+    *
+    * Scale shape — the q168 discipline twice over: BOTH quantiles come
+    * from cumulative windows over (type, unit) FREQUENCY tables
+    * (O(types × distinct values), never the stream; `percentile`'s
+    * per-group state would be the group itself); the median table is
+    * O(types) and broadcasts back for the deviation pass; the final
+    * rollup is one keyed aggregation with map-side partials. Two
+    * stream scans total — the price of a genuine two-level quantile. */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type",
+        floor($"value" * 100 + lit(0.5)).cast("long").as("u"))
+    def discreteMedian(rel: DataFrame, valueCol: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy(col(valueCol))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type")
+      rel.groupBy($"event_type", col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(w))
+        .withColumn("n", sum($"cnt").over(wAll))
+        .filter($"cum" * 2 >= $"n")
+        .groupBy($"event_type")
+        .agg(min(col(valueCol)).as("med"), max($"n").as("n"))
+    }
+    val med = discreteMedian(ev, "u")
+      .select($"event_type", $"med".as("med_u2"), $"n")
+    val dev = ev.join(broadcast(med), "event_type")
+      .select($"event_type", abs($"u" - $"med_u2").as("d"),
+        $"med_u2", $"n")
+    val mad = discreteMedian(dev.select($"event_type", $"d"), "d")
+      .select($"event_type", $"med".as("mad_u2"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type", $"med_u2", $"mad_u2", $"n")
+      .agg(sum(when($"d" > $"mad_u2" * 3, 1L).otherwise(0L))
+        .as("n_outliers"))
+      .select($"event_type", $"n", $"med_u2", $"mad_u2", $"n_outliers",
+        expr("n_outliers * 10000 div n").as("outlier_bp"))
+      .orderBy($"event_type")
+  }
 }

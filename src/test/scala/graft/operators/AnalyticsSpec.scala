@@ -315,4 +315,45 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_types") === cells.size.toLong)
     }
   }
+
+  test("robustOutliers: driver replay of discrete median, MAD and the 3-MAD rule") {
+    import spark.implicits._
+    val out = Analytics.robustOutliers(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    def discMedian(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      val n = sorted.length
+      // smallest value whose cumulative count doubled reaches n
+      sorted.zipWithIndex.collectFirst {
+        case (v, i) if (i + 1) * 2 >= n => v }.get
+    }
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val us = ev.filter(_._1 == t).map(_._2).toSeq
+      val med = discMedian(us)
+      val mad = discMedian(us.map(u => math.abs(u - med)))
+      val nOut = us.count(u => math.abs(u - med) > 3 * mad).toLong
+      assert(r.getAs[Long]("n") === us.length.toLong)
+      assert(r.getAs[Long]("med_u2") === med, s"type $t median")
+      assert(r.getAs[Long]("mad_u2") === mad, s"type $t mad")
+      assert(r.getAs[Long]("n_outliers") === nOut, s"type $t outliers")
+      assert(r.getAs[Long]("outlier_bp") === nOut * 10000 / us.length)
+    }
+    // robustness: one absurd value moves the median at most one order
+    // statistic (to the next sorted neighbor), while the mean jumps by
+    // spike/(n+1) — the reason MAD gates survive fat fingers
+    val t0 = out.head.getAs[String]("event_type")
+    val us = ev.filter(_._1 == t0).map(_._2).toSeq
+    val spike = 100000000L
+    val medS = discMedian(us :+ spike)
+    val sorted = us.sorted
+    val i1 = sorted.indices.find(i => (i + 1) * 2 >= sorted.length).get
+    assert(Set(sorted(i1), sorted(math.min(i1 + 1, sorted.length - 1)))
+      .contains(medS))
+    val meanShift = (us.sum + spike) / (us.length + 1) - us.sum / us.length
+    assert(meanShift > 1000L)
+  }
 }
