@@ -162,4 +162,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial"), p) // the pre-exchange one is mode Partial
     assert(p.contains("hashpartitioning"), p)
   }
+
+  test("q191 MG heavy hitters: candidate pass is an ObjectHashAggregate with a partial mode") {
+    val p = plan(Sketches.mgHeavyHitters(spark, sf))
+    // the typed MG aggregator must plan partial-first so the exchange
+    // carries O(partitions × k) buffers, not the token stream
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_"), p)
+    // the candidate relation joins back broadcast — never a vocab SMJ
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q193 rollup: one Expand feeding a partial-first aggregate, dims broadcast") {
+    val p = plan(Relational.revenueRollup(spark, sf))
+    assert("\\(\\d+\\) Expand".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q194 url canonicalization: per-row column work, no UDF, one aggregate exchange") {
+    val p = plan(TextAnalysis.urlCanonicalize(spark, sf))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    // count-distinct's two-phase expand + group-by + final sort: three
+    // exchanges, all keyed — the (canonical, url) distinct exchange is
+    // O(raw urls), never wider
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q200 pareto frontier: level join broadcast, window confined above the level table") {
+    val p = plan(CorpusOps.paretoFrontier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q190 pointer doubling round: keyed equi-join, no cartesian, no broadcast of the corpus") {
+    import spark.implicits._
+    val nodes = graft.Tables.events(spark, sf).select($"event_id".as("node"),
+      org.apache.spark.sql.functions.when($"event_id" % 64 === 0,
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+        .otherwise($"event_id" - 1).as("parent"))
+    val p = plan(Components.pointerDoubling(nodes, rounds = 1))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    graft.CacheGuard.release()
+  }
 }
