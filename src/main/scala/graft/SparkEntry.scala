@@ -269,6 +269,7 @@ object SparkEntry {
     "q200_pareto_frontier" -> ((s, d) => CorpusOps.paretoFrontier(s, d)),
     "q201_source_exemplars" -> ((s, d) => TextAnalysis.sourceExemplars(s, d)),
     "q202_robust_outliers" -> ((s, d) => Analytics.robustOutliers(s, d)),
+    "q203_ring_churn" -> ((s, d) => Layout.ringChurn(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5521,5 +5522,74 @@ object SparkEntry {
         |SELECT event_type, n, med_u2, mad_u2, n_outliers,
         |  (n_outliers * 10000) // n AS outlier_bp
         |FROM agg ORDER BY event_type""".stripMargin,
+
+    // the ring successor probe and mod assignment replayed with list
+    // ops; churn + post-resize load spread per strategy
+    "q203_ring_churn" ->
+      s"""WITH keys AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |      AS BIGINT) AS h
+         |  FROM documents),
+         |ring8 AS (
+         |  SELECT (i // ${Layout.ringVnodes}) AS worker,
+         |    CAST('0x' || substr(md5('w:'
+         |      || CAST(i // ${Layout.ringVnodes} AS VARCHAR) || ':'
+         |      || CAST(i % ${Layout.ringVnodes} AS VARCHAR)), 1, 8)
+         |      AS BIGINT) AS pt
+         |  FROM (SELECT unnest(range(${Layout.ringWorkers * Layout.ringVnodes})) AS i)),
+         |ring9 AS (
+         |  SELECT (i // ${Layout.ringVnodes}) AS worker,
+         |    CAST('0x' || substr(md5('w:'
+         |      || CAST(i // ${Layout.ringVnodes} AS VARCHAR) || ':'
+         |      || CAST(i % ${Layout.ringVnodes} AS VARCHAR)), 1, 8)
+         |      AS BIGINT) AS pt
+         |  FROM (SELECT unnest(range(${(Layout.ringWorkers + 1) * Layout.ringVnodes})) AS i)),
+         |p8 AS (SELECT list_sort(list(pt)) AS pts FROM ring8),
+         |p9 AS (SELECT list_sort(list(pt)) AS pts FROM ring9),
+         |a8 AS (
+         |  SELECT k.doc_id, k.h,
+         |    coalesce(list_min(list_filter(p8.pts, p -> p >= k.h)),
+         |      p8.pts[1]) AS succ
+         |  FROM keys k, p8),
+         |a9 AS (
+         |  SELECT k.doc_id, k.h,
+         |    coalesce(list_min(list_filter(p9.pts, p -> p >= k.h)),
+         |      p9.pts[1]) AS succ
+         |  FROM keys k, p9),
+         |w8 AS (SELECT a.doc_id, r.worker AS w_before
+         |       FROM a8 a JOIN ring8 r ON r.pt = a.succ),
+         |w9 AS (SELECT a.doc_id, r.worker AS w_after
+         |       FROM a9 a JOIN ring9 r ON r.pt = a.succ),
+         |ringm AS (SELECT w8.doc_id, w8.w_before, w9.w_after
+         |          FROM w8 JOIN w9 USING (doc_id)),
+         |modm AS (SELECT doc_id, h % ${Layout.ringWorkers} AS w_before,
+         |           h % ${Layout.ringWorkers + 1} AS w_after FROM keys),
+         |rs AS (
+         |  SELECT 'ring' AS strategy, CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(sum(CASE WHEN w_before <> w_after THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_moved
+         |  FROM ringm),
+         |rl AS (
+         |  SELECT CAST(max(c) AS BIGINT) AS max_load,
+         |    CAST(min(c) AS BIGINT) AS min_load
+         |  FROM (SELECT count(*) AS c FROM ringm GROUP BY w_after)),
+         |ms AS (
+         |  SELECT 'mod' AS strategy, CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(sum(CASE WHEN w_before <> w_after THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_moved
+         |  FROM modm),
+         |ml AS (
+         |  SELECT CAST(max(c) AS BIGINT) AS max_load,
+         |    CAST(min(c) AS BIGINT) AS min_load
+         |  FROM (SELECT count(*) AS c FROM modm GROUP BY w_after))
+         |SELECT strategy, n_keys, n_moved,
+         |  (n_moved * 10000) // n_keys AS moved_bp, max_load, min_load
+         |FROM rs, rl
+         |UNION ALL
+         |SELECT strategy, n_keys, n_moved,
+         |  (n_moved * 10000) // n_keys AS moved_bp, max_load, min_load
+         |FROM ms, ml
+         |ORDER BY strategy""".stripMargin,
   )
 }

@@ -221,4 +221,62 @@ object Layout {
         expr("bit_xor(fp32)").as("checksum32"))
       .orderBy($"shard")
   }
+
+  /** Ring geometry shared with the q203 oracle. */
+  val ringWorkers = 8
+  val ringVnodes = 16
+
+  /** Consistent-hash rebalance churn audit — the capacity-planning
+    * artifact for growing q186's shard fleet: when worker W+1 joins,
+    * how many keys MOVE under (a) a consistent-hash ring with virtual
+    * nodes (Karger et al. 1997: only keys whose ring successor becomes
+    * one of the new worker's vnodes move, ≈ 1/(W+1) of the corpus) vs
+    * (b) naive `hash mod W` (≈ W/(W+1) moves — nearly everything,
+    * which is why mod-sharded caches stampede on resize). Both
+    * assignments are md5-integer arithmetic, so the measured churn and
+    * post-resize load spread are engine-exact.
+    *
+    * Scale shape: the ring is O(workers × vnodes) points, collapsed to
+    * ONE sorted-array row and broadcast — per-key assignment is an
+    * array successor probe riding the scan (the codebook-broadcast
+    * shape, q35's class), worker lookup a ≤144-row broadcast join; the
+    * rollup is one O(strategies) aggregation. No corpus self-join, no
+    * window. */
+  def ringChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5Hash32
+    val (wOld, wNew, v) = (ringWorkers, ringWorkers + 1, ringVnodes)
+    def ring(w: Int): DataFrame = spark.range(w.toLong * v)
+      .select(expr(s"id div $v").as("worker"), ($"id" % v).as("vn"))
+      .select($"worker", md5Hash32(concat(lit("w:"), $"worker",
+        lit(":"), $"vn")).as("pt"))
+    def assign(keys: DataFrame, r: DataFrame, out: String): DataFrame = {
+      val pts = r.agg(sort_array(collect_list($"pt")).as("pts"))
+      keys.crossJoin(broadcast(pts))
+        .select($"doc_id", $"h",
+          coalesce(array_min(filter($"pts", p => p >= $"h")),
+            element_at($"pts", 1)).as("succ"))
+        .join(broadcast(r), $"succ" === r("pt"))
+        .select($"doc_id", $"h", $"worker".as(out))
+    }
+    val keys = graft.CacheGuard.barrier(Tables.documents(spark, dir)
+      .select($"doc_id", md5Hash32($"doc_id".cast("string")).as("h")))
+    val ringMoves = assign(keys, ring(wOld), "w_before")
+      .join(assign(keys, ring(wNew), "w_after").drop("h"), "doc_id")
+    val modMoves = keys.select($"doc_id", $"h",
+      ($"h" % wOld).as("w_before"), ($"h" % wNew).as("w_after"))
+    def summarize(df: DataFrame, strategy: String): DataFrame = {
+      val loads = df.groupBy($"w_after").agg(count(lit(1)).as("load"))
+        .agg(max($"load").as("max_load"), min($"load").as("min_load"))
+      df.agg(count(lit(1)).as("n_keys"),
+          sum(when($"w_before" =!= $"w_after", 1L).otherwise(0L))
+            .as("n_moved"))
+        .crossJoin(loads)
+        .select(lit(strategy).as("strategy"), $"n_keys", $"n_moved",
+          expr("n_moved * 10000 div n_keys").as("moved_bp"),
+          $"max_load", $"min_load")
+    }
+    summarize(ringMoves, "ring").unionByName(summarize(modMoves, "mod"))
+      .orderBy($"strategy")
+  }
 }

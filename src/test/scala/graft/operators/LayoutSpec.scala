@@ -179,4 +179,38 @@ class LayoutSpec extends SparkSpec {
       .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("checksum32")).toMap
     assert(truncated(victim.getLong(1)) !== orig(victim.getLong(1)))
   }
+
+  test("ringChurn: driver replay of both assignments; the Karger property holds") {
+    val out = Layout.ringChurn(spark, sf).collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    graft.CacheGuard.release()
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val (w, v) = (Layout.ringWorkers, Layout.ringVnodes)
+    def ring(workers: Int): Seq[(Long, Long)] =
+      (for (wk <- 0 until workers; vn <- 0 until v)
+        yield (h32(s"w:$wk:$vn"), wk.toLong)).sortBy(_._1)
+    def assign(h: Long, r: Seq[(Long, Long)]): Long =
+      r.find(_._1 >= h).getOrElse(r.head)._2
+    val (r8, r9) = (ring(w), ring(w + 1))
+    val keys = graft.Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).map(id => (id, h32(id.toString)))
+    val ringMoved = keys.filter { case (_, h) =>
+      assign(h, r8) != assign(h, r9) }
+    val modMoved = keys.filter { case (_, h) => h % w != h % (w + 1) }
+    assert(out("ring").getAs[Long]("n_keys") === keys.length.toLong)
+    assert(out("ring").getAs[Long]("n_moved") === ringMoved.length.toLong)
+    assert(out("mod").getAs[Long]("n_moved") === modMoved.length.toLong)
+    // Karger: a ring key moves ONLY onto the new worker, and the churn
+    // is a small fraction while mod reshuffles nearly everything
+    ringMoved.foreach { case (_, h) => assert(assign(h, r9) === w.toLong) }
+    assert(out("ring").getAs[Long]("moved_bp") <
+      out("mod").getAs[Long]("moved_bp") / 3)
+    // post-resize loads partition the corpus
+    assert(out("ring").getAs[Long]("max_load") >=
+      out("ring").getAs[Long]("min_load"))
+  }
 }
