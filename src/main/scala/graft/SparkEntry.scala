@@ -270,6 +270,7 @@ object SparkEntry {
     "q201_source_exemplars" -> ((s, d) => TextAnalysis.sourceExemplars(s, d)),
     "q202_robust_outliers" -> ((s, d) => Analytics.robustOutliers(s, d)),
     "q203_ring_churn" -> ((s, d) => Layout.ringChurn(s, d)),
+    "q204_quantile_normalize" -> ((s, d) => TextAnalysis.quantileNormalize(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5591,5 +5592,33 @@ object SparkEntry {
          |  (n_moved * 10000) // n_keys AS moved_bp, max_load, min_load
          |FROM ms, ml
          |ORDER BY strategy""".stripMargin,
+
+    // percent-rank on the integer grid: strictly-smaller counts from
+    // the (source, unit) frequency table, never a per-doc sort
+    "q204_quantile_normalize" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+         |sc AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
+         |        (CAST(len(list_filter(tk,
+         |           x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |          / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
+         |      END) * 1e4 + 0.5) AS BIGINT) AS q_u4
+         |  FROM t),
+         |f AS (SELECT source, q_u4, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM sc GROUP BY source, q_u4),
+         |c AS (
+         |  SELECT source, q_u4, cnt,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY q_u4) AS cum,
+         |    sum(cnt) OVER (PARTITION BY source) AS n
+         |  FROM f),
+         |tbl AS (SELECT source, q_u4, CAST(cum - cnt AS BIGINT) AS below,
+         |          CAST(n AS BIGINT) AS n
+         |        FROM c)
+         |SELECT s.doc_id, s.source, s.q_u4, t2.n AS n_source,
+         |  (t2.below * 10000) // greatest(t2.n - 1, 1) AS prank_bp
+         |FROM sc s JOIN tbl t2 ON t2.source = s.source AND t2.q_u4 = s.q_u4
+         |ORDER BY s.doc_id""".stripMargin,
   )
 }

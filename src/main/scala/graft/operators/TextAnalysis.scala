@@ -1062,6 +1062,43 @@ object TextAnalysis {
       .orderBy($"source", $"rank")
   }
 
+  /** Cross-source quantile normalization — percent-rank calibration of
+    * the q26 quality score WITHIN each source, so scores become
+    * comparable ACROSS sources (a 0.6 from a clean wiki dump and a 0.6
+    * from a spam-heavy crawl mean different things; their per-source
+    * percentile ranks mean the same thing — the calibration step between
+    * q168's per-source floor and any global ranking/mixing decision).
+    * prank = (# strictly smaller in the same source) / (n − 1), held as
+    * exact integer basis points.
+    *
+    * Scale shape — the q168 discipline a third time: scores live on the
+    * integer 1e-4 grid, so the rank table is the (source, unit)
+    * value-frequency relation with a cumulative window over O(sources ×
+    * distinct scores) rows; documents join that table broadcast on
+    * (source, unit) — `percent_rank()` over the corpus would sort every
+    * document through the source exchange instead. */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val docs = graft.CacheGuard.barrier(Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        floor(qualityExpr(size(toks).cast("long"),
+          stopwordCount(toks, stopwords).cast("long")) * 1e4 + lit(0.5))
+          .cast("long").as("q_u4")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"q_u4")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    val tbl = docs.groupBy($"source", $"q_u4")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(wAll))
+      .select($"source", $"q_u4", ($"cum" - $"cnt").as("below"), $"n")
+    docs.join(broadcast(tbl), Seq("source", "q_u4"))
+      .select($"doc_id", $"source", $"q_u4", $"n".as("n_source"),
+        expr("below * 10000 div greatest(n - 1, 1)").as("prank_bp"))
+      .orderBy($"doc_id")
+  }
+
   /** Declared query: URL canonicalization + canonical-group dedup — the
     * crawl-frontier normalization every web pipeline runs BEFORE fetch
     * dedup (RFC 3986 normalization plus the tracking-param strip;

@@ -698,6 +698,44 @@ class TextAnalysisSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("quantileNormalize: percent-rank replay per source, calibration envelope") {
+    import spark.implicits._
+    val out = TextAnalysis.quantileNormalize(spark, sf).collect()
+    assert(out.length === graft.Tables.documents(spark, sf).count().toInt)
+    graft.CacheGuard.release()
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"source", $"doc_id", $"text").collect().map { r =>
+        val toks = Option(r.getAs[String]("text")).getOrElse("")
+          .toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val stop = toks.count(Set("the", "a", "of", "and", "to", "in"))
+        val q = if (toks.isEmpty) 0.0
+          else math.min(1.0, toks.length / 100.0) * 0.6 +
+            stop.toDouble / math.max(toks.length, 1) * 0.4
+        (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          math.floor(q * 1e4 + 0.5).toLong)
+      }
+    val bySrc = docs.groupBy(_._1)
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val u = r.getAs[Long]("q_u4")
+      val grp = bySrc(src)
+      val below = grp.count(_._3 < u).toLong
+      val n = grp.length.toLong
+      assert(r.getAs[Long]("n_source") === n)
+      assert(r.getAs[Long]("prank_bp") ===
+        below * 10000 / math.max(n - 1, 1), s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // calibration: every source's minimum-score docs sit at rank 0 and
+    // ranks stay inside [0, 10000]
+    out.foreach(r => assert(r.getAs[Long]("prank_bp") >= 0 &&
+      r.getAs[Long]("prank_bp") <= 10000))
+    bySrc.keys.foreach { src =>
+      val ranks = out.filter(_.getAs[String]("source") == src)
+        .map(_.getAs[Long]("prank_bp"))
+      assert(ranks.min === 0L, src)
+    }
+  }
+
   test("canonicalUrl: unit cases — fragment, case, tracking params, param order, trailing slash") {
     import spark.implicits._
     val raw = Seq(
