@@ -464,6 +464,12 @@ object Analytics {
     * (one fat-fingered 1e6 value drags a mean-based z-score gate into
     * passing everything; the median absolute deviation shrugs it off —
     * the robust-statistics upgrade of q37's running-mean anomaly flag).
+    * This is also the SCALE answer to q96's documented limitation: q96
+    * computes its two medians with `percentile`, whose per-group state
+    * is the group itself, and documents `percentile_approx` as the
+    * 100 TB swap — here both quantiles are EXACT with bounded state
+    * because the metric lives on a finite grid, so no sketch and no
+    * per-group sort are needed at any scale.
     * `value` lives on the exact 2-decimal grid, so medians are DISCRETE
     * quantiles in integer 1e-2 units: med = smallest unit with
     * 2·cum ≥ n over the (type, unit) value-frequency table, MAD the
