@@ -271,6 +271,7 @@ object SparkEntry {
     "q202_robust_outliers" -> ((s, d) => Analytics.robustOutliers(s, d)),
     "q203_ring_churn" -> ((s, d) => Layout.ringChurn(s, d)),
     "q204_quantile_normalize" -> ((s, d) => TextAnalysis.quantileNormalize(s, d)),
+    "q205_rolling_hll_wau" -> ((s, d) => Sketches.rollingHllWau(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5620,5 +5621,63 @@ object SparkEntry {
          |  (t2.below * 10000) // greatest(t2.n - 1, 1) AS prank_bp
          |FROM sc s JOIN tbl t2 ON t2.source = s.source AND t2.q_u4 = s.q_u4
          |ORDER BY s.doc_id""".stripMargin,
+
+    // per-day HLL registers max-merged across the trailing 7 observed
+    // days (the q65 laws windowed), next to the q180-style exact grid
+    "q205_rolling_hll_wau" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+         |  FROM events),
+         |days AS (
+         |  SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx
+         |  FROM (SELECT DISTINCT d FROM ev)),
+         |mx AS (SELECT max(idx) AS max_idx FROM days),
+         |h AS (
+         |  SELECT d, ${h32("CAST(user_id AS VARCHAR)")} AS hv FROM ev),
+         |r AS (
+         |  SELECT d, hv // 16777216 AS bucket,
+         |    CASE WHEN hv % 16777216 = 0 THEN 25
+         |         ELSE 25 - (CAST(floor(log2(hv % 16777216)) AS BIGINT) + 1)
+         |    END AS rho
+         |  FROM h),
+         |dayregs AS (SELECT d, bucket, max(rho) AS reg
+         |            FROM r GROUP BY d, bucket),
+         |fan AS (
+         |  SELECT unnest(range(dy.idx, least(dy.idx + 6, mx.max_idx) + 1))
+         |      AS tidx, dr.bucket, dr.reg
+         |  FROM dayregs dr JOIN days dy ON dy.d = dr.d CROSS JOIN mx),
+         |merged AS (SELECT tidx, bucket, max(reg) AS reg
+         |           FROM fan GROUP BY tidx, bucket),
+         |a AS (
+         |  SELECT tidx, count(*) AS present,
+         |    sum(power(2.0, -reg)) AS sinv
+         |  FROM merged GROUP BY tidx),
+         |e AS (
+         |  SELECT tidx,
+         |    (0.7213 / (1.0 + 1.079 / ${Sketches.hllM}))
+         |      * ${Sketches.hllM}.0 * ${Sketches.hllM}.0
+         |      / (sinv + (${Sketches.hllM} - present)) AS e_raw,
+         |    ${Sketches.hllM} - present AS v
+         |  FROM a),
+         |est AS (
+         |  SELECT tidx,
+         |    floor((round(CASE WHEN e_raw <= ${2.5 * Sketches.hllM} AND v > 0
+         |      THEN ${Sketches.hllM}.0 * ln(${Sketches.hllM}.0 / v)
+         |      ELSE e_raw END, 8))*1e4 + 0.5)/1e4 AS hll_wau
+         |  FROM e),
+         |grid AS (SELECT DISTINCT user_id, d FROM ev),
+         |gfan AS (
+         |  SELECT DISTINCT
+         |    unnest(range(dy.idx, least(dy.idx + 6, mx.max_idx) + 1))
+         |      AS tidx, g.user_id
+         |  FROM grid g JOIN days dy ON dy.d = g.d CROSS JOIN mx),
+         |ex AS (SELECT tidx, CAST(count(*) AS BIGINT) AS exact_wau
+         |       FROM gfan GROUP BY tidx)
+         |SELECT dy.d AS day, least(est.tidx, 7) AS window_days,
+         |  est.hll_wau, ex.exact_wau,
+         |  floor((abs(est.hll_wau - ex.exact_wau)
+         |    / CAST(ex.exact_wau AS DOUBLE))*1e4 + 0.5)/1e4 AS rel_err
+         |FROM est JOIN ex USING (tidx) JOIN days dy ON dy.idx = est.tidx
+         |ORDER BY day""".stripMargin,
   )
 }

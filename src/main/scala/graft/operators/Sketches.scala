@@ -384,6 +384,74 @@ object Sketches {
           $"exact_overlap".cast("double")).as("rel_err"))
   }
 
+  /** Rolling 7-observed-day distinct users via MERGEABLE per-day HLL
+    * sketches — the sketch answer to the q180 rolling-DISTINCT problem
+    * (neither engine supports distinct as a window aggregate; q180
+    * solves it exactly with the grid fan-out, which at 100 TB still
+    * shuffles the full user-day grid — here each day collapses to 256
+    * registers FIRST, the 7-day merge is a register-wise `max` over the
+    * O(days × 256) relation, and the window estimate costs the same
+    * whether the day held a thousand users or a billion; register
+    * max-merge is exactly union, the HLL property q119 proves in the
+    * static case, applied to sliding windows). The exact trailing
+    * count (q180's machinery) runs alongside so the per-window error
+    * is measured, not assumed — at scale the exact half is the
+    * documented drop.
+    *
+    * Determinism: the q65 register laws verbatim (md5 buckets, exact
+    * powers of two in the inverse sum, round-8 ln snap). The day
+    * fan-out multiplies the O(days × 256) register relation and the
+    * distinct user-day grid — never the raw stream (q180's argument). */
+  def rollingHllWau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = hllM
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
+    val h = md5Hash32($"user_id".cast("string"))
+    val w = h.bitwiseAND(lit(16777215L))
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"))
+    val days = graft.CacheGuard.barrier(ev.select($"d").distinct()
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"d")).cast("long")))
+    val maxIdx = days.agg(max($"idx").as("max_idx"))
+    // per-day registers, fanned to every window they participate in
+    val dayRegs = ev
+      .select($"d", shiftright(h, 24).as("bucket"),
+        when(w === 0, lit(25))
+          .otherwise(lit(25) - (floor(log2(w)) + lit(1))).cast("long")
+          .as("rho"))
+      .groupBy($"d", $"bucket").agg(max($"rho").as("reg"))
+    val merged = dayRegs.join(broadcast(days), "d")
+      .crossJoin(broadcast(maxIdx))
+      .select(explode(sequence($"idx", least($"idx" + 6, $"max_idx")))
+        .as("tidx"), $"bucket", $"reg")
+      .groupBy($"tidx", $"bucket").agg(max($"reg").as("reg"))
+    val est = merged.groupBy($"tidx")
+      .agg(count(lit(1)).as("present"),
+        sum(pow(lit(2.0), -$"reg")).as("sinv"))
+      .select($"tidx",
+        (alpha * m * m / ($"sinv" + (lit(m) - $"present"))).as("e_raw"),
+        (lit(m) - $"present").as("v"))
+      .select($"tidx",
+        Quant.r4(round( // round-ok: ulp-snap on ln before quantize (round-7 discipline)
+          when($"e_raw" <= lit(2.5 * m) && $"v" > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / $"v"))
+            .otherwise($"e_raw"), 8)).as("hll_wau"))
+    // exact trailing-7-observed-day distinct users (q180's grid fan-out)
+    val exact = ev.distinct().join(broadcast(days), "d")
+      .crossJoin(broadcast(maxIdx))
+      .select(explode(sequence($"idx", least($"idx" + 6, $"max_idx")))
+        .as("tidx"), $"user_id")
+      .distinct()
+      .groupBy($"tidx").agg(count(lit(1)).as("exact_wau"))
+    est.join(exact, "tidx").join(broadcast(days), $"tidx" === days("idx"))
+      .select($"d".as("day"), least($"tidx", lit(7L)).as("window_days"),
+        $"hll_wau", $"exact_wau",
+        Quant.r4(abs($"hll_wau" - $"exact_wau") /
+          $"exact_wau".cast("double")).as("rel_err"))
+      .orderBy($"day")
+  }
+
   /** Two-pass exact heavy hitters with a Misra–Gries candidate pass —
     * the DETERMINISTIC-guarantee counterpart of q99's CMS (which can
     * only overestimate probabilistically): pass 1 runs the mergeable MG

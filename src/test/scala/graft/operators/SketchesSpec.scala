@@ -138,6 +138,53 @@ class SketchesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("rollingHllWau: window merge equals a direct sketch of the window's users (mergeability)") {
+    import spark.implicits._
+    val out = Sketches.rollingHllWau(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val m = Sketches.hllM
+    def hllOf(users: Set[Long]): Double = {
+      val regs = users.toSeq.map { u =>
+        val h = h32(u.toString)
+        val (b, w) = (h >> 24, h & 16777215L)
+        val rho = if (w == 0) 25L
+          else 25L - (math.floor(math.log(w.toDouble) / math.log(2.0)).toLong + 1)
+        b -> rho
+      }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val present = regs.size
+      val sinv = regs.values.map(r => math.pow(2.0, -r.toDouble)).sum
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val eRaw = alpha * m * m / (sinv + (m - present))
+      val v = m - present
+      val e = if (eRaw <= 2.5 * m && v > 0) m.toDouble * math.log(m.toDouble / v)
+        else eRaw
+      math.floor(BigDecimal(e).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e4 + 0.5) / 1e4
+    }
+    val ev = graft.Tables.events(spark, sf)
+      .select($"user_id", to_date($"ts").as("d")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("d").toLocalDate))
+    val days = ev.map(_._2).distinct.sorted(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    out.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toLocalDate
+      val tidx = days.indexOf(day) + 1
+      val window = days.slice(math.max(0, tidx - 7), tidx).toSet
+      val users = ev.filter(e => window(e._2)).map(_._1).toSet
+      // mergeability: max-merged daily registers ≡ one sketch of the union
+      assert(r.getAs[Double]("hll_wau") === hllOf(users), s"day $day")
+      assert(r.getAs[Long]("exact_wau") === users.size.toLong, s"day $day")
+      assert(r.getAs[Long]("window_days") === math.min(tidx, 7).toLong)
+    }
+    // the p=8 sketch stays in its accuracy regime on every window
+    out.foreach(r => assert(r.getAs[Double]("rel_err") < 0.25))
+  }
+
   test("MisraGriesAgg: reduce + merge keep the N/(k+1) error bound on adversarial splits") {
     val k = 9
     val agg = new graft.functions.MisraGriesAgg(k)
