@@ -272,6 +272,7 @@ object SparkEntry {
     "q203_ring_churn" -> ((s, d) => Layout.ringChurn(s, d)),
     "q204_quantile_normalize" -> ((s, d) => TextAnalysis.quantileNormalize(s, d)),
     "q205_rolling_hll_wau" -> ((s, d) => Sketches.rollingHllWau(s, d)),
+    "q206_personalized_pagerank" -> ((s, d) => Components.pprDocs(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5679,5 +5680,43 @@ object SparkEntry {
          |    / CAST(ex.exact_wau AS DOUBLE))*1e4 + 0.5)/1e4 AS rel_err
          |FROM est JOIN ex USING (tidx) JOIN days dy ON dy.idx = est.tidx
          |ORDER BY day""".stripMargin,
+
+    // q98's unrolled rounds with the teleport mass concentrated on the
+    // node%20==0 seed set; the teleport constant is one integer division
+    "q206_personalized_pagerank" -> {
+      // MATERIALIZED on the graph + seed relations is load-bearing (the
+      // q185 lesson): rounds re-reference them, and inlining would
+      // re-expand the whole minhash pipeline per reference
+      val rounds = (0 until 5).map { i =>
+        s"""c$i AS (SELECT r.node, r.r // d.deg AS c
+           |        FROM r$i r JOIN deg d USING (node)),
+           |r${i + 1} AS (
+           |  SELECT s.dst AS node,
+           |    CAST(coalesce(max(sd.tele), 0)
+           |      + (85 * sum(c.c)) // 100 AS BIGINT) AS r
+           |  FROM sym s JOIN c$i c ON c.node = s.src
+           |  LEFT JOIN seedt sd ON sd.node = s.dst
+           |  GROUP BY s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minHashCtesSql,
+         |ed AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+         |        FROM sym GROUP BY src),
+         |seedt AS MATERIALIZED (
+         |  SELECT node, CAST(150000 * (SELECT count(*) FROM deg)
+         |      // (SELECT count(*) FROM deg WHERE node % 20 = 0) AS BIGINT)
+         |    AS tele
+         |  FROM deg WHERE node % 20 = 0),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |$rounds
+         |SELECT r5.node AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+         |  (sd.node IS NOT NULL) AS is_seed, r5.r AS rank_ppm,
+         |  floor((CAST(r5.r AS DOUBLE) / 1000000.0)*1e4 + 0.5)/1e4 AS rank
+         |FROM r5 JOIN deg d USING (node)
+         |LEFT JOIN seedt sd ON sd.node = r5.node
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -385,6 +385,78 @@ object Components {
       .orderBy($"doc_id")
   }
 
+  /** Personalized PageRank (Haveliwala 2002 topic-sensitive variant) —
+    * [[pageRank]] with the teleport mass concentrated on a SEED set
+    * instead of spread uniformly: ranks then measure proximity to the
+    * seeds, the retrieval/recommendation primitive ("more like these
+    * trusted docs") a global rank cannot express. Arithmetic stays in
+    * the q98 integer-ppm discipline — the per-round update is
+    * `r' = ⌊85·Σc/100⌋ + (seed ? ⌊0.15·10⁶·|V|/|S|⌋ : 0)`, exact
+    * BIGINTs end to end, so the oracle unrolls the same rounds.
+    *
+    * Scale shape: identical to [[pageRank]] (one node-keyed shuffle per
+    * round, lineage cuts with block release) plus one broadcast of the
+    * O(seeds) flag relation per round; the two driver-side `count()`s
+    * are O(1)-row actions fixing the teleport constant before the loop. */
+  def personalizedPageRank(edges: DataFrame, iters: Int = 5,
+                           seedMod: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val seeds = deg.filter($"node" % seedMod === 0)
+      .select($"node", lit(true).as("is_seed")).localCheckpoint()
+    val nV = deg.count()
+    val nS = seeds.count()
+    require(nS > 0, s"no seed nodes at node % $seedMod == 0")
+    val tele = 150000L * nV / nS
+    var ranks = deg.select($"node", lit(1000000L).as("r")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = ranks.join(deg, "node")
+        .select($"node", expr("r div deg").as("c"))
+      val next = sym.join(contribs, sym("src") === contribs("node"))
+        .groupBy($"dst")
+        .agg(sum($"c").as("s"))
+        .select($"dst".as("node"), $"s")
+        .join(broadcast(seeds), Seq("node"), "left")
+        .select($"node",
+          (coalesce(when($"is_seed", lit(tele)), lit(0L)) +
+            expr("(85 * s) div 100")).as("r"))
+        .localCheckpoint() // eager: the round's one action
+      unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    unpersistCheckpoint(sym)
+    val out = ranks.join(deg, "node")
+      .join(broadcast(seeds), Seq("node"), "left")
+      .select($"node", $"deg", coalesce($"is_seed", lit(false)).as("is_seed"),
+        $"r")
+    val (degF, ranksF, seedsF) = (deg, ranks, seeds)
+    graft.CacheGuard.onRelease { () =>
+      unpersistCheckpoint(degF); unpersistCheckpoint(ranksF)
+      unpersistCheckpoint(seedsF)
+    }
+    out
+  }
+
+  /** Declared query: 5-round personalized PageRank on the md5-LSH
+    * similarity graph, seeds = every 20th doc id. */
+  def pprDocs(spark: SparkSession, dir: String,
+              threshold: Double = 0.2, iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    personalizedPageRank(
+        DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
+          .select($"a", $"b"), iters)
+      .select($"node".as("doc_id"), $"deg".as("degree"), $"is_seed",
+        $"r".as("rank_ppm"),
+        Quant.r4($"r".cast("double") / 1000000.0).as("rank"))
+      .orderBy($"doc_id")
+  }
+
   /** Root + depth for every node of a parent-pointer FOREST by pointer
     * doubling (Wyllie 1979 list ranking, the forest form): each round
     * replaces every node's ancestor pointer with its ancestor's ancestor

@@ -219,6 +219,49 @@ class ComponentsSpec extends SparkSpec {
     deg.values.foreach(d => assert(d >= 3L))
   }
 
+  test("personalizedPageRank: exact integer replay on a hand graph; seeds attract mass") {
+    // path 0-20-40 plus pendant 1-0 (node 20 and 40 and 0: 0,20,40 are
+    // seeds under seedMod=20); non-seed 1 hangs off 0
+    val edges = Seq((0L, 20L), (20L, 40L), (1L, 0L)).toDF("a", "b")
+    val got = Components.personalizedPageRank(edges, iters = 3, seedMod = 20)
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Boolean]("is_seed"), r.getAs[Long]("r")))).toMap
+    graft.CacheGuard.release()
+    // driver replay: same integer arithmetic
+    val sym = Seq((0L, 20L), (20L, 0L), (20L, 40L), (40L, 20L), (1L, 0L), (0L, 1L))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val seeds = deg.keySet.filter(_ % 20 == 0)
+    val tele = 150000L * deg.size / seeds.size
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val c = r.map { case (n, v) => n -> v / deg(n) }
+      val in = sym.groupBy(_._2).view.mapValues(_.map(e => c(e._1)).sum).toMap
+      r = in.map { case (n, s) =>
+        n -> ((if (seeds(n)) tele else 0L) + 85L * s / 100L) }.toMap
+    }
+    got.foreach { case (n, (isSeed, rank)) =>
+      assert(isSeed === (n % 20 == 0))
+      assert(rank === r(n), s"node $n")
+    }
+  }
+
+  test("pprDocs: seed flags correct, seed ranks dominate on the similarity graph") {
+    val out = Components.pprDocs(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Boolean]("is_seed") ===
+      (r.getAs[Long]("doc_id") % 20 == 0)))
+    val (seedRanks, restRanks) = out.partition(_.getAs[Boolean]("is_seed"))
+    if (seedRanks.nonEmpty && restRanks.nonEmpty) {
+      val seedAvg = seedRanks.map(_.getAs[Long]("rank_ppm")).sum /
+        seedRanks.length
+      val restAvg = restRanks.map(_.getAs[Long]("rank_ppm")).sum /
+        restRanks.length
+      assert(seedAvg > restAvg, s"seed avg $seedAvg vs rest $restAvg")
+    }
+    out.foreach(r => assert(r.getAs[Long]("rank_ppm") >= 0L))
+  }
+
   test("pointerDoubling: hand forest — chain, star, and a lone root") {
     // forest: chain 0<-1<-2<-3, star 10<-{11,12}, isolated root 20
     val nodes = Seq(
