@@ -273,6 +273,9 @@ object SparkEntry {
     "q204_quantile_normalize" -> ((s, d) => TextAnalysis.quantileNormalize(s, d)),
     "q205_rolling_hll_wau" -> ((s, d) => Sketches.rollingHllWau(s, d)),
     "q206_personalized_pagerank" -> ((s, d) => Components.pprDocs(s, d)),
+    "q207_multitouch_attribution" -> ((s, d) =>
+      Analytics.multiTouchAttribution(s, d)),
+    "q208_expectation_suite" -> ((s, d) => Profiler.expectationSuite(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5718,5 +5721,76 @@ object SparkEntry {
          |LEFT JOIN seedt sd ON sd.node = r5.node
          |ORDER BY doc_id""".stripMargin
     },
+
+    // largest-remainder credit split: base ppm to every touch, the
+    // remainder dealt one ppm each to the earliest touches
+    "q207_multitouch_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id, ts AS buy_ts, event_id AS buy_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT b.buy_id, c.click_id, c.click_ts
+        |  FROM b JOIN c ON c.user_id = b.user_id
+        |  WHERE c.click_ts <= b.buy_ts
+        |    AND c.click_ts > b.buy_ts - INTERVAL 30 MINUTE),
+        |r AS (
+        |  SELECT buy_id, click_id,
+        |    CAST(row_number() OVER (PARTITION BY buy_id
+        |      ORDER BY click_ts, click_id) AS BIGINT) AS touch_rank,
+        |    CAST(count(*) OVER (PARTITION BY buy_id) AS BIGINT)
+        |      AS n_touches
+        |  FROM p)
+        |SELECT buy_id, click_id, touch_rank, n_touches,
+        |  CAST(1000000 // n_touches
+        |    + CASE WHEN touch_rank <= 1000000 % n_touches THEN 1 ELSE 0 END
+        |    AS BIGINT) AS credit_ppm
+        |FROM r ORDER BY buy_id, touch_rank""".stripMargin,
+
+    // six named constraints into a verdict table; the 300k price cap is
+    // deliberately violated so both verdicts occur
+    "q208_expectation_suite" ->
+      """WITH base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s_complete,
+        |    CAST(sum(CASE WHEN o_totalprice >= 0 AND o_totalprice < 1000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s_range,
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s_domain,
+        |    CAST(sum(CASE WHEN o_totalprice <= 300000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s_cap
+        |  FROM orders),
+        |u AS (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS s_unique
+        |      FROM orders),
+        |rf AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS s_ref FROM orders o
+        |  WHERE o.o_custkey IN (SELECT c_custkey FROM customer)),
+        |m AS (SELECT * FROM base, u, rf),
+        |rows_ AS (
+        |  SELECT 'completeness' AS check, 'o_custkey' AS "column",
+        |    s_complete AS satisfied, n, (s_complete * 10000) // n
+        |      AS observed_bp, CAST(10000 AS BIGINT) AS threshold_bp FROM m
+        |  UNION ALL
+        |  SELECT 'uniqueness', 'o_orderkey', s_unique, n,
+        |    (s_unique * 10000) // n, 10000 FROM m
+        |  UNION ALL
+        |  SELECT 'value_range_0_1m', 'o_totalprice', s_range, n,
+        |    (s_range * 10000) // n, 10000 FROM m
+        |  UNION ALL
+        |  SELECT 'status_domain', 'o_orderstatus', s_domain, n,
+        |    (s_domain * 10000) // n, 10000 FROM m
+        |  UNION ALL
+        |  SELECT 'price_cap_300k', 'o_totalprice', s_cap, n,
+        |    (s_cap * 10000) // n, 10000 FROM m
+        |  UNION ALL
+        |  SELECT 'referential_customer', 'o_custkey', s_ref, n,
+        |    (s_ref * 10000) // n, 10000 FROM m)
+        |SELECT "check", "column", satisfied, n, observed_bp,
+        |  CAST(threshold_bp AS BIGINT) AS threshold_bp,
+        |  observed_bp >= threshold_bp AS pass
+        |FROM rows_ ORDER BY "check" """.stripMargin,
   )
 }

@@ -460,6 +460,45 @@ object Analytics {
       .select($"user_id", $"ts", $"event_type"))
   }
 
+  /** Multi-touch attribution with EXACT largest-remainder credit — the
+    * ad-tech upgrade of q56's single-touch attribution join: every
+    * click of the same user within the 30-minute horizon BEFORE a
+    * purchase shares the conversion credit. Fractional credit is where
+    * attribution pipelines silently diverge (1/3 as a float sums to
+    * 0.99999…); here each purchase's 10⁶ ppm split EXACTLY:
+    * `base = 10⁶ div n` to every touch and the remainder `10⁶ mod n`
+    * dealt one ppm each to the EARLIEST touches (the q195
+    * largest-remainder convention) — per-purchase credit sums to
+    * exactly 10⁶ by construction, an invariant the spec re-adds.
+    *
+    * Scale shape: the candidate join is the q56/q75 time-bounded
+    * interval join (bucketized at scale; in streaming both sides'
+    * watermarks bound the state); rank and touch-count ride ONE window
+    * partitioned by purchase — groups are conversion-sized (touches
+    * within 30 min), never corpus-sized. */
+  def multiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val buys = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("buy_ts"), $"event_id".as("buy_id"))
+    val pairs = buys.join(clicks, Seq("user_id"))
+      .filter($"click_ts" <= $"buy_ts" &&
+        $"click_ts" > $"buy_ts" - expr("INTERVAL 30 MINUTES"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"buy_id")
+      .orderBy($"click_ts", $"click_id")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"buy_id")
+    pairs
+      .withColumn("touch_rank", row_number().over(w).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(wAll))
+      .select($"buy_id", $"click_id", $"touch_rank", $"n_touches",
+        (expr("1000000 div n_touches") +
+          when($"touch_rank" <= expr("1000000 % n_touches"), 1L)
+            .otherwise(0L)).as("credit_ppm"))
+      .orderBy($"buy_id", $"touch_rank")
+  }
+
   /** Robust per-type outlier audit — median/MAD instead of mean/stddev
     * (one fat-fingered 1e6 value drags a mean-based z-score gate into
     * passing everything; the median absolute deviation shrugs it off —

@@ -73,4 +73,52 @@ object Profiler {
       .agg(count(lit(1)).as("n"))
       .orderBy($"bucket")
   }
+
+  /** Declarative data-quality expectation suite (the Deequ /
+    * Great-Expectations artifact): named constraints over `orders`
+    * evaluated into a verdict table — check, column, satisfied count,
+    * observed basis points, threshold, pass — the CI gate a pipeline
+    * runs before publishing a snapshot (q83 profiles; this VERIFIES).
+    * One deliberately tight bound (`totalprice ≤ 3·10⁵`) fails on the
+    * real data so the verdict column genuinely carries both outcomes.
+    *
+    * Scale shape: all row-local constraints ride ONE scan as
+    * conditional sums (map-side partials to a single row); uniqueness
+    * adds the unavoidable distinct on the key column; the referential
+    * check is a broadcast semi-join count (the q01 allowlist shape).
+    * Everything integer: observed_bp = satisfied·10⁴ div n. */
+  def expectationSuite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val custKeys = Tables.customer(spark, dir).select($"c_custkey").distinct()
+    val base = o.agg(
+      count(lit(1)).as("n"),
+      sum(when($"o_custkey".isNotNull, 1L).otherwise(0L)).as("s_complete"),
+      sum(when($"o_totalprice" >= 0 && $"o_totalprice" < 1000000, 1L)
+        .otherwise(0L)).as("s_range"),
+      sum(when($"o_orderstatus".isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("s_domain"),
+      sum(when($"o_totalprice" <= 300000, 1L).otherwise(0L)).as("s_cap"))
+    val uniq = o.agg(countDistinct($"o_orderkey").as("s_unique"))
+    val ref = o.join(broadcast(custKeys), $"o_custkey" === $"c_custkey",
+        "left_semi")
+      .agg(count(lit(1)).as("s_ref"))
+    val m = base.crossJoin(uniq).crossJoin(ref)
+    def row(check: String, column: String, s: org.apache.spark.sql.Column,
+            thresholdBp: Long) =
+      m.select(lit(check).as("check"), lit(column).as("column"),
+        s.as("satisfied"), $"n",
+        expr(s"${s.toString} * 10000 div n").as("observed_bp"),
+        lit(thresholdBp).as("threshold_bp"))
+    Seq(
+      row("completeness", "o_custkey", $"s_complete", 10000L),
+      row("uniqueness", "o_orderkey", $"s_unique", 10000L),
+      row("value_range_0_1m", "o_totalprice", $"s_range", 10000L),
+      row("status_domain", "o_orderstatus", $"s_domain", 10000L),
+      row("price_cap_300k", "o_totalprice", $"s_cap", 10000L),
+      row("referential_customer", "o_custkey", $"s_ref", 10000L))
+      .reduce(_.unionByName(_))
+      .withColumn("pass", $"observed_bp" >= $"threshold_bp")
+      .orderBy($"check")
+  }
 }

@@ -316,6 +316,40 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("multiTouchAttribution: per-purchase credit sums to exactly 1e6; driver pair replay") {
+    import spark.implicits._
+    val out = Analytics.multiTouchAttribution(spark, sf).collect()
+    assert(out.nonEmpty)
+    // exact conservation: the reason for largest-remainder over floats
+    out.groupBy(_.getAs[Long]("buy_id")).foreach { case (b, rs) =>
+      assert(rs.map(_.getAs[Long]("credit_ppm")).sum === 1000000L, s"buy $b")
+      val n = rs.head.getAs[Long]("n_touches")
+      assert(rs.length.toLong === n)
+      assert(rs.map(_.getAs[Long]("touch_rank")).sorted.toSeq === (1L to n))
+      // remainder goes to the earliest touches, one ppm each
+      val base = 1000000L / n
+      val rem = 1000000L % n
+      rs.foreach { r =>
+        val want = base + (if (r.getAs[Long]("touch_rank") <= rem) 1L else 0L)
+        assert(r.getAs[Long]("credit_ppm") === want)
+      }
+    }
+    // pair-set replay against the raw stream
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_type", $"user_id", $"ts", $"event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+    val clicks = ev.filter(_._1 == "click")
+    val buys = ev.filter(_._1 == "purchase")
+    val wantPairs = (for {
+      (_, u, bt, bid) <- buys
+      (_, cu, ct, cid) <- clicks
+      if cu == u && ct <= bt && ct > bt - 30L * 60 * 1000
+    } yield (bid, cid)).toSet
+    assert(out.map(r => (r.getAs[Long]("buy_id"), r.getAs[Long]("click_id")))
+      .toSet === wantPairs)
+  }
+
   test("robustOutliers: driver replay of discrete median, MAD and the 3-MAD rule") {
     import spark.implicits._
     val out = Analytics.robustOutliers(spark, sf).collect()

@@ -73,4 +73,37 @@ class ProfilerSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan.take(1500))
   }
+
+  test("expectationSuite: verdicts replay the raw table; both outcomes occur") {
+    import spark.implicits._
+    val out = Profiler.expectationSuite(spark, sf).collect()
+      .map(r => r.getAs[String]("check") -> r).toMap
+    assert(out.size === 6)
+    val o = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .collect()
+    val n = o.length.toLong
+    val custKeys = graft.Tables.customer(spark, sf)
+      .select($"c_custkey").collect().map(_.getLong(0)).toSet
+    def checkRow(name: String, satisfied: Long): Unit = {
+      val r = out(name)
+      assert(r.getAs[Long]("satisfied") === satisfied, name)
+      assert(r.getAs[Long]("n") === n, name)
+      assert(r.getAs[Long]("observed_bp") === satisfied * 10000 / n, name)
+      assert(r.getAs[Boolean]("pass") ===
+        (satisfied * 10000 / n >= r.getAs[Long]("threshold_bp")), name)
+    }
+    checkRow("completeness", o.count(!_.isNullAt(1)).toLong)
+    checkRow("uniqueness", o.map(_.getLong(0)).distinct.length.toLong)
+    checkRow("value_range_0_1m",
+      o.count(r => r.getDouble(3) >= 0 && r.getDouble(3) < 1000000).toLong)
+    checkRow("status_domain",
+      o.count(r => Set("O", "F", "P")(r.getString(2))).toLong)
+    checkRow("price_cap_300k", o.count(_.getDouble(3) <= 300000).toLong)
+    checkRow("referential_customer", o.count(r => custKeys(r.getLong(1))).toLong)
+    // the suite must genuinely exercise both verdicts
+    assert(out.values.exists(_.getAs[Boolean]("pass")))
+    assert(out.values.exists(!_.getAs[Boolean]("pass")))
+    assert(!out("price_cap_300k").getAs[Boolean]("pass"))
+  }
 }
