@@ -276,6 +276,10 @@ object SparkEntry {
     "q207_multitouch_attribution" -> ((s, d) =>
       Analytics.multiTouchAttribution(s, d)),
     "q208_expectation_suite" -> ((s, d) => Profiler.expectationSuite(s, d)),
+    "q209_hits" -> ((s, d) => Components.hitsDocs(s, d)),
+    "q210_k_anonymity" -> ((s, d) => Profiler.kAnonymityAudit(s, d)),
+    "q211_textrank_keywords" -> ((s, d) => MiningOps.textRankKeywords(s, d)),
+    "q212_ab_test" -> ((s, d) => Analytics.abTestReport(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5792,5 +5796,131 @@ object SparkEntry {
         |  CAST(threshold_bp AS BIGINT) AS threshold_bp,
         |  observed_bp >= threshold_bp AS pass
         |FROM rows_ ORDER BY "check" """.stripMargin,
+
+    // HITS: integer max-normalized mutual iteration, 3 unrolled rounds;
+    // the scalar max subqueries are the oracle twin of the engine's
+    // O(1)-row driver actions
+    "q209_hits" -> {
+      val rounds = (0 until 3).map { i =>
+        s"""ar$i AS (SELECT e.b AS node, sum(h.h) AS raw
+           |         FROM ed e JOIN h$i h ON h.node = e.a GROUP BY e.b),
+           |a${i + 1} AS (
+           |  SELECT n.node,
+           |    CAST(coalesce((ar.raw * 1000000) // (SELECT max(raw) FROM ar$i), 0)
+           |      AS BIGINT) AS av
+           |  FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node),
+           |hr$i AS (SELECT e.a AS node, sum(a.av) AS raw
+           |         FROM ed e JOIN a${i + 1} a ON a.node = e.b GROUP BY e.a),
+           |h${i + 1} AS (
+           |  SELECT n.node,
+           |    CAST(coalesce((hr.raw * 1000000) // (SELECT max(raw) FROM hr$i), 0)
+           |      AS BIGINT) AS h
+           |  FROM nodes n LEFT JOIN hr$i hr ON hr.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minHashCtesSql,
+         |ed AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+         |  SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) z),
+         |odeg AS (SELECT a AS node, count(*) AS od FROM ed GROUP BY a),
+         |ideg AS (SELECT b AS node, count(*) AS idg FROM ed GROUP BY b),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         |$rounds
+         |SELECT n.node AS doc_id,
+         |  CAST(coalesce(od, 0) AS BIGINT) AS out_deg,
+         |  CAST(coalesce(idg, 0) AS BIGINT) AS in_deg,
+         |  a3.av AS auth_ppm, h3.h AS hub_ppm,
+         |  floor((CAST(a3.av AS DOUBLE) / 1000000.0)*1e4 + 0.5)/1e4 AS authority,
+         |  floor((CAST(h3.h AS DOUBLE) / 1000000.0)*1e4 + 0.5)/1e4 AS hub
+         |FROM nodes n
+         |LEFT JOIN odeg ON odeg.node = n.node
+         |LEFT JOIN ideg ON ideg.node = n.node
+         |JOIN a3 ON a3.node = n.node
+         |JOIN h3 ON h3.node = n.node
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q210_k_anonymity" ->
+      """WITH pub AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS qi_nation,
+        |    c_mktsegment AS qi_segment,
+        |    (c_acctbal < 0) AS qi_acct_neg,
+        |    o_orderpriority AS sensitive
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cls AS (
+        |  SELECT qi_nation, qi_segment, qi_acct_neg,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT sensitive) AS BIGINT) AS l
+        |  FROM pub GROUP BY 1, 2, 3),
+        |tot AS (SELECT count(*) AS n_total FROM pub)
+        |SELECT qi_nation, qi_segment, qi_acct_neg, n, l,
+        |  CAST((n * 10000) // n_total AS BIGINT) AS share_bp,
+        |  (n < 10) AS k_violation, (l < 3) AS l_violation
+        |FROM cls CROSS JOIN tot
+        |ORDER BY qi_nation, qi_segment, qi_acct_neg""".stripMargin,
+
+    // TextRank = q98's integer PageRank over the word-adjacency graph;
+    // node keys are the word strings themselves
+    "q211_textrank_keywords" -> {
+      val rounds = (0 until 5).map { i =>
+        s"""c$i AS (SELECT r.node, r.r // d.deg AS c
+           |        FROM r$i r JOIN deg d USING (node)),
+           |r${i + 1} AS (
+           |  SELECT s.dst AS node,
+           |    CAST(150000 + (85 * sum(c.c)) // 100 AS BIGINT) AS r
+           |  FROM sym s JOIN c$i c ON c.node = s.src GROUP BY s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS MATERIALIZED (
+         |  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b FROM (
+         |    SELECT pr[1] AS w1, pr[2] AS w2 FROM (
+         |      SELECT unnest(list_transform(range(1, len(tk)),
+         |        i -> [tk[i], tk[i+1]])) AS pr
+         |      FROM (SELECT $toksSql AS tk FROM documents) t) u) v
+         |  WHERE regexp_matches(w1, '^[a-z]{4,}$$')
+         |    AND regexp_matches(w2, '^[a-z]{4,}$$') AND w1 <> w2),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+         |        FROM sym GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |$rounds
+         |SELECT r5.node AS word, CAST(d.deg AS BIGINT) AS degree,
+         |  r5.r AS rank_ppm,
+         |  floor((CAST(r5.r AS DOUBLE) / 1000000.0)*1e4 + 0.5)/1e4 AS rank
+         |FROM r5 JOIN deg d USING (node)
+         |ORDER BY rank_ppm DESC, word LIMIT 25""".stripMargin
+    },
+
+    // 2x2 chi-square in HUGEINT (det² alone passes BIGINT); micro-unit
+    // floor division, critical value carried as the exact literal
+    "q212_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 4
+        |      >= count(*) THEN 1 ELSE 0 END AS conv,
+        |    (user_id % 2 = 0) AS va
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN va AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN va AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT va AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT va AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM pu),
+        |chi AS (
+        |  SELECT a, b, c, d,
+        |    CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0
+        |    THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((CAST(a + b + c + d AS HUGEINT)
+        |        * ((CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+        |           * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c))
+        |        * 1000000)
+        |      // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+        |      AS BIGINT) END AS chi2_micro
+        |  FROM cells)
+        |SELECT a + b AS n_a, a AS conv_a, c + d AS n_b, c AS conv_b,
+        |  CAST((a * 1000000) // (a + b) AS BIGINT) AS rate_a_ppm,
+        |  CAST((c * 1000000) // (c + d) AS BIGINT) AS rate_b_ppm,
+        |  chi2_micro, (chi2_micro > 3841459) AS significant_95
+        |FROM chi""".stripMargin,
   )
 }

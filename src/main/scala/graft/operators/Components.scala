@@ -457,6 +457,101 @@ object Components {
       .orderBy($"doc_id")
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED graph —
+    * the link-analysis signal PageRank's single score cannot give: a hub
+    * is a node that POINTS AT many good authorities, an authority is a
+    * node POINTED AT by many good hubs. On a crawl/citation corpus the
+    * two scores separate index/survey pages from canonical content — the
+    * "keep the authority, drop the hub spam" dedup-keeper signal.
+    *
+    * INTEGER-EXACT mutual iteration so the DuckDB oracle replays it
+    * bit-for-bit: HITS needs a per-round normalization (unnormalized
+    * scores grow ~deg per half-round and overflow), and the float L2
+    * norm would hash-diverge on summation order — so the engine
+    * normalizes by the round's MAX in exact BIGINTs instead:
+    *   a_raw(v) = Σ_{u→v} h(u);   a(v) = (a_raw(v)·10⁶) div max a_raw
+    *   h_raw(u) = Σ_{u→v} a(v);   h(u) = (h_raw(u)·10⁶) div max h_raw
+    * Max-normalization keeps the fixpoint direction of the power
+    * iteration (only the scale differs from L2) and both engines compute
+    * the same integers. h ≤ 10⁶ and deg ≤ |V| bound a_raw ≤ 10⁶·deg, and
+    * ·10⁶ ≤ 10¹²·deg — no BIGINT overflow at any realistic degree.
+    *
+    * Scale shape: per round, two node-keyed shuffles (auth from hubs,
+    * hubs from auth) plus two O(1)-row `max` actions fixing the round's
+    * normalizer — the same driver-side scalar discipline as
+    * [[personalizedPageRank]]'s teleport constant. Rounds are lineage-cut
+    * with block release per the q48 discipline. Nodes with no in-edges
+    * hold authority 0 (the LEFT join against the node universe keeps
+    * them); symmetric for hubs. */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ed = edges.select($"a", $"b").localCheckpoint()
+    val nodes = ed.select($"a".as("node"))
+      .unionByName(ed.select($"b".as("node")))
+      .distinct().localCheckpoint()
+    val outDeg = ed.groupBy($"a".as("node")).agg(count(lit(1)).as("out_deg"))
+    val inDeg = ed.groupBy($"b".as("node")).agg(count(lit(1)).as("in_deg"))
+    var hubs = nodes.select($"node", lit(1000000L).as("h")).localCheckpoint()
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = ed.join(hubs, ed("a") === hubs("node"))
+        .groupBy($"b").agg(sum($"h").as("raw"))
+        .select($"b".as("node"), $"raw")
+      val aMax = aRaw.agg(max($"raw")).head().getLong(0)
+      val nextA = nodes.join(aRaw, Seq("node"), "left")
+        .select($"node",
+          coalesce(expr(s"(raw * 1000000) div $aMax"), lit(0L)).as("av"))
+        .localCheckpoint()
+      if (auths != null) unpersistCheckpoint(auths)
+      auths = nextA
+      val hRaw = ed.join(auths, ed("b") === auths("node"))
+        .groupBy(ed("a")).agg(sum($"av").as("raw"))
+        .select(ed("a").as("node"), $"raw")
+      val hMax = hRaw.agg(max($"raw")).head().getLong(0)
+      val nextH = nodes.join(hRaw, Seq("node"), "left")
+        .select($"node",
+          coalesce(expr(s"(raw * 1000000) div $hMax"), lit(0L)).as("h"))
+        .localCheckpoint()
+      unpersistCheckpoint(hubs)
+      hubs = nextH
+    }
+    val out = nodes
+      .join(outDeg, Seq("node"), "left")
+      .join(inDeg, Seq("node"), "left")
+      .join(auths, Seq("node"))
+      .join(hubs, Seq("node"))
+      .select($"node", coalesce($"out_deg", lit(0L)).as("out_deg"),
+        coalesce($"in_deg", lit(0L)).as("in_deg"),
+        $"av".as("auth_ppm"), $"h".as("hub_ppm"))
+    // ed stays live past the loop: outDeg/inDeg are LAZY over it and only
+    // materialize at the caller's final action
+    val (edF, nodesF, authsF, hubsF) = (ed, nodes, auths, hubs)
+    graft.CacheGuard.onRelease { () =>
+      unpersistCheckpoint(edF); unpersistCheckpoint(nodesF)
+      unpersistCheckpoint(authsF); unpersistCheckpoint(hubsF)
+    }
+    out
+  }
+
+  /** Declared query: 3-round HITS on the md5-LSH similarity graph
+    * DIRECTED low-id → high-id (the canonical a < b pair orientation:
+    * earlier doc is the "cited" target's source — a stable citation-style
+    * direction both engines share). Output per doc: out/in degree, hub
+    * and authority scores in exact ppm + 4-decimal doubles. */
+  def hitsDocs(spark: SparkSession, dir: String,
+               threshold: Double = 0.2, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    hits(
+        DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
+          .select($"a", $"b"), iters)
+      .select($"node".as("doc_id"), $"out_deg", $"in_deg",
+        $"auth_ppm", $"hub_ppm",
+        Quant.r4($"auth_ppm".cast("double") / 1000000.0).as("authority"),
+        Quant.r4($"hub_ppm".cast("double") / 1000000.0).as("hub"))
+      .orderBy($"doc_id")
+  }
+
   /** Root + depth for every node of a parent-pointer FOREST by pointer
     * doubling (Wyllie 1979 list ranking, the forest form): each round
     * replaces every node's ancestor pointer with its ancestor's ancestor

@@ -166,4 +166,52 @@ object MiningOps {
           .as("postings"))
       .orderBy($"term", $"blk")
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — unsupervised
+    * corpus keywords as the PageRank of the word-adjacency graph: nodes
+    * are word types, an edge links two words that appear ADJACENT in some
+    * document (the paper's co-occurrence window, w=2), and a word's score
+    * is the stationary importance of its neighborhood — frequent words
+    * that only neighbor other frequent words (stop-ish glue) rank below
+    * words that bridge many distinct contexts. The corpus-level keyword
+    * list TF-IDF (q50) cannot give: TF-IDF scores a word per document
+    * against the corpus; TextRank scores it globally from graph
+    * structure alone.
+    *
+    * Re-uses [[Components.pageRank]]'s integer-exact power iteration
+    * verbatim — node keys here are the word STRINGS (the rank kernel is
+    * key-type-agnostic: it only groups and joins on the key), so no
+    * word→id dictionary round-trip. Edges: adjacent token pairs from the
+    * shared whitespace tokenizer, kept when both sides are ≥4-char purely
+    * alphabetic types (the paper's syntactic filter, approximated without
+    * a POS tagger), canonicalized a < b and DISTINCT — an unweighted
+    * graph both engines replay.
+    *
+    * Scale shape: edge extraction is one pass over tokens (O(corpus
+    * tokens) rows pre-distinct, O(word-type pairs) after — vocabulary
+    * quadratic is never materialized, only OBSERVED adjacencies); the
+    * rank loop is [[Components.pageRank]]'s one keyed shuffle per round
+    * over the O(vocab) node set. The top-k cut is a TakeOrdered, never a
+    * global sort. */
+  def textRankKeywords(spark: SparkSession, dir: String,
+                       iters: Int = 5, topK: Int = 25): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 2) // sequence(1, 0) would DESCEND, not empty
+    val pairs = toks.select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("p"))
+      .select($"p.w1", $"p.w2")
+      .filter($"w1".rlike("^[a-z]{4,}$") && $"w2".rlike("^[a-z]{4,}$") &&
+        $"w1" =!= $"w2")
+      .select(least($"w1", $"w2").as("a"), greatest($"w1", $"w2").as("b"))
+      .distinct()
+    Components.pageRank(pairs, iters)
+      .select($"node".as("word"), $"deg".as("degree"), $"r".as("rank_ppm"),
+        Quant.r4($"r".cast("double") / 1000000.0).as("rank"))
+      .orderBy($"rank_ppm".desc, $"word")
+      .limit(topK)
+  }
 }

@@ -121,4 +121,51 @@ object Profiler {
       .withColumn("pass", $"observed_bp" >= $"threshold_bp")
       .orderBy($"check")
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala 2007)
+    * — the release-gate complement of the GDPR cascade (q125) and keyed
+    * pseudonymization (q162): BEFORE a curated slice ships, measure how
+    * re-identifiable its quasi-identifiers leave each row. The "published"
+    * relation is orders joined to their customers; the quasi-identifier is
+    * (nation, market segment, account-balance sign) — attributes an
+    * adversary plausibly knows — and the sensitive attribute is the
+    * order's priority. Per equivalence class (distinct QI tuple):
+    *   - `n` rows sharing the QI (the class's k): small classes
+    *     re-identify — `k_violation` flags n < kMin,
+    *   - `l` distinct sensitive values: a class where everyone shares one
+    *     priority leaks it even at large k — `l_violation` flags l < lMin,
+    * plus the class share in basis points. The release verdict is then
+    * one filter away (any violating class → suppress or generalize).
+    *
+    * Scale shape: one orders⋈customer equi-join (customer is the smaller
+    * side but both shuffle-partition by custkey at 100 TB; AQE may
+    * broadcast at test SF), then ONE groupBy over the O(classes) QI
+    * domain with map-side partial counts + a partial-aggregable
+    * `countDistinct` over the tiny priority domain. No window, no
+    * per-class sort; the total-row count for the share column is
+    * broadcast back from a 1-row aggregate. The sign band (not a float
+    * bucket) is deliberate: banding a DOUBLE balance with floor-division
+    * is the half-boundary class BASELINE.md retired. */
+  def kAnonymityAudit(spark: SparkSession, dir: String,
+                      kMin: Int = 10, lMin: Int = 3): DataFrame = {
+    import spark.implicits._
+    val published = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".cast("long").as("qi_nation"),
+        $"c_mktsegment".as("qi_segment"),
+        ($"c_acctbal" < 0).as("qi_acct_neg"),
+        $"o_orderpriority".as("sensitive"))
+    val classes = published
+      .groupBy($"qi_nation", $"qi_segment", $"qi_acct_neg")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"sensitive").as("l"))
+    val total = published.agg(count(lit(1)).as("n_total"))
+    classes.crossJoin(broadcast(total))
+      .select($"qi_nation", $"qi_segment", $"qi_acct_neg", $"n", $"l",
+        expr("n * 10000 div n_total").as("share_bp"),
+        ($"n" < kMin).as("k_violation"),
+        ($"l" < lMin).as("l_violation"))
+      .orderBy($"qi_nation", $"qi_segment", $"qi_acct_neg")
+  }
 }

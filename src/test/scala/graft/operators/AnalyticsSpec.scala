@@ -390,4 +390,27 @@ class AnalyticsSpec extends SparkSpec {
     val meanShift = (us.sum + spike) / (us.length + 1) - us.sum / us.length
     assert(meanShift > 1000L)
   }
+
+  test("abTestReport: cells partition the user base; chi-square replays in BigInt") {
+    val out = Analytics.abTestReport(spark, sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (nA, cA) = (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"))
+    val (nB, cB) = (r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"))
+    val nUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(nA + nB === nUsers)
+    assert(cA >= 0L && cA <= nA && cB >= 0L && cB <= nB)
+    assert(r.getAs[Long]("rate_a_ppm") === cA * 1000000L / nA)
+    assert(r.getAs[Long]("rate_b_ppm") === cB * 1000000L / nB)
+    // driver replay of the exact 2x2 chi-square in BigInt micro-units
+    val (a, b, c, d) = (BigInt(cA), BigInt(nA - cA), BigInt(cB), BigInt(nB - cB))
+    val den = (a + b) * (c + d) * (a + c) * (b + d)
+    val det = a * d - b * c
+    val want = if (den == 0) BigInt(0)
+      else (a + b + c + d) * det * det * 1000000 / den
+    assert(BigInt(r.getAs[Long]("chi2_micro")) === want)
+    assert(r.getAs[Boolean]("significant_95") ===
+      (r.getAs[Long]("chi2_micro") > 3841459L))
+  }
 }

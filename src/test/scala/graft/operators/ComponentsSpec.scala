@@ -341,4 +341,54 @@ class ComponentsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("root_id") % 64 == 0))
     assert(out.forall(_.getAs[Long]("depth") <= 63))
   }
+
+  test("hits: exact integer replay on a hand graph; hub and authority separate") {
+    // 1 and 2 point at 3 (and 1 at 2); 4 points at 3: 3 is the pure
+    // authority (in-deg 3, out-deg 0), 1 the strongest hub (2 targets)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 3L)).toDF("a", "b")
+    val got = Components.hits(edges, iters = 2).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("out_deg"), r.getAs[Long]("in_deg"),
+          r.getAs[Long]("auth_ppm"), r.getAs[Long]("hub_ppm")))).toMap
+    graft.CacheGuard.release()
+    // driver replay of the max-normalized integer iteration
+    val ed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 3L))
+    val nodes = ed.flatMap(e => Seq(e._1, e._2)).distinct
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val aRaw = ed.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum).toMap
+      val aMax = aRaw.values.max
+      a = nodes.map(n => n -> aRaw.get(n).map(_ * 1000000L / aMax).getOrElse(0L)).toMap
+      val hRaw = ed.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum).toMap
+      val hMax = hRaw.values.max
+      h = nodes.map(n => n -> hRaw.get(n).map(_ * 1000000L / hMax).getOrElse(0L)).toMap
+    }
+    nodes.foreach { n =>
+      val (od, id, ap, hp) = got(n)
+      assert(od === ed.count(_._1 == n).toLong)
+      assert(id === ed.count(_._2 == n).toLong)
+      assert(ap === a(n), s"auth node $n")
+      assert(hp === h(n), s"hub node $n")
+    }
+    // structure: 3 is the max authority with zero hub; 1 the max hub
+    assert(got(3L)._3 === 1000000L && got(3L)._4 === 0L)
+    assert(got(1L)._4 === 1000000L)
+  }
+
+  test("hitsDocs: scores bounded by the 1e6 normalizer, max attained on both axes") {
+    val out = Components.hitsDocs(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (ap, hp) = (r.getAs[Long]("auth_ppm"), r.getAs[Long]("hub_ppm"))
+      assert(ap >= 0L && ap <= 1000000L)
+      assert(hp >= 0L && hp <= 1000000L)
+      // a doc with no in-edges holds zero authority; no out-edges, zero hub
+      if (r.getAs[Long]("in_deg") == 0L) assert(ap === 0L)
+      if (r.getAs[Long]("out_deg") == 0L) assert(hp === 0L)
+    }
+    assert(out.map(_.getAs[Long]("auth_ppm")).max === 1000000L)
+    assert(out.map(_.getAs[Long]("hub_ppm")).max === 1000000L)
+  }
 }

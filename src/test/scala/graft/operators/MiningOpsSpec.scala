@@ -95,6 +95,19 @@ class MiningOpsSpec extends SparkSpec {
     }
   }
 
+  test("textRankKeywords: filtered vocabulary, descending ranks, bounded cut") {
+    val out = MiningOps.textRankKeywords(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty && out.length <= 25)
+    out.foreach { r =>
+      assert(r.getAs[String]("word").matches("^[a-z]{4,}$"))
+      assert(r.getAs[Long]("degree") >= 1L)
+      assert(r.getAs[Long]("rank_ppm") > 0L)
+    }
+    val ranks = out.map(_.getAs[Long]("rank_ppm")).toSeq
+    assert(ranks === ranks.sorted.reverse, "cut must be rank-descending")
+  }
+
   private def tokens(c: org.apache.spark.sql.Column) =
     graft.functions.TextFunctions.tokens(c)
 }

@@ -106,4 +106,25 @@ class ProfilerSpec extends SparkSpec {
     assert(out.values.exists(!_.getAs[Boolean]("pass")))
     assert(!out("price_cap_300k").getAs[Boolean]("pass"))
   }
+
+  test("kAnonymityAudit: classes partition the published rows; flags replay the thresholds") {
+    val out = Profiler.kAnonymityAudit(spark, sf).collect()
+    assert(out.nonEmpty)
+    // classes partition the join result exactly
+    val nPublished = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
+      .count()
+    assert(out.map(_.getAs[Long]("n")).sum === nPublished)
+    val priorityDomain = graft.Tables.orders(spark, sf)
+      .select("o_orderpriority").distinct().count()
+    out.foreach { r =>
+      val (n, l) = (r.getAs[Long]("n"), r.getAs[Long]("l"))
+      assert(n >= 1L && l >= 1L && l <= n)
+      assert(l <= priorityDomain)
+      assert(r.getAs[Boolean]("k_violation") === (n < 10))
+      assert(r.getAs[Boolean]("l_violation") === (l < 3))
+      assert(r.getAs[Long]("share_bp") === n * 10000L / nPublished)
+    }
+  }
 }
