@@ -280,6 +280,10 @@ object SparkEntry {
     "q210_k_anonymity" -> ((s, d) => Profiler.kAnonymityAudit(s, d)),
     "q211_textrank_keywords" -> ((s, d) => MiningOps.textRankKeywords(s, d)),
     "q212_ab_test" -> ((s, d) => Analytics.abTestReport(s, d)),
+    "q213_benford" -> ((s, d) => Profiler.benfordAudit(s, d)),
+    "q214_phrase_search" -> ((s, d) => MiningOps.phraseSearch(s, d)),
+    "q215_activity_streaks" -> ((s, d) => Analytics.activityStreaks(s, d)),
+    "q216_zonemap_audit" -> ((s, d) => Layout.zoneMapAudit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5922,5 +5926,103 @@ object SparkEntry {
         |  CAST((c * 1000000) // (c + d) AS BIGINT) AS rate_b_ppm,
         |  chi2_micro, (chi2_micro > 3841459) AS significant_95
         |FROM chi""".stripMargin,
+
+    // first digit of the exact-cents BIGINT (x100 preserves the leading
+    // digit); Benford expectations from the shared ppm literal table
+    "q213_benford" -> {
+      val values = operators.Profiler.benfordPpm
+        .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+      s"""WITH dg AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+         |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+         |  FROM orders),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+         |      FROM dg GROUP BY digit),
+         |t AS (SELECT sum(n) AS n_total FROM g),
+         |e AS (SELECT * FROM (VALUES $values) v(digit, benford_ppm))
+         |SELECT g.digit, g.n,
+         |  CAST((g.n * 1000000) // t.n_total AS BIGINT) AS observed_ppm,
+         |  CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+         |  CAST(abs((g.n * 1000000) // t.n_total - e.benford_ppm)
+         |    AS BIGINT) AS deviation_ppm,
+         |  (abs((g.n * 1000000) // t.n_total - e.benford_ppm) > 10000)
+         |    AS flagged
+         |FROM g CROSS JOIN t JOIN e ON e.digit = g.digit
+         |ORDER BY g.digit""".stripMargin
+    },
+
+    // positional postings for the two probe terms, phrase = pos+1 join
+    "q214_phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |q AS (
+         |  SELECT doc_id, p.pos AS pos, p.tok AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |      i -> struct_pack(pos := i - 1, tok := tk[i]))) AS p
+         |    FROM tk) z),
+         |p1 AS (SELECT doc_id, pos FROM q WHERE tok = 'fast'),
+         |p2 AS (SELECT doc_id, pos FROM q WHERE tok = 'merge')
+         |SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(p1.pos) AS BIGINT) AS first_pos
+         |FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+         |GROUP BY p1.doc_id ORDER BY p1.doc_id""".stripMargin,
+
+    // gap-and-islands on the calendar axis: day - row_number constant
+    // exactly while days are consecutive
+    "q215_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |k AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS INTEGER) AS isl
+        |  FROM days),
+        |s AS (
+        |  SELECT user_id, isl, min(day) AS start_day,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM k GROUP BY user_id, isl)
+        |SELECT user_id, start_day, len,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_day)
+        |    AS BIGINT) AS streak_no
+        |FROM s ORDER BY user_id, start_day""".stripMargin,
+
+    // min/max stats per block under two layouts; prunable iff the stat
+    // range proves no row matches; one stat aggregation, tiny unpivot
+    "q216_zonemap_audit" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |st AS MATERIALIZED (
+        |  SELECT layout, blk, min(d) AS min_d, max(d) AS max_d,
+        |    min(cents) AS min_c, max(cents) AS max_c,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM (
+        |    SELECT 'key_block' AS layout,
+        |      'k' || CAST(o_orderkey // 1000 AS VARCHAR) AS blk, d, cents
+        |    FROM base
+        |    UNION ALL
+        |    SELECT 'month', strftime(d, '%Y-%m'), d, cents FROM base) u
+        |  GROUP BY layout, blk),
+        |p AS MATERIALIZED (
+        |  SELECT layout, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(CASE WHEN max_d < DATE '2000-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS sk1,
+        |    CAST(sum(CASE WHEN max_d < DATE '2000-01-01' THEN n_rows ELSE 0 END) AS BIGINT) AS rw1,
+        |    CAST(sum(CASE WHEN min_d >= DATE '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS sk2,
+        |    CAST(sum(CASE WHEN min_d >= DATE '1996-01-01' THEN n_rows ELSE 0 END) AS BIGINT) AS rw2,
+        |    CAST(sum(CASE WHEN max_c <= 40000000 THEN 1 ELSE 0 END) AS BIGINT) AS sk3,
+        |    CAST(sum(CASE WHEN max_c <= 40000000 THEN n_rows ELSE 0 END) AS BIGINT) AS rw3,
+        |    CAST(sum(CASE WHEN min_c > 500000 THEN 1 ELSE 0 END) AS BIGINT) AS sk4,
+        |    CAST(sum(CASE WHEN min_c > 500000 THEN n_rows ELSE 0 END) AS BIGINT) AS rw4
+        |  FROM st GROUP BY layout),
+        |r AS (
+        |  SELECT layout, n_blocks, 'date_ge_2000' AS predicate,
+        |    sk1 AS n_skipped, rw1 AS rows_skipped FROM p
+        |  UNION ALL SELECT layout, n_blocks, 'date_lt_1996', sk2, rw2 FROM p
+        |  UNION ALL SELECT layout, n_blocks, 'price_gt_400k', sk3, rw3 FROM p
+        |  UNION ALL SELECT layout, n_blocks, 'price_le_5k', sk4, rw4 FROM p)
+        |SELECT layout, predicate, n_blocks, n_skipped,
+        |  CAST((n_skipped * 10000) // n_blocks AS BIGINT) AS skip_bp,
+        |  rows_skipped
+        |FROM r ORDER BY layout, predicate""".stripMargin,
   )
 }

@@ -614,4 +614,34 @@ object Analytics {
         $"chi2_micro",
         ($"chi2_micro" > 3841459L).as("significant_95"))
   }
+
+  /** Consecutive-day activity streaks per user — the retention signal
+    * cohort grids (q107) aggregate away: a user active 10 scattered days
+    * and one active 10 consecutive days have identical cohort cells but
+    * very different engagement. Classic gap-and-islands (the q140 device
+    * on the calendar axis): within a user, `day − row_number` days is
+    * constant exactly while days are consecutive, so that difference is
+    * the streak key. One row per (user, streak): start day, length, and
+    * the user's streak ordinal.
+    *
+    * Scale shape: the event stream collapses to distinct (user, day)
+    * first — O(user-days), the only corpus-sized shuffle — then both
+    * windows partition BY USER over day-count-sized groups (≤ calendar
+    * days, never event counts). No global window anywhere. */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"day")
+    val keyed = days.withColumn("isl", date_sub($"day", row_number().over(w)))
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"start_day")
+    keyed.groupBy($"user_id", $"isl")
+      .agg(min($"day").as("start_day"), count(lit(1)).as("len"))
+      .select($"user_id", $"start_day", $"len",
+        row_number().over(wo).cast("long").as("streak_no"))
+      .orderBy($"user_id", $"start_day")
+  }
 }

@@ -279,4 +279,66 @@ object Layout {
     summarize(ringMoves, "ring").unionByName(summarize(modMoves, "mod"))
       .orderBy($"strategy")
   }
+
+  /** Zone-map (min/max block statistics) pruning audit — MEASURES what
+    * q102's Z-order and q129's partitioned scan assert: how much of the
+    * table a given predicate can skip under a given physical layout.
+    * Parquet/ORC/Delta/Iceberg all keep per-file min/max stats; a block
+    * is prunable for a predicate iff its stat range proves no row can
+    * match. Two layouts are audited side by side on orders:
+    *   - `key_block`: files clustered by arrival order (o_orderkey div
+    *     1000) — the default unclustered write,
+    *   - `month`: files partitioned by order month — the date-clustered
+    *     write.
+    * For each (layout, predicate): block count, provably-skippable
+    * blocks, skip rate in bp, and rows skipped. The artifact is the
+    * layout decision itself: date predicates skip ~nothing under
+    * key_block and nearly everything out-of-range under month, while
+    * price predicates skip nothing under either — the "stats exist but
+    * data isn't clustered" reality that motivates Z-ordering.
+    *
+    * Exactness: price bounds compare in integer cents (the u-unit money
+    * discipline); date bounds compare as DATEs. Scale shape: one scan
+    * per layout collapsing to O(blocks) stat rows with map-side
+    * min/max partials; the predicate sweep is a per-stat-row CASE over
+    * the fixed predicate set — the fact table is never rescanned. */
+  def zoneMapAudit(spark: SparkSession, dir: String,
+                   blockSize: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir).select(
+      $"o_orderkey", to_date($"o_orderdate").as("d"),
+      floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+    def stats(keyed: DataFrame, layout: String): DataFrame =
+      keyed.groupBy($"blk")
+        .agg(min($"d").as("min_d"), max($"d").as("max_d"),
+          min($"cents").as("min_c"), max($"cents").as("max_c"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("layout", lit(layout))
+    val st = stats(base.withColumn("blk",
+        concat(lit("k"), expr(s"o_orderkey div $blockSize"))), "key_block")
+      .unionByName(stats(base.withColumn("blk",
+        date_format($"d", "yyyy-MM")), "month"))
+    val preds = Seq(
+      ("date_ge_2000", ($"max_d" < lit("2000-01-01").cast("date"))),
+      ("date_lt_1996", ($"min_d" >= lit("1996-01-01").cast("date"))),
+      ("price_gt_400k", ($"max_c" <= lit(40000000L))),
+      ("price_le_5k", ($"min_c" > lit(500000L))))
+    // ONE aggregation over the stat rows (a per-predicate groupBy would
+    // rescan the fact table once per predicate), then a stack unpivot of
+    // the O(layouts)-row result into (layout, predicate) rows
+    val agg = st.groupBy($"layout").agg(
+      count(lit(1)).as("n_blocks"),
+      preds.flatMap { case (name, prunable) => Seq(
+        sum(when(prunable, 1L).otherwise(0L)).as(s"sk_$name"),
+        sum(when(prunable, $"n_rows").otherwise(0L)).as(s"rw_$name"))
+      }: _*)
+    val stackSql = preds.map { case (name, _) =>
+      s"'$name', sk_$name, rw_$name" }.mkString(", ")
+    agg.selectExpr("layout", "n_blocks",
+        s"stack(${preds.size}, $stackSql) AS (predicate, n_skipped, rows_skipped)")
+      .select($"layout", $"predicate", $"n_blocks", $"n_skipped",
+        expr("n_skipped * 10000 div n_blocks").as("skip_bp"),
+        $"rows_skipped")
+      .orderBy($"layout", $"predicate")
+  }
 }

@@ -214,4 +214,37 @@ object MiningOps {
       .orderBy($"rank_ppm".desc, $"word")
       .limit(topK)
   }
+
+  /** Exact phrase search via POSITIONAL postings — the query-serving twin
+    * of q177's posting-list artifact: "merge" AND "join" in a document is
+    * not the phrase "merge join"; the phrase needs token POSITIONS, and
+    * the inverted-index mechanism is a postings self-join on
+    * (doc, pos+1). The engine builds positional postings for ONLY the
+    * two probe terms (the term filter rides the tokenize scan — postings
+    * for the full vocabulary are q177's job, not the query's), then one
+    * equi-join `p2.pos = p1.pos + 1` lands the phrase occurrences; per
+    * matching doc: occurrence count and first position (0-based).
+    *
+    * Scale shape: the tokenize+posexplode scan is one corpus pass whose
+    * output is immediately cut to O(df(w1)+df(w2)) posting rows; the
+    * phrase join shuffles only those postings keyed by doc, and the
+    * rollup is per matching doc. An adjacent-token LIKE scan would also
+    * work per-row but cannot serve from a prebuilt index; this shape
+    * extends verbatim to k-term phrases (k−1 chained position joins). */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   w1: String = "fast", w2: String = "merge"): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val posting = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .filter($"tok".isin(w1, w2))
+    val p1 = posting.filter($"tok" === w1).select($"doc_id", $"pos")
+    val p2 = posting.filter($"tok" === w2)
+      .select($"doc_id".as("doc2"), $"pos".as("pos2"))
+    p1.join(p2, $"doc_id" === $"doc2" && $"pos2" === $"pos" + 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min($"pos").cast("long").as("first_pos"))
+      .orderBy($"doc_id")
+  }
 }

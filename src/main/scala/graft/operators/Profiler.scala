@@ -168,4 +168,53 @@ object Profiler {
         ($"l" < lMin).as("l_violation"))
       .orderBy($"qi_nation", $"qi_segment", $"qi_acct_neg")
   }
+
+  /** Benford expected first-digit shares in exact ppm — log₁₀(1+1/d)·10⁶
+    * rounded to the nearest ppm (the nine roundings sum to exactly 10⁶),
+    * precomputed so neither engine evaluates a transcendental at query
+    * time (log is 1-ulp wobbly cross-engine; a literal table cannot be).
+    * Shared with the q213 oracle SQL the way `CorpusOps.defaultRates`
+    * feeds q49's CASE — one source of truth. */
+  val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford's-law first-digit audit (Newcomb 1881; Benford 1938) over
+    * order totals — the classic fabricated-numbers screen: organically
+    * grown magnitudes follow P(d) = log₁₀(1+1/d), while invented or
+    * range-capped figures drift. Per digit: observed count, observed
+    * share in ppm, the expected Benford ppm, absolute deviation, and a
+    * >1pp deviation flag. A uniform price generator (this corpus) flags
+    * several digits — exactly what the audit is for.
+    *
+    * First-digit extraction is EXACT: prices quantize to integer cents
+    * (`⌊p·100+0.5⌋`, the u-unit money discipline — both engines compute
+    * the same BIGINT), and the leading digit of the cents integer equals
+    * the leading digit of the price (×100 never changes the leading
+    * significant digit) — so the digit is `substr(CAST(cents), 1, 1)`,
+    * a deterministic integer render on both engines. Never
+    * floor(x/10^⌊log₁₀x⌋): the float log wobbles cross-engine at powers
+    * of ten.
+    *
+    * Scale shape: one scan collapsing to 9 rows with map-side partials;
+    * the total re-joins from a broadcast 1-row aggregate. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = Tables.orders(spark, dir)
+      .select(substring(
+        floor($"o_totalprice" * 100 + lit(0.5)).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum($"n").as("n_total"))
+    val expected = benfordPpm.toDF("digit", "benford_ppm")
+    digits.crossJoin(broadcast(total))
+      .join(broadcast(expected), "digit")
+      .select($"digit", $"n",
+        expr("n * 1000000 div n_total").as("observed_ppm"),
+        $"benford_ppm",
+        abs(expr("n * 1000000 div n_total") - $"benford_ppm")
+          .as("deviation_ppm"))
+      .withColumn("flagged", $"deviation_ppm" > 10000L)
+      .orderBy($"digit")
+  }
 }

@@ -413,4 +413,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("significant_95") ===
       (r.getAs[Long]("chi2_micro") > 3841459L))
   }
+
+  test("activityStreaks: islands replay a driver-side consecutive-run scan") {
+    val out = Analytics.activityStreaks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("start_day").toLocalDate,
+        r.getAs[Long]("len"), r.getAs[Long]("streak_no")))
+    assert(out.nonEmpty)
+    // driver replay: distinct days per user -> consecutive runs
+    val days = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[java.sql.Date]("day").toLocalDate)
+    val want = days.groupBy(_._1).toSeq.flatMap { case (u, ds) =>
+      val sorted = ds.map(_._2).sortBy(_.toEpochDay)
+      val runs = sorted.foldLeft(List.empty[(java.time.LocalDate, Long)]) {
+        case (acc @ ((start, len) :: rest), d)
+            if start.plusDays(len).isEqual(d) => (start, len + 1) :: rest
+        case (acc, d) => (d, 1L) :: acc
+      }.reverse
+      runs.zipWithIndex.map { case ((start, len), i) =>
+        (u, start, len, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._2.toEpochDay))
+    assert(out.toSeq === want)
+    // streak lengths partition the user's active days
+    assert(out.map(_._3).sum === days.length.toLong)
+  }
 }

@@ -213,4 +213,37 @@ class LayoutSpec extends SparkSpec {
     assert(out("ring").getAs[Long]("max_load") >=
       out("ring").getAs[Long]("min_load"))
   }
+
+  test("zoneMapAudit: skip counts replay driver-side; clustering decides skippability") {
+    val out = Layout.zoneMapAudit(spark, sf).collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[String]("predicate")) -> r)
+      .toMap
+    assert(out.size === 8) // 2 layouts x 4 predicates
+    // driver replay of the month layout's date_ge_2000 skip count
+    val rows = graft.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("o_orderdate")).as("d"))
+      .collect()
+      .map(r => (r.getAs[Long]("o_orderkey"),
+        r.getAs[java.sql.Date]("d").toLocalDate))
+    val byMonth = rows.groupBy { case (_, d) =>
+      f"${d.getYear}%04d-${d.getMonthValue}%02d" }
+    val cut = java.time.LocalDate.parse("2000-01-01")
+    val skippable = byMonth.filter(_._2.map(_._2).max(
+      Ordering.by((x: java.time.LocalDate) => x.toEpochDay)).isBefore(cut))
+    val got = out(("month", "date_ge_2000"))
+    assert(got.getAs[Long]("n_blocks") === byMonth.size.toLong)
+    assert(got.getAs[Long]("n_skipped") === skippable.size.toLong)
+    assert(got.getAs[Long]("rows_skipped") ===
+      skippable.values.map(_.length.toLong).sum)
+    out.foreach { case ((_, _), r) =>
+      assert(r.getAs[Long]("skip_bp") ===
+        r.getAs[Long]("n_skipped") * 10000L / r.getAs[Long]("n_blocks"))
+    }
+    // the structural point: random key blocks cannot skip date ranges,
+    // month clustering can
+    assert(out(("key_block", "date_ge_2000")).getAs[Long]("n_skipped") === 0L)
+    assert(out(("month", "date_ge_2000")).getAs[Long]("n_skipped") > 0L)
+  }
 }

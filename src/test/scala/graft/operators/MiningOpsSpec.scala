@@ -108,6 +108,25 @@ class MiningOpsSpec extends SparkSpec {
     assert(ranks === ranks.sorted.reverse, "cut must be rank-descending")
   }
 
+  test("phraseSearch: postings join replays a driver-side adjacent-pair scan exactly") {
+    val out = MiningOps.phraseSearch(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos")))).toMap
+    // driver replay: tokenize every doc, count adjacent ("fast","merge")
+    val want = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().flatMap { r =>
+        val tk = Option(r.getAs[String]("text")).getOrElse("")
+          .toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val hits = tk.indices.dropRight(1)
+          .filter(i => tk(i) == "fast" && tk(i + 1) == "merge")
+        if (hits.isEmpty) None
+        else Some(r.getAs[Long]("doc_id") ->
+          ((hits.length.toLong, hits.head.toLong)))
+      }.toMap
+    assert(out === want)
+    assert(out.nonEmpty, "probe phrase must occur in the corpus")
+  }
+
   private def tokens(c: org.apache.spark.sql.Column) =
     graft.functions.TextFunctions.tokens(c)
 }

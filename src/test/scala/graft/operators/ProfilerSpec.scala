@@ -127,4 +127,27 @@ class ProfilerSpec extends SparkSpec {
       assert(r.getAs[Long]("share_bp") === n * 10000L / nPublished)
     }
   }
+
+  test("benfordAudit: digit extraction replays from cents; expectations sum to ~1e6") {
+    // the ppm literal table is a partition of probability mass: the
+    // nearest-ppm roundings happen to sum to exactly 10^6
+    assert(Profiler.benfordPpm.map(_._2).sum === 1000000L)
+    val out = Profiler.benfordAudit(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 9)
+    val nTotal = out.map(_.getAs[Long]("n")).sum
+    // driver replay of the exact first-digit histogram
+    val want = graft.Tables.orders(spark, sf).select("o_totalprice").collect()
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong.toString.head)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(d >= 1 && d <= 9)
+      assert(r.getAs[Long]("n") === want(('0' + d).toChar))
+      val obs = r.getAs[Long]("n") * 1000000L / nTotal
+      assert(r.getAs[Long]("observed_ppm") === obs)
+      val dev = math.abs(obs - r.getAs[Long]("benford_ppm"))
+      assert(r.getAs[Long]("deviation_ppm") === dev)
+      assert(r.getAs[Boolean]("flagged") === (dev > 10000L))
+    }
+  }
 }
