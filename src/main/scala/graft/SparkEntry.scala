@@ -284,6 +284,10 @@ object SparkEntry {
     "q214_phrase_search" -> ((s, d) => MiningOps.phraseSearch(s, d)),
     "q215_activity_streaks" -> ((s, d) => Analytics.activityStreaks(s, d)),
     "q216_zonemap_audit" -> ((s, d) => Layout.zoneMapAudit(s, d)),
+    "q217_bfs_hops" -> ((s, d) => Components.bfsDocs(s, d)),
+    "q218_loo_target_encode" -> ((s, d) => Analytics.looTargetEncode(s, d)),
+    "q219_feature_hashing" -> ((s, d) => Analytics.featureHashing(s, d)),
+    "q220_ewma_daily" -> ((s, d) => Analytics.ewmaDaily(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -6024,5 +6028,97 @@ object SparkEntry {
         |  CAST((n_skipped * 10000) // n_blocks AS BIGINT) AS skip_bp,
         |  rows_skipped
         |FROM r ORDER BY layout, predicate""".stripMargin,
+
+    // min-distance relaxation, 5 unrolled rounds; NULL handling is
+    // explicit CASE on both engines (never least()'s NULL semantics)
+    "q217_bfs_hops" -> {
+      val rounds = (0 until 5).map { i =>
+        s"""nb$i AS (
+           |  SELECT s.dst AS node, min(d.d) + 1 AS nd
+           |  FROM sym s JOIN d$i d ON d.node = s.src AND d.d IS NOT NULL
+           |  GROUP BY s.dst),
+           |d${i + 1} AS (
+           |  SELECT d.node,
+           |    CASE WHEN d.d IS NULL THEN nb.nd
+           |         WHEN nb.nd IS NULL THEN d.d
+           |         WHEN nb.nd < d.d THEN nb.nd ELSE d.d END AS d
+           |  FROM d$i d LEFT JOIN nb$i nb ON nb.node = d.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minHashCtesSql,
+         |ed AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+         |        FROM sym GROUP BY src),
+         |d0 AS (SELECT node,
+         |        CASE WHEN node % 20 = 0 THEN CAST(0 AS BIGINT) END AS d
+         |       FROM deg),
+         |$rounds
+         |SELECT d5.node AS doc_id, CAST(g.deg AS BIGINT) AS degree,
+         |  (d5.node % 20 = 0) AS is_seed,
+         |  CAST(coalesce(d5.d, -1) AS BIGINT) AS hops
+         |FROM d5 JOIN deg g ON g.node = d5.node
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // LOO mean in exact cents: (segment sum - own target) // (n - 1)
+    "q218_loo_target_encode" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, c_mktsegment AS segment,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |st AS (SELECT segment, sum(cents) AS seg_sum,
+        |         CAST(count(*) AS BIGINT) AS seg_n
+        |       FROM o GROUP BY segment)
+        |SELECT o.o_orderkey, o.segment, o.cents,
+        |  CASE WHEN st.seg_n = 1 THEN CAST(-1 AS BIGINT)
+        |    ELSE CAST((st.seg_sum - o.cents) // (st.seg_n - 1) AS BIGINT)
+        |  END AS loo_cents
+        |FROM o JOIN st USING (segment)
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    // hashing trick: bucket = h32("col=value") mod 64, sign from the
+    // next hash bit; collisions sum
+    "q219_feature_hashing" ->
+      s"""WITH f AS (
+         |  SELECT c_custkey, unnest([
+         |    'nation=' || CAST(c_nationkey AS VARCHAR),
+         |    'segment=' || c_mktsegment,
+         |    'acct_neg=' || CAST(c_acctbal < 0 AS VARCHAR)]) AS feat
+         |  FROM customer),
+         |h AS (SELECT c_custkey, ${h32("feat")} AS h FROM f)
+         |SELECT c_custkey, CAST(h % 64 AS BIGINT) AS bucket,
+         |  CAST(sum(((h // 64) % 2) * 2 - 1) AS BIGINT) AS w
+         |FROM h GROUP BY c_custkey, h % 64
+         |ORDER BY c_custkey, bucket""".stripMargin,
+
+    // s_t = (3x_t + 7s_{t-1}) // 10 over the zero-filled 28-slot grid;
+    // list_reduce's first element is the fold init on both engines
+    "q220_ewma_daily" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |md AS (SELECT max(day) AS maxd FROM ev),
+        |cnt AS (
+        |  SELECT event_type, 27 - datediff('day', day, maxd) AS pos,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM ev CROSS JOIN md
+        |  WHERE datediff('day', day, maxd) < 28
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, p.p AS pos
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN range(0, 28) p(p)),
+        |fil AS (
+        |  SELECT g.event_type, g.pos, coalesce(c.x, 0) AS x
+        |  FROM grid g LEFT JOIN cnt c
+        |    ON c.event_type = g.event_type AND c.pos = g.pos),
+        |arr AS (SELECT event_type, list(x ORDER BY pos) AS xs
+        |        FROM fil GROUP BY event_type)
+        |SELECT event_type, CAST(p.p AS BIGINT) AS pos,
+        |  CAST(xs[p.p + 1] AS BIGINT) AS x,
+        |  CAST(list_reduce(list_slice(xs, 1, p.p + 1),
+        |    (s, x) -> (3 * x + 7 * s) // 10) AS BIGINT) AS ewma
+        |FROM arr CROSS JOIN range(0, 28) p(p)
+        |ORDER BY event_type, pos""".stripMargin,
   )
 }

@@ -644,4 +644,107 @@ object Analytics {
         row_number().over(wo).cast("long").as("streak_no"))
       .orderBy($"user_id", $"start_day")
   }
+
+  /** Leave-one-out target encoding — the leakage-safe categorical
+    * feature the naive per-category mean gets WRONG for training: a
+    * row's own target inside its category mean leaks the label (worst
+    * for rare categories, where one row IS most of the mean). LOO
+    * excludes the row itself: enc(row) = (Σ_cat target − target_row) /
+    * (n_cat − 1). All arithmetic is exact integer cents (the u-unit
+    * money discipline) with one floor division per row; a singleton
+    * category has no leave-one-out evidence and surfaces as −1.
+    *
+    * Scale shape: one groupBy over the O(categories) domain (map-side
+    * partials), the tiny stat relation broadcast back onto the fact
+    * rows — the fact table shuffles zero times. The same shape serves
+    * K-fold target encoding (stats per fold, join on fold != row's). */
+  def looTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_mktsegment".as("segment"),
+        floor($"o_totalprice" * 100 + lit(0.5)).cast("long").as("cents"))
+    val stats = o.groupBy($"segment")
+      .agg(sum($"cents").as("seg_sum"), count(lit(1)).as("seg_n"))
+    o.join(broadcast(stats), "segment")
+      .select($"o_orderkey", $"segment", $"cents",
+        when($"seg_n" === 1, -1L)
+          .otherwise(expr("(seg_sum - cents) div (seg_n - 1)"))
+          .as("loo_cents"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Feature hashing (the hashing trick; Weinberger et al. 2009) —
+    * fixed-dimension categorical features with NO dictionary: each
+    * "column=value" string hashes to a bucket in [0, dim) and a ±1 sign
+    * (the sign bit halves collision bias), colliding features sum. The
+    * dictionary-free property is the scale point: one-hot needs a
+    * vocabulary pass + a broadcast dict; hashing is pure per-row
+    * arithmetic with a schema known before the data arrives. Hash is the
+    * engine's shared md5-32 (never a Spark-private hash — the oracle
+    * must agree), bucket = h mod dim, sign from the next hash bit.
+    * Output is the relational sparse form (custkey, bucket, weight) —
+    * the assembly into a dense vector is a pivot away.
+    *
+    * Scale shape: explode(3 literals) per row → groupBy (key, bucket)
+    * with map-side partials; no joins, no vocabulary state. */
+  def featureHashing(spark: SparkSession, dir: String,
+                     dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5Hash32
+    val feats = Tables.customer(spark, dir)
+      .select($"c_custkey", explode(array(
+        concat(lit("nation="), $"c_nationkey".cast("string")),
+        concat(lit("segment="), $"c_mktsegment"),
+        concat(lit("acct_neg="), ($"c_acctbal" < 0).cast("string"))))
+        .as("feat"))
+      .select($"c_custkey", md5Hash32($"feat").as("h"))
+    feats.select($"c_custkey", ($"h" % dim).as("bucket"),
+        (expr(s"(h div $dim) % 2") * 2 - 1).as("sign"))
+      .groupBy($"c_custkey", $"bucket")
+      .agg(sum($"sign").as("w"))
+      .orderBy($"c_custkey", $"bucket")
+  }
+
+  /** Integer-exact EWMA smoothing over the last 28 days of per-type
+    * event volume — the ops anomaly baseline (yesterday's smoothed level
+    * vs today's count) with the recurrence s_t = (3·x_t + 7·s_{t−1}) div
+    * 10 (α = 0.3 in exact tenths, floor division — float α would
+    * hash-diverge on the 28-step chain). EWMA is sequential by nature;
+    * the engine keeps it scale-sound by bounding the sequence to the
+    * CALENDAR (28 slots per type, zero-filled), so the per-type state is
+    * a fixed-width array and the recurrence is a bounded in-row
+    * `aggregate` fold — never a data-sized window or a driver loop.
+    *
+    * Scale shape: one (type, day) count aggregation (map-side partials;
+    * day domain fixed), the 28-slot grid built from a broadcast 1-row
+    * max-day aggregate, one per-type array roll-up of exactly 28
+    * elements, and the 28×28 triangular fold is constant work per type.
+    * Output: (type, pos, day count, smoothed level) per slot. */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val md = ev.agg(max($"day").as("maxd"))
+    val cnt = ev.crossJoin(broadcast(md))
+      .filter(datediff($"maxd", $"day") < 28)
+      .groupBy($"event_type",
+        (lit(27) - datediff($"maxd", $"day")).as("pos"))
+      .agg(count(lit(1)).as("x"))
+    val grid = ev.select($"event_type").distinct()
+      .select($"event_type", explode(sequence(lit(0), lit(27))).as("pos"))
+    val arr = grid.join(cnt, Seq("event_type", "pos"), "left")
+      .select($"event_type", $"pos", coalesce($"x", lit(0L)).as("x"))
+      .groupBy($"event_type")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, x))), p -> p.x)")
+        .as("xs"))
+    arr.select($"event_type", explode(expr(
+        """transform(sequence(0, 27), i -> struct(
+          |  cast(i as long) AS pos, xs[i] AS x,
+          |  aggregate(slice(xs, 2, i), xs[0],
+          |    (s, x) -> (3 * x + 7 * s) div 10) AS ewma))""".stripMargin))
+        .as("r"))
+      .select($"event_type", $"r.pos", $"r.x", $"r.ewma")
+      .orderBy($"event_type", $"pos")
+  }
 }

@@ -552,6 +552,74 @@ object Components {
       .orderBy($"doc_id")
   }
 
+  /** Multi-source BFS hop distances — the "how far is every document
+    * from the trusted set" signal [[personalizedPageRank]] measures as
+    * mass and this measures as HOPS: rank proximity saturates (mass
+    * dilutes geometrically) while hop distance stays discrete, which is
+    * what a crawl-frontier or propagation-radius policy actually keys
+    * on. Iterative min-distance relaxation on the symmetrized graph:
+    *   d'(v) = min(d(v), 1 + min_{u∼v} d(u))
+    * with seeds at 0 and unreached nodes NULL until a neighbor reaches
+    * them. All-integer, so the oracle replays the fixed `rounds`
+    * exactly; NULL handling is explicit CASE logic on both engines
+    * (DuckDB's `least` NULL semantics differ from Spark's — never rely
+    * on them).
+    *
+    * Scale shape: [[connectedComponents]]'s — one node-keyed shuffle per
+    * round (neighbor min + self min), lineage-cut rounds with block
+    * release; `rounds` bounds the radius explored, the right knob when
+    * anything past k hops is policy-equivalent to unreachable. */
+  def bfsHops(edges: DataFrame, seedMod: Int = 20,
+              rounds: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    var dist = deg.select($"node",
+        when($"node" % seedMod === 0, 0L).cast("long").as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nb = sym.join(dist, sym("src") === dist("node"))
+        .groupBy($"dst").agg(min($"d").as("nd"))
+        .select($"dst".as("node"), ($"nd" + 1L).as("nd"))
+      val next = dist.join(nb, Seq("node"), "left")
+        .select($"node",
+          when($"d".isNull, $"nd")
+            .when($"nd".isNull, $"d")
+            .when($"nd" < $"d", $"nd")
+            .otherwise($"d").as("d"))
+        .localCheckpoint()
+      unpersistCheckpoint(dist)
+      dist = next
+    }
+    unpersistCheckpoint(sym)
+    val out = dist.join(deg, "node")
+      .select($"node", $"deg", coalesce($"d", lit(-1L)).as("hops"))
+    val (degF, distF) = (deg, dist)
+    graft.CacheGuard.onRelease { () =>
+      unpersistCheckpoint(degF); unpersistCheckpoint(distF)
+    }
+    out
+  }
+
+  /** Declared query: 5-round multi-source BFS on the md5-LSH similarity
+    * graph, seeds = every 20th doc (q206's seed set, so rank-proximity
+    * and hop-proximity are directly comparable). Unreached within the
+    * round budget surfaces as hops = −1. */
+  def bfsDocs(spark: SparkSession, dir: String,
+              threshold: Double = 0.2, rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    bfsHops(
+        DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
+          .select($"a", $"b"), rounds = rounds)
+      .select($"node".as("doc_id"), $"deg".as("degree"),
+        ($"node" % 20 === 0).as("is_seed"), $"hops")
+      .orderBy($"doc_id")
+  }
+
   /** Root + depth for every node of a parent-pointer FOREST by pointer
     * doubling (Wyllie 1979 list ranking, the forest form): each round
     * replaces every node's ancestor pointer with its ancestor's ancestor

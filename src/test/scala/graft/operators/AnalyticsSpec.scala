@@ -442,4 +442,67 @@ class AnalyticsSpec extends SparkSpec {
     // streak lengths partition the user's active days
     assert(out.map(_._3).sum === days.length.toLong)
   }
+
+  test("looTargetEncode: per-row encode replays the (sum - own) / (n - 1) identity") {
+    val out = Analytics.looTargetEncode(spark, sf).collect()
+    assert(out.nonEmpty)
+    val bySeg = out.groupBy(_.getAs[String]("segment"))
+    bySeg.foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Long]("cents")).sum
+      val n = rows.length.toLong
+      rows.foreach { r =>
+        val want = if (n == 1) -1L
+          else Math.floorDiv(s - r.getAs[Long]("cents"), n - 1)
+        assert(r.getAs[Long]("loo_cents") === want)
+      }
+    }
+  }
+
+  test("featureHashing: buckets and signs replay the shared md5-32; 3 features per customer") {
+    val out = Analytics.featureHashing(spark, sf).collect()
+      .groupBy(_.getAs[Long]("c_custkey"))
+    assert(out.nonEmpty)
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+        16)
+    }
+    // weights per customer carry exactly 3 signed units (pre-collision)
+    out.foreach { case (_, rows) =>
+      assert(rows.map(r => math.abs(r.getAs[Long]("w"))).sum <= 3L)
+      rows.foreach(r => assert(r.getAs[Long]("bucket") >= 0L &&
+        r.getAs[Long]("bucket") < 64L))
+    }
+    // full replay for a sample of customers
+    val cust = graft.Tables.customer(spark, sf).collect().take(20)
+    cust.foreach { c =>
+      val feats = Seq(
+        s"nation=${c.getAs[Int]("c_nationkey")}",
+        s"segment=${c.getAs[String]("c_mktsegment")}",
+        s"acct_neg=${c.getAs[Double]("c_acctbal") < 0}")
+      val want = feats.map(h32).groupBy(_ % 64).view
+        .mapValues(_.map(h => (h / 64 % 2) * 2 - 1).sum).toMap
+        .filter(_._2 != 0L)
+      val got = out(c.getAs[Long]("c_custkey"))
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("w")).toMap
+        .filter(_._2 != 0L)
+      assert(got === want)
+    }
+  }
+
+  test("ewmaDaily: 28 slots per type; the integer recurrence replays from the x column") {
+    val out = Analytics.ewmaDaily(spark, sf).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(out.nonEmpty)
+    out.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("pos"))
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq === (0L to 27L))
+      var s = sorted.head.getAs[Long]("x")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (i > 0) s = (3 * r.getAs[Long]("x") + 7 * s) / 10
+        assert(r.getAs[Long]("ewma") === s, s"slot $i")
+      }
+    }
+  }
 }

@@ -391,4 +391,31 @@ class ComponentsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("auth_ppm")).max === 1000000L)
     assert(out.map(_.getAs[Long]("hub_ppm")).max === 1000000L)
   }
+
+  test("bfsHops: exact hop distances on a hand graph; unreached stays -1") {
+    // path 0-1-2-3-4 (seed 0 under mod 20) plus unreachable island 5-6
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val got = Components.bfsHops(edges, seedMod = 20, rounds = 5).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("hops")).toMap
+    graft.CacheGuard.release()
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> -1L, 6L -> -1L))
+    // a round budget below the radius leaves the frontier tail unreached
+    val cut = Components.bfsHops(edges, seedMod = 20, rounds = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("hops")).toMap
+    graft.CacheGuard.release()
+    assert(cut(2L) === 2L && cut(3L) === -1L && cut(4L) === -1L)
+  }
+
+  test("bfsDocs: seeds at 0 hops; every reached non-seed within the round budget") {
+    val out = Components.bfsDocs(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getAs[Long]("hops")
+      if (r.getAs[Boolean]("is_seed")) assert(h === 0L)
+      else assert(h === -1L || (h >= 1L && h <= 5L))
+    }
+  }
 }
