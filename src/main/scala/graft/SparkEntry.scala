@@ -6030,14 +6030,18 @@ object SparkEntry {
         |FROM r ORDER BY layout, predicate""".stripMargin,
 
     // min-distance relaxation, 5 unrolled rounds; NULL handling is
-    // explicit CASE on both engines (never least()'s NULL semantics)
+    // explicit CASE on both engines (never least()'s NULL semantics).
+    // Each d$i is referenced TWICE (nb$i and d${i+1}) — without
+    // MATERIALIZED the inlining doubles per round and the whole minhash
+    // chain re-expands 2^rounds times (the q206/q185 disk-blowup class,
+    // reproduced at sf1)
     "q217_bfs_hops" -> {
       val rounds = (0 until 5).map { i =>
         s"""nb$i AS (
            |  SELECT s.dst AS node, min(d.d) + 1 AS nd
            |  FROM sym s JOIN d$i d ON d.node = s.src AND d.d IS NOT NULL
            |  GROUP BY s.dst),
-           |d${i + 1} AS (
+           |d${i + 1} AS MATERIALIZED (
            |  SELECT d.node,
            |    CASE WHEN d.d IS NULL THEN nb.nd
            |         WHEN nb.nd IS NULL THEN d.d
@@ -6050,7 +6054,7 @@ object SparkEntry {
          |        UNION ALL SELECT b, a FROM ed),
          |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
          |        FROM sym GROUP BY src),
-         |d0 AS (SELECT node,
+         |d0 AS MATERIALIZED (SELECT node,
          |        CASE WHEN node % 20 = 0 THEN CAST(0 AS BIGINT) END AS d
          |       FROM deg),
          |$rounds
