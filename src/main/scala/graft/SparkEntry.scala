@@ -288,6 +288,10 @@ object SparkEntry {
     "q218_loo_target_encode" -> ((s, d) => Analytics.looTargetEncode(s, d)),
     "q219_feature_hashing" -> ((s, d) => Analytics.featureHashing(s, d)),
     "q220_ewma_daily" -> ((s, d) => Analytics.ewmaDaily(s, d)),
+    "q221_prf_expand" -> ((s, d) => CorpusOps.prfExpandRank(s, d)),
+    "q222_contrastive_triplets" -> ((s, d) =>
+      AnnSearch.contrastiveTriplets(s, d)),
+    "q223_dataset_card" -> ((s, d) => Profiler.datasetCard(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -6124,5 +6128,192 @@ object SparkEntry {
         |    (s, x) -> (3 * x + 7 * s) // 10) AS BIGINT) AS ewma
         |FROM arr CROSS JOIN range(0, 28) p(p)
         |ORDER BY event_type, pos""".stripMargin,
+
+    // PRF: q167's scoring twice — feedback top-k, expansion-term
+    // window, Rocchio integer weights, re-rank. tok/lens re-referenced
+    // across the two passes → MATERIALIZED
+    "q221_prf_expand" -> {
+      val qvals = CorpusOps.bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      def uExpr =
+        """CAST(floor(
+          |      round(ln(CAST(2*n+2 AS DOUBLE) / CAST(2*df+1 AS DOUBLE)), 8)
+          |      * ((44.0 * CAST(t AS DOUBLE) * CAST(tf AS DOUBLE))
+          |        / (20.0 * CAST(t AS DOUBLE) * CAST(tf AS DOUBLE)
+          |          + 6.0 * CAST(t AS DOUBLE)
+          |          + 18.0 * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)))
+          |      * 1e4 + 0.5) AS BIGINT)""".stripMargin
+      s"""WITH qt(query_id, term) AS (VALUES $qvals),
+         |lens AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(dl) AS BIGINT) AS t FROM lens),
+         |ptok AS MATERIALIZED (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |ptf1 AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ptok
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+         |pdf1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |         FROM ptf1 GROUP BY term),
+         |ps1 AS (
+         |  SELECT qt.query_id, ptf1.doc_id, $uExpr AS u
+         |  FROM ptf1 JOIN qt USING (term) JOIN pdf1 USING (term)
+         |  JOIN lens USING (doc_id) CROSS JOIN tot),
+         |pagg1 AS (SELECT query_id, doc_id, CAST(sum(u) AS BIGINT) AS su
+         |          FROM ps1 GROUP BY 1, 2),
+         |pfb AS MATERIALIZED (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY su DESC, doc_id) AS rk FROM pagg1) z
+         |  WHERE rk <= ${CorpusOps.bm25K}),
+         |pfbt AS (
+         |  SELECT DISTINCT pfb.query_id, pfb.doc_id, ptok.term
+         |  FROM pfb JOIN ptok ON ptok.doc_id = pfb.doc_id
+         |  WHERE regexp_matches(ptok.term, '^[a-z]{4,}$$')),
+         |pfbdf AS (
+         |  SELECT f.query_id, f.term, CAST(count(*) AS BIGINT) AS fb_df
+         |  FROM pfbt f LEFT JOIN qt q2
+         |    ON q2.query_id = f.query_id AND q2.term = f.term
+         |  WHERE q2.term IS NULL
+         |  GROUP BY f.query_id, f.term),
+         |pexp AS (
+         |  SELECT query_id, term FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY fb_df DESC, term) AS rn FROM pfbdf) z
+         |  WHERE rn <= ${CorpusOps.prfExpansions}),
+         |pw AS MATERIALIZED (
+         |  SELECT query_id, term, CAST(2 AS BIGINT) AS w FROM qt
+         |  UNION ALL
+         |  SELECT query_id, term, CAST(1 AS BIGINT) FROM pexp),
+         |ptf2 AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ptok
+         |  WHERE term IN (SELECT DISTINCT term FROM pw)
+         |  GROUP BY doc_id, term),
+         |pdf2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |         FROM ptf2 GROUP BY term),
+         |ps2 AS (
+         |  SELECT pw.query_id, ptf2.doc_id, pw.w * $uExpr AS wu
+         |  FROM ptf2 JOIN pw ON pw.term = ptf2.term
+         |  JOIN pdf2 ON pdf2.term = ptf2.term
+         |  JOIN lens ON lens.doc_id = ptf2.doc_id CROSS JOIN tot),
+         |pagg2 AS (SELECT query_id, doc_id, CAST(sum(wu) AS BIGINT)
+         |            AS score_u4
+         |          FROM ps2 GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score_u4
+         |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_u4 DESC, doc_id) AS BIGINT) AS rk FROM pagg2) z
+         |WHERE rk <= ${CorpusOps.bm25K}
+         |ORDER BY query_id, rk""".stripMargin
+    },
+
+    // cross-modal triplets: lexical positives (minhash graph, mirrored
+    // ids mapped out), embedding hard negatives (q53's capped bucket
+    // join, near-dups anti-joined away). CTE names prefixed t- to stay
+    // clear of the minhash chain's own names
+    "q222_contrastive_triplets" ->
+      s"""WITH $minHashCtesSql,
+         |tprs AS MATERIALIZED (
+         |  SELECT DISTINCT least(a % 100000, b % 100000) AS pa,
+         |    greatest(a % 100000, b % 100000) AS pb
+         |  FROM est
+         |  WHERE est_jaccard >= 0.2 AND a % 100000 <> b % 100000),
+         |tpos AS (SELECT pa AS anchor_id, min(pb) AS pos_id
+         |         FROM tprs GROUP BY pa),
+         |tsym AS (SELECT pa, pb FROM tprs
+         |         UNION ALL SELECT pb, pa FROM tprs),
+         |tbk AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
+         |  FROM embeddings),
+         |tcapped AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, embedding, bucket,
+         |      count(*) OVER (PARTITION BY bucket) AS bsz FROM tbk) z
+         |  WHERE bsz <= 500),
+         |tcand AS (
+         |  SELECT x.vec_id AS anchor_id, y.vec_id AS cand_id,
+         |    ${cosSql("x.embedding", "y.embedding")} AS cand_cos
+         |  FROM tcapped x JOIN tcapped y
+         |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |tcnp AS (
+         |  SELECT c.* FROM tcand c
+         |  LEFT JOIN tsym s ON s.pa = c.anchor_id AND s.pb = c.cand_id
+         |  WHERE s.pa IS NULL AND NOT isnan(c.cand_cos)),
+         |tneg AS (
+         |  SELECT anchor_id, cand_id AS neg_id, cand_cos AS neg_cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cand_cos DESC, cand_id) AS rk FROM tcnp) z
+         |  WHERE rk = 1),
+         |tj AS (
+         |  SELECT p.anchor_id, p.pos_id, n.neg_id, n.neg_cos,
+         |    ${cosSql("ea.embedding", "ep.embedding")} AS pos_cos
+         |  FROM tpos p JOIN tneg n ON n.anchor_id = p.anchor_id
+         |  JOIN embeddings ea ON ea.vec_id = p.anchor_id
+         |  JOIN embeddings ep ON ep.vec_id = p.pos_id)
+         |SELECT anchor_id, pos_id, neg_id, pos_cos, neg_cos,
+         |  CAST(floor(pos_cos*1e4 + 0.5) - floor(neg_cos*1e4 + 0.5)
+         |    AS BIGINT) AS margin_u4,
+         |  (neg_cos >= pos_cos) AS hard
+         |FROM tj WHERE NOT isnan(pos_cos)
+         |ORDER BY anchor_id""".stripMargin,
+
+    // the datasheet as a (stat, value) table — all exact BIGINTs;
+    // quality quantiles ride the (u, cnt) frequency grid (q168's
+    // discipline, never a corpus sort)
+    "q223_dataset_card" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT source, lang,
+         |    CAST(len($toksSql) AS BIGINT) AS nt,
+         |    CAST(len(list_filter($toksSql,
+         |      x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS ns,
+         |    $fpSql AS fp
+         |  FROM documents),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN nt < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_short,
+         |    CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp
+         |  FROM base),
+         |q AS (
+         |  SELECT CAST(floor((CASE WHEN nt = 0 THEN 0.0
+         |    ELSE least(1.0, CAST(nt AS DOUBLE) / 100.0) * 0.6 +
+         |      (CAST(ns AS DOUBLE) / CAST(greatest(nt, 1) AS DOUBLE)) * 0.4
+         |    END) * 1e4 + 0.5) AS BIGINT) AS u
+         |  FROM base),
+         |freq AS (SELECT u, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM q GROUP BY u),
+         |cum AS (
+         |  SELECT u, cnt, sum(cnt) OVER (ORDER BY u) AS cum,
+         |    sum(cnt) OVER () AS n
+         |  FROM freq),
+         |p25 AS (SELECT min(u) AS p25 FROM cum WHERE cum * 100 >= n * 25),
+         |p50 AS (SELECT min(u) AS p50 FROM cum WHERE cum * 100 >= n * 50),
+         |p75 AS (SELECT min(u) AS p75 FROM cum WHERE cum * 100 >= n * 75),
+         |conc AS (
+         |  SELECT CAST(max(sc) AS BIGINT) AS max_source FROM (
+         |    SELECT count(*) AS sc FROM base GROUP BY source) z),
+         |r AS (SELECT * FROM tot, p25, p50, p75, conc),
+         |card AS (
+         |  SELECT 'n_docs' AS stat, n_docs AS value FROM r
+         |  UNION ALL SELECT 'n_sources', n_sources FROM r
+         |  UNION ALL SELECT 'n_langs', n_langs FROM r
+         |  UNION ALL SELECT 'total_tokens', total_tokens FROM r
+         |  UNION ALL SELECT 'mean_doc_tokens_micro',
+         |    CAST((total_tokens * 1000000) // n_docs AS BIGINT) FROM r
+         |  UNION ALL SELECT 'n_exact_dup_docs', n_docs - n_distinct_fp FROM r
+         |  UNION ALL SELECT 'exact_dup_ppm',
+         |    CAST(((n_docs - n_distinct_fp) * 1000000) // n_docs AS BIGINT)
+         |    FROM r
+         |  UNION ALL SELECT 'n_short_docs', n_short FROM r
+         |  UNION ALL SELECT 'short_doc_ppm',
+         |    CAST((n_short * 1000000) // n_docs AS BIGINT) FROM r
+         |  UNION ALL SELECT 'quality_p25_u4', p25 FROM r
+         |  UNION ALL SELECT 'quality_p50_u4', p50 FROM r
+         |  UNION ALL SELECT 'quality_p75_u4', p75 FROM r
+         |  UNION ALL SELECT 'top_source_share_ppm',
+         |    CAST((max_source * 1000000) // n_docs AS BIGINT) FROM r)
+         |SELECT stat, value FROM card ORDER BY stat""".stripMargin,
   )
 }

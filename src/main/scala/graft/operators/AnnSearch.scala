@@ -1296,4 +1296,72 @@ object AnnSearch {
       .orderBy($"adc_dist2", $"vec_id")
       .limit(topK)
   }
+
+  /** Contrastive TRIPLET mining — the (anchor, positive, negative)
+    * training rows an embedding model's triplet/InfoNCE loss consumes,
+    * composed CROSS-MODALLY from two machines the engine already
+    * proves out: positives are LEXICAL near-dup partners (the q55/q97
+    * minhash graph at τ=0.2, endpoints mapped out of the mirrored
+    * corpus and deterministically elected min-partner), negatives are
+    * EMBEDDING-SPACE hard candidates (the q53 capped sign-LSH bucket
+    * join, top-1 cosine among candidates that are NOT lexical
+    * near-dups of the anchor). The cross-modal split is the point: a
+    * lexical positive the embedding already scores above the mined
+    * negative is an easy triplet; `hard = neg_cos ≥ pos_cos` flags the
+    * rows that will actually move the model.
+    *
+    * Scale shape: the positive side is the banded pair chain (never a
+    * corpus self-join); the negative side is bucket-local with hot
+    * buckets capped and per-anchor top-1 pre-reduced through the
+    * bounded TopK aggregate; the near-dup exclusion is one LEFT ANTI
+    * join against the O(pairs) relation; the final cosine lookups are
+    * two keyed joins against the embedding table. Margins are exact
+    * integer 1e-4 units derived from the r4-quantized cosines. */
+  def contrastiveTriplets(spark: SparkSession, dir: String,
+                          bits: Int = 4, maxBlock: Int = 500): DataFrame = {
+    import spark.implicits._
+    def u4c(c: org.apache.spark.sql.Column) =
+      floor(c * 1e4 + lit(0.5)).cast("long")
+    val pairs = graft.CacheGuard.barrier(
+      DedupOps.minHashLshPairsOracled(spark, dir, threshold = 0.2)
+        .select(($"a" % 100000).as("x"), ($"b" % 100000).as("y"))
+        .filter($"x" =!= $"y")
+        .select(least($"x", $"y").as("pa"), greatest($"x", $"y").as("pb"))
+        .distinct())
+    val pos = pairs.groupBy($"pa".as("anchor_id")).agg(min($"pb").as("pos_id"))
+    val sym = pairs.select($"pa", $"pb")
+      .unionByName(pairs.select($"pb".as("pa"), $"pa".as("pb")))
+    val bucketed = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        signLshBucket($"embedding", bits).as("bucket"))
+    val cached = graft.CacheGuard.barrier(bucketed)
+    val embC = Guards.capHotKeys(cached, "bucket", maxBlock)
+    val cand = embC.as("x").join(embC.as("y"),
+        $"x.bucket" === $"y.bucket" && $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("anchor_id"), $"y.vec_id".as("cand_id"),
+        Quant.r4(cosine($"x.embedding", $"y.embedding")).as("cand_cos"))
+      .filter(!isnan($"cand_cos"))
+    val candNoPos = cand.join(sym,
+      cand("anchor_id") === sym("pa") && cand("cand_id") === sym("pb"),
+      "left_anti")
+    val neg = candNoPos.join(pos, "anchor_id")
+      .groupBy($"anchor_id", $"pos_id")
+      .agg(graft.functions.TopK.topK(1)($"cand_cos", $"cand_id").as("hits"))
+      .select($"anchor_id", $"pos_id", explode($"hits").as("h"))
+      .select($"anchor_id", $"pos_id", $"h.vec_id".as("neg_id"),
+        $"h.cos_sim".as("neg_cos"))
+    val emb = Tables.embeddings(spark, dir)
+    neg
+      .join(emb.select($"vec_id".as("anchor_id"), $"embedding".as("ea")),
+        "anchor_id")
+      .join(emb.select($"vec_id".as("pos_id"), $"embedding".as("ep")),
+        "pos_id")
+      .select($"anchor_id", $"pos_id", $"neg_id",
+        Quant.r4(cosine($"ea", $"ep")).as("pos_cos"), $"neg_cos")
+      .filter(!isnan($"pos_cos"))
+      .select($"anchor_id", $"pos_id", $"neg_id", $"pos_cos", $"neg_cos",
+        (u4c($"pos_cos") - u4c($"neg_cos")).as("margin_u4"),
+        ($"neg_cos" >= $"pos_cos").as("hard"))
+      .orderBy($"anchor_id")
+  }
 }

@@ -1065,6 +1065,21 @@ object CorpusOps {
     (4L, "customer"), (4L, "query"))
   val bm25K = 5
 
+  /** The per-(term, doc) BM25 score in exact 1e-4 integer units, over
+    * input columns `n, t, df, tf, dl` — the expression [[bm25Rank]]
+    * documents (idf ln ulp-snapped to 8 decimals before quantization,
+    * rational factors in double). Factored out so [[prfExpandRank]]
+    * scores its expanded term set with the IDENTICAL expression tree. */
+  private def bm25U: org.apache.spark.sql.Column =
+    floor(
+      round(log((lit(2L) * col("n") + 2L).cast("double") / // round-ok: ulp-snap on ln before quantize (round-7 discipline)
+        (lit(2L) * col("df") + 1L).cast("double")), 8) *
+        ((lit(44.0) * col("t").cast("double") * col("tf").cast("double")) /
+          (lit(20.0) * col("t").cast("double") * col("tf").cast("double") +
+            lit(6.0) * col("t").cast("double") +
+            lit(18.0) * col("dl").cast("double") * col("n").cast("double"))) *
+        lit(1e4) + lit(0.5)).cast("long")
+
   /** BM25 ranked retrieval over the corpus (Robertson–Spärck Jones;
     * k1 = 1.2, b = 0.75): per probe query, the top-k documents by
     * summed per-term BM25 — the lexical-retrieval half of a RAG /
@@ -1119,15 +1134,7 @@ object CorpusOps {
       .join(broadcast(qt), "term")
       .join(broadcast(df), "term")
       .crossJoin(broadcast(tot))
-      .select($"query_id", $"doc_id",
-        floor(
-          round(log((lit(2L) * $"n" + 2L).cast("double") / // round-ok: ulp-snap on ln before quantize (round-7 discipline)
-            (lit(2L) * $"df" + 1L).cast("double")), 8) *
-            ((lit(44.0) * $"t".cast("double") * $"tf".cast("double")) /
-              (lit(20.0) * $"t".cast("double") * $"tf".cast("double") +
-                lit(6.0) * $"t".cast("double") +
-                lit(18.0) * $"dl".cast("double") * $"n".cast("double"))) *
-            lit(1e4) + lit(0.5)).cast("long").as("u"))
+      .select($"query_id", $"doc_id", bm25U.as("u"))
     val scored = perTerm.groupBy($"query_id", $"doc_id")
       .agg(sum($"u").as("score_u4"))
     scored.groupBy($"query_id")
@@ -1203,6 +1210,79 @@ object CorpusOps {
       .filter($"rk" <= k)
       .select($"query_id", $"rk", $"doc_id", $"rrf_u6",
         $"bm25_rk", $"dense_rk")
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** Expansion terms per query for [[prfExpandRank]], shared with the
+    * q221 oracle and spec. */
+  val prfExpansions = 2
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971, the
+    * positive-feedback half; PRF as in Robertson's okapi experiments):
+    * run the probe query (q167's BM25), TREAT the top-k as relevant,
+    * mine the terms those feedback documents share, expand the query
+    * with the strongest, and re-rank — the classic recall lever when
+    * the original query under-specifies (here: synthetic 1–3-term
+    * probes against a word-salad corpus, exactly the under-specified
+    * regime). Expansion term selection: ≥4-char alphabetic types
+    * ranked by feedback document frequency (ties to the
+    * lexicographically smallest — deterministic), original terms
+    * excluded, top-[[prfExpansions]] per query; Rocchio weights in
+    * exact integers — original terms ×2, expansion terms ×1 — so the
+    * re-ranked score Σ w·u stays an exact integer sum of the q167
+    * per-term units from the IDENTICAL [[bm25U]] expression tree.
+    *
+    * Scale shape: q167's twice (both scoring passes explode tokens with
+    * dl carried through and cut to the active term set BEFORE the tf
+    * aggregate — the second pass filters by a broadcast semi-join
+    * against the O(queries × (terms+E)) expanded set instead of a
+    * literal isin). The expansion-selection window runs over the
+    * (query, feedback-term) relation — bounded by queries × k docs ×
+    * distinct terms per doc, never the corpus. Final ranking
+    * pre-reduces through the bounded TopK aggregate like q167. */
+  def prfExpandRank(spark: SparkSession, dir: String,
+                    queries: Seq[(Long, String)] = bm25Queries,
+                    k: Int = bm25K, e: Int = prfExpansions): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val qt = queries.toDF("query_id", "term")
+    val fb = bm25Rank(spark, dir, queries, k)
+      .select($"query_id", $"doc_id")
+    val docsTok = docs.select($"doc_id", tokens($"text").as("tk"))
+    val fbTerms = fb.join(docsTok, "doc_id")
+      .select($"query_id", explode(array_distinct($"tk")).as("term"))
+      .filter($"term".rlike("^[a-z]{4,}$"))
+      .join(broadcast(qt), Seq("query_id", "term"), "left_anti")
+      .groupBy($"query_id", $"term").agg(count(lit(1)).as("fb_df"))
+    // bounded window: |fbTerms| ≤ queries × k × terms-per-doc
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"fb_df".desc, $"term".asc)
+    val expTerms = fbTerms
+      .withColumn("rn", row_number().over(wSel)).filter($"rn" <= e)
+      .select($"query_id", $"term", lit(1L).as("w"))
+    val wTerms = qt.select($"query_id", $"term", lit(2L).as("w"))
+      .unionByName(expTerms)
+    val tot = docs.agg(count(lit(1)).as("n"),
+      sum(size(tokens($"text")).cast("long")).as("t"))
+    val tf = docsTok
+      .select($"doc_id", size($"tk").cast("long").as("dl"),
+        explode($"tk").as("term"))
+      .join(broadcast(wTerms.select($"term").distinct()), "term")
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val perTerm = tf
+      .join(broadcast(wTerms), "term")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(tot))
+      .select($"query_id", $"doc_id", ($"w" * bm25U).as("wu"))
+    val scored = perTerm.groupBy($"query_id", $"doc_id")
+      .agg(sum($"wu").as("score_u4"))
+    scored.groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(k)(
+        $"score_u4".cast("double"), $"doc_id").as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rk"),
+        $"col.vec_id".as("doc_id"), $"col.cos_sim".cast("long").as("score_u4"))
       .orderBy($"query_id", $"rk")
   }
 

@@ -217,4 +217,72 @@ object Profiler {
       .withColumn("flagged", $"deviation_ppm" > 10000L)
       .orderBy($"digit")
   }
+
+  /** Dataset card — the datasheet/model-card summary (Gebru et al. 2021)
+    * a corpus release ships with, as ONE queryable artifact: size (docs,
+    * sources, languages, tokens), duplication (exact-fingerprint dup
+    * docs + ppm), shortness (sub-10-token docs + ppm), quality
+    * distribution (exact p25/p50/p75 of the q26/q168 quality score in
+    * 1e-4 units), source concentration (largest source's share), and
+    * mean document length in micro-tokens. Every value is an exact
+    * BIGINT (counts, ppm, u4 grid quantiles) — the card hash-compares
+    * across engines and across releases, so a corpus diff is a table
+    * diff.
+    *
+    * Scale shape: one pass computes the per-doc features (tokens, stop
+    * count, fingerprint) behind a cache barrier; the global stats are
+    * partial-aggregated counts/distincts, the quantiles ride the
+    * (u, cnt) frequency grid (O(distinct scores) rows — the q168
+    * discipline, never a corpus sort), and source concentration rolls
+    * up the O(sources) count relation. The card itself is a stack
+    * unpivot of a 1-row aggregate. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{fingerprint, stopwordCount, tokens}
+    val toks = tokens($"text")
+    val base = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir).select($"source", $"lang",
+        size(toks).cast("long").as("nt"),
+        stopwordCount(toks, TextAnalysis.stopwords)
+          .cast("long").as("ns"),
+        fingerprint($"text").as("fp")))
+    val totals = base.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct($"source").as("n_sources"),
+      countDistinct($"lang").as("n_langs"),
+      sum($"nt").as("total_tokens"),
+      sum(when($"nt" < 10, 1L).otherwise(0L)).as("n_short"),
+      countDistinct($"fp").as("n_distinct_fp"))
+    val freq = base
+      .select(floor(TextAnalysis.qualityExpr($"nt", $"ns") * 1e4 + lit(0.5))
+        .cast("long").as("u"))
+      .groupBy($"u").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"u")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = freq.withColumn("cum", sum($"cnt").over(w))
+      .crossJoin(broadcast(freq.agg(sum($"cnt").as("n"))))
+    def pct(p: Int) = cum.filter($"cum" * 100 >= $"n" * p)
+      .agg(min($"u").as(s"p$p"))
+    val conc = base.groupBy($"source").agg(count(lit(1)).as("sc"))
+      .agg(max($"sc").as("max_source"))
+    val row = totals.crossJoin(pct(25)).crossJoin(pct(50)).crossJoin(pct(75))
+      .crossJoin(conc)
+    row.selectExpr(
+        """stack(12,
+          |  'n_docs', n_docs,
+          |  'n_sources', n_sources,
+          |  'n_langs', n_langs,
+          |  'total_tokens', total_tokens,
+          |  'mean_doc_tokens_micro', total_tokens * 1000000 div n_docs,
+          |  'n_exact_dup_docs', n_docs - n_distinct_fp,
+          |  'exact_dup_ppm', (n_docs - n_distinct_fp) * 1000000 div n_docs,
+          |  'n_short_docs', n_short,
+          |  'short_doc_ppm', n_short * 1000000 div n_docs,
+          |  'quality_p25_u4', p25,
+          |  'quality_p50_u4', p50,
+          |  'quality_p75_u4', p75) AS (stat, value)""".stripMargin)
+      .unionByName(row.selectExpr("'top_source_share_ppm' AS stat",
+        "max_source * 1000000 div n_docs AS value"))
+      .orderBy($"stat")
+  }
 }

@@ -650,4 +650,34 @@ class AnnSearchSpec extends SparkSpec {
       .map { case (v, d) => (v, listOf(eq(v)), d) }
     assert(got.toSeq === expected)
   }
+
+  test("contrastiveTriplets: positives elected from the pair graph, negatives never near-dups") {
+    import spark.implicits._
+    val out = AnnSearch.contrastiveTriplets(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    // the lexical pair graph, mapped out of the mirrored corpus
+    val pairs = DedupOps.minHashLshPairsOracled(spark, sf,
+        threshold = 0.2)
+      .select(($"a" % 100000).as("x"), ($"b" % 100000).as("y"))
+      .filter($"x" =!= $"y").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).distinct
+    graft.CacheGuard.release()
+    val partners = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val (a, p, n) = (r.getAs[Long]("anchor_id"), r.getAs[Long]("pos_id"),
+        r.getAs[Long]("neg_id"))
+      assert(p === pairs.filter(_._1 == a).map(_._2).min,
+        s"positive must be the min partner of $a")
+      assert(n != a && n != p)
+      assert(!partners(a).contains(n), s"negative $n is a near-dup of $a")
+      // margin and hard flag replay from the quantized cosines
+      val (pc, nc) = (r.getAs[Double]("pos_cos"), r.getAs[Double]("neg_cos"))
+      assert(r.getAs[Long]("margin_u4") ===
+        math.floor(pc * 1e4 + 0.5).toLong - math.floor(nc * 1e4 + 0.5).toLong)
+      assert(r.getAs[Boolean]("hard") === (nc >= pc))
+    }
+  }
 }

@@ -767,4 +767,30 @@ class CorpusOpsSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("prfExpandRank: dominates 2x the base ranking on common docs; expansion fires") {
+    val base = CorpusOps.bm25Rank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("score_u4")).toMap
+    val prf = CorpusOps.prfExpandRank(spark, sf).collect()
+    val qids = CorpusOps.bm25Queries.map(_._1).distinct.toSet
+    assert(prf.map(_.getAs[Long]("query_id")).toSet === qids)
+    prf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rk")).sorted.toSeq
+      assert(ranks === (1L to ranks.length))
+      val scores = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("score_u4"))
+      assert(scores.toSeq === scores.sortBy(-_).toSeq)
+    }
+    // original terms carry weight 2 and expansion contributions are ≥ 0,
+    // so any doc in both top-k lists scores ≥ 2x its base score; strict
+    // inequality somewhere proves an expansion term actually matched
+    val common = prf.flatMap { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      base.get(k).map(b => (r.getAs[Long]("score_u4"), b))
+    }
+    assert(common.nonEmpty)
+    common.foreach { case (p, b) => assert(p >= 2 * b) }
+    assert(common.exists { case (p, b) => p > 2 * b },
+      "no expansion term matched any common doc")
+  }
 }

@@ -150,4 +150,47 @@ class ProfilerSpec extends SparkSpec {
       assert(r.getAs[Boolean]("flagged") === (dev > 10000L))
     }
   }
+
+  test("datasetCard: counts, dup/short rates and quantiles replay driver-side") {
+    val out = Profiler.datasetCard(spark, sf).collect()
+      .map(r => r.getAs[String]("stat") -> r.getAs[Long]("value")).toMap
+    graft.CacheGuard.release()
+    assert(out.size === 13)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "lang", "text").collect()
+    val toks = docs.map(r => Option(r.getAs[String]("text")).getOrElse("")
+      .toLowerCase.split("\\s+").filter(_.nonEmpty))
+    assert(out("n_docs") === docs.length.toLong)
+    assert(out("n_sources") ===
+      docs.map(_.getAs[String]("source")).distinct.length.toLong)
+    assert(out("n_langs") ===
+      docs.map(_.getAs[String]("lang")).distinct.length.toLong)
+    assert(out("total_tokens") === toks.map(_.length.toLong).sum)
+    assert(out("n_short_docs") === toks.count(_.length < 10).toLong)
+    assert(out("short_doc_ppm") ===
+      out("n_short_docs") * 1000000L / out("n_docs"))
+    assert(out("exact_dup_ppm") ===
+      out("n_exact_dup_docs") * 1000000L / out("n_docs"))
+    assert(out("mean_doc_tokens_micro") ===
+      out("total_tokens") * 1000000L / out("n_docs"))
+    // quality quantiles: replay the u grid and the discrete-quantile rule
+    val stop = TextAnalysis.stopwords.toSet
+    val us = toks.map { tk =>
+      val nt = tk.length
+      val raw = if (nt == 0) 0.0
+        else math.min(1.0, nt / 100.0) * 0.6 +
+          tk.count(stop) .toDouble / nt * 0.4
+      math.floor(math.floor(raw * 1e4 + 0.5) / 1e4 * 1e4 + 0.5).toLong
+    }.sorted
+    def pct(p: Int): Long = {
+      val n = us.length
+      us.zipWithIndex.collectFirst {
+        case (u, i) if (i + 1) * 100 >= n.toLong * p => u }.get
+    }
+    assert(out("quality_p25_u4") === pct(25))
+    assert(out("quality_p50_u4") === pct(50))
+    assert(out("quality_p75_u4") === pct(75))
+    assert(out("quality_p25_u4") <= out("quality_p50_u4") &&
+      out("quality_p50_u4") <= out("quality_p75_u4"))
+  }
 }
