@@ -6221,8 +6221,15 @@ object SparkEntry {
          |         FROM tprs GROUP BY pa),
          |tsym AS (SELECT pa, pb FROM tprs
          |         UNION ALL SELECT pb, pa FROM tprs),
+         |nb AS (
+         |  SELECT coalesce(min(b.b), ${AnnSearch.triplesMaxBits}) AS bits
+         |  FROM range(0, ${AnnSearch.triplesMaxBits + 1}) b(b)
+         |  CROSS JOIN (SELECT count(*) AS n FROM embeddings) c
+         |  WHERE (1 << b.b) * 100 >= c.n),
          |tbk AS (
-         |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
+         |  SELECT vec_id, embedding,
+         |    (${bucketSql("embedding", 12)}) % (1 << (SELECT bits FROM nb))
+         |      AS bucket
          |  FROM embeddings),
          |tcapped AS (
          |  SELECT * FROM (

@@ -1316,12 +1316,30 @@ object AnnSearch {
     * bounded TopK aggregate; the near-dup exclusion is one LEFT ANTI
     * join against the O(pairs) relation; the final cosine lookups are
     * two keyed joins against the embedding table. Margins are exact
-    * integer 1e-4 units derived from the r4-quantized cosines. */
+    * integer 1e-4 units derived from the r4-quantized cosines.
+    *
+    * ADAPTIVE LSH sizing: with fixed planes, growing the corpus pushes
+    * every bucket past the hot-block cap and the candidate set — and
+    * therefore the whole output — silently collapses to EMPTY (measured
+    * at the sf1 probe with q53's fixed 4 bits: 50k vectors / 16 buckets
+    * ≈ 3k per bucket, all capped). The plane count is therefore derived
+    * from the corpus: the smallest b with 100·2^b ≥ n (target ~100
+    * vectors per bucket, capped at [[triplesMaxBits]] planes), an exact
+    * integer rule the oracle replays with a scalar subquery — the
+    * count() behind it is the same O(1)-row driver action the HITS
+    * normalizers use. Effective buckets are the low-b bits of the
+    * full-width bucket (plane j depends only on j, so truncation ≡
+    * computing with b planes). */
+  val triplesMaxBits = 12
+
   def contrastiveTriplets(spark: SparkSession, dir: String,
-                          bits: Int = 4, maxBlock: Int = 500): DataFrame = {
+                          maxBlock: Int = 500): DataFrame = {
     import spark.implicits._
     def u4c(c: org.apache.spark.sql.Column) =
       floor(c * 1e4 + lit(0.5)).cast("long")
+    val nVec = Tables.embeddings(spark, dir).count()
+    val bits = (0 to triplesMaxBits)
+      .find(b => (1L << b) * 100 >= nVec).getOrElse(triplesMaxBits)
     val pairs = graft.CacheGuard.barrier(
       DedupOps.minHashLshPairsOracled(spark, dir, threshold = 0.2)
         .select(($"a" % 100000).as("x"), ($"b" % 100000).as("y"))
