@@ -205,4 +205,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     graft.CacheGuard.release()
   }
+
+  test("q218 LOO encode: category stats broadcast — the fact table is never sort-merged") {
+    val p = plan(Analytics.looTargetEncode(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q219 feature hashing: no joins at all, partial aggregation, no UDF") {
+    val p = plan(Analytics.featureHashing(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q214 phrase search: probe-term filter sits under the postings join") {
+    val p = plan(MiningOps.phraseSearch(spark, sf))
+    // the isin cut appears as a Filter over the generated postings —
+    // the corpus-sized token stream never reaches the join unfiltered
+    assert(p.contains("fast") && p.contains("merge"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q216 zone-map audit: a single final unpivot — no per-predicate rescan union") {
+    val p = plan(Layout.zoneMapAudit(spark, sf))
+    // 4 predicates over 2 layouts must NOT appear as 8 scans of orders:
+    // two stat aggregations (one per layout) + the stack unpivot
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"expected <=4 scans (2 per layout x 2 print forms), got $scans\n$p")
+  }
+
+  test("q213 benford: one aggregate over the scan; expected table broadcast") {
+    val p = plan(Profiler.benfordAudit(spark, sf))
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
