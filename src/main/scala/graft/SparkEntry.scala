@@ -292,6 +292,9 @@ object SparkEntry {
     "q222_contrastive_triplets" -> ((s, d) =>
       AnnSearch.contrastiveTriplets(s, d)),
     "q223_dataset_card" -> ((s, d) => Profiler.datasetCard(s, d)),
+    "q224_funnel_latency" -> ((s, d) => Analytics.funnelLatency(s, d)),
+    "q225_stickiness" -> ((s, d) => Analytics.stickinessGrid(s, d)),
+    "q226_linear_score" -> ((s, d) => Analytics.linearScore(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -6322,5 +6325,68 @@ object SparkEntry {
          |  UNION ALL SELECT 'top_source_share_ppm',
          |    CAST((max_source * 1000000) // n_docs AS BIGINT) FROM r)
          |SELECT stat, value FROM card ORDER BY stat""".stripMargin,
+
+    // exact integer seconds from microsecond epochs; percentiles on the
+    // (sec, cnt) frequency grid — the discrete-quantile discipline
+    "q224_funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us
+        |  FROM events),
+        |fc AS (SELECT user_id, min(us) AS click_us FROM ev
+        |       WHERE event_type = 'click' GROUP BY user_id),
+        |conv AS (
+        |  SELECT (min(e.us) - fc.click_us) // 1000000 AS sec
+        |  FROM ev e JOIN fc ON fc.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= fc.click_us
+        |  GROUP BY e.user_id, fc.click_us),
+        |freq AS MATERIALIZED (
+        |  SELECT sec, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM conv GROUP BY sec),
+        |cum AS MATERIALIZED (
+        |  SELECT sec, cnt, sum(cnt) OVER (ORDER BY sec) AS cum,
+        |    sum(cnt) OVER () AS n
+        |  FROM freq)
+        |SELECT CAST((SELECT sum(cnt) FROM freq) AS BIGINT) AS n_converted,
+        |  (SELECT min(sec) FROM cum WHERE cum * 100 >= n * 25) AS p25_s,
+        |  (SELECT min(sec) FROM cum WHERE cum * 100 >= n * 50) AS p50_s,
+        |  (SELECT min(sec) FROM cum WHERE cum * 100 >= n * 75) AS p75_s,
+        |  (SELECT min(sec) FROM cum WHERE cum * 100 >= n * 90) AS p90_s,
+        |  (SELECT max(sec) FROM freq) AS max_s""".stripMargin,
+
+    "q225_stickiness" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM d GROUP BY day),
+        |grid AS (SELECT DISTINCT day AS g FROM d),
+        |wau AS (
+        |  SELECT g, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM d JOIN grid
+        |    ON datediff('day', day, g) >= 0 AND datediff('day', day, g) <= 6
+        |  GROUP BY g)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  CAST((dau.dau * 10000) // wau.wau AS BIGINT) AS stickiness_bp
+        |FROM dau JOIN wau ON wau.g = dau.day
+        |ORDER BY dau.day""".stripMargin,
+
+    // q219's features scored by a fixed integer weight formula —
+    // batch model inference as pure relational arithmetic
+    "q226_linear_score" ->
+      s"""WITH f AS (
+         |  SELECT c_custkey, unnest([
+         |    'nation=' || CAST(c_nationkey AS VARCHAR),
+         |    'segment=' || c_mktsegment,
+         |    'acct_neg=' || CAST(c_acctbal < 0 AS VARCHAR)]) AS feat
+         |  FROM customer),
+         |h AS (SELECT c_custkey, ${h32("feat")} AS h FROM f),
+         |x AS (SELECT c_custkey, CAST(h % 64 AS BIGINT) AS bucket,
+         |        CAST(sum(((h // 64) % 2) * 2 - 1) AS BIGINT) AS w
+         |      FROM h GROUP BY c_custkey, h % 64)
+         |SELECT c_custkey,
+         |  CAST(sum(w * ((bucket * 7) % 21 - 10)) AS BIGINT) AS logit,
+         |  (sum(w * ((bucket * 7) % 21 - 10)) > 0) AS predicted
+         |FROM x GROUP BY c_custkey
+         |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -706,6 +706,99 @@ object Analytics {
       .orderBy($"c_custkey", $"bucket")
   }
 
+  /** Funnel conversion-latency distribution — the "how long does the
+    * funnel take" complement of q101's stage counts and q107's cohort
+    * grid: per user, the FIRST click and the first purchase at-or-after
+    * it; the latency distribution is then summarized with EXACT discrete
+    * percentiles on the whole-second grid (the q168/q202 frequency-table
+    * discipline — never a per-group sort, never approx_percentile whose
+    * sketch is engine-specific). Latencies are exact integer seconds
+    * from microsecond epochs (`(µs₂ − µs₁) div 10⁶` — float epoch
+    * seconds would wobble).
+    *
+    * Scale shape: two user-keyed min-aggregations (map-side partials)
+    * + one keyed join; the percentile machinery runs over the
+    * (seconds, count) frequency table — O(distinct latencies) rows. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val firstClick = ev.filter($"event_type" === "click")
+      .groupBy($"user_id").agg(min($"us").as("click_us"))
+    val conv = ev.filter($"event_type" === "purchase")
+      .join(firstClick, "user_id")
+      .filter($"us" >= $"click_us")
+      .groupBy($"user_id", $"click_us").agg(min($"us").as("buy_us"))
+      .select(expr("(buy_us - click_us) div 1000000").as("sec"))
+    val freq = conv.groupBy($"sec").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"sec")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = freq.withColumn("cum", sum($"cnt").over(w))
+      .crossJoin(broadcast(freq.agg(sum($"cnt").as("n"))))
+    def pct(p: Int) = cum.filter($"cum" * 100 >= $"n" * p)
+      .agg(min($"sec").as(s"p${p}_s"))
+    conv.agg(count(lit(1)).as("n_converted"), max($"sec").as("max_s"))
+      .crossJoin(pct(25)).crossJoin(pct(50)).crossJoin(pct(75))
+      .crossJoin(pct(90))
+      .select($"n_converted", $"p25_s", $"p50_s", $"p75_s", $"p90_s",
+        $"max_s")
+  }
+
+  /** DAU/WAU stickiness grid — the engagement ratio product teams track
+    * daily (DAU ÷ trailing-7-day WAU, "what fraction of the weekly
+    * audience shows up today"), and the EXACT audit twin of q205's
+    * rolling-HLL WAU (same trailing window, sketch-free): per day, the
+    * exact distinct daily users, the exact distinct trailing-7-day
+    * users, and stickiness in basis points — all integer.
+    *
+    * Scale shape: the corpus collapses to the distinct (user, day)
+    * relation once (the only corpus-sized shuffle); the trailing window
+    * is a ≤7-row fan-out of that relation onto the day grid (join on
+    * 0 ≤ d − day ≤ 6) followed by one distinct-count per grid day —
+    * state O(days × weekly users), the exact-audit cost q205's sketch
+    * exists to avoid at 100 TB (this query IS the documented exact
+    * half, kept queryable at probe scales). */
+  def stickinessGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val dau = days.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+    val grid = days.select($"day".as("g")).distinct()
+    val wau = days.join(grid,
+        datediff($"g", $"day") >= 0 && datediff($"g", $"day") <= 6)
+      .groupBy($"g").agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, $"day" === $"g")
+      .select($"day", $"dau", $"wau",
+        expr("dau * 10000 div wau").as("stickiness_bp"))
+      .orderBy($"day")
+  }
+
+  /** Batch LINEAR-MODEL scoring over hashed features — the "apply the
+    * domain classifier to the whole corpus" pass every curation
+    * pipeline runs (FineWeb/CCNet quality classifiers, DSIR domain
+    * scorers), demonstrated end-to-end on the q219 hashing-trick
+    * features: score = Σ_b w(b)·x_b with a FIXED deterministic weight
+    * per bucket (w(b) = ((b·7) mod 21) − 10 — an integer formula both
+    * engines compute, standing in for trained weights which would ship
+    * as a broadcast table), prediction = score > 0. All-integer: the
+    * logit needs no sigmoid because the decision boundary and the
+    * ranking are monotone in the logit.
+    *
+    * Scale shape: q219's feature relation joined to nothing — the
+    * weight is a per-row formula (a trained model would broadcast an
+    * O(dim) table); one (key)-keyed rollup with map-side partials. */
+  def linearScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    featureHashing(spark, dir)
+      .select($"c_custkey",
+        ($"w" * (($"bucket" * 7) % 21 - 10)).as("contrib"))
+      .groupBy($"c_custkey")
+      .agg(sum($"contrib").as("logit"))
+      .select($"c_custkey", $"logit", ($"logit" > 0).as("predicted"))
+      .orderBy($"c_custkey")
+  }
+
   /** Integer-exact EWMA smoothing over the last 28 days of per-type
     * event volume — the ops anomaly baseline (yesterday's smoothed level
     * vs today's count) with the recurrence s_t = (3·x_t + 7·s_{t−1}) div

@@ -491,6 +491,78 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("funnelLatency: percentiles replay a driver-side first-click/first-purchase scan") {
+    val out = Analytics.funnelLatency(spark, sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val ev = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"))
+      .collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("event_type"),
+        x.getAs[Long]("us")))
+    val firstClick = ev.filter(_._2 == "click").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val secs = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, us) =>
+        firstClick.get(u).filter(us >= _).map(c => (u, c, us)) }
+      .groupBy(t => (t._1, t._2)).values
+      .map(g => (g.map(_._3).min - g.head._2) / 1000000L).toSeq.sorted
+    assert(r.getAs[Long]("n_converted") === secs.length.toLong)
+    assert(r.getAs[Long]("max_s") === secs.max)
+    def pct(p: Int): Long =
+      secs.zipWithIndex.collectFirst {
+        case (s, i) if (i + 1) * 100 >= secs.length.toLong * p => s }.get
+    assert(r.getAs[Long]("p25_s") === pct(25))
+    assert(r.getAs[Long]("p50_s") === pct(50))
+    assert(r.getAs[Long]("p75_s") === pct(75))
+    assert(r.getAs[Long]("p90_s") === pct(90))
+  }
+
+  test("stickinessGrid: exact trailing-7-day distincts; dau never exceeds wau") {
+    val out = Analytics.stickinessGrid(spark, sf).collect()
+    assert(out.nonEmpty)
+    val days = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toLocalDate))
+    assert(out.length === days.map(_._2).distinct.length)
+    out.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate
+      val dau = days.filter(_._2 == d).map(_._1).distinct.length.toLong
+      val wau = days.filter { case (_, x) =>
+        !x.isAfter(d) && !x.isBefore(d.minusDays(6)) }
+        .map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") === dau)
+      assert(r.getAs[Long]("wau") === wau)
+      assert(dau <= wau)
+      assert(r.getAs[Long]("stickiness_bp") === dau * 10000L / wau)
+    }
+  }
+
+  test("linearScore: logit replays the fixed weight formula over the hashed features") {
+    val feats = Analytics.featureHashing(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("w")))
+    val want = feats.groupBy(_._1).view.mapValues(
+      _.map { case (_, b, w) => w * ((b * 7) % 21 - 10) }.sum).toMap
+    val out = Analytics.linearScore(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val k = r.getAs[Long]("c_custkey")
+      assert(r.getAs[Long]("logit") === want(k))
+      assert(r.getAs[Boolean]("predicted") === (want(k) > 0))
+    }
+    assert(out.length === want.size)
+    // both classes occur — the boundary genuinely separates
+    assert(out.exists(_.getAs[Boolean]("predicted")) &&
+      out.exists(!_.getAs[Boolean]("predicted")))
+  }
+
   test("ewmaDaily: 28 slots per type; the integer recurrence replays from the x column") {
     val out = Analytics.ewmaDaily(spark, sf).collect()
       .groupBy(_.getAs[String]("event_type"))
