@@ -295,6 +295,9 @@ object SparkEntry {
     "q224_funnel_latency" -> ((s, d) => Analytics.funnelLatency(s, d)),
     "q225_stickiness" -> ((s, d) => Analytics.stickinessGrid(s, d)),
     "q226_linear_score" -> ((s, d) => Analytics.linearScore(s, d)),
+    "q227_modularity" -> ((s, d) => Components.modularityAudit(s, d)),
+    "q228_path_mining" -> ((s, d) => Analytics.pathMining(s, d)),
+    "q229_dedup_savings" -> ((s, d) => DedupOps.dedupSavings(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -6388,5 +6391,111 @@ object SparkEntry {
          |  (sum(w * ((bucket * 7) % 21 - 10)) > 0) AS predicted
          |FROM x GROUP BY c_custkey
          |ORDER BY c_custkey""".stripMargin,
+
+    // q116's LPA labels + per-community edge/degree mass; the ppm
+    // division is offset-shifted positive because DuckDB // floors
+    // while Spark div truncates — they disagree on negatives
+    "q227_modularity" -> {
+      val rounds = (0 until 3).map { i =>
+        s"""n$i AS (
+           |  SELECT s.dst, l.lbl, count(*) AS cnt
+           |  FROM sym s JOIN l$i l ON l.node = s.src
+           |  GROUP BY s.dst, l.lbl),
+           |l${i + 1} AS (
+           |  SELECT dst AS node, lbl FROM (
+           |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+           |      ORDER BY cnt DESC, lbl) AS rk
+           |    FROM n$i) z WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minHashCtesSql,
+         |ed AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+         |$rounds,
+         |lf AS MATERIALIZED (SELECT node, lbl FROM l3),
+         |mc AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+         |ein AS (
+         |  SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+         |  FROM ed JOIN lf la ON la.node = ed.a
+         |  JOIN lf lb ON lb.node = ed.b
+         |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+         |ds AS (
+         |  SELECT lf.lbl AS community, CAST(sum(deg) AS BIGINT) AS deg_sum,
+         |    CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM deg JOIN lf ON lf.node = deg.node GROUP BY lf.lbl)
+         |SELECT ds.community, ds.n_nodes, ds.deg_sum,
+         |  coalesce(ein.e_in, 0) AS e_in, mc.m AS m_edges,
+         |  CAST(4 * mc.m * coalesce(ein.e_in, 0) - ds.deg_sum * ds.deg_sum
+         |    AS BIGINT) AS q_num,
+         |  CAST(((4 * mc.m * coalesce(ein.e_in, 0)
+         |      - ds.deg_sum * ds.deg_sum) * 1000000
+         |      + (4 * mc.m * mc.m) * 1000000) // (4 * mc.m * mc.m)
+         |    - 1000000 AS BIGINT) AS q_ppm
+         |FROM ds LEFT JOIN ein ON ein.community = ds.community
+         |CROSS JOIN mc
+         |ORDER BY ds.community""".stripMargin
+    },
+
+    // two leads over one per-user window; support over the O(types^3)
+    // path domain; deterministic top-20 cut
+    "q228_path_mining" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, event_id,
+        |    event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM e),
+        |c AS (
+        |  SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |  GROUP BY e1, e2, e3),
+        |t AS (SELECT sum(cnt) AS n_total FROM c)
+        |SELECT e1, e2, e3, cnt,
+        |  CAST((cnt * 10000) // n_total AS BIGINT) AS support_bp
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+
+    // exact keeper anti-join + greedy pair-drop, one token scan; the
+    // mirrored pair ids map out with % 100000 (q222's device)
+    "q229_dedup_savings" ->
+      s"""WITH $minHashCtesSql,
+         |docs AS MATERIALIZED (
+         |  SELECT doc_id, $fpSql AS fp,
+         |    CAST(len($toksSql) AS BIGINT) AS nt
+         |  FROM documents),
+         |tots AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |           CAST(sum(nt) AS BIGINT) AS tokens_total FROM docs),
+         |keep AS (SELECT fp, min(doc_id) AS keep_id FROM docs GROUP BY fp),
+         |ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_removed,
+         |    CAST(coalesce(sum(d.nt), 0) AS BIGINT) AS tokens_removed
+         |  FROM docs d JOIN keep k
+         |    ON k.fp = d.fp AND d.doc_id <> k.keep_id),
+         |rid AS (
+         |  SELECT DISTINCT greatest(a % 100000, b % 100000) AS doc_id
+         |  FROM est
+         |  WHERE est_jaccard >= 0.2 AND a % 100000 <> b % 100000),
+         |nr AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_removed,
+         |    CAST(coalesce(sum(d.nt), 0) AS BIGINT) AS tokens_removed
+         |  FROM docs d JOIN rid ON rid.doc_id = d.doc_id)
+         |SELECT 'exact' AS method, t.n_docs, t.tokens_total,
+         |  ex.n_removed, ex.tokens_removed,
+         |  CAST((ex.tokens_removed * 10000) // t.tokens_total AS BIGINT)
+         |    AS savings_bp
+         |FROM ex CROSS JOIN tots t
+         |UNION ALL
+         |SELECT 'near_pair_greedy', t.n_docs, t.tokens_total,
+         |  nr.n_removed, nr.tokens_removed,
+         |  CAST((nr.tokens_removed * 10000) // t.tokens_total AS BIGINT)
+         |FROM nr CROSS JOIN tots t
+         |ORDER BY method""".stripMargin,
   )
 }

@@ -799,6 +799,39 @@ object Analytics {
       .orderBy($"c_custkey")
   }
 
+  /** Frequent 3-event PATH mining — the sequential-pattern step past
+    * q118's Markov matrix: transitions say "click follows view"; paths
+    * say "view→click→purchase beats view→click→error" with full
+    * 3-step context (the Markov chain cannot distinguish them — it
+    * forgets the first step). Per user timeline (µs-pinned order,
+    * event_id tie-break), every window of three consecutive events
+    * becomes a path; global counts, support in basis points, top-20.
+    *
+    * Scale shape: TWO `lead`s over ONE per-user window (one sort), then
+    * keyed counting over the O(types³) path domain with map-side
+    * partials; the cut is a TakeOrdered. Longer patterns are more
+    * leads over the same single window — never a self-join per step
+    * (the classic a-priori join blows up; consecutive windows don't). */
+  def pathMining(spark: SparkSession, dir: String,
+                 topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val paths = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .select($"event_type".as("e1"),
+        lead($"event_type", 1).over(w).as("e2"),
+        lead($"event_type", 2).over(w).as("e3"))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .groupBy($"e1", $"e2", $"e3").agg(count(lit(1)).as("cnt"))
+    val total = paths.agg(sum($"cnt").as("n_total"))
+    paths.crossJoin(broadcast(total))
+      .select($"e1", $"e2", $"e3", $"cnt",
+        expr("cnt * 10000 div n_total").as("support_bp"))
+      .orderBy($"cnt".desc, $"e1", $"e2", $"e3")
+      .limit(topK)
+  }
+
   /** Integer-exact EWMA smoothing over the last 28 days of per-type
     * event volume — the ops anomaly baseline (yesterday's smoothed level
     * vs today's count) with the recurrence s_t = (3·x_t + 7·s_{t−1}) div

@@ -620,6 +620,57 @@ object Components {
       .orderBy($"doc_id")
   }
 
+  /** Community-partition MODULARITY audit (Newman 2006) — the "are
+    * q116's communities actually communities" number, the graph twin of
+    * q170's cluster-silhouette audit: per LPA community c,
+    *   Q_c = e_c/m − (d_c/2m)²
+    * (e_c internal edges, d_c degree mass, m total edges); Q = Σ Q_c,
+    * positive when the partition beats the degree-preserving random
+    * graph. All-integer: the per-community numerator 4m·e_c − d_c² is
+    * an exact BIGINT, and the ppm division uses the OFFSET trick —
+    * `((num·10⁶ + 10⁶·4m²) div 4m²) − 10⁶` — because num can be
+    * NEGATIVE and Spark's `div` truncates toward zero while DuckDB's
+    * `//` floors: the two disagree on every negative quotient, so the
+    * division is shifted into positive territory where truncation ≡
+    * floor (num ≥ −d_c² ≥ −4m², so a 10⁶·den offset always covers the
+    * scaled numerator).
+    *
+    * Scale shape: LPA's rounds (one keyed shuffle each) + two keyed
+    * label joins on the edge list + O(communities) rollups; m is the
+    * O(1)-row driver action. The scaled arithmetic is LONG here and
+    * documented DECIMAL(38) beyond m ≈ 10⁹ edges. */
+  def modularityAudit(spark: SparkSession, dir: String,
+                      threshold: Double = 0.2, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = graft.CacheGuard.barrier(
+      DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
+        .select($"a", $"b"))
+    val labels = labelPropagation(edges, iters)
+    val m = edges.count()
+    val den = 4L * m * m
+    val la = labels.select($"node".as("a"), $"lbl".as("la"))
+    val lb = labels.select($"node".as("b"), $"lbl".as("lb"))
+    val ein = edges.join(la, "a").join(lb, "b")
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = edges.select($"a".as("node"))
+      .unionByName(edges.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val dsum = deg.join(labels, "node")
+      .groupBy($"lbl".as("community"))
+      .agg(sum($"deg").as("deg_sum"), count(lit(1)).as("n_nodes"))
+    dsum.join(ein, Seq("community"), "left")
+      .select($"community", $"n_nodes", $"deg_sum",
+        coalesce($"e_in", lit(0L)).as("e_in"))
+      .withColumn("q_num",
+        lit(4L * m) * $"e_in" - $"deg_sum" * $"deg_sum")
+      .select($"community", $"n_nodes", $"deg_sum", $"e_in",
+        lit(m).as("m_edges"), $"q_num",
+        (expr(s"((q_num * 1000000 + ${den * 1000000L}) div $den)")
+          - 1000000L).as("q_ppm"))
+      .orderBy($"community")
+  }
+
   /** Root + depth for every node of a parent-pointer FOREST by pointer
     * doubling (Wyllie 1979 list ranking, the forest form): each round
     * replaces every node's ancestor pointer with its ancestor's ancestor

@@ -1302,4 +1302,60 @@ object DedupOps {
           .as("jaccard"))
       .orderBy($"src_a", $"src_b")
   }
+
+  /** Dedup TOKEN-SAVINGS report — the cost dimension q174's policy
+    * table leaves out: a dedup decision is ultimately "how many
+    * training tokens does this policy free", so per method report docs
+    * removed AND tokens removed. Two policies side by side:
+    *   - `exact`: fingerprint groups keep the min doc id (q18's rule) —
+    *     every later copy's tokens are savings,
+    *   - `near_pair_greedy`: each minhash pair at τ=0.2 (mirrored ids
+    *     mapped out, canonical a<b) drops the LARGER id — the greedy
+    *     per-pair policy between q18's exact and q67's CC-keeper
+    *     election (CC-based removal is q149/q153's job; greedy needs no
+    *     component computation and bounds it from below).
+    * All-integer: counts, token sums, savings in basis points.
+    *
+    * Scale shape: one tokenize scan for per-doc token counts (cached);
+    * exact savings need one fingerprint groupBy + a keeper anti-join;
+    * greedy savings collapse the pair relation to DISTINCT removed ids
+    * before the one token join. No CC rounds, no self-joins beyond the
+    * banded pair chain. */
+  def dedupSavings(spark: SparkSession, dir: String,
+                   threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{fingerprint, tokens}
+    val docs = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir).select($"doc_id",
+        fingerprint($"text").as("fp"),
+        size(tokens($"text")).cast("long").as("nt")))
+    val totals = docs.agg(count(lit(1)).as("n_docs"),
+      sum($"nt").as("tokens_total"))
+    // exact: keeper = min doc id per fingerprint; the rest are removed
+    val keepers = docs.groupBy($"fp")
+      .agg(min($"doc_id").as("keep_id"))
+      .select($"fp".as("k_fp"), $"keep_id")
+    val exactRemoved = docs.join(keepers,
+        docs("fp") === $"k_fp" && docs("doc_id") === $"keep_id", "left_anti")
+      .agg(count(lit(1)).as("n_removed"), sum($"nt").as("tokens_removed"))
+    // near greedy: each canonical pair drops its larger id, once
+    val removedIds = minHashLshPairsOracled(spark, dir,
+        threshold = threshold)
+      .select(($"a" % 100000).as("x"), ($"b" % 100000).as("y"))
+      .filter($"x" =!= $"y")
+      .select(greatest($"x", $"y").as("doc_id"))
+      .distinct()
+    val nearRemoved = docs.join(removedIds, "doc_id")
+      .agg(count(lit(1)).as("n_removed"), sum($"nt").as("tokens_removed"))
+    def row(method: String, removed: DataFrame) =
+      removed.crossJoin(broadcast(totals))
+        .select(lit(method).as("method"), $"n_docs", $"tokens_total",
+          coalesce($"n_removed", lit(0L)).as("n_removed"),
+          coalesce($"tokens_removed", lit(0L)).as("tokens_removed"),
+          expr("coalesce(tokens_removed, 0) * 10000 div tokens_total")
+            .as("savings_bp"))
+    row("exact", exactRemoved)
+      .unionByName(row("near_pair_greedy", nearRemoved))
+      .orderBy($"method")
+  }
 }

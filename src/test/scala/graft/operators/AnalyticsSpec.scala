@@ -563,6 +563,33 @@ class AnalyticsSpec extends SparkSpec {
       out.exists(!_.getAs[Boolean]("predicted")))
   }
 
+  test("pathMining: 3-windows replay a driver-side per-user timeline scan") {
+    val out = Analytics.pathMining(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val ev = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val want = ev.groupBy(_._1).values.flatMap { g =>
+      val tl = g.sortBy(t => (t._2, t._3)).map(_._4)
+      tl.sliding(3).filter(_.length == 3).map(w => (w(0), w(1), w(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = want.values.sum
+    out.foreach { r =>
+      val k = (r.getAs[String]("e1"), r.getAs[String]("e2"),
+        r.getAs[String]("e3"))
+      assert(r.getAs[Long]("cnt") === want(k), s"path $k")
+      assert(r.getAs[Long]("support_bp") === want(k) * 10000L / total)
+    }
+    // the cut keeps the globally most frequent paths
+    val cutMin = out.map(_.getAs[Long]("cnt")).min
+    assert(want.values.count(_ > cutMin) <= out.length)
+  }
+
   test("ewmaDaily: 28 slots per type; the integer recurrence replays from the x column") {
     val out = Analytics.ewmaDaily(spark, sf).collect()
       .groupBy(_.getAs[String]("event_type"))

@@ -408,6 +408,31 @@ class ComponentsSpec extends SparkSpec {
     assert(cut(2L) === 2L && cut(3L) === -1L && cut(4L) === -1L)
   }
 
+  test("modularityAudit: mass identities and the offset-division replay hold") {
+    val out = Components.modularityAudit(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val m = out.head.getAs[Long]("m_edges")
+    assert(out.forall(_.getAs[Long]("m_edges") == m))
+    // internal edges never exceed the graph; degree mass partitions 2m
+    assert(out.map(_.getAs[Long]("e_in")).sum <= m)
+    assert(out.map(_.getAs[Long]("deg_sum")).sum === 2 * m)
+    val den = BigInt(4) * m * m
+    out.foreach { r =>
+      val (ein, ds) = (r.getAs[Long]("e_in"), r.getAs[Long]("deg_sum"))
+      assert(r.getAs[Long]("q_num") === 4 * m * ein - ds * ds)
+      // floor-division replay (BigInt / floors toward -inf for our
+      // positive-shifted dividend)
+      val want = (BigInt(r.getAs[Long]("q_num")) * 1000000 + den * 1000000) /
+        den - 1000000
+      assert(BigInt(r.getAs[Long]("q_ppm")) === want)
+      assert(r.getAs[Long]("q_ppm") > -1000000L &&
+        r.getAs[Long]("q_ppm") <= 1000000L)
+    }
+    // a near-dup graph's LPA partition must beat the random graph
+    assert(out.map(_.getAs[Long]("q_num")).map(BigInt(_)).sum > 0)
+  }
+
   test("bfsDocs: seeds at 0 hops; every reached non-seed within the round budget") {
     val out = Components.bfsDocs(spark, sf).collect()
     graft.CacheGuard.release()

@@ -724,4 +724,35 @@ class DedupSpec extends SparkSpec {
     // and the keeper collapse really removed the intra-cluster pair volume
     assert(got.length < full.length)
   }
+
+  test("dedupSavings: exact side replays the fingerprint keeper rule; rates consistent") {
+    import spark.implicits._
+    val out = DedupOps.dedupSavings(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    graft.CacheGuard.release()
+    assert(out.keySet === Set("exact", "near_pair_greedy"))
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = Option(r.getAs[String]("text")).getOrElse("")
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.toLowerCase.trim.replaceAll("\\s+", " ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (r.getAs[Long]("doc_id"), fp,
+          t.toLowerCase.split("\\s+").count(_.nonEmpty).toLong)
+      }
+    val ex = out("exact")
+    assert(ex.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(ex.getAs[Long]("tokens_total") === docs.map(_._3).sum)
+    val removed = docs.groupBy(_._2).values
+      .flatMap(g => g.sortBy(_._1).drop(1)).toSeq
+    assert(ex.getAs[Long]("n_removed") === removed.length.toLong)
+    assert(ex.getAs[Long]("tokens_removed") === removed.map(_._3).sum)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("savings_bp") ===
+        r.getAs[Long]("tokens_removed") * 10000L /
+          r.getAs[Long]("tokens_total"))
+      assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }
