@@ -298,6 +298,9 @@ object SparkEntry {
     "q227_modularity" -> ((s, d) => Components.modularityAudit(s, d)),
     "q228_path_mining" -> ((s, d) => Analytics.pathMining(s, d)),
     "q229_dedup_savings" -> ((s, d) => DedupOps.dedupSavings(s, d)),
+    "q230_lateness_audit" -> ((s, d) => Analytics.latenessAudit(s, d)),
+    "q231_join_card_audit" -> ((s, d) => Analytics.joinCardAudit(s, d)),
+    "q232_rle_audit" -> ((s, d) => Layout.rleAudit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -6497,5 +6500,118 @@ object SparkEntry {
          |  CAST((nr.tokens_removed * 10000) // t.tokens_total AS BIGINT)
          |FROM nr CROSS JOIN tots t
          |ORDER BY method""".stripMargin,
+
+    // running per-user high-water mark (exclusive), then a CASE sweep
+    // over the fixed delta grid
+    "q230_lateness_audit" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(date_trunc('microseconds', ts)) AS us,
+        |    epoch_us(date_trunc('microseconds', ts))
+        |      + (${h32("CAST(event_id AS VARCHAR)")} % 600) * 1000000
+        |      AS arrival_us
+        |  FROM events),
+        |h AS (
+        |  SELECT us, max(us) OVER (PARTITION BY user_id
+        |    ORDER BY arrival_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM e),
+        |f AS (SELECT * FROM h WHERE hwm IS NOT NULL),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_eligible,
+        |    CAST(sum(CASE WHEN us < hwm - 0 THEN 1 ELSE 0 END) AS BIGINT) AS l0,
+        |    CAST(sum(CASE WHEN us < hwm - 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS l10,
+        |    CAST(sum(CASE WHEN us < hwm - 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS l60,
+        |    CAST(sum(CASE WHEN us < hwm - 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS l300,
+        |    CAST(sum(CASE WHEN us < hwm - 900000000 THEN 1 ELSE 0 END) AS BIGINT) AS l900
+        |  FROM f),
+        |r AS (
+        |  SELECT CAST(0 AS BIGINT) AS delta_s, n_eligible, l0 AS n_late FROM agg
+        |  UNION ALL SELECT 10, n_eligible, l10 FROM agg
+        |  UNION ALL SELECT 60, n_eligible, l60 FROM agg
+        |  UNION ALL SELECT 300, n_eligible, l300 FROM agg
+        |  UNION ALL SELECT 900, n_eligible, l900 FROM agg)
+        |SELECT delta_s, n_eligible, n_late,
+        |  CAST((n_late * 10000) // n_eligible AS BIGINT) AS late_bp
+        |FROM r ORDER BY delta_s""".stripMargin,
+
+    // System-R estimate |A||B|/max(ndv) vs the actual join count
+    "q231_join_card_audit" ->
+      """WITH oc AS (
+        |  SELECT 'orders_customer' AS join_name,
+        |    (SELECT count(*) FROM orders) AS n_l,
+        |    (SELECT count(*) FROM customer) AS n_r,
+        |    (SELECT count(DISTINCT o_custkey) FROM orders) AS d_l,
+        |    (SELECT count(DISTINCT c_custkey) FROM customer) AS d_r,
+        |    (SELECT count(*) FROM orders JOIN customer
+        |      ON o_custkey = c_custkey) AS actual),
+        |lo AS (
+        |  SELECT 'lineitem_orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |    (SELECT count(DISTINCT o_orderkey) FROM orders),
+        |    (SELECT count(*) FROM lineitem JOIN orders
+        |      ON l_orderkey = o_orderkey)),
+        |lp AS (
+        |  SELECT 'lineitem_part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM part),
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |    (SELECT count(DISTINCT p_partkey) FROM part),
+        |    (SELECT count(*) FROM lineitem JOIN part
+        |      ON l_partkey = p_partkey)),
+        |ck AS (SELECT user_id AS cu FROM events WHERE event_type = 'click'),
+        |pc AS (SELECT user_id AS pu FROM events
+        |       WHERE event_type = 'purchase'),
+        |cp AS (
+        |  SELECT 'clicks_purchases_user',
+        |    (SELECT count(*) FROM ck),
+        |    (SELECT count(*) FROM pc),
+        |    (SELECT count(DISTINCT cu) FROM ck),
+        |    (SELECT count(DISTINCT pu) FROM pc),
+        |    (SELECT count(*) FROM ck JOIN pc ON cu = pu)),
+        |u AS (SELECT * FROM oc UNION ALL SELECT * FROM lo
+        |      UNION ALL SELECT * FROM lp UNION ALL SELECT * FROM cp)
+        |SELECT join_name, CAST(n_l AS BIGINT) AS n_l,
+        |  CAST(n_r AS BIGINT) AS n_r, CAST(d_l AS BIGINT) AS d_l,
+        |  CAST(d_r AS BIGINT) AS d_r,
+        |  CAST((n_l * n_r) // greatest(d_l, d_r) AS BIGINT) AS est,
+        |  CAST(actual AS BIGINT) AS actual,
+        |  CAST((abs((n_l * n_r) // greatest(d_l, d_r) - actual) * 1000000)
+        |    // greatest(actual, 1) AS BIGINT) AS err_ppm
+        |FROM u ORDER BY join_name""".stripMargin,
+
+    // block-local lag runs vs the distinct-count floor
+    "q232_rle_audit" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_orderkey, o_orderkey // 1000 AS blk,
+        |    o_orderstatus, o_orderpriority
+        |  FROM orders),
+        |r1 AS (
+        |  SELECT 'o_orderstatus' AS "column",
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> o_orderstatus
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS natural_runs,
+        |    (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+        |     FROM base) AS sorted_runs
+        |  FROM (SELECT o_orderstatus, lag(o_orderstatus, 1)
+        |      OVER (PARTITION BY blk ORDER BY o_orderkey) AS prev
+        |    FROM base) z),
+        |r2 AS (
+        |  SELECT 'o_orderpriority',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+        |     FROM base)
+        |  FROM (SELECT o_orderpriority, lag(o_orderpriority, 1)
+        |      OVER (PARTITION BY blk ORDER BY o_orderkey) AS prev
+        |    FROM base) z),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |SELECT "column", n_rows, natural_runs, sorted_runs,
+        |  CAST(((natural_runs - sorted_runs) * 10000) // natural_runs
+        |    AS BIGINT) AS shrink_bp
+        |FROM u ORDER BY "column" """.stripMargin,
   )
 }

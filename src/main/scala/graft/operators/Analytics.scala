@@ -799,6 +799,106 @@ object Analytics {
       .orderBy($"c_custkey")
   }
 
+  /** Watermark-LATENESS audit — the batch measurement behind choosing a
+    * streaming watermark delay (q17/q166's knob): for each candidate
+    * delay δ, how many events would arrive LATE (event time below the
+    * per-stream high-water mark minus δ at their arrival position) and
+    * be dropped by a watermark-δ window. The synthetic stream carries
+    * no transport delay (event-id order ≡ event-time order — every
+    * event would be "on time" and the audit would read all-zero), so
+    * arrival is modeled with a DETERMINISTIC md5 transit delay of up to
+    * 10 minutes per event (`us + (h32(event_id) mod 600)·10⁶`) — the
+    * reordering a real ingest path produces; a deployment replaces the
+    * modeled arrival key with its ingest timestamp column. Arrival
+    * order lives within a user's stream (the keyed-stream model
+    * Structured Streaming shards by); the high-water mark is a running
+    * max of EVENT time over arrival order, excluding the current row.
+    * One δ grid row per policy: drops, and the drop rate over events
+    * that have a predecessor; δ=900s sits above the max modeled delay,
+    * so the grid shows the policy saturating to zero.
+    *
+    * Scale shape: ONE per-user window (bounded by the user's stream,
+    * the same key the real stream partitions by — never a global
+    * arrival order, which would serialize the corpus) computes the
+    * running max once; the δ sweep is per-row CASE arithmetic over the
+    * fixed grid, aggregated map-side to O(grid) rows. */
+  def latenessAudit(spark: SparkSession, dir: String,
+                    deltasSec: Seq[Long] = Seq(0L, 10L, 60L, 300L, 900L))
+      : DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"arrival_us", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("arrival_us", $"us" +
+        (graft.functions.TextFunctions.md5Hash32($"event_id".cast("string"))
+          % 600) * 1000000L)
+      .withColumn("hwm", max($"us").over(w))
+      .filter($"hwm".isNotNull)
+    val base = ev.select(
+      deltasSec.map(d =>
+        sum(when($"us" < $"hwm" - d * 1000000L, 1L).otherwise(0L))
+          .as(s"late_$d")) :+ count(lit(1)).as("n_eligible"): _*)
+    val stackSql = deltasSec.map(d => s"$d, late_$d").mkString(", ")
+    base.selectExpr("n_eligible",
+        s"stack(${deltasSec.size}, $stackSql) AS (delta_s, n_late)")
+      .select($"delta_s".cast("long").as("delta_s"), $"n_eligible",
+        $"n_late", expr("n_late * 10000 div n_eligible").as("late_bp"))
+      .orderBy($"delta_s")
+  }
+
+  /** Join-cardinality ESTIMATOR audit — the System-R statistics rule a
+    * cost-based optimizer (and AQE's broadcast decision) lives on:
+    * |A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k)). Per named join of the
+    * star schema, the estimate from exact table stats vs the ACTUAL
+    * join cardinality, error in ppm — the "can I trust my stats"
+    * report that decides when to reanalyze. All-integer (the estimator
+    * division is one floor div; inputs are exact counts).
+    *
+    * Scale shape: per join, two stat aggregations (count + distinct on
+    * the key, map-side partial) and one exact join count — the audit
+    * costs what the join costs, which is the point: run it on the
+    * joins you're about to commit a plan strategy to. */
+  def joinCardAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def audit(name: String, left: DataFrame, lk: String,
+              right: DataFrame, rk: String): DataFrame = {
+      val ls = left.agg(count(lit(1)).as("n_l"),
+        countDistinct(col(lk)).as("d_l"))
+      val rs = right.agg(count(lit(1)).as("n_r"),
+        countDistinct(col(rk)).as("d_r"))
+      val actual = left.join(right, col(lk) === col(rk))
+        .agg(count(lit(1)).as("actual"))
+      ls.crossJoin(rs).crossJoin(actual)
+        .select(lit(name).as("join_name"), $"n_l", $"n_r", $"d_l", $"d_r",
+          expr("n_l * n_r div greatest(d_l, d_r)").as("est"), $"actual")
+        .withColumn("err_ppm",
+          expr("abs(est - actual) * 1000000 div greatest(actual, 1)"))
+    }
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    // the m:n case is where the formula actually errs: FK joins with
+    // complete NDV stats estimate exactly (actual ≡ n_fact — the first
+    // three rows PROVE that), while a many-many self-join's true size is
+    // Σ_u c_u·p_u, which the independence assumption understates under
+    // skew — the audit's reason to exist
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"))
+    audit("orders_customer", o, "o_custkey", c, "c_custkey")
+      .unionByName(audit("lineitem_orders", l, "l_orderkey", o, "o_orderkey"))
+      .unionByName(audit("lineitem_part", l, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(audit("clicks_purchases_user", clicks, "cu",
+        purchases, "pu"))
+      .orderBy($"join_name")
+  }
+
   /** Frequent 3-event PATH mining — the sequential-pattern step past
     * q118's Markov matrix: transitions say "click follows view"; paths
     * say "view→click→purchase beats view→click→error" with full

@@ -341,4 +341,46 @@ object Layout {
         $"rows_skipped")
       .orderBy($"layout", $"predicate")
   }
+
+  /** Run-length-encoding LAYOUT audit — the write-side companion of the
+    * zone-map audit (q216): parquet/ORC encode columns per page, and a
+    * low-cardinality column's page size is ~its RUN count, so "would
+    * sorting this table shrink it" is answerable from run statistics
+    * alone, before any rewrite. Per audited column:
+    *   - `natural_runs`: runs summed over arrival-order blocks of 1000
+    *     (block-local RLE — exactly the page boundary a writer sees;
+    *     counted with one lag per block, never a global order),
+    *   - `sorted_runs`: the floor any sort achieves = the column's
+    *     distinct count (each value is one run),
+    * and the implied shrink in basis points. The decision artifact for
+    * q102's Z-order / q132's compaction: a column whose natural runs
+    * already approach its distinct count gains nothing.
+    *
+    * Scale shape: one lag window PER BLOCK (bounded by blockSize) per
+    * column + a distinct count; no global window, no rewrite. */
+  def rleAudit(spark: SparkSession, dir: String,
+               blockSize: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val base = graft.CacheGuard.barrier(
+      Tables.orders(spark, dir).select($"o_orderkey",
+        expr(s"o_orderkey div $blockSize").as("blk"),
+        $"o_orderstatus", $"o_orderpriority"))
+    def audit(colName: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"blk").orderBy($"o_orderkey")
+      val runs = base
+        .withColumn("prev", lag(col(colName), 1).over(w))
+        .agg(sum(when($"prev".isNull || $"prev" =!= col(colName), 1L)
+          .otherwise(0L)).as("natural_runs"),
+          count(lit(1)).as("n_rows"))
+      val sorted = base.agg(countDistinct(col(colName)).as("sorted_runs"))
+      runs.crossJoin(sorted)
+        .select(lit(colName).as("column"), $"n_rows", $"natural_runs",
+          $"sorted_runs",
+          expr("(natural_runs - sorted_runs) * 10000 div natural_runs")
+            .as("shrink_bp"))
+    }
+    audit("o_orderstatus").unionByName(audit("o_orderpriority"))
+      .orderBy($"column")
+  }
 }

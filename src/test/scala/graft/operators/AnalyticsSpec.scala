@@ -563,6 +563,71 @@ class AnalyticsSpec extends SparkSpec {
       out.exists(!_.getAs[Boolean]("predicted")))
   }
 
+  test("latenessAudit: drops replay the modeled arrival order and decay in delta") {
+    val out = Analytics.latenessAudit(spark, sf).collect()
+      .map(r => r.getAs[Long]("delta_s") -> r).toMap
+    assert(out.keySet === Set(0L, 10L, 60L, 300L, 900L))
+    // driver replay: same md5 jitter, per-user arrival order
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val ev = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us")))
+    // per-user arrival order, exclusive running high-water mark
+    val perUser = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.map { case (_, id, us) =>
+        (us + (h32(id.toString) % 600) * 1000000L, id, us) }
+        .sortBy(t => (t._1, t._2)).map(_._3)
+      sorted.zipWithIndex.drop(1).map { case (us, i) =>
+        (us, sorted.take(i).max) }
+    }.toSeq
+    Seq(0L, 10L, 60L, 300L, 900L).foreach { d =>
+      val want = perUser.count { case (us, hwm) => us < hwm - d * 1000000L }
+      assert(out(d).getAs[Long]("n_late") === want.toLong, s"delta $d")
+      assert(out(d).getAs[Long]("n_eligible") === perUser.length.toLong)
+      assert(out(d).getAs[Long]("late_bp") ===
+        want.toLong * 10000L / perUser.length)
+    }
+    // monotone decay, saturating above the max modeled delay
+    val lates = Seq(0L, 10L, 60L, 300L, 900L).map(out(_).getAs[Long]("n_late"))
+    assert(lates === lates.sorted.reverse)
+    assert(lates.last === 0L)
+  }
+
+  test("joinCardAudit: stats replay; FK joins estimate exactly, the m:n join is the audit's case") {
+    val out = Analytics.joinCardAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("join_name") -> r).toMap
+    assert(out.size === 4)
+    out.values.foreach { r =>
+      val (nl, nr) = (r.getAs[Long]("n_l"), r.getAs[Long]("n_r"))
+      val (dl, dr) = (r.getAs[Long]("d_l"), r.getAs[Long]("d_r"))
+      assert(r.getAs[Long]("est") === nl * nr / math.max(dl, dr))
+      assert(r.getAs[Long]("err_ppm") ===
+        math.abs(r.getAs[Long]("est") - r.getAs[Long]("actual")) * 1000000L /
+          math.max(r.getAs[Long]("actual"), 1L))
+    }
+    // FK joins with complete NDV stats are estimated exactly
+    assert(out("orders_customer").getAs[Long]("err_ppm") === 0L)
+    assert(out("lineitem_part").getAs[Long]("err_ppm") === 0L)
+    // the m:n row replays its exact actual = sum over users of c_u * p_u
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val c = ev.filter(_._2 == "click").groupBy(_._1).view.mapValues(_.length).toMap
+    val p = ev.filter(_._2 == "purchase").groupBy(_._1).view.mapValues(_.length).toMap
+    val actual = c.toSeq
+      .map { case (u, cu) => cu.toLong * p.getOrElse(u, 0).toLong }.sum
+    assert(out("clicks_purchases_user").getAs[Long]("actual") === actual)
+  }
+
   test("pathMining: 3-windows replay a driver-side per-user timeline scan") {
     val out = Analytics.pathMining(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 20)

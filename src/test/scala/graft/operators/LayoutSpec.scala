@@ -246,4 +246,32 @@ class LayoutSpec extends SparkSpec {
     assert(out(("key_block", "date_ge_2000")).getAs[Long]("n_skipped") === 0L)
     assert(out(("month", "date_ge_2000")).getAs[Long]("n_skipped") > 0L)
   }
+
+  test("rleAudit: block-local runs replay driver-side; sorting floors at the distinct count") {
+    val out = Layout.rleAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    graft.CacheGuard.release()
+    assert(out.keySet === Set("o_orderstatus", "o_orderpriority"))
+    val rows = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[String]("o_orderstatus"),
+        r.getAs[String]("o_orderpriority")))
+    def runs(get: ((Long, String, String)) => String): Long =
+      rows.groupBy(_._1 / 1000).values.map { blk =>
+        val vs = blk.sortBy(_._1).map(get)
+        1L + vs.sliding(2).count(w => w.length == 2 && w(0) != w(1))
+      }.sum
+    out.foreach { case (cn, r) =>
+      val get: ((Long, String, String)) => String =
+        if (cn == "o_orderstatus") _._2 else _._3
+      assert(r.getAs[Long]("natural_runs") === runs(get), cn)
+      assert(r.getAs[Long]("sorted_runs") ===
+        rows.map(get).distinct.length.toLong)
+      assert(r.getAs[Long]("natural_runs") >= r.getAs[Long]("sorted_runs"))
+      assert(r.getAs[Long]("shrink_bp") ===
+        (r.getAs[Long]("natural_runs") - r.getAs[Long]("sorted_runs")) *
+          10000L / r.getAs[Long]("natural_runs"))
+      assert(r.getAs[Long]("n_rows") === rows.length.toLong)
+    }
+  }
 }
