@@ -301,6 +301,10 @@ object SparkEntry {
     "q230_lateness_audit" -> ((s, d) => Analytics.latenessAudit(s, d)),
     "q231_join_card_audit" -> ((s, d) => Analytics.joinCardAudit(s, d)),
     "q232_rle_audit" -> ((s, d) => Layout.rleAudit(s, d)),
+    "q233_stream_enrich" -> ((s, d) =>
+      graft.streaming.StreamOps.enrichedSegmentReport(s, d)),
+    "q234_winsorized_mean" -> ((s, d) => Analytics.winsorizedReport(s, d)),
+    "q235_degree_histogram" -> ((s, d) => Components.degreeHistogram(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -6613,5 +6617,80 @@ object SparkEntry {
         |  CAST(((natural_runs - sorted_runs) * 10000) // natural_runs
         |    AS BIGINT) AS shrink_bp
         |FROM u ORDER BY "column" """.stripMargin,
+
+    // stream-static enrichment rolled to (segment, hour); LEFT join —
+    // unmatched facts survive as 'unknown', never dropped
+    "q233_stream_enrich" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS d_user, c_mktsegment AS segment
+        |  FROM customer),
+        |e AS (
+        |  SELECT e.user_id, date_trunc('hour', e.ts) AS wstart,
+        |    coalesce(d.segment, 'unknown') AS segment
+        |  FROM events e LEFT JOIN dim d ON d.d_user = e.user_id)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  segment, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e GROUP BY 1, 2
+        |ORDER BY window_start, segment""".stripMargin,
+
+    // exact discrete p1/p99 clip bounds from the (type, unit) grid;
+    // sums exact integers, means one floor division each
+    "q234_winsorized_mean" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS u
+        |  FROM events),
+        |freq AS (
+        |  SELECT event_type, u, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, u, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY u) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM freq),
+        |lo AS (SELECT event_type, min(u) AS lo_u2 FROM cum
+        |       WHERE cum * 100 >= n * 1 GROUP BY 1),
+        |hi AS (SELECT event_type, min(u) AS hi_u2 FROM cum
+        |       WHERE cum * 100 >= n * 99 GROUP BY 1),
+        |j AS (
+        |  SELECT ev.event_type, u, lo_u2, hi_u2,
+        |    greatest(least(u, hi_u2), lo_u2) AS uw
+        |  FROM ev JOIN lo USING (event_type) JOIN hi USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n, lo_u2, hi_u2,
+        |  CAST(sum(CASE WHEN u < lo_u2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_low,
+        |  CAST(sum(CASE WHEN u > hi_u2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_high,
+        |  CAST(sum(u) AS BIGINT) AS sum_u2,
+        |  CAST(sum(uw) AS BIGINT) AS sum_win_u2,
+        |  CAST(CAST(sum(u) AS BIGINT) // count(*) AS BIGINT) AS mean_u2,
+        |  CAST(CAST(sum(uw) AS BIGINT) // count(*) AS BIGINT)
+        |    AS mean_win_u2
+        |FROM j GROUP BY event_type, lo_u2, hi_u2
+        |ORDER BY event_type""".stripMargin,
+
+    // exact power-of-two range membership (never floor(log2): the float
+    // log wobbles at exact powers)
+    "q235_degree_histogram" ->
+      s"""WITH $minHashCtesSql,
+         |ed AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) z
+         |  GROUP BY node),
+         |pw AS (
+         |  SELECT p.p AS p, CAST(1 AS BIGINT) << p.p AS lo,
+         |    CAST(1 AS BIGINT) << (p.p + 1) AS hi
+         |  FROM range(0, 31) p(p)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes_total FROM deg),
+         |b AS (
+         |  SELECT pw.p, pw.lo, CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(max(deg) AS BIGINT) AS max_deg
+         |  FROM deg JOIN pw ON deg.deg >= pw.lo AND deg.deg < pw.hi
+         |  GROUP BY pw.p, pw.lo)
+         |SELECT CAST(p AS BIGINT) AS p, lo AS deg_ge, n_nodes, max_deg,
+         |  CAST((n_nodes * 10000) // t.n_nodes_total AS BIGINT) AS share_bp
+         |FROM b CROSS JOIN tot t ORDER BY p""".stripMargin,
   )
 }

@@ -799,6 +799,54 @@ object Analytics {
       .orderBy($"c_custkey")
   }
 
+  /** Winsorized-mean report — the robust-aggregation PREP step q202's
+    * outlier audit motivates: instead of dropping outliers, CLIP them to
+    * the exact discrete p1/p99 bounds and report how much mass moved.
+    * Per event type: the clip bounds (min unit with cum·100 ≥ n·pct on
+    * the exact 1e-2 value grid — the q168/q202 discipline), clipped-row
+    * counts both sides, and the raw vs winsorized sums and means, all
+    * in exact integer 1e-2 units (sums in DECIMAL(38) — long sums
+    * overflow at corpus scale).
+    *
+    * Scale shape: one scan to the (type, unit) frequency table, two
+    * cumulative windows over THAT table (O(types × distinct units)),
+    * bounds broadcast back, one clipping aggregation with map-side
+    * partials. The means are two floor divisions per type row. */
+  def winsorizedReport(spark: SparkSession, dir: String,
+                       loPct: Int = 1, hiPct: Int = 99): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type",
+        floor($"value" * 100 + lit(0.5)).cast("long").as("u"))
+    val freq = ev.groupBy($"event_type", $"u").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"u")
+    val cum = freq.withColumn("cum", sum($"cnt").over(w))
+      .withColumn("n", sum($"cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")))
+    def bound(pct: Int, name: String) = cum
+      .filter($"cum" * 100 >= $"n" * pct)
+      .groupBy($"event_type").agg(min($"u").as(name))
+    val bounds = bound(loPct, "lo_u2").join(bound(hiPct, "hi_u2"),
+      "event_type")
+    ev.join(broadcast(bounds), "event_type")
+      .select($"event_type", $"u", $"lo_u2", $"hi_u2",
+        greatest(least($"u", $"hi_u2"), $"lo_u2").as("uw"))
+      .groupBy($"event_type", $"lo_u2", $"hi_u2")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"u" < $"lo_u2", 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when($"u" > $"hi_u2", 1L).otherwise(0L)).as("n_clip_high"),
+        sum($"u".cast("decimal(38,0)")).as("sum_u2"),
+        sum($"uw".cast("decimal(38,0)")).as("sum_win_u2"))
+      .select($"event_type", $"n", $"lo_u2", $"hi_u2",
+        $"n_clip_low", $"n_clip_high",
+        $"sum_u2".cast("long").as("sum_u2"),
+        $"sum_win_u2".cast("long").as("sum_win_u2"),
+        expr("cast(sum_u2 as long) div n").as("mean_u2"),
+        expr("cast(sum_win_u2 as long) div n").as("mean_win_u2"))
+      .orderBy($"event_type")
+  }
+
   /** Watermark-LATENESS audit — the batch measurement behind choosing a
     * streaming watermark delay (q17/q166's knob): for each candidate
     * delay δ, how many events would arrive LATE (event time below the

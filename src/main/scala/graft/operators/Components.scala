@@ -671,6 +671,41 @@ object Components {
       .orderBy($"community")
   }
 
+  /** Log-binned DEGREE-DISTRIBUTION histogram — the first plot anyone
+    * makes of a graph, as a query: per power-of-two bucket [2^p, 2^(p+1))
+    * the node count and share. Heavy-tailed degree distributions are the
+    * reason half this module exists (hot-block caps, salting, AQE skew
+    * handling), and the histogram is the artifact that tells you WHICH
+    * regime a graph is in before choosing those knobs. Bucketing is
+    * EXACT integer range membership against a broadcast 31-row powers
+    * table — never floor(log2(deg)), whose float log wobbles at exact
+    * powers of two (the q213 lesson on a different transcendental).
+    *
+    * Scale shape: one degree aggregation (node-keyed, map-side partial),
+    * one broadcast range join against O(31) rows, one O(buckets)
+    * rollup. */
+  def degreeHistogram(spark: SparkSession, dir: String,
+                      threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val edges = DedupOps.minHashLshPairsOracled(spark, dir,
+        threshold = threshold)
+      .select($"a", $"b")
+    val deg = edges.select($"a".as("node"))
+      .unionByName(edges.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val powers = spark.range(0, 31)
+      .select($"id".as("p"), expr("cast(1 as bigint) << id").as("lo"),
+        expr("cast(1 as bigint) << (id + 1)").as("hi"))
+    val total = deg.agg(count(lit(1)).as("n_nodes_total"))
+    deg.join(broadcast(powers), $"deg" >= $"lo" && $"deg" < $"hi")
+      .groupBy($"p", $"lo")
+      .agg(count(lit(1)).as("n_nodes"), max($"deg").as("max_deg"))
+      .crossJoin(broadcast(total))
+      .select($"p", $"lo".as("deg_ge"), $"n_nodes", $"max_deg",
+        expr("n_nodes * 10000 div n_nodes_total").as("share_bp"))
+      .orderBy($"p")
+  }
+
   /** Root + depth for every node of a parent-pointer FOREST by pointer
     * doubling (Wyllie 1979 list ranking, the forest form): each round
     * replaces every node's ancestor pointer with its ancestor's ancestor

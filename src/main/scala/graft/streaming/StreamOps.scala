@@ -104,6 +104,54 @@ object StreamOps {
       .orderBy($"click_id", $"purchase_id")
   }
 
+  /** Stream-STATIC enrichment join — the dimension-lookup every live
+    * pipeline performs on ingest (event → user profile → routing/
+    * segmentation): the event stream joins a STATIC dimension that
+    * Spark automatically broadcasts fresh per micro-batch, so the
+    * stream side never shuffles and no join state accumulates (unlike
+    * the stream-stream join above, there is nothing to watermark-evict
+    * — the static side is a snapshot). The same function runs in batch,
+    * which is how the q233 oracle checks it; the streaming twin is
+    * spec-asserted equal on a replayed MemoryStream.
+    *
+    * The dimension here derives from `customer` (user_id ≡ custkey on
+    * the synthetic star): segment + account sign, the attributes a
+    * router keys on. Enrichment is LEFT — an event with no profile
+    * survives with nulls made explicit ('unknown'), never dropped
+    * (losing unmatched facts on a dimension gap is the classic silent
+    * ingest bug). */
+  def enrichEvents(events: DataFrame, dim: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.join(broadcast(dim), events("user_id") === dim("d_user"), "left")
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        coalesce($"segment", lit("unknown")).as("segment"),
+        coalesce($"acct_neg", lit(false)).as("acct_neg"))
+  }
+
+  /** The user dimension: customer keyed by custkey-as-user-id. */
+  def userDim(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.customer(spark, dir)
+      .select($"c_custkey".as("d_user"), $"c_mktsegment".as("segment"),
+        ($"c_acctbal" < 0).as("acct_neg"))
+  }
+
+  /** Declared query (q233): the enriched stream rolled to per-(segment,
+    * hour) traffic — counts and exact distinct users. Batch form here;
+    * the stream form (same `enrichEvents`, then the windowed rollup)
+    * is spec-asserted equal on a replayed MemoryStream. */
+  def enrichedSegmentReport(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    import spark.implicits._
+    enrichEvents(graft.Tables.events(spark, dir), userDim(spark, dir))
+      .groupBy(window($"ts", "1 hour").as("w"), $"segment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"segment", $"n_events", $"n_users")
+      .orderBy($"window_start", $"segment")
+  }
+
   /** K2/K3: incremental append sink with checkpointing — the reference's
     * per-page `to_csv(mode="a")` + cursor files (`tweet_download.py:55–60,
     * 96–100`) become a foreachBatch append writer whose resume point is

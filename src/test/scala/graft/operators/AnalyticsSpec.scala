@@ -563,6 +563,35 @@ class AnalyticsSpec extends SparkSpec {
       out.exists(!_.getAs[Boolean]("predicted")))
   }
 
+  test("winsorizedReport: bounds, clips and means replay the discrete-quantile rule") {
+    val out = Analytics.winsorizedReport(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        math.floor(r.getAs[Double]("value") * 100 + 0.5).toLong))
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val us = ev.filter(_._1 == et).map(_._2).sorted
+      def pct(p: Int): Long = us.zipWithIndex.collectFirst {
+        case (u, i) if (i + 1) * 100 >= us.length.toLong * p => u }.get
+      val (lo, hi) = (pct(1), pct(99))
+      assert(r.getAs[Long]("lo_u2") === lo)
+      assert(r.getAs[Long]("hi_u2") === hi)
+      assert(r.getAs[Long]("n") === us.length.toLong)
+      assert(r.getAs[Long]("n_clip_low") === us.count(_ < lo).toLong)
+      assert(r.getAs[Long]("n_clip_high") === us.count(_ > hi).toLong)
+      assert(r.getAs[Long]("sum_u2") === us.sum)
+      val win = us.map(u => math.max(math.min(u, hi), lo))
+      assert(r.getAs[Long]("sum_win_u2") === win.sum)
+      assert(r.getAs[Long]("mean_u2") === us.sum / us.length)
+      assert(r.getAs[Long]("mean_win_u2") === win.sum / win.length)
+      // clipping can only pull the mean toward the body
+      assert(r.getAs[Long]("sum_win_u2") <= r.getAs[Long]("sum_u2") +
+        us.count(_ < lo) * (lo - us.min))
+    }
+  }
+
   test("latenessAudit: drops replay the modeled arrival order and decay in delta") {
     val out = Analytics.latenessAudit(spark, sf).collect()
       .map(r => r.getAs[Long]("delta_s") -> r).toMap

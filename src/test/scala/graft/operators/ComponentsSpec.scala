@@ -433,6 +433,22 @@ class ComponentsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("q_num")).map(BigInt(_)).sum > 0)
   }
 
+  test("degreeHistogram: buckets partition the node set; membership is exact power ranges") {
+    val out = Components.degreeHistogram(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p, lo) = (r.getAs[Long]("p"), r.getAs[Long]("deg_ge"))
+      assert(lo === (1L << p))
+      assert(r.getAs[Long]("max_deg") >= lo &&
+        r.getAs[Long]("max_deg") < 2 * lo)
+      assert(r.getAs[Long]("n_nodes") >= 1L)
+    }
+    val total = out.map(_.getAs[Long]("n_nodes")).sum
+    out.foreach(r => assert(r.getAs[Long]("share_bp") ===
+      r.getAs[Long]("n_nodes") * 10000L / total))
+  }
+
   test("bfsDocs: seeds at 0 hops; every reached non-seed within the round budget") {
     val out = Components.bfsDocs(spark, sf).collect()
     graft.CacheGuard.release()

@@ -8,6 +8,8 @@ import java.sql.Timestamp
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class SessEv(user_id: Long, ts: Timestamp)
 case class UEv(user_id: Long, ts: Timestamp, event_id: Long)
+case class EnEv(event_id: Long, user_id: Long, ts: Timestamp,
+                event_type: String)
 
 class StreamOpsSpec extends SparkSpec {
 
@@ -165,5 +167,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(out === Set(
       (t("2024-01-01 10:00:00"), "click", 2L, 3.0),
       (t("2024-01-01 12:00:00"), "view", 1L, 3.0)))
+  }
+
+  test("enrichEvents stream ≡ batch: static dim broadcast per micro-batch, left rows survive") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val dim = Seq((1L, "BUILDING", false), (2L, "MACHINERY", true))
+      .toDF("d_user", "segment", "acct_neg")
+    val evs = Seq(
+      EnEv(10L, 1L, t("2024-01-01 10:00:00"), "click"),
+      EnEv(11L, 2L, t("2024-01-01 10:05:00"), "view"),
+      EnEv(12L, 999L, t("2024-01-01 10:06:00"), "click")) // no profile
+    val batch = StreamOps.enrichEvents(evs.toDF(), dim)
+      .as[(Long, Long, Timestamp, String, String, Boolean)].collect().toSet
+
+    val mem = MemoryStream[EnEv]
+    val q = StreamOps.enrichEvents(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enr").outputMode("append")
+      .start()
+    mem.addData(evs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(evs.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("enr")
+      .as[(Long, Long, Timestamp, String, String, Boolean)].collect().toSet
+    q.stop()
+
+    assert(streamed === batch)
+    // the dimension-less event survived, explicitly unknown
+    assert(batch.exists(r => r._2 == 999L && r._5 == "unknown" && !r._6))
+    assert(batch.size === 3)
   }
 }
