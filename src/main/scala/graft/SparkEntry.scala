@@ -305,6 +305,8 @@ object SparkEntry {
       graft.streaming.StreamOps.enrichedSegmentReport(s, d)),
     "q234_winsorized_mean" -> ((s, d) => Analytics.winsorizedReport(s, d)),
     "q235_degree_histogram" -> ((s, d) => Components.degreeHistogram(s, d)),
+    "q236_zorder_pruning" -> ((s, d) => Layout.zorderPruning(s, d)),
+    "q237_fd_profile" -> ((s, d) => Profiler.fdProfile(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -6692,5 +6694,63 @@ object SparkEntry {
          |SELECT CAST(p AS BIGINT) AS p, lo AS deg_ge, n_nodes, max_deg,
          |  CAST((n_nodes * 10000) // t.n_nodes_total AS BIGINT) AS share_bp
          |FROM b CROSS JOIN tot t ORDER BY p""".stripMargin,
+
+    // three layouts, two 1-D predicates; zorder prunes on both axes
+    "q236_zorder_pruning" -> {
+      val z = Layout.zValueSql("x", "y")
+      s"""WITH k AS MATERIALIZED (
+         |  SELECT user_id % 256 AS x,
+         |    CAST(hour(ts) AS BIGINT) AS y
+         |  FROM events),
+         |kz AS MATERIALIZED (SELECT x, y, $z AS zkey FROM k),
+         |st AS MATERIALIZED (
+         |  SELECT layout, blk, min(x) AS min_x, max(x) AS max_x,
+         |    min(y) AS min_y, max(y) AS max_y,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM (
+         |    SELECT 'user_block' AS layout, x // 8 AS blk, x, y FROM kz
+         |    UNION ALL SELECT 'hour_block', y // 3, x, y FROM kz
+         |    UNION ALL SELECT 'zorder', zkey >> 6, x, y FROM kz) u
+         |  GROUP BY layout, blk),
+         |p AS MATERIALIZED (
+         |  SELECT layout, CAST(count(*) AS BIGINT) AS n_blocks,
+         |    CAST(sum(CASE WHEN min_x >= 32 THEN 1 ELSE 0 END) AS BIGINT) AS sk1,
+         |    CAST(sum(CASE WHEN min_x >= 32 THEN n_rows ELSE 0 END) AS BIGINT) AS rw1,
+         |    CAST(sum(CASE WHEN min_y >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS sk2,
+         |    CAST(sum(CASE WHEN min_y >= 8 THEN n_rows ELSE 0 END) AS BIGINT) AS rw2
+         |  FROM st GROUP BY layout),
+         |r AS (
+         |  SELECT layout, n_blocks, 'x_lt_32' AS predicate,
+         |    sk1 AS n_skipped, rw1 AS rows_skipped FROM p
+         |  UNION ALL SELECT layout, n_blocks, 'y_lt_8', sk2, rw2 FROM p)
+         |SELECT layout, predicate, n_blocks, n_skipped,
+         |  CAST((n_skipped * 10000) // n_blocks AS BIGINT) AS skip_bp,
+         |  rows_skipped
+         |FROM r ORDER BY layout, predicate""".stripMargin
+    },
+
+    // per candidate: one groupBy(A) + countDistinct(B); violations exact
+    "q237_fd_profile" -> {
+      def cand(name: String, table: String, det: String, dep: String) =
+        s"""SELECT '$name' AS candidate,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST((sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) * 10000)
+           |    // count(*) AS BIGINT) AS violation_bp,
+           |  (sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0) AS holds
+           |FROM (
+           |  SELECT CAST($det AS VARCHAR) AS a,
+           |    count(DISTINCT CAST($dep AS VARCHAR)) AS nb
+           |  FROM $table GROUP BY 1) z""".stripMargin
+      Seq(
+        cand("nation_to_region", "nation", "n_nationkey", "n_regionkey"),
+        cand("custkey_to_segment", "customer", "c_custkey", "c_mktsegment"),
+        cand("orderpriority_to_status", "orders", "o_orderpriority",
+          "o_orderstatus"),
+        cand("user_to_event_type", "events", "user_id", "event_type"),
+        cand("orderkey_to_custkey", "orders", "o_orderkey", "o_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+    },
   )
 }

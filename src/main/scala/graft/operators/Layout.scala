@@ -61,6 +61,61 @@ object Layout {
       .orderBy($"zblock")
   }
 
+  /** Z-order pruning EFFECTIVENESS — q216's zone-map audit pointed at
+    * the q102 question: single-dimension clustering serves one predicate
+    * dimension and starves the other, Z-order serves BOTH. Three
+    * physical layouts of the same (user-bucket x, hour-of-day y) event
+    * relation, blocks as a range-partitioned write would cut them
+    * (hour, not day-of-year: the synthetic stream spans 30 days, so a
+    * day predicate would be vacuously true everywhere — measured):
+    *   - `user_block`: rows clustered by x (block = x div 8),
+    *   - `hour_block`: rows clustered by y (block = y div 3),
+    *   - `zorder`: block = zkey >> 6 (q102's fixed-prefix geometry).
+    * For predicates x < 32 and y < 8, per (layout, predicate): blocks
+    * provably skippable from min/max stats, skip bp, rows skipped. The
+    * expected read IS the artifact: each 1-D layout prunes ~only its
+    * own dimension; Z-order prunes meaningfully on both — the number
+    * that justifies paying the Z-order write.
+    *
+    * Scale shape: one stat aggregation per layout over one scan each
+    * (min/max partials), CASE sweep + stack unpivot on the O(blocks)
+    * aggregate — q216's exact shape with the zkey arithmetic riding
+    * the scan's codegen stage. */
+  def zorderPruning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = graft.CacheGuard.barrier(
+      Tables.events(spark, dir)
+        .select(($"user_id" % 256).as("x"),
+          hour($"ts").cast("long").as("y"))
+        .withColumn("zkey", zValue($"x", $"y")))
+    def stats(blk: Column, layout: String): DataFrame =
+      keyed.groupBy(blk.as("blk"))
+        .agg(min($"x").as("min_x"), max($"x").as("max_x"),
+          min($"y").as("min_y"), max($"y").as("max_y"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("layout", lit(layout))
+    val st = stats(expr("x div 8"), "user_block")
+      .unionByName(stats(expr("y div 3"), "hour_block"))
+      .unionByName(stats(shiftright($"zkey", 6), "zorder"))
+    val preds = Seq(
+      ("x_lt_32", $"min_x" >= 32L),
+      ("y_lt_8", $"min_y" >= 8L))
+    val agg = st.groupBy($"layout").agg(
+      count(lit(1)).as("n_blocks"),
+      preds.flatMap { case (name, prunable) => Seq(
+        sum(when(prunable, 1L).otherwise(0L)).as(s"sk_$name"),
+        sum(when(prunable, $"n_rows").otherwise(0L)).as(s"rw_$name"))
+      }: _*)
+    val stackSql = preds.map { case (name, _) =>
+      s"'$name', sk_$name, rw_$name" }.mkString(", ")
+    agg.selectExpr("layout", "n_blocks",
+        s"stack(${preds.size}, $stackSql) AS (predicate, n_skipped, rows_skipped)")
+      .select($"layout", $"predicate", $"n_blocks", $"n_skipped",
+        expr("n_skipped * 10000 div n_blocks").as("skip_bp"),
+        $"rows_skipped")
+      .orderBy($"layout", $"predicate")
+  }
+
   /** Compaction target size (bytes of text per output file), shared with
     * the q132 oracle and spec. Small against the synthetic corpus so
     * multi-file bins actually occur. */

@@ -285,4 +285,45 @@ object Profiler {
         "max_source * 1000000 div n_docs AS value"))
       .orderBy($"stat")
   }
+
+  /** Functional-dependency PROFILER — the schema-discovery pass a data
+    * catalog runs before trusting join keys and denormalizations: does
+    * determinant column A functionally determine dependent B (every A
+    * value maps to exactly one B)? Candidates audited across the star:
+    * true FDs (nation → region via n_regionkey; custkey → segment),
+    * and plausible-but-false ones (order priority → status; user →
+    * event type) — the profiler's value is separating the two with
+    * exact violation counts, not asserting the schema's intent. Per
+    * candidate: distinct determinant values, violating determinants
+    * (those with >1 distinct dependent), violation bp, and the holds
+    * verdict.
+    *
+    * Scale shape: per candidate ONE groupBy(A) with a partial-aggregable
+    * `countDistinct(B)` (tiny dependent domains), then an O(keys)
+    * rollup — never a self-join; candidates on different tables are
+    * independent scans united at O(candidates) rows. */
+  def fdProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def audit(name: String, rel: DataFrame, det: String,
+              dep: String): DataFrame =
+      rel.select(col(det).cast("string").as("a"),
+          col(dep).cast("string").as("b"))
+        .groupBy($"a").agg(countDistinct($"b").as("nb"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when($"nb" > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("candidate"), $"n_keys", $"n_violating",
+          expr("n_violating * 10000 div n_keys").as("violation_bp"),
+          ($"n_violating" === 0).as("holds"))
+    audit("nation_to_region", Tables.nation(spark, dir),
+        "n_nationkey", "n_regionkey")
+      .unionByName(audit("custkey_to_segment", Tables.customer(spark, dir),
+        "c_custkey", "c_mktsegment"))
+      .unionByName(audit("orderpriority_to_status", Tables.orders(spark, dir),
+        "o_orderpriority", "o_orderstatus"))
+      .unionByName(audit("user_to_event_type", Tables.events(spark, dir),
+        "user_id", "event_type"))
+      .unionByName(audit("orderkey_to_custkey", Tables.orders(spark, dir),
+        "o_orderkey", "o_custkey"))
+      .orderBy($"candidate")
+  }
 }

@@ -274,4 +274,33 @@ class LayoutSpec extends SparkSpec {
       assert(r.getAs[Long]("n_rows") === rows.length.toLong)
     }
   }
+
+  test("zorderPruning: each 1-D layout prunes only its own axis; zorder prunes both") {
+    val out = Layout.zorderPruning(spark, sf).collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[String]("predicate")) -> r)
+      .toMap
+    graft.CacheGuard.release()
+    assert(out.size === 6)
+    def bp(l: String, p: String): Long = out((l, p)).getAs[Long]("skip_bp")
+    // the y axis (hour of day) spans its full domain at every SF:
+    // clustering on y serves y, the x-clustered layout starves it
+    assert(bp("hour_block", "y_lt_8") > 0L)
+    assert(bp("user_block", "y_lt_8") === 0L)
+    assert(bp("zorder", "y_lt_8") > 0L)
+    // the x axis only exceeds the predicate bound when enough users
+    // exist (the sf0.001 fixture has 15) — gate those asserts on domain
+    val maxX = graft.Tables.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("user_id") % 256)).head.getLong(0)
+    if (maxX >= 40) {
+      assert(bp("user_block", "x_lt_32") > 0L)
+      assert(bp("hour_block", "x_lt_32") === 0L)
+      assert(bp("zorder", "x_lt_32") > 0L)
+    }
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("skip_bp") ===
+        r.getAs[Long]("n_skipped") * 10000L / r.getAs[Long]("n_blocks"))
+      assert(r.getAs[Long]("n_skipped") <= r.getAs[Long]("n_blocks"))
+    }
+  }
 }

@@ -193,4 +193,29 @@ class ProfilerSpec extends SparkSpec {
     assert(out("quality_p25_u4") <= out("quality_p50_u4") &&
       out("quality_p50_u4") <= out("quality_p75_u4"))
   }
+
+  test("fdProfile: true FDs hold with zero violations, false candidates measure theirs") {
+    val out = Profiler.fdProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("candidate") -> r).toMap
+    assert(out.size === 5)
+    // structural truths of the star schema
+    assert(out("nation_to_region").getAs[Boolean]("holds"))
+    assert(out("custkey_to_segment").getAs[Boolean]("holds"))
+    assert(out("orderkey_to_custkey").getAs[Boolean]("holds"))
+    // a user emits many event types; priorities span statuses
+    assert(!out("user_to_event_type").getAs[Boolean]("holds"))
+    // driver replay of one candidate's exact violation count
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    val nViol = ev.groupBy(_._1).values.count(_.map(_._2).distinct.length > 1)
+    val r = out("user_to_event_type")
+    assert(r.getAs[Long]("n_keys") === ev.map(_._1).distinct.length.toLong)
+    assert(r.getAs[Long]("n_violating") === nViol.toLong)
+    out.values.foreach { x =>
+      assert(x.getAs[Long]("violation_bp") ===
+        x.getAs[Long]("n_violating") * 10000L / x.getAs[Long]("n_keys"))
+      assert(x.getAs[Boolean]("holds") === (x.getAs[Long]("n_violating") == 0))
+    }
+  }
 }
