@@ -307,6 +307,7 @@ object SparkEntry {
     "q235_degree_histogram" -> ((s, d) => Components.degreeHistogram(s, d)),
     "q236_zorder_pruning" -> ((s, d) => Layout.zorderPruning(s, d)),
     "q237_fd_profile" -> ((s, d) => Profiler.fdProfile(s, d)),
+    "q238_correlation_audit" -> ((s, d) => Profiler.correlationAudit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -6751,6 +6752,69 @@ object SparkEntry {
         cand("user_to_event_type", "events", "user_id", "event_type"),
         cand("orderkey_to_custkey", "orders", "o_orderkey", "o_custkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+    },
+
+    // Spearman on tie-averaged doubled ranks + Pearson r² as exact
+    // rationals in HUGEINT; rank maps from value-frequency tables
+    "q238_correlation_audit" -> {
+      def rmap(c: String) =
+        s"""r_$c AS MATERIALIZED (
+           |  SELECT v, CAST(2 * coalesce(cbef, 0) + cnt + 1 AS BIGINT) AS r2
+           |  FROM (
+           |    SELECT $c AS v, CAST(count(*) AS BIGINT) AS cnt,
+           |      sum(count(*)) OVER (ORDER BY $c
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cbef
+           |    FROM base GROUP BY $c) z)""".stripMargin
+      def pairSql(name: String, x: String, y: String) =
+        s"""SELECT '$name' AS pair, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(1000000 - (6 * CAST(sum((r2x - r2y) * (r2x - r2y))
+           |      AS HUGEINT) * 1000000)
+           |    // (CAST(4 AS HUGEINT) * count(*)
+           |       * (CAST(count(*) AS HUGEINT) * count(*) - 1))
+           |    AS BIGINT) AS spearman_ppm,
+           |  CASE WHEN (CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+           |        - CAST(sum(x) AS HUGEINT) * sum(x))
+           |      * (CAST(count(*) AS HUGEINT) * sum(CAST(y AS HUGEINT) * y)
+           |        - CAST(sum(y) AS HUGEINT) * sum(y)) = 0 THEN CAST(0 AS BIGINT)
+           |  ELSE CAST(
+           |    ((CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+           |        - CAST(sum(x) AS HUGEINT) * sum(y))
+           |      * (CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+           |        - CAST(sum(x) AS HUGEINT) * sum(y)) * 1000000)
+           |    // ((CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+           |        - CAST(sum(x) AS HUGEINT) * sum(x))
+           |      * (CAST(count(*) AS HUGEINT) * sum(CAST(y AS HUGEINT) * y)
+           |        - CAST(sum(y) AS HUGEINT) * sum(y))) AS BIGINT) END
+           |    AS pearson_r2_ppm,
+           |  CAST(CASE WHEN CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+           |      - CAST(sum(x) AS HUGEINT) * sum(y) > 0 THEN 1
+           |    WHEN CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+           |      - CAST(sum(x) AS HUGEINT) * sum(y) < 0 THEN -1
+           |    ELSE 0 END AS BIGINT) AS pearson_sign
+           |FROM (
+           |  SELECT b.$x AS x, b.$y AS y, rx.r2 AS r2x, ry.r2 AS r2y
+           |  FROM base b
+           |  JOIN r_$x rx ON rx.v = b.$x
+           |  JOIN r_$y ry ON ry.v = b.$y) j""".stripMargin
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT CAST(n_chars AS BIGINT) AS len,
+         |    CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
+         |        (CAST(len(list_filter(tk,
+         |          x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |          / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
+         |      END) * 1e4 + 0.5) AS BIGINT) AS q,
+         |    CAST(len(tk) AS BIGINT) AS nt
+         |  FROM (SELECT n_chars, $toksSql AS tk FROM documents) t),
+         |${rmap("len")},
+         |${rmap("q")},
+         |${rmap("nt")}
+         |${pairSql("len_vs_quality", "len", "q")}
+         |UNION ALL
+         |${pairSql("len_vs_tokens", "len", "nt")}
+         |UNION ALL
+         |${pairSql("tokens_vs_quality", "nt", "q")}
+         |ORDER BY pair""".stripMargin
     },
   )
 }

@@ -286,6 +286,77 @@ object Profiler {
       .orderBy($"stat")
   }
 
+  /** EXACT correlation audit — "is document quality just length?" and
+    * every other feature-redundancy question, answered with two
+    * correlation statistics computed as EXACT RATIONALS (a float corr()
+    * hash-diverges on summation order; these cannot):
+    *   - Spearman via the Σd² formula on tie-averaged DOUBLED ranks
+    *     (avg rank of a tied block = cum_before + (cnt+1)/2, doubled to
+    *     stay integer: r₂ = 2·cum_before + cnt + 1), ρ_ppm = 10⁶ −
+    *     (6·Σd²·10⁶) div (4·n(n²−1)) — the dividend is nonnegative, so
+    *     truncation ≡ floor on both engines,
+    *   - Pearson's r² in ppm from the five power sums, numerator
+    *     (nΣxy−ΣxΣy)² over the variance product, sign reported
+    *     separately — no square root anywhere.
+    * DECIMAL(38) intermediates throughout (Σd²·10⁶ alone passes BIGINT
+    * at sf1).
+    *
+    * Scale shape: rank maps come from per-feature VALUE-FREQUENCY
+    * tables (cumulative window over O(distinct values), the q168
+    * discipline — never a corpus sort) and broadcast back; power sums
+    * are one map-side-partial aggregation. */
+  def correlationAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{stopwordCount, tokens}
+    val toks = tokens($"text")
+    val base = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir).select(
+        $"n_chars".as("len"),
+        floor(TextAnalysis.qualityExpr(size(toks).cast("long"),
+          stopwordCount(toks, TextAnalysis.stopwords).cast("long")) * 1e4
+          + lit(0.5)).cast("long").as("q"),
+        size(toks).cast("long").as("nt")))
+    def rank2Map(c: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cb", coalesce(sum($"cnt").over(w), lit(0L)))
+        .select(col(c).as(s"${c}_v"),
+          (lit(2L) * $"cb" + $"cnt" + 1L).as(s"r2_$c"))
+    }
+    def pair(name: String, x: String, y: String): DataFrame = {
+      val ranked = base
+        .join(broadcast(rank2Map(x)), col(x) === col(s"${x}_v"))
+        .join(broadcast(rank2Map(y)), col(y) === col(s"${y}_v"))
+      val agg = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(((col(s"r2_$x") - col(s"r2_$y")) * (col(s"r2_$x") - col(s"r2_$y")))
+          .cast("decimal(38,0)")).as("sd2"),
+        sum(col(x).cast("decimal(38,0)")).as("sx"),
+        sum(col(y).cast("decimal(38,0)")).as("sy"),
+        sum((col(x) * col(x)).cast("decimal(38,0)")).as("sxx"),
+        sum((col(y) * col(y)).cast("decimal(38,0)")).as("syy"),
+        sum((col(x) * col(y)).cast("decimal(38,0)")).as("sxy"))
+      agg.select(lit(name).as("pair"), $"n",
+          expr("1000000 - (6 * sd2 * 1000000) div " +
+            "(cast(4 as decimal(38,0)) * n * (cast(n as decimal(38,0)) * n - 1))")
+            .as("spearman_ppm"),
+          expr("cast(n as decimal(38,0)) * sxy - sx * sy").as("cov_n"),
+          expr("(cast(n as decimal(38,0)) * sxx - sx * sx) * " +
+            "(cast(n as decimal(38,0)) * syy - sy * sy)").as("var_n"))
+        .select($"pair", $"n", $"spearman_ppm",
+          when($"var_n" === 0, 0L)
+            .otherwise(expr("((cov_n * cov_n) * 1000000) div var_n"))
+            .as("pearson_r2_ppm"),
+          when($"cov_n" > 0, 1L).when($"cov_n" < 0, -1L).otherwise(0L)
+            .as("pearson_sign"))
+    }
+    pair("len_vs_quality", "len", "q")
+      .unionByName(pair("len_vs_tokens", "len", "nt"))
+      .unionByName(pair("tokens_vs_quality", "nt", "q"))
+      .orderBy($"pair")
+  }
+
   /** Functional-dependency PROFILER — the schema-discovery pass a data
     * catalog runs before trusting join keys and denormalizations: does
     * determinant column A functionally determine dependent B (every A

@@ -194,6 +194,48 @@ class ProfilerSpec extends SparkSpec {
       out("quality_p50_u4") <= out("quality_p75_u4"))
   }
 
+  test("correlationAudit: Spearman and Pearson replay as exact rationals on a pair") {
+    val out = Profiler.correlationAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("pair") -> r).toMap
+    graft.CacheGuard.release()
+    assert(out.size === 3)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("spearman_ppm") <= 1000000L &&
+        r.getAs[Long]("spearman_ppm") >= -1000000L)
+      assert(r.getAs[Long]("pearson_r2_ppm") >= 0L &&
+        r.getAs[Long]("pearson_r2_ppm") <= 1000000L)
+    }
+    // full driver replay of the len↔tokens pair
+    val rows = graft.Tables.documents(spark, sf)
+      .select("n_chars", "text").collect()
+      .map { r =>
+        val tk = Option(r.getAs[String]("text")).getOrElse("")
+          .toLowerCase.split("\\s+").filter(_.nonEmpty)
+        (r.getAs[Long]("n_chars"), tk.length.toLong)
+      }
+    def rank2(vs: Seq[Long]): Map[Long, Long] = {
+      val freq = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val sorted = freq.keys.toSeq.sorted
+      val cum = sorted.scanLeft(0L)((acc, v) => acc + freq(v))
+      sorted.zip(cum).map { case (v, cb) => v -> (2 * cb + freq(v) + 1) }.toMap
+    }
+    val (rx, ry) = (rank2(rows.map(_._1)), rank2(rows.map(_._2)))
+    val n = BigInt(rows.length)
+    val sd2 = rows.map { case (x, y) =>
+      val d = BigInt(rx(x) - ry(y)); d * d }.sum
+    val wantSp = BigInt(1000000) - (6 * sd2 * 1000000) / (4 * n * (n * n - 1))
+    assert(BigInt(out("len_vs_tokens").getAs[Long]("spearman_ppm")) === wantSp)
+    val (sx, sy) = (rows.map(r => BigInt(r._1)).sum, rows.map(r => BigInt(r._2)).sum)
+    val sxx = rows.map(r => BigInt(r._1) * r._1).sum
+    val syy = rows.map(r => BigInt(r._2) * r._2).sum
+    val sxy = rows.map(r => BigInt(r._1) * r._2).sum
+    val cov = n * sxy - sx * sy
+    val vr = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    val wantR2 = if (vr == 0) BigInt(0) else cov * cov * 1000000 / vr
+    assert(BigInt(out("len_vs_tokens").getAs[Long]("pearson_r2_ppm")) === wantR2)
+    assert(out("len_vs_tokens").getAs[Long]("pearson_sign") === cov.signum.toLong)
+  }
+
   test("fdProfile: true FDs hold with zero violations, false candidates measure theirs") {
     val out = Profiler.fdProfile(spark, sf).collect()
       .map(r => r.getAs[String]("candidate") -> r).toMap
