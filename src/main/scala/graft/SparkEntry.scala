@@ -308,6 +308,9 @@ object SparkEntry {
     "q236_zorder_pruning" -> ((s, d) => Layout.zorderPruning(s, d)),
     "q237_fd_profile" -> ((s, d) => Profiler.fdProfile(s, d)),
     "q238_correlation_audit" -> ((s, d) => Profiler.correlationAudit(s, d)),
+    "q239_bloom_sweep" -> ((s, d) =>
+      graft.streaming.BloomGate.bloomSweep(s, d)),
+    "q240_keeper_policies" -> ((s, d) => DedupOps.keeperPolicyReport(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -6816,5 +6819,111 @@ object SparkEntry {
          |${pairSql("tokens_vs_quality", "nt", "q")}
          |ORDER BY pair""".stripMargin
     },
+
+    // first-setter replay swept over the m grid in one pass; the q94
+    // mechanism with m as a dimension
+    "q239_bloom_sweep" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT source, doc_id, $fpSql AS fp FROM documents
+         |  UNION ALL
+         |  SELECT source, doc_id + 100000, $fpSql FROM documents),
+         |ms AS (SELECT * FROM (VALUES (64), (512), (4096)) v(m)),
+         |pos AS MATERIALIZED (
+         |  SELECT ms.m, b.source, b.doc_id, b.fp,
+         |    ${h32("b.fp || '#' || CAST(j.j AS VARCHAR)")} % ms.m AS pos
+         |  FROM base b CROSS JOIN ms CROSS JOIN range(0, 3) j(j)),
+         |fs AS (SELECT m, source, pos, min(doc_id) AS first_doc
+         |       FROM pos GROUP BY m, source, pos),
+         |cov AS (
+         |  SELECT p.m, p.source, p.doc_id, p.fp,
+         |    CAST(sum(CASE WHEN fs.first_doc < p.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_cov
+         |  FROM pos p JOIN fs
+         |    ON fs.m = p.m AND fs.source = p.source AND fs.pos = p.pos
+         |  GROUP BY p.m, p.source, p.doc_id, p.fp),
+         |ff AS (SELECT source, fp, min(doc_id) AS first_fp_doc
+         |       FROM base GROUP BY source, fp)
+         |SELECT CAST(c.m AS BIGINT) AS m,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN c.n_cov < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_emitted,
+         |  CAST(sum(CASE WHEN c.doc_id = ff.first_fp_doc THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN c.n_cov = 3 AND c.doc_id = ff.first_fp_doc
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_drops,
+         |  CAST((sum(CASE WHEN c.n_cov = 3 AND c.doc_id = ff.first_fp_doc
+         |    THEN 1 ELSE 0 END) * 10000)
+         |    // sum(CASE WHEN c.doc_id = ff.first_fp_doc THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS false_drop_bp
+         |FROM cov c JOIN ff ON ff.source = c.source AND ff.fp = c.fp
+         |GROUP BY c.m ORDER BY m""".stripMargin,
+
+    // recursive CC over the mapped pair graph, three keeper elections
+    // as rk=1 windows over members, one stats rollup per policy
+    "q240_keeper_policies" ->
+      s"""WITH RECURSIVE $minHashCtesSql,
+         |prs AS MATERIALIZED (
+         |  SELECT DISTINCT least(a % 100000, b % 100000) AS a,
+         |    greatest(a % 100000, b % 100000) AS b
+         |  FROM est
+         |  WHERE est_jaccard >= 0.2 AND a % 100000 <> b % 100000),
+         |symp AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM symp),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT s.dst, r.lbl FROM reach r JOIN symp s ON s.src = r.node),
+         |comp AS MATERIALIZED (
+         |  SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+         |degr AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |         FROM symp GROUP BY src),
+         |feats AS MATERIALIZED (
+         |  SELECT doc_id AS node,
+         |    CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
+         |        (CAST(len(list_filter(tk,
+         |          x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |          / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
+         |      END) * 1e4 + 0.5) AS BIGINT) AS q_u4,
+         |    CAST(len(tk) AS BIGINT) AS nt
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+         |mem AS MATERIALIZED (
+         |  SELECT c.component, c.node, d.deg, f.q_u4, f.nt
+         |  FROM comp c JOIN degr d ON d.node = c.node
+         |  JOIN feats f ON f.node = c.node),
+         |k_min AS (
+         |  SELECT component, node FROM (
+         |    SELECT component, node, row_number() OVER (
+         |      PARTITION BY component ORDER BY node) AS rk FROM mem) z
+         |  WHERE rk = 1),
+         |k_q AS (
+         |  SELECT component, node FROM (
+         |    SELECT component, node, row_number() OVER (
+         |      PARTITION BY component ORDER BY q_u4 DESC, node) AS rk
+         |    FROM mem) z
+         |  WHERE rk = 1),
+         |k_deg AS (
+         |  SELECT component, node FROM (
+         |    SELECT component, node, row_number() OVER (
+         |      PARTITION BY component ORDER BY deg DESC, node) AS rk
+         |    FROM mem) z
+         |  WHERE rk = 1),
+         |u AS (
+         |  SELECT 'min_id' AS policy, m.q_u4, m.nt
+         |  FROM k_min k JOIN mem m
+         |    ON m.component = k.component AND m.node = k.node
+         |  UNION ALL
+         |  SELECT 'max_quality', m.q_u4, m.nt
+         |  FROM k_q k JOIN mem m
+         |    ON m.component = k.component AND m.node = k.node
+         |  UNION ALL
+         |  SELECT 'max_degree', m.q_u4, m.nt
+         |  FROM k_deg k JOIN mem m
+         |    ON m.component = k.component AND m.node = k.node)
+         |SELECT policy, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(q_u4) // count(*) AS BIGINT) AS mean_quality_u4,
+         |  CAST(sum(nt) AS BIGINT) AS kept_tokens
+         |FROM u GROUP BY policy ORDER BY policy""".stripMargin,
   )
 }

@@ -1303,6 +1303,65 @@ object DedupOps {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** Keeper-POLICY comparison — which document should survive a dedup
+    * cluster? Three deterministic elections over the SAME connected
+    * components (the τ=0.2 pair graph, mirrored ids mapped out):
+    *   - `min_id`: the pipeline default (q18/q48's rule — stable,
+    *     arbitrary),
+    *   - `max_quality`: keep the best-scoring member (q26's score,
+    *     ties to the smaller id),
+    *   - `max_degree`: keep the cluster's hub (most near-dup
+    *     neighbors — the "canonical version" heuristic; ties smaller
+    *     id).
+    * Per policy: cluster count, the kept corpus's mean quality and
+    * total tokens — the table that turns "which keeper rule" from
+    * folklore into numbers (min_id's kept quality is the baseline the
+    * other two must beat).
+    *
+    * Scale shape: one CC run (q48's rounds), per-cluster elections as
+    * `max(struct(key, −id))` partial-aggregable rollups — never a
+    * window over members — and one keeper-keyed join back to the doc
+    * features. */
+  def keeperPolicyReport(spark: SparkSession, dir: String,
+                         threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{stopwordCount, tokens}
+    val edges = graft.CacheGuard.barrier(
+      minHashLshPairsOracled(spark, dir, threshold = threshold)
+        .select(($"a" % 100000).as("x"), ($"b" % 100000).as("y"))
+        .filter($"x" =!= $"y")
+        .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+        .distinct())
+    val cc = Components.connectedComponents(edges)
+      .select($"node", $"component")
+    val deg = edges.select($"a".as("node"))
+      .unionByName(edges.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val toksC = tokens($"text")
+    val feats = Tables.documents(spark, dir).select(
+      $"doc_id".as("node"),
+      floor(TextAnalysis.qualityExpr(size(toksC).cast("long"),
+        stopwordCount(toksC, TextAnalysis.stopwords).cast("long")) * 1e4
+        + lit(0.5)).cast("long").as("q_u4"),
+      size(toksC).cast("long").as("nt"))
+    val members = graft.CacheGuard.barrier(
+      cc.join(deg, "node").join(feats, "node"))
+    def elect(policy: String, keyCol: org.apache.spark.sql.Column) = {
+      val keepers = members.groupBy($"component")
+        .agg(max(struct(keyCol.as("k"), (-$"node").as("neg"))).as("e"))
+        .select($"component", (-$"e.neg").as("node"))
+      keepers.join(members, Seq("component", "node"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum($"q_u4").as("sq"), sum($"nt").as("kept_tokens"))
+        .select(lit(policy).as("policy"), $"n_clusters",
+          expr("sq div n_clusters").as("mean_quality_u4"), $"kept_tokens")
+    }
+    elect("min_id", -$"node")
+      .unionByName(elect("max_quality", $"q_u4"))
+      .unionByName(elect("max_degree", $"deg"))
+      .orderBy($"policy")
+  }
+
   /** Dedup TOKEN-SAVINGS report — the cost dimension q174's policy
     * table leaves out: a dedup decision is ultimately "how many
     * training tokens does this policy free", so per method report docs

@@ -81,6 +81,53 @@ object BloomGate {
       .orderBy($"doc_id")
   }
 
+  /** Bloom SIZING sweep (q239) — the measured answer to "how many bits
+    * per source does the q94/q166 gate need": the exact first-setter
+    * replay run at several filter sizes IN ONE PASS (m rides the
+    * position explode as a dimension), reporting per m the emitted
+    * count, the unique documents falsely swallowed (the gate's only
+    * error mode), and the false-drop rate in bp. The m grid brackets
+    * the production default [[mBits]]; the curve is the capacity-
+    * planning artifact (fp ≈ (1−e^{−kn/m})^k analytically, but the
+    * engine reports the MEASURED rate — no transcendental crosses an
+    * engine boundary).
+    *
+    * Scale shape: one corpus scan exploded to |ms|·k position rows,
+    * first-setter groupBy on (m, source, pos) small keys, one join
+    * back, O(|ms|) output. */
+  def bloomSweep(spark: SparkSession, dir: String,
+                 ms: Seq[Long] = Seq(64L, 512L, 4096L),
+                 k: Int = kHashes): DataFrame = {
+    import spark.implicits._
+    val docs = gatedDocs(spark, dir)
+    val mdf = ms.toDF("m")
+    val pos = docs.crossJoin(broadcast(mdf))
+      .select($"m", $"source", $"doc_id", $"fp",
+        explode(transform(sequence(lit(0), lit(k - 1)),
+          j => md5Hash32(concat($"fp", lit("#"), j.cast("string"))) % $"m"))
+          .as("pos"))
+    val firstSetter = pos.groupBy($"m", $"source", $"pos")
+      .agg(min($"doc_id").as("first_doc"))
+    val covered = pos.join(firstSetter, Seq("m", "source", "pos"))
+      .select($"m", $"source", $"doc_id", $"fp",
+        when($"first_doc" < $"doc_id", 1L).otherwise(0L).as("cov"))
+      .groupBy($"m", $"source", $"doc_id", $"fp")
+      .agg(sum($"cov").as("n_cov"))
+    val firstFp = docs.groupBy($"source", $"fp")
+      .agg(min($"doc_id").as("first_fp_doc"))
+    covered.join(firstFp, Seq("source", "fp"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_cov" < k, 1L).otherwise(0L)).as("n_emitted"),
+        sum(when($"doc_id" === $"first_fp_doc", 1L).otherwise(0L))
+          .as("n_unique"),
+        sum(when($"n_cov" === k && $"doc_id" === $"first_fp_doc", 1L)
+          .otherwise(0L)).as("n_false_drops"))
+      .select($"m", $"n_docs", $"n_emitted", $"n_unique", $"n_false_drops",
+        expr("n_false_drops * 10000 div n_unique").as("false_drop_bp"))
+      .orderBy($"m")
+  }
+
   /** Scala twin of `TextFunctions.md5Hash32` for the stateful fold. */
   private def h32(s: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -725,6 +725,32 @@ class DedupSpec extends SparkSpec {
     assert(got.length < full.length)
   }
 
+  test("keeperPolicyReport: same clusters, max_quality provably dominates") {
+    import spark.implicits._
+    val out = DedupOps.keeperPolicyReport(spark, sf).collect()
+      .map(r => r.getAs[String]("policy") -> r).toMap
+    graft.CacheGuard.release()
+    assert(out.keySet === Set("min_id", "max_quality", "max_degree"))
+    val nc = out("min_id").getAs[Long]("n_clusters")
+    assert(out.values.forall(_.getAs[Long]("n_clusters") == nc) && nc > 0)
+    // electing the per-cluster quality argmax maximizes mean kept quality
+    assert(out("max_quality").getAs[Long]("mean_quality_u4") >=
+      out("min_id").getAs[Long]("mean_quality_u4"))
+    assert(out("max_quality").getAs[Long]("mean_quality_u4") >=
+      out("max_degree").getAs[Long]("mean_quality_u4"))
+    // min_id replay: components from the same mapped pair graph
+    val edges = DedupOps.minHashLshPairsOracled(spark, sf, threshold = 0.2)
+      .select(($"a" % 100000).as("x"), ($"b" % 100000).as("y"))
+      .filter($"x" =!= $"y")
+      .select(org.apache.spark.sql.functions.least($"x", $"y").as("a"),
+        org.apache.spark.sql.functions.greatest($"x", $"y").as("b"))
+      .distinct()
+    val comps = Components.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    graft.CacheGuard.release()
+    assert(nc === comps.map(_._2).distinct.length.toLong)
+  }
+
   test("dedupSavings: exact side replays the fingerprint keeper rule; rates consistent") {
     import spark.implicits._
     val out = DedupOps.dedupSavings(spark, sf).collect()

@@ -64,4 +64,27 @@ class BloomGateSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("emitted")).toMap
     assert(streamed === batch)
   }
+
+  test("bloomSweep: per-m rows agree with the single-m replay; drops decay in m") {
+    val out = BloomGate.bloomSweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("m") -> r).toMap
+    assert(out.keySet === Set(64L, 512L, 4096L))
+    // each m's row must equal the aggregated single-m replay
+    out.foreach { case (m, r) =>
+      val rep = BloomGate.bloomReplayBatch(spark, sf, m = m).collect()
+      assert(r.getAs[Long]("n_docs") === rep.length.toLong)
+      assert(r.getAs[Long]("n_emitted") ===
+        rep.count(_.getAs[Boolean]("emitted")).toLong)
+      assert(r.getAs[Long]("n_unique") ===
+        rep.count(_.getAs[Boolean]("exact_first")).toLong)
+      assert(r.getAs[Long]("n_false_drops") ===
+        rep.count(_.getAs[Boolean]("false_drop")).toLong)
+      assert(r.getAs[Long]("false_drop_bp") ===
+        r.getAs[Long]("n_false_drops") * 10000L / r.getAs[Long]("n_unique"))
+    }
+    // the curve trends down (different m's reshuffle positions, so only
+    // the ends are a safe strict comparison)
+    val drops = Seq(64L, 512L, 4096L).map(out(_).getAs[Long]("n_false_drops"))
+    assert(drops.last <= drops.head)
+  }
 }
