@@ -311,6 +311,7 @@ object SparkEntry {
     "q239_bloom_sweep" -> ((s, d) =>
       graft.streaming.BloomGate.bloomSweep(s, d)),
     "q240_keeper_policies" -> ((s, d) => DedupOps.keeperPolicyReport(s, d)),
+    "q241_negative_edges" -> ((s, d) => Components.negativeEdgeSamples(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -6925,5 +6926,27 @@ object SparkEntry {
          |  CAST(sum(q_u4) // count(*) AS BIGINT) AS mean_quality_u4,
          |  CAST(sum(nt) AS BIGINT) AS kept_tokens
          |FROM u GROUP BY policy ORDER BY policy""".stripMargin,
+
+    // md5-probed non-neighbor candidates with rejection against the
+    // true adjacency riding as the audit column
+    "q241_negative_edges" ->
+      s"""WITH $minHashCtesSql,
+         |prs AS MATERIALIZED (
+         |  SELECT DISTINCT least(a % 100000, b % 100000) AS a,
+         |    greatest(a % 100000, b % 100000) AS b
+         |  FROM est
+         |  WHERE est_jaccard >= 0.2 AND a % 100000 <> b % 100000),
+         |mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |cnd AS (
+         |  SELECT p.a, p.b, CAST(j.j AS BIGINT) AS j,
+         |    ${h32("CAST(p.a AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")}
+         |      % (mx.mx + 1) AS c
+         |  FROM prs p CROSS JOIN mx CROSS JOIN range(1, 3) j(j)),
+         |symn AS (SELECT a AS s_a, b AS s_c FROM prs
+         |         UNION ALL SELECT b, a FROM prs)
+         |SELECT c.a, c.b, c.j, c.c,
+         |  (s.s_a IS NULL AND c.c <> c.a AND c.c <> c.b) AS accepted
+         |FROM cnd c LEFT JOIN symn s ON s.s_a = c.a AND s.s_c = c.c
+         |ORDER BY a, b, j""".stripMargin,
   )
 }

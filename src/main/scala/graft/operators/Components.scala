@@ -706,6 +706,45 @@ object Components {
       .orderBy($"p")
   }
 
+  /** Negative-edge SAMPLING for link prediction — the training-data
+    * prep a graph model needs beside its positive edges: per positive
+    * (a, b) of the similarity graph, k deterministic candidate
+    * non-neighbors of a (md5-probed over the doc-id domain), each
+    * ACCEPTED only if it survives rejection against the true adjacency
+    * (and isn't a or b). The rejection audit rides along — a candidate
+    * colliding with a real edge is exactly the event whose rate tells
+    * you whether k probes suffice (dense graphs reject more).
+    * Deterministic end-to-end: candidate c = h32("a#j") mod (maxId+1),
+    * the shared md5-32 family.
+    *
+    * Scale shape: candidates are a k-row explode of the edge list; the
+    * rejection is ONE left join against the symmetrized adjacency keyed
+    * on (node, candidate) — never a per-candidate lookup loop; maxId is
+    * a 1-row broadcast. */
+  def negativeEdgeSamples(spark: SparkSession, dir: String,
+                          threshold: Double = 0.2, k: Int = 2): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5Hash32
+    val edges = graft.CacheGuard.barrier(
+      DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
+        .select(($"a" % 100000).as("x"), ($"b" % 100000).as("y"))
+        .filter($"x" =!= $"y")
+        .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+        .distinct())
+    val maxId = Tables.documents(spark, dir).agg(max($"doc_id").as("mx"))
+    val cand = edges.crossJoin(broadcast(maxId))
+      .select($"a", $"b", $"mx", explode(sequence(lit(1), lit(k))).as("j"))
+      .select($"a", $"b", $"j",
+        (md5Hash32(concat($"a".cast("string"), lit("#"),
+          $"j".cast("string"))) % ($"mx" + 1)).as("c"))
+    val sym = edges.select($"a".as("s_a"), $"b".as("s_c"))
+      .unionByName(edges.select($"b".as("s_a"), $"a".as("s_c")))
+    cand.join(sym, $"a" === $"s_a" && $"c" === $"s_c", "left")
+      .select($"a", $"b", $"j".cast("long").as("j"), $"c",
+        ($"s_a".isNull && $"c" =!= $"a" && $"c" =!= $"b").as("accepted"))
+      .orderBy($"a", $"b", $"j")
+  }
+
   /** Root + depth for every node of a parent-pointer FOREST by pointer
     * doubling (Wyllie 1979 list ranking, the forest form): each round
     * replaces every node's ancestor pointer with its ancestor's ancestor

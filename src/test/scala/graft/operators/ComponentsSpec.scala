@@ -433,6 +433,37 @@ class ComponentsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("q_num")).map(BigInt(_)).sum > 0)
   }
 
+  test("negativeEdgeSamples: candidates replay the md5 probe; acceptance is true rejection") {
+    import spark.implicits._
+    val out = Components.negativeEdgeSamples(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val edges = DedupOps.minHashLshPairsOracled(spark, sf, threshold = 0.2)
+      .select(($"a" % 100000).as("x"), ($"b" % 100000).as("y"))
+      .filter($"x" =!= $"y").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).distinct
+    graft.CacheGuard.release()
+    val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val maxId = graft.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("doc_id"))).head.getLong(0)
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    // exactly 2 candidates per positive edge
+    assert(out.length === edges.length * 2)
+    out.foreach { r =>
+      val (a, b, j, c) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("j"), r.getAs[Long]("c"))
+      assert(c === h32(s"$a#$j") % (maxId + 1))
+      assert(r.getAs[Boolean]("accepted") ===
+        (!adj.contains((a, c)) && c != a && c != b))
+    }
+  }
+
   test("degreeHistogram: buckets partition the node set; membership is exact power ranges") {
     val out = Components.degreeHistogram(spark, sf).collect()
     graft.CacheGuard.release()
