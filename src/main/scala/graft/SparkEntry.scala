@@ -312,6 +312,7 @@ object SparkEntry {
       graft.streaming.BloomGate.bloomSweep(s, d)),
     "q240_keeper_policies" -> ((s, d) => DedupOps.keeperPolicyReport(s, d)),
     "q241_negative_edges" -> ((s, d) => Components.negativeEdgeSamples(s, d)),
+    "q242_term_drift" -> ((s, d) => TextAnalysis.termDrift(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -6948,5 +6949,37 @@ object SparkEntry {
          |  (s.s_a IS NULL AND c.c <> c.a AND c.c <> c.b) AS accepted
          |FROM cnd c LEFT JOIN symn s ON s.s_a = c.a AND s.s_c = c.c
          |ORDER BY a, b, j""".stripMargin,
+
+    // per-term presence 2x2 between doc-id-parity halves, q212's exact
+    // chi-square arithmetic, top-20 cut
+    "q242_term_drift" ->
+      s"""WITH halves AS (
+         |  SELECT DISTINCT doc_id % 2 AS h, doc_id, term FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents) z),
+         |tot AS (
+         |  SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT term,
+         |    CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM halves GROUP BY term),
+         |tb AS (
+         |  SELECT term, a, n0 - a AS b, c, n1 - c AS d
+         |  FROM cnt CROSS JOIN tot)
+         |SELECT term, a AS docs_h0, c AS docs_h1,
+         |  CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0
+         |  THEN CAST(0 AS BIGINT)
+         |  ELSE CAST((CAST(a + b + c + d AS HUGEINT)
+         |      * ((CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+         |         * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c))
+         |      * 1000000)
+         |    // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+         |    AS BIGINT) END AS chi2_micro
+         |FROM tb
+         |ORDER BY chi2_micro DESC, term LIMIT 20""".stripMargin,
   )
 }

@@ -35,6 +35,51 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Term-level DRIFT significance — q146's source-level KL drift taken
+    * down to the vocabulary: which TERMS changed between two corpus
+    * slices (here the deterministic doc_id-parity halves; production
+    * slices are yesterday/today)? Per term, the 2×2 presence table
+    * (docs containing it per half vs not) scored with the exact
+    * chi-square χ² = N(ad−bc)²/(margins) in q212's DECIMAL(38)
+    * micro-unit arithmetic — doc-level presence, not occurrence
+    * counts, keeps the products well inside DECIMAL(38) at every probe
+    * scale. Top terms by χ² are the drift report a vocab monitor pages
+    * on.
+    *
+    * Scale shape: one tokenize scan to per-(term, half) doc counts
+    * (array_distinct before the explode — presence, and fewer rows),
+    * O(vocab) keyed aggregation with map-side partials, half totals
+    * broadcast from a 2-row aggregate, TakeOrdered cut. */
+  def termDrift(spark: SparkSession, dir: String,
+                topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(($"doc_id" % 2).as("h"),
+        explode(array_distinct(tokens($"text"))).as("term"))
+    val totals = Tables.documents(spark, dir)
+      .agg(sum(when($"doc_id" % 2 === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"doc_id" % 2 === 1, 1L).otherwise(0L)).as("n1"))
+    val counts = docs.groupBy($"term")
+      .agg(sum(when($"h" === 0, 1L).otherwise(0L)).as("a"),
+        sum(when($"h" === 1, 1L).otherwise(0L)).as("c"))
+    counts.crossJoin(broadcast(totals))
+      .select($"term", $"a", ($"n0" - $"a").as("b"), $"c",
+        ($"n1" - $"c").as("d"))
+      .select($"term", $"a", $"b", $"c", $"d",
+        expr("cast(a as decimal(12,0)) * cast(d as decimal(12,0)) - " +
+          "cast(b as decimal(12,0)) * cast(c as decimal(12,0))").as("det"),
+        expr("(cast(a+b as decimal(12,0)) * cast(c+d as decimal(12,0))) * " +
+          "(cast(a+c as decimal(12,0)) * cast(b+d as decimal(12,0)))")
+          .as("den"))
+      .select($"term", $"a".as("docs_h0"), $"c".as("docs_h1"),
+        when($"den" === 0, 0L)
+          .otherwise(expr(
+            "(cast(a+b+c+d as decimal(12,0)) * (det * det) * 1000000) " +
+              "div den")).as("chi2_micro"))
+      .orderBy($"chi2_micro".desc, $"term")
+      .limit(topK)
+  }
+
   /** The q26 composite quality score as a column over (n_tokens, n_stop)
     * — one source of truth for every quality-ranked operator. */
   def qualityExpr(nTokens: org.apache.spark.sql.Column,

@@ -746,4 +746,33 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(got === Set("https://a.b.com/x/y.html?a=1&b=2"))
   }
+
+  test("termDrift: per-term 2x2 chi-square replays in BigInt; cut is chi2-descending") {
+    val out = TextAnalysis.termDrift(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val tk = Option(r.getAs[String]("text")).getOrElse("")
+          .toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        (r.getAs[Long]("doc_id") % 2, tk)
+      }
+    val n0 = docs.count(_._1 == 0L).toLong
+    val n1 = docs.count(_._1 == 1L).toLong
+    out.foreach { r =>
+      val t = r.getAs[String]("term")
+      val a = docs.count { case (h, tk) => h == 0L && tk.contains(t) }.toLong
+      val c = docs.count { case (h, tk) => h == 1L && tk.contains(t) }.toLong
+      assert(r.getAs[Long]("docs_h0") === a)
+      assert(r.getAs[Long]("docs_h1") === c)
+      val (b, d) = (BigInt(n0 - a), BigInt(n1 - c))
+      val den = (a + b) * (c + d) * (a + c) * (b + d)
+      val det = BigInt(a) * d - b * c
+      val want = if (den == 0) BigInt(0)
+        else (a + b + c + d) * det * det * 1000000 / den
+      assert(BigInt(r.getAs[Long]("chi2_micro")) === want, s"term $t")
+    }
+    val chis = out.map(_.getAs[Long]("chi2_micro")).toSeq
+    assert(chis === chis.sorted.reverse)
+  }
 }
