@@ -313,6 +313,8 @@ object SparkEntry {
     "q240_keeper_policies" -> ((s, d) => DedupOps.keeperPolicyReport(s, d)),
     "q241_negative_edges" -> ((s, d) => Components.negativeEdgeSamples(s, d)),
     "q242_term_drift" -> ((s, d) => TextAnalysis.termDrift(s, d)),
+    "q243_message_passing" -> ((s, d) => Components.messagePassing(s, d)),
+    "q244_coverage_matrix" -> ((s, d) => Profiler.coverageMatrix(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -6981,5 +6983,59 @@ object SparkEntry {
          |    AS BIGINT) END AS chi2_micro
          |FROM tb
          |ORDER BY chi2_micro DESC, term LIMIT 20""".stripMargin,
+
+    // two mean-aggregation layers, each one edge join + node rollup;
+    // 2-hop information without 2-hop pair enumeration
+    "q243_message_passing" ->
+      s"""WITH $minHashCtesSql,
+         |prs AS MATERIALIZED (
+         |  SELECT DISTINCT least(a % 100000, b % 100000) AS a,
+         |    greatest(a % 100000, b % 100000) AS b
+         |  FROM est
+         |  WHERE est_jaccard >= 0.2 AND a % 100000 <> b % 100000),
+         |symm AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |feat AS MATERIALIZED (
+         |  SELECT doc_id AS node,
+         |    CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
+         |        (CAST(len(list_filter(tk,
+         |          x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |          / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
+         |      END) * 1e4 + 0.5) AS BIGINT) AS q_u4
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t),
+         |h1 AS MATERIALIZED (
+         |  SELECT s.dst AS node, CAST(count(*) AS BIGINT) AS deg,
+         |    CAST(sum(f.q_u4) // count(*) AS BIGINT) AS h1_u4
+         |  FROM symm s JOIN feat f ON f.node = s.src
+         |  GROUP BY s.dst),
+         |h2 AS (
+         |  SELECT s.dst AS node,
+         |    CAST(sum(h.h1_u4) // count(*) AS BIGINT) AS h2_u4
+         |  FROM symm s JOIN h1 h ON h.node = s.src
+         |  GROUP BY s.dst)
+         |SELECT h1.node AS doc_id, h1.deg, f.q_u4, h1.h1_u4, h2.h2_u4
+         |FROM h1 JOIN h2 ON h2.node = h1.node
+         |JOIN feat f ON f.node = h1.node
+         |ORDER BY doc_id""".stripMargin,
+
+    // the schema cube cross-joined from tiny distinct relations; the
+    // zero cells ARE the finding
+    "q244_coverage_matrix" ->
+      """WITH g AS (
+        |  SELECT s.source, l.lang
+        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  CROSS JOIN (SELECT DISTINCT lang FROM documents) l),
+        |c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |      FROM documents GROUP BY source, lang),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+        |       FROM documents GROUP BY source)
+        |SELECT g.source, g.lang, coalesce(c.n, 0) AS n_docs,
+        |  CAST((coalesce(c.n, 0) * 10000) // ps.n_source AS BIGINT)
+        |    AS source_share_bp,
+        |  (c.n IS NULL) AS empty
+        |FROM g LEFT JOIN c ON c.source = g.source AND c.lang = g.lang
+        |JOIN ps ON ps.source = g.source
+        |ORDER BY g.source, g.lang""".stripMargin,
   )
 }

@@ -745,6 +745,54 @@ object Components {
       .orderBy($"a", $"b", $"j")
   }
 
+  /** Two-layer MESSAGE PASSING (the GraphSAGE/GCN mean-aggregation
+    * primitive, un-learned) — per document of the similarity graph, the
+    * mean quality of its neighbors (layer 1) and the mean of its
+    * neighbors' layer-1 values (layer 2): the node-feature smoothing a
+    * graph model's first two layers compute, useful on its own as the
+    * "quality of the neighborhood" signal a keeper/crawl policy can
+    * rank by. All-integer: features are u4 quality scores, each layer's
+    * mean is one floor division per node (deterministic on both
+    * engines; dividends nonnegative).
+    *
+    * The scale point message passing exists to make: layer 2 touches
+    * 2-hop information WITHOUT enumerating 2-hop pairs — each layer is
+    * ONE edge-keyed join + node-keyed aggregation (linear in edges),
+    * never the A² neighborhood blow-up. k layers = k such rounds. */
+  def messagePassing(spark: SparkSession, dir: String,
+                     threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{stopwordCount, tokens}
+    val edges = DedupOps.minHashLshPairsOracled(spark, dir,
+        threshold = threshold)
+      .select(($"a" % 100000).as("x"), ($"b" % 100000).as("y"))
+      .filter($"x" =!= $"y")
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+      .distinct()
+    val sym = graft.CacheGuard.barrier(
+      edges.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(edges.select($"b".as("src"), $"a".as("dst"))))
+    val toksC = tokens($"text")
+    val feat = Tables.documents(spark, dir).select(
+      $"doc_id".as("node"),
+      floor(TextAnalysis.qualityExpr(size(toksC).cast("long"),
+        stopwordCount(toksC, TextAnalysis.stopwords).cast("long")) * 1e4
+        + lit(0.5)).cast("long").as("q_u4"))
+    def layer(values: DataFrame, vCol: String, out: String): DataFrame =
+      sym.join(values, sym("src") === values("node"))
+        .groupBy($"dst")
+        .agg(count(lit(1)).as("deg"), sum(col(vCol)).as("s"))
+        .select($"dst".as("node"), $"deg",
+          expr("s div deg").as(out))
+    val h1 = layer(feat, "q_u4", "h1_u4")
+    val h2 = layer(h1.select($"node", $"h1_u4"), "h1_u4", "h2_u4")
+      .select($"node".as("n2"), $"h2_u4")
+    h1.join(h2, $"node" === $"n2")
+      .join(feat, "node")
+      .select($"node".as("doc_id"), $"deg", $"q_u4", $"h1_u4", $"h2_u4")
+      .orderBy($"doc_id")
+  }
+
   /** Root + depth for every node of a parent-pointer FOREST by pointer
     * doubling (Wyllie 1979 list ranking, the forest form): each round
     * replaces every node's ancestor pointer with its ancestor's ancestor

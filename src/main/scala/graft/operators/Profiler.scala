@@ -286,6 +286,35 @@ object Profiler {
       .orderBy($"stat")
   }
 
+  /** Coverage MATRIX — the completeness grid a corpus QA dashboard
+    * shows: every (source × lang) cell the observed marginals imply,
+    * with its doc count — including the ZERO cells, which are the
+    * finding (a source that stopped shipping a language is invisible
+    * to any groupBy over observed rows; the grid anti-join surfaces
+    * it). Cells also carry their share of the source's docs in bp and
+    * an `empty` flag.
+    *
+    * Scale shape: the grid is the CROSS of two tiny distinct relations
+    * (O(sources × langs) rows — the schema's cube, not the data's);
+    * observed counts come from one map-side-partial groupBy; the fill
+    * is a LEFT join of grid onto counts, never a scan per cell. */
+  def coverageMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir).select($"source", $"lang"))
+    val grid = docs.select($"source").distinct()
+      .crossJoin(docs.select($"lang").distinct())
+    val counts = docs.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n"))
+    val perSource = docs.groupBy($"source").agg(count(lit(1)).as("n_source"))
+    grid.join(counts, Seq("source", "lang"), "left")
+      .join(broadcast(perSource), "source")
+      .select($"source", $"lang", coalesce($"n", lit(0L)).as("n_docs"),
+        expr("coalesce(n, 0) * 10000 div n_source").as("source_share_bp"),
+        $"n".isNull.as("empty"))
+      .orderBy($"source", $"lang")
+  }
+
   /** EXACT correlation audit — "is document quality just length?" and
     * every other feature-redundancy question, answered with two
     * correlation statistics computed as EXACT RATIONALS (a float corr()

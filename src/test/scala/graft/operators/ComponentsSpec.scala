@@ -464,6 +464,43 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("messagePassing: both layers replay as neighbor-mean floor divisions") {
+    import spark.implicits._
+    val out = Components.messagePassing(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val edges = DedupOps.minHashLshPairsOracled(spark, sf, threshold = 0.2)
+      .select(($"a" % 100000).as("x"), ($"b" % 100000).as("y"))
+      .filter($"x" =!= $"y").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).distinct
+    graft.CacheGuard.release()
+    val nbrs = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val stop = TextAnalysis.stopwords.toSet
+    val q = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val tk = Option(r.getAs[String]("text")).getOrElse("")
+          .toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val raw = if (tk.isEmpty) 0.0
+          else math.min(1.0, tk.length / 100.0) * 0.6 +
+            tk.count(stop).toDouble / tk.length * 0.4
+        r.getAs[Long]("doc_id") ->
+          math.floor(math.floor(raw * 1e4 + 0.5) / 1e4 * 1e4 + 0.5).toLong
+      }.toMap
+    val h1 = nbrs.map { case (n, ns) =>
+      n -> ns.map(q).sum./(ns.length) }
+    out.foreach { r =>
+      val n = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("deg") === nbrs(n).length.toLong)
+      assert(r.getAs[Long]("q_u4") === q(n))
+      assert(r.getAs[Long]("h1_u4") === h1(n), s"h1 of $n")
+      assert(r.getAs[Long]("h2_u4") ===
+        nbrs(n).map(h1).sum / nbrs(n).length, s"h2 of $n")
+    }
+  }
+
   test("degreeHistogram: buckets partition the node set; membership is exact power ranges") {
     val out = Components.degreeHistogram(spark, sf).collect()
     graft.CacheGuard.release()

@@ -194,6 +194,27 @@ class ProfilerSpec extends SparkSpec {
       out("quality_p50_u4") <= out("quality_p75_u4"))
   }
 
+  test("coverageMatrix: the full schema cube with zero cells surfaced") {
+    val out = Profiler.coverageMatrix(spark, sf).collect()
+    graft.CacheGuard.release()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")))
+    val (sources, langs) = (docs.map(_._1).distinct, docs.map(_._2).distinct)
+    assert(out.length === sources.length * langs.length)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    val obs = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val perSource = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      val n = obs.getOrElse(k, 0L)
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Boolean]("empty") === (n == 0L))
+      assert(r.getAs[Long]("source_share_bp") ===
+        n * 10000L / perSource(k._1))
+    }
+  }
+
   test("correlationAudit: Spearman and Pearson replay as exact rationals on a pair") {
     val out = Profiler.correlationAudit(spark, sf).collect()
       .map(r => r.getAs[String]("pair") -> r).toMap
