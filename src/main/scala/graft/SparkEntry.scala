@@ -315,6 +315,9 @@ object SparkEntry {
     "q242_term_drift" -> ((s, d) => TextAnalysis.termDrift(s, d)),
     "q243_message_passing" -> ((s, d) => Components.messagePassing(s, d)),
     "q244_coverage_matrix" -> ((s, d) => Profiler.coverageMatrix(s, d)),
+    "q245_ushaped_attribution" -> ((s, d) =>
+      Analytics.uShapedAttribution(s, d)),
+    "q246_assortativity" -> ((s, d) => Components.assortativity(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -7037,5 +7040,73 @@ object SparkEntry {
         |FROM g LEFT JOIN c ON c.source = g.source AND c.lang = g.lang
         |JOIN ps ON ps.source = g.source
         |ORDER BY g.source, g.lang""".stripMargin,
+
+    // 40/20/40 with the largest-remainder middle share; conservation
+    // to exactly 1e6 in every branch
+    "q245_ushaped_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id, ts AS buy_ts, event_id AS buy_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT b.buy_id, c.click_id, c.click_ts
+        |  FROM b JOIN c ON c.user_id = b.user_id
+        |  WHERE c.click_ts <= b.buy_ts
+        |    AND c.click_ts > b.buy_ts - INTERVAL 30 MINUTE),
+        |r AS (
+        |  SELECT buy_id, click_id,
+        |    CAST(row_number() OVER (PARTITION BY buy_id
+        |      ORDER BY click_ts, click_id) AS BIGINT) AS touch_rank,
+        |    CAST(count(*) OVER (PARTITION BY buy_id) AS BIGINT)
+        |      AS n_touches
+        |  FROM p)
+        |SELECT buy_id, click_id, touch_rank, n_touches,
+        |  CAST(CASE WHEN n_touches = 1 THEN 1000000
+        |    WHEN n_touches = 2 THEN 500000
+        |    WHEN touch_rank = 1 OR touch_rank = n_touches THEN 400000
+        |    ELSE 200000 // (n_touches - 2)
+        |      + CASE WHEN touch_rank - 1 <= 200000 % (n_touches - 2)
+        |        THEN 1 ELSE 0 END
+        |    END AS BIGINT) AS credit_ppm
+        |FROM r ORDER BY buy_id, touch_rank""".stripMargin,
+
+    // endpoint-degree Pearson over the symmetrized edge list, q238's
+    // exact-rational power-sum discipline
+    "q246_assortativity" ->
+      s"""WITH $minHashCtesSql,
+         |prs AS MATERIALIZED (
+         |  SELECT DISTINCT least(a % 100000, b % 100000) AS a,
+         |    greatest(a % 100000, b % 100000) AS b
+         |  FROM est
+         |  WHERE est_jaccard >= 0.2 AND a % 100000 <> b % 100000),
+         |syma AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |dg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT)
+         |        AS deg FROM syma GROUP BY src),
+         |xy AS (
+         |  SELECT du.deg AS x, dv.deg AS y
+         |  FROM syma s JOIN dg du ON du.node = s.src
+         |  JOIN dg dv ON dv.node = s.dst),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * y)
+         |      - CAST(sum(x) AS HUGEINT) * sum(y) AS cov_n,
+         |    (CAST(count(*) AS HUGEINT) * sum(CAST(x AS HUGEINT) * x)
+         |      - CAST(sum(x) AS HUGEINT) * sum(x))
+         |    * (CAST(count(*) AS HUGEINT) * sum(CAST(y AS HUGEINT) * y)
+         |      - CAST(sum(y) AS HUGEINT) * sum(y)) AS var_n
+         |  FROM xy)
+         |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+         |  CASE WHEN var_n = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(((cov_n * cov_n) * 1000000) // var_n AS BIGINT)
+         |  END AS r2_ppm,
+         |  CAST(CASE WHEN cov_n > 0 THEN 1 WHEN cov_n < 0 THEN -1
+         |    ELSE 0 END AS BIGINT) AS r_sign,
+         |  CASE WHEN cov_n > 0 THEN 'assortative'
+         |    WHEN cov_n < 0 THEN 'disassortative'
+         |    ELSE 'neutral' END AS regime
+         |FROM agg""".stripMargin,
   )
 }

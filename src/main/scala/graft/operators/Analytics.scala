@@ -499,6 +499,44 @@ object Analytics {
       .orderBy($"buy_id", $"touch_rank")
   }
 
+  /** U-shaped (position-based) attribution — the 40/20/40 model beside
+    * q207's linear split: first and last touch carry 40% each, the
+    * middle touches share the remaining 20% — the standard "discovery
+    * and closing matter most" production model. Exact integer ppm with
+    * q195/q207's largest-remainder convention on the middle share, so
+    * per-purchase credit sums to EXACTLY 10⁶ in every branch (1 touch →
+    * 10⁶; 2 → 500k/500k; n≥3 → 400k + middles + 400k). Same
+    * time-bounded pair relation and conversion-sized windows as q207 —
+    * the MODEL is the only thing that changes, which is the point of
+    * keeping attribution as a query. */
+  def uShapedAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val buys = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("buy_ts"), $"event_id".as("buy_id"))
+    val pairs = buys.join(clicks, Seq("user_id"))
+      .filter($"click_ts" <= $"buy_ts" &&
+        $"click_ts" > $"buy_ts" - expr("INTERVAL 30 MINUTES"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"buy_id")
+      .orderBy($"click_ts", $"click_id")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"buy_id")
+    pairs
+      .withColumn("touch_rank", row_number().over(w).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(wAll))
+      .select($"buy_id", $"click_id", $"touch_rank", $"n_touches",
+        when($"n_touches" === 1, 1000000L)
+          .when($"n_touches" === 2, 500000L)
+          .when($"touch_rank" === 1 || $"touch_rank" === $"n_touches",
+            400000L)
+          .otherwise(expr("200000 div (n_touches - 2)") +
+            when($"touch_rank" - 1 <= expr("200000 % (n_touches - 2)"), 1L)
+              .otherwise(0L))
+          .as("credit_ppm"))
+      .orderBy($"buy_id", $"touch_rank")
+  }
+
   /** Robust per-type outlier audit — median/MAD instead of mean/stddev
     * (one fat-fingered 1e6 value drags a mean-based z-score gate into
     * passing everything; the median absolute deviation shrugs it off —

@@ -793,6 +793,59 @@ object Components {
       .orderBy($"doc_id")
   }
 
+  /** Degree ASSORTATIVITY — do high-degree documents link to other
+    * high-degree documents (assortative, r > 0: dup farms clumping) or
+    * to low-degree ones (disassortative, r < 0: hub-and-spoke near-dup
+    * stars)? Newman's r is the Pearson correlation of endpoint degrees
+    * over the directed edge set (both orientations); computed here as
+    * q238's exact-rational discipline — r² in ppm from the five power
+    * sums over the symmetrized edge list, sign separate, DECIMAL(38)
+    * intermediates, no sqrt, no float corr(). The regime verdict rides
+    * along. The answer feeds the same knobs q235's histogram does: a
+    * disassortative graph's hubs are exactly the hot blocks the caps
+    * and salts exist for.
+    *
+    * Scale shape: one degree aggregation + two keyed joins to put
+    * (deg(u), deg(v)) on each edge row, one power-sum rollup. */
+  def assortativity(spark: SparkSession, dir: String,
+                    threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val edges = DedupOps.minHashLshPairsOracled(spark, dir,
+        threshold = threshold)
+      .select(($"a" % 100000).as("x"), ($"b" % 100000).as("y"))
+      .filter($"x" =!= $"y")
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+      .distinct()
+    val sym = graft.CacheGuard.barrier(
+      edges.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(edges.select($"b".as("src"), $"a".as("dst"))))
+    val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    val xy = sym
+      .join(deg.select($"node".as("su"), $"deg".as("x")), $"src" === $"su")
+      .join(deg.select($"node".as("sv"), $"deg".as("y")), $"dst" === $"sv")
+      .select($"x", $"y")
+    xy.agg(count(lit(1)).as("n"),
+        sum($"x".cast("decimal(38,0)")).as("sx"),
+        sum($"y".cast("decimal(38,0)")).as("sy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+        sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
+        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"))
+      .select($"n",
+        expr("cast(n as decimal(38,0)) * sxy - sx * sy").as("cov_n"),
+        expr("(cast(n as decimal(38,0)) * sxx - sx * sx) * " +
+          "(cast(n as decimal(38,0)) * syy - sy * sy)").as("var_n"))
+      .select(expr("n div 2").as("n_edges"),
+        when($"var_n" === 0, 0L)
+          .otherwise(expr("((cov_n * cov_n) * 1000000) div var_n"))
+          .as("r2_ppm"),
+        when($"cov_n" > 0, 1L).when($"cov_n" < 0, -1L).otherwise(0L)
+          .as("r_sign"))
+      .withColumn("regime",
+        when($"r_sign" > 0, "assortative")
+          .when($"r_sign" < 0, "disassortative")
+          .otherwise("neutral"))
+  }
+
   /** Root + depth for every node of a parent-pointer FOREST by pointer
     * doubling (Wyllie 1979 list ranking, the forest form): each round
     * replaces every node's ancestor pointer with its ancestor's ancestor

@@ -563,6 +563,28 @@ class AnalyticsSpec extends SparkSpec {
       out.exists(!_.getAs[Boolean]("predicted")))
   }
 
+  test("uShapedAttribution: credit conserves to exactly 1e6 per purchase in every branch") {
+    val out = Analytics.uShapedAttribution(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byBuy = out.groupBy(_.getAs[Long]("buy_id"))
+    byBuy.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("credit_ppm")).sum === 1000000L)
+      val n = rows.head.getAs[Long]("n_touches")
+      rows.foreach { r =>
+        val (rk, cr) = (r.getAs[Long]("touch_rank"),
+          r.getAs[Long]("credit_ppm"))
+        if (n == 1) assert(cr === 1000000L)
+        else if (n == 2) assert(cr === 500000L)
+        else if (rk == 1 || rk == n) assert(cr === 400000L)
+        else {
+          val base = 200000L / (n - 2)
+          val rem = 200000L % (n - 2)
+          assert(cr === base + (if (rk - 1 <= rem) 1L else 0L))
+        }
+      }
+    }
+  }
+
   test("winsorizedReport: bounds, clips and means replay the discrete-quantile rule") {
     val out = Analytics.winsorizedReport(spark, sf).collect()
     assert(out.nonEmpty)

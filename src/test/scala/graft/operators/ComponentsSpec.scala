@@ -501,6 +501,37 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("assortativity: endpoint-degree Pearson replays in BigInt over the edge list") {
+    import spark.implicits._
+    val out = Components.assortativity(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.length === 1)
+    val r = out.head
+    val edges = DedupOps.minHashLshPairsOracled(spark, sf, threshold = 0.2)
+      .select(($"a" % 100000).as("x"), ($"b" % 100000).as("y"))
+      .filter($"x" =!= $"y").collect()
+      .map(p => (math.min(p.getLong(0), p.getLong(1)),
+        math.max(p.getLong(0), p.getLong(1)))).distinct
+    graft.CacheGuard.release()
+    assert(r.getAs[Long]("n_edges") === edges.length.toLong)
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xy = sym.map { case (u, v) => (BigInt(deg(u)), BigInt(deg(v))) }
+    val n = BigInt(xy.length)
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val cov = n * sxy - sx * sy
+    val vr = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    val want = if (vr == 0) BigInt(0) else cov * cov * 1000000 / vr
+    assert(BigInt(r.getAs[Long]("r2_ppm")) === want)
+    assert(r.getAs[Long]("r_sign") === cov.signum.toLong)
+    val regime = if (cov > 0) "assortative"
+      else if (cov < 0) "disassortative" else "neutral"
+    assert(r.getAs[String]("regime") === regime)
+  }
+
   test("degreeHistogram: buckets partition the node set; membership is exact power ranges") {
     val out = Components.degreeHistogram(spark, sf).collect()
     graft.CacheGuard.release()
