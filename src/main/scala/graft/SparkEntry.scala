@@ -318,6 +318,7 @@ object SparkEntry {
     "q245_ushaped_attribution" -> ((s, d) =>
       Analytics.uShapedAttribution(s, d)),
     "q246_assortativity" -> ((s, d) => Components.assortativity(s, d)),
+    "q247_gini" -> ((s, d) => Analytics.giniConcentration(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -7108,5 +7109,33 @@ object SparkEntry {
          |    WHEN cov_n < 0 THEN 'disassortative'
          |    ELSE 'neutral' END AS regime
          |FROM agg""".stripMargin,
+
+    // Gini via tie-averaged doubled ranks over the revenue frequency
+    // table; two nonnegative floor divisions, HUGEINT intermediates
+    "q247_gini" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r2m AS (
+        |  SELECT v, CAST(2 * coalesce(cb, 0) + cnt + 1 AS BIGINT) AS r2
+        |  FROM (
+        |    SELECT cents AS v, CAST(count(*) AS BIGINT) AS cnt,
+        |      sum(count(*)) OVER (ORDER BY cents
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb
+        |    FROM rev GROUP BY cents) z),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS HUGEINT) AS sx,
+        |    CAST(sum(r2 * cents) AS HUGEINT) AS srx,
+        |    CAST(max(cents) AS BIGINT) AS max_cents
+        |  FROM rev JOIN r2m ON r2m.v = rev.cents)
+        |SELECT n, CAST(sx AS BIGINT) AS total_cents, max_cents,
+        |  CAST((srx * 1000000) // (CAST(n AS HUGEINT) * sx)
+        |    - ((n + 1) * 1000000) // n AS BIGINT) AS gini_ppm,
+        |  CAST((CAST(max_cents AS HUGEINT) * 1000000) // sx AS BIGINT)
+        |    AS top1_share_ppm
+        |FROM agg""".stripMargin,
   )
 }

@@ -537,6 +537,44 @@ object Analytics {
       .orderBy($"buy_id", $"touch_rank")
   }
 
+  /** Revenue CONCENTRATION (exact Gini) — "how dependent is revenue on
+    * a few customers", as an exact rational: with tie-averaged DOUBLED
+    * ranks r₂ over per-customer revenue (q238's device — rank maps from
+    * the value-frequency table, never a corpus sort), the Gini
+    * coefficient G = Σ r₂ᵢxᵢ/(n·Σx) − (n+1)/n lands in ppm as two
+    * nonnegative floor divisions over exact integer cents — no float
+    * Lorenz integration to drift between engines (floor rounding can
+    * shave the difference to −1 ppm on perfectly uniform data; the
+    * value is exact, the interpretation unchanged). The single largest
+    * customer's share rides along.
+    *
+    * Scale shape: one custkey rollup (map-side partials), an
+    * O(distinct revenue values) rank map broadcast back, one power-sum
+    * aggregate. */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = graft.CacheGuard.barrier(
+      Tables.orders(spark, dir)
+        .groupBy($"o_custkey")
+        .agg(sum(floor($"o_totalprice" * 100 + lit(0.5)).cast("long"))
+          .as("cents")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rank2 = rev.groupBy($"cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("cb", coalesce(sum($"cnt").over(w), lit(0L)))
+      .select($"cents".as("v"), (lit(2L) * $"cb" + $"cnt" + 1L).as("r2"))
+    rev.join(broadcast(rank2), $"cents" === $"v")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents".cast("decimal(38,0)")).as("sx"),
+        sum(($"r2" * $"cents").cast("decimal(38,0)")).as("srx"),
+        max($"cents").as("max_cents"))
+      .select($"n", $"sx".cast("long").as("total_cents"), $"max_cents",
+        (expr("(srx * 1000000) div (cast(n as decimal(38,0)) * sx)") -
+          expr("((n + 1) * 1000000) div n")).as("gini_ppm"),
+        expr("(cast(max_cents as decimal(38,0)) * 1000000) div sx")
+          .cast("long").as("top1_share_ppm"))
+  }
+
   /** Robust per-type outlier audit — median/MAD instead of mean/stddev
     * (one fat-fingered 1e6 value drags a mean-based z-score gate into
     * passing everything; the median absolute deviation shrugs it off —

@@ -563,6 +563,36 @@ class AnalyticsSpec extends SparkSpec {
       out.exists(!_.getAs[Boolean]("predicted")))
   }
 
+  test("giniConcentration: the rank formula replays in BigInt; bounds hold") {
+    val out = Analytics.giniConcentration(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.length === 1)
+    val r = out.head
+    val rev = graft.Tables.orders(spark, sf)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(x => (x.getAs[Long]("o_custkey"),
+        math.floor(x.getAs[Double]("o_totalprice") * 100 + 0.5).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val xs = rev.values.toSeq
+    assert(r.getAs[Long]("n") === xs.length.toLong)
+    assert(r.getAs[Long]("total_cents") === xs.sum)
+    assert(r.getAs[Long]("max_cents") === xs.max)
+    val freq = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sorted = freq.keys.toSeq.sorted
+    val cum = sorted.scanLeft(0L)((a, v) => a + freq(v))
+    val r2 = sorted.zip(cum).map { case (v, cb) =>
+      v -> (2 * cb + freq(v) + 1) }.toMap
+    val n = BigInt(xs.length)
+    val srx = xs.map(x => BigInt(r2(x)) * x).sum
+    val want = srx * 1000000 / (n * xs.map(BigInt(_)).sum) -
+      (n + 1) * 1000000 / n
+    assert(BigInt(r.getAs[Long]("gini_ppm")) === want)
+    assert(r.getAs[Long]("gini_ppm") >= -1L &&
+      r.getAs[Long]("gini_ppm") < 1000000L)
+    assert(r.getAs[Long]("top1_share_ppm") ===
+      (BigInt(xs.max) * 1000000 / xs.map(BigInt(_)).sum).toLong)
+  }
+
   test("uShapedAttribution: credit conserves to exactly 1e6 per purchase in every branch") {
     val out = Analytics.uShapedAttribution(spark, sf).collect()
     assert(out.nonEmpty)
