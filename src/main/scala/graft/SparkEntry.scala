@@ -4698,9 +4698,13 @@ object SparkEntry {
 
     // dedup-then-audit: q67's keeper election (minhash CTE chain + CC)
     // collapses near-dup clusters, then q114's NAIVE exact set-sim join
-    // runs over keeper texts only — the oracle states the uncapped
-    // all-shared-token candidate form, so the hash match proves the
-    // engine's prefix filter stayed lossless over the reduced corpus.
+    // runs over keeper texts PLUS the seeded borderline pairs — the
+    // oracle states the uncapped all-shared-token candidate form, so the
+    // hash match proves the engine's prefix filter stayed lossless over
+    // the reduced corpus, and the seeds guarantee the match is never
+    // vacuous (0 rows ≡ 0 rows): each accepted seed pair exercises the
+    // inter/union/jaccard value columns and the rejected seeds exercise
+    // the τ cut (see DedupOps.setSimSeeds).
     "q175_setsim_keepers" ->
       s"""WITH RECURSIVE $minHashCtesSql,
          |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
@@ -4715,10 +4719,32 @@ object SparkEntry {
          |labeled AS (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+         |sdsrc AS (
+         |  SELECT doc_id, CASE WHEN doc_id % ${2 * DedupOps.setSimSeedStride} = 0
+         |      THEN ${DedupOps.setSimSeedDivAccept}
+         |      ELSE ${DedupOps.setSimSeedDivReject} END AS d
+         |  FROM documents WHERE doc_id % ${DedupOps.setSimSeedStride} = 0),
+         |sdrows AS (
+         |  SELECT doc_id + ${DedupOps.setSimSeedOffsetA} AS doc_id,
+         |    array_to_string(list_transform(range(0, ${DedupOps.setSimSeedLen}),
+         |      i -> 'sd' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)),
+         |      ' ') AS text
+         |  FROM sdsrc
+         |  UNION ALL
+         |  SELECT doc_id + ${DedupOps.setSimSeedOffsetB},
+         |    array_to_string(list_concat(
+         |      list_transform(range(0, ${DedupOps.setSimSeedLen} - d),
+         |        i -> 'sd' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)),
+         |      list_transform(range(0, d),
+         |        i -> 'sd' || CAST(doc_id AS VARCHAR) || 'y' || CAST(i AS VARCHAR))),
+         |      ' ')
+         |  FROM sdsrc),
          |kbase AS (
          |  SELECT c.doc_id, $toksSql AS tk
          |  FROM corpus c JOIN labeled l ON l.doc_id = c.doc_id
-         |  WHERE l.doc_id = l.keeper),
+         |  WHERE l.doc_id = l.keeper
+         |  UNION ALL
+         |  SELECT doc_id, $toksSql AS tk FROM sdrows),
          |kdt AS (
          |  SELECT doc_id, list_sort(list_distinct(list_transform(
          |    range(1, greatest(len(tk) - 2, 0) + 1),

@@ -1079,7 +1079,60 @@ object DedupOps {
     val keepers = nearDupKeepers(spark, dir)
       .filter($"is_keeper").select($"doc_id")
     val docs = dupCorpus(spark, dir).join(keepers, "doc_id")
-    setSimJoinOver(spark, docs, n)
+      .select($"doc_id", $"text")
+    setSimJoinOver(spark, docs.unionByName(setSimSeeds(spark, dir)), n)
+  }
+
+  /** Seeded borderline-pair fixture for [[setSimJoinKeepers]] (the q178
+    * seeded-digest convention): after keeper election the driver corpus
+    * has NO surviving τ-pairs, so without a seed the gate's oracle row is
+    * vacuously green — 0 Spark rows ≡ 0 oracle rows, proving emptiness
+    * rather than the join. The audit's target class — genuine
+    * cross-cluster BORDERLINE matches — is therefore seeded: per
+    * `setSimSeedStride`-th base document, two novel synthetic-token texts
+    * A and B of `setSimSeedLen` tokens sharing all but the last
+    * `setSimSeedDiv*` tokens. Tokens embed the source doc_id
+    * (`sd<id>x<i>` / `sd<id>y<i>`), so seeds never shingle-collide with
+    * natural text, with other seeds, or with keeper documents — each
+    * seeded pair is exactly one candidate, with EXACT set arithmetic:
+    * n-gram trigrams give inter = L−2−D, union = L−2+D, so the designed
+    * Jaccard brackets τ = 3/5 from both sides —
+    * D=5 → 16/26 ≈ .6154 (accepted, one output row) for `doc_id % 20 ==
+    * 0`, D=6 → 15/27 ≈ .5556 (a candidate the threshold must REJECT)
+    * otherwise. The gate thus exercises the full value surface (inter,
+    * union, quantized jaccard) and both sides of the τ comparison at
+    * every SF. Novel texts survive keeper election by construction, so
+    * seeding composes with (not perturbs) the election — the spec pins
+    * the keeper form equal to the full join over corpus ∪ seeds filtered
+    * to keeper ∪ seed endpoints. */
+  val setSimSeedStride = 10L
+  val setSimSeedOffsetA: Long = 3L * dupOffset
+  val setSimSeedOffsetB: Long = 4L * dupOffset
+  val setSimSeedLen = 23
+  val setSimSeedDivAccept = 5
+  val setSimSeedDivReject = 6
+
+  def setSimSeeds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // tokens embed the BASE id via src_id: an output column also named
+    // doc_id would otherwise win lateral-column-alias resolution and the
+    // A/B rows would embed their DIFFERENT shifted ids — never pairing
+    def tok(tag: String): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      i => concat(lit("sd"), $"src_id".cast("string"), lit(tag),
+        i.cast("string"))
+    val base = Tables.documents(spark, dir)
+      .filter($"doc_id" % setSimSeedStride === 0)
+      .select($"doc_id".as("src_id"),
+        when($"doc_id" % (2 * setSimSeedStride) === 0, setSimSeedDivAccept)
+          .otherwise(setSimSeedDivReject).as("d"))
+    val a = base.select(($"src_id" + setSimSeedOffsetA).as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(setSimSeedLen - 1)),
+        tok("x"))).as("text"))
+    val b = base.select(($"src_id" + setSimSeedOffsetB).as("doc_id"),
+      concat_ws(" ", concat(
+        transform(sequence(lit(0), lit(setSimSeedLen - 1) - $"d"), tok("x")),
+        transform(sequence(lit(0), $"d" - 1), tok("y")))).as("text"))
+    a.unionByName(b)
   }
 
   /** Dedup-then-audit, directed form (q178): [[containmentJoin]] over the

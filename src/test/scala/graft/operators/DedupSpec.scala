@@ -665,7 +665,7 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("setSimJoinKeepers: exactly the full exact join filtered to keeper endpoints, with every intra-cluster pair gone") {
+  test("setSimJoinKeepers: exactly the full exact join filtered to keeper+seed endpoints, with every intra-cluster pair gone and the seeded borderline pairs present") {
     import spark.implicits._
     val keepers = DedupOps.nearDupKeepers(spark, sf)
       .filter($"is_keeper").select($"doc_id")
@@ -674,19 +674,39 @@ class DedupSpec extends SparkSpec {
     // keepers are cluster minima, so they always live in the original id
     // range (each +dupOffset copy shares a component with its original)
     assert(keepers.forall(_ < DedupOps.dupOffset))
-    val full = DedupOps.setSimJoin(spark, sf).collect()
+    // full exact join over corpus ∪ seeds — the q178 convention: the
+    // seeded rows are part of the audited corpus in both formulations
+    val seeds = DedupOps.setSimSeeds(spark, sf)
+    val seedIds = seeds.select($"doc_id").as[Long].collect().toSet
+    val fullCorpus = DedupOps.dupCorpus(spark, sf)
+      .select($"doc_id", $"text").unionByName(seeds)
+    val full = DedupOps.setSimJoinOver(spark, fullCorpus).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     graft.CacheGuard.release()
     val got = DedupOps.setSimJoinKeepers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     graft.CacheGuard.release()
     // exactness preserved over the reduced corpus: the keeper join equals
-    // the full O(true pairs) join restricted to keeper-only endpoints
-    val expected = full.filter(p => keepers(p._1) && keepers(p._2))
+    // the full O(true pairs) join restricted to keeper/seed endpoints
+    val audited = (id: Long) => keepers(id) || seedIds(id)
+    val expected = full.filter(p => audited(p._1) && audited(p._2))
     assert(got.toSeq === expected.toSeq)
     // and the collapse really removed pair volume (the seeded corpus has
     // intra-cluster pairs the keeper corpus cannot contain)
     assert(got.length < full.length)
+    // de-vacuified gate: every doc_id % 20 == 0 base doc seeds EXACTLY
+    // one accepted borderline pair with the designed exact arithmetic
+    // (inter = L−2−D = 16, union = L−2+D = 26, J ≈ .6154 just over 3/5)
+    val nAccept = graft.Tables.documents(spark, sf)
+      .filter($"doc_id" % (2 * DedupOps.setSimSeedStride) === 0)
+      .count()
+    assert(nAccept > 0)
+    val seedPairs = got.filter(p => seedIds(p._1) && seedIds(p._2))
+    assert(seedPairs.length === nAccept)
+    assert(seedPairs.forall(p => p._3 === 16L && p._4 === 26L))
+    // ...and the rejected seeds (D=6, J = 15/27 just under τ) generate a
+    // candidate the threshold must cut: no seed pair survives at union 27
+    assert(!got.exists(p => p._4 === 27L))
   }
 
   test("containmentJoinKeepers: the directed audit over keepers+digests equals the full join filtered to those endpoints") {
