@@ -49,6 +49,41 @@ object Bench {
                             probe: Seq[BenchProbe.Snap] = Nil) {
     def sec: Double = (if (okSecs.nonEmpty) okSecs else secs).min
     def ok: Boolean = err.isEmpty
+    /** JIT-adjusted wall seconds: per-rep `sec − jit_ms/1000`, min over
+      * reps. The round-9 probe proved the in-suite inflation phantom was
+      * HotSpot compile storms (3–12 s of `jit_ms` on the worst rows,
+      * `recompute` 0 everywhere), so the INTERPRETATION rule encoded here
+      * is: a suite row is flagged against its recorded baseline only when
+      * the JIT-adjusted time exceeds 2× — raw wall time alone conflates
+      * the operator with the compiler. Probe-less runs fall back to raw
+      * `sec` (adjustment 0), never to a misleading negative. */
+    def jitAdjSec: Double =
+      if (probe.size != secs.size || probe.isEmpty) sec
+      else {
+        val adj = secs.zip(probe).map { case (s, p) =>
+          math.max(0.0, s - p.jitMs / 1000.0)
+        }
+        // restrict to successful reps when any succeeded (same rule as sec)
+        val okAdj = secs.zip(adj).filter { case (s, _) => okSecs.contains(s) }
+          .map(_._2)
+        (if (okAdj.nonEmpty) okAdj else adj).min
+      }
+  }
+
+  /** Recorded per-query baselines (`BASELINE_queries.json`, committed at
+    * each round close from that round's driver suite health snapshot):
+    * `{query: {sec, protocol, round}}`. Machine-readable so the
+    * suite-vs-recorded ratio is COMPUTED here rather than hand-curated
+    * from BASELINE.md's prose tables. Parsed with a regex rather than a
+    * JSON library (zero extra deps; the file is self-authored and flat). */
+  def recordedBaselines(path: String = "BASELINE_queries.json"): Map[String, Double] = {
+    val p = java.nio.file.Path.of(path)
+    if (!java.nio.file.Files.isReadable(p)) Map.empty
+    else {
+      val txt = java.nio.file.Files.readString(p)
+      val re = """"(q[^"]+)"\s*:\s*\{[^}]*?"sec"\s*:\s*([0-9.Ee+-]+)""".r
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
   }
 
   /** Run each query `reps` times (SPARK_GRAFT_BENCH_REPS, default 2) —
@@ -124,9 +159,11 @@ object Bench {
           queries: Map[String, (SparkSession, String) => DataFrame] =
             SparkEntry.queries,
           reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt): String =
-    renderFull(measure(spark, sfDir, queries, reps), math.max(1, reps), sfDir)
+    renderFull(measure(spark, sfDir, queries, reps), math.max(1, reps), sfDir,
+      recordedBaselines())
 
-  def renderFull(results: Seq[Measured], reps: Int, sfDir: String): String = {
+  def renderFull(results: Seq[Measured], reps: Int, sfDir: String,
+                 recorded: Map[String, Double] = Map.empty): String = {
     val qs = results.map(r => s"${jstr(r.name)}:${r.sec}").mkString("{", ",", "}")
     val health = results.map { r =>
       // per-rep attribution arrays (see BenchProbe): task_ms is executor
@@ -144,14 +181,38 @@ object Bench {
           s""","spill_mb":${arr(_.spillBytes / (1 << 20))}""" +
           s""","evict":${arr(_.evicted)},"bcast_rm":${arr(_.bcastRm)}""" +
           s""","recompute":${arr(_.recompute)},"jit_ms":${arr(_.jitMs)}"""
+      // vs_recorded: this run ÷ the committed per-query baseline (absent
+      // for queries the baseline file predates); the flag rule is
+      // jit_adj_sec > 2× recorded, NOT raw sec (see Measured.jitAdjSec)
+      val vsJson = recorded.get(r.name).filter(_ > 0).map { b =>
+        s""","vs_recorded":${BigDecimal(r.sec / b).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP)},"flagged":${r.jitAdjSec > 2 * b}"""
+      }.getOrElse("")
       s"${jstr(r.name)}:{" + s""""sec":${r.sec},"ok":${r.ok},"err":""" +
         r.err.map(jstr).getOrElse("null") +
         s""","secs":${r.secs.mkString("[", ",", "]")}""" +
+        s""","jit_adj_sec":${BigDecimal(r.jitAdjSec).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP)}""" +
         s""","gc_ms":${r.gcMs.mkString("[", ",", "]")}""" +
-        s""","pressure":${r.pressure}$probeJson}"""
+        s""","pressure":${r.pressure}$vsJson$probeJson}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.sec).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"health":$health,"n_failed":${results.count(!_.ok)},"reps":$reps,"sf":"$sfDir"}"""
+    // aggregate ratio over the queries that HAVE a recorded baseline —
+    // sum-of-sec ÷ sum-of-recorded on the common set (the judge's
+    // common-set protocol, computed instead of hand-curated)
+    val common = results.filter(r => recorded.get(r.name).exists(_ > 0))
+    val vsTotal =
+      if (common.isEmpty) ""
+      else {
+        val rec = common.map(r => recorded(r.name)).sum
+        val flagged = common.count(r => r.jitAdjSec > 2 * recorded(r.name))
+        s""","vs_recorded":{"n_common":${common.size},"sec":${BigDecimal(
+          common.map(_.sec).sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"recorded_sec":${BigDecimal(
+          rec).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"ratio":${BigDecimal(
+          common.map(_.sec).sum / rec).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP)},"n_flagged_jitadj_over2x":$flagged}"""
+      }
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"health":$health,"n_failed":${results.count(!_.ok)}$vsTotal,"reps":$reps,"sf":"$sfDir"}"""
   }
 
   /** The one stdout line: 2-decimal per-query seconds (±5 ms, noise-level
@@ -161,10 +222,20 @@ object Bench {
     * the consumer's ~2000-char tail window in round 6 — the id is the
     * stable join key against BASELINE.md and the health file carries the
     * full names); ~11 bytes/query leaves room for the surface to double. */
-  def renderSlim(results: Seq[Measured], reps: Int, sfDir: String): String = {
+  def renderSlim(results: Seq[Measured], reps: Int, sfDir: String,
+                 recorded: Map[String, Double] = Map.empty): String = {
     def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     def d3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     def qid(n: String) = n.takeWhile(_ != '_')
+    // compact computed vs-recorded summary (~55 chars): common-set ratio
+    // + count of rows whose JIT-ADJUSTED time exceeds 2× recorded — the
+    // round-9 interpretation rule, machine-applied
+    val common = results.filter(r => recorded.get(r.name).exists(_ > 0))
+    val vsRec =
+      if (common.isEmpty) ""
+      else s""","vs_rec":{"n":${common.size},"ratio":${d3(
+        common.map(_.sec).sum / common.map(r => recorded(r.name)).sum)},"flag2x":${common.count(
+        r => r.jitAdjSec > 2 * recorded(r.name))}}"""
     def render(included: Seq[Measured]): String = {
       val qs = included.sortBy(_.name)
         .map(r => s"${jstr(qid(r.name))}:${d2(r.sec)}").mkString("{", ",", "}")
@@ -188,7 +259,7 @@ object Bench {
             .mkString(""","failed":{""", ",", "}") + more
         }
       val total = d3(results.map(_.sec).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$omitted,"n_failed":${results.count(!_.ok)}$failed,"reps":$reps,"health_file":"bench_health.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$omitted,"n_failed":${results.count(!_.ok)}$failed$vsRec,"reps":$reps,"health_file":"bench_health.json","sf":"$sfDir"}"""
     }
     // Hard length cap: the consumer keeps only the LAST ~2000 chars of
     // stdout, and an sbt "[success] Total time ..." line (~80 chars)
@@ -247,9 +318,10 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     val results = measure(spark, sfDir, selected, reps)
+    val recorded = recordedBaselines()
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("bench_health.json"),
-      renderFull(results, reps, sfDir) + "\n")
+      renderFull(results, reps, sfDir, recorded) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] health file write failed: $e")
     }
@@ -259,7 +331,7 @@ object Bench {
     // consumer's 2000-char tail window
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.ERROR)
-    println(renderSlim(results, reps, sfDir))
+    println(renderSlim(results, reps, sfDir, recorded))
     System.out.flush()
     spark.stop()
   }

@@ -119,6 +119,39 @@ class BenchSpec extends SparkSpec {
     assert(json.contains(""""jit_ms":["""))
   }
 
+  test("jit-adjusted seconds and vs_recorded: ratio computed, flag rule uses jit_adj_sec") {
+    import graft.BenchProbe.Snap
+    def m(name: String, sec: Double, jitMs: Long) =
+      Bench.Measured(name, Seq(sec), Seq(sec), None,
+        gcMs = Seq(0L),
+        probe = Seq(Snap(0, 0, 0, 0, 0, 0, 0, 0, 0, jitMs = jitMs)))
+    // 4.0 s wall of which 3.5 s is HotSpot compile → jit_adj 0.5 s: NOT
+    // flagged against a 1.0 s baseline (raw ratio 4× would false-alarm);
+    // a genuinely slow row (4.0 s, no jit) IS flagged
+    val rs = Seq(m("q01_a", 4.0, 3500L), m("q02_b", 4.0, 0L),
+      m("q03_nobase", 1.0, 0L))
+    val rec = Map("q01_a" -> 1.0, "q02_b" -> 1.0)
+    val full = Bench.renderFull(rs, 1, "/tmp/sf", rec)
+    assert(full.contains(""""jit_adj_sec":0.500"""))
+    assert(full.contains(""""vs_recorded":4.000,"flagged":false"""))
+    assert(full.contains(""""vs_recorded":4.000,"flagged":true"""))
+    // aggregate: common set excludes the baseline-less query
+    assert(full.contains(""""n_common":2"""))
+    assert(full.contains(""""n_flagged_jitadj_over2x":1"""))
+    val slim = Bench.renderSlim(rs, 1, "/tmp/sf", rec)
+    assert(slim.contains(""""vs_rec":{"n":2,"ratio":4.000,"flag2x":1}"""))
+    // without a baseline file nothing is emitted (bootstrap rounds)
+    assert(!Bench.renderSlim(rs, 1, "/tmp/sf").contains("vs_rec"))
+  }
+
+  test("recordedBaselines parses the committed per-query baseline file") {
+    val rec = Bench.recordedBaselines(
+      new java.io.File("BASELINE_queries.json").getAbsolutePath)
+    assert(rec.size > 200, s"parsed ${rec.size} baselines")
+    assert(rec.values.forall(_ > 0))
+    assert(rec.contains("q01_reddit_filter"))
+  }
+
   test("a mass failure stays within the line budget: failed map is capped") {
     // 200 failures at ~90 chars each would be 18 KB uncapped — the line
     // must keep the first few and count the rest
