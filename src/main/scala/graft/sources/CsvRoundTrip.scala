@@ -46,7 +46,7 @@ object CsvRoundTrip {
     writeCsv(
       Tables.events(spark, dir)
         .select($"event_id", $"user_id", $"event_type",
-          round($"value", 2).as("value")),
+          round($"value", 2).as("value")), // round-ok: half-up 2dp before text serialization; oracle mirrors floor(x*1e2+0.5)
       out)
     readCsv(spark, out)
       .select(

@@ -55,7 +55,7 @@ object PagedJson {
         $"r.event_id".as("event_id"),
         $"r.user_id".as("user_id"),
         $"r.event_type".as("event_type"),
-        round($"r.value", 2).as("value"),
+        round($"r.value", 2).as("value"), // round-ok: half-up 2dp before text serialization; oracle mirrors floor(x*1e2+0.5)
         $"page_id", $"next_token", $"first_in_page")
   }
 

@@ -120,7 +120,7 @@ object ZstNdjson {
     read(spark, out.toString + "/*.zst", eventSchema)
       .filter(col(corruptCol).isNull)
       .select($"event_id", $"user_id", $"event_type",
-        round($"value", 2).as("value"))
+        round($"value", 2).as("value")) // round-ok: half-up 2dp before text serialization; oracle mirrors floor(x*1e2+0.5)
       .orderBy($"event_id")
   }
 
