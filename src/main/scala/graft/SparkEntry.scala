@@ -325,6 +325,8 @@ object SparkEntry {
       Analytics.uShapedAttribution(s, d)),
     "q246_assortativity" -> ((s, d) => Components.assortativity(s, d)),
     "q247_gini" -> ((s, d) => Analytics.giniConcentration(s, d)),
+    "q248_full_curate" -> ((s, d) =>
+      graft.streaming.FullCurate.replayBatch(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -369,10 +371,13 @@ object SparkEntry {
     * `DedupOps.registeredBand` (round 9, sf10-motivated) and never binds
     * at driver SFs (max block 34 at sf0.1), so it is result-neutral
     * everywhere the oracle runs. */
-  private lazy val minHashCtesSql: String =
+  /** The md5-family MinHash CTE chain (signatures → bands → capped
+    * candidates → est) over an arbitrary `(doc_id, text)` corpus SQL —
+    * parameterized (round 10) so the composed q248 pipeline can band its
+    * extended corpus with the IDENTICAL chain the q55 family audits. */
+  private def minHashCtesOver(corpusSql: String): String =
     s"""corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+       |  $corpusSql),
        |toks AS (SELECT doc_id, $toksSql AS tk FROM corpus),
        |shq AS (
        |  SELECT DISTINCT doc_id, sh FROM (
@@ -404,6 +409,12 @@ object SparkEntry {
        |  FROM cand c
        |  JOIN sigl sa ON sa.doc_id = c.a
        |  JOIN sigl sb ON sb.doc_id = c.b)""".stripMargin
+
+  /** The chain over the standard doubled corpus — every pre-round-10
+    * oracle's text is byte-identical to the former inline val. */
+  private lazy val minHashCtesSql: String = minHashCtesOver(
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents""".stripMargin)
 
   /** The SimHash banded-pair chain over the doubled corpus (q21's
     * fingerprint replay → 8-bit band keys → capped blocks → popcount
@@ -7164,5 +7175,83 @@ object SparkEntry {
         |  CAST((CAST(max_cents AS HUGEINT) * 1000000) // sx AS BIGINT)
         |    AS top1_share_ppm
         |FROM agg""".stripMargin,
+
+    // the composed streaming curation gate: q94's Bloom first-setter
+    // replay ⋈ q173's rank-capped band replay (both over the extended
+    // corpus with edited re-crawls) ⋈ q166/q168's per-source floor table
+    "q248_full_curate" -> {
+      import graft.streaming.{BloomGate, FullCurate, NearDupGate}
+      import graft.streaming.CuratePipeline.{minTokens, maxTokens}
+      val uSql = "CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0 " +
+        "ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 + " +
+        "(CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) " +
+        "/ CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4 " +
+        "END) * 1e4 + 0.5) AS BIGINT)"
+      s"""WITH fdocs AS (
+         |  SELECT source, doc_id, text FROM documents
+         |  UNION ALL SELECT source, doc_id + 100000, text FROM documents
+         |  UNION ALL SELECT source, doc_id + ${FullCurate.editOffset},
+         |    CASE WHEN doc_id % ${2 * FullCurate.editStride} = 0
+         |      THEN array_to_string(tk[1:(len(tk)+2)//3], ' ')
+         |        || '${FullCurate.rewriteSuffix}'
+         |      ELSE text || '${FullCurate.editSuffix}' END AS text
+         |  FROM (SELECT source, doc_id, text, $toksSql AS tk FROM documents) ed
+         |  WHERE doc_id % ${FullCurate.editStride} = 0),
+         |${minHashCtesOver("SELECT doc_id, text FROM fdocs")},
+         |gr AS (
+         |  SELECT doc_id, band, bk,
+         |    row_number() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rk
+         |  FROM banded),
+         |gc AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM gr x JOIN banded y
+         |    ON x.band = y.band AND x.bk = y.bk
+         |    AND x.doc_id < y.doc_id AND x.rk <= ${NearDupGate.groupCap}),
+         |gm AS (
+         |  SELECT gc.a, gc.b FROM gc
+         |  JOIN sigl sa ON sa.doc_id = gc.a
+         |  JOIN sigl sb ON sb.doc_id = gc.b
+         |  WHERE len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i]))
+         |    >= ${NearDupGate.matchMin}),
+         |hits AS (SELECT DISTINCT b AS doc_id FROM gm),
+         |feat AS (
+         |  SELECT source, doc_id, $fpSql AS fp,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens, $uSql AS q_u4
+         |  FROM (SELECT source, doc_id, text, $toksSql AS tk FROM fdocs) z),
+         |hfreq AS (
+         |  SELECT source, $uSql AS u, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source, $toksSql AS tk FROM documents) z
+         |  GROUP BY 1, 2),
+         |hcum AS (
+         |  SELECT source, u, cnt,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY u) AS cum,
+         |    sum(cnt) OVER (PARTITION BY source) AS n
+         |  FROM hfreq),
+         |thr AS (
+         |  SELECT source, min(u) AS thr_u4 FROM hcum
+         |  WHERE cum * 100 >= n * ${TextAnalysis.floorQuantilePct}
+         |  GROUP BY source),
+         |pos AS (
+         |  SELECT f.source, f.doc_id,
+         |    ${h32("f.fp || '#' || r.j")} % ${BloomGate.mBits} AS pos
+         |  FROM feat f CROSS JOIN range(0, ${BloomGate.kHashes}) r(j)),
+         |fs AS (SELECT source, pos, min(doc_id) AS first_doc
+         |       FROM pos GROUP BY 1, 2),
+         |cov AS (
+         |  SELECT p.source, p.doc_id,
+         |    sum(CASE WHEN f.first_doc < p.doc_id THEN 1 ELSE 0 END) AS n_cov
+         |  FROM pos p JOIN fs f ON f.source = p.source AND f.pos = p.pos
+         |  GROUP BY 1, 2)
+         |SELECT f.doc_id, f.source, f.fp, f.n_tokens, f.q_u4
+         |FROM feat f
+         |JOIN cov c ON c.doc_id = f.doc_id
+         |JOIN thr t ON t.source = f.source
+         |LEFT JOIN hits h ON h.doc_id = f.doc_id
+         |WHERE c.n_cov < ${BloomGate.kHashes}
+         |  AND h.doc_id IS NULL
+         |  AND f.n_tokens >= $minTokens AND f.n_tokens < $maxTokens
+         |  AND f.q_u4 >= t.thr_u4
+         |ORDER BY f.doc_id""".stripMargin
+    },
   )
 }

@@ -57,9 +57,17 @@ object BloomGate {
   /** EXACT relational replay of the sequential gate (the declared q94
     * query): emitted, exact-first, and the false-drop audit per doc. */
   def bloomReplayBatch(spark: SparkSession, dir: String,
-                       m: Long = mBits, k: Int = kHashes): DataFrame = {
+                       m: Long = mBits, k: Int = kHashes): DataFrame =
+    bloomReplayOver(gatedDocs(spark, dir), m, k)
+
+  /** [[bloomReplayBatch]]'s core over an arbitrary `(source, doc_id,
+    * fp)` relation — split out so the composed q248 pipeline can replay
+    * the gate over its extended corpus (the [[graft.operators.DedupOps
+    * .setSimJoinOver]] convention). */
+  def bloomReplayOver(docs: DataFrame,
+                      m: Long = mBits, k: Int = kHashes): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = gatedDocs(spark, dir)
     val pos = docs.select($"source", $"doc_id", $"fp",
       explode(transform(sequence(lit(0), lit(k - 1)),
         j => md5Hash32(concat($"fp", lit("#"), j.cast("string"))) % m))

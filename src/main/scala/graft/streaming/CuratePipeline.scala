@@ -65,7 +65,7 @@ object CuratePipeline {
 
   /** The q26 score on the u4 grid, as one column — the exact unit the
     * q168 floor table uses, shared by [[pipeDocs]] and the oracle. */
-  private def qU4(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[streaming] def qU4(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(TextAnalysis.qualityExpr(
         size(toks).cast("long"),
         stopwordCount(toks, TextAnalysis.stopwords).cast("long")) * 1e4

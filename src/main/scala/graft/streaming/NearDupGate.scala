@@ -151,9 +151,15 @@ object NearDupGate {
   /** Declared q173: the EXACT relational replay of the sequential gate —
     * per sig-bearing corpus doc, the admission verdict, the number of
     * distinct earlier near-dup colliders, and the earliest one. */
-  def replayBatch(spark: SparkSession, dir: String): DataFrame = {
+  def replayBatch(spark: SparkSession, dir: String): DataFrame =
+    replayOver(sigDocs(spark, dir).toDF())
+
+  /** [[replayBatch]]'s core over an arbitrary `(doc_id, sig)` relation —
+    * split out so the composed q248 pipeline can replay the gate over
+    * its extended corpus. */
+  def replayOver(sig: DataFrame): DataFrame = {
+    val spark = sig.sparkSession
     import spark.implicits._
-    val sig = sigDocs(spark, dir).toDF()
     val banded = sig.select($"doc_id", $"sig",
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice($"sig", b * lit(rows) + 1, lit(rows)))))

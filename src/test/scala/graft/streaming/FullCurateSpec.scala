@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class FullCurateSpec extends SparkSpec {
+
+  private def curatedMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("source"), r.getAs[String]("fp"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("q_u4"))).toMap
+
+  private def floorsDf = graft.operators.TextAnalysis
+    .sourceQualityFloor(spark, sf)
+    .select("source", "thr_u4")
+
+  test("composed gate replay: each stage genuinely cuts, and the near-dup stage works beyond the exact gate") {
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = FullCurate.replayBatch(spark, sf)
+    val ids = out.select($"doc_id").as[Long].collect().toSet
+    graft.CacheGuard.release()
+    assert(ids.nonEmpty)
+    // exact stage: every +100000 re-arrival has an identical-fp
+    // predecessor, so none survives
+    assert(!ids.exists(id => id >= 100000L && id < FullCurate.editOffset))
+    // near-dup stage: edited re-crawls pass the Bloom gate (new fp), so
+    // any suppression among them is the near-dup gate's alone — and the
+    // fixture must produce BOTH verdicts (suppressed and admitted-edit
+    // would each be vacuous alone)
+    val edits = FullCurate.fullDocs(spark, sf)
+      .filter($"doc_id" >= FullCurate.editOffset)
+    val editIds = edits.select($"doc_id").as[Long].collect().toSet
+    graft.CacheGuard.release()
+    assert(editIds.nonEmpty)
+    val ndAdmitted = NearDupGate.replayOver(
+        edits.toDF().filter(size($"sig") > 0).select($"doc_id", $"sig")
+          .unionByName(FullCurate.fullDocs(spark, sf)
+            .filter($"doc_id" < FullCurate.editOffset)
+            .toDF().filter(size($"sig") > 0).select($"doc_id", $"sig")))
+      .filter($"doc_id" >= FullCurate.editOffset)
+    val suppressed = ndAdmitted.filter(!$"admitted").count()
+    val admitted = ndAdmitted.filter($"admitted").count()
+    graft.CacheGuard.release()
+    assert(suppressed > 0, "no edit was near-dup-suppressed — stage vacuous")
+    assert(admitted > 0, "every edit suppressed — admission path vacuous")
+    // and the composed output agrees: no near-dup-suppressed edit is in it
+    val sup = ndAdmitted.filter(!$"admitted")
+      .select($"doc_id").as[Long].collect().toSet
+    graft.CacheGuard.release()
+    assert(ids.intersect(sup).isEmpty)
+  }
+
+  test("stream ≡ replay: both stateful branches + batch-local combine match the declared q248 over micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val docs = FullCurate.fullDocs(spark, sf).collect().sortBy(_.doc_id)
+    graft.CacheGuard.release()
+    val floors = floorsDf
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fc-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fc-ckpt").toString
+    val mem = MemoryStream[FullDoc]
+    val q = FullCurate.curatedStream(mem.toDS(), floors, outDir, ckpt)
+    docs.grouped(math.max(1, docs.length / 3)).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = curatedMap(spark.read.parquet(outDir))
+    val replay = curatedMap(FullCurate.replayBatch(spark, sf))
+    graft.CacheGuard.release()
+    assert(streamed === replay)
+    assert(streamed.nonEmpty)
+  }
+
+  test("restart from the checkpoint on RocksDB: both gates' state survives, stream still ≡ replay") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = FullCurate.fullDocs(spark, sf).collect().sortBy(_.doc_id)
+      graft.CacheGuard.release()
+      val floors = floorsDf
+      val outDir = java.nio.file.Files.createTempDirectory("graft-fcr-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-fcr-ckpt").toString
+      val mem = MemoryStream[FullDoc]
+      def startQuery() = FullCurate.curatedStream(mem.toDS(), floors, outDir, ckpt)
+      // incarnation 1 sees only originals; the re-arrivals and edits in
+      // incarnation 2 are suppressed ONLY if the recovered Bloom words
+      // and band histories continue the folds where the stop left them
+      val (b1, b2) = docs.splitAt(docs.count(_.doc_id < 100000L))
+      assert(b2.nonEmpty)
+      val q1 = startQuery()
+      mem.addData(b1.toIndexedSeq: _*)
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = startQuery()
+      mem.addData(b2.toIndexedSeq: _*)
+      q2.processAllAvailable()
+      q2.stop()
+      val streamed = curatedMap(spark.read.parquet(outDir))
+      val replay = curatedMap(FullCurate.replayBatch(spark, sf))
+      graft.CacheGuard.release()
+      assert(streamed === replay)
+      // a lost exact-gate state would admit every +100000 re-arrival
+      assert(!streamed.keySet.exists(id =>
+        id >= 100000L && id < FullCurate.editOffset))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
