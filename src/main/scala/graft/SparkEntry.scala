@@ -327,6 +327,8 @@ object SparkEntry {
     "q247_gini" -> ((s, d) => Analytics.giniConcentration(s, d)),
     "q248_full_curate" -> ((s, d) =>
       graft.streaming.FullCurate.replayBatch(s, d)),
+    "q249_curate_decisions" -> ((s, d) =>
+      graft.streaming.FullCurate.decisionLog(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -7179,7 +7181,35 @@ object SparkEntry {
     // the composed streaming curation gate: q94's Bloom first-setter
     // replay ⋈ q173's rank-capped band replay (both over the extended
     // corpus with edited re-crawls) ⋈ q166/q168's per-source floor table
-    "q248_full_curate" -> {
+    "q248_full_curate" ->
+      s"""WITH $fullCurateCtesSql
+         |SELECT f.doc_id, f.source, f.fp, f.n_tokens, f.q_u4
+         |FROM fvec f
+         |WHERE f.emitted AND f.nd_ok AND f.len_ok AND f.floor_ok
+         |ORDER BY f.doc_id""".stripMargin,
+
+    // the per-document decision log of the composed gate: every stage's
+    // verdict plus the primary dropped_by label in stage order
+    "q249_curate_decisions" ->
+      s"""WITH $fullCurateCtesSql
+         |SELECT doc_id, source, n_tokens, q_u4,
+         |  emitted, nd_ok, len_ok, floor_ok,
+         |  (emitted AND nd_ok AND len_ok AND floor_ok) AS curated,
+         |  CASE WHEN NOT emitted THEN 'exact'
+         |       WHEN NOT nd_ok THEN 'neardup'
+         |       WHEN NOT len_ok THEN 'length'
+         |       WHEN NOT floor_ok THEN 'floor'
+         |       ELSE 'none' END AS dropped_by
+         |FROM fvec
+         |ORDER BY doc_id""".stripMargin,
+  )
+
+  /** The composed-curation CTE chain shared by q248/q249: the extended
+    * corpus (`fdocs`), the md5 MinHash band chain over it, the q173
+    * rank-capped collider set (`hits`), the per-doc features (`feat`),
+    * the q168 history floor table (`thr`), the q94 Bloom coverage
+    * (`cov`), and the final per-doc verdict vector (`fvec`). */
+  private lazy val fullCurateCtesSql: String = {
       import graft.streaming.{BloomGate, FullCurate, NearDupGate}
       import graft.streaming.CuratePipeline.{minTokens, maxTokens}
       val uSql = "CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0 " +
@@ -7187,13 +7217,13 @@ object SparkEntry {
         "(CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) " +
         "/ CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4 " +
         "END) * 1e4 + 0.5) AS BIGINT)"
-      s"""WITH fdocs AS (
+      s"""fdocs AS (
          |  SELECT source, doc_id, text FROM documents
          |  UNION ALL SELECT source, doc_id + 100000, text FROM documents
          |  UNION ALL SELECT source, doc_id + ${FullCurate.editOffset},
          |    CASE WHEN doc_id % ${2 * FullCurate.editStride} = 0
-         |      THEN array_to_string(tk[1:(len(tk)+2)//3], ' ')
-         |        || '${FullCurate.rewriteSuffix}'
+         |      THEN array_to_string(tk[1:(len(tk)+2)//3], ' ') ||
+         |        '${FullCurate.rewriteSuffix}'
          |      ELSE text || '${FullCurate.editSuffix}' END AS text
          |  FROM (SELECT source, doc_id, text, $toksSql AS tk FROM documents) ed
          |  WHERE doc_id % ${FullCurate.editStride} = 0),
@@ -7241,17 +7271,16 @@ object SparkEntry {
          |  SELECT p.source, p.doc_id,
          |    sum(CASE WHEN f.first_doc < p.doc_id THEN 1 ELSE 0 END) AS n_cov
          |  FROM pos p JOIN fs f ON f.source = p.source AND f.pos = p.pos
-         |  GROUP BY 1, 2)
-         |SELECT f.doc_id, f.source, f.fp, f.n_tokens, f.q_u4
-         |FROM feat f
-         |JOIN cov c ON c.doc_id = f.doc_id
-         |JOIN thr t ON t.source = f.source
-         |LEFT JOIN hits h ON h.doc_id = f.doc_id
-         |WHERE c.n_cov < ${BloomGate.kHashes}
-         |  AND h.doc_id IS NULL
-         |  AND f.n_tokens >= $minTokens AND f.n_tokens < $maxTokens
-         |  AND f.q_u4 >= t.thr_u4
-         |ORDER BY f.doc_id""".stripMargin
-    },
-  )
+         |  GROUP BY 1, 2),
+         |fvec AS (
+         |  SELECT f.doc_id, f.source, f.fp, f.n_tokens, f.q_u4,
+         |    (c.n_cov < ${BloomGate.kHashes}) AS emitted,
+         |    (h.doc_id IS NULL) AS nd_ok,
+         |    (f.n_tokens >= $minTokens AND f.n_tokens < $maxTokens) AS len_ok,
+         |    (f.q_u4 >= t.thr_u4) AS floor_ok
+         |  FROM feat f
+         |  JOIN cov c ON c.doc_id = f.doc_id
+         |  JOIN thr t ON t.source = f.source
+         |  LEFT JOIN hits h ON h.doc_id = f.doc_id)""".stripMargin
+  }
 }

@@ -204,10 +204,9 @@ object FullCurate {
       }
       .start()
 
-  /** Declared q248: the exact relational replay of the composed gate —
-    * one batch plan conjoining the q94 Bloom replay, the q173 band
-    * replay (both over the composed corpus), and the q168 floor table. */
-  def replayBatch(spark: SparkSession, dir: String): DataFrame = {
+  /** The full per-document verdict vector behind q248/q249: every doc of
+    * the composed corpus with each stage's independent verdict. */
+  private def decisionVector(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fd = graft.CacheGuard.barrier(fullDocs(spark, dir).toDF())
     val bloom = BloomGate.bloomReplayOver(
@@ -221,10 +220,51 @@ object FullCurate {
     fd.join(bloom, "doc_id")
       .join(ndup, Seq("doc_id"), "left")
       .join(broadcast(floors), Seq("source"), "left")
-      .filter($"emitted" && coalesce($"nd_admitted", lit(true)) &&
-        $"n_tokens" >= minTokens && $"n_tokens" < maxTokens &&
-        $"q_u4" >= coalesce($"thr_u4", lit(0L)))
+      .select($"doc_id", $"source", $"fp", $"n_tokens", $"q_u4",
+        $"emitted",
+        coalesce($"nd_admitted", lit(true)).as("nd_ok"),
+        ($"n_tokens" >= minTokens && $"n_tokens" < maxTokens).as("len_ok"),
+        ($"q_u4" >= coalesce($"thr_u4", lit(0L))).as("floor_ok"))
+  }
+
+  /** Declared q248: the exact relational replay of the composed gate —
+    * one batch plan conjoining the q94 Bloom replay, the q173 band
+    * replay (both over the composed corpus), and the q168 floor table. */
+  def replayBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decisionVector(spark, dir)
+      .filter($"emitted" && $"nd_ok" && $"len_ok" && $"floor_ok")
       .select($"doc_id", $"source", $"fp", $"n_tokens", $"q_u4")
+      .orderBy($"doc_id")
+  }
+
+  /** CURATION DECISION LOG (q249) — the ops artifact the composed gate
+    * owes its operators: one row per arriving document with the verdict
+    * of EVERY stage (exact gate, near-dup gate, length bounds, quality
+    * floor), the final outcome, and a single primary `dropped_by` label
+    * under the pipeline's stage order (exact → near-dup → length →
+    * floor — the order the stream applies them, so the label names the
+    * stage that would have cut the doc first). q248 publishes the
+    * curated corpus; this publishes WHY each of the other documents is
+    * absent — the artifact a curation regression ("why did volume drop
+    * 30% on Tuesday") is debugged from, and the per-stage drop counts a
+    * release report quotes.
+    *
+    * Scale shape: identical to q248 (the verdicts are the same three
+    * replays joined on doc_id); the label is per-row CASE arithmetic.
+    * The log is corpus-sized by design — at 100 TB it lands partitioned
+    * next to the curated output, not in a driver report. */
+  def decisionLog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decisionVector(spark, dir)
+      .select($"doc_id", $"source", $"n_tokens", $"q_u4",
+        $"emitted", $"nd_ok", $"len_ok", $"floor_ok",
+        ($"emitted" && $"nd_ok" && $"len_ok" && $"floor_ok").as("curated"),
+        when(!$"emitted", "exact")
+          .when(!$"nd_ok", "neardup")
+          .when(!$"len_ok", "length")
+          .when(!$"floor_ok", "floor")
+          .otherwise("none").as("dropped_by"))
       .orderBy($"doc_id")
   }
 }

@@ -52,6 +52,40 @@ class FullCurateSpec extends SparkSpec {
     assert(ids.intersect(sup).isEmpty)
   }
 
+  test("decision log: curated set matches q248, dropped_by follows stage order, every stage appears") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val log = FullCurate.decisionLog(spark, sf).collect()
+    graft.CacheGuard.release()
+    val curatedIds = FullCurate.replayBatch(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    graft.CacheGuard.release()
+    // the log covers the whole composed corpus and agrees with q248
+    assert(log.map(_.getAs[Long]("doc_id")).toSet.size === log.length)
+    assert(log.filter(_.getAs[Boolean]("curated"))
+      .map(_.getAs[Long]("doc_id")).toSet === curatedIds)
+    // label consistency: 'none' ⟺ curated; a label names a failing stage
+    log.foreach { r =>
+      val label = r.getAs[String]("dropped_by")
+      assert((label == "none") === r.getAs[Boolean]("curated"))
+      label match {
+        case "exact" => assert(!r.getAs[Boolean]("emitted"))
+        case "neardup" =>
+          assert(r.getAs[Boolean]("emitted") && !r.getAs[Boolean]("nd_ok"))
+        case "length" => assert(r.getAs[Boolean]("emitted") &&
+          r.getAs[Boolean]("nd_ok") && !r.getAs[Boolean]("len_ok"))
+        case "floor" => assert(r.getAs[Boolean]("emitted") &&
+          r.getAs[Boolean]("nd_ok") && r.getAs[Boolean]("len_ok") &&
+          !r.getAs[Boolean]("floor_ok"))
+        case "none" =>
+      }
+    }
+    // the fixture exercises every drop reason (a stage whose label never
+    // fires is a stage the log proves nothing about)
+    val reasons = log.map(_.getAs[String]("dropped_by")).toSet
+    assert(reasons === Set("none", "exact", "neardup", "length", "floor"))
+  }
+
   test("stream ≡ replay: both stateful branches + batch-local combine match the declared q248 over micro-batches") {
     val sparkS = spark
     import sparkS.implicits._
