@@ -329,6 +329,8 @@ object SparkEntry {
       graft.streaming.FullCurate.replayBatch(s, d)),
     "q249_curate_decisions" -> ((s, d) =>
       graft.streaming.FullCurate.decisionLog(s, d)),
+    "q250_curate_funnel" -> ((s, d) =>
+      graft.streaming.FullCurate.funnelReport(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -7202,6 +7204,27 @@ object SparkEntry {
          |       ELSE 'none' END AS dropped_by
          |FROM fvec
          |ORDER BY doc_id""".stripMargin,
+
+    // the release-report funnel: per source, what each stage cut, in
+    // stage order (columns + n_curated re-sum to n_arrived)
+    "q250_curate_funnel" ->
+      s"""WITH $fullCurateCtesSql
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_arrived,
+         |  CAST(sum(CASE WHEN NOT emitted THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact_dropped,
+         |  CAST(sum(CASE WHEN emitted AND NOT nd_ok THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_neardup_dropped,
+         |  CAST(sum(CASE WHEN emitted AND nd_ok AND NOT len_ok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_length_dropped,
+         |  CAST(sum(CASE WHEN emitted AND nd_ok AND len_ok AND NOT floor_ok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_floor_dropped,
+         |  CAST(sum(CASE WHEN emitted AND nd_ok AND len_ok AND floor_ok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_curated,
+         |  CAST(sum(CASE WHEN emitted AND nd_ok AND len_ok AND floor_ok
+         |    THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS yield_u4
+         |FROM fvec
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

@@ -267,4 +267,38 @@ object FullCurate {
           .otherwise("none").as("dropped_by"))
       .orderBy($"doc_id")
   }
+
+  /** CURATION FUNNEL (q250) — the release-report rollup of the q249
+    * decision log: per source, arrivals and the count each stage cut
+    * (under the pipeline's stage order, so the columns sum with
+    * `n_curated` back to `n_arrived` — a funnel, not four overlapping
+    * rates), plus the curated yield in exact 1e-4 units. The per-source
+    * view is the point: a source whose volume is eaten by the exact
+    * gate is re-crawling itself; one eaten by the floor is a quality
+    * regression — the two incidents look identical in a global rate.
+    *
+    * Scale shape: one groupBy(source) over the corpus-sized decision
+    * vector — O(sources) output rows, partial-aggregable counters; at
+    * 100 TB this is the cheap summary pass over the log q249 lands. */
+  def funnelReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decisionVector(spark, dir)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_arrived"),
+        sum(when(!$"emitted", 1L).otherwise(0L)).as("n_exact_dropped"),
+        sum(when($"emitted" && !$"nd_ok", 1L).otherwise(0L))
+          .as("n_neardup_dropped"),
+        sum(when($"emitted" && $"nd_ok" && !$"len_ok", 1L).otherwise(0L))
+          .as("n_length_dropped"),
+        sum(when($"emitted" && $"nd_ok" && $"len_ok" && !$"floor_ok", 1L)
+          .otherwise(0L)).as("n_floor_dropped"),
+        sum(when($"emitted" && $"nd_ok" && $"len_ok" && $"floor_ok", 1L)
+          .otherwise(0L)).as("n_curated"))
+      .select($"source", $"n_arrived", $"n_exact_dropped",
+        $"n_neardup_dropped", $"n_length_dropped", $"n_floor_dropped",
+        $"n_curated",
+        expr("n_curated * 10000 div n_arrived").as("yield_u4"))
+      .orderBy($"source")
+  }
 }

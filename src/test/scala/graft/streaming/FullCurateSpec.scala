@@ -86,6 +86,34 @@ class FullCurateSpec extends SparkSpec {
     assert(reasons === Set("none", "exact", "neardup", "length", "floor"))
   }
 
+  test("funnel: stage columns + n_curated re-sum to n_arrived and replay the decision log") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val funnel = FullCurate.funnelReport(spark, sf).collect()
+    graft.CacheGuard.release()
+    val log = FullCurate.decisionLog(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(funnel.nonEmpty)
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("n_exact_dropped") + r.getAs[Long]("n_neardup_dropped") +
+        r.getAs[Long]("n_length_dropped") + r.getAs[Long]("n_floor_dropped") +
+        r.getAs[Long]("n_curated") === r.getAs[Long]("n_arrived"))
+    }
+    val bySource = log.groupBy(_.getAs[String]("source"))
+    funnel.foreach { r =>
+      val rows = bySource(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_arrived") === rows.length.toLong)
+      def n(label: String) =
+        rows.count(_.getAs[String]("dropped_by") == label).toLong
+      assert(r.getAs[Long]("n_exact_dropped") === n("exact"))
+      assert(r.getAs[Long]("n_neardup_dropped") === n("neardup"))
+      assert(r.getAs[Long]("n_length_dropped") === n("length"))
+      assert(r.getAs[Long]("n_floor_dropped") === n("floor"))
+      assert(r.getAs[Long]("n_curated") === n("none"))
+      assert(r.getAs[Long]("yield_u4") === n("none") * 10000L / rows.length)
+    }
+  }
+
   test("stream ≡ replay: both stateful branches + batch-local combine match the declared q248 over micro-batches") {
     val sparkS = spark
     import sparkS.implicits._
