@@ -331,6 +331,11 @@ object SparkEntry {
       graft.streaming.FullCurate.decisionLog(s, d)),
     "q250_curate_funnel" -> ((s, d) =>
       graft.streaming.FullCurate.funnelReport(s, d)),
+    "q251_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
+    "q252_token_budget" -> ((s, d) => CorpusOps.tokenBudgetAllocation(s, d)),
+    "q253_sft_pairs" -> ((s, d) => CorpusOps.sftPairs(s, d)),
+    "q254_dup_clusters" -> ((s, d) => DedupOps.dupClusterReport(s, d)),
+    "q255_vocab_drift" -> ((s, d) => TextAnalysis.vocabDrift(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4883,6 +4888,8 @@ object SparkEntry {
          |  SELECT x.doc_id + ${DedupOps.digestOffset} AS doc_id,
          |    x.text || ' ' || y.text AS text
          |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+         |  JOIN labeled lx ON lx.doc_id = x.doc_id AND lx.doc_id = lx.keeper
+         |  JOIN labeled ly ON ly.doc_id = y.doc_id AND ly.doc_id = ly.keeper
          |  WHERE x.doc_id % ${DedupOps.digestStride} = 0),
          |kbase AS (
          |  SELECT c.doc_id, $toksSql AS tk
@@ -7225,6 +7232,202 @@ object SparkEntry {
          |FROM fvec
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+
+    // Heaps-law growth curve: distinct-so-far via first-occurrence
+    // decile, exact integer pairs only (fitting is the consumer's job)
+    "q251_vocab_growth" -> {
+      val nd = TextAnalysis.vocabDeciles
+      s"""WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |pd AS (
+         |  SELECT least(doc_id * $nd // n_docs, ${nd - 1}) AS decile,
+         |    CAST(len($toksSql) AS BIGINT) AS nt
+         |  FROM documents CROSS JOIN tot),
+         |tc AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs_dec,
+         |         CAST(sum(nt) AS BIGINT) AS nt_dec
+         |       FROM pd GROUP BY decile),
+         |fsn AS (
+         |  SELECT least(first_doc * $nd // n_docs, ${nd - 1}) AS decile,
+         |    CAST(count(*) AS BIGINT) AS new_types
+         |  FROM (
+         |    SELECT tok, min(doc_id) AS first_doc FROM (
+         |      SELECT doc_id, unnest($toksSql) AS tok FROM documents) z
+         |    GROUP BY tok) f CROSS JOIN tot
+         |  GROUP BY 1),
+         |grid AS (SELECT CAST(x AS INT) AS decile FROM range(0, $nd) r(x)),
+         |filled AS (
+         |  SELECT g.decile,
+         |    coalesce(tc.n_docs_dec, 0) AS n_docs_dec,
+         |    coalesce(tc.nt_dec, 0) AS nt_dec,
+         |    coalesce(fsn.new_types, 0) AS new_types
+         |  FROM grid g LEFT JOIN tc ON tc.decile = g.decile
+         |  LEFT JOIN fsn ON fsn.decile = g.decile),
+         |cum AS (
+         |  SELECT decile, new_types,
+         |    CAST(sum(n_docs_dec) OVER (ORDER BY decile) AS BIGINT)
+         |      AS n_docs_cum,
+         |    CAST(sum(nt_dec) OVER (ORDER BY decile) AS BIGINT)
+         |      AS n_tokens_cum,
+         |    CAST(sum(new_types) OVER (ORDER BY decile) AS BIGINT)
+         |      AS vocab_cum
+         |  FROM filled)
+         |SELECT decile, n_docs_cum, n_tokens_cum, vocab_cum, new_types,
+         |  CAST(vocab_cum * 10000 // greatest(n_tokens_cum, 1) AS BIGINT)
+         |    AS ttr_u4
+         |FROM cum ORDER BY decile""".stripMargin
+    },
+
+    // greedy budget allocation: rank sources by exact-integer mean
+    // quality, fund in rank order until B = total/4 is exhausted
+    "q252_token_budget" -> {
+      val uSql = "CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0 " +
+        "ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 + " +
+        "(CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) " +
+        "/ CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4 " +
+        "END) * 1e4 + 0.5) AS BIGINT)"
+      s"""WITH pd AS (
+         |  SELECT source, CAST(len(tk) AS BIGINT) AS nt, $uSql AS q_u4
+         |  FROM (SELECT source, $toksSql AS tk FROM documents) z),
+         |ps AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS src_tokens,
+         |    CAST(sum(q_u4) // count(*) AS BIGINT) AS mean_q_u4
+         |  FROM pd GROUP BY source),
+         |b AS (SELECT CAST(sum(src_tokens) // ${CorpusOps.budgetDen}
+         |        AS BIGINT) AS budget_tokens FROM ps),
+         |rkd AS (
+         |  SELECT ps.*, b.budget_tokens,
+         |    CAST(row_number() OVER (ORDER BY mean_q_u4 DESC, source)
+         |      AS INT) AS rk,
+         |    CAST(coalesce(sum(src_tokens) OVER (
+         |      ORDER BY mean_q_u4 DESC, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS prior_tokens
+         |  FROM ps CROSS JOIN b),
+         |alloc AS (
+         |  SELECT source, rk, mean_q_u4, n_docs, src_tokens,
+         |    greatest(0, least(src_tokens, budget_tokens - prior_tokens))
+         |      AS tokens_taken
+         |  FROM rkd)
+         |SELECT source, rk, mean_q_u4, n_docs, src_tokens,
+         |  CAST(tokens_taken AS BIGINT) AS tokens_taken,
+         |  CAST(tokens_taken * 10000 // greatest(src_tokens, 1) AS BIGINT)
+         |    AS frac_taken_u4
+         |FROM alloc ORDER BY rk""".stripMargin
+    },
+
+    // reply-forest SFT pairs: md5-block parents (q190 convention on doc
+    // ids), hygiene cuts, best-reply election by (quality, lowest id)
+    "q253_sft_pairs" -> {
+      val uSql = "CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0 " +
+        "ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 + " +
+        "(CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) " +
+        "/ CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4 " +
+        "END) * 1e4 + 0.5) AS BIGINT)"
+      s"""WITH d AS (
+         |  SELECT doc_id, $fpSql AS fp, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    $uSql AS q_u4
+         |  FROM (SELECT doc_id, text, $toksSql AS tk FROM documents) z),
+         |ch AS (
+         |  SELECT *,
+         |    doc_id - (doc_id % ${CorpusOps.sftBlock})
+         |      + (${h32("CAST(doc_id AS VARCHAR)")} % (doc_id % ${CorpusOps.sftBlock}))
+         |      AS parent
+         |  FROM d WHERE doc_id % ${CorpusOps.sftBlock} <> 0),
+         |cand AS (
+         |  SELECT p.doc_id AS prompt_doc, c.doc_id AS response_doc,
+         |    p.n_tokens AS prompt_tokens, c.n_tokens AS response_tokens,
+         |    c.q_u4 AS response_q_u4
+         |  FROM ch c JOIN d p ON p.doc_id = c.parent
+         |  WHERE p.n_tokens >= ${CorpusOps.sftMinTokens}
+         |    AND c.n_tokens >= ${CorpusOps.sftMinTokens}
+         |    AND p.fp <> c.fp),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY prompt_doc
+         |      ORDER BY response_q_u4 DESC, response_doc) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY prompt_doc) AS BIGINT)
+         |      AS n_candidates
+         |  FROM cand)
+         |SELECT prompt_doc, response_doc, prompt_tokens, response_tokens,
+         |  response_q_u4, n_candidates
+         |FROM r WHERE rn = 1
+         |ORDER BY prompt_doc""".stripMargin
+    },
+
+    // dup-farm review report: q67's keeper-labeled clusters rolled up
+    // with base features inherited via % dupOffset
+    "q254_dup_clusters" -> {
+      val uSql = "CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0 " +
+        "ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 + " +
+        "(CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) " +
+        "/ CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4 " +
+        "END) * 1e4 + 0.5) AS BIGINT)"
+      s"""WITH RECURSIVE $minHashCtesSql,
+         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |ids AS (SELECT doc_id FROM corpus),
+         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM sym
+         |  UNION
+         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |labeled AS (
+         |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
+         |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+         |csz AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size
+         |        FROM labeled GROUP BY keeper),
+         |feats AS (
+         |  SELECT doc_id AS base_id, source, $uSql AS q_u4
+         |  FROM (SELECT doc_id, source, $toksSql AS tk FROM documents) z)
+         |SELECT l.keeper, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(CASE WHEN l.doc_id < 100000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_base,
+         |  CAST(count(DISTINCT f.source) AS BIGINT) AS n_sources,
+         |  min(f.q_u4) AS q_min_u4, max(f.q_u4) AS q_max_u4,
+         |  min(l.doc_id) AS first_doc, max(l.doc_id) AS last_doc
+         |FROM labeled l
+         |JOIN csz ON csz.keeper = l.keeper
+         |JOIN feats f ON f.base_id = l.doc_id % 100000
+         |WHERE csz.cluster_size > 1
+         |GROUP BY l.keeper
+         |ORDER BY l.keeper""".stripMargin
+    },
+
+    // snapshot vocab drift: one presence-counter pass over both
+    // versions' tokens (q92's v2 convention), O(1)-row rollup
+    "q255_vocab_drift" ->
+      s"""WITH v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' v2-edit'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 <> 4
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 11 = 0),
+         |tt AS (
+         |  SELECT tok, 'v1' AS side FROM (
+         |    SELECT unnest($toksSql) AS tok FROM documents) a
+         |  UNION ALL
+         |  SELECT tok, 'v2' FROM (
+         |    SELECT unnest($toksSql) AS tok FROM v2) b),
+         |pt AS (
+         |  SELECT tok,
+         |    CAST(sum(CASE WHEN side = 'v1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN side = 'v2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM tt GROUP BY tok)
+         |SELECT
+         |  CAST(sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_v1,
+         |  CAST(sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_v2,
+         |  CAST(sum(CASE WHEN c1 = 0 AND c2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_born_types,
+         |  CAST(sum(CASE WHEN c1 > 0 AND c2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dead_types,
+         |  CAST(sum(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared_types,
+         |  CAST(sum(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS vocab_jaccard_u4,
+         |  CAST(sum(c1) AS BIGINT) AS tokens_v1,
+         |  CAST(sum(c2) AS BIGINT) AS tokens_v2
+         |FROM pt""".stripMargin,
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

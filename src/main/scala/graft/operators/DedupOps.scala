@@ -1167,13 +1167,25 @@ object DedupOps {
   val digestStride = 10L
   val digestOffset: Long = 2L * dupOffset
 
+  /** Digests are seeded from KEEPER sources, not the raw base table
+    * (round-10 fix, measured at sf10): both the digest's lead document
+    * and its successor must have survived keeper election. At the gate
+    * SFs every base document is its own cluster's keeper, so the output
+    * is unchanged — but on replica-cloned probe data the raw-table form
+    * seeds ~100 near-identical digests per base pair (the replicas),
+    * and those digest CLUSTERS re-introduce exactly the quadratic
+    * candidate volume the keeper composition exists to remove (the
+    * round-10 sf10 run spilled >70 GB and exhausted the disk inside the
+    * digest-digest candidate join). Dedup-then-seed keeps the audited
+    * corpus — keepers AND seeds — duplicate-free by construction. */
   def containmentJoinKeepers(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     import spark.implicits._
     val keepers = nearDupKeepers(spark, dir)
       .filter($"is_keeper").select($"doc_id")
-    val kept = dupCorpus(spark, dir).join(keepers, "doc_id")
-      .select($"doc_id", $"text")
-    val base = Tables.documents(spark, dir)
+    val kept = graft.CacheGuard.barrier(
+      dupCorpus(spark, dir).join(keepers, "doc_id")
+        .select($"doc_id", $"text"))
+    val base = kept
     val digests = base.as("x")
       .join(base.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
       .filter(col("x.doc_id") % digestStride === 0)
@@ -1433,6 +1445,44 @@ object DedupOps {
     * greedy savings collapse the pair relation to DISTINCT removed ids
     * before the one token join. No CC rounds, no self-joins beyond the
     * banded pair chain. */
+  /** DUP-FARM CLUSTER REPORT (q254) — the review artifact behind keeper
+    * election: one row per non-trivial near-dup cluster (the q67
+    * keeper-labeled clusters over the doubled corpus) with membership
+    * volume, how many members are base documents vs re-arrivals, the
+    * distinct-source spread (a cluster spanning sources is syndication
+    * or scraping-of-scrapers — the case a human reviews; a same-source
+    * cluster is self-re-crawl — the case automation just deletes), the
+    * member quality range, and the id span. The q174 policy table says
+    * which τ to run; THIS is what an operator looks at before approving
+    * the deletion list at that τ.
+    *
+    * Scale shape: the cluster labels are the audited q67 chain; the
+    * report adds one base-id feature join (per-row `% dupOffset`
+    * arithmetic — copies inherit their original's features without
+    * re-tokenizing) and one keeper-keyed rollup with partial-aggregable
+    * counters — O(clusters) output. */
+  def dupClusterReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{stopwordCount, tokens}
+    val toksC = tokens($"text")
+    val feats = Tables.documents(spark, dir).select(
+      $"doc_id".as("base_id"), $"source",
+      floor(TextAnalysis.qualityExpr(size(toksC).cast("long"),
+        stopwordCount(toksC, TextAnalysis.stopwords).cast("long")) * 1e4
+        + lit(0.5)).cast("long").as("q_u4"))
+    nearDupKeepers(spark, dir)
+      .filter($"cluster_size" > 1)
+      .withColumn("base_id", $"doc_id" % dupOffset)
+      .join(feats, "base_id")
+      .groupBy($"keeper")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when($"doc_id" < dupOffset, 1L).otherwise(0L)).as("n_base"),
+        countDistinct($"source").as("n_sources"),
+        min($"q_u4").as("q_min_u4"), max($"q_u4").as("q_max_u4"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"keeper")
+  }
+
   def dedupSavings(spark: SparkSession, dir: String,
                    threshold: Double = 0.2): DataFrame = {
     import spark.implicits._

@@ -717,8 +717,11 @@ class DedupSpec extends SparkSpec {
       .as[Long].collect().toSet
     graft.CacheGuard.release()
     // full directed join over the seeded corpus PLUS the digest rows, at
-    // the same post-dedup τ the keeper form uses
+    // the same post-dedup τ the keeper form uses; digests seed from
+    // KEEPER sources (the round-10 dedup-then-seed rule — identical at
+    // the gate SFs where every base doc is its own keeper)
     val base = graft.Tables.documents(spark, sf)
+      .filter($"doc_id".isin(keepers.toSeq: _*))
     val digests = base.as("x")
       .join(base.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
       .filter(col("x.doc_id") % DedupOps.digestStride === 0)
@@ -799,6 +802,35 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("tokens_removed") * 10000L /
           r.getAs[Long]("tokens_total"))
       assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("dupClusterReport: members re-sum, copies inherit source, pair clusters are single-source") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val report = DedupOps.dupClusterReport(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(report.nonEmpty)
+    val labeled = DedupOps.nearDupKeepers(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keeper"), r.getAs[Long]("cluster_size"))).toMap
+    graft.CacheGuard.release()
+    // exactly the non-trivial clusters, with exact member counts
+    val expected = labeled.values.filter(_._2 > 1).groupBy(_._1)
+      .map { case (k, ms) => k -> ms.size.toLong }
+    assert(report.map(_.getAs[Long]("keeper")).toSet === expected.keySet)
+    report.foreach { r =>
+      val k = r.getAs[Long]("keeper")
+      assert(k < DedupOps.dupOffset) // keepers are cluster minima
+      assert(r.getAs[Long]("n_members") === expected(k))
+      assert(r.getAs[Long]("n_base") >= 1L)
+      assert(r.getAs[Long]("n_base") <= r.getAs[Long]("n_members"))
+      assert(r.getAs[Long]("q_min_u4") <= r.getAs[Long]("q_max_u4"))
+      assert(r.getAs[Long]("first_doc") === k) // min member IS the keeper
+      // a pure (base, +offset copy) pair shares one source by construction
+      if (r.getAs[Long]("n_members") === 2L &&
+        r.getAs[Long]("last_doc") === k + DedupOps.dupOffset)
+        assert(r.getAs[Long]("n_sources") === 1L)
     }
   }
 }
