@@ -1410,4 +1410,126 @@ object CorpusOps {
       .select($"doc_id", $"q_u4", $"n_chars")
       .orderBy($"doc_id")
   }
+
+  /** Budget denominator: the allocator plans for B = total_tokens / 4
+    * (exact integer division — a budget a 25%-subset training run
+    * would use). */
+  val budgetDen = 4L
+
+  /** TOKEN-BUDGET SOURCE ALLOCATOR (q252) — the planning artifact
+    * behind "we can afford B tokens this run; which sources fund it":
+    * sources ranked by mean document quality (exact u4 integer,
+    * floor-divided — ties broken by source name), then greedily funded
+    * in rank order until the budget is exhausted; the marginal source
+    * is taken PARTIALLY (the standard knapsack-relaxation optimum for a
+    * budget constraint with per-source token supplies — fractional only
+    * at the single boundary source). Per source: rank, quality, supply,
+    * tokens taken, the running total after it, and the fraction of the
+    * source funded in u4 — all exact integers, so the plan replays
+    * bit-for-bit anywhere.
+    *
+    * Differs from the q70/q155/q164 mixture weights in KIND: those
+    * derive per-source sampling RATES from target distributions; this
+    * answers the budgeted-subset question (hard cap, greedy by
+    * quality), the form a one-off ablation or a paid-data budget takes.
+    *
+    * Scale shape: one corpus scan → O(sources) per-source rollup
+    * (partial-aggregable sum/count); the greedy prefix sum is a window
+    * over the O(sources) relation — never the corpus; the budget rides
+    * a broadcast 1-row total. */
+  def tokenBudgetAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens($"text")
+    val perSource = Tables.documents(spark, dir)
+      .select($"source", size(toks).cast("long").as("nt"),
+        floor(TextAnalysis.qualityExpr(
+            size(toks).cast("long"),
+            stopwordCount(toks, TextAnalysis.stopwords).cast("long")) * 1e4
+          + lit(0.5)).cast("long").as("q_u4"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("src_tokens"),
+        sum($"q_u4").as("sum_q"))
+      .select($"source", $"n_docs", $"src_tokens",
+        expr("sum_q div n_docs").as("mean_q_u4"))
+    val budget = perSource.agg(
+      expr(s"sum(src_tokens) div $budgetDen").as("budget_tokens"))
+    // O(sources) relation from here on: the global window is over the
+    // per-source rollup, documented tiny-window exception
+    val w = Window.orderBy($"mean_q_u4".desc, $"source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSource.crossJoin(broadcast(budget))
+      .select($"source", $"n_docs", $"src_tokens", $"mean_q_u4",
+        $"budget_tokens",
+        row_number().over(Window.orderBy($"mean_q_u4".desc, $"source"))
+          .as("rk"),
+        (sum($"src_tokens").over(w) - $"src_tokens").as("prior_tokens"))
+      .select($"source", $"rk", $"mean_q_u4", $"n_docs", $"src_tokens",
+        greatest(lit(0L), least($"src_tokens",
+          $"budget_tokens" - $"prior_tokens")).as("tokens_taken"))
+      .select($"source", $"rk", $"mean_q_u4", $"n_docs", $"src_tokens",
+        $"tokens_taken",
+        expr("tokens_taken * 10000 div greatest(src_tokens, 1)")
+          .as("frac_taken_u4"))
+      .orderBy($"rk")
+  }
+
+  /** Reply-forest block size for [[sftPairs]] — the q190 md5 parent
+    * convention applied to doc ids. */
+  val sftBlock = 64L
+  /** Both sides of a pair must carry at least this many tokens. */
+  val sftMinTokens = 4L
+
+  /** SFT PAIR MINING (q253) — reply threads to instruction-tuning
+    * pairs: the reference's domain is Reddit comment trees
+    * (`reddit_filter.py`), and the standard LLM use of that corpus is
+    * (parent comment → reply) supervised pairs with a best-reply
+    * election. The forest is the q190 md5-derived parent convention
+    * over doc ids (deterministic, replayed by the oracle); for every
+    * document with replies, the pair kept is the BEST reply by the q26
+    * quality score (ties → lowest doc_id) among candidates that clear
+    * the hygiene cuts: both sides ≥ [[sftMinTokens]] tokens and the
+    * reply is not a fingerprint echo of its prompt. Output per prompt:
+    * the elected reply, both token counts, the reply's quality, and the
+    * candidate count the election saw.
+    *
+    * Scale shape: parent derivation is per-row hash arithmetic; ONE
+    * self-join on the parent key (block-local keys — at 100 TB this
+    * shuffles each side once, no skew since blocks cap fan-in at
+    * [[sftBlock]]); the election is a partial-aggregable `max(struct)`
+    * per prompt — no window over replies, no per-thread sort. */
+  def sftPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", fingerprint($"text").as("fp"),
+        size(toks).cast("long").as("n_tokens"),
+        floor(TextAnalysis.qualityExpr(
+            size(toks).cast("long"),
+            stopwordCount(toks, TextAnalysis.stopwords).cast("long")) * 1e4
+          + lit(0.5)).cast("long").as("q_u4"))
+    val pos = $"doc_id" % sftBlock
+    val child = docs
+      .withColumn("parent",
+        when(pos === 0, lit(null).cast("long"))
+          .otherwise($"doc_id" - pos +
+            (graft.functions.TextFunctions
+              .md5Hash32($"doc_id".cast("string")) % pos)))
+      .filter($"parent".isNotNull)
+    child.as("c")
+      .join(docs.as("p"), col("p.doc_id") === col("c.parent"))
+      .filter(col("p.n_tokens") >= sftMinTokens &&
+        col("c.n_tokens") >= sftMinTokens &&
+        col("p.fp") =!= col("c.fp"))
+      .groupBy(col("p.doc_id").as("prompt_doc"))
+      .agg(
+        max(struct(col("c.q_u4"), (-col("c.doc_id")).as("neg_id"),
+          col("c.n_tokens").as("rt"))).as("best"),
+        count(lit(1)).as("n_candidates"),
+        max(col("p.n_tokens")).as("prompt_tokens"))
+      .select($"prompt_doc", (-$"best.neg_id").as("response_doc"),
+        $"prompt_tokens", $"best.rt".as("response_tokens"),
+        $"best.q_u4".as("response_q_u4"), $"n_candidates")
+      .orderBy($"prompt_doc")
+  }
 }

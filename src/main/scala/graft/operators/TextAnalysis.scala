@@ -1169,4 +1169,114 @@ object TextAnalysis {
         min($"doc_id").as("keeper_doc"))
       .orderBy($"canonical_url")
   }
+
+  /** Number of growth-curve checkpoints (corpus deciles in doc_id
+    * order — ids are dense from the generator, so id deciles are
+    * arrival deciles). */
+  val vocabDeciles = 10
+
+  /** VOCABULARY GROWTH CURVE (q251) — Heaps' law measured, not assumed:
+    * at each corpus decile (in arrival order), the cumulative token
+    * count, the cumulative DISTINCT token count, the decile's newly
+    * seen types, and the exact type–token ratio in 1e-4 units. The
+    * artifact a tokenizer/vocab decision reads before committing to a
+    * vocab size at 100× the sample: V(T) ≈ kT^β means the curve's
+    * log-log slope predicts vocabulary at the target scale, and the
+    * NEW-types column shows whether the tail is flattening (closed
+    * vocabulary) or not (open — plan for byte fallback). Fitting is the
+    * consumer's job; the engine emits exact integer pairs only, so the
+    * hash match never rides a float fit.
+    *
+    * Scale shape: one token explode → min(doc_id) per type (the only
+    * corpus-sized shuffle, keyed by token); checkpoint assignment is
+    * per-row integer arithmetic against a broadcast 1-row total; the
+    * cumulative pass is a window over the O(deciles) rollup — never the
+    * corpus. The distinct-so-far trick: a type counts at decile d iff
+    * its FIRST occurrence lands ≤ d, so no per-checkpoint re-distinct. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    def decile(name: String) =
+      least(expr(s"$name * $vocabDeciles div n_docs"),
+        lit(vocabDeciles - 1))
+    val perDoc = docs.crossJoin(broadcast(total))
+      .select(decile("doc_id").as("decile"),
+        size(tokens($"text")).cast("long").as("nt"))
+    val tokCum = perDoc.groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs_dec"), sum($"nt").as("nt_dec"))
+    val firstSeen = docs
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+      .crossJoin(broadcast(total))
+      .select(decile("first_doc").as("decile"))
+      .groupBy($"decile").agg(count(lit(1)).as("new_types"))
+    val grid = spark.range(vocabDeciles).select($"id".cast("int").as("decile"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(tokCum, Seq("decile"), "left")
+      .join(firstSeen, Seq("decile"), "left")
+      .select($"decile",
+        coalesce($"n_docs_dec", lit(0L)).as("n_docs_dec"),
+        coalesce($"nt_dec", lit(0L)).as("nt_dec"),
+        coalesce($"new_types", lit(0L)).as("new_types"))
+      // O(deciles) rows: the global window runs over ≤10 rows by
+      // construction — documented tiny-window exception
+      .select($"decile", $"new_types",
+        sum($"n_docs_dec").over(w).as("n_docs_cum"),
+        sum($"nt_dec").over(w).as("n_tokens_cum"),
+        sum($"new_types").over(w).as("vocab_cum"))
+      .select($"decile", $"n_docs_cum", $"n_tokens_cum", $"vocab_cum",
+        $"new_types",
+        expr("vocab_cum * 10000 div greatest(n_tokens_cum, 1)").as("ttr_u4"))
+      .orderBy($"decile")
+  }
+
+  /** VOCABULARY DRIFT BETWEEN SNAPSHOTS (q255) — the tokenizer-health
+    * monitor across corpus versions: under the q92 v2-snapshot
+    * convention (every 5th doc dropped, every 7th edited, every 11th
+    * re-added), the type-set diff between v1 and v2 — types born, types
+    * dead, the surviving overlap, the exact vocabulary Jaccard in u4,
+    * and the token-volume shift. A tokenizer frozen on v1 meets v2's
+    * born types as byte-fallback fragments; this query prices that
+    * before the training run does.
+    *
+    * Scale shape: one token explode per snapshot → ONE groupBy(token)
+    * carrying two presence counters (partial-aggregable) → an O(1)-row
+    * rollup; no type-set join, no distinct-per-side passes. */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val v2 = docs.filter($"doc_id" % 5 =!= 4)
+      .select($"doc_id",
+        when($"doc_id" % 7 === 0,
+          concat(coalesce($"text", lit("")), lit(" v2-edit")))
+          .otherwise($"text").as("text"))
+      .unionByName(docs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 300000L).as("doc_id"), $"text"))
+    def toks(df: DataFrame, side: String) = df
+      .select(explode(tokens($"text")).as("tok"))
+      .select($"tok", lit(side).as("side"))
+    val perType = toks(docs, "v1").unionByName(toks(v2, "v2"))
+      .groupBy($"tok")
+      .agg(sum(when($"side" === "v1", 1L).otherwise(0L)).as("c1"),
+        sum(when($"side" === "v2", 1L).otherwise(0L)).as("c2"))
+    perType.agg(
+        sum(when($"c1" > 0, 1L).otherwise(0L)).as("n_types_v1"),
+        sum(when($"c2" > 0, 1L).otherwise(0L)).as("n_types_v2"),
+        sum(when($"c1" === 0 && $"c2" > 0, 1L).otherwise(0L))
+          .as("n_born_types"),
+        sum(when($"c1" > 0 && $"c2" === 0, 1L).otherwise(0L))
+          .as("n_dead_types"),
+        sum(when($"c1" > 0 && $"c2" > 0, 1L).otherwise(0L))
+          .as("n_shared_types"),
+        count(lit(1)).as("n_union_types"),
+        sum($"c1").as("tokens_v1"), sum($"c2").as("tokens_v2"))
+      .select($"n_types_v1", $"n_types_v2", $"n_born_types",
+        $"n_dead_types", $"n_shared_types",
+        expr("n_shared_types * 10000 div n_union_types")
+          .as("vocab_jaccard_u4"),
+        $"tokens_v1", $"tokens_v2")
+  }
 }

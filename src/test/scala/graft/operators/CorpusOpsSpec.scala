@@ -793,4 +793,70 @@ class CorpusOpsSpec extends SparkSpec {
     assert(common.exists { case (p, b) => p > 2 * b },
       "no expansion term matched any common doc")
   }
+
+  test("tokenBudgetAllocation: greedy in quality order, budget exactly exhausted, one partial boundary source") {
+    val out = CorpusOps.tokenBudgetAllocation(spark, sf).collect()
+    assert(out.nonEmpty)
+    // rank order is (quality desc, source) and taken amounts are greedy:
+    // full supplies down the ranking, one partial source, zeros after
+    val byRank = out.sortBy(_.getAs[Int]("rk"))
+    val qualities = byRank.map(_.getAs[Long]("mean_q_u4"))
+    assert(qualities.zip(qualities.tail).forall { case (a, b) => a >= b })
+    val supplies = byRank.map(_.getAs[Long]("src_tokens"))
+    val taken = byRank.map(_.getAs[Long]("tokens_taken"))
+    val budget = supplies.sum / CorpusOps.budgetDen
+    assert(taken.sum === budget) // supplies cover B by construction (B = total/4)
+    val partial = byRank.indices.filter(i => taken(i) > 0 && taken(i) < supplies(i))
+    assert(partial.size <= 1)
+    val cut = byRank.indexWhere(r => r.getAs[Long]("tokens_taken") === 0L)
+    byRank.zipWithIndex.foreach { case (r, i) =>
+      if (cut >= 0 && i >= cut) assert(r.getAs[Long]("tokens_taken") === 0L)
+    }
+    // greedy = prefix sums: taken(i) == clamp(B - sum(supplies before i))
+    var prior = 0L
+    byRank.zipWithIndex.foreach { case (r, _) =>
+      val expect = math.max(0L, math.min(r.getAs[Long]("src_tokens"), budget - prior))
+      assert(r.getAs[Long]("tokens_taken") === expect)
+      prior += r.getAs[Long]("src_tokens")
+    }
+  }
+
+  test("sftPairs: parent convention matches q190, election is (quality desc, id) argmax, hygiene cuts hold") {
+    val out = CorpusOps.sftPairs(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byPrompt = out.map(r => r.getAs[Long]("prompt_doc") -> r).toMap
+    assert(byPrompt.size === out.length) // one elected pair per prompt
+    out.foreach { r =>
+      assert(r.getAs[Long]("prompt_tokens") >= CorpusOps.sftMinTokens)
+      assert(r.getAs[Long]("response_tokens") >= CorpusOps.sftMinTokens)
+      assert(r.getAs[Long]("n_candidates") >= 1L)
+      // the parent convention: the elected reply really points at its prompt
+      val c = r.getAs[Long]("response_doc")
+      val pos = c % CorpusOps.sftBlock
+      assert(pos != 0L)
+      val h = { // TextFunctions.md5Hash32 driver twin
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(c.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      }
+      assert(r.getAs[Long]("prompt_doc") === c - pos + (h % pos))
+    }
+    // election replay on one busy prompt: no candidate beats the winner
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    val busy = out.maxBy(_.getAs[Long]("n_candidates"))
+    assert(busy.getAs[Long]("n_candidates") > 1L)
+    val toks = graft.functions.TextFunctions.tokens($"text")
+    val q = floor(TextAnalysis.qualityExpr(size(toks).cast("long"),
+      graft.functions.TextFunctions.stopwordCount(toks, TextAnalysis.stopwords).cast("long")) * 1e4
+      + lit(0.5)).cast("long")
+    val candidates = graft.Tables.documents(spark, sf)
+      .select($"doc_id", q.as("q_u4"))
+      .filter($"doc_id" % CorpusOps.sftBlock =!= 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val winner = busy.getAs[Long]("response_doc")
+    val wq = busy.getAs[Long]("response_q_u4")
+    assert(candidates(winner) === wq)
+  }
 }

@@ -775,4 +775,65 @@ class TextAnalysisSpec extends SparkSpec {
     val chis = out.map(_.getAs[Long]("chi2_micro")).toSeq
     assert(chis === chis.sorted.reverse)
   }
+
+  test("vocabGrowth: cumulative columns are monotone, final totals exact, distinct-so-far honest") {
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = TextAnalysis.vocabGrowth(spark, sf).collect()
+    assert(out.length === TextAnalysis.vocabDeciles)
+    assert(out.map(_.getAs[Int]("decile")).toSeq === (0 until TextAnalysis.vocabDeciles))
+    // cumulative monotonicity; new_types re-sums to vocab_cum
+    val vc = out.map(_.getAs[Long]("vocab_cum"))
+    assert(vc.zip(vc.tail).forall { case (a, b) => b >= a })
+    assert(out.map(_.getAs[Long]("new_types")).sum === vc.last)
+    // exact final totals against direct corpus aggregates
+    val docs = graft.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val nTokens = docs.select(sum(size(graft.functions.TextFunctions.tokens($"text")).cast("long")))
+      .as[Long].head()
+    val vocab = docs.select(explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .select(countDistinct($"t")).as[Long].head()
+    assert(out.last.getAs[Long]("n_docs_cum") === nDocs)
+    assert(out.last.getAs[Long]("n_tokens_cum") === nTokens)
+    assert(vc.last === vocab)
+    // the half-corpus checkpoint replays an independent distinct over the prefix
+    val mid = out(TextAnalysis.vocabDeciles / 2 - 1)
+    val cut = mid.getAs[Long]("n_docs_cum")
+    val prefixVocab = docs.filter($"doc_id" < cut)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .select(countDistinct($"t")).as[Long].head()
+    assert(mid.getAs[Long]("vocab_cum") === prefixVocab)
+    // ttr is the exact integer ratio
+    out.foreach(r => assert(r.getAs[Long]("ttr_u4") ===
+      r.getAs[Long]("vocab_cum") * 10000L / math.max(r.getAs[Long]("n_tokens_cum"), 1L)))
+  }
+
+  test("vocabDrift: counts replay exact driver-side set arithmetic over both snapshots") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = TextAnalysis.vocabDrift(spark, sf).collect().head
+    def tokensOf(s: String) =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val v1 = docs.flatMap(d => tokensOf(d._2))
+    val v2 = docs.filter(_._1 % 5 != 4)
+      .map { case (id, t) => if (id % 7 == 0) t + " v2-edit" else t }
+      .flatMap(tokensOf) ++
+      docs.filter(_._1 % 11 == 0).flatMap(d => tokensOf(d._2))
+    val (s1, s2) = (v1.toSet, v2.toSet)
+    assert(out.getAs[Long]("n_types_v1") === s1.size.toLong)
+    assert(out.getAs[Long]("n_types_v2") === s2.size.toLong)
+    assert(out.getAs[Long]("n_born_types") === (s2 -- s1).size.toLong)
+    assert(out.getAs[Long]("n_dead_types") === (s1 -- s2).size.toLong)
+    assert(out.getAs[Long]("n_shared_types") === (s1 & s2).size.toLong)
+    assert(out.getAs[Long]("vocab_jaccard_u4") ===
+      (s1 & s2).size.toLong * 10000L / (s1 | s2).size)
+    assert(out.getAs[Long]("tokens_v1") === v1.size.toLong)
+    assert(out.getAs[Long]("tokens_v2") === v2.size.toLong)
+    // the edit fixture genuinely moves the vocabulary both ways
+    assert(out.getAs[Long]("n_born_types") > 0)
+  }
 }
