@@ -336,6 +336,8 @@ object SparkEntry {
     "q253_sft_pairs" -> ((s, d) => CorpusOps.sftPairs(s, d)),
     "q254_dup_clusters" -> ((s, d) => DedupOps.dupClusterReport(s, d)),
     "q255_vocab_drift" -> ((s, d) => TextAnalysis.vocabDrift(s, d)),
+    "q256_domain_drift" -> ((s, d) => MiningOps.domainCentroidDrift(s, d)),
+    "q257_sample_ladder" -> ((s, d) => CorpusOps.sampleLadder(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -7428,6 +7430,73 @@ object SparkEntry {
          |  CAST(sum(c1) AS BIGINT) AS tokens_v1,
          |  CAST(sum(c2) AS BIGINT) AS tokens_v2
          |FROM pt""".stripMargin,
+
+    // per-label centroid vs global centroid, signed cos² ppm — integer
+    // e3 centroids (one correctly-rounded division per dim), HUGEINT
+    // product, no sqrt
+    "q256_domain_drift" ->
+      s"""WITH q AS (
+         |  SELECT label, d.i AS dim,
+         |    CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1000 + 0.5)
+         |      AS BIGINT) AS qv
+         |  FROM embeddings CROSS JOIN range(1, 65) d(i)),
+         |ds AS (SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s,
+         |         CAST(count(*) AS BIGINT) AS n
+         |       FROM q GROUP BY label, dim),
+         |lc AS (SELECT label, dim,
+         |         CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+         |           AS BIGINT) AS c
+         |       FROM ds),
+         |gc AS (SELECT dim,
+         |         CAST(floor(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+         |           + 0.5) AS BIGINT) AS g
+         |       FROM ds GROUP BY dim),
+         |dots AS (
+         |  SELECT lc.label,
+         |    CAST(sum(lc.c * gc.g) AS BIGINT) AS dot,
+         |    CAST(sum(lc.c * lc.c) AS BIGINT) AS na,
+         |    CAST(sum(gc.g * gc.g) AS BIGINT) AS nb
+         |  FROM lc JOIN gc USING (dim) GROUP BY lc.label),
+         |nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+         |       FROM embeddings GROUP BY label)
+         |SELECT d.label, nv.n_vecs,
+         |  CAST((CASE WHEN d.dot < 0 THEN -1 ELSE 1 END) *
+         |    (CAST(d.dot AS HUGEINT) * d.dot * 1000000
+         |      // greatest(d.na * d.nb, 1)) AS BIGINT) AS cos2_ppm_signed
+         |FROM dots d JOIN nv ON nv.label = d.label
+         |ORDER BY d.label""".stripMargin,
+
+    // nested scaling-law ladder: smallest-rung assignment + O(rungs)
+    // cumulative rollup; subsets nested by the shared hash threshold
+    "q257_sample_ladder" -> {
+      val uSql = "CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0 " +
+        "ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 + " +
+        "(CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) " +
+        "/ CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4 " +
+        "END) * 1e4 + 0.5) AS BIGINT)"
+      val rungs = CorpusOps.ladderBp.map(b => s"($b)").mkString(", ")
+      s"""WITH rg(rung_bp) AS (VALUES $rungs),
+         |pd AS (
+         |  SELECT source, CAST(len(tk) AS BIGINT) AS nt, $uSql AS q_u4,
+         |    ${h32("'ladder:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+         |  FROM (SELECT doc_id, source, $toksSql AS tk FROM documents) z),
+         |asg AS (
+         |  SELECT pd.*, (SELECT min(rung_bp) FROM rg
+         |                WHERE pd.bucket < rg.rung_bp) AS min_rung
+         |  FROM pd),
+         |cum AS (
+         |  SELECT r.rung_bp,
+         |    CAST(count(a.bucket) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(a.nt), 0) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT a.source) AS BIGINT) AS n_sources,
+         |    CAST(coalesce(sum(a.q_u4), 0) AS BIGINT) AS sum_q
+         |  FROM rg r LEFT JOIN asg a ON a.min_rung <= r.rung_bp
+         |  GROUP BY r.rung_bp)
+         |SELECT CAST(rung_bp AS BIGINT) AS rung_bp, n_docs, n_tokens,
+         |  n_sources,
+         |  CAST(sum_q // greatest(n_docs, 1) AS BIGINT) AS mean_q_u4
+         |FROM cum ORDER BY rung_bp""".stripMargin
+    },
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

@@ -1532,4 +1532,64 @@ object CorpusOps {
         $"best.q_u4".as("response_q_u4"), $"n_candidates")
       .orderBy($"prompt_doc")
   }
+
+  /** Ladder rungs in basis points of the corpus (1% … 100%). */
+  val ladderBp: Seq[Long] = Seq(100L, 200L, 500L, 1000L, 2500L, 5000L, 10000L)
+
+  /** SCALING-LAW SAMPLE LADDER (q257) — nested subsets for scaling-law
+    * experiments: rung r holds every document whose md5 bucket
+    * (`h32("ladder:" || id) mod 10⁴`) falls under r's basis points, so
+    * smaller rungs are SUBSETS of larger ones by construction — the
+    * property a loss-vs-data curve needs (each point's data contains
+    * the previous point's, isolating the data-size effect from
+    * data-identity noise) and the one independent per-rung samples
+    * violate. Per rung: docs, tokens, distinct sources, mean quality —
+    * the sanity columns that show the ladder stays distributionally
+    * faithful as it grows.
+    *
+    * Scale shape: one hash per row assigns each doc its SMALLEST rung;
+    * one O(rungs)-group rollup; cumulative rungs come from a window
+    * over the O(rungs) relation, never a per-rung corpus re-scan. The
+    * source-distinct column is the one per-rung set union — carried as
+    * a grouped `collect_set` over O(sources) values then a running
+    * union, all O(rungs × sources). */
+  def sampleLadder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens($"text")
+    val bucket = graft.functions.TextFunctions
+      .md5Hash32(concat(lit("ladder:"), $"doc_id".cast("string"))) % 10000L
+    val rungOf = ladderBp.sorted.foldRight(lit(-1L): org.apache.spark.sql.Column) {
+      (bp, acc) => when(bucket < bp, bp).otherwise(acc)
+    }
+    val perDoc = Tables.documents(spark, dir)
+      .select(rungOf.as("min_rung"), $"source",
+        size(toks).cast("long").as("nt"),
+        floor(TextAnalysis.qualityExpr(
+            size(toks).cast("long"),
+            stopwordCount(toks, TextAnalysis.stopwords).cast("long")) * 1e4
+          + lit(0.5)).cast("long").as("q_u4"))
+    val perRung = perDoc.filter($"min_rung" > 0)
+      .groupBy($"min_rung")
+      .agg(count(lit(1)).as("nd"), sum($"nt").as("ntk"),
+        sum($"q_u4").as("sq"), collect_set($"source").as("srcs"))
+    val grid = ladderBp.toDF("rung_bp")
+    val w = Window.orderBy($"rung_bp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // O(rungs) relation: tiny-window exception, documented
+    grid.join(perRung, $"rung_bp" === $"min_rung", "left")
+      .select($"rung_bp", coalesce($"nd", lit(0L)).as("nd"),
+        coalesce($"ntk", lit(0L)).as("ntk"),
+        coalesce($"sq", lit(0L)).as("sq"),
+        coalesce($"srcs", typedLit(Seq.empty[String])).as("srcs"))
+      .select($"rung_bp",
+        sum($"nd").over(w).as("n_docs"),
+        sum($"ntk").over(w).as("n_tokens"),
+        sum($"sq").over(w).as("sum_q"),
+        size(array_distinct(flatten(collect_list($"srcs").over(w))))
+          .cast("long").as("n_sources"))
+      .select($"rung_bp", $"n_docs", $"n_tokens", $"n_sources",
+        expr("sum_q div greatest(n_docs, 1)").as("mean_q_u4"))
+      .orderBy($"rung_bp")
+  }
 }

@@ -247,4 +247,56 @@ object MiningOps {
         min($"pos").cast("long").as("first_pos"))
       .orderBy($"doc_id")
   }
+
+  /** DOMAIN CENTROID DRIFT (q256) — the embedding-space domain-shift
+    * monitor: per label group, how far its mean embedding points away
+    * from the corpus mean. The alignment is reported as the
+    * q238/q246-style exact rational — signed cos²·10⁶ ppm between the
+    * group centroid and the global centroid — so no sqrt/acos ever
+    * crosses an engine boundary. Centroids are e3-grid integer vectors
+    * (per-dim `floor(sum/n + 1/2)`, ONE correctly-rounded double
+    * division each — the q35 codebook discipline), making every dot and
+    * norm an exact BIGINT. A group whose signed ppm sits far below its
+    * peers is the drifted domain — the monitor a mixed-corpus embedding
+    * refresh reads.
+    *
+    * Scale shape: one posexplode → (label, dim) integer-sum rollup —
+    * O(labels × dims) rows out of the only corpus-sized shuffle; the
+    * global centroid is a second rollup of THAT relation (O(dims));
+    * centroid math is driver-free column work over O(labels) rows. */
+  def domainCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dimSums = graft.CacheGuard.barrier(
+      Tables.embeddings(spark, dir)
+        .select($"label",
+          posexplode(transform($"embedding",
+            x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")))
+            .as(Seq("dim", "q")))
+        .groupBy($"label", $"dim")
+        .agg(sum($"q").as("s"), count(lit(1)).as("n")))
+    def centroid(df: DataFrame, key: Seq[String]) = df
+      .select((key.map(col) :+ $"dim" :+
+        floor($"s".cast("double") / $"n".cast("double") + 0.5)
+          .cast("long").as("c")): _*)
+    val gc = centroid(
+      dimSums.groupBy($"dim").agg(sum($"s").as("s"), sum($"n").as("n")),
+      Nil).select($"dim", $"c".as("g"))
+    val lc = centroid(dimSums, Seq("label"))
+    val nVecs = Tables.embeddings(spark, dir)
+      .groupBy($"label").agg(count(lit(1)).as("n_vecs"))
+    lc.join(gc, "dim")
+      .groupBy($"label")
+      .agg(sum($"c" * $"g").as("dot"),
+        sum($"c" * $"c").as("na"), sum($"g" * $"g").as("nb"))
+      .join(nVecs, "label")
+      .select($"label", $"n_vecs",
+        // dot² · 10⁶ can reach ~10²³ — the product rides DECIMAL(38,0)
+        // (DuckDB: HUGEINT) and only the final integral quotient is a
+        // BIGINT
+        (when($"dot" < 0, -1L).otherwise(1L) *
+          expr("CAST(CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))" +
+            " * 1000000 div greatest(na * nb, 1) AS BIGINT)"))
+          .as("cos2_ppm_signed"))
+      .orderBy($"label")
+  }
 }

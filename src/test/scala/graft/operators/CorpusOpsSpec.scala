@@ -859,4 +859,30 @@ class CorpusOpsSpec extends SparkSpec {
     val wq = busy.getAs[Long]("response_q_u4")
     assert(candidates(winner) === wq)
   }
+
+  test("sampleLadder: rungs are NESTED subsets, counts replay the hash threshold exactly") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = CorpusOps.sampleLadder(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("rung_bp")).toSeq === CorpusOps.ladderBp)
+    // monotone growth in every cumulative column (nesting)
+    def col(name: String) = out.map(_.getAs[Long](name))
+    Seq("n_docs", "n_tokens", "n_sources").foreach { c =>
+      val v = col(c); assert(v.zip(v.tail).forall { case (a, b) => b >= a }, c)
+    }
+    // the 100% rung is the whole corpus
+    val docs = graft.Tables.documents(spark, sf)
+    assert(out.last.getAs[Long]("n_docs") === docs.count())
+    // driver replay of the hash threshold at one interior rung
+    def h32(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val ids = docs.select($"doc_id").as[Long].collect()
+    val rung = CorpusOps.ladderBp(2) // 5%
+    val expect = ids.count(id => h32(s"ladder:$id") % 10000L < rung).toLong
+    assert(out(2).getAs[Long]("n_docs") === expect)
+    assert(expect > 0) // the rung genuinely samples at this SF
+  }
 }

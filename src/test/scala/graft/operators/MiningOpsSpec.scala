@@ -129,4 +129,35 @@ class MiningOpsSpec extends SparkSpec {
 
   private def tokens(c: org.apache.spark.sql.Column) =
     graft.functions.TextFunctions.tokens(c)
+
+  test("domainCentroidDrift: exact BigInt replay of integer centroids and the signed ppm") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = MiningOps.domainCentroidDrift(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("cos2_ppm_signed"))).toMap
+    graft.CacheGuard.release()
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select($"label", $"embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000 + 0.5).toLong))
+    assert(out.keySet === rows.map(_._1).toSet)
+    val dims = rows.head._2.length
+    def centroid(vs: Seq[Seq[Long]]): Seq[Long] = (0 until dims).map { i =>
+      math.floor(vs.map(_(i)).sum.toDouble / vs.size + 0.5).toLong
+    }
+    val g = centroid(rows.map(_._2).toSeq)
+    rows.groupBy(_._1).foreach { case (label, vs) =>
+      val c = centroid(vs.map(_._2).toSeq)
+      val dot = c.zip(g).map { case (a, b) => a * b }.sum
+      val na = c.map(x => x * x).sum
+      val nb = g.map(x => x * x).sum
+      val ppm = (BigInt(dot) * dot * 1000000) / (BigInt(na) * nb).max(1)
+      val signed = (if (dot < 0) -1 else 1) * ppm.toLong
+      assert(out(label) === ((vs.size.toLong, signed)), s"label $label")
+    }
+    // most domains align with the global mean far more than a random
+    // direction would (1/dims ≈ 15625 ppm)
+    assert(out.values.count(_._2 > 1000000 / dims) > out.size / 2)
+  }
 }
