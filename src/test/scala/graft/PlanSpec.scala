@@ -240,4 +240,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("q248 composed curation replay: floors broadcast, no cartesian") {
+    val p = plan(graft.streaming.FullCurate.replayBatch(spark, sf))
+    graft.CacheGuard.release()
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q253 SFT pairs: block-local equi-join, election is an aggregate (no window), no cartesian") {
+    val p = plan(CorpusOps.sftPairs(spark, sf))
+    assert(!p.contains("WindowExec") && !p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000)) // map-side election partials
+  }
+
+  test("q251/q252/q257 planning rollups: windows confined to O(tiny) post-aggregate relations") {
+    // the window input must be downstream of the corpus-collapsing
+    // aggregate: assert no window PARTITIONS the raw corpus (all three
+    // windows are global over deciles/sources/rungs — which is legal
+    // only because the relation is tiny; the aggregate upstream is the
+    // proof obligation here)
+    Seq(
+      TextAnalysis.vocabGrowth(spark, sf),
+      CorpusOps.tokenBudgetAllocation(spark, sf),
+      CorpusOps.sampleLadder(spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+        p.take(2000))
+      // corpus-sized columns (doc_id, text) must never be window inputs
+      val winLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+      assert(!winLines.contains("text"), winLines)
+    }
+  }
+
+  test("q256 domain drift: one corpus-sized shuffle (label,dim rollup); centroid math join-only after") {
+    val p = plan(operators.MiningOps.domainCentroidDrift(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
 }
