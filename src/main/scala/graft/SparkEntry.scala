@@ -338,6 +338,8 @@ object SparkEntry {
     "q255_vocab_drift" -> ((s, d) => TextAnalysis.vocabDrift(s, d)),
     "q256_domain_drift" -> ((s, d) => MiningOps.domainCentroidDrift(s, d)),
     "q257_sample_ladder" -> ((s, d) => CorpusOps.sampleLadder(s, d)),
+    "q258_band_audit" -> ((s, d) => DedupOps.bandCollisionAudit(s, d)),
+    "q259_pruned_index" -> ((s, d) => CorpusOps.prunedIndexAudit(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -7496,6 +7498,82 @@ object SparkEntry {
          |  n_sources,
          |  CAST(sum_q // greatest(n_docs, 1) AS BIGINT) AS mean_q_u4
          |FROM cum ORDER BY rung_bp""".stripMargin
+    },
+
+    // per-band LSH health: slice cardinalities, cap pressure, uncapped
+    // pair mass over the audited banded relation
+    "q258_band_audit" ->
+      s"""WITH $minHashCtesSql,
+         |blocks AS (
+         |  SELECT band, bk, CAST(count(*) AS BIGINT) AS bsz
+         |  FROM banded GROUP BY band, bk)
+         |SELECT CAST(band AS INT) AS band,
+         |  CAST(sum(bsz) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_slices,
+         |  CAST(sum(CASE WHEN bsz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_colliding_slices,
+         |  CAST(max(bsz) AS BIGINT) AS max_block,
+         |  CAST(sum(CASE WHEN bsz > ${DedupOps.bandBlockCap} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_capped_blocks,
+         |  CAST(sum(bsz * (bsz - 1) // 2) AS BIGINT) AS pair_mass
+         |FROM blocks GROUP BY band ORDER BY band""".stripMargin,
+
+    // impact-ordered pruning: per-term top-f% postings (tf desc, doc),
+    // full-index IDF, overlap@k vs the untruncated q167 ranking
+    "q259_pruned_index" -> {
+      val qvals = CorpusOps.bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      val pvals = CorpusOps.prunePcts.map(p => s"($p)").mkString(", ")
+      s"""WITH qt(query_id, term) AS (VALUES $qvals),
+         |pcts(pct) AS (VALUES $pvals),
+         |lens AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(dl) AS BIGINT) AS t FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents) z
+         |  WHERE term IN (SELECT term FROM qt)
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY term),
+         |rnk AS (SELECT *, CAST(row_number() OVER (PARTITION BY term
+         |    ORDER BY tf DESC, doc_id) AS BIGINT) AS irk FROM tf),
+         |s AS (
+         |  SELECT CAST(p.pct AS BIGINT) AS pct, qt.query_id, r.doc_id,
+         |    CAST(floor(
+         |      round(ln(CAST(2*n+2 AS DOUBLE) / CAST(2*df+1 AS DOUBLE)), 8)
+         |      * ((44.0 * CAST(t AS DOUBLE) * CAST(tf AS DOUBLE))
+         |        / (20.0 * CAST(t AS DOUBLE) * CAST(tf AS DOUBLE)
+         |          + 6.0 * CAST(t AS DOUBLE)
+         |          + 18.0 * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)))
+         |      * 1e4 + 0.5) AS BIGINT) AS u
+         |  FROM rnk r JOIN qt USING (term) JOIN df USING (term)
+         |  JOIN lens ON lens.doc_id = r.doc_id
+         |  CROSS JOIN tot CROSS JOIN pcts p
+         |  WHERE r.irk * 100 <= df.df * p.pct + 99),
+         |agg AS (SELECT pct, query_id, doc_id, CAST(sum(u) AS BIGINT)
+         |          AS score_u4
+         |        FROM s GROUP BY 1, 2, 3),
+         |nsc AS (SELECT pct, query_id, CAST(count(*) AS BIGINT)
+         |          AS n_scored_docs
+         |        FROM agg GROUP BY 1, 2),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY pct, query_id
+         |    ORDER BY score_u4 DESC, doc_id) AS rk FROM agg),
+         |top AS (SELECT pct, query_id, doc_id FROM r2
+         |        WHERE rk <= ${CorpusOps.bm25K}),
+         |fulltop AS (SELECT query_id, doc_id FROM top WHERE pct = 100),
+         |ov AS (
+         |  SELECT t.pct, t.query_id,
+         |    CAST(count(*) AS BIGINT) AS k_returned,
+         |    CAST(count(f.doc_id) AS BIGINT) AS n_overlap_full
+         |  FROM top t LEFT JOIN fulltop f
+         |    ON f.query_id = t.query_id AND f.doc_id = t.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT ov.pct, CAST(ov.query_id AS BIGINT) AS query_id,
+         |  nsc.n_scored_docs, ov.k_returned, ov.n_overlap_full
+         |FROM ov JOIN nsc ON nsc.pct = ov.pct AND nsc.query_id = ov.query_id
+         |ORDER BY ov.pct, ov.query_id""".stripMargin
     },
   )
 

@@ -1146,6 +1146,77 @@ object CorpusOps {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Pruning fractions (percent of each term's postings kept, impact
+    * order) for [[prunedIndexAudit]], shared with the q259 oracle. */
+  val prunePcts: Seq[Long] = Seq(25L, 50L, 100L)
+
+  /** IMPACT-ORDERED INDEX PRUNING AUDIT (q259) — the standard IR
+    * space/latency lever measured instead of assumed: keep only the
+    * top f% of each probe term's postings by impact (tf desc, doc_id —
+    * the static impact order an impact-sorted index stores), rerun the
+    * q167 BM25 ranking on the truncated postings, and report per
+    * (fraction, query) the top-k overlap with the full ranking plus
+    * the posting volume actually kept. IDF stays from the FULL index
+    * (scores are precomputed then truncated — the impact-ordering
+    * convention), so f=100 reproduces q167 exactly and the overlap
+    * column isolates what truncation alone costs.
+    *
+    * Scale shape: postings are the q167 probe-filtered tf relation —
+    * O(matched docs), never the corpus token stream; the impact rank
+    * is a per-TERM window over that bounded relation (at 100 TB this
+    * is the index-BUILD step, run once per term at write time, not a
+    * query-time cost); the fraction fan-out is a broadcast ×3; the
+    * per-(fraction, query) ranking pre-reduces through the bounded
+    * TopK aggregate like q167 — no corpus window anywhere. */
+  def prunedIndexAudit(spark: SparkSession, dir: String,
+                       queries: Seq[(Long, String)] = bm25Queries,
+                       k: Int = bm25K): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tot = docs.agg(count(lit(1)).as("n"),
+      sum(size(tokens($"text")).cast("long")).as("t"))
+    val terms = queries.map(_._2).distinct
+    val qt = queries.toDF("query_id", "term")
+    val tf = docs
+      .select($"doc_id", tokens($"text").as("tk"))
+      .select($"doc_id", size($"tk").cast("long").as("dl"),
+        explode($"tk").as("term"))
+      .filter($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // impact order: per-term rank over the probe-filtered posting list
+    // (the index-build window; bounded by matched docs)
+    val ranked = tf
+      .withColumn("irk", row_number().over(
+        Window.partitionBy($"term").orderBy($"tf".desc, $"doc_id")))
+    val pct = prunePcts.toDF("pct")
+    val perTerm = ranked
+      .join(broadcast(qt), "term")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(tot))
+      .select($"query_id", $"doc_id", $"irk", $"df", bm25U.as("u"))
+      .crossJoin(broadcast(pct))
+      // keep rank ≤ ⌈df·pct/100⌉, exact integer arithmetic
+      .filter($"irk" * 100 <= $"df" * $"pct" + 99)
+    val topPer = perTerm.groupBy($"pct", $"query_id", $"doc_id")
+      .agg(sum($"u").as("score_u4"))
+      .groupBy($"pct", $"query_id")
+      .agg(graft.functions.TopK.topK(k)(
+        $"score_u4".cast("double"), $"doc_id").as("top"),
+        count(lit(1)).as("n_scored_docs"))
+      .select($"pct", $"query_id", $"n_scored_docs",
+        transform($"top", x => x("vec_id")).as("docs"))
+    val full = topPer.filter($"pct" === 100)
+      .select($"query_id", $"docs".as("full_docs"))
+    topPer.join(full, "query_id")
+      .select($"pct", $"query_id", $"n_scored_docs",
+        size($"docs").cast("long").as("k_returned"),
+        size(array_intersect($"docs", $"full_docs")).cast("long")
+          .as("n_overlap_full"))
+      .orderBy($"pct", $"query_id")
+  }
+
   /** RRF rank constant (the standard k=60 from Cormack et al.) shared
     * with the q172 oracle and spec. */
   val rrfK0 = 60

@@ -1195,6 +1195,47 @@ object DedupOps {
       containKeepTauNum, containKeepTauDen)
   }
 
+  /** BAND COLLISION AUDIT (q258) — the health report of the LSH banding
+    * itself, per band index: how many distinct slice values exist, how
+    * many collide (non-singleton), the largest block, how many blocks
+    * the [[bandBlockCap]] truncates, and the candidate-pair mass
+    * Σ C(block,2) the band would generate uncapped. This is the table
+    * that justifies (or re-tunes) the cap: a band whose max block and
+    * capped count spike is hashing degenerate content (near-empty docs,
+    * boilerplate), and the pair mass column prices exactly what the
+    * q55/q67 family's self-join would pay there. Bands behave
+    * identically on healthy data, so a BAND-SKEWED row is itself a
+    * finding (a biased permutation slice).
+    *
+    * Scale shape: one pass over the audited signature relation,
+    * exploded ×bands; one (band, slice) count then an O(bands) rollup —
+    * the exchange carries small integer keys, output is `bands` rows. */
+  def bandCollisionAudit(spark: SparkSession, dir: String,
+                         shingleN: Int = 3, perms: Int = 16,
+                         bands: Int = 4): DataFrame = {
+    import spark.implicits._
+    val rows = perms / bands
+    val sig = md5SigCorpus(spark, dir, shingleN, perms)
+    val blocks = sig
+      .select(posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice($"sig", b * lit(rows) + 1, lit(rows)))).as(Seq("band", "bk")))
+      .groupBy($"band", $"bk")
+      .agg(count(lit(1)).as("bsz"))
+    blocks.groupBy($"band")
+      .agg(
+        sum($"bsz").as("n_docs"),
+        count(lit(1)).as("n_slices"),
+        sum(when($"bsz" > 1, 1L).otherwise(0L)).as("n_colliding_slices"),
+        max($"bsz").as("max_block"),
+        sum(when($"bsz" > bandBlockCap, 1L).otherwise(0L))
+          .as("n_capped_blocks"),
+        sum(expr("bsz * (bsz - 1) div 2")).as("pair_mass"))
+      .select($"band".cast("int").as("band"), $"n_docs", $"n_slices",
+        $"n_colliding_slices", $"max_block", $"n_capped_blocks",
+        $"pair_mass".cast("long").as("pair_mass"))
+      .orderBy($"band")
+  }
+
   /** Sweep thresholds for [[dedupThresholdSweep]] — multiples of 1/16
     * (the 16-perm signature's estimate granularity), so every comparison
     * against an estimated Jaccard is exact in both engines. */

@@ -885,4 +885,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_docs") === expect)
     assert(expect > 0) // the rung genuinely samples at this SF
   }
+
+  test("prunedIndexAudit: f=100 reproduces q167 exactly; overlap monotone-ish and kept volume shrinks") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = CorpusOps.prunedIndexAudit(spark, sf).collect()
+    val byKey = out.map(r => (r.getAs[Long]("pct"), r.getAs[Long]("query_id")) -> r).toMap
+    val queries = CorpusOps.bm25Queries.map(_._1).distinct
+    assert(out.length === CorpusOps.prunePcts.length * queries.length)
+    // f=100: full self-overlap at the returned k
+    queries.foreach { q =>
+      val r = byKey((100L, q))
+      assert(r.getAs[Long]("n_overlap_full") === r.getAs[Long]("k_returned"))
+    }
+    // the full rankings agree with the declared q167 top-k
+    val full = CorpusOps.bm25Rank(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    queries.foreach { q =>
+      assert(byKey((100L, q)).getAs[Long]("k_returned") === full(q).length.toLong)
+    }
+    // pruning only removes scored docs
+    queries.foreach { q =>
+      val v = CorpusOps.prunePcts.map(p => byKey((p, q)).getAs[Long]("n_scored_docs"))
+      assert(v.zip(v.tail).forall { case (a, b) => a <= b })
+    }
+    // the audit is non-vacuous: somewhere pruning actually drops volume
+    assert(queries.exists(q =>
+      byKey((25L, q)).getAs[Long]("n_scored_docs") <
+        byKey((100L, q)).getAs[Long]("n_scored_docs")))
+  }
 }

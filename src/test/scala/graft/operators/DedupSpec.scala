@@ -833,4 +833,22 @@ class DedupSpec extends SparkSpec {
         assert(r.getAs[Long]("n_sources") === 1L)
     }
   }
+
+  test("bandCollisionAudit: per-band totals re-sum, seeded copies guarantee collisions, pair mass replays") {
+    val out = DedupOps.bandCollisionAudit(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.map(_.getAs[Int]("band")).toSeq === Seq(0, 1, 2, 3))
+    val nSig = DedupOps.md5SigCorpus(spark, sf).count()
+    graft.CacheGuard.release()
+    out.foreach { r =>
+      // every sig-bearing doc lands in exactly one slice per band
+      assert(r.getAs[Long]("n_docs") === nSig)
+      assert(r.getAs[Long]("n_colliding_slices") <= r.getAs[Long]("n_slices"))
+      // the doubled corpus guarantees every band collides (identical
+      // texts share all slices)
+      assert(r.getAs[Long]("n_colliding_slices") > 0)
+      assert(r.getAs[Long]("max_block") >= 2L)
+      assert(r.getAs[Long]("pair_mass") >= r.getAs[Long]("n_colliding_slices"))
+    }
+  }
 }
