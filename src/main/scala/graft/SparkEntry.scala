@@ -340,6 +340,7 @@ object SparkEntry {
     "q257_sample_ladder" -> ((s, d) => CorpusOps.sampleLadder(s, d)),
     "q258_band_audit" -> ((s, d) => DedupOps.bandCollisionAudit(s, d)),
     "q259_pruned_index" -> ((s, d) => CorpusOps.prunedIndexAudit(s, d)),
+    "q260_matched_holdout" -> ((s, d) => CorpusOps.matchedHoldout(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -7575,6 +7576,43 @@ object SparkEntry {
          |FROM ov JOIN nsc ON nsc.pct = ov.pct AND nsc.query_id = ov.query_id
          |ORDER BY ov.pct, ov.query_id""".stripMargin
     },
+
+    // largest-remainder quota holdout: exact apportionment + smallest
+    // md5-rank selection per source, per-source audit rollup
+    "q260_matched_holdout" ->
+      s"""WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+         |ps AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_src, nn,
+         |    CAST(nn // ${CorpusOps.holdoutDen} AS BIGINT) AS e,
+         |    CAST((nn // ${CorpusOps.holdoutDen}) * count(*) // nn AS BIGINT)
+         |      AS base,
+         |    CAST(((nn // ${CorpusOps.holdoutDen}) * count(*)) % nn AS BIGINT)
+         |      AS rem
+         |  FROM documents CROSS JOIN tot GROUP BY source, nn),
+         |sh AS (SELECT CAST(max(e) - sum(base) AS BIGINT) AS short FROM ps),
+         |qs AS (
+         |  SELECT ps.*, least(base + CASE WHEN
+         |      row_number() OVER (ORDER BY rem DESC, source) <= sh.short
+         |      THEN 1 ELSE 0 END, n_src) AS quota
+         |  FROM ps CROSS JOIN sh),
+         |rkd AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY
+         |      ${h32("'hold:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS mrk
+         |  FROM documents),
+         |sel AS (
+         |  SELECT r.source, CAST(count(*) AS BIGINT) AS n_selected,
+         |    CAST(sum(r.doc_id) AS BIGINT) AS sel_id_sum,
+         |    min(r.doc_id) AS sel_id_min, max(r.doc_id) AS sel_id_max
+         |  FROM rkd r JOIN qs ON qs.source = r.source
+         |  WHERE r.mrk <= qs.quota
+         |  GROUP BY r.source)
+         |SELECT s.source, qs.n_src, CAST(qs.quota AS BIGINT) AS quota,
+         |  s.n_selected, s.sel_id_sum, s.sel_id_min, s.sel_id_max,
+         |  CAST(abs(qs.quota * qs.nn - qs.n_src * qs.e) * 10000
+         |    // greatest(qs.e * qs.nn, 1) AS BIGINT) AS share_err_u4
+         |FROM sel s JOIN qs ON qs.source = s.source
+         |ORDER BY s.source""".stripMargin,
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

@@ -1217,6 +1217,73 @@ object CorpusOps {
       .orderBy($"pct", $"query_id")
   }
 
+  /** Eval-holdout size as a fraction of the corpus (1/10, exact). */
+  val holdoutDen = 10L
+
+  /** QUOTA-MATCHED EVAL HOLDOUT (q260) — a fixed-size eval set whose
+    * per-source composition matches the corpus EXACTLY under
+    * largest-remainder (Hamilton) apportionment: quota_i =
+    * ⌊E·n_i/N⌋ plus one for the sources with the largest remainders
+    * until the E slots are filled (ties → source name), then each
+    * source contributes its quota's smallest-md5-rank documents —
+    * deterministic, engine-portable, and re-run-stable. This is the
+    * holdout an eval harness wants when the corpus mix IS the thing
+    * being evaluated (q195's stratified split fixes per-stratum
+    * fractions instead; q81 fixes leakage — this fixes SIZE and MIX).
+    * Output is the per-source audit row: population, exact quota, the
+    * selected-id checksum (sum + min/max), and the apportionment error
+    * vs the corpus share in 1e-4 units — |quota/E − n_i/N| ≤ 1/E by
+    * the method's bound, which the spec asserts.
+    *
+    * Scale shape: one per-source count (O(sources) rollup), the
+    * apportionment entirely over the O(sources) relation (its windows
+    * are tiny by construction); selection is a per-source md5 rank —
+    * the q195 per-stratum sort-shuffle, the honest cost of exact
+    * quotas — then one O(sources) rollup of the selected rows. */
+  def matchedHoldout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val tot = docs.agg(count(lit(1)).as("nn"))
+    val perSrc = docs.groupBy($"source").agg(count(lit(1)).as("n_src"))
+      .crossJoin(broadcast(tot))
+      .select($"source", $"n_src", $"nn",
+        expr(s"nn div $holdoutDen").as("e"),
+        expr(s"(nn div $holdoutDen) * n_src div nn").as("base"),
+        expr(s"((nn div $holdoutDen) * n_src) % nn").as("rem"))
+    // O(sources) apportionment: hand the E − Σbase leftover slots to
+    // the largest remainders (rank window tiny by construction; the
+    // shortfall total rides a broadcast 1-row aggregate)
+    val shortfall = perSrc.agg(
+      (max($"e") - sum($"base")).as("short"))
+    val quotas = perSrc
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"rem".desc, $"source")))
+      .crossJoin(broadcast(shortfall))
+      .select($"source", $"n_src", $"nn", $"e",
+        least(($"base" + when($"rk" <= $"short", 1L).otherwise(0L)),
+          $"n_src").as("quota"))
+    val ranked = docs
+      .withColumn("mrk", row_number().over(
+        Window.partitionBy($"source").orderBy(
+          graft.functions.TextFunctions.md5Hash32(
+            concat(lit("hold:"), $"doc_id".cast("string"))), $"doc_id")))
+    ranked.join(quotas, "source")
+      .filter($"mrk" <= $"quota")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum($"doc_id").as("sel_id_sum"),
+        min($"doc_id").as("sel_id_min"), max($"doc_id").as("sel_id_max"))
+      .join(quotas, Seq("source"))
+      .select($"source", $"n_src", $"quota", $"n_selected",
+        $"sel_id_sum", $"sel_id_min", $"sel_id_max",
+        // |quota/E − n_src/N| in exact 1e-4 units: cross-multiplied
+        // integer forms, abs of a BIGINT difference
+        expr("abs(quota * nn - n_src * e) * 10000 div greatest(e * nn, 1)")
+          .as("share_err_u4"))
+      .orderBy($"source")
+  }
+
   /** RRF rank constant (the standard k=60 from Cormack et al.) shared
     * with the q172 oracle and spec. */
   val rrfK0 = 60

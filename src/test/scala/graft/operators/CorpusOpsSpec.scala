@@ -914,4 +914,36 @@ class CorpusOpsSpec extends SparkSpec {
       byKey((25L, q)).getAs[Long]("n_scored_docs") <
         byKey((100L, q)).getAs[Long]("n_scored_docs")))
   }
+
+  test("matchedHoldout: quotas sum to E, Hamilton bound holds, selection replays the md5 rank") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = CorpusOps.matchedHoldout(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length.toLong
+    val e = n / CorpusOps.holdoutDen
+    // exact size: quotas sum to E (largest remainder fills every slot)
+    assert(out.map(_.getAs[Long]("quota")).sum === e)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_selected") === r.getAs[Long]("quota"))
+      // Hamilton bound: |quota/E - n_src/N| <= 1/E  (u4: <= 10000/E + 1)
+      assert(r.getAs[Long]("share_err_u4") <= 10000L / e + 1L)
+    }
+    // selection replay on the largest source: smallest md5 ranks win
+    def h32(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val big = out.maxBy(_.getAs[Long]("n_src"))
+    val srcDocs = docs.filter(_._2 == big.getAs[String]("source")).map(_._1)
+    val expect = srcDocs.sortBy(id => (h32(s"hold:$id"), id))
+      .take(big.getAs[Long]("quota").toInt)
+    assert(big.getAs[Long]("sel_id_sum") === expect.sum)
+    assert(big.getAs[Long]("sel_id_min") === expect.min)
+    assert(big.getAs[Long]("sel_id_max") === expect.max)
+  }
 }
