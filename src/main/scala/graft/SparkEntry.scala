@@ -341,6 +341,7 @@ object SparkEntry {
     "q258_band_audit" -> ((s, d) => DedupOps.bandCollisionAudit(s, d)),
     "q259_pruned_index" -> ((s, d) => CorpusOps.prunedIndexAudit(s, d)),
     "q260_matched_holdout" -> ((s, d) => CorpusOps.matchedHoldout(s, d)),
+    "q261_quote_flows" -> ((s, d) => DedupOps.quoteFlows(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4876,7 +4877,42 @@ object SparkEntry {
     // DIRECTED containment audit (q122 semantics, post-dedup τ=1/2) over
     // that corpus
     "q178_containment_keepers" ->
-      s"""WITH RECURSIVE $minHashCtesSql,
+      s"""WITH RECURSIVE $containKeepCtesSql
+         |SELECT src, dst, inter, n_src, containment
+         |FROM ckp ORDER BY src, dst""".stripMargin,
+
+    // the q178 audit rolled up to the SOURCE-pair level: who quotes
+    // whom, weighted containment per flow (see containKeepCtesSql)
+    "q261_quote_flows" ->
+      s"""WITH RECURSIVE $containKeepCtesSql,
+         |m AS (
+         |  SELECT CASE WHEN src >= ${DedupOps.digestOffset}
+         |           THEN src - ${DedupOps.digestOffset} ELSE src END AS sb,
+         |         CASE WHEN dst >= ${DedupOps.digestOffset}
+         |           THEN dst - ${DedupOps.digestOffset} ELSE dst END AS db,
+         |         (dst >= ${DedupOps.digestOffset}) AS into_digest,
+         |         inter, n_src
+         |  FROM ckp)
+         |SELECT xs.source AS src_source, ys.source AS dst_source,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN into_digest THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_into_digests,
+         |  CAST(sum(inter) AS BIGINT) AS sum_inter,
+         |  CAST(sum(n_src) AS BIGINT) AS sum_n_src,
+         |  CAST(sum(inter) * 10000 // sum(n_src) AS BIGINT)
+         |    AS w_containment_u4
+         |FROM m JOIN documents xs ON xs.doc_id = m.sb
+         |JOIN documents ys ON ys.doc_id = m.db
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+  ) ++ oracleSqlRest
+
+  /** The q178 dedup-then-audit CTE chain (minhash election → keeper +
+    * keeper-sourced digest corpus → directed containment), shared by
+    * the q178 oracle and the q261 source-pair rollup; ends at CTE
+    * `ckp` (src, dst, inter, n_src, containment). */
+  private lazy val containKeepCtesSql: String =
+    s"""$minHashCtesSql,
          |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
          |sym AS (SELECT a AS src, b AS dst FROM prs
@@ -4917,13 +4953,21 @@ object SparkEntry {
          |    CAST(len(x.ts) AS BIGINT) AS n_src
          |  FROM kcand
          |  JOIN kdt x ON x.doc_id = da
-         |  JOIN kdt y ON y.doc_id = db)
-         |SELECT da AS src, db AS dst, inter, n_src,
-         |  floor((inter / CAST(n_src AS DOUBLE))*1e4 + 0.5)/1e4 AS containment
-         |FROM kj
-         |WHERE inter * ${DedupOps.containKeepTauDen}
-         |  >= n_src * ${DedupOps.containKeepTauNum}
-         |ORDER BY src, dst""".stripMargin,
+         |  JOIN kdt y ON y.doc_id = db),
+         |ckp AS (
+         |  SELECT da AS src, db AS dst, inter, n_src,
+         |    floor((inter / CAST(n_src AS DOUBLE))*1e4 + 0.5)/1e4
+         |      AS containment
+         |  FROM kj
+         |  WHERE inter * ${DedupOps.containKeepTauDen}
+         |    >= n_src * ${DedupOps.containKeepTauNum})""".stripMargin
+
+  /** Continuation of [[oracleSql]] — one Scala Map literal hit the JVM
+    * 64 KB method-bytecode ceiling territory as the surface grew, and
+    * splitting also lets the shared-CTE vals sit next to the entries
+    * that use them. Merged via `++` above; key order is irrelevant
+    * (the driver joins by name). */
+  private lazy val oracleSqlRest: Map[String, String] = Map(
 
     // IVF coarse pruning (all-integer e3-grid dots vs the first-16
     // seeds, nprobe=4) composed with q86's trained-PQ ADC scoring over

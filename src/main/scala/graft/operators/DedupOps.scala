@@ -1236,6 +1236,42 @@ object DedupOps {
       .orderBy($"band")
   }
 
+  /** QUOTATION FLOW MATRIX (q261) — the q178 directed keeper audit
+    * rolled up to the SOURCE-pair level: who quotes whom. Each audited
+    * pair maps its endpoints to base documents (digest rows inherit
+    * their lead document's identity via `− digestOffset`), joins the
+    * source dimension, and the rollup reports per (src_source,
+    * dst_source): pair volume, how many flows land in seeded digests,
+    * and the WEIGHTED containment Σinter·10⁴ div Σn_src — exact
+    * integers (a mean of per-pair ratios would weight a 10-shingle
+    * quote like a 100-shingle one). The matrix is the syndication map
+    * an editorial/licensing review reads — and the per-pair q178 rows
+    * remain the drill-down.
+    *
+    * Scale shape: everything downstream of the audited q178 relation
+    * is two base-id joins against the (broadcastable) source dimension
+    * and one O(source-pairs) rollup. */
+  def quoteFlows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def baseId(c: org.apache.spark.sql.Column) =
+      when(c >= digestOffset, c - digestOffset).otherwise(c)
+    val srcs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    containmentJoinKeepers(spark, dir)
+      .select(baseId($"src").as("sb"), baseId($"dst").as("db"),
+        ($"dst" >= digestOffset).as("into_digest"), $"inter", $"n_src")
+      .join(srcs.select($"doc_id".as("sb"), $"source".as("src_source")), "sb")
+      .join(srcs.select($"doc_id".as("db"), $"source".as("dst_source")), "db")
+      .groupBy($"src_source", $"dst_source")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"into_digest", 1L).otherwise(0L)).as("n_into_digests"),
+        sum($"inter").as("sum_inter"),
+        sum($"n_src").as("sum_n_src"))
+      .select($"src_source", $"dst_source", $"n_pairs", $"n_into_digests",
+        $"sum_inter", $"sum_n_src",
+        expr("sum_inter * 10000 div sum_n_src").as("w_containment_u4"))
+      .orderBy($"src_source", $"dst_source")
+  }
+
   /** Sweep thresholds for [[dedupThresholdSweep]] — multiples of 1/16
     * (the 16-perm signature's estimate granularity), so every comparison
     * against an estimated Jaccard is exact in both engines. */

@@ -851,4 +851,35 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("pair_mass") >= r.getAs[Long]("n_colliding_slices"))
     }
   }
+
+  test("quoteFlows: weighted containment replays the per-pair audit; digest flows present") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val flows = DedupOps.quoteFlows(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(flows.nonEmpty)
+    val pairs = DedupOps.containmentJoinKeepers(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Long]("inter"), r.getAs[Long]("n_src")))
+    graft.CacheGuard.release()
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def base(id: Long) =
+      if (id >= DedupOps.digestOffset) id - DedupOps.digestOffset else id
+    val expect = pairs.groupBy(p => (srcOf(base(p._1)), srcOf(base(p._2))))
+    assert(flows.length === expect.size)
+    flows.foreach { r =>
+      val key = (r.getAs[String]("src_source"), r.getAs[String]("dst_source"))
+      val ps = expect(key)
+      assert(r.getAs[Long]("n_pairs") === ps.length.toLong)
+      assert(r.getAs[Long]("n_into_digests") ===
+        ps.count(_._2 >= DedupOps.digestOffset).toLong)
+      val (si, sn) = (ps.map(_._3).sum, ps.map(_._4).sum)
+      assert(r.getAs[Long]("sum_inter") === si)
+      assert(r.getAs[Long]("w_containment_u4") === si * 10000L / sn)
+    }
+    // the seeded digests guarantee flows INTO digests exist
+    assert(flows.map(_.getAs[Long]("n_into_digests")).sum > 0)
+  }
 }
