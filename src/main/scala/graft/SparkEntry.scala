@@ -342,6 +342,7 @@ object SparkEntry {
     "q259_pruned_index" -> ((s, d) => CorpusOps.prunedIndexAudit(s, d)),
     "q260_matched_holdout" -> ((s, d) => CorpusOps.matchedHoldout(s, d)),
     "q261_quote_flows" -> ((s, d) => DedupOps.quoteFlows(s, d)),
+    "q262_poisson_bootstrap" -> ((s, d) => CorpusOps.poissonBootstrap(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4905,6 +4906,35 @@ object SparkEntry {
          |JOIN documents ys ON ys.doc_id = m.db
          |GROUP BY 1, 2
          |ORDER BY 1, 2""".stripMargin,
+
+    // deterministic Poisson(1) bootstrap: md5-grid inverse-CDF weights,
+    // one groupBy(replicate) of weighted sums
+    "q262_poisson_bootstrap" -> {
+      val uSql = "CAST(floor((CASE WHEN CAST(len(tk) AS BIGINT) = 0 THEN 0.0 " +
+        "ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 + " +
+        "(CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) " +
+        "/ CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4 " +
+        "END) * 1e4 + 0.5) AS BIGINT)"
+      val thr = CorpusOps.bootPoissonCdfU4
+      s"""WITH sc AS (
+         |  SELECT doc_id, $uSql AS q_u4
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) z),
+         |reps AS (SELECT CAST(x AS BIGINT) AS b
+         |         FROM range(0, ${CorpusOps.bootReplicates}) r(x)),
+         |wts AS (
+         |  SELECT b, q_u4,
+         |    CASE WHEN u < ${thr(0)} THEN 0 WHEN u < ${thr(1)} THEN 1
+         |         WHEN u < ${thr(2)} THEN 2 WHEN u < ${thr(3)} THEN 3
+         |         WHEN u < ${thr(4)} THEN 4 ELSE 5 END AS w
+         |  FROM (
+         |    SELECT b, q_u4,
+         |      ${h32("'boot:' || CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")}
+         |        % 10000 AS u
+         |    FROM sc CROSS JOIN reps) z)
+         |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+         |  CAST(sum(w * q_u4) // greatest(sum(w), 1) AS BIGINT) AS mean_q_u4
+         |FROM wts GROUP BY b ORDER BY b""".stripMargin
+    },
   ) ++ oracleSqlRest
 
   /** The q178 dedup-then-audit CTE chain (minhash election → keeper +

@@ -1284,6 +1284,56 @@ object CorpusOps {
       .orderBy($"source")
   }
 
+  /** Bootstrap replicate count and the integer Poisson(1) inverse-CDF
+    * thresholds on a 1e4 grid (P(X≤k)·10⁴ rounded: 3679, 7358, 9197,
+    * 9810, 9963 — weights 0..5), shared with the q262 oracle. */
+  val bootReplicates = 32
+  val bootPoissonCdfU4: Seq[Long] = Seq(3679L, 7358L, 9197L, 9810L, 9963L)
+
+  /** DETERMINISTIC POISSON BOOTSTRAP (q262) — the distributed way to
+    * put a confidence interval on a corpus statistic: true resampling
+    * (N draws with replacement) is a shuffle nightmare, but Poisson(1)
+    * per-row weights approximate it with ZERO coordination (Chamandy
+    * et al.'s streaming bootstrap) — each (doc, replicate) weight is
+    * independent, so every replicate's weighted mean is one map-side-
+    * partial aggregate. Here even the randomness is removed: the
+    * weight is the Poisson(1) inverse CDF evaluated at
+    * `md5("boot:" b ":" doc) mod 10⁴` against fixed integer
+    * thresholds, so the 32 replicate means of the q26 quality score
+    * are bit-reproducible in both engines — a CI artifact that
+    * hash-matches. The consumer reads the replicate spread (the spec
+    * pins the 32 means bracketing the true mean); per-replicate
+    * `n_eff` shows the resample mass (≈N each, by Poisson(1) design).
+    *
+    * Scale shape: corpus × B rows via a broadcast 32-row dimension,
+    * ONE groupBy(replicate) with partial aggregation — the exchange
+    * carries O(B) rows; no per-replicate corpus re-scan, no sort. */
+  def poissonBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id",
+        floor(TextAnalysis.qualityExpr(
+            size(toks).cast("long"),
+            stopwordCount(toks, TextAnalysis.stopwords).cast("long")) * 1e4
+          + lit(0.5)).cast("long").as("q_u4"))
+    val reps = (0 until bootReplicates).map(_.toLong).toDF("b")
+    val u = graft.functions.TextFunctions.md5Hash32(
+      concat(lit("boot:"), $"b".cast("string"), lit(":"),
+        $"doc_id".cast("string"))) % 10000L
+    val w = bootPoissonCdfU4.zipWithIndex.foldRight(
+        lit(bootPoissonCdfU4.length.toLong): org.apache.spark.sql.Column) {
+      case ((thr, k), acc) => when(u < thr, k.toLong).otherwise(acc)
+    }
+    scored.crossJoin(broadcast(reps))
+      .select($"b", $"q_u4", w.as("w"))
+      .groupBy($"b")
+      .agg(sum($"w").as("n_eff"), sum($"w" * $"q_u4").as("wsum"))
+      .select($"b", $"n_eff",
+        expr("wsum div greatest(n_eff, 1)").as("mean_q_u4"))
+      .orderBy($"b")
+  }
+
   /** RRF rank constant (the standard k=60 from Cormack et al.) shared
     * with the q172 oracle and spec. */
   val rrfK0 = 60

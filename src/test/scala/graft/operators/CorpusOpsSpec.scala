@@ -946,4 +946,54 @@ class CorpusOpsSpec extends SparkSpec {
     assert(big.getAs[Long]("sel_id_min") === expect.min)
     assert(big.getAs[Long]("sel_id_max") === expect.max)
   }
+
+  test("poissonBootstrap: replicate means bracket the true mean, weights replay the CDF grid") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    val out = CorpusOps.poissonBootstrap(spark, sf).collect()
+    assert(out.length === CorpusOps.bootReplicates)
+    val n = graft.Tables.documents(spark, sf).count()
+    // Poisson(1) mass: every replicate's n_eff is near N (mean 1/doc)
+    out.foreach { r =>
+      val eff = r.getAs[Long]("n_eff")
+      assert(eff > n / 2 && eff < n * 2, s"n_eff $eff vs N $n")
+    }
+    // the replicate means BRACKET the point estimate (CI non-degenerate
+    // in both directions) and stay within a plausible band of it
+    val toks = graft.functions.TextFunctions.tokens($"text")
+    val trueMean = graft.Tables.documents(spark, sf)
+      .select(floor(TextAnalysis.qualityExpr(size(toks).cast("long"),
+        graft.functions.TextFunctions.stopwordCount(toks,
+          TextAnalysis.stopwords).cast("long")) * 1e4 + lit(0.5))
+        .cast("long").as("q")).agg(expr("sum(q) div count(*)"))
+      .collect().head.getLong(0)
+    val means = out.map(_.getAs[Long]("mean_q_u4"))
+    assert(means.min <= trueMean && trueMean <= means.max)
+    assert(means.distinct.length > 1) // genuinely resampled
+    // one replicate replayed driver-side from the md5 grid
+    def h32(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", floor(TextAnalysis.qualityExpr(
+        size(toks).cast("long"),
+        graft.functions.TextFunctions.stopwordCount(toks,
+          TextAnalysis.stopwords).cast("long")) * 1e4 + lit(0.5))
+        .cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val thr = CorpusOps.bootPoissonCdfU4
+    def wOf(u: Long) = thr.indexWhere(u < _) match {
+      case -1 => thr.length.toLong; case i => i.toLong
+    }
+    val b0 = docs.map { case (id, q) =>
+      val w = wOf(h32(s"boot:0:$id") % 10000L); (w, w * q)
+    }
+    val r0 = out.find(_.getAs[Long]("b") === 0L).get
+    assert(r0.getAs[Long]("n_eff") === b0.map(_._1).sum)
+    assert(r0.getAs[Long]("mean_q_u4") ===
+      b0.map(_._2).sum / math.max(b0.map(_._1).sum, 1L))
+  }
 }
