@@ -343,6 +343,8 @@ object SparkEntry {
     "q260_matched_holdout" -> ((s, d) => CorpusOps.matchedHoldout(s, d)),
     "q261_quote_flows" -> ((s, d) => DedupOps.quoteFlows(s, d)),
     "q262_poisson_bootstrap" -> ((s, d) => CorpusOps.poissonBootstrap(s, d)),
+    "q263_fano_factor" -> ((s, d) => Analytics.arrivalOverdispersion(s, d)),
+    "q264_positional_profile" -> ((s, d) => TextAnalysis.positionalProfile(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -4935,6 +4937,55 @@ object SparkEntry {
          |  CAST(sum(w * q_u4) // greatest(sum(w), 1) AS BIGINT) AS mean_q_u4
          |FROM wts GROUP BY b ORDER BY b""".stripMargin
     },
+
+    // Fano factor of hourly arrivals per type over the dense hour span
+    // (zeros enter via H, not a grid explode); HUGEINT products
+    "q263_fano_factor" ->
+      s"""WITH hrs AS (
+         |  SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events),
+         |span AS (SELECT CAST(max(h) - min(h) + 1 AS BIGINT) AS n_hours
+         |         FROM hrs),
+         |ph AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+         |       FROM hrs GROUP BY event_type, h)
+         |SELECT event_type,
+         |  CAST(sum(c) AS BIGINT) AS n_events,
+         |  CAST(n_hours AS BIGINT) AS n_hours,
+         |  CAST(count(*) AS BIGINT) AS n_active_hours,
+         |  CAST((CAST(n_hours AS HUGEINT) * sum(c * c)
+         |    - CAST(sum(c) AS HUGEINT) * sum(c)) * 1000000
+         |    // (CAST(n_hours AS HUGEINT) * sum(c)) AS BIGINT) AS fano_ppm
+         |FROM ph CROSS JOIN span
+         |GROUP BY event_type, n_hours
+         |ORDER BY event_type""".stripMargin,
+
+    // per relative-position decile: token volume, type count, argmax
+    // token (ties -> larger token, mirrored) and its exact u4 share
+    "q264_positional_profile" ->
+      s"""WITH pt AS (
+         |  SELECT least(p.pos * 10 // greatest(p.l, 1), 9) AS rp,
+         |    p.tok
+         |  FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk) + 1),
+         |      i -> struct_pack(pos := i - 1, tok := tk[i], l := len(tk))))
+         |      AS p
+         |    FROM (SELECT $toksSql AS tk FROM documents) d) z),
+         |ct AS (SELECT rp, tok, CAST(count(*) AS BIGINT) AS c
+         |       FROM pt GROUP BY rp, tok),
+         |agg AS (
+         |  SELECT rp, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types
+         |  FROM ct GROUP BY rp),
+         |top AS (
+         |  SELECT rp, tok AS top_token, c AS top_cnt FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY rp
+         |      ORDER BY c DESC, tok DESC) AS rn FROM ct) z
+         |  WHERE rn = 1)
+         |SELECT CAST(agg.rp AS INT) AS rp, agg.n_tokens, agg.n_types,
+         |  top.top_token, top.top_cnt,
+         |  CAST(top.top_cnt * 10000 // agg.n_tokens AS BIGINT)
+         |    AS top_share_u4
+         |FROM agg JOIN top ON top.rp = agg.rp
+         |ORDER BY rp""".stripMargin,
   ) ++ oracleSqlRest
 
   /** The q178 dedup-then-audit CTE chain (minhash election → keeper +

@@ -1097,4 +1097,39 @@ object Analytics {
       .select($"event_type", $"r.pos", $"r.x", $"r.ewma")
       .orderBy($"event_type", $"pos")
   }
+
+  /** ARRIVAL OVERDISPERSION (q263) — the Fano factor of hourly event
+    * counts per type: variance/mean of counts over the corpus's dense
+    * hour span, as an exact integer rational in ppm. Fano = 1 is
+    * Poisson arrivals; ≫ 1 is bursty/clumped traffic (bot bursts,
+    * batch backfills), ≪ 1 is suspiciously regular (paced crawlers,
+    * dedupe-worthy heartbeats). The q181 burst detector flags WHICH
+    * hours; this says whether a type's whole arrival process is
+    * burst-shaped — the triage column. Zero-count hours matter (they
+    * ARE the variance) and cost nothing: over the dense span H, n = H,
+    * Σx = the type's total, Σx² = the sum over ACTIVE hours — the
+    * zeros contribute nothing to either power sum, so no grid explode
+    * exists. Fano·10⁶ = (H·Σx² − Σx²ᵗᵒᵗ)·10⁶ div (H·Σx) with the
+    * oversized products on DECIMAL(38)/HUGEINT.
+    *
+    * Scale shape: one (type, hour) count — the q17 exchange — then an
+    * O(types) rollup; the global span is a broadcast 1-row aggregate. */
+  def arrivalOverdispersion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hours = Tables.events(spark, dir)
+      .select($"event_type", expr("unix_timestamp(ts) div 3600").as("h"))
+    val span = hours.agg((max($"h") - min($"h") + 1).as("n_hours"))
+    val perHour = hours.groupBy($"event_type", $"h")
+      .agg(count(lit(1)).as("c"))
+    perHour.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_active_hours"),
+        sum($"c").as("n_events"), sum($"c" * $"c").as("sum_sq"))
+      .crossJoin(broadcast(span))
+      .select($"event_type", $"n_events", $"n_hours", $"n_active_hours",
+        expr("CAST((CAST(n_hours AS DECIMAL(38,0)) * sum_sq" +
+          " - CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000000" +
+          " div (CAST(n_hours AS DECIMAL(38,0)) * n_events) AS BIGINT)")
+          .as("fano_ppm"))
+      .orderBy($"event_type")
+  }
 }

@@ -1279,4 +1279,36 @@ object TextAnalysis {
           .as("vocab_jaccard_u4"),
         $"tokens_v1", $"tokens_v2")
   }
+
+  /** POSITIONAL BOILERPLATE PROFILE (q264) — where in documents the
+    * vocabulary collapses: per relative-position decile (token position
+    * ×10 div doc length), the corpus-wide token volume, distinct-type
+    * count, and the TOP token with its share in exact u4. Boilerplate
+    * headers/footers show up as leading/trailing deciles whose top
+    * share spikes and type count craters (every page opens or closes
+    * with the same template tokens) — the profile that decides whether
+    * a positional trim rule is worth adding to the q154 filter
+    * pipeline, and at which cutoffs. The relative decile (not absolute
+    * position) is what makes the profile length-invariant.
+    *
+    * Scale shape: one posexplode → (decile, token) count — the only
+    * corpus-sized shuffle, same key family as a term-frequency pass —
+    * then an O(deciles) rollup plus an argmax join against the
+    * O(deciles)-row maxima; no window over the token stream. */
+  def positionalProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val counts = Tables.documents(spark, dir)
+      .select(size(toks).cast("long").as("l"),
+        posexplode(toks).as(Seq("p", "tok")))
+      .select(expr("least(p * 10 div greatest(l, 1), 9)").as("rp"), $"tok")
+    counts.groupBy($"rp", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"rp")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+        max(struct($"c", $"tok")).as("top"))
+      .select($"rp".cast("int").as("rp"), $"n_tokens", $"n_types",
+        $"top.tok".as("top_token"), $"top.c".as("top_cnt"),
+        expr("top.c * 10000 div n_tokens").as("top_share_u4"))
+      .orderBy($"rp")
+  }
 }

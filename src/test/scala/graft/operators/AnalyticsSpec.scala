@@ -750,4 +750,28 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("arrivalOverdispersion: exact BigInt Fano replay over hourly counts with the dense span") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Analytics.arrivalOverdispersion(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_type", expr("unix_timestamp(ts) div 3600").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val span = ev.map(_._2).max - ev.map(_._2).min + 1
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val counts = ev.filter(_._1 == t).groupBy(_._2).map(_._2.size.toLong)
+      val (sx, sq) = (counts.sum, counts.map(c => c * c).sum)
+      assert(r.getAs[Long]("n_events") === sx)
+      assert(r.getAs[Long]("n_hours") === span)
+      assert(r.getAs[Long]("n_active_hours") === counts.size.toLong)
+      val fano = (BigInt(span) * sq - BigInt(sx) * sx) * 1000000 /
+        (BigInt(span) * sx)
+      assert(r.getAs[Long]("fano_ppm") === fano.toLong)
+      assert(fano >= 0)
+    }
+  }
 }

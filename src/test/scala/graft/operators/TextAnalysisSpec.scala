@@ -836,4 +836,32 @@ class TextAnalysisSpec extends SparkSpec {
     // the edit fixture genuinely moves the vocabulary both ways
     assert(out.getAs[Long]("n_born_types") > 0)
   }
+
+  test("positionalProfile: deciles cover the token stream; shares and argmax replay driver-side") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = TextAnalysis.positionalProfile(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("rp")).toSeq === (0 until 10))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(coalesce($"text", lit("")).as("t")).collect().map(_.getString(0))
+    val toks = docs.flatMap { t =>
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      tk.zipWithIndex.map { case (w, p) =>
+        (math.min(p * 10 / math.max(tk.length, 1), 9), w)
+      }
+    }
+    assert(out.map(_.getAs[Long]("n_tokens")).sum === toks.length.toLong)
+    val byRp = toks.groupBy(_._1)
+    out.foreach { r =>
+      val rp = r.getAs[Int]("rp")
+      val counts = byRp(rp).groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+      assert(r.getAs[Long]("n_types") === counts.size.toLong)
+      // argmax with ties -> larger token (the pinned mirror order)
+      val best = counts.toSeq.maxBy { case (w, c) => (c, w) }
+      assert(r.getAs[String]("top_token") === best._1)
+      assert(r.getAs[Long]("top_cnt") === best._2)
+      assert(r.getAs[Long]("top_share_u4") ===
+        best._2 * 10000L / byRp(rp).length)
+    }
+  }
 }
