@@ -345,6 +345,8 @@ object SparkEntry {
     "q262_poisson_bootstrap" -> ((s, d) => CorpusOps.poissonBootstrap(s, d)),
     "q263_fano_factor" -> ((s, d) => Analytics.arrivalOverdispersion(s, d)),
     "q264_positional_profile" -> ((s, d) => TextAnalysis.positionalProfile(s, d)),
+    "q265_phase_funnel" -> ((s, d) =>
+      graft.streaming.FullCurate.phaseFunnel(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -7362,6 +7364,34 @@ object SparkEntry {
          |FROM fvec
          |GROUP BY source
          |ORDER BY source""".stripMargin,
+
+    // the q250 funnel cut by arrival phase (fixture id regions) — the
+    // designed per-phase fate profile as a query
+    "q265_phase_funnel" ->
+      s"""WITH $fullCurateCtesSql,
+         |ph AS (
+         |  SELECT CASE WHEN doc_id >= ${graft.streaming.FullCurate.editOffset}
+         |           THEN 'edited_recrawl'
+         |         WHEN doc_id >= 100000 THEN 'exact_rearrival'
+         |         ELSE 'base' END AS phase,
+         |    emitted, nd_ok, len_ok, floor_ok
+         |  FROM fvec)
+         |SELECT phase, CAST(count(*) AS BIGINT) AS n_arrived,
+         |  CAST(sum(CASE WHEN NOT emitted THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact_dropped,
+         |  CAST(sum(CASE WHEN emitted AND NOT nd_ok THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_neardup_dropped,
+         |  CAST(sum(CASE WHEN emitted AND nd_ok AND NOT len_ok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_length_dropped,
+         |  CAST(sum(CASE WHEN emitted AND nd_ok AND len_ok AND NOT floor_ok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_floor_dropped,
+         |  CAST(sum(CASE WHEN emitted AND nd_ok AND len_ok AND floor_ok
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_curated,
+         |  CAST(sum(CASE WHEN emitted AND nd_ok AND len_ok AND floor_ok
+         |    THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS yield_u4
+         |FROM ph
+         |GROUP BY phase
+         |ORDER BY phase""".stripMargin,
 
     // Heaps-law growth curve: distinct-so-far via first-occurrence
     // decile, exact integer pairs only (fitting is the consumer's job)

@@ -268,6 +268,40 @@ object FullCurate {
       .orderBy($"doc_id")
   }
 
+  /** PHASE FUNNEL (q265) — the q250 funnel cut by ARRIVAL PHASE instead
+    * of source: base documents, exact re-arrivals, and edited re-crawls
+    * each have a DESIGNED fate profile (bases die only on quality;
+    * re-arrivals die at the exact gate, every one; edits split at the
+    * near-dup gate by edit weight), and this rollup is the assertion of
+    * that profile as a query — the "is the gate behaving" dashboard row
+    * that a per-source or global rate cannot express. Phase is pure id
+    * arithmetic (the fixture regions), so the rollup costs one
+    * O(phases) aggregate over the shared verdict vector. */
+  def phaseFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decisionVector(spark, dir)
+      .withColumn("phase",
+        when($"doc_id" >= editOffset, "edited_recrawl")
+          .when($"doc_id" >= 100000L, "exact_rearrival")
+          .otherwise("base"))
+      .groupBy($"phase")
+      .agg(count(lit(1)).as("n_arrived"),
+        sum(when(!$"emitted", 1L).otherwise(0L)).as("n_exact_dropped"),
+        sum(when($"emitted" && !$"nd_ok", 1L).otherwise(0L))
+          .as("n_neardup_dropped"),
+        sum(when($"emitted" && $"nd_ok" && !$"len_ok", 1L).otherwise(0L))
+          .as("n_length_dropped"),
+        sum(when($"emitted" && $"nd_ok" && $"len_ok" && !$"floor_ok", 1L)
+          .otherwise(0L)).as("n_floor_dropped"),
+        sum(when($"emitted" && $"nd_ok" && $"len_ok" && $"floor_ok", 1L)
+          .otherwise(0L)).as("n_curated"))
+      .select($"phase", $"n_arrived", $"n_exact_dropped",
+        $"n_neardup_dropped", $"n_length_dropped", $"n_floor_dropped",
+        $"n_curated",
+        expr("n_curated * 10000 div n_arrived").as("yield_u4"))
+      .orderBy($"phase")
+  }
+
   /** CURATION FUNNEL (q250) — the release-report rollup of the q249
     * decision log: per source, arrivals and the count each stage cut
     * (under the pipeline's stage order, so the columns sum with

@@ -182,4 +182,31 @@ class FullCurateSpec extends SparkSpec {
       }
     }
   }
+
+  test("phaseFunnel: the designed per-phase fate profile holds exactly") {
+    val out = FullCurate.phaseFunnel(spark, sf).collect()
+      .map(r => r.getAs[String]("phase") -> r).toMap
+    graft.CacheGuard.release()
+    assert(out.keySet === Set("base", "exact_rearrival", "edited_recrawl"))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_exact_dropped") + r.getAs[Long]("n_neardup_dropped") +
+        r.getAs[Long]("n_length_dropped") + r.getAs[Long]("n_floor_dropped") +
+        r.getAs[Long]("n_curated") === r.getAs[Long]("n_arrived"))
+    }
+    // re-arrivals: every one dies at the exact gate (identical fp,
+    // original always earlier) — the gate's defining guarantee
+    val re = out("exact_rearrival")
+    assert(re.getAs[Long]("n_exact_dropped") === re.getAs[Long]("n_arrived"))
+    assert(re.getAs[Long]("n_curated") === 0L)
+    // bases: never near-dup-dropped (nothing arrives before them at
+    // est >= tau except other bases, which the corpus lacks)
+    val base = out("base")
+    assert(base.getAs[Long]("n_curated") > 0L)
+    // edits: pass the exact gate (new fp, no bloom collision by design
+    // fixture scale), split at the near-dup gate BOTH ways
+    val ed = out("edited_recrawl")
+    assert(ed.getAs[Long]("n_neardup_dropped") > 0L)
+    assert(ed.getAs[Long]("n_neardup_dropped") <
+      ed.getAs[Long]("n_arrived") - ed.getAs[Long]("n_exact_dropped"))
+  }
 }
