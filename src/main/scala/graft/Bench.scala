@@ -46,9 +46,19 @@ object Bench {
   final case class Measured(name: String, secs: Seq[Double],
                             okSecs: Seq[Double], err: Option[String],
                             gcMs: Seq[Long] = Nil, pressure: Boolean = false,
-                            probe: Seq[BenchProbe.Snap] = Nil) {
+                            probe: Seq[BenchProbe.Snap] = Nil,
+                            repOk: Seq[Boolean] = Nil) {
     def sec: Double = (if (okSecs.nonEmpty) okSecs else secs).min
     def ok: Boolean = err.isEmpty
+    /** Per-rep success flags BY INDEX. `repOk` is authoritative when the
+      * producer supplied it (see `measure`); the okSecs-membership
+      * fallback exists only for hand-built fixtures — value equality can
+      * wrongly include a FAILED rep whose wall time exactly ties a
+      * successful rep's (round-11 advice fix), which index pairing
+      * cannot. */
+    private def okByIndex: Seq[Boolean] =
+      if (repOk.size == secs.size) repOk
+      else secs.map(okSecs.contains)
     /** JIT-adjusted wall seconds: per-rep `sec − jit_ms/1000`, min over
       * reps. The round-9 probe proved the in-suite inflation phantom was
       * HotSpot compile storms (3–12 s of `jit_ms` on the worst rows,
@@ -63,19 +73,21 @@ object Bench {
         val adj = secs.zip(probe).map { case (s, p) =>
           math.max(0.0, s - p.jitMs / 1000.0)
         }
-        // restrict to successful reps when any succeeded (same rule as sec)
-        val okAdj = secs.zip(adj).filter { case (s, _) => okSecs.contains(s) }
-          .map(_._2)
+        // restrict to successful reps when any succeeded (same rule as
+        // sec), paired by rep INDEX, not wall-time value equality
+        val okAdj = adj.zip(okByIndex).collect { case (a, true) => a }
         (if (okAdj.nonEmpty) okAdj else adj).min
       }
   }
 
-  /** Recorded per-query baselines (`BASELINE_queries.json`, committed at
-    * each round close from that round's driver suite health snapshot):
-    * `{query: {sec, protocol, round}}`. Machine-readable so the
-    * suite-vs-recorded ratio is COMPUTED here rather than hand-curated
-    * from BASELINE.md's prose tables. Parsed with a regex rather than a
-    * JSON library (zero extra deps; the file is self-authored and flat). */
+  /** FIRST-RECORDED per-query baselines (`BASELINE_queries.json`):
+    * `{query: {sec, protocol, round}}`. Since round 11 the file is
+    * APPEND-ONLY — each query keeps the sec from the round it was first
+    * recorded (mixed `round` provenance; `scripts/freeze_baselines.py`),
+    * so the 2× bar is measured against the ORIGINAL recording and cannot
+    * silently ratchet by being regenerated every round (round-10 verdict
+    * finding #1). Parsed with a regex rather than a JSON library (zero
+    * extra deps; the file is self-authored and flat). */
   def recordedBaselines(path: String = "BASELINE_queries.json"): Map[String, Double] = {
     val p = java.nio.file.Path.of(path)
     if (!java.nio.file.Files.isReadable(p)) Map.empty
@@ -84,6 +96,30 @@ object Bench {
       val re = """"(q[^"]+)"\s*:\s*\{[^}]*?"sec"\s*:\s*([0-9.Ee+-]+)""".r
       re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
+  }
+
+  /** PREVIOUS-ROUND per-query seconds, from the newest committed
+    * `BENCH_health_r{N}.json` in `dir`. Together with the frozen
+    * first-recorded baselines this gives the two inter-round signals the
+    * judge computes by hand: `vs_first_recorded` (drift since the query
+    * was born — the flagging signal) and `vs_prev_round` (round-over-
+    * round movement). Missing files → empty map, fields omitted. */
+  def prevRoundBaselines(dir: String = "."): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val d = java.nio.file.Path.of(dir)
+    if (!java.nio.file.Files.isDirectory(d)) return Map.empty
+    val re = """BENCH_health_r(\d+)\.json""".r
+    val newest = java.nio.file.Files.list(d).iterator().asScala
+      .flatMap(p => p.getFileName.toString match {
+        case re(n) => Some((n.toInt, p))
+        case _     => None
+      }).toSeq.sortBy(-_._1).headOption
+    newest.map { case (_, p) =>
+      val txt = java.nio.file.Files.readString(p)
+      // health rows: "qNN_name":{"sec":1.23,... — same shape Bench writes
+      val rowRe = """"(q[^"]+)"\s*:\s*\{\s*"sec"\s*:\s*([0-9.Ee+-]+)""".r
+      rowRe.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
   }
 
   /** Run each query `reps` times (SPARK_GRAFT_BENCH_REPS, default 2) —
@@ -148,7 +184,8 @@ object Bench {
         runs.flatMap(_._2).headOption,
         runs.map(_._3),
         runs.exists(_._4),
-        runs.map(_._5))
+        runs.map(_._5),
+        runs.map(_._2.isEmpty))
     }
   }
 
@@ -160,10 +197,11 @@ object Bench {
             SparkEntry.queries,
           reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt): String =
     renderFull(measure(spark, sfDir, queries, reps), math.max(1, reps), sfDir,
-      recordedBaselines())
+      recordedBaselines(), prevRoundBaselines())
 
   def renderFull(results: Seq[Measured], reps: Int, sfDir: String,
-                 recorded: Map[String, Double] = Map.empty): String = {
+                 recorded: Map[String, Double] = Map.empty,
+                 prev: Map[String, Double] = Map.empty): String = {
     val qs = results.map(r => s"${jstr(r.name)}:${r.sec}").mkString("{", ",", "}")
     val health = results.map { r =>
       // per-rep attribution arrays (see BenchProbe): task_ms is executor
@@ -181,12 +219,17 @@ object Bench {
           s""","spill_mb":${arr(_.spillBytes / (1 << 20))}""" +
           s""","evict":${arr(_.evicted)},"bcast_rm":${arr(_.bcastRm)}""" +
           s""","recompute":${arr(_.recompute)},"jit_ms":${arr(_.jitMs)}"""
-      // vs_recorded: this run ÷ the committed per-query baseline (absent
-      // for queries the baseline file predates); the flag rule is
-      // jit_adj_sec > 2× recorded, NOT raw sec (see Measured.jitAdjSec)
+      // vs_first_recorded: this run ÷ the FROZEN first-recorded baseline
+      // (append-only since round 11 — the inter-round drift guard); the
+      // flag rule is jit_adj_sec > 2× first-recorded, NOT raw sec (see
+      // Measured.jitAdjSec). vs_prev_round: ÷ the newest committed
+      // BENCH_health_r{N}.json — round-over-round movement, unflagged.
       val vsJson = recorded.get(r.name).filter(_ > 0).map { b =>
-        s""","vs_recorded":${BigDecimal(r.sec / b).setScale(3,
+        s""","vs_first_recorded":${BigDecimal(r.sec / b).setScale(3,
           BigDecimal.RoundingMode.HALF_UP)},"flagged":${r.jitAdjSec > 2 * b}"""
+      }.getOrElse("") + prev.get(r.name).filter(_ > 0).map { b =>
+        s""","vs_prev_round":${BigDecimal(r.sec / b).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP)}"""
       }.getOrElse("")
       s"${jstr(r.name)}:{" + s""""sec":${r.sec},"ok":${r.ok},"err":""" +
         r.err.map(jstr).getOrElse("null") +
@@ -197,21 +240,28 @@ object Bench {
         s""","pressure":${r.pressure}$vsJson$probeJson}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.sec).sum
-    // aggregate ratio over the queries that HAVE a recorded baseline —
-    // sum-of-sec ÷ sum-of-recorded on the common set (the judge's
-    // common-set protocol, computed instead of hand-curated)
-    val common = results.filter(r => recorded.get(r.name).exists(_ > 0))
-    val vsTotal =
+    // aggregate ratios on the respective common sets — sum-of-sec ÷
+    // sum-of-baseline (the judge's common-set protocol, computed instead
+    // of hand-curated). vs_first_recorded carries the 2× flag counter;
+    // vs_prev_round is informational.
+    def agg(label: String, base: Map[String, Double], withFlag: Boolean) = {
+      val common = results.filter(r => base.get(r.name).exists(_ > 0))
       if (common.isEmpty) ""
       else {
-        val rec = common.map(r => recorded(r.name)).sum
-        val flagged = common.count(r => r.jitAdjSec > 2 * recorded(r.name))
-        s""","vs_recorded":{"n_common":${common.size},"sec":${BigDecimal(
-          common.map(_.sec).sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"recorded_sec":${BigDecimal(
+        val rec = common.map(r => base(r.name)).sum
+        val flag =
+          if (!withFlag) ""
+          else s""","n_flagged_jitadj_over2x":${common.count(r =>
+            r.jitAdjSec > 2 * base(r.name))}"""
+        s""","$label":{"n_common":${common.size},"sec":${BigDecimal(
+          common.map(_.sec).sum).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"baseline_sec":${BigDecimal(
           rec).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"ratio":${BigDecimal(
           common.map(_.sec).sum / rec).setScale(3,
-          BigDecimal.RoundingMode.HALF_UP)},"n_flagged_jitadj_over2x":$flagged}"""
+          BigDecimal.RoundingMode.HALF_UP)}$flag}"""
       }
+    }
+    val vsTotal = agg("vs_first_recorded", recorded, withFlag = true) +
+      agg("vs_prev_round", prev, withFlag = false)
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"health":$health,"n_failed":${results.count(!_.ok)}$vsTotal,"reps":$reps,"sf":"$sfDir"}"""
   }
 
@@ -223,19 +273,26 @@ object Bench {
     * stable join key against BASELINE.md and the health file carries the
     * full names); ~11 bytes/query leaves room for the surface to double. */
   def renderSlim(results: Seq[Measured], reps: Int, sfDir: String,
-                 recorded: Map[String, Double] = Map.empty): String = {
+                 recorded: Map[String, Double] = Map.empty,
+                 prev: Map[String, Double] = Map.empty): String = {
     def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     def d3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     def qid(n: String) = n.takeWhile(_ != '_')
-    // compact computed vs-recorded summary (~55 chars): common-set ratio
-    // + count of rows whose JIT-ADJUSTED time exceeds 2× recorded — the
-    // round-9 interpretation rule, machine-applied
+    // compact computed drift summaries (~110 chars): vs_first_recorded =
+    // suite ÷ the FROZEN first-recorded baselines (append-only file) with
+    // the count of rows whose JIT-ADJUSTED time exceeds 2× — the flagging
+    // signal; vs_prev_round = suite ÷ the newest committed health
+    // snapshot — the round-over-round movement (round-10 verdict ask #1)
     val common = results.filter(r => recorded.get(r.name).exists(_ > 0))
+    val commonPrev = results.filter(r => prev.get(r.name).exists(_ > 0))
     val vsRec =
-      if (common.isEmpty) ""
-      else s""","vs_rec":{"n":${common.size},"ratio":${d3(
-        common.map(_.sec).sum / common.map(r => recorded(r.name)).sum)},"flag2x":${common.count(
-        r => r.jitAdjSec > 2 * recorded(r.name))}}"""
+      (if (common.isEmpty) ""
+       else s""","vs_first_recorded":{"n":${common.size},"ratio":${d3(
+         common.map(_.sec).sum / common.map(r => recorded(r.name)).sum)},"flag2x":${common.count(
+         r => r.jitAdjSec > 2 * recorded(r.name))}}""") +
+      (if (commonPrev.isEmpty) ""
+       else s""","vs_prev_round":{"n":${commonPrev.size},"ratio":${d3(
+         commonPrev.map(_.sec).sum / commonPrev.map(r => prev(r.name)).sum)}}""")
     def render(included: Seq[Measured]): String = {
       val qs = included.sortBy(_.name)
         .map(r => s"${jstr(qid(r.name))}:${d2(r.sec)}").mkString("{", ",", "}")
@@ -319,9 +376,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     val results = measure(spark, sfDir, selected, reps)
     val recorded = recordedBaselines()
+    val prev = prevRoundBaselines()
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("bench_health.json"),
-      renderFull(results, reps, sfDir, recorded) + "\n")
+      renderFull(results, reps, sfDir, recorded, prev) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] health file write failed: $e")
     }
@@ -331,7 +389,7 @@ object Bench {
     // consumer's 2000-char tail window
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.ERROR)
-    println(renderSlim(results, reps, sfDir, recorded))
+    println(renderSlim(results, reps, sfDir, recorded, prev))
     System.out.flush()
     spark.stop()
   }

@@ -50,8 +50,12 @@ object StreamBench {
     q.processAllAvailable() // warm-up batch, off the clock
 
     val per = math.max(1, rest.length / batches)
+    // grouped(per) can emit batches+1 micro-batches when length is not
+    // divisible — report the ACTUAL count, not the requested one, so the
+    // derived per-batch constant (sec / batches) is honest
+    val groups = rest.grouped(per).toSeq
     val t0 = System.nanoTime()
-    rest.grouped(per).foreach { b =>
+    groups.foreach { b =>
       mem.addData(b.toIndexedSeq: _*)
       q.processAllAvailable()
     }
@@ -60,7 +64,7 @@ object StreamBench {
     val curated = spark.read.parquet(outDir).count()
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.ERROR)
-    println(s"""{"metric":"stream_docs_per_sec","value":${(rest.length / sec).round},"docs":${rest.length},"sec":${BigDecimal(sec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"batches":$batches,"curated_total":$curated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"stream_docs_per_sec","value":${(rest.length / sec).round},"docs":${rest.length},"sec":${BigDecimal(sec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"batches":${groups.size},"batch_size":$per,"sec_per_batch":${BigDecimal(sec / groups.size).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"curated_total":$curated,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

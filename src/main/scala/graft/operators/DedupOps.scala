@@ -1185,12 +1185,31 @@ object DedupOps {
     val kept = graft.CacheGuard.barrier(
       dupCorpus(spark, dir).join(keepers, "doc_id")
         .select($"doc_id", $"text"))
-    val base = kept
+    // Digest leads/successors are BASE-id keepers only (doc_id <
+    // dupOffset), matching the oracle's `dig` CTE which joins the base
+    // `documents` table (round-11 advice fix): min-label keeper election
+    // makes a dup-copy keeper (id ≥ dupOffset) possible only for a copy
+    // whose cluster somehow excludes its base twin (e.g. a sub-shingle
+    // doc with no signature) — such a keeper must not seed a digest the
+    // oracle cannot see, and its `+ digestOffset` id would alias a
+    // nonexistent base document in [[quoteFlows]]'s `baseId` mapping.
+    // The runtime guard turns any base-range violation that DOES reach a
+    // digest into a loud error instead of a silent oracle divergence.
+    val base = kept.filter($"doc_id" < dupOffset)
     val digests = base.as("x")
       .join(base.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
       .filter(col("x.doc_id") % digestStride === 0)
       .select((col("x.doc_id") + digestOffset).as("doc_id"),
         concat(col("x.text"), lit(" "), col("y.text")).as("text"))
+      // keeper-range invariant, asserted IN the operator (not only in
+      // DedupSpec): a digest id outside [digestOffset, digestOffset +
+      // dupOffset) would alias a nonexistent base doc downstream —
+      // raise instead of diverging silently. assert_true yields NULL on
+      // pass (rows kept), throws on violation; nullable, so the filter
+      // is not constant-folded away.
+      .filter(assert_true(
+        $"doc_id" >= digestOffset && $"doc_id" < digestOffset + dupOffset,
+        lit("q178 digest id outside base range — keeper invariant broken")).isNull)
     containmentJoinOver(spark, kept.unionByName(digests), n,
       containKeepTauNum, containKeepTauDen)
   }

@@ -119,7 +119,7 @@ class BenchSpec extends SparkSpec {
     assert(json.contains(""""jit_ms":["""))
   }
 
-  test("jit-adjusted seconds and vs_recorded: ratio computed, flag rule uses jit_adj_sec") {
+  test("jit-adjusted seconds and drift ratios: flag rule uses jit_adj_sec vs FIRST-recorded") {
     import graft.BenchProbe.Snap
     def m(name: String, sec: Double, jitMs: Long) =
       Bench.Measured(name, Seq(sec), Seq(sec), None,
@@ -131,25 +131,55 @@ class BenchSpec extends SparkSpec {
     val rs = Seq(m("q01_a", 4.0, 3500L), m("q02_b", 4.0, 0L),
       m("q03_nobase", 1.0, 0L))
     val rec = Map("q01_a" -> 1.0, "q02_b" -> 1.0)
-    val full = Bench.renderFull(rs, 1, "/tmp/sf", rec)
+    val prev = Map("q01_a" -> 2.0, "q02_b" -> 2.0, "q03_nobase" -> 1.0)
+    val full = Bench.renderFull(rs, 1, "/tmp/sf", rec, prev)
     assert(full.contains(""""jit_adj_sec":0.500"""))
-    assert(full.contains(""""vs_recorded":4.000,"flagged":false"""))
-    assert(full.contains(""""vs_recorded":4.000,"flagged":true"""))
-    // aggregate: common set excludes the baseline-less query
-    assert(full.contains(""""n_common":2"""))
+    assert(full.contains(""""vs_first_recorded":4.000,"flagged":false"""))
+    assert(full.contains(""""vs_first_recorded":4.000,"flagged":true"""))
+    assert(full.contains(""""vs_prev_round":2.000"""))
+    // aggregates: first-recorded common set excludes the baseline-less
+    // query and carries the flag counter; prev-round covers all three
+    assert(full.contains(""""vs_first_recorded":{"n_common":2"""))
     assert(full.contains(""""n_flagged_jitadj_over2x":1"""))
-    val slim = Bench.renderSlim(rs, 1, "/tmp/sf", rec)
-    assert(slim.contains(""""vs_rec":{"n":2,"ratio":4.000,"flag2x":1}"""))
-    // without a baseline file nothing is emitted (bootstrap rounds)
-    assert(!Bench.renderSlim(rs, 1, "/tmp/sf").contains("vs_rec"))
+    assert(full.contains(""""vs_prev_round":{"n_common":3"""))
+    val slim = Bench.renderSlim(rs, 1, "/tmp/sf", rec, prev)
+    assert(slim.contains(""""vs_first_recorded":{"n":2,"ratio":4.000,"flag2x":1}"""))
+    assert(slim.contains(""""vs_prev_round":{"n":3,"ratio":1.800}"""))
+    // without baseline files nothing is emitted (bootstrap rounds)
+    assert(!Bench.renderSlim(rs, 1, "/tmp/sf").contains("vs_"))
   }
 
-  test("recordedBaselines parses the committed per-query baseline file") {
+  test("a tied failed rep is excluded from jit adjustment by rep index (not value equality)") {
+    import graft.BenchProbe.Snap
+    def snap(jitMs: Long) = Snap(0, 0, 0, 0, 0, 0, 0, 0, 0, jitMs = jitMs)
+    // rep0 FAILED in 4.0 s with 3.9 s of jit; rep1 succeeded in exactly
+    // 4.0 s with no jit. Value-equality matching would admit rep0's
+    // adjusted 0.1 s as the headline jit-adjusted minimum.
+    val r = Bench.Measured("q_tied", Seq(4.0, 4.0), Seq(4.0),
+      Some("boom"), gcMs = Seq(0L, 0L),
+      probe = Seq(snap(3900L), snap(0L)), repOk = Seq(false, true))
+    assert(r.jitAdjSec === 4.0)
+  }
+
+  test("recordedBaselines parses the committed per-query baseline file (frozen, mixed provenance)") {
     val rec = Bench.recordedBaselines(
       new java.io.File("BASELINE_queries.json").getAbsolutePath)
     assert(rec.size > 200, s"parsed ${rec.size} baselines")
     assert(rec.values.forall(_ > 0))
     assert(rec.contains("q01_reddit_filter"))
+    // the freeze (round 11): rows keep their first-recorded round — the
+    // file must never again be wholesale re-stamped to a single round
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Path.of("BASELINE_queries.json"))
+    val rounds = """"round":\s*(\d+)""".r.findAllMatchIn(txt)
+      .map(_.group(1).toInt).toSet
+    assert(rounds.size > 3, s"provenance collapsed to $rounds — ratchet regression")
+  }
+
+  test("prevRoundBaselines reads the newest committed health snapshot") {
+    val prev = Bench.prevRoundBaselines(".")
+    assert(prev.size > 200, s"parsed ${prev.size} prev-round rows")
+    assert(prev.contains("q01_reddit_filter"))
   }
 
   test("a mass failure stays within the line budget: failed map is capped") {

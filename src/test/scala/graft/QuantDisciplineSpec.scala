@@ -21,18 +21,44 @@ class QuantDisciplineSpec extends AnyFunSuite {
 
   private val callRe = """(\bround\(|\brint\(|\.round\()""".r.unanchored
 
+  /** Index of the first `//` that starts a COMMENT — i.e. sits outside
+    * any string literal — or -1. A naive `line.indexOf("//")` truncates
+    * the scanned code at a `//` inside a string (e.g. a URL), letting a
+    * later unannotated call escape; conversely a `round-ok` inside a
+    * string literal must not waive a real call (round-11 advice fix).
+    * Handles `"…"` with escapes, `"""…"""` spans that open and close on
+    * the line, and the `'"'` char literal; a multi-line triple-quote
+    * body is treated as code, which only errs toward flagging. */
+  def commentStart(line: String): Int = {
+    var i = 0; var inStr = false; var inTriple = false
+    while (i < line.length) {
+      if (inTriple) {
+        if (line.startsWith("\"\"\"", i)) { inTriple = false; i += 3 } else i += 1
+      } else if (inStr) {
+        if (line.charAt(i) == '\\') i += 2
+        else { if (line.charAt(i) == '"') inStr = false; i += 1 }
+      } else if (line.startsWith("\"\"\"", i)) { inTriple = true; i += 3 }
+      else if (line.charAt(i) == '"') { inStr = true; i += 1 }
+      else if (line.startsWith("'\"'", i)) i += 3
+      else if (line.startsWith("//", i)) return i
+      else i += 1
+    }
+    -1
+  }
+
   /** Lines (1-indexed, with path) violating the discipline in `text`. */
   def violations(path: String, text: String): Seq[String] =
     text.linesIterator.zipWithIndex.flatMap { case (line, i) =>
       val trimmed = line.trim
       val isComment = trimmed.startsWith("*") || trimmed.startsWith("//") ||
         trimmed.startsWith("/*")
-      // the call must be in the code portion, the waiver anywhere on-line
-      val code = line.indexOf("//") match {
-        case -1 => line
-        case ix => line.substring(0, ix)
-      }
-      if (!isComment && callRe.matches(code) && !line.contains("round-ok"))
+      // the call must be in the code portion (string-literal contents
+      // COUNT as code: a round( inside an expr("…") string still hashes);
+      // the waiver must sit in the trailing comment, outside literals
+      val ci = commentStart(line)
+      val code = if (ci == -1) line else line.substring(0, ci)
+      val waived = ci != -1 && line.substring(ci).contains("round-ok")
+      if (!isComment && callRe.matches(code) && !waived)
         Some(s"$path:${i + 1}: $trimmed")
       else None
     }.toSeq
@@ -69,5 +95,29 @@ class QuantDisciplineSpec extends AnyFunSuite {
     assert(bad.size === 2, bad.mkString("\n"))
     assert(bad.head.startsWith("Fixture.scala:1:"))
     assert(bad(1).startsWith("Fixture.scala:4:"))
+  }
+
+  test("string literals cannot hide a call or smuggle a waiver") {
+    val fixture =
+      """val url = "https://x.test//a" ; val y = round(z, 2)
+        |val s = "round-ok inside a string" ; val w = round(z, 2)
+        |val sql = expr("round(v, 2)")
+        |val fine = "https://x.test//a" ; val ok2 = round(z, 2) // round-ok: ulp-snap
+        |""".stripMargin
+    val bad = violations("Fixture.scala", fixture)
+    // line 1: the "//" inside the URL must not truncate the scan;
+    // line 2: a round-ok INSIDE a literal is not a waiver;
+    // line 3: a round( inside a SQL string still hashes — flagged;
+    // line 4: real trailing-comment waiver honored
+    assert(bad.size === 3, bad.mkString("\n"))
+    assert(bad.map(_.split(":")(1)) === Seq("1", "2", "3"))
+  }
+
+  test("commentStart scans string syntax correctly") {
+    assert(commentStart("""val a = 1 // c""") === 10)
+    assert(commentStart("val u = \"//not\" // real") === 16)
+    assert(commentStart("val q = '\"' // c") === 12)
+    assert(commentStart("val t = \"\"\"a//b\"\"\" // c") === 19)
+    assert(commentStart("""val n = 1 + 2""") === -1)
   }
 }
