@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""SCALE_probe.json — the decade-probe evidence, machine-readable
+(round-10 verdict ask #4).
+
+The sf1 -> sf10 measurements were spread across hand-tabulated prose
+tables in BASELINE.md; this script maintains one append-only JSON file
+  {query: {sf1_s, sf10_s, ratio, verdict, round}}
+so each round's probe APPENDS rows (or adds a re-measurement under
+"remeasured" when a fix changes an existing row) and the round-close
+ritual can diff it.
+
+Modes:
+  extract — one-time reconstruction from BASELINE.md's 5-col decade
+            tables (first occurrence per query keeps the row; later
+            occurrences land in "remeasured" history).
+  add     — append one row: add <round> <query> <sf1_s> <sf10_s> <verdict...>
+            (an existing query gets the new row pushed into its
+            "remeasured" list, keeping the original visible).
+"""
+import json, re, sys, os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SP = os.path.join(ROOT, "SCALE_probe.json")
+
+
+def load():
+    return json.load(open(SP)) if os.path.exists(SP) else {}
+
+
+def save(d):
+    json.dump(dict(sorted(d.items())), open(SP, "w"), indent=1)
+
+
+def mkrow(sf1, sf10, verdict, rnd):
+    return {"sf1_s": sf1, "sf10_s": sf10,
+            "ratio": round(sf10 / sf1, 2) if sf1 else None,
+            "verdict": verdict, "round": rnd}
+
+
+def extract():
+    out = load()
+    rnd = None
+    for line in open(os.path.join(ROOT, "BASELINE.md")):
+        m = re.search(r"[Rr]ound[- ]?(\d+) decade probe", line)
+        if m:
+            rnd = int(m.group(1))
+        cells = [c.strip() for c in line.split("|")]
+        if len(cells) == 7 and re.match(r"^q\d+_", cells[1]) and rnd:
+            try:
+                sf1, sf10 = float(cells[2]), float(cells[3])
+            except ValueError:
+                continue
+            row = mkrow(sf1, sf10, cells[5], rnd)
+            q = cells[1]
+            if q not in out:
+                out[q] = row
+            elif (row["sf1_s"], row["sf10_s"]) != (out[q]["sf1_s"], out[q]["sf10_s"]):
+                out[q].setdefault("remeasured", []).append(row)
+    save(out)
+    print(f"{len(out)} probe rows; rounds: "
+          f"{sorted({r['round'] for r in out.values()})}")
+
+
+def add(rnd, q, sf1, sf10, verdict):
+    out = load()
+    row = mkrow(sf1, sf10, verdict, rnd)
+    if q in out:
+        out[q].setdefault("remeasured", []).append(row)
+    else:
+        out[q] = row
+    save(out)
+    print(f"{q}: ratio {row['ratio']}x (round {rnd})")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "extract":
+        extract()
+    elif len(sys.argv) >= 6 and sys.argv[1] == "add":
+        add(int(sys.argv[2]), sys.argv[3], float(sys.argv[4]),
+            float(sys.argv[5]), " ".join(sys.argv[6:]))
+    else:
+        sys.exit(__doc__)

@@ -36,7 +36,7 @@ object StreamBench {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
-    val docs = FullCurate.fullDocs(spark, sfDir).collect().sortBy(_.doc_id)
+    val docs = FullCurate.fullDocs(spark, sfDir).collect().sortBy(_.doc_id)  // collect-ok: bench-driver fixture feed, not a query
     val floors = graft.operators.TextAnalysis
       .sourceQualityFloor(spark, sfDir).select($"source", $"thr_u4")
     floors.count() // materialize the floor table off the clock

@@ -77,7 +77,7 @@ object Analytics {
     * never O(events)). */
   def driftReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"ds")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"ds")  // global-window-ok: O(days)
     val daily = Tables.events(spark, dir)
       .groupBy(date_trunc("day", $"ts").cast("date").as("ds"))
       .agg(count(lit(1)).as("cnt"))
@@ -558,7 +558,7 @@ object Analytics {
         .groupBy($"o_custkey")
         .agg(sum(floor($"o_totalprice" * 100 + lit(0.5)).cast("long"))
           .as("cents")))
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"cents")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"cents")  // global-window-ok: O(distinct cent totals) value-frequency table
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val rank2 = rev.groupBy($"cents").agg(count(lit(1)).as("cnt"))
       .withColumn("cb", coalesce(sum($"cnt").over(w), lit(0L)))
@@ -807,7 +807,7 @@ object Analytics {
       .groupBy($"user_id", $"click_us").agg(min($"us").as("buy_us"))
       .select(expr("(buy_us - click_us) div 1000000").as("sec"))
     val freq = conv.groupBy($"sec").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"sec")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"sec")  // global-window-ok: O(distinct latency seconds) value-frequency table
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = freq.withColumn("cum", sum($"cnt").over(w))
       .crossJoin(broadcast(freq.agg(sum($"cnt").as("n"))))

@@ -119,7 +119,7 @@ object AnnSearch {
     val cents: Seq[Seq[Double]] = centroids.getOrElse(
       emb.filter($"vec_id" < nlist)
         .orderBy($"vec_id").select($"embedding").as[Seq[Float]]
-        .collect().toSeq.map(_.map(_.toDouble)))
+        .collect().toSeq.map(_.map(_.toDouble)))  // collect-ok: O(codebook)
     val centsCol = typedlit(cents)
     val dots = transform(centsCol, c =>
       aggregate(zip_with($"embedding", c, (x, y) => x.cast("double") * y),
@@ -325,7 +325,7 @@ object AnnSearch {
     * their previous centroid forward. */
   private def ivfUpdate(m: DataFrame, prev: IndexedSeq[(Seq[Long], Long)],
                         nlist: Int): IndexedSeq[(Seq[Long], Long)] = {
-    val rows = m.collect()
+    val rows = m.collect()  // collect-ok: O(codebook)
       .map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("dim"),
         r.getAs[Long]("s"), r.getAs[Long]("n")))
       .groupBy(_._1)
@@ -347,7 +347,7 @@ object AnnSearch {
     import spark.implicits._
     var codebook: IndexedSeq[(Seq[Long], Long)] = vecs
       .select($"vec_id", $"e").orderBy($"vec_id").limit(nlist)
-      .as[(Long, Seq[Long])].collect()
+      .as[(Long, Seq[Long])].collect()  // collect-ok: O(codebook)
       .map { case (_, e) => (e, 1L) }.toIndexedSeq
     for (_ <- 1 until iters)
       codebook = ivfUpdate(ivfMstep(ivfAssign(vecs, codebook)), codebook, nlist)
@@ -359,7 +359,7 @@ object AnnSearch {
     * stand-in centroids (recall improvement spec-demonstrated). */
   def trainedCentroids(spark: SparkSession, dir: String,
                        nlist: Int = 16, iters: Int = 2): Seq[Seq[Double]] = {
-    val rows = trainIvfCodebook(spark, dir, nlist, iters).collect()
+    val rows = trainIvfCodebook(spark, dir, nlist, iters).collect()  // collect-ok: O(codebook)
       .map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("dim"),
         r.getAs[Double]("centroid")))
       .groupBy(_._1)
@@ -392,7 +392,7 @@ object AnnSearch {
     val emb = Tables.embeddings(spark, dir)
     val cents: Seq[Seq[Double]] = emb.filter($"vec_id" < nlist)
       .orderBy($"vec_id").select($"embedding").as[Seq[Float]]
-      .collect().toSeq.map(_.map(_.toDouble))
+      .collect().toSeq.map(_.map(_.toDouble))  // collect-ok: O(codebook)
     val centsCol = typedlit(cents)
     val dots = transform(centsCol, c =>
       aggregate(zip_with($"embedding", c, (x, y) => x.cast("double") * y),
@@ -1240,7 +1240,7 @@ object AnnSearch {
           x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long"))
           .as("e")))
     val cents: Seq[Seq[Long]] = eq.filter($"vec_id" < nlist)
-      .orderBy($"vec_id").select($"e").as[Seq[Long]].collect().toSeq
+      .orderBy($"vec_id").select($"e").as[Seq[Long]].collect().toSeq  // collect-ok: O(codebook) FAISS-style driver loop, documented
     require(cents.size == nlist, s"coarse codebook needs $nlist seeds")
     val centsCol = typedlit(cents)
     // exact integer dots against every coarse centroid; first max =

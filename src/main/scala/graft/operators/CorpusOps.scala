@@ -473,7 +473,7 @@ object CorpusOps {
       .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
     val inBucket = Window.partitionBy($"bucket").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val overBuckets = Window.orderBy($"bucket")
+    val overBuckets = Window.orderBy($"bucket")  // global-window-ok: O(docs/bucketWidth) bucket offsets, two-phase prefix sum
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = docs.groupBy($"bucket").agg(sum($"n_tokens").as("btot"))
       .select($"bucket", coalesce(sum($"btot").over(overBuckets), lit(0L)).as("boff"))
@@ -574,7 +574,7 @@ object CorpusOps {
     val bucketed = sampled.withColumn("pbucket", expr("doc_id div 256"))
     val inB = Window.partitionBy($"pbucket").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val overB = Window.orderBy($"pbucket")
+    val overB = Window.orderBy($"pbucket")  // global-window-ok: O(docs/256) bucket offsets, two-phase prefix sum
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = bucketed.groupBy($"pbucket").agg(sum($"n_tokens").as("btot"))
       .select($"pbucket", coalesce(sum($"btot").over(overB), lit(0L)).as("boff"))
@@ -1258,7 +1258,7 @@ object CorpusOps {
       (max($"e") - sum($"base")).as("short"))
     val quotas = perSrc
       .withColumn("rk", row_number().over(
-        Window.orderBy($"rem".desc, $"source")))
+        Window.orderBy($"rem".desc, $"source")))  // global-window-ok: O(sources)
       .crossJoin(broadcast(shortfall))
       .select($"source", $"n_src", $"nn", $"e",
         least(($"base" + when($"rk" <= $"short", 1L).otherwise(0L)),
@@ -1589,7 +1589,7 @@ object CorpusOps {
             stopwordCount(toks, graft.operators.TextAnalysis.stopwords)
               .cast("long")) * 1e4 + lit(0.5)).cast("long").as("q_u4")))
     val levels = docs.groupBy($"q_u4").agg(min($"n_chars").as("minlen"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"q_u4".desc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"q_u4".desc)  // global-window-ok: O(u4 quality levels)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val lv = levels.withColumn("hi_min", min($"minlen").over(w))
     docs.join(broadcast(lv), "q_u4")
@@ -1644,12 +1644,12 @@ object CorpusOps {
       expr(s"sum(src_tokens) div $budgetDen").as("budget_tokens"))
     // O(sources) relation from here on: the global window is over the
     // per-source rollup, documented tiny-window exception
-    val w = Window.orderBy($"mean_q_u4".desc, $"source")
+    val w = Window.orderBy($"mean_q_u4".desc, $"source")  // global-window-ok: O(sources)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perSource.crossJoin(broadcast(budget))
       .select($"source", $"n_docs", $"src_tokens", $"mean_q_u4",
         $"budget_tokens",
-        row_number().over(Window.orderBy($"mean_q_u4".desc, $"source"))
+        row_number().over(Window.orderBy($"mean_q_u4".desc, $"source"))  // global-window-ok: O(sources)
           .as("rk"),
         (sum($"src_tokens").over(w) - $"src_tokens").as("prior_tokens"))
       .select($"source", $"rk", $"mean_q_u4", $"n_docs", $"src_tokens",
@@ -1762,7 +1762,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("nd"), sum($"nt").as("ntk"),
         sum($"q_u4").as("sq"), collect_set($"source").as("srcs"))
     val grid = ladderBp.toDF("rung_bp")
-    val w = Window.orderBy($"rung_bp")
+    val w = Window.orderBy($"rung_bp")  // global-window-ok: O(rungs)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // O(rungs) relation: tiny-window exception, documented
     grid.join(perRung, $"rung_bp" === $"min_rung", "left")

@@ -257,7 +257,7 @@ object Profiler {
       .select(floor(TextAnalysis.qualityExpr($"nt", $"ns") * 1e4 + lit(0.5))
         .cast("long").as("u"))
       .groupBy($"u").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"u")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"u")  // global-window-ok: O(u4 quality grid) value-frequency table
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = freq.withColumn("cum", sum($"cnt").over(w))
       .crossJoin(broadcast(freq.agg(sum($"cnt").as("n"))))
@@ -346,7 +346,7 @@ object Profiler {
           + lit(0.5)).cast("long").as("q"),
         size(toks).cast("long").as("nt")))
     def rank2Map(c: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))  // global-window-ok: O(distinct values) value-frequency table
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
         .withColumn("cb", coalesce(sum($"cnt").over(w), lit(0L)))

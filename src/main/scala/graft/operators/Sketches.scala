@@ -313,7 +313,7 @@ object Sketches {
     def quantilesOf(rel: DataFrame, name: String): DataFrame = {
       val ranked = rel.select($"v").withColumn("rn",
         row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy($"v")))
+          org.apache.spark.sql.expressions.Window.orderBy($"v")))  // global-window-ok: O(sketch k-sample)
       val cnt = rel.agg(count(lit(1)).as("n"))
       probs.crossJoin(broadcast(cnt))
         .select($"p", (floor(($"n" - 1) * $"p") + 1).as("rk"))
@@ -412,7 +412,7 @@ object Sketches {
       .select($"user_id", to_date($"ts").as("d"))
     val days = graft.CacheGuard.barrier(ev.select($"d").distinct()
       .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"d")).cast("long")))
+        org.apache.spark.sql.expressions.Window.orderBy($"d")).cast("long")))  // global-window-ok: O(days)
     val maxIdx = days.agg(max($"idx").as("max_idx"))
     // per-day registers, fanned to every window they participate in
     val dayRegs = ev

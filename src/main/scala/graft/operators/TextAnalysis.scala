@@ -1213,7 +1213,7 @@ object TextAnalysis {
       .select(decile("first_doc").as("decile"))
       .groupBy($"decile").agg(count(lit(1)).as("new_types"))
     val grid = spark.range(vocabDeciles).select($"id".cast("int").as("decile"))
-    val w = Window.orderBy($"decile")
+    val w = Window.orderBy($"decile")  // global-window-ok: O(deciles)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(tokCum, Seq("decile"), "left")
       .join(firstSeen, Seq("decile"), "left")

@@ -92,7 +92,7 @@ object CuratePipeline {
     import spark.implicits._
     TextAnalysis.sourceQualityFloor(spark, dir)
       .select($"source", $"thr_u4").as[(String, Long)]
-      .collect().toMap
+      .collect().toMap  // collect-ok: O(sources) threshold table
   }
 
   /** Gate + filter over a (batch or streaming) `Dataset[PipeDoc]`: one
