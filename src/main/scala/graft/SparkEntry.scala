@@ -436,6 +436,51 @@ object SparkEntry {
     """SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 100000, text FROM documents""".stripMargin)
 
+  /** Unrolled connected-components rounds for the oracle side (round-11,
+    * verdict ask #3). The former `WITH RECURSIVE reach(node, lbl)` CTE
+    * materializes the full node×reachable-label relation — c² rows per
+    * c-clique — which is exactly why the keeper-chain oracles could not
+    * complete at sf1's ~10M-edge pair graphs (replica clusters of ~100
+    * docs → 10⁴ rows each). Fixed-K unrolled min-label propagation keeps
+    * ONE row per node per round; with the pointer-jumping term the label
+    * horizon grows superlinearly in K, so K=5 covers component diameters
+    * far beyond the corpus's duplicate clusters (near-cliques, diameter
+    * ≤ 3; the q48 chain fixture, diameter 4, converges in 3 rounds).
+    * `CcUnrollSpec` pins rounds-to-fixpoint ≤ lpRounds − 1 on the gate
+    * corpora; the sf1 differential is the end-to-end proof. */
+  val lpRounds = 5
+
+  /** The unrolled min-label CTE chain: `lp0` = `seed` (must yield
+    * `(node, lbl)`), each round takes the min over the node's own label,
+    * its neighbours' labels in `sym` (`(src, dst)`, symmetric), and its
+    * label's label (pointer jumping); ends at `out(node, outCol)` — the
+    * drop-in replacement for the recursive `comp`. MATERIALIZED is
+    * load-bearing, as in the q185/q206/q217 oracles: without it DuckDB
+    * inlines each round into the next and re-derives the chain. */
+  private def minLabelCtes(sym: String, seed: String,
+                           out: String, outCol: String): String = {
+    val rounds = (1 to lpRounds).map { i =>
+      s"""lp$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    least(n.lbl, coalesce(min(m.lbl), n.lbl),
+         |          coalesce(min(j.lbl), n.lbl)) AS lbl
+         |  FROM lp${i - 1} n
+         |  LEFT JOIN $sym s ON s.src = n.node
+         |  LEFT JOIN lp${i - 1} m ON m.node = s.dst
+         |  LEFT JOIN lp${i - 1} j ON j.node = n.lbl
+         |  GROUP BY n.node, n.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""lp0 AS MATERIALIZED ($seed),
+       |$rounds,
+       |$out AS MATERIALIZED (SELECT node, lbl AS $outCol FROM lp$lpRounds)""".stripMargin
+  }
+
+  /** The keeper-election form shared by the q67 chain (q67/q81/q90/q149/
+    * q175/q178/q254/q261): min doc_id over each ≥0.5-estimated-Jaccard
+    * component, one row per paired node, replacing the recursive `reach`. */
+  private lazy val keeperCompCtes: String = minLabelCtes("sym",
+    "SELECT DISTINCT src AS node, src AS lbl FROM sym", "comp", "keeper0")
+
   /** The SimHash banded-pair chain over the doubled corpus (q21's
     * fingerprint replay → 8-bit band keys → capped blocks → popcount
     * verification), shared by the q159 pair oracle and the q160
@@ -1162,7 +1207,7 @@ object SparkEntry {
     // transitive closure via recursive CTE — min reachable id per node,
     // seeded with every doc so singletons are their own component
     "q48_dedup_clusters" ->
-      """WITH RECURSIVE
+      s"""WITH
         |ids AS (SELECT doc_id FROM documents),
         |edges AS (
         |  SELECT a.doc_id AS a, a.doc_id + 1 AS b
@@ -1171,11 +1216,8 @@ object SparkEntry {
         |sym AS (
         |  SELECT a AS src, b AS dst FROM edges
         |  UNION ALL SELECT b, a FROM edges),
-        |reach(node, lbl) AS (
-        |  SELECT doc_id, doc_id FROM ids
-        |  UNION
-        |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
-        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+        |${minLabelCtes("sym", "SELECT doc_id AS node, doc_id AS lbl FROM ids",
+            "comp", "component")}
         |SELECT i.doc_id, c.component, cnt.cluster_size
         |FROM ids i
         |JOIN comp c ON c.node = i.doc_id
@@ -1491,16 +1533,12 @@ object SparkEntry {
     // a q48-style recursive transitive closure, min-id keeper election,
     // singleton docs kept via the left join
     "q67_neardup_keepers" ->
-      s"""WITH RECURSIVE $minHashCtesSql,
+      s"""WITH $minHashCtesSql,
          |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
          |sym AS (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
-         |reach(node, lbl) AS (
-         |  SELECT DISTINCT src, src FROM sym
-         |  UNION
-         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
-         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |$keeperCompCtes,
          |labeled AS (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
@@ -1796,16 +1834,12 @@ object SparkEntry {
     // so near-dups never straddle train/test; leak_prevented marks docs
     // whose cluster a naive per-doc hash split WOULD have torn apart
     "q81_leakage_safe_split" ->
-      s"""WITH RECURSIVE $minHashCtesSql,
+      s"""WITH $minHashCtesSql,
          |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
          |sym AS (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
-         |reach(node, lbl) AS (
-         |  SELECT DISTINCT src, src FROM sym
-         |  UNION
-         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
-         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |$keeperCompCtes,
          |labeled AS (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
@@ -2016,16 +2050,12 @@ object SparkEntry {
     // q67's clusters with the production keeper policy: survivor = max
     // n_chars, ties to the lowest doc_id
     "q90_quality_keepers" ->
-      s"""WITH RECURSIVE $minHashCtesSql,
+      s"""WITH $minHashCtesSql,
          |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
          |sym AS (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
-         |reach(node, lbl) AS (
-         |  SELECT DISTINCT src, src FROM sym
-         |  UNION
-         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
-         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |$keeperCompCtes,
          |labeled AS (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS cluster_id
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
@@ -3736,16 +3766,12 @@ object SparkEntry {
     // the q67 component chain rolled up by family size — the dedup
     // policy report (heavy tail = threshold too loose)
     "q149_cluster_histogram" ->
-      s"""WITH RECURSIVE $minHashCtesSql,
+      s"""WITH $minHashCtesSql,
          |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
          |sym AS (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
-         |reach(node, lbl) AS (
-         |  SELECT DISTINCT src, src FROM sym
-         |  UNION
-         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
-         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |$keeperCompCtes,
          |labeled AS (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
@@ -4738,16 +4764,12 @@ object SparkEntry {
     // inter/union/jaccard value columns and the rejected seeds exercise
     // the τ cut (see DedupOps.setSimSeeds).
     "q175_setsim_keepers" ->
-      s"""WITH RECURSIVE $minHashCtesSql,
+      s"""WITH $minHashCtesSql,
          |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
          |sym AS (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
-         |reach(node, lbl) AS (
-         |  SELECT DISTINCT src, src FROM sym
-         |  UNION
-         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
-         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |$keeperCompCtes,
          |labeled AS (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
@@ -4882,14 +4904,14 @@ object SparkEntry {
     // DIRECTED containment audit (q122 semantics, post-dedup τ=1/2) over
     // that corpus
     "q178_containment_keepers" ->
-      s"""WITH RECURSIVE $containKeepCtesSql
+      s"""WITH $containKeepCtesSql
          |SELECT src, dst, inter, n_src, containment
          |FROM ckp ORDER BY src, dst""".stripMargin,
 
     // the q178 audit rolled up to the SOURCE-pair level: who quotes
     // whom, weighted containment per flow (see containKeepCtesSql)
     "q261_quote_flows" ->
-      s"""WITH RECURSIVE $containKeepCtesSql,
+      s"""WITH $containKeepCtesSql,
          |m AS (
          |  SELECT CASE WHEN src >= ${DedupOps.digestOffset}
          |           THEN src - ${DedupOps.digestOffset} ELSE src END AS sb,
@@ -5000,11 +5022,7 @@ object SparkEntry {
          |ids AS (SELECT doc_id FROM corpus),
          |sym AS (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
-         |reach(node, lbl) AS (
-         |  SELECT DISTINCT src, src FROM sym
-         |  UNION
-         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
-         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |$keeperCompCtes,
          |labeled AS (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
@@ -7050,7 +7068,7 @@ object SparkEntry {
     // recursive CC over the mapped pair graph, three keeper elections
     // as rk=1 windows over members, one stats rollup per policy
     "q240_keeper_policies" ->
-      s"""WITH RECURSIVE $minHashCtesSql,
+      s"""WITH $minHashCtesSql,
          |prs AS MATERIALIZED (
          |  SELECT DISTINCT least(a % 100000, b % 100000) AS a,
          |    greatest(a % 100000, b % 100000) AS b
@@ -7059,12 +7077,8 @@ object SparkEntry {
          |symp AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
          |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM symp),
-         |reach(node, lbl) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT s.dst, r.lbl FROM reach r JOIN symp s ON s.src = r.node),
-         |comp AS MATERIALIZED (
-         |  SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+         |${minLabelCtes("symp", "SELECT node, node AS lbl FROM nodes",
+             "comp", "component")},
          |degr AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
          |         FROM symp GROUP BY src),
          |feats AS MATERIALIZED (
@@ -7521,16 +7535,12 @@ object SparkEntry {
         "(CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) " +
         "/ CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4 " +
         "END) * 1e4 + 0.5) AS BIGINT)"
-      s"""WITH RECURSIVE $minHashCtesSql,
+      s"""WITH $minHashCtesSql,
          |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
          |sym AS (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
-         |reach(node, lbl) AS (
-         |  SELECT DISTINCT src, src FROM sym
-         |  UNION
-         |  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
-         |comp AS (SELECT node, min(lbl) AS keeper0 FROM reach GROUP BY node),
+         |$keeperCompCtes,
          |labeled AS (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
