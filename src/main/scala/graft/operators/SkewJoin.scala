@@ -17,6 +17,16 @@ import graft.Tables
   * this automatically for sort-merge joins at runtime; the explicit salt
   * remains the tool for streaming joins, aggregation skew, and engines of
   * record where the plan must be deterministic.
+  *
+  * MEASURED (round 11, `graft.SkewBench`, BASELINE.md "Salting vs AQE"):
+  * for BATCH equi-joins of the q38 shape the salt is a net loss — at sf1
+  * it shuffles 39.4 MB vs plain SMJ's 10.2 MB (the ×salts dim
+  * replication) and runs 1.8× slower than AQE-on plain SMJ, while AQE
+  * splits genuinely-skewed partitions at runtime without paying the
+  * replication on healthy data. Default guidance: leave batch joins to
+  * AQE; reach for [[saltedJoin]] only where AQE cannot re-plan
+  * (stream-stream/stateful joins, skewed aggregation keys, plans that
+  * must be deterministic ahead of time).
   */
 object SkewJoin {
 
