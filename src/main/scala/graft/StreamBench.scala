@@ -18,20 +18,52 @@ import graft.streaming.{FullCurate, FullDoc}
   * (5% of the corpus) runs before the clock to absorb stream-graph
   * planning/codegen. Usage:
   *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.StreamBench [batches]"
-  * Prints one JSON line {"metric":"stream_docs_per_sec",...}. */
+  *
+  * Round-11 (verdict ask #5) additions — the per-batch fixed cost is
+  * the thing under test, so the bench now ATTRIBUTES it and exposes
+  * the levers:
+  *   - the JSON line carries the micro-batch duration breakdown summed
+  *     from `recentProgress` over the measured window (`addBatch` =
+  *     plan+execute incl. foreachBatch body, `walCommit`+`commitOffsets`
+  *     = offset-log fsyncs, `stateCommit` = state-store checkpointing
+  *     summed over both stateful operators, `queryPlanning` =
+  *     incremental planning) — where the constant goes, not a guess;
+  *   - SPARK_GRAFT_SB_SHUFFLE: shuffle partitions (default = cores).
+  *     This is ALSO the state-store instance count PER stateful
+  *     operator — 32 means 64 store commits per micro-batch;
+  *   - SPARK_GRAFT_SB_STORE=rocksdb|hdfs (default hdfs): provider A/B;
+  *   - SPARK_GRAFT_SB_COALESCE=N: coalesce the combine output before
+  *     the parquet append (1 file/batch vs shuffle-width files);
+  *   - SPARK_GRAFT_SB_NODATA=true|false (default false): Spark's
+  *     no-data micro-batches — off keeps `processAllAvailable` from
+  *     paying an extra commit cycle per fed batch.
+  * Results + chosen defaults: BASELINE.md "Streaming gate per-batch
+  * cost". */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val batches = args.headOption.map(_.toInt).getOrElse(20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SB_SHUFFLE", cpus)
+    val store = sys.env.getOrElse("SPARK_GRAFT_SB_STORE", "hdfs")
+    val coalesceN = sys.env.get("SPARK_GRAFT_SB_COALESCE").map(_.toInt)
+    val noData = sys.env.getOrElse("SPARK_GRAFT_SB_NODATA", "false")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", noData)
+      // AQE's per-stage materialization is pure overhead on batch-sized
+      // inputs (the combine's joins re-plan per micro-batch) — sweepable
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_SB_AQE", "true"))
+    if (store == "rocksdb") builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -43,11 +75,12 @@ object StreamBench {
     val outDir = java.nio.file.Files.createTempDirectory("graft-sb-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sb-ckpt").toString
     val mem = MemoryStream[FullDoc]
-    val q = FullCurate.curatedStream(mem.toDS(), floors, outDir, ckpt)
+    val q = FullCurate.curatedStream(mem.toDS(), floors, outDir, ckpt, coalesceN)
 
     val (warm, rest) = docs.splitAt(math.max(1, docs.length / 20))
     mem.addData(warm.toIndexedSeq: _*)
     q.processAllAvailable() // warm-up batch, off the clock
+    val warmBatchId = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
 
     val per = math.max(1, rest.length / batches)
     // grouped(per) can emit batches+1 micro-batches when length is not
@@ -60,11 +93,18 @@ object StreamBench {
       q.processAllAvailable()
     }
     val sec = (System.nanoTime() - t0) / 1e9
+    // attribution: sum the duration breakdown over the measured batches
+    // (recentProgress holds the last 100 — enough for any sane sweep)
+    val progs = q.recentProgress.filter(_.batchId > warmBatchId)
+    def dur(k: String): Long =
+      progs.map(p => Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)).sum
+    val stateCommit = progs.map(_.stateOperators.map(_.commitTimeMs).sum).sum
     q.stop()
     val curated = spark.read.parquet(outDir).count()
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.ERROR)
-    println(s"""{"metric":"stream_docs_per_sec","value":${(rest.length / sec).round},"docs":${rest.length},"sec":${BigDecimal(sec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"batches":${groups.size},"batch_size":$per,"sec_per_batch":${BigDecimal(sec / groups.size).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"curated_total":$curated,"sf":"$sfDir"}""")
+    def s2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    println(s"""{"metric":"stream_docs_per_sec","value":${(rest.length / sec).round},"docs":${rest.length},"sec":${s2(sec)},"batches":${groups.size},"batch_size":$per,"sec_per_batch":${BigDecimal(sec / groups.size).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"curated_total":$curated,"sf":"$sfDir","conf":{"shuffle":$shuffle,"store":"$store","coalesce":${coalesceN.getOrElse(0)},"no_data_batches":$noData},"attrib_ms_per_batch":{"add_batch":${dur("addBatch") / groups.size},"offset_log":${(dur("walCommit") + dur("commitOffsets")) / groups.size},"state_commit":${stateCommit / groups.size},"planning":${dur("queryPlanning") / groups.size},"progress_batches":${progs.length}}}""")
     System.out.flush()
     spark.stop()
   }

@@ -192,14 +192,21 @@ object FullCurate {
 
   /** The end-to-end streaming pipeline: gates → combine → checkpointed
     * parquet append (K2/K3 — restart resumes from the committed
-    * micro-batch). */
+    * micro-batch). `sinkPartitions` optionally coalesces the combine
+    * output before the append — a micro-batch's curated slice is tiny
+    * relative to the shuffle width, and one file per batch beats
+    * shuffle-partition-many empty-ish files through the Hadoop commit
+    * protocol (measured in `StreamBench`; None preserves the plan
+    * width for corpus-sized batches). */
   def curatedStream(docs: Dataset[FullDoc], floors: DataFrame,
-                    outPath: String, checkpointPath: String): StreamingQuery =
+                    outPath: String, checkpointPath: String,
+                    sinkPartitions: Option[Int] = None): StreamingQuery =
     gateStream(docs).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[GateVote], _: Long) =>
-        combineBatch(batch.toDF(), floors)
+        val out = combineBatch(batch.toDF(), floors)
+        sinkPartitions.fold(out)(out.coalesce)
           .write.mode("append").parquet(outPath)
       }
       .start()
