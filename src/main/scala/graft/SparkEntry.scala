@@ -347,6 +347,15 @@ object SparkEntry {
     "q264_positional_profile" -> ((s, d) => TextAnalysis.positionalProfile(s, d)),
     "q265_phase_funnel" -> ((s, d) =>
       graft.streaming.FullCurate.phaseFunnel(s, d)),
+    "q266_bbit_minhash" -> ((s, d) => DedupOps.bbitMinhashAudit(s, d)),
+    "q267_commonness_matrix" -> ((s, d) =>
+      CorpusOps.commonnessQualityMatrix(s, d)),
+    "q268_balanced_shards" -> ((s, d) => CorpusOps.balancedShards(s, d)),
+    "q269_distinct_ngrams" -> ((s, d) =>
+      TextAnalysis.distinctNgramDiversity(s, d)),
+    "q270_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
+    "q271_quota_gate" -> ((s, d) =>
+      graft.streaming.QuotaGate.quotaReplayBatch(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -7778,6 +7787,165 @@ object SparkEntry {
          |    // greatest(qs.e * qs.nn, 1) AS BIGINT) AS share_err_u4
          |FROM sel s JOIN qs ON qs.source = s.source
          |ORDER BY s.source""".stripMargin,
+
+    // b-bit MinHash (Li & König): 1-bit estimate 2·rate − 1 (clamped)
+    // next to the full 16-perm estimate on q150's candidate pairs
+    "q266_bbit_minhash" ->
+      s"""WITH $minHashCtesSql,
+         |prs AS (SELECT a, b, est_jaccard FROM est
+         |        WHERE est_jaccard >= 0.5),
+         |bb AS (
+         |  SELECT p.a, p.b, p.est_jaccard,
+         |    floor(greatest(0.0,
+         |      CAST(2 * len(list_filter(range(1, 17),
+         |        i -> sa.s[i] % 2 = sb.s[i] % 2)) - 16 AS DOUBLE)
+         |      / 16.0)*1e4 + 0.5)/1e4 AS est_b1
+         |  FROM prs p
+         |  JOIN sigl sa ON sa.doc_id = p.a
+         |  JOIN sigl sb ON sb.doc_id = p.b)
+         |SELECT a, b, est_jaccard, est_b1,
+         |  floor(abs(est_b1 - est_jaccard)*1e4 + 0.5)/1e4 AS abs_gap
+         |FROM bb ORDER BY a, b""".stripMargin,
+
+    // commonness (shared-shingle weighted ratio) × Gopher verdict per
+    // source — ratios of summed counts, never means of ratios
+    "q267_commonness_matrix" ->
+      s"""WITH t AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
+         |feat AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    (len(tk) >= ${TextAnalysis.gopherMinWords}
+         |     AND floor((1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
+         |       / CAST(greatest(len(tk), 1) AS DOUBLE))*1e4 + 0.5)/1e4
+         |       < ${TextAnalysis.gopherMaxDupRatio}
+         |     AND floor((CAST(length(array_to_string(tk, '')) AS DOUBLE)
+         |       / CAST(greatest(len(tk), 1) AS DOUBLE))*1e4 + 0.5)/1e4
+         |       BETWEEN ${TextAnalysis.gopherMeanLen._1}
+         |         AND ${TextAnalysis.gopherMeanLen._2}) AS gopher_pass,
+         |    list_distinct(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS shs
+         |  FROM t),
+         |sh AS (SELECT doc_id, unnest(shs) AS sh FROM feat),
+         |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+         |shared AS (
+         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM sh s JOIN df ON df.sh = s.sh AND df.df >= 2
+         |  GROUP BY s.doc_id)
+         |SELECT f.source, f.gopher_pass,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(sd.n_shared, 0)) * 10000
+         |    // greatest(sum(len(f.shs)), 1) AS BIGINT) AS common_u4,
+         |  CAST(sum(f.n_tokens) // count(*) AS BIGINT) AS tokens_per_doc
+         |FROM feat f LEFT JOIN shared sd ON sd.doc_id = f.doc_id
+         |GROUP BY f.source, f.gopher_pass
+         |ORDER BY f.source, f.gopher_pass""".stripMargin,
+
+    // round-robin-decreasing (LPT stream form) vs hash sharding: per
+    // shard, doc/token mass under both policies + exact load factors
+    "q268_balanced_shards" -> {
+      val k = CorpusOps.balancedShardCount
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |        FROM d),
+         |r AS (SELECT doc_id, n_tokens,
+         |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rnk
+         |  FROM d),
+         |p AS (SELECT doc_id, n_tokens,
+         |    CAST((rnk - 1) % $k AS BIGINT) AS shard_rr,
+         |    CAST(doc_id % $k AS BIGINT) AS shard_hash FROM r),
+         |rr AS (SELECT shard_rr AS shard,
+         |    CAST(count(*) AS BIGINT) AS rr_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS rr_tokens FROM p GROUP BY 1),
+         |hh AS (SELECT shard_hash AS shard,
+         |    CAST(count(*) AS BIGINT) AS hash_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS hash_tokens FROM p GROUP BY 1)
+         |SELECT coalesce(rr.shard, hh.shard) AS shard,
+         |  coalesce(rr_docs, 0) AS rr_docs,
+         |  coalesce(rr_tokens, 0) AS rr_tokens,
+         |  CAST(coalesce(rr_tokens, 0) * $k * 10000
+         |    // greatest(total_tokens, 1) AS BIGINT) AS rr_load_u4,
+         |  coalesce(hash_docs, 0) AS hash_docs,
+         |  coalesce(hash_tokens, 0) AS hash_tokens,
+         |  CAST(coalesce(hash_tokens, 0) * $k * 10000
+         |    // greatest(total_tokens, 1) AS BIGINT) AS hash_load_u4
+         |FROM rr FULL JOIN hh ON hh.shard = rr.shard CROSS JOIN tot
+         |ORDER BY shard""".stripMargin
+    },
+
+    // distinct-n type-token ratios per (source, n) — one tagged union,
+    // one two-level aggregation
+    "q269_distinct_ngrams" ->
+      s"""WITH t AS (SELECT source, $toksSql AS tk FROM documents),
+         |g AS (
+         |  SELECT source, 1 AS n, unnest(tk) AS gram FROM t
+         |  UNION ALL
+         |  SELECT source, 2 AS n,
+         |    unnest(list_transform(range(1, len(tk)),
+         |      i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS gram
+         |  FROM t
+         |  UNION ALL
+         |  SELECT source, 3 AS n,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS gram
+         |  FROM t)
+         |SELECT source, n, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+         |  CAST(count(DISTINCT gram) * 10000
+         |    // greatest(count(*), 1) AS BIGINT) AS ttr_u4
+         |FROM g GROUP BY source, n
+         |ORDER BY source, n""".stripMargin,
+
+    // log-log OLS over each source's top-100 unigrams; ln rounded to
+    // 1e-8 then half-up-quantized to exact 1e-6 BIGINT units so every
+    // OLS sum is integer-exact — only the final divisions are float
+    "q270_zipf_slope" ->
+      s"""WITH f AS (
+         |  SELECT source, tok, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents) z
+         |  GROUP BY source, tok),
+         |r AS (SELECT source, f,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY f DESC, tok) AS rnk
+         |  FROM f),
+         |h AS (SELECT source,
+         |    CAST(floor(round(ln(rnk), 8) * 1e6 + 0.5) AS BIGINT) AS x,
+         |    CAST(floor(round(ln(f), 8) * 1e6 + 0.5) AS BIGINT) AS y
+         |  FROM r WHERE rnk <= ${TextAnalysis.zipfHeadRanks}),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy,
+         |    CAST(sum(x*x) AS BIGINT) AS sxx
+         |  FROM h GROUP BY source)
+         |SELECT source, n AS n_ranks,
+         |  floor((CAST(n*sxy - sx*sy AS DOUBLE)
+         |    / CAST(n*sxx - sx*sx AS DOUBLE))*1e4 + 0.5)/1e4 AS slope,
+         |  floor(((CAST(sy AS DOUBLE)
+         |    - (CAST(n*sxy - sx*sy AS DOUBLE)
+         |       / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE) / 1e6)*1e4 + 0.5)/1e4 AS intercept
+         |FROM s ORDER BY source""".stripMargin,
+
+    // per-(source, bucket) quota admission: row_number replay of the
+    // sequential counter gate, rolled up per key
+    "q271_quota_gate" ->
+      s"""WITH mx AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n_total
+         |  FROM documents),
+         |d AS (SELECT source,
+         |    CAST(doc_id * ${graft.streaming.QuotaGate.quotaBuckets}
+         |      // n_total AS BIGINT) AS bucket, doc_id
+         |  FROM documents CROSS JOIN mx),
+         |r AS (SELECT source, bucket, doc_id,
+         |    row_number() OVER (PARTITION BY source, bucket
+         |      ORDER BY doc_id) AS rk
+         |  FROM d)
+         |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_arrived,
+         |  CAST(sum(CASE WHEN rk <= ${graft.streaming.QuotaGate.quotaPerBucket}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  max(CASE WHEN rk <= ${graft.streaming.QuotaGate.quotaPerBucket}
+         |    THEN doc_id END) AS last_admitted
+         |FROM r GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin,
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

@@ -1780,4 +1780,121 @@ object CorpusOps {
         expr("sum_q div greatest(n_docs, 1)").as("mean_q_u4"))
       .orderBy($"rung_bp")
   }
+
+  /** COMMONNESS × QUALITY interaction (q267) — the curation cross-check
+    * that neither signal gives alone: per (source, Gopher verdict), the
+    * corpus-weighted SHARED-SHINGLE ratio (the fraction of a cell's
+    * distinct 3-shingles that also occur in some other document — the
+    * doc-level boilerplate/commonness signal) next to tokens-per-doc.
+    * A source whose FAILING docs are also high-commonness is shipping
+    * templated spam (cut at the source); one whose failing docs are
+    * LOW-commonness is losing genuine long-tail content to the gate
+    * (re-tune the gate) — the two incidents are indistinguishable in
+    * q60's per-doc report or q264's positional profile.
+    *
+    * The cell ratio is a WEIGHTED ratio of summed counts
+    * (Σ shared / Σ shingles), never a mean of per-doc ratios — the
+    * integer-exact discipline; `common_u4` is exact 1e-4 units via
+    * integer division.
+    *
+    * Scale shape: one distinct-shingle explode, one partial-aggregable
+    * df count over shingle hashes, one hash join back (all q72's
+    * audited shape), then an O(sources × 2) rollup — nothing new
+    * crosses the exchange at 100 TB. */
+  def commonnessQualityMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val docs = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select($"source", $"doc_id", toks.as("tk"))
+        .select($"source", $"doc_id",
+          size($"tk").cast("long").as("n_tokens"),
+          (size($"tk") >= TextAnalysis.gopherMinWords &&
+            Quant.r4(lit(1.0) - size(array_distinct($"tk")).cast("double") /
+              greatest(size($"tk"), lit(1)).cast("double"))
+              < TextAnalysis.gopherMaxDupRatio &&
+            Quant.r4(length(array_join($"tk", "")).cast("double") /
+              greatest(size($"tk"), lit(1)).cast("double"))
+              .between(TextAnalysis.gopherMeanLen._1,
+                TextAnalysis.gopherMeanLen._2)).as("gopher_pass"),
+          array_distinct(wordShingles($"tk", 3)).as("shs")))
+    val sh = docs.select($"doc_id", explode($"shs").as("sh"))
+    val df = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val shared = sh.join(df.filter($"df" >= 2), "sh")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    docs
+      .select($"source", $"doc_id", $"n_tokens", $"gopher_pass",
+        size($"shs").cast("long").as("n_sh"))
+      .join(shared, Seq("doc_id"), "left")
+      .groupBy($"source", $"gopher_pass")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        sum($"n_sh").as("sum_sh"),
+        sum(coalesce($"n_shared", lit(0L))).as("sum_shared"))
+      .select($"source", $"gopher_pass", $"n_docs",
+        expr("sum_shared * 10000 div greatest(sum_sh, 1)").as("common_u4"),
+        expr("sum_tokens div n_docs").as("tokens_per_doc"))
+      .orderBy($"source", $"gopher_pass")
+  }
+
+  /** Shards for [[balancedShards]] — 16 is the bench-scale stand-in for
+    * the thousands a 100 TB export writes; the POLICY comparison is
+    * shard-count-invariant. */
+  val balancedShardCount = 16
+
+  /** BALANCED SHARD PLANNER (q268) — training exports want shards of
+    * near-equal TOKEN mass (the slowest shard gates every data-parallel
+    * epoch), but the default layout hashes doc_id and inherits the
+    * document-length distribution's variance. This operator plans
+    * round-robin-decreasing assignment (docs ranked by token count
+    * descending, shard = rank mod K — the streaming form of LPT/
+    * first-fit-decreasing, within (1 + 1/K)× of optimal for this
+    * workload shape) and reports, per shard, the doc/token mass under
+    * BOTH policies with the load factor in exact 1e-4 units
+    * (10000 = perfectly balanced), so the report IS the argument for
+    * the layout.
+    *
+    * The descending global rank uses q84's two-phase prefix-sum shape —
+    * a value-frequency table (one keyed agg), a cumulative window over
+    * THAT O(distinct lengths) table only, and a per-value row_number —
+    * never a global sort of the corpus. */
+  def balancedShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = balancedShardCount
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+    val freq = graft.CacheGuard.barrier(
+      docs.groupBy($"n_tokens").agg(count(lit(1)).as("cnt")))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_tokens".desc)  // global-window-ok: O(distinct lengths)
+      .rowsBetween(Long.MinValue, -1)
+    val offsets = freq
+      .withColumn("base", coalesce(sum($"cnt").over(wCum), lit(0L)))
+      .select($"n_tokens", $"base")
+    val total = freq.agg(sum($"cnt" * $"n_tokens").as("total_tokens"))
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"n_tokens").orderBy($"doc_id")
+    val planned = docs
+      .withColumn("within", row_number().over(wVal).cast("long"))
+      .join(broadcast(offsets), "n_tokens")
+      .select($"doc_id", $"n_tokens",
+        (($"base" + $"within" - 1) % k).as("shard_rr"),
+        ($"doc_id" % k).as("shard_hash"))
+    val rr = planned.groupBy($"shard_rr".as("shard"))
+      .agg(count(lit(1)).as("rr_docs"), sum($"n_tokens").as("rr_tokens"))
+    val hsh = planned.groupBy($"shard_hash".as("shard"))
+      .agg(count(lit(1)).as("hash_docs"), sum($"n_tokens").as("hash_tokens"))
+    rr.join(hsh, Seq("shard"), "full")
+      .crossJoin(broadcast(total))
+      .select($"shard",
+        coalesce($"rr_docs", lit(0L)).as("rr_docs"),
+        coalesce($"rr_tokens", lit(0L)).as("rr_tokens"),
+        expr(s"coalesce(rr_tokens, 0) * $k * 10000" +
+          " div greatest(total_tokens, 1)").as("rr_load_u4"),
+        coalesce($"hash_docs", lit(0L)).as("hash_docs"),
+        coalesce($"hash_tokens", lit(0L)).as("hash_tokens"),
+        expr(s"coalesce(hash_tokens, 0) * $k * 10000" +
+          " div greatest(total_tokens, 1)").as("hash_load_u4"))
+      .orderBy($"shard")
+  }
 }

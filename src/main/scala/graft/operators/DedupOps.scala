@@ -724,6 +724,47 @@ object DedupOps {
       .orderBy($"a", $"b")
   }
 
+  /** b-BIT MinHash audit (q266) — Li & König 2010: storing only the low
+    * b bits of each MinHash coordinate cuts the signature from 16×8 B to
+    * 16×b bits, and Jaccard is recovered from the b-bit MATCH RATE via
+    * the bias correction Ĵ = (rate − C) / (1 − C), C = 2^-b (for b = 1:
+    * Ĵ = 2·rate − 1, clamped at 0 — half the bits agree by chance). This
+    * query puts the b = 1 estimator next to the full-signature estimate
+    * on q150's audited LSH candidate pairs: the measured answer to "what
+    * accuracy do we give up for a 64× smaller dedup index" — at 100 TB
+    * the signature store is the near-dup pass's resident state, so the
+    * compression is the difference between an in-memory and a spilled
+    * history.
+    *
+    * Scale shape: the pair relation is q55's banded candidates (never
+    * all-pairs); both estimators are per-pair expression work over the
+    * two signature arrays (zip + fold, codegen'd) — the audit adds two
+    * hash-joins of the pair list against the O(docs × 16-long) signature
+    * relation and nothing corpus-quadratic. */
+  def bbitMinhashAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perms = 16
+    val sig = withDupCopies(graft.CacheGuard.barrier(
+      shingleArrays(spark, dir, 3)
+        .select($"doc_id",
+          graft.functions.native.md5MinHashSig($"arr", perms).as("sig"))))
+    val pairs = minHashLshPairsOracled(spark, dir)
+    val parityMatches = aggregate(
+      zip_with($"sa", $"sb", (x, y) =>
+        when(x % 2 === y % 2, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m)
+    pairs
+      .join(sig.select($"doc_id".as("a"), $"sig".as("sa")), "a")
+      .join(sig.select($"doc_id".as("b"), $"sig".as("sb")), "b")
+      .withColumn("m1", parityMatches)
+      .select($"a", $"b", $"est_jaccard",
+        Quant.r4(greatest(lit(0.0),
+          ($"m1" * 2 - perms).cast("double") / lit(perms.toDouble)))
+          .as("est_b1"))
+      .withColumn("abs_gap", Quant.r4(abs($"est_b1" - $"est_jaccard")))
+      .orderBy($"a", $"b")
+  }
+
   /** Minimum chained-span count for a run to be flagged `long_run`,
     * shared with the q140 oracle and spec: 2 spans = 10 tokens, the
     * "substring long enough to be worth cutting" bar. */

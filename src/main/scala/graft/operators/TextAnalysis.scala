@@ -1311,4 +1311,89 @@ object TextAnalysis {
         expr("top.c * 10000 div n_tokens").as("top_share_u4"))
       .orderBy($"rp")
   }
+
+  /** DISTINCT-n DIVERSITY (q269) — the lexical-diversity panel a mixture
+    * owner reads next to q251's Heaps curve: per (source, n ∈ {1,2,3}),
+    * total n-grams, distinct n-grams, and the type-token ratio in exact
+    * 1e-4 units. Low distinct-2/3 with healthy distinct-1 is the
+    * signature of templated text (same words, same phrasings — the
+    * self-BLEU symptom) and tells the mixture planner which source is
+    * diversity-starved BEFORE a model memorizes its boilerplate; q251
+    * cannot see this (it tracks vocabulary growth over time, not phrase
+    * reuse), and q264 localizes boilerplate by position, not by rate.
+    *
+    * Scale shape: one tokenize pass, three tagged explodes unioned
+    * (n-gram construction is per-row `transform`, no joins), then ONE
+    * two-level aggregation — count + count(DISTINCT) by (source, n) —
+    * which Spark executes as two partial-aggregable keyed passes over
+    * (source, n, gram). Output is O(sources × 3); nothing else crosses
+    * the exchange. */
+  def distinctNgramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"source", tokens($"text").as("tk"))
+    val grams = Seq(1, 2, 3).map { n =>
+      base.select($"source", lit(n).as("n"),
+        explode(if (n == 1) $"tk" else wordShingles($"tk", n)).as("gram"))
+    }.reduce(_ unionByName _)
+    grams
+      .groupBy($"source", $"n")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct($"gram").as("n_distinct"))
+      .select($"source", $"n", $"n_grams", $"n_distinct",
+        expr("n_distinct * 10000 div greatest(n_grams, 1)").as("ttr_u4"))
+      .orderBy($"source", $"n")
+  }
+
+  /** Head size for the q270 Zipf fit — the classical fit region (the
+    * tail bends away from the power law and drowns the slope in
+    * hapax noise); shared with the oracle. */
+  val zipfHeadRanks = 100
+
+  /** ZIPF SLOPE per source (q270) — least-squares slope of
+    * ln(frequency) on ln(rank) over each source's top-[[zipfHeadRanks]]
+    * unigrams: natural text sits near −1; templated/generated text runs
+    * markedly shallower (tokens near-uniform) or steeper (a few tokens
+    * dominate), so the slope is a one-number distribution-shape probe
+    * next to q269's ratios and q184's entropy. Fisher's classic
+    * observation, fit exactly as published (log-log OLS).
+    *
+    * Determinism discipline: ranks are assigned by (freq DESC, token) —
+    * total order, no tie wobble; ln values are rounded to 1e-6 FIRST
+    * (the `round(ln(x), n)`-before-quantize rule), scaled to exact
+    * integer 1e-6 units, and all OLS sums run as exact BIGINT
+    * arithmetic — the only float ops are the final slope/intercept
+    * divisions, quantized r4. Products stay < 2^63: |x|,|y| ≤ ln(2^63)
+    * ≈ 43.7 → 4.4e7 units, x·y ≤ 2e15, × 100 ranks ≤ 2e17.
+    *
+    * Scale shape: one keyed (source, token) count, a per-source window
+    * over the value-frequency relation capped to the head (partitioned
+    * by source — never global), and an O(sources) rollup. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val freq = Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("f"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"f".desc, $"tok")
+    val head = freq
+      .withColumn("rnk", row_number().over(wRank))
+      .filter($"rnk" <= zipfHeadRanks)
+      // round(ln, 8) first (the ulp-wobble rule), THEN half-up quantize
+      // to exact 1e-6 integer units — floor() on a double returns LONG
+      .select($"source",
+        floor(round(log($"rnk".cast("double")), 8) * 1e6 + lit(0.5)).as("x"), // round-ok: ulp-snap before 1e-6 integer quantize
+        floor(round(log($"f".cast("double")), 8) * 1e6 + lit(0.5)).as("y")) // round-ok: ulp-snap before 1e-6 integer quantize
+    head
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"source", $"n".as("n_ranks"),
+        Quant.r4(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("slope"),
+        Quant.r4((($"sy" - (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double")) * $"sx") /
+          $"n" / lit(1e6))).as("intercept"))
+      .orderBy($"source")
+  }
 }

@@ -996,4 +996,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r0.getAs[Long]("mean_q_u4") ===
       b0.map(_._2).sum / math.max(b0.map(_._1).sum, 1L))
   }
+
+  test("q267: cells partition each source's corpus; ratios are weighted, in range") {
+    val out = CorpusOps.commonnessQualityMatrix(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docsPerSource = graft.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val cellSum = out.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(cellSum === docsPerSource)
+    out.foreach { r =>
+      val c = r.getAs[Long]("common_u4")
+      assert(c >= 0L && c <= 10000L)
+      assert(r.getAs[Long]("tokens_per_doc") > 0L)
+    }
+    // both Gopher verdicts are populated (non-vacuity of the split)
+    assert(out.map(_.getAs[Boolean]("gopher_pass")).toSet === Set(true, false))
+  }
+
+  test("q268: both policies partition the corpus; RRD spread is bounded by the largest doc") {
+    val out = CorpusOps.balancedShards(spark, sf).collect()
+    assert(out.length === CorpusOps.balancedShardCount)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens(
+          org.apache.spark.sql.functions.col("text"))).cast("long").as("nt"))
+      .collect().map(_.getAs[Long]("nt"))
+    assert(out.map(_.getAs[Long]("rr_docs")).sum === docs.length.toLong)
+    assert(out.map(_.getAs[Long]("hash_docs")).sum === docs.length.toLong)
+    assert(out.map(_.getAs[Long]("rr_tokens")).sum === docs.sum)
+    assert(out.map(_.getAs[Long]("hash_tokens")).sum === docs.sum)
+    // round-robin-decreasing telescopes: max-min shard load <= max doc
+    val rr = out.map(_.getAs[Long]("rr_tokens"))
+    assert(rr.max - rr.min <= docs.max,
+      s"RRD spread ${rr.max - rr.min} exceeds largest doc ${docs.max}")
+    // and beats hash sharding on this corpus (the report's point)
+    val hs = out.map(_.getAs[Long]("hash_tokens"))
+    assert(rr.max - rr.min <= hs.max - hs.min)
+  }
 }

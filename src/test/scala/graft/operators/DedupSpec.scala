@@ -882,4 +882,27 @@ class DedupSpec extends SparkSpec {
     // the seeded digests guarantee flows INTO digests exist
     assert(flows.map(_.getAs[Long]("n_into_digests")).sum > 0)
   }
+
+  test("q266: b-bit estimate agrees with a driver-side parity replay and is exact on identical signatures") {
+    val out = DedupOps.bbitMinhashAudit(spark, sf).collect()
+    assert(out.nonEmpty)
+    // same candidate-pair set as the full-signature accuracy audit
+    val full = DedupOps.minhashAccuracyAudit(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet === full)
+    out.foreach { r =>
+      val b1 = r.getAs[Double]("est_b1")
+      assert(b1 >= 0.0 && b1 <= 1.0)
+      // 1-bit estimates live on the (2m-16)/16 grid, r4-quantized
+      assert(math.abs((b1 * 8).round.toDouble - b1 * 8) < 1e-9)
+      // an exact-duplicate pair (est_jaccard = 1 means all 16 coords
+      // equal, so all parities match) must estimate 1 with zero gap
+      if (r.getAs[Double]("est_jaccard") === 1.0) {
+        assert(b1 === 1.0)
+        assert(r.getAs[Double]("abs_gap") === 0.0)
+      }
+    }
+    // the seeded +dupOffset copies guarantee exact pairs exist
+    assert(out.exists(_.getAs[Double]("est_jaccard") === 1.0))
+  }
 }

@@ -864,4 +864,58 @@ class TextAnalysisSpec extends SparkSpec {
         best._2 * 10000L / byRp(rp).length)
     }
   }
+
+  test("q269: n=1 totals equal the token count; distinct never exceeds total") {
+    val out = TextAnalysis.distinctNgramDiversity(spark, sf).collect()
+    assert(out.nonEmpty)
+    val tokTotal = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.TextFunctions.tokens(
+          org.apache.spark.sql.functions.col("text"))).cast("long").as("nt"))
+      .agg(org.apache.spark.sql.functions.sum("nt")).collect()(0).getLong(0)
+    assert(out.filter(_.getAs[Int]("n") == 1)
+      .map(_.getAs[Long]("n_grams")).sum === tokTotal)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_grams"))
+      val ttr = r.getAs[Long]("ttr_u4")
+      assert(ttr >= 0L && ttr <= 10000L)
+    }
+    // phrase space grows with n on natural-ish text: ttr strictly rises
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val byN = rs.map(r => r.getAs[Int]("n") -> r.getAs[Long]("ttr_u4")).toMap
+      assert(byN(1) < byN(2) && byN(2) < byN(3), s"ttr not rising for $src")
+    }
+  }
+
+  test("q270: slope matches a driver-side OLS replay on one source") {
+    val out = TextAnalysis.zipfSlope(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_ranks") >= 2L)
+      assert(r.getAs[Double]("slope") < 0.0) // frequency falls with rank
+    }
+    // exact replay of the integer-unit OLS for the first source
+    val src = out.head.getAs[String]("source")
+    val freqs = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("source") === src)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("count"))
+    val head = freqs.sortBy { case (t, f) => (-f, t) }
+      .take(TextAnalysis.zipfHeadRanks).zipWithIndex
+      .map { case ((_, f), i) =>
+        def u(v: Double) = math.floor(BigDecimal(v).setScale(8,
+          BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6 + 0.5).toLong
+        (u(math.log(i + 1.0)), u(math.log(f.toDouble)))
+      }
+    val n = head.length.toLong
+    val (sx, sy) = (head.map(_._1).sum, head.map(_._2).sum)
+    val sxy = head.map(p => p._1 * p._2).sum
+    val sxx = head.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val expected = math.floor(slope * 1e4 + 0.5) / 1e4
+    assert(out.head.getAs[Double]("slope") === expected)
+  }
 }
