@@ -741,28 +741,48 @@ object DedupOps {
     * two signature arrays (zip + fold, codegen'd) — the audit adds two
     * hash-joins of the pair list against the O(docs × 16-long) signature
     * relation and nothing corpus-quadratic. */
-  def bbitMinhashAudit(spark: SparkSession, dir: String): DataFrame = {
+  def bbitMinhashAudit(spark: SparkSession, dir: String,
+                       shingleN: Int = 3, perms: Int = 16,
+                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
-    val perms = 16
-    val sig = withDupCopies(graft.CacheGuard.barrier(
-      shingleArrays(spark, dir, 3)
+    // one signature chain, banded once, with BOTH signatures kept on the
+    // candidate row — both estimators are then in-row expression work
+    // (piggybacking on minHashLshPairsOracled would rebuild the
+    // signature relation and re-join it to Ω(pairs) rows: measured 2.4×
+    // slower at sf10 before this restructure)
+    val rows = perms / bands
+    val sigCached = graft.CacheGuard.barrier(
+      shingleArrays(spark, dir, shingleN)
         .select($"doc_id",
-          graft.functions.native.md5MinHashSig($"arr", perms).as("sig"))))
-    val pairs = minHashLshPairsOracled(spark, dir)
+          graft.functions.native.md5MinHashSig($"arr", perms).as("sig")))
+    val sig = withDupCopies(sigCached)
+    val banded = sig.select($"doc_id", $"sig",
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice($"sig", b * lit(rows) + 1, lit(rows)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val cand = registeredBand(banded, "band_key").as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+        $"x.sig".as("sa"), $"y.sig".as("sb"))
+      .dropDuplicates("a", "b")
     val parityMatches = aggregate(
       zip_with($"sa", $"sb", (x, y) =>
         when(x % 2 === y % 2, 1).otherwise(0)),
       lit(0), (acc, m) => acc + m)
-    pairs
-      .join(sig.select($"doc_id".as("a"), $"sig".as("sa")), "a")
-      .join(sig.select($"doc_id".as("b"), $"sig".as("sb")), "b")
-      .withColumn("m1", parityMatches)
-      .select($"a", $"b", $"est_jaccard",
+    val out = cand
+      .select($"a", $"b",
+        Quant.r4(sigMatches($"sa", $"sb", perms)
+          .cast("double") / lit(perms.toDouble)).as("est_jaccard"),
         Quant.r4(greatest(lit(0.0),
-          ($"m1" * 2 - perms).cast("double") / lit(perms.toDouble)))
+          (parityMatches * 2 - perms).cast("double") / lit(perms.toDouble)))
           .as("est_b1"))
+      .filter($"est_jaccard" >= threshold)
       .withColumn("abs_gap", Quant.r4(abs($"est_b1" - $"est_jaccard")))
       .orderBy($"a", $"b")
+    // sigCached stays registered: the returned plan is lazy, so the
+    // consumer releases it after its action (the CacheGuard contract)
+    out
   }
 
   /** Minimum chained-span count for a run to be flagged `long_run`,
@@ -1657,4 +1677,112 @@ object DedupOps {
       .unionByName(row("near_pair_greedy", nearRemoved))
       .orderBy($"method")
   }
+
+  /** Fragment-stitch fixture constants (id offsets clear of the
+    * dup/digest/setsim/edit ranges; shared with the q272 oracle): every
+    * [[stitchStride]]-th document with ≥ 12 tokens ships as TWO
+    * fragments — a head (first 3n/5 tokens, id + [[stitchHeadOffset]])
+    * and a tail (id + [[stitchTailOffset]]) that re-starts exactly
+    * [[stitchOverlap]] tokens before the head ends, the fixed-overlap
+    * convention of a q87-style chunker. */
+  val stitchStride = 11L
+  val stitchHeadOffset = 700000L
+  val stitchTailOffset = 800000L
+  val stitchOverlap = 5
+
+  /** FRAGMENT STITCHING (q272) — crawl/chunk continuation detection:
+    * when an upstream chunker (or a truncating crawler that re-fetches)
+    * emits overlapping fragments with a FIXED overlap width o, fragment
+    * B continues fragment A iff A's last o tokens equal B's first o
+    * tokens exactly. This operator indexes every document's boundary
+    * o-grams (one md5 key per side per doc) and equi-joins tails to
+    * heads — the reassembly candidate list a fragment-dedup pass (cut
+    * the duplicated overlap, splice the stream) consumes; `seeded`
+    * marks the fixture's designed head→tail pairs, and natural
+    * same-boundary collisions in the base corpus ride along as exactly
+    * the false-positive load the consumer must verify (both engines
+    * enumerate them identically).
+    *
+    * Scale shape: two per-row boundary projections and ONE equi-join on
+    * the md5 boundary key — O(corpus) rows, no self-join fan-out beyond
+    * genuine key collisions (bounded by boundary-vocabulary mass, the
+    * same profile as any fingerprint join). */
+  def fragmentStitch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = stitchOverlap
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("tk"))
+    val frag = base
+      .filter($"doc_id" % stitchStride === 0 && size($"tk") >= 12)
+      .select($"doc_id", $"tk",
+        greatest(lit(o), expr("3 * size(tk) div 5")).cast("int").as("h"))
+    val corpus = base
+      .unionByName(frag.select(($"doc_id" + stitchHeadOffset).as("doc_id"),
+        slice($"tk", lit(1), $"h").as("tk")))
+      .unionByName(frag.select(($"doc_id" + stitchTailOffset).as("doc_id"),
+        slice($"tk", $"h" - (o - 1), size($"tk") - $"h" + o).as("tk")))
+      .filter(size($"tk") >= o)
+      .select($"doc_id", $"tk", size($"tk").cast("long").as("n"))
+    val heads = corpus.select($"doc_id".as("a"), $"n".as("a_len"),
+      md5(array_join(slice($"tk", ($"n" - (o - 1)).cast("int"), lit(o)), " "))
+        .as("key"))
+    val tails = corpus.select($"doc_id".as("b"), $"n".as("b_len"),
+      md5(array_join(slice($"tk", 1, o), " ")).as("key"))
+    heads.join(tails, "key")
+      .filter($"a" =!= $"b")
+      .select($"a", $"b", $"a_len", $"b_len",
+        ($"a_len" + $"b_len" - o).as("stitched_len"),
+        ($"a" >= stitchHeadOffset && $"a" < stitchTailOffset &&
+          $"b" === $"a" + (stitchTailOffset - stitchHeadOffset))
+          .as("seeded"))
+      .orderBy($"a", $"b")
+  }
+
+  /** NEAR-DUP CLUSTER COHESION (q273) — edge density of each recovered
+    * cluster: the q67 components are built from BANDED candidate edges,
+    * so a cluster can be a clique (every member pair surfaced — a tight
+    * duplicate set) or a sparse chain (members linked transitively
+    * through middlemen — the over-merge signature that precedes a bad
+    * keeper election). Per cluster: members, recovered edges, the
+    * clique bound n(n−1)/2, and cohesion = edges/clique in exact u4 —
+    * the audit that separates "LSH found a duplicate family" from
+    * "banding chained strangers", which q150 (per-pair accuracy), q160
+    * (detector agreement) and q254 (membership report) cannot express.
+    *
+    * Scale shape: the pair relation and CC labels are the audited q55/
+    * q67 shapes (built ONCE — the signature pipeline is shared, not
+    * re-run); the cohesion rollup is one join of edges to labels on the
+    * edge's a-side plus two keeper-keyed aggregates. Clique arithmetic
+    * is in-row integer work; output O(clusters). */
+  def clusterCohesion(spark: SparkSession, dir: String,
+                      shingleN: Int = 3, perms: Int = 16,
+                      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val (pairs0, sigCached) =
+      md5MinHashPairs(spark, dir, shingleN, perms, bands, threshold)
+    // barrier: the edge relation feeds BOTH the CC build and the edge
+    // count; without it the whole signature chain runs twice
+    val pairs = graft.CacheGuard.barrier(pairs0.select($"a", $"b"))
+    val comps = Components.connectedComponents(pairs)
+    graft.CacheGuard.drop(sigCached)
+    val ids = dupCorpus(spark, dir).select($"doc_id")
+    val labeled = ids.join(comps, ids("doc_id") === comps("node"), "left")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("keeper"))
+    val sizes = labeled.groupBy($"keeper")
+      .agg(count(lit(1)).as("cluster_size"))
+      .filter($"cluster_size" >= 2)
+    val edges = pairs
+      .join(labeled.select($"doc_id".as("a"), $"keeper"), "a")
+      .groupBy($"keeper").agg(count(lit(1)).as("n_edges"))
+    val out = sizes.join(edges, "keeper")
+      .select($"keeper", $"cluster_size", $"n_edges",
+        expr("cluster_size * (cluster_size - 1) div 2").as("clique_edges"),
+        expr("n_edges * 10000 div (cluster_size * (cluster_size - 1) div 2)")
+          .as("cohesion_u4"))
+      .orderBy($"keeper")
+    // the pairs barrier stays registered — the edge-count join is lazy;
+    // the consumer releases after its action (the CacheGuard contract)
+    out
+  }
+
 }

@@ -618,4 +618,61 @@ object Relational {
         $"lvl", $"n_orders", $"revenue_u")
       .orderBy($"lvl", $"r_name", $"n_name")
   }
+
+  /** Subject selector for [[subjectAccessReport]], shared with the q274
+    * oracle: a deterministic 1/13 sample of the customer key space
+    * standing in for the request list a DSAR batch actually ships. */
+  val subjectStride = 13L
+
+  /** SUBJECT ACCESS REPORT (q274) — the GDPR/CCPA right-of-access
+    * export manifest, completing the compliance kit (q125 erases, q162
+    * pseudonymizes, q210 audits re-identification; this one DISCLOSES):
+    * one row per requesting subject with everything the estate holds —
+    * profile fields, event count / value / id span, order count and
+    * lifetime spend — plus an id checksum so the exported detail files
+    * can be verified against the manifest. Money and event values are
+    * exact integer 1e-4 units (per-row u4 then BIGINT sums — never a
+    * float total).
+    *
+    * Scale shape: each fact table pre-aggregates TO THE SUBJECT KEY
+    * behind the subject filter (map-side partials; the modulo filter
+    * stands in for the broadcast semi-join a real request list would
+    * drive), then two key-aligned joins against the O(subjects)
+    * customer slice — the fact tables are never joined to each other.
+    * Missing activity surfaces as zero counts with −1 id bounds, not
+    * dropped rows: an access request must answer even when the answer
+    * is "nothing held". */
+  def subjectAccessReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val subjects = Tables.customer(spark, dir)
+      .filter($"c_custkey" % subjectStride === 0)
+      .select($"c_custkey".as("subject_id"), $"c_name".as("name"),
+        $"c_mktsegment".as("segment"))
+    val ev = Tables.events(spark, dir)
+      .filter($"user_id" % subjectStride === 0)
+      .groupBy($"user_id".as("subject_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(u4($"value")).as("events_value_u4"),
+        min($"event_id").as("first_event_id"),
+        max($"event_id").as("last_event_id"),
+        sum($"event_id").as("event_id_checksum"))
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_custkey" % subjectStride === 0)
+      .groupBy($"o_custkey".as("subject_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(u4($"o_totalprice")).as("spend_u4"))
+    subjects
+      .join(ev, Seq("subject_id"), "left")
+      .join(ord, Seq("subject_id"), "left")
+      .select($"subject_id", $"name", $"segment",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"events_value_u4", lit(0L)).as("events_value_u4"),
+        coalesce($"first_event_id", lit(-1L)).as("first_event_id"),
+        coalesce($"last_event_id", lit(-1L)).as("last_event_id"),
+        coalesce($"event_id_checksum", lit(0L)).as("event_id_checksum"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"spend_u4", lit(0L)).as("spend_u4"))
+      .orderBy($"subject_id")
+  }
+
 }
