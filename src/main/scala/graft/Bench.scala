@@ -66,12 +66,21 @@ object Bench {
       * is: a suite row is flagged against its recorded baseline only when
       * the JIT-adjusted time exceeds 2× — raw wall time alone conflates
       * the operator with the compiler. Probe-less runs fall back to raw
-      * `sec` (adjustment 0), never to a misleading negative. */
+      * `sec` (adjustment 0), never to a misleading negative.
+      *
+      * The subtraction is CAPPED at 50% of wall: `jit_ms` is process-
+      * global and sums across HotSpot's compiler THREADS, so on a busy
+      * rep it can exceed wall time — the uncapped `max(0, …)` form
+      * saturated 64 of 270 round-11 suite rows to exactly 0.0, making
+      * the 2× flag unfirable for a quarter of the suite no matter how
+      * slow the query got (round-11 verdict finding #2). With the floor
+      * at `sec/2`, a row whose genuine work regresses past 4× baseline
+      * is flagged even under a total compile storm. */
     def jitAdjSec: Double =
       if (probe.size != secs.size || probe.isEmpty) sec
       else {
         val adj = secs.zip(probe).map { case (s, p) =>
-          math.max(0.0, s - p.jitMs / 1000.0)
+          math.max(s / 2, s - p.jitMs / 1000.0)
         }
         // restrict to successful reps when any succeeded (same rule as
         // sec), paired by rep INDEX, not wall-time value equality

@@ -93,9 +93,13 @@ object StreamBench {
       q.processAllAvailable()
     }
     val sec = (System.nanoTime() - t0) / 1e9
-    // attribution: sum the duration breakdown over the measured batches
-    // (recentProgress holds the last 100 — enough for any sane sweep)
+    // attribution: sum the duration breakdown over the measured batches.
+    // recentProgress retains only the last ~100 — per-batch figures must
+    // divide by the batches ACTUALLY SUMMED (progs.length), not the
+    // batches fed (groups.size), or a >100-batch sweep silently
+    // underreports every attribution figure (round-11 advice)
     val progs = q.recentProgress.filter(_.batchId > warmBatchId)
+    val nProg = math.max(1, progs.length)
     def dur(k: String): Long =
       progs.map(p => Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)).sum
     val stateCommit = progs.map(_.stateOperators.map(_.commitTimeMs).sum).sum
@@ -104,7 +108,7 @@ object StreamBench {
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.ERROR)
     def s2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    println(s"""{"metric":"stream_docs_per_sec","value":${(rest.length / sec).round},"docs":${rest.length},"sec":${s2(sec)},"batches":${groups.size},"batch_size":$per,"sec_per_batch":${BigDecimal(sec / groups.size).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"curated_total":$curated,"sf":"$sfDir","conf":{"shuffle":$shuffle,"store":"$store","coalesce":${coalesceN.getOrElse(0)},"no_data_batches":$noData},"attrib_ms_per_batch":{"add_batch":${dur("addBatch") / groups.size},"offset_log":${(dur("walCommit") + dur("commitOffsets")) / groups.size},"state_commit":${stateCommit / groups.size},"planning":${dur("queryPlanning") / groups.size},"progress_batches":${progs.length}}}""")
+    println(s"""{"metric":"stream_docs_per_sec","value":${(rest.length / sec).round},"docs":${rest.length},"sec":${s2(sec)},"batches":${groups.size},"batch_size":$per,"sec_per_batch":${BigDecimal(sec / groups.size).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"curated_total":$curated,"sf":"$sfDir","conf":{"shuffle":$shuffle,"store":"$store","coalesce":${coalesceN.getOrElse(0)},"no_data_batches":$noData},"attrib_ms_per_batch":{"add_batch":${dur("addBatch") / nProg},"offset_log":${(dur("walCommit") + dur("commitOffsets")) / nProg},"state_commit":${stateCommit / nProg},"planning":${dur("queryPlanning") / nProg},"progress_batches":${progs.length}}}""")
     System.out.flush()
     spark.stop()
   }

@@ -253,7 +253,7 @@ object CorpusOps {
       .select(decileOf($"first_doc").as("decile"))
       .groupBy($"decile").agg(count(lit(1)).as("n_new"))
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"decile").rowsBetween(Long.MinValue, 0)
+      .orderBy($"decile").rowsBetween(Long.MinValue, 0)  // global-window-ok: O(deciles)
     perDecile.join(firstDecile, Seq("decile"), "left")
       .select($"decile", $"n_spans",
         coalesce($"n_new", lit(0L)).as("n_new"))
@@ -842,7 +842,7 @@ object CorpusOps {
     val freq = graft.CacheGuard.barrier(
       docs.groupBy($"n_chars").agg(count(lit(1)).as("cnt")))
     val wCum = org.apache.spark.sql.expressions.Window
-      .orderBy($"n_chars").rowsBetween(Long.MinValue, -1)
+      .orderBy($"n_chars").rowsBetween(Long.MinValue, -1)  // global-window-ok: O(distinct lengths)
     val offsets = freq
       .withColumn("base", coalesce(sum($"cnt").over(wCum), lit(0L)))
       .select($"n_chars", $"base")

@@ -204,7 +204,7 @@ object IngestPipelines {
       .withColumn("drain_ms", $"n_urls" * politenessMs)
     val ranked = perHost.withColumn("rk",
       row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy($"drain_ms".desc, $"host")))
+        .orderBy($"drain_ms".desc, $"host")))  // global-window-ok: O(hosts)
     val assigned = ranked.withColumn("lane", ($"rk" - 1) % w2)
       .withColumn("worker",
         when($"lane" < crawlWorkers, $"lane")

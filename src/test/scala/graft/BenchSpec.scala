@@ -125,25 +125,29 @@ class BenchSpec extends SparkSpec {
       Bench.Measured(name, Seq(sec), Seq(sec), None,
         gcMs = Seq(0L),
         probe = Seq(Snap(0, 0, 0, 0, 0, 0, 0, 0, 0, jitMs = jitMs)))
-    // 4.0 s wall of which 3.5 s is HotSpot compile → jit_adj 0.5 s: NOT
-    // flagged against a 1.0 s baseline (raw ratio 4× would false-alarm);
-    // a genuinely slow row (4.0 s, no jit) IS flagged
+    // 4.0 s wall of which 3.5 s is HotSpot compile → jit_adj capped at
+    // sec/2 = 2.0 s: NOT flagged against a 1.0 s baseline (raw ratio 4×
+    // would false-alarm); a genuinely slow row (4.0 s, no jit) IS
+    // flagged; a compile-storm row vs a 0.9 s baseline IS flagged —
+    // under the old uncapped rule its jit_adj saturated to 0.0 and the
+    // flag could never fire (round-11 verdict finding #2)
     val rs = Seq(m("q01_a", 4.0, 3500L), m("q02_b", 4.0, 0L),
-      m("q03_nobase", 1.0, 0L))
-    val rec = Map("q01_a" -> 1.0, "q02_b" -> 1.0)
+      m("q03_nobase", 1.0, 0L), m("q04_sat", 4.0, 9000L))
+    val rec = Map("q01_a" -> 1.0, "q02_b" -> 1.0, "q04_sat" -> 0.9)
     val prev = Map("q01_a" -> 2.0, "q02_b" -> 2.0, "q03_nobase" -> 1.0)
     val full = Bench.renderFull(rs, 1, "/tmp/sf", rec, prev)
-    assert(full.contains(""""jit_adj_sec":0.500"""))
+    assert(full.contains(""""jit_adj_sec":2.000"""))
     assert(full.contains(""""vs_first_recorded":4.000,"flagged":false"""))
     assert(full.contains(""""vs_first_recorded":4.000,"flagged":true"""))
+    assert(full.contains(""""vs_first_recorded":4.444,"flagged":true"""))
     assert(full.contains(""""vs_prev_round":2.000"""))
     // aggregates: first-recorded common set excludes the baseline-less
-    // query and carries the flag counter; prev-round covers all three
-    assert(full.contains(""""vs_first_recorded":{"n_common":2"""))
-    assert(full.contains(""""n_flagged_jitadj_over2x":1"""))
+    // query and carries the flag counter; prev-round covers three
+    assert(full.contains(""""vs_first_recorded":{"n_common":3"""))
+    assert(full.contains(""""n_flagged_jitadj_over2x":2"""))
     assert(full.contains(""""vs_prev_round":{"n_common":3"""))
     val slim = Bench.renderSlim(rs, 1, "/tmp/sf", rec, prev)
-    assert(slim.contains(""""vs_first_recorded":{"n":2,"ratio":4.000,"flag2x":1}"""))
+    assert(slim.contains(""""vs_first_recorded":{"n":3,"ratio":4.138,"flag2x":2}"""))
     assert(slim.contains(""""vs_prev_round":{"n":3,"ratio":1.800}"""))
     // without baseline files nothing is emitted (bootstrap rounds)
     assert(!Bench.renderSlim(rs, 1, "/tmp/sf").contains("vs_"))
@@ -159,6 +163,19 @@ class BenchSpec extends SparkSpec {
       Some("boom"), gcMs = Seq(0L, 0L),
       probe = Seq(snap(3900L), snap(0L)), repOk = Seq(false, true))
     assert(r.jitAdjSec === 4.0)
+  }
+
+  test("jit adjustment is capped at 50% of wall — a compile storm can no longer zero a row") {
+    import graft.BenchProbe.Snap
+    def m(sec: Double, jitMs: Long) =
+      Bench.Measured("q_cap", Seq(sec), Seq(sec), None, gcMs = Seq(0L),
+        probe = Seq(Snap(0, 0, 0, 0, 0, 0, 0, 0, 0, jitMs = jitMs)))
+    // jit_ms sums across HotSpot compiler threads and can exceed wall
+    // time; the floor keeps the row flaggable (never 0.0 while sec > 0)
+    assert(m(4.0, 9000L).jitAdjSec === 2.0)
+    assert(m(4.0, 3000L).jitAdjSec === 2.0) // clamped to the floor
+    assert(m(4.0, 1000L).jitAdjSec === 3.0) // below the floor: unclamped
+    assert(m(4.0, 0L).jitAdjSec === 4.0)
   }
 
   test("recordedBaselines parses the committed per-query baseline file (frozen, mixed provenance)") {

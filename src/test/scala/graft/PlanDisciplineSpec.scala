@@ -46,6 +46,44 @@ class PlanDisciplineSpec extends AnyFunSuite {
       else None
     }.toSeq
 
+  /** Line-WRAPPED violations: a call split across two physical lines
+    * (`Window` on one, `.orderBy` on the next — exactly how the repo's
+    * fluent style wraps long receivers) is invisible to the per-line
+    * scan above (round-11 advice). Scan each adjacent code-line pair
+    * joined on whitespace; flag only pairs where NEITHER line matches
+    * alone (those are the per-line scan's rows — no double counting),
+    * and accept the waiver in EITHER line's trailing comment. */
+  def wrappedViolations(path: String, text: String,
+                        callRe: scala.util.matching.Regex, waiver: String,
+                        exempt: String => Boolean = _ => false): Seq[String] = {
+    val lines = text.linesIterator.toIndexedSeq
+    def isComment(l: String) = {
+      val t = l.trim
+      t.startsWith("*") || t.startsWith("//") || t.startsWith("/*")
+    }
+    def codeOf(l: String) = {
+      val ci = q.commentStart(l); if (ci == -1) l else l.substring(0, ci)
+    }
+    def waived(l: String) = {
+      val ci = q.commentStart(l)
+      ci != -1 && l.substring(ci).contains(waiver)
+    }
+    (0 until lines.size - 1).flatMap { i =>
+      val (l1, l2) = (lines(i), lines(i + 1))
+      // join WITHOUT inserting whitespace: a wrapped `df.` + `collect()`
+      // must reassemble to `df.collect()` for the (whitespace-free)
+      // collect regex; `Window` + `.orderBy` matches either way
+      lazy val joined = codeOf(l1).replaceAll("\\s+$", "") + codeOf(l2).trim
+      if (!isComment(l1) && !isComment(l2) &&
+          !callRe.unanchored.matches(codeOf(l1)) &&
+          !callRe.unanchored.matches(codeOf(l2)) &&
+          callRe.unanchored.matches(joined) &&
+          !waived(l1) && !waived(l2) && !exempt(joined))
+        Some(s"$path:${i + 1}: ${l1.trim} \\n ${l2.trim}")
+      else None
+    }
+  }
+
   private def engineSources(): Seq[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Path.of("src/main/scala/graft")
@@ -60,10 +98,15 @@ class PlanDisciplineSpec extends AnyFunSuite {
   private val collectRe = """\.(collect\(\)|collectAsList\(\))""".r
 
   test("every unpartitioned Window.orderBy carries a // global-window-ok bound") {
-    val bad = engineSources().flatMap(p => violations(p.toString,
-      java.nio.file.Files.readString(p), windowRe, "global-window-ok",
-      // Window.partitionBy(...).orderBy on one line is a keyed window
-      exempt = _.contains("partitionBy")))
+    val bad = engineSources().flatMap { p =>
+      val text = java.nio.file.Files.readString(p)
+      // Window.partitionBy(...).orderBy (on one line or wrapped) is a
+      // keyed window
+      violations(p.toString, text, windowRe, "global-window-ok",
+        exempt = _.contains("partitionBy")) ++
+        wrappedViolations(p.toString, text, windowRe, "global-window-ok",
+          exempt = _.contains("partitionBy"))
+    }
     assert(bad.isEmpty,
       "unpartitioned windows without a `// global-window-ok: O(<bound>)` " +
         "annotation (a partitionless window serializes the relation " +
@@ -75,8 +118,11 @@ class PlanDisciplineSpec extends AnyFunSuite {
   }
 
   test("every driver-side collect carries a // collect-ok bound") {
-    val bad = engineSources().flatMap(p => violations(p.toString,
-      java.nio.file.Files.readString(p), collectRe, "collect-ok"))
+    val bad = engineSources().flatMap { p =>
+      val text = java.nio.file.Files.readString(p)
+      violations(p.toString, text, collectRe, "collect-ok") ++
+        wrappedViolations(p.toString, text, collectRe, "collect-ok")
+    }
     assert(bad.isEmpty,
       "driver collects without a `// collect-ok: O(<bound>)` annotation " +
         "(a data-sized collect makes the operator non-distributed — " +
@@ -99,6 +145,43 @@ class PlanDisciplineSpec extends AnyFunSuite {
       exempt = _.contains("partitionBy"))
     assert(bad.size === 2, bad.mkString("\n"))
     assert(bad.map(_.split(":")(1)) === Seq("1", "5"))
+  }
+
+  test("the wrapped-pair guard catches a Window/.orderBy split across lines") {
+    val fixture =
+      """val w = org.apache.spark.sql.expressions.Window
+        |  .orderBy($"v")
+        |val keyed = org.apache.spark.sql.expressions.Window
+        |  .partitionBy($"k").orderBy($"v")
+        |val ok = org.apache.spark.sql.expressions.Window
+        |  .orderBy($"v")  // global-window-ok: O(deciles)
+        |val ok2 = org.apache.spark.sql.expressions.Window  // global-window-ok: O(hosts)
+        |  .orderBy($"v")
+        |// a comment mentioning Window
+        |//   .orderBy is fine
+        |val oneLine = Window.orderBy($"v")
+        |""".stripMargin
+    val bad = wrappedViolations("Fixture.scala", fixture, windowRe,
+      "global-window-ok", exempt = _.contains("partitionBy"))
+    // only the first pair: keyed is exempt, ok/ok2 are waived (either
+    // line), the comment pair is skipped, and the one-line site belongs
+    // to the per-line scan (no double counting)
+    assert(bad.size === 1, bad.mkString("\n"))
+    assert(bad.head.startsWith("Fixture.scala:1:"), bad.head)
+  }
+
+  test("the wrapped-pair guard catches a collect split across lines") {
+    // the trailing-dot wrap style: `.collect()` on its own line is the
+    // per-line scan's row — `df.` + `collect()` is the invisible one
+    val fixture =
+      """val rows = df.
+        |  collect()
+        |val ok = small.
+        |  collect()  // collect-ok: O(codebook)
+        |""".stripMargin
+    val bad = wrappedViolations("Fixture.scala", fixture, collectRe, "collect-ok")
+    assert(bad.size === 1, bad.mkString("\n"))
+    assert(bad.head.startsWith("Fixture.scala:1:"), bad.head)
   }
 
   test("the collect guard catches a deliberately-unannotated fixture") {
