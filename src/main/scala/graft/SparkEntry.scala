@@ -356,6 +356,9 @@ object SparkEntry {
     "q270_zipf_slope" -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
     "q271_quota_gate" -> ((s, d) =>
       graft.streaming.QuotaGate.quotaReplayBatch(s, d)),
+    "q272_fragment_stitch" -> ((s, d) => DedupOps.fragmentStitch(s, d)),
+    "q273_cluster_cohesion" -> ((s, d) => DedupOps.clusterCohesion(s, d)),
+    "q274_subject_access" -> ((s, d) => Relational.subjectAccessReport(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -7946,6 +7949,111 @@ object SparkEntry {
          |    THEN doc_id END) AS last_admitted
          |FROM r GROUP BY source, bucket
          |ORDER BY source, bucket""".stripMargin,
+
+    // fragment stitching: boundary 5-gram index, heads (last-5 key) ⋈
+    // tails (first-5 key) — the seeded head→tail pairs plus natural
+    // same-boundary collisions, enumerated identically by both engines
+    "q272_fragment_stitch" -> {
+      import DedupOps.{stitchStride, stitchHeadOffset, stitchTailOffset, stitchOverlap}
+      val o = stitchOverlap
+      s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |frag AS (
+         |  SELECT doc_id, tk,
+         |    CAST(greatest($o, 3 * len(tk) // 5) AS INT) AS h
+         |  FROM base WHERE doc_id % $stitchStride = 0 AND len(tk) >= 12),
+         |corpus0 AS (
+         |  SELECT doc_id, tk FROM base
+         |  UNION ALL
+         |  SELECT doc_id + $stitchHeadOffset, list_slice(tk, 1, h) FROM frag
+         |  UNION ALL
+         |  SELECT doc_id + $stitchTailOffset,
+         |    list_slice(tk, h - ${o - 1}, len(tk)) FROM frag),
+         |fc AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+         |       FROM corpus0 WHERE len(tk) >= $o),
+         |heads AS (
+         |  SELECT doc_id AS a, n AS a_len,
+         |    md5(array_to_string(
+         |      list_slice(tk, CAST(n - ${o - 1} AS INT), CAST(n AS INT)), ' '))
+         |      AS key
+         |  FROM fc),
+         |tails AS (
+         |  SELECT doc_id AS b, n AS b_len,
+         |    md5(array_to_string(list_slice(tk, 1, $o), ' ')) AS key
+         |  FROM fc)
+         |SELECT a, b, a_len, b_len,
+         |  a_len + b_len - $o AS stitched_len,
+         |  (a >= $stitchHeadOffset AND a < $stitchTailOffset
+         |    AND b = a + ${stitchTailOffset - stitchHeadOffset}) AS seeded
+         |FROM heads JOIN tails USING (key)
+         |WHERE a <> b
+         |ORDER BY a, b""".stripMargin
+    },
+
+    // near-dup cluster cohesion: the q254 keeper chain (same banded
+    // pair relation + unrolled min-label CC), then edges rolled up per
+    // keeper against the clique bound — exact integer u4
+    "q273_cluster_cohesion" ->
+      s"""WITH $minHashCtesSql,
+         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |ids AS (SELECT doc_id FROM corpus),
+         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |$keeperCompCtes,
+         |labeled AS (
+         |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
+         |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+         |csz AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size
+         |        FROM labeled GROUP BY keeper),
+         |edg AS (
+         |  SELECT l.keeper, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM prs p JOIN labeled l ON l.doc_id = p.a GROUP BY l.keeper)
+         |SELECT c.keeper, c.cluster_size, e.n_edges,
+         |  CAST(c.cluster_size * (c.cluster_size - 1) // 2 AS BIGINT)
+         |    AS clique_edges,
+         |  CAST(e.n_edges * 10000
+         |    // (c.cluster_size * (c.cluster_size - 1) // 2) AS BIGINT)
+         |    AS cohesion_u4
+         |FROM csz c JOIN edg e ON e.keeper = c.keeper
+         |WHERE c.cluster_size >= 2
+         |ORDER BY c.keeper""".stripMargin,
+
+    // subject access report: per-fact pre-aggregation behind the
+    // subject stride, two key-aligned left joins, zero-activity
+    // subjects kept with 0 counts / -1 id bounds
+    "q274_subject_access" -> {
+      val k = Relational.subjectStride
+      s"""WITH subj AS (
+         |  SELECT c_custkey AS subject_id, c_name AS name,
+         |    c_mktsegment AS segment
+         |  FROM customer WHERE c_custkey % $k = 0),
+         |ev AS (
+         |  SELECT user_id AS subject_id,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS events_value_u4,
+         |    min(event_id) AS first_event_id,
+         |    max(event_id) AS last_event_id,
+         |    CAST(sum(event_id) AS BIGINT) AS event_id_checksum
+         |  FROM events WHERE user_id % $k = 0 GROUP BY user_id),
+         |ord AS (
+         |  SELECT o_custkey AS subject_id,
+         |    CAST(count(*) AS BIGINT) AS n_orders,
+         |    CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS spend_u4
+         |  FROM orders WHERE o_custkey % $k = 0 GROUP BY o_custkey)
+         |SELECT s.subject_id, s.name, s.segment,
+         |  coalesce(ev.n_events, 0) AS n_events,
+         |  coalesce(ev.events_value_u4, 0) AS events_value_u4,
+         |  coalesce(ev.first_event_id, -1) AS first_event_id,
+         |  coalesce(ev.last_event_id, -1) AS last_event_id,
+         |  coalesce(ev.event_id_checksum, 0) AS event_id_checksum,
+         |  coalesce(ord.n_orders, 0) AS n_orders,
+         |  coalesce(ord.spend_u4, 0) AS spend_u4
+         |FROM subj s
+         |LEFT JOIN ev ON ev.subject_id = s.subject_id
+         |LEFT JOIN ord ON ord.subject_id = s.subject_id
+         |ORDER BY s.subject_id""".stripMargin
+    },
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

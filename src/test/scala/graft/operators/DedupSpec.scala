@@ -905,4 +905,64 @@ class DedupSpec extends SparkSpec {
     // the seeded +dupOffset copies guarantee exact pairs exist
     assert(out.exists(_.getAs[Double]("est_jaccard") === 1.0))
   }
+
+  test("q272: the seeded-stitch flag marks exactly the designed head→tail pairs, which reassemble to the source length") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = DedupOps.fragmentStitch(spark, sf).collect()
+    assert(out.nonEmpty)
+    val o = DedupOps.stitchOverlap
+    // every row's stitched length is the overlap-cut splice
+    out.foreach { r =>
+      assert(r.getAs[Long]("stitched_len") ===
+        r.getAs[Long]("a_len") + r.getAs[Long]("b_len") - o)
+    }
+    // driver-side replay of the fixture: which base docs fragment
+    val designed = graft.Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+      .filter { case (id, tk) =>
+        id % DedupOps.stitchStride == 0 && tk.size >= 12 }
+    assert(designed.nonEmpty)
+    // the flag's exactness: one seeded pair per designed doc, none else
+    val seeded = out.filter(_.getAs[Boolean]("seeded"))
+    assert(seeded.length === designed.size)
+    val byA = seeded.map(r => r.getAs[Long]("a") -> r).toMap
+    designed.foreach { case (id, tk) =>
+      val h = math.max(o, 3 * tk.size / 5)
+      val r = byA(id + DedupOps.stitchHeadOffset)
+      assert(r.getAs[Long]("b") === id + DedupOps.stitchTailOffset)
+      assert(r.getAs[Long]("a_len") === h.toLong)
+      assert(r.getAs[Long]("b_len") === (tk.size - h + o).toLong)
+      // splicing head+tail (cutting the duplicated overlap) recovers
+      // the source token count exactly — the reassembly contract
+      assert(r.getAs[Long]("stitched_len") === tk.size.toLong)
+    }
+  }
+
+  test("q273: cohesion arithmetic is exact, bounded by connectivity and the clique, and keepers agree with the q254 report") {
+    val out = DedupOps.clusterCohesion(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("cluster_size")
+      val e = r.getAs[Long]("n_edges")
+      val clique = n * (n - 1) / 2
+      assert(n >= 2, s"keeper ${r.getAs[Long]("keeper")}")
+      assert(r.getAs[Long]("clique_edges") === clique)
+      // the cluster was BUILT from these edges: connected (≥ n−1) and
+      // at most one edge per unordered pair
+      assert(e >= n - 1 && e <= clique,
+        s"keeper ${r.getAs[Long]("keeper")}: $e edges, n=$n")
+      assert(r.getAs[Long]("cohesion_u4") === e * 10000L / clique)
+    }
+    // the +dupOffset exact copies guarantee 2-cliques: cohesion 10000
+    assert(out.exists(_.getAs[Long]("cohesion_u4") === 10000L))
+    // same pair relation + same CC as the q254 membership report:
+    // identical keeper set and sizes
+    val report = DedupOps.dupClusterReport(spark, sf).collect()
+      .map(r => r.getAs[Long]("keeper") -> r.getAs[Long]("n_members")).toMap
+    assert(out.map(r => r.getAs[Long]("keeper") ->
+      r.getAs[Long]("cluster_size")).toMap === report)
+  }
 }

@@ -365,4 +365,53 @@ class RelationalSpec extends SparkSpec {
       assert(r.getAs[Long]("revenue_u") === direct(r.getAs[String]("n_name")))
     }
   }
+
+  test("q274: subject access report replays per-subject aggregates and answers for zero-activity subjects") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val out = Relational.subjectAccessReport(spark, sf).collect()
+    assert(out.nonEmpty)
+    val k = Relational.subjectStride
+    // the manifest covers exactly the strided request list — no more,
+    // no fewer (a dropped subject is an unanswered access request)
+    val subjects = graft.Tables.customer(spark, sf)
+      .filter($"c_custkey" % k === 0)
+      .select($"c_custkey").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("subject_id")).toSet === subjects)
+    // driver replay of the event-side slice (collect is subject-sized)
+    val ev = graft.Tables.events(spark, sf)
+      .filter($"user_id" % k === 0)
+      .select($"user_id", $"event_id").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    out.foreach { r =>
+      val id = r.getAs[Long]("subject_id")
+      assert(id % k === 0L)
+      ev.get(id) match {
+        case Some(rows) =>
+          val ids = rows.map(_.getAs[Long]("event_id"))
+          assert(r.getAs[Long]("n_events") === ids.length.toLong)
+          assert(r.getAs[Long]("first_event_id") === ids.min)
+          assert(r.getAs[Long]("last_event_id") === ids.max)
+          assert(r.getAs[Long]("event_id_checksum") === ids.sum)
+        case None =>
+          // "nothing held" is still an answer: zero counts, −1 bounds
+          assert(r.getAs[Long]("n_events") === 0L)
+          assert(r.getAs[Long]("first_event_id") === -1L)
+          assert(r.getAs[Long]("last_event_id") === -1L)
+          assert(r.getAs[Long]("event_id_checksum") === 0L)
+      }
+    }
+    // the sf0.001 slice has event-less subjects — the branch is real
+    assert(out.exists(_.getAs[Long]("n_events") === 0L))
+    // order-side totals: the manifest's spend sums to the slice's
+    val spend = graft.Tables.orders(spark, sf)
+      .filter($"o_custkey" % k === 0)
+      .join(graft.Tables.customer(spark, sf).filter($"c_custkey" % k === 0),
+        $"o_custkey" === $"c_custkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.floor($"o_totalprice" * 10000 +
+          org.apache.spark.sql.functions.lit(0.5)).cast("long")))
+      .collect().head.getLong(0)
+    assert(out.map(_.getAs[Long]("spend_u4")).sum === spend)
+  }
 }
