@@ -15,10 +15,16 @@ Modes:
             BASELINE_queries.json, sourced from bench_health.json (or a
             given health file) with the given round number. Existing rows
             are never modified.
+  check   — round-close gate (VERDICT r11 ask #3): exit nonzero when the
+            health file contains queries with NO frozen baseline — an
+            unfrozen query is unguarded by the 2x flag, which is how
+            q266-q271 shipped a round without drift protection. Run it
+            after `append`; a failure means the append was skipped.
 
 Usage:
   python3 scripts/freeze_baselines.py freeze
   python3 scripts/freeze_baselines.py append <round> [health_file]
+  python3 scripts/freeze_baselines.py check [health_file]
 """
 import json, re, sys, os
 
@@ -92,11 +98,23 @@ def append(rnd, health_file):
     print(f"appended {added} new queries (round {rnd}); {len(cur)} total, existing rows untouched")
 
 
+def check(health_file):
+    cur = json.load(open(BQ))
+    missing = sorted(set(health_secs(health_file)) - set(cur))
+    if missing:
+        sys.exit(f"UNFROZEN queries (no baseline row — the 2x flag cannot "
+                 f"fire for them; run `append <round>` first): {missing}")
+    print(f"all {len(health_secs(health_file))} benched queries have frozen baselines")
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "freeze":
         freeze()
     elif len(sys.argv) >= 3 and sys.argv[1] == "append":
         hf = sys.argv[3] if len(sys.argv) > 3 else os.path.join(ROOT, "bench_health.json")
         append(int(sys.argv[2]), hf)
+    elif len(sys.argv) >= 2 and sys.argv[1] == "check":
+        hf = sys.argv[2] if len(sys.argv) > 2 else os.path.join(ROOT, "bench_health.json")
+        check(hf)
     else:
         sys.exit(__doc__)
