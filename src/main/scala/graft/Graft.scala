@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Library facade: the one import a user of the engine needs.
   *
-  * The engine's 273 declared queries (`SparkEntry.queries`) are the
+  * The engine's 278 declared queries (`SparkEntry.queries`) are the
   * EVIDENCE surface — each is a composed, DuckDB-oracled example of the
   * operators below. A consuming team programs against the operator
   * objects, which this facade groups by family with stable names; every
@@ -62,7 +62,10 @@ object Graft {
     * (q67), leakage-safe splits (q81), incremental/Bloom/TTL gates
     * (q88/q74/q127), dedup-then-audit compositions (q175/q178 — the
     * measured 100 TB path where the uncomposed exact joins are
-    * Ω(answer)), policy/savings reports (q174/q229/q240). Specs:
+    * Ω(answer)), policy/savings reports (q174/q229/q240), fragment
+    * stitching (q272), cluster cohesion (q273), winnowing fingerprints
+    * (q275), content-defined chunking (q276), blocking-quality and
+    * S-curve audits (q277/q278). Specs:
     * `DedupSpec`, `ComponentsSpec`; scale: BASELINE.md decade table. */
   val dedup: operators.DedupOps.type = operators.DedupOps
 
@@ -106,8 +109,9 @@ object Graft {
     * components (q48), PageRank (q98, integer-exact), LPA (q116),
     * triangles (q97), k-core (q185), HITS (q209), PPR (q206), BFS
     * (q217), modularity (q227), thread trees by pointer doubling
-    * (q190). One keyed shuffle per round, lineage cuts. Spec:
-    * `ComponentsSpec`. */
+    * (q190), incremental CC maintenance (q279 — delta edges contracted
+    * through base labels, CC on the label-level graph only). One keyed
+    * shuffle per round, lineage cuts. Spec: `ComponentsSpec`. */
   val graph: operators.Components.type = operators.Components
 
   /** Warehouse/product analytics: funnels (q101/q224), cohorts (q107),

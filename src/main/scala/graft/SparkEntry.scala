@@ -359,6 +359,16 @@ object SparkEntry {
     "q272_fragment_stitch" -> ((s, d) => DedupOps.fragmentStitch(s, d)),
     "q273_cluster_cohesion" -> ((s, d) => DedupOps.clusterCohesion(s, d)),
     "q274_subject_access" -> ((s, d) => Relational.subjectAccessReport(s, d)),
+    "q275_winnow_matches" -> ((s, d) => DedupOps.winnowedMatches(s, d)),
+    "q276_cdc_chunks" -> ((s, d) => DedupOps.cdcChunkDedup(s, d)),
+    "q277_blocking_audit" -> ((s, d) => DedupOps.blockingAudit(s, d)),
+    "q278_lsh_scurve" -> ((s, d) => DedupOps.lshScurveAudit(s, d)),
+    "q279_incremental_cc" -> ((s, d) => Components.incrementalCc(s, d)),
+    "q280_prototype_prune" -> ((s, d) => AnnSearch.prototypePrune(s, d)),
+    "q281_louvain_moves" -> ((s, d) => Components.louvainMoveAudit(s, d)),
+    "q282_ams_f2" -> ((s, d) => Sketches.amsF2(s, d)),
+    "q283_kn_bigrams" -> ((s, d) => TextAnalysis.knBigramTable(s, d)),
+    "q284_unimax_alloc" -> ((s, d) => CorpusOps.unimaxAllocation(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -406,7 +416,16 @@ object SparkEntry {
   /** The md5-family MinHash CTE chain (signatures → bands → capped
     * candidates → est) over an arbitrary `(doc_id, text)` corpus SQL —
     * parameterized (round 10) so the composed q248 pipeline can band its
-    * extended corpus with the IDENTICAL chain the q55 family audits. */
+    * extended corpus with the IDENTICAL chain the q55 family audits.
+    *
+    * MATERIALIZED discipline (round 12): DuckDB INLINES plain CTEs, so a
+    * CTE referenced k times is re-derived k times — and in the unrolled
+    * graph oracles the edge relation is referenced once per round, which
+    * re-ran this whole chain 5–6× and disk-killed every sf1 replay of
+    * the CC family (the r11 q67 attempt spilled >70 GB). `sigl`,
+    * `banded`, `est`, and every downstream `sym`/`prs`/`ed`/round CTE
+    * with ≥2 references are now MATERIALIZED — result-identical, chain
+    * computed once. */
   private def minHashCtesOver(corpusSql: String): String =
     s"""corpus AS (
        |  $corpusSql),
@@ -421,8 +440,8 @@ object SparkEntry {
        |  SELECT doc_id, p.p AS p,
        |    min(((2*p.p + 3) * h + (7*p.p + 1)) % 2147483647) AS v
        |  FROM h CROSS JOIN range(0, 16) p(p) GROUP BY doc_id, p.p),
-       |sigl AS (SELECT doc_id, list(v ORDER BY p) AS s FROM sg GROUP BY doc_id),
-       |banded AS (
+       |sigl AS MATERIALIZED (SELECT doc_id, list(v ORDER BY p) AS s FROM sg GROUP BY doc_id),
+       |banded AS MATERIALIZED (
        |  SELECT doc_id, b.b AS band, list_slice(s, b.b*4 + 1, b.b*4 + 4) AS bk
        |  FROM sigl CROSS JOIN range(0, 4) b(b)),
        |ranked AS (
@@ -434,7 +453,7 @@ object SparkEntry {
        |  FROM ranked x JOIN banded y
        |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
        |    AND x.rk <= ${DedupOps.bandBlockCap}),
-       |est AS (
+       |est AS MATERIALIZED (
        |  SELECT c.a, c.b,
        |    floor((len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) / 16.0)*1e4 + 0.5)/1e4
        |      AS est_jaccard
@@ -468,23 +487,39 @@ object SparkEntry {
     * label's label (pointer jumping); ends at `out(node, outCol)` — the
     * drop-in replacement for the recursive `comp`. MATERIALIZED is
     * load-bearing, as in the q185/q206/q217 oracles: without it DuckDB
-    * inlines each round into the next and re-derives the chain. */
+    * inlines each round into the next and re-derives the chain.
+    *
+    * Fixpoint guard (round 12): the unrolled form equals the recursive
+    * fixpoint only if the graph converges within K rounds, and a
+    * too-deep graph would otherwise UNDER-MERGE silently — the
+    * differential would flag a hash mismatch, but misattributed to the
+    * engine. So the final CTE compares lp{K} against lp{K-1} and raises
+    * a targeted DuckDB `error()` if any label is still moving: oracle
+    * non-convergence surfaces as its own named failure, never as a
+    * plausible-but-wrong label set. */
   private def minLabelCtes(sym: String, seed: String,
-                           out: String, outCol: String): String = {
+                           out: String, outCol: String,
+                           pfx: String = "lp"): String = {
     val rounds = (1 to lpRounds).map { i =>
-      s"""lp$i AS MATERIALIZED (
+      s"""$pfx$i AS MATERIALIZED (
          |  SELECT n.node,
          |    least(n.lbl, coalesce(min(m.lbl), n.lbl),
          |          coalesce(min(j.lbl), n.lbl)) AS lbl
-         |  FROM lp${i - 1} n
+         |  FROM $pfx${i - 1} n
          |  LEFT JOIN $sym s ON s.src = n.node
-         |  LEFT JOIN lp${i - 1} m ON m.node = s.dst
-         |  LEFT JOIN lp${i - 1} j ON j.node = n.lbl
+         |  LEFT JOIN $pfx${i - 1} m ON m.node = s.dst
+         |  LEFT JOIN $pfx${i - 1} j ON j.node = n.lbl
          |  GROUP BY n.node, n.lbl)""".stripMargin
     }.mkString(",\n")
-    s"""lp0 AS MATERIALIZED ($seed),
+    s"""${pfx}0 AS MATERIALIZED ($seed),
        |$rounds,
-       |$out AS MATERIALIZED (SELECT node, lbl AS $outCol FROM lp$lpRounds)""".stripMargin
+       |${out}_conv AS (
+       |  SELECT count(*) AS changed FROM $pfx$lpRounds a
+       |  JOIN $pfx${lpRounds - 1} b ON a.node = b.node AND a.lbl <> b.lbl),
+       |$out AS MATERIALIZED (
+       |  SELECT node, CASE WHEN (SELECT changed FROM ${out}_conv) = 0
+       |    THEN lbl ELSE error('cc oracle unconverged at K=$lpRounds')
+       |  END AS $outCol FROM $pfx$lpRounds)""".stripMargin
   }
 
   /** The keeper-election form shared by the q67 chain (q67/q81/q90/q149/
@@ -1546,12 +1581,12 @@ object SparkEntry {
     // singleton docs kept via the left join
     "q67_neardup_keepers" ->
       s"""WITH $minHashCtesSql,
-         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |prs AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
-         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
          |$keeperCompCtes,
-         |labeled AS (
+         |labeled AS MATERIALIZED (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
          |cs AS (SELECT keeper, count(*) AS cluster_size
@@ -1847,12 +1882,12 @@ object SparkEntry {
     // whose cluster a naive per-doc hash split WOULD have torn apart
     "q81_leakage_safe_split" ->
       s"""WITH $minHashCtesSql,
-         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |prs AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
-         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
          |$keeperCompCtes,
-         |labeled AS (
+         |labeled AS MATERIALIZED (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
          |sp AS (
@@ -2063,9 +2098,9 @@ object SparkEntry {
     // n_chars, ties to the lowest doc_id
     "q90_quality_keepers" ->
       s"""WITH $minHashCtesSql,
-         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |prs AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
-         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
          |$keeperCompCtes,
          |labeled AS (
@@ -2139,9 +2174,9 @@ object SparkEntry {
          |  SELECT side, doc_id, p.p AS p,
          |    min(((2*p.p + 3) * h + (7*p.p + 1)) % 2147483647) AS v
          |  FROM h CROSS JOIN range(0, 16) p(p) GROUP BY side, doc_id, p.p),
-         |sigl AS (SELECT side, doc_id, list(v ORDER BY p) AS s
+         |sigl AS MATERIALIZED (SELECT side, doc_id, list(v ORDER BY p) AS s
          |         FROM sg GROUP BY side, doc_id),
-         |bd AS (
+         |bd AS MATERIALIZED (
          |  SELECT side, doc_id, b.b AS band,
          |    list_slice(s, b.b*4 + 1, b.b*4 + 4) AS bk
          |  FROM sigl CROSS JOIN range(0, 4) b(b)),
@@ -2278,7 +2313,7 @@ object SparkEntry {
     // wedges joined on the common lower endpoint, closed by a left join
     "q97_triangle_census" ->
       s"""WITH $minHashCtesSql,
-         |ed AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |ed AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
          |wg AS (
          |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
          |  FROM ed e1 JOIN ed e2 ON e1.a = e2.a AND e1.b < e2.b),
@@ -2302,16 +2337,16 @@ object SparkEntry {
       val rounds = (0 until 5).map { i =>
         s"""c$i AS (SELECT r.node, r.r // d.deg AS c
            |        FROM r$i r JOIN deg d USING (node)),
-           |r${i + 1} AS (
+           |r${i + 1} AS MATERIALIZED (
            |  SELECT s.dst AS node,
            |    CAST(150000 + (85 * sum(c.c)) // 100 AS BIGINT) AS r
            |  FROM sym s JOIN c$i c ON c.node = s.src GROUP BY s.dst)""".stripMargin
       }.mkString(",\n")
       s"""WITH $minHashCtesSql,
-         |ed AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
-         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |ed AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
          |        UNION ALL SELECT b, a FROM ed),
-         |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
          |$rounds
          |SELECT r5.node AS doc_id, CAST(d.deg AS BIGINT) AS degree,
@@ -2763,15 +2798,15 @@ object SparkEntry {
            |  SELECT s.dst, l.lbl, count(*) AS cnt
            |  FROM sym s JOIN l$i l ON l.node = s.src
            |  GROUP BY s.dst, l.lbl),
-           |l${i + 1} AS (
+           |l${i + 1} AS MATERIALIZED (
            |  SELECT dst AS node, lbl FROM (
            |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst
            |      ORDER BY cnt DESC, lbl) AS rk
            |    FROM n$i) z WHERE rk = 1)""".stripMargin
       }.mkString(",\n")
       s"""WITH $minHashCtesSql,
-         |ed AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
-         |sym AS (SELECT a AS src, b AS dst FROM ed
+         |ed AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
          |        UNION ALL SELECT b, a FROM ed),
          |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
          |$rounds,
@@ -3779,12 +3814,12 @@ object SparkEntry {
     // policy report (heavy tail = threshold too loose)
     "q149_cluster_histogram" ->
       s"""WITH $minHashCtesSql,
-         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |prs AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
-         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
          |$keeperCompCtes,
-         |labeled AS (
+         |labeled AS MATERIALIZED (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
          |cs AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size
@@ -4777,12 +4812,12 @@ object SparkEntry {
     // the τ cut (see DedupOps.setSimSeeds).
     "q175_setsim_keepers" ->
       s"""WITH $minHashCtesSql,
-         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |prs AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
-         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
          |$keeperCompCtes,
-         |labeled AS (
+         |labeled AS MATERIALIZED (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
          |sdsrc AS (
@@ -4811,12 +4846,12 @@ object SparkEntry {
          |  WHERE l.doc_id = l.keeper
          |  UNION ALL
          |  SELECT doc_id, $toksSql AS tk FROM sdrows),
-         |kdt AS (
+         |kdt AS MATERIALIZED (
          |  SELECT doc_id, list_sort(list_distinct(list_transform(
          |    range(1, greatest(len(tk) - 2, 0) + 1),
          |    i -> array_to_string(tk[i:i+2], ' ')))) AS ts
          |  FROM kbase WHERE len(tk) >= 3),
-         |ktok AS (SELECT doc_id, unnest(ts) AS t FROM kdt),
+         |ktok AS MATERIALIZED (SELECT doc_id, unnest(ts) AS t FROM kdt),
          |kcand AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |  FROM ktok a JOIN ktok b ON a.t = b.t AND a.doc_id < b.doc_id),
@@ -5030,12 +5065,12 @@ object SparkEntry {
     * `ckp` (src, dst, inter, n_src, containment). */
   private lazy val containKeepCtesSql: String =
     s"""$minHashCtesSql,
-         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |prs AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
-         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
          |$keeperCompCtes,
-         |labeled AS (
+         |labeled AS MATERIALIZED (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
          |dig AS (
@@ -5051,12 +5086,12 @@ object SparkEntry {
          |  WHERE l.doc_id = l.keeper
          |  UNION ALL
          |  SELECT doc_id, $toksSql AS tk FROM dig),
-         |kdt AS (
+         |kdt AS MATERIALIZED (
          |  SELECT doc_id, list_sort(list_distinct(list_transform(
          |    range(1, greatest(len(tk) - 2, 0) + 1),
          |    i -> array_to_string(tk[i:i+2], ' ')))) AS ts
          |  FROM kbase WHERE len(tk) >= 3),
-         |ktok AS (SELECT doc_id, unnest(ts) AS t FROM kdt),
+         |ktok AS MATERIALIZED (SELECT doc_id, unnest(ts) AS t FROM kdt),
          |kcand AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |  FROM ktok a JOIN ktok b ON a.t = b.t AND a.doc_id <> b.doc_id),
@@ -5285,7 +5320,7 @@ object SparkEntry {
            |  JOIN a$i y ON s.dst = y.node)""".stripMargin
       }.mkString(",\n")
       s"""WITH $minHashCtesSql,
-         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |prs AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
          |sym0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
          |         UNION ALL SELECT b, a FROM prs),
          |$peel
@@ -5956,7 +5991,7 @@ object SparkEntry {
            |  GROUP BY s.dst)""".stripMargin
       }.mkString(",\n")
       s"""WITH $minHashCtesSql,
-         |ed AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |ed AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
          |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
          |        UNION ALL SELECT b, a FROM ed),
          |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
@@ -6052,16 +6087,16 @@ object SparkEntry {
     // O(1)-row driver actions
     "q209_hits" -> {
       val rounds = (0 until 3).map { i =>
-        s"""ar$i AS (SELECT e.b AS node, sum(h.h) AS raw
+        s"""ar$i AS MATERIALIZED (SELECT e.b AS node, sum(h.h) AS raw
            |         FROM ed e JOIN h$i h ON h.node = e.a GROUP BY e.b),
-           |a${i + 1} AS (
+           |a${i + 1} AS MATERIALIZED (
            |  SELECT n.node,
            |    CAST(coalesce((ar.raw * 1000000) // (SELECT max(raw) FROM ar$i), 0)
            |      AS BIGINT) AS av
            |  FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node),
-           |hr$i AS (SELECT e.a AS node, sum(a.av) AS raw
+           |hr$i AS MATERIALIZED (SELECT e.a AS node, sum(a.av) AS raw
            |         FROM ed e JOIN a${i + 1} a ON a.node = e.b GROUP BY e.a),
-           |h${i + 1} AS (
+           |h${i + 1} AS MATERIALIZED (
            |  SELECT n.node,
            |    CAST(coalesce((hr.raw * 1000000) // (SELECT max(raw) FROM hr$i), 0)
            |      AS BIGINT) AS h
@@ -6114,7 +6149,7 @@ object SparkEntry {
       val rounds = (0 until 5).map { i =>
         s"""c$i AS (SELECT r.node, r.r // d.deg AS c
            |        FROM r$i r JOIN deg d USING (node)),
-           |r${i + 1} AS (
+           |r${i + 1} AS MATERIALIZED (
            |  SELECT s.dst AS node,
            |    CAST(150000 + (85 * sum(c.c)) // 100 AS BIGINT) AS r
            |  FROM sym s JOIN c$i c ON c.node = s.src GROUP BY s.dst)""".stripMargin
@@ -6291,7 +6326,7 @@ object SparkEntry {
            |  FROM d$i d LEFT JOIN nb$i nb ON nb.node = d.node)""".stripMargin
       }.mkString(",\n")
       s"""WITH $minHashCtesSql,
-         |ed AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |ed AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
          |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
          |        UNION ALL SELECT b, a FROM ed),
          |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
@@ -6633,7 +6668,7 @@ object SparkEntry {
            |  SELECT s.dst, l.lbl, count(*) AS cnt
            |  FROM sym s JOIN l$i l ON l.node = s.src
            |  GROUP BY s.dst, l.lbl),
-           |l${i + 1} AS (
+           |l${i + 1} AS MATERIALIZED (
            |  SELECT dst AS node, lbl FROM (
            |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst
            |      ORDER BY cnt DESC, lbl) AS rk
@@ -6899,7 +6934,7 @@ object SparkEntry {
     // log wobbles at exact powers)
     "q235_degree_histogram" ->
       s"""WITH $minHashCtesSql,
-         |ed AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |ed AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
          |deg AS (
          |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
          |    SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) z
@@ -7548,12 +7583,12 @@ object SparkEntry {
         "/ CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4 " +
         "END) * 1e4 + 0.5) AS BIGINT)"
       s"""WITH $minHashCtesSql,
-         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |prs AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
-         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
          |$keeperCompCtes,
-         |labeled AS (
+         |labeled AS MATERIALIZED (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
          |csz AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size
@@ -7994,12 +8029,12 @@ object SparkEntry {
     // keeper against the clique bound — exact integer u4
     "q273_cluster_cohesion" ->
       s"""WITH $minHashCtesSql,
-         |prs AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |prs AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
          |ids AS (SELECT doc_id FROM corpus),
-         |sym AS (SELECT a AS src, b AS dst FROM prs
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
          |        UNION ALL SELECT b, a FROM prs),
          |$keeperCompCtes,
-         |labeled AS (
+         |labeled AS MATERIALIZED (
          |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
          |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
          |csz AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size
@@ -8053,6 +8088,395 @@ object SparkEntry {
          |LEFT JOIN ev ON ev.subject_id = s.subject_id
          |LEFT JOIN ord ON ord.subject_id = s.subject_id
          |ORDER BY s.subject_id""".stripMargin
+    },
+
+    // winnowing (Schleimer et al. 2003): per-window min of k-gram
+    // md5-32 hashes, distinct per doc, boilerplate keys HAVING-dropped,
+    // pair rollup with containment vs the smaller sketch
+    "q275_winnow_matches" -> {
+      import DedupOps.{winnowBlockCap, winnowMinShared}
+      s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |wd AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(tk) - 1), i ->
+         |      ${h32("array_to_string(list_slice(tk, i, i + 2), ' ')")}) AS hs
+         |  FROM base WHERE len(tk) >= 6),
+         |fp0 AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(hs) - 2), j ->
+         |        list_min(list_slice(hs, j, j + 3)))) AS h
+         |    FROM wd) z),
+         |fps AS (SELECT doc_id, h FROM fp0
+         |        UNION ALL SELECT doc_id + ${DedupOps.dupOffset}, h FROM fp0),
+         |keep AS (SELECT h FROM fps GROUP BY h
+         |         HAVING count(*) <= $winnowBlockCap),
+         |kept AS (SELECT f.doc_id, f.h FROM fps f JOIN keep USING (h)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+         |       FROM kept GROUP BY doc_id),
+         |sh AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |  HAVING count(*) >= $winnowMinShared)
+         |SELECT a, b, n_shared, sa.nfp AS a_fp, sb.nfp AS b_fp,
+         |  n_shared * 10000 // least(sa.nfp, sb.nfp) AS containment_u4
+         |FROM sh JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |ORDER BY a, b""".stripMargin
+    },
+
+    // content-defined chunking: token-hash modular boundaries, final
+    // chunk takes the remainder; edited fixture copy (one mid-doc token
+    // swapped, two-step id shift); chunk-hash dedup rollup per doc
+    "q276_cdc_chunks" -> {
+      import DedupOps.{cdcModulus, cdcThreshold, cdcStride, cdcEditOffset}
+      s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |docs AS (SELECT doc_id, tk FROM base WHERE len(tk) >= 1),
+         |ed0 AS (
+         |  SELECT doc_id AS orig_id, tk, len(tk) AS m, len(tk) // 3 AS m3
+         |  FROM docs WHERE doc_id % $cdcStride = 0 AND len(tk) >= 20),
+         |edited AS (
+         |  SELECT orig_id + $cdcEditOffset AS doc_id,
+         |    list_concat(list_concat(
+         |      list_slice(tk, 1, m3),
+         |      ['zed' || CAST(orig_id AS VARCHAR)]),
+         |      list_slice(tk, m3 + 2, m)) AS tk
+         |  FROM ed0),
+         |corpus AS (SELECT doc_id, tk FROM docs
+         |           UNION ALL SELECT doc_id, tk FROM edited),
+         |bnd AS (
+         |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    list_filter(range(1, len(tk) + 1), i ->
+         |      ${h32("'cdc:' || tk[CAST(i AS INT)]")} % $cdcModulus
+         |        < $cdcThreshold) AS bpos
+         |  FROM corpus),
+         |spans AS (
+         |  SELECT doc_id, tk, n_tokens,
+         |    CASE WHEN len(bpos) > 0 AND bpos[len(bpos)] = n_tokens
+         |      THEN bpos ELSE list_append(bpos, n_tokens) END AS ends
+         |  FROM bnd),
+         |sp2 AS (
+         |  SELECT doc_id, tk, n_tokens, ends,
+         |    list_prepend(CAST(1 AS BIGINT),
+         |      list_transform(list_slice(ends, 1, len(ends) - 1),
+         |        e -> e + 1)) AS starts
+         |  FROM spans),
+         |ch0 AS (
+         |  SELECT doc_id, tk, n_tokens, starts, ends,
+         |    unnest(range(1, len(starts) + 1)) AS ci
+         |  FROM sp2),
+         |chunks AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(ends[CAST(ci AS INT)] - starts[CAST(ci AS INT)] + 1
+         |      AS BIGINT) AS chunk_len,
+         |    md5(array_to_string(list_slice(tk,
+         |      CAST(starts[CAST(ci AS INT)] AS INT),
+         |      CAST(ends[CAST(ci AS INT)] AS INT)), ' ')) AS ch
+         |  FROM ch0),
+         |hd AS (SELECT ch, count(DISTINCT doc_id) AS nd
+         |       FROM chunks GROUP BY ch)
+         |SELECT c.doc_id, max(c.n_tokens) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN h.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS shared_chunks,
+         |  CAST(sum(CASE WHEN h.nd >= 2 THEN c.chunk_len ELSE 0 END)
+         |    AS BIGINT) AS shared_tokens,
+         |  CAST(sum(CASE WHEN h.nd >= 2 THEN c.chunk_len ELSE 0 END)
+         |    AS BIGINT) * 10000 // max(c.n_tokens) AS shared_bp,
+         |  c.doc_id >= $cdcEditOffset AS edited
+         |FROM chunks c JOIN hd h ON h.ch = c.ch
+         |GROUP BY c.doc_id
+         |ORDER BY c.doc_id""".stripMargin
+    },
+
+    // blocking-quality audit: the md5 chain's banded/ranked CTEs, each
+    // pair keyed by its MINIMUM colliding band, per-band-prefix rollup
+    // against all-pairs and the designed mirror ground truth
+    "q277_blocking_audit" ->
+      s"""WITH $minHashCtesSql,
+         |pm AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, min(x.band) AS min_band
+         |  FROM ranked x JOIN banded y
+         |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+         |    AND x.rk <= ${DedupOps.bandBlockCap}
+         |  GROUP BY x.doc_id, y.doc_id),
+         |pb AS (
+         |  SELECT min_band, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN b = a + ${DedupOps.dupOffset} THEN 1
+         |      ELSE 0 END) AS BIGINT) AS n_true
+         |  FROM pm GROUP BY min_band),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sigl),
+         |tot2 AS (SELECT n_docs, n_docs * (n_docs - 1) // 2 AS all_pairs,
+         |                n_docs // 2 AS n_designed FROM tot),
+         |ax AS (SELECT unnest(range(1, 5)) AS b)
+         |SELECT CAST(ax.b AS INT) AS bands_used, CAST(4 AS INT) AS rows_per_band,
+         |  CAST(coalesce(sum(pb.n_pairs), 0) AS BIGINT) AS candidates,
+         |  CAST(coalesce(sum(pb.n_true), 0) AS BIGINT) AS true_caught,
+         |  t.n_designed, t.all_pairs,
+         |  (t.all_pairs - CAST(coalesce(sum(pb.n_pairs), 0) AS BIGINT))
+         |    * 10000 // t.all_pairs AS reduction_ratio_u4,
+         |  CAST(coalesce(sum(pb.n_true), 0) AS BIGINT)
+         |    * 10000 // t.n_designed AS pairs_completeness_u4
+         |FROM ax CROSS JOIN tot2 t
+         |LEFT JOIN pb ON pb.min_band < ax.b
+         |GROUP BY ax.b, t.n_designed, t.all_pairs
+         |ORDER BY bands_used""".stripMargin,
+
+    // LSH S-curve: per (b, r) split of the 16-perm signature, measured
+    // would-collide fraction vs analytic 1-(1-J^r)^b at each match
+    // level; powers as repeated IEEE multiplication, never pow()
+    "q278_lsh_scurve" -> {
+      val configs = Seq(1 -> 16, 2 -> 8, 4 -> 4, 8 -> 2, 16 -> 1)
+      val branches = configs.map { case (b, r) =>
+        val collide = (0 until b).map { i =>
+          (1 to r).map(j => s"sa[${i * r + j}] = sb[${i * r + j}]")
+            .mkString("(", " AND ", ")")
+        }.mkString("(", " OR ", ")")
+        val jExpr = "(CAST(m AS DOUBLE) / 16.0)"
+        val jr = List.fill(r)(jExpr).mkString(" * ")
+        val q = s"(1.0 - ($jr))"
+        val p = s"1.0 - ${List.fill(b)(q).mkString(" * ")}"
+        s"""SELECT CAST($b AS INT) AS b, CAST($r AS INT) AS r,
+           |  m AS matches, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CASE WHEN $collide THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS collide_n,
+           |  CAST(sum(CASE WHEN $collide THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 10000 // CAST(count(*) AS BIGINT) AS collide_frac_u4,
+           |  CAST(floor(($p) * 1e4 + 0.5) AS BIGINT) AS analytic_p_u4
+           |FROM prs GROUP BY m""".stripMargin
+      }
+      s"""WITH $minHashCtesSql,
+         |prs AS (
+         |  SELECT c.a, c.b, sa.s AS sa, sb.s AS sb,
+         |    CAST(len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i]))
+         |      AS BIGINT) AS m
+         |  FROM cand c
+         |  JOIN sigl sa ON sa.doc_id = c.a
+         |  JOIN sigl sb ON sb.doc_id = c.b
+         |  WHERE len(list_filter(range(1, 17), i -> sa.s[i] = sb.s[i])) >= 8)
+         |${branches.mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY b, matches""".stripMargin
+    },
+
+    // incremental CC: old labels from the est>=0.75 base graph, new
+    // labels from the full est>=0.5 graph — the declarative statement of
+    // the contraction identity the engine computes incrementally
+    "q279_incremental_cc" ->
+      s"""WITH $minHashCtesSql,
+         |ap AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |bp AS MATERIALIZED (SELECT a, b FROM est
+         |       WHERE est_jaccard >= ${Components.incCcTauBase}),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+         |  SELECT a AS node FROM ap UNION ALL SELECT b FROM ap) z),
+         |symb AS MATERIALIZED (SELECT a AS src, b AS dst FROM bp
+         |         UNION ALL SELECT b, a FROM bp),
+         |symf AS MATERIALIZED (SELECT a AS src, b AS dst FROM ap
+         |         UNION ALL SELECT b, a FROM ap),
+         |${minLabelCtes("symb", "SELECT node, node AS lbl FROM nodes",
+            "compb", "oldk", "lb")},
+         |${minLabelCtes("symf", "SELECT node, node AS lbl FROM nodes",
+            "compf", "newk", "lf")}
+         |SELECT n.node, cb.oldk AS old_label, cf.newk AS new_label,
+         |  cb.oldk <> cf.newk AS changed
+         |FROM nodes n
+         |JOIN compb cb ON cb.node = n.node
+         |JOIN compf cf ON cf.node = n.node
+         |ORDER BY n.node""".stripMargin,
+
+    // D4 prototype pruning: the q82 codebook/assignment CTEs kept with
+    // the winning score; cosine to the OWN centroid on the r4 grid,
+    // quantize-then-rank, integer-exact drop rules
+    "q280_prototype_prune" -> {
+      import AnnSearch.{protoPct, outlierPct}
+      s"""WITH $ivfTrainCtesSql,
+         |cv AS MATERIALIZED (
+         |  SELECT list_id,
+         |    list(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0)*1e6 + 0.5)/1e6 + 0.0
+         |      ORDER BY dim) AS c
+         |  FROM m2 GROUP BY list_id),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |sc AS (
+         |  SELECT c.vec_id, cv.list_id,
+         |    list_sum(list_transform(range(1, len(c.embedding)+1),
+         |      i -> CAST(c.embedding[i] AS DOUBLE) * cv.c[i])) AS score
+         |  FROM corpus c CROSS JOIN cv),
+         |asg AS MATERIALIZED (
+         |  SELECT s.vec_id, s.list_id, s.score, c.embedding FROM (
+         |    SELECT vec_id, list_id, score,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, list_id) AS rn
+         |    FROM sc) s JOIN corpus c USING (vec_id) WHERE s.rn = 1),
+         |cn AS (SELECT list_id, ${normSql("c")} AS nrm FROM cv),
+         |cosr AS MATERIALIZED (
+         |  SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+         |    floor((a.score / (${normSql("a.embedding")} * cn.nrm))*1e4 + 0.5)/1e4
+         |      AS cos_c
+         |  FROM asg a JOIN cn ON cn.list_id = a.list_id),
+         |rk AS (
+         |  SELECT vec_id, list_id, cos_c,
+         |    CAST(row_number() OVER (PARTITION BY list_id
+         |      ORDER BY cos_c DESC, vec_id) AS BIGINT) AS rnk,
+         |    CAST(count(*) OVER (PARTITION BY list_id) AS BIGINT) AS cluster_n
+         |  FROM cosr)
+         |SELECT vec_id, list_id, cos_c, rnk, cluster_n,
+         |  rnk * 100 <= cluster_n * $protoPct AS drop_proto,
+         |  (cluster_n - rnk + 1) * 100 <= cluster_n * $outlierPct AS drop_outlier,
+         |  NOT (rnk * 100 <= cluster_n * $protoPct)
+         |    AND NOT ((cluster_n - rnk + 1) * 100 <= cluster_n * $outlierPct)
+         |    AS is_kept
+         |FROM rk ORDER BY vec_id""".stripMargin
+    },
+
+    // Louvain local-move gains over the q116 LPA partition: all-BIGINT
+    // 2m²-scaled modularity deltas, argmax ties to the smallest target
+    "q281_louvain_moves" -> {
+      val rounds = (0 until 3).map { i =>
+        s"""n$i AS (
+           |  SELECT s.dst, l.lbl, count(*) AS cnt
+           |  FROM sym s JOIN l$i l ON l.node = s.src
+           |  GROUP BY s.dst, l.lbl),
+           |l${i + 1} AS MATERIALIZED (
+           |  SELECT dst AS node, lbl FROM (
+           |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+           |      ORDER BY cnt DESC, lbl) AS rk
+           |    FROM n$i) z WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minHashCtesSql,
+         |ed AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+         |        UNION ALL SELECT b, a FROM ed),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+         |$rounds,
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+         |deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+         |       FROM sym GROUP BY src),
+         |stot AS MATERIALIZED (
+         |  SELECT l.lbl, CAST(sum(d.k) AS BIGINT) AS st
+         |  FROM l3 l JOIN deg d ON d.node = l.node GROUP BY l.lbl),
+         |nbr AS MATERIALIZED (
+         |  SELECT s.src AS node, l.lbl AS c, CAST(count(*) AS BIGINT) AS kic
+         |  FROM sym s JOIN l3 l ON l.node = s.dst GROUP BY s.src, l.lbl),
+         |cur AS MATERIALIZED (
+         |  SELECT l.node, l.lbl AS a_lbl, d.k, sa.st AS st_a,
+         |    coalesce(na.kic, 0) AS kia
+         |  FROM l3 l JOIN deg d ON d.node = l.node
+         |  JOIN stot sa ON sa.lbl = l.lbl
+         |  LEFT JOIN nbr na ON na.node = l.node AND na.c = l.lbl),
+         |gains AS (
+         |  SELECT c.node, n.c AS target,
+         |    2 * m.m * (n.kic - c.kia) - c.k * (sc.st - c.st_a + c.k) AS gain
+         |  FROM cur c JOIN nbr n ON n.node = c.node AND n.c <> c.a_lbl
+         |  JOIN stot sc ON sc.lbl = n.c CROSS JOIN m),
+         |best AS (
+         |  SELECT node, target, gain FROM (
+         |    SELECT node, target, gain,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY gain DESC, target) AS rn
+         |    FROM gains) z WHERE rn = 1)
+         |SELECT c.node AS doc_id, c.a_lbl AS community, c.k AS degree,
+         |  c.kia AS k_in_cur, coalesce(b.gain, 0) AS gain_x2m2,
+         |  CASE WHEN coalesce(b.gain, 0) > 0 THEN b.target ELSE c.a_lbl END
+         |    AS best_community,
+         |  coalesce(b.gain, 0) > 0 AS moved
+         |FROM cur c LEFT JOIN best b ON b.node = c.node
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // AMS F2: 16 signed token-count folds (md5 parity ±1), estimate =
+    // mean of z², exact F2 alongside — all BIGINT
+    "q282_ams_f2" -> {
+      import Sketches.amsS
+      s"""WITH tc AS MATERIALIZED (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest($toksSql) AS t FROM documents) z GROUP BY t),
+         |sgn AS MATERIALIZED (
+         |  SELECT i.i AS counter_id,
+         |    CAST(sum((CASE WHEN ${h32("'ams' || CAST(i.i AS VARCHAR) || '#' || t")} % 2 = 0
+         |      THEN 1 ELSE -1 END) * cnt) AS BIGINT) AS z
+         |  FROM tc CROSS JOIN range(0, $amsS) i(i) GROUP BY i.i),
+         |est AS (SELECT CAST(sum(z * z) // $amsS AS BIGINT) AS f2_est FROM sgn),
+         |ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact,
+         |              CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tc)
+         |SELECT counter_id, z, z * z AS z2, f2_est, f2_exact, n_tokens,
+         |  abs(f2_est - f2_exact) * 10000 // f2_exact AS err_bp
+         |FROM sgn CROSS JOIN est CROSS JOIN ex
+         |ORDER BY counter_id""".stripMargin
+    },
+
+    // Kneser-Ney bigram table: discount 3/4 as ×4-scaled integers,
+    // continuation counts from the bigram-type table, micro-unit probs
+    "q283_kn_bigrams" -> {
+      import TextAnalysis.knTopN
+      s"""WITH bg AS (
+         |  SELECT split_part(bgs, ' ', 1) AS w1,
+         |    split_part(bgs, ' ', 2) AS w2
+         |  FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS bgs
+         |    FROM (SELECT $toksSql AS tk FROM documents) d
+         |    WHERE len(tk) >= 2) z),
+         |c12 AS MATERIALIZED (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |  FROM bg GROUP BY w1, w2),
+         |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |               CAST(count(*) AS BIGINT) AS n1r
+         |        FROM c12 GROUP BY w1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1l
+         |         FROM c12 GROUP BY w2),
+         |ty AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM c12)
+         |SELECT w1, w2, c12, c1, n1r, n1l, t_types, pml_u6, lambda_u6,
+         |  pcont_u6, pml_u6 + (lambda_u6 * pcont_u6 // 1000000) AS pkn_u6
+         |FROM (
+         |  SELECT c.w1, c.w2, c.c12, x.c1, x.n1r, n.n1l, t.t_types,
+         |    greatest(4 * c.c12 - 3, 0) * 1000000 // (4 * x.c1) AS pml_u6,
+         |    3 * x.n1r * 1000000 // (4 * x.c1) AS lambda_u6,
+         |    n.n1l * 1000000 // t.t_types AS pcont_u6
+         |  FROM c12 c JOIN ctx x USING (w1) JOIN cont n USING (w2)
+         |  CROSS JOIN ty t) q
+         |ORDER BY c12 DESC, w1, w2 LIMIT $knTopN""".stripMargin
+    },
+
+    // UniMax water-filling: cap-ascending prefix sums find the binding
+    // prefix closed-form; integer level + one-token residual deal
+    "q284_unimax_alloc" -> {
+      import CorpusOps.unimaxEpochCap
+      s"""WITH pl AS MATERIALIZED (
+         |  SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS mass
+         |  FROM documents GROUP BY lang),
+         |wc AS (SELECT lang, mass, mass * $unimaxEpochCap AS cap FROM pl),
+         |tot AS (SELECT CAST(sum(mass) * ${CorpusOps.unimaxBudgetVolumes}
+         |                 AS BIGINT) AS budget,
+         |               CAST(count(*) AS BIGINT) AS n_langs FROM pl),
+         |rk AS MATERIALIZED (
+         |  SELECT lang, mass, cap,
+         |    CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS idx,
+         |    CAST(sum(cap) OVER (ORDER BY cap, lang) AS BIGINT) AS pfx
+         |  FROM wc),
+         |j AS MATERIALIZED (
+         |  SELECT r.lang, r.mass, r.cap, r.idx, r.pfx, t.budget, t.n_langs,
+         |    (r.pfx - r.cap + r.cap * (t.n_langs - r.idx + 1)) <= t.budget
+         |      AS bound
+         |  FROM rk r CROSS JOIN tot t),
+         |sp AS (SELECT CAST(sum(CASE WHEN bound THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         |    CAST(coalesce(sum(CASE WHEN bound THEN cap END), 0) AS BIGINT)
+         |      AS cap_sum FROM j),
+         |lvl AS (
+         |  SELECT s.k, s.cap_sum,
+         |    CASE WHEN t.n_langs = s.k THEN 0
+         |      ELSE (t.budget - s.cap_sum) // (t.n_langs - s.k) END AS level
+         |  FROM sp s CROSS JOIN tot t),
+         |fin AS (
+         |  SELECT j.lang, j.mass, j.cap, j.idx, j.bound, l.level,
+         |    CASE WHEN j.bound THEN j.cap ELSE l.level +
+         |      (CASE WHEN j.idx - l.k <=
+         |        j.budget - l.cap_sum - l.level * (j.n_langs - l.k)
+         |       THEN 1 ELSE 0 END) END AS alloc
+         |  FROM j CROSS JOIN lvl l)
+         |SELECT lang, mass, cap, idx AS cap_rank, level AS water_level,
+         |  alloc, alloc * 10000 // greatest(mass, 1) AS epochs_u4, bound
+         |FROM fin ORDER BY lang""".stripMargin
     },
   )
 

@@ -1382,4 +1382,70 @@ object AnnSearch {
         ($"neg_cos" >= $"pos_cos").as("hard"))
       .orderBy($"anchor_id")
   }
+
+  /** Prototype/outlier drop percentages audited by [[prototypePrune]],
+    * shared with the q280 oracle. */
+  val protoPct = 10
+  val outlierPct = 5
+
+  /** D4-STYLE PROTOTYPE PRUNING (q280) — the data-selection step of
+    * Tirumala et al. 2023 (D4) that SemDeDup (q82) does not cover:
+    * after clustering, the examples CLOSEST to their cluster centroid
+    * are "prototypes" (semantically redundant — the cluster keeps their
+    * information without them) and the FARTHEST are outliers (often
+    * noise); both tails are dropped, keeping the informative middle.
+    * q82 prunes pairwise near-duplicates; this prunes by position in the
+    * learned density, which catches redundancy no pairwise threshold
+    * sees (a thousand mutually-0.8-similar boilerplate docs survive q82
+    * but are one prototype pile here).
+    *
+    * Mechanics: the q82 corpus (embeddings ∪ +100000 copies — designed
+    * redundancy) assigns to the q69 trained codebook by argmax dot
+    * (first max = lowest list, the shared tie rule); cosine to the OWN
+    * centroid lands on the r4 grid; rank within cluster descends by
+    * (cos, vec_id) — quantize-then-rank, so both engines order
+    * identically; drop rules are integer-exact:
+    * `rank·100 ≤ n·protoPct` (prototype head) and
+    * `(n−rank+1)·100 ≤ n·outlierPct` (outlier tail).
+    *
+    * Scale shape: assignment + cosine are map-side expressions against
+    * the broadcast nlist×dim codebook (one corpus scan, no shuffle);
+    * the rank is a PARTITIONED window keyed by list_id — at corpus
+    * scale nlist grows ∝ N (D4 uses ~N/10k clusters) so per-cluster
+    * sort mass stays bounded, the same argument as [[semanticDedup]]'s
+    * join. No corpus-global window, no self-join at all — this is the
+    * CHEAPEST pruning pass in the dedup kit. */
+  def prototypePrune(spark: SparkSession, dir: String,
+                     nlist: Int = 16, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cents = trainedCentroids(spark, dir, nlist, iters)
+    require(cents.size == nlist,
+      s"trained codebook has ${cents.size} lists, expected $nlist")
+    val centsCol = typedlit(cents)
+    val base = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val corpus = base.unionByName(
+      base.withColumn("vec_id", $"vec_id" + 100000L))
+    val scored = corpus
+      .withColumn("scores", transform(sequence(lit(1), lit(nlist)),
+        c => dot($"embedding", element_at(centsCol, c))))
+      .withColumn("list_id", array_position($"scores", array_max($"scores")))
+      .withColumn("cen", element_at(centsCol, $"list_id".cast("int")))
+      .select($"vec_id", $"list_id",
+        Quant.r4(element_at($"scores", $"list_id".cast("int")) /
+          (norm($"embedding") * norm($"cen"))).as("cos_c"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy($"list_id")
+    val ranked = scored
+      .withColumn("rnk",
+        row_number().over(byCluster.orderBy($"cos_c".desc, $"vec_id")))
+      .withColumn("cluster_n", count(lit(1)).over(byCluster))
+    ranked
+      .select($"vec_id", $"list_id", $"cos_c", $"rnk".cast("long").as("rnk"),
+        $"cluster_n",
+        ($"rnk" * 100 <= $"cluster_n" * protoPct).as("drop_proto"),
+        (($"cluster_n" - $"rnk" + 1) * 100 <= $"cluster_n" * outlierPct)
+          .as("drop_outlier"))
+      .withColumn("is_kept", !$"drop_proto" && !$"drop_outlier")
+      .orderBy($"vec_id")
+  }
 }

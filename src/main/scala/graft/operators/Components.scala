@@ -928,4 +928,124 @@ object Components {
         $"thread_n", $"thread_depth")
       .orderBy($"event_id")
   }
+
+  /** The q279 split point: pairs at est ≥ [[incCcTauBase]] are the
+    * "already-labeled" base graph; pairs below it (but ≥ the 0.5 gate)
+    * are the delta batch a nightly similarity pass just surfaced. On the
+    * 1e-4 est grid both engines place the boundary identically (12/16
+    * matches = 0.75 exactly). */
+  val incCcTauBase = 0.75
+
+  /** INCREMENTAL CC MAINTENANCE (q279) — merge a batch of NEW edges
+    * into existing component labels without re-running CC on the full
+    * graph: the standard contraction argument (each base component is
+    * already one label, so new edges can only merge LABELS) makes the
+    * update exact. Steps: (1) label the base graph (est ≥ tauBase
+    * pairs); (2) CONTRACT each delta edge through the base labels,
+    * keeping only edges that bridge two distinct labels; (3) run CC on
+    * that contracted label-level graph — nodes are component ids, size
+    * O(affected clusters), not O(corpus); (4) compose. Because base
+    * labels are min-ids and singleton labels are the node id itself,
+    * the composed label equals full-graph CC's min-id label exactly —
+    * `IncrementalCcSpec` asserts that identity against a from-scratch
+    * run, and the oracle states it declaratively (base chain for
+    * `old_label`, full chain for `new_label`).
+    *
+    * Scale shape: the from-scratch alternative iterates min-label over
+    * the WHOLE pair graph every batch (rounds × corpus-edge shuffles);
+    * here the second CC touches only delta-bridged labels — at 100 TB a
+    * nightly delta's contracted graph is thousands of label nodes, so
+    * step 3 is driver-trivial while steps 1–2 are one pass over pairs
+    * already being produced. Output: every pair-touched node with its
+    * old and new labels and a `changed` flag (the re-index worklist). */
+  def incrementalCc(spark: SparkSession, dir: String,
+                    tauBase: Double = incCcTauBase): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.CacheGuard.barrier(
+      DedupOps.minHashLshPairsOracled(spark, dir, threshold = 0.5))
+    val baseE = pairs.filter($"est_jaccard" >= tauBase).select($"a", $"b")
+    val deltaE = pairs.filter($"est_jaccard" < tauBase).select($"a", $"b")
+    val baseL = connectedComponents(baseE)
+    val nodes = pairs.select($"a".as("node"))
+      .unionByName(pairs.select($"b".as("node"))).distinct()
+    val labeled = nodes.join(baseL, Seq("node"), "left")
+      .select($"node", coalesce($"component", $"node").as("old_label"))
+    val contracted = deltaE
+      .join(labeled.select($"node".as("a"), $"old_label".as("la")), "a")
+      .join(labeled.select($"node".as("b"), $"old_label".as("lb")), "b")
+      .filter($"la" =!= $"lb")
+      .select(least($"la", $"lb").as("a"), greatest($"la", $"lb").as("b"))
+      .distinct()
+    val merged = connectedComponents(contracted)
+    labeled
+      .join(merged.select($"node".as("old_label"), $"component"),
+        Seq("old_label"), "left")
+      .select($"node", $"old_label",
+        coalesce($"component", $"old_label").as("new_label"))
+      .withColumn("changed", $"new_label" =!= $"old_label")
+      .orderBy($"node")
+  }
+
+  /** LOUVAIN MOVE AUDIT (q281) — the local-move step of Blondel et
+    * al. 2008, computed exactly for every node against the LPA
+    * partition (q116): the modularity GAIN of moving node i from its
+    * community a to each neighboring community c,
+    * ΔQ = [k_{i,c} − k_{i,a}]/m − k_i·[Σtot(c) − (Σtot(a) − k_i)]/(2m²),
+    * reported scaled by 2m² so the arithmetic is all-BIGINT (both
+    * engines compute the identical integer; no float modularity ever
+    * forms). The audit answers the question LPA cannot: is the
+    * partition LOCALLY OPTIMAL under the actual modularity objective —
+    * every row with `moved = true` is a node one Louvain sweep would
+    * re-assign, and the best target is reported (ties to the smallest
+    * community id via the struct-ordered argmax, no window).
+    *
+    * Scale shape: LPA labels are [[labelPropagation]]'s one keyed
+    * shuffle per round; on top the audit pays exactly ONE extra
+    * O(edges) aggregation (neighbor-community counts) plus three
+    * O(nodes)/O(communities) keyed joins — degree, community degree
+    * mass, and the per-node argmax as a partial-aggregable
+    * max(struct). The 1-row edge total broadcasts. Nothing is
+    * quadratic; nothing windows over the corpus. */
+  def louvainMoveAudit(spark: SparkSession, dir: String,
+                       threshold: Double = 0.2, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = graft.CacheGuard.barrier(
+      DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
+        .select($"a", $"b"))
+    val labels = labelPropagation(edges, iters)
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("k"))
+    val stot = labels.join(deg, "node")
+      .groupBy($"lbl").agg(sum($"k").as("st"))
+    val nbr = graft.CacheGuard.barrier(
+      sym.join(labels.select($"node".as("dst"), $"lbl".as("c")), "dst")
+        .groupBy($"src".as("node"), $"c")
+        .agg(count(lit(1)).as("kic")))
+    val cur = labels.select($"node", $"lbl".as("a_lbl"))
+      .join(deg, "node")
+      .join(stot.select($"lbl".as("a_lbl"), $"st".as("st_a")), "a_lbl")
+      .join(nbr.select($"node", $"c".as("a_lbl"), $"kic".as("kia")),
+        Seq("node", "a_lbl"), "left")
+      .withColumn("kia", coalesce($"kia", lit(0L)))
+    val gains = nbr.join(cur, "node")
+      .filter($"c" =!= $"a_lbl")
+      .join(stot.select($"lbl".as("c"), $"st".as("st_c")), "c")
+      .crossJoin(broadcast(m))
+      .select($"node",
+        struct((lit(2L) * $"m" * ($"kic" - $"kia") -
+          $"k" * ($"st_c" - $"st_a" + $"k")).as("gain"),
+          (-$"c").as("nt")).as("g"))
+      .groupBy($"node").agg(max($"g").as("g"))
+      .select($"node", $"g.gain".as("gain_x2m2"), (-$"g.nt").as("target"))
+    cur.join(gains, Seq("node"), "left")
+      .select($"node".as("doc_id"), $"a_lbl".as("community"),
+        $"k".as("degree"), $"kia".as("k_in_cur"),
+        coalesce($"gain_x2m2", lit(0L)).as("gain_x2m2"),
+        when(coalesce($"gain_x2m2", lit(0L)) > 0L, $"target")
+          .otherwise($"a_lbl").as("best_community"),
+        (coalesce($"gain_x2m2", lit(0L)) > 0L).as("moved"))
+      .orderBy($"doc_id")
+  }
 }

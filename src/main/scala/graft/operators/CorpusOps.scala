@@ -1897,4 +1897,74 @@ object CorpusOps {
           " div greatest(total_tokens, 1)").as("hash_load_u4"))
       .orderBy($"shard")
   }
+
+  /** UniMax epoch cap (the "no language trains past this many passes
+    * over its own data" dial) and the token budget in corpus volumes
+    * (train for 3× the corpus's own mass — the multi-epoch regime where
+    * the cap actually binds low-resource languages), shared with the
+    * q284 oracle. */
+  val unimaxEpochCap = 4L
+  val unimaxBudgetVolumes = 3L
+
+  /** UNIMAX LANGUAGE ALLOCATION (q284) — Chung et al. 2023's sampling
+    * rule for multilingual budgets, the principled replacement for the
+    * temperature heuristics (q70/q155): spend the token budget as
+    * UNIFORMLY across languages as possible, except no language repeats
+    * beyond [[unimaxEpochCap]] epochs of its own mass. That is exact
+    * integer WATER-FILLING: sort languages by cap = epochs·mass
+    * ascending; a prefix of low-resource languages binds at its cap,
+    * the rest share the remainder equally at the water level
+    * τ = (B − Σ bound caps) div (#unbound), with the integer residual
+    * dealt one token each to the first unbound languages in cap order
+    * (deterministic, snake-free because τ already equalizes). The
+    * binding prefix is closed-form: language i (cap-ascending) is bound
+    * iff prefix_{i−1} + cap_i·(L−i+1) ≤ B — monotone, so both engines
+    * find the same prefix without iteration. Budget B = the corpus's
+    * own total token mass (one corpus-volume, rebalanced).
+    *
+    * Output per language: mass, cap, the water level, the exact
+    * allocation (Σ alloc = B identically), resulting epochs in u4, and
+    * the bound flag — the mixture table a 100 TB multilingual run is
+    * configured from.
+    *
+    * Scale shape: ONE tokenize+count pass collapses the corpus to
+    * O(languages) rows (map-side partials on the lang key); everything
+    * after — ranks, prefix sums, the two scalar aggregates — runs on
+    * that language table. The global windows are O(languages) by
+    * construction. */
+  def unimaxAllocation(spark: SparkSession, dir: String,
+                       epochs: Long = unimaxEpochCap): DataFrame = {
+    import spark.implicits._
+    val perLang = Tables.documents(spark, dir)
+      .select($"lang", size(tokens($"text")).cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("mass"))
+      .withColumn("cap", $"mass" * epochs)
+    val totals = perLang.agg(
+      (sum($"mass") * unimaxBudgetVolumes).as("budget"),
+      count(lit(1)).as("n_langs"))
+    import org.apache.spark.sql.expressions.Window
+    val byCap = Window.orderBy($"cap", $"lang")  // global-window-ok: O(languages)
+    val ranked = graft.CacheGuard.barrier(perLang
+      .withColumn("idx", row_number().over(byCap).cast("long"))
+      .withColumn("pfx", sum($"cap").over(byCap))
+      .crossJoin(broadcast(totals))
+      .withColumn("bound",
+        $"pfx" - $"cap" + $"cap" * ($"n_langs" - $"idx" + 1L) <= $"budget"))
+    val split = ranked.agg(
+      sum(when($"bound", 1L).otherwise(0L)).as("k"),
+      sum(when($"bound", $"cap").otherwise(0L)).as("cap_sum"))
+    ranked.crossJoin(broadcast(split))
+      .withColumn("level",
+        when($"n_langs" === $"k", lit(0L)).otherwise(
+          expr("(budget - cap_sum) div (n_langs - k)")))
+      .withColumn("residual",
+        $"budget" - $"cap_sum" - $"level" * ($"n_langs" - $"k"))
+      .withColumn("alloc",
+        when($"bound", $"cap").otherwise(
+          $"level" + when($"idx" - $"k" <= $"residual", 1L).otherwise(0L)))
+      .select($"lang", $"mass", $"cap", $"idx".as("cap_rank"),
+        $"level".as("water_level"), $"alloc",
+        expr("alloc * 10000 div greatest(mass, 1)").as("epochs_u4"), $"bound")
+      .orderBy($"lang")
+  }
 }

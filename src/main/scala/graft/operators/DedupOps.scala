@@ -272,6 +272,20 @@ object DedupOps {
                               shingleN: Int, perms: Int, bands: Int,
                               threshold: Double): (DataFrame, DataFrame) = {
     import spark.implicits._
+    val (pairs, sigCached) =
+      md5MinHashPairsWithSigs(spark, dir, shingleN, perms, bands, threshold)
+    (pairs.select($"a", $"b", $"est_jaccard"), sigCached)
+  }
+
+  /** [[md5MinHashPairs]] with both signature arrays retained on each
+    * pair row — the q278 S-curve audit re-examines band agreement under
+    * alternative (b, r) splits as in-row arithmetic, so the signatures
+    * must survive the candidate join (the q266 restructure measured
+    * re-joining them afterwards at 2.4× slower). */
+  private def md5MinHashPairsWithSigs(spark: SparkSession, dir: String,
+                                      shingleN: Int, perms: Int, bands: Int,
+                                      threshold: Double): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val rows = perms / bands
     val sigCached = graft.CacheGuard.barrier(
       shingleArrays(spark, dir, shingleN)
@@ -289,7 +303,7 @@ object DedupOps {
         $"x.sig".as("sa"), $"y.sig".as("sb"))
       .dropDuplicates("a", "b")
     val pairs = cand
-      .select($"a", $"b",
+      .select($"a", $"b", $"sa", $"sb",
         Quant.r4(sigMatches($"sa", $"sb", perms)
           .cast("double") / lit(perms.toDouble)).as("est_jaccard"))
       .filter($"est_jaccard" >= threshold)
@@ -1783,6 +1797,283 @@ object DedupOps {
     // the pairs barrier stays registered — the edge-count join is lazy;
     // the consumer releases after its action (the CacheGuard contract)
     out
+  }
+
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * fingerprinter): token k-gram size and window width. The winnowing
+    * guarantee: any shared token run of length ≥ winnowK + winnowW − 1
+    * surfaces at least one SHARED selected fingerprint, while expected
+    * fingerprint density is only 2/(winnowW+1) of the k-gram stream —
+    * the position-robust sampling that a fixed-stride grid (q72's spans)
+    * loses under insertions. */
+  val winnowK = 3
+  val winnowW = 4
+
+  /** Fingerprint hashes selected in more than this many documents are
+    * boilerplate keys and are dropped WHOLE before pairing — the q159
+    * `simBlockCap` discipline: a deterministic HAVING cut both engines
+    * replay identically, bounding pair fan-out per key at C(cap, 2). */
+  val winnowBlockCap = 64
+
+  /** Minimum shared selected fingerprints for a reported match pair. */
+  val winnowMinShared = 2
+
+  /** WINNOWED FINGERPRINT MATCHING (q275) — the MOSS document-overlap
+    * detector as a corpus operator: per document, hash every token
+    * k-gram (md5-32, the oracle-shared family), slide a window of
+    * winnowW consecutive k-gram hashes, and select each window's MINIMUM
+    * hash (the paper's rightmost tie-break chooses which POSITION is
+    * recorded; the sketch here keeps distinct hashes, so window-min is
+    * the whole selection rule); the distinct selected hashes are the
+    * document's fingerprint sketch.
+    * Documents sharing ≥ winnowMinShared surviving fingerprints become
+    * match pairs with a containment score against the smaller sketch.
+    * Differs in kind from the MinHash chain (q55: probabilistic whole-doc
+    * similarity) and the span grid (q72: fixed stride, shift-fragile):
+    * winnowing guarantees detection of any ≥ k+w−1-token shared run at
+    * ~2/(w+1) index density — the plagiarism/attribution shape.
+    *
+    * Scale shape: fingerprint selection is pure per-row expression work
+    * (one tokenize + one windowed argmin over an array — no shuffle, and
+    * the dup copies are projected over the cached base sketch, one hash
+    * pass per unique text); the index is O(docs × density·grams) narrow
+    * rows; boilerplate keys are HAVING-dropped so the self-join fans out
+    * at most C(winnowBlockCap, 2) per key; the rollup is one (a, b)
+    * keyed count. At 100 TB the fingerprint index is the only shuffled
+    * relation — hashes, never text. */
+  def winnowedMatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = winnowK
+    val w = winnowW
+    // per-doc selected-fingerprint sketch over the BASE corpus, copies
+    // projected over the cache (the withDupCopies discipline)
+    val base = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select($"doc_id", tokens($"text").as("tk"))
+        .filter(size($"tk") >= k + w - 1)
+        .select($"doc_id",
+          transform(wordShingles($"tk", k), g => md5Hash32(g)).as("hs"))
+        // per-window min hash; the canonical rightmost-position
+        // tie-break only disambiguates which POSITION is recorded, and
+        // the sketch here is the distinct hash set, so min alone is the
+        // full selection rule
+        .select($"doc_id", array_distinct(
+          transform(sequence(lit(1), size($"hs") - (w - 1)), j =>
+            array_min(slice($"hs", j, lit(w))))).as("fph")))
+    val fps = withDupCopies(base)
+      .select($"doc_id", explode($"fph").as("h"))
+    val kept = fps.join(
+      fps.groupBy($"h").agg(count(lit(1)).as("nd"))
+        .filter($"nd" <= winnowBlockCap).select($"h"),
+      "h")
+    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("nfp"))
+    val shared = kept.select($"doc_id".as("a"), $"h")
+      .join(kept.select($"doc_id".as("b"), $"h"), "h")
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= winnowMinShared)
+    shared
+      .join(sizes.select($"doc_id".as("a"), $"nfp".as("a_fp")), "a")
+      .join(sizes.select($"doc_id".as("b"), $"nfp".as("b_fp")), "b")
+      .select($"a", $"b", $"n_shared", $"a_fp", $"b_fp",
+        expr("n_shared * 10000 div least(a_fp, b_fp)").as("containment_u4"))
+      .orderBy($"a", $"b")
+  }
+
+  /** Content-defined chunking parameters: a token ends a chunk iff its
+    * md5-32 (domain-separated "cdc:" prefix) mod [[cdcModulus]] falls
+    * below [[cdcThreshold]] — expected chunk length modulus/threshold =
+    * 8 tokens, with the final chunk taking the remainder. Every
+    * [[cdcStride]]-th document with ≥ 20 tokens ships an edited copy
+    * (id + [[cdcEditOffset]]) whose middle token is replaced by a
+    * per-doc-id token (the FIXTURES.md §C rule — replicas stay distinct),
+    * the single-edit re-crawl whose chunks everywhere except around the
+    * edit must still dedup. */
+  val cdcModulus = 64
+  val cdcThreshold = 8
+  val cdcStride = 13L
+  val cdcEditOffset = 900000L
+
+  /** CONTENT-DEFINED CHUNK DEDUP (q276) — the LBFS/FastCDC boundary rule
+    * as a corpus operator: chunk boundaries are chosen where the TOKEN
+    * HASH satisfies a modular predicate, so boundaries are a function of
+    * content alone and re-synchronize immediately after an edit — unlike
+    * q72's fixed 5-token grid, where one inserted token shifts every
+    * downstream span and kills all dedup behind it. Per document over
+    * base ∪ edited copies: chunk count, token count, how many of its
+    * chunks also occur in ANOTHER document, the token mass those shared
+    * chunks cover, and the shareable fraction — the storage/dedup payoff
+    * table of a CDC pass. The edited fixture is the operator's point:
+    * one mid-document token swap must leave every chunk except the
+    * edited one shared with the original.
+    *
+    * Scale shape: boundary selection and chunk hashing are per-row array
+    * expressions (zero shuffle); then ONE groupBy over chunk hashes
+    * (partial-aggregated counts) joined back and ONE per-doc rollup —
+    * two keyed shuffles of narrow hash rows, the q72 span-grid profile
+    * with shift-robust keys. */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 1)
+    // two-step id shift (the lateral-alias discipline): the replacement
+    // token derives from the ORIGINAL id, unambiguous in both engines
+    val corpus = docs.unionByName(
+      docs.filter($"doc_id" % cdcStride === 0 && size($"tk") >= 20)
+        .select($"doc_id".as("orig_id"),
+          concat(
+            slice($"tk", lit(1), (size($"tk") / 3).cast("int")),
+            array(concat(lit("zed"), $"doc_id".cast("string"))),
+            slice($"tk", (size($"tk") / 3 + 2).cast("int"),
+              size($"tk") - (size($"tk") / 3 + 1).cast("int")))
+            .as("tk"))
+        .select(($"orig_id" + cdcEditOffset).as("doc_id"), $"tk"))
+    // boundary positions: token i ends a chunk iff h32("cdc:"||tok_i)
+    // mod cdcModulus < cdcThreshold; chunk spans derive per-row (the
+    // final chunk takes the remainder to len(tk))
+    val chunks = corpus
+      .withColumn("bpos",
+        filter(sequence(lit(1L), size($"tk").cast("long")), i =>
+          conv(substring(md5(concat(lit("cdc:"), element_at($"tk", i.cast("int")))),
+            1, 8), 16, 10).cast("long") % cdcModulus < cdcThreshold))
+      .withColumn("ends",
+        when(array_position($"bpos", size($"tk").cast("long")) > 0, $"bpos")
+          .otherwise(concat($"bpos", array(size($"tk").cast("long")))))
+      .withColumn("starts",
+        concat(array(lit(1L)),
+          transform(slice($"ends", lit(1), size($"ends") - 1), e => e + 1L)))
+      .select($"doc_id", $"tk", size($"tk").cast("long").as("n_tokens"),
+        explode(zip_with($"starts", $"ends", (s, e) =>
+          struct(s.as("s"), e.as("e")))).as("sp"))
+      .select($"doc_id", $"n_tokens",
+        ($"sp.e" - $"sp.s" + 1L).as("chunk_len"),
+        md5(array_join(
+          slice($"tk", $"sp.s".cast("int"), ($"sp.e" - $"sp.s" + 1L).cast("int")),
+          " ")).as("ch"))
+    val hashDocs = chunks.groupBy($"ch")
+      .agg(countDistinct($"doc_id").as("nd"))
+    chunks.join(hashDocs, "ch")
+      .groupBy($"doc_id")
+      .agg(first($"n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("shared_chunks"),
+        sum(when($"nd" >= 2, $"chunk_len").otherwise(0L)).as("shared_tokens"))
+      .select($"doc_id", $"n_tokens", $"n_chunks", $"shared_chunks",
+        $"shared_tokens",
+        expr("shared_tokens * 10000 div n_tokens").as("shared_bp"),
+        ($"doc_id" >= cdcEditOffset).as("edited"))
+      .orderBy($"doc_id")
+  }
+
+  /** BLOCKING-QUALITY AUDIT (q277) — the record-linkage evaluation of
+    * the LSH blocking scheme itself (Christen 2012's two dials): for
+    * each prefix of b ∈ {1..bands} bands, REDUCTION RATIO (candidate
+    * pairs avoided vs the all-pairs cross product) and PAIRS
+    * COMPLETENESS (designed ground-truth duplicate pairs — the mirror
+    * copies — actually surfaced). The two dials move against each
+    * other: more bands → more candidates (lower RR) but fewer missed
+    * true pairs (higher PC). q266 audits the ESTIMATOR on surfaced
+    * pairs; this audits the SURFACING — what the banding chose never to
+    * score, which no per-pair metric can see.
+    *
+    * Scale shape: the q55 capped-band chain run ONCE keeping each
+    * pair's MINIMUM colliding band; the per-prefix rollup groups pairs
+    * by that minimum (O(bands) rows) and cumulates over the tiny band
+    * axis — the corpus never re-scans per prefix. All-pairs and
+    * ground-truth totals are two O(1)-row aggregates broadcast in. */
+  def blockingAudit(spark: SparkSession, dir: String,
+                    shingleN: Int = 3, perms: Int = 16,
+                    bands: Int = 4): DataFrame = {
+    import spark.implicits._
+    val rows = perms / bands
+    val sig = withDupCopies(graft.CacheGuard.barrier(
+      shingleArrays(spark, dir, shingleN)
+        .select($"doc_id",
+          graft.functions.native.md5MinHashSig($"arr", perms).as("sig"))))
+    val banded = sig.select($"doc_id",
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice($"sig", b * lit(rows) + 1, lit(rows)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val pairMin = registeredBand(banded, "band_key").as("x")
+      .join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b"), $"x.band".as("band"))
+      .groupBy($"a", $"b").agg(min($"band").as("min_band"))
+    val perBand = pairMin.groupBy($"min_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"b" === $"a" + dupOffset, 1L).otherwise(0L))
+          .as("n_true"))
+    val totals = sig.agg(count(lit(1)).as("n_docs")).select($"n_docs",
+      expr("n_docs * (n_docs - 1) div 2").as("all_pairs"),
+      ($"n_docs" / 2).cast("long").as("n_designed"))
+    // cumulate over the O(bands) axis via a tiny self-join (never a
+    // corpus-side window): prefix b counts pairs with min_band < b
+    val axis = spark.range(1, bands + 1).select($"id".cast("int").as("b"))
+    axis.join(perBand, $"min_band" < $"b", "left")
+      .groupBy($"b")
+      .agg(coalesce(sum($"n_pairs"), lit(0L)).as("candidates"),
+        coalesce(sum($"n_true"), lit(0L)).as("true_caught"))
+      .crossJoin(broadcast(totals))
+      .select($"b".as("bands_used"), lit(rows).as("rows_per_band"),
+        $"candidates", $"true_caught", $"n_designed", $"all_pairs",
+        expr("(all_pairs - candidates) * 10000 div all_pairs")
+          .as("reduction_ratio_u4"),
+        expr("true_caught * 10000 div n_designed")
+          .as("pairs_completeness_u4"))
+      .orderBy($"bands_used")
+  }
+
+  /** LSH S-CURVE AUDIT (q278) — the banding-design table (Leskovec,
+    * Rajaraman & Ullman ch. 3): for every (b, r) factorization of the
+    * 16-permutation signature, the ANALYTIC collision probability
+    * 1 − (1 − J^r)^b at each observed match-count level J = m/16, next
+    * to the MEASURED would-collide fraction of the audited candidate
+    * pairs at that level (a pair "would collide" under (b, r) iff some
+    * r-row band of the two signatures agrees exactly — in-row
+    * slice-equality over the signatures already on the pair). The table
+    * answers "what does retuning banding cost/buy at each similarity
+    * level" from data already flowing — no re-banding run. Measured
+    * rows are conditioned on the shipped (4, 4) surfacing (stated:
+    * pairs it never surfaced cannot be measured); the analytic column
+    * is exact for all (b, r). Powers are REPEATED IEEE MULTIPLICATION
+    * (correctly-rounded primitives, same association order in both
+    * engines) — never pow().
+    *
+    * Scale shape: one pass over the cached audited-pair relation per
+    * (b, r) config (5 configs, in-row arithmetic only), each collapsing
+    * to O(17) match-count rows before the union — the corpus-side work
+    * is the q55 chain, run once. */
+  def lshScurveAudit(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val perms = 16
+    val (pairs0, sigCached) =
+      md5MinHashPairsWithSigs(spark, dir, 3, perms, 4, threshold)
+    val pairs = graft.CacheGuard.barrier(
+      pairs0.select($"a", $"b", $"sa", $"sb",
+        sigMatches($"sa", $"sb", perms).cast("long").as("m")))
+    graft.CacheGuard.drop(sigCached)
+    val configs = Seq(1 -> 16, 2 -> 8, 4 -> 4, 8 -> 2, 16 -> 1)
+    val perConfig = configs.map { case (b, r) =>
+      val collide = (0 until b).map { i =>
+        (1 to r).map(j => element_at($"sa", i * r + j) ===
+          element_at($"sb", i * r + j)).reduce(_ && _)
+      }.reduce(_ || _)
+      val j = $"m".cast("double") / lit(perms.toDouble)
+      val jr = (1 to r).map(_ => j).reduce(_ * _)
+      val oneMinusJr = lit(1.0) - jr
+      val p = lit(1.0) - (1 to b).map(_ => oneMinusJr).reduce(_ * _)
+      pairs.groupBy($"m")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(collide, 1L).otherwise(0L)).as("collide_n"))
+        .select(lit(b).as("b"), lit(r).as("r"), $"m".as("matches"),
+          $"n_pairs", $"collide_n",
+          expr("collide_n * 10000 div n_pairs").as("collide_frac_u4"),
+          floor(p * lit(1e4) + lit(0.5)).cast("long").as("analytic_p_u4"))
+    }
+    perConfig.reduce(_ unionByName _).orderBy($"b", $"matches")
   }
 
 }

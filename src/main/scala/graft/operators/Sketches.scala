@@ -491,4 +491,54 @@ object Sketches {
       .select(explode(tokens($"text")).as("t"))
     mgHeavyHittersOf(toks, k)
   }
+
+  /** AMS sketch width for [[amsF2]], shared with the q282 oracle. */
+  val amsS = 16
+
+  /** AMS F2 SKETCH (q282) — the Alon–Matias–Szegedy second frequency
+    * moment estimator, the sketch-kit member Count-Min (q99) and HLL
+    * (q65) cannot replace: F2 = Σ_t cnt(t)² is the self-join size of
+    * the token stream (the skew statistic query optimizers and
+    * repartitioners price joins with; F2/n² is the collision
+    * probability of two random tokens). Each of [[amsS]] counters
+    * folds every token with a deterministic ±1 hash
+    * (md5-32("ams<i>#<token>") parity — the four-wise family's role,
+    * replayed identically by the oracle); counter i's estimate is
+    * z_i², and the sketch estimate is the mean. E[z²] = F2 exactly;
+    * Var/F2² ≤ 2/s — the 16-counter table shows the spread AND the
+    * estimate, next to the exact F2 and a basis-point error.
+    *
+    * Scale shape: the signed fold is algebraically a sum over the
+    * token-frequency table (sketching counts ≡ sketching the raw
+    * stream), so the corpus pays ONE token-keyed count (the same
+    * relation q99 caches); the 16 signed sums partial-aggregate
+    * map-side to ≤16 rows per partition — at 100 TB the sketch side
+    * shuffles 16 BIGINTs. The exact F2 (Σ cnt² over the same cached
+    * counts) is the audit half. All-integer end to end. */
+  def amsF2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val tc = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select(explode(tokens($"text")).as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("cnt")))
+    val counters = spark.range(amsS).select($"id".as("i"))
+    val signed = graft.CacheGuard.barrier(tc.crossJoin(counters)
+      .select($"i",
+        (when(md5Hash32(concat(lit("ams"), $"i".cast("string"),
+          lit("#"), $"t")) % 2 === 0, lit(1L)).otherwise(lit(-1L)) *
+          $"cnt").as("sgn"))
+      .groupBy($"i").agg(sum($"sgn").as("z"))
+      .select($"i".as("counter_id"), $"z", ($"z" * $"z").as("z2")))
+    val est = signed.agg(
+      expr(s"sum(z2) div ${amsS.toLong}").as("f2_est"))
+    val exact = tc.agg(sum($"cnt" * $"cnt").as("f2_exact"),
+      sum($"cnt").as("n_tokens"))
+    signed.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+      .select($"counter_id", $"z", $"z2", $"f2_est", $"f2_exact",
+        $"n_tokens",
+        expr("abs(f2_est - f2_exact) * 10000 div f2_exact")
+          .as("err_bp"))
+      .orderBy($"counter_id")
+  }
 }

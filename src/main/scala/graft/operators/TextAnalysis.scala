@@ -1400,4 +1400,55 @@ object TextAnalysis {
           $"n" / lit(1e6))).as("intercept"))
       .orderBy($"source")
   }
+
+  /** Kneser–Ney top-bigram table size, shared with the q283 oracle. */
+  val knTopN = 200
+
+  /** KNESER–NEY SMOOTHED BIGRAM TABLE (q283) — the smoothing that
+    * state-of-the-art count LMs (KenLM, the CCNet filter's backend)
+    * actually use, which the λ-interpolated q110 model is only a proxy
+    * for: absolute discounting with a CONTINUATION back-off.
+    * P_KN(w₂|w₁) = max(c(w₁w₂)−d, 0)/c(w₁·) + λ(w₁)·P_cont(w₂), with
+    * λ(w₁) = d·N₁₊(w₁·)/c(w₁·) and P_cont(w₂) = N₁₊(·w₂)/|bigram
+    * types|. The continuation term is the insight q110 lacks: "francisco"
+    * is frequent but follows only "san", so its back-off mass is tiny
+    * where a unigram back-off would overweight it — exactly the
+    * distinction shown per-bigram here. d = 3/4, so every probability
+    * term is exact integer micro-units: numerators scale by 4 (the
+    * discount becomes −3 on 4·c) and all divisions are BIGINT `div`.
+    * Output: the [[knTopN]] most frequent bigrams (count desc, bigram
+    * asc — deterministic) with all five KN components.
+    *
+    * Scale shape: ONE tokenize pass → one (w₁,w₂)-keyed count; every
+    * derived statistic (context totals, left/right continuation counts,
+    * the type total) is a keyed re-aggregation OF THE COUNT TABLE —
+    * O(bigram vocab), not O(corpus); the final join tree joins the
+    * count table to three vocab-sized sides and one broadcast scalar.
+    * TakeOrdered bounds the output. At 100 TB the corpus is touched
+    * once; everything else is vocabulary-sized. */
+  def knBigramTable(spark: SparkSession, dir: String,
+                    topN: Int = knTopN): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.documents(spark, dir)
+      .select(explode(wordShingles(tokens($"text"), 2)).as("bg"))
+      .select(substring_index($"bg", " ", 1).as("w1"),
+        substring_index($"bg", " ", -1).as("w2"))
+    val c12 = graft.CacheGuard.barrier(
+      bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12")))
+    val ctx = c12.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("n1r"))
+    val cont = c12.groupBy($"w2").agg(count(lit(1)).as("n1l"))
+    val types = c12.agg(count(lit(1)).as("t_types"))
+    c12.join(ctx, "w1").join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .select($"w1", $"w2", $"c12", $"c1", $"n1r", $"n1l", $"t_types",
+        expr("greatest(4 * c12 - 3, 0) * 1000000 div (4 * c1)")
+          .as("pml_u6"),
+        expr("3 * n1r * 1000000 div (4 * c1)").as("lambda_u6"),
+        expr("n1l * 1000000 div t_types").as("pcont_u6"))
+      .withColumn("pkn_u6",
+        $"pml_u6" + expr("lambda_u6 * pcont_u6 div 1000000"))
+      .orderBy($"c12".desc, $"w1", $"w2")
+      .limit(topN)
+  }
 }

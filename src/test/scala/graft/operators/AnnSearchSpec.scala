@@ -680,4 +680,46 @@ class AnnSearchSpec extends SparkSpec {
       assert(r.getAs[Boolean]("hard") === (nc >= pc))
     }
   }
+
+  test("q280: prototype pruning — per-cluster rank structure, exact drop rules, mirror coherence") {
+    val out = AnnSearch.prototypePrune(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getAs[Long]("list_id"))
+    byCluster.foreach { case (_, rows) =>
+      val n = rows.length.toLong
+      assert(rows.forall(_.getAs[Long]("cluster_n") === n))
+      // ranks are a permutation of 1..n and descend by (cos, vec_id)
+      val sorted = rows.sortBy(r =>
+        (-r.getAs[Double]("cos_c"), r.getAs[Long]("vec_id")))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to n))
+      // exact integer drop rules, counts = floor(n·pct/100)
+      val protoN = rows.count(_.getAs[Boolean]("drop_proto"))
+      val outN = rows.count(_.getAs[Boolean]("drop_outlier"))
+      assert(protoN === (n * AnnSearch.protoPct / 100).toInt)
+      assert(outN === (n * AnnSearch.outlierPct / 100).toInt)
+      rows.foreach { r =>
+        val rnk = r.getAs[Long]("rnk")
+        assert(r.getAs[Boolean]("drop_proto") ===
+          (rnk * 100 <= n * AnnSearch.protoPct))
+        assert(r.getAs[Boolean]("drop_outlier") ===
+          ((n - rnk + 1) * 100 <= n * AnnSearch.outlierPct))
+        assert(r.getAs[Boolean]("is_kept") ===
+          (!r.getAs[Boolean]("drop_proto") &&
+            !r.getAs[Boolean]("drop_outlier")))
+      }
+    }
+    // the designed +100000 mirror sits in the SAME cluster at the SAME
+    // cosine as its base (identical embedding), ranked after it by the
+    // vec_id tie-break
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val base = out.filter(_.getAs[Long]("vec_id") < 100000L)
+    assert(base.nonEmpty)
+    base.foreach { r =>
+      val m = byId(r.getAs[Long]("vec_id") + 100000L)
+      assert(m.getAs[Long]("list_id") === r.getAs[Long]("list_id"))
+      assert(m.getAs[Double]("cos_c") === r.getAs[Double]("cos_c"))
+      assert(m.getAs[Long]("rnk") > r.getAs[Long]("rnk"))
+    }
+  }
 }

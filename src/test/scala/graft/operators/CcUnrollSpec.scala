@@ -82,4 +82,22 @@ class CcUnrollSpec extends SparkSpec {
     val r = roundsToFixpoint(ids, edges)
     assert(r <= graft.SparkEntry.lpRounds - 1, s"q48 chain needs $r rounds")
   }
+
+  test("q279's base (est >= tauBase) subgraph converges within lpRounds - 1 at the gate SFs") {
+    // removing edges can only split components or LENGTHEN paths inside
+    // what remains, so the full-graph bound does not transfer — the base
+    // chain needs its own pin
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val prs = DedupOps.minHashLshPairsOracled(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("est_jaccard") >=
+          Components.incCcTauBase)
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(prs.nonEmpty, s"empty base graph at $dir")
+      val nodes = prs.flatMap(p => Seq(p._1, p._2)).distinct
+      val r = roundsToFixpoint(nodes, prs)
+      assert(r <= graft.SparkEntry.lpRounds - 1,
+        s"$dir: base graph needs $r rounds — raise lpRounds")
+    }
+  }
 }

@@ -558,4 +558,90 @@ class ComponentsSpec extends SparkSpec {
       else assert(h === -1L || (h >= 1L && h <= 5L))
     }
   }
+
+  test("q279: incremental contraction equals from-scratch CC on the full graph; labels only move down") {
+    import spark.implicits._
+    val out = Components.incrementalCc(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("new_label") <= r.getAs[Long]("old_label"))
+      assert(r.getAs[Boolean]("changed") ===
+        (r.getAs[Long]("new_label") != r.getAs[Long]("old_label")))
+    }
+    // the identity the operator exists for: composing base labels with
+    // the contracted-graph CC equals CC over the full est>=0.5 graph
+    val pairs = DedupOps.minHashLshPairsOracled(spark, sf, threshold = 0.5)
+    val full = Components.connectedComponents(pairs.select($"a", $"b"))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+      .toMap
+    graft.CacheGuard.release()
+    out.foreach { r =>
+      val n = r.getAs[Long]("node")
+      assert(r.getAs[Long]("new_label") === full.getOrElse(n, n),
+        s"node $n")
+    }
+    // the delta batch is non-trivial at the gate SF: some labels merge
+    assert(out.exists(_.getAs[Boolean]("changed")))
+  }
+
+  test("q281: louvain gains equal the actual 2m²-scaled modularity delta of applying the move") {
+    import spark.implicits._
+    val out = Components.louvainMoveAudit(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val edges = DedupOps.minHashLshPairsOracled(spark, sf, threshold = 0.2)
+      .select($"a", $"b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.CacheGuard.release()
+    val m = edges.length.toLong
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val lbl = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("community")).toMap
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    // degree and k_in_cur replay
+    out.foreach { r =>
+      val i = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("degree") === deg(i))
+      assert(r.getAs[Long]("k_in_cur") ===
+        adj(i).count(j => lbl(j) == lbl(i)).toLong)
+    }
+    // 4m²-scaled modularity of a labeling: Σ_c (4m·e_c − st_c²)
+    def m4(l: Map[Long, Long]): BigInt = {
+      val eIn: Map[Long, Long] = edges.groupBy(e => l(e._1))
+        .map { case (c, es) => c -> es.count(e => l(e._2) == c).toLong }
+      // ns.keys is a Set — map through toSeq or equal degrees collapse
+      val st: Map[Long, Long] = l.groupBy(_._2).map { case (c, ns) =>
+        c -> ns.keys.toSeq.map(deg).sum }
+      val cs = eIn.keySet ++ st.keySet
+      cs.toSeq.map { c =>
+        val stc = BigInt(st.getOrElse(c, 0L))
+        BigInt(4) * BigInt(m) * BigInt(eIn.getOrElse(c, 0L)) - stc * stc
+      }.sum
+    }
+    val base = m4(lbl)
+    val moved = out.filter(_.getAs[Boolean]("moved"))
+    assert(moved.nonEmpty, "gate-SF graph must have at least one move")
+    moved.take(25).foreach { r =>
+      val i = r.getAs[Long]("doc_id")
+      val after = m4(lbl.updated(i, r.getAs[Long]("best_community")))
+      assert(after - base === BigInt(2) * r.getAs[Long]("gain_x2m2"),
+        s"node $i")
+    }
+    // unmoved nodes: every neighboring community is a non-positive gain
+    // (replayed from first principles for a sample)
+    val st = lbl.groupBy(_._2).map { case (c, ns) =>
+      c -> ns.keys.toSeq.map(deg).sum }
+    out.filter(!_.getAs[Boolean]("moved")).take(25).foreach { r =>
+      val i = r.getAs[Long]("doc_id")
+      val a = lbl(i); val k = deg(i)
+      val kia = adj(i).count(j => lbl(j) == a).toLong
+      adj(i).map(lbl).distinct.filter(_ != a).foreach { c =>
+        val kic = adj(i).count(j => lbl(j) == c).toLong
+        val gain = 2 * m * (kic - kia) - k * (st(c) - st(a) + k)
+        assert(gain <= 0L, s"node $i should have moved to $c")
+      }
+    }
+  }
 }

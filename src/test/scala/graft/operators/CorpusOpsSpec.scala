@@ -1035,4 +1035,43 @@ class CorpusOpsSpec extends SparkSpec {
     val hs = out.map(_.getAs[Long]("hash_tokens"))
     assert(rr.max - rr.min <= hs.max - hs.min)
   }
+
+  test("q284: UniMax water-filling — budget exhausted exactly, caps respected, level optimal") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val out = CorpusOps.unimaxAllocation(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    // independent per-language mass recount
+    val mass = Tables.documents(spark, sf)
+      .select($"lang", size(tokens($"text")).cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = mass.values.sum * CorpusOps.unimaxBudgetVolumes
+    out.foreach { r =>
+      val l = r.getAs[String]("lang")
+      assert(r.getAs[Long]("mass") === mass(l))
+      assert(r.getAs[Long]("cap") === mass(l) * CorpusOps.unimaxEpochCap)
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("cap"))
+      assert(r.getAs[Long]("alloc") >= 0L)
+      assert(r.getAs[Long]("epochs_u4") ===
+        r.getAs[Long]("alloc") * 10000L / math.max(mass(l), 1L))
+    }
+    // the water-filling contract: Σ alloc = B exactly (integer residual
+    // dealt), bound languages sit at cap ≤ level, unbound within 1 of
+    // the level and never below a bound cap
+    assert(out.map(_.getAs[Long]("alloc")).sum === budget)
+    val level = out.head.getAs[Long]("water_level")
+    assert(out.forall(_.getAs[Long]("water_level") === level))
+    val (bound, unbound) = out.partition(_.getAs[Boolean]("bound"))
+    assert(bound.forall(r => r.getAs[Long]("cap") <= level))
+    unbound.foreach { r =>
+      val a = r.getAs[Long]("alloc")
+      assert(a === level || a === level + 1L, s"${r.getAs[String]("lang")}")
+    }
+    // the gate corpus is genuinely skewed: at least one language binds
+    // at its epoch cap and at least one takes the level
+    assert(bound.nonEmpty && unbound.nonEmpty,
+      "fixture must exercise both branches")
+  }
 }

@@ -965,4 +965,163 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => r.getAs[Long]("keeper") ->
       r.getAs[Long]("cluster_size")).toMap === report)
   }
+
+  private def md532(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  test("q275: full driver-side winnowing replay — selection, boilerplate cap, pair rollup") {
+    import spark.implicits._
+    val out = DedupOps.winnowedMatches(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+    // per-doc sketch: k-gram md5-32 hashes, window-of-w min, distinct
+    val fp0 = docs.filter(_._2.size >= DedupOps.winnowK + DedupOps.winnowW - 1)
+      .map { case (id, tk) =>
+        val hs = tk.sliding(DedupOps.winnowK).map(_.mkString(" "))
+          .map(md532).toVector
+        id -> hs.sliding(DedupOps.winnowW).map(_.min).toVector.distinct
+      }
+    val fps = fp0 ++ fp0.map { case (id, s) => (id + DedupOps.dupOffset) -> s }
+    val hCount = fps.flatMap(_._2).groupBy(identity).map { case (h, v) => h -> v.size }
+    val kept = fps.map { case (id, s) =>
+      id -> s.filter(h => hCount(h) <= DedupOps.winnowBlockCap) }
+    val byDoc = kept.toMap
+    val pairCounts = scala.collection.mutable.Map[(Long, Long), Long]()
+    val docsByH = kept.flatMap { case (id, s) => s.map(h => h -> id) }
+      .groupBy(_._1).map { case (h, v) => h -> v.map(_._2).sorted }
+    docsByH.values.foreach { ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.size)
+        pairCounts((ids(i), ids(j))) =
+          pairCounts.getOrElse((ids(i), ids(j)), 0L) + 1L
+    }
+    val want = pairCounts.filter(_._2 >= DedupOps.winnowMinShared)
+      .map { case ((a, b), n) =>
+        val (na, nb) = (byDoc(a).size.toLong, byDoc(b).size.toLong)
+        (a, b) -> (n, na, nb, n * 10000L / math.min(na, nb))
+      }
+    val got = out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+      ((r.getAs[Long]("n_shared"), r.getAs[Long]("a_fp"),
+        r.getAs[Long]("b_fp"), r.getAs[Long]("containment_u4")))).toMap
+    assert(got === want)
+    // the designed mirrors: identical sketches → containment 10000
+    val mirrors = out.filter(r =>
+      r.getAs[Long]("b") === r.getAs[Long]("a") + DedupOps.dupOffset)
+    assert(mirrors.nonEmpty)
+    mirrors.foreach { r =>
+      assert(r.getAs[Long]("containment_u4") === 10000L)
+      assert(r.getAs[Long]("a_fp") === r.getAs[Long]("b_fp"))
+    }
+  }
+
+  test("q276: chunk decomposition replays per doc; every edited copy re-syncs to >= n_chunks - 2 shared chunks") {
+    import spark.implicits._
+    val out = DedupOps.cdcChunkDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1))
+      .filter(_._2.nonEmpty)
+    def chunkEnds(tk: Seq[String]): Vector[Int] = {
+      val b = (1 to tk.size).filter(i =>
+        md532("cdc:" + tk(i - 1)) % DedupOps.cdcModulus < DedupOps.cdcThreshold)
+        .toVector
+      if (b.nonEmpty && b.last == tk.size) b else b :+ tk.size
+    }
+    val edited = docs.filter { case (id, tk) =>
+      id % DedupOps.cdcStride == 0 && tk.size >= 20 }
+      .map { case (id, tk) =>
+        val m3 = tk.size / 3
+        (id + DedupOps.cdcEditOffset) ->
+          (tk.take(m3) ++ Seq("zed" + id) ++ tk.drop(m3 + 1))
+      }
+    assert(edited.nonEmpty)
+    val all = (docs ++ edited).toMap
+    // n_tokens and n_chunks replay exactly for every row
+    assert(out.length === all.size)
+    out.foreach { r =>
+      val tk = all(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") === tk.size.toLong)
+      assert(r.getAs[Long]("n_chunks") === chunkEnds(tk).size.toLong)
+      assert(r.getAs[Long]("shared_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("shared_bp") ===
+        r.getAs[Long]("shared_tokens") * 10000L / r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Boolean]("edited") ===
+        (r.getAs[Long]("doc_id") >= DedupOps.cdcEditOffset))
+    }
+    // the CDC point: one mid-document token swap can disturb at most
+    // the chunk containing the edit plus one neighbor — boundaries are
+    // per-token, so everything outside re-syncs against the original
+    val editRows = out.filter(_.getAs[Boolean]("edited"))
+    assert(editRows.length === edited.size)
+    editRows.foreach { r =>
+      assert(r.getAs[Long]("shared_chunks") >= r.getAs[Long]("n_chunks") - 2,
+        s"doc ${r.getAs[Long]("doc_id")}: ${r.getAs[Long]("shared_chunks")}" +
+          s" of ${r.getAs[Long]("n_chunks")} chunks shared")
+    }
+  }
+
+  test("q277: dial monotonicity, exact arithmetic, full completeness at the gate SF, and b=4 candidates = the q55 chain's") {
+    val out = DedupOps.blockingAudit(spark, sf).collect()
+    assert(out.length === 4)
+    val byB = out.map(r => r.getAs[Int]("bands_used") -> r).toMap
+    (1 to 4).foreach { b =>
+      val r = byB(b)
+      val (cand, caught) =
+        (r.getAs[Long]("candidates"), r.getAs[Long]("true_caught"))
+      val (ap, nd) = (r.getAs[Long]("all_pairs"), r.getAs[Long]("n_designed"))
+      assert(ap === (2 * nd) * (2 * nd - 1) / 2)
+      assert(r.getAs[Long]("reduction_ratio_u4") === (ap - cand) * 10000L / ap)
+      assert(r.getAs[Long]("pairs_completeness_u4") === caught * 10000L / nd)
+      if (b > 1) {
+        assert(cand >= byB(b - 1).getAs[Long]("candidates"))
+        assert(caught >= byB(b - 1).getAs[Long]("true_caught"))
+        assert(r.getAs[Long]("reduction_ratio_u4") <=
+          byB(b - 1).getAs[Long]("reduction_ratio_u4"))
+      }
+    }
+    // identical signatures collide in band 0: full completeness already
+    // at one band (the cap never binds at gate SFs)
+    assert(byB(1).getAs[Long]("pairs_completeness_u4") === 10000L)
+    // the 4-band candidate set IS the q55 chain's distinct candidates
+    val chainCands = DedupOps.minHashLshPairsOracled(spark, sf,
+      threshold = 0.0).count()
+    assert(byB(4).getAs[Long]("candidates") === chainCands)
+  }
+
+  test("q278: analytic column replays exactly; (4,4) measures 10000 on its own candidates; degenerate splits bracket the curve") {
+    val out = DedupOps.lshScurveAudit(spark, sf).collect()
+    assert(out.nonEmpty)
+    val totalByConfig = out.groupBy(_.getAs[Int]("b"))
+      .map { case (b, rs) => b -> rs.map(_.getAs[Long]("n_pairs")).sum }
+    // every config sees the same audited pair set
+    assert(totalByConfig.values.toSet.size === 1)
+    out.foreach { r =>
+      val (b, rr, m) = (r.getAs[Int]("b"), r.getAs[Int]("r"),
+        r.getAs[Long]("matches"))
+      assert(m >= 8 && m <= 16)
+      // repeated-multiplication replay of 1 - (1 - J^r)^b
+      val j = m.toDouble / 16.0
+      val jr = (1 to rr).map(_ => j).reduce(_ * _)
+      val q = 1.0 - jr
+      val p = 1.0 - (1 to b).map(_ => q).reduce(_ * _)
+      assert(r.getAs[Long]("analytic_p_u4") ===
+        math.floor(p * 1e4 + 0.5).toLong)
+      assert(r.getAs[Long]("collide_frac_u4") ===
+        r.getAs[Long]("collide_n") * 10000L / r.getAs[Long]("n_pairs"))
+      // surfaced-by-(4,4) pairs must re-collide under (4,4)
+      if (b == 4) assert(r.getAs[Long]("collide_frac_u4") === 10000L)
+      // (16,1): any single coordinate agrees (m >= 8 guarantees one)
+      if (b == 16) assert(r.getAs[Long]("collide_frac_u4") === 10000L)
+      // (1,16): collide iff the signatures agree everywhere
+      if (b == 1 && m < 16) assert(r.getAs[Long]("collide_n") === 0L)
+      if (m == 16) assert(r.getAs[Long]("collide_frac_u4") === 10000L &&
+        r.getAs[Long]("analytic_p_u4") === 10000L)
+    }
+  }
 }

@@ -253,4 +253,41 @@ class SketchesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_total") === n)
     }
   }
+
+  test("q282: AMS F2 — full driver replay of signed folds, exact F2, and the mean estimate") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val out = Sketches.amsF2(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.length === Sketches.amsS)
+    val tc = Tables.documents(spark, sf)
+      .select(explode(tokens($"text")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    def md532(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val zs = (0 until Sketches.amsS).map { i =>
+      tc.map { case (t, c) =>
+        (if (md532(s"ams$i#$t") % 2 == 0) 1L else -1L) * c }.sum
+    }
+    val f2 = tc.map { case (_, c) => c * c }.sum
+    val nTok = tc.map(_._2).sum
+    val est = zs.map(z => z * z).sum / Sketches.amsS
+    out.sortBy(_.getAs[Long]("counter_id")).zipWithIndex.foreach {
+      case (r, i) =>
+        assert(r.getAs[Long]("z") === zs(i), s"counter $i")
+        assert(r.getAs[Long]("z2") === zs(i) * zs(i))
+        assert(r.getAs[Long]("f2_exact") === f2)
+        assert(r.getAs[Long]("f2_est") === est)
+        assert(r.getAs[Long]("n_tokens") === nTok)
+        assert(r.getAs[Long]("err_bp") === math.abs(est - f2) * 10000 / f2)
+    }
+    // the estimator is doing its job at the gate SF: within 50% of exact
+    assert(math.abs(est - f2) * 2 <= f2,
+      s"AMS estimate $est vs exact $f2 drifted past 50%")
+  }
 }

@@ -918,4 +918,48 @@ class TextAnalysisSpec extends SparkSpec {
     val expected = math.floor(slope * 1e4 + 0.5) / 1e4
     assert(out.head.getAs[Double]("slope") === expected)
   }
+
+  test("q283: Kneser-Ney bigram table — independent recount of every statistic and the probability identities") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val out = TextAnalysis.knBigramTable(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.length === TextAnalysis.knTopN)
+    // driver-side bigram counts from scratch
+    val bgs = Tables.documents(spark, sf)
+      .select(tokens($"text").as("tk")).collect()
+      .map(_.getSeq[String](0)).filter(_.size >= 2)
+      .flatMap(tk => tk.sliding(2).map(w => (w.head, w(1))))
+    val c12 = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bgs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1r = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1l = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val t = c12.size.toLong
+    // the top-N cut is (c12 desc, w1, w2) deterministic
+    val expectTop = c12.toSeq.map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(TextAnalysis.knTopN)
+      .map { case (a, b, _) => (a, b) }
+    assert(out.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSeq
+      === expectTop)
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(r.getAs[Long]("c12") === c12((a, b)))
+      assert(r.getAs[Long]("c1") === c1(a))
+      assert(r.getAs[Long]("n1r") === n1r(a))
+      assert(r.getAs[Long]("n1l") === n1l(b))
+      assert(r.getAs[Long]("t_types") === t)
+      val pml = math.max(4 * c12((a, b)) - 3, 0L) * 1000000L / (4 * c1(a))
+      val lam = 3 * n1r(a) * 1000000L / (4 * c1(a))
+      val pcont = n1l(b) * 1000000L / t
+      assert(r.getAs[Long]("pml_u6") === pml)
+      assert(r.getAs[Long]("lambda_u6") === lam)
+      assert(r.getAs[Long]("pcont_u6") === pcont)
+      assert(r.getAs[Long]("pkn_u6") === pml + lam * pcont / 1000000L)
+      // identities: discounted mass never exceeds ML mass; KN adds
+      // back-off strictly when the continuation is non-trivial
+      assert(pml <= c12((a, b)) * 1000000L / c1(a))
+      assert(r.getAs[Long]("pkn_u6") >= pml)
+      assert(r.getAs[Long]("pkn_u6") <= 1000000L)
+    }
+  }
 }
