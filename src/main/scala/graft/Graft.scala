@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Library facade: the one import a user of the engine needs.
   *
-  * The engine's 278 declared queries (`SparkEntry.queries`) are the
+  * The engine's 287 declared queries (`SparkEntry.queries`) are the
   * EVIDENCE surface — each is a composed, DuckDB-oracled example of the
   * operators below. A consuming team programs against the operator
   * objects, which this facade groups by family with stable names; every
@@ -72,8 +72,9 @@ object Graft {
   /** Similarity search over `embeddings`: brute-force cosine top-k
     * (q22), batched serving (q42), LSH (q23), trained IVF (q35/q69),
     * PQ + ADC (q85/q86), IVF-PQ composed (q179), kNN join (q53),
-    * SemDeDup (q82), recall/MRR/NDCG audits (q93/q121), mining
-    * (hard negatives q112, bitext margin q176, triplets q222). All
+    * SemDeDup (q82), D4 prototype pruning (q280), recall/MRR/NDCG
+    * audits (q93/q121), mining (hard negatives q112, bitext margin
+    * q176, reciprocal NN q286, triplets q222). All
     * top-k via the bounded `TopKAgg` — no corpus Window (plan-asserted).
     * Spec: `AnnSearchSpec`, `MiningOpsSpec`. */
   val ann: operators.AnnSearch.type = operators.AnnSearch
@@ -101,8 +102,9 @@ object Graft {
   val retrieval: operators.CorpusOps.type = operators.CorpusOps
 
   /** Sketches: HLL (q65/q108/q119/q205), Count-Min (q99/q104), KMV
-    * (q131), mergeable quantiles (q142), Misra–Gries (q191) — ≤256
-    * registers / bottom-k cross the exchange. Spec: `SketchesSpec`. */
+    * intersection + A-not-B (q131/q288), AMS F2 (q282), mergeable
+    * quantiles (q142), Misra–Gries (q191) — ≤256 registers / bottom-k
+    * cross the exchange. Spec: `SketchesSpec`. */
   val sketches: operators.Sketches.type = operators.Sketches
 
   /** Graph analytics over the similarity/event graphs: connected
@@ -110,8 +112,10 @@ object Graft {
     * triangles (q97), k-core (q185), HITS (q209), PPR (q206), BFS
     * (q217), modularity (q227), thread trees by pointer doubling
     * (q190), incremental CC maintenance (q279 — delta edges contracted
-    * through base labels, CC on the label-level graph only). One keyed
-    * shuffle per round, lineage cuts. Spec: `ComponentsSpec`. */
+    * through base labels, CC on the label-level graph only), Louvain
+    * move audit (q281, exact 2m²-scaled gains), local clustering
+    * coefficients (q285). One keyed shuffle per round, lineage cuts.
+    * Spec: `ComponentsSpec`. */
   val graph: operators.Components.type = operators.Components
 
   /** Warehouse/product analytics: funnels (q101/q224), cohorts (q107),
@@ -121,8 +125,9 @@ object Graft {
   val analytics: operators.Analytics.type = operators.Analytics
 
   /** Data-quality gates: per-column profiler (q83/q91), expectation
-    * suite (q208), k-anonymity (q210), functional dependencies (q237),
-    * exact Spearman/Pearson (q238), coverage matrix (q244). Spec:
+    * suite (q208), k-anonymity (q210), randomized-response local-DP
+    * audit (q287), functional dependencies (q237), exact
+    * Spearman/Pearson (q238), coverage matrix (q244). Spec:
     * `ProfilerSpec`. */
   val quality: operators.Profiler.type = operators.Profiler
 

@@ -369,6 +369,12 @@ object SparkEntry {
     "q282_ams_f2" -> ((s, d) => Sketches.amsF2(s, d)),
     "q283_kn_bigrams" -> ((s, d) => TextAnalysis.knBigramTable(s, d)),
     "q284_unimax_alloc" -> ((s, d) => CorpusOps.unimaxAllocation(s, d)),
+    "q285_local_clustering" -> ((s, d) => Components.localClustering(s, d)),
+    "q286_reciprocal_nn" -> ((s, d) =>
+      AnnSearch.reciprocalNearestNeighbors(s, d)),
+    "q287_randomized_response" -> ((s, d) =>
+      Profiler.randomizedResponse(s, d)),
+    "q288_kmv_anotb" -> ((s, d) => Sketches.kmvANotB(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -8478,6 +8484,149 @@ object SparkEntry {
          |  alloc, alloc * 10000 // greatest(mass, 1) AS epochs_u4, bound
          |FROM fin ORDER BY lang""".stripMargin
     },
+
+    // per-node clustering coefficient: the q97 canonical wedge joins
+    // run once, each closed triangle emits its three corners
+    "q285_local_clustering" ->
+      s"""WITH $minHashCtesSql,
+         |edc AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |deg AS MATERIALIZED (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS k FROM (
+         |    SELECT a AS node FROM edc UNION ALL SELECT b FROM edc) z
+         |  GROUP BY node),
+         |tri AS MATERIALIZED (
+         |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |  FROM edc e1
+         |  JOIN edc e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN edc e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pn AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+         |    UNION ALL SELECT w FROM tri) z
+         |  GROUP BY node)
+         |SELECT d.node AS doc_id, d.k AS degree,
+         |  coalesce(pn.n_tri, 0) AS n_triangles,
+         |  d.k * (d.k - 1) // 2 AS possible,
+         |  CASE WHEN d.k >= 2
+         |    THEN coalesce(pn.n_tri, 0) * 10000 // (d.k * (d.k - 1) // 2)
+         |    ELSE 0 END AS lcc_u4,
+         |  d.k >= 2 AS defined
+         |FROM deg d LEFT JOIN pn ON pn.node = d.node
+         |ORDER BY doc_id""".stripMargin,
+
+    // reciprocal top-1 neighbors over capped sign-LSH buckets on the
+    // RAW embedding table; mutuality via a best-table self-join
+    "q286_reciprocal_nn" ->
+      s"""WITH emb0 AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
+         |  FROM embeddings),
+         |okb AS (SELECT bucket FROM emb0 GROUP BY bucket
+         |        HAVING count(*) <= 500),
+         |emb AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, e.bucket
+         |  FROM emb0 e JOIN okb USING (bucket)),
+         |prs AS MATERIALIZED (
+         |  SELECT x.vec_id AS v, y.vec_id AS n,
+         |    ${cosSql("x.embedding", "y.embedding")} AS cs
+         |  FROM emb x JOIN emb y
+         |    ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |cnt AS MATERIALIZED (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS n_cands
+         |  FROM prs GROUP BY v),
+         |best AS MATERIALIZED (
+         |  SELECT v, n AS best_n, cs FROM (
+         |    SELECT v, n, cs, row_number() OVER (PARTITION BY v
+         |      ORDER BY cs DESC, n) AS rn
+         |    FROM prs) z WHERE rn = 1)
+         |SELECT p.v AS a, q.v AS b, p.cs AS cos_sim,
+         |  ca.n_cands AS a_cands, cb.n_cands AS b_cands
+         |FROM best p JOIN best q
+         |  ON p.best_n = q.v AND q.best_n = p.v AND p.v < q.v
+         |JOIN cnt ca ON ca.v = p.v
+         |JOIN cnt cb ON cb.v = q.v
+         |ORDER BY a""".stripMargin,
+
+    // Warner randomized response with deterministic md5 coins; debias
+    // closed form in exact integers; eps via the round-8 ln snap
+    "q287_randomized_response" -> {
+      import Profiler.{rrKeepNum, rrDen}
+      s"""WITH docs AS (SELECT doc_id, lang FROM documents),
+         |idx AS MATERIALIZED (
+         |  SELECT lang,
+         |    CAST(row_number() OVER (ORDER BY lang) AS BIGINT) - 1 AS li
+         |  FROM (SELECT DISTINCT lang FROM docs) z),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM idx),
+         |c2 AS MATERIALIZED (
+         |  SELECT i.li, h % $rrDen < $rrKeepNum AS keep,
+         |    (h // $rrDen) % (kk.k - 1) AS alt
+         |  FROM (
+         |    SELECT d.lang, ${h32("'rr:' || CAST(d.doc_id AS VARCHAR)")} AS h
+         |    FROM docs d) d2
+         |  JOIN idx i USING (lang) CROSS JOIN kk),
+         |obs AS (
+         |  SELECT CASE WHEN keep THEN li
+         |    WHEN alt >= li THEN alt + 1 ELSE alt END AS li,
+         |    CAST(count(*) AS BIGINT) AS reported_n
+         |  FROM c2 GROUP BY 1),
+         |tn AS (SELECT li, CAST(count(*) AS BIGINT) AS true_n
+         |       FROM c2 GROUP BY li),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs)
+         |SELECT lang, true_n, reported_n, est_n, k, n, est_n - true_n AS err,
+         |  CAST(floor(round(ln(3.0 * (k - 1)), 8) * 1e4 + 0.5) AS BIGINT)
+         |    AS eps_u4
+         |FROM (
+         |  SELECT i.lang, coalesce(tn.true_n, 0) AS true_n,
+         |    coalesce(obs.reported_n, 0) AS reported_n,
+         |    ($rrDen * (kk.k - 1) * coalesce(obs.reported_n, 0)
+         |      - ${rrDen - rrKeepNum} * tot.n)
+         |      // ($rrKeepNum * kk.k - $rrDen) AS est_n,
+         |    kk.k, tot.n
+         |  FROM idx i
+         |  LEFT JOIN tn USING (li) LEFT JOIN obs USING (li)
+         |  CROSS JOIN tot CROSS JOIN kk) q
+         |ORDER BY lang""".stripMargin
+    },
+
+    // theta A-not-B over per-source shingle vocabularies: bottom-k
+    // sketches, sample = skA under theta anti-joined against skB;
+    // exact EXCEPT audit alongside
+    "q288_kmv_anotb" ->
+      s"""WITH sha AS MATERIALIZED (
+         |  SELECT DISTINCT sh FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+         |    FROM (SELECT $toksSql AS tk FROM documents
+         |          WHERE source = 'src0') d WHERE len(tk) >= 3) z),
+         |shb AS MATERIALIZED (
+         |  SELECT DISTINCT sh FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS sh
+         |    FROM (SELECT $toksSql AS tk FROM documents
+         |          WHERE source = 'src1') d WHERE len(tk) >= 3) z),
+         |ska AS (
+         |  SELECT DISTINCT ${h32("sh")} AS h FROM sha
+         |  ORDER BY h LIMIT ${Sketches.kmvK}),
+         |skb AS (
+         |  SELECT DISTINCT ${h32("sh")} AS h FROM shb
+         |  ORDER BY h LIMIT ${Sketches.kmvK}),
+         |th AS (
+         |  SELECT least((SELECT max(h) FROM ska), (SELECT max(h) FROM skb))
+         |    AS theta),
+         |ns AS (
+         |  SELECT count(*) AS n_sample
+         |  FROM ska CROSS JOIN th
+         |  WHERE h < theta AND h NOT IN (SELECT h FROM skb)),
+         |ex AS (
+         |  SELECT count(*) AS exact_diff FROM (
+         |    SELECT sh FROM sha EXCEPT SELECT sh FROM shb))
+         |SELECT n_sample, theta,
+         |  floor((n_sample * 4294967296.0 / theta)*1e4 + 0.5)/1e4 AS kmv_estimate,
+         |  exact_diff,
+         |  CASE WHEN exact_diff = 0 THEN -1.0 ELSE
+         |    floor((abs(floor((n_sample * 4294967296.0 / theta)*1e4 + 0.5)/1e4
+         |      - exact_diff) / CAST(exact_diff AS DOUBLE))*1e4 + 0.5)/1e4 + 0.0
+         |  END AS rel_err
+         |FROM ns, th, ex""".stripMargin,
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

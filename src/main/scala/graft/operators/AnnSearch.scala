@@ -1448,4 +1448,57 @@ object AnnSearch {
       .withColumn("is_kept", !$"drop_proto" && !$"drop_outlier")
       .orderBy($"vec_id")
   }
+
+  /** RECIPROCAL NEAREST NEIGHBORS (q286) — the high-precision pair rule
+    * of bitext/alignment mining (and of RNN re-ranking in retrieval):
+    * a pair qualifies only when each vector is the OTHER's single best
+    * neighbor. Mutuality is a much stronger signal than a cosine
+    * threshold — a hub vector is many vectors' top-1 but has only one
+    * top-1 of its own, so hubs produce at most one RNN pair instead of a
+    * star of false positives (the failure mode q176's margin rule also
+    * exists to suppress; RNN is its simpler, stricter sibling).
+    *
+    * Candidates come from sign-LSH buckets over the RAW embedding table
+    * (no mirror doubling — mutual-best of an exact twin is trivially
+    * true and would drown the organic pairs); oversized buckets are
+    * dropped WHOLE ([[Guards.capHotKeys]], the q176 discipline, HAVING-
+    * replayable). Per vector: argmax quantized cosine, ties to the
+    * smallest id (struct-ordered max, no window); mutual pairs survive.
+    *
+    * Scale shape: one corpus scan to bucket + norm (cache barrier),
+    * one capped within-bucket self-join, one keyed argmax (partial-
+    * aggregable), one self-join of the O(vectors) best table. More
+    * planes at larger corpora keep buckets near-constant — the q23
+    * dial. */
+  def reciprocalNearestNeighbors(spark: SparkSession, dir: String,
+                                 bits: Int = 4,
+                                 maxBlock: Int = 500): DataFrame = {
+    import spark.implicits._
+    val cached = graft.CacheGuard.barrier(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding",
+          signLshBucket($"embedding", bits).as("bucket"),
+          norm($"embedding").as("nrm")))
+    val emb = Guards.capHotKeys(cached, "bucket", maxBlock)
+    val prs = emb.as("x").join(emb.as("y"),
+        $"x.bucket" === $"y.bucket" && $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("v"), $"y.vec_id".as("n"),
+        Quant.r4(dot($"x.embedding", $"y.embedding") /
+          ($"x.nrm" * $"y.nrm")).as("cs"))
+    val cachedPrs = graft.CacheGuard.barrier(prs)
+    val cnt = cachedPrs.groupBy($"v").agg(count(lit(1)).as("n_cands"))
+    val best = cachedPrs
+      .groupBy($"v")
+      .agg(max(struct($"cs", (-$"n").as("nn"))).as("m"))
+      .select($"v", (-$"m.nn").as("best_n"), $"m.cs".as("best_cos"))
+    best.as("p").join(best.as("q"),
+        $"p.best_n" === $"q.v" && $"q.best_n" === $"p.v" &&
+          $"p.v" < $"q.v")
+      .select($"p.v".as("a"), $"q.v".as("b"),
+        $"p.best_cos".as("cos_sim"))
+      .join(cnt.select($"v".as("a"), $"n_cands".as("a_cands")), "a")
+      .join(cnt.select($"v".as("b"), $"n_cands".as("b_cands")), "b")
+      .select($"a", $"b", $"cos_sim", $"a_cands", $"b_cands")
+      .orderBy($"a")
+  }
 }

@@ -1048,4 +1048,46 @@ object Components {
         (coalesce($"gain_x2m2", lit(0L)) > 0L).as("moved"))
       .orderBy($"doc_id")
   }
+
+  /** LOCAL CLUSTERING COEFFICIENT (q285) — [[triangleStats]] taken from
+    * the one-row census to the per-node signal spam screens act on:
+    * lcc(i) = triangles through i / C(k_i, 2), in exact u4. A template
+    * farm's members sit in near-cliques (lcc → 1) while an organic
+    * similarity chain's members bridge unconnected neighbors (lcc → 0) —
+    * the distinction the global census (q97) averages away and degree
+    * alone (q235) cannot see. Nodes with k < 2 have no wedge to close
+    * and report 0 with `defined = false`.
+    *
+    * Scale shape: the census wedge join run ONCE (canonical u<v<w, each
+    * triangle counted exactly once), then each closed triangle emits its
+    * THREE corners into one keyed count — O(triangles) rows, map-side
+    * partial. Degrees are one aggregation over the cached edge list. At
+    * 100 TB the refinement is the same degree-orientation note as q97;
+    * id-orientation keeps the oracle a two-join SQL mirror. */
+  def localClustering(spark: SparkSession, dir: String,
+                      threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val edges = graft.CacheGuard.barrier(
+      DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
+        .select($"a", $"b")) // canonical a < b
+    val deg = edges.select($"a".as("node"))
+      .unionByName(edges.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("k"))
+    val tri = edges.as("e1").join(edges.as("e2"),
+        $"e1.a" === $"e2.a" && $"e1.b" < $"e2.b")
+      .join(edges.as("e3"),
+        $"e1.b" === $"e3.a" && $"e2.b" === $"e3.b")
+      .select($"e1.a".as("u"), $"e1.b".as("v"), $"e2.b".as("w"))
+    val perNode = tri.select(explode(array($"u", $"v", $"w")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select($"node".as("doc_id"), $"k".as("degree"),
+        coalesce($"n_tri", lit(0L)).as("n_triangles"),
+        expr("k * (k - 1) div 2").as("possible"))
+      .withColumn("lcc_u4",
+        when($"possible" > 0L, expr("n_triangles * 10000 div possible"))
+          .otherwise(lit(0L)))
+      .withColumn("defined", $"possible" > 0L)
+      .orderBy($"doc_id")
+  }
 }

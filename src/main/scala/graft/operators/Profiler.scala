@@ -426,4 +426,68 @@ object Profiler {
         "o_orderkey", "o_custkey"))
       .orderBy($"candidate")
   }
+
+  /** Randomized-response keep probability = [[rrKeepNum]]/[[rrDen]],
+    * shared with the q287 oracle. ε = ln(p·(k−1)/(1−p)) = ln(3(k−1)). */
+  val rrKeepNum = 12
+  val rrDen = 16
+
+  /** LOCAL-DP RANDOMIZED RESPONSE AUDIT (q287) — Warner 1965 / the
+    * RAPPOR primitive, completing the privacy kit (q210 measures
+    * re-identification risk, q162 pseudonymizes, q125 erases — this
+    * PRIVATIZES a categorical column and prices the utility cost):
+    * each document reports its true `lang` with probability p = 12/16,
+    * else one of the k−1 other categories uniformly; the aggregator
+    * sees only privatized counts and DEBIASES with the closed form
+    * n̂_c = (16(k−1)·obs_c − 4n) div (12k − 16) — exact integer
+    * arithmetic, no float estimate. The "randomness" is a deterministic
+    * md5 coin per doc_id (both engines replay the identical
+    * privatization — what is audited is the MECHANISM + debias
+    * algebra, not entropy). Output per category: true count (the
+    * utility reference the aggregator would NOT have), observed
+    * privatized count, debiased estimate, signed error, and the
+    * mechanism's ε in u4.
+    *
+    * Scale shape: one scan with per-row hash arithmetic against a
+    * broadcast O(k) category index (the global index window is
+    * O(categories)); two keyed counts over the k-row key space —
+    * map-side partials collapse everything before the exchange. */
+  def randomizedResponse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5Hash32
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"lang")
+    val idx = docs.select($"lang").distinct()
+      .withColumn("li",
+        row_number().over(Window.orderBy($"lang")).cast("long") - 1L)  // global-window-ok: O(languages)
+    val kRow = idx.agg(count(lit(1)).as("k"))
+    val coined = docs.join(broadcast(idx), "lang")
+      .crossJoin(broadcast(kRow))
+      .withColumn("h",
+        md5Hash32(concat(lit("rr:"), $"doc_id".cast("string"))))
+      .withColumn("keep", $"h" % rrDen < rrKeepNum)
+      .withColumn("alt", expr(s"(h div $rrDen) % (k - 1)"))
+      .withColumn("rep_li",
+        when($"keep", $"li")
+          .otherwise(when($"alt" >= $"li", $"alt" + 1L).otherwise($"alt")))
+    val trueN = coined.groupBy($"li").agg(count(lit(1)).as("true_n"))
+    val obsN = coined.groupBy($"rep_li".as("li"))
+      .agg(count(lit(1)).as("reported_n"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    idx.join(trueN, Seq("li"), "left").join(obsN, Seq("li"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(kRow))
+      .select($"lang",
+        coalesce($"true_n", lit(0L)).as("true_n"),
+        coalesce($"reported_n", lit(0L)).as("reported_n"),
+        expr(s"($rrDen * (k - 1) * coalesce(reported_n, 0) - " +
+          s"${rrDen - rrKeepNum} * n) div ($rrKeepNum * k - $rrDen)")
+          .as("est_n"),
+        $"k", $"n")
+      .withColumn("err", $"est_n" - $"true_n")
+      // ln is not correctly-rounded: snap at 8 dp before quantizing
+      .withColumn("eps_u4",
+        floor(round(log(lit(3.0) * ($"k" - 1L).cast("double")), 8) * 1e4 // round-ok: ulp-snap on ln before quantize
+          + lit(0.5)).cast("long"))
+      .orderBy($"lang")
+  }
 }

@@ -541,4 +541,56 @@ object Sketches {
           .as("err_bp"))
       .orderBy($"counter_id")
   }
+
+  /** KMV/THETA A-NOT-B (q288) — the set-DIFFERENCE estimator pairing
+    * [[kmvIntersection]] (round 7): how much of source A's shingle
+    * vocabulary is UNIQUE to it (never appears in source B) — the
+    * cross-source novelty question behind "does src0 add anything the
+    * corpus doesn't already have", which HLL structurally cannot
+    * answer (union-only) and the intersection sketch only
+    * half-answers. Theta rule: θ = min of the two k-th minima; the
+    * A-not-B sample is {h ∈ skA : h < θ ∧ h ∉ skB}; estimate =
+    * |sample| · 2³² / θ. The exact EXCEPT runs alongside as the audit
+    * half — at 100 TB the exact side is the documented drop and the
+    * sketches (two k-row relations) are what cross the wire.
+    *
+    * Scale shape: each side's sketch is a bottom-k over hashed
+    * distinct shingles (TakeOrdered — k rows per partition
+    * pre-reduce); the A-not-B sample is one k-row anti-join against a
+    * k-row broadcast; every denominator is a 1-row aggregate. */
+  def kmvANotB(spark: SparkSession, dir: String,
+               srcA: String = "src0", srcB: String = "src1",
+               k: Int = kmvK): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{tokens, wordShingles}
+    def shingles(src: String): DataFrame =
+      Tables.documents(spark, dir).filter($"source" === src)
+        .select(explode(wordShingles(tokens($"text"), 3)).as("sh"))
+        .distinct()
+    def sketch(src: String): DataFrame =
+      shingles(src).select(md5Hash32($"sh").as("h")).distinct()
+        .orderBy($"h".asc).limit(k)
+    val skA = graft.CacheGuard.barrier(sketch(srcA))
+    val skB = graft.CacheGuard.barrier(sketch(srcB))
+    val range = math.pow(2.0, 32)
+    val theta = skA.agg(max($"h").as("ka"))
+      .crossJoin(skB.agg(max($"h").as("kb")))
+      .select(least($"ka", $"kb").as("theta"))
+    val sample = skA.join(skB, Seq("h"), "left_anti")
+      .crossJoin(broadcast(theta))
+      .filter($"h" < $"theta")
+      .agg(count(lit(1)).as("n_sample"))
+    val exact = shingles(srcA).except(shingles(srcB))
+      .agg(count(lit(1)).as("exact_diff"))
+    sample.crossJoin(theta).crossJoin(exact)
+      .select($"n_sample", $"theta", $"exact_diff",
+        Quant.r4($"n_sample".cast("double") * lit(range) /
+          $"theta".cast("double")).as("kmv_estimate"))
+      .select($"n_sample", $"theta", $"kmv_estimate", $"exact_diff",
+        // an empty true difference (every viewer purchased — the
+        // gate-SF regime) has no relative error; sentinel -1
+        when($"exact_diff" === 0L, lit(-1.0)).otherwise(
+          Quant.r4(abs($"kmv_estimate" - $"exact_diff") /
+            $"exact_diff".cast("double")) + lit(0.0)).as("rel_err"))
+  }
 }

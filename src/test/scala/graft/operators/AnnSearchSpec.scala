@@ -722,4 +722,48 @@ class AnnSearchSpec extends SparkSpec {
       assert(m.getAs[Long]("rnk") > r.getAs[Long]("rnk"))
     }
   }
+
+  test("q286: reciprocal NN — mutuality replayed from the capped bucket candidates; pairs disjoint") {
+    import spark.implicits._
+    val out = AnnSearch.reciprocalNearestNeighbors(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    // replay buckets + norms driver-side on the raw table
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        graft.functions.VectorFunctions.signLshBucket($"embedding", 4)
+          .as("bucket"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getAs[Long]("bucket")))
+    val byBucket = vecs.groupBy(_._3).filter(_._2.length <= 500)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e4 + 0.5) / 1e4
+    }
+    val best = byBucket.values.flatMap { block =>
+      block.map { case (v, e, _) =>
+        val cands = block.filter(_._1 != v)
+          .map { case (n, en, _) => (cos(e, en), n) }
+        val top = cands.maxBy { case (c, n) => (c, -n) }
+        v -> (top._2, top._1, cands.size.toLong)
+      }
+    }.toMap
+    val wantPairs = best.collect {
+      case (v, (n, c, _)) if best.get(n).exists(_._1 == v) && v < n =>
+        (v, n) -> c
+    }
+    assert(out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+      r.getAs[Double]("cos_sim")).toMap === wantPairs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("a_cands") === best(r.getAs[Long]("a"))._3)
+      assert(r.getAs[Long]("b_cands") === best(r.getAs[Long]("b"))._3)
+    }
+    // RNN pairs are a matching: no vector appears in two pairs
+    val members = out.flatMap(r =>
+      Seq(r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(members.distinct.length === members.length)
+  }
 }

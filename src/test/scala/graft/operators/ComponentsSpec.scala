@@ -644,4 +644,39 @@ class ComponentsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q285: local clustering — brute-force triangle replay per node, census consistency") {
+    import spark.implicits._
+    val out = Components.localClustering(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val edges = DedupOps.minHashLshPairsOracled(spark, sf, threshold = 0.2)
+      .select($"a", $"b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.CacheGuard.release()
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var triTotal = 0L
+    out.foreach { r =>
+      val i = r.getAs[Long]("doc_id")
+      val ns = nbrs(i).toSeq.sorted
+      val k = ns.size.toLong
+      assert(r.getAs[Long]("degree") === k)
+      // brute-force: neighbor pairs of i that are themselves adjacent
+      val tri = (for {
+        x <- ns.indices; y <- (x + 1) until ns.size
+        if nbrs(ns(x)).contains(ns(y))
+      } yield 1).size.toLong
+      assert(r.getAs[Long]("n_triangles") === tri, s"node $i")
+      triTotal += tri
+      val possible = k * (k - 1) / 2
+      assert(r.getAs[Long]("possible") === possible)
+      assert(r.getAs[Boolean]("defined") === (possible > 0))
+      assert(r.getAs[Long]("lcc_u4") ===
+        (if (possible > 0) tri * 10000 / possible else 0L))
+    }
+    // each triangle is counted at exactly its three corners
+    assert(triTotal % 3 === 0L)
+    assert(triTotal > 0L, "gate graph must close at least one triangle")
+  }
 }

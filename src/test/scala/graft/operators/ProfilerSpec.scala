@@ -281,4 +281,57 @@ class ProfilerSpec extends SparkSpec {
       assert(x.getAs[Boolean]("holds") === (x.getAs[Long]("n_violating") == 0))
     }
   }
+
+  test("q287: randomized response — full mechanism replay and debias algebra") {
+    import spark.implicits._
+    val out = Profiler.randomizedResponse(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val langs = docs.map(_._2).distinct.sorted
+    val k = langs.length.toLong
+    val li = langs.zipWithIndex.map { case (l, i) => l -> i.toLong }.toMap
+    def md532(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    // privatize every doc with the same deterministic coins
+    val reported = docs.map { case (id, lang) =>
+      val h = md532(s"rr:$id")
+      val own = li(lang)
+      if (h % Profiler.rrDen < Profiler.rrKeepNum) own
+      else {
+        val alt = (h / Profiler.rrDen) % (k - 1)
+        if (alt >= own) alt + 1 else alt
+      }
+    }
+    val obs = reported.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val trueN = docs.groupBy(d => li(d._2)).view
+      .mapValues(_.length.toLong).toMap
+    val n = docs.length.toLong
+    out.foreach { r =>
+      val i = li(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("true_n") === trueN.getOrElse(i, 0L))
+      assert(r.getAs[Long]("reported_n") === obs.getOrElse(i, 0L))
+      val est = (Profiler.rrDen * (k - 1) * obs.getOrElse(i, 0L) -
+        (Profiler.rrDen - Profiler.rrKeepNum) * n) /
+        (Profiler.rrKeepNum * k - Profiler.rrDen)
+      assert(r.getAs[Long]("est_n") === est)
+      assert(r.getAs[Long]("err") === est - trueN.getOrElse(i, 0L))
+      assert(r.getAs[Long]("k") === k)
+      assert(r.getAs[Long]("n") === n)
+    }
+    // the mechanism actually flipped somebody (p < 1) and the debiased
+    // estimates track truth better than the raw observed counts overall
+    assert(out.exists(r =>
+      r.getAs[Long]("reported_n") !== r.getAs[Long]("true_n")))
+    val rawErr = out.map(r => math.abs(
+      r.getAs[Long]("reported_n") - r.getAs[Long]("true_n"))).sum
+    val estErr = out.map(r => math.abs(r.getAs[Long]("err"))).sum
+    assert(estErr <= rawErr,
+      s"debias must not be worse than raw ($estErr vs $rawErr)")
+  }
 }

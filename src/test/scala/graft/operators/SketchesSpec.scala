@@ -290,4 +290,42 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - f2) * 2 <= f2,
       s"AMS estimate $est vs exact $f2 drifted past 50%")
   }
+
+  test("q288: KMV A-not-B — sketch replay, theta rule, exact-difference audit") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{tokens, wordShingles}
+    val out = Sketches.kmvANotB(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.length === 1)
+    val r = out.head
+    def shingleSet(src: String): Set[String] =
+      Tables.documents(spark, sf).filter($"source" === src)
+        .select(explode(wordShingles(tokens($"text"), 3)).as("sh"))
+        .collect().map(_.getString(0)).toSet
+    val sa = shingleSet("src0"); val sb = shingleSet("src1")
+    def md532(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val k = Sketches.kmvK
+    val skA = sa.map(md532).toSeq.sorted.take(k)
+    val skB = sb.map(md532).toSeq.sorted.take(k).toSet
+    val theta = math.min(skA.max, (sb.map(md532).toSeq.sorted.take(k)).max)
+    val nSample = skA.count(h => h < theta && !skB.contains(h)).toLong
+    assert(r.getAs[Long]("theta") === theta)
+    assert(r.getAs[Long]("n_sample") === nSample)
+    assert(r.getAs[Long]("exact_diff") === (sa -- sb).size.toLong)
+    val estimate =
+      math.floor(nSample.toDouble * math.pow(2.0, 32) / theta.toDouble
+        * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Double]("kmv_estimate") === estimate)
+    // the gate fixture is non-vacuous: a real difference exists and the
+    // sketch lands within 50% of it
+    val exact = r.getAs[Long]("exact_diff")
+    assert(exact > 0L)
+    assert(math.abs(estimate - exact) * 2 <= exact.toDouble,
+      s"estimate $estimate vs exact $exact")
+  }
 }
