@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Library facade: the one import a user of the engine needs.
   *
-  * The engine's 287 declared queries (`SparkEntry.queries`) are the
+  * The engine's 292 declared queries (`SparkEntry.queries`) are the
   * EVIDENCE surface — each is a composed, DuckDB-oracled example of the
   * operators below. A consuming team programs against the operator
   * objects, which this facade groups by family with stable names; every
@@ -65,8 +65,9 @@ object Graft {
     * Ω(answer)), policy/savings reports (q174/q229/q240), fragment
     * stitching (q272), cluster cohesion (q273), winnowing fingerprints
     * (q275), content-defined chunking (q276), blocking-quality and
-    * S-curve audits (q277/q278). Specs:
-    * `DedupSpec`, `ComponentsSpec`; scale: BASELINE.md decade table. */
+    * S-curve audits (q277/q278), B-cubed cluster evaluation (q290).
+    * Specs: `DedupSpec`, `ComponentsSpec`; scale: BASELINE.md decade
+    * table. */
   val dedup: operators.DedupOps.type = operators.DedupOps
 
   /** Similarity search over `embeddings`: brute-force cosine top-k
@@ -84,10 +85,12 @@ object Graft {
   val mining: operators.MiningOps.type = operators.MiningOps
 
   /** Text analysis: language-ID (q25), quality + Gopher rules
-    * (q26/q60/q130), unigram/bigram LM scoring (q71/q110), CCNet
-    * terciles (q145), PII redaction (q59), BPE train/encode/decode
-    * (q117/q137/q144), TF-IDF (q50), PMI (q111), entropy (q184),
-    * TextRank (q211). Spec: `TextAnalysisSpec`. */
+    * (q26/q60/q130), unigram/bigram LM scoring (q71/q110), Kneser–Ney
+    * smoothing (q283), Good–Turing re-estimation (q289), conformal
+    * gate calibration (q291), CCNet terciles (q145), PII redaction
+    * (q59), BPE train/encode/decode (q117/q137/q144), TF-IDF (q50),
+    * PMI (q111), entropy (q184), TextRank (q211). Spec:
+    * `TextAnalysisSpec`. */
   val text: operators.TextAnalysis.type = operators.TextAnalysis
 
   /** Corpus construction: sampling (q49/q66/q115), mixtures

@@ -375,6 +375,12 @@ object SparkEntry {
     "q287_randomized_response" -> ((s, d) =>
       Profiler.randomizedResponse(s, d)),
     "q288_kmv_anotb" -> ((s, d) => Sketches.kmvANotB(s, d)),
+    "q289_good_turing" -> ((s, d) => TextAnalysis.goodTuring(s, d)),
+    "q290_bcubed_eval" -> ((s, d) => DedupOps.bcubedEval(s, d)),
+    "q291_conformal_gate" -> ((s, d) => TextAnalysis.conformalGate(s, d)),
+    "q292_assortativity" -> ((s, d) =>
+      Components.degreeAssortativity(s, d)),
+    "q293_soft_dedup" -> ((s, d) => DedupOps.softDedupWeights(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -8627,6 +8633,202 @@ object SparkEntry {
          |      - exact_diff) / CAST(exact_diff AS DOUBLE))*1e4 + 0.5)/1e4 + 0.0
          |  END AS rel_err
          |FROM ns, th, ex""".stripMargin,
+
+    // Good-Turing: frequency-of-frequencies, r* = (r+1)N_{r+1}/N_r and
+    // the unseen mass N_1/N, all exact micro-units
+    "q289_good_turing" ->
+      s"""WITH tc AS MATERIALIZED (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest($toksSql) AS t FROM documents) z GROUP BY t),
+         |fof AS MATERIALIZED (
+         |  SELECT cnt AS r, CAST(count(*) AS BIGINT) AS n_r
+         |  FROM tc GROUP BY cnt),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |               CAST(count(*) AS BIGINT) AS n_types FROM tc),
+         |uno AS (SELECT CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0)
+         |          AS BIGINT) AS n_one FROM fof),
+         |nxt AS (SELECT r - 1 AS r, n_r AS n_next FROM fof)
+         |SELECT f.r, f.n_r, coalesce(x.n_next, 0) AS n_next,
+         |  coalesce(x.n_next, 0) > 0 AS has_next,
+         |  (f.r + 1) * coalesce(x.n_next, 0) * 1000000 // f.n_r AS r_star_u6,
+         |  f.r * f.n_r * 1000000 // t.n_tokens AS mass_u6,
+         |  o.n_one * 1000000 // t.n_tokens AS p0_u6,
+         |  t.n_tokens, t.n_types
+         |FROM fof f LEFT JOIN nxt x USING (r)
+         |CROSS JOIN tot t CROSS JOIN uno o
+         |ORDER BY f.r LIMIT ${TextAnalysis.gtTopR}""".stripMargin,
+
+    // B-cubed over the q67 keeper clusters vs the designed mirror truth;
+    // per-element rationals floored to u6, per-size + total rollup
+    "q290_bcubed_eval" ->
+      s"""WITH $minHashCtesSql,
+         |prs AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |ids AS (SELECT doc_id FROM corpus),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |$keeperCompCtes,
+         |labeled AS MATERIALIZED (
+         |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
+         |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+         |cs AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM labeled GROUP BY keeper),
+         |lab2 AS MATERIALIZED (
+         |  SELECT l.doc_id, l.keeper, cs.cluster_size
+         |  FROM labeled l JOIN cs USING (keeper)),
+         |part AS (
+         |  SELECT CASE WHEN doc_id < ${DedupOps.dupOffset}
+         |    THEN doc_id + ${DedupOps.dupOffset}
+         |    ELSE doc_id - ${DedupOps.dupOffset} END AS doc_id,
+         |    keeper AS partner_keeper
+         |  FROM lab2),
+         |s2 AS MATERIALIZED (
+         |  SELECT cluster_size,
+         |    inter * 1000000 // cluster_size AS p_u6,
+         |    inter * 1000000 // 2 AS r_u6,
+         |    2 * inter * 1000000 // (cluster_size + 2) AS f_u6
+         |  FROM (
+         |    SELECT l.cluster_size,
+         |      CAST(1 + CASE WHEN l.keeper = p.partner_keeper
+         |        THEN 1 ELSE 0 END AS BIGINT) AS inter
+         |    FROM lab2 l JOIN part p USING (doc_id)) z)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_elements,
+         |  CAST(sum(p_u6) // count(*) AS BIGINT) AS precision_u6,
+         |  CAST(sum(r_u6) // count(*) AS BIGINT) AS recall_u6,
+         |  CAST(sum(f_u6) // count(*) AS BIGINT) AS f1_u6
+         |FROM s2 GROUP BY cluster_size
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+         |  CAST(sum(p_u6) // count(*) AS BIGINT),
+         |  CAST(sum(r_u6) // count(*) AS BIGINT),
+         |  CAST(sum(f_u6) // count(*) AS BIGINT)
+         |FROM s2
+         |ORDER BY cluster_size""".stripMargin,
+
+    // split-conformal threshold: exact rank-(k+1) quantile of passing
+    // calibration scores from the u4 frequency table; test coverage +
+    // false-admit measured on the held-out half
+    "q291_conformal_gate" -> {
+      import TextAnalysis.{confAlphaPct, gopherMinWords, gopherMaxDupRatio, gopherMeanLen}
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents),
+         |base AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(floor((CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(len(tk) AS DOUBLE) / 100.0) * 0.6 +
+         |        (CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |          / CAST(greatest(len(tk), 1) AS DOUBLE)) * 0.4
+         |      END)*1e4 + 0.5) AS BIGINT) AS score_u4,
+         |    (CAST(len(tk) AS BIGINT) >= $gopherMinWords
+         |     AND floor((1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
+         |       / CAST(greatest(len(tk), 1) AS DOUBLE))*1e4 + 0.5)/1e4
+         |       < $gopherMaxDupRatio
+         |     AND floor((CAST(length(array_to_string(tk, '')) AS DOUBLE)
+         |       / CAST(greatest(len(tk), 1) AS DOUBLE))*1e4 + 0.5)/1e4
+         |       BETWEEN ${gopherMeanLen._1} AND ${gopherMeanLen._2})
+         |      AS passes,
+         |    ${h32("'cal:' || CAST(doc_id AS VARCHAR)")} % 2 = 0 AS is_calib
+         |  FROM t),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_cal_pass
+         |       FROM base WHERE is_calib AND passes),
+         |lv AS (
+         |  SELECT score_u4, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(coalesce(sum(count(*)) OVER (ORDER BY score_u4
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM base WHERE is_calib AND passes GROUP BY score_u4),
+         |thr AS (
+         |  SELECT score_u4 AS threshold_u4 FROM lv CROSS JOIN np
+         |  WHERE cum_before <= n_cal_pass * $confAlphaPct // 100
+         |    AND cum_before + c > n_cal_pass * $confAlphaPct // 100),
+         |st AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_test_pass,
+         |    CAST(sum(CASE WHEN passes AND score_u4 >= threshold_u4
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_test_pass_kept,
+         |    CAST(sum(CASE WHEN NOT passes THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_test_fail,
+         |    CAST(sum(CASE WHEN NOT passes AND score_u4 >= threshold_u4
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_test_fail_admitted
+         |  FROM base CROSS JOIN thr WHERE NOT is_calib)
+         |SELECT threshold_u4, n_cal_pass,
+         |  n_cal_pass * $confAlphaPct // 100 AS allowed_misses,
+         |  n_test_pass, n_test_pass_kept,
+         |  n_test_pass_kept * 10000 // greatest(n_test_pass, 1)
+         |    AS coverage_u4,
+         |  n_test_fail, n_test_fail_admitted,
+         |  n_test_fail_admitted * 10000 // greatest(n_test_fail, 1)
+         |    AS false_admit_u4
+         |FROM thr CROSS JOIN np CROSS JOIN st""".stripMargin
+    },
+
+    // symmetrized degree assortativity: r is an exact integer rational
+    // (HUGEINT / DECIMAL(38) cross products — the q212 precedent); the
+    // one float op is the final r4-snapped division
+    "q292_assortativity" ->
+      s"""WITH $minHashCtesSql,
+         |edg AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |symd AS MATERIALIZED (SELECT a AS src, b AS dst FROM edg
+         |        UNION ALL SELECT b, a FROM edg),
+         |dg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+         |       FROM symd GROUP BY src),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m2,
+         |    CAST(sum(x.k) AS BIGINT) AS sum_d,
+         |    CAST(sum(x.k * x.k) AS BIGINT) AS sum_d2,
+         |    CAST(sum(x.k * y.k) AS BIGINT) AS sum_dxdy
+         |  FROM symd e
+         |  JOIN dg x ON x.node = e.src
+         |  JOIN dg y ON y.node = e.dst),
+         |r AS (
+         |  SELECT m2, sum_d, sum_d2, sum_dxdy,
+         |    CAST(m2 AS HUGEINT) * sum_dxdy
+         |      - CAST(sum_d AS HUGEINT) * sum_d AS num,
+         |    CAST(m2 AS HUGEINT) * sum_d2
+         |      - CAST(sum_d AS HUGEINT) * sum_d AS den
+         |  FROM s)
+         |SELECT m2, sum_d, sum_d2, sum_dxdy, num, den,
+         |  floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))*1e4 + 0.5)/1e4
+         |    + 0.0 AS assortativity
+         |FROM r""".stripMargin,
+
+    // soft dedup: 1/cluster_size micro-weights over the q67 keeper
+    // clusters, per-source effective vs raw mass
+    "q293_soft_dedup" ->
+      s"""WITH $minHashCtesSql,
+         |prs AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |ids AS (SELECT doc_id FROM corpus),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |$keeperCompCtes,
+         |labeled AS MATERIALIZED (
+         |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
+         |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+         |cs AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM labeled GROUP BY keeper),
+         |lab2 AS MATERIALIZED (
+         |  SELECT l.doc_id, cs.cluster_size
+         |  FROM labeled l JOIN cs USING (keeper)),
+         |dsrc AS MATERIALIZED (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${DedupOps.dupOffset}, source,
+         |    CAST(len($toksSql) AS BIGINT)
+         |  FROM documents),
+         |w AS (
+         |  SELECT d.source, d.n_tokens, l.cluster_size,
+         |    1000000 // l.cluster_size AS w_u6,
+         |    d.n_tokens * 1000000 // l.cluster_size AS eff_tok_u6
+         |  FROM dsrc d JOIN lab2 l USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+         |  CAST(sum(w_u6) AS BIGINT) AS effective_docs_u6,
+         |  CAST(sum(eff_tok_u6) AS BIGINT) AS effective_tokens_u6,
+         |  CAST(sum(eff_tok_u6) AS BIGINT) // greatest(CAST(sum(n_tokens)
+         |    AS BIGINT), 1) // 100 AS keep_ratio_u4
+         |FROM w GROUP BY source
+         |ORDER BY source""".stripMargin,
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

@@ -1090,4 +1090,49 @@ object Components {
       .withColumn("defined", $"possible" > 0L)
       .orderBy($"doc_id")
   }
+
+  /** DEGREE ASSORTATIVITY (q292) — Newman's degree-correlation
+    * coefficient of the similarity graph, the one-number answer to "do
+    * hubs connect to hubs" (assortative, r > 0 — template-farm rings)
+    * or "to leaves" (disassortative, r < 0 — star-shaped spam hubs
+    * feeding singletons): the Pearson correlation of endpoint degrees
+    * over directed edge instances. On the SYMMETRIZED edge list the x
+    * and y marginals coincide, so r collapses to an exact INTEGER
+    * rational (2m·Σdxdy − (Σdx)²) / (2m·Σdx² − (Σdx)²) — no sqrt, no
+    * float accumulation; the only float op is the final single
+    * division, r4-snapped. Numerator and denominator ship as exact
+    * BIGINTs (division of possibly-negative integers differs between
+    * engines, so the rational itself is the hash-compared truth).
+    *
+    * Scale shape: one degree aggregation, one edges→degree join per
+    * side, one global integer-sum aggregate — all map-side partial;
+    * nothing is materialized beyond O(edges) flowing rows. */
+  def degreeAssortativity(spark: SparkSession, dir: String,
+                          threshold: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    val edges = graft.CacheGuard.barrier(
+      DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
+        .select($"a", $"b"))
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
+    val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("k"))
+    val sums = sym
+      .join(deg.select($"node".as("src"), $"k".as("dx")), "src")
+      .join(deg.select($"node".as("dst"), $"k".as("dy")), "dst")
+      .agg(count(lit(1)).as("m2"),
+        sum($"dx").as("sum_d"),
+        sum($"dx" * $"dx").as("sum_d2"),
+        sum($"dx" * $"dy").as("sum_dxdy"))
+    // the cross products overflow BIGINT on clique-heavy graphs
+    // (m2·Σd² ~ 1e24 at the sf10 probe) — DECIMAL(38,0) both sides,
+    // the q212 chi-square precedent (DuckDB HUGEINT mirrors exactly)
+    val d38 = "decimal(38,0)"
+    sums.select($"m2", $"sum_d", $"sum_d2", $"sum_dxdy",
+        ($"m2".cast(d38) * $"sum_dxdy".cast(d38) -
+          $"sum_d".cast(d38) * $"sum_d".cast(d38)).as("num"),
+        ($"m2".cast(d38) * $"sum_d2".cast(d38) -
+          $"sum_d".cast(d38) * $"sum_d".cast(d38)).as("den"))
+      .withColumn("assortativity",
+        Quant.r4($"num".cast("double") / $"den".cast("double")) + lit(0.0))
+  }
 }

@@ -2076,4 +2076,92 @@ object DedupOps {
     perConfig.reduce(_ unionByName _).orderBy($"b", $"matches")
   }
 
+  /** B-CUBED CLUSTER EVALUATION (q290) — the standard entity-resolution
+    * / dedup-clustering metric (Bagga & Baldwin 1998; the coreference
+    * community's choice precisely because, unlike pair-F1 (q150's
+    * grain), it penalizes both over-merge and over-split PER ELEMENT):
+    * for each document, precision = |pred ∩ truth|/|pred|, recall =
+    * |pred ∩ truth|/|truth| where pred is the q67 keeper cluster and
+    * truth is the designed mirror pair {d, d+dupOffset} (truth clusters
+    * have exactly two members by construction). With |truth| = 2 the
+    * per-element intersection is 1 + [partner shares the pred cluster],
+    * so every per-element score is a small exact rational, floored to
+    * u6, and per-element F1 collapses to 2·i/(|pred|+2) exactly.
+    * Reported per predicted-cluster-size (the diagnostic axis: size-1
+    * rows are pure over-split, large sizes expose over-merge dilution)
+    * plus a `cluster_size = 0` TOTAL row.
+    *
+    * Scale shape: the audited q67 chain runs once; the partner lookup
+    * is ONE self-join on the derived partner id (never a pair
+    * enumeration); the rollup is one keyed aggregation over
+    * O(distinct sizes) groups. */
+  def bcubedEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labeled = graft.CacheGuard.barrier(
+      nearDupKeepers(spark, dir)
+        .select($"doc_id", $"keeper", $"cluster_size"))
+    val partner = labeled.select(
+      (when($"doc_id" < dupOffset, $"doc_id" + dupOffset)
+        .otherwise($"doc_id" - dupOffset)).as("doc_id"),
+      $"keeper".as("partner_keeper"))
+    val scored = labeled.join(partner, "doc_id")
+      .select($"doc_id", $"cluster_size",
+        (lit(1L) + when($"keeper" === $"partner_keeper", 1L)
+          .otherwise(0L)).as("inter"))
+      .select($"cluster_size",
+        expr("inter * 1000000 div cluster_size").as("p_u6"),
+        expr("inter * 1000000 div 2").as("r_u6"),
+        expr("2 * inter * 1000000 div (cluster_size + 2)").as("f_u6"))
+    val bySize = scored.groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_elements"),
+        expr("sum(p_u6) div count(1)").as("precision_u6"),
+        expr("sum(r_u6) div count(1)").as("recall_u6"),
+        expr("sum(f_u6) div count(1)").as("f1_u6"))
+    val total = scored.agg(count(lit(1)).as("n_elements"),
+        expr("sum(p_u6) div count(1)").as("precision_u6"),
+        expr("sum(r_u6) div count(1)").as("recall_u6"),
+        expr("sum(f_u6) div count(1)").as("f1_u6"))
+      .select(lit(0L).as("cluster_size"), $"n_elements",
+        $"precision_u6", $"recall_u6", $"f1_u6")
+    bySize.unionByName(total).orderBy($"cluster_size")
+  }
+
+  /** SOFT-DEDUP LOSS WEIGHTING (q293) — the alternative to hard
+    * removal several production pipelines prefer (keep every duplicate
+    * but DOWNWEIGHT its training loss by its multiplicity): per
+    * document, weight = 1/cluster_size over the q67 keeper clusters in
+    * exact micro-units, rolled up per source as effective (weighted)
+    * document and token mass next to the raw mass — the table that
+    * answers "what does each source really contribute after
+    * multiplicity correction" and prices hard dedup (q229's savings)
+    * against soft (zero discarded bytes, same effective epochs).
+    * Σ effective_docs_u6 equals the cluster count × 1e6 up to one
+    * floor unit per member (each member contributes ⌊1e6/s⌋) — the
+    * bracketed invariant the spec pins.
+    *
+    * Scale shape: the audited q67 chain once; one join back to the
+    * corpus for (source, token) attributes; one source-keyed rollup
+    * with map-side partials. The weight is per-row arithmetic. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val labeled = nearDupKeepers(spark, dir)
+      .select($"doc_id", $"cluster_size")
+    val docs = withDupCopies(
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"source", size(tokens($"text")).cast("long")
+          .as("n_tokens")))
+    docs.join(labeled, "doc_id")
+      .select($"source", $"n_tokens", $"cluster_size",
+        expr("1000000 div cluster_size").as("w_u6"),
+        expr("n_tokens * 1000000 div cluster_size").as("eff_tok_u6"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("raw_tokens"),
+        sum($"w_u6").as("effective_docs_u6"),
+        sum($"eff_tok_u6").as("effective_tokens_u6"))
+      .withColumn("keep_ratio_u4",
+        expr("effective_tokens_u6 div greatest(raw_tokens, 1) div 100"))
+      .orderBy($"source")
+  }
 }

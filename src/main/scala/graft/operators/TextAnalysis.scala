@@ -1451,4 +1451,130 @@ object TextAnalysis {
       .orderBy($"c12".desc, $"w1", $"w2")
       .limit(topN)
   }
+
+  /** Good–Turing table depth, shared with the q289 oracle. */
+  val gtTopR = 64
+
+  /** GOOD–TURING FREQUENCY RE-ESTIMATION (q289) — the third classic of
+    * the count-LM line ([[knBigramTable]] smooths contexts, q270 fits
+    * the rank law; this re-estimates the COUNTS themselves): for each
+    * observed frequency r, the adjusted count r* = (r+1)·N_{r+1}/N_r
+    * over the frequency-of-frequencies table, and the unseen-event mass
+    * P₀ = N₁/N — the quantities behind Katz back-off and the standard
+    * "how much probability do tokens we never saw deserve" answer. All
+    * exact micro-units; rows where N_{r+1} = 0 carry `has_next = false`
+    * (the raw GT estimate is undefined there — the documented reason
+    * SGT smooths the tail, out of scope for the audit table).
+    *
+    * Scale shape: one token-keyed count (the q99/q282 shared relation),
+    * then a count-of-counts over it — O(distinct frequencies) rows,
+    * self-joined on r+1. The corpus is touched once; the GT table
+    * itself is tiny at any scale. TakeOrdered bounds output to the
+    * [[gtTopR]] smallest frequencies (where GT matters). */
+  def goodTuring(spark: SparkSession, dir: String,
+                 topR: Int = gtTopR): DataFrame = {
+    import spark.implicits._
+    val tc = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select(explode(tokens($"text")).as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("cnt")))
+    val fof = graft.CacheGuard.barrier(
+      tc.groupBy($"cnt".as("r")).agg(count(lit(1)).as("n_r")))
+    val tot = tc.agg(sum($"cnt").as("n_tokens"),
+      count(lit(1)).as("n_types"))
+    val n1 = fof.agg(
+      coalesce(sum(when($"r" === 1L, $"n_r")), lit(0L)).as("n_one"))
+    val nxt = fof.select(($"r" - 1L).as("r"), $"n_r".as("n_next"))
+    fof.join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+      .select($"r", $"n_r", coalesce($"n_next", lit(0L)).as("n_next"),
+        (coalesce($"n_next", lit(0L)) > 0L).as("has_next"),
+        expr("(r + 1) * coalesce(n_next, 0) * 1000000 div n_r")
+          .as("r_star_u6"),
+        expr("r * n_r * 1000000 div n_tokens").as("mass_u6"),
+        expr("n_one * 1000000 div n_tokens").as("p0_u6"),
+        $"n_tokens", $"n_types")
+      .orderBy($"r")
+      .limit(topR)
+  }
+
+  /** Conformal target: at most [[confAlphaPct]]% of gate-passing
+    * documents may fall below the calibrated threshold. Shared with the
+    * q291 oracle. */
+  val confAlphaPct = 10
+
+  /** SPLIT-CONFORMAL GATE CALIBRATION (q291) — the principled way to
+    * pick the quality-score cutoff q151's sweep only explores: split
+    * the corpus by a deterministic md5 coin into calibration/test,
+    * take the gate-passing CALIBRATION docs' scores, and set the
+    * threshold at their empirical α-quantile (the largest t with at
+    * most ⌊α·n⌋ passing scores strictly below it — exact rank
+    * arithmetic on the u4 score grid, no distributional assumption).
+    * Split-conformal theory then guarantees ≥ 1−α coverage of passing
+    * docs on exchangeable test data; the TEST half measures realized
+    * coverage AND the false-admit cost (failing docs above t) — the
+    * two numbers a pipeline owner trades when turning a score into a
+    * gate. One output row.
+    *
+    * Scale shape: one scan computes score + gate + coin per row
+    * (map-side); the quantile comes from a score-level frequency table
+    * (O(10⁴ grid rows) — the q84 device, never a corpus sort); the
+    * coverage/false-admit counts are conditional aggregates of the
+    * same scan. */
+  def conformalGate(spark: SparkSession, dir: String,
+                    alphaPct: Int = confAlphaPct): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5Hash32
+    val toks = tokens($"text")
+    val base = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select($"doc_id", size(toks).cast("long").as("n_words"),
+          length(array_join(toks, "")).cast("long").as("sum_len"),
+          size(array_distinct(toks)).cast("long").as("n_dist"),
+          punctCount($"text").cast("long").as("n_punct"),
+          stopwordCount(toks, stopwords).cast("long").as("n_stop"))
+        .select($"doc_id", $"n_words",
+          floor(qualityExpr($"n_words", $"n_stop") * 1e4 + lit(0.5))
+            .cast("long").as("score_u4"),
+          ($"n_words" >= gopherMinWords &&
+            Quant.r4(lit(1.0) - $"n_dist".cast("double") /
+              greatest($"n_words", lit(1L)).cast("double"))
+              < gopherMaxDupRatio &&
+            Quant.r4($"sum_len".cast("double") /
+              greatest($"n_words", lit(1L)).cast("double"))
+              .between(gopherMeanLen._1, gopherMeanLen._2)).as("passes"),
+          (md5Hash32(concat(lit("cal:"), $"doc_id".cast("string")))
+            % 2 === 0).as("is_calib")))
+    val calPass = base.filter($"is_calib" && $"passes")
+    val nPass = calPass.agg(count(lit(1)).as("n_cal_pass"))
+    // allowed misses k = floor(alpha·n/100); threshold = the score
+    // holding rank k+1 (ascending) — from the frequency table, exactly
+    val levels = calPass.groupBy($"score_u4").agg(count(lit(1)).as("c"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .orderBy($"score_u4")  // global-window-ok: O(u4 score grid)
+    val thr = levels
+      .withColumn("cum_before", coalesce(sum($"c").over(
+        byScore.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .crossJoin(broadcast(nPass))
+      .filter($"cum_before" <= expr(s"n_cal_pass * $alphaPct div 100") &&
+        $"cum_before" + $"c" > expr(s"n_cal_pass * $alphaPct div 100"))
+      .select($"score_u4".as("threshold_u4"))
+    val test = base.filter(!$"is_calib")
+    val stats = test.crossJoin(broadcast(thr)).agg(
+      sum(when($"passes", 1L).otherwise(0L)).as("n_test_pass"),
+      sum(when($"passes" && $"score_u4" >= $"threshold_u4", 1L)
+        .otherwise(0L)).as("n_test_pass_kept"),
+      sum(when(!$"passes", 1L).otherwise(0L)).as("n_test_fail"),
+      sum(when(!$"passes" && $"score_u4" >= $"threshold_u4", 1L)
+        .otherwise(0L)).as("n_test_fail_admitted"))
+    thr.crossJoin(broadcast(nPass)).crossJoin(broadcast(stats))
+      .select($"threshold_u4", $"n_cal_pass",
+        expr(s"n_cal_pass * $alphaPct div 100").as("allowed_misses"),
+        $"n_test_pass", $"n_test_pass_kept",
+        expr("n_test_pass_kept * 10000 div greatest(n_test_pass, 1)")
+          .as("coverage_u4"),
+        $"n_test_fail", $"n_test_fail_admitted",
+        expr("n_test_fail_admitted * 10000 div greatest(n_test_fail, 1)")
+          .as("false_admit_u4"))
+  }
 }

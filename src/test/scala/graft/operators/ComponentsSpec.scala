@@ -679,4 +679,33 @@ class ComponentsSpec extends SparkSpec {
     assert(triTotal % 3 === 0L)
     assert(triTotal > 0L, "gate graph must close at least one triangle")
   }
+
+  test("q292: assortativity — exact integer rational replayed; coefficient within [-1, 1]") {
+    import spark.implicits._
+    val out = Components.degreeAssortativity(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.length === 1)
+    val r = out.head
+    val edges = DedupOps.minHashLshPairsOracled(spark, sf, threshold = 0.2)
+      .select($"a", $"b").collect()
+      .map(e => (e.getLong(0), e.getLong(1)))
+    graft.CacheGuard.release()
+    val directed = edges ++ edges.map(e => (e._2, e._1))
+    val deg = directed.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val m2 = directed.length.toLong
+    val sumD = directed.map(e => deg(e._1)).sum
+    val sumD2 = directed.map(e => deg(e._1) * deg(e._1)).sum
+    val sumXY = directed.map(e => deg(e._1) * deg(e._2)).sum
+    assert(r.getAs[Long]("m2") === m2)
+    assert(r.getAs[Long]("sum_d") === sumD)
+    assert(r.getAs[Long]("sum_d2") === sumD2)
+    assert(r.getAs[Long]("sum_dxdy") === sumXY)
+    val num = BigInt(m2) * sumXY - BigInt(sumD) * sumD
+    val den = BigInt(m2) * sumD2 - BigInt(sumD) * sumD
+    assert(BigInt(r.getAs[java.math.BigDecimal]("num").toBigInteger) === num)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("den").toBigInteger) === den)
+    val want = math.floor(num.toDouble / den.toDouble * 1e4 + 0.5) / 1e4
+    assert(r.getAs[Double]("assortativity") === want)
+    assert(want >= -1.0 && want <= 1.0)
+  }
 }

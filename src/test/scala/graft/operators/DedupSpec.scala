@@ -966,6 +966,88 @@ class DedupSpec extends SparkSpec {
       r.getAs[Long]("cluster_size")).toMap === report)
   }
 
+  test("q290: B-cubed — per-element replay from the oracled keeper clusters; size-1 identities") {
+    val out = DedupOps.bcubedEval(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val labeled = DedupOps.nearDupKeepers(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keeper"), r.getAs[Long]("cluster_size")))
+    graft.CacheGuard.release()
+    val byId = labeled.toMap
+    val perElem = labeled.map { case (id, (k, s)) =>
+      val partner = if (id < DedupOps.dupOffset) id + DedupOps.dupOffset
+        else id - DedupOps.dupOffset
+      val inter = 1L + (if (byId(partner)._1 == k) 1L else 0L)
+      (s, inter * 1000000L / s, inter * 1000000L / 2L,
+        2L * inter * 1000000L / (s + 2L))
+    }
+    def agg(rows: Seq[(Long, Long, Long, Long)]) = (
+      rows.length.toLong,
+      rows.map(_._2).sum / rows.length,
+      rows.map(_._3).sum / rows.length,
+      rows.map(_._4).sum / rows.length)
+    val want = perElem.groupBy(_._1).map { case (s, rs) =>
+      s -> agg(rs.toSeq) } + (0L -> agg(perElem.toSeq))
+    assert(out.map(r => r.getAs[Long]("cluster_size") ->
+      ((r.getAs[Long]("n_elements"), r.getAs[Long]("precision_u6"),
+        r.getAs[Long]("recall_u6"), r.getAs[Long]("f1_u6")))).toMap
+      === want)
+    // identities: a singleton is pure over-split — perfect precision,
+    // half recall; mirror-pair clusters (size 2 with the partner) are
+    // perfect on both axes
+    out.filter(_.getAs[Long]("cluster_size") === 1L).foreach { r =>
+      assert(r.getAs[Long]("precision_u6") === 1000000L)
+      assert(r.getAs[Long]("recall_u6") === 500000L)
+    }
+    assert(out.map(_.getAs[Long]("cluster_size")).distinct.length
+      === out.length)
+  }
+
+  test("q293: soft-dedup weights — per-source replay; effective-docs bracket around the cluster count") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val out = DedupOps.softDedupWeights(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val labeled = DedupOps.nearDupKeepers(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keeper"), r.getAs[Long]("cluster_size"))).toMap
+    graft.CacheGuard.release()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", size(tokens($"text")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val both = docs ++ docs.map { case (id, s, n) =>
+      (id + DedupOps.dupOffset, s, n) }
+    val want = both.groupBy(_._2).map { case (src, rows) =>
+      val ws = rows.map { case (id, _, n) =>
+        val s = labeled(id)._2
+        (n, 1000000L / s, n * 1000000L / s)
+      }
+      src -> ((rows.length.toLong, ws.map(_._1).sum, ws.map(_._2).sum,
+        ws.map(_._3).sum))
+    }
+    out.foreach { r =>
+      val (n, raw, effD, effT) = want(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("raw_tokens") === raw)
+      assert(r.getAs[Long]("effective_docs_u6") === effD)
+      assert(r.getAs[Long]("effective_tokens_u6") === effT)
+      assert(r.getAs[Long]("keep_ratio_u4") ===
+        effT / math.max(raw, 1L) / 100L)
+    }
+    // Σ effective docs brackets the cluster count: each member adds
+    // floor(1e6/s), so clusters·1e6 − members < Σ ≤ clusters·1e6
+    val clusters = labeled.values.map(_._1).toSeq.distinct.length.toLong
+    val totalEff = out.map(_.getAs[Long]("effective_docs_u6")).sum
+    val members = labeled.size.toLong
+    assert(totalEff <= clusters * 1000000L)
+    assert(totalEff > clusters * 1000000L - members)
+    // soft dedup actually bites: effective < raw somewhere
+    assert(out.exists(r => r.getAs[Long]("effective_tokens_u6") <
+      r.getAs[Long]("raw_tokens") * 1000000L))
+  }
+
   private def md532(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))

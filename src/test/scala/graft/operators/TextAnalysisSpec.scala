@@ -962,4 +962,110 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("pkn_u6") <= 1000000L)
     }
   }
+
+  test("q289: Good-Turing — frequency-of-frequencies recount and the r* / unseen-mass algebra") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val out = TextAnalysis.goodTuring(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val counts = Tables.documents(spark, sf)
+      .select(explode(tokens($"text")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c")).collect()
+      .map(_.getLong(1))
+    val fof = counts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = counts.sum
+    val types = counts.length.toLong
+    val n1 = fof.getOrElse(1L, 0L)
+    // the output IS the ascending head of the fof table
+    assert(out.map(_.getAs[Long]("r")).toSeq ===
+      fof.keys.toSeq.sorted.take(TextAnalysis.gtTopR))
+    out.foreach { r =>
+      val rr = r.getAs[Long]("r")
+      val nNext = fof.getOrElse(rr + 1, 0L)
+      assert(r.getAs[Long]("n_r") === fof(rr))
+      assert(r.getAs[Long]("n_next") === nNext)
+      assert(r.getAs[Boolean]("has_next") === (nNext > 0))
+      assert(r.getAs[Long]("r_star_u6") ===
+        (rr + 1) * nNext * 1000000L / fof(rr))
+      assert(r.getAs[Long]("mass_u6") === rr * fof(rr) * 1000000L / n)
+      assert(r.getAs[Long]("p0_u6") === n1 * 1000000L / n)
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("n_types") === types)
+    }
+    // the fof table is non-trivial and the adjusted counts actually
+    // engage (some r has an occupied successor); when every observed
+    // frequency is ≥ 2 (this synthetic corpus reuses a small vocabulary)
+    // the unseen mass is exactly 0 — the operator reports that honestly
+    assert(fof.size >= 5)
+    assert(out.exists(_.getAs[Boolean]("has_next")))
+    assert(out.head.getAs[Long]("p0_u6") === n1 * 1000000L / n)
+    // observed-mass conservation: when all frequencies fit in the head,
+    // the floored per-r masses sum to 1e6 within one floor per row
+    if (fof.size <= TextAnalysis.gtTopR) {
+      val massSum = out.map(_.getAs[Long]("mass_u6")).sum
+      assert(massSum <= 1000000L && massSum >= 1000000L - out.length)
+    }
+  }
+
+  test("q291: conformal gate — threshold is the exact rank quantile; calibration guarantee holds") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val out = TextAnalysis.conformalGate(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.length === 1)
+    val r = out.head
+    // driver replay of score / gate / coin per document
+    def md532(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", tokens($"text").as("tk"), $"text").collect()
+      .map { row =>
+        val id = row.getLong(0)
+        val tk = row.getSeq[String](1)
+        val nw = tk.size.toLong
+        val nStop = tk.count(TextAnalysis.stopwords.contains).toLong
+        val q = if (nw == 0) 0.0
+          else math.min(1.0, nw / 100.0) * 0.6 + nStop.toDouble / nw * 0.4
+        val score = math.floor(math.floor(q * 1e4 + 0.5) / 1e4 * 1e4 + 0.5).toLong
+        val dup = if (nw == 0) 0.0
+          else math.floor((1.0 - tk.distinct.size.toDouble / nw) * 1e4 + 0.5) / 1e4
+        val mwl = if (nw == 0) 0.0
+          else math.floor(tk.map(_.length).sum.toDouble / nw * 1e4 + 0.5) / 1e4
+        val passes = nw >= TextAnalysis.gopherMinWords &&
+          dup < TextAnalysis.gopherMaxDupRatio &&
+          mwl >= TextAnalysis.gopherMeanLen._1 &&
+          mwl <= TextAnalysis.gopherMeanLen._2
+        (id, score, passes, md532(s"cal:$id") % 2 == 0)
+      }
+    val calPass = docs.filter(d => d._4 && d._3).map(_._2).sorted
+    val nCal = calPass.length.toLong
+    val allowed = nCal * TextAnalysis.confAlphaPct / 100
+    val t = calPass(allowed.toInt) // the (k+1)-th smallest score
+    assert(r.getAs[Long]("threshold_u4") === t)
+    assert(r.getAs[Long]("n_cal_pass") === nCal)
+    assert(r.getAs[Long]("allowed_misses") === allowed)
+    // the conformal guarantee on calibration data, and maximality of t
+    assert(calPass.count(_ < t) <= allowed)
+    val higher = calPass.filter(_ > t)
+    if (higher.nonEmpty)
+      assert(calPass.count(_ < higher.min) > allowed,
+        "a higher threshold would also satisfy the bound — t not maximal")
+    // test-side counts replay
+    val test = docs.filter(!_._4)
+    assert(r.getAs[Long]("n_test_pass") === test.count(_._3).toLong)
+    assert(r.getAs[Long]("n_test_pass_kept") ===
+      test.count(d => d._3 && d._2 >= t).toLong)
+    assert(r.getAs[Long]("n_test_fail_admitted") ===
+      test.count(d => !d._3 && d._2 >= t).toLong)
+    assert(r.getAs[Long]("coverage_u4") ===
+      r.getAs[Long]("n_test_pass_kept") * 10000L /
+        math.max(r.getAs[Long]("n_test_pass"), 1L))
+    // realized coverage is in the conformal regime at the gate SF
+    assert(r.getAs[Long]("coverage_u4") >= 8000L)
+  }
 }
