@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Library facade: the one import a user of the engine needs.
   *
-  * The engine's 292 declared queries (`SparkEntry.queries`) are the
+  * The engine's 294 declared queries (`SparkEntry.queries`) are the
   * EVIDENCE surface — each is a composed, DuckDB-oracled example of the
   * operators below. A consuming team programs against the operator
   * objects, which this facade groups by family with stable names; every

@@ -381,6 +381,8 @@ object SparkEntry {
     "q292_assortativity" -> ((s, d) =>
       Components.degreeAssortativity(s, d)),
     "q293_soft_dedup" -> ((s, d) => DedupOps.softDedupWeights(s, d)),
+    "q294_medoid_keepers" -> ((s, d) => DedupOps.medoidKeepers(s, d)),
+    "q295_padding_waste" -> ((s, d) => CorpusOps.paddingWasteTable(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -8829,6 +8831,102 @@ object SparkEntry {
          |    AS BIGINT), 1) // 100 AS keep_ratio_u4
          |FROM w GROUP BY source
          |ORDER BY source""".stripMargin,
+
+    // medoid keeper election: the q67 chain + within-cluster exact
+    // Jaccard over distinct-shingle sets (size-capped clusters only)
+    "q294_medoid_keepers" ->
+      s"""WITH $minHashCtesSql,
+         |prs AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+         |ids AS (SELECT doc_id FROM corpus),
+         |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
+         |        UNION ALL SELECT b, a FROM prs),
+         |$keeperCompCtes,
+         |labeled AS MATERIALIZED (
+         |  SELECT i.doc_id, coalesce(c.keeper0, i.doc_id) AS keeper
+         |  FROM ids i LEFT JOIN comp c ON c.node = i.doc_id),
+         |cs AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM labeled GROUP BY keeper),
+         |msel AS MATERIALIZED (
+         |  SELECT l.doc_id, l.keeper, cs.cluster_size
+         |  FROM labeled l JOIN cs USING (keeper)
+         |  WHERE cs.cluster_size BETWEEN 2 AND ${DedupOps.medoidMaxSize}),
+         |mdt AS MATERIALIZED (
+         |  SELECT s.doc_id, s.keeper,
+         |    list_sort(list_distinct(list_transform(
+         |      range(1, greatest(len(c.tk) - 2, 0) + 1),
+         |      i -> array_to_string(c.tk[i:i+2], ' ')))) AS ts
+         |  FROM msel s
+         |  JOIN (SELECT doc_id, $toksSql AS tk FROM corpus) c
+         |    ON c.doc_id = s.doc_id),
+         |msz AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_sh FROM mdt),
+         |mtok AS MATERIALIZED (
+         |  SELECT keeper, doc_id, unnest(ts) AS t FROM mdt),
+         |mp AS MATERIALIZED (
+         |  SELECT x.keeper, x.doc_id AS a, y.doc_id AS b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM mtok x JOIN mtok y
+         |    ON x.keeper = y.keeper AND x.t = y.t AND x.doc_id < y.doc_id
+         |  GROUP BY x.keeper, x.doc_id, y.doc_id),
+         |jp AS MATERIALIZED (
+         |  SELECT mp.keeper, a, b,
+         |    inter * 1000000 // (sa.n_sh + sb.n_sh - inter) AS j_u6
+         |  FROM mp
+         |  JOIN msz sa ON sa.doc_id = a
+         |  JOIN msz sb ON sb.doc_id = b),
+         |sc AS (
+         |  SELECT keeper, doc_id, CAST(sum(j_u6) AS BIGINT) AS score FROM (
+         |    SELECT keeper, a AS doc_id, j_u6 FROM jp
+         |    UNION ALL SELECT keeper, b, j_u6 FROM jp) z
+         |  GROUP BY keeper, doc_id),
+         |al AS (
+         |  SELECT m.keeper, m.doc_id, coalesce(sc.score, 0) AS score
+         |  FROM msel m LEFT JOIN sc
+         |    ON sc.keeper = m.keeper AND sc.doc_id = m.doc_id),
+         |md AS (
+         |  SELECT keeper, doc_id AS medoid, score FROM (
+         |    SELECT keeper, doc_id, score,
+         |      row_number() OVER (PARTITION BY keeper
+         |        ORDER BY score DESC, doc_id) AS rn
+         |    FROM al) z WHERE rn = 1)
+         |SELECT s.keeper, s.cluster_size, md.medoid,
+         |  CAST(md.score AS BIGINT) AS medoid_score_u6,
+         |  md.medoid <> s.keeper AS changed
+         |FROM (SELECT DISTINCT keeper, cluster_size FROM msel) s
+         |JOIN md USING (keeper)
+         |ORDER BY s.keeper""".stripMargin,
+
+    // padding waste per length-bucket count: the oracle states the
+    // naive global-rank window; the engine computes the same rank via
+    // the q84 frequency-table decomposition
+    "q295_padding_waste" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |r AS (
+         |  SELECT n_tok,
+         |    CAST(row_number() OVER (ORDER BY n_tok, doc_id) - 1 AS BIGINT)
+         |      AS rnk0,
+         |    CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM d),
+         |f AS (
+         |  SELECT k.k, r.rnk0 * k.k // r.n AS bucket, r.n_tok
+         |  FROM r CROSS JOIN (
+         |    SELECT CAST(unnest([${CorpusOps.padBucketCounts.mkString(", ")}])
+         |      AS BIGINT) AS k) k),
+         |b AS (
+         |  SELECT k, bucket, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(n_tok) AS BIGINT) AS btok,
+         |    CAST(max(n_tok) AS BIGINT) AS bmax
+         |  FROM f GROUP BY k, bucket)
+         |SELECT k, CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(sum(btok) AS BIGINT) AS raw_tokens,
+         |  CAST(sum(bmax * c) AS BIGINT) AS padded_tokens,
+         |  CAST(sum(bmax * c) - sum(btok) AS BIGINT) AS waste_tokens,
+         |  (CAST(sum(bmax * c) AS BIGINT) - CAST(sum(btok) AS BIGINT))
+         |    * 10000 // greatest(CAST(sum(bmax * c) AS BIGINT), 1)
+         |    AS waste_bp
+         |FROM b GROUP BY k ORDER BY k""".stripMargin,
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

@@ -1967,4 +1967,62 @@ object CorpusOps {
         expr("alloc * 10000 div greatest(mass, 1)").as("epochs_u4"), $"bound")
       .orderBy($"lang")
   }
+
+  /** Bucket counts swept by [[paddingWasteTable]], shared with the
+    * q295 oracle. */
+  val padBucketCounts: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** LENGTH-BUCKET PADDING WASTE (q295) — the dynamic-batching
+    * efficiency table: batching pads every sequence to its batch max,
+    * so bucketing the corpus into k equal-population LENGTH buckets
+    * (each batch drawn within one bucket) trades scheduler complexity
+    * against padding waste. For each k in [[padBucketCounts]]: total
+    * padded tokens if every doc pads to its bucket's max, the wasted
+    * fraction in basis points, and the marginal win over k=1 (global
+    * max padding). The monotone waste drop IS the decision table for
+    * "how many length buckets does the loader need".
+    *
+    * Exactness: bucket assignment is by GLOBAL length rank from the
+    * value-frequency table (the q84 two-phase device — never a corpus
+    * sort; ranks are (length, doc_id)-deterministic), bucket =
+    * (rnk−1)·k div n, all downstream arithmetic BIGINT.
+    *
+    * Scale shape: one tokenize+count scan; the rank needs only the
+    * O(distinct lengths) offsets table broadcast back; the k-sweep
+    * fans each row out ×|counts| and collapses immediately into a
+    * (k, bucket)-keyed aggregate — O(Σk) result rows, no join-back
+    * (padded mass = bucket_max · bucket_count, summed per k). */
+  def paddingWasteTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
+    val freq = graft.CacheGuard.barrier(
+      docs.groupBy($"n_tok").agg(count(lit(1)).as("cnt")))
+    val wCum = Window.orderBy($"n_tok").rowsBetween(Long.MinValue, -1)  // global-window-ok: O(distinct lengths)
+    val offsets = freq
+      .withColumn("base", coalesce(sum($"cnt").over(wCum), lit(0L)))
+      .select($"n_tok", $"base")
+    val total = freq.agg(sum($"cnt").as("n_total"))
+    val wVal = Window.partitionBy($"n_tok").orderBy($"doc_id")
+    val ranked = docs
+      .withColumn("within", row_number().over(wVal).cast("long"))
+      .join(broadcast(offsets), "n_tok")
+      .crossJoin(broadcast(total))
+      .select($"n_tok", ($"base" + $"within" - 1L).as("rnk0"), $"n_total")
+    val fanned = ranked
+      .withColumn("k", explode(typedlit(padBucketCounts.map(_.toLong))))
+      .select($"k", expr("rnk0 * k div n_total").as("bucket"), $"n_tok")
+    fanned.groupBy($"k", $"bucket")
+      .agg(count(lit(1)).as("c"), sum($"n_tok").as("btok"),
+        max($"n_tok").as("bmax"))
+      .groupBy($"k")
+      .agg(sum($"c").as("n_docs"), sum($"btok").as("raw_tokens"),
+        sum($"bmax" * $"c").as("padded_tokens"))
+      .select($"k", $"n_docs", $"raw_tokens", $"padded_tokens",
+        ($"padded_tokens" - $"raw_tokens").as("waste_tokens"),
+        expr("(padded_tokens - raw_tokens) * 10000" +
+          " div greatest(padded_tokens, 1)").as("waste_bp"))
+      .orderBy($"k")
+  }
 }

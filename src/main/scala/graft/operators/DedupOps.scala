@@ -2164,4 +2164,70 @@ object DedupOps {
         expr("effective_tokens_u6 div greatest(raw_tokens, 1) div 100"))
       .orderBy($"source")
   }
+
+  /** Clusters larger than this keep the cheap min-id keeper — the
+    * medoid of a mega-cluster is statistically meaningless and the
+    * exact pairwise pass would be Ω(s²) (the q175 keeper-first lesson).
+    * Shared with the q294 oracle. */
+  val medoidMaxSize = 64L
+
+  /** MEDOID KEEPER ELECTION (q294) — keeper QUALITY, not just keeper
+    * identity: the min-id rule (q67) keeps an arbitrary member; the
+    * medoid keeps the most REPRESENTATIVE one — the member maximizing
+    * total exact Jaccard to its cluster-mates, the document whose text
+    * best summarizes the family (what you actually want surviving
+    * dedup). Computed for clusters of size 2..[[medoidMaxSize]] (the
+    * bound makes the within-cluster exact pass Ω(Σ min(s,64)²) — the
+    * keeper-first discipline; mega-clusters keep min-id, reported with
+    * `elected = false` in spirit via absence). Ties: highest summed
+    * u6-Jaccard, then smallest doc_id — the struct-ordered argmax.
+    * Output per eligible cluster: the min-id keeper, the medoid, its
+    * summed score, and whether the election CHANGED the keeper — the
+    * table that prices upgrading q67's rule.
+    *
+    * Scale shape: the audited q67 chain once; members' distinct-shingle
+    * sets are per-row work; within-cluster pairs come from ONE
+    * (keeper, shingle)-keyed self-join (never cross-cluster), inter/
+    * union arithmetic exact, per-member sums keyed, argmax partial-
+    * aggregable. */
+  def medoidKeepers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{tokens, wordShingles}
+    val labeled = graft.CacheGuard.barrier(
+      nearDupKeepers(spark, dir)
+        .filter($"cluster_size" >= 2L && $"cluster_size" <= medoidMaxSize)
+        .select($"doc_id", $"keeper", $"cluster_size"))
+    val sets = withDupCopies(
+      Tables.documents(spark, dir)
+        .select($"doc_id",
+          array_distinct(wordShingles(tokens($"text"), 3)).as("shs")))
+    val mem = graft.CacheGuard.barrier(
+      labeled.join(sets, "doc_id")
+        .select($"keeper", $"doc_id", $"shs",
+          size($"shs").cast("long").as("n_sh")))
+    val tok = mem.select($"keeper", $"doc_id", $"n_sh",
+      explode($"shs").as("sh"))
+    val pairs = tok.as("x").join(tok.as("y"),
+        $"x.keeper" === $"y.keeper" && $"x.sh" === $"y.sh" &&
+          $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.keeper".as("keeper"), $"x.doc_id".as("a"),
+        $"y.doc_id".as("b"), $"x.n_sh".as("na"), $"y.n_sh".as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select($"keeper", $"a", $"b",
+        expr("inter * 1000000 div (na + nb - inter)").as("j_u6"))
+    val scores = pairs.select($"keeper", $"a".as("doc_id"), $"j_u6")
+      .unionByName(pairs.select($"keeper", $"b".as("doc_id"), $"j_u6"))
+      .groupBy($"keeper", $"doc_id").agg(sum($"j_u6").as("score"))
+    val medoid = mem.select($"keeper", $"doc_id")
+      .join(scores, Seq("keeper", "doc_id"), "left")
+      .withColumn("score", coalesce($"score", lit(0L)))
+      .groupBy($"keeper")
+      .agg(max(struct($"score", (-$"doc_id").as("nd"))).as("m"))
+      .select($"keeper", (-$"m.nd").as("medoid"),
+        $"m.score".as("medoid_score_u6"))
+    labeled.groupBy($"keeper").agg(first($"cluster_size").as("cluster_size"))
+      .join(medoid, "keeper")
+      .withColumn("changed", $"medoid" =!= $"keeper")
+      .orderBy($"keeper")
+  }
 }

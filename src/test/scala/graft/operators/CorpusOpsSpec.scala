@@ -1074,4 +1074,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bound.nonEmpty && unbound.nonEmpty,
       "fixture must exercise both branches")
   }
+
+  test("q295: padding waste — bucket replay from sorted lengths; waste monotone in bucket count") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val out = CorpusOps.paddingWasteTable(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.length === CorpusOps.padBucketCounts.length)
+    val lens = Tables.documents(spark, sf)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy(identity).map(_._1) // (length, doc_id) global rank order
+    val n = lens.length.toLong
+    val byK = out.map(r => r.getAs[Long]("k") -> r).toMap
+    CorpusOps.padBucketCounts.map(_.toLong).foreach { k =>
+      val buckets = lens.zipWithIndex.groupBy { case (_, i) =>
+        i.toLong * k / n }
+      val padded = buckets.values.map(b =>
+        b.map(_._1).max * b.length).sum
+      val raw = lens.sum
+      val r = byK(k)
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("raw_tokens") === raw)
+      assert(r.getAs[Long]("padded_tokens") === padded)
+      assert(r.getAs[Long]("waste_tokens") === padded - raw)
+      assert(r.getAs[Long]("waste_bp") ===
+        (padded - raw) * 10000L / math.max(padded, 1L))
+    }
+    // k=1 pads everything to the global max; more buckets never waste
+    // more (equal-population split by rank is nested enough to be
+    // monotone on the doubling ladder)
+    assert(byK(1L).getAs[Long]("padded_tokens") === lens.max * n)
+    val wastes = CorpusOps.padBucketCounts.map(k =>
+      byK(k.toLong).getAs[Long]("waste_tokens"))
+    assert(wastes === wastes.sorted.reverse,
+      s"waste not monotone: $wastes")
+  }
 }

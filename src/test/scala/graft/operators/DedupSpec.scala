@@ -1048,6 +1048,47 @@ class DedupSpec extends SparkSpec {
       r.getAs[Long]("raw_tokens") * 1000000L))
   }
 
+  test("q294: medoid keepers — full driver replay of the within-cluster Jaccard election") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{tokens, wordShingles}
+    val out = DedupOps.medoidKeepers(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val labeled = DedupOps.nearDupKeepers(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keeper"),
+        r.getAs[Long]("cluster_size")))
+      .filter(t => t._3 >= 2 && t._3 <= DedupOps.medoidMaxSize)
+    graft.CacheGuard.release()
+    val shs = Tables.documents(spark, sf)
+      .select($"doc_id",
+        array_distinct(wordShingles(tokens($"text"), 3)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val setById = (shs ++ shs.map { case (id, s) =>
+      (id + DedupOps.dupOffset) -> s }).toMap
+    val want = labeled.groupBy(_._2).map { case (keeper, members) =>
+      val ids = members.map(_._1).sorted
+      val scores = ids.map { i =>
+        i -> ids.filter(_ != i).map { j =>
+          val (a, b) = (setById(i), setById(j))
+          val inter = (a & b).size.toLong
+          if (inter == 0) 0L
+          else inter * 1000000L / (a.size + b.size - inter)
+        }.sum
+      }
+      val (medoid, score) = scores.maxBy { case (id, s) => (s, -id) }
+      keeper -> ((members.head._3, medoid, score, medoid != keeper))
+    }
+    assert(out.map(r => r.getAs[Long]("keeper") ->
+      ((r.getAs[Long]("cluster_size"), r.getAs[Long]("medoid"),
+        r.getAs[Long]("medoid_score_u6"),
+        r.getAs[Boolean]("changed")))).toMap === want)
+    // the keeper is always the min member, so a changed election means
+    // the medoid is a strictly better representative than min-id
+    out.filter(_.getAs[Boolean]("changed")).foreach { r =>
+      assert(r.getAs[Long]("medoid") > r.getAs[Long]("keeper"))
+    }
+  }
+
   private def md532(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
