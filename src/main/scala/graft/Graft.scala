@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Library facade: the one import a user of the engine needs.
   *
-  * The engine's 294 declared queries (`SparkEntry.queries`) are the
+  * The engine's 295 declared queries (`SparkEntry.queries`) are the
   * EVIDENCE surface — each is a composed, DuckDB-oracled example of the
   * operators below. A consuming team programs against the operator
   * objects, which this facade groups by family with stable names; every
@@ -99,8 +99,9 @@ object Graft {
     * splits (q195), manifests (q186). Spec: `CorpusOpsSpec`. */
   val corpus: operators.CorpusOps.type = operators.CorpusOps
 
-  /** Retrieval: BM25 (q167), hybrid RRF (q172), PRF/Rocchio (q221),
-    * phrase search (q214) — integer-rational scoring, bounded top-k.
+  /** Retrieval: BM25 (q167), Dirichlet query likelihood (q296), hybrid
+    * RRF (q172), PRF/Rocchio (q221), phrase search (q214) —
+    * integer-rational scoring, bounded top-k.
     * (BM25/retrieval members live in [[corpus]]'s `CorpusOps`.) */
   val retrieval: operators.CorpusOps.type = operators.CorpusOps
 

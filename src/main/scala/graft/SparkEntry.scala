@@ -383,6 +383,7 @@ object SparkEntry {
     "q293_soft_dedup" -> ((s, d) => DedupOps.softDedupWeights(s, d)),
     "q294_medoid_keepers" -> ((s, d) => DedupOps.medoidKeepers(s, d)),
     "q295_padding_waste" -> ((s, d) => CorpusOps.paddingWasteTable(s, d)),
+    "q296_dirichlet_ql" -> ((s, d) => CorpusOps.dirichletQlRank(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -8927,6 +8928,49 @@ object SparkEntry {
          |    * 10000 // greatest(CAST(sum(bmax * c) AS BIGINT), 1)
          |    AS waste_bp
          |FROM b GROUP BY k ORDER BY k""".stripMargin,
+
+    // Dirichlet query likelihood: matched-postings part + per-doc
+    // length prior, each ln round-8 snapped to micro-nats (the q110
+    // discipline); naive window ranking on the oracle side
+    "q296_dirichlet_ql" -> {
+      val qvals = CorpusOps.bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH qt(query_id, term) AS (VALUES $qvals),
+         |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq
+         |       FROM qt GROUP BY query_id),
+         |lens AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM lens),
+         |st AS MATERIALIZED (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents) z
+         |  WHERE term IN (SELECT term FROM qt)),
+         |ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf
+         |        FROM st GROUP BY term),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM st GROUP BY doc_id, term),
+         |m AS (
+         |  SELECT qt.query_id, tf.doc_id, lens.dl,
+         |    CAST(sum(CAST(floor(
+         |      round(ln(1.0 + CAST(tf * t AS DOUBLE)
+         |        / CAST(${CorpusOps.qlMu} * ctf AS DOUBLE)), 8)
+         |      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS match_u6
+         |  FROM tf JOIN qt USING (term) JOIN ctf USING (term)
+         |  JOIN lens USING (doc_id) CROSS JOIN tot
+         |  GROUP BY qt.query_id, tf.doc_id, lens.dl),
+         |sc AS (
+         |  SELECT m.query_id, m.doc_id,
+         |    m.match_u6 + nq.nq * CAST(floor(
+         |      round(ln(CAST(${CorpusOps.qlMu} AS DOUBLE)
+         |        / CAST(m.dl + ${CorpusOps.qlMu} AS DOUBLE)), 8)
+         |      * 1e6 + 0.5) AS BIGINT) AS score_u6
+         |  FROM m JOIN nq USING (query_id)),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_u6 DESC, doc_id) AS BIGINT) AS rk FROM sc)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score_u6
+         |FROM r WHERE rk <= ${CorpusOps.bm25K}
+         |ORDER BY query_id, rk""".stripMargin
+    },
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

@@ -1972,6 +1972,75 @@ object CorpusOps {
     * q295 oracle. */
   val padBucketCounts: Seq[Int] = Seq(1, 2, 4, 8, 16)
 
+  /** Dirichlet smoothing pseudo-count for [[dirichletQlRank]] (the
+    * standard μ≈2000 of Zhai & Lafferty), shared with the q296
+    * oracle. */
+  val qlMu = 2000L
+
+  /** DIRICHLET QUERY-LIKELIHOOD RANKING (q296) — the language-modeling
+    * school of retrieval beside q167's BM25 (Zhai & Lafferty 2001; the
+    * ranking function behind Indri/Galago): score(d,q) =
+    * Σ_w ln((tf + μ·P(w|C)) / (|d| + μ)), decomposed into the
+    * matched-postings part Σ ln(1 + tf·T/(μ·ctf)) plus the doc-level
+    * length prior |q|·ln(μ/(|d|+μ)) — so the corpus-side work is
+    * EXACTLY q167's probe-term posting scan (only matched (doc, term)
+    * rows exist), and the length prior is per-row arithmetic on rows
+    * already flowing. Candidates are docs matching ≥1 query term (the
+    * standard candidate-generation convention; a no-match doc's
+    * pure-length score is not a retrieval result). Cross-engine float
+    * discipline is q167's: each ln is round-8 snapped then floored to
+    * integer micro-nats; everything after is BIGINT.
+    *
+    * Scale shape: identical to q167 — postings filtered to the probe
+    * terms, df/ctf/totals broadcast, per-query ranking pre-reduced
+    * through the bounded TopK aggregate (the corpus-sized row_number
+    * window is the oracle's job). */
+  def dirichletQlRank(spark: SparkSession, dir: String,
+                      queries: Seq[(Long, String)] = bm25Queries,
+                      k: Int = bm25K, mu: Long = qlMu): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tot = docs.agg(sum(size(tokens($"text")).cast("long")).as("t"))
+    val terms = queries.map(_._2).distinct
+    val qt = queries.toDF("query_id", "term")
+    val nq = qt.groupBy($"query_id").agg(count(lit(1)).as("nq"))
+    val stream = docs
+      .select($"doc_id", tokens($"text").as("tk"))
+      .select($"doc_id", size($"tk").cast("long").as("dl"),
+        explode($"tk").as("term"))
+      .filter($"term".isin(terms: _*))
+    val cached = graft.CacheGuard.barrier(stream)
+    val ctf = cached.groupBy($"term").agg(count(lit(1)).as("ctf"))
+    val tf = cached.groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val matched = tf
+      .join(broadcast(qt), "term")
+      .join(broadcast(ctf), "term")
+      .crossJoin(broadcast(tot))
+      .select($"query_id", $"doc_id", $"dl",
+        floor(round(log(lit(1.0) + // round-ok: ulp-snap on ln before quantize (q110 discipline)
+          ($"tf" * $"t").cast("double") /
+            (lit(mu) * $"ctf").cast("double")), 8) * 1e6 + lit(0.5))
+          .cast("long").as("u"))
+      .groupBy($"query_id", $"doc_id", $"dl")
+      .agg(sum($"u").as("match_u6"))
+    val scored = matched
+      .join(broadcast(nq), "query_id")
+      .select($"query_id", $"doc_id",
+        ($"match_u6" + $"nq" *
+          floor(round(log(lit(mu).cast("double") / // round-ok: ulp-snap on ln before quantize (q110 discipline)
+            ($"dl" + mu).cast("double")), 8) * 1e6 + lit(0.5))
+            .cast("long")).as("score_u6"))
+    scored.groupBy($"query_id")
+      .agg(graft.functions.TopK.topK(k)(
+        $"score_u6".cast("double"), $"doc_id").as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rk"),
+        $"col.vec_id".as("doc_id"),
+        $"col.cos_sim".cast("long").as("score_u6"))
+      .orderBy($"query_id", $"rk")
+  }
+
   /** LENGTH-BUCKET PADDING WASTE (q295) — the dynamic-batching
     * efficiency table: batching pads every sequence to its batch max,
     * so bucketing the corpus into k equal-population LENGTH buckets

@@ -1110,4 +1110,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(wastes === wastes.sorted.reverse,
       s"waste not monotone: $wastes")
   }
+
+  test("q296: Dirichlet QL — full driver replay of the decomposed scoring and the top-k cut") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val out = CorpusOps.dirichletQlRank(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", tokens($"text").as("tk")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val t = docs.map(_._2.size.toLong).sum
+    val terms = CorpusOps.bm25Queries.map(_._2).distinct.toSet
+    val ctf = docs.flatMap(_._2).filter(terms.contains)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val mu = CorpusOps.qlMu
+    def snap(x: Double): Long =
+      math.floor(BigDecimal(math.log(x))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6
+        + 0.5).toLong
+    val byQuery = CorpusOps.bm25Queries.groupBy(_._1)
+    val want = byQuery.map { case (qid, qterms) =>
+      val nq = qterms.size.toLong
+      val scores = docs.flatMap { case (id, tk) =>
+        val dl = tk.size.toLong
+        val matches = qterms.map(_._2).flatMap { w =>
+          val tf = tk.count(_ == w).toLong
+          if (tf == 0) None
+          else Some(snap(1.0 + (tf * t).toDouble / (mu * ctf(w)).toDouble))
+        }
+        if (matches.isEmpty) None
+        else Some(id -> (matches.sum +
+          nq * snap(mu.toDouble / (dl + mu).toDouble)))
+      }
+      qid -> scores.sortBy { case (id, s) => (-s, id) }
+        .take(CorpusOps.bm25K).toSeq
+    }
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      val got = rows.sortBy(_.getAs[Long]("rk"))
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_u6"))
+        .toSeq
+      assert(got === want(qid), s"query $qid")
+    }
+  }
 }
