@@ -281,4 +281,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("partial_"), p.take(3000))
   }
+
+  test("q280 prototype prune: codebook assignment is map-side — no join, no cartesian; only the rank window shuffles") {
+    val p = plan(AnnSearch.prototypePrune(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(3000)) // the codebook is a literal, not a joined relation
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("q282 AMS F2: the signed folds partial-aggregate before the 16-row exchange") {
+    val p = plan(Sketches.amsF2(spark, sf))
+    graft.CacheGuard.release()
+    assert(p.contains("partial_"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000)) // 1-row sides broadcast
+  }
+
+  test("q296 Dirichlet QL: probe-term filter reaches the scan side; ranking is the bounded aggregate, not a window") {
+    val p = plan(CorpusOps.dirichletQlRank(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000)) // TopKAgg, never row_number
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
+  test("q295 padding waste: the k-sweep never re-scans the corpus — one Generate (explode), keyed aggregates after") {
+    val p = plan(CorpusOps.paddingWasteTable(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // one explode node fans the ranked rows; the per-(k,bucket) and
+    // per-k aggregations are both partial-first
+    assert(p.linesIterator.count(l =>
+      l.contains(") Generate") || l.trim.startsWith("Generate")) >= 1,
+      p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
 }
