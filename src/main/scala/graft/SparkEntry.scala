@@ -8766,11 +8766,20 @@ object SparkEntry {
     },
 
     // symmetrized degree assortativity: r is an exact integer rational
-    // (HUGEINT / DECIMAL(38) cross products — the q212 precedent); the
-    // one float op is the final r4-snapped division
+    // (HUGEINT / DECIMAL(38) cross products — the q212 precedent,
+    // INTERNAL only since round 13: raw wide-integer output columns
+    // hash-render differently across engines); the one float op is the
+    // final r4-snapped division. A seeded disassortative star (hub
+    // 1000000, one leaf per document) de-degenerates the clique-bag
+    // fixture so gate-SF r is fractional, not exactly +1.
     "q292_assortativity" ->
       s"""WITH $minHashCtesSql,
-         |edg AS MATERIALIZED (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |edg0 AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
+         |star AS (SELECT CAST(${Components.starHubId} AS BIGINT) AS a,
+         |           doc_id + ${Components.starLeafOffset} AS b
+         |         FROM documents),
+         |edg AS MATERIALIZED (SELECT a, b FROM edg0
+         |        UNION ALL SELECT a, b FROM star),
          |symd AS MATERIALIZED (SELECT a AS src, b AS dst FROM edg
          |        UNION ALL SELECT b, a FROM edg),
          |dg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
@@ -8790,7 +8799,7 @@ object SparkEntry {
          |    CAST(m2 AS HUGEINT) * sum_d2
          |      - CAST(sum_d AS HUGEINT) * sum_d AS den
          |  FROM s)
-         |SELECT m2, sum_d, sum_d2, sum_dxdy, num, den,
+         |SELECT m2, sum_d, sum_d2, sum_dxdy,
          |  floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))*1e4 + 0.5)/1e4
          |    + 0.0 AS assortativity
          |FROM r""".stripMargin,

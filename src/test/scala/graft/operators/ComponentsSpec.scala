@@ -680,15 +680,21 @@ class ComponentsSpec extends SparkSpec {
     assert(triTotal > 0L, "gate graph must close at least one triangle")
   }
 
-  test("q292: assortativity — exact integer rational replayed; coefficient within [-1, 1]") {
+  test("q292: assortativity — exact integer rational replayed; star fixture gives fractional r") {
     import spark.implicits._
     val out = Components.degreeAssortativity(spark, sf).collect()
     graft.CacheGuard.release()
     assert(out.length === 1)
     val r = out.head
+    // no wide-integer columns ship (the round-12 DECIMAL hash-render class)
+    assert(!r.schema.fields.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
+    val starLeaves = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id").collect() // collect-ok: gate-SF spec replay
+      .map(x => (Components.starHubId, x.getLong(0) + Components.starLeafOffset))
     val edges = DedupOps.minHashLshPairsOracled(spark, sf, threshold = 0.2)
-      .select($"a", $"b").collect()
-      .map(e => (e.getLong(0), e.getLong(1)))
+      .select($"a", $"b").collect() // collect-ok: gate-SF spec replay
+      .map(e => (e.getLong(0), e.getLong(1))) ++ starLeaves
     graft.CacheGuard.release()
     val directed = edges ++ edges.map(e => (e._2, e._1))
     val deg = directed.groupBy(_._1).view.mapValues(_.length.toLong).toMap
@@ -702,10 +708,10 @@ class ComponentsSpec extends SparkSpec {
     assert(r.getAs[Long]("sum_dxdy") === sumXY)
     val num = BigInt(m2) * sumXY - BigInt(sumD) * sumD
     val den = BigInt(m2) * sumD2 - BigInt(sumD) * sumD
-    assert(BigInt(r.getAs[java.math.BigDecimal]("num").toBigInteger) === num)
-    assert(BigInt(r.getAs[java.math.BigDecimal]("den").toBigInteger) === den)
     val want = math.floor(num.toDouble / den.toDouble * 1e4 + 0.5) / 1e4
     assert(r.getAs[Double]("assortativity") === want)
     assert(want >= -1.0 && want <= 1.0)
+    // the star de-degenerates the clique bag: r must be FRACTIONAL
+    assert(want !== -1.0); assert(want !== 0.0); assert(want !== 1.0)
   }
 }
