@@ -133,17 +133,22 @@ object Components {
     * q55 md5-family LSH pairs at a LOWER threshold (0.2) so organic
     * similarity chains appear alongside the exact-dup twins.
     *
-    * Algorithm: canonical u<v edges; wedges = edges joined on their
-    * common LOWER endpoint (u→v, u→w, v<w); triangles = wedges whose
-    * closing (v,w) edge exists — two self-equi-joins, no explosion
-    * beyond Σ deg(u)². At 100 TB scale the refinement is DEGREE
-    * orientation (point each edge at its higher-degree endpoint before
-    * the wedge join, bounding Σ deg² by edges^1.5) plus a
-    * `Guards.capHotKeys` on pathological hubs; id-orientation here keeps
-    * the oracle a two-line SQL mirror. Output is the one-row census:
-    * edges, ORIENTED wedges (neighbor pairs above the center in id
-    * order — each triangle contributes exactly one), triangles, and the
-    * oriented-wedge closure rate T/W. */
+    * Algorithm (round-13, the long-named 100 TB refinement, built):
+    * DEGREE-ORIENTED triangle enumeration. Each undirected edge points
+    * at its higher-(degree, id) endpoint; the orientation is acyclic,
+    * so every triangle has exactly ONE node with two out-edges inside
+    * it and is enumerated exactly once from that node's out-neighbor
+    * pairs. Out-degrees are bounded by O(√m) on any graph (a node of
+    * degree d > √2m has < √2m neighbors of degree ≥ d), so the wedge
+    * join materializes Σ C(dout, 2) = O(m^1.5) rows instead of the
+    * id-oriented Σ deg² — the difference between "survives template-
+    * farm hubs" and "explodes on them". The DECLARED n_wedges stays
+    * the id-oriented count (each triangle contributes exactly one),
+    * now computed in CLOSED FORM from higher-id neighbor counts —
+    * Σ C(d⁺(u), 2), one aggregation, no wedge materialization at all.
+    * Output is hash-identical to the pre-orientation form (spec-pinned
+    * on the gate graph; the oracle SQL is unchanged). Output: edges,
+    * id-oriented wedges, triangles, closure rate T/W. */
   def triangleStats(spark: SparkSession, dir: String,
                     threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
@@ -152,19 +157,49 @@ object Components {
         .select($"a", $"b")) // already canonical a < b
   }
 
+  /** Distinct triangles of a canonical (a < b) edge relation via
+    * degree orientation (see [[triangleStats]]): columns (u, v, w)
+    * where u is the triangle's unique orientation source and v < w.
+    * Each triangle appears exactly once; the corner multiset {u,v,w}
+    * is identical to any other exactly-once enumeration's. */
+  def orientedTriangles(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val deg = edges.select($"a".as("node"))
+      .unionByName(edges.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("dg"))
+    // point each edge at its higher-(degree, id) endpoint — acyclic
+    val oriented = edges
+      .join(deg.select($"node".as("a"), $"dg".as("da")), "a")
+      .join(deg.select($"node".as("b"), $"dg".as("db")), "b")
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), $"a")
+          .otherwise($"b").as("s"),
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), $"b")
+          .otherwise($"a").as("t"))
+    val o = graft.CacheGuard.barrier(oriented)
+    // wedges at the orientation source: out-neighbor pairs, id-ordered
+    // so the closing edge is already canonical (v < w)
+    o.as("e1").join(o.as("e2"),
+        $"e1.s" === $"e2.s" && $"e1.t" < $"e2.t")
+      .select($"e1.s".as("u"), $"e1.t".as("v"), $"e2.t".as("w"))
+      .join(edges.as("e3"), $"v" === $"e3.a" && $"w" === $"e3.b")
+      .select($"u", $"v", $"w")
+  }
+
   /** The census core over any canonical (a < b) edge relation. */
   def triangleCensus(edges: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
     val cached = graft.CacheGuard.barrier(edges)
-    val wedges = cached.as("e1").join(cached.as("e2"),
-        $"e1.a" === $"e2.a" && $"e1.b" < $"e2.b")
-      .select($"e1.a".as("u"), $"e1.b".as("v"), $"e2.b".as("w"))
-    // one pass over the wedges: LEFT join the closing edge, count both
-    val counts = wedges.join(cached.as("e3"),
-        $"v" === $"e3.a" && $"w" === $"e3.b", "left")
-      .agg(count(lit(1)).as("n_wedges"), count($"e3.a").as("n_triangles"))
+    // id-oriented wedge count in closed form: Σ_u C(d⁺(u), 2) over
+    // higher-id neighbor counts (null → 0 on an edgeless graph)
+    val wedgeCount = cached.groupBy($"a")
+      .agg(count(lit(1)).as("dout"))
+      .agg(coalesce(sum(expr("dout * (dout - 1) div 2")), lit(0L))
+        .as("n_wedges"))
+    val triCount = orientedTriangles(cached)
+      .agg(count(lit(1)).as("n_triangles"))
     cached.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(counts)
+      .crossJoin(wedgeCount).crossJoin(triCount)
       .select($"n_edges", $"n_wedges", $"n_triangles",
         when($"n_wedges" === 0, lit(0.0))
           .otherwise(Quant.r4($"n_triangles".cast("double") / $"n_wedges")
@@ -1058,12 +1093,14 @@ object Components {
     * alone (q235) cannot see. Nodes with k < 2 have no wedge to close
     * and report 0 with `defined = false`.
     *
-    * Scale shape: the census wedge join run ONCE (canonical u<v<w, each
-    * triangle counted exactly once), then each closed triangle emits its
-    * THREE corners into one keyed count — O(triangles) rows, map-side
-    * partial. Degrees are one aggregation over the cached edge list. At
-    * 100 TB the refinement is the same degree-orientation note as q97;
-    * id-orientation keeps the oracle a two-join SQL mirror. */
+    * Scale shape: the degree-oriented triangle enumeration run ONCE
+    * ([[orientedTriangles]], round-13 — Σ C(dout,2) = O(m^1.5) wedge
+    * rows instead of the id-oriented Σ deg², each triangle exactly
+    * once), then each closed triangle emits its THREE corners into one
+    * keyed count — O(triangles) rows, map-side partial. The corner
+    * multiset is orientation-invariant, so per-node counts are
+    * hash-identical to the id-oriented form (spec-pinned; oracle SQL
+    * unchanged). Degrees are one aggregation over the cached edges. */
   def localClustering(spark: SparkSession, dir: String,
                       threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
@@ -1073,11 +1110,7 @@ object Components {
     val deg = edges.select($"a".as("node"))
       .unionByName(edges.select($"b".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("k"))
-    val tri = edges.as("e1").join(edges.as("e2"),
-        $"e1.a" === $"e2.a" && $"e1.b" < $"e2.b")
-      .join(edges.as("e3"),
-        $"e1.b" === $"e3.a" && $"e2.b" === $"e3.b")
-      .select($"e1.a".as("u"), $"e1.b".as("v"), $"e2.b".as("w"))
+    val tri = orientedTriangles(edges)
     val perNode = tri.select(explode(array($"u", $"v", $"w")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("n_tri"))
     deg.join(perNode, Seq("node"), "left")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{greatest, least}
 
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
@@ -121,6 +122,43 @@ class ComponentsSpec extends SparkSpec {
       assert(r.getAs[Double]("rank") ===
         math.round(r.getAs[Long]("rank_ppm") / 100.0) / 10000.0)
     }
+  }
+
+  test("orientedTriangles: hash-identical to the naive id-oriented enumeration on the gate graph") {
+    import spark.implicits._
+    val edges = DedupOps.minHashLshPairsOracled(spark, sf, threshold = 0.2)
+      .select($"a", $"b")
+    val cached = graft.CacheGuard.barrier(edges)
+    // the pre-round-13 id-oriented form, kept here as the pin
+    val naive = cached.as("e1").join(cached.as("e2"),
+        $"e1.a" === $"e2.a" && $"e1.b" < $"e2.b")
+      .join(cached.as("e3"),
+        $"e1.b" === $"e3.a" && $"e2.b" === $"e3.b")
+      .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet // collect-ok: gate-SF spec replay
+    val oriented = Components.orientedTriangles(cached)
+      .select(least($"u", $"v", $"w").as("x"),
+        (($"u" + $"v" + $"w") - least($"u", $"v", $"w")
+          - greatest($"u", $"v", $"w")).as("y"),
+        greatest($"u", $"v", $"w").as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet // collect-ok: gate-SF spec replay
+    graft.CacheGuard.release()
+    assert(oriented.nonEmpty, "gate graph must close at least one triangle")
+    assert(oriented === naive)
+  }
+
+  test("orientedTriangles: hub graph — each triangle enumerated exactly once at its source") {
+    import spark.implicits._
+    // hub 1 of degree 5 with leaves 2..6; triangles (1,2,3) and (1,5,6)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val tri = Components.orientedTriangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.CacheGuard.release()
+    // sources are the low-degree corners, never the hub: deg(2..6) ≤ 2 < 5
+    assert(tri === Set((2L, 1L, 3L), (5L, 1L, 6L)))
   }
 
   test("triangleStats: dup-graph census is internally consistent") {
