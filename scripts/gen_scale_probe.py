@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Generate a scale-probe dataset as N key-shifted replicas of a source SF.
 
-Usage: python3 scripts/gen_scale_probe.py <srcDir> <dstDir> [replicas=10]
+Usage: python3 scripts/gen_scale_probe.py <srcDir> <dstDir> [replicas=10] [mode=clique]
 
 Dev-side tool (like selfcheck.py): builds probe data for differential and
 bench runs at a decade above the largest driver-generated SF. NOT a
@@ -13,6 +13,21 @@ stay distinct and dedup rates keep their designed per-replica values),
 and embeddings perturb dim 0 by r/1000 (distinct on the e3 grid).
 region/nation are fixed dimensions and copy once. Schemas are preserved
 exactly (pyarrow passthrough), including events.ts TIMESTAMP(NANOS).
+
+Document-text modes (round-13, verdict ask #3):
+  clique (default) — the historical behavior: every replica keeps the
+    base text plus one per-replica token, so all R copies of a doc are
+    MUTUAL near-dups. At R=10 this inflated the audited pair relation
+    53x on 10x data — the decade table ends up measuring the fixture's
+    designed quadratic, not the operator.
+  bounded — realistic dup structure: docs with doc_id %% 20 == 0 (5%%)
+    keep near-dup text in replicas 1..3 only (max clique = 4 incl.
+    base, regardless of R); every other (doc, replica>0) gets GENUINELY
+    NOVEL text — each whitespace token is suffixed with the row's
+    globally-unique shifted doc_id, so no shingle is shared with any
+    other document. Token COUNT per doc is preserved exactly (byte mass
+    inflates ~2.5x from the suffixes); exact-dup fingerprints stay
+    distinct as before.
 """
 import sys
 
@@ -35,17 +50,40 @@ SHIFTS = {
 FIXED = ["region", "nation"]
 
 
-def shifted(table: pa.Table, name: str, r: int) -> pa.Table:
+def novel(text, doc_id: int) -> str:
+    """Rewrite every whitespace token with a suffix unique to this row's
+    (already-shifted, hence globally unique) doc_id: token count is
+    preserved, no shingle survives, so the doc near-dups NOTHING."""
+    if text is None:
+        return None
+    tag = f"x{doc_id:x}"
+    return " ".join(t + tag for t in text.split())
+
+
+def shifted(table: pa.Table, name: str, r: int, mode: str = "clique") -> pa.Table:
     for col in SHIFTS[name]:
         i = table.schema.get_field_index(col)
         arr = pc.add(table.column(i), pa.scalar(r * STRIDE,
                                                 table.schema.field(i).type))
         table = table.set_column(i, table.schema.field(i), arr)
-    if name == "documents" and r > 0:
+    if name == "documents" and r > 0 and mode == "clique":
         i = table.schema.get_field_index("text")
         arr = pc.binary_join_element_wise(
             pc.coalesce(table.column(i), pa.scalar("", pa.string())),
             pa.scalar(f"zr{r}", pa.string()), pa.scalar(" ", pa.string()))
+        table = table.set_column(i, table.schema.field(i), arr)
+    if name == "documents" and r > 0 and mode == "bounded":
+        i = table.schema.get_field_index("text")
+        ids = table.column(table.schema.get_field_index("doc_id")).to_pylist()
+        texts = table.column(i).to_pylist()
+        out = []
+        for did, txt in zip(ids, texts):
+            base_id = did - r * STRIDE
+            if base_id % 20 == 0 and r <= 3:  # 5% dup-seeded, clique ≤ 4
+                out.append(None if txt is None else f"{txt} zr{r}")
+            else:
+                out.append(novel(txt, did))
+        arr = pa.array(out, type=table.schema.field(i).type)
         table = table.set_column(i, table.schema.field(i), arr)
     if name == "embeddings" and r > 0:
         i = table.schema.get_field_index("embedding")
@@ -62,6 +100,8 @@ def shifted(table: pa.Table, name: str, r: int) -> pa.Table:
 def main() -> None:
     src, dst = sys.argv[1], sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    mode = sys.argv[4] if len(sys.argv) > 4 else "clique"
+    assert mode in ("clique", "bounded"), mode
     import os
     os.makedirs(dst, exist_ok=True)
     for name in FIXED:
@@ -70,7 +110,7 @@ def main() -> None:
         print(f"{name}: {t.num_rows} (fixed)")
     for name in SHIFTS:
         t = pq.read_table(f"{src}/{name}.parquet")
-        parts = [shifted(t, name, r) for r in range(reps)]
+        parts = [shifted(t, name, r, mode) for r in range(reps)]
         out = pa.concat_tables(parts)
         pq.write_table(out, f"{dst}/{name}.parquet")
         print(f"{name}: {t.num_rows} -> {out.num_rows}")

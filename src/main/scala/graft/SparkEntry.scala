@@ -384,6 +384,7 @@ object SparkEntry {
     "q294_medoid_keepers" -> ((s, d) => DedupOps.medoidKeepers(s, d)),
     "q295_padding_waste" -> ((s, d) => CorpusOps.paddingWasteTable(s, d)),
     "q296_dirichlet_ql" -> ((s, d) => CorpusOps.dirichletQlRank(s, d)),
+    "q297_unigram_lm_train" -> ((s, d) => TextAnalysis.unigramLmTrain(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -8979,6 +8980,89 @@ object SparkEntry {
          |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score_u6
          |FROM r WHERE rk <= ${CorpusOps.bm25K}
          |ORDER BY query_id, rk""".stripMargin
+    },
+
+    // unigram-LM (SentencePiece-style) tokenizer training: integer-exact
+    // hard-EM over the word-type dictionary; the Viterbi DP unrolls as
+    // one CTE per word position with a per-word (cost, path) argmin —
+    // the engine side runs the identical DP as one aggregate() HOF
+    "q297_unigram_lm_train" -> {
+      val L = TextAnalysis.uniMaxWordLen
+      val P = TextAnalysis.uniMaxPieceLen
+      val rounds = TextAnalysis.uniPruneSchedule.indices.map { e =>
+        val cap = TextAnalysis.uniPruneSchedule(e)
+        val dps = (1 to L).map { j =>
+          val cands = (1 to math.min(P, j)).map { k =>
+            s"""    SELECT d.w, d.c, d.cost + p.cost_u6 AS cost,
+               |      d.path || p.piece || '|' AS path
+               |    FROM dp${e}_${j - k} d JOIN pc$e p
+               |      ON p.piece = substr(d.w, ${j - k + 1}, $k)
+               |    WHERE length(d.w) >= $j""".stripMargin
+          }.mkString("\n    UNION ALL\n")
+          s"""dp${e}_$j AS MATERIALIZED (
+             |  SELECT w, c, cost, path FROM (
+             |    SELECT w, c, cost, path,
+             |      row_number() OVER (PARTITION BY w ORDER BY cost, path) AS rn
+             |    FROM (
+             |$cands) u) z
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        val segs = (1 to L).map(j =>
+          s"SELECT w, c, path FROM dp${e}_$j WHERE length(w) = $j")
+          .mkString("\n    UNION ALL ")
+        s"""dp${e}_0 AS (SELECT w, c, CAST(0 AS BIGINT) AS cost, '' AS path
+           |  FROM wd),
+           |$dps,
+           |seg$e AS (
+           |    $segs),
+           |ecnt$e AS MATERIALIZED (
+           |  SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM (
+           |    SELECT c, unnest(list_filter(string_split(path, '|'),
+           |      x -> x <> '')) AS piece
+           |    FROM seg$e) z GROUP BY piece),
+           |keep$e AS (
+           |  SELECT ch.piece, greatest(coalesce(e.cnt, 0), 1) AS cnt
+           |  FROM chars ch LEFT JOIN ecnt$e e USING (piece)
+           |  UNION ALL
+           |  SELECT piece, cnt FROM (
+           |    SELECT piece, cnt FROM ecnt$e WHERE length(piece) >= 2
+           |    ORDER BY cnt DESC, piece LIMIT $cap) zz),
+           |tot${e + 1} AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM keep$e),
+           |pc${e + 1} AS MATERIALIZED (
+           |  SELECT piece, cnt,
+           |    CAST(-floor(round(ln(CAST(cnt AS DOUBLE) / t), 8) * 1e6 + 0.5)
+           |      AS BIGINT) AS cost_u6
+           |  FROM keep$e CROSS JOIN tot${e + 1})""".stripMargin
+      }.mkString(",\n")
+      val E = TextAnalysis.uniPruneSchedule.size
+      s"""WITH w0 AS (SELECT unnest($toksSql) AS w FROM documents),
+         |wd AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM w0
+         |  WHERE regexp_matches(w, '^[a-z0-9]+$$') AND length(w) <= $L
+         |  GROUP BY w),
+         |sub AS (
+         |  SELECT substr(w, i.i, k.k) AS piece, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM wd CROSS JOIN range(1, ${L + 1}) i(i)
+         |       CROSS JOIN range(1, ${P + 1}) k(k)
+         |  WHERE i.i + k.k - 1 <= length(w)
+         |  GROUP BY 1),
+         |chars AS MATERIALIZED (
+         |  SELECT piece, cnt FROM sub WHERE length(piece) = 1),
+         |seed AS (
+         |  SELECT piece, cnt FROM chars
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM sub WHERE length(piece) >= 2
+         |    ORDER BY cnt DESC, piece LIMIT ${TextAnalysis.uniSeedMulti}) z),
+         |tot0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM seed),
+         |pc0 AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |    CAST(-floor(round(ln(CAST(cnt AS DOUBLE) / t), 8) * 1e6 + 0.5)
+         |      AS BIGINT) AS cost_u6
+         |  FROM seed CROSS JOIN tot0),
+         |$rounds
+         |SELECT piece, length(piece) = 1 AS is_char, cnt, cost_u6
+         |FROM pc$E ORDER BY piece""".stripMargin
     },
   )
 

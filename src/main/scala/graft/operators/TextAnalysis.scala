@@ -1577,4 +1577,110 @@ object TextAnalysis {
         expr("n_test_fail_admitted * 10000 div greatest(n_test_fail, 1)")
           .as("false_admit_u4"))
   }
+
+  /** Unigram-LM tokenizer-training knobs, shared with the q297 oracle. */
+  val uniMaxWordLen = 12   // longer word types are skipped (SentencePiece
+                           //   similarly bounds trainable sentence pieces)
+  val uniMaxPieceLen = 3   // max piece length in the seed vocabulary
+  val uniSeedMulti = 200   // multi-char seed pieces (top by count, then asc)
+  /** Multi-char vocab cap per EM round — the shrink-to-target schedule;
+    * size-2 == two EM iterations. Single chars are NEVER pruned. */
+  val uniPruneSchedule: Seq[Int] = Seq(150, 120)
+
+  /** UNIGRAM-LM (SentencePiece-style) TOKENIZER TRAINING (q297) — the
+    * other production tokenizer school next to the BPE family
+    * (q117/q137/q144): Kudo 2018's subword regularization model, here as
+    * integer-exact hard-EM. Seed = all single chars plus the top
+    * [[uniSeedMulti]] substrings of length ≤ [[uniMaxPieceLen]] by
+    * occurrence-weighted count; each EM round Viterbi-segments every
+    * word TYPE under the current piece costs (cost = −⌊ln(cnt/total)
+    * snapped at 1e-8 then ×1e6⌋, the q110 ln-discipline), re-counts
+    * pieces along the best paths weighted by word frequency, and prunes
+    * the multi-char vocab to [[uniPruneSchedule]] (chars are never
+    * pruned — coverage; unused chars keep a floor count of 1). Ties in
+    * the DP break on the lexicographically smallest path string, so the
+    * segmentation is engine-independent.
+    *
+    * The Viterbi DP is ONE `aggregate` higher-order expression per word
+    * type: the accumulator carries best (cost, path) per prefix length,
+    * each step takes `least` over the ≤3 candidate pieces ending there
+    * (k=1 always resolves — every char is in the vocab — so the DP is
+    * total). The piece-cost table rides along as a broadcast map
+    * column; the oracle replays the identical DP as position-unrolled
+    * CTEs with a per-word row_number argmin.
+    *
+    * Scale shape — exactly the q117 dictionary-iteration contract: ONE
+    * corpus pass builds the (word-type, count) dictionary; the seed
+    * substring count, every Viterbi pass, every re-estimate, and every
+    * prune are O(vocabulary) with the piece table broadcast — at 100 TB
+    * the corpus is scanned once regardless of EM rounds, and the EM
+    * state is dictionary-sized. Output: the trained vocabulary (piece,
+    * is_char, final expected count, cost in ln-millionths). */
+  def unigramLmTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wd = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select(explode(tokens($"text")).as("w"))
+        .filter($"w".rlike("^[a-z0-9]+$") &&
+          length($"w") <= uniMaxWordLen)
+        .groupBy($"w").agg(count(lit(1)).as("c")))
+    val sub = graft.CacheGuard.barrier(wd
+      .select($"w", $"c", explode(sequence(lit(1), length($"w"))).as("i"))
+      .select($"w", $"c", $"i",
+        explode(sequence(lit(1), lit(uniMaxPieceLen))).as("k"))
+      .filter($"i" + $"k" - lit(1) <= length($"w"))
+      .groupBy(substr($"w", $"i", $"k").as("piece"))
+      .agg(sum($"c").as("cnt")))
+    val chars = sub.filter(length($"piece") === 1)
+    val multiSeed = sub.filter(length($"piece") >= 2)
+      .orderBy($"cnt".desc, $"piece").limit(uniSeedMulti)
+
+    // cost = −⌊round(ln(cnt/total), 8)·1e6 + 0.5⌋ — integer ln-millionths
+    def recost(pieces: DataFrame): DataFrame = {
+      val tot = pieces.agg(sum($"cnt").as("t"))
+      pieces.crossJoin(broadcast(tot))
+        .select($"piece", $"cnt",
+          (-floor(round(log($"cnt".cast("double") / $"t"), 8) * 1e6 + lit(0.5))) // round-ok: ulp-snap on ln before quantize (round-7 discipline)
+            .cast("long").as("cost_u6"))
+    }
+    var pc = recost(chars.unionByName(multiSeed))
+
+    for (cap <- uniPruneSchedule) {
+      val pcMap = pc.agg(map_from_entries(
+        collect_list(struct($"piece", $"cost_u6"))).as("pm"))
+      // candidate: piece of length k ending at position j (null if j < k
+      // or the piece is not in the vocab; k=1 never is)
+      def cand(acc: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column,
+               k: Int): org.apache.spark.sql.Column = {
+        val piece = substr($"w", j - lit(k - 1), lit(k))
+        val prev = element_at(acc, j - lit(k - 1))
+        val pcost = element_at($"pm", piece)
+        when(j >= lit(k) && pcost.isNotNull,
+          struct((prev("cost") + pcost).as("cost"),
+            concat(prev("path"), piece, lit("|")).as("path")))
+      }
+      val vit = aggregate(
+        sequence(lit(1), length($"w")),
+        array(struct(lit(0L).as("cost"), lit("").as("path"))),
+        (acc, j) => array_append(acc,
+          least(cand(acc, j, 1), cand(acc, j, 2), cand(acc, j, 3))))
+      val seg = wd.crossJoin(broadcast(pcMap))
+        .select($"w", $"c", element_at(vit, length($"w") + 1).as("b"))
+        .select($"c", $"b.path".as("path"))
+      val ecnt = graft.CacheGuard.barrier(seg
+        .select($"c", explode(filter(split($"path", "\\|"),
+          x => x =!= lit(""))).as("piece"))
+        .groupBy($"piece").agg(sum($"c").as("cnt")))
+      val keepChars = chars.select($"piece")
+        .join(ecnt, Seq("piece"), "left")
+        .select($"piece",
+          greatest(coalesce($"cnt", lit(0L)), lit(1L)).as("cnt"))
+      val keepMulti = ecnt.filter(length($"piece") >= 2)
+        .orderBy($"cnt".desc, $"piece").limit(cap)
+      pc = recost(keepChars.unionByName(keepMulti))
+    }
+    pc.select($"piece", (length($"piece") === 1).as("is_char"),
+        $"cnt", $"cost_u6")
+      .orderBy($"piece")
+  }
 }

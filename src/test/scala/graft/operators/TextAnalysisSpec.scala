@@ -1068,4 +1068,64 @@ class TextAnalysisSpec extends SparkSpec {
     // realized coverage is in the conformal regime at the gate SF
     assert(r.getAs[Long]("coverage_u4") >= 8000L)
   }
+
+  test("q297: unigram-LM training — full hard-EM replayed in pure Scala") {
+    import spark.implicits._
+    val out = TextAnalysis.unigramLmTrain(spark, sf).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Boolean]("is_char"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("cost_u6")))
+    graft.CacheGuard.release()
+    // word-type dictionary straight from the parquet, same filters
+    val wd = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+      .collect().map(_.getString(0)) // collect-ok: gate-SF spec replay
+      .filter(w => w.matches("^[a-z0-9]+$") &&
+        w.length <= TextAnalysis.uniMaxWordLen)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // cost = −⌊round(ln(cnt/tot), 8)·1e6 + 0.5⌋ — Spark round() is HALF_UP
+    def cost(cnt: Long, tot: Long): Long = {
+      val snapped = BigDecimal(math.log(cnt.toDouble / tot.toDouble))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      -math.floor(snapped * 1e6 + 0.5).toLong
+    }
+    // seed: all substrings of length 1..P, weighted by word count
+    val subCnt = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, c) <- wd; i <- 0 until w.length;
+         k <- 1 to TextAnalysis.uniMaxPieceLen if i + k <= w.length)
+      subCnt(w.substring(i, i + k)) += c
+    val chars = subCnt.filter(_._1.length == 1).toMap
+    def topMulti(m: Map[String, Long], cap: Int): Map[String, Long] =
+      m.toSeq.filter(_._1.length >= 2)
+        .sortBy { case (p, c) => (-c, p) }.take(cap).toMap
+    var vocab = (chars ++ topMulti(subCnt.toMap, TextAnalysis.uniSeedMulti))
+    var costs = { val t = vocab.values.sum; vocab.map { case (p, c) => p -> cost(c, t) } }
+    for (cap <- TextAnalysis.uniPruneSchedule) {
+      // Viterbi per word type: best (cost, path), tie → smaller path
+      val ecnt = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((w, c) <- wd) {
+        val best = Array.fill[(Long, String)](w.length + 1)(null)
+        best(0) = (0L, "")
+        for (j <- 1 to w.length) {
+          val cands = for {
+            k <- 1 to math.min(TextAnalysis.uniMaxPieceLen, j)
+            p = w.substring(j - k, j)
+            pc <- costs.get(p)
+            if best(j - k) != null
+          } yield (best(j - k)._1 + pc, best(j - k)._2 + p + "|")
+          best(j) = cands.min
+        }
+        best(w.length)._2.split("\\|").filter(_.nonEmpty)
+          .foreach(p => ecnt(p) += c)
+      }
+      val kept = chars.map { case (p, _) => p -> math.max(ecnt(p), 1L) } ++
+        topMulti(ecnt.toMap, cap)
+      val t = kept.values.sum
+      vocab = kept
+      costs = kept.map { case (p, c) => p -> cost(c, t) }
+    }
+    val want = vocab.map { case (p, c) =>
+      (p, p.length == 1, c, costs(p)) }.toSet
+    assert(out.toSet === want)
+    assert(out.exists(!_._2), "trained vocab must contain multi-char pieces")
+  }
 }
