@@ -21,10 +21,37 @@ def norm(df):
     df = df.astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
+def materialization_canary(con):
+    """Oracle-environment contract (round-13, verdict ask #8): the graph
+    oracles depend on DuckDB honoring `AS MATERIALIZED` — plain CTEs are
+    INLINED and re-derived per reference, which re-ran the whole minhash
+    chain once per CC round and disk-killed every sf1 replay (>70 GB
+    spill) until round 12's fix. Tested-good version: duckdb 1.0.0.
+
+    Structural check (timing is useless here — DuckDB's subplan CSE
+    hides re-derivation on small canaries while the real unrolled chains
+    still explode): EXPLAIN of a doubly-referenced MATERIALIZED CTE must
+    contain a CTE/CTE_SCAN node. On 1.0.0 the marker is present exactly
+    when the hint is honored (a plain inlined CTE's plan has neither);
+    if an engine upgrade silently drops the hint, this aborts loudly
+    instead of letting sf1 oracle replays spill unboundedly."""
+    q = ("WITH h AS MATERIALIZED (SELECT sum(x) AS s FROM range(100) t(x)) "
+         "SELECT a.s + b.s FROM h a CROSS JOIN h b")
+    plan = "\n".join(str(r) for r in con.execute("EXPLAIN " + q).fetchall())
+    if "CTE_SCAN" not in plan:
+        sys.exit(f"CANARY FAIL: duckdb {duckdb.__version__} no longer "
+                 "materializes `AS MATERIALIZED` CTEs (no CTE_SCAN in the "
+                 "physical plan) — the CC-family oracles will re-derive "
+                 "their chains per reference and spill unboundedly; pin "
+                 "duckdb back to 1.0.0 (see BASELINE.md, oracle "
+                 "environment contract)")
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    materialization_canary(con)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
