@@ -385,6 +385,7 @@ object SparkEntry {
     "q295_padding_waste" -> ((s, d) => CorpusOps.paddingWasteTable(s, d)),
     "q296_dirichlet_ql" -> ((s, d) => CorpusOps.dirichletQlRank(s, d)),
     "q297_unigram_lm_train" -> ((s, d) => TextAnalysis.unigramLmTrain(s, d)),
+    "q298_dup_span_census" -> ((s, d) => DedupOps.dupSpanCensus(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9063,6 +9064,37 @@ object SparkEntry {
          |$rounds
          |SELECT piece, length(piece) = 1 AS is_char, cnt, cost_u6
          |FROM pc$E ORDER BY piece""".stripMargin
+    },
+
+    // duplicated n-gram span census (ExactSubstr diagnostic): a span is
+    // duplicated when its 5-gram occurs in >= 2 distinct documents;
+    // per-source rollup of span mass, duplicated mass, and heavy docs
+    "q298_dup_span_census" -> {
+      val n = DedupOps.dupSpanN
+      s"""WITH toks AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
+         |g AS MATERIALIZED (
+         |  SELECT source, doc_id,
+         |    unnest(list_transform(range(1, len(tk) - ${n - 2}),
+         |      i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' ')))
+         |      AS gram
+         |  FROM toks WHERE len(tk) >= $n),
+         |gs AS (SELECT gram, count(DISTINCT doc_id) AS nd
+         |       FROM g GROUP BY gram),
+         |pd AS (
+         |  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup
+         |  FROM g JOIN gs USING (gram)
+         |  GROUP BY source, doc_id)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs_with_spans,
+         |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+         |  CAST(sum(n_dup) AS BIGINT) AS n_dup_spans,
+         |  CAST(sum(CASE WHEN n_dup * 10000 // n_spans >= 5000
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_docs,
+         |  CAST(sum(n_dup) * 10000 // greatest(sum(n_spans), 1) AS BIGINT)
+         |    AS dup_mass_u4
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin
     },
   )
 
