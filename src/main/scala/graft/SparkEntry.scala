@@ -386,6 +386,8 @@ object SparkEntry {
     "q296_dirichlet_ql" -> ((s, d) => CorpusOps.dirichletQlRank(s, d)),
     "q297_unigram_lm_train" -> ((s, d) => TextAnalysis.unigramLmTrain(s, d)),
     "q298_dup_span_census" -> ((s, d) => DedupOps.dupSpanCensus(s, d)),
+    "q299_contamination_check" -> ((s, d) =>
+      CorpusOps.contaminationCheck(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9095,6 +9097,52 @@ object SparkEntry {
          |  CAST(sum(n_dup) * 10000 // greatest(sum(n_spans), 1) AS BIGINT)
          |    AS dup_mass_u4
          |FROM pd GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // benchmark contamination check: lifted items (tokens 3..10 of every
+    // 25th doc) vs per-id-unique synthetic clean items; an item is
+    // contaminated when >= half its 5-gram windows occur in the corpus
+    "q299_contamination_check" -> {
+      val off = CorpusOps.contamItemOffset
+      val st = CorpusOps.contamStride
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |lifted AS (
+         |  SELECT doc_id + $off AS item_id, TRUE AS is_lifted,
+         |    list_slice(tk, ${CorpusOps.contamSliceFrom},
+         |      ${CorpusOps.contamSliceFrom + CorpusOps.contamSliceLen - 1})
+         |      AS itk
+         |  FROM toks WHERE doc_id % $st = 0
+         |    AND len(tk) >= ${CorpusOps.contamSliceFrom + CorpusOps.contamSliceLen}),
+         |clean AS (
+         |  SELECT doc_id + $off AS item_id, FALSE AS is_lifted,
+         |    list_transform(range(1, ${CorpusOps.contamSliceLen + 1}),
+         |      i -> 'bm' || doc_id || 'x' || i) AS itk
+         |  FROM toks WHERE doc_id % $st = 7),
+         |items AS MATERIALIZED (
+         |  SELECT item_id, is_lifted, itk FROM lifted
+         |  UNION ALL SELECT item_id, is_lifted, itk FROM clean),
+         |ig AS (
+         |  SELECT item_id, unnest(list_transform(range(1, len(itk) - 3),
+         |    i -> array_to_string(list_slice(itk, i, i + 4), ' '))) AS gram
+         |  FROM items),
+         |cg AS (
+         |  SELECT DISTINCT gram FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk) - 3),
+         |      i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS gram
+         |    FROM toks WHERE len(tk) >= 5) z),
+         |m AS (
+         |  SELECT item_id, CAST(count(*) AS BIGINT) AS n_matched
+         |  FROM ig WHERE gram IN (SELECT gram FROM cg)
+         |  GROUP BY item_id)
+         |SELECT i.item_id, i.is_lifted,
+         |  CAST(len(itk) - 4 AS BIGINT) AS n_grams,
+         |  coalesce(m.n_matched, 0) AS n_matched,
+         |  coalesce(m.n_matched, 0) * 10000 // greatest(len(itk) - 4, 1)
+         |    AS overlap_u4,
+         |  coalesce(m.n_matched, 0) * 10000 // greatest(len(itk) - 4, 1)
+         |    >= 5000 AS contaminated
+         |FROM items i LEFT JOIN m USING (item_id)
+         |ORDER BY item_id""".stripMargin
     },
   )
 

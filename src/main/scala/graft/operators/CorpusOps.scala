@@ -2094,4 +2094,66 @@ object CorpusOps {
           " div greatest(padded_tokens, 1)").as("waste_bp"))
       .orderBy($"k")
   }
+
+  /** Contamination-check knobs, shared with the q299 oracle. */
+  val contamItemOffset = 1200000L  // benchmark-item id namespace
+  val contamStride = 25L           // 1 lifted + 1 clean item per 25 docs
+  val contamSliceFrom = 3          // lifted slice = tokens 3..10
+  val contamSliceLen = 8
+  val contamGramN = 5              // overlap grams (4 per 8-token item)
+
+  /** BENCHMARK CONTAMINATION CHECK (q299) — the train/test-overlap
+    * audit every serious LLM data pipeline runs before training (the
+    * n-gram collision methodology of the GPT-3 appendix and PaLM's
+    * contamination analysis): does a benchmark item's text appear
+    * inside the training corpus? Items are a designed fixture with a
+    * known answer key: per [[contamStride]] docs, one LIFTED item
+    * (tokens [[contamSliceFrom]]..+[[contamSliceLen]] of the doc — a
+    * test question copied from training data, contamination by
+    * construction) and one CLEAN item (per-doc-id-unique synthetic
+    * tokens — the FIXTURES.md §C seed style, immune to probe replicas
+    * and guaranteed novel). An item is contaminated when ≥ half its
+    * [[contamGramN]]-gram windows occur anywhere in the corpus.
+    *
+    * Scale shape: the benchmark is SMALL and the corpus is huge, so
+    * the item grams BROADCAST and the corpus-side gram stream is
+    * filtered map-side (broadcast semi-join shape); matched grams
+    * dedup on (item, gram) — never an (item × matching-doc) fan-out,
+    * so replica-heavy probe data stays linear. One corpus token
+    * explode, one broadcast join, one item-keyed rollup. */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select($"doc_id", tokens($"text").as("tk")))
+    val lifted = docs
+      .filter($"doc_id" % contamStride === 0 &&
+        size($"tk") >= contamSliceFrom + contamSliceLen)
+      .select(($"doc_id" + contamItemOffset).as("item_id"), lit(true).as("is_lifted"),
+        slice($"tk", contamSliceFrom, contamSliceLen).as("itk"))
+    val clean = docs
+      .filter($"doc_id" % contamStride === 7)
+      .select(($"doc_id" + contamItemOffset).as("item_id"), lit(false).as("is_lifted"),
+        transform(sequence(lit(1), lit(contamSliceLen)),
+          i => concat(lit("bm"), $"doc_id", lit("x"), i)).as("itk"))
+    val items = lifted.unionByName(clean)
+    val itemGrams = items
+      .select($"item_id", $"is_lifted",
+        explode(wordShingles($"itk", contamGramN)).as("gram"))
+    val corpusGrams = docs
+      .select(explode(wordShingles($"tk", contamGramN)).as("gram"))
+      .distinct()
+    val matched = itemGrams.as("i")
+      .join(corpusGrams.as("c"), Seq("gram"), "left_semi")
+      .groupBy($"item_id").agg(count(lit(1)).as("n_matched"))
+    items
+      .select($"item_id", $"is_lifted",
+        (size($"itk") - lit(contamGramN - 1)).cast("long").as("n_grams"))
+      .join(matched, Seq("item_id"), "left")
+      .withColumn("n_matched", coalesce($"n_matched", lit(0L)))
+      .withColumn("overlap_u4",
+        expr("n_matched * 10000 div greatest(n_grams, 1)"))
+      .withColumn("contaminated", $"overlap_u4" >= 5000L)
+      .orderBy($"item_id")
+  }
 }

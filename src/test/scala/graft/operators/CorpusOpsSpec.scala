@@ -1153,4 +1153,43 @@ class CorpusOpsSpec extends SparkSpec {
       assert(got === want(qid), s"query $qid")
     }
   }
+
+  test("q299: contamination check — lifted items fully matched, clean items fully novel") {
+    import spark.implicits._
+    val out = CorpusOps.contaminationCheck(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    val (lifted, clean) = out.partition(_.getAs[Boolean]("is_lifted"))
+    assert(lifted.nonEmpty && clean.nonEmpty)
+    // answer key by construction: lifted grams come from the corpus,
+    // clean grams carry per-doc-id-unique synthetic tokens
+    lifted.foreach { r =>
+      assert(r.getAs[Long]("overlap_u4") === 10000L)
+      assert(r.getAs[Boolean]("contaminated"))
+    }
+    clean.foreach { r =>
+      assert(r.getAs[Long]("n_matched") === 0L)
+      assert(!r.getAs[Boolean]("contaminated"))
+    }
+    // replay the lifted side: every 5-gram of the token 3..10 slice of a
+    // stride-0 doc must exist somewhere in the corpus gram set
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .collect() // collect-ok: gate-SF spec replay
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val corpusGrams = docs.flatMap(_._2.sliding(CorpusOps.contamGramN)
+      .filter(_.size == CorpusOps.contamGramN).map(_.mkString(" "))).toSet
+    val wantLifted = docs.filter { case (id, tk) =>
+      id % CorpusOps.contamStride == 0 &&
+        tk.size >= CorpusOps.contamSliceFrom + CorpusOps.contamSliceLen
+    }.map { case (id, tk) =>
+      val itk = tk.slice(CorpusOps.contamSliceFrom - 1,
+        CorpusOps.contamSliceFrom - 1 + CorpusOps.contamSliceLen)
+      val grams = itk.sliding(CorpusOps.contamGramN).map(_.mkString(" ")).toSeq
+      (id + CorpusOps.contamItemOffset,
+        grams.count(corpusGrams.contains).toLong)
+    }.toMap
+    assert(lifted.map(r => r.getAs[Long]("item_id") ->
+      r.getAs[Long]("n_matched")).toMap === wantLifted)
+  }
 }
