@@ -388,6 +388,7 @@ object SparkEntry {
     "q298_dup_span_census" -> ((s, d) => DedupOps.dupSpanCensus(s, d)),
     "q299_contamination_check" -> ((s, d) =>
       CorpusOps.contaminationCheck(s, d)),
+    "q300_dsir_select" -> ((s, d) => CorpusOps.dsirSelect(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9144,6 +9145,39 @@ object SparkEntry {
          |FROM items i LEFT JOIN m USING (item_id)
          |ORDER BY item_id""".stripMargin
     },
+
+    // DSIR importance selection: per-doc Σ ln(p_tgt(w)/p_all(w)) over
+    // Laplace-smoothed unigram LMs, ln of an exact integer-product
+    // quotient snapped to ln-millionths; selected = positive weight
+    "q300_dsir_select" ->
+      s"""WITH toksq AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT source, doc_id, unnest(tk) AS w FROM toksq),
+         |va AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c_all FROM tok GROUP BY w),
+         |vt AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c_tgt FROM tok
+         |  WHERE source = '${CorpusOps.dsirTarget}' GROUP BY w),
+         |sc AS (SELECT CAST(count(*) AS BIGINT) AS v,
+         |         CAST(sum(c_all) AS BIGINT) AS tot_all FROM va),
+         |st AS (SELECT CAST(coalesce(sum(c_tgt), 0) AS BIGINT) AS tot_tgt
+         |       FROM vt),
+         |dict AS MATERIALIZED (
+         |  SELECT va.w,
+         |    CAST(floor(round(ln(
+         |      CAST((coalesce(vt.c_tgt, 0) + 1) * (tot_all + v) AS DOUBLE) /
+         |      CAST((va.c_all + 1) * (tot_tgt + v) AS DOUBLE)), 8) * 1e6
+         |      + 0.5) AS BIGINT) AS u
+         |  FROM va LEFT JOIN vt USING (w) CROSS JOIN sc CROSS JOIN st),
+         |pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |    CAST(sum(u) AS BIGINT) AS weight_u6
+         |  FROM tok JOIN dict USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_toks, 0) AS n_toks,
+         |  coalesce(pd.weight_u6, 0) AS weight_u6,
+         |  coalesce(pd.weight_u6, 0) > 0 AS selected
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

@@ -2156,4 +2156,57 @@ object CorpusOps {
       .withColumn("contaminated", $"overlap_u4" >= 5000L)
       .orderBy($"item_id")
   }
+
+  /** DSIR target domain, shared with the q300 oracle. */
+  val dsirTarget = "src0"
+
+  /** DSIR-STYLE IMPORTANCE SELECTION (q300) — Data Selection via
+    * Importance Resampling (Xie et al. 2023): score every document by
+    * how much more likely its tokens are under a TARGET-domain unigram
+    * LM than under the whole-corpus LM, ln p_tgt(w)/p_all(w) summed
+    * over occurrences — the principled replacement for hand-written
+    * quality heuristics when curating toward a domain. Both LMs are
+    * Laplace-smoothed integer rationals ((c+1)/(tot+V)); the per-token
+    * log ratio is ONE ln of an exactly-representable integer-product
+    * quotient (products < 2^53), round-8 snapped to ln-millionths, so
+    * the per-doc sum is an exact integer both engines replay. A doc is
+    * selected when its total weight is positive — more target-like
+    * than the corpus average — with no global sort or window anywhere.
+    *
+    * Scale shape: two token-keyed dictionary counts (map-side partial),
+    * the scored dictionary broadcasts back onto the token stream, one
+    * doc-keyed rollup. At 100 TB the corpus streams twice (dictionary
+    * + scoring) and all EM-free state is vocabulary-sized. */
+  def dsirSelect(spark: SparkSession, dir: String,
+                 target: String = dsirTarget): DataFrame = {
+    import spark.implicits._
+    val docs = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select($"source", $"doc_id", tokens($"text").as("tk")))
+    val tok = docs.select($"source", $"doc_id", explode($"tk").as("w"))
+    val va = graft.CacheGuard.barrier(
+      tok.groupBy($"w").agg(count(lit(1)).as("c_all")))
+    val vt = tok.filter($"source" === target)
+      .groupBy($"w").agg(count(lit(1)).as("c_tgt"))
+    val sc = va.agg(count(lit(1)).as("v"), sum($"c_all").as("tot_all"))
+    val st = vt.agg(coalesce(sum($"c_tgt"), lit(0L)).as("tot_tgt"))
+    val dict = va.join(vt, Seq("w"), "left")
+      .crossJoin(broadcast(sc)).crossJoin(broadcast(st))
+      .select($"w",
+        floor(round(log(
+          ((coalesce($"c_tgt", lit(0L)) + 1) * ($"tot_all" + $"v"))
+            .cast("double") /
+          (($"c_all" + 1) * ($"tot_tgt" + $"v")).cast("double")), 8) // round-ok: ulp-snap on ln before quantize (round-7 discipline)
+          * 1e6 + lit(0.5)).cast("long").as("u"))
+    val pd = tok.join(dict, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"u").as("weight_u6"))
+    docs.select($"doc_id")
+      .join(pd, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_toks", lit(0L)).as("n_toks"),
+        coalesce($"weight_u6", lit(0L)).as("weight_u6"))
+      .withColumn("selected", $"weight_u6" > 0L)
+      .orderBy($"doc_id")
+  }
 }

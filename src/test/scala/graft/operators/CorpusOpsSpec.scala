@@ -1192,4 +1192,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(lifted.map(r => r.getAs[Long]("item_id") ->
       r.getAs[Long]("n_matched")).toMap === wantLifted)
   }
+
+  test("q300: DSIR selection — per-doc weights replayed; target domain enriched") {
+    import spark.implicits._
+    val out = CorpusOps.dsirSelect(spark, sf).collect()
+    graft.CacheGuard.release()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"doc_id",
+        graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .collect() // collect-ok: gate-SF spec replay
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+    assert(out.length === docs.length)
+    // replay: Laplace-smoothed unigram log ratio, snapped like the engine
+    val allCnt = docs.flatMap(_._3).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val tgtCnt = docs.filter(_._1 == CorpusOps.dsirTarget).flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val v = allCnt.size.toLong
+    val totAll = allCnt.values.sum
+    val totTgt = tgtCnt.values.sum
+    def u(w: String): Long = {
+      val num = (tgtCnt.getOrElse(w, 0L) + 1L) * (totAll + v)
+      val den = (allCnt(w) + 1L) * (totTgt + v)
+      val snapped = BigDecimal(math.log(num.toDouble / den.toDouble))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(snapped * 1e6 + 0.5).toLong
+    }
+    val want = docs.map { case (_, id, tk) =>
+      id -> (tk.size.toLong, tk.map(u).sum) }.toMap
+    out.foreach { r =>
+      val (nt, wu) = want(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_toks") === nt)
+      assert(r.getAs[Long]("weight_u6") === wu)
+      assert(r.getAs[Boolean]("selected") === (wu > 0L))
+    }
+    // the signal is real: the target domain is enriched vs the rest
+    val bySrc = docs.map(d => d._2 -> d._1).toMap
+    val selRate = out.groupBy(r => bySrc(r.getAs[Long]("doc_id"))
+        == CorpusOps.dsirTarget)
+      .view.mapValues(rs =>
+        rs.count(_.getAs[Boolean]("selected")).toDouble / rs.length).toMap
+    assert(selRate(true) > selRate(false))
+  }
 }
