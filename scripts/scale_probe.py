@@ -72,11 +72,32 @@ def add(rnd, q, sf1, sf10, verdict):
     print(f"{q}: ratio {row['ratio']}x (round {rnd})")
 
 
+def addb(rnd, q, sf1, sf10, verdict):
+    """Second probe series (round-13, verdict ask #3): the BOUNDED-
+    cluster probe (gen_scale_probe.py mode=bounded — dup rate ~5%,
+    max clique 4, all other replica text genuinely novel). Stored
+    under key "bounded" next to the original clique-mode row so the
+    two series stay diffable per query."""
+    out = load()
+    row = mkrow(sf1, sf10, verdict, rnd)
+    if q in out and "bounded" in out[q]:
+        out[q].setdefault("bounded_remeasured", []).append(row)
+    elif q in out:
+        out[q]["bounded"] = row
+    else:
+        out[q] = {"bounded": row}
+    save(out)
+    print(f"{q} [bounded]: ratio {row['ratio']}x (round {rnd})")
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "extract":
         extract()
     elif len(sys.argv) >= 6 and sys.argv[1] == "add":
         add(int(sys.argv[2]), sys.argv[3], float(sys.argv[4]),
             float(sys.argv[5]), " ".join(sys.argv[6:]))
+    elif len(sys.argv) >= 6 and sys.argv[1] == "addb":
+        addb(int(sys.argv[2]), sys.argv[3], float(sys.argv[4]),
+             float(sys.argv[5]), " ".join(sys.argv[6:]))
     else:
         sys.exit(__doc__)
