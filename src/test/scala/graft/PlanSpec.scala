@@ -317,4 +317,40 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
     assert(p.contains("partial_"), p.take(3000))
   }
+
+  test("q297 unigram-LM train: the piece map broadcasts — no corpus-sized join, no window, no cartesian") {
+    val p = plan(TextAnalysis.unigramLmTrain(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    // every Viterbi pass rides a broadcast of the 1-row cost map
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("q298 dup-span census: gram-keyed join only; aggregates partial-first; no cartesian") {
+    val p = plan(DedupOps.dupSpanCensus(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
+  test("q299 contamination: the item-gram side joins the corpus gram set as LeftSemi; no item-by-doc fan-out") {
+    val p = plan(CorpusOps.contaminationCheck(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q300 DSIR: scored dictionary broadcasts onto the token stream; totals are 1-row broadcasts; no window") {
+    val p = plan(CorpusOps.dsirSelect(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
 }
