@@ -389,6 +389,7 @@ object SparkEntry {
     "q299_contamination_check" -> ((s, d) =>
       CorpusOps.contaminationCheck(s, d)),
     "q300_dsir_select" -> ((s, d) => CorpusOps.dsirSelect(s, d)),
+    "q301_pii_census" -> ((s, d) => Profiler.piiCensus(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9178,6 +9179,52 @@ object SparkEntry {
          |  coalesce(pd.weight_u6, 0) > 0 AS selected
          |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // PII detection census over the seeded-leakage corpus: per-source
+    // docs carrying each detector class and the total match count a
+    // redaction pass would rewrite (designed answer key: twins cycle
+    // email / phone / email+phone+ID by doc_id div 10 mod 3)
+    "q301_pii_census" -> {
+      val off = Profiler.piiOffset
+      val st = Profiler.piiStride
+      s"""WITH twins AS (
+         |  SELECT source, doc_id + $off AS doc_id,
+         |    text || CASE (doc_id // $st) % 3
+         |      WHEN 0 THEN ' contact user' || doc_id || '@mail' ||
+         |        (doc_id % 5) || '.com now'
+         |      WHEN 1 THEN ' call 555-' ||
+         |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+         |      ELSE ' contact user' || doc_id || '@mail' ||
+         |        (doc_id % 5) || '.com call 555-' ||
+         |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |        ' ref 9' ||
+         |        lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') || '777'
+         |    END AS text
+         |  FROM documents WHERE doc_id % $st = 0),
+         |ext AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL SELECT source, text FROM twins),
+         |cnt AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${Profiler.piiEmailRe}')) AS BIGINT) AS n_email,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${Profiler.piiPhoneRe}')) AS BIGINT) AS n_phone,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${Profiler.piiIdRe}')) AS BIGINT) AS n_idrun
+         |  FROM ext)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_email_docs,
+         |  CAST(sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_phone_docs,
+         |  CAST(sum(CASE WHEN n_idrun > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_idrun_docs,
+         |  CAST(sum(CASE WHEN n_email + n_phone + n_idrun > 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+         |  CAST(sum(n_email + n_phone + n_idrun) AS BIGINT) AS n_matches
+         |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+    },
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended
