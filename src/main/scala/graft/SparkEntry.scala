@@ -390,6 +390,7 @@ object SparkEntry {
       CorpusOps.contaminationCheck(s, d)),
     "q300_dsir_select" -> ((s, d) => CorpusOps.dsirSelect(s, d)),
     "q301_pii_census" -> ((s, d) => Profiler.piiCensus(s, d)),
+    "q302_novelty_curve" -> ((s, d) => CorpusOps.noveltyCurve(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9224,6 +9225,47 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
          |  CAST(sum(n_email + n_phone + n_idrun) AS BIGINT) AS n_matches
          |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // novelty-saturation curve: per doc_id-range decile, how many 5-gram
+    // spans are NEW (first decile of occurrence); cumulative over the
+    // 10-row decile table only
+    "q302_novelty_curve" -> {
+      val n = DedupOps.dupSpanN
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+         |           FROM documents),
+         |wd AS MATERIALIZED (
+         |  SELECT least(9, (doc_id - mn) * 10 // (mx - mn + 1)) AS decile,
+         |    tk
+         |  FROM toks CROSS JOIN bounds),
+         |g AS MATERIALIZED (
+         |  SELECT decile,
+         |    unnest(list_transform(range(1, len(tk) - ${n - 2}),
+         |      i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' ')))
+         |      AS gram
+         |  FROM wd WHERE len(tk) >= $n),
+         |spine AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
+         |          FROM wd GROUP BY decile),
+         |occ AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_spans
+         |        FROM g GROUP BY decile),
+         |np AS (
+         |  SELECT first_decile AS decile, CAST(count(*) AS BIGINT)
+         |    AS new_grams
+         |  FROM (SELECT gram, min(decile) AS first_decile FROM g
+         |        GROUP BY gram) z
+         |  GROUP BY first_decile),
+         |j AS (
+         |  SELECT s.decile, s.n_docs,
+         |    coalesce(o.n_spans, 0) AS n_spans,
+         |    coalesce(np.new_grams, 0) AS new_grams
+         |  FROM spine s LEFT JOIN occ o USING (decile)
+         |  LEFT JOIN np USING (decile))
+         |SELECT decile, n_docs, n_spans, new_grams,
+         |  CAST(sum(new_grams) OVER (ORDER BY decile
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new_grams,
+         |  new_grams * 10000 // greatest(n_spans, 1) AS novelty_u4
+         |FROM j ORDER BY decile""".stripMargin
     },
   )
 

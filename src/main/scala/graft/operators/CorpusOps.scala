@@ -2160,6 +2160,53 @@ object CorpusOps {
   /** DSIR target domain, shared with the q300 oracle. */
   val dsirTarget = "src0"
 
+  /** NOVELTY-SATURATION CURVE (q302) — the diminishing-returns
+    * measurement behind every "is more of this source worth crawling"
+    * decision: split the corpus into ten deterministic doc_id-range
+    * deciles (an ingestion-order proxy), and per decile count how many
+    * of its 5-gram spans are NEW — never seen in an earlier decile. A
+    * source whose novelty rate collapses after a few deciles is
+    * saturated; one that stays flat keeps paying. The curve needs no
+    * corpus sort: each gram's FIRST decile is one gram-keyed min
+    * aggregation, and the cumulative row only ever windows the 10-row
+    * decile table. Decile = least(9, (doc_id−min)·10 div (max−min+1)) —
+    * exact integer arithmetic off one broadcast min/max row.
+    *
+    * Scale shape: one token explode, one gram-keyed min (map-side
+    * partial), one 10-row rollup; the window is O(10). */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir)
+        .select($"doc_id", tokens($"text").as("tk")))
+    val bounds = docs.agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+    val withDec = docs.crossJoin(broadcast(bounds))
+      .select(expr("least(9, (doc_id - mn) * 10 div (mx - mn + 1))")
+        .as("decile"), $"tk")
+    val g = graft.CacheGuard.barrier(
+      withDec.select($"decile",
+        explode(wordShingles($"tk", DedupOps.dupSpanN)).as("gram")))
+    val spine = withDec.groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"))
+    val occ = g.groupBy($"decile").agg(count(lit(1)).as("n_spans"))
+    val newPer = g.groupBy($"gram").agg(min($"decile").as("first_decile"))
+      .groupBy($"first_decile".as("decile"))
+      .agg(count(lit(1)).as("new_grams"))
+    val byDecile = org.apache.spark.sql.expressions.Window
+      .orderBy($"decile")  // global-window-ok: O(10) decile rows
+      .rowsBetween(Long.MinValue, 0)
+    spine
+      .join(occ, Seq("decile"), "left")
+      .join(newPer, Seq("decile"), "left")
+      .select($"decile", $"n_docs",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"new_grams", lit(0L)).as("new_grams"))
+      .withColumn("cum_new_grams", sum($"new_grams").over(byDecile))
+      .withColumn("novelty_u4",
+        expr("new_grams * 10000 div greatest(n_spans, 1)"))
+      .orderBy($"decile")
+  }
+
   /** DSIR-STYLE IMPORTANCE SELECTION (q300) — Data Selection via
     * Importance Resampling (Xie et al. 2023): score every document by
     * how much more likely its tokens are under a TARGET-domain unigram

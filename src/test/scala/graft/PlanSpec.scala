@@ -344,6 +344,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("q302 novelty curve: the only window rides the 10-row decile table; gram firsts are a keyed aggregate") {
+    val p = plan(CorpusOps.noveltyCurve(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // exactly one Window node, downstream of the decile-grain aggregates
+    assert(p.linesIterator.count(l => l.contains(") Window")) <= 1, p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
   test("q300 DSIR: scored dictionary broadcasts onto the token stream; totals are 1-row broadcasts; no window") {
     val p = plan(CorpusOps.dsirSelect(spark, sf))
     graft.CacheGuard.release()

@@ -1234,4 +1234,41 @@ class CorpusOpsSpec extends SparkSpec {
         rs.count(_.getAs[Boolean]("selected")).toDouble / rs.length).toMap
     assert(selRate(true) > selRate(false))
   }
+
+  test("q302: novelty curve — decile firsts replayed; totals conserve; decile 0 is all-new") {
+    import spark.implicits._
+    val out = CorpusOps.noveltyCurve(spark, sf).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    graft.CacheGuard.release()
+    assert(out.nonEmpty && out.length <= 10)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .collect() // collect-ok: gate-SF spec replay
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val mn = docs.map(_._1).min; val mx = docs.map(_._1).max
+    def dec(id: Long) = math.min(9L, (id - mn) * 10L / (mx - mn + 1))
+    val n = DedupOps.dupSpanN
+    val grams = docs.flatMap { case (id, tk) =>
+      tk.sliding(n).filter(_.size == n).map(g => (dec(id), g.mkString(" ")))
+    }
+    val firstDec = grams.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    out.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(r.getAs[Long]("n_docs") === docs.count(x => dec(x._1) == d).toLong)
+      assert(r.getAs[Long]("n_spans") === grams.count(_._1 == d).toLong)
+      assert(r.getAs[Long]("new_grams") ===
+        firstDec.count { case (_, fd) => fd == d }.toLong)
+    }
+    // cumulative conserves: last cum == total distinct grams
+    assert(out.last.getAs[Long]("cum_new_grams") === firstDec.size.toLong)
+    // novelty is a fraction of span occurrences (within-decile repeats
+    // keep it below 1 even in the first decile)
+    assert(out.forall(r => r.getAs[Long]("novelty_u4") <= 10000L))
+    assert(out.head.getAs[Long]("new_grams") ===
+      grams.filter(_._1 == out.head.getAs[Long]("decile"))
+        .map(_._2).distinct.size.toLong)
+    // monotone cumulative
+    assert(out.map(_.getAs[Long]("cum_new_grams")).toSeq ===
+      out.map(_.getAs[Long]("cum_new_grams")).sorted.toSeq)
+  }
 }
