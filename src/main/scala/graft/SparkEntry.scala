@@ -391,6 +391,8 @@ object SparkEntry {
     "q300_dsir_select" -> ((s, d) => CorpusOps.dsirSelect(s, d)),
     "q301_pii_census" -> ((s, d) => Profiler.piiCensus(s, d)),
     "q302_novelty_curve" -> ((s, d) => CorpusOps.noveltyCurve(s, d)),
+    "q303_unigram_encode" -> ((s, d) =>
+      TextAnalysis.unigramEncodeFertility(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -5132,6 +5134,96 @@ object SparkEntry {
          |  WHERE inter * ${DedupOps.containKeepTauDen}
          |    >= n_src * ${DedupOps.containKeepTauNum})""".stripMargin
 
+  /** One position-unrolled Viterbi DP round over the word-type
+    * dictionary `wd`, reading piece costs from `pcRef`: emits
+    * dp{e}_0..dp{e}_L and the per-word best segmentation `seg{e}`.
+    * Shared by the q297 trainer (rounds 0..E−1) and the q303 encoder
+    * (round E over the trained pc). */
+  private def uniDpBlockSql(e: Int, pcRef: String): String = {
+    val L = TextAnalysis.uniMaxWordLen
+    val P = TextAnalysis.uniMaxPieceLen
+    val dps = (1 to L).map { j =>
+      val cands = (1 to math.min(P, j)).map { k =>
+        s"""    SELECT d.w, d.c, d.cost + p.cost_u6 AS cost,
+           |      d.path || p.piece || '|' AS path
+           |    FROM dp${e}_${j - k} d JOIN $pcRef p
+           |      ON p.piece = substr(d.w, ${j - k + 1}, $k)
+           |    WHERE length(d.w) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""dp${e}_$j AS MATERIALIZED (
+         |  SELECT w, c, cost, path FROM (
+         |    SELECT w, c, cost, path,
+         |      row_number() OVER (PARTITION BY w ORDER BY cost, path) AS rn
+         |    FROM (
+         |$cands) u) z
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val segs = (1 to L).map(j =>
+      s"SELECT w, c, path FROM dp${e}_$j WHERE length(w) = $j")
+      .mkString("\n    UNION ALL ")
+    s"""dp${e}_0 AS (SELECT w, c, CAST(0 AS BIGINT) AS cost, '' AS path
+       |  FROM wd),
+       |$dps,
+       |seg$e AS (
+       |    $segs)""".stripMargin
+  }
+
+  /** The q297 unigram-LM training chain: word dictionary → substring
+    * seed → pc0 → EM rounds (Viterbi round + re-estimate + prune) →
+    * pc{E}. No leading WITH so consumers can extend the chain. */
+  private lazy val uniLmChainSql: String = {
+    val L = TextAnalysis.uniMaxWordLen
+    val P = TextAnalysis.uniMaxPieceLen
+    val rounds = TextAnalysis.uniPruneSchedule.indices.map { e =>
+      val cap = TextAnalysis.uniPruneSchedule(e)
+      s"""${uniDpBlockSql(e, s"pc$e")},
+         |ecnt$e AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |    SELECT c, unnest(list_filter(string_split(path, '|'),
+         |      x -> x <> '')) AS piece
+         |    FROM seg$e) z GROUP BY piece),
+         |keep$e AS (
+         |  SELECT ch.piece, greatest(coalesce(e.cnt, 0), 1) AS cnt
+         |  FROM chars ch LEFT JOIN ecnt$e e USING (piece)
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM ecnt$e WHERE length(piece) >= 2
+         |    ORDER BY cnt DESC, piece LIMIT $cap) zz),
+         |tot${e + 1} AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM keep$e),
+         |pc${e + 1} AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |    CAST(-floor(round(ln(CAST(cnt AS DOUBLE) / t), 8) * 1e6 + 0.5)
+         |      AS BIGINT) AS cost_u6
+         |  FROM keep$e CROSS JOIN tot${e + 1})""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (SELECT unnest($toksSql) AS w FROM documents),
+       |wd AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM w0
+       |  WHERE regexp_matches(w, '^[a-z0-9]+$$') AND length(w) <= $L
+       |  GROUP BY w),
+       |sub AS (
+       |  SELECT substr(w, i.i, k.k) AS piece, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM wd CROSS JOIN range(1, ${L + 1}) i(i)
+       |       CROSS JOIN range(1, ${P + 1}) k(k)
+       |  WHERE i.i + k.k - 1 <= length(w)
+       |  GROUP BY 1),
+       |chars AS MATERIALIZED (
+       |  SELECT piece, cnt FROM sub WHERE length(piece) = 1),
+       |seed AS (
+       |  SELECT piece, cnt FROM chars
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM sub WHERE length(piece) >= 2
+       |    ORDER BY cnt DESC, piece LIMIT ${TextAnalysis.uniSeedMulti}) z),
+       |tot0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM seed),
+       |pc0 AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(-floor(round(ln(CAST(cnt AS DOUBLE) / t), 8) * 1e6 + 0.5)
+       |      AS BIGINT) AS cost_u6
+       |  FROM seed CROSS JOIN tot0),
+       |$rounds""".stripMargin
+  }
+
   /** Continuation of [[oracleSql]] — one Scala Map literal hit the JVM
     * 64 KB method-bytecode ceiling territory as the surface grew, and
     * splitting also lets the shared-CTE vals sit next to the entries
@@ -8993,82 +9085,42 @@ object SparkEntry {
     // one CTE per word position with a per-word (cost, path) argmin —
     // the engine side runs the identical DP as one aggregate() HOF
     "q297_unigram_lm_train" -> {
-      val L = TextAnalysis.uniMaxWordLen
-      val P = TextAnalysis.uniMaxPieceLen
-      val rounds = TextAnalysis.uniPruneSchedule.indices.map { e =>
-        val cap = TextAnalysis.uniPruneSchedule(e)
-        val dps = (1 to L).map { j =>
-          val cands = (1 to math.min(P, j)).map { k =>
-            s"""    SELECT d.w, d.c, d.cost + p.cost_u6 AS cost,
-               |      d.path || p.piece || '|' AS path
-               |    FROM dp${e}_${j - k} d JOIN pc$e p
-               |      ON p.piece = substr(d.w, ${j - k + 1}, $k)
-               |    WHERE length(d.w) >= $j""".stripMargin
-          }.mkString("\n    UNION ALL\n")
-          s"""dp${e}_$j AS MATERIALIZED (
-             |  SELECT w, c, cost, path FROM (
-             |    SELECT w, c, cost, path,
-             |      row_number() OVER (PARTITION BY w ORDER BY cost, path) AS rn
-             |    FROM (
-             |$cands) u) z
-             |  WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        val segs = (1 to L).map(j =>
-          s"SELECT w, c, path FROM dp${e}_$j WHERE length(w) = $j")
-          .mkString("\n    UNION ALL ")
-        s"""dp${e}_0 AS (SELECT w, c, CAST(0 AS BIGINT) AS cost, '' AS path
-           |  FROM wd),
-           |$dps,
-           |seg$e AS (
-           |    $segs),
-           |ecnt$e AS MATERIALIZED (
-           |  SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM (
-           |    SELECT c, unnest(list_filter(string_split(path, '|'),
-           |      x -> x <> '')) AS piece
-           |    FROM seg$e) z GROUP BY piece),
-           |keep$e AS (
-           |  SELECT ch.piece, greatest(coalesce(e.cnt, 0), 1) AS cnt
-           |  FROM chars ch LEFT JOIN ecnt$e e USING (piece)
-           |  UNION ALL
-           |  SELECT piece, cnt FROM (
-           |    SELECT piece, cnt FROM ecnt$e WHERE length(piece) >= 2
-           |    ORDER BY cnt DESC, piece LIMIT $cap) zz),
-           |tot${e + 1} AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM keep$e),
-           |pc${e + 1} AS MATERIALIZED (
-           |  SELECT piece, cnt,
-           |    CAST(-floor(round(ln(CAST(cnt AS DOUBLE) / t), 8) * 1e6 + 0.5)
-           |      AS BIGINT) AS cost_u6
-           |  FROM keep$e CROSS JOIN tot${e + 1})""".stripMargin
-      }.mkString(",\n")
       val E = TextAnalysis.uniPruneSchedule.size
-      s"""WITH w0 AS (SELECT unnest($toksSql) AS w FROM documents),
-         |wd AS MATERIALIZED (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM w0
-         |  WHERE regexp_matches(w, '^[a-z0-9]+$$') AND length(w) <= $L
-         |  GROUP BY w),
-         |sub AS (
-         |  SELECT substr(w, i.i, k.k) AS piece, CAST(sum(c) AS BIGINT) AS cnt
-         |  FROM wd CROSS JOIN range(1, ${L + 1}) i(i)
-         |       CROSS JOIN range(1, ${P + 1}) k(k)
-         |  WHERE i.i + k.k - 1 <= length(w)
-         |  GROUP BY 1),
-         |chars AS MATERIALIZED (
-         |  SELECT piece, cnt FROM sub WHERE length(piece) = 1),
-         |seed AS (
-         |  SELECT piece, cnt FROM chars
-         |  UNION ALL
-         |  SELECT piece, cnt FROM (
-         |    SELECT piece, cnt FROM sub WHERE length(piece) >= 2
-         |    ORDER BY cnt DESC, piece LIMIT ${TextAnalysis.uniSeedMulti}) z),
-         |tot0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM seed),
-         |pc0 AS MATERIALIZED (
-         |  SELECT piece, cnt,
-         |    CAST(-floor(round(ln(CAST(cnt AS DOUBLE) / t), 8) * 1e6 + 0.5)
-         |      AS BIGINT) AS cost_u6
-         |  FROM seed CROSS JOIN tot0),
-         |$rounds
+      s"""WITH $uniLmChainSql
          |SELECT piece, length(piece) = 1 AS is_char, cnt, cost_u6
          |FROM pc$E ORDER BY piece""".stripMargin
+    },
+
+    // unigram Viterbi ENCODE with the q297-trained vocabulary (the q137
+    // apply-half analog): one more unrolled DP round over the word-type
+    // dictionary, then the corpus token stream joins the encoded types
+    // and rolls up per-source fertility/compression (OOV reported)
+    "q303_unigram_encode" -> {
+      val E = TextAnalysis.uniPruneSchedule.size
+      s"""WITH $uniLmChainSql,
+         |${uniDpBlockSql(E, s"pc$E")},
+         |enc AS MATERIALIZED (
+         |  SELECT w,
+         |    CAST(len(list_filter(string_split(path, '|'),
+         |      x -> x <> '')) AS BIGINT) AS n_pieces,
+         |    CAST(length(w) AS BIGINT) AS n_chars
+         |  FROM seg$E),
+         |tokq AS (SELECT source, unnest($toksSql) AS w FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN e.n_pieces IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_enc_words,
+         |  CAST(sum(CASE WHEN e.n_pieces IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_oov_words,
+         |  CAST(sum(coalesce(e.n_pieces, 0)) AS BIGINT) AS n_pieces,
+         |  CAST(sum(coalesce(e.n_chars, 0)) AS BIGINT) AS n_chars,
+         |  CAST(sum(coalesce(e.n_pieces, 0)) * 10000
+         |    // greatest(sum(CASE WHEN e.n_pieces IS NOT NULL
+         |         THEN 1 ELSE 0 END), 1) AS BIGINT) AS fertility_u4,
+         |  CAST(sum(coalesce(e.n_chars, 0)) * 10000
+         |    // greatest(sum(coalesce(e.n_pieces, 0)), 1) AS BIGINT)
+         |    AS compression_u4
+         |FROM tokq t LEFT JOIN enc e USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin
     },
 
     // duplicated n-gram span census (ExactSubstr diagnostic): a span is

@@ -1618,12 +1618,52 @@ object TextAnalysis {
     * is_char, final expected count, cost in ln-millionths). */
   def unigramLmTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wd = graft.CacheGuard.barrier(
+    unigramTrainedCosts(spark, dir)
+      .select($"piece", (length($"piece") === 1).as("is_char"),
+        $"cnt", $"cost_u6")
+      .orderBy($"piece")
+  }
+
+  /** The q297 word-type dictionary (shared filters: lowercase
+    * alphanumeric, length ≤ [[uniMaxWordLen]]). */
+  def unigramWordDict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.CacheGuard.barrier(
       Tables.documents(spark, dir)
         .select(explode(tokens($"text")).as("w"))
         .filter($"w".rlike("^[a-z0-9]+$") &&
           length($"w") <= uniMaxWordLen)
         .groupBy($"w").agg(count(lit(1)).as("c")))
+  }
+
+  /** The Viterbi DP over a word column `w` given a broadcast piece-cost
+    * map column `pm`: best (cost, path) for the full word (see
+    * [[unigramLmTrain]] — ties break on the path string). */
+  def viterbiBest(w: org.apache.spark.sql.Column,
+                  pm: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def cand(acc: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column,
+             k: Int): org.apache.spark.sql.Column = {
+      val piece = substr(w, j - lit(k - 1), lit(k))
+      val prev = element_at(acc, j - lit(k - 1))
+      val pcost = element_at(pm, piece)
+      when(j >= lit(k) && pcost.isNotNull,
+        struct((prev("cost") + pcost).as("cost"),
+          concat(prev("path"), piece, lit("|")).as("path")))
+    }
+    val vit = aggregate(
+      sequence(lit(1), length(w)),
+      array(struct(lit(0L).as("cost"), lit("").as("path"))),
+      (acc, j) => array_append(acc,
+        least(cand(acc, j, 1), cand(acc, j, 2), cand(acc, j, 3))))
+    element_at(vit, length(w) + 1)
+  }
+
+  /** The trained unigram vocabulary (piece, cnt, cost_u6) after the
+    * full EM prune schedule — the q297 core, reused by the q303
+    * encoder. */
+  def unigramTrainedCosts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wd = unigramWordDict(spark, dir)
     val sub = graft.CacheGuard.barrier(wd
       .select($"w", $"c", explode(sequence(lit(1), length($"w"))).as("i"))
       .select($"w", $"c", $"i",
@@ -1648,24 +1688,8 @@ object TextAnalysis {
     for (cap <- uniPruneSchedule) {
       val pcMap = pc.agg(map_from_entries(
         collect_list(struct($"piece", $"cost_u6"))).as("pm"))
-      // candidate: piece of length k ending at position j (null if j < k
-      // or the piece is not in the vocab; k=1 never is)
-      def cand(acc: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column,
-               k: Int): org.apache.spark.sql.Column = {
-        val piece = substr($"w", j - lit(k - 1), lit(k))
-        val prev = element_at(acc, j - lit(k - 1))
-        val pcost = element_at($"pm", piece)
-        when(j >= lit(k) && pcost.isNotNull,
-          struct((prev("cost") + pcost).as("cost"),
-            concat(prev("path"), piece, lit("|")).as("path")))
-      }
-      val vit = aggregate(
-        sequence(lit(1), length($"w")),
-        array(struct(lit(0L).as("cost"), lit("").as("path"))),
-        (acc, j) => array_append(acc,
-          least(cand(acc, j, 1), cand(acc, j, 2), cand(acc, j, 3))))
       val seg = wd.crossJoin(broadcast(pcMap))
-        .select($"w", $"c", element_at(vit, length($"w") + 1).as("b"))
+        .select($"w", $"c", viterbiBest($"w", $"pm").as("b"))
         .select($"c", $"b.path".as("path"))
       val ecnt = graft.CacheGuard.barrier(seg
         .select($"c", explode(filter(split($"path", "\\|"),
@@ -1679,8 +1703,49 @@ object TextAnalysis {
         .orderBy($"cnt".desc, $"piece").limit(cap)
       pc = recost(keepChars.unionByName(keepMulti))
     }
-    pc.select($"piece", (length($"piece") === 1).as("is_char"),
-        $"cnt", $"cost_u6")
-      .orderBy($"piece")
+    pc
+  }
+
+  /** UNIGRAM VITERBI ENCODE + FERTILITY (q303) — the APPLY half of
+    * q297 (exactly as q137 is to q117 for BPE): segment every word
+    * type with the TRAINED unigram vocabulary and roll the result up
+    * to per-source tokenizer-rollout numbers — encodable words, pieces
+    * emitted, character mass, fertility (pieces per encodable word)
+    * and compression (chars per piece). Words outside the trainable
+    * class (non-[a-z0-9], or longer than [[uniMaxWordLen]]) are
+    * reported as OOV — the honest accounting a rollout decision needs.
+    *
+    * Scale shape: the trained piece map broadcasts; encoding is one
+    * Viterbi HOF over the word-TYPE dictionary; the corpus token
+    * stream joins the encoded types on the word key (dictionary
+    * broadcastable) and collapses to one source-keyed rollup. */
+  def unigramEncodeFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pc = unigramTrainedCosts(spark, dir)
+    val pcMap = pc.agg(map_from_entries(
+      collect_list(struct($"piece", $"cost_u6"))).as("pm"))
+    val wd = unigramWordDict(spark, dir)
+    val enc = graft.CacheGuard.barrier(
+      wd.crossJoin(broadcast(pcMap))
+        .select($"w", viterbiBest($"w", $"pm").as("b"))
+        .select($"w",
+          size(filter(split($"b.path", "\\|"), x => x =!= lit("")))
+            .cast("long").as("n_pieces"),
+          length($"w").cast("long").as("n_chars")))
+    Tables.documents(spark, dir)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .join(enc, Seq("w"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when($"n_pieces".isNotNull, 1L).otherwise(0L))
+          .as("n_enc_words"),
+        sum(when($"n_pieces".isNull, 1L).otherwise(0L)).as("n_oov_words"),
+        sum(coalesce($"n_pieces", lit(0L))).as("n_pieces"),
+        sum(coalesce($"n_chars", lit(0L))).as("n_chars"))
+      .withColumn("fertility_u4",
+        expr("n_pieces * 10000 div greatest(n_enc_words, 1)"))
+      .withColumn("compression_u4",
+        expr("n_chars * 10000 div greatest(n_pieces, 1)"))
+      .orderBy($"source")
   }
 }

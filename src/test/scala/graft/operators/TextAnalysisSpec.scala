@@ -1128,4 +1128,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSet === want)
     assert(out.exists(!_._2), "trained vocab must contain multi-char pieces")
   }
+
+  test("q303: unigram encode — Viterbi replay from the trained vocab; fertility rollup exact") {
+    import spark.implicits._
+    val out = TextAnalysis.unigramEncodeFertility(spark, sf).collect()
+    graft.CacheGuard.release()
+    val costs = TextAnalysis.unigramLmTrain(spark, sf).collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cost_u6")).toMap
+    graft.CacheGuard.release()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source",
+        graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .collect() // collect-ok: gate-SF spec replay
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+    def viterbi(w: String): Option[Seq[String]] = {
+      if (!w.matches("^[a-z0-9]+$") ||
+          w.length > TextAnalysis.uniMaxWordLen) return None
+      val best = Array.fill[(Long, String)](w.length + 1)(null)
+      best(0) = (0L, "")
+      for (j <- 1 to w.length) {
+        val cands = for {
+          k <- 1 to math.min(TextAnalysis.uniMaxPieceLen, j)
+          p = w.substring(j - k, j)
+          pc <- costs.get(p)
+          if best(j - k) != null
+        } yield (best(j - k)._1 + pc, best(j - k)._2 + p + "|")
+        best(j) = cands.min
+      }
+      Some(best(w.length)._2.split("\\|").filter(_.nonEmpty).toSeq)
+    }
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val words = rows.flatMap(_._2)
+      val encoded = words.map(w => w -> viterbi(w))
+      val enc = encoded.collect { case (w, Some(ps)) => (w, ps) }
+      val pieces = enc.map(_._2.size.toLong).sum
+      val chars = enc.map(_._1.length.toLong).sum
+      // every encoded word must reconstruct from its pieces
+      enc.foreach { case (w, ps) => assert(ps.mkString("") === w) }
+      (src, words.size.toLong, enc.size.toLong,
+        (words.size - enc.size).toLong, pieces, chars,
+        pieces * 10000L / math.max(enc.size.toLong, 1L),
+        chars * 10000L / math.max(pieces, 1L))
+    }.toSet
+    val got = out.map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("n_words"), r.getAs[Long]("n_enc_words"),
+      r.getAs[Long]("n_oov_words"), r.getAs[Long]("n_pieces"),
+      r.getAs[Long]("n_chars"), r.getAs[Long]("fertility_u4"),
+      r.getAs[Long]("compression_u4"))).toSet
+    assert(got === want)
+  }
 }
