@@ -393,6 +393,8 @@ object SparkEntry {
     "q302_novelty_curve" -> ((s, d) => CorpusOps.noveltyCurve(s, d)),
     "q303_unigram_encode" -> ((s, d) =>
       TextAnalysis.unigramEncodeFertility(s, d)),
+    "q304_contam_gate" -> ((s, d) =>
+      graft.streaming.ContamGate.contamGateBatch(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9121,6 +9123,41 @@ object SparkEntry {
          |    AS compression_u4
          |FROM tokq t LEFT JOIN enc e USING (w)
          |GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // streaming contamination gate, batch replay: a doc is dropped when
+    // any of its 5-grams hits the static benchmark gram set (the q299
+    // lifted-item slices); hits counted over gram OCCURRENCES
+    "q304_contam_gate" -> {
+      val st = CorpusOps.contamStride
+      val from = CorpusOps.contamSliceFrom
+      val len = CorpusOps.contamSliceLen
+      s"""WITH toksq AS (SELECT source, doc_id, $toksSql AS tk
+         |  FROM documents),
+         |bg AS MATERIALIZED (
+         |  SELECT DISTINCT gram FROM (
+         |    SELECT unnest(list_transform(range(1, len(itk) - 3),
+         |      i -> array_to_string(list_slice(itk, i, i + 4), ' ')))
+         |      AS gram
+         |    FROM (SELECT list_slice(tk, $from, ${from + len - 1}) AS itk
+         |          FROM toksq
+         |          WHERE doc_id % $st = 0 AND len(tk) >= ${from + len}) s
+         |  ) z),
+         |hits AS (
+         |  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM (
+         |    SELECT source, doc_id,
+         |      unnest(list_transform(range(1, len(tk) - 3),
+         |        i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
+         |        AS gram
+         |    FROM toksq WHERE len(tk) >= 5) g
+         |  WHERE gram IN (SELECT gram FROM bg)
+         |  GROUP BY source, doc_id)
+         |SELECT t.source, t.doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+         |  coalesce(h.n_hit, 0) AS n_hit_grams,
+         |  coalesce(h.n_hit, 0) = 0 AS admitted
+         |FROM toksq t LEFT JOIN hits h USING (source, doc_id)
+         |ORDER BY t.doc_id""".stripMargin
     },
 
     // duplicated n-gram span census (ExactSubstr diagnostic): a span is

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class ContamGateSpec extends SparkSpec {
+
+  private def verdicts(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_toks"), r.getAs[Long]("n_hit_grams"),
+        r.getAs[Boolean]("admitted"))).toMap
+
+  test("stream ≡ batch: the stateless gate gives identical per-doc verdicts across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source", $"doc_id", $"text").as[ContamDoc]
+      .collect().sortBy(_.doc_id) // collect-ok: gate-SF spec replay
+    val bench = ContamGate.benchmarkGrams(spark, sf)
+    val mem = MemoryStream[ContamDoc]
+    val q = ContamGate.gate(mem.toDS().toDF(), bench)
+      .writeStream.format("memory").queryName("contamgate")
+      .outputMode("append").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    mem.addData(b1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = verdicts(spark.table("contamgate"))
+    q.stop()
+    val batch = verdicts(ContamGate.contamGateBatch(spark, sf))
+    assert(streamed === batch)
+    // the gate genuinely fires: every lifted-slice host doc is dropped,
+    // and most of the corpus is admitted
+    val hosts = docs.filter(d =>
+      d.doc_id % graft.operators.CorpusOps.contamStride == 0 &&
+        d.text != null && d.text.split("\\s+").count(_.nonEmpty) >=
+          graft.operators.CorpusOps.contamSliceFrom +
+            graft.operators.CorpusOps.contamSliceLen)
+    assert(hosts.nonEmpty)
+    hosts.foreach(d => assert(!batch(d.doc_id)._3,
+      s"host doc ${d.doc_id} must be gated"))
+    assert(batch.values.count(_._3) > batch.size / 2)
+  }
+}
