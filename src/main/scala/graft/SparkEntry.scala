@@ -385,15 +385,9 @@ object SparkEntry {
     "q295_padding_waste" -> ((s, d) => CorpusOps.paddingWasteTable(s, d)),
     "q296_dirichlet_ql" -> ((s, d) => CorpusOps.dirichletQlRank(s, d)),
     "q297_unigram_lm_train" -> ((s, d) => TextAnalysis.unigramLmTrain(s, d)),
-    "q298_dup_span_census" -> ((s, d) => DedupOps.dupSpanCensus(s, d)),
-    "q299_contamination_check" -> ((s, d) =>
-      CorpusOps.contaminationCheck(s, d)),
-    "q300_dsir_select" -> ((s, d) => CorpusOps.dsirSelect(s, d)),
-    "q301_pii_census" -> ((s, d) => Profiler.piiCensus(s, d)),
-    "q302_novelty_curve" -> ((s, d) => CorpusOps.noveltyCurve(s, d)),
-    "q303_unigram_encode" -> ((s, d) =>
+    "q298_unigram_encode" -> ((s, d) =>
       TextAnalysis.unigramEncodeFertility(s, d)),
-    "q304_contam_gate" -> ((s, d) =>
+    "q299_contam_gate" -> ((s, d) =>
       graft.streaming.ContamGate.contamGateBatch(s, d)),
   )
 
@@ -5139,7 +5133,7 @@ object SparkEntry {
   /** One position-unrolled Viterbi DP round over the word-type
     * dictionary `wd`, reading piece costs from `pcRef`: emits
     * dp{e}_0..dp{e}_L and the per-word best segmentation `seg{e}`.
-    * Shared by the q297 trainer (rounds 0..E−1) and the q303 encoder
+    * Shared by the q297 trainer (rounds 0..E−1) and the q298 encoder
     * (round E over the trained pc). */
   private def uniDpBlockSql(e: Int, pcRef: String): String = {
     val L = TextAnalysis.uniMaxWordLen
@@ -9097,7 +9091,7 @@ object SparkEntry {
     // apply-half analog): one more unrolled DP round over the word-type
     // dictionary, then the corpus token stream joins the encoded types
     // and rolls up per-source fertility/compression (OOV reported)
-    "q303_unigram_encode" -> {
+    "q298_unigram_encode" -> {
       val E = TextAnalysis.uniPruneSchedule.size
       s"""WITH $uniLmChainSql,
          |${uniDpBlockSql(E, s"pc$E")},
@@ -9125,236 +9119,45 @@ object SparkEntry {
          |GROUP BY source ORDER BY source""".stripMargin
     },
 
-    // streaming contamination gate, batch replay: a doc is dropped when
-    // any of its 5-grams hits the static benchmark gram set (the q299
-    // lifted-item slices); hits counted over gram OCCURRENCES
-    "q304_contam_gate" -> {
-      val st = CorpusOps.contamStride
-      val from = CorpusOps.contamSliceFrom
-      val len = CorpusOps.contamSliceLen
-      s"""WITH toksq AS (SELECT source, doc_id, $toksSql AS tk
+    // streaming contamination gate, batch replay over the q61 canary
+    // fixture: a train doc (doc_id % benchMod != 0) is dropped when any
+    // of its 8-grams occurs in the bench docs' gram set; hits counted
+    // over gram OCCURRENCES
+    "q299_contam_gate" -> {
+      val bm = CorpusOps.benchMod
+      val cm = CorpusOps.contamMod
+      val n = graft.streaming.ContamGate.gateGramN
+      s"""WITH docsx AS (
+         |  SELECT source, doc_id,
+         |    coalesce(text, '') ||
+         |      CASE WHEN doc_id % $bm = 0 OR doc_id % $cm = 0
+         |        THEN ' ${CorpusOps.contaminationCanary}' ELSE '' END
+         |      AS text
          |  FROM documents),
+         |toksq AS (SELECT source, doc_id, $toksSql AS tk FROM docsx),
          |bg AS MATERIALIZED (
          |  SELECT DISTINCT gram FROM (
-         |    SELECT unnest(list_transform(range(1, len(itk) - 3),
-         |      i -> array_to_string(list_slice(itk, i, i + 4), ' ')))
+         |    SELECT unnest(list_transform(range(1, len(tk) - ${n - 2}),
+         |      i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' ')))
          |      AS gram
-         |    FROM (SELECT list_slice(tk, $from, ${from + len - 1}) AS itk
-         |          FROM toksq
-         |          WHERE doc_id % $st = 0 AND len(tk) >= ${from + len}) s
-         |  ) z),
+         |    FROM toksq WHERE doc_id % $bm = 0 AND len(tk) >= $n) z),
+         |tr AS (SELECT source, doc_id, tk FROM toksq
+         |       WHERE doc_id % $bm <> 0),
          |hits AS (
          |  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_hit
          |  FROM (
          |    SELECT source, doc_id,
-         |      unnest(list_transform(range(1, len(tk) - 3),
-         |        i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
+         |      unnest(list_transform(range(1, len(tk) - ${n - 2}),
+         |        i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' ')))
          |        AS gram
-         |    FROM toksq WHERE len(tk) >= 5) g
+         |    FROM tr WHERE len(tk) >= $n) g
          |  WHERE gram IN (SELECT gram FROM bg)
          |  GROUP BY source, doc_id)
          |SELECT t.source, t.doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
          |  coalesce(h.n_hit, 0) AS n_hit_grams,
          |  coalesce(h.n_hit, 0) = 0 AS admitted
-         |FROM toksq t LEFT JOIN hits h USING (source, doc_id)
+         |FROM tr t LEFT JOIN hits h USING (source, doc_id)
          |ORDER BY t.doc_id""".stripMargin
-    },
-
-    // duplicated n-gram span census (ExactSubstr diagnostic): a span is
-    // duplicated when its 5-gram occurs in >= 2 distinct documents;
-    // per-source rollup of span mass, duplicated mass, and heavy docs
-    "q298_dup_span_census" -> {
-      val n = DedupOps.dupSpanN
-      s"""WITH toks AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
-         |g AS MATERIALIZED (
-         |  SELECT source, doc_id,
-         |    unnest(list_transform(range(1, len(tk) - ${n - 2}),
-         |      i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' ')))
-         |      AS gram
-         |  FROM toks WHERE len(tk) >= $n),
-         |gs AS (SELECT gram, count(DISTINCT doc_id) AS nd
-         |       FROM g GROUP BY gram),
-         |pd AS (
-         |  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-         |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_dup
-         |  FROM g JOIN gs USING (gram)
-         |  GROUP BY source, doc_id)
-         |SELECT source,
-         |  CAST(count(*) AS BIGINT) AS n_docs_with_spans,
-         |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
-         |  CAST(sum(n_dup) AS BIGINT) AS n_dup_spans,
-         |  CAST(sum(CASE WHEN n_dup * 10000 // n_spans >= 5000
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_docs,
-         |  CAST(sum(n_dup) * 10000 // greatest(sum(n_spans), 1) AS BIGINT)
-         |    AS dup_mass_u4
-         |FROM pd GROUP BY source ORDER BY source""".stripMargin
-    },
-
-    // benchmark contamination check: lifted items (tokens 3..10 of every
-    // 25th doc) vs per-id-unique synthetic clean items; an item is
-    // contaminated when >= half its 5-gram windows occur in the corpus
-    "q299_contamination_check" -> {
-      val off = CorpusOps.contamItemOffset
-      val st = CorpusOps.contamStride
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |lifted AS (
-         |  SELECT doc_id + $off AS item_id, TRUE AS is_lifted,
-         |    list_slice(tk, ${CorpusOps.contamSliceFrom},
-         |      ${CorpusOps.contamSliceFrom + CorpusOps.contamSliceLen - 1})
-         |      AS itk
-         |  FROM toks WHERE doc_id % $st = 0
-         |    AND len(tk) >= ${CorpusOps.contamSliceFrom + CorpusOps.contamSliceLen}),
-         |clean AS (
-         |  SELECT doc_id + $off AS item_id, FALSE AS is_lifted,
-         |    list_transform(range(1, ${CorpusOps.contamSliceLen + 1}),
-         |      i -> 'bm' || doc_id || 'x' || i) AS itk
-         |  FROM toks WHERE doc_id % $st = 7),
-         |items AS MATERIALIZED (
-         |  SELECT item_id, is_lifted, itk FROM lifted
-         |  UNION ALL SELECT item_id, is_lifted, itk FROM clean),
-         |ig AS (
-         |  SELECT item_id, unnest(list_transform(range(1, len(itk) - 3),
-         |    i -> array_to_string(list_slice(itk, i, i + 4), ' '))) AS gram
-         |  FROM items),
-         |cg AS (
-         |  SELECT DISTINCT gram FROM (
-         |    SELECT unnest(list_transform(range(1, len(tk) - 3),
-         |      i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS gram
-         |    FROM toks WHERE len(tk) >= 5) z),
-         |m AS (
-         |  SELECT item_id, CAST(count(*) AS BIGINT) AS n_matched
-         |  FROM ig WHERE gram IN (SELECT gram FROM cg)
-         |  GROUP BY item_id)
-         |SELECT i.item_id, i.is_lifted,
-         |  CAST(len(itk) - 4 AS BIGINT) AS n_grams,
-         |  coalesce(m.n_matched, 0) AS n_matched,
-         |  coalesce(m.n_matched, 0) * 10000 // greatest(len(itk) - 4, 1)
-         |    AS overlap_u4,
-         |  coalesce(m.n_matched, 0) * 10000 // greatest(len(itk) - 4, 1)
-         |    >= 5000 AS contaminated
-         |FROM items i LEFT JOIN m USING (item_id)
-         |ORDER BY item_id""".stripMargin
-    },
-
-    // DSIR importance selection: per-doc Σ ln(p_tgt(w)/p_all(w)) over
-    // Laplace-smoothed unigram LMs, ln of an exact integer-product
-    // quotient snapped to ln-millionths; selected = positive weight
-    "q300_dsir_select" ->
-      s"""WITH toksq AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
-         |tok AS MATERIALIZED (
-         |  SELECT source, doc_id, unnest(tk) AS w FROM toksq),
-         |va AS MATERIALIZED (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS c_all FROM tok GROUP BY w),
-         |vt AS MATERIALIZED (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS c_tgt FROM tok
-         |  WHERE source = '${CorpusOps.dsirTarget}' GROUP BY w),
-         |sc AS (SELECT CAST(count(*) AS BIGINT) AS v,
-         |         CAST(sum(c_all) AS BIGINT) AS tot_all FROM va),
-         |st AS (SELECT CAST(coalesce(sum(c_tgt), 0) AS BIGINT) AS tot_tgt
-         |       FROM vt),
-         |dict AS MATERIALIZED (
-         |  SELECT va.w,
-         |    CAST(floor(round(ln(
-         |      CAST((coalesce(vt.c_tgt, 0) + 1) * (tot_all + v) AS DOUBLE) /
-         |      CAST((va.c_all + 1) * (tot_tgt + v) AS DOUBLE)), 8) * 1e6
-         |      + 0.5) AS BIGINT) AS u
-         |  FROM va LEFT JOIN vt USING (w) CROSS JOIN sc CROSS JOIN st),
-         |pd AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-         |    CAST(sum(u) AS BIGINT) AS weight_u6
-         |  FROM tok JOIN dict USING (w) GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(pd.n_toks, 0) AS n_toks,
-         |  coalesce(pd.weight_u6, 0) AS weight_u6,
-         |  coalesce(pd.weight_u6, 0) > 0 AS selected
-         |FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // PII detection census over the seeded-leakage corpus: per-source
-    // docs carrying each detector class and the total match count a
-    // redaction pass would rewrite (designed answer key: twins cycle
-    // email / phone / email+phone+ID by doc_id div 10 mod 3)
-    "q301_pii_census" -> {
-      val off = Profiler.piiOffset
-      val st = Profiler.piiStride
-      s"""WITH twins AS (
-         |  SELECT source, doc_id + $off AS doc_id,
-         |    text || CASE (doc_id // $st) % 3
-         |      WHEN 0 THEN ' contact user' || doc_id || '@mail' ||
-         |        (doc_id % 5) || '.com now'
-         |      WHEN 1 THEN ' call 555-' ||
-         |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
-         |      ELSE ' contact user' || doc_id || '@mail' ||
-         |        (doc_id % 5) || '.com call 555-' ||
-         |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
-         |        ' ref 9' ||
-         |        lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') || '777'
-         |    END AS text
-         |  FROM documents WHERE doc_id % $st = 0),
-         |ext AS (
-         |  SELECT source, text FROM documents
-         |  UNION ALL SELECT source, text FROM twins),
-         |cnt AS (
-         |  SELECT source,
-         |    CAST(len(regexp_extract_all(text,
-         |      '${Profiler.piiEmailRe}')) AS BIGINT) AS n_email,
-         |    CAST(len(regexp_extract_all(text,
-         |      '${Profiler.piiPhoneRe}')) AS BIGINT) AS n_phone,
-         |    CAST(len(regexp_extract_all(text,
-         |      '${Profiler.piiIdRe}')) AS BIGINT) AS n_idrun
-         |  FROM ext)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_email_docs,
-         |  CAST(sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_phone_docs,
-         |  CAST(sum(CASE WHEN n_idrun > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_idrun_docs,
-         |  CAST(sum(CASE WHEN n_email + n_phone + n_idrun > 0
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
-         |  CAST(sum(n_email + n_phone + n_idrun) AS BIGINT) AS n_matches
-         |FROM cnt GROUP BY source ORDER BY source""".stripMargin
-    },
-
-    // novelty-saturation curve: per doc_id-range decile, how many 5-gram
-    // spans are NEW (first decile of occurrence); cumulative over the
-    // 10-row decile table only
-    "q302_novelty_curve" -> {
-      val n = DedupOps.dupSpanN
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
-         |           FROM documents),
-         |wd AS MATERIALIZED (
-         |  SELECT least(9, (doc_id - mn) * 10 // (mx - mn + 1)) AS decile,
-         |    tk
-         |  FROM toks CROSS JOIN bounds),
-         |g AS MATERIALIZED (
-         |  SELECT decile,
-         |    unnest(list_transform(range(1, len(tk) - ${n - 2}),
-         |      i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' ')))
-         |      AS gram
-         |  FROM wd WHERE len(tk) >= $n),
-         |spine AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
-         |          FROM wd GROUP BY decile),
-         |occ AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_spans
-         |        FROM g GROUP BY decile),
-         |np AS (
-         |  SELECT first_decile AS decile, CAST(count(*) AS BIGINT)
-         |    AS new_grams
-         |  FROM (SELECT gram, min(decile) AS first_decile FROM g
-         |        GROUP BY gram) z
-         |  GROUP BY first_decile),
-         |j AS (
-         |  SELECT s.decile, s.n_docs,
-         |    coalesce(o.n_spans, 0) AS n_spans,
-         |    coalesce(np.new_grams, 0) AS new_grams
-         |  FROM spine s LEFT JOIN occ o USING (decile)
-         |  LEFT JOIN np USING (decile))
-         |SELECT decile, n_docs, n_spans, new_grams,
-         |  CAST(sum(new_grams) OVER (ORDER BY decile
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new_grams,
-         |  new_grams * 10000 // greatest(n_spans, 1) AS novelty_u4
-         |FROM j ORDER BY decile""".stripMargin
     },
   )
 

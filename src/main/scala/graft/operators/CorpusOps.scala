@@ -2095,165 +2095,4 @@ object CorpusOps {
       .orderBy($"k")
   }
 
-  /** Contamination-check knobs, shared with the q299 oracle. */
-  val contamItemOffset = 1200000L  // benchmark-item id namespace
-  val contamStride = 25L           // 1 lifted + 1 clean item per 25 docs
-  val contamSliceFrom = 3          // lifted slice = tokens 3..10
-  val contamSliceLen = 8
-  val contamGramN = 5              // overlap grams (4 per 8-token item)
-
-  /** BENCHMARK CONTAMINATION CHECK (q299) — the train/test-overlap
-    * audit every serious LLM data pipeline runs before training (the
-    * n-gram collision methodology of the GPT-3 appendix and PaLM's
-    * contamination analysis): does a benchmark item's text appear
-    * inside the training corpus? Items are a designed fixture with a
-    * known answer key: per [[contamStride]] docs, one LIFTED item
-    * (tokens [[contamSliceFrom]]..+[[contamSliceLen]] of the doc — a
-    * test question copied from training data, contamination by
-    * construction) and one CLEAN item (per-doc-id-unique synthetic
-    * tokens — the FIXTURES.md §C seed style, immune to probe replicas
-    * and guaranteed novel). An item is contaminated when ≥ half its
-    * [[contamGramN]]-gram windows occur anywhere in the corpus.
-    *
-    * Scale shape: the benchmark is SMALL and the corpus is huge, so
-    * the item grams BROADCAST and the corpus-side gram stream is
-    * filtered map-side (broadcast semi-join shape); matched grams
-    * dedup on (item, gram) — never an (item × matching-doc) fan-out,
-    * so replica-heavy probe data stays linear. One corpus token
-    * explode, one broadcast join, one item-keyed rollup. */
-  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = graft.CacheGuard.barrier(
-      Tables.documents(spark, dir)
-        .select($"doc_id", tokens($"text").as("tk")))
-    val lifted = docs
-      .filter($"doc_id" % contamStride === 0 &&
-        size($"tk") >= contamSliceFrom + contamSliceLen)
-      .select(($"doc_id" + contamItemOffset).as("item_id"), lit(true).as("is_lifted"),
-        slice($"tk", contamSliceFrom, contamSliceLen).as("itk"))
-    val clean = docs
-      .filter($"doc_id" % contamStride === 7)
-      .select(($"doc_id" + contamItemOffset).as("item_id"), lit(false).as("is_lifted"),
-        transform(sequence(lit(1), lit(contamSliceLen)),
-          i => concat(lit("bm"), $"doc_id", lit("x"), i)).as("itk"))
-    val items = lifted.unionByName(clean)
-    val itemGrams = items
-      .select($"item_id", $"is_lifted",
-        explode(wordShingles($"itk", contamGramN)).as("gram"))
-    val corpusGrams = docs
-      .select(explode(wordShingles($"tk", contamGramN)).as("gram"))
-      .distinct()
-    val matched = itemGrams.as("i")
-      .join(corpusGrams.as("c"), Seq("gram"), "left_semi")
-      .groupBy($"item_id").agg(count(lit(1)).as("n_matched"))
-    items
-      .select($"item_id", $"is_lifted",
-        (size($"itk") - lit(contamGramN - 1)).cast("long").as("n_grams"))
-      .join(matched, Seq("item_id"), "left")
-      .withColumn("n_matched", coalesce($"n_matched", lit(0L)))
-      .withColumn("overlap_u4",
-        expr("n_matched * 10000 div greatest(n_grams, 1)"))
-      .withColumn("contaminated", $"overlap_u4" >= 5000L)
-      .orderBy($"item_id")
-  }
-
-  /** DSIR target domain, shared with the q300 oracle. */
-  val dsirTarget = "src0"
-
-  /** NOVELTY-SATURATION CURVE (q302) — the diminishing-returns
-    * measurement behind every "is more of this source worth crawling"
-    * decision: split the corpus into ten deterministic doc_id-range
-    * deciles (an ingestion-order proxy), and per decile count how many
-    * of its 5-gram spans are NEW — never seen in an earlier decile. A
-    * source whose novelty rate collapses after a few deciles is
-    * saturated; one that stays flat keeps paying. The curve needs no
-    * corpus sort: each gram's FIRST decile is one gram-keyed min
-    * aggregation, and the cumulative row only ever windows the 10-row
-    * decile table. Decile = least(9, (doc_id−min)·10 div (max−min+1)) —
-    * exact integer arithmetic off one broadcast min/max row.
-    *
-    * Scale shape: one token explode, one gram-keyed min (map-side
-    * partial), one 10-row rollup; the window is O(10). */
-  def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = graft.CacheGuard.barrier(
-      Tables.documents(spark, dir)
-        .select($"doc_id", tokens($"text").as("tk")))
-    val bounds = docs.agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
-    val withDec = docs.crossJoin(broadcast(bounds))
-      .select(expr("least(9, (doc_id - mn) * 10 div (mx - mn + 1))")
-        .as("decile"), $"tk")
-    val g = graft.CacheGuard.barrier(
-      withDec.select($"decile",
-        explode(wordShingles($"tk", DedupOps.dupSpanN)).as("gram")))
-    val spine = withDec.groupBy($"decile")
-      .agg(count(lit(1)).as("n_docs"))
-    val occ = g.groupBy($"decile").agg(count(lit(1)).as("n_spans"))
-    val newPer = g.groupBy($"gram").agg(min($"decile").as("first_decile"))
-      .groupBy($"first_decile".as("decile"))
-      .agg(count(lit(1)).as("new_grams"))
-    val byDecile = org.apache.spark.sql.expressions.Window
-      .orderBy($"decile")  // global-window-ok: O(10) decile rows
-      .rowsBetween(Long.MinValue, 0)
-    spine
-      .join(occ, Seq("decile"), "left")
-      .join(newPer, Seq("decile"), "left")
-      .select($"decile", $"n_docs",
-        coalesce($"n_spans", lit(0L)).as("n_spans"),
-        coalesce($"new_grams", lit(0L)).as("new_grams"))
-      .withColumn("cum_new_grams", sum($"new_grams").over(byDecile))
-      .withColumn("novelty_u4",
-        expr("new_grams * 10000 div greatest(n_spans, 1)"))
-      .orderBy($"decile")
-  }
-
-  /** DSIR-STYLE IMPORTANCE SELECTION (q300) — Data Selection via
-    * Importance Resampling (Xie et al. 2023): score every document by
-    * how much more likely its tokens are under a TARGET-domain unigram
-    * LM than under the whole-corpus LM, ln p_tgt(w)/p_all(w) summed
-    * over occurrences — the principled replacement for hand-written
-    * quality heuristics when curating toward a domain. Both LMs are
-    * Laplace-smoothed integer rationals ((c+1)/(tot+V)); the per-token
-    * log ratio is ONE ln of an exactly-representable integer-product
-    * quotient (products < 2^53), round-8 snapped to ln-millionths, so
-    * the per-doc sum is an exact integer both engines replay. A doc is
-    * selected when its total weight is positive — more target-like
-    * than the corpus average — with no global sort or window anywhere.
-    *
-    * Scale shape: two token-keyed dictionary counts (map-side partial),
-    * the scored dictionary broadcasts back onto the token stream, one
-    * doc-keyed rollup. At 100 TB the corpus streams twice (dictionary
-    * + scoring) and all EM-free state is vocabulary-sized. */
-  def dsirSelect(spark: SparkSession, dir: String,
-                 target: String = dsirTarget): DataFrame = {
-    import spark.implicits._
-    val docs = graft.CacheGuard.barrier(
-      Tables.documents(spark, dir)
-        .select($"source", $"doc_id", tokens($"text").as("tk")))
-    val tok = docs.select($"source", $"doc_id", explode($"tk").as("w"))
-    val va = graft.CacheGuard.barrier(
-      tok.groupBy($"w").agg(count(lit(1)).as("c_all")))
-    val vt = tok.filter($"source" === target)
-      .groupBy($"w").agg(count(lit(1)).as("c_tgt"))
-    val sc = va.agg(count(lit(1)).as("v"), sum($"c_all").as("tot_all"))
-    val st = vt.agg(coalesce(sum($"c_tgt"), lit(0L)).as("tot_tgt"))
-    val dict = va.join(vt, Seq("w"), "left")
-      .crossJoin(broadcast(sc)).crossJoin(broadcast(st))
-      .select($"w",
-        floor(round(log(
-          ((coalesce($"c_tgt", lit(0L)) + 1) * ($"tot_all" + $"v"))
-            .cast("double") /
-          (($"c_all" + 1) * ($"tot_tgt" + $"v")).cast("double")), 8) // round-ok: ulp-snap on ln before quantize (round-7 discipline)
-          * 1e6 + lit(0.5)).cast("long").as("u"))
-    val pd = tok.join(dict, "w")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_toks"), sum($"u").as("weight_u6"))
-    docs.select($"doc_id")
-      .join(pd, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"n_toks", lit(0L)).as("n_toks"),
-        coalesce($"weight_u6", lit(0L)).as("weight_u6"))
-      .withColumn("selected", $"weight_u6" > 0L)
-      .orderBy($"doc_id")
-  }
 }

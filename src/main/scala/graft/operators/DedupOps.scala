@@ -2231,54 +2231,4 @@ object DedupOps {
       .orderBy($"keeper")
   }
 
-  /** Window length for the duplicated-span census, shared with q298's
-    * oracle: 5-token spans carry a real cross-doc phrase signal in the
-    * corpus (~10% of span mass) where 8-grams are nearly all unique
-    * and 3-grams nearly all shared. */
-  val dupSpanN = 5
-
-  /** DUPLICATED n-GRAM SPAN CENSUS (q298) — the ExactSubstr diagnostic
-    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
-    * Models Better") at corpus grain: how much of each source's token
-    * mass sits inside spans that also occur in ANOTHER document.
-    * Document-level dedup (q18/q55) keeps near-identical DOCUMENTS from
-    * double-counting; this census measures the leftover phrase-level
-    * duplication (boilerplate, quotes, templates) that span-level
-    * dedup would remove — the memorization-risk mass document dedup
-    * cannot see. A span is duplicated when its [[dupSpanN]]-gram occurs
-    * in ≥ 2 distinct documents; per source: docs carrying spans, span
-    * occurrences, duplicated occurrences, duplicated mass (u4), and
-    * heavy docs (≥ half their spans duplicated — the "remove or trim"
-    * candidates).
-    *
-    * Scale shape: one token explode → gram-keyed distinct-doc count
-    * (map-side partial), ONE gram-keyed join back to occurrences
-    * (linear in span mass — a boilerplate gram fans out only to its
-    * own occurrences), then doc- and source-keyed rollups. No pair
-    * enumeration anywhere: unlike a suffix-array ExactSubstr build,
-    * the census never materializes cross-doc matches. */
-  def dupSpanCensus(spark: SparkSession, dir: String,
-                    n: Int = dupSpanN): DataFrame = {
-    import spark.implicits._
-    val grams = graft.CacheGuard.barrier(
-      Tables.documents(spark, dir)
-        .select($"source", $"doc_id", tokens($"text").as("tk"))
-        .select($"source", $"doc_id",
-          explode(wordShingles($"tk", n)).as("gram")))
-    val gs = grams.groupBy($"gram")
-      .agg(countDistinct($"doc_id").as("nd"))
-    val perDoc = grams.join(gs, "gram")
-      .groupBy($"source", $"doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup"))
-    perDoc.groupBy($"source")
-      .agg(count(lit(1)).as("n_docs_with_spans"),
-        sum($"n_spans").as("n_spans"),
-        sum($"n_dup").as("n_dup_spans"),
-        sum(when(expr("n_dup * 10000 div n_spans") >= 5000, 1L)
-          .otherwise(0L)).as("n_heavy_docs"))
-      .withColumn("dup_mass_u4",
-        expr("n_dup_spans * 10000 div greatest(n_spans, 1)"))
-      .orderBy($"source")
-  }
 }

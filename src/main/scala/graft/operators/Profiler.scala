@@ -491,70 +491,4 @@ object Profiler {
       .orderBy($"lang")
   }
 
-  /** PII fixture knobs, shared with the q301 oracle. */
-  val piiOffset = 1300000L         // PII-twin doc_id namespace
-  val piiStride = 10L              // one twin per 10 docs
-  /** Cross-engine-safe detector regexes (literal classes only — no
-    * lookarounds, identical semantics in Java regex and DuckDB RE2). */
-  val piiEmailRe = "[a-z0-9]+@[a-z0-9]+\\.com"
-  val piiPhoneRe = "555-[0-9]{4}"
-  val piiIdRe = "[0-9]{12,}"       // 12+ digits so probe-scale doc_ids
-                                   //   (≤10 digits) never false-positive
-
-  /** PII DETECTION CENSUS (q301) — the scrubbing audit a compliance-
-    * grade ingestion pipeline runs before any text leaves quarantine
-    * (emails / phone numbers / long ID runs, the C4 and Dolma scrubbing
-    * classes): per source, how many documents carry each PII kind, how
-    * many carry any, and the total match count a redaction pass would
-    * rewrite. The corpus is PII-free by construction, so the census
-    * runs over an extended corpus with DESIGNED leakage: one twin per
-    * [[piiStride]] docs at `doc_id + piiOffset`, whose appended contact
-    * block cycles by kind (email / phone / email+phone+ID) — a
-    * per-id-unique fixture (FIXTURES.md §C) with an exact answer key
-    * the spec replays.
-    *
-    * Scale shape: pure per-row regexp counters (codegen'd, no UDF) and
-    * one source-keyed rollup — embarrassingly parallel, map-side
-    * partial; at 100 TB the scan dominates and nothing shuffles but
-    * the per-source partial aggregates. */
-  def piiCensus(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val base = Tables.documents(spark, dir).select($"source", $"doc_id", $"text")
-    // two-step: build the contact block from the ORIGINAL doc_id, THEN
-    // shift the id (same-select alias would capture the shifted value —
-    // the round-10 lateral-column-alias hazard)
-    val twins = base.filter($"doc_id" % piiStride === 0)
-      .select($"source", $"doc_id",
-        concat($"text",
-          when(expr(s"(doc_id div $piiStride) % 3") === 0,
-            concat(lit(" contact user"), $"doc_id",
-              lit("@mail"), $"doc_id" % 5, lit(".com now")))
-          .when(expr(s"(doc_id div $piiStride) % 3") === 1,
-            concat(lit(" call 555-"),
-              lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
-              lit(" today")))
-          .otherwise(
-            concat(lit(" contact user"), $"doc_id",
-              lit("@mail"), $"doc_id" % 5, lit(".com call 555-"),
-              lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
-              lit(" ref 9"),
-              lpad(($"doc_id" % 100000000).cast("string"), 8, "0"),
-              lit("777")))).as("text"))
-      .select($"source", ($"doc_id" + piiOffset).as("doc_id"), $"text")
-    base.unionByName(twins)
-      .select($"source",
-        regexp_count($"text", lit(piiEmailRe)).as("n_email"),
-        regexp_count($"text", lit(piiPhoneRe)).as("n_phone"),
-        regexp_count($"text", lit(piiIdRe)).as("n_idrun"))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when($"n_email" > 0, 1L).otherwise(0L)).as("n_email_docs"),
-        sum(when($"n_phone" > 0, 1L).otherwise(0L)).as("n_phone_docs"),
-        sum(when($"n_idrun" > 0, 1L).otherwise(0L)).as("n_idrun_docs"),
-        sum(when($"n_email" + $"n_phone" + $"n_idrun" > 0, 1L)
-          .otherwise(0L)).as("n_pii_docs"),
-        sum(($"n_email" + $"n_phone" + $"n_idrun").cast("long"))
-          .as("n_matches"))
-      .orderBy($"source")
-  }
 }

@@ -1659,7 +1659,7 @@ object TextAnalysis {
   }
 
   /** The trained unigram vocabulary (piece, cnt, cost_u6) after the
-    * full EM prune schedule — the q297 core, reused by the q303
+    * full EM prune schedule — the q297 core, reused by the q298
     * encoder. */
   def unigramTrainedCosts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1706,7 +1706,7 @@ object TextAnalysis {
     pc
   }
 
-  /** UNIGRAM VITERBI ENCODE + FERTILITY (q303) — the APPLY half of
+  /** UNIGRAM VITERBI ENCODE + FERTILITY (q298) — the APPLY half of
     * q297 (exactly as q137 is to q117 for BPE): segment every word
     * type with the TRAINED unigram vocabulary and roll the result up
     * to per-source tokenizer-rollout numbers — encodable words, pieces

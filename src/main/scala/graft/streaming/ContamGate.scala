@@ -6,42 +6,56 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import graft.operators.CorpusOps
 
-/** STREAMING CONTAMINATION GATE (q304) — the q299 audit turned into an
-  * admission control: documents arriving on a stream are DROPPED when
-  * they share any [[CorpusOps.contamGramN]]-gram with the benchmark
-  * set, so evaluation items can never leak into a training corpus that
-  * is ingested continuously. The benchmark gram set is STATIC and
-  * small (the q299 lifted items); the gate is a stream-static
-  * broadcast anti-join — per micro-batch the stream side only scans
-  * its own rows, no state store at all (the gate is stateless by
-  * design: the benchmark is a fixed reference, not accumulating
-  * history — contrast [[BloomGate]], whose reference set grows).
-  *
-  * The DECLARED query is the batch replay over the whole corpus
-  * (hash-oracled); `gate` is the shared transform, usable verbatim
-  * under `readStream` — `ContamGateSpec` asserts stream ≡ batch
-  * verdict-for-verdict across micro-batch boundaries.
-  *
-  * Scale shape: benchmark grams broadcast (thousands of rows); the
-  * corpus/stream side is one token explode + one broadcast join +
-  * one doc-keyed count — linear, embarrassingly parallel, and at
-  * 100 TB the only cost is the scan. */
 /** Stream-side input row for the contamination gate. */
 case class ContamDoc(source: String, doc_id: Long, text: String)
 
+/** STREAMING CONTAMINATION GATE (q299) — the q61/q157 decontamination
+  * family turned into ADMISSION CONTROL: documents arriving on a
+  * stream are DROPPED when they share any 8-gram with the benchmark
+  * set, so evaluation items can never leak into a training corpus that
+  * is ingested continuously. Same fixture convention as q61
+  * (`CorpusOps.benchMod`/`contamMod`/`contaminationCanary`): bench
+  * docs hold the canary, and the contaminated train slice that also
+  * carries it must be gated.
+  *
+  * The benchmark gram set is STATIC and small; it rides as ONE
+  * broadcast map row and the verdict is a per-row higher-order filter
+  * — completely STATELESS (no state store, no shuffle), so the
+  * identical transform runs on a batch frame and under `writeStream`
+  * in append mode (contrast [[BloomGate]], whose reference set
+  * accumulates and therefore needs state). The DECLARED query is the
+  * batch replay over the train slice (hash-oracled);
+  * `ContamGateSpec` asserts stream ≡ batch verdict-for-verdict across
+  * micro-batch boundaries.
+  *
+  * Scale shape: benchmark grams broadcast (evals are small); the
+  * stream side is one tokenize + one per-row filter — linear,
+  * embarrassingly parallel; at 100 TB the only cost is the scan. */
 object ContamGate {
 
-  /** The static benchmark gram set: every 5-gram window of the q299
-    * LIFTED items (the slices actually present in training text). */
-  def benchmarkGrams(spark: SparkSession, dir: String): DataFrame = {
+  /** 8-gram windows, matching the q61 contamination shingle length. */
+  val gateGramN = 8
+
+  /** The q61 corpus with its planted canary (bench docs and the
+    * designed contaminated train slice). */
+  def canaryDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id", tokens($"text").as("tk"))
-      .filter($"doc_id" % CorpusOps.contamStride === 0 &&
-        size($"tk") >= CorpusOps.contamSliceFrom + CorpusOps.contamSliceLen)
-      .select(slice($"tk", CorpusOps.contamSliceFrom,
-        CorpusOps.contamSliceLen).as("itk"))
-      .select(explode(wordShingles($"itk", CorpusOps.contamGramN)).as("gram"))
+      .select($"source", $"doc_id",
+        concat(coalesce($"text", lit("")),
+          when($"doc_id" % CorpusOps.benchMod === 0 ||
+              $"doc_id" % CorpusOps.contamMod === 0,
+            lit(" " + CorpusOps.contaminationCanary))
+            .otherwise(lit(""))).as("text"))
+  }
+
+  /** The static benchmark gram set: every distinct 8-gram of the q61
+    * bench docs (doc_id % benchMod == 0). */
+  def benchmarkGrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    canaryDocs(spark, dir)
+      .filter($"doc_id" % CorpusOps.benchMod === 0)
+      .select(explode(wordShingles(tokens($"text"), gateGramN)).as("gram"))
       .distinct()
   }
 
@@ -58,18 +72,19 @@ object ContamGate {
       .crossJoin(broadcast(bmap))
       .select($"source", $"doc_id", tokens($"text").as("tk"), $"bm")
       .select($"source", $"doc_id", size($"tk").cast("long").as("n_toks"),
-        size(filter(wordShingles($"tk", CorpusOps.contamGramN),
+        size(filter(wordShingles($"tk", gateGramN),
           g => element_at($"bm", g).isNotNull)).cast("long")
           .as("n_hit_grams"))
       .withColumn("admitted", $"n_hit_grams" === 0L)
   }
 
-  /** Declared q304: the whole-corpus batch replay of the gate. */
+  /** Declared q299: the batch replay of the gate over the train slice
+    * (everything that is not a bench doc). */
   def contamGateBatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bench = benchmarkGrams(spark, dir)
-    gate(Tables.documents(spark, dir).select($"source", $"doc_id", $"text"),
-        bench)
+    gate(canaryDocs(spark, dir)
+        .filter($"doc_id" % CorpusOps.benchMod =!= 0), bench)
       .orderBy($"doc_id")
   }
 }

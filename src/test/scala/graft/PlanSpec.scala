@@ -328,38 +328,22 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p.take(3000))
   }
 
-  test("q298 dup-span census: gram-keyed join only; aggregates partial-first; no cartesian") {
-    val p = plan(DedupOps.dupSpanCensus(spark, sf))
-    graft.CacheGuard.release()
-    assert(!p.contains("CartesianProduct"), p.take(3000))
-    assert(!p.contains("Window"), p.take(3000))
-    assert(p.contains("partial_"), p.take(3000))
-  }
-
-  test("q299 contamination: the item-gram side joins the corpus gram set as LeftSemi; no item-by-doc fan-out") {
-    val p = plan(CorpusOps.contaminationCheck(spark, sf))
-    graft.CacheGuard.release()
-    assert(!p.contains("CartesianProduct"), p.take(3000))
-    assert(p.contains("LeftSemi"), p.take(3000))
-    assert(!p.contains("Window"), p.take(3000))
-  }
-
-  test("q302 novelty curve: the only window rides the 10-row decile table; gram firsts are a keyed aggregate") {
-    val p = plan(CorpusOps.noveltyCurve(spark, sf))
-    graft.CacheGuard.release()
-    assert(!p.contains("CartesianProduct"), p.take(3000))
-    // exactly one Window node, downstream of the decile-grain aggregates
-    assert(p.linesIterator.count(l => l.contains(") Window")) <= 1, p.take(3000))
-    assert(p.contains("partial_"), p.take(3000))
-  }
-
-  test("q300 DSIR: scored dictionary broadcasts onto the token stream; totals are 1-row broadcasts; no window") {
-    val p = plan(CorpusOps.dsirSelect(spark, sf))
+  test("q298 unigram encode: trained dictionary broadcasts onto the token stream; no window, no cartesian") {
+    val p = plan(TextAnalysis.unigramEncodeFertility(spark, sf))
     graft.CacheGuard.release()
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), p.take(3000))
     assert(p.contains("partial_"), p.take(3000))
+  }
+
+  test("q299 contamination gate: stateless per-row verdict — the only joins are 1-row broadcasts, no aggregation before the verdict") {
+    val p = plan(graft.streaming.ContamGate.contamGateBatch(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 }

@@ -1153,122 +1153,4 @@ class CorpusOpsSpec extends SparkSpec {
       assert(got === want(qid), s"query $qid")
     }
   }
-
-  test("q299: contamination check — lifted items fully matched, clean items fully novel") {
-    import spark.implicits._
-    val out = CorpusOps.contaminationCheck(spark, sf).collect()
-    graft.CacheGuard.release()
-    assert(out.nonEmpty)
-    val (lifted, clean) = out.partition(_.getAs[Boolean]("is_lifted"))
-    assert(lifted.nonEmpty && clean.nonEmpty)
-    // answer key by construction: lifted grams come from the corpus,
-    // clean grams carry per-doc-id-unique synthetic tokens
-    lifted.foreach { r =>
-      assert(r.getAs[Long]("overlap_u4") === 10000L)
-      assert(r.getAs[Boolean]("contaminated"))
-    }
-    clean.foreach { r =>
-      assert(r.getAs[Long]("n_matched") === 0L)
-      assert(!r.getAs[Boolean]("contaminated"))
-    }
-    // replay the lifted side: every 5-gram of the token 3..10 slice of a
-    // stride-0 doc must exist somewhere in the corpus gram set
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
-      .collect() // collect-ok: gate-SF spec replay
-      .map(r => (r.getLong(0), r.getSeq[String](1)))
-    val corpusGrams = docs.flatMap(_._2.sliding(CorpusOps.contamGramN)
-      .filter(_.size == CorpusOps.contamGramN).map(_.mkString(" "))).toSet
-    val wantLifted = docs.filter { case (id, tk) =>
-      id % CorpusOps.contamStride == 0 &&
-        tk.size >= CorpusOps.contamSliceFrom + CorpusOps.contamSliceLen
-    }.map { case (id, tk) =>
-      val itk = tk.slice(CorpusOps.contamSliceFrom - 1,
-        CorpusOps.contamSliceFrom - 1 + CorpusOps.contamSliceLen)
-      val grams = itk.sliding(CorpusOps.contamGramN).map(_.mkString(" ")).toSeq
-      (id + CorpusOps.contamItemOffset,
-        grams.count(corpusGrams.contains).toLong)
-    }.toMap
-    assert(lifted.map(r => r.getAs[Long]("item_id") ->
-      r.getAs[Long]("n_matched")).toMap === wantLifted)
-  }
-
-  test("q300: DSIR selection — per-doc weights replayed; target domain enriched") {
-    import spark.implicits._
-    val out = CorpusOps.dsirSelect(spark, sf).collect()
-    graft.CacheGuard.release()
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select($"source", $"doc_id",
-        graft.functions.TextFunctions.tokens($"text").as("tk"))
-      .collect() // collect-ok: gate-SF spec replay
-      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
-    assert(out.length === docs.length)
-    // replay: Laplace-smoothed unigram log ratio, snapped like the engine
-    val allCnt = docs.flatMap(_._3).groupBy(identity).view
-      .mapValues(_.length.toLong).toMap
-    val tgtCnt = docs.filter(_._1 == CorpusOps.dsirTarget).flatMap(_._3)
-      .groupBy(identity).view.mapValues(_.length.toLong).toMap
-    val v = allCnt.size.toLong
-    val totAll = allCnt.values.sum
-    val totTgt = tgtCnt.values.sum
-    def u(w: String): Long = {
-      val num = (tgtCnt.getOrElse(w, 0L) + 1L) * (totAll + v)
-      val den = (allCnt(w) + 1L) * (totTgt + v)
-      val snapped = BigDecimal(math.log(num.toDouble / den.toDouble))
-        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
-      math.floor(snapped * 1e6 + 0.5).toLong
-    }
-    val want = docs.map { case (_, id, tk) =>
-      id -> (tk.size.toLong, tk.map(u).sum) }.toMap
-    out.foreach { r =>
-      val (nt, wu) = want(r.getAs[Long]("doc_id"))
-      assert(r.getAs[Long]("n_toks") === nt)
-      assert(r.getAs[Long]("weight_u6") === wu)
-      assert(r.getAs[Boolean]("selected") === (wu > 0L))
-    }
-    // the signal is real: the target domain is enriched vs the rest
-    val bySrc = docs.map(d => d._2 -> d._1).toMap
-    val selRate = out.groupBy(r => bySrc(r.getAs[Long]("doc_id"))
-        == CorpusOps.dsirTarget)
-      .view.mapValues(rs =>
-        rs.count(_.getAs[Boolean]("selected")).toDouble / rs.length).toMap
-    assert(selRate(true) > selRate(false))
-  }
-
-  test("q302: novelty curve — decile firsts replayed; totals conserve; decile 0 is all-new") {
-    import spark.implicits._
-    val out = CorpusOps.noveltyCurve(spark, sf).collect()
-      .sortBy(_.getAs[Long]("decile"))
-    graft.CacheGuard.release()
-    assert(out.nonEmpty && out.length <= 10)
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
-      .collect() // collect-ok: gate-SF spec replay
-      .map(r => (r.getLong(0), r.getSeq[String](1)))
-    val mn = docs.map(_._1).min; val mx = docs.map(_._1).max
-    def dec(id: Long) = math.min(9L, (id - mn) * 10L / (mx - mn + 1))
-    val n = DedupOps.dupSpanN
-    val grams = docs.flatMap { case (id, tk) =>
-      tk.sliding(n).filter(_.size == n).map(g => (dec(id), g.mkString(" ")))
-    }
-    val firstDec = grams.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
-    out.foreach { r =>
-      val d = r.getAs[Long]("decile")
-      assert(r.getAs[Long]("n_docs") === docs.count(x => dec(x._1) == d).toLong)
-      assert(r.getAs[Long]("n_spans") === grams.count(_._1 == d).toLong)
-      assert(r.getAs[Long]("new_grams") ===
-        firstDec.count { case (_, fd) => fd == d }.toLong)
-    }
-    // cumulative conserves: last cum == total distinct grams
-    assert(out.last.getAs[Long]("cum_new_grams") === firstDec.size.toLong)
-    // novelty is a fraction of span occurrences (within-decile repeats
-    // keep it below 1 even in the first decile)
-    assert(out.forall(r => r.getAs[Long]("novelty_u4") <= 10000L))
-    assert(out.head.getAs[Long]("new_grams") ===
-      grams.filter(_._1 == out.head.getAs[Long]("decile"))
-        .map(_._2).distinct.size.toLong)
-    // monotone cumulative
-    assert(out.map(_.getAs[Long]("cum_new_grams")).toSeq ===
-      out.map(_.getAs[Long]("cum_new_grams")).sorted.toSeq)
-  }
 }

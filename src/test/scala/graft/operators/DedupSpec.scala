@@ -1247,42 +1247,4 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("analytic_p_u4") === 10000L)
     }
   }
-
-  test("q298: duplicated-span census — per-source mass replayed from raw 5-grams") {
-    import spark.implicits._
-    val out = DedupOps.dupSpanCensus(spark, sf).collect()
-    graft.CacheGuard.release()
-    assert(out.nonEmpty)
-    // driver replay: 5-gram multiset per doc, dup = gram in >= 2 docs
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select($"source", $"doc_id",
-        graft.functions.TextFunctions.tokens($"text").as("tk"))
-      .collect() // collect-ok: gate-SF spec replay
-      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
-    val n = DedupOps.dupSpanN
-    val grams = docs.flatMap { case (src, id, tk) =>
-      tk.sliding(n).filter(_.size == n).map(g => (src, id, g.mkString(" ")))
-    }
-    val docsPerGram = grams.groupBy(_._3).view
-      .mapValues(_.map(_._2).distinct.size).toMap
-    val perDoc = grams.groupBy(g => (g._1, g._2)).map { case ((src, _), gs) =>
-      (src, gs.size.toLong, gs.count(g => docsPerGram(g._3) >= 2).toLong)
-    }.toSeq
-    val want = perDoc.groupBy(_._1).map { case (src, rows) =>
-      val spans = rows.map(_._2).sum
-      val dup = rows.map(_._3).sum
-      (src, rows.size.toLong, spans, dup,
-        rows.count(r => r._3 * 10000L / r._2 >= 5000L).toLong,
-        dup * 10000L / math.max(spans, 1L))
-    }.toSet
-    val got = out.map(r => (r.getAs[String]("source"),
-      r.getAs[Long]("n_docs_with_spans"), r.getAs[Long]("n_spans"),
-      r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_heavy_docs"),
-      r.getAs[Long]("dup_mass_u4"))).toSet
-    assert(got === want)
-    // the census is non-degenerate at the gate SF: some but not all mass dup
-    val totalDup = out.map(_.getAs[Long]("n_dup_spans")).sum
-    val totalSpans = out.map(_.getAs[Long]("n_spans")).sum
-    assert(totalDup > 0L && totalDup < totalSpans)
-  }
 }

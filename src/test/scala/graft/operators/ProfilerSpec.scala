@@ -334,31 +334,4 @@ class ProfilerSpec extends SparkSpec {
     assert(estErr <= rawErr,
       s"debias must not be worse than raw ($estErr vs $rawErr)")
   }
-
-  test("q301: PII census — seeded answer key replayed per source") {
-    import spark.implicits._
-    val out = Profiler.piiCensus(spark, sf).collect()
-    graft.CacheGuard.release()
-    assert(out.nonEmpty)
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select($"source", $"doc_id").collect() // collect-ok: gate-SF spec replay
-      .map(r => (r.getString(0), r.getLong(1)))
-    // the base corpus is PII-free (verified: zero '@'/digit-run rows),
-    // so the counts are exactly the seeded twins', kind = id/10 mod 3
-    val want = docs.groupBy(_._1).map { case (src, rows) =>
-      val twins = rows.map(_._2).filter(_ % Profiler.piiStride == 0)
-      val kinds = twins.map(id => (id / Profiler.piiStride) % 3)
-      val email = kinds.count(k => k == 0 || k == 2).toLong
-      val phone = kinds.count(k => k == 1 || k == 2).toLong
-      val idrun = kinds.count(_ == 2).toLong
-      (src, rows.length.toLong + twins.length, email, phone, idrun,
-        twins.length.toLong, email + phone + idrun)
-    }.toSet
-    val got = out.map(r => (r.getAs[String]("source"),
-      r.getAs[Long]("n_docs"), r.getAs[Long]("n_email_docs"),
-      r.getAs[Long]("n_phone_docs"), r.getAs[Long]("n_idrun_docs"),
-      r.getAs[Long]("n_pii_docs"), r.getAs[Long]("n_matches"))).toSet
-    assert(got === want)
-    assert(out.map(_.getAs[Long]("n_pii_docs")).sum > 0L)
-  }
 }

@@ -1129,7 +1129,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.exists(!_._2), "trained vocab must contain multi-char pieces")
   }
 
-  test("q303: unigram encode — Viterbi replay from the trained vocab; fertility rollup exact") {
+  test("q298: unigram encode — Viterbi replay from the trained vocab; fertility rollup exact") {
     import spark.implicits._
     val out = TextAnalysis.unigramEncodeFertility(spark, sf).collect()
     graft.CacheGuard.release()

@@ -14,9 +14,11 @@ class ContamGateSpec extends SparkSpec {
     val sparkS = spark
     import sparkS.implicits._
     implicit val sqlCtx = sparkS.sqlContext
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select($"source", $"doc_id", $"text").as[ContamDoc]
-      .collect().sortBy(_.doc_id) // collect-ok: gate-SF spec replay
+    val bm = graft.operators.CorpusOps.benchMod
+    val cm = graft.operators.CorpusOps.contamMod
+    val docs = ContamGate.canaryDocs(spark, sf)
+      .filter($"doc_id" % bm =!= 0)
+      .as[ContamDoc].collect().sortBy(_.doc_id) // collect-ok: gate-SF spec replay
     val bench = ContamGate.benchmarkGrams(spark, sf)
     val mem = MemoryStream[ContamDoc]
     val q = ContamGate.gate(mem.toDS().toDF(), bench)
@@ -31,16 +33,17 @@ class ContamGateSpec extends SparkSpec {
     q.stop()
     val batch = verdicts(ContamGate.contamGateBatch(spark, sf))
     assert(streamed === batch)
-    // the gate genuinely fires: every lifted-slice host doc is dropped,
-    // and most of the corpus is admitted
-    val hosts = docs.filter(d =>
-      d.doc_id % graft.operators.CorpusOps.contamStride == 0 &&
-        d.text != null && d.text.split("\\s+").count(_.nonEmpty) >=
-          graft.operators.CorpusOps.contamSliceFrom +
-            graft.operators.CorpusOps.contamSliceLen)
-    assert(hosts.nonEmpty)
-    hosts.foreach(d => assert(!batch(d.doc_id)._3,
-      s"host doc ${d.doc_id} must be gated"))
+    // the gate genuinely fires: every canary-planted train doc (the q61
+    // designed-contaminated slice) is dropped, and most docs are admitted
+    val contaminated = docs.filter(_.doc_id % cm == 0)
+    assert(contaminated.nonEmpty)
+    contaminated.foreach(d => assert(!batch(d.doc_id)._3,
+      s"contaminated train doc ${d.doc_id} must be gated"))
     assert(batch.values.count(_._3) > batch.size / 2)
+    // the canary contributes exactly its 8-gram windows to the hit count
+    val canaryGrams = graft.operators.CorpusOps.contaminationCanary
+      .split(" ").length - ContamGate.gateGramN + 1
+    assert(canaryGrams >= 1)
+    contaminated.foreach(d => assert(batch(d.doc_id)._2 >= canaryGrams))
   }
 }
