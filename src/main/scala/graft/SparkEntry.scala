@@ -389,6 +389,8 @@ object SparkEntry {
       TextAnalysis.unigramEncodeFertility(s, d)),
     "q299_contam_gate" -> ((s, d) =>
       graft.streaming.ContamGate.contamGateBatch(s, d)),
+    "q300_weighted_jaccard" -> ((s, d) =>
+      DedupOps.weightedJaccardRescore(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9159,6 +9161,45 @@ object SparkEntry {
          |FROM tr t LEFT JOIN hits h USING (source, doc_id)
          |ORDER BY t.doc_id""".stripMargin
     },
+
+    // weighted (multiset) Jaccard rescoring of the tau>=0.5 candidate
+    // pairs: sum min(tf) over the token INTERSECTION only; sum max
+    // derived as tot_a + tot_b - sum min; gap vs the r4 estimate in
+    // millionths (half-up floor recovers the exact integer)
+    "q300_weighted_jaccard" ->
+      s"""WITH $minHashCtesSql,
+         |prs AS MATERIALIZED (
+         |  SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5),
+         |tfr AS MATERIALIZED (
+         |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(tk) AS w
+         |    FROM (SELECT doc_id, $toksSql AS tk FROM corpus) tq) z
+         |  GROUP BY doc_id, w),
+         |tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tot
+         |        FROM tfr GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS n_shared_types,
+         |    CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS s_min
+         |  FROM prs p
+         |  JOIN tfr ta ON ta.doc_id = p.a
+         |  JOIN tfr tb ON tb.doc_id = p.b AND tb.w = ta.w
+         |  GROUP BY p.a, p.b)
+         |SELECT p.a, p.b,
+         |  coalesce(i.n_shared_types, 0) AS n_shared_types,
+         |  coalesce(i.s_min, 0) AS s_min,
+         |  x.tot AS tot_a, y.tot AS tot_b, p.est_jaccard,
+         |  coalesce(i.s_min, 0) * 1000000
+         |    // greatest(x.tot + y.tot - coalesce(i.s_min, 0), 1)
+         |    AS w_jaccard_u6,
+         |  CAST(floor(p.est_jaccard * 1e6 + 0.5) AS BIGINT)
+         |    - coalesce(i.s_min, 0) * 1000000
+         |      // greatest(x.tot + y.tot - coalesce(i.s_min, 0), 1)
+         |    AS gap_u6
+         |FROM prs p
+         |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+         |JOIN tot x ON x.doc_id = p.a
+         |JOIN tot y ON y.doc_id = p.b
+         |ORDER BY p.a, p.b""".stripMargin,
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

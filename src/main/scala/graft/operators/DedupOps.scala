@@ -2231,4 +2231,62 @@ object DedupOps {
       .orderBy($"keeper")
   }
 
+  /** WEIGHTED-JACCARD RESCORING (q300) — the MULTISET similarity the
+    * whole MinHash family ignores: q55/q114/q175 treat documents as
+    * token/shingle SETS, so a boilerplate token repeated 40 times and a
+    * rare term occurring once weigh the same. Weighted (multiset)
+    * Jaccard — Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b) — is what
+    * tf-aware dedup policies actually rank by (Ioffe 2010 samples it;
+    * here the LSH candidate set is already bounded, so the EXACT value
+    * is affordable and sampling error never enters the hash). Using
+    * Σ max = tot_a + tot_b − Σ min, only the token INTERSECTION is ever
+    * joined — no per-pair union materializes. Output per τ≥0.5
+    * candidate pair: shared token types, Σ min mass, doc masses, the
+    * exact weighted Jaccard in millionths, and its gap from the
+    * signature estimate (positive gap = repetition made the pair look
+    * MORE similar than its multiset truly is).
+    *
+    * Scale shape: one (doc, token)-keyed tf aggregation; the candidate
+    * pairs join tf on each side token-aligned — O(candidate pairs ×
+    * shared tokens), the same bounded shape as q294's within-cluster
+    * election; one pair-keyed rollup. Never Ω(all pairs): candidates
+    * come banded and capped from the q55 chain. */
+  def weightedJaccardRescore(spark: SparkSession, dir: String,
+                             threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.CacheGuard.barrier(
+      minHashLshPairsOracled(spark, dir, threshold = threshold)
+        .select($"a", $"b", $"est_jaccard"))
+    val tf = graft.CacheGuard.barrier(
+      dupCorpus(spark, dir)
+        .select($"doc_id", explode(tokens($"text")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf")))
+    val tot = tf.groupBy($"doc_id").agg(sum($"tf").as("tot"))
+    val inter = pairs
+      .join(tf.select($"doc_id".as("a"), $"w", $"tf".as("tf_a")), "a")
+      .join(tf.select($"doc_id".as("b"), $"w", $"tf".as("tf_b")),
+        Seq("b", "w"))
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("n_shared_types"),
+        sum(least($"tf_a", $"tf_b")).as("s_min"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .join(tot.select($"doc_id".as("a"), $"tot".as("tot_a")), "a")
+      .join(tot.select($"doc_id".as("b"), $"tot".as("tot_b")), "b")
+      .select($"a", $"b",
+        coalesce($"n_shared_types", lit(0L)).as("n_shared_types"),
+        coalesce($"s_min", lit(0L)).as("s_min"),
+        $"tot_a", $"tot_b", $"est_jaccard")
+      .withColumn("w_jaccard_u6",
+        expr("s_min * 1000000 div greatest(tot_a + tot_b - s_min, 1)"))
+      // estimate in the same millionth units: est_jaccard is r4-snapped
+      // (k/10⁴), but k/10⁴·10⁶ is not exactly representable — half-up
+      // floor recovers the integer exactly in both engines;
+      // gap > 0 ⇔ the set view overstates similarity
+      .withColumn("gap_u6",
+        floor($"est_jaccard" * 1e6 + lit(0.5)).cast("long")
+          - $"w_jaccard_u6")
+      .orderBy($"a", $"b")
+  }
+
 }

@@ -338,6 +338,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p.take(3000))
   }
 
+  test("q300 weighted Jaccard: intersection-only pair join, partial-first rollup, no cartesian; only the inherited band-cap window") {
+    val p = plan(DedupOps.weightedJaccardRescore(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the rescoring adds ZERO windows of its own: every Window in the
+    // plan is the q55 chain's band-registration row_number, printed
+    // once per reference to the cached pair chain (it is referenced
+    // twice: intersection join + final projection)
+    def windows(s: String) = "\\(\\d+\\) Window".r.findAllIn(s).size
+    val chainWindows = windows(plan(
+      DedupOps.minHashLshPairsOracled(spark, sf)))
+    graft.CacheGuard.release()
+    assert(chainWindows >= 1, "chain shape changed?")
+    assert(windows(p) <= 2 * chainWindows, p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
   test("q299 contamination gate: stateless per-row verdict — the only joins are 1-row broadcasts, no aggregation before the verdict") {
     val p = plan(graft.streaming.ContamGate.contamGateBatch(spark, sf))
     graft.CacheGuard.release()

@@ -1247,4 +1247,40 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("analytic_p_u4") === 10000L)
     }
   }
+
+  test("q300: weighted Jaccard — exact multiset replay per candidate pair; dup twins at 1.0") {
+    import spark.implicits._
+    val out = DedupOps.weightedJaccardRescore(spark, sf).collect()
+    graft.CacheGuard.release()
+    assert(out.nonEmpty)
+    // driver replay over the doubled corpus
+    val tf = DedupOps.dupCorpus(spark, sf)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("tk"))
+      .collect() // collect-ok: gate-SF spec replay
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).groupBy(identity).view.mapValues(_.length.toLong).toMap)
+      .toMap
+    out.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val (ta, tb) = (tf(a), tf(b))
+      val shared = ta.keySet.intersect(tb.keySet)
+      val sMin = shared.toSeq.map(w => math.min(ta(w), tb(w))).sum
+      val (totA, totB) = (ta.values.sum, tb.values.sum)
+      assert(r.getAs[Long]("n_shared_types") === shared.size.toLong)
+      assert(r.getAs[Long]("s_min") === sMin)
+      assert(r.getAs[Long]("tot_a") === totA)
+      assert(r.getAs[Long]("tot_b") === totB)
+      val wj = sMin * 1000000L / math.max(totA + totB - sMin, 1L)
+      assert(r.getAs[Long]("w_jaccard_u6") === wj)
+      assert(r.getAs[Long]("gap_u6") ===
+        math.floor(r.getAs[Double]("est_jaccard") * 1e6 + 0.5).toLong - wj)
+    }
+    // every exact-dup twin pair (b = a + dupOffset) is weighted-identical
+    val twins = out.filter(r =>
+      r.getAs[Long]("b") === r.getAs[Long]("a") + DedupOps.dupOffset)
+    assert(twins.nonEmpty)
+    twins.foreach(r => assert(r.getAs[Long]("w_jaccard_u6") === 1000000L))
+    // and the multiset view genuinely diverges from the set estimate
+    assert(out.exists(_.getAs[Long]("gap_u6") != 0L))
+  }
 }
