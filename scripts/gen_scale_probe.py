@@ -80,7 +80,10 @@ def shifted(table: pa.Table, name: str, r: int, mode: str = "clique") -> pa.Tabl
         for did, txt in zip(ids, texts):
             base_id = did - r * STRIDE
             if base_id % 20 == 0 and r <= 3:  # 5% dup-seeded, clique ≤ 4
-                out.append(None if txt is None else f"{txt} zr{r}")
+                # NULL text still gets the replica marker (mirrors the
+                # clique-mode coalesce) so base and replica fingerprints
+                # stay distinct for exact-dup operators.
+                out.append(f"zr{r}" if txt is None else f"{txt} zr{r}")
             else:
                 out.append(novel(txt, did))
         arr = pa.array(out, type=table.schema.field(i).type)

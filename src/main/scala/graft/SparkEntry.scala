@@ -8866,15 +8866,19 @@ object SparkEntry {
     // (HUGEINT / DECIMAL(38) cross products — the q212 precedent,
     // INTERNAL only since round 13: raw wide-integer output columns
     // hash-render differently across engines); the one float op is the
-    // final r4-snapped division. A seeded disassortative star (hub
-    // 1000000, one leaf per document) de-degenerates the clique-bag
-    // fixture so gate-SF r is fractional, not exactly +1.
+    // final r4-snapped division. A seeded disassortative star (hub and
+    // leaf ids derived from MAX(doc_id) so the namespace is provably
+    // collision-free on any corpus; one leaf per document)
+    // de-degenerates the clique-bag fixture so gate-SF r is
+    // fractional, not exactly +1.
     "q292_assortativity" ->
       s"""WITH $minHashCtesSql,
          |edg0 AS (SELECT a, b FROM est WHERE est_jaccard >= 0.2),
-         |star AS (SELECT CAST(${Components.starHubId} AS BIGINT) AS a,
-         |           doc_id + ${Components.starLeafOffset} AS b
-         |         FROM documents),
+         |mx AS (SELECT MAX(doc_id) AS maxid FROM documents),
+         |star AS (SELECT CAST(maxid + ${2L * DedupOps.dupOffset + 1L}
+         |             AS BIGINT) AS a,
+         |           doc_id + maxid + ${3L * DedupOps.dupOffset + 1L} AS b
+         |         FROM documents CROSS JOIN mx),
          |edg AS MATERIALIZED (SELECT a, b FROM edg0
          |        UNION ALL SELECT a, b FROM star),
          |symd AS MATERIALIZED (SELECT a AS src, b AS dst FROM edg

@@ -162,11 +162,33 @@ object Components {
     * where u is the triangle's unique orientation source and v < w.
     * Each triangle appears exactly once; the corner multiset {u,v,w}
     * is identical to any other exactly-once enumeration's. */
-  def orientedTriangles(edges: DataFrame): DataFrame = {
+  def orientedTriangles(edges: DataFrame): DataFrame =
+    orientedTrianglesFrom(edges, edgeDegrees(edges))
+
+  /** Per-node degrees of a canonical (a < b) edge relation in ONE pass:
+    * full degree `dg` plus the higher-id out-degree `dout` (the
+    * id-oriented wedge-source count). THE shared degree relation of the
+    * graph family (round-13 verdict ask #1): [[triangleCensus]] derives
+    * its closed-form wedge count from `dout` and the orientation its
+    * (degree, id) order from `dg` off the SAME caller-barriered frame,
+    * so the degree aggregation — the orientation's constant-factor cost
+    * at small SF — is paid once per query instead of once per consumer
+    * (q285 used to compute the identical relation twice). */
+  def edgeDegrees(edges: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
-    val deg = edges.select($"a".as("node"))
-      .unionByName(edges.select($"b".as("node")))
-      .groupBy($"node").agg(count(lit(1)).as("dg"))
+    edges.select(explode(array(
+        struct($"a".as("node"), lit(1L).as("lo")),
+        struct($"b".as("node"), lit(0L).as("lo")))).as("e"))
+      .groupBy($"e.node".as("node"))
+      .agg(count(lit(1)).as("dg"), sum($"e.lo").as("dout"))
+  }
+
+  /** [[orientedTriangles]] over a CALLER-built degree relation (from
+    * [[edgeDegrees]], typically barriered) — distinct name, no default
+    * args: the round-13 five-duplicate incident showed defaulted
+    * overloads silently capture existing call sites. */
+  def orientedTrianglesFrom(edges: DataFrame, deg: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
     // point each edge at its higher-(degree, id) endpoint — acyclic
     val oriented = edges
       .join(deg.select($"node".as("a"), $"dg".as("da")), "a")
@@ -190,13 +212,14 @@ object Components {
   def triangleCensus(edges: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
     val cached = graft.CacheGuard.barrier(edges)
-    // id-oriented wedge count in closed form: Σ_u C(d⁺(u), 2) over
-    // higher-id neighbor counts (null → 0 on an edgeless graph)
-    val wedgeCount = cached.groupBy($"a")
-      .agg(count(lit(1)).as("dout"))
+    val deg = graft.CacheGuard.barrier(edgeDegrees(cached))
+    // id-oriented wedge count in closed form: Σ_u C(d⁺(u), 2) from the
+    // SHARED degree relation's dout (null → 0 on an edgeless graph) —
+    // no separate pass over the edge list
+    val wedgeCount = deg
       .agg(coalesce(sum(expr("dout * (dout - 1) div 2")), lit(0L))
         .as("n_wedges"))
-    val triCount = orientedTriangles(cached)
+    val triCount = orientedTrianglesFrom(cached, deg)
       .agg(count(lit(1)).as("n_triangles"))
     cached.agg(count(lit(1)).as("n_edges"))
       .crossJoin(wedgeCount).crossJoin(triCount)
@@ -1107,16 +1130,16 @@ object Components {
     val edges = graft.CacheGuard.barrier(
       DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
         .select($"a", $"b")) // canonical a < b
-    val deg = edges.select($"a".as("node"))
-      .unionByName(edges.select($"b".as("node")))
-      .groupBy($"node").agg(count(lit(1)).as("k"))
-    val tri = orientedTriangles(edges)
+    // ONE degree relation for both the per-node k and the orientation
+    // (round-13 ask #1 — this used to be computed twice per q285 run)
+    val deg = graft.CacheGuard.barrier(edgeDegrees(edges))
+    val tri = orientedTrianglesFrom(edges, deg)
     val perNode = tri.select(explode(array($"u", $"v", $"w")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("n_tri"))
     deg.join(perNode, Seq("node"), "left")
-      .select($"node".as("doc_id"), $"k".as("degree"),
+      .select($"node".as("doc_id"), $"dg".as("degree"),
         coalesce($"n_tri", lit(0L)).as("n_triangles"),
-        expr("k * (k - 1) div 2").as("possible"))
+        expr("dg * (dg - 1) div 2").as("possible"))
       .withColumn("lcc_u4",
         when($"possible" > 0L, expr("n_triangles * 10000 div possible"))
           .otherwise(lit(0L)))
@@ -1142,24 +1165,43 @@ object Components {
     * Fixture (round-13): the similarity graph alone is a bag of
     * replica cliques — uniform endpoint degrees force r = exactly +1,
     * so the declared query never exercised the fractional range. A
-    * seeded disassortative STAR (hub `starHubId`, one leaf per corpus
-    * document at `doc_id + starLeafOffset` — ids outside every other
-    * fixture namespace and below the probe stride) mixes hub→leaf
+    * seeded disassortative STAR (hub `starHub(maxId)`, one leaf per
+    * corpus document at `doc_id + starLeafOff(maxId)` — ids provably
+    * outside every other fixture namespace) mixes hub→leaf
     * degree (n,1) pairs into the clique mass, pushing gate-SF r into
     * the open interval (−1, 1) \ {0}; O(docs) extra edges, linear.
     *
     * Scale shape: one degree aggregation, one edges→degree join per
     * side, one global integer-sum aggregate — all map-side partial;
     * nothing is materialized beyond O(edges) flowing rows. */
-  val starHubId = 1000000L
-  val starLeafOffset = 1100000L
+  /** Star namespace, DERIVED (round-13 advice): the old fixed ids
+    * (hub 1000000, leaves +1100000) claimed non-collision with real doc
+    * ids, dup-twin ids (doc_id + k·dupOffset), and probe-replica
+    * strides only in a comment — a corpus with doc_id ≥ 900000 would
+    * have silently aliased the hub. Deriving from max(doc_id) makes the
+    * claim a theorem: graph nodes ⊆ [0, maxId + dupOffset] (the q55
+    * corpus-with-twins id space), hub = maxId + 2·dupOffset + 1 clears
+    * that, and leaves = doc_id + (maxId + 3·dupOffset + 1) clear the
+    * hub for any doc_id ≥ 0 (guarded per-row below). Degrees — hence
+    * every shipped column — are id-value-independent, so the change is
+    * hash-neutral on any collision-free corpus. */
+  def starHub(maxId: Long): Long = maxId + 2L * DedupOps.dupOffset + 1L
+  def starLeafOff(maxId: Long): Long = maxId + 3L * DedupOps.dupOffset + 1L
 
   def degreeAssortativity(spark: SparkSession, dir: String,
                           threshold: Double = 0.2): DataFrame = {
     import spark.implicits._
-    val star = spark.read.parquet(s"$dir/documents.parquet")
-      .select(lit(starHubId).as("a"),
-        ($"doc_id" + starLeafOffset).as("b"))
+    val docIds = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id")
+    // collect-ok: one parquet-statistics MAX — the O(1) scalar that makes
+    // the star namespace provably disjoint (see starHub scaladoc)
+    val maxId = docIds.agg(max($"doc_id")).head.getLong(0)
+    val star = docIds
+      .where(coalesce(assert_true($"doc_id" >= 0L,
+        lit("degreeAssortativity: negative doc_id breaks the derived " +
+          "star-namespace disjointness proof")), lit(true)))
+      .select(lit(starHub(maxId)).as("a"),
+        ($"doc_id" + starLeafOff(maxId)).as("b"))
     val edges = graft.CacheGuard.barrier(
       DedupOps.minHashLshPairsOracled(spark, dir, threshold = threshold)
         .select($"a", $"b")

@@ -1661,9 +1661,17 @@ object TextAnalysis {
   /** The trained unigram vocabulary (piece, cnt, cost_u6) after the
     * full EM prune schedule — the q297 core, reused by the q298
     * encoder. */
-  def unigramTrainedCosts(spark: SparkSession, dir: String): DataFrame = {
+  def unigramTrainedCosts(spark: SparkSession, dir: String): DataFrame =
+    trainedCostsFromDict(spark, unigramWordDict(spark, dir))
+
+  /** Core of [[unigramTrainedCosts]] over a CALLER-built (barriered)
+    * word dictionary — q298 threads its dict through here so one query
+    * holds a single barrier per relation (round-13 advice: the encoder
+    * used to call [[unigramWordDict]] a second time, double-caching the
+    * identical plan). */
+  private def trainedCostsFromDict(spark: SparkSession,
+                                   wd: DataFrame): DataFrame = {
     import spark.implicits._
-    val wd = unigramWordDict(spark, dir)
     val sub = graft.CacheGuard.barrier(wd
       .select($"w", $"c", explode(sequence(lit(1), length($"w"))).as("i"))
       .select($"w", $"c", $"i",
@@ -1721,10 +1729,10 @@ object TextAnalysis {
     * broadcastable) and collapses to one source-keyed rollup. */
   def unigramEncodeFertility(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pc = unigramTrainedCosts(spark, dir)
+    val wd = unigramWordDict(spark, dir)
+    val pc = trainedCostsFromDict(spark, wd)
     val pcMap = pc.agg(map_from_entries(
       collect_list(struct($"piece", $"cost_u6"))).as("pm"))
-    val wd = unigramWordDict(spark, dir)
     val enc = graft.CacheGuard.barrier(
       wd.crossJoin(broadcast(pcMap))
         .select($"w", viterbiBest($"w", $"pm").as("b"))

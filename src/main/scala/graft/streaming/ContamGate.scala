@@ -66,7 +66,11 @@ object ContamGate {
     * `writeStream` in append mode with no state store and no shuffle. */
   def gate(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val bmap = benchGrams.agg(map_from_entries(
+    // distinct() BEFORE map_from_entries: under Spark's default
+    // mapKeyDedupPolicy=EXCEPTION a duplicate gram key throws at
+    // runtime, so the public API must not rely on the caller having
+    // deduplicated (benchmarkGrams does, arbitrary callers may not).
+    val bmap = benchGrams.distinct().agg(map_from_entries(
       collect_list(struct($"gram", lit(1L)))).as("bm"))
     docs
       .crossJoin(broadcast(bmap))

@@ -727,9 +727,12 @@ class ComponentsSpec extends SparkSpec {
     // no wide-integer columns ship (the round-12 DECIMAL hash-render class)
     assert(!r.schema.fields.exists(
       _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
-    val starLeaves = spark.read.parquet(s"$sf/documents.parquet")
+    val docIds = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id").collect() // collect-ok: gate-SF spec replay
-      .map(x => (Components.starHubId, x.getLong(0) + Components.starLeafOffset))
+      .map(_.getLong(0))
+    val maxId = docIds.max
+    val starLeaves = docIds
+      .map(x => (Components.starHub(maxId), x + Components.starLeafOff(maxId)))
     val edges = DedupOps.minHashLshPairsOracled(spark, sf, threshold = 0.2)
       .select($"a", $"b").collect() // collect-ok: gate-SF spec replay
       .map(e => (e.getLong(0), e.getLong(1))) ++ starLeaves
