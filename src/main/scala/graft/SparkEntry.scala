@@ -391,6 +391,8 @@ object SparkEntry {
       graft.streaming.ContamGate.contamGateBatch(s, d)),
     "q300_weighted_jaccard" -> ((s, d) =>
       DedupOps.weightedJaccardRescore(s, d)),
+    "q301_media_phash_classes" -> ((s, d) => Multimodal.phashClasses(s, d)),
+    "q302_media_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -591,6 +593,62 @@ object SparkEntry {
        |    FROM shblocks x JOIN shblocks y
        |      ON x.bk = y.bk AND x.doc_id < y.doc_id) z
        |  WHERE bit_count(x) <= $simHammingMax)""".stripMargin
+  }
+
+  /** The perceptual-fingerprint chain (q301/q302): corpus + brightness
+    * twins (offset DERIVED as max(doc_id)+1, the q292 discipline) →
+    * per-media dHash / audio energy-sign fingerprint replayed from the
+    * generation laws (the engine computes the same bits through the
+    * REAL codecs) → distinct-hash classes with keeper election. Ends at
+    * CTEs `phf` (media_id, kind, phash) and `phcls` (kind, phash,
+    * class_size, keeper_id). */
+  private lazy val phashCtesSql: String = {
+    import Multimodal.{phashDupMod, phashGrayShift, phashGrid, audioFpWindows}
+    val gm = phashGrid     // 8: dHash grid
+    val aw = audioFpWindows // 33: energy windows
+    s"""phd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+       |phoff AS (SELECT max(doc_id) + 1 AS o FROM phd),
+       |phg AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) AS g
+       |  FROM phd),
+       |phm AS (
+       |  SELECT doc_id AS base_id, doc_id AS media_id, 0 AS gs FROM phd
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + (SELECT o FROM phoff), $phashGrayShift
+       |  FROM phd WHERE doc_id % $phashDupMod = 0),
+       |phf AS MATERIALIZED (
+       |  SELECT media_id,
+       |    CASE WHEN base_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       |    CAST(CASE WHEN base_id % 2 = 0 THEN
+       |      coalesce(list_sum(flatten(list_transform(range(0, $gm), y ->
+       |        list_transform(range(0, ${gm - 1}), x ->
+       |          CASE WHEN (3*(((x+1)*(1 + base_id % 8))//$gm)
+       |                     + 5*((y*(1 + base_id % 5))//$gm) + gg) % 256
+       |                  > (3*((x*(1 + base_id % 8))//$gm)
+       |                     + 5*((y*(1 + base_id % 5))//$gm) + gg) % 256
+       |          THEN CAST(1 AS BIGINT) << CAST(y*${gm - 1} + x AS INTEGER)
+       |          ELSE CAST(0 AS BIGINT) END)))), 0)
+       |    ELSE
+       |      coalesce(list_sum(list_transform(range(0, ${aw - 1}), wi ->
+       |        CASE WHEN
+       |          coalesce(list_sum(list_transform(
+       |            range(((wi+1)*(16 + base_id % 32))//$aw,
+       |                  ((wi+2)*(16 + base_id % 32))//$aw),
+       |            i -> (7*i + gg) % 256)), 0)
+       |          > coalesce(list_sum(list_transform(
+       |            range((wi*(16 + base_id % 32))//$aw,
+       |                  ((wi+1)*(16 + base_id % 32))//$aw),
+       |            i -> (7*i + gg) % 256)), 0)
+       |        THEN CAST(1 AS BIGINT) << CAST(wi AS INTEGER)
+       |        ELSE CAST(0 AS BIGINT) END)), 0)
+       |    END AS BIGINT) AS phash
+       |  FROM (SELECT m0.base_id, m0.media_id, (g.g + m0.gs) % 256 AS gg
+       |        FROM phm m0 JOIN phg g ON g.doc_id = m0.base_id) m),
+       |phcls AS MATERIALIZED (
+       |  SELECT kind, phash, CAST(count(*) AS BIGINT) AS class_size,
+       |    min(media_id) AS keeper_id
+       |  FROM phf GROUP BY kind, phash)""".stripMargin
   }
 
   /** The BPE training chain (corpus → word-frequency dictionary →
@@ -9204,6 +9262,52 @@ object SparkEntry {
          |JOIN tot x ON x.doc_id = p.a
          |JOIN tot y ON y.doc_id = p.b
          |ORDER BY p.a, p.b""".stripMargin,
+
+    // per-media perceptual fingerprint through the render laws (real
+    // codecs on the engine side), exact-hash classes + keeper election
+    "q301_media_phash_classes" ->
+      s"""WITH $phashCtesSql
+         |SELECT f.media_id, f.kind, f.phash, c.class_size, c.keeper_id,
+         |  f.media_id = c.keeper_id AS is_keeper
+         |FROM phf f JOIN phcls c USING (kind, phash)
+         |ORDER BY f.media_id""".stripMargin,
+
+    // Hamming-banded near-dup edges BETWEEN distinct fingerprint
+    // classes (q159's banding one level up), hot blocks capped
+    "q302_media_phash_pairs" -> {
+      import Multimodal.{phashBlockCap, phashHammingMax,
+        phashImgBands, phashImgBandBits, phashAudBands, phashAudBandBits}
+      s"""WITH $phashCtesSql,
+         |phbk AS (
+         |  SELECT kind, phash, class_size, keeper_id,
+         |    kind || ':' || CAST(b.b AS VARCHAR) || ':' ||
+         |      CAST((phash >> CAST(b.b *
+         |        (CASE WHEN kind = 'image' THEN $phashImgBandBits
+         |              ELSE $phashAudBandBits END) AS INTEGER))
+         |        & (CASE WHEN kind = 'image'
+         |           THEN ${(1L << phashImgBandBits) - 1}
+         |           ELSE ${(1L << phashAudBandBits) - 1} END)
+         |        AS VARCHAR) AS bk
+         |  FROM phcls CROSS JOIN range(0,
+         |    ${math.max(phashImgBands, phashAudBands)}) b(b)
+         |  WHERE b.b < CASE WHEN kind = 'image' THEN $phashImgBands
+         |                   ELSE $phashAudBands END),
+         |phok AS (SELECT bk FROM phbk GROUP BY bk
+         |         HAVING count(*) <= $phashBlockCap),
+         |phbl AS (SELECT k.* FROM phbk k JOIN phok USING (bk)),
+         |php AS (
+         |  SELECT kind, keeper_a, keeper_b, size_a, size_b,
+         |    CAST(bit_count(x) AS BIGINT) AS hamming
+         |  FROM (
+         |    SELECT DISTINCT x.kind AS kind, x.keeper_id AS keeper_a,
+         |      y.keeper_id AS keeper_b, x.class_size AS size_a,
+         |      y.class_size AS size_b, xor(x.phash, y.phash) AS x
+         |    FROM phbl x JOIN phbl y
+         |      ON x.bk = y.bk AND x.keeper_id < y.keeper_id) z
+         |  WHERE bit_count(x) <= $phashHammingMax)
+         |SELECT kind, keeper_a, keeper_b, size_a, size_b, hamming
+         |FROM php ORDER BY kind, keeper_a, keeper_b""".stripMargin
+    },
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

@@ -67,8 +67,15 @@ object Multimodal {
 
   /** Render the deterministic grayscale image for one doc and encode it
     * as a real PNG via the JDK codec. */
-  def renderPng(id: Long, text: String): Array[Byte] = {
-    val (w, h, g) = (ImageLaw.width(id), ImageLaw.height(id), ImageLaw.gray(text))
+  def renderPng(id: Long, text: String): Array[Byte] =
+    renderPngGray(id, ImageLaw.gray(text))
+
+  /** [[renderPng]] with the base gray supplied directly — the seam the
+    * perceptual-dedup corpus uses to seed brightness-shifted twins
+    * (same dims, every pixel +δ) without needing a text whose md5 hits
+    * the shifted value. */
+  def renderPngGray(id: Long, g: Int): Array[Byte] = {
+    val (w, h) = (ImageLaw.width(id), ImageLaw.height(id))
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
@@ -85,8 +92,12 @@ object Multimodal {
 
   /** Render the deterministic PCM clip for one doc and wrap it in a real
     * WAV (RIFF) container via the JDK sound API. */
-  def renderWav(id: Long, text: String): Array[Byte] = {
-    val g = ImageLaw.gray(text)
+  def renderWav(id: Long, text: String): Array[Byte] =
+    renderWavGray(id, ImageLaw.gray(text))
+
+  /** [[renderWav]] with the base gray supplied directly (see
+    * [[renderPngGray]]) — the audio twin is a DC-offset copy. */
+  def renderWavGray(id: Long, g: Int): Array[Byte] = {
     val n = AudioLaw.frames(id)
     val samples = Array.tabulate[Byte](n)(i => AudioLaw.sample(i, g).toByte)
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
@@ -531,5 +542,200 @@ object Multimodal {
         element_at($"sums", ($"col" + 1).cast("int")).as("frame_sum"),
         $"n_frames", $"n_scenes")
       .orderBy($"media_id", $"frame_idx")
+  }
+
+  /** Perceptual-hash near-dup knobs (round-14): the media analog of the
+    * q55/q159 text dedup ladder — the reference's image pipeline
+    * (`reddit_image_scraper.py:26-27,63-64`) selects and stores image
+    * bytes but never dedups them; byte hashing cannot (recompression /
+    * brightness changes every byte), so the hash must be computed over
+    * the DECODED raster/PCM.
+    *
+    * Image fingerprint: dHash (difference hash) — nearest-neighbor
+    * resample of the decoded raster to a fixed [[phashGrid]]×[[phashGrid]]
+    * grid, one bit per horizontally-adjacent cell pair
+    * (`right > left`), 8 rows × 7 comparisons = 56 bits. Invariant to
+    * uniform brightness shifts except where a +δ wraps mod 256 — exactly
+    * the tolerance a perceptual hash is for.
+    *
+    * Audio fingerprint: per-window PCM energy signs (the Haitsma–Kalker
+    * shape) — the decoded sample stream is cut into [[audioFpWindows]]
+    * equal windows, one bit per adjacent-window energy comparison
+    * (`e(w+1) > e(w)`), 32 bits. A DC-offset copy flips only the bits
+    * whose window sizes differ (n not divisible by 33) or wrap.
+    *
+    * Every per-seed twin is a BRIGHTNESS/DC-SHIFTED copy ([[phashGrayShift]]
+    * added to the base gray): different payload bytes, different pixel
+    * values, near-identical fingerprint — ground truth byte hashing
+    * cannot see. Both fingerprint laws are SQL-expressible, so the
+    * oracle replays render→decode→hash without a codec. */
+  val phashDupMod = 16L
+  val phashGrayShift = 3
+  val phashGrid = 8
+  val audioFpWindows = 33
+  /** Banding params per kind: d ≤ [[phashHammingMax]] < #bands, so the
+    * pigeonhole recall guarantee (one intact band per near pair) holds
+    * for both widths. */
+  val phashImgBands = 7 // × 8 bits = 56
+  val phashImgBandBits = 8
+  val phashAudBands = 8 // × 4 bits = 32
+  val phashAudBandBits = 4
+  val phashHammingMax = 6
+  val phashBlockCap = 20
+
+  /** dHash over a REAL decoded raster: fixed-grid nearest-neighbor
+    * resample, adjacent-cell comparison bits packed little-endian
+    * (bit y*(grid−1)+x). 56 bits — the sign bit is never touched. */
+  def dHash(img: BufferedImage): Long = {
+    val (w, h, raster) = (img.getWidth, img.getHeight, img.getRaster)
+    var bits = 0L
+    var y = 0
+    while (y < phashGrid) {
+      val sy = y * h / phashGrid
+      var x = 0
+      while (x < phashGrid - 1) {
+        val l = raster.getSample(x * w / phashGrid, sy, 0)
+        val r = raster.getSample((x + 1) * w / phashGrid, sy, 0)
+        if (r > l) bits |= 1L << (y * (phashGrid - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Energy-sign fingerprint over a REAL decoded PCM stream: 33 equal
+    * windows (empty when frames < windows — deterministic zeros), one
+    * bit per adjacent-window energy comparison. 32 bits. */
+  def audioFingerprint(samples: Array[Int]): Long = {
+    val n = samples.length
+    val w = audioFpWindows
+    val energy = Array.tabulate(w) { wi =>
+      var s = 0L
+      var i = wi * n / w
+      val hi = (wi + 1) * n / w
+      while (i < hi) { s += samples(i); i += 1 }
+      s
+    }
+    var bits = 0L
+    var wi = 0
+    while (wi < w - 1) {
+      if (energy(wi + 1) > energy(wi)) bits |= 1L << wi
+      wi += 1
+    }
+    bits
+  }
+
+  /** One perceptual fingerprint per media row, computed through the REAL
+    * codecs (render → PNG/WAV bytes → `ImageIO`/`AudioSystem` decode →
+    * hash over the decoded raster/PCM). Every `phashDupMod`-th document
+    * seeds a brightness-shifted twin at `doc_id + (max(doc_id) + 1)` —
+    * the offset is DERIVED from the corpus (q292 discipline: provably
+    * collision-free on any corpus, including probe-replica strides),
+    * and the oracle replays the same `max(doc_id) + 1`. */
+  case class PhashRow(media_id: Long, kind: String, phash: Long)
+
+  def perceptualHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
+    val off = docs.agg((max($"doc_id") + 1L).as("__off"))
+    val corpus = docs
+      .select($"doc_id".as("base_id"), $"doc_id".as("media_id"), $"text",
+        lit(0).as("gshift"))
+      .unionByName(
+        docs.filter($"doc_id" % phashDupMod === 0)
+          .crossJoin(broadcast(off))
+          .select($"doc_id".as("base_id"), ($"doc_id" + $"__off").as("media_id"),
+            $"text", lit(phashGrayShift).as("gshift")))
+    corpus.as[(Long, Long, String, Int)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (baseId, mediaId, text, gshift) =>
+          val g = (ImageLaw.gray(text) + gshift) % 256
+          if (baseId % 2 == 0) {
+            val img = ImageIO.read(
+              new ByteArrayInputStream(renderPngGray(baseId, g)))
+            if (img == null)
+              throw new IllegalArgumentException("undecodable image payload")
+            PhashRow(mediaId, "image", dHash(img))
+          } else {
+            val (_, _, samples) = decodeWav(renderWavGray(baseId, g))
+            PhashRow(mediaId, "audio", audioFingerprint(samples))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** q301 — EXACT perceptual dedup: group by (kind, fingerprint), elect
+    * the min-media_id keeper (q18's deterministic representative), one
+    * audit row per media row. The synthetic corpus is genuinely
+    * perceptually redundant (dims cycle mod 8×5, the hash sees structure
+    * not absolute brightness), so classes are large — precisely what a
+    * perceptual collapse is for. Brightness twins whose shift crosses no
+    * mod-256 wrap land in their base's class at Hamming 0 (the rest are
+    * q302's near edges).
+    *
+    * Scale shape: ONE codec pass (mapPartitions lifecycle), barriered
+    * because class stats and the audit join both consume it; the dedup
+    * is one hash-keyed partial-aggregated shuffle (classes are
+    * O(perceptual diversity), not O(corpus)); audit join key-equi on the
+    * same columns — the q18/q165 shape with a perceptual key. */
+  def phashClasses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = graft.CacheGuard.barrier(perceptualHashes(spark, dir))
+    val cls = ph.groupBy($"kind", $"phash")
+      .agg(count(lit(1)).as("class_size"), min($"media_id").as("keeper_id"))
+    ph.join(cls, Seq("kind", "phash"))
+      .select($"media_id", $"kind", $"phash", $"class_size", $"keeper_id",
+        ($"media_id" === $"keeper_id").as("is_keeper"))
+      .orderBy($"media_id")
+  }
+
+  /** q302 — NEAR-dup edges between DISTINCT fingerprint classes,
+    * Hamming-banded (the q159 SimHash shape, one level up): band each
+    * distinct hash into per-kind band keys (7×8-bit image / 8×4-bit
+    * audio — both widths keep the pigeonhole guarantee for d ≤ 6), cap
+    * hot blocks ([[Guards.capHotKeys]] — synthetic rasters concentrate,
+    * the documented q159 trade: recall inside capped blocks, never a
+    * quadratic join), verify `bit_count(xor) ≤ 6`, report each side's
+    * keeper and class size.
+    *
+    * Scale shape: THE near-dup join runs over the DISTINCT-hash relation
+    * — O(perceptual diversity), not O(corpus); at 100 TB the class
+    * inventory is the small side and the corpus is touched exactly once
+    * (inside [[phashClasses]]' codec pass). Banding is a
+    * bands-way fan-out of that small relation; verification is a
+    * per-row popcount on O(candidate) pairs. */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = graft.CacheGuard.barrier(perceptualHashes(spark, dir))
+    val cls = ph.groupBy($"kind", $"phash")
+      .agg(count(lit(1)).as("class_size"), min($"media_id").as("keeper_id"))
+    val banded = Seq(("image", phashImgBands, phashImgBandBits),
+      ("audio", phashAudBands, phashAudBandBits)).map {
+      case (kind, bands, bandBits) =>
+        (0 until bands).map { b =>
+          cls.filter($"kind" === kind)
+            .select($"kind", $"phash", $"class_size", $"keeper_id",
+              concat(lit(s"$kind:$b:"),
+                shiftright($"phash", b * bandBits)
+                  .bitwiseAND(lit((1L << bandBits) - 1))).as("bk"))
+        }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+    val blocks = Guards.capHotKeys(banded, "bk", phashBlockCap)
+    blocks.as("x").join(blocks.as("y"),
+        $"x.bk" === $"y.bk" && $"x.keeper_id" < $"y.keeper_id")
+      .select($"x.kind".as("kind"),
+        $"x.keeper_id".as("keeper_a"), $"y.keeper_id".as("keeper_b"),
+        $"x.class_size".as("size_a"), $"y.class_size".as("size_b"),
+        $"x.phash".as("pha"), $"y.phash".as("phb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(pha ^ phb)").cast("long"))
+      .filter($"hamming" <= phashHammingMax)
+      .select($"kind", $"keeper_a", $"keeper_b", $"size_a", $"size_b",
+        $"hamming")
+      .orderBy($"kind", $"keeper_a", $"keeper_b")
   }
 }

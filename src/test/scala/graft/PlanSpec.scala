@@ -363,4 +363,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("q301 phash classes: one codec pass, hash-keyed partial aggregation, key-equi audit join, no cartesian") {
+    val p = plan(Multimodal.phashClasses(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000)) // map-side class counts
+    // the twin-offset scalar rides a 1-row broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("q302 phash pairs: the near-dup join is keyed on band blocks over DISTINCT hashes — no cartesian, no window") {
+    val p = plan(Multimodal.phashPairs(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
 }

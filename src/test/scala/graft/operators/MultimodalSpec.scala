@@ -229,4 +229,161 @@ class MultimodalSpec extends SparkSpec {
       keyIdx.tail.foreach(f => assert(f % s === 0, s"id=$id f=$f"))
     }
   }
+
+  // ————— perceptual-hash near-dup (q301/q302, round 14) —————
+
+  /** Law replay of the image dHash — grid values straight from
+    * `ImageLaw.pixel`, NOT through the codec (the spec's independent
+    * path; the operator's path is render → PNG → ImageIO → raster). */
+  private def lawDHash(id: Long, g: Int): Long = {
+    val (w, h) = (Multimodal.ImageLaw.width(id), Multimodal.ImageLaw.height(id))
+    val gm = Multimodal.phashGrid
+    (for {
+      y <- 0 until gm
+      x <- 0 until gm - 1
+      l = Multimodal.ImageLaw.pixel(x * w / gm, y * h / gm, g)
+      r = Multimodal.ImageLaw.pixel((x + 1) * w / gm, y * h / gm, g)
+      if r > l
+    } yield 1L << (y * (gm - 1) + x)).sum
+  }
+
+  /** Law replay of the audio energy-sign fingerprint. */
+  private def lawAudioFp(id: Long, g: Int): Long = {
+    val n = Multimodal.AudioLaw.frames(id)
+    val aw = Multimodal.audioFpWindows
+    val e = Array.tabulate(aw)(wi =>
+      (wi * n / aw until (wi + 1) * n / aw)
+        .map(i => Multimodal.AudioLaw.sample(i, g).toLong).sum)
+    (0 until aw - 1).filter(wi => e(wi + 1) > e(wi)).map(1L << _).sum
+  }
+
+  test("dHash through the REAL codec equals the law replay; brightness-shift near-invariance") {
+    for (id <- Seq(0L, 2L, 14L, 40L, 126L); g <- Seq(10, 100, 250, 253)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.renderPngGray(id, g)))
+      assert(Multimodal.dHash(img) === lawDHash(id, g), s"id=$id g=$g")
+    }
+    // a +3 brightness shift away from the mod-256 wrap is dHash-INVISIBLE
+    // (difference hashing sees structure, not absolute level) …
+    val base = lawDHash(126L, 10) // max pixel 3·7+5·4+10 = 51 — no wraps
+    assert(lawDHash(126L, 13) === base)
+    // … while a shift CROSSING the wrap may flip only bits one of whose
+    // two sampled cells wraps between the two levels (a clipped
+    // brightness change legitimately defeats difference hashing — the
+    // flipped set is exactly the wrap-touched set, nothing else)
+    val (w, h, gm) = (Multimodal.ImageLaw.width(126L),
+      Multimodal.ImageLaw.height(126L), Multimodal.phashGrid)
+    def wraps(g: Int)(sx: Int, sy: Int) = (3 * sx + 5 * sy + g) % 256 >= 253
+    val flipped = lawDHash(126L, 250) ^ lawDHash(126L, 253)
+    for (y <- 0 until gm; x <- 0 until gm - 1
+         if (flipped >> (y * (gm - 1) + x) & 1L) == 1L) {
+      val sy = y * h / gm
+      assert(wraps(250)(x * w / gm, sy) || wraps(250)((x + 1) * w / gm, sy),
+        s"non-wrap bit flipped at x=$x y=$y")
+    }
+  }
+
+  test("audioFingerprint through the REAL RIFF parse equals the law replay") {
+    for (id <- Seq(1L, 3L, 15L, 31L, 47L); g <- Seq(0, 77, 200)) {
+      val (_, _, samples) =
+        Multimodal.decodeWav(Multimodal.renderWavGray(id, g))
+      assert(Multimodal.audioFingerprint(samples) === lawAudioFp(id, g),
+        s"id=$id g=$g")
+    }
+  }
+
+  /** The q301/q302 corpus replayed on the driver from the laws:
+    * (media_id, kind, phash) for every base row and seeded twin. */
+  private def lawCorpus(): Seq[(Long, String, Long)] = {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect() // collect-ok: spec replay at gate SF
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    val off = docs.map(_._1).max + 1
+    docs.flatMap { case (id, text) =>
+      val g = Multimodal.ImageLaw.gray(text)
+      def row(mid: Long, gg: Int) =
+        if (id % 2 == 0) (mid, "image", lawDHash(id, gg))
+        else (mid, "audio", lawAudioFp(id, gg))
+      Seq(row(id, g)) ++
+        (if (id % Multimodal.phashDupMod == 0)
+          Seq(row(id + off, (g + Multimodal.phashGrayShift) % 256))
+        else Nil)
+    }.toSeq
+  }
+
+  test("phashClasses: classes, sizes and keeper election replay exactly; twins near their base") {
+    val out = Multimodal.phashClasses(spark, sf).collect()
+    graft.CacheGuard.release()
+    val want = lawCorpus()
+    assert(out.length === want.size)
+    val byClass = want.groupBy { case (_, k, p) => (k, p) }
+    val gotById = out.map(r => r.getAs[Long]("media_id") -> r).toMap
+    want.foreach { case (mid, kind, ph) =>
+      val r = gotById(mid)
+      assert(r.getAs[String]("kind") === kind)
+      assert(r.getAs[Long]("phash") === ph, s"mid=$mid")
+      val cls = byClass((kind, ph))
+      assert(r.getAs[Long]("class_size") === cls.size.toLong)
+      assert(r.getAs[Long]("keeper_id") === cls.map(_._1).min)
+      assert(r.getAs[Boolean]("is_keeper") === (mid == cls.map(_._1).min))
+    }
+    // the perceptual collapse is real: far fewer classes than rows
+    assert(byClass.size < want.size / 2)
+    // seeded twins: an IMAGE twin whose base gray keeps every sampled
+    // cell clear of the mod-256 wrap (max cell value 3·7+5·4+g, so
+    // g < 253−41) has an IDENTICAL fingerprint — brightness shift is
+    // exactly what dHash tolerates; wrap-crossing twins may drift (a
+    // clipped shift legitimately defeats difference hashing). Across
+    // ALL twins the near-dup rate must still dominate.
+    val docsG = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect() // collect-ok: spec replay
+      .map(r => r.getLong(0) ->
+        Multimodal.ImageLaw.gray(Option(r.getString(1)).getOrElse("")))
+    val o = docsG.map(_._1).max + 1
+    val byId = want.map(t => t._1 -> t._3).toMap
+    val twins = docsG.filter(_._1 % Multimodal.phashDupMod == 0)
+    twins.filter { case (id, g) => id % 2 == 0 && g < 253 - 41 }
+      .foreach { case (id, _) =>
+        assert(byId(id) === byId(id + o), s"wrap-free image twin of $id drifted")
+      }
+    val near = twins.count { case (id, _) =>
+      java.lang.Long.bitCount(byId(id) ^ byId(id + o)) <=
+        Multimodal.phashHammingMax
+    }
+    assert(near * 10 >= twins.length * 8,
+      s"only $near/${twins.length} twins within hammingMax")
+  }
+
+  test("phashPairs: banding + cap + popcount verification replay exactly") {
+    val out = Multimodal.phashPairs(spark, sf).collect()
+    graft.CacheGuard.release()
+    val classes = lawCorpus().groupBy { case (_, k, p) => (k, p) }
+      .map { case ((k, p), ms) => (k, p, ms.map(_._1).min, ms.size.toLong) }
+      .toSeq
+    val banded = classes.flatMap { case (k, p, keeper, sz) =>
+      val (bands, bits) =
+        if (k == "image") (Multimodal.phashImgBands, Multimodal.phashImgBandBits)
+        else (Multimodal.phashAudBands, Multimodal.phashAudBandBits)
+      (0 until bands).map(b =>
+        (s"$k:$b:${(p >> (b * bits)) & ((1L << bits) - 1)}", k, p, keeper, sz))
+    }
+    val okBlocks = banded.groupBy(_._1).filter(_._2.size <= Multimodal.phashBlockCap)
+    val wantPairs = okBlocks.values.flatMap { blk =>
+      for {
+        x <- blk; y <- blk
+        if x._4 < y._4
+        d = java.lang.Long.bitCount(x._3 ^ y._3)
+        if d <= Multimodal.phashHammingMax
+      } yield (x._2, x._4, y._4, x._5, y._5, d.toLong)
+    }.toSet
+    val gotPairs = out.map(r => (r.getAs[String]("kind"),
+      r.getAs[Long]("keeper_a"), r.getAs[Long]("keeper_b"),
+      r.getAs[Long]("size_a"), r.getAs[Long]("size_b"),
+      r.getAs[Long]("hamming"))).toSet
+    assert(gotPairs === wantPairs)
+    assert(out.length === gotPairs.size) // no duplicate rows survive distinct
+    // candidate generation ran over CLASSES, not media rows: every pair
+    // joins two distinct fingerprints of the same kind
+    assert(gotPairs.forall(p => p._2 < p._3 && p._6 > 0))
+  }
 }
