@@ -1662,15 +1662,20 @@ object TextAnalysis {
     * full EM prune schedule — the q297 core, reused by the q298
     * encoder. */
   def unigramTrainedCosts(spark: SparkSession, dir: String): DataFrame =
-    trainedCostsFromDict(spark, unigramWordDict(spark, dir))
+    trainedCostsFromDict(spark, unigramWordDict(spark, dir),
+      uniSeedMulti, uniPruneSchedule)
 
   /** Core of [[unigramTrainedCosts]] over a CALLER-built (barriered)
     * word dictionary — q298 threads its dict through here so one query
     * holds a single barrier per relation (round-13 advice: the encoder
     * used to call [[unigramWordDict]] a second time, double-caching the
-    * identical plan). */
-  private def trainedCostsFromDict(spark: SparkSession,
-                                   wd: DataFrame): DataFrame = {
+    * identical plan). `seedMulti`/`schedule` are explicit (no defaults —
+    * the RegistryIntegritySpec overload discipline) so the scaled-
+    * dictionary probe can grow the vocabulary 10× without touching the
+    * declared q297/q298 plans. */
+  private def trainedCostsFromDict(spark: SparkSession, wd: DataFrame,
+                                   seedMulti: Int,
+                                   schedule: Seq[Int]): DataFrame = {
     import spark.implicits._
     val sub = graft.CacheGuard.barrier(wd
       .select($"w", $"c", explode(sequence(lit(1), length($"w"))).as("i"))
@@ -1681,7 +1686,7 @@ object TextAnalysis {
       .agg(sum($"c").as("cnt")))
     val chars = sub.filter(length($"piece") === 1)
     val multiSeed = sub.filter(length($"piece") >= 2)
-      .orderBy($"cnt".desc, $"piece").limit(uniSeedMulti)
+      .orderBy($"cnt".desc, $"piece").limit(seedMulti)
 
     // cost = −⌊round(ln(cnt/total), 8)·1e6 + 0.5⌋ — integer ln-millionths
     def recost(pieces: DataFrame): DataFrame = {
@@ -1693,7 +1698,7 @@ object TextAnalysis {
     }
     var pc = recost(chars.unionByName(multiSeed))
 
-    for (cap <- uniPruneSchedule) {
+    for (cap <- schedule) {
       val pcMap = pc.agg(map_from_entries(
         collect_list(struct($"piece", $"cost_u6"))).as("pm"))
       val seg = wd.crossJoin(broadcast(pcMap))
@@ -1727,10 +1732,20 @@ object TextAnalysis {
     * Viterbi HOF over the word-TYPE dictionary; the corpus token
     * stream joins the encoded types on the word key (dictionary
     * broadcastable) and collapses to one source-keyed rollup. */
-  def unigramEncodeFertility(spark: SparkSession, dir: String): DataFrame = {
+  def unigramEncodeFertility(spark: SparkSession, dir: String): DataFrame =
+    unigramEncodeFertilityWith(spark, dir, uniSeedMulti, uniPruneSchedule)
+
+  /** [[unigramEncodeFertility]] with an explicit vocabulary scale —
+    * the seam `DictProbe` uses to measure the claimed O(vocabulary) EM
+    * cost by growing seed + prune schedule 10× at fixed corpus size.
+    * Distinct name, all params explicit (the RegistryIntegritySpec
+    * overload discipline). */
+  def unigramEncodeFertilityWith(spark: SparkSession, dir: String,
+                                 seedMulti: Int,
+                                 schedule: Seq[Int]): DataFrame = {
     import spark.implicits._
     val wd = unigramWordDict(spark, dir)
-    val pc = trainedCostsFromDict(spark, wd)
+    val pc = trainedCostsFromDict(spark, wd, seedMulti, schedule)
     val pcMap = pc.agg(map_from_entries(
       collect_list(struct($"piece", $"cost_u6"))).as("pm"))
     val enc = graft.CacheGuard.barrier(

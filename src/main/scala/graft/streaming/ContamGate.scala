@@ -38,12 +38,20 @@ object ContamGate {
 
   /** The q61 corpus with its planted canary (bench docs and the
     * designed contaminated train slice). */
-  def canaryDocs(spark: SparkSession, dir: String): DataFrame = {
+  def canaryDocs(spark: SparkSession, dir: String): DataFrame =
+    canaryDocsWith(spark, dir, CorpusOps.benchMod)
+
+  /** [[canaryDocs]] with an explicit bench modulus — the `DictProbe`
+    * seam: a smaller modulus means more bench docs, i.e. a larger
+    * broadcast gram set at fixed corpus size. Distinct name, explicit
+    * param (the RegistryIntegritySpec overload discipline). */
+  def canaryDocsWith(spark: SparkSession, dir: String,
+                     benchMod: Long): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"source", $"doc_id",
         concat(coalesce($"text", lit("")),
-          when($"doc_id" % CorpusOps.benchMod === 0 ||
+          when($"doc_id" % benchMod === 0 ||
               $"doc_id" % CorpusOps.contamMod === 0,
             lit(" " + CorpusOps.contaminationCanary))
             .otherwise(lit(""))).as("text"))
@@ -51,10 +59,16 @@ object ContamGate {
 
   /** The static benchmark gram set: every distinct 8-gram of the q61
     * bench docs (doc_id % benchMod == 0). */
-  def benchmarkGrams(spark: SparkSession, dir: String): DataFrame = {
+  def benchmarkGrams(spark: SparkSession, dir: String): DataFrame =
+    benchmarkGramsWith(spark, dir, CorpusOps.benchMod)
+
+  /** [[benchmarkGrams]] at an explicit bench modulus (see
+    * [[canaryDocsWith]]). */
+  def benchmarkGramsWith(spark: SparkSession, dir: String,
+                         benchMod: Long): DataFrame = {
     import spark.implicits._
-    canaryDocs(spark, dir)
-      .filter($"doc_id" % CorpusOps.benchMod === 0)
+    canaryDocsWith(spark, dir, benchMod)
+      .filter($"doc_id" % benchMod === 0)
       .select(explode(wordShingles(tokens($"text"), gateGramN)).as("gram"))
       .distinct()
   }
@@ -84,11 +98,19 @@ object ContamGate {
 
   /** Declared q299: the batch replay of the gate over the train slice
     * (everything that is not a bench doc). */
-  def contamGateBatch(spark: SparkSession, dir: String): DataFrame = {
+  def contamGateBatch(spark: SparkSession, dir: String): DataFrame =
+    contamGateBatchWith(spark, dir, CorpusOps.benchMod)
+
+  /** [[contamGateBatch]] at an explicit bench modulus (see
+    * [[canaryDocsWith]]) — `DictProbe` grows the broadcast gram set
+    * ~9× (mod 97 → 11) at fixed corpus size to measure the claimed
+    * O(gram-set) broadcast term. */
+  def contamGateBatchWith(spark: SparkSession, dir: String,
+                          benchMod: Long): DataFrame = {
     import spark.implicits._
-    val bench = benchmarkGrams(spark, dir)
-    gate(canaryDocs(spark, dir)
-        .filter($"doc_id" % CorpusOps.benchMod =!= 0), bench)
+    val bench = benchmarkGramsWith(spark, dir, benchMod)
+    gate(canaryDocsWith(spark, dir, benchMod)
+        .filter($"doc_id" % benchMod =!= 0), bench)
       .orderBy($"doc_id")
   }
 }
