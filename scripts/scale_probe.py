@@ -90,6 +90,26 @@ def addb(rnd, q, sf1, sf10, verdict):
     print(f"{q} [bounded]: ratio {row['ratio']}x (round {rnd})")
 
 
+def addd(rnd, q, x1, x10, verdict):
+    """Third probe series (round-14, verdict ask #7): the scaled-
+    DICTIONARY probe (graft.DictProbe — corpus FIXED, vocabulary /
+    benchmark-gram set grown ~10x), stored under key "dict" as
+    {x1_s, x10_s, ratio, ...} so the dictionary term's bend is
+    recorded next to the corpus-growth series."""
+    out = load()
+    row = {"x1_s": x1, "x10_s": x10,
+           "ratio": round(x10 / x1, 2) if x1 else None,
+           "verdict": verdict, "round": rnd}
+    if q in out and "dict" in out[q]:
+        out[q].setdefault("dict_remeasured", []).append(row)
+    elif q in out:
+        out[q]["dict"] = row
+    else:
+        out[q] = {"dict": row}
+    save(out)
+    print(f"{q} [dict]: ratio {row['ratio']}x (round {rnd})")
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "extract":
         extract()
@@ -98,6 +118,9 @@ if __name__ == "__main__":
             float(sys.argv[5]), " ".join(sys.argv[6:]))
     elif len(sys.argv) >= 6 and sys.argv[1] == "addb":
         addb(int(sys.argv[2]), sys.argv[3], float(sys.argv[4]),
+             float(sys.argv[5]), " ".join(sys.argv[6:]))
+    elif len(sys.argv) >= 6 and sys.argv[1] == "addd":
+        addd(int(sys.argv[2]), sys.argv[3], float(sys.argv[4]),
              float(sys.argv[5]), " ".join(sys.argv[6:]))
     else:
         sys.exit(__doc__)
