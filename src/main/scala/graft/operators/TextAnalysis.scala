@@ -1662,8 +1662,16 @@ object TextAnalysis {
     * full EM prune schedule — the q297 core, reused by the q298
     * encoder. */
   def unigramTrainedCosts(spark: SparkSession, dir: String): DataFrame =
+    unigramTrainedCostsWith(spark, dir, uniSeedMulti, uniPruneSchedule)
+
+  /** [[unigramTrainedCosts]] at an explicit vocabulary scale (see
+    * [[unigramEncodeFertilityWith]]) — lets `DictProbe`/specs observe
+    * that the scaled path genuinely trains a larger vocabulary. */
+  def unigramTrainedCostsWith(spark: SparkSession, dir: String,
+                              seedMulti: Int,
+                              schedule: Seq[Int]): DataFrame =
     trainedCostsFromDict(spark, unigramWordDict(spark, dir),
-      uniSeedMulti, uniPruneSchedule)
+      seedMulti, schedule)
 
   /** Core of [[unigramTrainedCosts]] over a CALLER-built (barriered)
     * word dictionary — q298 threads its dict through here so one query
