@@ -50,7 +50,7 @@ object DictProbe {
     val res = Bench.measure(spark, sfDir, qs, reps)
     val line = res.sortBy(_.name).map { m =>
       val sec = if (m.okSecs.nonEmpty) m.okSecs.min else -1.0
-      s""""${m.name}":${math.round(sec * 1000) / 1000.0}"""
+      s""""${m.name}":${math.round(sec * 1000) / 1000.0}""" // round-ok: display rounding of probe wall-clock, not a data value
     }.mkString("{", ",", s""","sf":"$sfDir","reps":$reps}""")
     // stdout stays parseable: everything above logs to stderr
     println(line)
