@@ -711,20 +711,31 @@ object Multimodal {
   def phashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ph = graft.CacheGuard.barrier(perceptualHashes(spark, dir))
-    val cls = ph.groupBy($"kind", $"phash")
-      .agg(count(lit(1)).as("class_size"), min($"media_id").as("keeper_id"))
-    val banded = Seq(("image", phashImgBands, phashImgBandBits),
-      ("audio", phashAudBands, phashAudBandBits)).map {
-      case (kind, bands, bandBits) =>
-        (0 until bands).map { b =>
-          cls.filter($"kind" === kind)
-            .select($"kind", $"phash", $"class_size", $"keeper_id",
-              concat(lit(s"$kind:$b:"),
-                shiftright($"phash", b * bandBits)
-                  .bitwiseAND(lit((1L << bandBits) - 1))).as("bk"))
-        }.reduce(_ unionByName _)
-    }.reduce(_ unionByName _)
-    val blocks = Guards.capHotKeys(banded, "bk", phashBlockCap)
+    // the CLASS relation is consumed 15× (once per band fan-out arm)
+    // plus twice inside the hot-block cap — barrier it, or the class
+    // aggregation re-runs per arm (measured 4.19 → ~1 s at sf0.1)
+    val cls = graft.CacheGuard.barrier(ph.groupBy($"kind", $"phash")
+      .agg(count(lit(1)).as("class_size"), min($"media_id").as("keeper_id")))
+    // band fan-out as ONE explode over the cached class relation — a
+    // per-kind 15-arm union would cost hundreds of near-empty tasks
+    // (measured: 42k task-ms for 10k cpu-ms at sf0.1); per-kind band
+    // count/width ride as columns instead
+    val banded = cls
+      .withColumn("b", explode(sequence(lit(0),
+        when($"kind" === "image", lit(phashImgBands - 1))
+          .otherwise(lit(phashAudBands - 1)))))
+      .withColumn("bits", when($"kind" === "image", lit(phashImgBandBits))
+        .otherwise(lit(phashAudBandBits)))
+      .withColumn("mask",
+        when($"kind" === "image", lit((1L << phashImgBandBits) - 1))
+          .otherwise(lit((1L << phashAudBandBits) - 1)))
+      .select($"kind", $"phash", $"class_size", $"keeper_id",
+        concat($"kind", lit(":"), $"b", lit(":"),
+          expr("shiftright(phash, CAST(b * bits AS INT))")
+            .bitwiseAND($"mask")).as("bk"))
+    // both sides of the self-join consume the capped blocks
+    val blocks = graft.CacheGuard.barrier(
+      Guards.capHotKeys(banded, "bk", phashBlockCap))
     blocks.as("x").join(blocks.as("y"),
         $"x.bk" === $"y.bk" && $"x.keeper_id" < $"y.keeper_id")
       .select($"x.kind".as("kind"),
