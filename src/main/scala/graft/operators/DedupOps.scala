@@ -891,12 +891,14 @@ object DedupOps {
         .select($"doc_id", tokens($"text").as("toks"))
         .filter(size($"toks") > 0)
         .select($"doc_id", graft.functions.native.simHash($"toks").as("sh")))
-    val banded = (0 until simBands).map { b =>
-      fp.select($"doc_id", $"sh",
-        (shiftright($"sh", b * simBandBits)
-          .bitwiseAND(lit((1L << simBandBits) - 1)) +
-          lit(b.toLong * (1L << simBandBits))).as("bk"))
-    }.reduce(_ unionByName _)
+    // ONE explode over the cached fingerprints — a per-band union
+    // schedules bands× the stages for the same rows (the q302 lesson)
+    val banded = fp.select($"doc_id", $"sh",
+      explode(expr(
+        s"transform(sequence(0, ${simBands - 1}), b -> " +
+          s"(shiftright(sh, CAST(b AS INT) * $simBandBits) " +
+          s"& ${(1L << simBandBits) - 1}) " +
+          s"+ CAST(b AS BIGINT) * ${1L << simBandBits})")).as("bk"))
     val blocks = Guards.capHotKeys(banded, "bk", cap)
     blocks.as("x").join(blocks.as("y"),
         $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")

@@ -1322,20 +1322,25 @@ object TextAnalysis {
     * cannot see this (it tracks vocabulary growth over time, not phrase
     * reuse), and q264 localizes boilerplate by position, not by rate.
     *
-    * Scale shape: one tokenize pass, three tagged explodes unioned
-    * (n-gram construction is per-row `transform`, no joins), then ONE
-    * two-level aggregation — count + count(DISTINCT) by (source, n) —
-    * which Spark executes as two partial-aggregable keyed passes over
+    * Scale shape: ONE tokenize pass and ONE explode — the three tagged
+    * gram streams are built per-row (`transform` into (n, gram)
+    * structs, concatenated) so the corpus is scanned once, not once
+    * per n (the round-14 fix: the tagged-union form re-read and
+    * re-tokenized the corpus three times) — then ONE two-level
+    * aggregation — count + count(DISTINCT) by (source, n) — which
+    * Spark executes as two partial-aggregable keyed passes over
     * (source, n, gram). Output is O(sources × 3); nothing else crosses
     * the exchange. */
   def distinctNgramDiversity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.documents(spark, dir)
+    val grams = Tables.documents(spark, dir)
       .select($"source", tokens($"text").as("tk"))
-    val grams = Seq(1, 2, 3).map { n =>
-      base.select($"source", lit(n).as("n"),
-        explode(if (n == 1) $"tk" else wordShingles($"tk", n)).as("gram"))
-    }.reduce(_ unionByName _)
+      .select($"source", explode(concat($"tk",
+        wordShingles($"tk", 2), wordShingles($"tk", 3))).as("gram"))
+      // tokens are whitespace-split, so a gram's order is its space
+      // count + 1 — no per-gram tag needs to be carried through the
+      // explode (cheaper than boxing (n, gram) structs per gram)
+      .select($"source", size(split($"gram", " ", 3)).as("n"), $"gram")
     // two explicit keyed stages, NOT count+count(DISTINCT) in one agg:
     // that form plans an Expand that doubles the gram stream through the
     // exchange (measured 33× on the 10× decade probe before this fix);
