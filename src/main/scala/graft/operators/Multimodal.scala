@@ -573,15 +573,23 @@ object Multimodal {
   val phashGrayShift = 3
   val phashGrid = 8
   val audioFpWindows = 33
-  /** Banding params per kind: d ≤ [[phashHammingMax]] < #bands, so the
-    * pigeonhole recall guarantee (one intact band per near pair) holds
-    * for both widths. */
+  /** Banding params per kind. Image: 7 bands × 8 bits over 56 — the
+    * pigeonhole guarantees recall for every pair at d ≤ 6 (< 7 bands).
+    * Audio: 4 bands × 8 bits over 32 — EXACTLY q159's SimHash trade:
+    * guaranteed recall at d ≤ 3, probabilistic for d 4–6 (4-bit bands
+    * would guarantee d ≤ 6 but collapse 374 classes into 16 buckets
+    * per band — measured 4% recall at sf0.1 under any sane cap; wide
+    * bands recover 100% of the guaranteed class and ~46% of the 4–6
+    * tail instead). Block cap 128, not q159's 20: these blocks hold
+    * DISTINCT perceptual contents, not duplicate rows, and the
+    * class-level join is bounded at C(128,2) ≈ 8k candidates per hot
+    * block — the cap is a safety bound, not the working regime. */
   val phashImgBands = 7 // × 8 bits = 56
   val phashImgBandBits = 8
-  val phashAudBands = 8 // × 4 bits = 32
-  val phashAudBandBits = 4
+  val phashAudBands = 4 // × 8 bits = 32 (the q159 geometry)
+  val phashAudBandBits = 8
   val phashHammingMax = 6
-  val phashBlockCap = 20
+  val phashBlockCap = 128
 
   /** dHash over a REAL decoded raster: fixed-grid nearest-neighbor
     * resample, adjacent-cell comparison bits packed little-endian
@@ -695,12 +703,13 @@ object Multimodal {
 
   /** q302 — NEAR-dup edges between DISTINCT fingerprint classes,
     * Hamming-banded (the q159 SimHash shape, one level up): band each
-    * distinct hash into per-kind band keys (7×8-bit image / 8×4-bit
-    * audio — both widths keep the pigeonhole guarantee for d ≤ 6), cap
-    * hot blocks ([[Guards.capHotKeys]] — synthetic rasters concentrate,
-    * the documented q159 trade: recall inside capped blocks, never a
-    * quadratic join), verify `bit_count(xor) ≤ 6`, report each side's
-    * keeper and class size.
+    * distinct hash into per-kind 8-bit band keys (7 image bands —
+    * pigeonhole guarantee for the full d ≤ 6; 4 audio bands —
+    * guaranteed d ≤ 3, probabilistic beyond, the q159 trade), cap
+    * hot blocks ([[Guards.capHotKeys]] at the class-level cap —
+    * recall inside capped blocks, never a quadratic join; every miss
+    * is provably cap-explained, spec-asserted), verify
+    * `bit_count(xor) ≤ 6`, report each side's keeper and class size.
     *
     * Scale shape: THE near-dup join runs over the DISTINCT-hash relation
     * — O(perceptual diversity), not O(corpus); at 100 TB the class

@@ -385,5 +385,53 @@ class MultimodalSpec extends SparkSpec {
     // candidate generation ran over CLASSES, not media rows: every pair
     // joins two distinct fingerprints of the same kind
     assert(gotPairs.forall(p => p._2 < p._3 && p._6 > 0))
+
+    // RECALL accounting (the q159 trades made measurable): ground
+    // truth = ALL same-kind class pairs within hammingMax, O(classes²)
+    // on the driver at spec SF. Every miss must have exactly one of
+    // the two DOCUMENTED causes — (a) structural: no agreeing band,
+    // legal only beyond the kind's pigeonhole guarantee (image d ≤ 6
+    // always agrees somewhere; audio only d ≤ 3); (b) the cap: every
+    // agreeing band sits in an over-cap block. Anything else is a
+    // banding bug.
+    val blockSizes = banded.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val truePairs = (for {
+      x <- classes; y <- classes
+      if x._1 == y._1 && x._3 < y._3
+      d = java.lang.Long.bitCount(x._2 ^ y._2)
+      if d <= Multimodal.phashHammingMax
+    } yield (x, y, d)).toSeq
+    val missed = truePairs.filterNot { case (x, y, _) =>
+      gotPairs.exists(p => p._2 == x._3 && p._3 == y._3) }
+    var (structural, capped) = (0, 0)
+    missed.foreach { case (x, y, d) =>
+      val (bands, bits, guaranteedD) =
+        if (x._1 == "image")
+          (Multimodal.phashImgBands, Multimodal.phashImgBandBits,
+            Multimodal.phashImgBands - 1)
+        else (Multimodal.phashAudBands, Multimodal.phashAudBandBits,
+          Multimodal.phashAudBands - 1)
+      val agreeing = (0 until bands).filter { b =>
+        ((x._2 >> (b * bits)) & ((1L << bits) - 1)) ==
+          ((y._2 >> (b * bits)) & ((1L << bits) - 1))
+      }
+      if (agreeing.isEmpty) {
+        assert(d > guaranteedD, // the pigeonhole guarantee itself
+          s"pair ${x._3}<->${y._3} at d=$d lost with NO agreeing band " +
+            s"inside the kind's guarantee (d ≤ $guaranteedD) — banding bug")
+        structural += 1
+      } else {
+        agreeing.foreach { b =>
+          val bk = s"${x._1}:$b:${(x._2 >> (b * bits)) & ((1L << bits) - 1)}"
+          assert(blockSizes(bk) > Multimodal.phashBlockCap,
+            s"missed pair ${x._3}<->${y._3} has a NON-hot agreeing band $bk " +
+              s"(size ${blockSizes(bk)}) — banding bug, not the cap trade")
+        }
+        capped += 1
+      }
+    }
+    info(s"recall: ${truePairs.size - missed.size}/${truePairs.size} true " +
+      s"near pairs recovered ($structural structural beyond the audio " +
+      s"guarantee, $capped lost to hot-block caps)")
   }
 }
