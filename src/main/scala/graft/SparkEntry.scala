@@ -393,6 +393,8 @@ object SparkEntry {
       DedupOps.weightedJaccardRescore(s, d)),
     "q301_media_phash_classes" -> ((s, d) => Multimodal.phashClasses(s, d)),
     "q302_media_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
+    "q303_video_phash_classes" -> ((s, d) =>
+      Multimodal.videoPhashClasses(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9307,6 +9309,52 @@ object SparkEntry {
          |  WHERE bit_count(x) <= $phashHammingMax)
          |SELECT kind, keeper_a, keeper_b, size_a, size_b, hamming
          |FROM php ORDER BY kind, keeper_a, keeper_b""".stripMargin
+    },
+
+    // video scene-signature dedup: per-frame byte sums from the laws,
+    // 33-window energy-sign fingerprint, exact-hash classes + keeper
+    "q303_video_phash_classes" -> {
+      import Multimodal.{phashDupMod, phashGrayShift, audioFpWindows => aw}
+      s"""WITH vhd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |vhoff AS (SELECT max(doc_id) + 1 AS o FROM vhd),
+         |vhg AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) AS g
+         |  FROM vhd),
+         |vhm AS (
+         |  SELECT doc_id AS base_id, doc_id AS media_id, 0 AS gs FROM vhd
+         |  UNION ALL
+         |  SELECT doc_id, doc_id + (SELECT o FROM vhoff), $phashGrayShift
+         |  FROM vhd WHERE doc_id % $phashDupMod = 0),
+         |vhs AS MATERIALIZED (
+         |  SELECT media_id, n,
+         |    list_transform(range(0, n), f ->
+         |      list_sum(list_transform(range(0, l), i ->
+         |        (3*i + 17*(f//s) + gg) % 256))) AS fs
+         |  FROM (SELECT m0.media_id, (g.g + m0.gs) % 256 AS gg,
+         |          12 + m0.base_id % 9 AS l, 24 + m0.base_id % 24 AS n,
+         |          6 + m0.base_id % 5 AS s
+         |        FROM vhm m0 JOIN vhg g ON g.doc_id = m0.base_id) d),
+         |vhf AS MATERIALIZED (
+         |  SELECT media_id, n AS n_frames,
+         |    CAST(coalesce(list_sum(list_transform(range(0, ${aw - 1}), wi ->
+         |      CASE WHEN
+         |        coalesce(list_sum(fs[CAST((wi+1)*n//$aw AS INTEGER) + 1 :
+         |                             CAST((wi+2)*n//$aw AS INTEGER)]), 0)
+         |        > coalesce(list_sum(fs[CAST(wi*n//$aw AS INTEGER) + 1 :
+         |                               CAST((wi+1)*n//$aw AS INTEGER)]), 0)
+         |      THEN CAST(1 AS BIGINT) << CAST(wi AS INTEGER)
+         |      ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS vhash
+         |  FROM vhs),
+         |vhcls AS (
+         |  SELECT vhash, CAST(count(*) AS BIGINT) AS class_size,
+         |    min(media_id) AS keeper_id
+         |  FROM vhf GROUP BY vhash)
+         |SELECT f.media_id, f.vhash, CAST(f.n_frames AS BIGINT) AS n_frames,
+         |  c.class_size, c.keeper_id,
+         |  f.media_id = c.keeper_id AS is_keeper
+         |FROM vhf f JOIN vhcls c USING (vhash)
+         |ORDER BY f.media_id""".stripMargin
     },
   )
 

@@ -465,9 +465,15 @@ object Multimodal {
   /** Render the deterministic clip in a minimal real container:
     * magic "GVID", big-endian u16 frame length + u16 frame count, then
     * the raw frames. */
-  def renderVid(id: Long, text: String): Array[Byte] = {
-    val (l, n, s, g) = (VideoLaw.frameLen(id), VideoLaw.frames(id),
-      VideoLaw.sceneLen(id), ImageLaw.gray(text))
+  def renderVid(id: Long, text: String): Array[Byte] =
+    renderVidGray(id, ImageLaw.gray(text))
+
+  /** [[renderVid]] with the base gray supplied directly (see
+    * [[renderPngGray]]) — the video twin is a uniformly
+    * brightness-shifted copy of every frame. */
+  def renderVidGray(id: Long, g: Int): Array[Byte] = {
+    val (l, n, s) = (VideoLaw.frameLen(id), VideoLaw.frames(id),
+      VideoLaw.sceneLen(id))
     val bb = java.nio.ByteBuffer.allocate(8 + n * l)
     bb.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
     bb.putShort(l.toShort).putShort(n.toShort)
@@ -757,5 +763,63 @@ object Multimodal {
       .select($"kind", $"keeper_a", $"keeper_b", $"size_a", $"size_b",
         $"hamming")
       .orderBy($"kind", $"keeper_a", $"keeper_b")
+  }
+
+  /** Video scene-signature fingerprint: the [[audioFingerprint]]
+    * energy-sign shape applied to the DECODED per-frame feature stream
+    * (frame byte-sums from the real GVID parse) — 33 windows over the
+    * frame axis, one bit per adjacent-window comparison. Scene cuts
+    * shift every frame byte by 17, so the signature captures the
+    * scene-length profile; a uniform brightness shift moves all
+    * windows together and is invisible except at mod-256 wraps —
+    * the same tolerance story as the image dHash. */
+  def videoFingerprint(frameSums: Seq[Long]): Long =
+    audioFingerprint(frameSums.map(_.toInt).toArray) // frame sums ≤ 20·255
+
+  /** q303 — video perceptual dedup, the third modality of the
+    * q301/q302 family (a vision-language corpus dedups clips whose
+    * bytes differ — re-encode, brightness change — but whose scene
+    * structure matches): every document renders to a real GVID
+    * container, the REAL parse extracts per-frame features, the
+    * scene-signature fingerprint collapses perceptually-equal clips,
+    * min-id keeper election; every `phashDupMod`-th doc seeds a
+    * brightness-shifted twin (same derived-offset discipline as q301)
+    * — ground truth byte hashing cannot see.
+    *
+    * Scale shape: identical to q301 — ONE parse pass (mapPartitions),
+    * barriered for the class-stat + audit-join pair of consumers, one
+    * fingerprint-keyed partial-aggregated shuffle, key-equi audit
+    * join. Classes are O(perceptual diversity). */
+  case class VhashRow(media_id: Long, vhash: Long, n_frames: Long)
+
+  def videoPhashClasses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", coalesce($"text", lit("")).as("text"))
+    val off = docs.agg((max($"doc_id") + 1L).as("__off"))
+    val corpus = docs
+      .select($"doc_id".as("base_id"), $"doc_id".as("media_id"), $"text",
+        lit(0).as("gshift"))
+      .unionByName(
+        docs.filter($"doc_id" % phashDupMod === 0)
+          .crossJoin(broadcast(off))
+          .select($"doc_id".as("base_id"), ($"doc_id" + $"__off").as("media_id"),
+            $"text", lit(phashGrayShift).as("gshift")))
+    val vh = graft.CacheGuard.barrier(
+      corpus.as[(Long, Long, String, Int)]
+        .mapPartitions { it =>
+          it.map { case (baseId, mediaId, text, gshift) =>
+            val g = (ImageLaw.gray(text) + gshift) % 256
+            val (n, sums) = decodeVid(renderVidGray(baseId, g))
+            VhashRow(mediaId, videoFingerprint(sums), n)
+          }
+        }
+        .toDF())
+    val cls = vh.groupBy($"vhash")
+      .agg(count(lit(1)).as("class_size"), min($"media_id").as("keeper_id"))
+    vh.join(cls, Seq("vhash"))
+      .select($"media_id", $"vhash", $"n_frames", $"class_size",
+        $"keeper_id", ($"media_id" === $"keeper_id").as("is_keeper"))
+      .orderBy($"media_id")
   }
 }

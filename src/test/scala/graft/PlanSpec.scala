@@ -382,4 +382,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
     assert(p.contains("partial_"), p.take(3000))
   }
+
+  test("q303 video phash: one parse pass, fingerprint-keyed partial aggregation, no cartesian, no window") {
+    val p = plan(Multimodal.videoPhashClasses(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000)) // the 1-row offset
+  }
 }

@@ -434,4 +434,59 @@ class MultimodalSpec extends SparkSpec {
       s"near pairs recovered ($structural structural beyond the audio " +
       s"guarantee, $capped lost to hot-block caps)")
   }
+
+  /** Law replay of the video scene-signature fingerprint. */
+  private def lawVideoFp(id: Long, g: Int): Long = {
+    val (l, n, s) = (Multimodal.VideoLaw.frameLen(id),
+      Multimodal.VideoLaw.frames(id), Multimodal.VideoLaw.sceneLen(id))
+    val sums = (0 until n).map(f =>
+      (0 until l).map(i => Multimodal.VideoLaw.byteAt(i, f, s, g).toLong).sum)
+    Multimodal.videoFingerprint(sums)
+  }
+
+  test("videoPhashClasses: container-parse fingerprint equals the law replay; classes and election exact") {
+    // the fingerprint through the REAL GVID parse == the law
+    for (id <- Seq(0L, 7L, 23L, 131L); g <- Seq(5, 99, 251)) {
+      val (_, sums) = Multimodal.decodeVid(Multimodal.renderVidGray(id, g))
+      assert(Multimodal.videoFingerprint(sums) === lawVideoFp(id, g),
+        s"id=$id g=$g")
+    }
+    val out = Multimodal.videoPhashClasses(spark, sf).collect()
+    graft.CacheGuard.release()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect() // collect-ok: spec replay
+      .map(r => r.getLong(0) ->
+        Multimodal.ImageLaw.gray(Option(r.getString(1)).getOrElse("")))
+    val off = docs.map(_._1).max + 1
+    val want = docs.flatMap { case (id, g) =>
+      Seq((id, lawVideoFp(id, g),
+        Multimodal.VideoLaw.frames(id).toLong)) ++
+        (if (id % Multimodal.phashDupMod == 0)
+          Seq((id + off,
+            lawVideoFp(id, (g + Multimodal.phashGrayShift) % 256),
+            Multimodal.VideoLaw.frames(id).toLong))
+        else Nil)
+    }.toSeq
+    assert(out.length === want.size)
+    val byClass = want.groupBy(_._2)
+    val gotById = out.map(r => r.getAs[Long]("media_id") -> r).toMap
+    want.foreach { case (mid, vh, nf) =>
+      val r = gotById(mid)
+      assert(r.getAs[Long]("vhash") === vh, s"mid=$mid")
+      assert(r.getAs[Long]("n_frames") === nf)
+      val cls = byClass(vh)
+      assert(r.getAs[Long]("class_size") === cls.size.toLong)
+      assert(r.getAs[Long]("keeper_id") === cls.map(_._1).min)
+      assert(r.getAs[Boolean]("is_keeper") === (mid == cls.map(_._1).min))
+    }
+    // the perceptual collapse is real, and the brightness-twin
+    // tolerance holds in the common (wrap-free) case: most twins share
+    // their base's fingerprint exactly
+    assert(byClass.size < want.size)
+    val byId = want.map(t => t._1 -> t._2).toMap
+    val twins = docs.filter(_._1 % Multimodal.phashDupMod == 0)
+    val collapsed = twins.count { case (id, _) => byId(id) == byId(id + off) }
+    assert(collapsed * 2 >= twins.length,
+      s"only $collapsed/${twins.length} brightness twins collapsed")
+  }
 }
