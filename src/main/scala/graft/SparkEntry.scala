@@ -9278,22 +9278,18 @@ object SparkEntry {
     // classes (q159's banding one level up), hot blocks capped
     "q302_media_phash_pairs" -> {
       import Multimodal.{phashBlockCap, phashHammingMax,
-        phashImgBands, phashImgBandBits, phashAudBands, phashAudBandBits}
+        phashBandBits, phashBandShifts}
+      val shiftRows = phashBandShifts.toSeq.sortBy(_._1).flatMap {
+        case (kind, shifts) => shifts.map(sh => s"('$kind', $sh)")
+      }.mkString(", ")
       s"""WITH $phashCtesSql,
          |phbk AS (
          |  SELECT kind, phash, class_size, keeper_id,
-         |    kind || ':' || CAST(b.b AS VARCHAR) || ':' ||
-         |      CAST((phash >> CAST(b.b *
-         |        (CASE WHEN kind = 'image' THEN $phashImgBandBits
-         |              ELSE $phashAudBandBits END) AS INTEGER))
-         |        & (CASE WHEN kind = 'image'
-         |           THEN ${(1L << phashImgBandBits) - 1}
-         |           ELSE ${(1L << phashAudBandBits) - 1} END)
-         |        AS VARCHAR) AS bk
-         |  FROM phcls CROSS JOIN range(0,
-         |    ${math.max(phashImgBands, phashAudBands)}) b(b)
-         |  WHERE b.b < CASE WHEN kind = 'image' THEN $phashImgBands
-         |                   ELSE $phashAudBands END),
+         |    kind || ':' || CAST(s.sh AS VARCHAR) || ':' ||
+         |      CAST((phash >> CAST(s.sh AS INTEGER))
+         |        & ${(1L << phashBandBits) - 1} AS VARCHAR) AS bk
+         |  FROM phcls
+         |  JOIN (VALUES $shiftRows) s(k, sh) ON s.k = kind),
          |phok AS (SELECT bk FROM phbk GROUP BY bk
          |         HAVING count(*) <= $phashBlockCap),
          |phbl AS (SELECT k.* FROM phbk k JOIN phok USING (bk)),

@@ -579,21 +579,27 @@ object Multimodal {
   val phashGrayShift = 3
   val phashGrid = 8
   val audioFpWindows = 33
-  /** Banding params per kind. Image: 7 bands × 8 bits over 56 — the
-    * pigeonhole guarantees recall for every pair at d ≤ 6 (< 7 bands).
-    * Audio: 4 bands × 8 bits over 32 — EXACTLY q159's SimHash trade:
-    * guaranteed recall at d ≤ 3, probabilistic for d 4–6 (4-bit bands
+  /** Banding geometry per kind, as the SHIFT list of 8-bit band arms
+    * (band key = kind:shift:byte). Image: 7 disjoint bands over 56
+    * bits — the pigeonhole guarantees recall for every pair at d ≤ 6
+    * (< 7 disjoint bands). Audio: 32 bits only admit 4 disjoint 8-bit
+    * bands (guarantee d ≤ 3, EXACTLY q159's SimHash trade; 4-bit bands
     * would guarantee d ≤ 6 but collapse 374 classes into 16 buckets
-    * per band — measured 4% recall at sf0.1 under any sane cap; wide
-    * bands recover 100% of the guaranteed class and ~46% of the 4–6
-    * tail instead). Block cap 128, not q159's 20: these blocks hold
+    * per band — measured 4% recall at sf0.1 under any sane cap), plus
+    * a ROTATED second decomposition (shifts 4/12/20 — multi-probe
+    * LSH): no guarantee added, but the measured d 4–6 tail recall
+    * rises 46% → 60% at sf0.1 for 3 extra arms over the tiny class
+    * relation. Block cap 128, not q159's 20: these blocks hold
     * DISTINCT perceptual contents, not duplicate rows, and the
     * class-level join is bounded at C(128,2) ≈ 8k candidates per hot
     * block — the cap is a safety bound, not the working regime. */
-  val phashImgBands = 7 // × 8 bits = 56
-  val phashImgBandBits = 8
-  val phashAudBands = 4 // × 8 bits = 32 (the q159 geometry)
-  val phashAudBandBits = 8
+  val phashBandBits = 8
+  val phashBandShifts: Map[String, Seq[Int]] = Map(
+    "image" -> (0 until 7).map(_ * 8),
+    "audio" -> (Seq(0, 8, 16, 24) ++ Seq(4, 12, 20)))
+  /** Pigeonhole-guaranteed Hamming radius per kind (from the DISJOINT
+    * subset of [[phashBandShifts]]). */
+  val phashGuaranteeD: Map[String, Int] = Map("image" -> 6, "audio" -> 3)
   val phashHammingMax = 6
   val phashBlockCap = 128
 
@@ -732,22 +738,18 @@ object Multimodal {
     val cls = graft.CacheGuard.barrier(ph.groupBy($"kind", $"phash")
       .agg(count(lit(1)).as("class_size"), min($"media_id").as("keeper_id")))
     // band fan-out as ONE explode over the cached class relation — a
-    // per-kind 15-arm union would cost hundreds of near-empty tasks
-    // (measured: 42k task-ms for 10k cpu-ms at sf0.1); per-kind band
-    // count/width ride as columns instead
+    // per-kind per-arm union would cost hundreds of near-empty tasks
+    // (measured: 42k task-ms for 10k cpu-ms at sf0.1); the per-kind
+    // shift list rides as an exploded column instead
+    def shiftsOf(kind: String) =
+      array(phashBandShifts(kind).map(lit): _*)
     val banded = cls
-      .withColumn("b", explode(sequence(lit(0),
-        when($"kind" === "image", lit(phashImgBands - 1))
-          .otherwise(lit(phashAudBands - 1)))))
-      .withColumn("bits", when($"kind" === "image", lit(phashImgBandBits))
-        .otherwise(lit(phashAudBandBits)))
-      .withColumn("mask",
-        when($"kind" === "image", lit((1L << phashImgBandBits) - 1))
-          .otherwise(lit((1L << phashAudBandBits) - 1)))
+      .withColumn("sh", explode(when($"kind" === "image", shiftsOf("image"))
+        .otherwise(shiftsOf("audio"))))
       .select($"kind", $"phash", $"class_size", $"keeper_id",
-        concat($"kind", lit(":"), $"b", lit(":"),
-          expr("shiftright(phash, CAST(b * bits AS INT))")
-            .bitwiseAND($"mask")).as("bk"))
+        concat($"kind", lit(":"), $"sh", lit(":"),
+          expr("shiftright(phash, CAST(sh AS INT))")
+            .bitwiseAND(lit((1L << phashBandBits) - 1))).as("bk"))
     // both sides of the self-join consume the capped blocks
     val blocks = graft.CacheGuard.barrier(
       Guards.capHotKeys(banded, "bk", phashBlockCap))

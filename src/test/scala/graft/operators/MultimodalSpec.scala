@@ -360,12 +360,10 @@ class MultimodalSpec extends SparkSpec {
     val classes = lawCorpus().groupBy { case (_, k, p) => (k, p) }
       .map { case ((k, p), ms) => (k, p, ms.map(_._1).min, ms.size.toLong) }
       .toSeq
+    val mask = (1L << Multimodal.phashBandBits) - 1
     val banded = classes.flatMap { case (k, p, keeper, sz) =>
-      val (bands, bits) =
-        if (k == "image") (Multimodal.phashImgBands, Multimodal.phashImgBandBits)
-        else (Multimodal.phashAudBands, Multimodal.phashAudBandBits)
-      (0 until bands).map(b =>
-        (s"$k:$b:${(p >> (b * bits)) & ((1L << bits) - 1)}", k, p, keeper, sz))
+      Multimodal.phashBandShifts(k).map(sh =>
+        (s"$k:$sh:${(p >> sh) & mask}", k, p, keeper, sz))
     }
     val okBlocks = banded.groupBy(_._1).filter(_._2.size <= Multimodal.phashBlockCap)
     val wantPairs = okBlocks.values.flatMap { blk =>
@@ -405,15 +403,9 @@ class MultimodalSpec extends SparkSpec {
       gotPairs.exists(p => p._2 == x._3 && p._3 == y._3) }
     var (structural, capped) = (0, 0)
     missed.foreach { case (x, y, d) =>
-      val (bands, bits, guaranteedD) =
-        if (x._1 == "image")
-          (Multimodal.phashImgBands, Multimodal.phashImgBandBits,
-            Multimodal.phashImgBands - 1)
-        else (Multimodal.phashAudBands, Multimodal.phashAudBandBits,
-          Multimodal.phashAudBands - 1)
-      val agreeing = (0 until bands).filter { b =>
-        ((x._2 >> (b * bits)) & ((1L << bits) - 1)) ==
-          ((y._2 >> (b * bits)) & ((1L << bits) - 1))
+      val guaranteedD = Multimodal.phashGuaranteeD(x._1)
+      val agreeing = Multimodal.phashBandShifts(x._1).filter { sh =>
+        ((x._2 >> sh) & mask) == ((y._2 >> sh) & mask)
       }
       if (agreeing.isEmpty) {
         assert(d > guaranteedD, // the pigeonhole guarantee itself
@@ -421,8 +413,8 @@ class MultimodalSpec extends SparkSpec {
             s"inside the kind's guarantee (d ≤ $guaranteedD) — banding bug")
         structural += 1
       } else {
-        agreeing.foreach { b =>
-          val bk = s"${x._1}:$b:${(x._2 >> (b * bits)) & ((1L << bits) - 1)}"
+        agreeing.foreach { sh =>
+          val bk = s"${x._1}:$sh:${(x._2 >> sh) & mask}"
           assert(blockSizes(bk) > Multimodal.phashBlockCap,
             s"missed pair ${x._3}<->${y._3} has a NON-hot agreeing band $bk " +
               s"(size ${blockSizes(bk)}) — banding bug, not the cap trade")
