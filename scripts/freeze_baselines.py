@@ -20,11 +20,20 @@ Modes:
             unfrozen query is unguarded by the 2x flag, which is how
             q266-q271 shipped a round without drift protection. Run it
             after `append`; a failure means the append was skipped.
+  refreeze — EXPLICIT provenance-carrying re-freeze (r14 verdict: q97's
+            frozen row describes a retired pre-orientation plan; q302's
+            the retired 15-arm union plan — every noisy run re-litigates
+            them). Never silent: the old row moves into the query's
+            "superseded" history with the stated reason, and the new sec
+            must come from a quiet min-of-3 measurement. This is the q19
+            retirement precedent applied to baselines: history kept,
+            bar re-stated against the plan that actually ships.
 
 Usage:
   python3 scripts/freeze_baselines.py freeze
   python3 scripts/freeze_baselines.py append <round> [health_file]
   python3 scripts/freeze_baselines.py check [health_file]
+  python3 scripts/freeze_baselines.py refreeze <round> <query> <sec> <reason...>
 """
 import json, re, sys, os
 
@@ -98,6 +107,24 @@ def append(rnd, health_file):
     print(f"appended {added} new queries (round {rnd}); {len(cur)} total, existing rows untouched")
 
 
+def refreeze(rnd, q, sec, reason):
+    if sec <= 0:
+        sys.exit("refreeze: non-positive sec")
+    if not reason.strip():
+        sys.exit("refreeze: a reason is mandatory — this is the provenance")
+    cur = json.load(open(BQ))
+    if q not in cur:
+        sys.exit(f"refreeze: {q} has no frozen row (use append)")
+    old = dict(cur[q])
+    hist = old.pop("superseded", [])
+    cur[q] = {"sec": sec, "protocol": "quiet_min_of_3_sf0.1",
+              "round": rnd, "refreeze_reason": reason,
+              "superseded": hist + [old]}
+    json.dump(dict(sorted(cur.items())), open(BQ, "w"), indent=1)
+    print(f"refroze {q}: {old['sec']} (r{old['round']}) -> {sec} (r{rnd}); "
+          f"reason: {reason}")
+
+
 def check(health_file):
     cur = json.load(open(BQ))
     missing = sorted(set(health_secs(health_file)) - set(cur))
@@ -116,5 +143,8 @@ if __name__ == "__main__":
     elif len(sys.argv) >= 2 and sys.argv[1] == "check":
         hf = sys.argv[2] if len(sys.argv) > 2 else os.path.join(ROOT, "bench_health.json")
         check(hf)
+    elif len(sys.argv) >= 6 and sys.argv[1] == "refreeze":
+        refreeze(int(sys.argv[2]), sys.argv[3], float(sys.argv[4]),
+                 " ".join(sys.argv[5:]))
     else:
         sys.exit(__doc__)

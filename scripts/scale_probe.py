@@ -95,7 +95,15 @@ def addd(rnd, q, x1, x10, verdict):
     DICTIONARY probe (graft.DictProbe — corpus FIXED, vocabulary /
     benchmark-gram set grown ~10x), stored under key "dict" as
     {x1_s, x10_s, ratio, ...} so the dictionary term's bend is
-    recorded next to the corpus-growth series."""
+    recorded next to the corpus-growth series.
+
+    Rejects non-positive inputs (r14 ADVICE: DictProbe used to emit a
+    -1.0 failure sentinel; a failed measurement must never become a
+    recorded ratio — DictProbe now prints null and exits nonzero, and
+    this guard catches any stale sentinel fed by hand)."""
+    if x1 <= 0 or x10 <= 0:
+        sys.exit(f"addd: non-positive measurement ({x1}, {x10}) — "
+                 f"failed probes are not recordable")
     out = load()
     row = {"x1_s": x1, "x10_s": x10,
            "ratio": round(x10 / x1, 2) if x1 else None,

@@ -48,12 +48,20 @@ object DictProbe {
 
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val res = Bench.measure(spark, sfDir, qs, reps)
+    // a failed measurement emits JSON null (never a -1.0 sentinel that a
+    // downstream ratio would silently treat as a number — r14 ADVICE) and
+    // the process exits nonzero so the probe harness can't record it
+    val anyFailed = res.exists(_.okSecs.isEmpty)
     val line = res.sortBy(_.name).map { m =>
-      val sec = if (m.okSecs.nonEmpty) m.okSecs.min else -1.0
-      s""""${m.name}":${math.round(sec * 1000) / 1000.0}""" // round-ok: display rounding of probe wall-clock, not a data value
+      val sec =
+        if (m.okSecs.nonEmpty)
+          (math.round(m.okSecs.min * 1000) / 1000.0).toString // round-ok: display rounding of probe wall-clock, not a data value
+        else "null"
+      s""""${m.name}":$sec"""
     }.mkString("{", ",", s""","sf":"$sfDir","reps":$reps}""")
     // stdout stays parseable: everything above logs to stderr
     println(line)
     spark.stop()
+    if (anyFailed) sys.exit(1)
   }
 }

@@ -395,6 +395,12 @@ object SparkEntry {
     "q302_media_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
     "q303_video_phash_classes" -> ((s, d) =>
       Multimodal.videoPhashClasses(s, d)),
+    "q304_video_phash_pairs" -> ((s, d) =>
+      Multimodal.videoPhashPairs(s, d)),
+    "q305_media_phash_gate" -> ((s, d) =>
+      graft.streaming.MediaGate.replayBatch(s, d)),
+    "q306_pair_media_consistency" -> ((s, d) =>
+      Multimodal.pairedMediaConsistency(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -651,6 +657,51 @@ object SparkEntry {
        |  SELECT kind, phash, CAST(count(*) AS BIGINT) AS class_size,
        |    min(media_id) AS keeper_id
        |  FROM phf GROUP BY kind, phash)""".stripMargin
+  }
+
+  /** The video scene-signature chain (q303/q304): corpus + brightness
+    * twins (derived offset, q292 discipline) → per-frame byte sums from
+    * the GVID generation laws → 33-window energy-sign fingerprint →
+    * exact-hash classes with keeper election. Ends at CTEs `vhf`
+    * (media_id, n_frames, vhash) and `vhcls` (vhash, class_size,
+    * keeper_id). */
+  private lazy val vhashCtesSql: String = {
+    import Multimodal.{phashDupMod, phashGrayShift, audioFpWindows => aw}
+    s"""vhd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+       |vhoff AS (SELECT max(doc_id) + 1 AS o FROM vhd),
+       |vhg AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) AS g
+       |  FROM vhd),
+       |vhm AS (
+       |  SELECT doc_id AS base_id, doc_id AS media_id, 0 AS gs FROM vhd
+       |  UNION ALL
+       |  SELECT doc_id, doc_id + (SELECT o FROM vhoff), $phashGrayShift
+       |  FROM vhd WHERE doc_id % $phashDupMod = 0),
+       |vhs AS MATERIALIZED (
+       |  SELECT media_id, n,
+       |    list_transform(range(0, n), f ->
+       |      list_sum(list_transform(range(0, l), i ->
+       |        (3*i + 17*(f//s) + gg) % 256))) AS fs
+       |  FROM (SELECT m0.media_id, (g.g + m0.gs) % 256 AS gg,
+       |          12 + m0.base_id % 9 AS l, 24 + m0.base_id % 24 AS n,
+       |          6 + m0.base_id % 5 AS s
+       |        FROM vhm m0 JOIN vhg g ON g.doc_id = m0.base_id) d),
+       |vhf AS MATERIALIZED (
+       |  SELECT media_id, n AS n_frames,
+       |    CAST(coalesce(list_sum(list_transform(range(0, ${aw - 1}), wi ->
+       |      CASE WHEN
+       |        coalesce(list_sum(fs[CAST((wi+1)*n//$aw AS INTEGER) + 1 :
+       |                             CAST((wi+2)*n//$aw AS INTEGER)]), 0)
+       |        > coalesce(list_sum(fs[CAST(wi*n//$aw AS INTEGER) + 1 :
+       |                               CAST((wi+1)*n//$aw AS INTEGER)]), 0)
+       |      THEN CAST(1 AS BIGINT) << CAST(wi AS INTEGER)
+       |      ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS vhash
+       |  FROM vhs),
+       |vhcls AS MATERIALIZED (
+       |  SELECT vhash, CAST(count(*) AS BIGINT) AS class_size,
+       |    min(media_id) AS keeper_id
+       |  FROM vhf GROUP BY vhash)""".stripMargin
   }
 
   /** The BPE training chain (corpus → word-frequency dictionary →
@@ -9309,48 +9360,107 @@ object SparkEntry {
 
     // video scene-signature dedup: per-frame byte sums from the laws,
     // 33-window energy-sign fingerprint, exact-hash classes + keeper
-    "q303_video_phash_classes" -> {
-      import Multimodal.{phashDupMod, phashGrayShift, audioFpWindows => aw}
-      s"""WITH vhd AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-         |vhoff AS (SELECT max(doc_id) + 1 AS o FROM vhd),
-         |vhg AS (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) AS g
-         |  FROM vhd),
-         |vhm AS (
-         |  SELECT doc_id AS base_id, doc_id AS media_id, 0 AS gs FROM vhd
-         |  UNION ALL
-         |  SELECT doc_id, doc_id + (SELECT o FROM vhoff), $phashGrayShift
-         |  FROM vhd WHERE doc_id % $phashDupMod = 0),
-         |vhs AS MATERIALIZED (
-         |  SELECT media_id, n,
-         |    list_transform(range(0, n), f ->
-         |      list_sum(list_transform(range(0, l), i ->
-         |        (3*i + 17*(f//s) + gg) % 256))) AS fs
-         |  FROM (SELECT m0.media_id, (g.g + m0.gs) % 256 AS gg,
-         |          12 + m0.base_id % 9 AS l, 24 + m0.base_id % 24 AS n,
-         |          6 + m0.base_id % 5 AS s
-         |        FROM vhm m0 JOIN vhg g ON g.doc_id = m0.base_id) d),
-         |vhf AS MATERIALIZED (
-         |  SELECT media_id, n AS n_frames,
-         |    CAST(coalesce(list_sum(list_transform(range(0, ${aw - 1}), wi ->
-         |      CASE WHEN
-         |        coalesce(list_sum(fs[CAST((wi+1)*n//$aw AS INTEGER) + 1 :
-         |                             CAST((wi+2)*n//$aw AS INTEGER)]), 0)
-         |        > coalesce(list_sum(fs[CAST(wi*n//$aw AS INTEGER) + 1 :
-         |                               CAST((wi+1)*n//$aw AS INTEGER)]), 0)
-         |      THEN CAST(1 AS BIGINT) << CAST(wi AS INTEGER)
-         |      ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS vhash
-         |  FROM vhs),
-         |vhcls AS (
-         |  SELECT vhash, CAST(count(*) AS BIGINT) AS class_size,
-         |    min(media_id) AS keeper_id
-         |  FROM vhf GROUP BY vhash)
+    "q303_video_phash_classes" ->
+      s"""WITH $vhashCtesSql
          |SELECT f.media_id, f.vhash, CAST(f.n_frames AS BIGINT) AS n_frames,
          |  c.class_size, c.keeper_id,
          |  f.media_id = c.keeper_id AS is_keeper
          |FROM vhf f JOIN vhcls c USING (vhash)
+         |ORDER BY f.media_id""".stripMargin,
+
+    // video near-dup pairs: the q302 Hamming banding over the video
+    // fingerprint classes (audio geometry — 4 disjoint + 3 rotated arms)
+    "q304_video_phash_pairs" -> {
+      import Multimodal.{phashBlockCap, phashHammingMax,
+        phashBandBits, phashBandShifts}
+      val shiftRows =
+        phashBandShifts("audio").map(sh => s"($sh)").mkString(", ")
+      s"""WITH $vhashCtesSql,
+         |vbk AS (
+         |  SELECT vhash, class_size, keeper_id,
+         |    'video:' || CAST(s.sh AS VARCHAR) || ':' ||
+         |      CAST((vhash >> CAST(s.sh AS INTEGER))
+         |        & ${(1L << phashBandBits) - 1} AS VARCHAR) AS bk
+         |  FROM vhcls
+         |  CROSS JOIN (VALUES $shiftRows) s(sh)),
+         |vok AS (SELECT bk FROM vbk GROUP BY bk
+         |        HAVING count(*) <= $phashBlockCap),
+         |vbl AS (SELECT k.* FROM vbk k JOIN vok USING (bk)),
+         |vp AS (
+         |  SELECT keeper_a, keeper_b, size_a, size_b,
+         |    CAST(bit_count(x) AS BIGINT) AS hamming
+         |  FROM (
+         |    SELECT DISTINCT x.keeper_id AS keeper_a,
+         |      y.keeper_id AS keeper_b, x.class_size AS size_a,
+         |      y.class_size AS size_b, xor(x.vhash, y.vhash) AS x
+         |    FROM vbl x JOIN vbl y
+         |      ON x.bk = y.bk AND x.keeper_id < y.keeper_id) z
+         |  WHERE bit_count(x) <= $phashHammingMax)
+         |SELECT keeper_a, keeper_b, size_a, size_b, hamming
+         |FROM vp ORDER BY keeper_a, keeper_b""".stripMargin
+    },
+
+    // streaming media-perceptual gate: the exact relational replay of
+    // the seen-based sequential fold (rank ≤ cap per band group ×
+    // later arrivals, popcount ≤ 6 verification, per-media rollup)
+    "q305_media_phash_gate" -> {
+      import Multimodal.{phashBandBits, phashBandShifts, phashHammingMax}
+      val shiftRows = phashBandShifts.toSeq.sortBy(_._1).flatMap {
+        case (kind, shifts) => shifts.map(sh => s"('$kind', $sh)")
+      }.mkString(", ")
+      s"""WITH $phashCtesSql,
+         |gmb AS MATERIALIZED (
+         |  SELECT media_id, phash,
+         |    kind || ':' || CAST(s.sh AS VARCHAR) || ':' ||
+         |      CAST((phash >> CAST(s.sh AS INTEGER))
+         |        & ${(1L << phashBandBits) - 1} AS VARCHAR) AS bk
+         |  FROM phf
+         |  JOIN (VALUES $shiftRows) s(k, sh) ON s.k = kind),
+         |gmr AS (
+         |  SELECT media_id, phash, bk,
+         |    row_number() OVER (PARTITION BY bk ORDER BY media_id) AS rk
+         |  FROM gmb),
+         |ghit AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS n_prior_neardups,
+         |    min(a) AS first_collider
+         |  FROM (
+         |    SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+         |      x.phash AS pa, y.phash AS pb
+         |    FROM gmr x JOIN gmb y
+         |      ON x.bk = y.bk AND x.media_id < y.media_id
+         |    WHERE x.rk <= ${graft.streaming.MediaGate.groupCap}) z
+         |  WHERE bit_count(xor(pa, pb)) <= $phashHammingMax
+         |  GROUP BY b)
+         |SELECT f.media_id, f.kind, h.n_prior_neardups IS NULL AS admitted,
+         |  coalesce(h.n_prior_neardups, 0) AS n_prior_neardups,
+         |  coalesce(h.first_collider, -1) AS first_collider
+         |FROM phf f LEFT JOIN ghit h ON h.b = f.media_id
          |ORDER BY f.media_id""".stripMargin
+    },
+
+    // paired text-media consistency: q55 text near-dup pairs (base docs)
+    // x q301 fingerprints on both ends; caption-swap = text matches,
+    // media far; cross-kind matches flagged incomparable
+    "q306_pair_media_consistency" -> {
+      import Multimodal.phashHammingMax
+      s"""WITH $minHashCtesSql,
+         |$phashCtesSql,
+         |pmc AS (
+         |  SELECT e.a, e.b, e.est_jaccard,
+         |    x.kind AS kind_a, y.kind AS kind_b,
+         |    CASE WHEN x.kind = y.kind
+         |      THEN CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT)
+         |      ELSE CAST(-1 AS BIGINT) END AS hamming
+         |  FROM est e
+         |  JOIN phf x ON x.media_id = e.a
+         |  JOIN phf y ON y.media_id = e.b
+         |  WHERE e.est_jaccard >= 0.5
+         |    AND e.a < ${DedupOps.dupOffset} AND e.b < ${DedupOps.dupOffset})
+         |SELECT a, b, est_jaccard, kind_a, kind_b, hamming,
+         |  CASE WHEN hamming < 0 THEN 'cross_kind'
+         |       WHEN hamming <= $phashHammingMax THEN 'consistent'
+         |       ELSE 'media_mismatch' END AS verdict
+         |FROM pmc ORDER BY a, b""".stripMargin
     },
   )
 

@@ -731,7 +731,10 @@ object Multimodal {
     * per-row popcount on O(candidate) pairs. */
   def phashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ph = graft.CacheGuard.barrier(perceptualHashes(spark, dir))
+    // the raw fingerprint relation has exactly ONE consumer here (the
+    // class aggregation) — no barrier (r14 ADVICE: caching a full-corpus
+    // codec pass with no reuse); contrast phashClasses, where it feeds 2
+    val ph = perceptualHashes(spark, dir)
     // the CLASS relation is consumed 15× (once per band fan-out arm)
     // plus twice inside the hot-block cap — barrier it, or the class
     // aggregation re-runs per arm (measured 4.19 → ~1 s at sf0.1)
@@ -794,7 +797,13 @@ object Multimodal {
     * join. Classes are O(perceptual diversity). */
   case class VhashRow(media_id: Long, vhash: Long, n_frames: Long)
 
-  def videoPhashClasses(spark: SparkSession, dir: String): DataFrame = {
+  /** One scene-signature fingerprint per video row (corpus + derived-
+    * offset brightness twins, the q301 discipline), through the REAL
+    * GVID render → parse path. NOT barriered here — each consumer
+    * decides (q303 reuses it twice and barriers; q304 aggregates it
+    * once and must not cache a full-corpus parse pass, the r14
+    * phashPairs ADVICE). */
+  def videoPerceptualHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", coalesce($"text", lit("")).as("text"))
@@ -807,21 +816,113 @@ object Multimodal {
           .crossJoin(broadcast(off))
           .select($"doc_id".as("base_id"), ($"doc_id" + $"__off").as("media_id"),
             $"text", lit(phashGrayShift).as("gshift")))
-    val vh = graft.CacheGuard.barrier(
-      corpus.as[(Long, Long, String, Int)]
-        .mapPartitions { it =>
-          it.map { case (baseId, mediaId, text, gshift) =>
-            val g = (ImageLaw.gray(text) + gshift) % 256
-            val (n, sums) = decodeVid(renderVidGray(baseId, g))
-            VhashRow(mediaId, videoFingerprint(sums), n)
-          }
+    corpus.as[(Long, Long, String, Int)]
+      .mapPartitions { it =>
+        it.map { case (baseId, mediaId, text, gshift) =>
+          val g = (ImageLaw.gray(text) + gshift) % 256
+          val (n, sums) = decodeVid(renderVidGray(baseId, g))
+          VhashRow(mediaId, videoFingerprint(sums), n)
         }
-        .toDF())
+      }
+      .toDF()
+  }
+
+  def videoPhashClasses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // two consumers (class stats + audit join) — barrier the parse pass
+    val vh = graft.CacheGuard.barrier(videoPerceptualHashes(spark, dir))
     val cls = vh.groupBy($"vhash")
       .agg(count(lit(1)).as("class_size"), min($"media_id").as("keeper_id"))
     vh.join(cls, Seq("vhash"))
       .select($"media_id", $"vhash", $"n_frames", $"class_size",
         $"keeper_id", ($"media_id" === $"keeper_id").as("is_keeper"))
       .orderBy($"media_id")
+  }
+
+  /** q304 — video near-dup PAIRS, closing the r14 verdict gap #1 (q303
+    * gives exact-fingerprint classes, so a re-encoded clip whose scene
+    * signature drifts 1–6 bits was invisible): the q302 Hamming-banded
+    * machinery lifted to the video fingerprint. The 32-bit signature
+    * admits the AUDIO band geometry verbatim — 4 disjoint 8-bit arms
+    * (pigeonhole guarantee d ≤ 3) plus the 3 rotated multi-probe arms
+    * for the probabilistic d 4–6 tail — so [[phashBandShifts]]("audio")
+    * IS the video shift list; hot blocks capped
+    * ([[Guards.capHotKeys]]), `bit_count(xor) ≤ 6` verification, each
+    * edge carrying both keepers + class sizes.
+    *
+    * Scale shape: ONE container-parse pass (inside the class
+    * aggregation — the raw relation has exactly one consumer here, so
+    * it is NOT cached); the banded self-join runs over the
+    * DISTINCT-fingerprint relation — O(perceptual diversity), never
+    * O(corpus). */
+  def videoPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vh = videoPerceptualHashes(spark, dir)
+    // the CLASS relation feeds every band arm plus the hot-block cap —
+    // barrier it (the q302 lesson: without it the aggregation re-runs
+    // per arm)
+    val cls = graft.CacheGuard.barrier(vh.groupBy($"vhash")
+      .agg(count(lit(1)).as("class_size"), min($"media_id").as("keeper_id")))
+    val banded = cls
+      .withColumn("sh", explode(array(phashBandShifts("audio").map(lit): _*)))
+      .select($"vhash", $"class_size", $"keeper_id",
+        concat(lit("video:"), $"sh", lit(":"),
+          expr("shiftright(vhash, CAST(sh AS INT))")
+            .bitwiseAND(lit((1L << phashBandBits) - 1))).as("bk"))
+    val blocks = graft.CacheGuard.barrier(
+      Guards.capHotKeys(banded, "bk", phashBlockCap))
+    blocks.as("x").join(blocks.as("y"),
+        $"x.bk" === $"y.bk" && $"x.keeper_id" < $"y.keeper_id")
+      .select($"x.keeper_id".as("keeper_a"), $"y.keeper_id".as("keeper_b"),
+        $"x.class_size".as("size_a"), $"y.class_size".as("size_b"),
+        $"x.vhash".as("vha"), $"y.vhash".as("vhb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(vha ^ vhb)").cast("long"))
+      .filter($"hamming" <= phashHammingMax)
+      .select($"keeper_a", $"keeper_b", $"size_a", $"size_b", $"hamming")
+      .orderBy($"keeper_a", $"keeper_b")
+  }
+
+  /** q306 — paired text↔media CONSISTENCY audit (the LAION-style
+    * pair-curation step none of the per-modality passes can express): a
+    * multimodal training pair is good when its text AND its media agree
+    * with its duplicate-partner's — a pair whose TEXT is a near-dup of
+    * another's but whose media fingerprint is FAR is the caption-swap /
+    * template-spam signature (same boilerplate text pasted onto
+    * different media), and a cross-modality text match (an image doc
+    * quoting an audio doc's transcript) is flagged as incomparable
+    * rather than silently scored.
+    *
+    * Mechanics: the q55-audited md5-MinHash text pair relation (base
+    * docs only — synthetic exact copies carry no media row by
+    * construction) joined on BOTH ends to the q301 perceptual
+    * fingerprints; same-kind pairs get the media Hamming distance,
+    * verdict ∈ {consistent (d ≤ [[phashHammingMax]]), media_mismatch,
+    * cross_kind}.
+    *
+    * Scale shape: both inputs are the audited sub-linear relations (text
+    * pairs O(near-dups), fingerprints one codec pass — barriered here
+    * because the pair relation consumes it on both join ends); the
+    * composition is two key-equi joins ON THE PAIR RELATION — O(pairs),
+    * the corpus never re-enters. */
+  def pairedMediaConsistency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val pairs = DedupOps.minHashLshPairsOracled(spark, dir)
+      .filter($"a" < DedupOps.dupOffset && $"b" < DedupOps.dupOffset)
+    val ph = graft.CacheGuard.barrier(perceptualHashes(spark, dir))
+    pairs
+      .join(ph.as("pa"), $"a" === $"pa.media_id")
+      .join(ph.as("pb"), $"b" === $"pb.media_id")
+      .select($"a", $"b", $"est_jaccard",
+        $"pa.kind".as("kind_a"), $"pb.kind".as("kind_b"),
+        when($"pa.kind" === $"pb.kind",
+          expr("bit_count(pa.phash ^ pb.phash)").cast("long"))
+          .otherwise(lit(-1L)).as("hamming"))
+      .withColumn("verdict",
+        when($"hamming" < 0, lit("cross_kind"))
+          .when($"hamming" <= phashHammingMax, lit("consistent"))
+          .otherwise(lit("media_mismatch")))
+      .orderBy($"a", $"b")
   }
 }

@@ -153,6 +153,21 @@ class BenchSpec extends SparkSpec {
     assert(!Bench.renderSlim(rs, 1, "/tmp/sf").contains("vs_"))
   }
 
+  test("noise floor: a sub-second row over 2x but under 0.5 s absolute excess does not flag") {
+    import graft.BenchProbe.Snap
+    def m(name: String, sec: Double) =
+      Bench.Measured(name, Seq(sec), Seq(sec), None, gcMs = Seq(0L),
+        probe = Seq(Snap(0, 0, 0, 0, 0, 0, 0, 0, 0, jitMs = 0L)))
+    // the q111/q113/q272 class (r13–r14): a ~0.5 s row reads 2.06x on a
+    // noisy run — ratio says flag, absolute excess (~0.5 s of scheduler
+    // jitter) says noise. The round-15 rule is the conjunction.
+    assert(!m("q_sub", 0.95).flaggedVs(0.497)) // 1.91x, +0.45 s → noise
+    assert(!m("q_sub", 0.9).flaggedVs(0.44))   // 2.05x, +0.46 s → noise
+    assert(m("q_sub", 1.5).flaggedVs(0.44))    // 3.4x, +1.06 s → real
+    assert(!m("q_big", 5.9).flaggedVs(3.0))    // 1.97x, +2.9 s → ratio gate holds
+    assert(m("q_big", 6.1).flaggedVs(3.0))     // 2.03x, +3.1 s → flags exactly as before
+  }
+
   test("a tied failed rep is excluded from jit adjustment by rep index (not value equality)") {
     import graft.BenchProbe.Snap
     def snap(jitMs: Long) = Snap(0, 0, 0, 0, 0, 0, 0, 0, 0, jitMs = jitMs)

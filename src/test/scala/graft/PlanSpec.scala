@@ -392,4 +392,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), p.take(3000)) // the 1-row offset
   }
+
+  test("q304 video phash pairs: banded join over DISTINCT fingerprints — no cartesian, no window") {
+    val p = plan(Multimodal.videoPhashPairs(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
+  test("q305 media gate replay: the ONLY window is the per-band-key rank (block-sized partitions), candidate join key-equi on bk, no cartesian") {
+    val p = plan(graft.streaming.MediaGate.replayBatch(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // exactly one Window operator, and it partitions by the band key —
+    // never the corpus (the q173 replay discipline)
+    assert("(?s)Window".r.findAllMatchIn(p).size >= 1, p.take(3000))
+    assert(p.split("Window \\[").length - 1 <= 1, p.take(3000))
+    assert(p.contains("partitionspec=[bk") ||
+      p.contains("windowspecdefinition(bk"), p.take(3000))
+  }
+
+  test("q306 pair-media consistency: key-equi joins on the pair relation — no cartesian, no window (the only non-equi join is q301's 1-row twin-offset broadcast)") {
+    val p = plan(Multimodal.pairedMediaConsistency(spark, sf))
+    graft.CacheGuard.release()
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the only window is the inherited q55 band-cap rank (block-sized
+    // partitions) — nothing new windows over the corpus
+    assert(p.split("Window \\[").length - 1 <= 1, p.take(3000))
+    // the fingerprint joins are hash joins on the pair keys
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p.take(3000))
+  }
 }

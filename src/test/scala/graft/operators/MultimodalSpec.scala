@@ -481,4 +481,117 @@ class MultimodalSpec extends SparkSpec {
     assert(collapsed * 2 >= twins.length,
       s"only $collapsed/${twins.length} brightness twins collapsed")
   }
+
+  test("videoPhashPairs: banding + cap + popcount verification replay exactly; every miss cap- or guarantee-explained") {
+    val out = Multimodal.videoPhashPairs(spark, sf).collect()
+    graft.CacheGuard.release()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect() // collect-ok: spec replay
+      .map(r => r.getLong(0) ->
+        Multimodal.ImageLaw.gray(Option(r.getString(1)).getOrElse("")))
+    val off = docs.map(_._1).max + 1
+    val corpus = docs.flatMap { case (id, g) =>
+      Seq((id, lawVideoFp(id, g))) ++
+        (if (id % Multimodal.phashDupMod == 0)
+          Seq((id + off, lawVideoFp(id, (g + Multimodal.phashGrayShift) % 256)))
+        else Nil)
+    }.toSeq
+    val classes = corpus.groupBy(_._2)
+      .map { case (vh, ms) => (vh, ms.map(_._1).min, ms.size.toLong) }.toSeq
+    val shifts = Multimodal.phashBandShifts("audio") // 32-bit geometry
+    val mask = (1L << Multimodal.phashBandBits) - 1
+    val banded = classes.flatMap { case (vh, keeper, sz) =>
+      shifts.map(sh => (s"video:$sh:${(vh >> sh) & mask}", vh, keeper, sz)) }
+    val okBlocks =
+      banded.groupBy(_._1).filter(_._2.size <= Multimodal.phashBlockCap)
+    val wantPairs = okBlocks.values.flatMap { blk =>
+      for {
+        x <- blk; y <- blk
+        if x._3 < y._3
+        d = java.lang.Long.bitCount(x._2 ^ y._2)
+        if d <= Multimodal.phashHammingMax
+      } yield (x._3, y._3, x._4, y._4, d.toLong)
+    }.toSet
+    val gotPairs = out.map(r => (r.getAs[Long]("keeper_a"),
+      r.getAs[Long]("keeper_b"), r.getAs[Long]("size_a"),
+      r.getAs[Long]("size_b"), r.getAs[Long]("hamming"))).toSet
+    assert(gotPairs === wantPairs)
+    assert(out.length === gotPairs.size)
+    // edges join DISTINCT classes: strictly ordered keepers, d ≥ 1
+    assert(gotPairs.forall(p => p._1 < p._2 && p._5 > 0))
+    // recall accounting (the q302 discipline): every missed true pair is
+    // either structural (no agreeing band — legal only beyond the 4
+    // disjoint arms' pigeonhole guarantee d ≤ 3) or cap-explained
+    val blockSizes = banded.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val truePairs = (for {
+      x <- classes; y <- classes
+      if x._2 < y._2
+      d = java.lang.Long.bitCount(x._1 ^ y._1)
+      if d <= Multimodal.phashHammingMax
+    } yield (x, y, d)).toSeq
+    val missed = truePairs.filterNot { case (x, y, _) =>
+      gotPairs.exists(p => p._1 == x._2 && p._2 == y._2) }
+    var (structural, capped) = (0, 0)
+    missed.foreach { case (x, y, d) =>
+      val agreeing = shifts.filter(sh =>
+        ((x._1 >> sh) & mask) == ((y._1 >> sh) & mask))
+      if (agreeing.isEmpty) {
+        assert(d > Multimodal.phashGuaranteeD("audio"),
+          s"pair ${x._2}<->${y._2} at d=$d lost with NO agreeing band " +
+            "inside the disjoint-arm guarantee (d <= 3) — banding bug")
+        structural += 1
+      } else {
+        agreeing.foreach { sh =>
+          val bk = s"video:$sh:${(x._1 >> sh) & mask}"
+          assert(blockSizes(bk) > Multimodal.phashBlockCap,
+            s"missed pair ${x._2}<->${y._2} has a NON-hot agreeing band " +
+              s"$bk (size ${blockSizes(bk)}) — banding bug, not the cap")
+        }
+        capped += 1
+      }
+    }
+    info(s"recall: ${truePairs.size - missed.size}/${truePairs.size} true " +
+      s"near pairs recovered ($structural structural beyond the d<=3 " +
+      s"guarantee, $capped lost to hot-block caps)")
+  }
+
+  test("pairedMediaConsistency: per-pair classification replays from the law fingerprints; all three verdicts real") {
+    val out = Multimodal.pairedMediaConsistency(spark, sf).collect()
+    graft.CacheGuard.release()
+    // input pair relation: the separately-audited q55 chain, base docs
+    val pairs = graft.operators.DedupOps.minHashLshPairsOracled(spark, sf)
+      .collect() // collect-ok: spec replay at gate SF (O(near-dup pairs))
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+      .filter { case (a, b) =>
+        a < graft.operators.DedupOps.dupOffset &&
+          b < graft.operators.DedupOps.dupOffset }
+    graft.CacheGuard.release()
+    val fp = lawCorpus().map(t => t._1 -> (t._2, t._3)).toMap
+    // every base pair with media on both ends appears exactly once, with
+    // the law-replayed kind, hamming and verdict
+    val gotByPair = out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r).toMap
+    assert(out.length === pairs.length)
+    assert(gotByPair.keySet === pairs.toSet)
+    pairs.foreach { case (a, b) =>
+      val r = gotByPair((a, b))
+      val ((ka, pa), (kb, pb)) = (fp(a), fp(b))
+      assert(r.getAs[String]("kind_a") === ka)
+      assert(r.getAs[String]("kind_b") === kb)
+      val wantHam =
+        if (ka != kb) -1L else java.lang.Long.bitCount(pa ^ pb).toLong
+      assert(r.getAs[Long]("hamming") === wantHam, s"pair ($a,$b)")
+      val wantVerdict =
+        if (wantHam < 0) "cross_kind"
+        else if (wantHam <= Multimodal.phashHammingMax) "consistent"
+        else "media_mismatch"
+      assert(r.getAs[String]("verdict") === wantVerdict, s"pair ($a,$b)")
+      // kind is the doc-id parity law — the join really hit the right row
+      assert(ka === (if (a % 2 == 0) "image" else "audio"))
+    }
+    // the audit is non-vacuous: all three verdict classes occur at gate
+    // SF (text near-dups DO split into media-consistent, caption-swap
+    // and cross-modality cases)
+    val verdicts = out.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts === Set("consistent", "media_mismatch", "cross_kind"))
+  }
 }
