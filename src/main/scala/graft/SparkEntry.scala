@@ -401,6 +401,10 @@ object SparkEntry {
       graft.streaming.MediaGate.replayBatch(s, d)),
     "q306_pair_media_consistency" -> ((s, d) =>
       Multimodal.pairedMediaConsistency(s, d)),
+    "q307_video_phash_gate" -> ((s, d) =>
+      graft.streaming.MediaGate.replayVideoBatch(s, d)),
+    "q308_semantic_gate" -> ((s, d) =>
+      graft.streaming.SemanticGate.replayBatch(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9461,6 +9465,73 @@ object SparkEntry {
          |       WHEN hamming <= $phashHammingMax THEN 'consistent'
          |       ELSE 'media_mismatch' END AS verdict
          |FROM pmc ORDER BY a, b""".stripMargin
+    },
+
+    // video streaming gate replay: the q305 machinery over the q303
+    // scene-signature fingerprints (audio band geometry — 32 bits)
+    "q307_video_phash_gate" -> {
+      import Multimodal.{phashBandBits, phashBandShifts, phashHammingMax}
+      val shiftRows =
+        phashBandShifts("audio").map(sh => s"($sh)").mkString(", ")
+      s"""WITH $vhashCtesSql,
+         |vgb AS MATERIALIZED (
+         |  SELECT media_id, vhash,
+         |    'video:' || CAST(s.sh AS VARCHAR) || ':' ||
+         |      CAST((vhash >> CAST(s.sh AS INTEGER))
+         |        & ${(1L << phashBandBits) - 1} AS VARCHAR) AS bk
+         |  FROM vhf
+         |  CROSS JOIN (VALUES $shiftRows) s(sh)),
+         |vgr AS (
+         |  SELECT media_id, vhash, bk,
+         |    row_number() OVER (PARTITION BY bk ORDER BY media_id) AS rk
+         |  FROM vgb),
+         |vghit AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS n_prior_neardups,
+         |    min(a) AS first_collider
+         |  FROM (
+         |    SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+         |      x.vhash AS pa, y.vhash AS pb
+         |    FROM vgr x JOIN vgb y
+         |      ON x.bk = y.bk AND x.media_id < y.media_id
+         |    WHERE x.rk <= ${graft.streaming.MediaGate.groupCap}) z
+         |  WHERE bit_count(xor(pa, pb)) <= $phashHammingMax
+         |  GROUP BY b)
+         |SELECT f.media_id, 'video' AS kind,
+         |  h.n_prior_neardups IS NULL AS admitted,
+         |  coalesce(h.n_prior_neardups, 0) AS n_prior_neardups,
+         |  coalesce(h.first_collider, -1) AS first_collider
+         |FROM vhf f LEFT JOIN vghit h ON h.b = f.media_id
+         |ORDER BY f.media_id""".stripMargin
+    },
+
+    // semantic gate replay: doubled embeddings, one 16-plane sign-LSH
+    // bucket per vector, rank ≤ cap registration, r4-quantized cosine
+    "q308_semantic_gate" -> {
+      import graft.streaming.SemanticGate.{bits => sgBits, groupCap => sgCap, tau => sgTau}
+      s"""WITH seb AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |sgb AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", sgBits)} AS bucket
+         |  FROM seb),
+         |sgr AS (
+         |  SELECT vec_id, embedding, bucket,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+         |  FROM sgb),
+         |sghit AS (
+         |  SELECT y.vec_id AS b, CAST(count(*) AS BIGINT) AS n_prior_semdups,
+         |    min(x.vec_id) AS first_collider
+         |  FROM sgr x JOIN sgb y
+         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE x.rk <= $sgCap
+         |    AND ${cosSql("x.embedding", "y.embedding")} >= $sgTau
+         |  GROUP BY y.vec_id)
+         |SELECT s.vec_id, h.n_prior_semdups IS NULL AS admitted,
+         |  coalesce(h.n_prior_semdups, 0) AS n_prior_semdups,
+         |  coalesce(h.first_collider, -1) AS first_collider
+         |FROM sgb s LEFT JOIN sghit h ON h.b = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin
     },
   )
 

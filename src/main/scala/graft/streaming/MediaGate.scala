@@ -80,10 +80,18 @@ object MediaGate {
     Multimodal.perceptualHashes(spark, dir).as[MediaDoc]
   }
 
+  /** Band geometry per kind: images carry the 7-disjoint-arm 56-bit
+    * decomposition; every 32-bit fingerprint (audio AND video — the
+    * q304 rule) carries the 4-disjoint + 3-multi-probe audio geometry.
+    * Mirrors [[replayOver]]'s when/otherwise routing exactly. */
+  def shiftsFor(kind: String): Seq[Int] =
+    if (kind == "image") Multimodal.phashBandShifts("image")
+    else Multimodal.phashBandShifts("audio")
+
   /** One band key per arm of this kind's geometry (the q302 key law,
     * shared by the stream-side flatMap and the spec's replay). */
   def bandKeysOf(kind: String, phash: Long): Seq[String] =
-    Multimodal.phashBandShifts(kind).map(sh =>
+    shiftsFor(kind).map(sh =>
       s"$kind:$sh:${(phash >> sh) & ((1L << Multimodal.phashBandBits) - 1)}")
 
   private def near(a: Long, b: Long): Boolean =
@@ -149,6 +157,24 @@ object MediaGate {
     * earlier near-dup colliders, and the earliest one. */
   def replayBatch(spark: SparkSession, dir: String): DataFrame =
     replayOver(Multimodal.perceptualHashes(spark, dir))
+
+  /** The gate's VIDEO corpus (q307): every q303 scene-signature
+    * fingerprint as a `kind = "video"` [[MediaDoc]] — the identical
+    * fold/replay machinery admits the third modality (32-bit geometry →
+    * the audio band arms, per [[shiftsFor]]). */
+  def videoDocs(spark: SparkSession, dir: String): Dataset[MediaDoc] = {
+    import spark.implicits._
+    Multimodal.videoPerceptualHashes(spark, dir)
+      .select($"media_id", lit("video").as("kind"), $"vhash".as("phash"))
+      .as[MediaDoc]
+  }
+
+  /** Declared q307: [[replayBatch]] for the video modality — closes the
+    * last cell of the 3-modality × (classes, pairs, gate) matrix (q303
+    * gives exact classes, q304 near-dup pairs; this is the ADMISSION
+    * path a live video feed needs). */
+  def replayVideoBatch(spark: SparkSession, dir: String): DataFrame =
+    replayOver(videoDocs(spark, dir).toDF())
 
   /** [[replayBatch]]'s core over an arbitrary `(media_id, kind, phash)`
     * relation. */

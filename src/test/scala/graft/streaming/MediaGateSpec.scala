@@ -116,6 +116,40 @@ class MediaGateSpec extends SparkSpec {
     assert(v2.head.colliders === Seq(1L, 2L, 3L)) // hamming 1 ≤ 6 collides
   }
 
+  test("video gate (q307): stream ≡ replay over the scene-signature corpus; brightness twins suppressed") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val docs = MediaGate.videoDocs(spark, sf).collect().sortBy(_.media_id)
+    assert(docs.forall(_.kind == "video"))
+    val mem = MemoryStream[MediaDoc]
+    val q = MediaGate.gateStream(mem.toDS())
+      .writeStream.format("memory").queryName("videogate")
+      .outputMode("append").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    mem.addData(b1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = verdictMap(
+      MediaGate.admittedOfBatch(spark.table("videogate")))
+    q.stop()
+    val replay = verdictMap(MediaGate.replayVideoBatch(spark, sf))
+    assert(streamed === replay)
+    // video-specific ground truth: every brightness twin arrives after
+    // its base at Hamming ≤ 6 of SOME earlier row (its base at worst) —
+    // except where a mod-256 wrap legitimately flips > 6 signature bits;
+    // at gate SF the suppressed set must dominate the twins
+    val baseMax = graft.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max($"doc_id")).head.getLong(0)
+    val twins = docs.map(_.media_id).filter(_ > baseMax)
+    assert(twins.nonEmpty)
+    val suppressedTwins = twins.count(id => !replay(id)._1)
+    assert(suppressedTwins * 2 >= twins.length,
+      s"only $suppressedTwins/${twins.length} video twins suppressed")
+    assert(replay.exists(_._2._1)) // and the gate admits novel content
+  }
+
   test("band keys route by kind and shift; verification is popcount ≤ 6 within a group") {
     // distinct kinds can never share a group even at equal hashes
     assert(MediaGate.bandKeysOf("image", 7L).toSet
