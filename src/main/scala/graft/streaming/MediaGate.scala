@@ -177,8 +177,12 @@ object MediaGate {
     replayOver(videoDocs(spark, dir).toDF())
 
   /** [[replayBatch]]'s core over an arbitrary `(media_id, kind, phash)`
-    * relation. */
-  def replayOver(ph: DataFrame): DataFrame = {
+    * relation. The input feeds THREE plan consumers (both sides of the
+    * candidate join through `banded`, plus the final verdict join-back)
+    * — barriered, or the upstream codec pass would run three times (the
+    * r14 phashPairs ADVICE class, caught in the r15 self-audit). */
+  def replayOver(phIn: DataFrame): DataFrame = {
+    val ph = graft.CacheGuard.barrier(phIn)
     val spark = ph.sparkSession
     import spark.implicits._
     def shiftsOf(kind: String) =
