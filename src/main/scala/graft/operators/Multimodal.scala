@@ -884,7 +884,10 @@ object Multimodal {
   }
 
   /** q306 — paired text↔media CONSISTENCY audit (the LAION-style
-    * pair-curation step none of the per-modality passes can express): a
+    * pair-curation step none of the per-modality passes can express;
+    * the reference pairs each post's text with its scraped media purely
+    * by row id — `reddit_image_scraper.py:64` downloads `row["url"]`
+    * under `row["id"]` — and never validates the pairing): a
     * multimodal training pair is good when its text AND its media agree
     * with its duplicate-partner's — a pair whose TEXT is a near-dup of
     * another's but whose media fingerprint is FAR is the caption-swap /

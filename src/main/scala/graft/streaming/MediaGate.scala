@@ -30,7 +30,12 @@ case class MediaVerdict(media_id: Long, bk: String, colliders: Seq[Long])
   * text ingestion has exact (q94), near-dup (q173), quota (q271) and
   * contamination (q299) admission gates, but media had NO streaming
   * admission path at all — a re-crawled image (recompressed, brightness
-  * shifted) or re-encoded clip sails past any byte-level gate. This is
+  * shifted) or re-encoded clip sails past any byte-level gate. The
+  * reference's image pipeline fetches and stores media bytes with no
+  * dedup at all (`reddit_image_scraper.py:26-27,63-64`), and its only
+  * admission rule is the exact-id keep-first of
+  * `parser_media_articles.py:83-84` — this gate is that admission idea
+  * taken to the perceptual level a live media feed needs. This is
   * the q173 GroupState shape keyed by the q302 band keys over q301
   * fingerprints: admit an arriving media row iff NO band group holds a
   * previously-seen fingerprint within Hamming ≤ 6.

@@ -26,7 +26,10 @@ case class SemVerdict(vec_id: Long, bucket: Long, colliders: Seq[Long])
   * representation level of the admission-control kit: the text gates act
   * on exact hashes (q94), lexical MinHash (q173) and n-gram sets (q299),
   * the media gate on perceptual hashes (q305/q307) — none of them sees a
-  * PARAPHRASE (same meaning, disjoint surface forms). This gate admits
+  * PARAPHRASE (same meaning, disjoint surface forms). The reference's
+  * only dedup is the exact keep-first of
+  * `parser_media_articles.py:83-84`; this is that admission rule at the
+  * semantic level. This gate admits
   * an arriving vector iff no previously-seen vector in its sign-LSH
   * bucket sits at cosine ≥ τ — SemDeDup (q82) turned into admission
   * control, the way q173 is batch LSH dedup turned online.
