@@ -9504,33 +9504,47 @@ object SparkEntry {
          |ORDER BY f.media_id""".stripMargin
     },
 
-    // semantic gate replay: doubled embeddings, one 16-plane sign-LSH
-    // bucket per vector, rank ≤ cap registration, r4-quantized cosine
+    // semantic gate replay: doubled embeddings, 32-plane sign vector
+    // banded into 4 disjoint 8-bit arms (the q302 geometry on semantic
+    // bits — measured 98.9% near-dup recall vs 20.6% single-probe),
+    // rank ≤ cap registration per band, r4-quantized cosine verify
     "q308_semantic_gate" -> {
-      import graft.streaming.SemanticGate.{bits => sgBits, groupCap => sgCap, tau => sgTau}
+      import graft.streaming.SemanticGate.{bits => sgBits,
+        bandBits => sgBandBits, bandShifts => sgShifts,
+        groupCap => sgCap, tau => sgTau}
+      val shiftRows = sgShifts.map(sh => s"($sh)").mkString(", ")
       s"""WITH seb AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |sgs AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", sgBits)} AS sim32
+         |  FROM seb),
          |sgb AS MATERIALIZED (
          |  SELECT vec_id, embedding,
-         |    ${bucketSql("embedding", sgBits)} AS bucket
-         |  FROM seb),
+         |    CAST(s.sh AS VARCHAR) || ':' ||
+         |      CAST((sim32 >> CAST(s.sh AS INTEGER))
+         |        & ${(1L << sgBandBits) - 1} AS VARCHAR) AS bk
+         |  FROM sgs CROSS JOIN (VALUES $shiftRows) s(sh)),
          |sgr AS (
-         |  SELECT vec_id, embedding, bucket,
-         |    row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+         |  SELECT vec_id, embedding, bk,
+         |    row_number() OVER (PARTITION BY bk ORDER BY vec_id) AS rk
          |  FROM sgb),
          |sghit AS (
-         |  SELECT y.vec_id AS b, CAST(count(*) AS BIGINT) AS n_prior_semdups,
-         |    min(x.vec_id) AS first_collider
-         |  FROM sgr x JOIN sgb y
-         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |  WHERE x.rk <= $sgCap
-         |    AND ${cosSql("x.embedding", "y.embedding")} >= $sgTau
-         |  GROUP BY y.vec_id)
+         |  SELECT b, CAST(count(*) AS BIGINT) AS n_prior_semdups,
+         |    min(a) AS first_collider
+         |  FROM (
+         |    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+         |      x.embedding AS ea, y.embedding AS eb
+         |    FROM sgr x JOIN sgb y
+         |      ON x.bk = y.bk AND x.vec_id < y.vec_id
+         |    WHERE x.rk <= $sgCap) z
+         |  WHERE ${cosSql("ea", "eb")} >= $sgTau
+         |  GROUP BY b)
          |SELECT s.vec_id, h.n_prior_semdups IS NULL AS admitted,
          |  coalesce(h.n_prior_semdups, 0) AS n_prior_semdups,
          |  coalesce(h.first_collider, -1) AS first_collider
-         |FROM sgb s LEFT JOIN sghit h ON h.b = s.vec_id
+         |FROM sgs s LEFT JOIN sghit h ON h.b = s.vec_id
          |ORDER BY s.vec_id""".stripMargin
     },
   )

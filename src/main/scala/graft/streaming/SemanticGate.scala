@@ -4,23 +4,30 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.functions.VectorFunctions.{dot, norm, signLshBucket}
 import graft.Tables
+import graft.functions.VectorFunctions.{dot, norm, signLshBucket}
 import graft.operators.Quant
 
-/** A vector on the semantic admission stream: `bucket` is the 16-plane
-  * sign-LSH key ([[graft.functions.VectorExprs.lshCompute]], computed
-  * relationally BEFORE the stateful stage so the stream and the replay
-  * band with the identical expression), arrival order = vec_id. */
-case class VecDoc(vec_id: Long, embedding: Seq[Float], bucket: Long)
+/** A vector on the semantic admission stream: `sim32` is the 32-plane
+  * sign vector ([[graft.functions.VectorExprs.lshCompute]] — a SimHash
+  * of the embedding, computed relationally BEFORE the stateful stage so
+  * the stream and the replay band the identical bits), arrival order =
+  * vec_id. */
+case class VecDoc(vec_id: Long, embedding: Seq[Float], sim32: Long)
 
-/** A bucket's registered history: the first [[SemanticGate.groupCap]]
-  * vectors, in vec_id order, that landed in this sign-LSH bucket. */
-case class SemGateState(entries: Seq[VecDoc])
+/** One banded row of a [[VecDoc]]: `bk` = `shift:byte` over the sign
+  * vector (the q302 band-key convention on the semantic SimHash). */
+case class SemBandRow(bk: String, vec_id: Long, embedding: Seq[Float])
 
-/** Per-vector verdict from one bucket group: registered earlier vectors
-  * at quantized cosine ≥ τ. */
-case class SemVerdict(vec_id: Long, bucket: Long, colliders: Seq[Long])
+/** A band group's registered history: the first
+  * [[SemanticGate.groupCap]] vectors, in vec_id order, that carried
+  * this sign-vector slice. */
+case class SemGateState(entries: Seq[(Long, Seq[Float])])
+
+/** Per-(vector, arm) verdict: registered earlier vectors at quantized
+  * cosine ≥ τ. Emitted for every (vector, arm), empty `colliders`
+  * included — the batch-local combine needs the row. */
+case class SemVerdict(vec_id: Long, bk: String, colliders: Seq[Long])
 
 /** STREAMING SEMANTIC (embedding-cosine) GATE (q308) — the fourth
   * representation level of the admission-control kit: the text gates act
@@ -29,35 +36,43 @@ case class SemVerdict(vec_id: Long, bucket: Long, colliders: Seq[Long])
   * PARAPHRASE (same meaning, disjoint surface forms). The reference's
   * only dedup is the exact keep-first of
   * `parser_media_articles.py:83-84`; this is that admission rule at the
-  * semantic level. This gate admits
-  * an arriving vector iff no previously-seen vector in its sign-LSH
-  * bucket sits at cosine ≥ τ — SemDeDup (q82) turned into admission
+  * semantic level. The gate admits an arriving vector iff no
+  * previously-seen vector in any of its sign-LSH band groups sits at
+  * r4-QUANTIZED cosine ≥ τ — SemDeDup (q82) turned into admission
   * control, the way q173 is batch LSH dedup turned online.
   *
-  * Mechanics: one 16-plane sign-LSH bucket per vector (single-probe: an
-  * EXACT duplicate has identical signs, so its recall is guaranteed;
-  * near-duplicate recall is the single-band collision probability — the
-  * same documented trade as the q54 pair blocking, and the multi-probe
-  * upgrade path is exactly q302's rotated second decomposition). Each
-  * bucket's `GroupState` holds the registered history (first
-  * [[groupCap]] arrivals, vec_id order) — SEEN-based registration, so
-  * admission depends only on arrival order and the gate replays
-  * relationally with no recursion (the q173 argument). Verification is
-  * the r4-QUANTIZED cosine ≥ τ in BOTH the fold and the replay
-  * ([[cosR4]] replicates the `VecDotExpr` left-fold arithmetic
-  * bit-for-bit), so stream ≡ replay is exact, not approximate.
+  * Banding (round-15, measurement-driven): the 32-plane sign vector is
+  * a SimHash of the embedding, banded into 4 DISJOINT 8-bit arms — the
+  * q302 geometry on semantic bits. A first cut used one 16-plane bucket
+  * (single-probe); the spec's seeded-twin recall measurement put its
+  * near-dup recall at 20.6% (cos ≥ 0.95 dim-0 perturbations — any one
+  * flipped plane kills a single-probe match), and the offline arm sweep
+  * measured the 4×8 banding at **98.9%** on the same twins (max band
+  * block 52 of 4000 at sf0.1 — blocks stay small) for 4 rows/vector of
+  * fan-out. Exact duplicates agree on every plane, so their recall is
+  * guaranteed by ANY arm. Each band group's `GroupState` holds the
+  * registered history (first [[groupCap]] arrivals, vec_id order) —
+  * SEEN-based registration, so admission depends only on arrival order
+  * and the gate replays relationally with no recursion (the q173
+  * argument). Verification is the r4-quantized cosine ≥ τ in BOTH the
+  * fold and the replay ([[cosR4]] replicates the `VecDotExpr` left-fold
+  * arithmetic bit-for-bit), so stream ≡ replay is exact.
   *
-  * The declared q308 IS the replay: bucket → rank ≤ cap → candidate
-  * join (registered × later arrivals, one bucket each — no distinct
-  * needed) → quantized-cosine verify → per-vector rollup.
+  * The declared q308 IS the replay: band → rank ≤ cap per band key →
+  * candidate join (registered × later arrivals) → distinct pairs →
+  * quantized-cosine verify → per-vector rollup.
   *
-  * Scale shape: the stream shuffles each micro-batch once on the bucket
-  * key (ONE row per vector); state is O(buckets × cap × dim) floats.
-  * The replay's rank window partitions by bucket — cluster-sized, never
-  * the corpus — and the candidate join is ≤ cap · corpus. */
+  * Scale shape: the stream shuffles each micro-batch once on the band
+  * keys (4 rows per vector); state is O(band groups × cap × dim)
+  * floats. The replay's rank window partitions by band key —
+  * block-sized, never the corpus — and the candidate join is ≤
+  * arms · cap · corpus. */
 object SemanticGate {
 
-  val bits = 16
+  /** Planes in the sign vector (4 disjoint 8-bit arms). */
+  val bits = 32
+  val bandBits = 8
+  val bandShifts: Seq[Int] = Seq(0, 8, 16, 24)
   val groupCap = 64
 
   /** Quantized-cosine admission threshold (τ = 0.95, the
@@ -73,9 +88,14 @@ object SemanticGate {
     val base = Tables.embeddings(spark, dir)
     base.unionByName(base.withColumn("vec_id", $"vec_id" + 100000L))
       .select($"vec_id", $"embedding",
-        signLshBucket($"embedding", bits).as("bucket"))
+        signLshBucket($"embedding", bits).as("sim32"))
       .as[VecDoc]
   }
+
+  /** One band key per arm (the q302 key law, shared by the stream-side
+    * flatMap and the spec's replay). */
+  def bandKeysOf(sim32: Long): Seq[String] =
+    bandShifts.map(sh => s"$sh:${(sim32 >> sh) & ((1L << bandBits) - 1)}")
 
   /** r4-quantized cosine with the exact `VecDotExpr`/`norm` arithmetic
     * (left fold in element order, float→double per element, norms as
@@ -98,42 +118,48 @@ object SemanticGate {
     math.floor(dab / (math.sqrt(daa) * math.sqrt(dbb)) * 1e4 + 0.5) / 1e4
   }
 
-  /** One bucket's fold step (stream + spec-shared): check each arrival
-    * against the registered history, then register up to the cap. */
-  def runFold(docs: Seq[VecDoc], state: Seq[VecDoc], bucket: Long,
-              cap: Int = groupCap): (Seq[SemVerdict], Seq[VecDoc]) = {
+  /** One band group's fold step (stream + spec-shared): check each
+    * arrival against the registered history, then register up to the
+    * cap. */
+  def runFold(docs: Seq[(Long, Seq[Float])], state: Seq[(Long, Seq[Float])],
+              bk: String, cap: Int = groupCap)
+      : (Seq[SemVerdict], Seq[(Long, Seq[Float])]) = {
     var entries = state
     val out = Seq.newBuilder[SemVerdict]
-    docs.sortBy(_.vec_id).foreach { d =>
+    docs.sortBy(_._1).foreach { case (id, emb) =>
       val colliders = entries.collect {
-        case e if cosR4(e.embedding, d.embedding) >= tau => e.vec_id
+        case (eid, e) if cosR4(e, emb) >= tau => eid
       }
-      out += SemVerdict(d.vec_id, bucket, colliders)
-      if (entries.size < cap) entries = entries :+ d
+      out += SemVerdict(id, bk, colliders)
+      if (entries.size < cap) entries = entries :+ ((id, emb))
     }
     (out.result(), entries)
   }
 
-  /** Stage 1 (stateful): fold each bucket group. One row per vector, so
-    * the per-batch combine is a plain rollup ([[admittedOfBatch]]). */
+  /** Stage 1 (stateful): band each arrival, fold each band group. All of
+    * a vector's verdicts land in its own micro-batch, so the cross-arm
+    * combine is batch-local ([[admittedOfBatch]]). */
   def gateStream(docs: Dataset[VecDoc]): Dataset[SemVerdict] = {
     import docs.sparkSession.implicits._
     docs
-      .groupByKey(_.bucket)
+      .flatMap(d => bandKeysOf(d.sim32).map(bk =>
+        SemBandRow(bk, d.vec_id, d.embedding)))
+      .groupByKey(_.bk)
       .flatMapGroupsWithState[SemGateState, SemVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (bucket: Long, it: Iterator[VecDoc],
+        (bk: String, it: Iterator[SemBandRow],
          state: GroupState[SemGateState]) =>
-          val (out, entries) = runFold(it.toSeq,
-            state.getOption.map(_.entries).getOrElse(Seq.empty), bucket)
+          val (out, entries) = runFold(
+            it.map(r => (r.vec_id, r.embedding)).toSeq,
+            state.getOption.map(_.entries).getOrElse(Seq.empty), bk)
           state.update(SemGateState(entries))
           out.iterator
       }
   }
 
-  /** Per-batch combine: admitted iff no collider (single bucket per
-    * vector — the rollup is 1:1, kept for interface parity with the
-    * multi-arm gates and for foreachBatch use). */
+  /** Cross-arm combine over ONE micro-batch's stage-1 output: distinct
+    * colliders across arms → admitted iff none. Run inside
+    * `foreachBatch` (or on the memory-sink table in the spec). */
   def admittedOfBatch(verdicts: DataFrame): DataFrame = {
     val spark = verdicts.sparkSession
     import spark.implicits._
@@ -149,25 +175,35 @@ object SemanticGate {
   }
 
   /** Declared q308: the EXACT relational replay — per vector, the
-    * admission verdict, the number of earlier in-bucket semantic
+    * admission verdict, the number of earlier banded semantic
     * duplicates, and the earliest one. */
   def replayBatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // norms once per vector BEFORE the join (the q54 discipline); the
-    // bucketed relation feeds the rank side and the probe side — barrier
+    // base relation feeds the banding (both join sides) and the final
+    // verdict join-back — barrier (the r15 gate-replay policy)
     val b = graft.CacheGuard.barrier(vecDocs(spark, dir).toDF()
       .withColumn("nrm", norm($"embedding")))
-    val registered = b
+    val banded = b
+      .withColumn("sh", explode(array(bandShifts.map(lit): _*)))
+      .select($"vec_id", $"embedding", $"nrm",
+        concat($"sh", lit(":"),
+          expr("shiftright(sim32, CAST(sh AS INT))")
+            .bitwiseAND(lit((1L << bandBits) - 1))).as("bk"))
+    val registered = banded
       .withColumn("rk", row_number().over(
-        Window.partitionBy($"bucket").orderBy($"vec_id")))
+        Window.partitionBy($"bk").orderBy($"vec_id")))
       .filter($"rk" <= groupCap)
-    val hits = registered.as("x").join(b.as("y"),
-        $"x.bucket" === $"y.bucket" && $"x.vec_id" < $"y.vec_id")
-      .filter(Quant.r4(dot($"x.embedding", $"y.embedding") /
-        ($"x.nrm" * $"y.nrm")) >= tau)
-      .groupBy($"y.vec_id".as("b"))
+    val hits = registered.as("x").join(banded.as("y"),
+        $"x.bk" === $"y.bk" && $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),
+        $"x.embedding".as("ea"), $"y.embedding".as("eb"),
+        $"x.nrm".as("na"), $"y.nrm".as("nb"))
+      .dropDuplicates("a", "b")
+      .filter(Quant.r4(dot($"ea", $"eb") / ($"na" * $"nb")) >= tau)
+      .groupBy($"b")
       .agg(count(lit(1)).as("n_prior_semdups"),
-        min($"x.vec_id").as("first_collider"))
+        min($"a").as("first_collider"))
     b.join(hits, b("vec_id") === hits("b"), "left")
       .select(b("vec_id"),
         $"n_prior_semdups".isNull.as("admitted"),

@@ -422,14 +422,14 @@ class PlanSpec extends SparkSpec {
       p.contains("windowspecdefinition(bk"), p.take(3000))
   }
 
-  test("q308 semantic gate replay: the window partitions by bucket, candidate join key-equi, cosine verified post-join, no cartesian") {
+  test("q308 semantic gate replay: the window partitions by band key, candidate join key-equi, cosine verified post-join, no cartesian") {
     val p = plan(graft.streaming.SemanticGate.replayBatch(spark, sf))
     graft.CacheGuard.release()
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.split("Window \\[").length - 1 <= 1, p.take(3000))
-    assert(p.contains("partitionspec=[bucket") ||
-      p.contains("windowspecdefinition(bucket"), p.take(3000))
+    assert(p.contains("partitionspec=[bk") ||
+      p.contains("windowspecdefinition(bk"), p.take(3000))
   }
 
   test("q306 pair-media consistency: key-equi joins on the pair relation — no cartesian, no window (the only non-equi join is q301's 1-row twin-offset broadcast)") {

@@ -2,7 +2,7 @@ package graft.props
 
 import org.scalacheck.{Gen, Prop, Properties}
 import graft.operators.Multimodal
-import graft.streaming.{MediaGate, SemanticGate, VecDoc}
+import graft.streaming.{MediaGate, SemanticGate}
 
 /** Property-based checks over the pure banding/arithmetic layer of the
   * perceptual-dedup family (no SparkSession — hundreds of samples stay
@@ -95,11 +95,24 @@ object BandingProps extends Properties("banding") {
 
   property("semantic fold: batch-split invariance") =
     Prop.forAll(Gen.listOfN(10, vec), Gen.choose(1, 9)) { (vs, cut) =>
-      val docs = vs.zipWithIndex.map { case (v, i) => VecDoc(i.toLong, v, 5L) }
-      val one = SemanticGate.runFold(docs, Seq.empty, 5L, cap = 4)._1
+      val docs = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val one = SemanticGate.runFold(docs, Seq.empty, "0:5", cap = 4)._1
       val (d1, d2) = docs.splitAt(cut)
-      val (v1, st) = SemanticGate.runFold(d1, Seq.empty, 5L, cap = 4)
-      val (v2, _) = SemanticGate.runFold(d2, st, 5L, cap = 4)
+      val (v1, st) = SemanticGate.runFold(d1, Seq.empty, "0:5", cap = 4)
+      val (v2, _) = SemanticGate.runFold(d2, st, "0:5", cap = 4)
       one == v1 ++ v2
+    }
+
+  /** The semantic band keys are exactly the per-arm sign-vector slices:
+    * two vectors collide in some gate group iff their 32-plane SimHashes
+    * agree on one of the 4 disjoint bytes — so exact duplicates
+    * (identical planes) are guaranteed, and d ≤ 3 sign-bit drift keeps
+    * the pigeonhole guarantee, same as audio/video. */
+  property("semantic band keys ≡ arm agreement; d ≤ 3 sign drift guaranteed") =
+    Prop.forAll(hash32, Gen.choose(0, 3), Gen.choose(Long.MinValue, Long.MaxValue)) {
+      (s, d, seed) =>
+        val s2 = flipBits(s, 32, d, seed)
+        SemanticGate.bandKeysOf(s).toSet
+          .intersect(SemanticGate.bandKeysOf(s2).toSet).nonEmpty
     }
 }
