@@ -405,6 +405,10 @@ object SparkEntry {
       graft.streaming.MediaGate.replayVideoBatch(s, d)),
     "q308_semantic_gate" -> ((s, d) =>
       graft.streaming.SemanticGate.replayBatch(s, d)),
+    "q309_l_diversity" -> ((s, d) => Profiler.lDiversityAudit(s, d)),
+    "q310_epoch_shuffle" -> ((s, d) => CorpusOps.epochShuffle(s, d)),
+    "q311_bradley_terry" -> ((s, d) => Analytics.bradleyTerry(s, d)),
+    "q312_fleiss_kappa" -> ((s, d) => Analytics.fleissKappa(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9547,6 +9551,188 @@ object SparkEntry {
          |FROM sgs s LEFT JOIN sghit h ON h.b = s.vec_id
          |ORDER BY s.vec_id""".stripMargin
     },
+
+    // entropy l-diversity + t-closeness over the q210 published relation:
+    // per-term micro-nat quantization (ulp-snapped ln), integer-exact
+    // variational distance |cnt·N − g·n| in BIGINT, ⌈ln3·1e6⌉ carried as
+    // the exact literal 1098613
+    "q309_l_diversity" ->
+      """WITH pub AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS qi_nation,
+        |    c_mktsegment AS qi_segment,
+        |    (c_acctbal < 0) AS qi_acct_neg,
+        |    o_orderpriority AS sensitive
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cc AS MATERIALIZED (
+        |  SELECT qi_nation, qi_segment, qi_acct_neg, sensitive,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pub GROUP BY 1, 2, 3, 4),
+        |cls AS MATERIALIZED (
+        |  SELECT qi_nation, qi_segment, qi_acct_neg,
+        |    CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS l_distinct
+        |  FROM cc GROUP BY 1, 2, 3),
+        |g AS (SELECT sensitive, CAST(sum(cnt) AS BIGINT) AS g_cnt
+        |      FROM cc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cc),
+        |ent AS (
+        |  SELECT c.qi_nation, c.qi_segment, c.qi_acct_neg,
+        |    sum(CAST(floor((CAST(c.cnt AS DOUBLE) *
+        |      round(ln(CAST(c.cnt AS DOUBLE) / CAST(s.n AS DOUBLE)), 8)) *
+        |      1e6 + 0.5) AS BIGINT)) AS hsum_u
+        |  FROM cc c JOIN cls s USING (qi_nation, qi_segment, qi_acct_neg)
+        |  GROUP BY 1, 2, 3),
+        |tv AS (
+        |  SELECT s.qi_nation, s.qi_segment, s.qi_acct_neg,
+        |    sum(abs(coalesce(c.cnt, 0) * t.n_total - g.g_cnt * s.n))
+        |      AS tvd_num
+        |  FROM cls s CROSS JOIN g CROSS JOIN tot t
+        |  LEFT JOIN cc c ON c.qi_nation = s.qi_nation
+        |    AND c.qi_segment = s.qi_segment
+        |    AND c.qi_acct_neg = s.qi_acct_neg
+        |    AND c.sensitive = g.sensitive
+        |  GROUP BY 1, 2, 3),
+        |h AS (
+        |  SELECT s.qi_nation, s.qi_segment, s.qi_acct_neg, s.n,
+        |    s.l_distinct, tv.tvd_num,
+        |    CAST(floor(((CAST(-e.hsum_u AS DOUBLE) / 1e6) /
+        |      CAST(s.n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS h6
+        |  FROM cls s
+        |  JOIN ent e USING (qi_nation, qi_segment, qi_acct_neg)
+        |  JOIN tv USING (qi_nation, qi_segment, qi_acct_neg))
+        |SELECT qi_nation, qi_segment, qi_acct_neg, n, l_distinct,
+        |  CAST(h6 AS DOUBLE) / 1e6 AS entropy_nats,
+        |  (h6 < 1098613) AS entropy_l_violation,
+        |  floor((CAST(tvd_num AS DOUBLE) /
+        |    (2.0 * CAST(n * t.n_total AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS tvd,
+        |  (tvd_num * 10 > n * t.n_total * 7) AS t_violation
+        |FROM h CROSS JOIN tot t
+        |ORDER BY qi_nation, qi_segment, qi_acct_neg""".stripMargin,
+
+    // deterministic epoch reshuffle audit: per-epoch md5 shard keys,
+    // stay-counts, epoch-0 language mix (ties to the lexicographically
+    // largest lang, the max(struct) order), integer-bp balance
+    "q310_epoch_shuffle" ->
+      """WITH a AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)
+        |      AS BIGINT) % 8 AS s0,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8)
+        |      AS BIGINT) % 8 AS s1
+        |  FROM documents),
+        |bl AS MATERIALIZED (
+        |  SELECT s0 AS shard, lang, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM a GROUP BY 1, 2),
+        |e0 AS (SELECT shard, CAST(sum(cnt) AS BIGINT) AS n_e0,
+        |    CAST(count(*) AS BIGINT) AS n_langs_e0 FROM bl GROUP BY 1),
+        |tp AS (SELECT shard, lang AS top_lang, cnt AS top_cnt,
+        |    row_number() OVER (PARTITION BY shard
+        |      ORDER BY cnt DESC, lang DESC) AS rn FROM bl),
+        |e1 AS (SELECT s1 AS shard, CAST(count(*) AS BIGINT) AS n_e1
+        |       FROM a GROUP BY 1),
+        |st AS (SELECT s0 AS shard, CAST(count(*) AS BIGINT) AS n_stay
+        |       FROM a WHERE s0 = s1 GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM a)
+        |SELECT e0.shard, n_e0, n_e1, coalesce(n_stay, 0) AS n_stay,
+        |  n_langs_e0, t.top_lang,
+        |  CAST((t.top_cnt * 10000) // n_e0 AS BIGINT) AS top_share_bp,
+        |  CAST((n_e0 * 10000 * 8) // n_total AS BIGINT) AS balance_bp
+        |FROM e0 JOIN e1 USING (shard) LEFT JOIN st USING (shard)
+        |JOIN tp t ON t.shard = e0.shard AND t.rn = 1
+        |CROSS JOIN tot
+        |ORDER BY e0.shard""".stripMargin,
+
+    // Bradley–Terry MM in fixed-point u-units, 3 unrolled iterations:
+    // cent-exact duels, micro-LONG pair terms (order-independent sums),
+    // per-round Σπ=K renormalization
+    "q311_bradley_terry" -> {
+      val rounds = (0 until 3).map { r =>
+        s"""t${r + 1} AS (SELECT dr.i AS item,
+           |  sum(CAST(floor(((CAST(n_ij AS DOUBLE) * 1e8) /
+           |    CAST(greatest(pi.u + pj.u, 1) AS DOUBLE)) * 1e6 + 0.5)
+           |    AS BIGINT)) AS d_u
+           |  FROM dr JOIN p$r pi ON pi.item = dr.i
+           |  JOIN p$r pj ON pj.item = dr.j GROUP BY 1),
+           |r${r + 1} AS MATERIALIZED (SELECT it.item,
+           |  CAST(floor(((CAST(it.wins AS DOUBLE) * 1e6) /
+           |    CAST(t${r + 1}.d_u AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS r_u
+           |  FROM it JOIN t${r + 1} USING (item)),
+           |p${r + 1} AS MATERIALIZED (SELECT item,
+           |  CAST(floor(((CAST(r_u AS DOUBLE) / CAST(s.s_u AS DOUBLE)) *
+           |    CAST(k.n_items AS DOUBLE)) * 1e8 + 0.5) AS BIGINT) AS u
+           |  FROM r${r + 1}
+           |  CROSS JOIN (SELECT sum(r_u) AS s_u FROM r${r + 1}) s
+           |  CROSS JOIN k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sc AS MATERIALIZED (
+         |  SELECT user_id, event_type,
+         |    CAST(sum(CAST(floor("value" * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS score
+         |  FROM events GROUP BY 1, 2),
+         |du AS (
+         |  SELECT CASE WHEN a.score > b.score THEN a.event_type
+         |           ELSE b.event_type END AS winner,
+         |         CASE WHEN a.score > b.score THEN b.event_type
+         |           ELSE a.event_type END AS loser
+         |  FROM sc a JOIN sc b ON a.user_id = b.user_id
+         |    AND a.event_type < b.event_type
+         |  WHERE a.score <> b.score),
+         |wi AS MATERIALIZED (
+         |  SELECT winner, loser, CAST(count(*) AS BIGINT) AS w
+         |  FROM du GROUP BY 1, 2),
+         |dr AS MATERIALIZED (
+         |  SELECT i, j, CAST(sum(n) AS BIGINT) AS n_ij FROM (
+         |    SELECT winner AS i, loser AS j, w AS n FROM wi
+         |    UNION ALL SELECT loser, winner, w FROM wi) z GROUP BY 1, 2),
+         |it AS MATERIALIZED (
+         |  SELECT d.item, coalesce(wb.wins, 0) AS wins, d.n_comps FROM
+         |    (SELECT i AS item, CAST(sum(n_ij) AS BIGINT) AS n_comps
+         |     FROM dr GROUP BY 1) d
+         |    LEFT JOIN (SELECT winner AS item, CAST(sum(w) AS BIGINT)
+         |      AS wins FROM wi GROUP BY 1) wb USING (item)),
+         |k AS (SELECT count(*) AS n_items FROM it),
+         |p0 AS (SELECT item, CAST(100000000 AS BIGINT) AS u FROM it),
+         |$rounds
+         |SELECT it.item AS event_type, it.wins, it.n_comps,
+         |  p3.u AS strength_u, CAST(p3.u AS DOUBLE) / 1e8 AS strength
+         |FROM it JOIN p3 USING (item)
+         |ORDER BY strength_u DESC, event_type""".stripMargin
+    },
+
+    // Fleiss' kappa: 25-id event blocks, md5-priority 5-rater panels,
+    // integer-exact A/B sums, r6 report divisions, kappa from the two
+    // quantized values
+    "q312_fleiss_kappa" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT event_id, event_type, event_id // 25 AS item,
+        |    row_number() OVER (PARTITION BY (event_id // 25)
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events),
+        |kept AS (SELECT * FROM r WHERE rn <= 5),
+        |full5 AS (SELECT item FROM kept GROUP BY item
+        |          HAVING count(*) = 5),
+        |nij AS MATERIALIZED (
+        |  SELECT k.item, k.event_type, CAST(count(*) AS BIGINT) AS nij
+        |  FROM kept k JOIN full5 USING (item) GROUP BY 1, 2),
+        |a AS (SELECT CAST(sum(nij * nij) AS BIGINT) AS a_sum,
+        |    CAST(count(DISTINCT item) AS BIGINT) AS n_items FROM nij),
+        |cj AS (SELECT event_type, CAST(sum(nij) AS BIGINT) AS c_j
+        |       FROM nij GROUP BY 1),
+        |b AS (SELECT CAST(sum(c_j * c_j) AS BIGINT) AS b_sum,
+        |    CAST(count(*) AS BIGINT) AS n_categories FROM cj),
+        |q AS (SELECT a_sum, n_items, b_sum, n_categories,
+        |  floor((CAST(a_sum - n_items * 5 AS DOUBLE) /
+        |    CAST(n_items * 20 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS p_bar,
+        |  floor((CAST(b_sum AS DOUBLE) /
+        |    CAST((n_items * 5) * (n_items * 5) AS DOUBLE)) * 1e6 + 0.5)
+        |    / 1e6 AS p_e
+        |  FROM a CROSS JOIN b)
+        |SELECT n_items, CAST(5 AS BIGINT) AS n_raters, n_categories,
+        |  a_sum, b_sum, p_bar, p_e,
+        |  CASE WHEN p_e = 1.0 THEN NULL
+        |    ELSE floor(((p_bar - p_e) / (1.0 - p_e)) * 1e6 + 0.5) / 1e6
+        |  END AS kappa
+        |FROM q""".stripMargin,
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

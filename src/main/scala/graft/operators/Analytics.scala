@@ -1132,4 +1132,169 @@ object Analytics {
           .as("fano_ppm"))
       .orderBy($"event_type")
   }
+
+  /** Bradley–Terry preference-strength fit (Bradley & Terry 1952) via
+    * Hunter's MM algorithm (Hunter 2004, eq. 1.4) — the model RLHF
+    * reward-data pipelines fit over pairwise preference comparisons to
+    * rank items and mine annotator-consistent training pairs. Duels
+    * come from the event stream: per user, every pair of event types
+    * with different engagement totals is one comparison won by the
+    * higher total (engagement in EXACT cents — per-row half-up cent
+    * quantization then BIGINT sums, so the winner predicate is an
+    * integer test, never an order-dependent double sum).
+    *
+    * The MM update π'ᵢ = Wᵢ / Σⱼ nᵢⱼ/(πᵢ+πⱼ) runs [[iters]] fixed
+    * rounds entirely in fixed-point u-units (π·10⁸ as BIGINT):
+    * each pair term quantizes to a micro-LONG before the per-item sum
+    * (order-independent), the denominator and normalizer divisions are
+    * single IEEE ops on exact integers, and each round renormalizes to
+    * Σπ = K (BT is scale-invariant; without the pin the scale drifts
+    * and cross-engine comparison would chase it). The oracle unrolls
+    * the identical integer arithmetic as CTEs.
+    *
+    * Scale shape: duels need per-user scores — one (user, type)
+    * aggregation with map-side partials — then a user-keyed self-join
+    * whose per-user fan-out is bounded by the TYPE-domain square, not
+    * the corpus (the bounded-block discipline of q312/q114's keepers).
+    * Everything after the wins aggregation operates on the
+    * O(types²) comparison matrix: the iterations are joins over a
+    * barriered ≤|types|-row relation, broadcast-normalized — constant
+    * work regardless of corpus size. */
+  def bradleyTerry(spark: SparkSession, dir: String,
+                   iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sb = graft.CacheGuard.barrier(
+      Tables.events(spark, dir)
+        .select($"user_id", $"event_type",
+          floor($"value" * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .groupBy($"user_id", $"event_type")
+        .agg(sum($"cents").as("score")))
+    val duels = sb.as("a").join(sb.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"a.event_type" < $"b.event_type")
+      .filter($"a.score" =!= $"b.score")
+      .select(
+        when($"a.score" > $"b.score", $"a.event_type")
+          .otherwise($"b.event_type").as("winner"),
+        when($"a.score" > $"b.score", $"b.event_type")
+          .otherwise($"a.event_type").as("loser"))
+    // O(types²) comparison matrix: EAGER lineage cuts from here down —
+    // without them every MM round's logical plan re-nests the duel join
+    // and its own predecessors, and Catalyst re-analyzes an
+    // exponentially-duplicated tree (the Components round-cut lesson;
+    // the uncut 3-round plan measured 18k lines / 2.7k Exchange nodes
+    // and ~34 s of pure driver-side planning at sf0.1). localCheckpoint
+    // in local mode; reliable checkpoint() on a real cluster.
+    val wins = duels.groupBy($"winner", $"loser").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    graft.CacheGuard.drop(sb) // the duel join is materialized in wins
+    val dirRel = wins
+      .select($"winner".as("i"), $"loser".as("j"), $"w".as("n"))
+      .unionByName(wins.select($"loser".as("i"), $"winner".as("j"),
+        $"w".as("n")))
+      .groupBy($"i", $"j").agg(sum($"n").as("n_ij"))
+      .localCheckpoint()
+    val items = dirRel.groupBy($"i".as("item")).agg(sum($"n_ij").as("n_comps"))
+      .join(wins.groupBy($"winner".as("item")).agg(sum($"w").as("wins")),
+        Seq("item"), "left")
+      .na.fill(0L, Seq("wins"))
+      .localCheckpoint()
+    Guards.unpersistCheckpoint(wins) // dirRel/items hold the data now
+    val k = items.agg(count(lit(1)).as("n_items"))
+    var pi = items.select($"item", lit(100000000L).as("u"))
+    var prevRound: Option[DataFrame] = None
+    for (_ <- 0 until iters) {
+      val d = dirRel
+        .join(pi.select($"item".as("i"), $"u".as("u_i")), Seq("i"))
+        .join(pi.select($"item".as("j"), $"u".as("u_j")), Seq("j"))
+        .withColumn("t_u", floor((($"n_ij".cast("double") * lit(1e8)) /
+          greatest($"u_i" + $"u_j", lit(1L)).cast("double")) * lit(1e6) +
+          lit(0.5)).cast("long"))
+        .groupBy($"i".as("item")).agg(sum($"t_u").as("d_u"))
+      val raw = items.select($"item", $"wins").join(d, Seq("item"))
+        .withColumn("r_u", floor((($"wins".cast("double") * lit(1e6)) /
+          $"d_u".cast("double")) * lit(1e8) + lit(0.5)).cast("long"))
+      val s = raw.agg(sum($"r_u").as("s_u"))
+      val next = raw.crossJoin(broadcast(s)).crossJoin(broadcast(k))
+        .select($"item",
+          floor((($"r_u".cast("double") / $"s_u".cast("double")) *
+            $"n_items".cast("double")) * lit(1e8) + lit(0.5))
+            .cast("long").as("u"))
+        .localCheckpoint() // eager: this IS the round's action
+      prevRound.foreach(Guards.unpersistCheckpoint)
+      prevRound = Some(next)
+      pi = next
+    }
+    Guards.unpersistCheckpoint(dirRel) // rounds done; output needs items+pi
+    val lastRound = prevRound
+    graft.CacheGuard.onRelease { () =>
+      Guards.unpersistCheckpoint(items)
+      lastRound.foreach(Guards.unpersistCheckpoint)
+    }
+    items.join(pi, Seq("item"))
+      .select($"item".as("event_type"), $"wins", $"n_comps",
+        $"u".as("strength_u"),
+        ($"u".cast("double") / lit(1e8)).as("strength"))
+      .orderBy(desc("strength_u"), $"event_type")
+  }
+
+  /** Fleiss' kappa inter-rater agreement (Fleiss 1971) — the label-QA
+    * gate a preference/SFT labeling pipeline runs before training on
+    * crowd labels: chance-corrected agreement across MANY raters with
+    * exactly n ratings per item (Cohen's kappa, q151, covers only the
+    * two-rater case). Rating panels are built deterministically from
+    * the event stream: items are fixed 25-id event blocks, each item's
+    * panel is its n=5 md5-priority-smallest events (incomplete panels
+    * drop — Fleiss requires constant n), and the rating is the event
+    * type.
+    *
+    * Everything up to the two report divisions is INTEGER-EXACT:
+    * A = Σᵢⱼ nᵢⱼ² gives P̄ = (A − N·n)/(N·n·(n−1)), and the category
+    * marginals give P̄ₑ = Σⱼ cⱼ²/(N·n)² — each one division of exact
+    * BIGINTs, quantized r6; kappa = (P̄−P̄ₑ)/(1−P̄ₑ) is then computed
+    * from the two QUANTIZED values (identical doubles in both engines)
+    * and quantized again, with the degenerate P̄ₑ=1 single-category
+    * case explicitly NULL.
+    *
+    * Scale shape: the rating-panel window partitions by the 25-row
+    * item block — bounded partitions, never a corpus-wide window (the
+    * q87/q264 discipline) — then one (item, category) aggregation with
+    * map-side partials; A and the marginals re-aggregate that
+    * barriered O(items·categories) relation, and the report is a
+    * 1-row cross of two broadcast aggregates. */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 5
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"item").orderBy($"pri", $"event_id")
+    val ranked = graft.CacheGuard.barrier(
+      Tables.events(spark, dir)
+        .select($"event_id", $"event_type",
+          expr("event_id div 25").as("item"),
+          md5($"event_id".cast("string")).as("pri"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= n))
+    val full = ranked.groupBy($"item").agg(count(lit(1)).as("m"))
+      .filter($"m" === n).select($"item")
+    val nij = graft.CacheGuard.barrier(
+      ranked.join(full, Seq("item"))
+        .groupBy($"item", $"event_type").agg(count(lit(1)).as("nij")))
+    val a = nij.agg(sum($"nij" * $"nij").as("a_sum"),
+      countDistinct($"item").as("n_items"))
+    val b = nij.groupBy($"event_type").agg(sum($"nij").as("c_j"))
+      .agg(sum($"c_j" * $"c_j").as("b_sum"),
+        count(lit(1)).as("n_categories"))
+    a.crossJoin(b)
+      .withColumn("p_bar", floor((($"a_sum" - $"n_items" * n).cast("double") /
+        ($"n_items" * (n * (n - 1))).cast("double")) * lit(1e6) +
+        lit(0.5)) / lit(1e6))
+      .withColumn("p_e", floor(($"b_sum".cast("double") /
+        (($"n_items" * n) * ($"n_items" * n)).cast("double")) * lit(1e6) +
+        lit(0.5)) / lit(1e6))
+      .select($"n_items", lit(n.toLong).as("n_raters"), $"n_categories",
+        $"a_sum", $"b_sum", $"p_bar", $"p_e",
+        when($"p_e" === 1.0, lit(null).cast("double"))
+          .otherwise(floor((($"p_bar" - $"p_e") / (lit(1.0) - $"p_e")) *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("kappa"))
+  }
 }

@@ -2095,4 +2095,60 @@ object CorpusOps {
       .orderBy($"k")
   }
 
+  /** Deterministic epoch reshuffle audit — the "global shuffle without a
+    * global sort" every multi-epoch training run needs: epoch e assigns
+    * each document to shard `md5₃₂(doc_id‖':'‖e) mod S`, so the shard is
+    * a pure per-row hash (reproducible across restarts, seekable from
+    * the doc_id alone — the property epoch-shuffled data loaders need),
+    * and re-keying between epochs decorrelates batch composition with
+    * NO total order over the corpus ever being built. At 100 TB the
+    * alternative — ORDER BY rand() per epoch — is a full-corpus sort
+    * per epoch; this is one hash column and one exchange.
+    *
+    * The audit reports, per shard: both epochs' populations, the
+    * stay-count (docs landing in the SAME shard twice — E[n/S²·S]=n/S,
+    * i.e. 1/S of a shard staying is the well-mixed signature, a high
+    * stay-count means the epoch key is not actually re-keying), epoch-0
+    * language diversity with the dominant language's share (a shard
+    * that concentrates one language defeats the shuffle's purpose), and
+    * the balance against perfect n/S in basis points. All counters are
+    * integers; the dominant language ties break to the
+    * lexicographically-largest lang via max(struct(cnt, lang)).
+    *
+    * Scale shape: ONE scan computes both epochs' shard columns
+    * (barriered: three aggregation consumers), then three keyed
+    * aggregations over it — (shard, lang) with map-side partials, a
+    * shard-keyed count per epoch, and the stay filter folded into the
+    * epoch-0 key. No window, no sort, no join wider than the S-row
+    * shard relation. */
+  def epochShuffle(spark: SparkSession, dir: String,
+                   shards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val assign = graft.CacheGuard.barrier(
+      Tables.documents(spark, dir).select($"doc_id", $"lang")
+        .withColumn("s0", pmod(
+          md5Hash32(concat($"doc_id".cast("string"), lit(":0"))),
+          lit(shards.toLong)))
+        .withColumn("s1", pmod(
+          md5Hash32(concat($"doc_id".cast("string"), lit(":1"))),
+          lit(shards.toLong))))
+    val byLang = assign.groupBy($"s0".as("shard"), $"lang")
+      .agg(count(lit(1)).as("cnt"))
+    val e0 = byLang.groupBy($"shard")
+      .agg(sum($"cnt").as("n_e0"), count(lit(1)).as("n_langs_e0"),
+        max(struct($"cnt".as("cnt"), $"lang".as("lang"))).as("top"))
+    val e1 = assign.groupBy($"s1".as("shard")).agg(count(lit(1)).as("n_e1"))
+    val stay = assign.filter($"s0" === $"s1")
+      .groupBy($"s0".as("shard")).agg(count(lit(1)).as("n_stay"))
+    val tot = assign.agg(count(lit(1)).as("n_total"))
+    e0.join(e1, Seq("shard")).join(stay, Seq("shard"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"shard", $"n_e0", $"n_e1",
+        coalesce($"n_stay", lit(0L)).as("n_stay"),
+        $"n_langs_e0", $"top.lang".as("top_lang"),
+        expr("top.cnt * 10000 div n_e0").as("top_share_bp"),
+        expr(s"n_e0 * 10000 * $shards div n_total").as("balance_bp"))
+      .orderBy($"shard")
+  }
+
 }

@@ -149,13 +149,7 @@ object Profiler {
   def kAnonymityAudit(spark: SparkSession, dir: String,
                       kMin: Int = 10, lMin: Int = 3): DataFrame = {
     import spark.implicits._
-    val published = Tables.orders(spark, dir)
-      .join(Tables.customer(spark, dir),
-        $"o_custkey" === $"c_custkey")
-      .select($"c_nationkey".cast("long").as("qi_nation"),
-        $"c_mktsegment".as("qi_segment"),
-        ($"c_acctbal" < 0).as("qi_acct_neg"),
-        $"o_orderpriority".as("sensitive"))
+    val published = publishedQi(spark, dir)
     val classes = published
       .groupBy($"qi_nation", $"qi_segment", $"qi_acct_neg")
       .agg(count(lit(1)).as("n"),
@@ -166,6 +160,96 @@ object Profiler {
         expr("n * 10000 div n_total").as("share_bp"),
         ($"n" < kMin).as("k_violation"),
         ($"l" < lMin).as("l_violation"))
+      .orderBy($"qi_nation", $"qi_segment", $"qi_acct_neg")
+  }
+
+  /** The q210/q309 "published" relation: orders joined to their
+    * customers, projected to the quasi-identifier tuple plus the
+    * sensitive attribute. Factored so the k-anonymity audit and the
+    * l-diversity/t-closeness audit measure the SAME release candidate. */
+  private[operators] def publishedQi(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".cast("long").as("qi_nation"),
+        $"c_mktsegment".as("qi_segment"),
+        ($"c_acctbal" < 0).as("qi_acct_neg"),
+        $"o_orderpriority".as("sensitive"))
+  }
+
+  /** Entropy l-diversity + t-closeness audit (Machanavajjhala et al.
+    * 2007 §3; Li, Li & Venkatasubramanian 2007) — the two published
+    * strengthenings of q210's distinct-l check, over the SAME released
+    * relation ([[publishedQi]]). Distinct-l is gameable: a class of
+    * 1000 rows with 999 '1-URGENT' and one of each other priority
+    * passes l=5 while leaking the sensitive value with 99.9%
+    * confidence. Per equivalence class this audit reports:
+    *   - `n`, `l_distinct` — q210's measures, for continuity;
+    *   - `entropy_nats` — Shannon entropy of the class's sensitive
+    *     distribution; entropy l-diversity requires H ≥ ln(l). The
+    *     violation flag compares the QUANTIZED micro-nat value against
+    *     ⌈ln(3)·10⁶⌉ = 1098613 carried as an exact integer literal
+    *     (the benfordPpm discipline: no cross-engine transcendental at
+    *     the comparison boundary);
+    *   - `tvd` + `t_violation` — t-closeness distance between the
+    *     class distribution and the GLOBAL sensitive distribution.
+    *     For a categorical attribute the variational distance
+    *     ½·Σ|p_c − p_g| is the published instantiation (Li §4.1), and
+    *     it is computed INTEGER-EXACTLY: Σ|cnt_cs·N − g_s·n| in
+    *     BIGINT, one final division for the report column, and the
+    *     t > 0.35 flag as the pure integer test 10·num > 7·n·N.
+    *
+    * Cross-engine float discipline: the only transcendental is ln(p),
+    * ulp-snapped with round(·,8) then quantized to micro-nat LONGs per
+    * term, so the per-class sum is order-independent (the round-7
+    * discipline; see Quant).
+    *
+    * Scale shape: ONE shuffle over (QI, sensitive) with map-side
+    * partial counts; everything downstream — class totals, global
+    * marginals, entropy terms, the zero-filled class×value grid for
+    * t-closeness — re-aggregates the barriered O(classes·values)
+    * count relation, never the published rows. The grid is
+    * classes×values (bounded domains), not rows×values. */
+  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qi = Seq("qi_nation", "qi_segment", "qi_acct_neg")
+    val cc = graft.CacheGuard.barrier(
+      publishedQi(spark, dir)
+        .groupBy($"qi_nation", $"qi_segment", $"qi_acct_neg", $"sensitive")
+        .agg(count(lit(1)).as("cnt")))
+    val cls = cc.groupBy($"qi_nation", $"qi_segment", $"qi_acct_neg")
+      .agg(sum($"cnt").as("n"), count(lit(1)).as("l_distinct"))
+    val g = cc.groupBy($"sensitive").agg(sum($"cnt").as("g_cnt"))
+    val tot = cc.agg(sum($"cnt").as("n_total"))
+    val ent = cc
+      .join(cls.select($"qi_nation", $"qi_segment", $"qi_acct_neg", $"n"), qi)
+      .withColumn("u", floor(($"cnt".cast("double") *
+        round(log($"cnt".cast("double") / $"n".cast("double")), 8)) * // round-ok: ulp-snap on ln before quantize (round-7 discipline)
+        lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy($"qi_nation", $"qi_segment", $"qi_acct_neg")
+      .agg(sum($"u").as("hsum_u"))
+    val tvdNum = cls.select($"qi_nation", $"qi_segment", $"qi_acct_neg", $"n")
+      .crossJoin(broadcast(g))
+      .join(cc, qi :+ "sensitive", "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        abs(coalesce($"cnt", lit(0L)) * $"n_total" - $"g_cnt" * $"n"))
+      .groupBy($"qi_nation", $"qi_segment", $"qi_acct_neg")
+      .agg(sum($"term").as("tvd_num"))
+    cls.join(ent, qi).join(tvdNum, qi).crossJoin(broadcast(tot))
+      .withColumn("h6", floor((((-$"hsum_u").cast("double") / lit(1e6)) /
+        $"n".cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      .select($"qi_nation", $"qi_segment", $"qi_acct_neg",
+        $"n", $"l_distinct",
+        ($"h6".cast("double") / lit(1e6)).as("entropy_nats"),
+        ($"h6" < lit(1098613L)).as("entropy_l_violation"), // ⌈ln(3)·1e6⌉, exact literal
+        (floor(($"tvd_num".cast("double") /
+          (lit(2.0) * ($"n" * $"n_total").cast("double"))) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("tvd"),
+        ($"tvd_num" * lit(10L) > $"n" * $"n_total" * lit(7L))
+          .as("t_violation"))
       .orderBy($"qi_nation", $"qi_segment", $"qi_acct_neg")
   }
 

@@ -774,4 +774,101 @@ class AnalyticsSpec extends SparkSpec {
       assert(fano >= 0)
     }
   }
+
+  test("bradleyTerry: full driver replay of the fixed-point MM iterations") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"value").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    // cent-exact engagement scores
+    val scores = ev.groupBy(t => (t._1, t._2)).map { case (k, rs) =>
+      k -> rs.map(t => math.floor(t._3 * 100.0 + 0.5).toLong).sum }
+    // duels: per user, each type pair with differing totals
+    val byUser = scores.groupBy(_._1._1)
+    val duels = byUser.values.flatMap { us =>
+      val ts = us.map { case ((_, t), s) => t -> s }.toSeq.sortBy(_._1)
+      for {
+        Seq((ta, sa), (tb, sb)) <- ts.combinations(2).toSeq
+        if sa != sb
+      } yield if (sa > sb) (ta, tb) else (tb, ta)
+    }.toSeq
+    val wins = duels.groupBy(identity).map { case ((w, l), g) =>
+      (w, l) -> g.length.toLong }
+    val nIj = (wins.toSeq.map { case ((i, j), n) => (i, j) -> n } ++
+      wins.toSeq.map { case ((i, j), n) => (j, i) -> n })
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val items = nIj.keys.map(_._1).toSeq.distinct.sorted
+    val winsBy = items.map(i => i ->
+      wins.filter(_._1._1 == i).values.sum).toMap
+    val nItems = items.length
+    var u = items.map(_ -> 100000000L).toMap
+    for (_ <- 0 until 3) {
+      val dU = items.map { i =>
+        i -> nIj.filter(_._1._1 == i).map { case ((_, j), n) =>
+          math.floor((n.toDouble * 1e8) /
+            math.max(u(i) + u(j), 1L).toDouble * 1e6 + 0.5).toLong
+        }.sum
+      }.toMap
+      val rU = items.map(i => i -> math.floor(
+        (winsBy(i).toDouble * 1e6) / dU(i).toDouble * 1e8 + 0.5).toLong)
+        .toMap
+      val sU = rU.values.sum
+      u = items.map(i => i -> math.floor(
+        (rU(i).toDouble / sU.toDouble) * nItems.toDouble * 1e8 +
+          0.5).toLong).toMap
+    }
+    val out = Analytics.bradleyTerry(spark, sf).collect()
+    assert(out.length === nItems)
+    out.foreach { r =>
+      val i = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("wins") === winsBy(i))
+      assert(r.getAs[Long]("n_comps") ===
+        nIj.filter(_._1._1 == i).values.sum)
+      assert(r.getAs[Long]("strength_u") === u(i), s"item $i")
+      assert(r.getAs[Double]("strength") === u(i).toDouble / 1e8)
+    }
+    // output is ranked by fitted strength
+    val su = out.map(_.getAs[Long]("strength_u")).toSeq
+    assert(su === su.sortBy(-_))
+    // BT sanity: renormalization pins the scale at Σπ = K
+    assert(math.abs(su.sum - nItems * 100000000L) <= nItems.toLong)
+  }
+
+  test("fleissKappa: full driver replay of panels, marginals, and the quantized kappa") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"event_type").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val panels = ev.groupBy(_._1 / 25).toSeq
+      .map { case (item, g) =>
+        item -> g.sortBy(t => (md5hex(t._1.toString), t._1)).take(5) }
+      .filter(_._2.length == 5)
+    val nij = panels.flatMap { case (item, rs) =>
+      rs.groupBy(_._2).map { case (cat, g) => (item, cat, g.length.toLong) } }
+    val aSum = nij.map(t => t._3 * t._3).sum
+    val nItems = panels.length.toLong
+    val cJ = nij.groupBy(_._2).map { case (c, g) => c -> g.map(_._3).sum }
+    val bSum = cJ.values.map(c => c * c).sum
+    val pBar = math.floor((aSum - nItems * 5).toDouble /
+      (nItems * 20).toDouble * 1e6 + 0.5) / 1e6
+    val pE = math.floor(bSum.toDouble /
+      ((nItems * 5) * (nItems * 5)).toDouble * 1e6 + 0.5) / 1e6
+    val kappa = math.floor((pBar - pE) / (1.0 - pE) * 1e6 + 0.5) / 1e6
+    val r = Analytics.fleissKappa(spark, sf).head()
+    assert(r.getAs[Long]("n_items") === nItems)
+    assert(r.getAs[Long]("n_raters") === 5L)
+    assert(r.getAs[Long]("n_categories") === cJ.size.toLong)
+    assert(r.getAs[Long]("a_sum") === aSum)
+    assert(r.getAs[Long]("b_sum") === bSum)
+    assert(r.getAs[Double]("p_bar") === pBar)
+    assert(r.getAs[Double]("p_e") === pE)
+    assert(r.getAs[Double]("kappa") === kappa)
+    // agreement bounds: P̄ ∈ [1/n-ish chance floor, 1]; kappa ≤ 1
+    assert(pBar > 0.0 && pBar <= 1.0)
+    assert(kappa <= 1.0)
+  }
 }

@@ -1153,4 +1153,41 @@ class CorpusOpsSpec extends SparkSpec {
       assert(got === want(qid), s"query $qid")
     }
   }
+
+  test("epochShuffle: full driver replay of the md5 shard assignment; shards partition both epochs") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val assign = docs.map { case (id, lang) =>
+      (h32(s"$id:0") % 8, h32(s"$id:1") % 8, lang) }
+    val out = CorpusOps.epochShuffle(spark, sf).collect()
+    // shards partition the corpus in BOTH epochs (inner join kept every
+    // populated epoch-0 shard at this SF)
+    assert(out.map(_.getAs[Long]("n_e0")).sum === docs.length.toLong)
+    assert(out.map(_.getAs[Long]("n_e1")).sum === docs.length.toLong)
+    out.foreach { r =>
+      val s = r.getAs[Long]("shard")
+      val in0 = assign.filter(_._1 == s)
+      assert(r.getAs[Long]("n_e0") === in0.length.toLong)
+      assert(r.getAs[Long]("n_e1") === assign.count(_._2 == s).toLong)
+      assert(r.getAs[Long]("n_stay") ===
+        in0.count(_._2 == s).toLong)
+      val byLang = in0.groupBy(_._3).map { case (l, g) => l -> g.length }
+      assert(r.getAs[Long]("n_langs_e0") === byLang.size.toLong)
+      // dominant language: max count, ties to the larger lang string
+      val (topLang, topCnt) = byLang.toSeq.maxBy { case (l, c) => (c, l) }
+      assert(r.getAs[String]("top_lang") === topLang)
+      assert(r.getAs[Long]("top_share_bp") ===
+        topCnt.toLong * 10000L / in0.length)
+      assert(r.getAs[Long]("balance_bp") ===
+        in0.length.toLong * 10000L * 8L / docs.length)
+      // re-keying actually re-keys: staying is the exception, not the rule
+      assert(r.getAs[Long]("n_stay") < r.getAs[Long]("n_e0"))
+    }
+  }
 }

@@ -334,4 +334,57 @@ class ProfilerSpec extends SparkSpec {
     assert(estErr <= rawErr,
       s"debias must not be worse than raw ($estErr vs $rawErr)")
   }
+
+  test("lDiversityAudit: full driver replay of entropy/tvd integer math; consistent with q210's classes") {
+    def round8(x: Double): Double =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pub = Profiler.publishedQi(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("qi_nation"), r.getAs[String]("qi_segment"),
+        r.getAs[Boolean]("qi_acct_neg")), r.getAs[String]("sensitive")))
+    val nTotal = pub.length.toLong
+    val cc = pub.groupBy(identity).map { case ((qi, s), rs) =>
+      (qi, s, rs.length.toLong) }.toSeq
+    val g = cc.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val out = Profiler.lDiversityAudit(spark, sf).collect()
+    val byClass = cc.groupBy(_._1)
+    assert(out.length === byClass.size)
+    out.foreach { r =>
+      val qi = (r.getAs[Long]("qi_nation"), r.getAs[String]("qi_segment"),
+        r.getAs[Boolean]("qi_acct_neg"))
+      val cnts = byClass(qi).map(_._3)
+      val n = cnts.sum
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("l_distinct") === cnts.length.toLong)
+      // entropy: per-term micro-nat quantization, then the h6 snap
+      val hsumU = cnts.map(c => math.floor(
+        (c.toDouble * round8(math.log(c.toDouble / n.toDouble))) * 1e6 +
+          0.5).toLong).sum
+      val h6 = math.floor(((-hsumU).toDouble / 1e6) / n.toDouble * 1e6 +
+        0.5).toLong
+      assert(r.getAs[Double]("entropy_nats") === h6.toDouble / 1e6)
+      assert(r.getAs[Boolean]("entropy_l_violation") === (h6 < 1098613L))
+      // t-closeness: integer-exact variational distance over ALL global
+      // sensitive values (absent ones contribute g_s·n)
+      val have = byClass(qi).map(t => t._2 -> t._3).toMap
+      val tvdNum = g.map { case (s, gs) =>
+        math.abs(have.getOrElse(s, 0L) * nTotal - gs * n) }.sum
+      assert(r.getAs[Double]("tvd") ===
+        math.floor(tvdNum.toDouble / (2.0 * (n * nTotal).toDouble) * 1e6 +
+          0.5) / 1e6)
+      assert(r.getAs[Boolean]("t_violation") === (tvdNum * 10 > n * nTotal * 7))
+      // entropy l-diversity is strictly stronger than distinct-l: a
+      // single-value class has H = 0 and must violate
+      if (r.getAs[Long]("l_distinct") === 1L)
+        assert(r.getAs[Boolean]("entropy_l_violation"))
+    }
+    // same release candidate as q210: class keys and sizes agree
+    val k = Profiler.kAnonymityAudit(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qi_nation"), r.getAs[String]("qi_segment"),
+        r.getAs[Boolean]("qi_acct_neg")) -> r.getAs[Long]("n")).toMap
+    out.foreach { r =>
+      val qi = (r.getAs[Long]("qi_nation"), r.getAs[String]("qi_segment"),
+        r.getAs[Boolean]("qi_acct_neg"))
+      assert(k(qi) === r.getAs[Long]("n"))
+    }
+  }
 }
