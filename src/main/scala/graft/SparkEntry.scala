@@ -409,6 +409,11 @@ object SparkEntry {
     "q310_epoch_shuffle" -> ((s, d) => CorpusOps.epochShuffle(s, d)),
     "q311_bradley_terry" -> ((s, d) => Analytics.bradleyTerry(s, d)),
     "q312_fleiss_kappa" -> ((s, d) => Analytics.fleissKappa(s, d)),
+    "q313_pass_at_k" -> ((s, d) => Analytics.passAtK(s, d)),
+    "q314_krippendorff_alpha" -> ((s, d) =>
+      Analytics.krippendorffAlpha(s, d)),
+    "q315_brier_decomposition" -> ((s, d) =>
+      TextAnalysis.brierDecomposition(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9733,6 +9738,151 @@ object SparkEntry {
         |    ELSE floor(((p_bar - p_e) / (1.0 - p_e)) * 1e6 + 0.5) / 1e6
         |  END AS kappa
         |FROM q""".stripMargin,
+
+    // pass@k: falling-factorial binomial ratio as exact integer
+    // products (zero-crossing handles c > n-k), per-task micro-unit
+    // quantization before the cross-task sum
+    "q313_pass_at_k" ->
+      """WITH t AS (
+        |  SELECT event_id // 20 AS task,
+        |    CASE WHEN event_type IN ('purchase', 'signup') THEN 1
+        |      ELSE 0 END AS pass
+        |  FROM events),
+        |ag AS MATERIALIZED (
+        |  SELECT task, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pass) AS BIGINT) AS c
+        |  FROM t GROUP BY 1),
+        |kk AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+        |p AS (
+        |  SELECT k, n, c,
+        |    CAST(list_product(list_transform(range(0, k),
+        |      i -> n - c - i)) AS DOUBLE) AS num,
+        |    CAST(list_product(list_transform(range(0, k),
+        |      i -> n - i)) AS DOUBLE) AS den
+        |  FROM ag CROSS JOIN kk WHERE n >= k),
+        |u AS (SELECT k, n, c,
+        |    CAST(floor((1.0 - num / den) * 1e6 + 0.5) AS BIGINT) AS p_u6
+        |  FROM p)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_tasks,
+        |  CAST(sum(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(c) AS BIGINT) AS n_passing,
+        |  CAST(sum(p_u6) AS BIGINT) AS sum_u6,
+        |  floor(((CAST(sum(p_u6) AS DOUBLE) / 1e6) /
+        |    CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS pass_at_k
+        |FROM u GROUP BY k ORDER BY k""".stripMargin,
+
+    // Krippendorff nominal alpha: ragged md5-priority panels (2..5 by
+    // item), observed disagreement in exact 12ths (every m-1 divides
+    // 12), one BIGINT division for alpha
+    "q314_krippendorff_alpha" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT event_id, event_type, event_id // 25 AS item,
+        |    2 + (event_id // 25) % 4 AS want,
+        |    row_number() OVER (PARTITION BY (event_id // 25)
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events),
+        |kept AS (SELECT * FROM r WHERE rn <= want),
+        |fullp AS (SELECT item, CAST(count(*) AS BIGINT) AS m
+        |          FROM kept GROUP BY item, want HAVING count(*) = want),
+        |nij AS MATERIALIZED (
+        |  SELECT k.item, f.m, k.event_type, CAST(count(*) AS BIGINT) AS nij
+        |  FROM kept k JOIN fullp f USING (item) GROUP BY 1, 2, 3),
+        |pu AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum((m * m - sq) * (12 // (m - 1))) AS BIGINT) AS d_o_num12
+        |  FROM (SELECT item, m, sum(nij * nij) AS sq
+        |        FROM nij GROUP BY 1, 2) z),
+        |mg AS (
+        |  SELECT CAST(sum(n_c) AS BIGINT) AS n,
+        |    CAST(sum(n_c * n_c) AS BIGINT) AS marg_sq,
+        |    CAST(count(*) AS BIGINT) AS n_categories
+        |  FROM (SELECT event_type, sum(nij) AS n_c
+        |        FROM nij GROUP BY 1) z)
+        |SELECT n_units, n AS n_ratings, n_categories, d_o_num12, marg_sq,
+        |  floor((CAST(d_o_num12 AS DOUBLE) / (12.0 * CAST(n AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS d_o,
+        |  floor((CAST(n * n - marg_sq AS DOUBLE) /
+        |    CAST(n * (n - 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS d_e,
+        |  CASE WHEN n * n = marg_sq THEN NULL
+        |    ELSE floor((1.0 - CAST((n - 1) * d_o_num12 AS DOUBLE) /
+        |      CAST(12 * (n * n - marg_sq) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |  END AS alpha
+        |FROM pu CROSS JOIN mg""".stripMargin,
+
+    // Murphy decomposition of the q26 score vs the q60 gate: exact
+    // 400N-scaled Brier sum, per-bin micro-unit reliability/resolution
+    // terms, (d/N)*(d/N) pinned squaring, residual of the four
+    // independently-quantized values
+    "q315_brier_decomposition" ->
+      s"""WITH t AS (
+         |  SELECT $toksSql AS toks,
+         |    CAST(length(text) - length(regexp_replace(text, '[\\p{P}\\p{S}]', '', 'g')) AS BIGINT) AS n_punct
+         |  FROM documents),
+         |m AS (
+         |  SELECT CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(toks,
+         |      x -> x IN ('the','a','of','and','to','in'))) AS BIGINT)
+         |      AS n_stop,
+         |    floor((CAST(length(array_to_string(toks, '')) AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE))*1e4 + 0.5)/1e4
+         |      AS mean_word_len,
+         |    floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE))*1e4 + 0.5)/1e4
+         |      AS dup_ratio
+         |  FROM t),
+         |f AS (
+         |  SELECT CAST(floor((CASE WHEN n_words = 0 THEN 0.0
+         |      ELSE least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.6 +
+         |        (CAST(n_stop AS DOUBLE) /
+         |         CAST(greatest(n_words, 1) AS DOUBLE)) * 0.4
+         |      END) * 1e4 + 0.5) AS BIGINT) AS u4,
+         |    (n_words >= ${TextAnalysis.gopherMinWords}
+         |     AND dup_ratio < ${TextAnalysis.gopherMaxDupRatio}
+         |     AND mean_word_len BETWEEN ${TextAnalysis.gopherMeanLen._1}
+         |       AND ${TextAnalysis.gopherMeanLen._2}) AS pass
+         |  FROM m),
+         |ft AS (SELECT least(u4 // 1000, 9) AS b, pass FROM f),
+         |bins AS MATERIALIZED (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM ft GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+         |        CAST(sum(c_b) AS BIGINT) AS c FROM bins),
+         |tr AS (
+         |  SELECT count(*) AS n_bins,
+         |    sum(n_b*(2*b+1)*(2*b+1) - 40*(2*b+1)*c_b + 400*c_b)
+         |      AS brier400,
+         |    sum(CAST(floor((CAST(((2*b+1)*n_b - 20*c_b) *
+         |      ((2*b+1)*n_b - 20*c_b) AS DOUBLE) /
+         |      (400.0 * CAST(n_b AS DOUBLE))) * 1e6 + 0.5) AS BIGINT))
+         |      AS rel_sum,
+         |    sum(CAST(floor((((CAST(c_b*t.n - t.c*n_b AS DOUBLE) /
+         |      CAST(t.n AS DOUBLE)) * (CAST(c_b*t.n - t.c*n_b AS DOUBLE) /
+         |      CAST(t.n AS DOUBLE))) / CAST(n_b AS DOUBLE)) * 1e6 + 0.5)
+         |      AS BIGINT)) AS res_sum
+         |  FROM bins CROSS JOIN tot t),
+         |q AS (
+         |  SELECT n_bins, t.n, t.c,
+         |    CAST(floor((CAST(brier400 AS DOUBLE) /
+         |      (400.0 * CAST(t.n AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+         |      AS brier_u6,
+         |    CAST(floor(((CAST(rel_sum AS DOUBLE) / 1e6) /
+         |      CAST(t.n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rel_u6,
+         |    CAST(floor(((CAST(res_sum AS DOUBLE) / 1e6) /
+         |      CAST(t.n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS res_u6,
+         |    CAST(floor((CAST(t.c * (t.n - t.c) AS DOUBLE) /
+         |      (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))) * 1e6 + 0.5)
+         |      AS BIGINT) AS unc_u6
+         |  FROM tr CROSS JOIN tot t)
+         |SELECT n AS n_docs, c AS n_pass, CAST(n_bins AS BIGINT) AS n_bins,
+         |  floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         |    AS base_rate,
+         |  CAST(brier_u6 AS DOUBLE) / 1e6 AS brier,
+         |  CAST(rel_u6 AS DOUBLE) / 1e6 AS reliability,
+         |  CAST(res_u6 AS DOUBLE) / 1e6 AS resolution,
+         |  CAST(unc_u6 AS DOUBLE) / 1e6 AS uncertainty,
+         |  brier_u6 - (rel_u6 - res_u6 + unc_u6) AS identity_residual_u6
+         |FROM q""".stripMargin,
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

@@ -1238,6 +1238,114 @@ object Analytics {
       .orderBy(desc("strength_u"), $"event_type")
   }
 
+  /** pass@k estimator (Chen et al. 2021, "Evaluating LLMs Trained on
+    * Code", eq. 1) — the unbiased estimator every code/agentic eval
+    * pipeline aggregates: given n samples per task with c passing,
+    * pass@k = 1 − C(n−c,k)/C(n,k), averaged over tasks. Tasks are
+    * fixed 20-id event blocks; a "sample passes" when its event type
+    * is a conversion (purchase/signup).
+    *
+    * EXACT arithmetic end-to-end: the binomial ratio is the falling-
+    * factorial product Π_{i<k}(n−c−i)/Π_{i<k}(n−i), both products
+    * computed as BIGINT left-folds over `sequence(0, k−1)` (when
+    * n−c < k the numerator's term chain crosses zero exactly and the
+    * product is 0 — the estimator's c > n−k branch falls out of the
+    * integer algebra, no special case). The per-task probability is
+    * one division of exact integers, quantized to micro-units before
+    * the cross-task sum (order-independent), one final division for
+    * the mean. n ≤ block size keeps every product ≪ 2⁵³.
+    *
+    * Scale shape: one (task) aggregation with map-side partials, the
+    * k fan-out an explode over a 3-element literal (q138's sweep
+    * shape), one O(k) re-aggregation. No window, no join. */
+  def passAtK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tasks = Tables.events(spark, dir)
+      .select(expr("event_id div 20").as("task"),
+        when($"event_type".isin("purchase", "signup"), 1L).otherwise(0L)
+          .as("pass"))
+      .groupBy($"task").agg(count(lit(1)).as("n"), sum($"pass").as("c"))
+    tasks
+      .withColumn("k", explode(typedlit(Seq(1L, 5L, 10L))))
+      .filter($"n" >= $"k")
+      .withColumn("num", expr(
+        "aggregate(sequence(0L, k - 1L), 1L, (acc, i) -> acc * (n - c - i))"))
+      .withColumn("den", expr(
+        "aggregate(sequence(0L, k - 1L), 1L, (acc, i) -> acc * (n - i))"))
+      .withColumn("p_u6", floor((lit(1.0) - $"num".cast("double") /
+        $"den".cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_tasks"), sum($"n").as("n_samples"),
+        sum($"c").as("n_passing"), sum($"p_u6").as("sum_u6"))
+      .select($"k", $"n_tasks", $"n_samples", $"n_passing", $"sum_u6",
+        (floor((($"sum_u6".cast("double") / lit(1e6)) /
+          $"n_tasks".cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("pass_at_k"))
+      .orderBy($"k")
+  }
+
+  /** Krippendorff's alpha, nominal metric (Krippendorff 1970; 2004
+    * §11) — the agreement coefficient for the panels Fleiss' kappa
+    * (q312) cannot score: VARYING raters per item (real crowd labels
+    * are ragged — raters skip items). Panels are the q312 event
+    * blocks but with a deterministic per-item panel size
+    * 2 + (item mod 4) ∈ {2..5}; under-filled panels drop.
+    *
+    * INTEGER-EXACT via the common-denominator trick: each unit's
+    * pairwise-disagreement term (m_u² − Σ_c n_uc²)/(m_u − 1) has
+    * denominator (m_u−1) ∈ {1,2,3,4}, every one dividing 12, so the
+    * observed-disagreement sum is carried as exact 12ths
+    * (`d_o_num12` BIGINT). Coincidence-matrix marginals n_c = Σ_u
+    * n_uc give expected disagreement (n² − Σn_c²)/(n(n−1)), and
+    *   α = 1 − (n−1)·d_o_num12 / (12·(n² − Σn_c²))
+    * is ONE division of exact BIGINTs, quantized r6; the degenerate
+    * single-category corpus (Σn_c² = n²) is explicitly NULL.
+    *
+    * Scale shape: the q312 panel window (25-row bounded partitions),
+    * one (item, category) aggregation, everything downstream
+    * re-aggregates the barriered O(items·categories) relation. */
+  def krippendorffAlpha(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"item").orderBy($"pri", $"event_id")
+    val ranked = graft.CacheGuard.barrier(
+      Tables.events(spark, dir)
+        .select($"event_id", $"event_type",
+          expr("event_id div 25").as("item"),
+          md5($"event_id".cast("string")).as("pri"))
+        .withColumn("want", lit(2L) + pmod($"item", lit(4L)))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= $"want"))
+    val full = ranked.groupBy($"item", $"want")
+      .agg(count(lit(1)).as("m")).filter($"m" === $"want")
+      .select($"item", $"m")
+    val nij = graft.CacheGuard.barrier(
+      ranked.join(full, Seq("item"))
+        .groupBy($"item", $"m", $"event_type")
+        .agg(count(lit(1)).as("nij")))
+    val perUnit = nij.groupBy($"item", $"m")
+      .agg(sum($"nij" * $"nij").as("sq"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(expr("(m * m - sq) * (12 div (m - 1))")).as("d_o_num12"))
+    val marg = nij.groupBy($"event_type").agg(sum($"nij").as("n_c"))
+      .agg(sum($"n_c").as("n"), sum($"n_c" * $"n_c").as("marg_sq"),
+        count(lit(1)).as("n_categories"))
+    perUnit.crossJoin(marg)
+      .select($"n_units", $"n".as("n_ratings"), $"n_categories",
+        $"d_o_num12", $"marg_sq",
+        (floor(($"d_o_num12".cast("double") /
+          (lit(12.0) * $"n".cast("double"))) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("d_o"),
+        (floor((($"n" * $"n" - $"marg_sq").cast("double") /
+          ($"n" * ($"n" - lit(1L))).cast("double")) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("d_e"),
+        when($"n" * $"n" === $"marg_sq", lit(null).cast("double"))
+          .otherwise(floor((lit(1.0) -
+            (($"n" - lit(1L)) * $"d_o_num12").cast("double") /
+            (lit(12L) * ($"n" * $"n" - $"marg_sq")).cast("double")) *
+            lit(1e6) + lit(0.5)) / lit(1e6)).as("alpha"))
+  }
+
   /** Fleiss' kappa inter-rater agreement (Fleiss 1971) — the label-QA
     * gate a preference/SFT labeling pipeline runs before training on
     * crowd labels: chance-corrected agreement across MANY raters with

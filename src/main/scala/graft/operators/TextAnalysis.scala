@@ -1784,4 +1784,87 @@ object TextAnalysis {
         expr("n_chars * 10000 div greatest(n_pieces, 1)"))
       .orderBy($"source")
   }
+
+  /** Brier-score decomposition (Murphy 1973) of the q26 quality score
+    * as a probabilistic forecaster of the q60 Gopher gate — the
+    * calibration eval q151's P/R sweep cannot express: reliability
+    * (how far each forecast bin's event rate sits from the forecast —
+    * the term recalibration removes), resolution (how much the bins
+    * separate outcomes — the term no recalibration can add), and
+    * outcome uncertainty, with brier = reliability − resolution +
+    * uncertainty checked as an explicit residual of the four
+    * INDEPENDENTLY-computed quantized values.
+    *
+    * Forecast bins are exact-integer deciles of the r4 quality score
+    * (u4 = ⌊q·10⁴ + 0.5⌋ recovers the quantized integer, bin =
+    * min(u4 div 1000, 9)) with bin centers f_b = (2b+1)/20, so every
+    * per-bin numerator is a BIGINT: the Brier sum itself is carried
+    * ×400N exactly (n_b(2b+1)² − 40(2b+1)c_b + 400c_b per bin), the
+    * reliability/resolution terms are single divisions of exact
+    * integers quantized to micro-units before the cross-bin LONG sum
+    * (order-independent; the resolution delta is squared as
+    * (d/N)·(d/N) in pinned order because d² alone exceeds 2⁵³ at
+    * probe SF), and uncertainty is one division of c(N−c) by N².
+    *
+    * Scale shape: ONE scan computes both signals per document (the
+    * forecast and the label share the token array), one aggregation
+    * to O(10) bins, report a broadcast 1-row cross. */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val feat = Tables.documents(spark, dir)
+      .select(toks.as("toks"), punctCount($"text").as("n_punct"))
+      .select(size($"toks").cast("long").as("n_words"),
+        stopwordCount($"toks", stopwords).cast("long").as("n_stop"),
+        Quant.r4(length(array_join($"toks", "")).cast("double") /
+          greatest(size($"toks"), lit(1)).cast("double")).as("mean_word_len"),
+        Quant.r4(lit(1.0) - size(array_distinct($"toks")).cast("double") /
+          greatest(size($"toks"), lit(1)).cast("double")).as("dup_ratio"))
+      .select(
+        floor(qualityExpr($"n_words", $"n_stop") * lit(1e4) + lit(0.5))
+          .cast("long").as("u4"),
+        ($"n_words" >= gopherMinWords && $"dup_ratio" < gopherMaxDupRatio &&
+          $"mean_word_len".between(gopherMeanLen._1, gopherMeanLen._2))
+          .as("pass"))
+      .select(least(expr("u4 div 1000"), lit(9L)).as("b"), $"pass")
+    val bins = graft.CacheGuard.barrier(
+      feat.groupBy($"b").agg(count(lit(1)).as("n_b"),
+        sum(when($"pass", 1L).otherwise(0L)).as("c_b")))
+    val tot = bins.agg(sum($"n_b").as("n"), sum($"c_b").as("c"))
+    val terms = bins.crossJoin(broadcast(tot))
+      .withColumn("fb_num", lit(2L) * $"b" + lit(1L)) // f_b = fb_num/20
+      .withColumn("brier400", $"n_b" * $"fb_num" * $"fb_num" -
+        lit(40L) * $"fb_num" * $"c_b" + lit(400L) * $"c_b")
+      .withColumn("rel_num", $"fb_num" * $"n_b" - lit(20L) * $"c_b")
+      .withColumn("rel_u", floor((($"rel_num" * $"rel_num").cast("double") /
+        (lit(400.0) * $"n_b".cast("double"))) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .withColumn("d", $"c_b" * $"n" - $"c" * $"n_b")
+      .withColumn("res_u", floor(((($"d".cast("double") / $"n".cast("double")) *
+        ($"d".cast("double") / $"n".cast("double"))) / $"n_b".cast("double")) *
+        lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_bins"), sum($"brier400").as("brier400"),
+        sum($"rel_u").as("rel_sum"), sum($"res_u").as("res_sum"))
+    terms.crossJoin(broadcast(tot))
+      .withColumn("brier_u6", floor(($"brier400".cast("double") /
+        (lit(400.0) * $"n".cast("double"))) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .withColumn("rel_u6", floor((($"rel_sum".cast("double") / lit(1e6)) /
+        $"n".cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("res_u6", floor((($"res_sum".cast("double") / lit(1e6)) /
+        $"n".cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("unc_u6", floor((($"c" * ($"n" - $"c")).cast("double") /
+        ($"n".cast("double") * $"n".cast("double"))) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .select($"n".as("n_docs"), $"c".as("n_pass"), $"n_bins",
+        (floor(($"c".cast("double") / $"n".cast("double")) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("base_rate"),
+        ($"brier_u6".cast("double") / lit(1e6)).as("brier"),
+        ($"rel_u6".cast("double") / lit(1e6)).as("reliability"),
+        ($"res_u6".cast("double") / lit(1e6)).as("resolution"),
+        ($"unc_u6".cast("double") / lit(1e6)).as("uncertainty"),
+        ($"brier_u6" - ($"rel_u6" - $"res_u6" + $"unc_u6"))
+          .as("identity_residual_u6"))
+  }
 }

@@ -871,4 +871,84 @@ class AnalyticsSpec extends SparkSpec {
     assert(pBar > 0.0 && pBar <= 1.0)
     assert(kappa <= 1.0)
   }
+
+  test("passAtK: exact falling-factorial replay; monotone in k; zero-crossing branch exercised") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"event_type").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val tasks = ev.groupBy(_._1 / 20).map { case (t, g) =>
+      (t, g.length.toLong,
+        g.count(e => Set("purchase", "signup")(e._2)).toLong) }.toSeq
+    def pAtK(n: Long, c: Long, k: Long): Double = {
+      val num = (0L until k).map(i => n - c - i).product
+      val den = (0L until k).map(i => n - i).product
+      1.0 - num.toDouble / den.toDouble
+    }
+    val out = Analytics.passAtK(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("k")).toSeq === Seq(1L, 5L, 10L))
+    out.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val el = tasks.filter(_._2 >= k)
+      assert(r.getAs[Long]("n_tasks") === el.length.toLong)
+      assert(r.getAs[Long]("n_samples") === el.map(_._2).sum)
+      assert(r.getAs[Long]("n_passing") === el.map(_._3).sum)
+      val sumU = el.map { case (_, n, c) =>
+        math.floor(pAtK(n, c, k) * 1e6 + 0.5).toLong }.sum
+      assert(r.getAs[Long]("sum_u6") === sumU)
+      assert(r.getAs[Double]("pass_at_k") ===
+        math.floor((sumU.toDouble / 1e6) / el.length * 1e6 + 0.5) / 1e6)
+    }
+    // pass@k is monotone nondecreasing in k (more draws can only help)
+    val byK = out.map(r => r.getAs[Long]("k") ->
+      r.getAs[Double]("pass_at_k")).toMap
+    assert(byK(1L) <= byK(5L) && byK(5L) <= byK(10L))
+    // the integer zero-crossing branch (n - c < k → p = 1) is real on
+    // this corpus: some task at k=10 has fewer than 10 failures
+    assert(tasks.exists { case (_, n, c) => n >= 10 && n - c < 10 })
+  }
+
+  test("krippendorffAlpha: exact 12ths replay of ragged panels; alpha agrees with the direct formula") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"event_type").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val panels = ev.groupBy(_._1 / 25).toSeq.flatMap { case (item, g) =>
+      val want = (2 + item % 4).toInt
+      val kept = g.sortBy(t => (md5hex(t._1.toString), t._1)).take(want)
+      if (kept.length == want) Some(item -> kept) else None
+    }
+    // ragged by construction: at least two distinct panel sizes survive
+    assert(panels.map(_._2.length).distinct.length >= 2)
+    val units = panels.map { case (_, rs) =>
+      val counts = rs.groupBy(_._2).map(_._2.length.toLong)
+      val m = rs.length.toLong
+      (m, counts.map(x => x * x).sum, rs.map(_._2))
+    }
+    val dONum12 = units.map { case (m, sq, _) =>
+      (m * m - sq) * (12L / (m - 1)) }.sum
+    val nC = units.flatMap(_._3).groupBy(identity).map(_._2.length.toLong)
+    val n = nC.sum
+    val margSq = nC.map(x => x * x).sum
+    val r = Analytics.krippendorffAlpha(spark, sf).head()
+    assert(r.getAs[Long]("n_units") === units.length.toLong)
+    assert(r.getAs[Long]("n_ratings") === n)
+    assert(r.getAs[Long]("n_categories") === nC.size.toLong)
+    assert(r.getAs[Long]("d_o_num12") === dONum12)
+    assert(r.getAs[Long]("marg_sq") === margSq)
+    assert(r.getAs[Double]("d_o") ===
+      math.floor(dONum12.toDouble / (12.0 * n) * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("d_e") ===
+      math.floor((n * n - margSq).toDouble / (n * (n - 1)).toDouble * 1e6 +
+        0.5) / 1e6)
+    assert(r.getAs[Double]("alpha") ===
+      math.floor((1.0 - ((n - 1) * dONum12).toDouble /
+        (12L * (n * n - margSq)).toDouble) * 1e6 + 0.5) / 1e6)
+    // chance-corrected bounds: alpha ≤ 1, and > -1 on any real panel mix
+    assert(r.getAs[Double]("alpha") <= 1.0)
+    assert(r.getAs[Double]("alpha") > -1.0)
+  }
 }

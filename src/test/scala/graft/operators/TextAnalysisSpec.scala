@@ -1206,4 +1206,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v1 === v10, // both converge to the used-winner set here
       s"convergence drifted with the knob scale: $v1 vs $v10")
   }
+
+  test("brierDecomposition: exact replay from the q26/q60 signal pair; Murphy identity holds to quantization") {
+    import spark.implicits._
+    // rebuild the per-doc (decile bin, gopher pass) pairs from the two
+    // DECLARED signal queries — the decomposition must sit exactly on
+    // top of what q26 and q60 already publish
+    val q = TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val g = TextAnalysis.gopherQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("passes")).toMap
+    val pairs = q.keys.toSeq.map { id =>
+      val u4 = math.floor(q(id) * 1e4 + 0.5).toLong
+      (math.min(u4 / 1000, 9L), g(id))
+    }
+    val bins = pairs.groupBy(_._1).map { case (b, g2) =>
+      (b, g2.length.toLong, g2.count(_._2).toLong) }.toSeq
+    val n = pairs.length.toLong
+    val c = pairs.count(_._2).toLong
+    val brier400 = bins.map { case (b, nb, cb) =>
+      nb * (2 * b + 1) * (2 * b + 1) - 40 * (2 * b + 1) * cb + 400 * cb
+    }.sum
+    val relSum = bins.map { case (b, nb, cb) =>
+      val num = (2 * b + 1) * nb - 20 * cb
+      math.floor((num * num).toDouble / (400.0 * nb) * 1e6 + 0.5).toLong
+    }.sum
+    val resSum = bins.map { case (_, nb, cb) =>
+      val d = cb * n - c * nb
+      math.floor((d.toDouble / n) * (d.toDouble / n) / nb * 1e6 + 0.5).toLong
+    }.sum
+    def u6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val brierU = u6(brier400.toDouble / (400.0 * n))
+    val relU = u6(relSum.toDouble / 1e6 / n)
+    val resU = u6(resSum.toDouble / 1e6 / n)
+    val uncU = u6((c * (n - c)).toDouble / (n.toDouble * n.toDouble))
+    val r = TextAnalysis.brierDecomposition(spark, sf).head()
+    assert(r.getAs[Long]("n_docs") === n)
+    assert(r.getAs[Long]("n_pass") === c)
+    assert(r.getAs[Long]("n_bins") === bins.length.toLong)
+    assert(r.getAs[Double]("brier") === brierU.toDouble / 1e6)
+    assert(r.getAs[Double]("reliability") === relU.toDouble / 1e6)
+    assert(r.getAs[Double]("resolution") === resU.toDouble / 1e6)
+    assert(r.getAs[Double]("uncertainty") === uncU.toDouble / 1e6)
+    assert(r.getAs[Long]("identity_residual_u6") ===
+      brierU - (relU - resU + uncU))
+    // Murphy 1973: brier = rel − res + unc exactly in the reals; the
+    // residual of the four independently-quantized values is bounded by
+    // the quantization grain (each term ±0.5 micro-units + the per-bin
+    // sums' accumulated half-ulps)
+    assert(math.abs(r.getAs[Long]("identity_residual_u6")) <=
+      2L + bins.length)
+    // decomposition is non-vacuous on this corpus: both signal classes
+    // occur and the score separates them at least somewhat
+    assert(c > 0 && c < n)
+    assert(r.getAs[Double]("resolution") > 0.0)
+  }
 }
