@@ -194,6 +194,19 @@ object Bench {
         // identical plans, so without this a repeat of a cache-using query
         // (q19/q20/q24) measures warm-cache reads — not comparable to the
         // single-shot baseline. Reps isolate JIT/scheduler noise only.
+        //
+        // The drain is BLOCKING (round-15 finding): with the default
+        // `unpersist(blocking=false)`, removal of the PREVIOUS query's
+        // barrier blocks proceeds DURING the next query's timed window —
+        // in a multi-query probe batch at sf10 the same q312 plan
+        // measured 15.45 s min-of-3 mid-batch vs 2.56 s in a fresh JVM,
+        // a 6× inflation the evict/bcast_rm attribution columns could
+        // see but not prevent. Unpersisting the raw persisted RDDs with
+        // blocking=true waits out the removal BEFORE t0, so the timer
+        // opens on quiesced storage; clearCache/release then only clear
+        // the (already-drained) registries.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
         CacheGuard.release() // registered barriers from the previous rep
         val s0 = probe.snap(spark.sparkContext) // drains pre-rep cleanup events

@@ -414,6 +414,7 @@ object SparkEntry {
       Analytics.krippendorffAlpha(s, d)),
     "q315_brier_decomposition" -> ((s, d) =>
       TextAnalysis.brierDecomposition(s, d)),
+    "q316_star_contraction" -> ((s, d) => Components.starClusters(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9883,6 +9884,26 @@ object SparkEntry {
          |  CAST(unc_u6 AS DOUBLE) / 1e6 AS uncertainty,
          |  brier_u6 - (rel_u6 - res_u6 + unc_u6) AS identity_residual_u6
          |FROM q""".stripMargin,
+
+    // star-contraction CC over the 64-block consecutive-id chain graph:
+    // the oracle replays components as gaps-and-islands window algebra —
+    // an independent formulation of the same maximal-run clusters
+    "q316_star_contraction" ->
+      """WITH d AS (SELECT doc_id, doc_id // 64 AS blk FROM documents),
+        |i AS (
+        |  SELECT doc_id, blk,
+        |    CASE WHEN lag(doc_id) OVER (PARTITION BY blk ORDER BY doc_id)
+        |      = doc_id - 1 THEN 0 ELSE 1 END AS brk
+        |  FROM d),
+        |g AS (SELECT doc_id, blk,
+        |    sum(brk) OVER (PARTITION BY blk ORDER BY doc_id) AS grp
+        |  FROM i)
+        |SELECT doc_id,
+        |  CAST(min(doc_id) OVER (PARTITION BY blk, grp) AS BIGINT)
+        |    AS component,
+        |  CAST(count(*) OVER (PARTITION BY blk, grp) AS BIGINT)
+        |    AS cluster_size
+        |FROM g ORDER BY doc_id""".stripMargin,
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

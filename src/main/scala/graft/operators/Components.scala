@@ -126,6 +126,109 @@ object Components {
       .orderBy($"doc_id")
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris–Lattanzi–Mirrokni–Rastogi–Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * O(log n)-round algorithm [[connectedComponents]]'s Scaladoc names
+    * as the cluster-scale swap-in: min-label propagation pays
+    * O(diameter) rounds (a 64-chain needs 63 and BLOWS the round-30
+    * budget), star contraction collapses any component in O(log n)
+    * alternations regardless of diameter — the difference between "a
+    * crawl-graph component crosses the cluster 60 times" and "8
+    * shuffles, done".
+    *
+    * Representation: an undirected edge SET. LARGE-STAR connects every
+    * node's strictly-larger neighbors to its neighborhood minimum
+    * (min(Γ(u) ∪ {u})); SMALL-STAR re-points each node's ≤-neighbors
+    * (its parent multi-set in the child→min orientation) at their
+    * collective minimum. Both preserve connectivity (paper Lemmas
+    * 3.1–3.4); the fixpoint is a disjoint star forest rooted at each
+    * component's minimum id — the same keeper every CC path in this
+    * file elects, so callers are interchangeable.
+    *
+    * Each half-round is one keyed aggregation (neighborhood min, with
+    * map-side partials) plus one join back, ending in an eager
+    * `localCheckpoint` (the round-cut discipline above); convergence
+    * is an EXACT set comparison — same count AND empty anti-join —
+    * never a checksum. Returns the (node, component) labels for every
+    * non-isolated node plus the rounds taken. */
+  def starContractCc(edges: DataFrame,
+                     maxIter: Int = 40): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges
+      .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+      .filter($"u" =!= $"v").distinct()
+      .select($"v".as("u"), $"u".as("v")) // child → smaller-parent pointers
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIter) {
+      // large-star over the symmetrized neighborhood
+      val sym = e.unionByName(e.select($"v".as("u"), $"u".as("v")))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      val large = sym.join(mins, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .distinct()
+      // small-star over the child → parent orientation
+      val dirE = large
+        .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      val pmins = dirE.groupBy($"u").agg(min($"v").as("m"))
+      val small = dirE.join(pmins, "u")
+        .filter($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .unionByName(pmins.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v")
+        .distinct()
+        .localCheckpoint() // eager: the round's action
+      val unchanged = small.count() == e.count() &&
+        e.join(small, Seq("u", "v"), "left_anti").isEmpty
+      unpersistCheckpoint(e)
+      e = small
+      rounds += 1
+      converged = unchanged
+    }
+    if (!converged) throw new IllegalStateException(
+      s"starContractCc did not converge in $maxIter rounds")
+    // the fixpoint forest stores only child → root pointers: the roots
+    // (component minima) never appear as children, so they self-label
+    val roots = e.select($"v".as("node")).distinct()
+      .join(e.select($"u".as("node")).distinct(), Seq("node"), "left_anti")
+    val out = e.select($"u".as("node"), $"v".as("component"))
+      .unionByName(roots.select($"node", $"node".as("component")))
+    graft.CacheGuard.onRelease(() => unpersistCheckpoint(e))
+    (out, rounds)
+  }
+
+  /** Declared query: star-contraction clusters over a DEEP chain graph
+    * — doc i ~ i+1 within 64-id blocks (diameter 63, vs q48's 5-chains),
+    * the regime where [[connectedComponents]]'s O(diameter) rounds stop
+    * being a reasonable plan and the O(log n) contraction is the only
+    * 100 TB answer. Output mirrors q48 (doc, component keeper, cluster
+    * size); components are exactly the maximal consecutive-id runs
+    * inside each 64-block, which the oracle replays as gaps-and-islands
+    * — an INDEPENDENT formulation (window algebra vs graph contraction)
+    * agreeing row-for-row. */
+  def starClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id")
+    val edges = docs
+      .filter($"doc_id" % 64 =!= 63)
+      .select($"doc_id".as("a"), ($"doc_id" + 1).as("b"))
+      .join(docs.select($"doc_id".as("b")), "b") // only ids actually present
+      .select($"a", $"b")
+    val (comps, _) = starContractCc(edges)
+    val all = docs.join(comps, docs("doc_id") === comps("node"), "left")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("component"))
+    all.join(
+        all.groupBy($"component").agg(count(lit(1)).as("cluster_size")),
+        "component")
+      .select($"doc_id", $"component", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
   /** Triangle census of the similarity graph — the graph-analytics
     * pattern beyond [[connectedComponents]]: how CLIQUISH is the near-dup
     * structure (a triangle means three mutually-similar documents — a

@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.SparkSpec
-import org.apache.spark.sql.functions.{greatest, least}
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions.{col, greatest, least}
 
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
@@ -754,5 +754,66 @@ class ComponentsSpec extends SparkSpec {
     assert(want >= -1.0 && want <= 1.0)
     // the star de-degenerates the clique bag: r must be FRACTIONAL
     assert(want !== -1.0); assert(want !== 0.0); assert(want !== 1.0)
+  }
+
+  test("starContractCc: labels equal a driver union-find; rounds are logarithmic where LPA's budget is linear") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val present = docs.toSet
+    val edges = docs.filter(i => i % 64 != 63 && present(i + 1))
+      .map(i => (i, i + 1))
+    // driver union-find ground truth
+    val parent = scala.collection.mutable.Map(docs.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = docs.map(i => i -> find(i)).toMap
+    val (labels, rounds) = Components.starContractCc(
+      edges.toSeq.toDF("a", "b"))
+    val got = labels.collect().map(r =>
+      r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    graft.CacheGuard.release()
+    // every non-isolated node labeled with its component MINIMUM
+    val nonIsolated = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got.keySet === nonIsolated.toSet)
+    nonIsolated.foreach(i => assert(got(i) === truth(i), s"node $i"))
+    // the contraction's whole point: diameter-63 chains collapse in
+    // O(log n) alternations — the O(diameter) LPA budget (maxIter 30)
+    // cannot even REPRESENT this graph's closure
+    assert(rounds <= 14, s"star contraction took $rounds rounds")
+    assert(truth.values.toSet.size < docs.length) // real multi-node chains
+  }
+
+  test("starClusters: q48's output contract on the deep-chain graph; singletons self-labeled") {
+    import spark.implicits._
+    val rows = Components.starClusters(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(rows.length === docs.length)
+    // component = min of a maximal consecutive-id run inside a 64-block
+    val present = docs.toSet
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      var lo = id
+      while (lo % 64 != 0 && present(lo - 1)) lo -= 1
+      assert(r.getAs[Long]("component") === lo)
+      var hi = id
+      while (hi % 64 != 63 && present(hi + 1)) hi += 1
+      assert(r.getAs[Long]("cluster_size") === hi - lo + 1)
+    }
+    // sizes sum back to the corpus (clusters partition it)
+    val byComp = rows.groupBy(_.getAs[Long]("component"))
+    byComp.foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("cluster_size")).distinct.length === 1)
+      assert(g.head.getAs[Long]("cluster_size") === g.length.toLong)
+    }
   }
 }
