@@ -9638,15 +9638,21 @@ object SparkEntry {
         |       FROM a GROUP BY 1),
         |st AS (SELECT s0 AS shard, CAST(count(*) AS BIGINT) AS n_stay
         |       FROM a WHERE s0 = s1 GROUP BY 1),
-        |tot AS (SELECT count(*) AS n_total FROM a)
-        |SELECT e0.shard, n_e0, n_e1, coalesce(n_stay, 0) AS n_stay,
+        |tot AS (SELECT count(*) AS n_total FROM a),
+        |j AS (
+        |  SELECT coalesce(e0.shard, e1.shard) AS shard,
+        |    coalesce(n_e0, 0) AS n_e0, coalesce(n_e1, 0) AS n_e1,
+        |    coalesce(n_langs_e0, 0) AS n_langs_e0
+        |  FROM e0 FULL OUTER JOIN e1 ON e0.shard = e1.shard)
+        |SELECT j.shard, n_e0, n_e1, coalesce(n_stay, 0) AS n_stay,
         |  n_langs_e0, t.top_lang,
-        |  CAST((t.top_cnt * 10000) // n_e0 AS BIGINT) AS top_share_bp,
+        |  CAST((coalesce(t.top_cnt, 0) * 10000) // greatest(n_e0, 1)
+        |    AS BIGINT) AS top_share_bp,
         |  CAST((n_e0 * 10000 * 8) // n_total AS BIGINT) AS balance_bp
-        |FROM e0 JOIN e1 USING (shard) LEFT JOIN st USING (shard)
-        |JOIN tp t ON t.shard = e0.shard AND t.rn = 1
+        |FROM j LEFT JOIN st ON st.shard = j.shard
+        |LEFT JOIN tp t ON t.shard = j.shard AND t.rn = 1
         |CROSS JOIN tot
-        |ORDER BY e0.shard""".stripMargin,
+        |ORDER BY j.shard""".stripMargin,
 
     // Bradley–Terry MM in fixed-point u-units, 3 unrolled iterations:
     // cent-exact duels, micro-LONG pair terms (order-independent sums),
@@ -9816,9 +9822,7 @@ object SparkEntry {
     // independently-quantized values
     "q315_brier_decomposition" ->
       s"""WITH t AS (
-         |  SELECT $toksSql AS toks,
-         |    CAST(length(text) - length(regexp_replace(text, '[\\p{P}\\p{S}]', '', 'g')) AS BIGINT) AS n_punct
-         |  FROM documents),
+         |  SELECT $toksSql AS toks FROM documents),
          |m AS (
          |  SELECT CAST(len(toks) AS BIGINT) AS n_words,
          |    CAST(len(list_filter(toks,
@@ -9853,9 +9857,9 @@ object SparkEntry {
          |  SELECT count(*) AS n_bins,
          |    sum(n_b*(2*b+1)*(2*b+1) - 40*(2*b+1)*c_b + 400*c_b)
          |      AS brier400,
-         |    sum(CAST(floor((CAST(((2*b+1)*n_b - 20*c_b) *
-         |      ((2*b+1)*n_b - 20*c_b) AS DOUBLE) /
-         |      (400.0 * CAST(n_b AS DOUBLE))) * 1e6 + 0.5) AS BIGINT))
+         |    sum(CAST(floor((((CAST((2*b+1)*n_b - 20*c_b AS DOUBLE) / 20.0) *
+         |      (CAST((2*b+1)*n_b - 20*c_b AS DOUBLE) / 20.0)) /
+         |      CAST(n_b AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
          |      AS rel_sum,
          |    sum(CAST(floor((((CAST(c_b*t.n - t.c*n_b AS DOUBLE) /
          |      CAST(t.n AS DOUBLE)) * (CAST(c_b*t.n - t.c*n_b AS DOUBLE) /

@@ -87,11 +87,13 @@ object Components {
     unpersistCheckpoint(sym)
     // exhausting the budget without a fixpoint means labels are WRONG for
     // nodes farther than maxIter hops from their component's min — fail
-    // loudly rather than return silently split clusters
-    if (!converged) throw new IllegalStateException(
+    // loudly rather than return silently split clusters; the failure path
+    // must free the final round's checkpoint blocks itself (the onRelease
+    // hook below is only registered on success)
+    if (!converged) { unpersistCheckpoint(labels); throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — component " +
         "diameter exceeds the budget; raise maxIter or switch to " +
-        "large-star/small-star contraction for log-round convergence")
+        "large-star/small-star contraction for log-round convergence") }
     // the returned labels ride the final round's checkpoint blocks — they
     // must stay pinned until the caller's action, then CacheGuard.release
     // frees them (unpersisting earlier would destroy the data: a
@@ -190,8 +192,10 @@ object Components {
       rounds += 1
       converged = unchanged
     }
-    if (!converged) throw new IllegalStateException(
-      s"starContractCc did not converge in $maxIter rounds")
+    // failure path frees the round's checkpoint blocks itself — the
+    // onRelease hook below only registers on the success path
+    if (!converged) { unpersistCheckpoint(e); throw new IllegalStateException(
+      s"starContractCc did not converge in $maxIter rounds") }
     // the fixpoint forest stores only child → root pointers: the roots
     // (component minima) never appear as children, so they self-label
     val roots = e.select($"v".as("node")).distinct()

@@ -2141,13 +2141,22 @@ object CorpusOps {
     val stay = assign.filter($"s0" === $"s1")
       .groupBy($"s0".as("shard")).agg(count(lit(1)).as("n_stay"))
     val tot = assign.agg(count(lit(1)).as("n_total"))
-    e0.join(e1, Seq("shard")).join(stay, Seq("shard"), "left")
+    // FULL outer between the two epoch aggregates: an inner join would
+    // silently drop any shard populated in only one epoch, making the
+    // audit lossy exactly when the shuffle is most skewed; counts
+    // coalesce to 0 and the per-epoch-0 stats go 0/NULL for e1-only rows
+    e0.join(e1, Seq("shard"), "full_outer").join(stay, Seq("shard"), "left")
       .crossJoin(broadcast(tot))
-      .select($"shard", $"n_e0", $"n_e1",
+      .select($"shard",
+        coalesce($"n_e0", lit(0L)).as("n_e0"),
+        coalesce($"n_e1", lit(0L)).as("n_e1"),
         coalesce($"n_stay", lit(0L)).as("n_stay"),
-        $"n_langs_e0", $"top.lang".as("top_lang"),
-        expr("top.cnt * 10000 div n_e0").as("top_share_bp"),
-        expr(s"n_e0 * 10000 * $shards div n_total").as("balance_bp"))
+        coalesce($"n_langs_e0", lit(0L)).as("n_langs_e0"),
+        $"top.lang".as("top_lang"),
+        expr("coalesce(top.cnt, 0L) * 10000" +
+          " div greatest(coalesce(n_e0, 0L), 1L)").as("top_share_bp"),
+        expr(s"coalesce(n_e0, 0L) * 10000 * $shards div n_total")
+          .as("balance_bp"))
       .orderBy($"shard")
   }
 

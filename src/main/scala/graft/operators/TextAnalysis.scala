@@ -1800,11 +1800,13 @@ object TextAnalysis {
     * min(u4 div 1000, 9)) with bin centers f_b = (2b+1)/20, so every
     * per-bin numerator is a BIGINT: the Brier sum itself is carried
     * ×400N exactly (n_b(2b+1)² − 40(2b+1)c_b + 400c_b per bin), the
-    * reliability/resolution terms are single divisions of exact
-    * integers quantized to micro-units before the cross-bin LONG sum
-    * (order-independent; the resolution delta is squared as
-    * (d/N)·(d/N) in pinned order because d² alone exceeds 2⁵³ at
-    * probe SF), and uncertainty is one division of c(N−c) by N².
+    * reliability/resolution terms are quantized to micro-units before
+    * the cross-bin LONG sum (order-independent); BOTH squares are taken
+    * in pinned-double divide-first form — resolution as (d/N)·(d/N)
+    * because d² exceeds 2⁵³ at probe SF, reliability as
+    * (rel/20)·(rel/20)/n_b because rel² ~ (19·n_b)² wraps int64 past
+    * ~1.6e8 rows per bin — and uncertainty is one division of c(N−c)
+    * by N².
     *
     * Scale shape: ONE scan computes both signals per document (the
     * forecast and the label share the token array), one aggregation
@@ -1813,7 +1815,7 @@ object TextAnalysis {
     import spark.implicits._
     val toks = tokens($"text")
     val feat = Tables.documents(spark, dir)
-      .select(toks.as("toks"), punctCount($"text").as("n_punct"))
+      .select(toks.as("toks"))
       .select(size($"toks").cast("long").as("n_words"),
         stopwordCount($"toks", stopwords).cast("long").as("n_stop"),
         Quant.r4(length(array_join($"toks", "")).cast("double") /
@@ -1836,9 +1838,13 @@ object TextAnalysis {
       .withColumn("brier400", $"n_b" * $"fb_num" * $"fb_num" -
         lit(40L) * $"fb_num" * $"c_b" + lit(400L) * $"c_b")
       .withColumn("rel_num", $"fb_num" * $"n_b" - lit(20L) * $"c_b")
-      .withColumn("rel_u", floor((($"rel_num" * $"rel_num").cast("double") /
-        (lit(400.0) * $"n_b".cast("double"))) * lit(1e6) + lit(0.5))
-        .cast("long"))
+      // reliability squared in PINNED DOUBLE form — (rel/20)·(rel/20)/n_b —
+      // because rel_num² in int64 is ~(19·n_b)² and overflows past ~1.6e8
+      // rows per bin, where Spark silently wraps but DuckDB raises (the
+      // same reason the resolution term divides before squaring)
+      .withColumn("rel_u", floor(((($"rel_num".cast("double") / lit(20.0)) *
+        ($"rel_num".cast("double") / lit(20.0))) / $"n_b".cast("double")) *
+        lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("d", $"c_b" * $"n" - $"c" * $"n_b")
       .withColumn("res_u", floor(((($"d".cast("double") / $"n".cast("double")) *
         ($"d".cast("double") / $"n".cast("double"))) / $"n_b".cast("double")) *
