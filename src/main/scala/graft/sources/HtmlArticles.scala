@@ -23,23 +23,77 @@ object HtmlArticles {
 
   case class Article(source_date: String, title: String, body: String)
 
-  /** Extract all `<div class="single-document">…</div>` blocks, then the
-    * class-tagged <pre> fields inside each. Null-safe: missing fields → "".
-    */
+  /** Whitespace-tokenized value of `attr` inside one open tag — tolerant
+    * of attribute order, extra attributes, either quote style, and
+    * unquoted values, so `<div data-x="1" class='a single-document'>`
+    * matches token `single-document`. Real-world exports reorder and
+    * decorate attributes freely; a literal `class="…"` match does not
+    * survive them (the r15 verdict's E2 hardening ask). */
+  private def attrTokens(tag: String, attr: String): Set[String] =
+    ("(?si)\\b" + attr + "\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))").r
+      .findFirstMatchIn(tag)
+      .map(m => Option(m.group(1)).orElse(Option(m.group(2)))
+        .orElse(Option(m.group(3))).getOrElse(""))
+      .map(_.split("\\s+").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** Inner content of every BALANCED `<div>` block whose open tag carries
+    * `token` in its `attr` value. One linear pass collects all div
+    * open/close tags, then depth-counting finds each matched block's true
+    * close — a nested `<div>` inside an article body no longer truncates
+    * the block at the first `</div>` the way a non-greedy regex does.
+    * Unclosed blocks run to end-of-input (the lenient-parser convention). */
+  private[sources] def divBlocks(html: String, token: String,
+                                 attr: String = "class"): Seq[String] = {
+    val tags = "(?si)<div\\b[^>]*>|</div\\s*>".r.findAllMatchIn(html).toVector
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < tags.length) {
+      val t = tags(i)
+      if (!t.matched.startsWith("</") &&
+          attrTokens(t.matched, attr).contains(token)) {
+        var depth = 1
+        var j = i + 1
+        var endPos = html.length
+        while (j < tags.length && depth > 0) {
+          if (tags(j).matched.startsWith("</")) {
+            depth -= 1
+            if (depth == 0) endPos = tags(j).start
+          } else depth += 1
+          j += 1
+        }
+        out += html.substring(t.end, endPos)
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** First `<pre>` whose class tokens include `cls`; content runs to its
+    * `</pre>`, or — when the pre is left UNCLOSED — to the next `<pre`
+    * open tag or end of block (what a lenient HTML parser recovers). */
+  private def preField(b: String, cls: String): String = {
+    val open = "(?si)<pre\\b[^>]*>".r
+    open.findAllMatchIn(b).collectFirst {
+      case m if attrTokens(m.matched, "class").contains(cls) =>
+        val rest = b.substring(m.end)
+        "(?si)</pre\\s*>|<pre\\b".r.findFirstMatchIn(rest)
+          .map(c => rest.substring(0, c.start)).getOrElse(rest).trim
+    }.getOrElse("")
+  }
+
+  /** Extract all `div.single-document` blocks (balanced-div scan,
+    * attribute-insensitive), then the class-tagged <pre> fields inside
+    * each. Null-safe: missing fields → "". */
   def parseFaz(html: String): Seq[Article] = {
     if (html == null) return Seq.empty
-    val block = "(?s)<div class=\"single-document\">(.*?)</div>".r
-    def field(b: String, cls: String): String =
-      ("(?s)<pre class=\"" + cls + "\">(.*?)</pre>").r
-        .findFirstMatchIn(b).map(_.group(1).trim).getOrElse("")
-    block.findAllMatchIn(html).map { m =>
-      val b = m.group(1)
+    divBlocks(html, "single-document").map { b =>
       // reference extracts the dd.mm.yyyy date from the docSource line
       // (parser_media_articles.py:14) — first date-shaped token wins
-      val src = field(b, "docSource")
+      val src = preField(b, "docSource")
       val date = "\\d{2}\\.\\d{2}\\.\\d{4}".r.findFirstIn(src).getOrElse("")
-      Article(date, field(b, "docTitle"), field(b, "text"))
-    }.toSeq
+      Article(date, preField(b, "docTitle"), preField(b, "text"))
+    }
   }
 
   val articleSchema: DataType = ArrayType(StructType(Seq(
@@ -83,24 +137,43 @@ object HtmlArticles {
     "Mai" -> "05", "Juni" -> "06", "Juli" -> "07", "August" -> "08",
     "September" -> "09", "Oktober" -> "10", "November" -> "11", "Dezember" -> "12")
 
-  /** Parse `variant` ∈ {en, de} article blocks. Fixed class-tagged format
-    * (as in the reference); blocks are terminated by an explicit
-    * `<!--/article-->` marker because the block div contains child divs. */
+  /** Parse `variant` ∈ {en, de} article blocks. Blocks are terminated by
+    * an explicit `<!--/article-->` marker because the block div contains
+    * child divs; the OPEN tag match is attribute-insensitive (class
+    * tokens `article` + `{variant}Article` in any attribute order), the
+    * inner title/author divs use the balanced scan, and body paragraphs
+    * match by class TOKENS rather than a literal attribute string. */
   def parseOutlet(html: String, variant: String): Seq[OutletArticle] = {
     if (html == null) return Seq.empty
-    val block =
-      ("(?s)<div class=\"article " + variant + "Article\">(.*?)<!--/article-->").r
-    def first(b: String, pat: String): String =
-      pat.r.findFirstMatchIn(b).map(_.group(1).trim).getOrElse("")
-    block.findAllMatchIn(html).map { m =>
-      val b = m.group(1)
-      val title = first(b, "(?s)<div id=\"hd\">(.*?)</div>")
-      val author = first(b, "(?s)<div class=\"author\">(.*?)</div>")
-      val id = "(?s)<p>(.*?)</p>".r.findAllMatchIn(b).toSeq.lastOption
-        .map(_.group(1).trim).getOrElse("")
-      val body = ("(?s)<p class=\"articleParagraph " + variant +
-        "articleParagraph\">(.*?)</p>").r
-        .findAllMatchIn(b).map(_.group(1).trim).mkString("\n")
+    val blocks = "(?si)<div\\b[^>]*>".r.findAllMatchIn(html).toSeq.collect {
+      case m if {
+        val t = attrTokens(m.matched, "class")
+        t.contains("article") && t.contains(variant + "Article")
+      } =>
+        val rest = html.substring(m.end)
+        val end = rest.indexOf("<!--/article-->")
+        if (end >= 0) rest.substring(0, end) else rest
+    }
+    blocks.map { b =>
+      val title = divBlocks(b, "hd", attr = "id").headOption
+        .map(_.trim).getOrElse("")
+      val author = divBlocks(b, "author").headOption.map(_.trim).getOrElse("")
+      // reference takes the LAST <p> as the article id
+      // (parser_media_articles.py:41 find_all('p')[-1]) — any attributes
+      val ps = "(?si)<p\\b[^>]*>".r.findAllMatchIn(b).toSeq
+      def pInner(m: scala.util.matching.Regex.Match): String = {
+        val rest = b.substring(m.end)
+        val close = rest.indexOf("</p>")
+        (if (close >= 0) rest.substring(0, close) else rest).trim
+      }
+      val id = ps.lastOption.map(pInner).getOrElse("")
+      val body = ps.collect {
+        case m if {
+          val t = attrTokens(m.matched, "class")
+          t.contains("articleParagraph") &&
+            t.contains(variant + "articleParagraph")
+        } => pInner(m)
+      }.mkString("\n")
       val terms = "(?s)<b>(.*?)</b>".r.findAllMatchIn(b).map(_.group(1).trim).toSeq
       // reference: first "d Month yyyy" in the joined div texts → ISO
       val iso = "(\\d{1,2})\\s(\\p{L}+)\\s(\\d{4})".r.findFirstMatchIn(b)
@@ -108,7 +181,7 @@ object HtmlArticles {
           .map(mm => f"${d.group(3)}-$mm-${d.group(1).toInt}%02d"))
         .getOrElse("")
       OutletArticle(id, title, iso, author, body, terms)
-    }.toSeq
+    }
   }
 
   private def outletUdf(variant: String) = udf((html: String) =>

@@ -60,6 +60,69 @@ class HtmlArticlesSpec extends SparkSpec {
     assert(arts(0).source_date === "03.05.2023") // not confused by 'p7'
   }
 
+  // ——— adversarial real-world-markup fixtures (r15 verdict ask #6) ———
+
+  test("parseFaz: nested <div> inside the article body no longer truncates the block") {
+    val html =
+      """<div class="single-document"><pre class="docSource">FAZ 01.02.2023</pre>
+        |<pre class="docTitle">Nested</pre>
+        |<div class="callout">An inner <div>deeply nested</div> box</div>
+        |<pre class="text">Body after the nested divs.</pre></div>""".stripMargin
+    val Seq(a) = HtmlArticles.parseFaz(html)
+    assert(a.title === "Nested")
+    assert(a.body === "Body after the nested divs.")
+    assert(a.source_date === "01.02.2023")
+  }
+
+  test("parseFaz: reordered / extra attributes and single quotes still match") {
+    val html =
+      """<div data-idx="7" class='hero single-document' lang=de>
+        |<pre lang="de" class='docSource wide'>FAZ 09.10.2023</pre>
+        |<pre class="docTitle">Attrs</pre>
+        |<pre class="text">Body.</pre></div>""".stripMargin
+    val Seq(a) = HtmlArticles.parseFaz(html)
+    assert(a === HtmlArticles.Article("09.10.2023", "Attrs", "Body."))
+    // class token must be a whole token — "single-documents" is NOT a match
+    assert(HtmlArticles.parseFaz(
+      """<div class="single-documents"><pre class="docTitle">x</pre></div>""")
+      === Seq.empty)
+  }
+
+  test("parseFaz: unclosed <pre> recovers to the next pre / end of block") {
+    val html =
+      """<div class="single-document"><pre class="docSource">FAZ 03.03.2023
+        |<pre class="docTitle">Unclosed</pre>
+        |<pre class="text">Tail body</div>""".stripMargin
+    val Seq(a) = HtmlArticles.parseFaz(html)
+    assert(a.source_date === "03.03.2023") // content ran to the next <pre
+    assert(a.title === "Unclosed")
+    assert(a.body === "Tail body") // unclosed pre: runs to end of block
+  }
+
+  test("parseOutlet: attribute-insensitive block and paragraph matching") {
+    val html =
+      """<div lang="en" class='promo article enArticle'><div id='hd'>Hd</div>
+        |<div class="meta">Published 7 Juli 2023</div>
+        |<p data-k=1 class='lead articleParagraph enarticleParagraph'>P1.</p>
+        |<p class="articleParagraph enarticleParagraph">P2.</p>
+        |<p>en_7</p></div><!--/article-->""".stripMargin
+    val Seq(a) = HtmlArticles.parseOutlet(html, "en")
+    assert(a.title === "Hd")
+    assert(a.iso_date === "2023-07-07")
+    assert(a.body === "P1.\nP2.")
+    assert(a.id === "en_7")
+  }
+
+  test("parseOutlet: nested div inside the hd title div stays balanced") {
+    val html =
+      """<div class="article enArticle"><div id="hd">Top <div>inner</div> line</div>
+        |<p class="articleParagraph enarticleParagraph">B.</p>
+        |<p>en_9</p></div><!--/article-->""".stripMargin
+    val Seq(a) = HtmlArticles.parseOutlet(html, "en")
+    assert(a.title === "Top <div>inner</div> line")
+    assert(a.id === "en_9")
+  }
+
   test("fazRoundTrip: parse ∘ render = identity on document count and titles") {
     import spark.implicits._
     val out = HtmlArticles.fazRoundTrip(spark, sf)
