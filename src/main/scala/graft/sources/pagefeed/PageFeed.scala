@@ -74,6 +74,16 @@ object PageFeed {
     Class.forName(className).getDeclaredConstructor()
       .newInstance().asInstanceOf[PageFetcher]
 
+  /** Instantiate + configure: the DSv2 option map rides to every
+    * driver/executor instantiation site so option-driven fetchers (e.g.
+    * [[HttpPageFetcher]]'s bearer token) see their settings everywhere
+    * a fetch can happen. */
+  def makeFetcher(className: String, options: Map[String, String]): PageFetcher = {
+    val f = instantiateFetcher(className)
+    f.configure(options)
+    f
+  }
+
   /** `fetch` with bounded retry and exponential backoff (base × 2^n, like
     * `BinarySink.RetryPolicy`) — transient fetch faults are absorbed here
     * (both on the driver's cursor walk and inside partition readers)
@@ -171,6 +181,13 @@ trait PageFetcher extends Serializable {
     * the terminal stop condition. Transient faults may throw; callers
     * retry up to `fetchAttempts` times ([[PageFeed.fetchWithRetry]]). */
   def fetch(path: String, page: Long): Option[Array[Byte]]
+
+  /** Configuration hook: the source's full DSv2 option map, delivered
+    * after no-arg instantiation on every driver/executor that builds a
+    * fetcher. Default no-op — [[FileFetcher]] needs nothing; the HTTP
+    * fetcher reads its auth/timeout options here (credentials travel as
+    * reader OPTIONS, never baked into class names or environment). */
+  def configure(options: Map[String, String]): Unit = ()
 }
 
 /** Default fetcher: pages are numbered files in a local directory. */
@@ -195,11 +212,13 @@ class PageFeedProvider extends TableProvider {
       Option(properties.get(PageFeed.pageDelayOpt))
         .map(_.toLong).getOrElse(PageFeed.defaultPageDelayMs),
       Option(properties.get(PageFeed.maxPagesPerTriggerOpt))
-        .map(_.toLong).getOrElse(PageFeed.defaultMaxPagesPerTrigger))
+        .map(_.toLong).getOrElse(PageFeed.defaultMaxPagesPerTrigger),
+      properties.asScala.toMap)
 }
 
 class PageFeedTable(path: String, fetcherClass: String, attempts: Int,
-                    backoffMs: Long, pageDelayMs: Long, maxPagesPerTrigger: Long)
+                    backoffMs: Long, pageDelayMs: Long, maxPagesPerTrigger: Long,
+                    fetcherOptions: Map[String, String])
     extends Table with SupportsRead {
   require(path != null, "option 'path' is required")
   override def name(): String = s"pagefeed($path)"
@@ -210,28 +229,30 @@ class PageFeedTable(path: String, fetcherClass: String, attempts: Int,
     new ScanBuilder {
       override def build(): Scan =
         new PageFeedScan(path, fetcherClass, attempts, backoffMs,
-          pageDelayMs, maxPagesPerTrigger)
+          pageDelayMs, maxPagesPerTrigger, fetcherOptions)
     }
 }
 
 class PageFeedScan(path: String, fetcherClass: String, attempts: Int,
-                   backoffMs: Long, pageDelayMs: Long, maxPagesPerTrigger: Long)
+                   backoffMs: Long, pageDelayMs: Long, maxPagesPerTrigger: Long,
+                   fetcherOptions: Map[String, String])
     extends Scan {
   override def readSchema(): StructType = PageFeed.schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val pages = PageFeed.cursorWalk(path,
-        PageFeed.instantiateFetcher(fetcherClass), attempts, 0L, backoffMs,
-        pageDelayMs)
+        PageFeed.makeFetcher(fetcherClass, fetcherOptions), attempts, 0L,
+        backoffMs, pageDelayMs)
       (0L until pages)
-        .map(PagePartition(path, _, fetcherClass, attempts, backoffMs): InputPartition)
+        .map(PagePartition(path, _, fetcherClass, attempts, backoffMs,
+          fetcherOptions): InputPartition)
         .toArray
     }
     override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PageFeedMicroBatchStream(path, fetcherClass, attempts, backoffMs,
-      pageDelayMs, maxPagesPerTrigger)
+      pageDelayMs, maxPagesPerTrigger, fetcherOptions)
 }
 
 /** Offset = number of pages fully consumed (the cursor). */
@@ -242,7 +263,8 @@ case class PageOffset(pages: Long) extends Offset {
 class PageFeedMicroBatchStream(path: String, fetcherClass: String, attempts: Int,
                                backoffMs: Long,
                                pageDelayMs: Long = PageFeed.defaultPageDelayMs,
-                               maxPagesPerTrigger: Long = PageFeed.defaultMaxPagesPerTrigger)
+                               maxPagesPerTrigger: Long = PageFeed.defaultMaxPagesPerTrigger,
+                               fetcherOptions: Map[String, String] = Map.empty)
     extends MicroBatchStream {
   // resume point for the incremental cursor walk: pages at or beyond this
   // offset are the only ones probed per trigger — a re-walk from 0 every
@@ -255,8 +277,8 @@ class PageFeedMicroBatchStream(path: String, fetcherClass: String, attempts: Int
     // maxPagesPerTrigger bounds this walk, so one trigger consumes a
     // rate-limited increment of a long backlog rather than all of it
     walkFrom = math.max(walkFrom, PageFeed.cursorWalk(path,
-      PageFeed.instantiateFetcher(fetcherClass), attempts, walkFrom, backoffMs,
-      pageDelayMs, maxPagesPerTrigger))
+      PageFeed.makeFetcher(fetcherClass, fetcherOptions), attempts, walkFrom,
+      backoffMs, pageDelayMs, maxPagesPerTrigger))
     PageOffset(walkFrom)
   }
   override def deserializeOffset(json: String): Offset = {
@@ -269,7 +291,8 @@ class PageFeedMicroBatchStream(path: String, fetcherClass: String, attempts: Int
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageOffset].pages
     val e = end.asInstanceOf[PageOffset].pages
-    (s until e).map(PagePartition(path, _, fetcherClass, attempts, backoffMs): InputPartition)
+    (s until e).map(PagePartition(path, _, fetcherClass, attempts, backoffMs,
+        fetcherOptions): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory
@@ -277,7 +300,9 @@ class PageFeedMicroBatchStream(path: String, fetcherClass: String, attempts: Int
 
 case class PagePartition(path: String, page: Long,
                          fetcherClass: String, attempts: Int,
-                         backoffMs: Long) extends InputPartition
+                         backoffMs: Long,
+                         fetcherOptions: Map[String, String] = Map.empty)
+    extends InputPartition
 
 object PageReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -288,7 +313,7 @@ object PageReaderFactory extends PartitionReaderFactory {
       // a page that vanished between planning and read yields 0 rows
       // rather than a task failure
       private val data = PageFeed.fetchWithRetry(
-          PageFeed.instantiateFetcher(p.fetcherClass), p.path, p.page,
+          PageFeed.makeFetcher(p.fetcherClass, p.fetcherOptions), p.path, p.page,
           p.attempts, p.backoffMs)
         .map(bytes => mapper.readTree(bytes).get("data")).orNull
       private var i = -1
