@@ -47,7 +47,15 @@ object Bench {
                             okSecs: Seq[Double], err: Option[String],
                             gcMs: Seq[Long] = Nil, pressure: Boolean = false,
                             probe: Seq[BenchProbe.Snap] = Nil,
-                            repOk: Seq[Boolean] = Nil) {
+                            repOk: Seq[Boolean] = Nil,
+                            loadAvg: Seq[Double] = Nil) {
+    /** Share of executor task time spent stalled on shuffle WRITES, worst
+      * rep — the r15 host-degradation fingerprint (external tenant I/O on
+      * the shared disk shows up here first). −1 when no probe rode along. */
+    def swriteShare: Double =
+      if (probe.isEmpty) -1.0
+      else probe.map(p =>
+        if (p.taskMs <= 0) 0.0 else p.swriteMs.toDouble / p.taskMs).max
     def sec: Double = (if (okSecs.nonEmpty) okSecs else secs).min
     def ok: Boolean = err.isEmpty
     /** Per-rep success flags BY INDEX. `repOk` is authoritative when the
@@ -157,6 +165,14 @@ object Bench {
     * noise motivated the reps; per-rep times are kept so the spread
     * itself is visible. A throwing query surfaces as `ok:false` with its
     * error and must not abort the remaining queries. */
+  /** 1-minute system load average — sampled per rep so a degraded-host
+    * window is attributable from the artifact alone (r16 ask #1: the r15
+    * driver bench read 3.22× on a host whose external tenant load only
+    * the builder's side files could show). −1 where the JVM can't read it. */
+  private def loadAvgNow(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   /** Cumulative JVM GC milliseconds across all collectors. */
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -211,6 +227,7 @@ object Bench {
         CacheGuard.release() // registered barriers from the previous rep
         val s0 = probe.snap(spark.sparkContext) // drains pre-rep cleanup events
         val gc0 = gcMillis()
+        val la = loadAvgNow() // host fingerprint at the rep's open
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
           case e: Throwable =>
@@ -219,17 +236,39 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         (sec, err, gcMillis() - gc0, storagePressure(spark),
-          probe.snap(spark.sparkContext) - s0)
+          probe.snap(spark.sparkContext) - s0, la)
       }
       Measured(name,
         runs.map(_._1),
-        runs.collect { case (s, None, _, _, _) => s },
+        runs.collect { case (s, None, _, _, _, _) => s },
         runs.flatMap(_._2).headOption,
         runs.map(_._3),
         runs.exists(_._4),
         runs.map(_._5),
-        runs.map(_._2.isEmpty))
+        runs.map(_._2.isEmpty),
+        runs.map(_._6))
     }
+  }
+
+  /** SELF-ADJUDICATING repin (r16 ask #1): any query whose suite row
+    * flags against its frozen baseline is re-measured in the SAME
+    * session, standalone back-to-back min-of-3 on quiesced storage (the
+    * blocking pre-rep drain) — the quiet protocol that adjudicated every
+    * r15 flag by hand, now emitted machine-readably next to the suite
+    * reading so the driver artifact alone distinguishes "host died
+    * mid-suite" (repin lands under the bar) from "engine died" (repin
+    * stays over). */
+  def repinFlagged(spark: SparkSession, sfDir: String,
+                   queries: Map[String, (SparkSession, String) => DataFrame],
+                   results: Seq[Measured],
+                   recorded: Map[String, Double],
+                   reps: Int = 3): Map[String, Measured] = {
+    val flagged = results.filter(r =>
+      recorded.get(r.name).exists(b => b > 0 && r.flaggedVs(b))).map(_.name)
+    if (flagged.isEmpty) Map.empty
+    else measure(spark, sfDir,
+      queries.filter { case (n, _) => flagged.contains(n) }, reps)
+      .map(m => m.name -> m).toMap
   }
 
   /** Full result JSON: per-query health `{sec, ok, err, secs[]}` — the
@@ -238,13 +277,18 @@ object Bench {
   def run(spark: SparkSession, sfDir: String,
           queries: Map[String, (SparkSession, String) => DataFrame] =
             SparkEntry.queries,
-          reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt): String =
-    renderFull(measure(spark, sfDir, queries, reps), math.max(1, reps), sfDir,
-      recordedBaselines(), prevRoundBaselines())
+          reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt): String = {
+    val results = measure(spark, sfDir, queries, reps)
+    val recorded = recordedBaselines()
+    renderFull(results, math.max(1, reps), sfDir,
+      recorded, prevRoundBaselines(),
+      repinFlagged(spark, sfDir, queries, results, recorded))
+  }
 
   def renderFull(results: Seq[Measured], reps: Int, sfDir: String,
                  recorded: Map[String, Double] = Map.empty,
-                 prev: Map[String, Double] = Map.empty): String = {
+                 prev: Map[String, Double] = Map.empty,
+                 repins: Map[String, Measured] = Map.empty): String = {
     val qs = results.map(r => s"${jstr(r.name)}:${r.sec}").mkString("{", ",", "}")
     val health = results.map { r =>
       // per-rep attribution arrays (see BenchProbe): task_ms is executor
@@ -275,13 +319,29 @@ object Bench {
         s""","vs_prev_round":${BigDecimal(r.sec / b).setScale(3,
           BigDecimal.RoundingMode.HALF_UP)}"""
       }.getOrElse("")
+      // per-rep host load + worst-rep shuffle-write share: the documented
+      // degraded-host fingerprint, now readable from the artifact alone
+      val loadJson = if (r.loadAvg.isEmpty) "" else
+        s""","load":${r.loadAvg.map(l => BigDecimal(l).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)).mkString("[", ",", "]")}""" +
+          s""","swrite_share":${BigDecimal(r.swriteShare).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP)}"""
+      // the same-session standalone min-of-3 repin of a flagged row, with
+      // its own adjudication against the same frozen baseline
+      val repinJson = repins.get(r.name).map { rp =>
+        val rpFlag = recorded.get(r.name).filter(_ > 0)
+          .map(b => s""","repin_flagged":${rp.flaggedVs(b)}""").getOrElse("")
+        s""","repin_sec":${rp.sec},"repin_jit_adj_sec":${BigDecimal(
+          rp.jitAdjSec).setScale(3, BigDecimal.RoundingMode.HALF_UP)}""" +
+          s""","repin_secs":${rp.secs.mkString("[", ",", "]")}$rpFlag"""
+      }.getOrElse("")
       s"${jstr(r.name)}:{" + s""""sec":${r.sec},"ok":${r.ok},"err":""" +
         r.err.map(jstr).getOrElse("null") +
         s""","secs":${r.secs.mkString("[", ",", "]")}""" +
         s""","jit_adj_sec":${BigDecimal(r.jitAdjSec).setScale(3,
           BigDecimal.RoundingMode.HALF_UP)}""" +
         s""","gc_ms":${r.gcMs.mkString("[", ",", "]")}""" +
-        s""","pressure":${r.pressure}$vsJson$probeJson}"""
+        s""","pressure":${r.pressure}$vsJson$loadJson$probeJson$repinJson}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.sec).sum
     // aggregate ratios on the respective common sets — sum-of-sec ÷
@@ -306,7 +366,31 @@ object Bench {
     }
     val vsTotal = agg("vs_first_recorded", recorded, withFlag = true) +
       agg("vs_prev_round", prev, withFlag = false)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"health":$health,"n_failed":${results.count(!_.ok)}$vsTotal,"reps":$reps,"sf":"$sfDir"}"""
+    // suite-level self-adjudication (r16 ask #1): the host fingerprint
+    // (cores, peak + final 1-min load) and the contention summary — how
+    // many suite rows flagged, how many of those were shuffle-write-
+    // dominated on their worst rep (the shared-disk-contention signature),
+    // and how many STILL flag after their same-session min-of-3 repin.
+    // A degraded host reads as n_flagged high / swrite-dominated high /
+    // n_flagged_after_repin ~0; a genuine regression keeps flagging.
+    val loads = results.flatMap(_.loadAvg)
+    val hostJson = if (loads.isEmpty) "" else {
+      def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      s""","host":{"cores":${Runtime.getRuntime.availableProcessors()},"load_max":${d2(
+        loads.max)},"load_end":${d2(loads.last)}}"""
+    }
+    val adjJson = {
+      val flagged = results.filter(r =>
+        recorded.get(r.name).exists(b => b > 0 && r.flaggedVs(b)))
+      if (flagged.isEmpty && repins.isEmpty) ""
+      else {
+        val swDom = flagged.count(_.swriteShare > 0.4)
+        val still = flagged.count(r => repins.get(r.name).exists(rp =>
+          recorded.get(r.name).exists(b => b > 0 && rp.flaggedVs(b))))
+        s""","adjudication":{"n_flagged":${flagged.size},"n_swrite_dominated":$swDom,"n_repinned":${repins.size},"n_flagged_after_repin":$still}"""
+      }
+    }
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"health":$health,"n_failed":${results.count(!_.ok)}$vsTotal$hostJson$adjJson,"reps":$reps,"sf":"$sfDir"}"""
   }
 
   /** The one stdout line: 2-decimal per-query seconds (±5 ms, noise-level
@@ -318,7 +402,8 @@ object Bench {
     * full names); ~11 bytes/query leaves room for the surface to double. */
   def renderSlim(results: Seq[Measured], reps: Int, sfDir: String,
                  recorded: Map[String, Double] = Map.empty,
-                 prev: Map[String, Double] = Map.empty): String = {
+                 prev: Map[String, Double] = Map.empty,
+                 repins: Map[String, Measured] = Map.empty): String = {
     def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     def d3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     def qid(n: String) = n.takeWhile(_ != '_')
@@ -336,7 +421,16 @@ object Bench {
          r => r.flaggedVs(recorded(r.name)))}}""") +
       (if (commonPrev.isEmpty) ""
        else s""","vs_prev_round":{"n":${commonPrev.size},"ratio":${d3(
-         commonPrev.map(_.sec).sum / commonPrev.map(r => prev(r.name)).sum)}}""")
+         commonPrev.map(_.sec).sum / commonPrev.map(r => prev(r.name)).sum)}}""") +
+      // self-adjudication summary: of the flagged rows, how many STILL
+      // flag on their same-session standalone min-of-3 repin (full
+      // per-repin readings live in the health file)
+      (if (repins.isEmpty) ""
+       else {
+         val still = repins.count { case (n, rp) =>
+           recorded.get(n).exists(b => b > 0 && rp.flaggedVs(b)) }
+         s""","repin":{"n":${repins.size},"still_flagged":$still}"""
+       })
     def render(included: Seq[Measured]): String = {
       val qs = included.sortBy(_.name)
         .map(r => s"${jstr(qid(r.name))}:${d2(r.sec)}").mkString("{", ",", "}")
@@ -421,9 +515,14 @@ object Bench {
     val results = measure(spark, sfDir, selected, reps)
     val recorded = recordedBaselines()
     val prev = prevRoundBaselines()
+    // auto-repin flagged rows standalone min-of-3 in the same session
+    // (disable with SPARK_GRAFT_NO_REPIN=1 for timing-sensitive probes)
+    val repins =
+      if (sys.env.get("SPARK_GRAFT_NO_REPIN").contains("1")) Map.empty[String, Measured]
+      else repinFlagged(spark, sfDir, selected, results, recorded)
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("bench_health.json"),
-      renderFull(results, reps, sfDir, recorded, prev) + "\n")
+      renderFull(results, reps, sfDir, recorded, prev, repins) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] health file write failed: $e")
     }
@@ -433,7 +532,7 @@ object Bench {
     // consumer's 2000-char tail window
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.ERROR)
-    println(renderSlim(results, reps, sfDir, recorded, prev))
+    println(renderSlim(results, reps, sfDir, recorded, prev, repins))
     System.out.flush()
     spark.stop()
   }

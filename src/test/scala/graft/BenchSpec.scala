@@ -214,6 +214,62 @@ class BenchSpec extends SparkSpec {
     assert(prev.contains("q01_reddit_filter"))
   }
 
+  test("self-adjudication: repin readings + host fingerprint ride the artifact (r16 ask #1)") {
+    import graft.BenchProbe.Snap
+    // suite rows: q01 flagged AND swrite-dominated (the contention
+    // fingerprint), q02 quiet; per-rep host load recorded on both
+    def m(name: String, sec: Double, swriteMs: Long, taskMs: Long) =
+      Bench.Measured(name, Seq(sec), Seq(sec), None, gcMs = Seq(0L),
+        probe = Seq(Snap(taskMs, 0, 0, 0, swriteMs, 0, 0, 0, 0)),
+        repOk = Seq(true), loadAvg = Seq(7.25))
+    val rs = Seq(m("q01_slow", 10.0, 9000L, 16000L), m("q02_ok", 1.0, 0L, 900L))
+    val rec = Map("q01_slow" -> 1.0, "q02_ok" -> 1.0)
+    // the repin: q01 lands back at ~baseline → adjudicated host noise
+    val repins = Map("q01_slow" ->
+      Bench.Measured("q01_slow", Seq(1.3, 1.2, 1.1), Seq(1.3, 1.2, 1.1), None,
+        gcMs = Seq(0L, 0L, 0L),
+        probe = Seq.fill(3)(Snap(0, 0, 0, 0, 0, 0, 0, 0, 0)),
+        repOk = Seq(true, true, true)))
+    val full = Bench.renderFull(rs, 1, "/tmp/sf", rec, Map.empty, repins)
+    // per-query: the repin readings + their own adjudication
+    assert(full.contains(""""repin_sec":1.1"""))
+    assert(full.contains(""""repin_secs":[1.3,1.2,1.1]"""))
+    assert(full.contains(""""repin_flagged":false"""))
+    // per-query fingerprint: rep loads + worst-rep shuffle-write share
+    assert(full.contains(""""load":[7.25]"""))
+    assert(full.contains(""""swrite_share":0.56"""))
+    // suite-level: host block + the adjudication counters — 1 flagged,
+    // 1 swrite-dominated, 1 repinned, 0 still flagged = degraded host
+    assert(full.contains(""""host":{"cores":"""))
+    assert(full.contains(
+      """"adjudication":{"n_flagged":1,"n_swrite_dominated":1,"n_repinned":1,"n_flagged_after_repin":0}"""))
+    val slim = Bench.renderSlim(rs, 1, "/tmp/sf", rec, Map.empty, repins)
+    assert(slim.contains(""""repin":{"n":1,"still_flagged":0}"""))
+    // a repin that STAYS slow is a real regression and says so
+    val badRepin = Map("q01_slow" ->
+      Bench.Measured("q01_slow", Seq(9.0, 9.1, 9.2), Seq(9.0, 9.1, 9.2), None,
+        gcMs = Seq(0L, 0L, 0L),
+        probe = Seq.fill(3)(Snap(0, 0, 0, 0, 0, 0, 0, 0, 0)),
+        repOk = Seq(true, true, true)))
+    val full2 = Bench.renderFull(rs, 1, "/tmp/sf", rec, Map.empty, badRepin)
+    assert(full2.contains(""""repin_flagged":true"""))
+    assert(full2.contains(""""n_flagged_after_repin":1"""))
+  }
+
+  test("repinFlagged re-measures only the rows that flag against their baseline") {
+    val slow: (SparkSession, String) => DataFrame = (s, d) => {
+      Thread.sleep(700); good(s, d) // > noise floor, >2x its 0.01 baseline
+    }
+    val qs = Map("a_slow" -> slow, "b_fast" -> (good _))
+    val results = Bench.measure(spark, sf, qs, reps = 1)
+    val rec = Map("a_slow" -> 0.01, "b_fast" -> 100.0)
+    val repins = Bench.repinFlagged(spark, sf, qs, results, rec, reps = 3)
+    assert(repins.keySet === Set("a_slow"))
+    assert(repins("a_slow").secs.size === 3) // standalone min-of-3
+    // per-rep host load was sampled on the suite rows
+    assert(results.forall(_.loadAvg.nonEmpty))
+  }
+
   test("a mass failure stays within the line budget: failed map is capped") {
     // 200 failures at ~90 chars each would be 18 KB uncapped — the line
     // must keep the first few and count the rest
