@@ -2,8 +2,10 @@
 # Packaged-jar smoke test (round-11, verdict ask #6): proves a consuming
 # team can use the library from the PACKAGED jar alone — plain
 # spark-shell --jars, no sbt test classpath — by running one dedup call
-# (near-dup keeper election, q67) and one retrieval call (BM25 ranking,
-# q167) against a testdata scale dir, asserting both return rows.
+# (near-dup keeper election, q67), one retrieval call (BM25 ranking,
+# q167), and one graph call from the newest surface (star-contraction
+# CC, q316 — r15/r16 coverage) against a testdata scale dir, asserting
+# all return rows.
 #
 # Usage: scripts/smoke_jar.sh [sfDir]     (default /root/testdata/sf0.001)
 set -euo pipefail
@@ -23,8 +25,12 @@ val nKeep = keepers.filter(org.apache.spark.sql.functions.col("is_keeper")).coun
 // one retrieval call: BM25 top-k over the documents table
 val bm25 = graft.Graft.retrieval.bm25Rank(spark, dir)
 val nHits = bm25.count()
-println(s"SMOKE keepers=\$nKeep bm25_rows=\$nHits")
-assert(nKeep > 0 && nHits > 0, "smoke failed: empty result")
+// one graph call from the newest surface: large/small-star contraction
+// CC over the deep-chain fixture (q316, round 15)
+val stars = graft.Graft.graph.starClusters(spark, dir)
+val nStars = stars.filter(org.apache.spark.sql.functions.col("cluster_size") > 1).count()
+println(s"SMOKE keepers=\$nKeep bm25_rows=\$nHits star_clustered=\$nStars")
+assert(nKeep > 0 && nHits > 0 && nStars > 0, "smoke failed: empty result")
 println("SMOKE_OK")
 EOF
 

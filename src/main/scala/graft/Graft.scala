@@ -87,7 +87,8 @@ object Graft {
   /** Text analysis: language-ID (q25), quality + Gopher rules
     * (q26/q60/q130), unigram/bigram LM scoring (q71/q110), Kneser–Ney
     * smoothing (q283), Good–Turing re-estimation (q289), conformal
-    * gate calibration (q291), CCNet terciles (q145), PII redaction
+    * gate calibration (q291), Brier-score decomposition of the quality
+    * forecaster (q315), CCNet terciles (q145), PII redaction
     * (q59), BPE train/encode/decode (q117/q137/q144), TF-IDF (q50),
     * PMI (q111), entropy (q184), TextRank (q211). Spec:
     * `TextAnalysisSpec`. */
@@ -95,8 +96,10 @@ object Graft {
 
   /** Corpus construction: sampling (q49/q66/q115), mixtures
     * (q70/q155/q164), packing (q73), chunking (q87), shards (q84),
-    * decontamination (q61/q133/q157), diff/merge/IVM (q80/q95/q105),
-    * splits (q195), manifests (q186). Spec: `CorpusOpsSpec`. */
+    * epoch-reshuffle audit (q310 — per-row hash re-keying, no global
+    * sort), decontamination (q61/q133/q157), diff/merge/IVM
+    * (q80/q95/q105), splits (q195), manifests (q186). Spec:
+    * `CorpusOpsSpec`. */
   val corpus: operators.CorpusOps.type = operators.CorpusOps
 
   /** Retrieval: BM25 (q167), Dirichlet query likelihood (q296), hybrid
@@ -112,7 +115,9 @@ object Graft {
   val sketches: operators.Sketches.type = operators.Sketches
 
   /** Graph analytics over the similarity/event graphs: connected
-    * components (q48), PageRank (q98, integer-exact), LPA (q116),
+    * components (q48; large/small-star contraction q316 — O(log n)
+    * rounds on deep chains where min-label propagation pays
+    * O(diameter)), PageRank (q98, integer-exact), LPA (q116),
     * triangles (q97), k-core (q185), HITS (q209), PPR (q206), BFS
     * (q217), modularity (q227), thread trees by pointer doubling
     * (q190), incremental CC maintenance (q279 — delta edges contracted
@@ -125,14 +130,16 @@ object Graft {
   /** Warehouse/product analytics: funnels (q101/q224), cohorts (q107),
     * burst detection (q181), trending (q196), A/B chi-square (q212),
     * attribution (q207/q245), EWMA (q220), streaks (q215), target
-    * encoding (q218), feature hashing (q219). Spec: `AnalyticsSpec`. */
+    * encoding (q218), feature hashing (q219), and the eval/annotation
+    * statistics kit (Bradley–Terry q311, Fleiss' κ q312, pass@k q313,
+    * Krippendorff's α q314). Spec: `AnalyticsSpec`. */
   val analytics: operators.Analytics.type = operators.Analytics
 
   /** Data-quality gates: per-column profiler (q83/q91), expectation
-    * suite (q208), k-anonymity (q210), randomized-response local-DP
-    * audit (q287), functional dependencies (q237), exact
-    * Spearman/Pearson (q238), coverage matrix (q244). Spec:
-    * `ProfilerSpec`. */
+    * suite (q208), k-anonymity (q210), entropy l-diversity +
+    * t-closeness (q309), randomized-response local-DP audit (q287),
+    * functional dependencies (q237), exact Spearman/Pearson (q238),
+    * coverage matrix (q244). Spec: `ProfilerSpec`. */
   val quality: operators.Profiler.type = operators.Profiler
 
   /** Physical layout advisors: Z-order (q102/q236), compaction (q132),
@@ -141,8 +148,11 @@ object Graft {
   val layout: operators.Layout.type = operators.Layout
 
   /** Multimodal: PNG/WAV/GVID codec round trips as binary columns with
-    * typed metadata (q30/q39/q41/q199), cross-modal eval (q141),
-    * corpus capstone (q165). Spec: `MultimodalSpec`. */
+    * typed metadata (q30/q39/q41/q199), perceptual fingerprint classes
+    * (q301) and Hamming-banded near-dup pairs (q302), video
+    * scene-signature classes/pairs (q303/q304), paired text-media
+    * consistency (q306), cross-modal eval (q141), corpus capstone
+    * (q165). Spec: `MultimodalSpec`. */
   val multimodal: operators.Multimodal.type = operators.Multimodal
 
   /** Record linkage: typo-variant linking via deletion neighborhoods
@@ -160,10 +170,18 @@ object Graft {
   /** Streaming: watermarked windows + stream ops (`StreamOps`,
     * q17/q28), Bloom exact-dup gate (q94), TTL dedup on
     * `transformWithState` (q127), MinHash near-dup gate (q173), the
-    * composed curation pipeline with per-source quality floors (q166),
-    * stream-static enrichment (q233). Every gate has an exact
-    * relational replay and a RocksDB restart spec. Specs under
-    * `streaming/`. */
+    * composed text curation pipeline with per-source quality floors
+    * (q166; full composition q248–q250/q265 with decision log and
+    * funnels), quota gate (q271), contamination gate (q299), the
+    * media-perceptual admission gates (image/audio q305, video q307),
+    * the semantic embedding-cosine gate (q308), and the FIVE-GATE
+    * multi-modal admission chain (q317 — text exact + text near-dup +
+    * semantic + media + video + quality cut in one stream, where an
+    * edited re-crawl that slips the text gates dies on its unchanged
+    * media/embedding), stream-static enrichment (q233). Every gate has
+    * an exact relational replay and a RocksDB restart spec. Specs under
+    * `streaming/`; throughput: `StreamBench` (SPARK_GRAFT_SB_GATE ∈
+    * full|media|semantic|mm). */
   object curation {
     val stream: streaming.StreamOps.type = streaming.StreamOps
     val bloomGate: streaming.BloomGate.type = streaming.BloomGate
@@ -171,6 +189,12 @@ object Graft {
     val nearDupGate: streaming.NearDupGate.type = streaming.NearDupGate
     val pipeline: streaming.CuratePipeline.type = streaming.CuratePipeline
     val stateful: streaming.StatefulOps.type = streaming.StatefulOps
+    val quotaGate: streaming.QuotaGate.type = streaming.QuotaGate
+    val contamGate: streaming.ContamGate.type = streaming.ContamGate
+    val fullCurate: streaming.FullCurate.type = streaming.FullCurate
+    val mediaGate: streaming.MediaGate.type = streaming.MediaGate
+    val semanticGate: streaming.SemanticGate.type = streaming.SemanticGate
+    val multiModal: streaming.MultiModalCurate.type = streaming.MultiModalCurate
   }
 
   /** Column-function kit: tokenization/fingerprints

@@ -415,6 +415,8 @@ object SparkEntry {
     "q315_brier_decomposition" -> ((s, d) =>
       TextAnalysis.brierDecomposition(s, d)),
     "q316_star_contraction" -> ((s, d) => Components.starClusters(s, d)),
+    "q317_multimodal_curate" -> ((s, d) =>
+      graft.streaming.MultiModalCurate.decisionLog(s, d)),
   )
 
   // ————— oracle SQL building blocks (DuckDB dialect) —————
@@ -9908,6 +9910,126 @@ object SparkEntry {
         |  CAST(count(*) OVER (PARTITION BY blk, grp) AS BIGINT)
         |    AS cluster_size
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the full multi-modal admission chain (r16): the q248/q249 text
+    // verdict chain + the q305/q307/q308 gate replays over the ITEM
+    // relation (media/embedding derive from the BASE id, so re-arrivals
+    // and edits carry their original fingerprints). Each gate chain is
+    // the standalone oracle's shape, renamed and re-rooted.
+    "q317_multimodal_curate" -> {
+      import Multimodal.{phashBandBits, phashBandShifts, phashHammingMax}
+      import graft.streaming.{FullCurate, MediaGate}
+      import graft.streaming.SemanticGate.{bits => sgBits,
+        bandBits => sgBandBits, bandShifts => sgShifts,
+        groupCap => sgCap, tau => sgTau}
+      val mask = (1L << phashBandBits) - 1
+      val phShiftRows = phashBandShifts.toSeq.sortBy(_._1).flatMap {
+        case (kind, shifts) => shifts.map(sh => s"('$kind', $sh)")
+      }.mkString(", ")
+      val vShiftRows =
+        phashBandShifts("audio").map(sh => s"($sh)").mkString(", ")
+      val sShiftRows = sgShifts.map(sh => s"($sh)").mkString(", ")
+      s"""WITH $fullCurateCtesSql,
+         |$phashCtesSql,
+         |$vhashCtesSql,
+         |mmb AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id >= ${FullCurate.editOffset}
+         |           THEN doc_id - ${FullCurate.editOffset}
+         |         WHEN doc_id >= 100000 THEN doc_id - 100000
+         |         ELSE doc_id END AS base_id
+         |  FROM fvec),
+         |mgm AS MATERIALIZED (
+         |  SELECT m.doc_id AS media_id, p.kind, p.phash
+         |  FROM mmb m JOIN phf p ON p.media_id = m.base_id),
+         |mgb AS MATERIALIZED (
+         |  SELECT media_id, phash,
+         |    kind || ':' || CAST(s.sh AS VARCHAR) || ':' ||
+         |      CAST((phash >> CAST(s.sh AS INTEGER)) & $mask AS VARCHAR) AS bk
+         |  FROM mgm JOIN (VALUES $phShiftRows) s(k, sh) ON s.k = kind),
+         |mgr AS (
+         |  SELECT media_id, phash, bk,
+         |    row_number() OVER (PARTITION BY bk ORDER BY media_id) AS rk
+         |  FROM mgb),
+         |mghit AS (
+         |  SELECT DISTINCT b FROM (
+         |    SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+         |      x.phash AS pa, y.phash AS pb
+         |    FROM mgr x JOIN mgb y
+         |      ON x.bk = y.bk AND x.media_id < y.media_id
+         |    WHERE x.rk <= ${MediaGate.groupCap}) z
+         |  WHERE bit_count(xor(pa, pb)) <= $phashHammingMax),
+         |mvm AS MATERIALIZED (
+         |  SELECT m.doc_id AS media_id, v.vhash
+         |  FROM mmb m JOIN vhf v ON v.media_id = m.base_id),
+         |mvb AS MATERIALIZED (
+         |  SELECT media_id, vhash,
+         |    'video:' || CAST(s.sh AS VARCHAR) || ':' ||
+         |      CAST((vhash >> CAST(s.sh AS INTEGER)) & $mask AS VARCHAR) AS bk
+         |  FROM mvm CROSS JOIN (VALUES $vShiftRows) s(sh)),
+         |mvr AS (
+         |  SELECT media_id, vhash, bk,
+         |    row_number() OVER (PARTITION BY bk ORDER BY media_id) AS rk
+         |  FROM mvb),
+         |mvhit AS (
+         |  SELECT DISTINCT b FROM (
+         |    SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+         |      x.vhash AS pa, y.vhash AS pb
+         |    FROM mvr x JOIN mvb y
+         |      ON x.bk = y.bk AND x.media_id < y.media_id
+         |    WHERE x.rk <= ${MediaGate.groupCap}) z
+         |  WHERE bit_count(xor(pa, pb)) <= $phashHammingMax),
+         |msm AS (
+         |  SELECT m.doc_id AS vec_id, e.embedding
+         |  FROM mmb m JOIN embeddings e ON e.vec_id = m.base_id),
+         |msg AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    ${bucketSql("embedding", sgBits)} AS sim32
+         |  FROM msm),
+         |msb AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    CAST(s.sh AS VARCHAR) || ':' ||
+         |      CAST((sim32 >> CAST(s.sh AS INTEGER))
+         |        & ${(1L << sgBandBits) - 1} AS VARCHAR) AS bk
+         |  FROM msg CROSS JOIN (VALUES $sShiftRows) s(sh)),
+         |msr AS (
+         |  SELECT vec_id, embedding, bk,
+         |    row_number() OVER (PARTITION BY bk ORDER BY vec_id) AS rk
+         |  FROM msb),
+         |mshit AS (
+         |  SELECT DISTINCT b FROM (
+         |    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+         |      x.embedding AS ea, y.embedding AS eb
+         |    FROM msr x JOIN msb y
+         |      ON x.bk = y.bk AND x.vec_id < y.vec_id
+         |    WHERE x.rk <= $sgCap) z
+         |  WHERE ${cosSql("ea", "eb")} >= $sgTau),
+         |mmv AS (
+         |  SELECT f.doc_id, f.source, f.n_tokens, f.q_u4,
+         |    f.emitted, f.nd_ok,
+         |    (sh.b IS NULL) AS sem_ok,
+         |    (mh.b IS NULL) AS media_ok,
+         |    (vh.b IS NULL) AS video_ok,
+         |    f.len_ok, f.floor_ok
+         |  FROM fvec f
+         |  LEFT JOIN mghit mh ON mh.b = f.doc_id
+         |  LEFT JOIN mvhit vh ON vh.b = f.doc_id
+         |  LEFT JOIN mshit sh ON sh.b = f.doc_id)
+         |SELECT doc_id, source, n_tokens, q_u4,
+         |  emitted, nd_ok, sem_ok, media_ok, video_ok, len_ok, floor_ok,
+         |  (emitted AND nd_ok AND sem_ok AND media_ok AND video_ok
+         |    AND len_ok AND floor_ok) AS curated,
+         |  CASE WHEN NOT emitted THEN 'exact'
+         |       WHEN NOT nd_ok THEN 'neardup'
+         |       WHEN NOT sem_ok THEN 'semantic'
+         |       WHEN NOT media_ok THEN 'media'
+         |       WHEN NOT video_ok THEN 'video'
+         |       WHEN NOT len_ok THEN 'length'
+         |       WHEN NOT floor_ok THEN 'floor'
+         |       ELSE 'none' END AS dropped_by
+         |FROM mmv
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 
   /** The composed-curation CTE chain shared by q248/q249: the extended

@@ -70,8 +70,9 @@ object StreamBench {
 
     // which gate to feed (round 15): "full" = the composed q248 text
     // pipeline (default, the historical number); "media" = the q305
-    // media-perceptual gate; "semantic" = the q308 embedding gate. The
-    // protocol is identical for all three — features (fingerprints /
+    // media-perceptual gate; "semantic" = the q308 embedding gate;
+    // "mm" = the five-gate multi-modal chain (q317, round 16). The
+    // protocol is identical for all — features (fingerprints /
     // buckets) are computed OFF the clock, the measured window covers
     // state folds + combine + parquet append.
     val gateKind = sys.env.getOrElse("SPARK_GRAFT_SB_GATE", "full")
@@ -83,9 +84,21 @@ object StreamBench {
         .write.mode("append").parquet(outDir)
 
     import graft.streaming.{MediaGate, MediaDoc, MediaVerdict,
-      SemanticGate, VecDoc, SemVerdict}
+      SemanticGate, VecDoc, SemVerdict, MultiModalCurate, MmDoc}
     val (docIds, mkQuery): (Array[Long], () => (Seq[Long] => Unit, org.apache.spark.sql.streaming.StreamingQuery)) =
       gateKind match {
+        case "mm" =>
+          val docs = MultiModalCurate.mmDocs(spark, sfDir).collect().sortBy(_.doc_id)  // collect-ok: bench-driver fixture feed, not a query
+          graft.CacheGuard.release()
+          val byId = docs.map(d => d.doc_id -> d).toMap
+          val floors = graft.operators.TextAnalysis
+            .sourceQualityFloor(spark, sfDir).select($"source", $"thr_u4")
+          floors.count() // materialize the floor table off the clock
+          (docs.map(_.doc_id), () => {
+            val mem = MemoryStream[MmDoc]
+            val q = MultiModalCurate.curatedStream(mem.toDS(), floors, outDir, ckpt, coalesceN)
+            (ids => { mem.addData(ids.map(byId): _*); q.processAllAvailable() }, q)
+          })
         case "media" =>
           val docs = MediaGate.mediaDocs(spark, sfDir).collect().sortBy(_.media_id)  // collect-ok: bench-driver fixture feed, not a query
           val byId = docs.map(d => d.media_id -> d).toMap

@@ -212,8 +212,10 @@ object FullCurate {
       .start()
 
   /** The full per-document verdict vector behind q248/q249: every doc of
-    * the composed corpus with each stage's independent verdict. */
-  private def decisionVector(spark: SparkSession, dir: String): DataFrame = {
+    * the composed corpus with each stage's independent verdict (package-
+    * visible: [[MultiModalCurate]] extends it with the media/semantic
+    * verdicts). */
+  private[streaming] def decisionVector(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fd = graft.CacheGuard.barrier(fullDocs(spark, dir).toDF())
     val bloom = BloomGate.bloomReplayOver(

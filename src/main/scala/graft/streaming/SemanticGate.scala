@@ -177,12 +177,19 @@ object SemanticGate {
   /** Declared q308: the EXACT relational replay — per vector, the
     * admission verdict, the number of earlier banded semantic
     * duplicates, and the earliest one. */
-  def replayBatch(spark: SparkSession, dir: String): DataFrame = {
+  def replayBatch(spark: SparkSession, dir: String): DataFrame =
+    replayOver(vecDocs(spark, dir).toDF())
+
+  /** [[replayBatch]]'s core over an arbitrary `(vec_id, embedding,
+    * sim32)` relation — the seam [[MultiModalCurate]] replays its
+    * semantic stage through. */
+  def replayOver(vecsIn: DataFrame): DataFrame = {
+    val spark = vecsIn.sparkSession
     import spark.implicits._
     // norms once per vector BEFORE the join (the q54 discipline); the
     // base relation feeds the banding (both join sides) and the final
     // verdict join-back — barrier (the r15 gate-replay policy)
-    val b = graft.CacheGuard.barrier(vecDocs(spark, dir).toDF()
+    val b = graft.CacheGuard.barrier(vecsIn
       .withColumn("nrm", norm($"embedding")))
     val banded = b
       .withColumn("sh", explode(array(bandShifts.map(lit): _*)))
