@@ -9933,12 +9933,10 @@ object SparkEntry {
          |$phashCtesSql,
          |$vhashCtesSql,
          |mmb AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id >= ${FullCurate.editOffset}
-         |           THEN doc_id - ${FullCurate.editOffset}
-         |         WHEN doc_id >= 100000 THEN doc_id - 100000
-         |         ELSE doc_id END AS base_id
-         |  FROM fvec),
+         |  SELECT doc_id AS base_id, doc_id FROM documents
+         |  UNION ALL SELECT doc_id, doc_id + 100000 FROM documents
+         |  UNION ALL SELECT doc_id, doc_id + ${FullCurate.editOffset}
+         |    FROM documents WHERE doc_id % ${FullCurate.editStride} = 0),
          |mgm AS MATERIALIZED (
          |  SELECT m.doc_id AS media_id, p.kind, p.phash
          |  FROM mmb m JOIN phf p ON p.media_id = m.base_id),

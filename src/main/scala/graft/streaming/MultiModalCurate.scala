@@ -64,14 +64,26 @@ case class MmDoc(source: String, doc_id: Long, fp: String,
   * to q248's — every window block-sized, never the corpus. */
 object MultiModalCurate {
 
-  import FullCurate.editOffset
+  import FullCurate.{editOffset, editStride}
 
-  /** Arrival id → the base document id its media/embedding derive from
-    * (the fixture's three-phase id regions). */
-  private def baseIdCol = when(col("doc_id") >= editOffset,
-      col("doc_id") - editOffset)
-    .when(col("doc_id") >= 100000L, col("doc_id") - 100000L)
-    .otherwise(col("doc_id"))
+  /** (base_id, doc_id) for every arrival of the composed corpus — the
+    * SAME three-phase construction as [[FullCurate.fullCorpus]], with
+    * the base id CARRIED rather than recovered: subtracting the phase
+    * offsets back out of the arrival id silently breaks on any id
+    * domain above the offsets (the sf1 probe's 10M-stride replica keys
+    * dropped 90k arrivals through the inner join — caught by the r16
+    * sf1 differential), while the carried pair is correct on every id
+    * domain by construction. */
+  private def arrivals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id")
+    base.select($"doc_id".as("base_id"), $"doc_id")
+      .unionByName(base.select($"doc_id".as("base_id"),
+        ($"doc_id" + 100000L).as("doc_id")))
+      .unionByName(base.filter($"doc_id" % editStride === 0)
+        .select($"doc_id".as("base_id"),
+          ($"doc_id" + editOffset).as("doc_id")))
+  }
 
   /** The composed corpus: [[FullCurate.fullDocs]]'s three text phases,
     * each item joined to its BASE document's media fingerprints (every
@@ -93,7 +105,7 @@ object MultiModalCurate {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id".as("base_id"), $"embedding")
     FullCurate.fullDocs(spark, dir).toDF()
-      .withColumn("base_id", baseIdCol)
+      .join(arrivals(spark, dir), "doc_id")
       .join(ph, Seq("base_id"))
       .join(vh, Seq("base_id"))
       .join(emb, Seq("base_id"), "left")
