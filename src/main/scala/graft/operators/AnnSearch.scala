@@ -738,9 +738,18 @@ object AnnSearch {
   private def pqSubvectors(spark: SparkSession, dir: String, m: Int): DataFrame = {
     import spark.implicits._
     val sd = 64 / m
-    val eq = Tables.embeddings(spark, dir).select($"vec_id",
-      transform($"embedding",
-        x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("e"))
+    // repartition-after-scan (r16): every downstream PQ pass (training
+    // E-step, encode) is interpreted higher-order-function work that runs
+    // MAP-SIDE on the scan partitioning — and a small embeddings table is
+    // one parquet file, i.e. ONE partition, serializing all of it on one
+    // core (sf10 decade probe: wall 243 s at average parallelism ~1.5).
+    // Hash-distributing by the join/group key restores the cluster's
+    // width; on a real many-file corpus the exchange is ~neutral.
+    val eq = Tables.embeddings(spark, dir)
+      .repartition($"vec_id")
+      .select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("e"))
     graft.CacheGuard.barrier(
       eq.select($"vec_id", posexplode(
           transform(sequence(lit(0), lit(m - 1)),
@@ -1248,10 +1257,13 @@ object AnnSearch {
                 nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, k: Int = 16): DataFrame = {
     import spark.implicits._
+    // repartition-after-scan: the coarse-assignment idots lambda is
+    // map-side HOF work — see pqSubvectors (r16)
     val eq = graft.CacheGuard.barrier(
-      Tables.embeddings(spark, dir).select($"vec_id",
-        transform($"embedding",
-          x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long"))
+      Tables.embeddings(spark, dir).repartition($"vec_id")
+        .select($"vec_id",
+          transform($"embedding",
+            x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long"))
           .as("e")))
     val cents: Seq[Seq[Long]] = eq.filter($"vec_id" < nlist)
       .orderBy($"vec_id").select($"e").as[Seq[Long]].collect().toSeq  // collect-ok: O(codebook) FAISS-style driver loop, documented
