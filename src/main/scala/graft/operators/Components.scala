@@ -1133,8 +1133,14 @@ object Components {
     val baseL = connectedComponents(baseE)
     val nodes = pairs.select($"a".as("node"))
       .unionByName(pairs.select($"b".as("node"))).distinct()
-    val labeled = nodes.join(baseL, Seq("node"), "left")
-      .select($"node", coalesce($"component", $"node").as("old_label"))
+    // barrier: the base-label relation is referenced THREE times below
+    // (both contraction sides and the final compose) — without the cache
+    // each reference re-runs the node-distinct shuffle and the base-label
+    // join from the pairs barrier (the r16 bench read q279 at 1.94×
+    // jit-adjusted, shuffle-write-dominated, exactly this recomputation)
+    val labeled = graft.CacheGuard.barrier(
+      nodes.join(baseL, Seq("node"), "left")
+        .select($"node", coalesce($"component", $"node").as("old_label")))
     val contracted = deltaE
       .join(labeled.select($"node".as("a"), $"old_label".as("la")), "a")
       .join(labeled.select($"node".as("b"), $"old_label".as("lb")), "b")
@@ -1142,6 +1148,11 @@ object Components {
       .select(least($"la", $"lb").as("a"), greatest($"la", $"lb").as("b"))
       .distinct()
     val merged = connectedComponents(contracted)
+    // connectedComponents localCheckpoints its edges eagerly on entry, so
+    // `contracted` — and through it the `labeled` cache fill — has fully
+    // run by now; the final compose reads only the labeled cache and the
+    // merged checkpoint, so the pairs barrier is releasable here
+    graft.CacheGuard.drop(pairs)
     labeled
       .join(merged.select($"node".as("old_label"), $"component"),
         Seq("old_label"), "left")

@@ -263,28 +263,13 @@ object DedupOps {
       .orderBy($"a", $"b")
   }
 
-  /** The md5-family pair generation shared by [[minHashLshPairsOracled]]
-    * and [[nearDupKeepers]], UNordered (the pair consumer decides whether
-    * a global sort is part of its contract — the CC consumer feeds a
-    * shuffle anyway and must not pay a pre-sort). Returns the pairs and
-    * the signature cache barrier so eager consumers can release it. */
-  private def md5MinHashPairs(spark: SparkSession, dir: String,
-                              shingleN: Int, perms: Int, bands: Int,
-                              threshold: Double): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val (pairs, sigCached) =
-      md5MinHashPairsWithSigs(spark, dir, shingleN, perms, bands, threshold)
-    (pairs.select($"a", $"b", $"est_jaccard"), sigCached)
-  }
-
-  /** [[md5MinHashPairs]] with both signature arrays retained on each
-    * pair row — the q278 S-curve audit re-examines band agreement under
-    * alternative (b, r) splits as in-row arithmetic, so the signatures
-    * must survive the candidate join (the q266 restructure measured
-    * re-joining them afterwards at 2.4× slower). */
-  private def md5MinHashPairsWithSigs(spark: SparkSession, dir: String,
-                                      shingleN: Int, perms: Int, bands: Int,
-                                      threshold: Double): (DataFrame, DataFrame) = {
+  /** The banded candidate relation shared by [[md5MinHashPairs]] and
+    * [[md5MinHashPairsWithSigs]]: registered-A-side band self-join,
+    * PRE-deduplication — one row per (pair, shared band), signatures
+    * attached. Both consumers verify and dedup, in opposite orders. */
+  private def md5BandedCands(spark: SparkSession, dir: String,
+                             shingleN: Int, perms: Int,
+                             bands: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     val rows = perms / bands
     val sigCached = graft.CacheGuard.barrier(
@@ -301,8 +286,61 @@ object DedupOps {
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
         $"x.sig".as("sa"), $"y.sig".as("sb"))
-      .dropDuplicates("a", "b")
+    (cand, sigCached)
+  }
+
+  /** The md5-family pair generation shared by [[minHashLshPairsOracled]]
+    * and [[nearDupKeepers]], UNordered (the pair consumer decides whether
+    * a global sort is part of its contract — the CC consumer feeds a
+    * shuffle anyway and must not pay a pre-sort). Returns the pairs and
+    * the signature cache barrier so eager consumers can release it.
+    *
+    * VERIFY-THEN-DEDUP: est_jaccard is computed and the ≥ threshold cut
+    * applied per (pair, band) row BEFORE the `dropDuplicates("a","b")`
+    * shuffle, and the signature arrays never enter that exchange. est is
+    * identical for every band-duplicate of a pair (it is a function of
+    * (sa, sb) only), so filter/dedup commute and the pair set is
+    * unchanged — but the dedup exchange now carries 24-byte
+    * (a, b, est) rows instead of ~540-byte rows with two 16-long
+    * signatures attached, and on realistic corpora the sub-threshold
+    * candidates (the majority) never shuffle at all. Measured round-17
+    * motive: the q67-chain decade rows (q149 14.8×, q178 12.1×) were
+    * CPU+shuffle-bound exactly here — hot replica blocks emit
+    * O(bandBlockCap × block) candidates per band, and every one of them
+    * used to drag both signatures through the exchange. The per-band
+    * re-verification (16 array compares × shared-band count) is codegen'd
+    * arithmetic, an order of magnitude cheaper than the bytes it saves. */
+  private def md5MinHashPairs(spark: SparkSession, dir: String,
+                              shingleN: Int, perms: Int, bands: Int,
+                              threshold: Double): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (cand, sigCached) =
+      md5BandedCands(spark, dir, shingleN, perms, bands)
     val pairs = cand
+      .select($"a", $"b",
+        Quant.r4(sigMatches($"sa", $"sb", perms)
+          .cast("double") / lit(perms.toDouble)).as("est_jaccard"))
+      .filter($"est_jaccard" >= threshold)
+      .dropDuplicates("a", "b")
+    (pairs, sigCached)
+  }
+
+  /** [[md5MinHashPairs]] with both signature arrays retained on each
+    * pair row — the q278 S-curve audit re-examines band agreement under
+    * alternative (b, r) splits as in-row arithmetic, so the signatures
+    * must survive the candidate join (the q266 restructure measured
+    * re-joining them afterwards at 2.4× slower). Deduped BEFORE
+    * verification here — the signatures have to cross the dedup exchange
+    * anyway, so verifying first would only repeat the est arithmetic per
+    * shared band with no byte savings. */
+  private def md5MinHashPairsWithSigs(spark: SparkSession, dir: String,
+                                      shingleN: Int, perms: Int, bands: Int,
+                                      threshold: Double): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (cand, sigCached) =
+      md5BandedCands(spark, dir, shingleN, perms, bands)
+    val pairs = cand
+      .dropDuplicates("a", "b")
       .select($"a", $"b", $"sa", $"sb",
         Quant.r4(sigMatches($"sa", $"sb", perms)
           .cast("double") / lit(perms.toDouble)).as("est_jaccard"))
