@@ -84,23 +84,53 @@ object PageFeed {
     f
   }
 
+  /** A 429 whose `Retry-After` header was parsed — thrown by
+    * [[HttpPageFetcher]], given header-driven pacing (not budget-burning
+    * blind backoff) by [[fetchWithRetry]]. `retryAfterMs = None` means
+    * the origin sent no usable header; the normal backoff path applies. */
+  case class RateLimited(page: Long, retryAfterMs: Option[Long])
+    extends java.io.IOException(
+      s"HTTP 429 fetching page $page (Retry-After: " +
+        s"${retryAfterMs.map(ms => s"${ms}ms").getOrElse("absent")})")
+
+  /** Ceiling on one honored `Retry-After` wait — a hostile or broken
+    * origin must not park a task for hours on one header. */
+  val maxRetryAfterWaitMs = 600000L
+
+  /** Honored `Retry-After` waits per fetch before 429s fall back to the
+    * attempt-counted path — bounds the worst case (an origin that 429s
+    * forever) without burning the transient-fault budget on pacing. */
+  val maxRateLimitWaits = 10
+
   /** `fetch` with bounded retry and exponential backoff (base × 2^n, like
     * `BinarySink.RetryPolicy`) — transient fetch faults are absorbed here
     * (both on the driver's cursor walk and inside partition readers)
-    * instead of failing the task/query. */
+    * instead of failing the task/query.
+    *
+    * [[RateLimited]] with a parsed `Retry-After` is pacing, not a fault:
+    * the wait is the header's (clamped to [[maxRetryAfterWaitMs]]) and
+    * does NOT consume the retry budget — up to [[maxRateLimitWaits]]
+    * times, after which (or without the header) 429 retries count like
+    * any other transient failure. */
   def fetchWithRetry(fetcher: PageFetcher, path: String, page: Long,
                      maxAttempts: Int,
-                     backoffMs: Long = defaultBackoffMs): Option[Array[Byte]] = {
+                     backoffMs: Long = defaultBackoffMs,
+                     clock: Clock = SystemClock): Option[Array[Byte]] = {
     var attempt = 0
+    var rateLimitWaits = 0
     var out: Option[Array[Byte]] = None
     var done = false
     while (!done) {
       try { out = fetcher.fetch(path, page); done = true }
       catch {
+        case RateLimited(_, Some(waitMs))
+            if rateLimitWaits < maxRateLimitWaits =>
+          rateLimitWaits += 1
+          clock.sleepMs(math.min(waitMs, maxRetryAfterWaitMs))
         case e: Exception =>
           attempt += 1
           if (attempt >= maxAttempts) throw e
-          if (backoffMs > 0L) Thread.sleep(backoffMs * (1L << (attempt - 1)))
+          if (backoffMs > 0L) clock.sleepMs(backoffMs * (1L << (attempt - 1)))
       }
     }
     out
@@ -137,7 +167,7 @@ object PageFeed {
         if (wait > 0L) clock.sleepMs(wait)
       }
       lastFetchAt = clock.nowMs()
-      fetchWithRetry(fetcher, path, page, maxAttempts, backoffMs) match {
+      fetchWithRetry(fetcher, path, page, maxAttempts, backoffMs, clock) match {
         case None => go = false
         case Some(bytes) =>
           val doc = mapper.readTree(bytes)

@@ -27,18 +27,36 @@ class HttpPageFeedSpec extends SparkSpec {
   private class FeedServer {
     val pages = new ConcurrentHashMap[Long, String]()
     val fail5xx = new ConcurrentHashMap[Long, AtomicInteger]()
+    // page → (remaining 429s, Retry-After header value or null for none)
+    val rateLimit = new ConcurrentHashMap[Long, (AtomicInteger, String)]()
     val authHeaders = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val hits = new AtomicInteger(0)
+    val redirectedHits = new AtomicInteger(0)
 
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // a 302 away from the feed: the fetcher must NOT follow (bearer-token
+    // capture vector) — landing here means the redirect was followed
+    server.createContext("/elsewhere/", (x: HttpExchange) => {
+      redirectedHits.incrementAndGet()
+      x.sendResponseHeaders(200, -1); x.close()
+    })
+    server.createContext("/redirect/", (x: HttpExchange) => {
+      x.getResponseHeaders.set("Location",
+        s"http://127.0.0.1:${server.getAddress.getPort}/elsewhere/")
+      x.sendResponseHeaders(302, -1); x.close()
+    })
     server.createContext("/feed/", (x: HttpExchange) => {
       hits.incrementAndGet()
       authHeaders.add(x.getRequestHeaders.getFirst("Authorization"))
       val name = x.getRequestURI.getPath.stripPrefix("/feed/")
       val page = "page-(\\d+)\\.json".r.findFirstMatchIn(name)
         .map(_.group(1).toLong).getOrElse(-1L)
+      val limiter = rateLimit.get(page)
       val failer = fail5xx.get(page)
-      if (failer != null && failer.getAndDecrement() > 0) {
+      if (limiter != null && limiter._1.getAndDecrement() > 0) {
+        if (limiter._2 != null) x.getResponseHeaders.set("Retry-After", limiter._2)
+        x.sendResponseHeaders(429, -1); x.close()
+      } else if (failer != null && failer.getAndDecrement() > 0) {
         x.sendResponseHeaders(500, -1); x.close()
       } else Option(pages.get(page)) match {
         case Some(body) =>
@@ -80,6 +98,67 @@ class HttpPageFeedSpec extends SparkSpec {
       assert(fetcher.fetch(s.base, 7L) === None) // 404 → absent, not error
       s.fail5xx.put(0L, new AtomicInteger(1))
       intercept[java.io.IOException](fetcher.fetch(s.base, 0L))
+    }
+  }
+
+  test("429 + Retry-After paces via the header and never burns the retry budget") {
+    withServer { s =>
+      s.put(0L, Seq((1L, 1L, "a", 1.0)), hasNext = false)
+      s.rateLimit.put(0L, (new AtomicInteger(3), "2")) // three 429s @ 2 s
+      val fetcher = new HttpPageFetcher
+      fetcher.configure(Map.empty)
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val clock = new PageFeed.Clock {
+        override def nowMs(): Long = 0L
+        override def sleepMs(ms: Long): Unit = sleeps += ms
+      }
+      // maxAttempts = 1: ANY budget-consuming retry would throw — the
+      // fetch can only succeed if the 429s ride the header path
+      val got = PageFeed.fetchWithRetry(fetcher, s.base, 0L,
+        maxAttempts = 1, backoffMs = 0L, clock = clock)
+      assert(got.isDefined)
+      assert(sleeps.toSeq === Seq(2000L, 2000L, 2000L))
+    }
+  }
+
+  test("429 without Retry-After falls back to the attempt-counted backoff path") {
+    withServer { s =>
+      s.put(0L, Seq((1L, 1L, "a", 1.0)), hasNext = false)
+      s.rateLimit.put(0L, (new AtomicInteger(2), null)) // two bare 429s
+      val fetcher = new HttpPageFetcher
+      fetcher.configure(Map.empty)
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      val clock = new PageFeed.Clock {
+        override def nowMs(): Long = 0L
+        override def sleepMs(ms: Long): Unit = sleeps += ms
+      }
+      intercept[PageFeed.RateLimited](PageFeed.fetchWithRetry(
+        fetcher, s.base, 0L, maxAttempts = 2, backoffMs = 100L, clock = clock))
+      assert(sleeps.toSeq === Seq(100L)) // one exponential wait, then throw
+    }
+  }
+
+  test("Retry-After parses delta-seconds and HTTP-date; clamps negatives to 0") {
+    val f = new HttpPageFetcher
+    assert(f.parseRetryAfterMs("30") === Some(30000L))
+    assert(f.parseRetryAfterMs(" 5 ") === Some(5000L))
+    assert(f.parseRetryAfterMs("") === None)
+    assert(f.parseRetryAfterMs("soon") === None)
+    val future = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC).plusSeconds(60)
+      .format(java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+    val parsed = f.parseRetryAfterMs(future)
+    assert(parsed.exists(ms => ms > 50000L && ms <= 60000L))
+    val past = "Wed, 21 Oct 2015 07:28:00 GMT"
+    assert(f.parseRetryAfterMs(past) === Some(0L)) // elapsed date → retry now
+  }
+
+  test("redirects are not followed: a 302 is a retryable error, the target never sees the token") {
+    withServer { s =>
+      val fetcher = new HttpPageFetcher
+      fetcher.configure(Map("bearerToken" -> "secret-tok"))
+      val base = s.base.replace("/feed", "/redirect")
+      intercept[java.io.IOException](fetcher.fetch(base, 0L))
+      assert(s.redirectedHits.get() === 0) // token never crossed the 302
     }
   }
 
