@@ -345,14 +345,22 @@ object Profiler {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = freq.withColumn("cum", sum($"cnt").over(w))
       .crossJoin(broadcast(freq.agg(sum($"cnt").as("n"))))
-    def pct(p: Int) = cum.filter($"cum" * 100 >= $"n" * p)
-      .agg(min($"u").as(s"p$p"))
+    // all three percentiles from ONE cumulative grid as conditional mins —
+    // the previous per-percentile filter+agg built three clones of the
+    // freq/window/crossjoin tower into the final plan, and whole-stage
+    // codegen compiled every clone (45–52 s compile_ms cold, r16 verdict
+    // #4; the data was never the cost — the generated code was)
+    val pcts = cum.agg(
+      min(when($"cum" * 100 >= $"n" * 25, $"u")).as("p25"),
+      min(when($"cum" * 100 >= $"n" * 50, $"u")).as("p50"),
+      min(when($"cum" * 100 >= $"n" * 75, $"u")).as("p75"))
     val conc = base.groupBy($"source").agg(count(lit(1)).as("sc"))
       .agg(max($"sc").as("max_source"))
-    val row = totals.crossJoin(pct(25)).crossJoin(pct(50)).crossJoin(pct(75))
-      .crossJoin(conc)
-    row.selectExpr(
-        """stack(12,
+    // one stack(13) over one 1-row crossjoin: the old stack(12) UNION'd a
+    // second full reference to the row relation for the 13th stat, which
+    // doubled the compiled plan for one extra output row
+    totals.crossJoin(pcts).crossJoin(conc).selectExpr(
+        """stack(13,
           |  'n_docs', n_docs,
           |  'n_sources', n_sources,
           |  'n_langs', n_langs,
@@ -364,9 +372,9 @@ object Profiler {
           |  'short_doc_ppm', n_short * 1000000 div n_docs,
           |  'quality_p25_u4', p25,
           |  'quality_p50_u4', p50,
-          |  'quality_p75_u4', p75) AS (stat, value)""".stripMargin)
-      .unionByName(row.selectExpr("'top_source_share_ppm' AS stat",
-        "max_source * 1000000 div n_docs AS value"))
+          |  'quality_p75_u4', p75,
+          |  'top_source_share_ppm', max_source * 1000000 div n_docs)
+          |AS (stat, value)""".stripMargin)
       .orderBy($"stat")
   }
 
