@@ -274,15 +274,21 @@ object Bench {
   /** Full result JSON: per-query health `{sec, ok, err, secs[]}` — the
     * unit-testable failure-transparency contract, and the payload of
     * `bench_health.json`. */
+  /** `repin` defaults to the same SPARK_GRAFT_NO_REPIN escape hatch
+    * main() honors — a library/test caller on a degraded host must not
+    * silently re-run every flagged query min-of-3 with no opt-out
+    * (the r16 advice finding). */
   def run(spark: SparkSession, sfDir: String,
           queries: Map[String, (SparkSession, String) => DataFrame] =
             SparkEntry.queries,
-          reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt): String = {
+          reps: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt,
+          repin: Boolean = !sys.env.get("SPARK_GRAFT_NO_REPIN").contains("1")): String = {
     val results = measure(spark, sfDir, queries, reps)
     val recorded = recordedBaselines()
     renderFull(results, math.max(1, reps), sfDir,
       recorded, prevRoundBaselines(),
-      repinFlagged(spark, sfDir, queries, results, recorded))
+      if (repin) repinFlagged(spark, sfDir, queries, results, recorded)
+      else Map.empty[String, Measured])
   }
 
   def renderFull(results: Seq[Measured], reps: Int, sfDir: String,

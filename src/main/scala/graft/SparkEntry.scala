@@ -1232,11 +1232,23 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, floor((value)*1e2 + 0.5)/1e2 AS value
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // the url/fetch_url pair mirrors the reference's .jpg rewrite for
+    // extension-less image URLs (reddit_image_scraper.py:30): even ids
+    // are direct .png URLs (kept), odd ids are page URLs (repaired)
     "q34_binary_sink" ->
-      """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS name,
+      """WITH u AS (
+        |  SELECT doc_id, text,
+        |    'https://i.imgur.com/d' || CAST(doc_id AS VARCHAR) ||
+        |      (CASE WHEN doc_id % 2 = 0 THEN '.png' ELSE '' END) AS url
+        |  FROM documents)
+        |SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS name,
+        |  url,
+        |  CASE WHEN lower(url) LIKE '%jpg' OR lower(url) LIKE '%jpeg'
+        |         OR lower(url) LIKE '%png' OR lower(url) LIKE '%gif'
+        |    THEN url ELSE url || '.jpg' END AS fetch_url,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  true AS ok, CAST(1 AS BIGINT) AS attempts
-        |FROM documents ORDER BY name""".stripMargin,
+        |FROM u ORDER BY name""".stripMargin,
 
     // gaps-and-islands mirror of session_window: new session when the gap
     // to the previous event is >= 30 min (Spark sessions are half-open);

@@ -1536,7 +1536,6 @@ object TextAnalysis {
         .select($"doc_id", size(toks).cast("long").as("n_words"),
           length(array_join(toks, "")).cast("long").as("sum_len"),
           size(array_distinct(toks)).cast("long").as("n_dist"),
-          punctCount($"text").cast("long").as("n_punct"),
           stopwordCount(toks, stopwords).cast("long").as("n_stop"))
         .select($"doc_id", $"n_words",
           floor(qualityExpr($"n_words", $"n_stop") * 1e4 + lit(0.5))

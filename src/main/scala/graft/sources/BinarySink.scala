@@ -98,9 +98,40 @@ object BinarySink {
       java.nio.file.Files.write(f.toPath, payload)
   }
 
+  /** The reference's image-extension allowlist
+    * (`reddit_image_scraper.py:11`). */
+  val validImageExtensions: Seq[String] = Seq("jpg", "jpeg", "png", "gif")
+
+  private def endsWithImageExt(url: org.apache.spark.sql.Column) = {
+    val lu = lower(url)
+    // reference-exact: `url.lower().endswith(tuple(VALID_EXTENSIONS))` —
+    // bare-suffix match, NO dot required ("photojpg" counts), kept
+    // verbatim so behavior matches the system being replaced
+    validImageExtensions.map(e => lu.endsWith(lit(e))).reduce(_ || _)
+  }
+
+  /** The reference's fetch-URL rewrite for extension-less image URLs
+    * (`reddit_image_scraper.py:30`): a URL not ending in a known image
+    * extension gets `.jpg` appended before fetching — the imgur-style
+    * page URL vs direct-image URL convention. Pure codegen'd column
+    * expression, no UDF. */
+  def imageFetchUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(endsWithImageExt(url), url).otherwise(concat(url, lit(".jpg")))
+
+  /** The reference's URL admission predicate
+    * (`reddit_image_scraper.py:27–28`): known image extension, or any
+    * imgur.com URL (those are the extension-less ones the rewrite above
+    * repairs). The imgur check is on the RAW url, as in the reference. */
+  def isImageUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    endsWithImageExt(url) || url.contains("imgur.com")
+
   /** Declared query: write every document's payload as a file, report the
     * per-file result rows (all ok, 1 attempt — deterministic, so the
-    * oracle can reproduce them from `documents` alone). */
+    * oracle can reproduce them from `documents` alone). Each row also
+    * carries a synthetic imgur-style source `url` (even ids direct-image
+    * `.png`, odd ids extension-less page URLs) and the [[imageFetchUrl]]
+    * rewrite's `fetch_url`, so the reference's `.jpg` repair
+    * (`reddit_image_scraper.py:30`) is oracle-checked on both branches. */
   def binarySinkReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val out = TmpNonce.scratchDir("graft-binsink", dir).toString
@@ -109,9 +140,14 @@ object BinarySink {
       .as[(Long, String)]
       .map { case (id, text) =>
         (s"doc_$id.bin", Option(text).getOrElse("").getBytes("UTF-8")) }
+    val docId = regexp_extract($"name", "doc_(\\d+)\\.bin", 1).cast("long")
     writeWithRetry(items, localFileIo(out), RetryPolicy())
       .toDF()
-      .select($"name", $"n_bytes", $"ok", $"attempts".cast("long").as("attempts"))
+      .withColumn("url", concat(lit("https://i.imgur.com/d"),
+        docId.cast("string"),
+        when(docId % 2 === 0, lit(".png")).otherwise(lit(""))))
+      .select($"name", $"url", imageFetchUrl($"url").as("fetch_url"),
+        $"n_bytes", $"ok", $"attempts".cast("long").as("attempts"))
       .orderBy($"name")
   }
 }

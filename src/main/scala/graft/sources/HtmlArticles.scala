@@ -28,9 +28,15 @@ object HtmlArticles {
     * unquoted values, so `<div data-x="1" class='a single-document'>`
     * matches token `single-document`. Real-world exports reorder and
     * decorate attributes freely; a literal `class="…"` match does not
-    * survive them (the r15 verdict's E2 hardening ask). */
+    * survive them (the r15 verdict's E2 hardening ask).
+    *
+    * The attribute NAME must start a token — after whitespace, a quote,
+    * or the tag opener — not merely sit at a word boundary: `\b` alone
+    * let `data-class="x"` satisfy a lookup for `class` (hyphen is a
+    * word boundary), silently reading a different attribute's value
+    * (the r16 advice finding). */
   private def attrTokens(tag: String, attr: String): Set[String] =
-    ("(?si)\\b" + attr + "\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))").r
+    ("(?si)(?<=[\\s\"'<])" + attr + "\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))").r
       .findFirstMatchIn(tag)
       .map(m => Option(m.group(1)).orElse(Option(m.group(2)))
         .orElse(Option(m.group(3))).getOrElse(""))

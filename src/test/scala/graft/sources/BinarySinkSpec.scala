@@ -96,4 +96,37 @@ class BinarySinkSpec extends SparkSpec {
       java.nio.file.Paths.get(out, "x/1.bin")).toSeq === Seq[Byte](1, 2, 3))
     assert(new java.io.File(out, "y/2.bin").length() === 1L)
   }
+
+  test(".jpg rewrite: extension-less URLs repaired, known extensions kept (reference-exact, no dot required)") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://i.imgur.com/abc123",        // page URL → repaired
+      "https://i.imgur.com/abc.PNG",       // case-insensitive keep
+      "https://host/x.jpeg",               // keep
+      "https://host/photojpg",             // bare suffix counts (reference parity)
+      "https://host/clip.gif",             // keep
+      "https://host/page.html")            // repaired
+    val got = urls.toDF("url")
+      .select(BinarySink.imageFetchUrl($"url")).as[String].collect().toSeq
+    assert(got === Seq(
+      "https://i.imgur.com/abc123.jpg",
+      "https://i.imgur.com/abc.PNG",
+      "https://host/x.jpeg",
+      "https://host/photojpg",
+      "https://host/clip.gif",
+      "https://host/page.html.jpg"))
+  }
+
+  test("isImageUrl: extension allowlist or imgur.com containment, imgur check on the raw url") {
+    import spark.implicits._
+    val rows = Seq(
+      ("https://i.imgur.com/abc123", true),   // imgur, no extension
+      ("https://host/x.png", true),
+      ("https://host/page.html", false),
+      ("https://IMGUR.com/z", false))          // raw containment: case matters
+    val got = rows.toDF("url", "want")
+      .select(BinarySink.isImageUrl($"url"), $"want")
+      .as[(Boolean, Boolean)].collect()
+    got.foreach { case (is, want) => assert(is === want) }
+  }
 }

@@ -88,6 +88,22 @@ class HtmlArticlesSpec extends SparkSpec {
       === Seq.empty)
   }
 
+  test("parseFaz: an attribute merely ENDING in the target name is not the attribute") {
+    // data-class="single-document" must not satisfy a `class` lookup:
+    // \b treated the hyphen as a boundary and read the wrong attribute's
+    // value (r16 advice finding) — the name must start its own token
+    assert(HtmlArticles.parseFaz(
+      """<div data-class="x single-document"><pre class="docSource">FAZ 01.01.2024</pre>
+        |<pre class="docTitle">t</pre><pre class="text">b</pre></div>""".stripMargin)
+      === Seq.empty)
+    // and the real attribute still matches when a decoy precedes it
+    val Seq(a) = HtmlArticles.parseFaz(
+      """<div data-class="decoy" class="single-document">
+        |<pre class="docSource">FAZ 02.01.2024</pre>
+        |<pre class="docTitle">real</pre><pre class="text">b</pre></div>""".stripMargin)
+    assert(a.title === "real")
+  }
+
   test("parseFaz: unclosed <pre> recovers to the next pre / end of block") {
     val html =
       """<div class="single-document"><pre class="docSource">FAZ 03.03.2023
