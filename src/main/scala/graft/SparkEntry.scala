@@ -5122,10 +5122,14 @@ object SparkEntry {
       s"""WITH $containKeepCtesSql,
          |m AS (
          |  SELECT CASE WHEN src >= ${DedupOps.digestOffset}
+         |           AND src < ${DedupOps.digestOffset + DedupOps.dupOffset}
          |           THEN src - ${DedupOps.digestOffset} ELSE src END AS sb,
          |         CASE WHEN dst >= ${DedupOps.digestOffset}
+         |           AND dst < ${DedupOps.digestOffset + DedupOps.dupOffset}
          |           THEN dst - ${DedupOps.digestOffset} ELSE dst END AS db,
-         |         (dst >= ${DedupOps.digestOffset}) AS into_digest,
+         |         (dst >= ${DedupOps.digestOffset}
+         |           AND dst < ${DedupOps.digestOffset + DedupOps.dupOffset})
+         |           AS into_digest,
          |         inter, n_src
          |  FROM ckp)
          |SELECT xs.source AS src_source, ys.source AS dst_source,
@@ -5240,7 +5244,9 @@ object SparkEntry {
          |  FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
          |  JOIN labeled lx ON lx.doc_id = x.doc_id AND lx.doc_id = lx.keeper
          |  JOIN labeled ly ON ly.doc_id = y.doc_id AND ly.doc_id = ly.keeper
-         |  WHERE x.doc_id % ${DedupOps.digestStride} = 0),
+         |  WHERE x.doc_id % ${DedupOps.digestStride} = 0
+         |    AND x.doc_id < ${DedupOps.dupOffset}
+         |    AND y.doc_id < ${DedupOps.dupOffset}),
          |kbase AS (
          |  SELECT c.doc_id, $toksSql AS tk
          |  FROM corpus c JOIN labeled l ON l.doc_id = c.doc_id

@@ -1301,8 +1301,16 @@ object DedupOps {
       dupCorpus(spark, dir).join(keepers, "doc_id")
         .select($"doc_id", $"text"))
     // Digest leads/successors are BASE-id keepers only (doc_id <
-    // dupOffset), matching the oracle's `dig` CTE which joins the base
-    // `documents` table (round-11 advice fix): min-label keeper election
+    // dupOffset), and since round 17 the oracle's `dig` CTE applies the
+    // IDENTICAL window — the unrestricted documents join agreed with this
+    // filter only while every base id was < dupOffset, which the
+    // 10M-stride sf1+ probes violate (their replica keepers seeded oracle
+    // digests the Spark side correctly refused: ids ≥ digestOffset +
+    // dupOffset would break the invariant below and alias through
+    // quoteFlows' baseId). The window is a FIXTURE choice: the digest
+    // corpus is the synthetic quote-bearing audit set, and the operator
+    // under test (containmentJoinOver) is id-agnostic. Round-11 advice
+    // fix; r17 sf1 differential. Min-label keeper election
     // makes a dup-copy keeper (id ≥ dupOffset) possible only for a copy
     // whose cluster somehow excludes its base twin (e.g. a sub-shingle
     // doc with no signature) — such a keeper must not seed a digest the
@@ -1387,12 +1395,21 @@ object DedupOps {
     * and one O(source-pairs) rollup. */
   def quoteFlows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // digest detection is RANGE-bounded, not open-ended: digests live in
+    // [digestOffset, digestOffset + dupOffset) by the q178 invariant; an
+    // id domain ABOVE that window (the sf1+ probes' 10M-stride replica
+    // keys) must map to itself — `c >= digestOffset` alone subtracted the
+    // offset from every replica id, aliasing nonexistent documents (the
+    // r17 sf1 differential caught it; same failure class as r16's q317
+    // base-id recovery)
     def baseId(c: org.apache.spark.sql.Column) =
-      when(c >= digestOffset, c - digestOffset).otherwise(c)
+      when(c >= digestOffset && c < digestOffset + dupOffset,
+        c - digestOffset).otherwise(c)
     val srcs = Tables.documents(spark, dir).select($"doc_id", $"source")
     containmentJoinKeepers(spark, dir)
       .select(baseId($"src").as("sb"), baseId($"dst").as("db"),
-        ($"dst" >= digestOffset).as("into_digest"), $"inter", $"n_src")
+        ($"dst" >= digestOffset && $"dst" < digestOffset + dupOffset)
+          .as("into_digest"), $"inter", $"n_src")
       .join(srcs.select($"doc_id".as("sb"), $"source".as("src_source")), "sb")
       .join(srcs.select($"doc_id".as("db"), $"source".as("dst_source")), "db")
       .groupBy($"src_source", $"dst_source")
