@@ -1088,10 +1088,28 @@ object DedupOps {
                           tauNum: Int = containTauNum,
                           tauDen: Int = containTauDen): DataFrame = {
     import spark.implicits._
+    // the shingle STRINGS never leave this projection (the
+    // ngramJaccardPairs discipline, applied here in round 17 after the
+    // sf10b probe measured q178 at 358 s with three corpus-wide exchanges
+    // of exploded 3-gram strings): df counting, the rarest-first re-sort,
+    // the prefix×postings block join, and the per-pair intersection all
+    // run on 64-bit shingle hashes — an order-of-magnitude lighter
+    // exchange payload. Intersection counts over distinct-element hash
+    // sets equal the string counts unless two distinct shingles of one
+    // doc pair collide in 64 bits (~1e-16 at document scale; a collision
+    // would surface as an oracle hash mismatch, not silence). The prefix
+    // filter stays LOSSLESS under the changed tiebreak (df ties now break
+    // by hash, not string): if C(A→B) ≥ τ, fewer than p(A) of A's
+    // elements can miss B, so ANY p(A)-sized prefix of A hits B — the
+    // rarest-first ordering is a block-size optimization, not a
+    // correctness condition, and the oracle states the naive
+    // any-shared-element form.
     val dt = graft.CacheGuard.barrier(
       docs
         .select($"doc_id",
-          array_sort(array_distinct(wordShingles(tokens($"text"), n))).as("ts"))
+          graft.functions.native.xxhash64Array(
+            array_sort(array_distinct(wordShingles(tokens($"text"), n))))
+            .as("ts"))
         .filter(size($"ts") > 0))
     val dfreq = dt.select(explode($"ts").as("t"))
       .groupBy($"t").agg(count(lit(1)).as("df"))
@@ -1129,10 +1147,19 @@ object DedupOps {
     * keeper set) as well as the raw `documents` table (q114). */
   def setSimJoinOver(spark: SparkSession, docs: DataFrame, n: Int = 3): DataFrame = {
     import spark.implicits._
+    // 64-bit shingle hashes for every exchange (the containmentJoinOver /
+    // ngramJaccardPairs discipline — see the r17 comment there): the
+    // string shingles never leave this projection; df ties break by hash
+    // (prefix losslessness is order-independent) and intersection/union
+    // counts over distinct-element hash sets equal the string counts
+    // modulo a ~1e-16 per-pair 64-bit collision an oracle hash mismatch
+    // would expose.
     val dt = graft.CacheGuard.barrier(
       docs
         .select($"doc_id",
-          array_sort(array_distinct(wordShingles(tokens($"text"), n))).as("ts"))
+          graft.functions.native.xxhash64Array(
+            array_sort(array_distinct(wordShingles(tokens($"text"), n))))
+            .as("ts"))
         .filter(size($"ts") > 0))
     val dfreq = dt.select(explode($"ts").as("t"))
       .groupBy($"t").agg(count(lit(1)).as("df"))
