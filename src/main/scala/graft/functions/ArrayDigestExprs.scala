@@ -35,6 +35,35 @@ case class Md5MinExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Allocation-free |A ∩ B| over two NUMERICALLY-SORTED long arrays (the
+  * hashed-shingle payloads of the exact set joins): a single merge walk,
+  * no per-row hash set. `size(array_intersect(ta, tb))` builds an
+  * OpenHashSet + result array PER CANDIDATE PAIR — at sf1+ candidate
+  * volumes that allocation churn drove the q114/q122/q175/q178/q261
+  * family into run-to-run bimodal GC thrash (same plan, same 417 MB
+  * shuffle, 6× task CPU / 2469 s summed GC in the slow regime — round-17
+  * Scratch probe). Precondition: both arrays ascending; equal-element
+  * runs advance both sides (on distinct-element inputs — which hashed
+  * `array_distinct` shingle sets are, modulo the documented ~1e-16
+  * 64-bit collision — this equals array_intersect's distinct count). */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayDigestExprs.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayDigestExprs.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class XxHash64ArrayExpr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
@@ -95,5 +124,23 @@ object ArrayDigestExprs {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Merge-walk intersection count of two ascending long arrays — zero
+    * allocation; see [[SortedIntersectCountExpr]]. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
   }
 }

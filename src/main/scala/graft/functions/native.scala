@@ -41,6 +41,11 @@ object native {
   def xxhash64Array(arr: Column): Column =
     B.column(XxHash64ArrayExpr(B.expression(arr)))
 
+  /** Allocation-free |A ∩ B| of two ascending long arrays (merge walk).
+    * See [[SortedIntersectCountExpr]]. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    B.column(SortedIntersectCountExpr(B.expression(a), B.expression(b)))
+
   /** NFC unicode normalization. See [[UnicodeExprs]]. */
   def nfcNormalize(s: Column): Column =
     B.column(NfcNormalizeExpr(B.expression(s)))

@@ -128,18 +128,21 @@ object DedupOps {
     // over distinct-element hash sets equal the string counts unless two
     // distinct shingles of one doc pair collide in 64 bits (~1e-16 at
     // document scale; a collision would surface as an oracle hash
-    // mismatch, not silence).
+    // mismatch, not silence). `harr` is NUMERICALLY sorted so the per-pair
+    // intersection is the allocation-free sortedIntersectCount merge walk
+    // — size(array_intersect) builds a hash set per candidate pair, and
+    // that churn measurably GC-thrashes the set-join family at sf1+.
     val docs = withDupCopies(graft.CacheGuard.barrier(
       shingleArrays(spark, dir, n)
         .select($"doc_id",
           size($"arr").as("n_sh"),
           graft.functions.native.md5Min($"arr").as("bk"),
-          graft.functions.native.xxhash64Array($"arr").as("harr"))))
+          array_sort(graft.functions.native.xxhash64Array($"arr")).as("harr"))))
     val blocks = Guards.capHotKeys(docs, "bk", maxBlock)
     blocks.as("x").join(blocks.as("y"),
         $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
-        size(array_intersect($"x.harr", $"y.harr")).cast("long").as("n_inter"),
+        graft.functions.native.sortedIntersectCount($"x.harr", $"y.harr").as("n_inter"),
         $"x.n_sh".as("na"), $"y.n_sh".as("nb"))
       .withColumn("jaccard",
         Quant.r4($"n_inter".cast("double") /
@@ -1046,8 +1049,10 @@ object DedupOps {
     * re-sort is a per-doc collect over its own elements (bounded by doc
     * length); candidate generation shuffles ONLY prefix elements (≈ 40%
     * at τ=0.6, each rare); verification joins the O(candidates) pair
-    * table back to the doc→element-array relation on doc id and runs
-    * per-row `array_intersect`. Everything integer: the prefix length
+    * table back to the doc→element-array relation on doc id and counts
+    * overlap with the allocation-free sorted merge walk
+    * ([[graft.functions.native.sortedIntersectCount]]). Everything
+    * integer: the prefix length
     * uses `⌈τn⌉ = ⌊(3n+4)/5⌋` and the threshold test is
     * `den·inter ≥ num·union`, so no float can flip a boundary pair.
     * Duplicate families DO concentrate in one block (all copies share
@@ -1075,8 +1080,9 @@ object DedupOps {
     * Scale shape: candidate volume is Σ over A-prefix elements of that
     * element's posting length — prefix elements are globally rare by the
     * df ordering, so postings are short; verification joins candidates
-    * back to the element arrays and runs per-row `array_intersect`;
-    * threshold test is pure integer. */
+    * back to the element arrays and counts overlap with the
+    * allocation-free sorted merge walk; threshold test is pure
+    * integer. */
   def containmentJoin(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     containmentJoinOver(spark, Tables.documents(spark, dir), n)
 
@@ -1103,12 +1109,14 @@ object DedupOps {
     // elements can miss B, so ANY p(A)-sized prefix of A hits B — the
     // rarest-first ordering is a block-size optimization, not a
     // correctness condition, and the oracle states the naive
-    // any-shared-element form.
+    // any-shared-element form. `ts` is NUMERICALLY sorted (hash order —
+    // no downstream step needs string order) so the per-pair intersection
+    // runs as the allocation-free sortedIntersectCount merge walk.
     val dt = graft.CacheGuard.barrier(
       docs
         .select($"doc_id",
-          graft.functions.native.xxhash64Array(
-            array_sort(array_distinct(wordShingles(tokens($"text"), n))))
+          array_sort(graft.functions.native.xxhash64Array(
+            array_distinct(wordShingles(tokens($"text"), n))))
             .as("ts"))
         .filter(size($"ts") > 0))
     val dfreq = dt.select(explode($"ts").as("t"))
@@ -1130,7 +1138,7 @@ object DedupOps {
       .join(dt.select($"doc_id".as("da"), $"ts".as("ta")), "da")
       .join(dt.select($"doc_id".as("db"), $"ts".as("tb")), "db")
       .select($"da".as("src"), $"db".as("dst"),
-        size(array_intersect($"ta", $"tb")).cast("long").as("inter"),
+        graft.functions.native.sortedIntersectCount($"ta", $"tb").as("inter"),
         size($"ta").cast("long").as("n_src"))
       .filter($"inter" * tauDen >= $"n_src" * tauNum)
       .select($"src", $"dst", $"inter", $"n_src",
@@ -1153,12 +1161,13 @@ object DedupOps {
     // (prefix losslessness is order-independent) and intersection/union
     // counts over distinct-element hash sets equal the string counts
     // modulo a ~1e-16 per-pair 64-bit collision an oracle hash mismatch
-    // would expose.
+    // would expose. `ts` is NUMERICALLY sorted for the merge-walk
+    // intersection (see containmentJoinOver).
     val dt = graft.CacheGuard.barrier(
       docs
         .select($"doc_id",
-          graft.functions.native.xxhash64Array(
-            array_sort(array_distinct(wordShingles(tokens($"text"), n))))
+          array_sort(graft.functions.native.xxhash64Array(
+            array_distinct(wordShingles(tokens($"text"), n))))
             .as("ts"))
         .filter(size($"ts") > 0))
     val dfreq = dt.select(explode($"ts").as("t"))
@@ -1185,9 +1194,10 @@ object DedupOps {
       .join(dt.select($"doc_id".as("da"), $"ts".as("ta")), "da")
       .join(dt.select($"doc_id".as("db"), $"ts".as("tb")), "db")
       .select($"da".as("doc_a"), $"db".as("doc_b"),
-        size(array_intersect($"ta", $"tb")).cast("long").as("inter"),
-        (size($"ta") + size($"tb") - size(array_intersect($"ta", $"tb")))
-          .cast("long").as("union_sz"))
+        graft.functions.native.sortedIntersectCount($"ta", $"tb").as("inter"),
+        size($"ta").cast("long").as("na"), size($"tb").cast("long").as("nb"))
+      .withColumn("union_sz", $"na" + $"nb" - $"inter")
+      .drop("na", "nb")
       .filter($"inter" * setSimTauDen >= $"union_sz" * setSimTauNum)
       .select($"doc_a", $"doc_b", $"inter", $"union_sz",
         Quant.r4($"inter".cast("double") / $"union_sz".cast("double"))

@@ -52,6 +52,28 @@ object NativeExprProps extends Properties("native-exprs") {
       base.zip(more).forall { case (b, m) => m <= b }
     }
 
+  // ——— SortedIntersectCountExpr ———
+
+  property("sortedIntersectCount = set-intersection size on sorted-distinct inputs") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+                Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) { (as, bs) =>
+      val sa = as.distinct.sorted
+      val sb = bs.distinct.sorted
+      val got = graft.functions.ArrayDigestExprs.sortedIntersectCount(
+        new GenericArrayData(sa.toArray), new GenericArrayData(sb.toArray))
+      got == (sa.toSet intersect bs.toSet).size.toLong
+    }
+
+  property("sortedIntersectCount: shared-prefix overlap counts exactly") =
+    Prop.forAll(Gen.chooseNum(0, 200), Gen.chooseNum(0, 200)) { (common, extra) =>
+      // a = [0..common) ∪ evens shifted above; b = [0..common) ∪ odds above
+      val base = (0L until common.toLong)
+      val a = (base ++ (0 until extra).map(i => common + 2L * i)).toArray
+      val b = (base ++ (0 until extra).map(i => common + 2L * i + 1)).toArray
+      graft.functions.ArrayDigestExprs.sortedIntersectCount(
+        new GenericArrayData(a), new GenericArrayData(b)) == common.toLong
+    }
+
   // ——— SimHashExpr ———
 
   property("simhash of a single token = its 32-bit md5 hash") =
