@@ -158,11 +158,19 @@ object Components {
                      maxIter: Int = 40): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // the round's edge count rides the checkpoint job as an `observe`
+    // metric (the q48 convergence discipline): the old form re-counted
+    // BOTH relations with separate `count()` jobs every round — up to 3
+    // extra sequential driver actions per round on a latency-bound
+    // iteration (r17; same finding as hits()'s scalar normalizers)
+    val obs0 = org.apache.spark.sql.Observation("star_init")
     var e = edges
       .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
       .filter($"u" =!= $"v").distinct()
       .select($"v".as("u"), $"u".as("v")) // child → smaller-parent pointers
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
+    var eCount = obs0.get("n").asInstanceOf[Long]
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
@@ -178,17 +186,24 @@ object Components {
       val dirE = large
         .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
       val pmins = dirE.groupBy($"u").agg(min($"v").as("m"))
+      val obs = org.apache.spark.sql.Observation(s"star_round_$rounds")
       val small = dirE.join(pmins, "u")
         .filter($"v" =!= $"m")
         .select($"v".as("u"), $"m".as("v"))
         .unionByName(pmins.select($"u", $"m".as("v")))
         .filter($"u" =!= $"v")
         .distinct()
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint() // eager: the round's action
-      val unchanged = small.count() == e.count() &&
+      val smallCount = obs.get("n").asInstanceOf[Long]
+      // set equality still decided by the EXACT anti-join — the observed
+      // counts only short-circuit it on the (usual) rounds where the
+      // cardinality already changed
+      val unchanged = smallCount == eCount &&
         e.join(small, Seq("u", "v"), "left_anti").isEmpty
       unpersistCheckpoint(e)
       e = small
+      eCount = smallCount
       rounds += 1
       converged = unchanged
     }
@@ -642,12 +657,18 @@ object Components {
     * ·10⁶ ≤ 10¹²·deg — no BIGINT overflow at any realistic degree.
     *
     * Scale shape: per round, two node-keyed shuffles (auth from hubs,
-    * hubs from auth) plus two O(1)-row `max` actions fixing the round's
-    * normalizer — the same driver-side scalar discipline as
-    * [[personalizedPageRank]]'s teleport constant. Rounds are lineage-cut
-    * with block release per the q48 discipline. Nodes with no in-edges
-    * hold authority 0 (the LEFT join against the node universe keeps
-    * them); symmetric for hubs. */
+    * hubs from auth); the round's normalizer is a 1-row `max` aggregate
+    * attached as a lazy `crossJoin(broadcast(...))` so it rides the SAME
+    * job as the half-round's checkpoint — the scalar-action form
+    * (`.agg(max).head()` per half-round) cost two extra sequential
+    * driver round-trips per round, and on a latency-bound iterative
+    * query those round-trips were most of the wall clock (r17: q209 wall
+    * 5.1 s standalone against ~0.16 s of parallel task time). Same
+    * integers either way: the broadcast build and the main subtree both
+    * derive from the half-round's raw relation, exactly as the old
+    * scalar did. Rounds are lineage-cut with block release per the q48
+    * discipline. Nodes with no in-edges hold authority 0 (the LEFT join
+    * against the node universe keeps them); symmetric for hubs. */
   def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -663,20 +684,20 @@ object Components {
       val aRaw = ed.join(hubs, ed("a") === hubs("node"))
         .groupBy($"b").agg(sum($"h").as("raw"))
         .select($"b".as("node"), $"raw")
-      val aMax = aRaw.agg(max($"raw")).head().getLong(0)
       val nextA = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aRaw.agg(max($"raw").as("mx"))))
         .select($"node",
-          coalesce(expr(s"(raw * 1000000) div $aMax"), lit(0L)).as("av"))
+          coalesce(expr("(raw * 1000000) div mx"), lit(0L)).as("av"))
         .localCheckpoint()
       if (auths != null) unpersistCheckpoint(auths)
       auths = nextA
       val hRaw = ed.join(auths, ed("b") === auths("node"))
         .groupBy(ed("a")).agg(sum($"av").as("raw"))
         .select(ed("a").as("node"), $"raw")
-      val hMax = hRaw.agg(max($"raw")).head().getLong(0)
       val nextH = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hRaw.agg(max($"raw").as("mx"))))
         .select($"node",
-          coalesce(expr(s"(raw * 1000000) div $hMax"), lit(0L)).as("h"))
+          coalesce(expr("(raw * 1000000) div mx"), lit(0L)).as("h"))
         .localCheckpoint()
       unpersistCheckpoint(hubs)
       hubs = nextH

@@ -792,6 +792,38 @@ class ComponentsSpec extends SparkSpec {
     assert(truth.values.toSet.size < docs.length) // real multi-node chains
   }
 
+  test("starContractCc: equal-cardinality rounds do not fake convergence (observed-count short-circuit)") {
+    import spark.implicits._
+    // r17 folded the per-round count() jobs into an `observe` metric
+    // that SHORT-CIRCUITS the exact anti-join when cardinalities differ;
+    // this pins the other branch: graphs whose contraction passes through
+    // same-size-but-different edge sets (cycles do) must still converge
+    // to the true components, never stop early on a count tie
+    val graphs: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "9-cycle" -> ((0L until 9L).map(i => (i, (i + 1) % 9))),
+      "two cycles" -> ((0L until 6L).map(i => (i, (i + 1) % 6)) ++
+        (10L until 15L).map(i => (i, 10L + (i - 9L) % 5L))),
+      "barbell" -> Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L),
+        (3L, 4L), (4L, 5L), (3L, 5L)))
+    for ((name, edges) <- graphs) {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = nodes.map(i => i -> find(i)).toMap
+      val (labels, _) = Components.starContractCc(edges.toDF("a", "b"))
+      val got = labels.collect().map(r =>
+        r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+      graft.CacheGuard.release()
+      assert(got === truth, name)
+    }
+  }
+
   test("starClusters: q48's output contract on the deep-chain graph; singletons self-labeled") {
     import spark.implicits._
     val rows = Components.starClusters(spark, sf).collect()
