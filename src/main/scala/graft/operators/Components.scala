@@ -1213,6 +1213,13 @@ object Components {
     val sym = edges.select($"a".as("src"), $"b".as("dst"))
       .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
     val m = edges.agg(count(lit(1)).as("m"))
+    // deg/stot/cur are referenced from several consumers below and the
+    // PRE-EXECUTION plan prints the derivation chain cloned per reference
+    // (206 Exchange nodes vs q116's 6) — but an r17 A/B showed barriering
+    // them is a ~10% LOSS at sf0.1 (6.20 → 6.87 s standalone min-of-3):
+    // Spark's runtime exchange reuse already deduplicates the repeated
+    // subtrees, and the MEMORY_AND_DISK materialization only adds cost.
+    // Left unbarriered deliberately; the printed plan width is cosmetic.
     val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("k"))
     val stot = labels.join(deg, "node")
       .groupBy($"lbl").agg(sum($"k").as("st"))
